@@ -1,0 +1,52 @@
+"""pandera_forge_spark — a from-scratch PySpark-native schema-inference
+and constraint-validation engine.
+
+Re-expresses the capabilities of ``thijshakkenbergecolab/pandera-forge``
+(reference at /root/reference, see SURVEY.md) as distributed Spark
+DataFrame computations:
+
+- single-pass column profiling (one ``df.agg`` for all columns × stats,
+  vs the reference's ~6-8 Spark jobs per column,
+  reference: spark/spark_field_analyzer.py:39-53),
+- constraint inference with the reference's exact rules
+  (reference: code_generator.py:39-75, field_analyzer.py:34-76),
+- distributed validation with per-partition pass/fail verdicts and
+  violation rows (the reference skips Spark-side validation entirely,
+  reference: spark/spark_generator.py:101-109),
+- uniqueness / referential-integrity anti-joins with skew salting,
+- distribution drift (PSI / KS) over quantile sketches,
+- interleaved text+media span operators (order invariant, sequence
+  equality) for the north-rule input table,
+- checkpointed, resumable partition-manifest runner with an audit sink,
+- large-scale training-data operators (dedup, similarity search, text
+  quality, multimodal plumbing).
+"""
+
+from pandera_forge_spark.schema import (
+    Check,
+    ColumnProfile,
+    ColumnSpec,
+    StringConstraints,
+    TableSchema,
+)
+from pandera_forge_spark.sanitizer import sanitize_class_name, sanitize_column_name
+from pandera_forge_spark.patterns import NAMED_PATTERNS
+from pandera_forge_spark.profiler import profile_table
+from pandera_forge_spark.inference import infer_schema
+from pandera_forge_spark.validator import validate_table
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Check",
+    "ColumnProfile",
+    "ColumnSpec",
+    "StringConstraints",
+    "TableSchema",
+    "NAMED_PATTERNS",
+    "sanitize_class_name",
+    "sanitize_column_name",
+    "profile_table",
+    "infer_schema",
+    "validate_table",
+]

@@ -1,0 +1,69 @@
+"""Constraint → Spark SQL expression compiler.
+
+Every check compiles to a Boolean ``Column`` evaluated JVM-side inside
+whole-stage codegen — never per-row Python (north rule / BASELINE.json
+``input_hint``). The reference instead ``exec``s generated Pandera code
+on a driver-side pandas frame (reference: validator.py:43-78) and skips
+validation on Spark entirely (reference: spark/spark_generator.py:101-109);
+this module is the core of that "driver one-shot → distributed
+assertions" rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from pandera_forge_spark.schema import Check
+
+ROW_LEVEL_KINDS = (
+    "not_null",
+    "ge",
+    "le",
+    "isin",
+    "str_matches",
+    "min_length",
+    "max_length",
+    "starts_with",
+    "ends_with",
+)
+# "unique" is table-level (needs a shuffle) — handled by
+# validator.duplicate_keys, not compiled here.
+
+
+def compile_check(check: Check) -> Column:
+    """Return a Boolean Column that is True where the row SATISFIES the
+    check. Null semantics: for value checks, a null value passes (the
+    separate not_null check owns null enforcement — mirroring pandera,
+    where Field(ge=...) checks ignore NA and nullable controls NA)."""
+    col = F.col(check.column)
+    k = check.kind
+    if k == "not_null":
+        return col.isNotNull()
+    if k == "ge":
+        return col.isNull() | (col >= F.lit(check.value))
+    if k == "le":
+        return col.isNull() | (col <= F.lit(check.value))
+    if k == "isin":
+        return col.isNull() | col.isin(*check.value)
+    if k == "str_matches":
+        # pandas str.match(case=False) semantics via (?i) + the
+        # patterns' own anchors (see patterns.py module docstring)
+        return col.isNull() | col.cast("string").rlike("(?i)" + check.value)
+    if k == "min_length":
+        return col.isNull() | (F.length(col.cast("string")) >= F.lit(check.value))
+    if k == "max_length":
+        return col.isNull() | (F.length(col.cast("string")) <= F.lit(check.value))
+    if k == "starts_with":
+        return col.isNull() | col.cast("string").startswith(check.value)
+    if k == "ends_with":
+        return col.isNull() | col.cast("string").endswith(check.value)
+    raise ValueError(f"not a row-level check kind: {k}")
+
+
+def row_level(checks: list[Check]) -> list[Check]:
+    return [c for c in checks if c.kind in ROW_LEVEL_KINDS]
+
+
+def table_level(checks: list[Check]) -> list[Check]:
+    return [c for c in checks if c.kind == "unique"]

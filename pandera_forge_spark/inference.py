@@ -1,0 +1,157 @@
+"""Profile → constraint inference.
+
+Implements the reference's inference rules exactly (SURVEY.md §2.13;
+reference: field_analyzer.py:34-76, code_generator.py:39-75,
+spark/spark_type_mapper.py:26-57), so that the generated constraint set
+— and therefore every downstream pass/fail verdict — matches the
+reference's observable behavior.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+
+from pandera_forge_spark.profiler import ISIN_MAX_DISTINCT, profile_table
+from pandera_forge_spark.sanitizer import sanitize_class_name, sanitize_column_name
+from pandera_forge_spark.schema import (
+    ColumnProfile,
+    ColumnSpec,
+    StringConstraints,
+    TableSchema,
+)
+
+# Spark simpleString → pandera type name
+# (reference: spark/spark_type_mapper.py:26-57, including the lossy
+# decimal → Float64 mapping commented "Approximate mapping" at :39 and
+# complex types → Object at :53-56).
+SPARK_TO_PANDERA: dict[str, str] = {
+    "byte": "Int8",
+    "tinyint": "Int8",
+    "short": "Int16",
+    "smallint": "Int16",
+    "int": "Int32",
+    "integer": "Int32",
+    "long": "Int64",
+    "bigint": "Int64",
+    "float": "Float32",
+    "real": "Float32",
+    "double": "Float64",
+    "decimal": "Float64",
+    "string": "String",
+    "varchar": "String",
+    "char": "String",
+    "boolean": "Bool",
+    "bool": "Bool",
+    "date": "Timestamp",
+    "timestamp": "Timestamp",
+    "timestamp_ntz": "Timestamp",
+    "timestamp_ltz": "Timestamp",
+    "binary": "Object",
+    "array": "Object",
+    "map": "Object",
+    "struct": "Object",
+}
+
+_NUMERIC_PANDERA = {"Int8", "Int16", "Int32", "Int64", "Float32", "Float64"}
+
+
+def normalize_type(spark_type: str) -> str:
+    """decimal(10,2) → decimal, array<string> → array
+    (reference: spark/spark_type_mapper.py:106-112)."""
+    t = spark_type.strip().lower()
+    for sep in ("(", "<"):
+        if sep in t:
+            t = t.split(sep, 1)[0]
+    return t
+
+
+def pandera_type(spark_type: str) -> Optional[str]:
+    """Map a Spark type string to a pandera type name; None when
+    unmappable (such columns are skipped with a warning, not errors —
+    reference: core/base_generator.py:130-134)."""
+    return SPARK_TO_PANDERA.get(normalize_type(spark_type))
+
+
+def spec_from_profile(profile: ColumnProfile) -> ColumnSpec:
+    """Apply inference rules §2.13 to one column profile."""
+    name, was_valid = sanitize_column_name(profile.name)
+    ptype = pandera_type(profile.spark_type)
+    spec = ColumnSpec(
+        name=profile.name,
+        sanitized_name=name,
+        name_was_valid=was_valid,
+        spark_type=profile.spark_type,
+        pandera_type=ptype,
+        nullable=profile.is_nullable,  # rule 2
+        unique=profile.is_unique,  # rule 1
+        examples=list(profile.examples),
+    )
+
+    # rule 3: ge/le only for numeric pandera types, both bounds non-null
+    # (reference: code_generator.py:39-45)
+    if (
+        ptype in _NUMERIC_PANDERA
+        and profile.min_value is not None
+        and profile.max_value is not None
+    ):
+        spec.ge = profile.min_value
+        spec.le = profile.max_value
+
+    # rule 4: isin only when distinct <= 10; nulls are never in the list
+    # because examples come from non-null values only
+    # (reference: code_generator.py:57-75)
+    if (
+        profile.distinct_count is not None
+        and profile.distinct_is_exact
+        and 0 < profile.distinct_count <= ISIN_MAX_DISTINCT
+        and profile.examples
+    ):
+        spec.isin = list(profile.examples)
+
+    # rules 6-7: string constraints
+    if ptype == "String":
+        sc = StringConstraints(
+            min_length=profile.min_length,
+            max_length=profile.max_length,
+            pattern=profile.pattern,
+            pattern_name=profile.pattern_name,
+            starts_with=profile.starts_with,
+            ends_with=profile.ends_with,
+        )
+        if not sc.is_empty():
+            spec.string_constraints = sc
+    return spec
+
+
+def schema_from_profiles(
+    name: str, profiles: dict[str, ColumnProfile]
+) -> TableSchema:
+    schema = TableSchema(name=sanitize_class_name(name))
+    for prof in profiles.values():
+        spec = spec_from_profile(prof)
+        if spec.pandera_type is None:
+            # rule 9: unmappable dtypes are skipped, not errors
+            continue
+        schema.columns.append(spec)
+    return schema
+
+
+def infer_schema(
+    df: DataFrame,
+    name: str = "GeneratedModel",
+    columns: Optional[Sequence[str]] = None,
+    exact_distinct: bool = True,
+    detect_patterns: bool = True,
+) -> TableSchema:
+    """Profile ``df`` (two Spark jobs total) and infer its constraint
+    schema — the distributed replacement for the reference's
+    ``ModelGenerator.generate`` lifecycle (SURVEY.md §3)."""
+    profiles = profile_table(
+        df,
+        columns=columns,
+        exact_distinct=exact_distinct,
+        detect_patterns=detect_patterns,
+    )
+    return schema_from_profiles(name, profiles)

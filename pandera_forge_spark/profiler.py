@@ -1,0 +1,278 @@
+"""Single-pass distributed column profiling.
+
+The reference profiles one column at a time with ~6-8 Spark actions per
+column over cached data (reference: spark/spark_field_analyzer.py:39-53,
+107-123 — null-count job, count job, distinct job, min/max job, two
+example jobs, then a sample collect for pattern detection). At 10^12
+rows that is O(columns) full scans.
+
+This engine fuses EVERYTHING into:
+
+  JOB 1: one ``df.agg(...)`` computing, for every column at once:
+         count, null-count, distinct (exact or HLL), numeric
+         min/max/mean/stddev, string length bounds, prefix/suffix
+         probes, and all 17 named-pattern match ratios.
+         All of these are DeclarativeAggregates → partial (map-side)
+         aggregation + one final reduce; a single scan regardless of
+         column count, fully inside whole-stage codegen.
+
+  JOB 2: one melted ``groupBy(col, val)`` pass producing top-k frequent
+         values for all columns together (one shuffle total, vs one
+         groupBy job per column in the reference).
+
+Per-partition profiles (north rule) reuse JOB 1 with ``groupBy(keys)``.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pandera_forge_spark.patterns import (
+    NAMED_PATTERNS,
+    PREFIX_SUFFIX_PROBE,
+    pattern_ratio_exprs,
+    pick_pattern,
+)
+from pandera_forge_spark.schema import ColumnProfile
+
+NUMERIC_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+ORDERED_EXTRA = (T.DateType, T.TimestampType, T.TimestampNTZType)
+
+# Reference constants we preserve exactly.
+ISIN_MAX_DISTINCT = 10  # collect ALL values when distinct <= 10 (field_analyzer.py:70)
+TOP_K_EXAMPLES = 5  # else top-5 by frequency (field_analyzer.py:74, num_samples=5)
+
+
+def _is_numeric(dt: T.DataType) -> bool:
+    return isinstance(dt, NUMERIC_TYPES)
+
+
+def _is_string(dt: T.DataType) -> bool:
+    return isinstance(dt, (T.StringType, T.VarcharType, T.CharType))
+
+
+def _is_simple(dt: T.DataType) -> bool:
+    """Types that can be melted to string for the shared top-k pass."""
+    return not isinstance(dt, (T.ArrayType, T.MapType, T.StructType, T.BinaryType))
+
+
+def stat_exprs(
+    df: DataFrame,
+    columns: Sequence[str],
+    exact_distinct: bool,
+    detect_patterns: bool,
+) -> list:
+    """Build the fused aggregate-expression list for JOB 1."""
+    exprs = [F.count(F.lit(1)).alias("__total__")]
+    dtypes = dict((f.name, f.dataType) for f in df.schema.fields)
+    for c in columns:
+        dt = dtypes[c]
+        col = F.col(c)
+        exprs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
+        if _is_simple(dt):
+            d = (
+                F.countDistinct(col)
+                if exact_distinct
+                else F.approx_count_distinct(col)
+            )
+            exprs.append(d.alias(f"{c}__distinct"))
+        if _is_numeric(dt):
+            exprs += [
+                F.min(col).alias(f"{c}__min"),
+                F.max(col).alias(f"{c}__max"),
+                F.avg(col).alias(f"{c}__mean"),
+                F.stddev(col).alias(f"{c}__stddev"),
+            ]
+        elif isinstance(dt, ORDERED_EXTRA):
+            exprs += [F.min(col).alias(f"{c}__min"), F.max(col).alias(f"{c}__max")]
+        if _is_string(dt):
+            s = col.cast("string")
+            exprs += [
+                F.min(F.length(s)).alias(f"{c}__minlen"),
+                F.max(F.length(s)).alias(f"{c}__maxlen"),
+            ]
+            # prefix/suffix probes: if all non-null values share their
+            # first (last) 3 chars, that substring IS the common
+            # prefix/suffix (reference: pattern_detector.py:115-128).
+            pre = F.substring(s, 1, PREFIX_SUFFIX_PROBE)
+            suf = F.substring(s, -PREFIX_SUFFIX_PROBE, PREFIX_SUFFIX_PROBE)
+            exprs += [
+                F.countDistinct(pre).alias(f"{c}__pre_d"),
+                F.min(pre).alias(f"{c}__pre_v"),
+                F.countDistinct(suf).alias(f"{c}__suf_d"),
+                F.min(suf).alias(f"{c}__suf_v"),
+            ]
+            if detect_patterns:
+                exprs += pattern_ratio_exprs(col, c)
+    return exprs
+
+
+def _cast_back(value: Optional[str], dt: T.DataType):
+    """Recover a typed example from its melted string form."""
+    if value is None:
+        return None
+    try:
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return int(value)
+        if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+            return float(value)
+        if isinstance(dt, T.BooleanType):
+            return value == "true"
+        if isinstance(dt, T.DateType):
+            return datetime.date.fromisoformat(value)
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return datetime.datetime.fromisoformat(value)
+    except ValueError:
+        return value
+    return value
+
+
+def top_values(
+    df: DataFrame,
+    columns: Sequence[str],
+    k: int = ISIN_MAX_DISTINCT,
+) -> dict[str, list[tuple[str, int]]]:
+    """JOB 2 — top-k frequent non-null values for many columns in ONE
+    shuffle: melt to (col, val) pairs, groupBy, rank.
+
+    Tie-break is deterministic: count desc, value asc (pandas
+    ``value_counts`` tie order is appearance order — nondeterministic
+    under distribution, so we define this total order; SURVEY.md §7
+    "hard parts" #4).
+    """
+    dtypes = dict((f.name, f.dataType) for f in df.schema.fields)
+    cols = [c for c in columns if _is_simple(dtypes[c])]
+    if not cols:
+        return {}
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.col", "p.val")
+    counts = pairs.where(F.col("val").isNotNull()).groupBy("col", "val").count()
+    w = Window.partitionBy("col").orderBy(F.desc("count"), F.asc("val"))
+    ranked = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .collect()
+    )
+    out: dict[str, list[tuple[str, int]]] = {c: [] for c in cols}
+    for row in sorted(ranked, key=lambda r: (r["col"], r["rn"])):
+        out[row["col"]].append((row["val"], row["count"]))
+    return out
+
+
+def _none_if_nan(v):
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    return v
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    exact_distinct: bool = True,
+    detect_patterns: bool = True,
+    with_examples: bool = True,
+) -> dict[str, ColumnProfile]:
+    """Profile all (or selected) columns of ``df`` in two Spark jobs.
+
+    ``exact_distinct=True`` uses ``countDistinct`` (needed for the exact
+    uniqueness rule at test scale); ``False`` uses HyperLogLog++
+    (``approx_count_distinct``) — the scale path, in which uniqueness
+    candidates must be confirmed with ``validator.duplicate_keys``
+    (candidate-then-verify, SURVEY.md §4).
+    """
+    columns = list(columns or df.columns)
+    dtypes = dict((f.name, f.dataType) for f in df.schema.fields)
+
+    row = df.agg(*stat_exprs(df, columns, exact_distinct, detect_patterns)).collect()[0]
+    stats = row.asDict()
+    total = stats["__total__"]
+
+    tops = top_values(df, columns) if with_examples else {}
+
+    profiles: dict[str, ColumnProfile] = {}
+    for c in columns:
+        dt = dtypes[c]
+        p = ColumnProfile(
+            name=c,
+            spark_type=dt.simpleString(),
+            total_count=total,
+            null_count=stats.get(f"{c}__nulls") or 0,
+            distinct_count=stats.get(f"{c}__distinct"),
+            distinct_is_exact=exact_distinct,
+            min_value=_none_if_nan(stats.get(f"{c}__min")),
+            max_value=_none_if_nan(stats.get(f"{c}__max")),
+            mean=_none_if_nan(stats.get(f"{c}__mean")),
+            stddev=_none_if_nan(stats.get(f"{c}__stddev")),
+            min_length=stats.get(f"{c}__minlen"),
+            max_length=stats.get(f"{c}__maxlen"),
+        )
+        if _is_string(dt):
+            non_null = total - p.null_count
+            # prefix/suffix only when the column has more than one
+            # distinct value (reference: pattern_detector.py:113-115)
+            if non_null > 0 and (p.distinct_count or 0) > 1:
+                if stats.get(f"{c}__pre_d") == 1:
+                    p.starts_with = stats.get(f"{c}__pre_v")
+                if stats.get(f"{c}__suf_d") == 1:
+                    p.ends_with = stats.get(f"{c}__suf_v")
+            if detect_patterns and non_null > 0:
+                ratios = {
+                    name: stats.get(f"{c}__pat__{name}") for name in NAMED_PATTERNS
+                }
+                hit = pick_pattern(ratios)
+                if hit:
+                    p.pattern_name, p.pattern = hit
+        if with_examples and c in tops:
+            vals = tops[c]
+            dist = p.distinct_count if p.distinct_count is not None else len(vals)
+            # all distinct values when <=10, else top-5 by frequency
+            # (reference: field_analyzer.py:63-76)
+            keep = vals if dist <= ISIN_MAX_DISTINCT else vals[:TOP_K_EXAMPLES]
+            p.examples = [_cast_back(v, dt) for v, _ in keep]
+        profiles[c] = p
+    return profiles
+
+
+def profile_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    columns: Optional[Sequence[str]] = None,
+    exact_distinct: bool = False,
+    detect_patterns: bool = False,
+) -> DataFrame:
+    """Per-partition profiles (north rule): the same fused stat
+    expressions grouped by the partition key. Returns a DataFrame with
+    one row per group — stays distributed, nothing is collected.
+
+    Hash aggregation with map-side partial combine; AQE coalesces the
+    post-shuffle partitions. Skewed partition keys are fine here because
+    every stat is algebraic (partial-aggregatable).
+    """
+    columns = list(columns or [c for c in df.columns if c not in set(group_cols)])
+    exprs = stat_exprs(df, columns, exact_distinct, detect_patterns)
+    return df.groupBy(*[F.col(g) for g in group_cols]).agg(*exprs)

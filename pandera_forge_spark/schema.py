@@ -1,0 +1,188 @@
+"""Typed IR for profiles, constraints and table schemas.
+
+The reference keeps profiling results in an untyped dict plus a rendered
+code string (reference: core/base_field_analyzer.py:13-31,
+code_generator.py:14-91). This engine introduces a proper IR so that
+constraints can be compiled to Spark SQL expressions (checks.py) and
+rendered to Pandera source (codegen.py) from the same object.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+@dataclass
+class StringConstraints:
+    """String-column constraints.
+
+    Mirrors the reference's pydantic StringConstraints
+    (reference: pattern_detector.py:12-20).
+    """
+
+    min_length: Optional[int] = None
+    max_length: Optional[int] = None
+    pattern: Optional[str] = None
+    pattern_name: Optional[str] = None
+    starts_with: Optional[str] = None
+    ends_with: Optional[str] = None
+    contains: Optional[list] = None
+
+    def is_empty(self) -> bool:
+        return all(
+            getattr(self, f) is None
+            for f in (
+                "min_length",
+                "max_length",
+                "pattern",
+                "pattern_name",
+                "starts_with",
+                "ends_with",
+                "contains",
+            )
+        )
+
+
+@dataclass
+class ColumnProfile:
+    """Per-column statistics from one profiling pass.
+
+    Field meanings follow the reference's properties dict
+    (reference: field_analyzer.py:14-61, spark/spark_field_analyzer.py:22-75)
+    plus engine extensions (approx_distinct via HLL, length bounds,
+    pattern ratios computed distributed instead of on a driver sample).
+    """
+
+    name: str
+    spark_type: str  # simpleString() of the Spark type
+    total_count: int = 0
+    null_count: int = 0
+    distinct_count: Optional[int] = None  # exact when exact=True, else HLL estimate
+    distinct_is_exact: bool = True
+    min_value: Any = None
+    max_value: Any = None
+    mean: Optional[float] = None
+    stddev: Optional[float] = None
+    min_length: Optional[int] = None
+    max_length: Optional[int] = None
+    examples: list = field(default_factory=list)  # top values, count desc / value asc
+    pattern_name: Optional[str] = None
+    pattern: Optional[str] = None
+    starts_with: Optional[str] = None
+    ends_with: Optional[str] = None
+
+    @property
+    def is_nullable(self) -> bool:
+        """Any null present (reference: field_analyzer.py:45)."""
+        return self.null_count > 0
+
+    @property
+    def is_unique(self) -> bool:
+        """distinct == rows AND no nulls — nulls break uniqueness even when
+        non-null values are all distinct (reference: field_analyzer.py:34-38,
+        spark/spark_field_analyzer.py:45)."""
+        return (
+            self.distinct_count is not None
+            and self.distinct_count == self.total_count
+            and self.null_count == 0
+        )
+
+
+# Check kinds understood by the compiler in checks.py.
+CHECK_KINDS = (
+    "not_null",
+    "unique",
+    "ge",
+    "le",
+    "isin",
+    "str_matches",
+    "min_length",
+    "max_length",
+    "starts_with",
+    "ends_with",
+    "dtype",
+)
+
+
+@dataclass
+class Check:
+    """One executable constraint on a column.
+
+    ``kind`` is one of CHECK_KINDS; ``value`` its parameter (bound for
+    ge/le, list for isin, regex for str_matches, ...). Compiled to a
+    Boolean Spark Column by checks.compile_check.
+    """
+
+    column: str
+    kind: str
+    value: Any = None
+
+    @property
+    def name(self) -> str:
+        return f"{self.column}__{self.kind}"
+
+
+@dataclass
+class ColumnSpec:
+    """Declarative spec for one column — the analogue of one generated
+    Pandera ``Field(...)`` line (reference: code_generator.py:14-91)."""
+
+    name: str  # original column name in the data
+    sanitized_name: str  # valid python identifier
+    name_was_valid: bool
+    spark_type: str
+    pandera_type: Optional[str]  # e.g. "Int64"; None if unmappable (skipped)
+    nullable: bool = False
+    unique: bool = False
+    ge: Any = None
+    le: Any = None
+    isin: Optional[list] = None
+    string_constraints: Optional[StringConstraints] = None
+    examples: list = field(default_factory=list)
+    description: Optional[str] = None
+
+    def checks(self) -> list[Check]:
+        """Materialize the executable checks implied by this spec."""
+        out: list[Check] = []
+        if not self.nullable:
+            out.append(Check(self.name, "not_null"))
+        if self.unique:
+            out.append(Check(self.name, "unique"))
+        if self.ge is not None:
+            out.append(Check(self.name, "ge", self.ge))
+        if self.le is not None:
+            out.append(Check(self.name, "le", self.le))
+        if self.isin is not None:
+            out.append(Check(self.name, "isin", self.isin))
+        sc = self.string_constraints
+        if sc is not None:
+            if sc.pattern is not None:
+                out.append(Check(self.name, "str_matches", sc.pattern))
+            if sc.min_length is not None:
+                out.append(Check(self.name, "min_length", sc.min_length))
+            if sc.max_length is not None:
+                out.append(Check(self.name, "max_length", sc.max_length))
+            if sc.starts_with is not None:
+                out.append(Check(self.name, "starts_with", sc.starts_with))
+            if sc.ends_with is not None:
+                out.append(Check(self.name, "ends_with", sc.ends_with))
+        return out
+
+
+@dataclass
+class TableSchema:
+    """The inferred schema for one table: the engine's versioned contract
+    artifact (replaces the reference's generated code string)."""
+
+    name: str  # sanitized class-name form
+    columns: list[ColumnSpec] = field(default_factory=list)
+
+    def checks(self) -> list[Check]:
+        return [c for spec in self.columns for c in spec.checks()]
+
+    def column(self, name: str) -> ColumnSpec:
+        for spec in self.columns:
+            if spec.name == name or spec.sanitized_name == name:
+                return spec
+        raise KeyError(name)

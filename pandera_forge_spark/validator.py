@@ -1,0 +1,204 @@
+"""Distributed validation: per-partition verdicts, violation rows,
+uniqueness and referential-integrity anti-joins.
+
+Replaces the reference's driver-side ``Model.validate(df.toPandas())``
+(reference: validator.py:43-78, spark/spark_generator.py:141-152 — which
+the reference disables at scale) with:
+
+  - ONE aggregation pass evaluating every row-level check for every
+    partition: ``groupBy(partition).agg(sum(!pred) per check)`` —
+    algebraic aggregates, map-side partial combine, one shuffle total.
+  - a violation-row pass that scans ONCE and emits (id, check, value)
+    rows for all failed checks via a melted array, capped per check.
+  - uniqueness via hash-partitioned groupBy (two-phase salted variant
+    for skewed keys) and referential integrity via left-anti joins with
+    broadcast hints for small parents (SURVEY.md §2.3 J1/J2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pandera_forge_spark.checks import compile_check, row_level, table_level
+from pandera_forge_spark.schema import Check, TableSchema
+
+
+@dataclass
+class ValidationResult:
+    """Whole-table verdict plus the distributed artifacts."""
+
+    ok: bool
+    counts: dict[str, int]  # check name -> violation count
+    total_rows: int
+    verdicts: Optional[DataFrame] = None  # per-partition rows (if partitioned)
+    failed_checks: list[str] = field(default_factory=list)
+
+    @property
+    def error_message(self) -> Optional[str]:
+        """(ok, error) shape for parity with the reference's verdict
+        tuple (reference: validator.py:16,44-46)."""
+        if self.ok:
+            return None
+        parts = [f"{name}: {self.counts[name]} violations" for name in self.failed_checks]
+        return "; ".join(parts)
+
+
+def violation_count_exprs(checks: Sequence[Check]) -> list:
+    """sum(NOT pred) per check — one algebraic aggregate each."""
+    return [
+        F.sum((~compile_check(c)).cast("long")).alias(c.name)
+        for c in row_level(list(checks))
+    ]
+
+
+def validate_table(
+    df: DataFrame,
+    schema: TableSchema,
+    partition_cols: Optional[Sequence[str]] = None,
+    check_unique: bool = True,
+) -> ValidationResult:
+    """Evaluate every check of ``schema`` against ``df``.
+
+    Row-level checks: one agg job (grouped per partition when
+    ``partition_cols`` given). Unique checks: one groupBy job per keyed
+    column, counting duplicate keys (kept separate because uniqueness is
+    not algebraic over rows — it needs a shuffle on the key).
+    """
+    checks = schema.checks()
+    exprs = violation_count_exprs(checks) + [F.count(F.lit(1)).alias("__rows__")]
+
+    verdicts = None
+    if partition_cols:
+        verdicts = df.groupBy(*partition_cols).agg(*exprs)
+        # total = one more local reduce over the (small) verdict frame
+        agg_row = verdicts.drop(*partition_cols).groupBy().sum().collect()[0]
+        names = [c.name for c in row_level(checks)] + ["__rows__"]
+        totals = dict(zip(names, list(agg_row)))
+    else:
+        totals = df.agg(*exprs).collect()[0].asDict()
+
+    counts = {c.name: int(totals[c.name] or 0) for c in row_level(checks)}
+    total_rows = int(totals["__rows__"] or 0)
+
+    if check_unique:
+        for c in table_level(checks):
+            dup = duplicate_keys(df, [c.column]).agg(
+                F.coalesce(F.sum("dup_count"), F.lit(0)).alias("n")
+            ).collect()[0]["n"]
+            counts[c.name] = int(dup)
+
+    failed = sorted(name for name, n in counts.items() if n > 0)
+    return ValidationResult(
+        ok=not failed,
+        counts=counts,
+        total_rows=total_rows,
+        verdicts=verdicts,
+        failed_checks=failed,
+    )
+
+
+def violation_rows(
+    df: DataFrame,
+    schema: TableSchema,
+    id_cols: Sequence[str],
+    max_per_check: Optional[int] = None,
+) -> DataFrame:
+    """Emit one row per (row, failed check): id columns + check name +
+    offending value, in a SINGLE scan for all checks.
+
+    Implementation: build an array of struct(check, value, failed) per
+    row, filter to failed entries with the higher-order ``filter``
+    function, explode — so a clean row costs one array build and no
+    output, and no per-check scan exists. ``max_per_check`` bounds
+    output via a rank within check (analogous to the reference's
+    5-example truncation, reference: code_generator.py:101-103).
+    """
+    checks = row_level(schema.checks())
+    if not checks:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], schema=", ".join([f"`{c}` string" for c in id_cols]) + ", check string, value string"
+        )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c.name).alias("check"),
+                F.col(c.column).cast("string").alias("value"),
+                (~compile_check(c)).alias("failed"),
+            )
+            for c in checks
+        ]
+    )
+    bad = (
+        df.select(*id_cols, F.explode(F.filter(entries, lambda e: e["failed"])).alias("v"))
+        .select(*id_cols, F.col("v.check").alias("check"), F.col("v.value").alias("value"))
+    )
+    if max_per_check is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("check").orderBy(*[F.asc(c) for c in id_cols])
+        bad = bad.withColumn("__rn", F.row_number().over(w)).where(
+            F.col("__rn") <= max_per_check
+        ).drop("__rn")
+    return bad
+
+
+def duplicate_keys(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Keys appearing more than once → (key..., dup_count).
+
+    J1 (SURVEY.md §2.3). Plain path: one hash-shuffle groupBy with
+    map-side partial counts. ``salt_buckets > 0`` enables the two-phase
+    salted variant for skewed keys (north rule: skewed doc_id): first
+    aggregate on (key, salt) — spreading a hot key over N reducers —
+    then re-aggregate on key alone; counts are associative so the
+    result is identical.
+    """
+    keys = [F.col(k) for k in key_cols]
+    if salt_buckets > 0:
+        salt = F.pmod(F.xxhash64(*keys, F.monotonically_increasing_id()), F.lit(salt_buckets))
+        partial = (
+            df.select(*key_cols)
+            .withColumn("__salt", salt)
+            .groupBy(*key_cols, "__salt")
+            .agg(F.count(F.lit(1)).alias("__partial"))
+        )
+        counted = partial.groupBy(*key_cols).agg(F.sum("__partial").alias("dup_count"))
+    else:
+        counted = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("dup_count"))
+    return counted.where(F.col("dup_count") > 1)
+
+
+def duplicate_rows(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Full violation rows for duplicated keys: semi-join the table back
+    to its duplicate keys. Broadcast the (usually tiny) duplicate-key
+    set; AQE converts to a broadcast join automatically when it fits."""
+    dups = duplicate_keys(df, key_cols).select(*key_cols)
+    return df.join(F.broadcast(dups), on=list(key_cols), how="inner")
+
+
+def orphan_rows(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    broadcast_parent: bool = False,
+) -> DataFrame:
+    """Referential-integrity check J2: child rows whose key has no match
+    in parent (nulls excluded — a null FK is a nullability concern, not
+    an RI violation). ``broadcast_parent=True`` forces a broadcast hash
+    join for small dimension tables; otherwise Spark/AQE picks
+    (shuffled hash / broadcast) from stats."""
+    keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
+    if broadcast_parent:
+        keys = F.broadcast(keys)
+    return child.where(F.col(child_key).isNotNull()).join(
+        keys, on=child_key, how="left_anti"
+    )

@@ -1,0 +1,88 @@
+import datetime
+
+from pandera_forge_spark.inference import infer_schema, normalize_type, pandera_type
+from pandera_forge_spark.profiler import profile_table
+
+
+def test_type_map():
+    # reference: spark/spark_type_mapper.py:26-57 and tests at
+    # tests/spark/test_spark_components.py:15-42
+    assert pandera_type("int") == "Int32"
+    assert pandera_type("bigint") == "Int64"
+    assert pandera_type("timestamp") == "Timestamp"
+    assert pandera_type("decimal(10,2)") == "Float64"
+    assert pandera_type("array<string>") == "Object"
+    assert pandera_type("struct<a:int>") == "Object"
+    assert pandera_type("wat") is None
+    assert normalize_type("DECIMAL(10,2)") == "decimal"
+    assert normalize_type("map<string,int>") == "map"
+
+
+def test_customers_inference(spark):
+    rows = [
+        (1, "user1@example.com", 25, True, datetime.datetime(2023, 1, 1)),
+        (2, "user2@test.org", 30, False, datetime.datetime(2023, 1, 2)),
+        (3, "user3@demo.net", 35, True, datetime.datetime(2023, 1, 3)),
+        (4, "user4@site.io", 40, True, datetime.datetime(2023, 1, 4)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "customer_id long, email string, age long, is_active boolean, signup_date timestamp",
+    )
+    schema = infer_schema(df, "customers")
+    assert schema.name == "customers"
+
+    cid = schema.column("customer_id")
+    assert cid.unique and not cid.nullable
+    assert cid.ge == 1 and cid.le == 4
+    assert sorted(cid.isin) == [1, 2, 3, 4]
+
+    em = schema.column("email")
+    assert em.unique
+    assert em.string_constraints.pattern_name == "email"
+
+    sd = schema.column("signup_date")
+    assert sd.unique
+    assert sd.ge is None and sd.le is None  # ge/le only for numerics
+
+    act = schema.column("is_active")
+    assert sorted(act.isin) == [False, True]
+
+
+def test_isin_threshold_11(spark):
+    df = spark.range(1, 12).selectExpr("id as v")
+    spec = infer_schema(df, "t").column("v")
+    assert spec.isin is None  # 11 distinct > 10 (code_generator.py:57-58)
+    assert len(spec.examples) == 5
+
+    df10 = spark.range(1, 11).selectExpr("id as v")
+    spec10 = infer_schema(df10, "t").column("v")
+    assert sorted(spec10.isin) == list(range(1, 11))
+
+
+def test_unique_with_null_not_unique(spark):
+    df = spark.createDataFrame([(1,), (2,), (None,)], "v long")
+    spec = infer_schema(df, "t").column("v")
+    assert not spec.unique
+    assert spec.nullable
+    # nulls never appear in isin
+    assert spec.isin is not None and None not in spec.isin
+
+
+def test_approx_distinct_no_isin(spark):
+    # HLL estimates must not drive exact-membership constraints
+    df = spark.createDataFrame([(1,), (2,)], "v long")
+    spec = infer_schema(df, "t", exact_distinct=False).column("v")
+    assert spec.isin is None
+
+
+def test_messy_names(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 2.0)], ["I have spaces", "class", "123col"]
+    )
+    schema = infer_schema(df, "messy")
+    names = {c.name: c.sanitized_name for c in schema.columns}
+    assert names["I have spaces"] == "I_have_spaces"
+    assert names["class"] == "col_class"
+    assert names["123col"] == "col_123col"
+    assert all(not c.name_was_valid for c in schema.columns)

@@ -1,0 +1,137 @@
+"""Profiler integration tests on a real SparkSession (the reference only
+ever tests Spark with mocks — SURVEY.md §5)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from pandera_forge_spark.profiler import profile_by_group, profile_table
+
+
+def _df(spark):
+    rows = [
+        (1, "user1@example.com", 25, True, datetime.datetime(2023, 1, 1)),
+        (2, "user2@test.org", 30, False, datetime.datetime(2023, 1, 2)),
+        (3, "user3@demo.net", 35, True, datetime.datetime(2023, 1, 3)),
+        (4, "user4@site.io", 40, True, datetime.datetime(2023, 1, 4)),
+    ]
+    return spark.createDataFrame(
+        rows, "customer_id long, email string, age long, is_active boolean, signup_date timestamp"
+    )
+
+
+def test_flagship_customers(spark):
+    """The reference README's canonical example (FIXTURES.md F2)."""
+    p = profile_table(_df(spark))
+
+    cid = p["customer_id"]
+    assert cid.total_count == 4
+    assert cid.null_count == 0
+    assert cid.distinct_count == 4
+    assert cid.is_unique and not cid.is_nullable
+    assert cid.min_value == 1 and cid.max_value == 4
+    assert sorted(cid.examples) == [1, 2, 3, 4]
+
+    em = p["email"]
+    assert em.is_unique
+    assert em.pattern_name == "email"
+    assert em.min_length == len("user4@site.io")
+    assert em.starts_with == "use"
+
+    act = p["is_active"]
+    assert act.distinct_count == 2
+    assert set(act.examples) == {True, False}
+
+    sd = p["signup_date"]
+    assert sd.is_unique
+    assert sd.min_value == datetime.datetime(2023, 1, 1)
+
+
+def test_nulls_and_uniqueness(spark):
+    # null kills uniqueness even when non-null values are distinct
+    # (reference: field_analyzer.py:34-38)
+    df = spark.createDataFrame([(1,), (2,), (None,)], "x long")
+    p = profile_table(df)["x"]
+    assert p.null_count == 1
+    assert p.distinct_count == 2
+    assert not p.is_unique
+    assert p.is_nullable
+
+
+def test_all_null_column(spark):
+    df = spark.createDataFrame([(None,), (None,)], "s string")
+    p = profile_table(df)["s"]
+    assert p.null_count == 2
+    assert p.distinct_count == 0
+    assert p.examples == []
+    assert p.pattern_name is None
+    assert p.min_length is None
+
+
+def test_examples_threshold(spark):
+    # 11 distinct -> top-5 only; <=10 -> all values
+    df11 = spark.range(1, 12).select(F.col("id").alias("v"))
+    p = profile_table(df11)["v"]
+    assert p.distinct_count == 11
+    assert len(p.examples) == 5
+
+    df3 = spark.createDataFrame([(1,), (1,), (2,), (3,)], "v long")
+    p3 = profile_table(df3)["v"]
+    assert p3.distinct_count == 3
+    assert p3.examples[0] == 1  # most frequent first
+    assert sorted(p3.examples) == [1, 2, 3]
+
+
+def test_topk_tiebreak_deterministic(spark):
+    # equal counts -> value ascending
+    df = spark.createDataFrame([(c,) for c in "fedcba" * 2], "v string")
+    p = profile_table(df)["v"]
+    assert p.examples == list("abcdef")
+
+
+def test_prefix_suffix(spark):
+    df = spark.createDataFrame(
+        [("PREFIX_value1",), ("PREFIX_value2",), ("PREFIX_other",)], "s string"
+    )
+    p = profile_table(df)["s"]
+    assert p.starts_with == "PRE"
+
+    df2 = spark.createDataFrame([("value1_SUFFIX",), ("value2_SUFFIX",)], "s string")
+    assert profile_table(df2)["s"].ends_with == "FIX"
+
+    # single distinct value -> no prefix/suffix constraint
+    # (reference: pattern_detector.py:113-115)
+    df3 = spark.createDataFrame([("SAME",), ("SAME",)], "s string")
+    p3 = profile_table(df3)["s"]
+    assert p3.starts_with is None and p3.ends_with is None
+
+
+def test_pattern_with_nulls(spark):
+    df = spark.createDataFrame(
+        [("a@b.co",), (None,), ("c@d.org",), (None,)], "s string"
+    )
+    assert profile_table(df)["s"].pattern_name == "email"
+
+
+def test_approx_mode(spark):
+    df = spark.range(1000).select(F.col("id").alias("v"))
+    p = profile_table(df, exact_distinct=False, with_examples=False)["v"]
+    assert not p.distinct_is_exact
+    assert 900 <= p.distinct_count <= 1100
+
+
+def test_profile_by_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 10), ("b", None)], "g string, v long"
+    )
+    out = profile_by_group(df, ["g"], ["v"]).orderBy("g").collect()
+    assert out[0]["__total__"] == 2 and out[0]["v__min"] == 1 and out[0]["v__max"] == 2
+    assert out[1]["v__nulls"] == 1 and out[1]["v__max"] == 10
+
+
+def test_complex_types_skipped_in_distinct(spark):
+    df = spark.createDataFrame([([1, 2],), ([3],)], "arr array<int>")
+    p = profile_table(df)["arr"]
+    assert p.distinct_count is None
+    assert p.null_count == 0
+    assert p.spark_type == "array<int>"

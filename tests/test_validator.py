@@ -1,0 +1,118 @@
+from pyspark.sql import functions as F
+
+from pandera_forge_spark.inference import infer_schema
+from pandera_forge_spark.schema import Check, ColumnSpec, StringConstraints, TableSchema
+from pandera_forge_spark.validator import (
+    duplicate_keys,
+    duplicate_rows,
+    orphan_rows,
+    validate_table,
+    violation_rows,
+)
+
+
+def _schema():
+    return TableSchema(
+        name="T",
+        columns=[
+            ColumnSpec(
+                name="id", sanitized_name="id", name_was_valid=True,
+                spark_type="bigint", pandera_type="Int64",
+                nullable=False, unique=True, ge=1, le=100,
+            ),
+            ColumnSpec(
+                name="email", sanitized_name="email", name_was_valid=True,
+                spark_type="string", pandera_type="String", nullable=False,
+                string_constraints=StringConstraints(
+                    pattern=r"^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}$",
+                    pattern_name="email", min_length=5, max_length=50,
+                ),
+            ),
+        ],
+    )
+
+
+def test_clean_table_passes(spark):
+    df = spark.createDataFrame(
+        [(1, "a@b.co"), (2, "c@d.org"), (3, "e@f.net")], "id long, email string"
+    )
+    res = validate_table(df, _schema())
+    assert res.ok
+    assert res.error_message is None
+    assert res.total_rows == 3
+    assert all(v == 0 for v in res.counts.values())
+
+
+def test_violations_counted_and_extracted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a@b.co"),
+            (1, "dup-key-bad-email"),  # dup id + bad email
+            (None, "c@d.org"),  # null id
+            (500, "e@f.net"),  # out of range
+        ],
+        "id long, email string",
+    )
+    res = validate_table(df, _schema())
+    assert not res.ok
+    assert res.counts["id__not_null"] == 1
+    assert res.counts["id__le"] == 1
+    assert res.counts["id__ge"] == 0
+    assert res.counts["id__unique"] == 2  # two rows share id=1
+    assert res.counts["email__str_matches"] == 1
+    assert "id__le: 1 violations" in res.error_message
+
+    rows = violation_rows(df, _schema(), ["email"]).collect()
+    got = {(r["check"], r["value"]) for r in rows}
+    assert ("id__not_null", None) in got
+    assert ("id__le", "500") in got
+    assert ("email__str_matches", "dup-key-bad-email") in got
+
+
+def test_per_partition_verdicts(spark):
+    df = spark.createDataFrame(
+        [("p1", 1), ("p1", 2), ("p2", -5), ("p2", 3)], "part string, v long"
+    )
+    schema = TableSchema(
+        name="T",
+        columns=[ColumnSpec(
+            name="v", sanitized_name="v", name_was_valid=True,
+            spark_type="bigint", pandera_type="Int64", nullable=False, ge=0,
+        )],
+    )
+    res = validate_table(df, schema, partition_cols=["part"])
+    verd = {r["part"]: r["v__ge"] for r in res.verdicts.collect()}
+    assert verd == {"p1": 0, "p2": 1}
+    assert res.counts["v__ge"] == 1
+    assert not res.ok
+
+
+def test_duplicate_keys_salted_matches_plain(spark):
+    data = [("hot",)] * 50 + [("a",), ("b",), ("c",), ("c",)]
+    df = spark.createDataFrame(data, "k string")
+    plain = {(r["k"], r["dup_count"]) for r in duplicate_keys(df, ["k"]).collect()}
+    salted = {(r["k"], r["dup_count"]) for r in duplicate_keys(df, ["k"], salt_buckets=8).collect()}
+    assert plain == salted == {("hot", 50), ("c", 2)}
+    assert duplicate_rows(df, ["k"]).count() == 52
+
+
+def test_orphan_rows(spark):
+    parent = spark.createDataFrame([("p1",), ("p2",)], "doc_id string")
+    child = spark.createDataFrame(
+        [("c1", "p1"), ("c2", "zz"), ("c3", None), ("c4", "p2"), ("c5", "yy")],
+        "ref_id string, doc_id string",
+    )
+    got = sorted(r["ref_id"] for r in orphan_rows(child, parent, "doc_id", "doc_id", broadcast_parent=True).collect())
+    assert got == ["c2", "c5"]  # null FK is not an orphan
+
+
+def test_validation_matches_inferred_schema_roundtrip(spark):
+    # schema inferred from a table must validate that same table cleanly
+    df = spark.range(1, 50).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("mod3"),
+        F.concat(F.lit("u"), F.col("id").cast("string"), F.lit("@x.io")).alias("email"),
+    )
+    schema = infer_schema(df, "roundtrip")
+    res = validate_table(df, schema)
+    assert res.ok, res.error_message
