@@ -1,0 +1,159 @@
+"""Operators over interleaved text+media span documents.
+
+The reference collapses any array/struct column to an opaque `Object`
+and infers nothing inside it (reference: spark/spark_type_mapper.py:53-56)
+— these operators are the north-rule extension (SURVEY.md §1.2 "gap vs
+north rule"): span-sequence equality (kind, text, media_ref, order),
+span-order invariants, and per-kind nested profiling.
+
+Design notes (scale-first):
+- Row-local invariants (offset order, kind/text/media_ref consistency)
+  use higher-order array functions — `zip_with` + `forall` + `exists`
+  — which run inside whole-stage codegen with ZERO shuffle; no explode,
+  no window (SURVEY.md §2.5 chose this over
+  Window.partitionBy(doc_id), which would shuffle 10^12 rows).
+- Sequence equality is one shuffle: a full-outer join on doc_id with a
+  canonicalized array<struct> comparison. The media side of the table
+  never moves — only (doc_id, canonical spans) are joined.
+- Nested profiling explodes once and aggregates with map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def offsets_nondecreasing(spans: Column) -> Column:
+    """True iff span offsets never decrease within the doc — evaluated
+    row-locally via zip_with of the array with its own tail."""
+    tail = F.slice(spans, 2, F.greatest(F.size(spans) - 1, F.lit(0)))
+    pairs_ok = F.zip_with(
+        F.slice(spans, 1, F.greatest(F.size(spans) - 1, F.lit(0))),
+        tail,
+        lambda a, b: a["offset"] <= b["offset"],
+    )
+    return F.coalesce(F.forall(pairs_ok, lambda x: x), F.lit(True))
+
+
+def kind_consistency_ok(spans: Column) -> Column:
+    """True iff every span satisfies: text non-null iff kind='text' AND
+    media_ref non-null iff kind!='text' (FIXTURES.md F1 contract)."""
+    return F.forall(
+        spans,
+        lambda s: ((s["kind"] == "text") == s["text"].isNotNull())
+        & ((s["kind"] != "text") == s["media_ref"].isNotNull()),
+    )
+
+
+def span_order_violations(
+    df: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """Docs whose spans are out of offset order. Narrow plan: filter +
+    project, no shuffle; pushes the doc_id projection into the scan."""
+    return df.where(~offsets_nondecreasing(F.col(spans_col))).select(id_col)
+
+
+def span_invariant_violations(
+    df: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """Docs violating the kind/text/media_ref consistency contract."""
+    return df.where(~kind_consistency_ok(F.col(spans_col))).select(id_col)
+
+
+def canonical_spans(spans: Column) -> Column:
+    """Project spans to the compared tuple (kind, text, media_ref) in
+    order — the per-row invariant of BASELINE.json input_hint: order
+    participates via array position, offsets themselves are allowed to
+    differ (re-tokenization shifts offsets without changing content)."""
+    return F.transform(
+        spans,
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+        ),
+    )
+
+
+def span_sequence_mismatches(
+    actual: DataFrame,
+    expected: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Span-sequence equality check: one row per doc whose (kind, text,
+    media_ref, order) sequence differs from the expected copy.
+
+    Returns (doc_id, mismatch) with mismatch in
+    {'missing' (expected only), 'extra' (actual only), 'sequence'}.
+
+    ONE shuffle (the full-outer join on doc_id); both sides are reduced
+    to (doc_id, canonical array) before the exchange so text+media
+    payloads not involved in the comparison never shuffle. Struct-array
+    equality is evaluated JVM-side with null-safe `<=>`.
+    """
+    a = actual.select(
+        F.col(id_col).alias(id_col), canonical_spans(F.col(spans_col)).alias("__a")
+    )
+    e = expected.select(
+        F.col(id_col).alias(id_col), canonical_spans(F.col(spans_col)).alias("__e")
+    )
+    joined = a.join(e, on=id_col, how="full_outer")
+    return joined.select(
+        id_col,
+        F.when(F.col("__a").isNull(), F.lit("missing"))
+        .when(F.col("__e").isNull(), F.lit("extra"))
+        .when(~F.col("__a").eqNullSafe(F.col("__e")), F.lit("sequence"))
+        .alias("mismatch"),
+    ).where(F.col("mismatch").isNotNull())
+
+
+def profile_spans(
+    df: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> dict:
+    """Nested profile of the spans column, two jobs:
+
+    JOB 1 (no shuffle beyond the final reduce): doc-level span-count
+    stats + invariant violation counts, all algebraic aggregates.
+    JOB 2 (one explode + hash agg): per-kind span counts and text
+    length stats.
+    """
+    spans = F.col(spans_col)
+    doc_row = df.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size(spans).cast("long")).alias("total_spans"),
+        F.min(F.size(spans)).alias("min_spans"),
+        F.max(F.size(spans)).alias("max_spans"),
+        F.avg(F.size(spans)).alias("avg_spans"),
+        F.sum((~offsets_nondecreasing(spans)).cast("long")).alias("order_violations"),
+        F.sum((~kind_consistency_ok(spans)).cast("long")).alias("consistency_violations"),
+    ).collect()[0]
+
+    kind_rows = (
+        df.select(F.explode(spans).alias("s"))
+        .groupBy(F.col("s.kind").alias("kind"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.length("s.text")).alias("avg_text_len"),
+            F.sum(F.col("s.media_ref").isNotNull().cast("long")).alias("media_refs"),
+        )
+        .collect()
+    )
+    return {
+        "docs": doc_row["docs"],
+        "total_spans": doc_row["total_spans"],
+        "min_spans": doc_row["min_spans"],
+        "max_spans": doc_row["max_spans"],
+        "avg_spans": doc_row["avg_spans"],
+        "order_violations": doc_row["order_violations"],
+        "consistency_violations": doc_row["consistency_violations"],
+        "by_kind": {
+            r["kind"]: {
+                "n": r["n"],
+                "avg_text_len": r["avg_text_len"],
+                "media_refs": r["media_refs"],
+            }
+            for r in kind_rows
+        },
+    }

@@ -1,0 +1,125 @@
+"""Interleaved-document fixture + span operators (north-rule heart)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_forge_spark.fixtures import (
+    MUT_DROP_REF,
+    MUT_DUP,
+    MUT_KIND,
+    MUT_REORDER,
+    MUT_TEXT,
+    make_documents,
+    mutate_documents,
+)
+from pandera_forge_spark.spans import (
+    profile_spans,
+    span_invariant_violations,
+    span_order_violations,
+    span_sequence_mismatches,
+)
+from pandera_forge_spark.validator import duplicate_keys
+
+N = 600
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return make_documents(spark, N, seed=42).cache()
+
+
+@pytest.fixture(scope="module")
+def mutated(docs):
+    return mutate_documents(docs).cache()
+
+
+def test_fixture_shape_and_determinism(spark, docs):
+    assert docs.count() == N
+    f = {x.name: x.dataType.simpleString() for x in docs.schema.fields}
+    assert f["doc_id"] == "string"
+    assert f["spans"].startswith("array<struct<kind:string,text:string,media_ref:string,offset:int")
+    # unique doc_ids
+    assert docs.select("doc_id").distinct().count() == N
+    # deterministic regardless of parallelism
+    again = make_documents(spark, N, seed=42).repartition(13)
+    assert span_sequence_mismatches(again, docs).count() == 0
+    # different seed -> different data
+    other = make_documents(spark, N, seed=7)
+    assert span_sequence_mismatches(other, docs).count() > 0
+
+
+def test_fixture_invariants_hold(docs):
+    assert span_order_violations(docs).count() == 0
+    assert span_invariant_violations(docs).count() == 0
+    p = profile_spans(docs)
+    assert p["docs"] == N
+    assert p["min_spans"] >= 1 and p["max_spans"] <= 24
+    assert set(p["by_kind"]) <= {"text", "image", "audio", "video"}
+    # ~90% text spans
+    text_n = p["by_kind"]["text"]["n"]
+    assert 0.8 < text_n / p["total_spans"] <= 0.97
+    assert p["by_kind"]["text"]["media_refs"] == 0
+
+
+def _ids(df, col="doc_id"):
+    return sorted(r[col] for r in df.select(col).distinct().collect())
+
+
+def test_order_violations_exact(spark, docs, mutated):
+    # expected: docs with id % MUT_REORDER == 0 AND >1 span AND whose
+    # reversal actually breaks order (always, since offsets strictly increase)
+    num = F.substring_index(F.col("doc_id"), "-", -1).cast("long")
+    expect = _ids(docs.where((num % MUT_REORDER == 0) & (F.size("spans") > 1)))
+    got = _ids(span_order_violations(mutated))
+    assert got == expect and len(expect) > 0
+
+
+def test_invariant_violations_exact(docs, mutated):
+    # kind swap makes text/media_ref inconsistent with the new kind;
+    # dropped media_ref breaks consistency for media first-spans
+    num = F.substring_index(F.col("doc_id"), "-", -1).cast("long")
+    first = F.element_at(F.col("spans"), 1)
+    kind_swapped = docs.where(num % MUT_KIND == 0)
+    ref_dropped = docs.where((num % MUT_DROP_REF == 0) & (first["media_ref"].isNotNull()))
+    expect = sorted(set(_ids(kind_swapped)) | set(_ids(ref_dropped)))
+    got = _ids(span_invariant_violations(mutated))
+    assert got == expect and len(expect) > 0
+
+
+def test_sequence_equality_exact(docs, mutated):
+    num = F.substring_index(F.col("doc_id"), "-", -1).cast("long")
+    first = F.element_at(F.col("spans"), 1)
+    reordered = docs.where((num % MUT_REORDER == 0) & (F.size("spans") > 1))
+    kind_swapped = docs.where(num % MUT_KIND == 0)
+    text_altered = docs.where((num % MUT_TEXT == 0) & first["text"].isNotNull())
+    ref_dropped = docs.where((num % MUT_DROP_REF == 0) & first["media_ref"].isNotNull())
+    expect = sorted(
+        set(_ids(reordered)) | set(_ids(kind_swapped)) | set(_ids(text_altered)) | set(_ids(ref_dropped))
+    )
+    mm = span_sequence_mismatches(mutated.dropDuplicates(["doc_id"]), docs)
+    got = _ids(mm)
+    assert got == expect and len(expect) > 0
+    kinds = {r["mismatch"] for r in mm.collect()}
+    assert kinds == {"sequence"}
+
+
+def test_sequence_missing_and_extra(spark, docs):
+    some = docs.limit(10)
+    dropped = docs.join(some.select("doc_id"), "doc_id", "left_anti")
+    mm = span_sequence_mismatches(dropped, docs)
+    assert mm.count() == 10
+    assert {r["mismatch"] for r in mm.collect()} == {"missing"}
+    mm2 = span_sequence_mismatches(docs, dropped)
+    assert {r["mismatch"] for r in mm2.collect()} == {"extra"}
+
+
+def test_duplicate_doc_ids_found(docs, mutated):
+    num = F.substring_index(F.col("doc_id"), "-", -1).cast("long")
+    expect = _ids(docs.where(num % MUT_DUP == 0))
+    got = _ids(duplicate_keys(mutated, ["doc_id"]))
+    assert got == expect and len(expect) > 0
+
+
+def test_no_shuffle_in_row_local_checks(docs):
+    plan = span_order_violations(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
