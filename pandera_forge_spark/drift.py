@@ -1,0 +1,146 @@
+"""Distribution-drift detection: PSI and KS per partition.
+
+North-rule mandate (BASELINE.json north_star: "distribution-drift
+detection (KS-statistic and PSI over t-digest quantile sketches)
+evaluated per Iceberg partition"); absent from the reference
+(SURVEY.md §2.4 D1).
+
+Scale design:
+- The baseline distribution is summarized ONCE into k quantile edges
+  (``percentile_approx`` — Spark's built-in mergeable quantile sketch,
+  the Greenwald-Khanna analogue of a t-digest) plus its exact CDF/bin
+  proportions at those edges: 2 jobs over the baseline, O(k) driver
+  floats out.
+- Scoring a table is then ONE aggregation pass: per partition, bin
+  indicator sums (PSI) and edge CDF values (KS) are plain algebraic
+  aggregates; PSI / KS themselves are closed-form column expressions
+  over the aggregate row. Nothing is collected; the verdict frame stays
+  distributed and joins into the audit sink.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BINS = 10
+EPS = 1e-6  # smoothing so empty bins don't blow up ln(p/q)
+
+
+def quantile_edges(df: DataFrame, col: str, bins: int = DEFAULT_BINS) -> list[float]:
+    """Interior quantile edges of the baseline (bins-1 cut points)."""
+    probs = [i / bins for i in range(1, bins)]
+    row = df.agg(
+        F.percentile_approx(F.col(col), F.lit(probs), F.lit(10000)).alias("q")
+    ).collect()[0]
+    return [float(v) for v in row["q"]]
+
+
+def _bin_exprs(col: Column, edges: Sequence[float]) -> list[Column]:
+    """Per-bin membership-count aggregates for bins defined by edges:
+    bin0 = (-inf, e0], bin_i = (e_{i-1}, e_i], bin_last = (e_last, inf)."""
+    out = []
+    lo = None
+    for i, e in enumerate(list(edges) + [None]):
+        if lo is None and e is not None:
+            ind = col <= F.lit(e)
+        elif e is not None:
+            ind = (col > F.lit(lo)) & (col <= F.lit(e))
+        else:
+            ind = col > F.lit(lo)
+        out.append(F.sum(ind.cast("long")).alias(f"__bin_{i}"))
+        lo = e
+    return out
+
+
+def baseline_summary(
+    df: DataFrame, col: str, bins: int = DEFAULT_BINS
+) -> dict:
+    """Summarize a baseline: quantile edges + exact bin proportions +
+    CDF at each edge. Returns plain python floats (broadcast as
+    literals into the scoring pass)."""
+    edges = quantile_edges(df, col, bins)
+    c = F.col(col)
+    row = df.where(c.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"), *_bin_exprs(c, edges)
+    ).collect()[0]
+    n = row["n"] or 1
+    props = [max(row[f"__bin_{i}"] / n, EPS) for i in range(len(edges) + 1)]
+    cdf = []
+    acc = 0.0
+    for i in range(len(edges)):
+        acc += row[f"__bin_{i}"] / n
+        cdf.append(acc)
+    return {"edges": edges, "props": props, "cdf": cdf}
+
+
+def drift_by_partition(
+    df: DataFrame,
+    col: str,
+    partition_cols: Sequence[str],
+    baseline: dict,
+) -> DataFrame:
+    """One pass: per-partition PSI and KS statistic against a
+    ``baseline_summary``. Returns a distributed DataFrame
+    (partition..., n, psi, ks) — no collect.
+
+    PSI = Σ_bins (p_i - q_i) · ln(p_i / q_i)   (q = baseline)
+    KS  = max_edges |CDF_part(e) - CDF_base(e)|  (max CDF gap over the
+          shared quantile grid — the sketch-based KS approximation)
+    """
+    edges, q_props, q_cdf = baseline["edges"], baseline["props"], baseline["cdf"]
+    c = F.col(col)
+    nn = c.isNotNull()
+    aggs = [F.sum(nn.cast("long")).alias("__n")] + _bin_exprs(
+        F.when(nn, c), edges
+    )
+    g = df.groupBy(*partition_cols).agg(*aggs)
+
+    n = F.greatest(F.col("__n"), F.lit(1)).cast("double")
+    psi = None
+    for i, q in enumerate(q_props):
+        p = F.greatest(F.col(f"__bin_{i}") / n, F.lit(EPS))
+        term = (p - F.lit(q)) * (F.log(p) - F.log(F.lit(q)))
+        psi = term if psi is None else psi + term
+
+    ks = None
+    acc = None
+    for i, qc in enumerate(q_cdf):
+        acc = F.col(f"__bin_{i}") / n if acc is None else acc + F.col(f"__bin_{i}") / n
+        gap = F.abs(acc - F.lit(qc))
+        ks = gap if ks is None else F.greatest(ks, gap)
+
+    return g.select(
+        *partition_cols,
+        F.col("__n").alias("n"),
+        psi.alias("psi"),
+        ks.alias("ks"),
+    )
+
+
+def drift_verdicts(
+    df: DataFrame,
+    col: str,
+    partition_cols: Sequence[str],
+    baseline: dict,
+    psi_threshold: float = 0.2,
+    ks_threshold: float = 0.1,
+) -> DataFrame:
+    """Per-partition drift pass/fail (PSI>=0.2 is the conventional
+    'significant shift' cut; KS threshold is fixture-calibrated)."""
+    d = drift_by_partition(df, col, partition_cols, baseline)
+    return d.withColumn(
+        "drifted",
+        (F.col("psi") >= F.lit(psi_threshold)) | (F.col("ks") >= F.lit(ks_threshold)),
+    )
+
+
+def psi_of(p: Sequence[float], q: Sequence[float]) -> float:
+    """Driver-side PSI for unit tests / oracles."""
+    return sum(
+        (max(pi, EPS) - max(qi, EPS)) * math.log(max(pi, EPS) / max(qi, EPS))
+        for pi, qi in zip(p, q)
+    )
