@@ -57,12 +57,19 @@ def _bin_exprs(col: Column, edges: Sequence[float]) -> list[Column]:
 
 
 def baseline_summary(
-    df: DataFrame, col: str, bins: int = DEFAULT_BINS
+    df: DataFrame,
+    col: str,
+    bins: int = DEFAULT_BINS,
+    edges: Optional[Sequence[float]] = None,
 ) -> dict:
     """Summarize a baseline: quantile edges + exact bin proportions +
     CDF at each edge. Returns plain python floats (broadcast as
-    literals into the scoring pass)."""
-    edges = quantile_edges(df, col, bins)
+    literals into the scoring pass). Pass explicit ``edges`` to use a
+    fixed grid instead of data-derived quantiles (needed when an
+    external oracle must reproduce the binning exactly)."""
+    if edges is None:
+        edges = quantile_edges(df, col, bins)
+    edges = [float(e) for e in edges]
     c = F.col(col)
     row = df.where(c.isNotNull()).agg(
         F.count(F.lit(1)).alias("n"), *_bin_exprs(c, edges)

@@ -1,0 +1,378 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline additions (build brief); none exist in the
+reference. Scale design notes per operator:
+
+- EXACT: hash-groupBy on a 128-bit content fingerprint — one shuffle,
+  map-side partial agg. Survivor selection is min(id) per group
+  (deterministic), implemented as an aggregation + semi-join rather
+  than a window so the hot path stays a hash aggregate.
+- MINHASH+LSH: shingle → k minhashes → b bands; candidate generation is
+  an explode + groupBy on (band, band_hash) — only docs sharing a band
+  bucket ever meet, so the shuffle volume is O(docs × b), never the
+  O(n²) cross join. Candidates are then verified with exact Jaccard on
+  the hashed shingle sets (candidate-then-verify, same pattern as the
+  HLL→exact uniqueness path).
+- SIMHASH: 64-bit bit-majority over token hashes; computed with pure
+  array algebra (explode-free per row), Hamming-band bucketing for
+  candidates.
+- NGRAM JACCARD: direct pairwise verification used by tests/oracles at
+  small scale and by LSH verification at large scale.
+
+All hashing uses xxhash64 — deterministic across executors and runs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pandera_forge_spark.operators.text import fingerprint, tokens
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(fingerprint, n_docs, doc_ids) for every content group with >1
+    doc. One shuffle; collect_list stays small because only duplicate
+    groups survive the count filter."""
+    fp = fingerprint(F.col(text_col)).alias("fingerprint")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per distinct content fingerprint.
+
+    Aggregation + broadcast-able semi join on (fingerprint, min_id);
+    avoids a row_number window (which would sort every group)."""
+    with_fp = df.withColumn("__fp", fingerprint(F.col(text_col)))
+    keep = with_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return (
+        with_fp.join(keep, on=["__fp", id_col], how="left_semi").drop("__fp")
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Token n-gram shingle set (distinct), as an array of strings."""
+    toks = tokens(col)
+    k = F.size(toks) - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(grams)
+
+
+def hashed_shingles(col: Column, n: int = 3) -> Column:
+    """Shingle set hashed to longs — the compact representation used
+    for minhashing and for exact-Jaccard verification at scale."""
+    return F.array_sort(
+        F.array_distinct(F.transform(shingles(col, n), lambda s: F.xxhash64(s)))
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two array columns (JVM-side)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------- minhash/LSH
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """k-permutation MinHash signatures as (id, mh_0..mh_{k-1}).
+
+    Implemented as explode(shingle hashes) + groupBy(id) with k min()
+    aggregates — one shuffle keyed on doc id, map-side partial mins.
+
+    Why not per-row array algebra (array_min(transform(...)) × k)?
+    Catalyst does NOT common-subexpression-eliminate nested
+    higher-order functions: every one of the k transforms re-evaluates
+    the whole tokenize→shingle→hash pipeline, and a downstream band
+    explode multiplies that again (measured ~1000× recompute, 400 s for
+    505 docs). The aggregate form evaluates the shingle pipeline ONCE
+    per row; docs with null/empty text yield no shingles and drop out
+    of dedup (they have no content to match)."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(hashed_shingles(F.col(text_col), shingle_n)).alias("__h"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("__h"), F.lit(seed * 1000 + i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: (id_a, id_b) with id_a < id_b that
+    share at least one band bucket.
+
+    rows/band = num_hashes/bands; two docs with Jaccard s collide in a
+    band with prob s^rows, in any band with 1-(1-s^rows)^bands — at the
+    defaults (r=4, b=16) the S-curve crosses 0.5 near s≈0.5.
+
+    Shuffle plan: signatures (one shuffle) → explode to
+    (band, band_hash, id) — O(docs × bands) rows — then a groupBy on
+    the bucket key. Bucket skew (a viral duplicate cluster) is handled
+    by AQE; pathological buckets should be truncated upstream rather
+    than exploded quadratically.
+    """
+    rows_per_band = num_hashes // bands
+    sig_df = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    banded = sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"mh_{i}")
+                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_set(id_col)).alias("ids")
+    ).where(F.size("ids") > 1)
+
+    # emit pairs within each bucket; bucket sizes are tiny for honest
+    # near-dup clusters, and pathological buckets should be truncated
+    # upstream (max_bucket) rather than exploded quadratically
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a,: F.transform(
+                        F.filter(F.col("ids"), lambda b: b > a),
+                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b").distinct()
+    return pairs
+
+
+def near_duplicates_minhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard over hashed shingle
+    sets: returns (id_a, id_b, jaccard) with jaccard >= threshold.
+
+    The verify join brings each candidate's shingle-hash array to the
+    pair — two hash joins keyed on doc id; candidate volume (not corpus
+    size) drives the cost."""
+    cand = lsh_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_n, seed)
+    sh = df.select(
+        F.col(id_col), hashed_shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("__sha"), F.col("__shb")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# -------------------------------------------------------------- simhash
+
+def simhash64(col: Column, seed: int = 42) -> Column:
+    """64-bit SimHash of the token multiset, as pure column algebra:
+    for each bit, majority vote of token-hash bits.
+
+    NOTE: single-expression form, fine when used ONCE per row (e.g. a
+    fingerprint projection). The pairing path uses
+    ``simhash_signatures`` instead — referencing this expression k
+    times multiplies its cost k-fold (no CSE across higher-order
+    functions, see minhash_signatures)."""
+    # bit masks are Python literals (unrolled) because Spark's shift
+    # functions take int shift amounts, not columns; bit 63 is the
+    # sign bit of a signed long
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+    tok_hashes = F.transform(tokens(col), lambda t: F.xxhash64(t, F.lit(seed)))
+    votes = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(h.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1).cast("long")
+                    for m in masks
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    sim = F.lit(0).cast("long")
+    for b, m in enumerate(masks):
+        sim = sim.bitwiseOR(
+            F.when(F.element_at(votes, b + 1) > 0, F.lit(m).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sim
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, seed: int = 42
+) -> DataFrame:
+    """(id, simhash) via explode(tokens) + groupBy with 64 per-bit vote
+    sums — the scale path (each token hashed once, one shuffle)."""
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    ).withColumn("__h", F.xxhash64(F.col("__t"), F.lit(seed)))
+    aggs = [
+        F.sum(
+            F.when(F.col("__h").bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b, m in enumerate(masks)
+    ]
+    g = toks.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b, m in enumerate(masks):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"v_{b}") > 0, F.lit(m).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return g.select(F.col(id_col), sim.alias("__sim"))
+
+
+def near_duplicates_simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """SimHash near-dup pairs: bucket on 4 x 16-bit bands (two sigs
+    within Hamming distance 3 of each other must agree exactly on at
+    least one band — pigeonhole), verify with bit_count. Same
+    candidate-then-verify shape as MinHash-LSH."""
+    sh = simhash_signatures(df, text_col, id_col, seed)
+    banded = sh.select(
+        id_col,
+        "__sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("__sim"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "__sim", "bb.band", "bb.key")
+    a = banded.select(
+        F.col("band"), F.col("key"), F.col(id_col).alias("id_a"), F.col("__sim").alias("__sa")
+    )
+    b = banded.select(
+        F.col("band"), F.col("key"), F.col(id_col).alias("id_b"), F.col("__sim").alias("__sb")
+    )
+    pairs = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("__sa"), F.col("__sb")).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# -------------------------------------------------- pairwise verification
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_rows: Optional[int] = 10000,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold — the small-scale oracle
+    path (O(n²) cross join; guarded by max_rows so nobody runs it on
+    100 TB; the scale path is near_duplicates_minhash)."""
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"ngram_jaccard_pairs is the O(n²) verification path "
+                f"({n} rows > max_rows={max_rows}); use near_duplicates_minhash"
+            )
+    sh = df.select(F.col(id_col), hashed_shingles(F.col(text_col), shingle_n).alias("__sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("__sha"), F.col("__shb")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,114 @@
+"""Source readers: CSV (with encoding fallback), parquet, tables,
+catalog enumeration, sampled reads, Excel (gated).
+
+Mirrors the reference's source surface (SURVEY.md §2.1 S1-S8):
+- CSV with latin-1 retry (reference: pandas/pandas_generator.py:101-142)
+- parquet scan (reference: spark/spark_generator.py:196-237)
+- table scan incl. qualified names (reference: databricks/connector.py:159-194)
+- snapshot/time-travel options (reference: databricks/connector.py:196-212,
+  Delta versionAsOf → Iceberg snapshot-id/as-of-timestamp here)
+- catalog enumeration (reference: databricks/connector.py:132-157)
+- seeded Bernoulli sampling — the reference samples UNseeded
+  (spark/spark_field_analyzer.py:171-192), which is nondeterministic;
+  we always pass a seed (SURVEY.md §2.9 M1)
+- Excel via driver-side pandas behind an import-try (no native source)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SAMPLE_SEED = 42
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    infer_schema: bool = True,
+) -> DataFrame:
+    """CSV scan with the reference's latin-1 fallback: UTF-8 first; on a
+    decode failure at plan/scan time, retry with latin1. (Spark decodes
+    lazily, so probe with a 1-row action.)"""
+    base = (
+        spark.read.option("header", header)
+        .option("inferSchema", infer_schema)
+        .option("encoding", "UTF-8")
+    )
+    df = base.csv(path)
+    try:
+        df.limit(1).collect()
+        return df
+    except Exception:
+        return (
+            spark.read.option("header", header)
+            .option("inferSchema", infer_schema)
+            .option("encoding", "latin1")
+            .csv(path)
+        )
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_table(
+    spark: SparkSession,
+    table_name: str,
+    catalog: Optional[str] = None,
+    schema: Optional[str] = None,
+    sample_fraction: Optional[float] = None,
+    snapshot_id: Optional[int] = None,
+    as_of_timestamp: Optional[str] = None,
+) -> DataFrame:
+    """Qualified table read with optional seeded sample and Iceberg
+    time travel (snapshot-id / as-of-timestamp read options)."""
+    parts = [p for p in (catalog, schema) if p] + [table_name]
+    qualified = ".".join(parts)
+    reader = spark.read
+    if snapshot_id is not None:
+        reader = reader.option("snapshot-id", snapshot_id)
+    if as_of_timestamp is not None:
+        reader = reader.option("as-of-timestamp", as_of_timestamp)
+    df = reader.table(qualified)
+    if sample_fraction is not None and 0 < sample_fraction < 1:
+        df = df.sample(False, sample_fraction, seed=DEFAULT_SAMPLE_SEED)
+    return df
+
+
+def list_tables(
+    spark: SparkSession, catalog: Optional[str] = None, schema: Optional[str] = None
+) -> list[str]:
+    """Catalog enumeration via the session catalog API (equivalent of
+    the reference's SHOW TABLES SQL)."""
+    db = ".".join(p for p in (catalog, schema) if p) or None
+    tables = spark.catalog.listTables(db) if db else spark.catalog.listTables()
+    return sorted(t.name for t in tables)
+
+
+def sample_for_analysis(
+    df: DataFrame, sample_size: int = 10000, seed: int = DEFAULT_SAMPLE_SEED
+) -> DataFrame:
+    """Bernoulli sample down to ~sample_size rows (the reference's
+    default analysis cap, spark/spark_generator.py:20) — but SEEDED."""
+    total = df.count()
+    if total <= sample_size:
+        return df
+    return df.sample(False, sample_size / total, seed=seed)
+
+
+def read_excel(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """All sheets → one DataFrame per sheet (reference:
+    pandas/pandas_generator.py:144-205). Driver-side pandas, gated —
+    openpyxl is not in this container."""
+    try:
+        import pandas as pd
+
+        sheets = pd.read_excel(path, sheet_name=None)
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "Excel reads need pandas+openpyxl on the driver"
+        ) from e
+    return {name: spark.createDataFrame(pdf) for name, pdf in sheets.items()}

@@ -1,0 +1,103 @@
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_forge_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicate_groups,
+    hamming64,
+    hashed_shingles,
+    jaccard,
+    lsh_candidate_pairs,
+    near_duplicates_minhash,
+    near_duplicates_simhash,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash64,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = "the quick brown fox jumps over the lazy dog near the river bank yesterday"
+OTHER = "completely unrelated text about spark distributed query engines and parquet"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, NEAR),  # near dup of 1
+        (4, OTHER),
+        (5, "short text"),
+        (6, BASE.upper() + "!!"),  # exact dup of 1 after normalization
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_exact_duplicates(corpus):
+    groups = exact_duplicate_groups(corpus, "text", "id").collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 2, 6]
+
+    kept = sorted(r["id"] for r in dedup_exact(corpus, "text", "id").collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame([(BASE, NEAR)], "a string, b string")
+    row = df.select(
+        F.size(shingles(F.col("a"))).alias("n"),
+        jaccard(hashed_shingles(F.col("a")), hashed_shingles(F.col("b"))).alias("j"),
+        jaccard(hashed_shingles(F.col("a")), hashed_shingles(F.col("a"))).alias("self"),
+    ).collect()[0]
+    assert row["n"] == len(BASE.split()) - 2
+    assert row["self"] == 1.0
+    assert 0.5 < row["j"] < 1.0
+
+    # short text fallback: fewer tokens than n -> single shingle
+    short = spark.createDataFrame([("one two",)], "a string")
+    assert short.select(F.size(shingles(F.col("a"))).alias("n")).collect()[0]["n"] == 1
+
+
+def test_minhash_lsh_finds_near_dups(corpus):
+    cands = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(corpus, "text", "id").collect()}
+    assert (1, 2) in cands and (1, 3) in cands and (2, 3) in cands
+    assert (1, 4) not in cands
+
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in near_duplicates_minhash(corpus, "text", "id", threshold=0.5).collect()
+    }
+    assert verified[(1, 2)] == 1.0
+    assert 0.5 <= verified[(1, 3)] < 1.0
+    assert all(a != 4 and b != 4 for a, b in verified)
+
+
+def test_simhash(spark, corpus):
+    df = spark.createDataFrame([(BASE, NEAR, OTHER)], "a string, b string, c string")
+    row = df.select(
+        hamming64(simhash64(F.col("a")), simhash64(F.col("b"))).alias("near"),
+        hamming64(simhash64(F.col("a")), simhash64(F.col("c"))).alias("far"),
+        hamming64(simhash64(F.col("a")), simhash64(F.col("a"))).alias("self"),
+    ).collect()[0]
+    assert row["self"] == 0
+    assert row["near"] < row["far"]
+
+    pairs = {(r["id_a"], r["id_b"]) for r in near_duplicates_simhash(corpus, "text", "id", max_hamming=6).collect()}
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_pairs(corpus):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, "text", "id", threshold=0.4).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got
+    assert all(b != 4 for _, b in got if _ != 4)
+
+
+def test_ngram_guard(spark):
+    big = spark.range(20001).select(F.col("id"), F.lit("x y z").alias("text"))
+    with pytest.raises(ValueError, match="O\\(n²\\)|max_rows"):
+        ngram_jaccard_pairs(big, "text", "id")

@@ -1,0 +1,65 @@
+from pyspark.sql import functions as F
+
+from pandera_forge_spark.operators.text import (
+    detect_language,
+    fingerprint,
+    quality_score,
+    text_metrics,
+    token_count,
+)
+
+
+def _one(spark, text, expr):
+    df = spark.createDataFrame([(text,)], "t string")
+    return df.select(expr(F.col("t")).alias("v")).collect()[0]["v"]
+
+
+def test_token_count(spark):
+    assert _one(spark, "the quick  brown fox", token_count) == 4
+    assert _one(spark, "   ", token_count) == 0
+    assert _one(spark, "", token_count) == 0
+    assert _one(spark, "one", token_count) == 1
+
+
+def test_language_detection(spark):
+    en = "the cat and the dog sat in the house that is big for it"
+    de = "der hund und die katze das ist nicht ein problem mit von zu"
+    fr = "le chat et la maison est pas une des choses que pour les"
+    assert _one(spark, en, detect_language) == "en"
+    assert _one(spark, de, detect_language) == "de"
+    assert _one(spark, fr, detect_language) == "fr"
+    assert _one(spark, "zzz qqq xxx", detect_language) == "und"
+    assert _one(spark, "", detect_language) == "und"
+
+
+def test_quality_score_ordering(spark):
+    good = "the quick brown fox jumps over the lazy dog and it is a fine day in the park"
+    bad = "!!!! @@@@ #### $$$$ %%%%"
+    shouty = "THE QUICK BROWN FOX JUMPS"
+    g = _one(spark, good, quality_score)
+    b = _one(spark, bad, quality_score)
+    s = _one(spark, shouty, quality_score)
+    assert g > s > b
+    assert 0.0 <= b and g <= 1.0
+
+
+def test_fingerprint_normalization(spark):
+    a = _one(spark, "Hello,  World!", fingerprint)
+    b = _one(spark, "hello world", fingerprint)
+    c = _one(spark, "totally different", fingerprint)
+    assert a == b != c
+    assert len(a) == 32
+
+
+def test_text_metrics_on_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m = text_metrics(docs, "text", ["doc_id"])
+    assert m.count() == docs.count()
+    row = m.agg(
+        F.min("quality"), F.max("quality"), F.countDistinct("fingerprint")
+    ).collect()[0]
+    assert 0.0 <= row[0] <= row[1] <= 1.0
+    assert row[2] > 0
+    # no shuffle: pure projection
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
