@@ -1,38 +1,818 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full interleaved-document validation
+pipeline on sf0.001. ``queries()`` / ``oracle_sql()`` — one pair per
+implemented operator family (SURVEY.md §2), compared by the driver
+against DuckDB at sf0.01 (row-count + schema + order-insensitive
+value-hash).
+
+Parity conventions used throughout (verified against duckdb 1.0):
+- every aggregate/computed column is aliased identically on both sides
+- DuckDB SUM(int) returns DECIMAL128 → always CAST(... AS BIGINT)
+- Spark ``size``/INT results are cast to long to match DuckDB BIGINT
+- floats are rounded (4-6 digits) on both sides
+- timestamps compared as CAST(... AS VARCHAR) (identical formats)
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pandera_forge_spark.drift import baseline_summary, drift_by_partition
+from pandera_forge_spark.inference import infer_schema
+from pandera_forge_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicate_groups,
+    near_duplicates_minhash,
+)
+from pandera_forge_spark.operators.similarity import cosine_topk
+from pandera_forge_spark.operators.text import (
+    char_count,
+    fingerprint,
+    token_count,
+)
+from pandera_forge_spark.patterns import NAMED_PATTERNS, match_ratio_expr
+from pandera_forge_spark.profiler import stat_exprs
+from pandera_forge_spark.schema import ColumnSpec, TableSchema
+from pandera_forge_spark.spans import (
+    kind_consistency_ok,
+    offsets_nondecreasing,
+    span_order_violations,
+    span_sequence_mismatches,
+)
+from pandera_forge_spark.validator import (
+    duplicate_keys,
+    orphan_rows,
+    validate_table,
+    violation_rows,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ----------------------------------------------------------------------
+# interleaved-docs derivation (north-rule shape) from the flat documents
+# table — deterministic on BOTH sides so oracles are closed-form
+# ----------------------------------------------------------------------
+
+def _interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → (doc_id, spans) with 3 spans per doc:
+    text(offset 0) / image(offset 100) / text(offset 200)."""
+    docs = _t(spark, sf_dir, "documents")
+    null_s = F.lit(None).cast("string")
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").alias("text"),
+            null_s.alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        ),
+        F.struct(
+            F.lit("image").alias("kind"),
+            null_s.alias("text"),
+            F.concat(F.lit("media://"), F.md5(F.col("doc_id").cast("string")), F.lit("/1")).alias(
+                "media_ref"
+            ),
+            F.lit(100).cast("int").alias("offset"),
+        ),
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.concat(F.lit("meta:"), F.col("lang"), F.lit(":"), F.col("source")).alias("text"),
+            null_s.alias("media_ref"),
+            F.lit(200).cast("int").alias("offset"),
+        ),
+    )
+    return docs.select("doc_id", spans.alias("spans"))
+
+
+def _mutate_first_offset(df: DataFrame, modulo: int) -> DataFrame:
+    """Set span1 offset to 150 for doc_id % modulo == 0 (breaks order
+    against span2's 100)."""
+    first = F.element_at(F.col("spans"), 1)
+    bad_first = F.struct(
+        first["kind"].alias("kind"),
+        first["text"].alias("text"),
+        first["media_ref"].alias("media_ref"),
+        F.lit(150).cast("int").alias("offset"),
+    )
+    spans = F.when(
+        F.col("doc_id") % modulo == 0,
+        F.concat(F.array(bad_first), F.slice(F.col("spans"), 2, 2)),
+    ).otherwise(F.col("spans"))
+    return df.withColumn("spans", spans)
+
+
+def _mutate_content(df: DataFrame, mod_text: int, mod_kind: int) -> DataFrame:
+    """Alter span1 text for doc_id % mod_text == 0; swap span2 kind
+    image→audio for doc_id % mod_kind == 0."""
+    s1, s2, s3 = (F.element_at(F.col("spans"), i) for i in (1, 2, 3))
+    new_s1 = F.struct(
+        s1["kind"].alias("kind"),
+        F.when(F.col("doc_id") % mod_text == 0, F.concat(s1["text"], F.lit(" X")))
+        .otherwise(s1["text"])
+        .alias("text"),
+        s1["media_ref"].alias("media_ref"),
+        s1["offset"].alias("offset"),
+    )
+    new_s2 = F.struct(
+        F.when(F.col("doc_id") % mod_kind == 0, F.lit("audio"))
+        .otherwise(s2["kind"])
+        .alias("kind"),
+        s2["text"].alias("text"),
+        s2["media_ref"].alias("media_ref"),
+        s2["offset"].alias("offset"),
+    )
+    return df.withColumn("spans", F.array(new_s1, new_s2, s3))
+
+
+def _planted_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return docs.unionByName(copies)
+
+
+def _planted_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (
+        docs.where(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    return docs.unionByName(copies)
+
+
+_PLANTED_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0"
+)
+_FP_SQL = "md5(lower(regexp_replace({c}, '[^A-Za-z0-9]+', '', 'g')))"
+
+DRIFT_EDGES = [50000.0, 100000.0, 200000.0, 300000.0]
+
+
+# ----------------------------------------------------------------------
+# flagship
+# ----------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: derive the interleaved table, plant
+    mutations, and emit per-bucket validation verdicts (docs, span-order
+    violations, consistency violations, sequence mismatches,
+    duplicate-id count) — the engine's end-to-end north-rule pipeline."""
+    sf_dir = "/root/testdata/sf0.001"
+    clean = _interleaved(spark, sf_dir)
+    actual = _mutate_content(_mutate_first_offset(clean, 37), 41, 43)
+    # duplicate some ids too
+    actual = actual.unionByName(actual.where(F.col("doc_id") % 113 == 0))
+
+    bucket = (F.col("doc_id") % 8).alias("bucket")
+    flags = actual.select(
+        bucket,
+        (~offsets_nondecreasing(F.col("spans"))).cast("long").alias("order_bad"),
+        (~kind_consistency_ok(F.col("spans"))).cast("long").alias("consistency_bad"),
+    )
+    verdicts = flags.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("order_bad").alias("order_violations"),
+        F.sum("consistency_bad").alias("consistency_violations"),
+    )
+    mismatches = (
+        span_sequence_mismatches(actual.dropDuplicates(["doc_id"]), clean)
+        .select((F.col("doc_id") % 8).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("sequence_mismatches"))
+    )
+    dups = (
+        duplicate_keys(actual, ["doc_id"])
+        .select((F.col("doc_id") % 8).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("duplicate_ids"))
+    )
+    out = (
+        verdicts.join(mismatches, "bucket", "left")
+        .join(dups, "bucket", "left")
+        .na.fill(0, ["sequence_mismatches", "duplicate_ids"])
+        .orderBy("bucket")
+    )
+    return out
+
+
+# ----------------------------------------------------------------------
+# queries + oracles
+# ----------------------------------------------------------------------
+
+def q_profile_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("quantity_nulls"),
+        F.countDistinct("l_orderkey").alias("orderkey_distinct"),
+        F.countDistinct("l_returnflag").alias("returnflag_distinct"),
+        F.min("l_quantity").alias("quantity_min"),
+        F.max("l_quantity").alias("quantity_max"),
+        F.round(F.avg("l_quantity"), 4).alias("quantity_avg"),
+        F.min(F.length("l_returnflag")).cast("long").alias("returnflag_minlen"),
+        F.max(F.length("l_returnflag")).cast("long").alias("returnflag_maxlen"),
+        F.min("l_shipdate").cast("string").alias("shipdate_min"),
+        F.max("l_shipdate").cast("string").alias("shipdate_max"),
+    )
+
+
+SQL_PROFILE_LINEITEM = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS quantity_nulls,
+       COUNT(DISTINCT l_orderkey) AS orderkey_distinct,
+       COUNT(DISTINCT l_returnflag) AS returnflag_distinct,
+       MIN(l_quantity) AS quantity_min,
+       MAX(l_quantity) AS quantity_max,
+       ROUND(AVG(l_quantity), 4) AS quantity_avg,
+       CAST(MIN(LENGTH(l_returnflag)) AS BIGINT) AS returnflag_minlen,
+       CAST(MAX(LENGTH(l_returnflag)) AS BIGINT) AS returnflag_maxlen,
+       CAST(MIN(l_shipdate) AS VARCHAR) AS shipdate_min,
+       CAST(MAX(l_shipdate) AS VARCHAR) AS shipdate_max
+FROM lineitem
+"""
+
+
+def q_profile_fused_orders(spark, sf_dir):
+    """Exercises the engine's fused stat_exprs pass itself (profiler.py)
+    on orders, projecting a stable subset with clean aliases."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.agg(*stat_exprs(o, ["o_orderkey", "o_totalprice", "o_orderstatus"], True, False))
+    return agg.select(
+        F.col("__total__").alias("n_rows"),
+        F.col("o_orderkey__nulls").alias("orderkey_nulls"),
+        F.col("o_orderkey__distinct").alias("orderkey_distinct"),
+        F.col("o_totalprice__min").alias("totalprice_min"),
+        F.col("o_totalprice__max").alias("totalprice_max"),
+        F.round(F.col("o_totalprice__mean"), 4).alias("totalprice_avg"),
+        F.col("o_orderstatus__distinct").alias("status_distinct"),
+        F.col("o_orderstatus__minlen").cast("long").alias("status_minlen"),
+        F.col("o_orderstatus__maxlen").cast("long").alias("status_maxlen"),
+    )
+
+
+SQL_PROFILE_FUSED_ORDERS = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orderkey_nulls,
+       COUNT(DISTINCT o_orderkey) AS orderkey_distinct,
+       MIN(o_totalprice) AS totalprice_min,
+       MAX(o_totalprice) AS totalprice_max,
+       ROUND(AVG(o_totalprice), 4) AS totalprice_avg,
+       COUNT(DISTINCT o_orderstatus) AS status_distinct,
+       CAST(MIN(LENGTH(o_orderstatus)) AS BIGINT) AS status_minlen,
+       CAST(MAX(LENGTH(o_orderstatus)) AS BIGINT) AS status_maxlen
+FROM orders
+"""
+
+
+def q_uniqueness_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_distinct"),
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("n_nulls"),
+    ).select(
+        "n_rows",
+        "n_distinct",
+        "n_nulls",
+        ((F.col("n_distinct") == F.col("n_rows")) & (F.col("n_nulls") == 0)).alias("is_unique"),
+    )
+
+
+SQL_UNIQUENESS_ORDERS = """
+SELECT n_rows, n_distinct, n_nulls,
+       (n_distinct = n_rows AND n_nulls = 0) AS is_unique
+FROM (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(DISTINCT o_orderkey) AS n_distinct,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+  FROM orders
+)
+"""
+
+
+def q_topk_returnflag(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("value"))
+        .limit(3)
+    )
+
+
+SQL_TOPK_RETURNFLAG = """
+SELECT l_returnflag AS value, COUNT(*) AS cnt
+FROM lineitem GROUP BY 1 ORDER BY cnt DESC, value ASC LIMIT 3
+"""
+
+
+def q_topk_event_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("event_type").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("value"))
+        .limit(5)
+    )
+
+
+SQL_TOPK_EVENT_TYPE = """
+SELECT event_type AS value, COUNT(*) AS cnt
+FROM events GROUP BY 1 ORDER BY cnt DESC, value ASC LIMIT 5
+"""
+
+
+def q_isin_domain_linestatus(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(F.col("l_linestatus").alias("value")).distinct().orderBy("value")
+
+
+SQL_ISIN_DOMAIN_LINESTATUS = "SELECT DISTINCT l_linestatus AS value FROM lineitem ORDER BY 1"
+
+
+def q_duplicate_custkeys(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return duplicate_keys(o, ["o_custkey"]).orderBy("o_custkey")
+
+
+SQL_DUPLICATE_CUSTKEYS = """
+SELECT o_custkey, COUNT(*) AS dup_count
+FROM orders GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1
+"""
+
+
+def q_duplicate_custkeys_salted(spark, sf_dir):
+    """Same result through the two-phase salted aggregation path."""
+    o = _t(spark, sf_dir, "orders")
+    return duplicate_keys(o, ["o_custkey"], salt_buckets=8).orderBy("o_custkey")
+
+
+def q_ri_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return orphan_rows(c, o, "c_custkey", "o_custkey", broadcast_parent=True).select(
+        "c_custkey", "c_name"
+    ).orderBy("c_custkey")
+
+
+SQL_RI_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IS NOT NULL
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+ORDER BY 1
+"""
+
+
+def q_ri_lineitem_orphans(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    orphans = orphan_rows(li, o, "l_orderkey", "o_orderkey")
+    return orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+
+
+SQL_RI_LINEITEM_ORPHANS = """
+SELECT COUNT(*) AS n_orphans FROM lineitem
+WHERE l_orderkey IS NOT NULL
+  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
+"""
+
+
+def q_pattern_ratios(spark, sf_dir):
+    """Distributed named-pattern match ratios (engine's rlike-based
+    detection) on events.props (json) and documents.source (alnum)."""
+    ev = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+    a = ev.agg(
+        F.round(match_ratio_expr(F.col("props"), NAMED_PATTERNS["json"]), 6).alias("json_ratio")
+    )
+    b = docs.agg(
+        F.round(
+            match_ratio_expr(F.col("source"), NAMED_PATTERNS["alphanumeric"]), 6
+        ).alias("alnum_ratio"),
+        F.round(match_ratio_expr(F.col("source"), NAMED_PATTERNS["email"]), 6).alias(
+            "email_ratio"
+        ),
+    )
+    return a.crossJoin(b)
+
+
+SQL_PATTERN_RATIOS = r"""
+SELECT
+  (SELECT ROUND(AVG(CASE WHEN regexp_matches(props, '(?i)^\{.*\}$|^\[.*\]$') THEN 1.0 ELSE 0.0 END), 6)
+     FROM events WHERE props IS NOT NULL) AS json_ratio,
+  (SELECT ROUND(AVG(CASE WHEN regexp_matches(source, '(?i)^[a-zA-Z0-9]+$') THEN 1.0 ELSE 0.0 END), 6)
+     FROM documents WHERE source IS NOT NULL) AS alnum_ratio,
+  (SELECT ROUND(AVG(CASE WHEN regexp_matches(source, '(?i)^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}$') THEN 1.0 ELSE 0.0 END), 6)
+     FROM documents WHERE source IS NOT NULL) AS email_ratio
+"""
+
+
+def _lineitem_check_schema() -> TableSchema:
+    return TableSchema(
+        name="LineitemChecks",
+        columns=[
+            ColumnSpec(
+                name="l_quantity", sanitized_name="l_quantity", name_was_valid=True,
+                spark_type="double", pandera_type="Float64", nullable=True, ge=1.0, le=50.0,
+            ),
+            ColumnSpec(
+                name="l_discount", sanitized_name="l_discount", name_was_valid=True,
+                spark_type="double", pandera_type="Float64", nullable=True, ge=0.0, le=0.1,
+            ),
+            ColumnSpec(
+                name="l_linestatus", sanitized_name="l_linestatus", name_was_valid=True,
+                spark_type="string", pandera_type="String", nullable=True, isin=["F", "O"],
+            ),
+        ],
+    )
+
+
+def q_validation_verdicts_lineitem(spark, sf_dir):
+    """Per-partition (returnflag) pass/fail verdict aggregation — the
+    engine's distributed replacement for reference validator.py V2."""
+    li = _t(spark, sf_dir, "lineitem")
+    res = validate_table(li, _lineitem_check_schema(), partition_cols=["l_returnflag"], check_unique=False)
+    return res.verdicts.orderBy("l_returnflag")
+
+
+SQL_VALIDATION_VERDICTS_LINEITEM = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND l_quantity < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity__ge,
+       CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity__le,
+       CAST(SUM(CASE WHEN l_discount IS NOT NULL AND l_discount < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS l_discount__ge,
+       CAST(SUM(CASE WHEN l_discount IS NOT NULL AND l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS l_discount__le,
+       CAST(SUM(CASE WHEN l_linestatus IS NOT NULL AND l_linestatus NOT IN ('F','O') THEN 1 ELSE 0 END) AS BIGINT) AS l_linestatus__isin,
+       COUNT(*) AS "__rows__"
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_violation_rows_lineitem(spark, sf_dir):
+    """Violation-row extraction for a deliberately tight bound
+    (quantity <= 49) — emits the actual offending rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    schema = TableSchema(
+        name="T",
+        columns=[
+            ColumnSpec(
+                name="l_quantity", sanitized_name="l_quantity", name_was_valid=True,
+                spark_type="double", pandera_type="Float64", nullable=True, le=49.0,
+            )
+        ],
+    )
+    return violation_rows(li, schema, ["l_orderkey", "l_linenumber"]).orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+SQL_VIOLATION_ROWS_LINEITEM = """
+SELECT l_orderkey, l_linenumber, 'l_quantity__le' AS check, CAST(l_quantity AS VARCHAR) AS value
+FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity > 49.0
+ORDER BY 1, 2
+"""
+
+
+def q_drift_orders(spark, sf_dir):
+    """Per-priority PSI/KS of o_totalprice vs the whole-table baseline
+    on a fixed bin grid (fixed so the oracle can reproduce it)."""
+    o = _t(spark, sf_dir, "orders")
+    base = baseline_summary(o, "o_totalprice", edges=DRIFT_EDGES)
+    d = drift_by_partition(o, "o_totalprice", ["o_orderpriority"], base)
+    return d.select(
+        "o_orderpriority",
+        "n",
+        F.round("psi", 6).alias("psi"),
+        F.round("ks", 6).alias("ks"),
+    ).orderBy("o_orderpriority")
+
+
+def _sql_drift_orders() -> str:
+    nb = len(DRIFT_EDGES) + 1
+    conds = []
+    lo = None
+    for e in DRIFT_EDGES + [None]:
+        if lo is None:
+            conds.append(f"o_totalprice <= {e}")
+        elif e is not None:
+            conds.append(f"o_totalprice > {lo} AND o_totalprice <= {e}")
+        else:
+            conds.append(f"o_totalprice > {lo}")
+        lo = e
+    bin_cols = ",\n    ".join(
+        f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS b{i}"
+        for i, c in enumerate(conds)
+    )
+    psi_terms = " + ".join(
+        f"(GREATEST(p.b{i}/p.n, 0.000001) - GREATEST(q.b{i}/q.n, 0.000001)) * "
+        f"(LN(GREATEST(p.b{i}/p.n, 0.000001)) - LN(GREATEST(q.b{i}/q.n, 0.000001)))"
+        for i in range(nb)
+    )
+    cum = []
+    for i in range(nb - 1):
+        ps = " + ".join(f"p.b{j}" for j in range(i + 1))
+        qs = " + ".join(f"q.b{j}" for j in range(i + 1))
+        cum.append(f"ABS(({ps})/p.n - ({qs})/q.n)")
+    ks = "GREATEST(" + ", ".join(cum) + ")"
+    return f"""
+WITH bins AS (
+  SELECT o_orderpriority,
+    {bin_cols},
+    CAST(COUNT(o_totalprice) AS DOUBLE) AS n
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_orderpriority
+),
+base AS (
+  SELECT {", ".join(f"CAST(SUM(b{i}) AS DOUBLE) AS b{i}" for i in range(nb))},
+         SUM(n) AS n FROM bins
+)
+SELECT p.o_orderpriority,
+       CAST(p.n AS BIGINT) AS n,
+       ROUND({psi_terms}, 6) AS psi,
+       ROUND({ks}, 6) AS ks
+FROM bins p, base q ORDER BY 1
+"""
+
+
+def q_span_order_violations(spark, sf_dir):
+    actual = _mutate_first_offset(_interleaved(spark, sf_dir), 37)
+    return span_order_violations(actual).orderBy("doc_id")
+
+
+SQL_SPAN_ORDER_VIOLATIONS = "SELECT doc_id FROM documents WHERE doc_id % 37 = 0 ORDER BY 1"
+
+
+def q_span_sequence_mismatches(spark, sf_dir):
+    clean = _interleaved(spark, sf_dir)
+    actual = _mutate_content(clean, 41, 43)
+    return span_sequence_mismatches(actual, clean).orderBy("doc_id")
+
+
+SQL_SPAN_SEQUENCE_MISMATCHES = """
+SELECT doc_id, 'sequence' AS mismatch FROM documents
+WHERE doc_id % 41 = 0 OR doc_id % 43 = 0 ORDER BY 1
+"""
+
+
+def q_span_kind_counts(spark, sf_dir):
+    inter = _interleaved(spark, sf_dir)
+    return (
+        inter.select(F.explode("spans").alias("s"))
+        .groupBy(F.col("s.kind").alias("kind"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("kind")
+    )
+
+
+SQL_SPAN_KIND_COUNTS = """
+SELECT 'image' AS kind, COUNT(*) AS n FROM documents
+UNION ALL SELECT 'text', 2 * COUNT(*) FROM documents ORDER BY 1
+"""
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    planted = _planted_exact(spark, sf_dir)
+    g = exact_duplicate_groups(planted, "text", "doc_id")
+    return g.select(
+        F.col("n_docs"),
+        F.element_at("doc_ids", 1).alias("id_min"),
+        F.element_at("doc_ids", -1).alias("id_max"),
+    ).orderBy("id_min")
+
+
+SQL_EXACT_DUP_GROUPS = f"""
+WITH planted AS ({_PLANTED_SQL})
+SELECT COUNT(*) AS n_docs, MIN(doc_id) AS id_min, MAX(doc_id) AS id_max
+FROM planted GROUP BY {_FP_SQL.format(c="text")} HAVING COUNT(*) > 1 ORDER BY 2
+"""
+
+
+def q_dedup_exact_count(spark, sf_dir):
+    planted = _planted_exact(spark, sf_dir)
+    return dedup_exact(planted, "text", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_after_dedup")
+    )
+
+
+SQL_DEDUP_EXACT_COUNT = f"""
+WITH planted AS ({_PLANTED_SQL})
+SELECT COUNT(DISTINCT {_FP_SQL.format(c="text")}) AS n_after_dedup FROM planted
+"""
+
+
+def q_near_dup_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup recall on planted mutated copies (text +
+    ' tail'): the pipeline must find EVERY planted pair (docs have >=10
+    tokens so pair Jaccard >= ~0.7). Scoped to the planted id offset
+    because the corpus also contains natural near-dups (26 pairs at
+    jaccard>=0.6 at sf0.01) whose ground truth is not closed-form; those
+    are exercised in tests/test_dedup.py instead."""
+    planted = _planted_near(spark, sf_dir)
+    nd = near_duplicates_minhash(planted, "text", "doc_id", threshold=0.6)
+    return (
+        nd.where(F.col("id_b") - F.col("id_a") == 1000000)
+        .select("id_a", "id_b")
+        .orderBy("id_a")
+    )
+
+
+SQL_NEAR_DUP_MINHASH = """
+SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents
+WHERE doc_id % 25 = 0 ORDER BY 1
+"""
+
+
+def q_text_metrics(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(c).cast("long").alias("n_tokens"),
+        char_count(c).cast("long").alias("n_chars"),
+        fingerprint(c).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_METRICS = rf"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       {_FP_SQL.format(c="text")} AS fingerprint
+FROM documents ORDER BY 1
+"""
+
+
+def q_token_stats_by_lang(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(token_count(c)), 4).alias("avg_tokens"),
+            F.min(char_count(c)).cast("long").alias("min_chars"),
+            F.max(char_count(c)).cast("long").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TOKEN_STATS_BY_LANG = r"""
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(len(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_tokens,
+       CAST(MIN(LENGTH(text)) AS BIGINT) AS min_chars,
+       CAST(MAX(LENGTH(text)) AS BIGINT) AS max_chars
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    top = cosine_topk(emb, qv, k=5)
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+SQL_COSINE_TOPK = """
+SELECT e.vec_id,
+       ROUND(list_cosine_similarity(
+         CAST(e.embedding AS DOUBLE[]),
+         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+       ), 4) AS cosine
+FROM embeddings e
+ORDER BY list_cosine_similarity(
+  CAST(e.embedding AS DOUBLE[]),
+  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, e.vec_id ASC
+LIMIT 5
+"""
+
+
+def q_embedding_norms(spark, sf_dir):
+    from pandera_forge_spark.operators.similarity import norm
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "e", F.col("embedding").cast("array<double>")
+    )
+    return emb.select(
+        "vec_id", F.round(norm(F.col("e")), 4).alias("norm")
+    ).orderBy("vec_id")
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id, ROUND(SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) AS norm
+FROM embeddings ORDER BY 1
+"""
+
+
+def q_inferred_schema_region(spark, sf_dir):
+    """End-to-end inference on region rendered as (column, constraint)
+    rows — checks the inference rules themselves against closed-form
+    SQL over the data."""
+    r = _t(spark, sf_dir, "region")
+    schema = infer_schema(r, "region", detect_patterns=False)
+    rows = []
+    for c in schema.columns:
+        rows.append(
+            (
+                c.name,
+                c.nullable,
+                c.unique,
+                float(c.ge) if c.ge is not None else None,
+                float(c.le) if c.le is not None else None,
+                len(c.isin) if c.isin is not None else -1,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "column string, nullable boolean, is_unique boolean, ge double, le double, isin_size long"
+    ).orderBy("column")
+
+
+SQL_INFERRED_SCHEMA_REGION = """
+SELECT 'r_name' AS column,
+       (COUNT(*) - COUNT(r_name)) > 0 AS nullable,
+       COUNT(DISTINCT r_name) = COUNT(*) AND COUNT(r_name) = COUNT(*) AS is_unique,
+       CAST(NULL AS DOUBLE) AS ge, CAST(NULL AS DOUBLE) AS le,
+       CASE WHEN COUNT(DISTINCT r_name) <= 10 THEN COUNT(DISTINCT r_name) ELSE -1 END AS isin_size
+FROM region
+UNION ALL
+SELECT 'r_regionkey',
+       (COUNT(*) - COUNT(r_regionkey)) > 0,
+       COUNT(DISTINCT r_regionkey) = COUNT(*) AND COUNT(r_regionkey) = COUNT(*),
+       CAST(MIN(r_regionkey) AS DOUBLE), CAST(MAX(r_regionkey) AS DOUBLE),
+       CASE WHEN COUNT(DISTINCT r_regionkey) <= 10 THEN COUNT(DISTINCT r_regionkey) ELSE -1 END
+FROM region
+ORDER BY 1
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "profile_lineitem": q_profile_lineitem,
+        "profile_fused_orders": q_profile_fused_orders,
+        "uniqueness_orders": q_uniqueness_orders,
+        "topk_returnflag": q_topk_returnflag,
+        "topk_event_type": q_topk_event_type,
+        "isin_domain_linestatus": q_isin_domain_linestatus,
+        "duplicate_custkeys": q_duplicate_custkeys,
+        "duplicate_custkeys_salted": q_duplicate_custkeys_salted,
+        "ri_customers_without_orders": q_ri_customers_without_orders,
+        "ri_lineitem_orphans": q_ri_lineitem_orphans,
+        "pattern_ratios": q_pattern_ratios,
+        "validation_verdicts_lineitem": q_validation_verdicts_lineitem,
+        "violation_rows_lineitem": q_violation_rows_lineitem,
+        "drift_orders": q_drift_orders,
+        "span_order_violations": q_span_order_violations,
+        "span_sequence_mismatches": q_span_sequence_mismatches,
+        "span_kind_counts": q_span_kind_counts,
+        "exact_dup_groups": q_exact_dup_groups,
+        "dedup_exact_count": q_dedup_exact_count,
+        "near_dup_minhash": q_near_dup_minhash,
+        "text_metrics": q_text_metrics,
+        "token_stats_by_lang": q_token_stats_by_lang,
+        "cosine_topk": q_cosine_topk,
+        "embedding_norms": q_embedding_norms,
+        "inferred_schema_region": q_inferred_schema_region,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "profile_lineitem": SQL_PROFILE_LINEITEM,
+        "profile_fused_orders": SQL_PROFILE_FUSED_ORDERS,
+        "uniqueness_orders": SQL_UNIQUENESS_ORDERS,
+        "topk_returnflag": SQL_TOPK_RETURNFLAG,
+        "topk_event_type": SQL_TOPK_EVENT_TYPE,
+        "isin_domain_linestatus": SQL_ISIN_DOMAIN_LINESTATUS,
+        "duplicate_custkeys": SQL_DUPLICATE_CUSTKEYS,
+        "duplicate_custkeys_salted": SQL_DUPLICATE_CUSTKEYS,
+        "ri_customers_without_orders": SQL_RI_CUSTOMERS_WITHOUT_ORDERS,
+        "ri_lineitem_orphans": SQL_RI_LINEITEM_ORPHANS,
+        "pattern_ratios": SQL_PATTERN_RATIOS,
+        "validation_verdicts_lineitem": SQL_VALIDATION_VERDICTS_LINEITEM,
+        "violation_rows_lineitem": SQL_VIOLATION_ROWS_LINEITEM,
+        "drift_orders": _sql_drift_orders(),
+        "span_order_violations": SQL_SPAN_ORDER_VIOLATIONS,
+        "span_sequence_mismatches": SQL_SPAN_SEQUENCE_MISMATCHES,
+        "span_kind_counts": SQL_SPAN_KIND_COUNTS,
+        "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
+        "dedup_exact_count": SQL_DEDUP_EXACT_COUNT,
+        "near_dup_minhash": SQL_NEAR_DUP_MINHASH,
+        "text_metrics": SQL_TEXT_METRICS,
+        "token_stats_by_lang": SQL_TOKEN_STATS_BY_LANG,
+        "cosine_topk": SQL_COSINE_TOPK,
+        "embedding_norms": SQL_EMBEDDING_NORMS,
+        "inferred_schema_region": SQL_INFERRED_SCHEMA_REGION,
+    }
