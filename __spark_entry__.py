@@ -42,8 +42,6 @@ from pandera_forge_spark.patterns import NAMED_PATTERNS, match_ratio_expr
 from pandera_forge_spark.profiler import stat_exprs
 from pandera_forge_spark.schema import ColumnSpec, TableSchema
 from pandera_forge_spark.spans import (
-    kind_consistency_ok,
-    offsets_nondecreasing,
     span_order_violations,
     span_sequence_mismatches,
 )
@@ -169,43 +167,20 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: derive the interleaved table, plant
     mutations, and emit per-bucket validation verdicts (docs, span-order
     violations, consistency violations, sequence mismatches,
-    duplicate-id count) — the engine's end-to-end north-rule pipeline."""
+    duplicate-id count) via the single-pass pipeline
+    (pandera_forge_spark/pipeline.py) — the engine's end-to-end
+    north-rule flow; tests/test_pipeline.py proves it matches the
+    composition of the exact per-operator checks."""
+    from pandera_forge_spark.pipeline import interleaved_verdicts
+
     sf_dir = "/root/testdata/sf0.001"
-    clean = _interleaved(spark, sf_dir)
+    clean = _interleaved(spark, sf_dir).withColumn(
+        "bucket", (F.col("doc_id") % 8).cast("int")
+    )
     actual = _mutate_content(_mutate_first_offset(clean, 37), 41, 43)
     # duplicate some ids too
     actual = actual.unionByName(actual.where(F.col("doc_id") % 113 == 0))
-
-    bucket = (F.col("doc_id") % 8).alias("bucket")
-    flags = actual.select(
-        bucket,
-        (~offsets_nondecreasing(F.col("spans"))).cast("long").alias("order_bad"),
-        (~kind_consistency_ok(F.col("spans"))).cast("long").alias("consistency_bad"),
-    )
-    verdicts = flags.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("docs"),
-        F.sum("order_bad").alias("order_violations"),
-        F.sum("consistency_bad").alias("consistency_violations"),
-    )
-    mismatches = (
-        span_sequence_mismatches(actual.dropDuplicates(["doc_id"]), clean)
-        .select((F.col("doc_id") % 8).alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("sequence_mismatches"))
-    )
-    dups = (
-        duplicate_keys(actual, ["doc_id"])
-        .select((F.col("doc_id") % 8).alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("duplicate_ids"))
-    )
-    out = (
-        verdicts.join(mismatches, "bucket", "left")
-        .join(dups, "bucket", "left")
-        .na.fill(0, ["sequence_mismatches", "duplicate_ids"])
-        .orderBy("bucket")
-    )
-    return out
+    return interleaved_verdicts(actual, clean).orderBy("bucket")
 
 
 # ----------------------------------------------------------------------

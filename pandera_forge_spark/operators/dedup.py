@@ -64,17 +64,36 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 # ------------------------------------------------------------- shingles
 
+_SLICE_MAX = 1 << 30
+
+
 def shingles(col: Column, n: int = 3) -> Column:
-    """Token n-gram shingle set (distinct), as an array of strings."""
+    """Token n-gram shingle set (distinct), as an array of strings.
+
+    Built with ``zip_with`` over shifted slices of the token array —
+    NOT with a ``transform(sequence(...), i -> slice(toks, i, n))``
+    lambda: a captured subtree inside a higher-order-function lambda is
+    re-evaluated PER ELEMENT (no CSE), which makes the lambda form
+    O(tokens²) regex splits per document (measured ~10x slower on
+    300-char docs). Here ``toks`` appears a constant ~n+2 times.
+
+    Docs with fewer than n tokens yield one shingle of all tokens
+    joined (the whole-doc fallback); empty/null text yields [""].
+    """
     toks = tokens(col)
-    k = F.size(toks) - (n - 1)
-    grams = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    acc = toks
+    for j in range(1, n):
+        # zip_with pads the shorter side with null; concat_ws skips
+        # nulls, so tail entries are partial shingles — sliced off below
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j + 1, _SLICE_MAX),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    full = F.slice(acc, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    grams = F.when(F.size(toks) > 0, full).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
     return F.array_distinct(grams)
 
 
@@ -117,14 +136,22 @@ def minhash_signatures(
     per row; docs with null/empty text yield no shingles and drop out
     of dedup (they have no content to match)."""
     sh = df.select(
-        F.col(id_col),
-        F.explode(hashed_shingles(F.col(text_col), shingle_n)).alias("__h"),
+        F.col(id_col), hashed_shingles(F.col(text_col), shingle_n).alias("__sh")
     )
+    return _signatures_from_shingles(sh, id_col, num_hashes, seed)
+
+
+def _signatures_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int, seed: int
+) -> DataFrame:
+    """Signatures from a prepared (id, __sh: array<long>) frame —
+    lets callers shingle once and reuse the frame for verification."""
+    exploded = sh.select(F.col(id_col), F.explode(F.col("__sh")).alias("__h"))
     aggs = [
         F.min(F.xxhash64(F.col("__h"), F.lit(seed * 1000 + i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -149,8 +176,17 @@ def lsh_candidate_pairs(
     by AQE; pathological buckets should be truncated upstream rather
     than exploded quadratically.
     """
+    sh = df.select(
+        F.col(id_col), hashed_shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    return _lsh_pairs_from_shingles(sh, id_col, num_hashes, bands, seed)
+
+
+def _lsh_pairs_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int, bands: int, seed: int
+) -> DataFrame:
     rows_per_band = num_hashes // bands
-    sig_df = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    sig_df = _signatures_from_shingles(sh, id_col, num_hashes, seed)
     banded = sig_df.select(
         F.col(id_col),
         F.explode(
@@ -209,11 +245,19 @@ def near_duplicates_minhash(
 
     The verify join brings each candidate's shingle-hash array to the
     pair — two hash joins keyed on doc id; candidate volume (not corpus
-    size) drives the cost."""
-    cand = lsh_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_n, seed)
+    size) drives the cost.
+
+    The shingle frame is computed ONCE and persisted (MEMORY_AND_DISK):
+    it feeds the signature path and BOTH sides of the verify join — an
+    unpersisted plan would re-tokenize and re-hash the whole corpus
+    three times. At warehouse scale the persisted frame is
+    O(corpus text); MEMORY_AND_DISK spills rather than evicts."""
+    from pyspark import StorageLevel
+
     sh = df.select(
         F.col(id_col), hashed_shingles(F.col(text_col), shingle_n).alias("__sh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = _lsh_pairs_from_shingles(sh, id_col, num_hashes, bands, seed)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
     return (

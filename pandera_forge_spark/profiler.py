@@ -29,7 +29,7 @@ import datetime
 import math
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -108,13 +108,17 @@ def stat_exprs(
             # prefix/suffix probes: if all non-null values share their
             # first (last) 3 chars, that substring IS the common
             # prefix/suffix (reference: pattern_detector.py:115-128).
+            # min==max detects "exactly one distinct value" WITHOUT a
+            # countDistinct — every countDistinct in a multi-distinct
+            # agg adds an Expand group (row blow-up × #distinct-aggs
+            # before partial agg), which measured 3-6x slower here.
             pre = F.substring(s, 1, PREFIX_SUFFIX_PROBE)
             suf = F.substring(s, -PREFIX_SUFFIX_PROBE, PREFIX_SUFFIX_PROBE)
             exprs += [
-                F.countDistinct(pre).alias(f"{c}__pre_d"),
-                F.min(pre).alias(f"{c}__pre_v"),
-                F.countDistinct(suf).alias(f"{c}__suf_d"),
-                F.min(suf).alias(f"{c}__suf_v"),
+                F.min(pre).alias(f"{c}__pre_min"),
+                F.max(pre).alias(f"{c}__pre_max"),
+                F.min(suf).alias(f"{c}__suf_min"),
+                F.max(suf).alias(f"{c}__suf_max"),
             ]
             if detect_patterns:
                 exprs += pattern_ratio_exprs(col, c)
@@ -154,10 +158,54 @@ def top_values(
     under distribution, so we define this total order; SURVEY.md §7
     "hard parts" #4).
     """
+    tops, _ = top_values_and_distinct(df, columns, k)
+    return tops
+
+
+TOPK_SALT_BUCKETS = 64
+
+
+def top_values_and_distinct(
+    df: DataFrame,
+    columns: Sequence[str],
+    k: int = ISIN_MAX_DISTINCT,
+) -> tuple[dict[str, list[tuple[str, int]]], dict[str, int]]:
+    """Shared melted pass producing BOTH top-k frequent values and the
+    EXACT distinct count per column, in one action.
+
+    Scale design (a high-cardinality column like ``doc_id`` has ~all
+    table rows as distinct values, so nothing may ever partition by
+    ``col`` alone over the full distinct set):
+
+    - top-k is TWO-PHASE over salted buckets: within each
+      (col, salt-of-value) group, sort the bucket's (count desc, val
+      asc) pairs and keep <=k — any global top-k value is top-k in its
+      bucket, so the final merge of <= SALT*k survivors per column is
+      exact. The same grouped pass counts each bucket's distinct
+      values; the final per-col agg sums them. Ties break (count desc,
+      val asc) at both levels — a total, deterministic order.
+    - everything is ONE aggregation tree (melt -> (col,val) count ->
+      (col,salt) partial top-k -> (col) merge): a single scan and a
+      single action, every level partial-aggregatable, no windows (a
+      window over ``col`` alone would funnel a high-cardinality
+      column's entire distinct set through one task) and no self-join
+      that would recompute the melt.
+
+    This also means exact uniqueness never pays the Expand penalty of a
+    fused multi-column ``countDistinct`` (one Expand group per distinct
+    aggregate, multiplying input rows before partial agg — measured
+    3-6x slower on wide tables).
+
+    Sizing at warehouse scale: per-bucket state is
+    O(distinct_per_col / TOPK_SALT_BUCKETS) structs held transiently
+    for the sort; raise TOPK_SALT_BUCKETS proportionally to expected
+    cardinality (or profile near-unique columns with the HLL path only
+    — top-k of an almost-unique column is meaningless anyway).
+    """
     dtypes = dict((f.name, f.dataType) for f in df.schema.fields)
     cols = [c for c in columns if _is_simple(dtypes[c])]
     if not cols:
-        return {}
+        return {}, {}
     pairs = df.select(
         F.explode(
             F.array(
@@ -172,16 +220,25 @@ def top_values(
         ).alias("p")
     ).select("p.col", "p.val")
     counts = pairs.where(F.col("val").isNotNull()).groupBy("col", "val").count()
-    w = Window.partitionBy("col").orderBy(F.desc("count"), F.asc("val"))
-    ranked = (
-        counts.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .collect()
+
+    # struct sorts field-wise ascending, so (-count, val) == count
+    # desc, val asc
+    entry = F.struct((-F.col("count")).alias("negcnt"), F.col("val").alias("val"))
+    salt = F.pmod(F.xxhash64("val"), F.lit(TOPK_SALT_BUCKETS))
+    partial = counts.groupBy(F.col("col"), salt.alias("__salt")).agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("cand"),
+    )
+    final = partial.groupBy("col").agg(
+        F.sum("nd").alias("n_distinct"),
+        F.slice(F.array_sort(F.flatten(F.collect_list("cand"))), 1, k).alias("topk"),
     )
     out: dict[str, list[tuple[str, int]]] = {c: [] for c in cols}
-    for row in sorted(ranked, key=lambda r: (r["col"], r["rn"])):
-        out[row["col"]].append((row["val"], row["count"]))
-    return out
+    distinct: dict[str, int] = {c: 0 for c in cols}
+    for row in final.collect():
+        distinct[row["col"]] = row["n_distinct"]
+        out[row["col"]] = [(e["val"], -e["negcnt"]) for e in row["topk"]]
+    return out, distinct
 
 
 def _none_if_nan(v):
@@ -199,20 +256,31 @@ def profile_table(
 ) -> dict[str, ColumnProfile]:
     """Profile all (or selected) columns of ``df`` in two Spark jobs.
 
-    ``exact_distinct=True`` uses ``countDistinct`` (needed for the exact
-    uniqueness rule at test scale); ``False`` uses HyperLogLog++
-    (``approx_count_distinct``) — the scale path, in which uniqueness
-    candidates must be confirmed with ``validator.duplicate_keys``
-    (candidate-then-verify, SURVEY.md §4).
+    ``exact_distinct=True`` overlays EXACT per-column distinct counts
+    from the melted top-k pass (hash aggregate, no Expand — see
+    ``top_values_and_distinct``); ``False`` keeps the HyperLogLog++
+    estimates (``approx_count_distinct``) from JOB 1 — the scale path,
+    in which uniqueness candidates must be confirmed with
+    ``validator.duplicate_keys`` (candidate-then-verify, SURVEY.md §4).
+    JOB 1 itself ALWAYS uses HLL: fusing 20+ ``countDistinct``s into
+    one agg makes Catalyst plan an Expand that multiplies every input
+    row by the number of distinct aggregates before partial
+    aggregation, re-evaluating the 17 pattern regexes on each copy.
     """
     columns = list(columns or df.columns)
     dtypes = dict((f.name, f.dataType) for f in df.schema.fields)
 
-    row = df.agg(*stat_exprs(df, columns, exact_distinct, detect_patterns)).collect()[0]
+    row = df.agg(*stat_exprs(df, columns, False, detect_patterns)).collect()[0]
     stats = row.asDict()
     total = stats["__total__"]
 
-    tops = top_values(df, columns) if with_examples else {}
+    tops: dict = {}
+    exact_counts: dict = {}
+    if with_examples or exact_distinct:
+        tops, exact_counts = top_values_and_distinct(df, columns)
+    if exact_distinct:
+        for c, n in exact_counts.items():
+            stats[f"{c}__distinct"] = n
 
     profiles: dict[str, ColumnProfile] = {}
     for c in columns:
@@ -236,10 +304,12 @@ def profile_table(
             # prefix/suffix only when the column has more than one
             # distinct value (reference: pattern_detector.py:113-115)
             if non_null > 0 and (p.distinct_count or 0) > 1:
-                if stats.get(f"{c}__pre_d") == 1:
-                    p.starts_with = stats.get(f"{c}__pre_v")
-                if stats.get(f"{c}__suf_d") == 1:
-                    p.ends_with = stats.get(f"{c}__suf_v")
+                pre_min, pre_max = stats.get(f"{c}__pre_min"), stats.get(f"{c}__pre_max")
+                if pre_min is not None and pre_min == pre_max:
+                    p.starts_with = pre_min
+                suf_min, suf_max = stats.get(f"{c}__suf_min"), stats.get(f"{c}__suf_max")
+                if suf_min is not None and suf_min == suf_max:
+                    p.ends_with = suf_min
             if detect_patterns and non_null > 0:
                 ratios = {
                     name: stats.get(f"{c}__pat__{name}") for name in NAMED_PATTERNS

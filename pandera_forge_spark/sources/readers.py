@@ -50,8 +50,23 @@ def read_csv(
         )
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_parquet(
+    spark: SparkSession, path: str, min_partitions: Optional[int] = None
+) -> DataFrame:
+    """Parquet scan; with ``min_partitions``, small inputs are fanned
+    out so CPU-heavy per-row work (regex sweeps, shingling, hashing)
+    parallelizes.
+
+    A single small parquet file scans as ONE split (and one row group
+    can't be split at all), serializing everything above it on one
+    core. At warehouse scale inputs arrive as many files/row-groups and
+    this is a no-op — the repartition only fires when the scan has
+    fewer splits than requested.
+    """
+    df = spark.read.parquet(path)
+    if min_partitions and df.rdd.getNumPartitions() < min_partitions:
+        df = df.repartition(min_partitions)
+    return df
 
 
 def read_table(
