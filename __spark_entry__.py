@@ -692,6 +692,230 @@ FROM embeddings ORDER BY 1
 """
 
 
+def q_profile_by_group_lineitem(spark, sf_dir):
+    """Per-partition fused profiling (north-rule per-partition stats):
+    one grouped aggregation, all columns x stats, nothing collected."""
+    from pandera_forge_spark.profiler import profile_by_group
+
+    li = _t(spark, sf_dir, "lineitem")
+    g = profile_by_group(li, ["l_returnflag"], columns=["l_quantity", "l_extendedprice"])
+    return g.select(
+        "l_returnflag",
+        F.col("__total__").alias("n_rows"),
+        F.col("l_quantity__nulls").alias("qty_nulls"),
+        F.col("l_quantity__min").alias("qty_min"),
+        F.col("l_quantity__max").alias("qty_max"),
+        F.round(F.col("l_quantity__mean"), 4).alias("qty_avg"),
+        F.col("l_extendedprice__min").alias("price_min"),
+        F.col("l_extendedprice__max").alias("price_max"),
+    ).orderBy("l_returnflag")
+
+
+SQL_PROFILE_BY_GROUP_LINEITEM = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qty_nulls,
+       MIN(l_quantity) AS qty_min,
+       MAX(l_quantity) AS qty_max,
+       ROUND(AVG(l_quantity), 4) AS qty_avg,
+       MIN(l_extendedprice) AS price_min,
+       MAX(l_extendedprice) AS price_max
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring + punct/stopword ratios — closed-form column
+    algebra, reproduced exactly by the DuckDB oracle."""
+    from pandera_forge_spark.operators.text import (
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(punct_ratio(c), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 4).alias("stop_ratio"),
+        F.round(quality_score(c), 4).alias("quality"),
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks,
+         CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+         CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_letters,
+         CAST(LENGTH(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','it','for','with'))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS stop_ratio,
+         n_chars, n_letters, n_upper
+  FROM t
+)
+SELECT doc_id,
+       ROUND(punct_ratio, 4) AS punct_ratio,
+       ROUND(stop_ratio, 4) AS stop_ratio,
+       ROUND(LEAST(n_chars / 500.0, 1.0) * 0.3
+             + LEAST(stop_ratio * 4.0, 1.0) * 0.3
+             + GREATEST(1.0 - punct_ratio * 3.0, 0.0) * 0.25
+             + GREATEST(1.0 - CASE WHEN n_letters > 0 THEN n_upper / n_letters ELSE 0.0 END, 0.0) * 0.15,
+             4) AS quality
+FROM r ORDER BY 1
+"""
+
+
+def q_language_id(spark, sf_dir):
+    """Stopword-argmax language ID, aggregated per detected language."""
+    from pandera_forge_spark.operators.text import detect_language
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(detect_language(F.col("text")).alias("lang_detected"))
+        .groupBy("lang_detected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_detected")
+    )
+
+
+_LANG_SCORE_SQL = {
+    "en": "('the','and','of','to','in','is','that','it','for','with')",
+    "de": "('der','die','das','und','ist','nicht','ein','mit','von','zu')",
+    "fr": "('le','la','les','et','est','pas','des','une','que','pour')",
+    "es": "('el','la','los','que','de','es','en','un','por','con')",
+}
+
+SQL_LANGUAGE_ID = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+""" + ",\n".join(
+    f"         CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN {words})) AS DOUBLE)/len(toks) ELSE 0.0 END AS s_{lang}"
+    for lang, words in _LANG_SCORE_SQL.items()
+) + r"""
+  FROM t
+), d AS (
+  SELECT doc_id,
+         GREATEST(s_en, s_de, s_fr, s_es) AS best,
+         CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+              WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+              WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+              WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+              ELSE 'de' END AS lang_detected
+  FROM s
+)
+SELECT lang_detected, COUNT(*) AS n_docs FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_ngram_jaccard_planted(spark, sf_dir):
+    """All-pairs n-gram Jaccard (the O(n^2) verification path) on the
+    planted corpus, scoped to the planted pair offset."""
+    from pandera_forge_spark.operators.dedup import ngram_jaccard_pairs
+
+    planted = _planted_near(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(planted, "text", "doc_id", threshold=0.6)
+    return (
+        pairs.where(F.col("id_b") - F.col("id_a") == 1000000)
+        .select("id_a", "id_b")
+        .orderBy("id_a")
+    )
+
+
+def q_knn_join(spark, sf_dir):
+    """Brute-force k-NN join: 3 broadcast query vectors vs the corpus,
+    top-3 each by cosine."""
+    from pandera_forge_spark.operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries_df = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_join(emb, queries_df, k=3)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+    ).orderBy("query_id", "rank")
+
+
+SQL_KNN_JOIN = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cos6
+  FROM embeddings c, embeddings q WHERE q.vec_id < 3
+), ranked AS (
+  SELECT query_id, vec_id, cos6,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, ROUND(cos6, 4) AS cosine
+FROM ranked WHERE rank <= 3 ORDER BY 1, 2
+"""
+
+
+def q_duplicate_order_rows(spark, sf_dir):
+    """Full violation rows for duplicated keys (semi-join back), on a
+    frame with planted duplicate orderkeys."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    planted = o.unionByName(
+        o.where(F.col("o_orderkey") % 501 == 0).withColumn(
+            "o_custkey", F.col("o_custkey") + 7
+        )
+    )
+    from pandera_forge_spark.validator import duplicate_rows
+
+    return duplicate_rows(planted, ["o_orderkey"]).orderBy("o_orderkey", "o_custkey")
+
+
+SQL_DUPLICATE_ORDER_ROWS = """
+WITH planted AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey + 7 FROM orders WHERE o_orderkey % 501 = 0
+)
+SELECT o_orderkey, o_custkey FROM planted
+WHERE o_orderkey IN (
+  SELECT o_orderkey FROM planted GROUP BY 1 HAVING COUNT(*) > 1
+)
+ORDER BY 1, 2
+"""
+
+
+def q_drift_verdicts_orders(spark, sf_dir):
+    """Thresholded drift verdicts per partition (conventional PSI>=0.2
+    / KS>=0.1 cuts — far from the observed values, so float noise
+    cannot flip the boolean)."""
+    from pandera_forge_spark.drift import drift_verdicts
+
+    o = _t(spark, sf_dir, "orders")
+    base = baseline_summary(o, "o_totalprice", edges=DRIFT_EDGES)
+    v = drift_verdicts(o, "o_totalprice", ["o_orderpriority"], base)
+    return v.select(
+        "o_orderpriority", "n", F.round("psi", 6).alias("psi"), "drifted"
+    ).orderBy("o_orderpriority")
+
+
+def _sql_drift_verdicts() -> str:
+    inner = _sql_drift_orders().replace("ORDER BY 1", "")
+    return f"""
+SELECT o_orderpriority, n, psi, (psi >= 0.2 OR ks >= 0.1) AS drifted
+FROM ({inner}) ORDER BY 1
+"""
+
+
 def q_inferred_schema_region(spark, sf_dir):
     """End-to-end inference on region rendered as (column, constraint)
     rows — checks the inference rules themselves against closed-form
@@ -760,6 +984,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_norms": q_embedding_norms,
         "inferred_schema_region": q_inferred_schema_region,
+        "profile_by_group_lineitem": q_profile_by_group_lineitem,
+        "text_quality": q_text_quality,
+        "language_id": q_language_id,
+        "ngram_jaccard_planted": q_ngram_jaccard_planted,
+        "knn_join": q_knn_join,
+        "duplicate_order_rows": q_duplicate_order_rows,
+        "drift_verdicts_orders": q_drift_verdicts_orders,
     }
 
 
@@ -790,4 +1021,13 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": SQL_COSINE_TOPK,
         "embedding_norms": SQL_EMBEDDING_NORMS,
         "inferred_schema_region": SQL_INFERRED_SCHEMA_REGION,
+        "profile_by_group_lineitem": SQL_PROFILE_BY_GROUP_LINEITEM,
+        "text_quality": SQL_TEXT_QUALITY,
+        "language_id": SQL_LANGUAGE_ID,
+        # same closed-form planted ground truth as the minhash path —
+        # the O(n^2) verifier must find exactly the planted pairs too
+        "ngram_jaccard_planted": SQL_NEAR_DUP_MINHASH,
+        "knn_join": SQL_KNN_JOIN,
+        "duplicate_order_rows": SQL_DUPLICATE_ORDER_ROWS,
+        "drift_verdicts_orders": _sql_drift_verdicts(),
     }

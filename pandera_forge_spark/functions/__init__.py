@@ -1,0 +1,73 @@
+"""The engine's scalar/array function surface (SURVEY.md §2.8), in one
+namespace.
+
+Everything here is a ``Column -> Column`` expression builder backed by
+built-in ``pyspark.sql.functions`` (JVM-side, whole-stage codegen — no
+Python in the hot path). Grouped by family:
+
+- string/pattern: the 17 named regexes + match-ratio aggregates
+  (reference: pattern_detector.py:26-46)
+- text analytics: tokenization, counts, quality, language ID,
+  fingerprints (training-data additions)
+- similarity: dot/norm/cosine over array<float> embeddings
+- dedup hashing: shingles, jaccard, simhash, hamming
+- spans: interleaved-document invariants and canonicalization
+"""
+
+from pandera_forge_spark.patterns import (
+    NAMED_PATTERNS,
+    match_ratio_expr,
+    pattern_ratio_exprs,
+)
+from pandera_forge_spark.operators.text import (
+    char_count,
+    detect_language,
+    fingerprint,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    tokens,
+    upper_ratio,
+    word_count_bpe_ish,
+)
+from pandera_forge_spark.operators.similarity import cosine, dot, norm
+from pandera_forge_spark.operators.dedup import (
+    hamming64,
+    hashed_shingles,
+    jaccard,
+    shingles,
+    simhash64,
+)
+from pandera_forge_spark.spans import (
+    canonical_spans,
+    kind_consistency_ok,
+    offsets_nondecreasing,
+)
+
+__all__ = [
+    "NAMED_PATTERNS",
+    "match_ratio_expr",
+    "pattern_ratio_exprs",
+    "char_count",
+    "detect_language",
+    "fingerprint",
+    "punct_ratio",
+    "quality_score",
+    "stopword_ratio",
+    "token_count",
+    "tokens",
+    "upper_ratio",
+    "word_count_bpe_ish",
+    "cosine",
+    "dot",
+    "norm",
+    "hamming64",
+    "hashed_shingles",
+    "jaccard",
+    "shingles",
+    "simhash64",
+    "canonical_spans",
+    "kind_consistency_ok",
+    "offsets_nondecreasing",
+]

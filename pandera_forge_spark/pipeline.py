@@ -33,10 +33,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pandera_forge_spark.spans import (
-    canonical_spans,
     kind_consistency_ok,
     offsets_nondecreasing,
 )
+
+
+def _sequence_hash(spans) -> "F.Column":
+    """Order-sensitive 64-bit hash of the (kind, text, media_ref)
+    sequence, hashing the three pruned FIELD ARRAYS directly.
+
+    Hashing ``transform``-built canonical structs costs ~4x more (the
+    lambda runs in the CodegenFallback interpreter and the full struct
+    array is materialized per row); ``spans.kind`` etc. are
+    GetArrayStructFields extractions that stay in codegen and let
+    Catalyst generate only the needed fields.
+
+    Caveat: Spark's hash folds SKIP null array elements, so two
+    sequences that differ only by moving a null among otherwise
+    identical non-null folds (e.g. texts [a,NULL,b] vs [a,b,NULL])
+    alias. Such a doc necessarily violates the kind/text/media_ref
+    consistency contract on one side (null pattern must follow kinds),
+    so it is still flagged — through the consistency channel — and the
+    exact comparator (spans.span_sequence_mismatches) remains the
+    forensic path.
+    """
+    return F.xxhash64(
+        spans.getField("kind"), spans.getField("text"), spans.getField("media_ref")
+    )
 
 
 def interleaved_verdicts(
@@ -63,7 +86,7 @@ def interleaved_verdicts(
         F.col(bucket_col).alias("__bucket"),
         (~offsets_nondecreasing(spans)).cast("long").alias("__order_bad"),
         (~kind_consistency_ok(spans)).cast("long").alias("__cons_bad"),
-        F.xxhash64(canonical_spans(spans)).alias("__h"),
+        _sequence_hash(spans).alias("__h"),
     )
     per_doc = a.groupBy("__id").agg(
         F.max("__bucket").alias("__bucket"),
@@ -73,7 +96,7 @@ def interleaved_verdicts(
         F.max("__h").alias("__h"),
     )
 
-    e_cols = [F.col(id_col).alias("__id"), F.xxhash64(canonical_spans(spans)).alias("__eh")]
+    e_cols = [F.col(id_col).alias("__id"), _sequence_hash(spans).alias("__eh")]
     if bucket_col in expected.columns:
         e_cols.append(F.col(bucket_col).alias("__ebucket"))
     e = expected.select(*e_cols)

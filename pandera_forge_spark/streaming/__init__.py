@@ -1,0 +1,16 @@
+"""Incremental (streaming) validation.
+
+The reference is strictly batch (SURVEY.md §2.10: no watermarks,
+windows, or state anywhere), and the north rule's resumability is
+batch-checkpoint — the engine's primary path stays the batch
+``runner``. This module is the additive streaming surface: validate
+documents AS THEY ARRIVE with Structured Streaming, reusing the exact
+same check compiler and verdict semantics via ``foreachBatch``.
+"""
+
+from pandera_forge_spark.streaming.validate import (
+    stream_verdicts,
+    validate_stream,
+)
+
+__all__ = ["stream_verdicts", "validate_stream"]

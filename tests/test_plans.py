@@ -1,0 +1,97 @@
+"""Physical-plan regression tests: the performance contract, asserted.
+
+These lock in the plan shapes the engine was tuned to (SURVEY.md §4):
+no Expand in fused profiling, predicate pushdown + column pruning for
+violation extraction, broadcast for small RI parents, no Python UDFs
+anywhere in the hot paths.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_forge_spark.fixtures import make_documents, mutate_documents
+from pandera_forge_spark.pipeline import interleaved_verdicts
+from pandera_forge_spark.plans import (
+    has_broadcast_hash_join,
+    has_expand,
+    has_python_udf,
+    plan_summary,
+    pushed_filters,
+    scan_read_schema,
+)
+from pandera_forge_spark.profiler import profile_by_group, stat_exprs
+from pandera_forge_spark.schema import ColumnSpec, TableSchema
+from pandera_forge_spark.validator import orphan_rows, violation_rows
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+def test_fused_profile_agg_has_no_expand_and_no_udf(spark, lineitem):
+    df = lineitem.agg(*stat_exprs(lineitem, lineitem.columns, False, True))
+    assert not has_expand(df)
+    assert not has_python_udf(df)
+
+
+def test_per_group_profile_has_no_expand(spark, lineitem):
+    df = profile_by_group(lineitem, ["l_returnflag"])
+    assert not has_expand(df)
+    assert not has_python_udf(df)
+
+
+def _le_schema():
+    return TableSchema(
+        name="T",
+        columns=[
+            ColumnSpec(
+                name="l_quantity", sanitized_name="l_quantity", name_was_valid=True,
+                spark_type="double", pandera_type="Float64", nullable=True, le=49.0,
+            )
+        ],
+    )
+
+
+def test_violation_rows_pushes_filter_and_prunes_columns(spark, lineitem):
+    df = violation_rows(lineitem, _le_schema(), ["l_orderkey"])
+    pushed = pushed_filters(df)
+    assert any("l_quantity" in p for p in pushed), pushed
+    schemas = scan_read_schema(df)
+    # column pruning: the scan must read only the id + checked column
+    assert schemas and all(
+        "l_quantity" in s and "l_comment" not in s and "l_shipdate" not in s
+        for s in schemas
+    ), schemas
+
+
+def test_orphan_rows_broadcasts_small_parent(spark, lineitem):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    df = orphan_rows(lineitem, orders, "l_orderkey", "o_orderkey", broadcast_parent=True)
+    assert has_broadcast_hash_join(df)
+
+
+def test_flagship_pipeline_plan_is_narrow(spark):
+    clean = make_documents(spark, 200)
+    actual = mutate_documents(clean)
+    df = interleaved_verdicts(actual, clean)
+    s = plan_summary(df)
+    assert not s["python_udf"]
+    assert not s["expand"]
+    # one groupBy(doc_id), the equality join, the final bucket rollup —
+    # anything beyond ~4 exchanges means a regression re-shuffled spans
+    assert s["shuffles"] <= 4, s
+
+
+def test_span_flags_projection_stays_codegen(spark):
+    from pandera_forge_spark.spans import kind_consistency_ok, offsets_nondecreasing
+
+    docs = make_documents(spark, 100)
+    df = docs.select(
+        (~offsets_nondecreasing(F.col("spans"))).alias("a"),
+        (~kind_consistency_ok(F.col("spans"))).alias("b"),
+    )
+    assert not has_python_udf(df)
+    assert plan_summary(df)["shuffles"] == 0
