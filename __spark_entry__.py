@@ -916,6 +916,58 @@ FROM ({inner}) ORDER BY 1
 """
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Arrow-batched (mapInPandas) feature extraction over the
+    deterministic media fixture. The stub kernel emits unit-norm
+    sha256-derived vectors, so payload size and norms are closed-form:
+    every payload is 'payload:' + md5hex = 40 bytes, every feature is
+    unit length."""
+    from pandera_forge_spark.operators.multimodal import (
+        extract_features,
+        make_media_fixture,
+    )
+
+    media = make_media_fixture(spark, 300)
+    feats = extract_features(media)
+    sq = F.aggregate(
+        F.transform(F.col("feature"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.min("n_bytes").cast("long").alias("bytes_min"),
+        F.max("n_bytes").cast("long").alias("bytes_max"),
+        F.min(F.size("feature")).cast("long").alias("dim"),
+        F.sum((F.round(F.sqrt(sq), 4) == 1.0).cast("long")).alias("unit_norm_rows"),
+    )
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT CAST(300 AS BIGINT) AS n_media,
+       CAST(40 AS BIGINT) AS bytes_min,
+       CAST(40 AS BIGINT) AS bytes_max,
+       CAST(16 AS BIGINT) AS dim,
+       CAST(300 AS BIGINT) AS unit_norm_rows
+"""
+
+
+def q_frame_sample_plan(spark, sf_dir):
+    """Video frame-sampling fan-out plan (rows-only driver check: the
+    per-row duration comes from seeded xxhash64, which DuckDB cannot
+    reproduce)."""
+    from pandera_forge_spark.operators.multimodal import (
+        frame_sample_plan,
+        make_media_fixture,
+    )
+
+    media = make_media_fixture(spark, 300)
+    plan = frame_sample_plan(media, every_ms=1000)
+    return plan.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    ).orderBy("media_id")
+
+
 def q_inferred_schema_region(spark, sf_dir):
     """End-to-end inference on region rendered as (column, constraint)
     rows — checks the inference rules themselves against closed-form
@@ -991,6 +1043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "duplicate_order_rows": q_duplicate_order_rows,
         "drift_verdicts_orders": q_drift_verdicts_orders,
+        "multimodal_features": q_multimodal_features,
+        "frame_sample_plan": q_frame_sample_plan,
     }
 
 
@@ -1030,4 +1084,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": SQL_KNN_JOIN,
         "duplicate_order_rows": SQL_DUPLICATE_ORDER_ROWS,
         "drift_verdicts_orders": _sql_drift_verdicts(),
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        # frame_sample_plan: no oracle — per-row durations derive from
+        # Spark's seeded xxhash64 (not reproducible in DuckDB); the
+        # driver records the weaker rows-only check for it.
     }

@@ -181,6 +181,8 @@ def headline_queries(spark, sf_dir: str, flagship_docs: int = BENCH_DOCS):
 
     def q_infer_validate_lineitem():
         li = t("lineitem")
+        # "auto" = the scale path: HLL + small-domain melt + exact
+        # duplicate-existence probes for uniqueness candidates
         schema = infer_schema(li, "Lineitem", detect_patterns=False)
         return validate_table(
             li, schema, partition_cols=["l_returnflag"], check_unique=False

@@ -142,12 +142,20 @@ def infer_schema(
     df: DataFrame,
     name: str = "GeneratedModel",
     columns: Optional[Sequence[str]] = None,
-    exact_distinct: bool = True,
+    exact_distinct="auto",
     detect_patterns: bool = True,
 ) -> TableSchema:
-    """Profile ``df`` (two Spark jobs total) and infer its constraint
-    schema — the distributed replacement for the reference's
-    ``ModelGenerator.generate`` lifecycle (SURVEY.md §3)."""
+    """Profile ``df`` and infer its constraint schema — the distributed
+    replacement for the reference's ``ModelGenerator.generate``
+    lifecycle (SURVEY.md §3).
+
+    Default ``exact_distinct="auto"`` is the warehouse-scale path:
+    HLL everywhere, exact distinct counts only for HLL-small domains
+    (the only ones the isin rule can fire on), and uniqueness settled
+    by an exact duplicate-existence probe instead of materializing a
+    near-unique column's entire distinct set through a shuffle. Pass
+    ``True`` for full exact parity (every column melted, top-5
+    examples even for high-cardinality columns)."""
     profiles = profile_table(
         df,
         columns=columns,

@@ -247,21 +247,39 @@ def _none_if_nan(v):
     return v
 
 
+AUTO_SMALL_DOMAIN = 1000  # melt/exact threshold in "auto" mode
+AUTO_UNIQUE_CANDIDATE = 0.9  # hll/total ratio that triggers verification
+
+
 def profile_table(
     df: DataFrame,
     columns: Optional[Sequence[str]] = None,
-    exact_distinct: bool = True,
+    exact_distinct="auto",
     detect_patterns: bool = True,
     with_examples: bool = True,
 ) -> dict[str, ColumnProfile]:
-    """Profile all (or selected) columns of ``df`` in two Spark jobs.
+    """Profile all (or selected) columns of ``df``.
 
-    ``exact_distinct=True`` overlays EXACT per-column distinct counts
-    from the melted top-k pass (hash aggregate, no Expand — see
-    ``top_values_and_distinct``); ``False`` keeps the HyperLogLog++
-    estimates (``approx_count_distinct``) from JOB 1 — the scale path,
-    in which uniqueness candidates must be confirmed with
-    ``validator.duplicate_keys`` (candidate-then-verify, SURVEY.md §4).
+    ``exact_distinct`` modes:
+
+    - ``"auto"`` (default — the 100 TB path): JOB 1 gives HLL
+      estimates; only columns the HLL says are SMALL-domain
+      (<= AUTO_SMALL_DOMAIN) go through the melted pass for exact
+      distinct counts + examples — the isin/examples rules only care
+      about those — and columns the HLL flags as uniqueness candidates
+      (>= 90% of rows distinct, no nulls) are settled with an exact
+      duplicate-EXISTENCE check (``validator.has_duplicate_keys``,
+      early-exit limit(1)). A near-unique column thus never pushes its
+      full distinct set through a shuffle: the melt volume is bounded
+      by AUTO_SMALL_DOMAIN x columns, and the verify is a groupBy that
+      short-circuits. High-cardinality non-candidates keep HLL counts
+      (``distinct_is_exact=False``) and get no examples.
+    - ``True``: melt EVERY column for exact distinct counts + examples
+      (test/oracle scale; exact-parity with the reference's semantics
+      including top-5 examples for high-cardinality columns).
+    - ``False``: HLL only, no verification — fastest single-pass;
+      ``is_unique`` is then never claimed (estimates don't prove it).
+
     JOB 1 itself ALWAYS uses HLL: fusing 20+ ``countDistinct``s into
     one agg makes Catalyst plan an Expand that multiplies every input
     row by the number of distinct aggregates before partial
@@ -274,24 +292,54 @@ def profile_table(
     stats = row.asDict()
     total = stats["__total__"]
 
+    auto = exact_distinct == "auto"
     tops: dict = {}
     exact_counts: dict = {}
-    if with_examples or exact_distinct:
+    verified: dict[str, bool] = {}
+    if auto:
+        small = [
+            c
+            for c in columns
+            if _is_simple(dtypes[c])
+            and (stats.get(f"{c}__distinct") or 0) <= AUTO_SMALL_DOMAIN
+        ]
+        if with_examples and small:
+            tops, exact_counts = top_values_and_distinct(df, small)
+            for c, n in exact_counts.items():
+                stats[f"{c}__distinct"] = n
+        from pandera_forge_spark.validator import has_duplicate_keys
+
+        for c in columns:
+            if not _is_simple(dtypes[c]) or c in exact_counts:
+                continue
+            hll = stats.get(f"{c}__distinct")
+            nulls = stats.get(f"{c}__nulls") or 0
+            if (
+                hll is not None
+                and total > 0
+                and nulls == 0
+                and hll >= AUTO_UNIQUE_CANDIDATE * total
+            ):
+                verified[c] = not has_duplicate_keys(df, [c])
+    elif exact_distinct and (with_examples or exact_distinct):
         tops, exact_counts = top_values_and_distinct(df, columns)
-    if exact_distinct:
         for c, n in exact_counts.items():
             stats[f"{c}__distinct"] = n
+    elif with_examples:
+        tops, _ = top_values_and_distinct(df, columns)
 
     profiles: dict[str, ColumnProfile] = {}
     for c in columns:
         dt = dtypes[c]
+        col_exact = exact_distinct is True or (auto and c in exact_counts)
         p = ColumnProfile(
             name=c,
             spark_type=dt.simpleString(),
             total_count=total,
             null_count=stats.get(f"{c}__nulls") or 0,
             distinct_count=stats.get(f"{c}__distinct"),
-            distinct_is_exact=exact_distinct,
+            distinct_is_exact=col_exact,
+            unique_verified=verified.get(c),
             min_value=_none_if_nan(stats.get(f"{c}__min")),
             max_value=_none_if_nan(stats.get(f"{c}__max")),
             mean=_none_if_nan(stats.get(f"{c}__mean")),

@@ -60,6 +60,10 @@ class ColumnProfile:
     null_count: int = 0
     distinct_count: Optional[int] = None  # exact when exact=True, else HLL estimate
     distinct_is_exact: bool = True
+    # set by the candidate-then-verify path (profile_table "auto"):
+    # an exact duplicate-existence check confirmed/refuted uniqueness
+    # without materializing the full distinct set
+    unique_verified: Optional[bool] = None
     min_value: Any = None
     max_value: Any = None
     mean: Optional[float] = None
@@ -81,9 +85,16 @@ class ColumnProfile:
     def is_unique(self) -> bool:
         """distinct == rows AND no nulls — nulls break uniqueness even when
         non-null values are all distinct (reference: field_analyzer.py:34-38,
-        spark/spark_field_analyzer.py:45)."""
+        spark/spark_field_analyzer.py:45).
+
+        An HLL estimate NEVER drives a uniqueness claim: either the
+        distinct count is exact, or the candidate-then-verify pass set
+        ``unique_verified`` from an exact duplicate-existence check."""
+        if self.unique_verified is not None:
+            return self.unique_verified and self.null_count == 0
         return (
-            self.distinct_count is not None
+            self.distinct_is_exact
+            and self.distinct_count is not None
             and self.distinct_count == self.total_count
             and self.null_count == 0
         )

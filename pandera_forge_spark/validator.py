@@ -189,6 +189,24 @@ def duplicate_keys(
     return counted.where(F.col("dup_count") > 1)
 
 
+def has_duplicate_keys(df: DataFrame, key_cols: Sequence[str]) -> bool:
+    """EXISTENCE of any duplicate key — the cheap exact verifier for
+    HLL-flagged uniqueness candidates (candidate-then-verify,
+    SURVEY.md §4). One hash-shuffle groupBy, then ``limit(1)``: Spark
+    stops as soon as a single duplicate group surfaces, so refuting a
+    false candidate costs far less than counting every duplicate."""
+    return (
+        len(
+            df.groupBy(*[F.col(k) for k in key_cols])
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        > 0
+    )
+
+
 def duplicate_rows(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
     """Full violation rows for duplicated keys: semi-join the table back
     to its duplicate keys. Broadcast the (usually tiny) duplicate-key

@@ -135,3 +135,29 @@ def test_complex_types_skipped_in_distinct(spark):
     assert p.distinct_count is None
     assert p.null_count == 0
     assert p.spark_type == "array<int>"
+
+
+def test_auto_mode_candidate_then_verify(spark):
+    """'auto' never melts a high-cardinality column: HLL screens,
+    an exact duplicate-existence probe settles uniqueness."""
+    n = 5000
+    df = spark.range(n).select(
+        F.col("id").alias("uid"),                      # unique candidate -> verified True
+        F.when(F.col("id") == 17, F.lit(16)).otherwise(F.col("id")).alias("dup1"),
+        # one duplicated value, still ~n distinct      -> verified False
+        (F.col("id") % 7).alias("small"),              # small domain -> exact melt
+        (F.col("id") % 3000).alias("mid"),             # big domain, not near-unique
+    )
+    p = profile_table(df, exact_distinct="auto", detect_patterns=False)
+
+    assert p["uid"].unique_verified is True and p["uid"].is_unique
+    assert not p["uid"].distinct_is_exact  # HLL estimate kept, no melt
+
+    assert p["dup1"].unique_verified is False and not p["dup1"].is_unique
+
+    assert p["small"].distinct_is_exact and p["small"].distinct_count == 7
+    assert sorted(p["small"].examples) == list(range(7))
+
+    assert not p["mid"].distinct_is_exact
+    assert p["mid"].unique_verified is None and not p["mid"].is_unique
+    assert p["mid"].examples == []
