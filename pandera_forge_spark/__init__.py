@@ -32,11 +32,12 @@ from pandera_forge_spark.schema import (
 from pandera_forge_spark.sanitizer import sanitize_class_name, sanitize_column_name
 from pandera_forge_spark.patterns import NAMED_PATTERNS
 from pandera_forge_spark.profiler import profile_by_group, profile_table
-from pandera_forge_spark.inference import infer_schema
+from pandera_forge_spark.inference import infer_schema, infer_semantic_type
 from pandera_forge_spark.pipeline import interleaved_verdicts
 from pandera_forge_spark.validator import (
     duplicate_keys,
     duplicate_rows,
+    has_duplicate_keys,
     orphan_rows,
     validate_table,
     violation_rows,
@@ -56,10 +57,12 @@ __all__ = [
     "profile_table",
     "profile_by_group",
     "infer_schema",
+    "infer_semantic_type",
     "interleaved_verdicts",
     "validate_table",
     "violation_rows",
     "duplicate_keys",
     "duplicate_rows",
+    "has_duplicate_keys",
     "orphan_rows",
 ]

@@ -26,6 +26,8 @@ ROW_LEVEL_KINDS = (
     "max_length",
     "starts_with",
     "ends_with",
+    "custom_sql",
+    "custom_pandas",
 )
 # "unique" is table-level (needs a shuffle) — handled by
 # validator.duplicate_keys, not compiled here.
@@ -58,6 +60,21 @@ def compile_check(check: Check) -> Column:
         return col.isNull() | col.cast("string").startswith(check.value)
     if k == "ends_with":
         return col.isNull() | col.cast("string").endswith(check.value)
+    if k == "custom_sql":
+        # arbitrary boolean SQL over the row — still JVM/codegen; the
+        # expression owns its null semantics
+        return F.expr(check.value)
+    if k == "custom_pandas":
+        # the sanctioned escape hatch for semantics SQL can't express:
+        # an Arrow-vectorized pandas UDF (Series -> bool Series), never
+        # row-at-a-time Python (north_star: "constraint predicates
+        # compile to Spark SQL expressions or vectorized pandas/Arrow
+        # UDFs"). Null rows pass, mirroring the value checks above.
+        from pyspark.sql.functions import pandas_udf
+
+        fn = check.value
+        udf = pandas_udf(fn, "boolean")
+        return col.isNull() | F.coalesce(udf(col), F.lit(False))
     raise ValueError(f"not a row-level check kind: {k}")
 
 

@@ -125,6 +125,35 @@ def spec_from_profile(profile: ColumnProfile) -> ColumnSpec:
     return spec
 
 
+# Ordered (first match wins) name-substring -> semantic type rules,
+# matching the reference's heuristic fallback exactly
+# (reference: llm_enricher.py:217-250; the LLM call itself is out of
+# engine scope — SURVEY.md §2.12 V4 keeps only this pure heuristic).
+_SEMANTIC_RULES: list[tuple[tuple[str, ...], str]] = [
+    (("id", "identifier", "key"), "identifier"),
+    (("name", "title"), "name"),
+    (("email", "mail"), "email"),
+    (("phone", "tel", "mobile"), "phone"),
+    (("date", "time", "timestamp"), "temporal"),
+    (("price", "cost", "amount", "total"), "monetary"),
+    (("count", "quantity", "number"), "quantity"),
+    (("url", "link", "website"), "url"),
+    (("address", "street", "city", "zip"), "address"),
+    (("description", "comment", "note"), "text"),
+    (("status", "state", "type", "category"), "categorical"),
+    (("flag", "is_", "has_", "enabled"), "boolean"),
+]
+
+
+def infer_semantic_type(column_name: str) -> str:
+    """Name-based semantic type ('unknown' when nothing matches)."""
+    low = column_name.lower()
+    for needles, semantic in _SEMANTIC_RULES:
+        if any(n in low for n in needles):
+            return semantic
+    return "unknown"
+
+
 def schema_from_profiles(
     name: str, profiles: dict[str, ColumnProfile]
 ) -> TableSchema:
@@ -144,10 +173,12 @@ def infer_schema(
     columns: Optional[Sequence[str]] = None,
     exact_distinct="auto",
     detect_patterns: bool = True,
+    semantic_types: bool = False,
 ) -> TableSchema:
     """Profile ``df`` and infer its constraint schema — the distributed
     replacement for the reference's ``ModelGenerator.generate``
-    lifecycle (SURVEY.md §3).
+    lifecycle (SURVEY.md §3). ``semantic_types=True`` annotates each
+    column with the name-heuristic semantic type (V4's non-LLM half).
 
     Default ``exact_distinct="auto"`` is the warehouse-scale path:
     HLL everywhere, exact distinct counts only for HLL-small domains
@@ -162,4 +193,10 @@ def infer_schema(
         exact_distinct=exact_distinct,
         detect_patterns=detect_patterns,
     )
-    return schema_from_profiles(name, profiles)
+    schema = schema_from_profiles(name, profiles)
+    if semantic_types:
+        for spec in schema.columns:
+            sem = infer_semantic_type(spec.name)
+            if sem != "unknown":
+                spec.description = sem
+    return schema

@@ -113,6 +113,8 @@ CHECK_KINDS = (
     "starts_with",
     "ends_with",
     "dtype",
+    "custom_sql",  # value = boolean SQL expression string (JVM-side)
+    "custom_pandas",  # value = pd.Series -> bool pd.Series callable (Arrow)
 )
 
 
@@ -128,10 +130,11 @@ class Check:
     column: str
     kind: str
     value: Any = None
+    label: Optional[str] = None  # disambiguates multiple custom checks
 
     @property
     def name(self) -> str:
-        return f"{self.column}__{self.kind}"
+        return self.label or f"{self.column}__{self.kind}"
 
 
 @dataclass
@@ -188,9 +191,14 @@ class TableSchema:
 
     name: str  # sanitized class-name form
     columns: list[ColumnSpec] = field(default_factory=list)
+    # user-registered checks beyond the inferred ones (custom_sql /
+    # custom_pandas / additional bounds) — validated alongside
+    extra_checks: list[Check] = field(default_factory=list)
 
     def checks(self) -> list[Check]:
-        return [c for spec in self.columns for c in spec.checks()]
+        return [c for spec in self.columns for c in spec.checks()] + list(
+            self.extra_checks
+        )
 
     def column(self, name: str) -> ColumnSpec:
         for spec in self.columns:

@@ -131,24 +131,37 @@ def violation_rows(
         return spark.createDataFrame(
             [], schema=", ".join([f"`{c}` string" for c in id_cols]) + ", check string, value string"
         )
+    # evaluate each predicate ONCE in a projection (a custom_pandas
+    # check would otherwise run its Arrow UDF twice — once in the
+    # pushdown filter, once in the melted array — and duplicate
+    # attribute names confuse the UDF-extraction rewrite)
+    flag_cols = [(~compile_check(c)).alias(f"__failed_{i}") for i, c in enumerate(checks)]
+    flagged = df.select(*df.columns, *flag_cols)
+    any_failed = None
+    for i in range(len(checks)):
+        f = F.col(f"__failed_{i}")
+        any_failed = f if any_failed is None else (any_failed | f)
     entries = F.array(
         *[
             F.struct(
                 F.lit(c.name).alias("check"),
                 F.col(c.column).cast("string").alias("value"),
-                (~compile_check(c)).alias("failed"),
+                F.col(f"__failed_{i}").alias("failed"),
             )
-            for c in checks
+            for i, c in enumerate(checks)
         ]
     )
-    any_failed = None
-    for c in checks:
-        failed = ~compile_check(c)
-        any_failed = failed if any_failed is None else (any_failed | failed)
     bad = (
-        df.where(any_failed)
-        .select(*id_cols, F.explode(F.filter(entries, lambda e: e["failed"])).alias("v"))
-        .select(*id_cols, F.col("v.check").alias("check"), F.col("v.value").alias("value"))
+        flagged.where(any_failed)
+        .select(
+            *id_cols,
+            F.explode(F.filter(entries, lambda e: e["failed"])).alias("__viol"),
+        )
+        .select(
+            *id_cols,
+            F.col("__viol.check").alias("check"),
+            F.col("__viol.value").alias("value"),
+        )
     )
     if max_per_check is not None:
         from pyspark.sql import Window

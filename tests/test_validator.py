@@ -116,3 +116,55 @@ def test_validation_matches_inferred_schema_roundtrip(spark):
     schema = infer_schema(df, "roundtrip")
     res = validate_table(df, schema)
     assert res.ok, res.error_message
+
+
+def test_custom_sql_check(spark):
+    from pandera_forge_spark.schema import Check, ColumnSpec, TableSchema
+    from pandera_forge_spark.validator import validate_table
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 5.0)], "k long, v double"
+    )
+    schema = TableSchema(
+        name="T",
+        columns=[],
+        extra_checks=[
+            Check("v", "custom_sql", "v >= k * 4", label="v_at_least_4k")
+        ],
+    )
+    res = validate_table(df, schema, check_unique=False)
+    # row (3, 5.0): 5 < 12 -> one violation
+    assert res.counts["v_at_least_4k"] == 1
+    assert not res.ok
+
+
+def test_custom_pandas_check(spark):
+    from pandera_forge_spark.schema import Check, ColumnSpec, TableSchema
+    from pandera_forge_spark.validator import validate_table, violation_rows
+
+    def is_even(s):
+        return s % 2 == 0
+
+    df = spark.createDataFrame([(1,), (2,), (4,), (7,), (None,)], "v long")
+    schema = TableSchema(
+        name="T", columns=[], extra_checks=[Check("v", "custom_pandas", is_even)]
+    )
+    res = validate_table(df, schema, check_unique=False)
+    # 1 and 7 fail; null passes (null semantics mirror value checks)
+    assert res.counts["v__custom_pandas"] == 2
+    bad = violation_rows(df, schema, ["v"])
+    assert sorted(r["v"] for r in bad.collect()) == [1, 7]
+
+
+def test_semantic_types_heuristic():
+    from pandera_forge_spark.inference import infer_semantic_type
+
+    # reference llm_enricher.py:217-250 parity, including precedence:
+    # "id" wins over "date" for 'date_id'-style names
+    assert infer_semantic_type("customer_id") == "identifier"
+    assert infer_semantic_type("Email_Address") == "email"
+    assert infer_semantic_type("signup_date") == "temporal"
+    assert infer_semantic_type("total_price") == "monetary"
+    assert infer_semantic_type("order_status") == "categorical"
+    assert infer_semantic_type("is_active") == "boolean"
+    assert infer_semantic_type("xyz") == "unknown"
