@@ -609,11 +609,14 @@ WHERE doc_id % 25 = 0 ORDER BY 1
 
 
 def q_text_metrics(spark, sf_dir):
+    from pandera_forge_spark.operators.text import word_count_bpe_ish
+
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
     return docs.select(
         "doc_id",
         token_count(c).cast("long").alias("n_tokens"),
+        word_count_bpe_ish(c).cast("long").alias("n_tokens_bpe"),
         char_count(c).cast("long").alias("n_chars"),
         fingerprint(c).alias("fingerprint"),
     ).orderBy("doc_id")
@@ -622,6 +625,7 @@ def q_text_metrics(spark, sf_dir):
 SQL_TEXT_METRICS = rf"""
 SELECT doc_id,
        len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
        CAST(LENGTH(text) AS BIGINT) AS n_chars,
        {_FP_SQL.format(c="text")} AS fingerprint
 FROM documents ORDER BY 1
@@ -916,6 +920,33 @@ FROM ({inner}) ORDER BY 1
 """
 
 
+def q_near_dup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup (hyperplane-LSH bucket join + exact
+    cosine verify) on planted exact-duplicate vectors: must find every
+    planted pair. Scoped to the planted id offset because natural
+    near-dup pairs have no closed-form ground truth."""
+    from pandera_forge_spark.operators.similarity import near_duplicates_embedding
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    copies = emb.where(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    pairs = near_duplicates_embedding(emb.unionByName(copies), threshold=0.999)
+    return (
+        pairs.where(F.col("id_b") - F.col("id_a") == 1000000)
+        .select("id_a", "id_b")
+        .orderBy("id_a")
+    )
+
+
+SQL_NEAR_DUP_EMBEDDING = """
+SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+FROM embeddings WHERE vec_id % 10 = 0 ORDER BY 1
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Arrow-batched (mapInPandas) feature extraction over the
     deterministic media fixture. The stub kernel emits unit-norm
@@ -1045,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_verdicts_orders": q_drift_verdicts_orders,
         "multimodal_features": q_multimodal_features,
         "frame_sample_plan": q_frame_sample_plan,
+        "near_dup_embedding": q_near_dup_embedding,
     }
 
 
@@ -1085,6 +1117,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_order_rows": SQL_DUPLICATE_ORDER_ROWS,
         "drift_verdicts_orders": _sql_drift_verdicts(),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "near_dup_embedding": SQL_NEAR_DUP_EMBEDDING,
         # frame_sample_plan: no oracle — per-row durations derive from
         # Spark's seeded xxhash64 (not reproducible in DuckDB); the
         # driver records the weaker rows-only check for it.

@@ -124,6 +124,88 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def near_duplicates_embedding(
+    df: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probes: int = 1,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    cosine >= threshold and id_a < id_b.
+
+    Same candidate-then-verify shape as MinHash-LSH text dedup: bucket
+    on the sign-of-projection hyperplane signature (near-identical
+    vectors collide with probability ~1 at high thresholds), self-join
+    within buckets (plus each vector's ``probes`` lowest-margin
+    single-bit-flip neighbor buckets, catching pairs that straddle a
+    hyperplane), verify candidates with the exact cosine. Shuffle
+    volume is O(n x (1+probes)) bucket rows, never the O(n²) cross
+    join; recall is tunable via bits/probes and the brute-force
+    ``knn_join`` is the correctness baseline."""
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], f"id_a long, id_b long, cosine double"
+        )
+    dim = len(first[0])
+    planes = hyperplanes(dim, bits, seed)
+
+    vec = F.col(vec_col)
+    buckets = F.array(F.struct(lsh_bucket(vec, planes).alias("b")))
+    if probes > 0:
+        # margin-ranked probing needs per-plane projections; emit the
+        # single-bit flips of the `probes` smallest |projection| planes
+        projs = F.array(*[dot(vec, _lit_vec(p)) for p in planes])
+        order = F.array_sort(
+            F.array(
+                *[
+                    F.struct(F.abs(F.element_at(projs, b + 1)).alias("m"), F.lit(b).alias("b"))
+                    for b in range(bits)
+                ]
+            )
+        )
+        base = lsh_bucket(vec, planes)
+        # shift amount is a Column (pyspark shiftleft takes int shifts
+        # only), so build the one-hot mask as 2^b — exact for bits<=52
+        flips = F.array(
+            *[
+                F.struct(
+                    base.bitwiseXOR(
+                        F.pow(F.lit(2.0), F.element_at(order, i + 1)["b"].cast("double"))
+                        .cast("long")
+                    ).alias("b")
+                )
+                for i in range(min(probes, bits))
+            ]
+        )
+        buckets = F.concat(buckets, flips)
+
+    banded = df.select(
+        F.col(id_col), vec.alias("__v"), F.explode(buckets).alias("__bk")
+    ).select(id_col, "__v", F.col("__bk.b").alias("__bucket"))
+
+    a = banded.select(
+        F.col("__bucket"), F.col(id_col).alias("id_a"), F.col("__v").alias("__va")
+    )
+    b = banded.select(
+        F.col("__bucket"), F.col(id_col).alias("id_b"), F.col("__v").alias("__vb")
+    )
+    return (
+        a.join(b, "__bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     query: Sequence[float],

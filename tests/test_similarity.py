@@ -71,3 +71,28 @@ def test_lsh_scans_less(spark, embeddings):
     buckets = embeddings.withColumn("b", lsh_bucket(F.col("embedding"), planes))
     biggest = buckets.groupBy("b").count().agg(F.max("count")).collect()[0][0]
     assert biggest < total  # corpus actually splits across buckets
+
+
+def test_near_duplicates_embedding(spark):
+    from pandera_forge_spark.operators.similarity import near_duplicates_embedding
+    from pyspark.sql import functions as F
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    n = emb.count()
+    copies = emb.where(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    planted = emb.unionByName(copies)
+    pairs = near_duplicates_embedding(planted, threshold=0.999)
+    found = (
+        pairs.where(F.col("id_b") - F.col("id_a") == 1000000)
+        .select("id_a")
+        .collect()
+    )
+    expected = [r["vec_id"] for r in emb.where(F.col("vec_id") % 10 == 0).collect()]
+    # exact-duplicate vectors share every hyperplane bucket -> 100% recall
+    assert sorted(r["id_a"] for r in found) == sorted(expected)
+    assert pairs.where(F.col("cosine") < 0.999).count() == 0
