@@ -540,6 +540,43 @@ WHERE doc_id % 41 = 0 OR doc_id % 43 = 0 ORDER BY 1
 """
 
 
+def q_span_profile(spark, sf_dir):
+    """Nested profiling of the spans column (the reference collapses
+    array<struct> to opaque Object and infers nothing —
+    spark/spark_type_mapper.py:53-56; this is the north-rule
+    extension). Closed-form on the derived table: every doc has
+    exactly 3 ordered, consistent spans."""
+    from pandera_forge_spark.spans import profile_spans
+
+    inter = _interleaved(spark, sf_dir)
+    p = profile_spans(inter)
+    row = (
+        int(p["docs"]), int(p["total_spans"]), int(p["min_spans"]),
+        int(p["max_spans"]), round(float(p["avg_spans"]), 4),
+        int(p["order_violations"]), int(p["consistency_violations"]),
+        int(p["by_kind"]["image"]["media_refs"]),
+    )
+    return spark.createDataFrame(
+        [row],
+        "docs long, total_spans long, min_spans long, max_spans long, "
+        "avg_spans double, order_violations long, consistency_violations long, "
+        "image_media_refs long",
+    )
+
+
+SQL_SPAN_PROFILE = """
+SELECT COUNT(*) AS docs,
+       3 * COUNT(*) AS total_spans,
+       CAST(3 AS BIGINT) AS min_spans,
+       CAST(3 AS BIGINT) AS max_spans,
+       3.0 AS avg_spans,
+       CAST(0 AS BIGINT) AS order_violations,
+       CAST(0 AS BIGINT) AS consistency_violations,
+       COUNT(*) AS image_media_refs
+FROM documents
+"""
+
+
 def q_span_kind_counts(spark, sf_dir):
     inter = _interleaved(spark, sf_dir)
     return (
@@ -1059,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_order_violations": q_span_order_violations,
         "span_sequence_mismatches": q_span_sequence_mismatches,
         "span_kind_counts": q_span_kind_counts,
+        "span_profile": q_span_profile,
         "exact_dup_groups": q_exact_dup_groups,
         "dedup_exact_count": q_dedup_exact_count,
         "near_dup_minhash": q_near_dup_minhash,
@@ -1099,6 +1137,7 @@ def oracle_sql() -> dict[str, str]:
         "span_order_violations": SQL_SPAN_ORDER_VIOLATIONS,
         "span_sequence_mismatches": SQL_SPAN_SEQUENCE_MISMATCHES,
         "span_kind_counts": SQL_SPAN_KIND_COUNTS,
+        "span_profile": SQL_SPAN_PROFILE,
         "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
         "dedup_exact_count": SQL_DEDUP_EXACT_COUNT,
         "near_dup_minhash": SQL_NEAR_DUP_MINHASH,

@@ -13,6 +13,18 @@ import re
 from typing import Union
 
 
+def _force_identifier(out: str) -> str:
+    """Last-resort guard: regex ``\\w`` admits a few Unicode characters
+    (e.g. superscript digits like '¹') that are NOT valid in Python
+    identifiers (XID_Continue); found by property testing. Replace any
+    character the identifier grammar rejects."""
+    if out.isidentifier():
+        return out
+    return "".join(
+        ch if ("x" + ch).isidentifier() else "_" for ch in out
+    )
+
+
 def sanitize_column_name(name: Union[str, int, float]) -> tuple[str, bool]:
     """Make ``name`` a valid Python identifier.
 
@@ -33,6 +45,7 @@ def sanitize_column_name(name: Union[str, int, float]) -> tuple[str, bool]:
 
     out = re.sub(r"\s+", "_", name)
     out = re.sub(r"\W+", "_", out)
+    out = _force_identifier(out)
     if out != name:
         was_valid = False
 
@@ -54,7 +67,7 @@ def sanitize_class_name(name: str) -> str:
     (single char, not runs), "Model" prefix when digit-leading,
     "DataFrameModel" when empty.
     """
-    out = re.sub(r"\W", "_", name)
+    out = _force_identifier(re.sub(r"\W", "_", name))
     if out and out[0].isdigit():
         out = "Model" + out
     if not out:

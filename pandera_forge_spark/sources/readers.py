@@ -28,26 +28,37 @@ def read_csv(
     path: str,
     header: bool = True,
     infer_schema: bool = True,
+    probe_rows: int = 1000,
 ) -> DataFrame:
-    """CSV scan with the reference's latin-1 fallback: UTF-8 first; on a
-    decode failure at plan/scan time, retry with latin1. (Spark decodes
-    lazily, so probe with a 1-row action.)"""
-    base = (
-        spark.read.option("header", header)
-        .option("inferSchema", infer_schema)
-        .option("encoding", "UTF-8")
-    )
-    df = base.csv(path)
-    try:
-        df.limit(1).collect()
-        return df
-    except Exception:
+    """CSV scan with the reference's latin-1 fallback (reference:
+    pandas/pandas_generator.py:122-129 retries read_csv on
+    UnicodeDecodeError).
+
+    Spark never RAISES on bad UTF-8 — it substitutes U+FFFD
+    replacement characters — so the fallback probes the first
+    ``probe_rows`` rows for U+FFFD instead of catching an exception;
+    any hit re-reads the file as latin-1 (which decodes every byte, so
+    the retry cannot itself fail). The probe is a bounded driver-side
+    peek, not a scan of the full input."""
+    def reader(enc: str):
         return (
             spark.read.option("header", header)
             .option("inferSchema", infer_schema)
-            .option("encoding", "latin1")
+            .option("encoding", enc)
             .csv(path)
         )
+
+    df = reader("UTF-8")
+    string_cols = [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
+    if string_cols and probe_rows > 0:
+        probe = df.select(*string_cols).limit(probe_rows).collect()
+        if any(
+            v is not None and "�" in v for row in probe for v in row
+        ):
+            # latin-1's canonical charset name (Spark 4 rejects the
+            # "latin1" alias)
+            return reader("ISO-8859-1")
+    return df
 
 
 def read_parquet(
