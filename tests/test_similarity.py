@@ -96,3 +96,29 @@ def test_near_duplicates_embedding(spark):
     # exact-duplicate vectors share every hyperplane bucket -> 100% recall
     assert sorted(r["id_a"] for r in found) == sorted(expected)
     assert pairs.where(F.col("cosine") < 0.999).count() == 0
+
+
+def test_ivf_topk_recall(spark):
+    from pandera_forge_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    cents = kmeans_centroids(emb, n_cells=8)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    # deterministic: same seed, same centroids
+    assert cents == kmeans_centroids(emb, n_cells=8)
+
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(emb, q, cents, k=5, n_probe=4).collect()]
+    # the query's own vector lives in a probed cell -> rank 1 with cos 1
+    assert approx[0] == 0 == exact[0]
+    # probing half the cells on near-uniform data: require >= 2/5 overlap
+    assert len(set(exact) & set(approx)) >= 2
