@@ -8,9 +8,10 @@ documents AS THEY ARRIVE with Structured Streaming, reusing the exact
 same check compiler and verdict semantics via ``foreachBatch``.
 """
 
+from pandera_forge_spark.streaming.stateful import duplicate_ids_stream
 from pandera_forge_spark.streaming.validate import (
     stream_verdicts,
     validate_stream,
 )
 
-__all__ = ["stream_verdicts", "validate_stream"]
+__all__ = ["duplicate_ids_stream", "stream_verdicts", "validate_stream"]

@@ -85,3 +85,38 @@ def test_stream_verdicts_complete_mode(spark, src, tmp_path):
     # violations all have id % 100 == 7 -> part = 7 % 4 = 3
     by_part = {r["part"]: r["value__le"] for r in out}
     assert by_part[3] == 5 and by_part[0] == 0
+
+
+def test_duplicate_ids_stream_cross_batch(spark, tmp_path):
+    """Duplicates arriving in DIFFERENT micro-batches are caught by the
+    state store — the case a per-batch groupBy cannot see."""
+    from pandera_forge_spark.streaming import duplicate_ids_stream
+
+    src = str(tmp_path / "docs")
+    # batch 1: ids 0..99; batch 2: ids 50..149 (50 cross-batch dups)
+    spark.range(0, 100).selectExpr("cast(id as string) as doc_id").write.parquet(
+        src, mode="overwrite"
+    )
+    spark.range(50, 150).selectExpr("cast(id as string) as doc_id").write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    dups = duplicate_ids_stream(stream, "doc_id")
+    q = (
+        dups.writeStream.format("memory")
+        .queryName("dupstream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dupstream").collect()
+    found = sorted(int(r["doc_id"]) for r in rows)
+    assert found == list(range(50, 100))
+    assert all(r["dup_count"] == 2 for r in rows)
