@@ -154,6 +154,12 @@ def _signatures_from_shingles(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+# Pair-emission cap per LSH bucket: buckets up to this size expand to
+# all O(size²) pairs; larger ("viral") buckets fall back to O(size)
+# star pairs around the bucket's min id (see _lsh_pairs_from_shingles).
+DEFAULT_MAX_BUCKET = 200
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str,
@@ -162,6 +168,7 @@ def lsh_candidate_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: (id_a, id_b) with id_a < id_b that
     share at least one band bucket.
@@ -173,17 +180,29 @@ def lsh_candidate_pairs(
     Shuffle plan: signatures (one shuffle) → explode to
     (band, band_hash, id) — O(docs × bands) rows — then a groupBy on
     the bucket key. Bucket skew (a viral duplicate cluster) is handled
-    by AQE; pathological buckets should be truncated upstream rather
-    than exploded quadratically.
+    by AQE for the shuffle and by ``max_bucket`` for the pair
+    expansion: a bucket larger than ``max_bucket`` emits STAR pairs
+    (min-id hub → every other member, O(size) rows) instead of all
+    O(size²) pairs — every member is still connected to the cluster
+    representative, so duplicate-cluster recall survives while the
+    output stays linear in the bucket. ``max_bucket=None`` disables
+    the cap (exhaustive pairs, test scale only).
     """
     sh = df.select(
         F.col(id_col), hashed_shingles(F.col(text_col), shingle_n).alias("__sh")
     )
-    return _lsh_pairs_from_shingles(sh, id_col, num_hashes, bands, seed)
+    return _lsh_pairs_from_shingles(
+        sh, id_col, num_hashes, bands, seed, max_bucket=max_bucket
+    )
 
 
 def _lsh_pairs_from_shingles(
-    sh: DataFrame, id_col: str, num_hashes: int, bands: int, seed: int
+    sh: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+    max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     rows_per_band = num_hashes // bands
     sig_df = _signatures_from_shingles(sh, id_col, num_hashes, seed)
@@ -211,22 +230,38 @@ def _lsh_pairs_from_shingles(
         F.sort_array(F.collect_set(id_col)).alias("ids")
     ).where(F.size("ids") > 1)
 
-    # emit pairs within each bucket; bucket sizes are tiny for honest
-    # near-dup clusters, and pathological buckets should be truncated
-    # upstream (max_bucket) rather than exploded quadratically
-    pairs = grouped.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda a,: F.transform(
-                        F.filter(F.col("ids"), lambda b: b > a),
-                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b").distinct()
+    # emit pairs within each bucket — bucket sizes are tiny for honest
+    # near-dup clusters. A viral bucket (mass-duplicated content hashes
+    # every band to one bucket) would expand O(size²); past max_bucket
+    # we emit the O(size) star around the min id instead: members stay
+    # connected to the cluster representative (verify still confirms
+    # each member against the hub), output stays linear. collect_set
+    # itself holds O(bucket) ids in one aggregation buffer — linear,
+    # which is what bounds memory; the cap removes the quadratic blowup.
+    ids = F.col("ids")
+    all_pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda a,: F.transform(
+                F.filter(ids, lambda b: b > a),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    if max_bucket is None:
+        pair_arr = all_pairs
+    else:
+        hub = F.element_at(ids, 1)
+        star = F.transform(
+            F.slice(ids, 2, _SLICE_MAX),
+            lambda b: F.struct(hub.alias("id_a"), b.alias("id_b")),
+        )
+        pair_arr = F.when(F.size(ids) <= max_bucket, all_pairs).otherwise(star)
+    pairs = (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
     return pairs
 
 
@@ -239,6 +274,8 @@ def near_duplicates_minhash(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
+    eager: bool = True,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard over hashed shingle
     sets: returns (id_a, id_b, jaccard) with jaccard >= threshold.
@@ -251,16 +288,27 @@ def near_duplicates_minhash(
     it feeds the signature path and BOTH sides of the verify join — an
     unpersisted plan would re-tokenize and re-hash the whole corpus
     three times. At warehouse scale the persisted frame is
-    O(corpus text); MEMORY_AND_DISK spills rather than evicts."""
+    O(corpus text); MEMORY_AND_DISK spills rather than evicts. The
+    result (small: only verified pairs) is materialized EAGERLY and
+    itself persisted, so the corpus-sized shingle cache can be released
+    in a ``finally`` before returning — it does NOT leak for the
+    session lifetime. Callers owning very large pair outputs may
+    ``unpersist()`` the returned frame when done; ``eager=False``
+    returns the fully lazy plan and persists nothing (the caller
+    accepts the 3x shingle recompute or persists upstream)."""
     from pyspark import StorageLevel
 
     sh = df.select(
         F.col(id_col), hashed_shingles(F.col(text_col), shingle_n).alias("__sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = _lsh_pairs_from_shingles(sh, id_col, num_hashes, bands, seed)
+    )
+    if eager:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    cand = _lsh_pairs_from_shingles(
+        sh, id_col, num_hashes, bands, seed, max_bucket=max_bucket
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
-    return (
+    out = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -270,6 +318,14 @@ def near_duplicates_minhash(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    if not eager:
+        return out
+    try:
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()  # force: materializes `out` while `sh` is cached
+        return out
+    finally:
+        sh.unpersist()
 
 
 # -------------------------------------------------------------- simhash

@@ -124,14 +124,29 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+TARGET_BUCKET_SIZE = 64  # mean bucket population the auto bits mode aims for
+
+
+def auto_bits(n_rows: int, target_bucket: int = TARGET_BUCKET_SIZE) -> int:
+    """Hyperplane count scaled to corpus size: enough buckets that the
+    MEAN bucket holds ~target_bucket vectors (2^bits ≈ n/target), never
+    fewer than 8 bits (256 buckets) nor more than 28. A fixed bits=8
+    would leave ~n²/256 comparisons per bucket at 10^9+ vectors; this
+    keeps per-bucket candidate work roughly constant as n grows."""
+    if n_rows <= 0:
+        return 8
+    return max(8, min(28, math.ceil(math.log2(max(1, n_rows / target_bucket)))))
+
+
 def near_duplicates_embedding(
     df: DataFrame,
     threshold: float = 0.95,
-    bits: int = 8,
+    bits: int | None = None,
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probes: int = 1,
+    max_bucket: int | None = 5000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     cosine >= threshold and id_a < id_b.
@@ -144,13 +159,32 @@ def near_duplicates_embedding(
     hyperplane), verify candidates with the exact cosine. Shuffle
     volume is O(n x (1+probes)) bucket rows, never the O(n²) cross
     join; recall is tunable via bits/probes and the brute-force
-    ``knn_join`` is the correctness baseline."""
-    first = df.select(vec_col).first()
+    ``knn_join`` is the correctness baseline.
+
+    Two guards keep the bucket self-join bounded at corpus scale:
+
+    - ``bits=None`` (default) scales the signature width with corpus
+      size (``auto_bits``: 2^bits ≈ n/64, floor 8) so mean bucket
+      population stays ~constant as n grows — the one extra count()
+      action is noise next to the join it sizes.
+    - ``max_bucket`` caps the pair expansion of pathological buckets
+      (mass-duplicated embeddings all land in one signature): members
+      of a bucket larger than ``max_bucket`` only pair with the
+      bucket's min-id hub — O(size) pairs that still connect every
+      member to the cluster representative — instead of O(size²).
+      The cap is applied by filtering the build side BEFORE the join,
+      so the bounded thing is the join fan-out itself, not a post-hoc
+      filter. ``max_bucket=None`` disables the cap.
+    """
+    first = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
     if first is None:
+        id_dt = df.schema[id_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
-            [], f"id_a long, id_b long, cosine double"
+            [], f"id_a {id_dt}, id_b {id_dt}, cosine double"
         )
     dim = len(first[0])
+    if bits is None:
+        bits = auto_bits(df.count())
     planes = hyperplanes(dim, bits, seed)
 
     vec = F.col(vec_col)
@@ -183,11 +217,24 @@ def near_duplicates_embedding(
         )
         buckets = F.concat(buckets, flips)
 
-    banded = df.select(
+    banded = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col), vec.alias("__v"), F.explode(buckets).alias("__bk")
     ).select(id_col, "__v", F.col("__bk.b").alias("__bucket"))
 
-    a = banded.select(
+    a = banded
+    if max_bucket is not None:
+        # per-bucket population + hub (min id); the aggregate is tiny
+        # (O(distinct buckets)), AQE broadcasts it when it fits. Rows
+        # in a hot bucket survive on the a-side only if they ARE the
+        # hub, so the join's per-bucket fan-out is min(size, max_bucket)
+        # x size, never size².
+        sizes = banded.groupBy("__bucket").agg(
+            F.count(F.lit(1)).alias("__bsz"), F.min(id_col).alias("__hub")
+        )
+        a = banded.join(sizes, "__bucket").where(
+            (F.col("__bsz") <= max_bucket) | (F.col(id_col) == F.col("__hub"))
+        )
+    a = a.select(
         F.col("__bucket"), F.col(id_col).alias("id_a"), F.col("__v").alias("__va")
     )
     b = banded.select(

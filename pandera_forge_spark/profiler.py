@@ -303,7 +303,11 @@ def profile_table(
             if _is_simple(dtypes[c])
             and (stats.get(f"{c}__distinct") or 0) <= AUTO_SMALL_DOMAIN
         ]
-        if with_examples and small:
+        if small:
+            # the melt runs regardless of with_examples: auto mode
+            # promises EXACT distinct counts for small domains (the
+            # isin rule depends on them); the tops are simply dropped
+            # from the output when examples weren't asked for
             tops, exact_counts = top_values_and_distinct(df, small)
             for c, n in exact_counts.items():
                 stats[f"{c}__distinct"] = n
@@ -321,7 +325,7 @@ def profile_table(
                 and hll >= AUTO_UNIQUE_CANDIDATE * total
             ):
                 verified[c] = not has_duplicate_keys(df, [c])
-    elif exact_distinct and (with_examples or exact_distinct):
+    elif exact_distinct:
         tops, exact_counts = top_values_and_distinct(df, columns)
         for c, n in exact_counts.items():
             stats[f"{c}__distinct"] = n

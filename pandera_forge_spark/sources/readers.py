@@ -16,11 +16,45 @@ Mirrors the reference's source surface (SURVEY.md §2.1 S1-S8):
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_SAMPLE_SEED = 42
+
+# bytes of file head probed per file for UTF-8 validity; bad bytes past
+# this bound go undetected (documented probe limit, like the
+# reference's 10k-row analysis sample)
+CSV_PROBE_BYTES = 1 << 20
+CSV_PROBE_FILES = 5
+
+
+def _utf8_head_invalid(path: str) -> Optional[bool]:
+    """True if a local file head fails strict UTF-8 decoding, False if
+    it decodes cleanly, None when the path isn't local (e.g. an object
+    store) so byte probing is unavailable. A decode error inside the
+    last 3 bytes of a truncated head is a split multi-byte sequence,
+    not bad data, and does not count."""
+    p = Path(path)
+    if p.is_file():
+        files = [p]
+    elif p.is_dir():
+        files = sorted(
+            f
+            for f in p.iterdir()
+            if f.is_file() and not f.name.startswith((".", "_"))
+        )[:CSV_PROBE_FILES]
+    else:
+        return None
+    for f in files:
+        head = f.read_bytes()[:CSV_PROBE_BYTES]
+        try:
+            head.decode("utf-8")
+        except UnicodeDecodeError as e:
+            if e.start < len(head) - 3:
+                return True
+    return False
 
 
 def read_csv(
@@ -35,11 +69,16 @@ def read_csv(
     UnicodeDecodeError).
 
     Spark never RAISES on bad UTF-8 — it substitutes U+FFFD
-    replacement characters — so the fallback probes the first
-    ``probe_rows`` rows for U+FFFD instead of catching an exception;
-    any hit re-reads the file as latin-1 (which decodes every byte, so
-    the retry cannot itself fail). The probe is a bounded driver-side
-    peek, not a scan of the full input."""
+    replacement characters — so the fallback must detect bad bytes
+    itself. Primary probe: strictly decode the raw head
+    (CSV_PROBE_BYTES) of up to CSV_PROBE_FILES local files — a genuine
+    ``UnicodeDecodeError`` proves the data is not UTF-8, while a file
+    that legitimately CONTAINS U+FFFD decodes fine and is left alone.
+    For non-local paths (no driver byte access) it falls back to
+    scanning the first ``probe_rows`` decoded rows for U+FFFD — which
+    can false-positive on literal replacement characters; bad bytes
+    beyond either probe bound are never detected. Any hit re-reads as
+    latin-1 (which decodes every byte, so the retry cannot fail)."""
     def reader(enc: str):
         return (
             spark.read.option("header", header)
@@ -48,16 +87,20 @@ def read_csv(
             .csv(path)
         )
 
+    bad = _utf8_head_invalid(path)
+    if bad:
+        # latin-1's canonical charset name (Spark 4 rejects the
+        # "latin1" alias)
+        return reader("ISO-8859-1")
     df = reader("UTF-8")
-    string_cols = [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
-    if string_cols and probe_rows > 0:
-        probe = df.select(*string_cols).limit(probe_rows).collect()
-        if any(
-            v is not None and "�" in v for row in probe for v in row
-        ):
-            # latin-1's canonical charset name (Spark 4 rejects the
-            # "latin1" alias)
-            return reader("ISO-8859-1")
+    if bad is None and probe_rows > 0:
+        string_cols = [
+            f.name for f in df.schema.fields if f.dataType.simpleString() == "string"
+        ]
+        if string_cols:
+            probe = df.select(*string_cols).limit(probe_rows).collect()
+            if any(v is not None and "�" in v for row in probe for v in row):
+                return reader("ISO-8859-1")
     return df
 
 

@@ -12,8 +12,13 @@ Two surfaces:
 
 - ``validate_stream(stream_df, schema, verdict_sink, ...)``:
   ``foreachBatch`` wrapper for when per-batch ARTIFACTS are wanted
-  (verdict rows + violation rows appended to parquet/Iceberg audit
-  paths, exactly once per epoch id). Reuses ``validate_table`` /
+  (verdict rows + violation rows written to parquet/Iceberg audit
+  paths). foreachBatch is at-least-once — a failed micro-batch is
+  retried with the SAME epoch id — so each epoch writes to its own
+  ``<sink>/__epoch=<id>`` directory with mode("overwrite"): the retry
+  replaces the partial output instead of appending a duplicate, making
+  the sink effectively exactly-once. Readers get ``__epoch`` back as a
+  discovered partition column. Reuses ``validate_table`` /
   ``violation_rows`` verbatim — one code path for batch and stream.
 
 Scale notes: the verdict aggregation state is O(partitions x checks)
@@ -90,13 +95,13 @@ def validate_stream(
             out = batch_df.sparkSession.createDataFrame(
                 rows, "check string, violations long"
             )
-        out.withColumn("__epoch", F.lit(epoch_id)).write.mode("append").parquet(
-            verdict_sink
-        )
+        # idempotent per-epoch overwrite: foreachBatch retries re-run
+        # the same epoch id, replacing (not duplicating) its output
+        out.write.mode("overwrite").parquet(f"{verdict_sink}/__epoch={epoch_id}")
         if violation_sink and id_cols:
             bad = violation_rows(batch_df, schema, list(id_cols), max_per_check)
-            bad.withColumn("__epoch", F.lit(epoch_id)).write.mode("append").parquet(
-                violation_sink
+            bad.write.mode("overwrite").parquet(
+                f"{violation_sink}/__epoch={epoch_id}"
             )
         if on_batch is not None:
             on_batch(res, epoch_id)

@@ -203,11 +203,18 @@ def duplicate_keys(
 
 
 def has_duplicate_keys(df: DataFrame, key_cols: Sequence[str]) -> bool:
-    """EXISTENCE of any duplicate key — the cheap exact verifier for
+    """EXISTENCE of any duplicate key — the exact verifier for
     HLL-flagged uniqueness candidates (candidate-then-verify,
-    SURVEY.md §4). One hash-shuffle groupBy, then ``limit(1)``: Spark
-    stops as soon as a single duplicate group surfaces, so refuting a
-    false candidate costs far less than counting every duplicate."""
+    SURVEY.md §4). One hash-shuffle groupBy, then ``limit(1)``.
+
+    What the limit actually saves: the MAP side must still scan and
+    partially aggregate the whole table before any reduce output exists
+    — that cost is unavoidable for an exact answer. The short-circuit
+    is on the REDUCE/collect side only: Spark takes the first surviving
+    duplicate group and skips draining the remaining reduce partitions,
+    so the saving is the post-shuffle scan + the driver transfer, not
+    the table scan. Returning only counts>1 keys also means the shuffle
+    carries (key, partial_count) pairs, never rows."""
     return (
         len(
             df.groupBy(*[F.col(k) for k in key_cols])

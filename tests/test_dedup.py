@@ -101,3 +101,29 @@ def test_ngram_guard(spark):
     big = spark.range(20001).select(F.col("id"), F.lit("x y z").alias("text"))
     with pytest.raises(ValueError, match="O\\(n²\\)|max_rows"):
         ngram_jaccard_pairs(big, "text", "id")
+
+
+def test_minhash_viral_bucket_capped(spark):
+    """A 300-copy viral cluster must not expand O(size²) pairs: past
+    max_bucket a bucket emits the O(size) star around its min id, every
+    member stays connected to the cluster representative, and honest
+    near-dup pairs elsewhere are unaffected."""
+    rows = [(i, BASE) for i in range(300)]
+    rows += [(1000, NEAR), (1001, NEAR + " extra")]
+    rows += [(2000 + i, f"{OTHER} variant {i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    capped = lsh_candidate_pairs(df, "text", "id", max_bucket=50).count()
+    # exhaustive expansion of the viral bucket alone is C(300,2)=44850
+    assert capped < 2000
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in near_duplicates_minhash(
+            df, "text", "id", threshold=0.5, max_bucket=50
+        ).collect()
+    }
+    # unchanged recall: every viral member pairs with the hub...
+    assert {(0, i) for i in range(1, 300)} <= got
+    # ...and the small planted near-dup pair is still found
+    assert (1000, 1001) in got

@@ -122,3 +122,59 @@ def test_ivf_topk_recall(spark):
     assert approx[0] == 0 == exact[0]
     # probing half the cells on near-uniform data: require >= 2/5 overlap
     assert len(set(exact) & set(approx)) >= 2
+
+
+def test_embedding_viral_bucket_capped(spark):
+    """Mass-duplicated embeddings land in ONE hyperplane bucket; the
+    max_bucket cap turns that bucket's pair fan-out linear (hub star)
+    without losing cluster membership or unrelated planted pairs."""
+    from pandera_forge_spark.operators.similarity import near_duplicates_embedding
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(300)]
+    rows += [(1000, [0.0, 1.0, 1.0, 0.0]), (1001, [0.0, 1.0, 1.0001, 0.0])]
+    rows += [(2000 + i, [float(i + 1), float(-i), 1.0, float(i % 3)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in near_duplicates_embedding(
+            df, threshold=0.999, bits=8, max_bucket=50
+        ).collect()
+    }
+    assert {(0, i) for i in range(1, 300)} <= got
+    assert (1000, 1001) in got
+    # linear, not quadratic: C(300,2) would be 44850
+    assert len(got) < 400
+
+
+def test_embedding_empty_input_and_null_vectors(spark):
+    """Empty input returns an empty frame whose id columns match the
+    actual id type (unions with the non-empty result schema work), and
+    null vectors are skipped rather than crashing the dim probe."""
+    from pandera_forge_spark.operators.similarity import near_duplicates_embedding
+
+    empty = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    out = near_duplicates_embedding(empty)
+    assert out.count() == 0
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "string", "string", "double",
+    ]
+
+    with_nulls = spark.createDataFrame(
+        [("a", None), ("b", [1.0, 0.0]), ("c", [1.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in near_duplicates_embedding(with_nulls, threshold=0.99).collect()
+    }
+    assert got == {("b", "c")}
+
+
+def test_auto_bits_scaling():
+    from pandera_forge_spark.operators.similarity import auto_bits
+
+    assert auto_bits(0) == 8
+    assert auto_bits(1000) == 8            # floor: small corpora unchanged
+    assert auto_bits(64 * (1 << 12)) == 12  # 2^bits ≈ n / 64
+    assert auto_bits(10**12) == 28          # ceiling
