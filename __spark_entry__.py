@@ -39,7 +39,7 @@ from pandera_forge_spark.operators.text import (
     token_count,
 )
 from pandera_forge_spark.patterns import NAMED_PATTERNS, match_ratio_expr
-from pandera_forge_spark.profiler import stat_exprs
+from pandera_forge_spark.profiler import stat_exprs, topk_frame
 from pandera_forge_spark.schema import ColumnSpec, TableSchema
 from pandera_forge_spark.spans import (
     span_order_violations,
@@ -307,6 +307,37 @@ def q_topk_event_type(spark, sf_dir):
 SQL_TOPK_EVENT_TYPE = """
 SELECT event_type AS value, COUNT(*) AS cnt
 FROM events GROUP BY 1 ORDER BY cnt DESC, value ASC LIMIT 5
+"""
+
+
+def q_topk_engine_salted(spark, sf_dir):
+    """Direct ENGINE-PATH anchor for the salted two-phase top-k
+    (profiler.topk_frame — the aggregation tree behind
+    top_values_and_distinct: melt → (col,val) counts → per-(col,
+    salt-of-value) partial top-k + distinct subcounts → exact merge).
+    Unlike topk_returnflag (an inline groupBy), this exercises the
+    engine's own salted melt, then explodes the merged struct array
+    back to (value, cnt, n_distinct) rows for the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    frame = topk_frame(ev, ["event_type"], k=3)
+    return (
+        frame.where(F.col("col") == "event_type")
+        .select(F.col("n_distinct"), F.explode("topk").alias("e"))
+        .select(
+            F.col("e.val").alias("value"),
+            (-F.col("e.negcnt")).alias("cnt"),
+            F.col("n_distinct"),
+        )
+    )
+
+
+SQL_TOPK_ENGINE_SALTED = """
+SELECT event_type AS value,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT)
+        FROM events WHERE event_type IS NOT NULL) AS n_distinct
+FROM events WHERE event_type IS NOT NULL
+GROUP BY 1 ORDER BY cnt DESC, value ASC LIMIT 3
 """
 
 
@@ -1084,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniqueness_orders": q_uniqueness_orders,
         "topk_returnflag": q_topk_returnflag,
         "topk_event_type": q_topk_event_type,
+        "topk_engine_salted": q_topk_engine_salted,
         "isin_domain_linestatus": q_isin_domain_linestatus,
         "duplicate_custkeys": q_duplicate_custkeys,
         "duplicate_custkeys_salted": q_duplicate_custkeys_salted,
@@ -1125,6 +1157,7 @@ def oracle_sql() -> dict[str, str]:
         "uniqueness_orders": SQL_UNIQUENESS_ORDERS,
         "topk_returnflag": SQL_TOPK_RETURNFLAG,
         "topk_event_type": SQL_TOPK_EVENT_TYPE,
+        "topk_engine_salted": SQL_TOPK_ENGINE_SALTED,
         "isin_domain_linestatus": SQL_ISIN_DOMAIN_LINESTATUS,
         "duplicate_custkeys": SQL_DUPLICATE_CUSTKEYS,
         "duplicate_custkeys_salted": SQL_DUPLICATE_CUSTKEYS,

@@ -166,7 +166,7 @@ def headline_queries(spark, sf_dir: str, flagship_docs: int = BENCH_DOCS):
     from pandera_forge_spark.operators.similarity import cosine_topk
     from pandera_forge_spark.operators.text import char_count, fingerprint, token_count
     from pandera_forge_spark.patterns import NAMED_PATTERNS, match_ratio_expr
-    from pandera_forge_spark.profiler import stat_exprs
+    from pandera_forge_spark.profiler import fused_stats_frame
     from pandera_forge_spark.sources.readers import read_parquet
     from pandera_forge_spark.validator import duplicate_keys, orphan_rows, validate_table
 
@@ -176,8 +176,11 @@ def headline_queries(spark, sf_dir: str, flagship_docs: int = BENCH_DOCS):
         return read_parquet(spark, f"{sf_dir}/{name}.parquet", min_partitions=n_par)
 
     def q_profile_lineitem_all():
+        # the scale path: exact stats full-scan, 17-regex pattern
+        # DETECTION on a 10k seeded sample (profiler.fused_stats_frame;
+        # full-scan ratios remain the oracle-parity mode)
         li = t("lineitem")
-        return li.agg(*stat_exprs(li, li.columns, False, True))
+        return fused_stats_frame(li, pattern_sample=10_000)
 
     def q_infer_validate_lineitem():
         li = t("lineitem")

@@ -48,10 +48,34 @@ def _fmt_isin_value(v) -> Optional[str]:
     return f"'{str(v)}'"
 
 
-def render_field(spec: ColumnSpec) -> str:
+def render_comment(spec: ColumnSpec) -> str:
+    """The reference's statistics field comment, byte-exact
+    (reference: code_generator.py:94-109 ``generate_comment``):
+    ``  # N distinct values, examples: ["a", "b"]`` when both examples
+    and a distinct count exist, ``  # examples: [...]`` with examples
+    only, ``""`` otherwise; at most 5 examples, strings double-quoted,
+    everything else ``str()``'d bare (None/NaN included — the
+    reference does NOT filter them here, unlike the isin list). Note
+    the reference defines this but never wires it into its generate
+    flow (no call site outside its tests) — mirrored here: emission is
+    opt-in via ``render_class(..., stats_comments=True)``."""
+    examples = spec.examples or []
+    if not examples:
+        return ""
+    examples_str = ", ".join(
+        f'"{ex}"' if isinstance(ex, str) else str(ex) for ex in examples[:5]
+    )
+    if spec.distinct_count is not None:
+        return f"  # {spec.distinct_count} distinct values, examples: [{examples_str}]"
+    return f"  # examples: [{examples_str}]"
+
+
+def render_field(spec: ColumnSpec, stats_comment: bool = False) -> str:
     """One ``\\tname: Series[Type] = Field(...)`` line, trailing
     ``# pattern:`` comment when detected
-    (reference: code_generator.py:39-91, base_generator.py:163-165)."""
+    (reference: code_generator.py:39-91, base_generator.py:163-165);
+    ``stats_comment=True`` appends the reference's
+    ``generate_comment`` output as well (see ``render_comment``)."""
     params: list[str] = []
     if spec.ge is not None and spec.le is not None:
         params.append(f"ge={spec.ge}")
@@ -77,23 +101,29 @@ def render_field(spec: ColumnSpec) -> str:
             params_str += f'alias="{spec.name}"'
 
     line = f"\t{spec.sanitized_name}: Series[{spec.pandera_type}] = Field({params_str})"
+    if stats_comment:
+        line += render_comment(spec)
     sc = spec.string_constraints
     if sc is not None and sc.pattern_name:
         line += f"  # pattern: {sc.pattern_name}"
     return line
 
 
-def render_class(schema: TableSchema) -> str:
+def render_class(schema: TableSchema, stats_comments: bool = False) -> str:
     """Class body; empty schema renders ``pass``
     (reference: code_generator.py:117-123)."""
-    fields = [render_field(c) for c in schema.columns if c.pandera_type]
+    fields = [
+        render_field(c, stats_comment=stats_comments)
+        for c in schema.columns
+        if c.pandera_type
+    ]
     out = f"class {schema.name}(DataFrameModel):\n"
     out += "\n".join(fields) if fields else "\tpass"
     return out
 
 
-def render_model(schema: TableSchema) -> str:
-    return PANDERA_IMPORTS + "\n" + render_class(schema)
+def render_model(schema: TableSchema, stats_comments: bool = False) -> str:
+    return PANDERA_IMPORTS + "\n" + render_class(schema, stats_comments)
 
 
 def validate_model_code(code: str, class_name: str) -> tuple[bool, Optional[str]]:

@@ -87,6 +87,7 @@ def spec_from_profile(profile: ColumnProfile) -> ColumnSpec:
         nullable=profile.is_nullable,  # rule 2
         unique=profile.is_unique,  # rule 1
         examples=list(profile.examples),
+        distinct_count=profile.distinct_count,
     )
 
     # rule 3: ge/le only for numeric pandera types, both bounds non-null

@@ -125,6 +125,52 @@ def stat_exprs(
     return exprs
 
 
+def pattern_stat_exprs(df: DataFrame, columns: Sequence[str]) -> list:
+    """Just the 17-regex pattern-ratio aggregates for the string columns
+    of ``columns`` — split out of ``stat_exprs`` so the regex sweep can
+    run over a bounded sample while the exact stats scan full data."""
+    dtypes = dict((f.name, f.dataType) for f in df.schema.fields)
+    exprs: list = []
+    for c in columns:
+        if _is_string(dtypes[c]):
+            exprs += pattern_ratio_exprs(F.col(c), c)
+    return exprs
+
+
+PATTERN_SAMPLE_SEED = 42
+
+
+def fused_stats_frame(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    detect_patterns: bool = True,
+    pattern_sample: Optional[int] = None,
+) -> DataFrame:
+    """The single-row JOB-1 stats frame behind ``profile_table``, as an
+    uncollected DataFrame (benchmarks, remote collection).
+
+    With ``pattern_sample`` set, the 17-regex sweep — the single most
+    expensive part of full-table profiling (rows x string-columns x 17
+    regex evaluations for a statistic that only has to clear the 0.9
+    threshold) — runs over a seeded Bernoulli sample of ~that many rows
+    instead of the full table, cross-joined onto the full-scan exact
+    stats (both are 1-row aggregates). This mirrors the reference's own
+    behavior: it pattern-detects on a 10k-row sample
+    (reference: spark/spark_generator.py:124-139), never the corpus."""
+    columns = list(columns or df.columns)
+    if detect_patterns and pattern_sample:
+        base = df.agg(*stat_exprs(df, columns, False, False))
+        pexprs = pattern_stat_exprs(df, columns)
+        if not pexprs:
+            return base
+        total = df.count()  # count-star: parquet metadata, no row scan
+        s = df
+        if total > pattern_sample:
+            s = df.sample(False, pattern_sample / total, seed=PATTERN_SAMPLE_SEED)
+        return base.crossJoin(s.agg(*pexprs))
+    return df.agg(*stat_exprs(df, columns, False, detect_patterns))
+
+
 def _cast_back(value: Optional[str], dt: T.DataType):
     """Recover a typed example from its melted string form."""
     if value is None:
@@ -206,6 +252,23 @@ def top_values_and_distinct(
     cols = [c for c in columns if _is_simple(dtypes[c])]
     if not cols:
         return {}, {}
+    final = topk_frame(df, cols, k)
+    out: dict[str, list[tuple[str, int]]] = {c: [] for c in cols}
+    distinct: dict[str, int] = {c: 0 for c in cols}
+    for row in final.collect():
+        distinct[row["col"]] = row["n_distinct"]
+        out[row["col"]] = [(e["val"], -e["negcnt"]) for e in row["topk"]]
+    return out, distinct
+
+
+def topk_frame(
+    df: DataFrame, cols: Sequence[str], k: int = ISIN_MAX_DISTINCT
+) -> DataFrame:
+    """The uncollected aggregation tree behind
+    ``top_values_and_distinct``: one row per column with
+    ``(col, n_distinct, topk: array<struct<negcnt,val>>)``. Exposed so
+    the engine path itself can be oracle-anchored and benchmarked as a
+    DataFrame, not just via its collected dict form."""
     pairs = df.select(
         F.explode(
             F.array(
@@ -229,16 +292,10 @@ def top_values_and_distinct(
         F.count(F.lit(1)).alias("nd"),
         F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("cand"),
     )
-    final = partial.groupBy("col").agg(
+    return partial.groupBy("col").agg(
         F.sum("nd").alias("n_distinct"),
         F.slice(F.array_sort(F.flatten(F.collect_list("cand"))), 1, k).alias("topk"),
     )
-    out: dict[str, list[tuple[str, int]]] = {c: [] for c in cols}
-    distinct: dict[str, int] = {c: 0 for c in cols}
-    for row in final.collect():
-        distinct[row["col"]] = row["n_distinct"]
-        out[row["col"]] = [(e["val"], -e["negcnt"]) for e in row["topk"]]
-    return out, distinct
 
 
 def _none_if_nan(v):
@@ -257,6 +314,7 @@ def profile_table(
     exact_distinct="auto",
     detect_patterns: bool = True,
     with_examples: bool = True,
+    pattern_sample: Optional[int] = None,
 ) -> dict[str, ColumnProfile]:
     """Profile all (or selected) columns of ``df``.
 
@@ -284,13 +342,31 @@ def profile_table(
     one agg makes Catalyst plan an Expand that multiplies every input
     row by the number of distinct aggregates before partial
     aggregation, re-evaluating the 17 pattern regexes on each copy.
+
+    ``pattern_sample``: when set, the 17-regex sweep moves to a seeded
+    Bernoulli sample of ~that many rows (a second, tiny aggregation
+    job) instead of riding the full scan — the 100 TB detection path,
+    mirroring the reference's own 10k-row pattern sample
+    (reference: spark/spark_generator.py:124-139). Exact stats always
+    stay full-data; only the >=0.9-threshold DETECTION is sampled.
+    Default None keeps full-scan detection (oracle-exact parity).
     """
     columns = list(columns or df.columns)
     dtypes = dict((f.name, f.dataType) for f in df.schema.fields)
 
-    row = df.agg(*stat_exprs(df, columns, False, detect_patterns)).collect()[0]
+    full_patterns = detect_patterns and pattern_sample is None
+    row = df.agg(*stat_exprs(df, columns, False, full_patterns)).collect()[0]
     stats = row.asDict()
     total = stats["__total__"]
+    if detect_patterns and pattern_sample is not None:
+        pexprs = pattern_stat_exprs(df, columns)
+        if pexprs:
+            s = df
+            if total > pattern_sample:
+                s = df.sample(
+                    False, pattern_sample / total, seed=PATTERN_SAMPLE_SEED
+                )
+            stats.update(s.agg(*pexprs).collect()[0].asDict())
 
     auto = exact_distinct == "auto"
     tops: dict = {}

@@ -154,6 +154,7 @@ class ColumnSpec:
     isin: Optional[list] = None
     string_constraints: Optional[StringConstraints] = None
     examples: list = field(default_factory=list)
+    distinct_count: Optional[int] = None  # feeds the stats field comment
     description: Optional[str] = None
 
     def checks(self) -> list[Check]:

@@ -86,3 +86,100 @@ def test_end_to_end_render(spark):
     assert "# pattern: email" in code
     ok, err = validate_model_code(code, "my_customers_")
     assert ok, err
+
+
+# ------------------------- stats field comments (generate_comment parity)
+
+
+def _cspec(**kw):
+    base = dict(
+        name="c", sanitized_name="c", name_was_valid=True,
+        spark_type="string", pandera_type="String",
+    )
+    base.update(kw)
+    return ColumnSpec(**base)
+
+
+def test_render_comment_with_examples_and_distinct():
+    from pandera_forge_spark.codegen import render_comment
+
+    spec = _cspec(examples=["val1", "val2", "val3"], distinct_count=10)
+    assert (
+        render_comment(spec)
+        == '  # 10 distinct values, examples: ["val1", "val2", "val3"]'
+    )
+
+
+def test_render_comment_examples_only_and_truncation():
+    from pandera_forge_spark.codegen import render_comment
+
+    spec = _cspec(examples=[1, 2, 3], distinct_count=None)
+    assert render_comment(spec) == "  # examples: [1, 2, 3]"
+    # at most 5 examples shown (reference: code_generator.py:101)
+    spec7 = _cspec(examples=list(range(7)), distinct_count=100)
+    assert render_comment(spec7) == "  # 100 distinct values, examples: [0, 1, 2, 3, 4]"
+
+
+def test_render_comment_empty():
+    from pandera_forge_spark.codegen import render_comment
+
+    assert render_comment(_cspec(examples=[], distinct_count=None)) == ""
+
+
+def test_render_field_stats_comment_opt_in():
+    from pandera_forge_spark.codegen import render_field
+
+    spec = _cspec(examples=["a", "b"], distinct_count=2, isin=["a", "b"])
+    plain = render_field(spec)
+    assert "# " not in plain  # default matches reference output (unwired)
+    with_c = render_field(spec, stats_comment=True)
+    assert with_c.endswith('  # 2 distinct values, examples: ["a", "b"]')
+
+
+def test_comment_byte_parity_with_reference():
+    """Run the REFERENCE's own generate_comment on shared fixtures and
+    byte-compare (reference: code_generator.py:94-109). Skipped if the
+    reference package can't import in this environment."""
+    import importlib.util
+    import sys
+    import types
+
+    import pytest
+
+    # load code_generator.py directly (the package __init__ pulls
+    # optional deps absent in this sandbox), with a synthetic package
+    # so its relative `.constants` import resolves
+    try:
+        pkg = types.ModuleType("_refpf")
+        pkg.__path__ = ["/root/reference/pandera_forge"]
+        sys.modules["_refpf"] = pkg
+        for mod in ("constants", "code_generator"):
+            spec = importlib.util.spec_from_file_location(
+                f"_refpf.{mod}", f"/root/reference/pandera_forge/{mod}.py"
+            )
+            m = importlib.util.module_from_spec(spec)
+            sys.modules[f"_refpf.{mod}"] = m
+            spec.loader.exec_module(m)
+        CodeGenerator = sys.modules["_refpf.code_generator"].CodeGenerator
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference not importable: {e}")
+
+    from pandera_forge_spark.codegen import render_comment
+
+    cases = [
+        {"examples": ["val1", "val2", "val3"], "distinct_count": 10},
+        {"examples": [1, 2, 3], "distinct_count": None},
+        {"examples": list(range(9)), "distinct_count": 42},
+        {"examples": ["x"], "distinct_count": 1},
+        {"examples": [], "distinct_count": 5},
+        {"examples": [True, False], "distinct_count": 2},
+        {"examples": [1.5, 2.25], "distinct_count": None},
+    ]
+    for props in cases:
+        theirs = CodeGenerator.generate_comment(
+            {k: v for k, v in props.items() if v is not None or k != "distinct_count"}
+        )
+        spec = _cspec(
+            examples=list(props["examples"]), distinct_count=props["distinct_count"]
+        )
+        assert render_comment(spec) == theirs, props

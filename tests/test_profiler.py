@@ -161,3 +161,36 @@ def test_auto_mode_candidate_then_verify(spark):
     assert not p["mid"].distinct_is_exact
     assert p["mid"].unique_verified is None and not p["mid"].is_unique
     assert p["mid"].examples == []
+
+
+def test_pattern_sample_mode(spark):
+    """Sampled pattern detection (the 100 TB path) reaches the same
+    verdicts as the full scan on a clearly-patterned fixture, and the
+    exact stats are untouched by the sampling."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(5000).select(
+        F.col("id"),
+        F.concat(F.lit("user"), F.col("id"), F.lit("@example.com")).alias("email"),
+        F.concat(F.lit("id-"), F.col("id")).alias("slug"),
+    )
+    full = profile_table(df, detect_patterns=True)
+    sampled = profile_table(df, detect_patterns=True, pattern_sample=500)
+    for c in ("email", "slug"):
+        assert sampled[c].pattern_name == full[c].pattern_name
+        assert sampled[c].total_count == 5000
+        assert sampled[c].distinct_count == full[c].distinct_count
+    assert sampled["email"].pattern_name == "email"
+
+
+def test_fused_stats_frame_sampled(spark):
+    from pyspark.sql import functions as F
+
+    from pandera_forge_spark.profiler import fused_stats_frame
+
+    df = spark.range(2000).select(
+        F.col("id"), F.concat(F.lit("u"), F.col("id"), F.lit("@x.io")).alias("s")
+    )
+    row = fused_stats_frame(df, pattern_sample=200).collect()[0]
+    assert row["__total__"] == 2000
+    assert row["s__pat__email"] >= 0.9
