@@ -66,6 +66,14 @@ class HivePartitionedParquet:
         df = self.spark.read.option("basePath", self.root).parquet(self.root)
         return df.where(F.col(self.partition_col) == value)
 
+    def read_partitions(self, values: Sequence[str]) -> DataFrame:
+        """One pruned read covering a BATCH of partitions (isin over the
+        partition column — still resolved at planning time, still only
+        those directories scanned). This is what lets the runner
+        amortize per-job scheduling latency over k partitions."""
+        df = self.spark.read.option("basePath", self.root).parquet(self.root)
+        return df.where(F.col(self.partition_col).isin(list(values)))
+
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
         df.write.partitionBy(self.partition_col).mode(mode).parquet(self.root)
 
@@ -89,23 +97,46 @@ class AuditLog:
         return done
 
     def commit(self, partition: str, rows: list[dict]) -> None:
-        df = self.spark.createDataFrame(
-            [
-                (
-                    partition,
-                    r.get("status", "ok"),
-                    r.get("rows", 0),
-                    r.get("violations", 0),
-                    json.dumps(r.get("checks", {}), sort_keys=True),
-                    r.get("started", 0.0),
-                    r.get("finished", 0.0),
-                    "pandera_forge_spark",
-                )
-                for r in rows
-            ],
-            AUDIT_SCHEMA,
+        """Write one partition's audit rows + its _SUCCESS marker.
+
+        Driver-side pyarrow, deliberately NOT a Spark job: audit rows
+        are O(1)-sized driver dicts, and with 10⁴-10⁵ manifest
+        partitions a per-commit Spark job would add scheduling latency
+        comparable to the work itself. The write is overwrite-idempotent
+        (stale files cleared first, _SUCCESS last), preserving the
+        commit protocol resume depends on. The Iceberg binding replaces
+        this with ``writeTo(audit).overwritePartitions()``."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = Path(self.root) / f"partition={partition}"
+        d.mkdir(parents=True, exist_ok=True)
+        for f in d.iterdir():
+            if f.is_file():
+                f.unlink()
+        tbl = pa.table(
+            {
+                "partition": pa.array([partition] * len(rows), pa.string()),
+                "status": pa.array([r.get("status", "ok") for r in rows], pa.string()),
+                "rows": pa.array([int(r.get("rows", 0)) for r in rows], pa.int64()),
+                "violations": pa.array(
+                    [int(r.get("violations", 0)) for r in rows], pa.int64()
+                ),
+                "checks": pa.array(
+                    [json.dumps(r.get("checks", {}), sort_keys=True) for r in rows],
+                    pa.string(),
+                ),
+                "started": pa.array(
+                    [float(r.get("started", 0.0)) for r in rows], pa.float64()
+                ),
+                "finished": pa.array(
+                    [float(r.get("finished", 0.0)) for r in rows], pa.float64()
+                ),
+                "engine": pa.array(["pandera_forge_spark"] * len(rows), pa.string()),
+            }
         )
-        (df.coalesce(1).write.mode("overwrite").parquet(f"{self.root}/partition={partition}"))
+        pq.write_table(tbl, d / "part-00000.parquet")
+        (d / "_SUCCESS").touch()
 
     def read(self) -> DataFrame:
         return self.spark.read.schema(AUDIT_SCHEMA).parquet(f"{self.root}/partition=*")
@@ -125,18 +156,36 @@ class RunReport:
 def run_partitions(
     table: HivePartitionedParquet,
     audit: AuditLog,
-    process: Callable[[DataFrame, str], dict],
+    process: Optional[Callable[[DataFrame, str], dict]] = None,
     max_partitions: Optional[int] = None,
     fail_fast: bool = False,
+    batch_size: int = 1,
+    process_batch: Optional[Callable[[DataFrame, list], dict]] = None,
 ) -> RunReport:
     """The resumable driver loop: manifest minus completed → process
-    each remaining partition distributed → commit its audit rows.
+    remaining partitions distributed → commit per-partition audit rows.
 
-    ``process(df, partition) -> {"rows": n, "violations": n,
-    "checks": {...}}`` runs whatever validation bundle the caller wants
-    (validate_table / drift / span checks); the runner owns only
-    manifest, checkpoint and lineage.
+    Two processing shapes:
+
+    - ``process(df, partition) -> {"rows": n, "violations": n,
+      "checks": {...}}`` — one Spark job (at least) per partition.
+      Fine for few/large partitions.
+    - ``process_batch(df, partitions) -> {partition: metrics}`` with
+      ``batch_size=k`` — ONE pruned read covering k partitions and one
+      grouped validation job per batch (see
+      ``validation_process_batch``). With 10⁴-10⁵ manifest partitions
+      the per-partition loop is dominated by per-job scheduling
+      latency, not data; batching amortizes it k-fold while keeping
+      audit rows, lineage and resume granularity PER PARTITION — a
+      restart after a mid-batch kill re-processes only the partitions
+      whose audit commit didn't land.
+
+    The runner owns only manifest, checkpoint and lineage; the
+    callbacks own what "validation" means (validate_table / drift /
+    span checks / any bundle).
     """
+    if (process is None) == (process_batch is None):
+        raise ValueError("pass exactly one of process / process_batch")
     manifest = table.list_partitions()
     done = audit.completed_partitions()
     todo = [p for p in manifest if p not in done]
@@ -144,23 +193,79 @@ def run_partitions(
         todo = todo[:max_partitions]
 
     processed, failed = [], []
-    for part in todo:
-        started = time.time()
-        df = table.read_partition(part)
-        try:
-            metrics = process(df, part)
-            status = "ok" if metrics.get("violations", 0) == 0 else "violations"
-        except Exception as e:  # noqa: BLE001 — record, don't lose lineage
-            metrics = {"rows": 0, "violations": -1, "checks": {"error": str(e)}}
-            status = "error"
+
+    def commit_one(part: str, metrics: dict, started: float) -> None:
+        v = metrics.get("violations", 0)
+        status = "error" if v < 0 else ("ok" if v == 0 else "violations")
         metrics.update(status=status, started=started, finished=time.time())
         audit.commit(part, [metrics])
         (failed if status == "error" else processed).append(part)
-        if failed and fail_fast:
-            break
+
+    if process_batch is not None:
+        k = max(1, batch_size)
+        for i in range(0, len(todo), k):
+            chunk = todo[i : i + k]
+            started = time.time()
+            df = table.read_partitions(chunk)
+            try:
+                per_part = process_batch(df, list(chunk))
+            except Exception as e:  # noqa: BLE001 — record, don't lose lineage
+                per_part = {
+                    p: {"rows": 0, "violations": -1, "checks": {"error": str(e)}}
+                    for p in chunk
+                }
+            for part in chunk:
+                metrics = per_part.get(
+                    part, {"rows": 0, "violations": 0, "checks": {}}
+                )
+                commit_one(part, metrics, started)
+            if failed and fail_fast:
+                break
+    else:
+        for part in todo:
+            started = time.time()
+            df = table.read_partition(part)
+            try:
+                metrics = process(df, part)
+            except Exception as e:  # noqa: BLE001 — record, don't lose lineage
+                metrics = {"rows": 0, "violations": -1, "checks": {"error": str(e)}}
+            commit_one(part, metrics, started)
+            if failed and fail_fast:
+                break
 
     return RunReport(
         processed=processed,
         skipped=sorted(done & set(manifest)),
         failed_partitions=failed,
     )
+
+
+def validation_process_batch(schema, partition_col: str):
+    """Standard ``process_batch`` for schema validation: ONE grouped
+    validation job per batch (``validate_table`` with the partition
+    column as the grouping key — the same fused sum(!pred) aggregate
+    the per-partition path runs, shared across the whole batch), split
+    back into per-partition metric dicts for the audit log. Uniqueness
+    stays off here (it is cross-partition state; run it table-level)."""
+    from pandera_forge_spark.validator import validate_table
+
+    def process_batch(df: DataFrame, parts: list) -> dict:
+        res = validate_table(
+            df, schema, partition_cols=[partition_col], check_unique=False
+        )
+        out: dict = {}
+        for row in res.verdicts.collect():
+            d = row.asDict()
+            part = str(d.pop(partition_col))
+            rows = int(d.pop("__rows__") or 0)
+            checks = {name: int(v or 0) for name, v in d.items()}
+            out[part] = {
+                "rows": rows,
+                "violations": sum(checks.values()),
+                "checks": checks,
+            }
+        for p in parts:  # manifest partitions with zero rows still audit
+            out.setdefault(str(p), {"rows": 0, "violations": 0, "checks": {}})
+        return out
+
+    return process_batch

@@ -173,11 +173,11 @@ def read_excel(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     pandas/pandas_generator.py:144-205). Driver-side pandas, gated —
     openpyxl is not in this container."""
     try:
+        import openpyxl  # noqa: F401 — the gate: pandas' xlsx engine
         import pandas as pd
-
-        sheets = pd.read_excel(path, sheet_name=None)
-    except ImportError as e:  # pragma: no cover
+    except ImportError as e:
         raise NotImplementedError(
             "Excel reads need pandas+openpyxl on the driver"
         ) from e
+    sheets = pd.read_excel(path, sheet_name=None, engine="openpyxl")
     return {name: spark.createDataFrame(pdf) for name, pdf in sheets.items()}

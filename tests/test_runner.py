@@ -74,3 +74,74 @@ def test_error_partitions_recorded(spark, tmp_path):
     assert not r.ok
     bad = audit.read().where(F.col("status") == "error")
     assert bad.count() == 2
+
+
+def test_batched_runner_fewer_jobs_same_audit(spark, tmp_path):
+    """A 60-partition manifest processed per-partition vs in batches of
+    12: the batched path must use >=5x fewer Spark jobs while producing
+    byte-identical audit contents and the same resume behavior."""
+    from pandera_forge_spark.runner import validation_process_batch
+    from pandera_forge_spark.schema import ColumnSpec, TableSchema
+    from pandera_forge_spark.validator import validate_table
+
+    docs = make_documents(spark, 3000, seed=7, n_buckets=60)
+    root = str(tmp_path / "many")
+    table = HivePartitionedParquet(spark, root, "bucket")
+    table.write(docs)
+    manifest = table.list_partitions()
+    assert len(manifest) == 60
+
+    schema = TableSchema(
+        name="Docs",
+        columns=[
+            ColumnSpec(
+                name="doc_id", sanitized_name="doc_id", name_was_valid=True,
+                spark_type="string", pandera_type="String", nullable=False,
+            )
+        ],
+    )
+
+    def per_part(df, part):
+        res = validate_table(df, schema, check_unique=False)
+        return {
+            "rows": res.total_rows,
+            "violations": sum(res.counts.values()),
+            "checks": res.counts,
+        }
+
+    tracker = spark.sparkContext.statusTracker()
+
+    a1 = AuditLog(spark, str(tmp_path / "a1"))
+    n0 = len(tracker.getJobIdsForGroup(None))
+    r1 = run_partitions(table, a1, per_part)
+    jobs_single = len(tracker.getJobIdsForGroup(None)) - n0
+
+    a2 = AuditLog(spark, str(tmp_path / "a2"))
+    pb = validation_process_batch(schema, "bucket")
+    # "killed" after two batches, then resumed — per-partition audit
+    # granularity must survive batching
+    rk = run_partitions(table, a2, batch_size=12, process_batch=pb, max_partitions=24)
+    assert len(rk.processed) == 24
+    n0 = len(tracker.getJobIdsForGroup(None))
+    r2 = run_partitions(table, a2, batch_size=12, process_batch=pb)
+    jobs_batched_resume = len(tracker.getJobIdsForGroup(None)) - n0
+    assert sorted(r2.skipped) == sorted(rk.processed)
+    assert len(r2.processed) == 36
+
+    assert jobs_single >= 5 * (jobs_batched_resume * 60 / 36), (
+        jobs_single, jobs_batched_resume,
+    )
+
+    def snap(a):
+        return {
+            r["partition"]: (r["rows"], r["violations"], r["checks"], r["status"])
+            for r in a.read().collect()
+        }
+
+    s1, s2 = snap(a1), snap(a2)
+    assert s1 == s2
+    assert len(s1) == 60
+
+    # third batched run: pure no-op resume
+    r3 = run_partitions(table, a2, batch_size=12, process_batch=pb)
+    assert not r3.processed and len(r3.skipped) == 60
