@@ -34,6 +34,11 @@ from pandera_forge_spark.patterns import NAMED_PATTERNS
 from pandera_forge_spark.profiler import profile_by_group, profile_table
 from pandera_forge_spark.inference import infer_schema, infer_semantic_type
 from pandera_forge_spark.pipeline import interleaved_verdicts
+from pandera_forge_spark.sources.session import (
+    SessionConfig,
+    get_spark_session,
+    resolve_config,
+)
 from pandera_forge_spark.validator import (
     duplicate_keys,
     duplicate_rows,
@@ -59,6 +64,9 @@ __all__ = [
     "infer_schema",
     "infer_semantic_type",
     "interleaved_verdicts",
+    "SessionConfig",
+    "get_spark_session",
+    "resolve_config",
     "validate_table",
     "violation_rows",
     "duplicate_keys",

@@ -129,3 +129,70 @@ def test_excel_gate_or_roundtrip(spark, tmp_path):
     sheets = read_excel(spark, str(path))
     assert sheets["s1"].count() == 3
     assert sheets["s2"].columns == ["b"]
+
+
+# ----------------------------------------- session bootstrap (connector)
+
+
+def test_session_config_resolution(monkeypatch, tmp_path):
+    from pandera_forge_spark.sources.session import (
+        is_databricks_runtime,
+        read_cli_profile,
+        resolve_config,
+    )
+
+    env = {
+        "DATABRICKS_HOST": "https://env.cloud.example.com",
+        "DATABRICKS_TOKEN": "env-token",
+        "DATABRICKS_CLUSTER_ID": "env-cluster",
+    }
+    cfg = resolve_config(env=env)
+    assert cfg.host == "https://env.cloud.example.com"
+    assert cfg.token == "env-token"
+    assert cfg.cluster_id == "env-cluster"
+    assert cfg.catalog == "hive_metastore" and cfg.schema == "default"
+    assert cfg.can_connect_remote
+
+    # explicit args win over env
+    cfg2 = resolve_config(host="https://arg.example.com", env=env)
+    assert cfg2.host == "https://arg.example.com"
+
+    # CLI profile file (same ini format as the Databricks CLI)
+    p = tmp_path / "cfg"
+    p.write_text(
+        "[DEFAULT]\nhost = https://def.example.com\ntoken = def-tok\n"
+        "[work]\nhost = https://work.example.com\ntoken = work-tok\n"
+        "cluster_id = c-123\n"
+    )
+    prof = read_cli_profile("work", str(p))
+    assert prof == {
+        "host": "https://work.example.com", "token": "work-tok",
+        "cluster_id": "c-123",
+    }
+    cfg3 = resolve_config(profile="work", env={}, profile_path=str(p))
+    assert cfg3.host == "https://work.example.com" and cfg3.cluster_id == "c-123"
+    # missing file -> empty, env-less -> cannot connect
+    assert read_cli_profile("x", str(tmp_path / "missing")) == {}
+    assert not resolve_config(env={}).can_connect_remote
+
+    assert not is_databricks_runtime(env={})
+    assert is_databricks_runtime(env={"DATABRICKS_RUNTIME_VERSION": "15.4"})
+
+
+def test_spark_connect_url():
+    import pytest
+
+    from pandera_forge_spark.sources.session import SessionConfig, spark_connect_url
+
+    cfg = SessionConfig(
+        host="https://dbc-x.cloud.example.com/", token="tok", cluster_id="c-9"
+    )
+    assert (
+        spark_connect_url(cfg)
+        == "sc://dbc-x.cloud.example.com:443/;token=tok;x-databricks-cluster-id=c-9"
+    )
+    assert spark_connect_url(
+        SessionConfig(host="h.example.com", token="t")
+    ) == "sc://h.example.com:443/;token=t"
+    with pytest.raises(ValueError, match="host and token"):
+        spark_connect_url(SessionConfig())
