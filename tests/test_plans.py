@@ -95,3 +95,35 @@ def test_span_flags_projection_stays_codegen(spark):
     )
     assert not has_python_udf(df)
     assert plan_summary(df)["shuffles"] == 0
+
+
+def test_batched_read_prunes_partitions(spark, tmp_path):
+    """The batched runner's isin read must resolve as PartitionFilters
+    at the scan (planning-time pruning), not a post-scan Filter."""
+    from pandera_forge_spark.fixtures import make_documents
+    from pandera_forge_spark.plans.inspect import executed_plan
+    from pandera_forge_spark.runner import HivePartitionedParquet
+
+    docs = make_documents(spark, 200, seed=3, n_buckets=8)
+    table = HivePartitionedParquet(spark, str(tmp_path / "pp"), "bucket")
+    table.write(docs)
+    df = table.read_partitions(table.list_partitions()[:3])
+    plan = executed_plan(df)
+    assert "PartitionFilters: [" in plan and "bucket" in plan.split("PartitionFilters: [", 1)[1][:120]
+
+
+def test_embedding_neardup_plan_no_cartesian_no_udf(spark):
+    """The capped embedding LSH self-join must stay a keyed join on the
+    bucket (never a cartesian/BNL over the corpus) and pure JVM."""
+    from pandera_forge_spark.operators.similarity import near_duplicates_embedding
+    from pandera_forge_spark.plans.inspect import executed_plan, has_python_udf
+
+    df = spark.range(200).selectExpr(
+        "id as vec_id",
+        "array(cast(id % 7 as double), cast(id % 5 as double), 1.0d) as embedding",
+    )
+    out = near_duplicates_embedding(df, threshold=0.99, bits=8, max_bucket=20)
+    plan = executed_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not has_python_udf(out)
