@@ -307,7 +307,11 @@ def main_default() -> None:
 def scaling_worker(cores: str, n_docs: int) -> None:
     spark = build_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
-    best = warm_until_jit_settles(spark, lambda: run_flagship(spark, n_docs))
+    # low-core legs run ~50 s/pass, so the default 420 s warm budget
+    # can expire before C2 settles — give them a full 10 minutes
+    best = warm_until_jit_settles(
+        spark, lambda: run_flagship(spark, n_docs), max_sec=600.0
+    )
     sec = min(run_flagship(spark, n_docs) for _ in range(2))
     sec = min(sec, best)
     spark.stop()
@@ -388,6 +392,12 @@ narrow sort-merge join on `doc_id` (~40 bytes/row shuffled regardless
 of media payload width), and a tiny per-bucket rollup — no driver
 loops, no collect, no broadcast of large sides, AQE handles the skewed
 `hot-` doc_id prefix.
+
+Measurement protocol: each leg reports the MIN wall time across its
+warmed runs (run-to-run residual on this shared sandbox is ~10-15%,
+dominated by leftover C2 compilation on the low-core legs where each
+pass is ~50 s; min-of-warmed-runs is the steady state a long-running
+warehouse job sees).
 
 Reproduce: `python bench.py --scaling`
 (`SPARK_GRAFT_BENCH_DOCS` overrides the fixture size).
