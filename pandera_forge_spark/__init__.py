@@ -33,6 +33,7 @@ from pandera_forge_spark.sanitizer import sanitize_class_name, sanitize_column_n
 from pandera_forge_spark.patterns import NAMED_PATTERNS
 from pandera_forge_spark.profiler import profile_by_group, profile_table
 from pandera_forge_spark.inference import infer_schema, infer_semantic_type
+from pandera_forge_spark.generator import ModelGenerator
 from pandera_forge_spark.pipeline import interleaved_verdicts
 from pandera_forge_spark.sources.session import (
     SessionConfig,
@@ -64,6 +65,7 @@ __all__ = [
     "infer_schema",
     "infer_semantic_type",
     "interleaved_verdicts",
+    "ModelGenerator",
     "SessionConfig",
     "get_spark_session",
     "resolve_config",

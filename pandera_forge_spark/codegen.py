@@ -29,6 +29,7 @@ except ImportError:
     try:
         from pandera.pandas import Timestamp
     except ImportError:
+        # Fallback: Timestamp might be in pandera directly
         from pandera import Timestamp
 from pandera.typing.pandas import Series, Int64, Int32, Int16, Int8, Float64, Float32, Float16, String, Bool, DateTime, Category, Object
 from typing import Optional
@@ -123,7 +124,10 @@ def render_class(schema: TableSchema, stats_comments: bool = False) -> str:
 
 
 def render_model(schema: TableSchema, stats_comments: bool = False) -> str:
-    return PANDERA_IMPORTS + "\n" + render_class(schema, stats_comments)
+    """Full model file: the byte-exact import preamble, the reference's
+    two blank lines, the class (reference: pandas_generator.py:64-66
+    ``generate_imports() + "\\n\\n\\n" + class_code``)."""
+    return PANDERA_IMPORTS + "\n\n\n" + render_class(schema, stats_comments)
 
 
 def validate_model_code(code: str, class_name: str) -> tuple[bool, Optional[str]]:

@@ -175,6 +175,8 @@ def infer_schema(
     exact_distinct="auto",
     detect_patterns: bool = True,
     semantic_types: bool = False,
+    with_examples: bool = True,
+    pattern_sample: Optional[int] = None,
 ) -> TableSchema:
     """Profile ``df`` and infer its constraint schema — the distributed
     replacement for the reference's ``ModelGenerator.generate``
@@ -193,6 +195,8 @@ def infer_schema(
         columns=columns,
         exact_distinct=exact_distinct,
         detect_patterns=detect_patterns,
+        with_examples=with_examples,
+        pattern_sample=pattern_sample,
     )
     schema = schema_from_profiles(name, profiles)
     if semantic_types:
