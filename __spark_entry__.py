@@ -676,6 +676,41 @@ WHERE doc_id % 25 = 0 ORDER BY 1
 """
 
 
+def q_near_dup_viral_capped(spark, sf_dir):
+    """Star-cap semantics under a VIRAL duplicate cluster
+    (operators/dedup.py max_bucket): 120 planted copies of doc 0's
+    text collide in every band bucket; past max_bucket=30 the bucket
+    emits only hub pairs (min id 0 → every copy), so each copy is
+    still linked to the cluster representative with jaccard 1.0 while
+    pair output stays linear. Scoped to (id_a=0, id_b>=3000000) — the
+    closed-form planted structure."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text").where(F.col("doc_id") < 40)
+    seed_text = docs.where(F.col("doc_id") == 0).select("text")
+    viral = (
+        spark.range(120)
+        .crossJoin(F.broadcast(seed_text))
+        .select((F.col("id") + 3000000).alias("doc_id"), "text")
+    )
+    planted = base.unionByName(viral)
+    nd = near_duplicates_minhash(
+        planted, "text", "doc_id", threshold=0.9, max_bucket=30
+    )
+    return (
+        nd.where((F.col("id_a") == 0) & (F.col("id_b") >= 3000000))
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_b")
+    )
+
+
+SQL_NEAR_DUP_VIRAL_CAPPED = """
+SELECT CAST(0 AS BIGINT) AS id_a,
+       CAST(3000000 + range AS BIGINT) AS id_b,
+       CAST(1.0 AS DOUBLE) AS jaccard
+FROM range(120) ORDER BY id_b
+"""
+
+
 def q_text_metrics(spark, sf_dir):
     from pandera_forge_spark.operators.text import word_count_bpe_ish
 
@@ -1132,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "dedup_exact_count": q_dedup_exact_count,
         "near_dup_minhash": q_near_dup_minhash,
+        "near_dup_viral_capped": q_near_dup_viral_capped,
         "text_metrics": q_text_metrics,
         "token_stats_by_lang": q_token_stats_by_lang,
         "cosine_topk": q_cosine_topk,
@@ -1174,6 +1210,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
         "dedup_exact_count": SQL_DEDUP_EXACT_COUNT,
         "near_dup_minhash": SQL_NEAR_DUP_MINHASH,
+        "near_dup_viral_capped": SQL_NEAR_DUP_VIRAL_CAPPED,
         "text_metrics": SQL_TEXT_METRICS,
         "token_stats_by_lang": SQL_TOKEN_STATS_BY_LANG,
         "cosine_topk": SQL_COSINE_TOPK,
