@@ -12,6 +12,12 @@ from pandera_forge_spark.streaming.stateful import duplicate_ids_stream
 from pandera_forge_spark.streaming.validate import (
     stream_verdicts,
     validate_stream,
+    windowed_verdicts,
 )
 
-__all__ = ["duplicate_ids_stream", "stream_verdicts", "validate_stream"]
+__all__ = [
+    "duplicate_ids_stream",
+    "stream_verdicts",
+    "validate_stream",
+    "windowed_verdicts",
+]
