@@ -551,6 +551,59 @@ FROM bins p, base q ORDER BY 1
 """
 
 
+def q_drift_categorical(spark, sf_dir):
+    """Categorical drift (PSI + chi-square over bounded category
+    shares, drift.categorical_*): o_orderstatus mix per
+    o_orderpriority partition vs the whole-table baseline. Missing
+    categories take the EPS floor on both sides."""
+    from pandera_forge_spark.drift import (
+        categorical_baseline,
+        categorical_drift_by_partition,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    base = categorical_baseline(o, "o_orderstatus")
+    d = categorical_drift_by_partition(o, "o_orderstatus", ["o_orderpriority"], base)
+    return d.select(
+        "o_orderpriority",
+        "n",
+        F.round("psi", 6).alias("psi"),
+        F.round("chi2", 3).alias("chi2"),
+    ).orderBy("o_orderpriority")
+
+
+SQL_DRIFT_CATEGORICAL = """
+WITH tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) t FROM orders WHERE o_orderstatus IS NOT NULL
+),
+base AS (
+  SELECT o_orderstatus s, COUNT(*) / (SELECT t FROM tot) q
+  FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1
+),
+parts AS (SELECT DISTINCT o_orderpriority p FROM orders),
+cnt AS (
+  SELECT o_orderpriority p, o_orderstatus s, COUNT(*) c
+  FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1, 2
+),
+n AS (SELECT p, SUM(c) n FROM cnt GROUP BY 1),
+grid AS (
+  SELECT parts.p, base.s, base.q, COALESCE(cnt.c, 0) c
+  FROM parts CROSS JOIN base
+  LEFT JOIN cnt ON cnt.p = parts.p AND cnt.s = base.s
+),
+terms AS (
+  SELECT grid.p, n.n,
+         GREATEST(grid.c / n.n, 1e-6) AS pp,
+         GREATEST(grid.q, 1e-6) AS qq
+  FROM grid JOIN n ON n.p = grid.p
+)
+SELECT p AS o_orderpriority, CAST(MAX(n) AS BIGINT) AS n,
+       ROUND(SUM((pp - qq) * LN(pp / qq)), 6) AS psi,
+       ROUND(MAX(n) * SUM((pp - qq) * (pp - qq) / qq), 3) AS chi2
+FROM terms GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_span_order_violations(spark, sf_dir):
     actual = _mutate_first_offset(_interleaved(spark, sf_dir), 37)
     return span_order_violations(actual).orderBy("doc_id")
@@ -1160,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_verdicts_lineitem": q_validation_verdicts_lineitem,
         "violation_rows_lineitem": q_violation_rows_lineitem,
         "drift_orders": q_drift_orders,
+        "drift_categorical": q_drift_categorical,
         "span_order_violations": q_span_order_violations,
         "span_sequence_mismatches": q_span_sequence_mismatches,
         "span_kind_counts": q_span_kind_counts,
@@ -1203,6 +1257,7 @@ def oracle_sql() -> dict[str, str]:
         "validation_verdicts_lineitem": SQL_VALIDATION_VERDICTS_LINEITEM,
         "violation_rows_lineitem": SQL_VIOLATION_ROWS_LINEITEM,
         "drift_orders": _sql_drift_orders(),
+        "drift_categorical": SQL_DRIFT_CATEGORICAL,
         "span_order_violations": SQL_SPAN_ORDER_VIOLATIONS,
         "span_sequence_mismatches": SQL_SPAN_SEQUENCE_MISMATCHES,
         "span_kind_counts": SQL_SPAN_KIND_COUNTS,

@@ -145,6 +145,94 @@ def drift_verdicts(
     )
 
 
+MAX_CATEGORIES = 50
+
+
+def categorical_baseline(
+    df: DataFrame, col: str, max_categories: int = MAX_CATEGORIES
+) -> dict:
+    """Baseline category shares for a CATEGORICAL column: the top
+    ``max_categories`` values (deterministic order: count desc, value
+    asc) plus an OTHER bucket absorbing the tail. Bounding the category
+    list is what keeps the scoring pass scale-safe — a high-cardinality
+    column contributes at most max_categories+1 literal comparisons per
+    row, never a per-category shuffle. Returns plain floats, broadcast
+    as literals into the scoring aggregation."""
+    c = F.col(col).cast("string")
+    nn = df.where(c.isNotNull())
+    top = (
+        nn.groupBy(c.alias("v"))
+        .count()
+        .orderBy(F.desc("count"), F.asc("v"))
+        .limit(max_categories)
+        .collect()
+    )
+    total = nn.count()
+    n = total or 1
+    cats = [r["v"] for r in top]
+    props = [r["count"] / n for r in top]
+    other = max(0.0, 1.0 - sum(props))
+    return {"cats": cats, "props": props, "other": other, "n": total}
+
+
+def categorical_drift_by_partition(
+    df: DataFrame,
+    col: str,
+    partition_cols: Sequence[str],
+    baseline: dict,
+) -> DataFrame:
+    """One aggregation pass: per-partition PSI and chi-square statistic
+    of a categorical column against a ``categorical_baseline``.
+
+    Per partition, each baseline category's count is a conditional-sum
+    aggregate (algebraic, map-side combine); OTHER = n - Σ cats. Then
+
+        PSI  = Σ (p_i - q_i) ln(p_i / q_i)          (smoothed at EPS)
+        chi2 = n · Σ (p_i - q_i)² / q_i             (Pearson statistic)
+
+    over categories + OTHER, as closed-form column expressions over the
+    aggregate row. A partition missing a category entirely contributes
+    the EPS-floored term, same as the numeric path's empty bins."""
+    edges_cats, q_props = baseline["cats"], baseline["props"]
+    q_other = baseline["other"]
+    c = F.col(col).cast("string")
+    nn = c.isNotNull()
+    aggs = [F.sum(nn.cast("long")).alias("__n")] + [
+        F.sum((nn & (c == F.lit(v))).cast("long")).alias(f"__cat_{i}")
+        for i, v in enumerate(edges_cats)
+    ]
+    g = df.groupBy(*partition_cols).agg(*aggs)
+
+    n = F.greatest(F.col("__n"), F.lit(1)).cast("double")
+    cat_sum = None
+    for i in range(len(edges_cats)):
+        cat_sum = (
+            F.col(f"__cat_{i}")
+            if cat_sum is None
+            else cat_sum + F.col(f"__cat_{i}")
+        )
+    other_p = (F.col("__n") - cat_sum) / n if cat_sum is not None else F.lit(0.0)
+
+    pairs = [
+        (F.col(f"__cat_{i}") / n, q) for i, q in enumerate(q_props)
+    ] + [(other_p, q_other)]
+    psi = None
+    chi2 = None
+    for p_raw, q in pairs:
+        p = F.greatest(p_raw, F.lit(EPS))
+        qf = F.lit(max(q, EPS))
+        term = (p - qf) * (F.log(p) - F.log(qf))
+        psi = term if psi is None else psi + term
+        cterm = (p - qf) * (p - qf) / qf
+        chi2 = cterm if chi2 is None else chi2 + cterm
+    return g.select(
+        *partition_cols,
+        F.col("__n").alias("n"),
+        psi.alias("psi"),
+        (n * chi2).alias("chi2"),
+    )
+
+
 def psi_of(p: Sequence[float], q: Sequence[float]) -> float:
     """Driver-side PSI for unit tests / oracles."""
     return sum(

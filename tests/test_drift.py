@@ -71,3 +71,64 @@ def test_nulls_excluded(spark):
 def test_psi_of_helper():
     assert psi_of([0.5, 0.5], [0.5, 0.5]) == 0.0
     assert psi_of([0.9, 0.1], [0.5, 0.5]) > 0.2
+
+
+def test_categorical_drift(spark):
+    """Identical distribution -> PSI/chi2 ~ 0; a partition with a
+    shifted category mix scores high on both; missing categories take
+    the EPS floor instead of crashing."""
+    from pyspark.sql import functions as F
+
+    from pandera_forge_spark.drift import (
+        categorical_baseline,
+        categorical_drift_by_partition,
+    )
+
+    # baseline: 60/30/10 mix of A/B/C
+    base = spark.range(1000).select(
+        F.when(F.col("id") % 10 < 6, "A")
+        .when(F.col("id") % 10 < 9, "B")
+        .otherwise("C")
+        .alias("cat")
+    )
+    b = categorical_baseline(base, "cat")
+    assert b["cats"] == ["A", "B", "C"] and abs(b["props"][0] - 0.6) < 1e-9
+
+    # part "same": the same mix; part "flip": all C (drifted);
+    # part "skew": only A and B (C missing entirely)
+    cur = spark.range(3000).select(
+        F.when(F.col("id") < 1000, "same")
+        .when(F.col("id") < 2000, "flip")
+        .otherwise("skew")
+        .alias("part"),
+        F.when(
+            F.col("id") < 1000,
+            F.when(F.col("id") % 10 < 6, "A")
+            .when(F.col("id") % 10 < 9, "B")
+            .otherwise("C"),
+        )
+        .when(F.col("id") < 2000, F.lit("C"))
+        .otherwise(F.when(F.col("id") % 2 == 0, "A").otherwise("B"))
+        .alias("cat"),
+    )
+    rows = {
+        r["part"]: r
+        for r in categorical_drift_by_partition(cur, "cat", ["part"], b).collect()
+    }
+    assert rows["same"]["psi"] < 0.01 and rows["same"]["chi2"] < 1.0
+    assert rows["flip"]["psi"] > 1.0 and rows["flip"]["chi2"] > 1000
+    assert rows["skew"]["psi"] > 0.1
+    assert all(r["n"] == 1000 for r in rows.values())
+
+
+def test_categorical_baseline_other_bucket(spark):
+    from pyspark.sql import functions as F
+
+    from pandera_forge_spark.drift import categorical_baseline
+
+    df = spark.range(100).select(
+        F.concat(F.lit("v"), (F.col("id") % 20).cast("string")).alias("c")
+    )
+    b = categorical_baseline(df, "c", max_categories=5)
+    assert len(b["cats"]) == 5
+    assert abs(b["other"] - 0.75) < 1e-9  # 15 of 20 uniform categories
