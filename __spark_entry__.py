@@ -604,6 +604,39 @@ FROM terms GROUP BY 1 ORDER BY 1
 """
 
 
+def q_sketch_merge_exact(spark, sf_dir):
+    """Two-level mergeable-profile rollup (sketches.partition_sketches
+    -> merge_sketches, the incremental-profiling path): the EXACT
+    fields — row count, null count, min/max — must survive the
+    partition->table merge losslessly. The HLL/KLL estimate fields are
+    bound-checked in tests/test_sketches.py instead (approximations
+    have no closed-form SQL)."""
+    from pandera_forge_spark.sketches import merge_sketches, partition_sketches
+
+    o = _t(spark, sf_dir, "orders")
+    sk = partition_sketches(o, ["o_orderpriority"], ["o_totalprice", "o_custkey"])
+    m = merge_sketches(sk)
+    return m.select(
+        F.col("__rows").alias("n_rows"),
+        F.col("o_totalprice__nulls").alias("price_nulls"),
+        F.round("o_totalprice__min", 2).alias("price_min"),
+        F.round("o_totalprice__max", 2).alias("price_max"),
+        F.col("o_custkey__min").alias("cust_min"),
+        F.col("o_custkey__max").alias("cust_max"),
+    )
+
+
+SQL_SKETCH_MERGE_EXACT = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS price_nulls,
+       ROUND(MIN(o_totalprice), 2) AS price_min,
+       ROUND(MAX(o_totalprice), 2) AS price_max,
+       MIN(o_custkey) AS cust_min,
+       MAX(o_custkey) AS cust_max
+FROM orders
+"""
+
+
 def q_span_order_violations(spark, sf_dir):
     actual = _mutate_first_offset(_interleaved(spark, sf_dir), 37)
     return span_order_violations(actual).orderBy("doc_id")
@@ -1214,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_rows_lineitem": q_violation_rows_lineitem,
         "drift_orders": q_drift_orders,
         "drift_categorical": q_drift_categorical,
+        "sketch_merge_exact": q_sketch_merge_exact,
         "span_order_violations": q_span_order_violations,
         "span_sequence_mismatches": q_span_sequence_mismatches,
         "span_kind_counts": q_span_kind_counts,
@@ -1258,6 +1292,7 @@ def oracle_sql() -> dict[str, str]:
         "violation_rows_lineitem": SQL_VIOLATION_ROWS_LINEITEM,
         "drift_orders": _sql_drift_orders(),
         "drift_categorical": SQL_DRIFT_CATEGORICAL,
+        "sketch_merge_exact": SQL_SKETCH_MERGE_EXACT,
         "span_order_violations": SQL_SPAN_ORDER_VIOLATIONS,
         "span_sequence_mismatches": SQL_SPAN_SEQUENCE_MISMATCHES,
         "span_kind_counts": SQL_SPAN_KIND_COUNTS,

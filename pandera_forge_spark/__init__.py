@@ -30,6 +30,11 @@ from pandera_forge_spark.schema import (
     TableSchema,
 )
 from pandera_forge_spark.sanitizer import sanitize_class_name, sanitize_column_name
+from pandera_forge_spark.sketches import (
+    merge_sketches,
+    partition_sketches,
+    update_sketches,
+)
 from pandera_forge_spark.patterns import NAMED_PATTERNS
 from pandera_forge_spark.profiler import profile_by_group, profile_table
 from pandera_forge_spark.inference import infer_schema, infer_semantic_type
@@ -62,6 +67,9 @@ __all__ = [
     "sanitize_column_name",
     "profile_table",
     "profile_by_group",
+    "partition_sketches",
+    "merge_sketches",
+    "update_sketches",
     "infer_schema",
     "infer_semantic_type",
     "interleaved_verdicts",

@@ -1,0 +1,148 @@
+"""Mergeable per-partition profile sketches — incremental profiling.
+
+An append-only warehouse table grows by PARTITION; re-profiling 100 TB
+because one day of data landed would be the reference's
+jobs-per-column problem at a larger scale. This module profiles each
+partition ONCE into a single row of mergeable state:
+
+- count / null count / numeric min & max — exact, algebraic;
+- distinct count — an Apache DataSketches HLL sketch
+  (``hll_sketch_agg``, ~1.6% relative error at the default lgk=12);
+- numeric quantiles — a KLL sketch (``kll_sketch_agg_double``, ~1.7%
+  rank error at the default k).
+
+Those rows are tiny binaries (a few KB per column) meant to live next
+to the runner's audit log. A table-level profile — or the profile of
+ANY partition subset, e.g. "last 30 days" — is then answered by
+MERGING sketch rows (``hll_union_agg``; KLL folded with the binary
+``kll_sketch_merge_double``), never by rescanning data. New partition
+arrives → sketch it → append one row; every previously profiled byte
+stays untouched.
+
+The batch profiler (profiler.py) remains the source of exact answers
+(candidate-then-verify uniqueness, exact small-domain melts); sketches
+are the monitoring/incremental path where bounded error buys
+rescan-free aggregation. Cited against the reference: it has no
+incremental story at all — every ``generate()`` call re-runs its
+per-column jobs from zero (reference: spark/spark_generator.py:35-118).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pandera_forge_spark.profiler import NUMERIC_TYPES, ORDERED_EXTRA, _is_simple
+
+_SLICE_MAX = 1 << 30
+
+
+def sketch_exprs(df: DataFrame, columns: Sequence[str]) -> list:
+    """The mergeable aggregate list for one partition (or any row
+    group): one row out, every field either algebraic or a
+    DataSketches binary."""
+    dtypes = dict((f.name, f.dataType) for f in df.schema.fields)
+    exprs = [F.count(F.lit(1)).alias("__rows")]
+    for c in columns:
+        dt = dtypes[c]
+        col = F.col(c)
+        exprs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
+        if _is_simple(dt):
+            exprs.append(F.hll_sketch_agg(col.cast("string")).alias(f"{c}__hll"))
+        if isinstance(dt, NUMERIC_TYPES) or isinstance(dt, ORDERED_EXTRA):
+            exprs += [F.min(col).alias(f"{c}__min"), F.max(col).alias(f"{c}__max")]
+        if isinstance(dt, NUMERIC_TYPES):
+            exprs.append(
+                F.kll_sketch_agg_double(col.cast("double")).alias(f"{c}__kll")
+            )
+    return exprs
+
+
+def partition_sketches(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    columns: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """One mergeable profile row per partition — the thing you persist.
+    A grouped aggregation (map-side partial sketches, one shuffle);
+    skewed partitions are fine because every field merges
+    associatively."""
+    columns = list(
+        columns or [c for c in df.columns if c not in set(partition_cols)]
+    )
+    return df.groupBy(*[F.col(p) for p in partition_cols]).agg(
+        *sketch_exprs(df, columns)
+    )
+
+
+def _fold_kll(col_name: str):
+    """KLL has no native union AGGREGATE — fold the binary
+    ``kll_sketch_merge_double`` over a collect_list. The list holds one
+    small sketch per partition being merged (not per row), so driver
+    and executor memory stay O(partitions x sketch_size)."""
+    lst = F.collect_list(col_name)
+    return F.aggregate(
+        F.slice(lst, 2, _SLICE_MAX),
+        F.element_at(lst, 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+
+
+def merge_sketches(
+    sketch_df: DataFrame,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Roll sketch rows up to ONE profile row — no data rescan.
+
+    Which merges apply is read off the sketch frame's own schema
+    (``__nulls`` / ``__hll`` / ``__min`` / ``__kll`` suffixes), so any
+    subset filter (``where(partition.isin(...))``) composes for free.
+    Exact fields merge exactly (sum/min/max); ``{c}__distinct_est`` is
+    the merged-HLL estimate; ``{c}__q{p}`` the merged-KLL quantiles."""
+    exprs = [F.sum("__rows").alias("__rows")]
+    for f in sketch_df.schema.fields:
+        name = f.name
+        if name.endswith("__nulls"):
+            exprs.append(F.sum(name).alias(name))
+        elif name.endswith("__min"):
+            exprs.append(F.min(name).alias(name))
+        elif name.endswith("__max"):
+            exprs.append(F.max(name).alias(name))
+        elif name.endswith("__hll"):
+            c = name[: -len("__hll")]
+            exprs.append(
+                F.hll_sketch_estimate(F.hll_union_agg(name)).alias(
+                    f"{c}__distinct_est"
+                )
+            )
+        elif name.endswith("__kll"):
+            c = name[: -len("__kll")]
+            merged = _fold_kll(name)
+            for q in quantiles:
+                exprs.append(
+                    F.kll_sketch_get_quantile_double(merged, F.lit(float(q))).alias(
+                        f"{c}__q{int(round(q * 100))}"
+                    )
+                )
+    return sketch_df.agg(*exprs)
+
+
+def update_sketches(
+    existing: DataFrame,
+    df_new: DataFrame,
+    partition_cols: Sequence[str],
+    columns: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Incremental append: sketch ONLY the new data and union the rows
+    onto the stored sketch frame. If a partition receives late rows its
+    two sketch rows simply coexist — every field merges associatively:
+    exact fields and the HLL estimate (a register-wise max) come out
+    IDENTICAL to one-shot profiling; KLL quantiles agree within the
+    sketch's rank error (compaction depends on arrival grouping).
+    Asserted in tests/test_sketches.py."""
+    return existing.unionByName(
+        partition_sketches(df_new, partition_cols, columns)
+    )
