@@ -31,7 +31,9 @@ from pandera_forge_spark.schema import (
 )
 from pandera_forge_spark.sanitizer import sanitize_class_name, sanitize_column_name
 from pandera_forge_spark.sketches import (
+    baseline_from_kll,
     merge_sketches,
+    new_key_estimate,
     partition_sketches,
     update_sketches,
 )
@@ -70,6 +72,8 @@ __all__ = [
     "partition_sketches",
     "merge_sketches",
     "update_sketches",
+    "new_key_estimate",
+    "baseline_from_kll",
     "infer_schema",
     "infer_semantic_type",
     "interleaved_verdicts",

@@ -40,10 +40,16 @@ from pandera_forge_spark.profiler import NUMERIC_TYPES, ORDERED_EXTRA, _is_simpl
 _SLICE_MAX = 1 << 30
 
 
-def sketch_exprs(df: DataFrame, columns: Sequence[str]) -> list:
+def sketch_exprs(
+    df: DataFrame, columns: Sequence[str], theta: bool = False
+) -> list:
     """The mergeable aggregate list for one partition (or any row
     group): one row out, every field either algebraic or a
-    DataSketches binary."""
+    DataSketches binary. ``theta=True`` additionally keeps a Theta
+    sketch per simple column — unlike HLL it supports set DIFFERENCE
+    and intersection, enabling "how many keys are NEW vs yesterday"
+    without rescanning either day (``new_key_estimate``); costs a few
+    extra KB per column."""
     dtypes = dict((f.name, f.dataType) for f in df.schema.fields)
     exprs = [F.count(F.lit(1)).alias("__rows")]
     for c in columns:
@@ -52,6 +58,10 @@ def sketch_exprs(df: DataFrame, columns: Sequence[str]) -> list:
         exprs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
         if _is_simple(dt):
             exprs.append(F.hll_sketch_agg(col.cast("string")).alias(f"{c}__hll"))
+            if theta:
+                exprs.append(
+                    F.theta_sketch_agg(col.cast("string")).alias(f"{c}__theta")
+                )
         if isinstance(dt, NUMERIC_TYPES) or isinstance(dt, ORDERED_EXTRA):
             exprs += [F.min(col).alias(f"{c}__min"), F.max(col).alias(f"{c}__max")]
         if isinstance(dt, NUMERIC_TYPES):
@@ -65,6 +75,7 @@ def partition_sketches(
     df: DataFrame,
     partition_cols: Sequence[str],
     columns: Optional[Sequence[str]] = None,
+    theta: bool = False,
 ) -> DataFrame:
     """One mergeable profile row per partition — the thing you persist.
     A grouped aggregation (map-side partial sketches, one shuffle);
@@ -74,7 +85,7 @@ def partition_sketches(
         columns or [c for c in df.columns if c not in set(partition_cols)]
     )
     return df.groupBy(*[F.col(p) for p in partition_cols]).agg(
-        *sketch_exprs(df, columns)
+        *sketch_exprs(df, columns, theta=theta)
     )
 
 
@@ -128,6 +139,72 @@ def merge_sketches(
                     )
                 )
     return sketch_df.agg(*exprs)
+
+
+def new_key_estimate(
+    sketch_df: DataFrame,
+    column: str,
+    new_filter,
+    old_filter,
+) -> float:
+    """Estimated number of DISTINCT values present in the ``new_filter``
+    partitions but absent from the ``old_filter`` partitions — "how
+    many doc_ids are genuinely new today" — computed purely from stored
+    Theta sketch rows (``partition_sketches(theta=True)``), no data
+    rescan. Theta set-difference A\\\\B with the standard DataSketches
+    error bounds; HLL cannot answer this (no difference operator)."""
+    c = f"{column}__theta"
+    new = sketch_df.where(new_filter).agg(F.theta_union_agg(c).alias("__a"))
+    old = sketch_df.where(old_filter).agg(F.theta_union_agg(c).alias("__b"))
+    row = (
+        new.crossJoin(old)
+        .select(
+            F.theta_sketch_estimate(
+                F.theta_difference(F.col("__a"), F.col("__b"))
+            ).alias("est")
+        )
+        .collect()[0]
+    )
+    return float(row["est"] or 0.0)
+
+
+def baseline_from_kll(
+    sketch_df: DataFrame, column: str, bins: int = 10
+) -> dict:
+    """A ``drift.baseline_summary``-compatible dict built ENTIRELY from
+    stored KLL sketch rows — drift scoring against last month's
+    distribution without rescanning last month. Edges are the merged
+    sketch's own quantiles; proportions/CDF come from rank queries at
+    those edges (rank = the sketch's CDF), so the dict plugs straight
+    into ``drift.drift_by_partition`` / ``drift_verdicts``."""
+    name = f"{column}__kll"
+    merged = _fold_kll(name)
+    qs = [i / bins for i in range(1, bins)]
+    row = sketch_df.agg(
+        F.array(
+            *[
+                F.kll_sketch_get_quantile_double(merged, F.lit(q))
+                for q in qs
+            ]
+        ).alias("edges")
+    ).collect()[0]
+    edges = [float(v) for v in row["edges"]]
+    rank_row = sketch_df.agg(
+        F.array(
+            *[
+                F.kll_sketch_get_rank_double(merged, F.lit(e))
+                for e in edges
+            ]
+        ).alias("ranks")
+    ).collect()[0]
+    cdf = [float(v) for v in rank_row["ranks"]]
+    props = []
+    prev = 0.0
+    for r in cdf:
+        props.append(max(r - prev, 1e-6))
+        prev = r
+    props.append(max(1.0 - prev, 1e-6))
+    return {"edges": edges, "props": props, "cdf": cdf}
 
 
 def update_sketches(

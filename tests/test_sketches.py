@@ -76,3 +76,44 @@ def test_subset_merge(spark):
     assert row["__rows"] == exact.count()
     nref = exact.where(F.col("user").isNull()).count()
     assert row["user__nulls"] == nref
+
+
+def test_theta_new_key_estimate(spark):
+    """Day-2 introduces exactly 500 unseen keys; the theta difference
+    over stored sketch rows finds them without rescanning either day."""
+    from pandera_forge_spark.sketches import new_key_estimate
+
+    day1 = spark.range(0, 1000).select(F.lit("d1").alias("day"), F.col("id").alias("key"))
+    day2 = spark.range(500, 1500).select(F.lit("d2").alias("day"), F.col("id").alias("key"))
+    sk = partition_sketches(
+        day1.unionByName(day2), ["day"], ["key"], theta=True
+    )
+    est = new_key_estimate(
+        sk, "key", F.col("day") == "d2", F.col("day") == "d1"
+    )
+    assert abs(est - 500) / 500 < 0.05
+
+
+def test_drift_baseline_from_kll(spark):
+    """Drift scoring against a KLL-sketch baseline (no baseline
+    rescan): identical distribution scores ~0, a shifted partition
+    scores high — same verdicts as the scan-based baseline_summary."""
+    from pandera_forge_spark.drift import drift_by_partition
+    from pandera_forge_spark.sketches import baseline_from_kll
+
+    base = spark.range(20000).select(
+        (F.col("id") % 4).alias("part"), (F.col("id") % 1000).cast("double").alias("v")
+    )
+    sk = partition_sketches(base, ["part"], ["v"])
+    b = baseline_from_kll(sk, "v", bins=10)
+    assert len(b["edges"]) == 9 and len(b["props"]) == 10
+
+    cur = spark.range(20000).select(
+        F.when(F.col("id") % 2 == 0, "same").otherwise("shifted").alias("grp"),
+        F.when(
+            F.col("id") % 2 == 0, (F.col("id") % 1000).cast("double")
+        ).otherwise((F.col("id") % 100).cast("double")).alias("v"),
+    )
+    rows = {r["grp"]: r for r in drift_by_partition(cur, "v", ["grp"], b).collect()}
+    assert rows["same"]["psi"] < 0.05 and rows["same"]["ks"] < 0.05
+    assert rows["shifted"]["psi"] > 1.0 and rows["shifted"]["ks"] > 0.5
