@@ -53,6 +53,169 @@ FEATURE_DIM = 16
 _FEATURE_SCHEMA = "media_id string, kind string, n_bytes int, feature array<float>"
 
 
+# ------------------------------------------------------- introspection
+#
+# Container-level media introspection needs NO media library — magic
+# bytes and fixed-offset header fields are readable with plain binary
+# slicing, so everything below is REAL (not stubbed) and, except for
+# the JPEG marker walk, pure JVM column algebra inside whole-stage
+# codegen: hex(substring(payload, pos, n)) against known constants.
+
+
+def _hex_at(payload: "F.Column", pos: int, n: int) -> "F.Column":
+    """Uppercase hex of n raw bytes at 1-based pos — substring works on
+    BinaryType and stays JVM-side."""
+    return F.hex(F.substring(payload, pos, n))
+
+
+def _be_uint(payload: "F.Column", pos: int, n: int) -> "F.Column":
+    """Big-endian unsigned int of n bytes at pos (conv hex→dec)."""
+    return F.conv(_hex_at(payload, pos, n), 16, 10).cast("long")
+
+
+def _le_uint(payload: "F.Column", pos: int, n: int) -> "F.Column":
+    """Little-endian unsigned int: per-byte conv summed with powers of
+    256 — n is tiny (2-4), so this unrolls to a few JVM expressions."""
+    acc = F.lit(0).cast("long")
+    for i in range(n):
+        acc = acc + _be_uint(payload, pos + i, 1) * F.lit(256**i).cast("long")
+    return acc
+
+
+def sniff_mime(payload: "F.Column") -> "F.Column":
+    """Magic-byte container detection on the raw binary column —
+    first-match-wins over the standard signatures (PNG, JPEG, GIF87a/
+    89a, WEBP, WAV, MP4 ftyp, Matroska/WebM, PDF). Unknown bytes →
+    application/octet-stream."""
+    return (
+        F.when(_hex_at(payload, 1, 8) == "89504E470D0A1A0A", "image/png")
+        .when(_hex_at(payload, 1, 3) == "FFD8FF", "image/jpeg")
+        .when(
+            _hex_at(payload, 1, 6).isin("474946383761", "474946383961"),
+            "image/gif",
+        )
+        .when(
+            (_hex_at(payload, 1, 4) == "52494646")
+            & (_hex_at(payload, 9, 4) == "57454250"),
+            "image/webp",
+        )
+        .when(
+            (_hex_at(payload, 1, 4) == "52494646")
+            & (_hex_at(payload, 9, 4) == "57415645"),
+            "audio/wav",
+        )
+        .when(_hex_at(payload, 5, 4) == "66747970", "video/mp4")
+        .when(_hex_at(payload, 1, 4) == "1A45DFA3", "video/webm")
+        .when(_hex_at(payload, 1, 4) == "25504446", "application/pdf")
+        .otherwise("application/octet-stream")
+    )
+
+
+def png_dimensions(payload: "F.Column") -> "F.Column":
+    """(width, height) from the PNG IHDR chunk — fixed offsets 17/21,
+    big-endian u32. Null for non-PNG bytes."""
+    is_png = _hex_at(payload, 1, 8) == "89504E470D0A1A0A"
+    return F.when(
+        is_png,
+        F.struct(
+            _be_uint(payload, 17, 4).cast("int").alias("width"),
+            _be_uint(payload, 21, 4).cast("int").alias("height"),
+        ),
+    )
+
+
+def gif_dimensions(payload: "F.Column") -> "F.Column":
+    """(width, height) from the GIF logical screen descriptor — offsets
+    7/9, little-endian u16."""
+    is_gif = _hex_at(payload, 1, 6).isin("474946383761", "474946383961")
+    return F.when(
+        is_gif,
+        F.struct(
+            _le_uint(payload, 7, 2).cast("int").alias("width"),
+            _le_uint(payload, 9, 2).cast("int").alias("height"),
+        ),
+    )
+
+
+def wav_sample_rate(payload: "F.Column") -> "F.Column":
+    """Sample rate from a canonical RIFF/WAVE fmt chunk (offset 25,
+    little-endian u32). Null for non-WAV bytes."""
+    is_wav = (_hex_at(payload, 1, 4) == "52494646") & (
+        _hex_at(payload, 9, 4) == "57415645"
+    )
+    return F.when(is_wav, _le_uint(payload, 25, 4).cast("int"))
+
+
+def _jpeg_dims_py(payload) -> "list | None":
+    """Stdlib JPEG SOF marker walk — runs inside the Arrow-batched
+    kernel below (JPEG has no fixed-offset dimensions, so a scan is
+    unavoidable; it touches only the header bytes, not the scan data)."""
+    if not payload or payload[:3] != b"\xff\xd8\xff":
+        return None
+    i, n = 2, len(payload)
+    while i + 9 < n:
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h = int.from_bytes(payload[i + 5 : i + 7], "big")
+            w = int.from_bytes(payload[i + 7 : i + 9], "big")
+            return [w, h]
+        i += 2 + seg_len
+    return None
+
+
+def image_dimensions(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Adds ``mime`` and ``width``/``height`` for image payloads: PNG
+    and GIF decode as pure column algebra; JPEG rows go through ONE
+    Arrow-batched pandas kernel (mapInPandas) that walks only header
+    markers. No media library anywhere."""
+    p = F.col(payload_col)
+    with_mime = df.withColumn("mime", sniff_mime(p)).withColumn(
+        "__dims", F.coalesce(png_dimensions(p), gif_dimensions(p))
+    )
+
+    out_schema = T.StructType(
+        with_mime.schema.fields
+        + [
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+        ]
+    )
+    jpeg_idx = [f.name for f in with_mime.schema.fields].index("mime")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            dims = b["__dims"]
+            jpeg = b["mime"] == "image/jpeg"
+            wh = [
+                _jpeg_dims_py(pl) if j else None
+                for j, pl in zip(jpeg, b[payload_col])
+            ]
+            b = b.copy()
+            b["width"] = [
+                (d["width"] if isinstance(d, dict) else None)
+                if not j
+                else (x[0] if x else None)
+                for j, d, x in zip(jpeg, dims, wh)
+            ]
+            b["height"] = [
+                (d["height"] if isinstance(d, dict) else None)
+                if not j
+                else (x[1] if x else None)
+                for j, d, x in zip(jpeg, dims, wh)
+            ]
+            yield b
+
+    assert jpeg_idx >= 0
+    return with_mime.mapInPandas(kernel, schema=out_schema).drop("__dims")
+
+
 def decode_image(payload: bytes) -> "object":
     """Real image decode requires PIL/cv2 — not in this container."""
     raise NotImplementedError(

@@ -54,3 +54,102 @@ def test_frame_sample_plan(spark):
     for r in rows:
         got[r["media_id"]] = got.get(r["media_id"], 0) + 1
     assert got == expect
+
+
+def _png(w, h):
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00" + b"\x00" * 8
+    )
+
+
+def _gif(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 6
+
+
+def _jpeg(w, h):
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+        + b"\xff\xd9"
+    )
+
+
+def _wav(rate):
+    return (
+        b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + b"\x00" * 8
+    )
+
+
+def test_sniff_mime_and_dimensions(spark):
+    """Container introspection on REAL header bytes — no media library:
+    magic-byte mime, PNG/GIF dims as pure column algebra, JPEG dims
+    via the Arrow-batched SOF walk, WAV sample rate."""
+    from pyspark.sql import functions as F
+
+    from pandera_forge_spark.operators.multimodal import (
+        image_dimensions,
+        sniff_mime,
+        wav_sample_rate,
+    )
+
+    rows = [
+        ("png", _png(640, 480)),
+        ("gif", _gif(320, 200)),
+        ("jpg", _jpeg(1024, 768)),
+        ("wav", _wav(44100)),
+        ("junk", b"\x00\x01\x02 random bytes"),
+        ("empty", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+
+    mimes = {
+        r["media_id"]: r["mime"]
+        for r in df.select("media_id", sniff_mime(F.col("payload")).alias("mime")).collect()
+    }
+    assert mimes["png"] == "image/png"
+    assert mimes["gif"] == "image/gif"
+    assert mimes["jpg"] == "image/jpeg"
+    assert mimes["wav"] == "audio/wav"
+    assert mimes["junk"] == "application/octet-stream"
+
+    dims = {
+        r["media_id"]: (r["width"], r["height"]) for r in image_dimensions(df).collect()
+    }
+    assert dims["png"] == (640, 480)
+    assert dims["gif"] == (320, 200)
+    assert dims["jpg"] == (1024, 768)
+    assert dims["wav"] == (None, None)
+
+    rates = {
+        r["media_id"]: r["sr"]
+        for r in df.select(
+            "media_id", wav_sample_rate(F.col("payload")).alias("sr")
+        ).collect()
+    }
+    assert rates["wav"] == 44100 and rates["png"] is None
+
+
+def test_mime_sniff_stays_jvm_side(spark):
+    """sniff_mime / png_dimensions must not introduce Python eval."""
+    from pyspark.sql import functions as F
+
+    from pandera_forge_spark.operators.multimodal import (
+        png_dimensions,
+        sniff_mime,
+    )
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    df = spark.createDataFrame([("a", b"\x89PNG\r\n\x1a\n")], "id string, payload binary")
+    out = df.select(
+        sniff_mime(F.col("payload")).alias("m"),
+        png_dimensions(F.col("payload")).alias("d"),
+    )
+    assert not has_python_udf(out)
