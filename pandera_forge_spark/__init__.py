@@ -32,6 +32,8 @@ from pandera_forge_spark.schema import (
 from pandera_forge_spark.sanitizer import sanitize_class_name, sanitize_column_name
 from pandera_forge_spark.sketches import (
     baseline_from_kll,
+    incremental_sketch_store,
+    load_sketch_store,
     merge_sketches,
     new_key_estimate,
     partition_sketches,
@@ -74,6 +76,8 @@ __all__ = [
     "update_sketches",
     "new_key_estimate",
     "baseline_from_kll",
+    "incremental_sketch_store",
+    "load_sketch_store",
     "infer_schema",
     "infer_semantic_type",
     "interleaved_verdicts",

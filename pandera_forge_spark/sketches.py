@@ -207,6 +207,69 @@ def baseline_from_kll(
     return {"edges": edges, "props": props, "cdf": cdf}
 
 
+def incremental_sketch_store(
+    spark,
+    table,
+    store_root: str,
+    columns: Optional[Sequence[str]] = None,
+    theta: bool = False,
+) -> list[str]:
+    """Resumable incremental profiling over a partitioned table: sketch
+    ONLY the partitions not yet in the store, commit one row-file per
+    partition (same overwrite-then-_SUCCESS protocol as the runner's
+    AuditLog), return the newly sketched partition values.
+
+    ``table`` is a ``runner.HivePartitionedParquet`` (or anything with
+    ``list_partitions`` / ``read_partitions`` / ``partition_col``).
+    All missing partitions are sketched in ONE grouped Spark job (the
+    pruned ``read_partitions`` + ``partition_sketches``); the sketch
+    rows — a few KB each — are then committed driver-side per
+    partition, so a crash mid-commit re-sketches only the uncommitted
+    partitions on the next call. Day-after-day, profiling cost is
+    O(new data), never O(table)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    pcol = table.partition_col
+    root = Path(store_root)
+    done = {
+        d.name.split("=", 1)[1]
+        for d in root.iterdir()
+        if d.is_dir() and d.name.startswith(f"{pcol}=") and (d / "_SUCCESS").exists()
+    } if root.exists() else set()
+    todo = [p for p in table.list_partitions() if p not in done]
+    if not todo:
+        return []
+
+    sk = partition_sketches(
+        table.read_partitions(todo), [pcol], columns, theta=theta
+    )
+    pdf = sk.toPandas()  # O(partitions) tiny rows of sketch binaries
+    for part, group in pdf.groupby(pcol):
+        d = root / f"{pcol}={part}"
+        d.mkdir(parents=True, exist_ok=True)
+        for f in d.iterdir():
+            if f.is_file():
+                f.unlink()
+        # pandas hands timestamps over as ns; Spark's parquet reader
+        # rejects TIMESTAMP(NANOS), so coerce to micros on write
+        pq.write_table(
+            pa.Table.from_pandas(group.reset_index(drop=True)),
+            d / "part-00000.parquet",
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        (d / "_SUCCESS").touch()
+    return sorted(str(p) for p in todo)
+
+
+def load_sketch_store(spark, store_root: str) -> DataFrame:
+    """The accumulated sketch frame — feed it to ``merge_sketches`` /
+    ``baseline_from_kll`` / ``new_key_estimate``."""
+    return spark.read.parquet(f"{store_root}/*")
+
+
 def update_sketches(
     existing: DataFrame,
     df_new: DataFrame,

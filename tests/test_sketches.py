@@ -117,3 +117,40 @@ def test_drift_baseline_from_kll(spark):
     rows = {r["grp"]: r for r in drift_by_partition(cur, "v", ["grp"], b).collect()}
     assert rows["same"]["psi"] < 0.05 and rows["same"]["ks"] < 0.05
     assert rows["shifted"]["psi"] > 1.0 and rows["shifted"]["ks"] > 0.5
+
+
+def test_incremental_sketch_store_resume(spark, tmp_path):
+    """Sketch store: first call sketches every partition; after new
+    partitions land only THEY are sketched (resume by _SUCCESS
+    markers); the merged store equals a one-shot profile."""
+    from pandera_forge_spark.runner import HivePartitionedParquet
+    from pandera_forge_spark.sketches import (
+        incremental_sketch_store,
+        load_sketch_store,
+    )
+
+    root = str(tmp_path / "tbl")
+    store = str(tmp_path / "sk")
+    table = HivePartitionedParquet(spark, root, "part")
+
+    day1 = _df(spark, 0, 8000).where(F.col("part") < 8)
+    table.write(day1)
+    new1 = incremental_sketch_store(spark, table, store)
+    assert len(new1) == 8
+
+    # second call with nothing new: pure no-op
+    assert incremental_sketch_store(spark, table, store) == []
+
+    # late data: 5 more partitions land
+    day2 = _df(spark, 0, 8000).where(F.col("part") >= 8)
+    day2.write.partitionBy("part").mode("append").parquet(root)
+    new2 = incremental_sketch_store(spark, table, store)
+    assert len(new2) == 5 and set(new2).isdisjoint(set(new1))
+
+    merged = merge_sketches(load_sketch_store(spark, store)).collect()[0]
+    full = merge_sketches(
+        partition_sketches(_df(spark, 0, 8000), ["part"])
+    ).collect()[0]
+    assert merged["__rows"] == full["__rows"] == 8000
+    assert merged["user__nulls"] == full["user__nulls"]
+    assert merged["key__distinct_est"] == full["key__distinct_est"]
