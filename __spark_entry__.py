@@ -740,6 +740,30 @@ SELECT COUNT(DISTINCT {_FP_SQL.format(c="text")}) AS n_after_dedup FROM planted
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected-component dedup clusters (dedup.pairs_to_clusters,
+    iterative min-label propagation) over the hub-star pairs of every
+    exact-duplicate group: each member must map to its group's min
+    doc_id — the closed-form component labeling."""
+    from pandera_forge_spark.operators.dedup import (
+        exact_duplicate_pairs,
+        pairs_to_clusters,
+    )
+
+    planted = _planted_exact(spark, sf_dir)
+    pairs = exact_duplicate_pairs(planted, "text", "doc_id")
+    return pairs_to_clusters(pairs).orderBy("id")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH planted AS ({_PLANTED_SQL}),
+fp AS (SELECT doc_id, {_FP_SQL.format(c="text")} AS f FROM planted),
+g AS (SELECT f, MIN(doc_id) mn, COUNT(*) c FROM fp GROUP BY 1)
+SELECT fp.doc_id AS id, g.mn AS cluster_id
+FROM fp JOIN g USING (f) WHERE g.c > 1 ORDER BY 1
+"""
+
+
 def q_near_dup_minhash(spark, sf_dir):
     """MinHash-LSH near-dup recall on planted mutated copies (text +
     ' tail'): the pipeline must find EVERY planted pair (docs have >=10
@@ -1256,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_count": q_dedup_exact_count,
         "near_dup_minhash": q_near_dup_minhash,
         "near_dup_viral_capped": q_near_dup_viral_capped,
+        "dedup_clusters": q_dedup_clusters,
         "text_metrics": q_text_metrics,
         "token_stats_by_lang": q_token_stats_by_lang,
         "cosine_topk": q_cosine_topk,
@@ -1301,6 +1326,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_count": SQL_DEDUP_EXACT_COUNT,
         "near_dup_minhash": SQL_NEAR_DUP_MINHASH,
         "near_dup_viral_capped": SQL_NEAR_DUP_VIRAL_CAPPED,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "text_metrics": SQL_TEXT_METRICS,
         "token_stats_by_lang": SQL_TOKEN_STATS_BY_LANG,
         "cosine_topk": SQL_COSINE_TOPK,

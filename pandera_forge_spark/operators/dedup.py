@@ -443,6 +443,87 @@ def near_duplicates_simhash(
     return pairs
 
 
+# ------------------------------------------------------------ clustering
+
+def pairs_to_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id),
+    cluster_id = the component's min member id. This is the step a real
+    dedup pipeline needs after pair generation: A~B and B~C must
+    deduplicate as ONE group even when A~C was never emitted as a pair
+    (LSH misses it, or the viral-bucket star cap only linked hubs).
+
+    Algorithm: iterative min-label propagation — each round every
+    vertex takes the min of its own label and its neighbors' labels
+    (two hash joins + a min-aggregate per round, all map-side
+    combinable). Rounds needed = graph diameter; duplicate clusters are
+    near-cliques or hub stars (the cap guarantees stars), so diameter
+    is tiny — convergence is checked each round (count of changed
+    labels, an O(1)-row action) and iteration stops early.
+    ``localCheckpoint`` truncates the growing lineage each round so
+    plan size stays constant; at warehouse scale swap it for a
+    reliable ``checkpoint`` directory. Raises if max_iter rounds don't
+    converge (pathological topology) rather than returning partial
+    components silently."""
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("__chg"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.where(F.col("__chg")).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"pairs_to_clusters did not converge in {max_iter} rounds — "
+        "raise max_iter (graph diameter exceeds it)"
+    )
+
+
+def exact_duplicate_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Hub-star pairs (min_id → member) for every exact-duplicate
+    content group — O(group) pairs, the same star shape the LSH viral
+    cap emits; feed to ``pairs_to_clusters`` or use directly."""
+    g = exact_duplicate_groups(df, text_col, id_col)
+    hub = F.element_at(F.col("doc_ids"), 1)
+    return g.select(
+        F.explode(
+            F.transform(
+                F.slice(F.col("doc_ids"), 2, _SLICE_MAX),
+                lambda m: F.struct(hub.alias("id_a"), m.alias("id_b")),
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+
+
 # -------------------------------------------------- pairwise verification
 
 def ngram_jaccard_pairs(

@@ -127,3 +127,49 @@ def test_minhash_viral_bucket_capped(spark):
     assert {(0, i) for i in range(1, 300)} <= got
     # ...and the small planted near-dup pair is still found
     assert (1000, 1001) in got
+
+
+def test_pairs_to_clusters_transitive(spark):
+    """A~B, B~C, C~D chained pairs (A~C etc never emitted) must form
+    ONE cluster labeled by the min id; disjoint pairs stay separate."""
+    from pandera_forge_spark.operators.dedup import pairs_to_clusters
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (100, 200), (7, 8)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["cluster_id"] for r in pairs_to_clusters(pairs).collect()
+    }
+    assert got == {
+        10: 10, 20: 10, 30: 10, 40: 10,
+        100: 100, 200: 100,
+        7: 7, 8: 7,
+    }
+
+
+def test_pairs_to_clusters_star_and_bridge(spark):
+    """Two capped viral stars joined by one bridge pair collapse into
+    one component — exactly the case pair-level dedup misses."""
+    from pandera_forge_spark.operators.dedup import pairs_to_clusters
+
+    star1 = [(0, i) for i in range(1, 50)]
+    star2 = [(1000, 1000 + i) for i in range(1, 50)]
+    bridge = [(49, 1000)]
+    pairs = spark.createDataFrame(star1 + star2 + bridge, "id_a long, id_b long")
+    rows = pairs_to_clusters(pairs).collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert len(rows) == 100
+
+
+def test_exact_duplicate_pairs_and_clusters(corpus):
+    from pandera_forge_spark.operators.dedup import (
+        exact_duplicate_pairs,
+        pairs_to_clusters,
+    )
+
+    pairs = {(r["id_a"], r["id_b"]) for r in exact_duplicate_pairs(corpus, "text", "id").collect()}
+    assert pairs == {(1, 2), (1, 6)}
+    got = {r["id"]: r["cluster_id"] for r in pairs_to_clusters(
+        exact_duplicate_pairs(corpus, "text", "id")).collect()}
+    assert got == {1: 1, 2: 1, 6: 1}
