@@ -278,7 +278,10 @@ def main_default() -> None:
         run = _timed(thunk)
         if name == "flagship_validate_docs":
             best = warm_until_jit_settles(spark, run)
-            best = min(best, run())
+            # two extra timed runs: steady state also sees occasional
+            # ~2-3x spikes (recompile bursts / host-tenancy windows —
+            # measured 26 s amid 9 s neighbors); min-of-N rides them out
+            best = min(best, run(), run())
             flagship_sec = best
         else:
             run()  # warm-up, untimed
