@@ -86,3 +86,25 @@ def test_messy_names(spark):
     assert names["class"] == "col_class"
     assert names["123col"] == "col_123col"
     assert all(not c.name_was_valid for c in schema.columns)
+
+
+def test_empty_table_end_to_end(spark):
+    """Empty partitions are routine at warehouse scale — the whole
+    profile -> infer -> validate -> render chain must handle 0 rows.
+    unique=True on an empty column mirrors the reference's
+    nunique()==len rule (field_analyzer.py:34-38)."""
+    import pandera_forge_spark as pfs
+
+    empty = spark.createDataFrame([], "a long, s string")
+    profiles = pfs.profile_table(empty)
+    assert profiles["a"].total_count == 0 and profiles["a"].examples == []
+
+    schema = pfs.infer_schema(empty, "E")
+    specs = {c.name: c for c in schema.columns}
+    assert specs["a"].unique and not specs["a"].nullable
+    assert specs["a"].isin is None and specs["a"].ge is None
+
+    res = pfs.validate_table(empty, schema)
+    assert res.ok and res.total_rows == 0
+
+    assert pfs.ModelGenerator().generate(empty, model_name="E") is not None
