@@ -551,6 +551,27 @@ FROM bins p, base q ORDER BY 1
 """
 
 
+def q_skew_report(spark, sf_dir):
+    """Skew diagnostics (validator.skew_report): the per-key count
+    distribution that decides salting — checked closed-form against
+    the same arithmetic in SQL."""
+    from pandera_forge_spark.validator import skew_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return skew_report(li, ["l_orderkey"])
+
+
+SQL_SKEW_REPORT = """
+WITH c AS (SELECT l_orderkey, COUNT(*) cnt FROM lineitem GROUP BY 1)
+SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+       ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6) AS top_share,
+       ROUND(MAX(cnt) / AVG(cnt), 3) AS hot_ratio
+FROM c
+"""
+
+
 def q_drift_categorical(spark, sf_dir):
     """Categorical drift (PSI + chi-square over bounded category
     shares, drift.categorical_*): o_orderstatus mix per
@@ -1271,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_rows_lineitem": q_violation_rows_lineitem,
         "drift_orders": q_drift_orders,
         "drift_categorical": q_drift_categorical,
+        "skew_report": q_skew_report,
         "sketch_merge_exact": q_sketch_merge_exact,
         "span_order_violations": q_span_order_violations,
         "span_sequence_mismatches": q_span_sequence_mismatches,
@@ -1317,6 +1339,7 @@ def oracle_sql() -> dict[str, str]:
         "violation_rows_lineitem": SQL_VIOLATION_ROWS_LINEITEM,
         "drift_orders": _sql_drift_orders(),
         "drift_categorical": SQL_DRIFT_CATEGORICAL,
+        "skew_report": SQL_SKEW_REPORT,
         "sketch_merge_exact": SQL_SKETCH_MERGE_EXACT,
         "span_order_violations": SQL_SPAN_ORDER_VIOLATIONS,
         "span_sequence_mismatches": SQL_SPAN_SEQUENCE_MISMATCHES,

@@ -227,6 +227,34 @@ def has_duplicate_keys(df: DataFrame, key_cols: Sequence[str]) -> bool:
     )
 
 
+def skew_report(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Key-distribution skew diagnostics — the numbers that decide
+    whether a groupBy/join on these keys needs salting (north rule:
+    explicit skew handling for hot doc_id/kind values).
+
+    One groupBy over the keys (the same shuffle the real operation
+    would pay) followed by a tiny aggregate over the count frame:
+
+    - ``n_rows`` / ``n_keys`` — volume and cardinality;
+    - ``max_key_rows`` and ``top_share`` — the hottest key and its
+      fraction of the table: a single reducer must swallow
+      ``max_key_rows`` rows, so ``top_share * n_rows`` >> the per-task
+      row budget means salt (or rely on AQE skew-join for joins);
+    - ``hot_ratio`` = max/avg key size — 1.0 is uniform; the two-phase
+      salted aggregate needs roughly this many salt buckets to level
+      the hot key with the average.
+    """
+    keys = [F.col(k) for k in key_cols]
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c"))
+    return counts.agg(
+        F.sum("__c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__c").alias("max_key_rows"),
+        F.round(F.max("__c") / F.sum("__c"), 6).alias("top_share"),
+        F.round(F.max("__c") / F.avg("__c"), 3).alias("hot_ratio"),
+    )
+
+
 def duplicate_rows(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
     """Full violation rows for duplicated keys: semi-join the table back
     to its duplicate keys. Broadcast the (usually tiny) duplicate-key

@@ -168,3 +168,22 @@ def test_semantic_types_heuristic():
     assert infer_semantic_type("order_status") == "categorical"
     assert infer_semantic_type("is_active") == "boolean"
     assert infer_semantic_type("xyz") == "unknown"
+
+
+def test_skew_report(spark):
+    from pyspark.sql import functions as F
+
+    from pandera_forge_spark.validator import skew_report
+
+    # 1000 rows on a hot key + 100 uniform keys with 10 rows each
+    df = spark.range(2000).select(
+        F.when(F.col("id") < 1000, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 100).cast("string")))
+        .alias("key")
+    )
+    r = skew_report(df, ["key"]).collect()[0]
+    assert r["n_rows"] == 2000 and r["n_keys"] == 101
+    assert r["max_key_rows"] == 1000
+    assert abs(r["top_share"] - 0.5) < 1e-6
+    # avg key size = 2000/101 ~ 19.8 -> hot_ratio ~ 50.5
+    assert 50 < r["hot_ratio"] < 51
