@@ -127,3 +127,41 @@ def test_embedding_neardup_plan_no_cartesian_no_udf(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert not has_python_udf(out)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Both sides bucketed on doc_id with equal bucket counts: the
+    doc_id join — the flagship's one big shuffle — must plan with ZERO
+    Exchange operators; an unbucketed control join must show them."""
+    from pyspark.sql import functions as F
+
+    from pandera_forge_spark.plans.inspect import executed_plan
+    from pandera_forge_spark.sources.bucketing import (
+        co_located_join,
+        write_bucketed,
+    )
+
+    docs = spark.range(5000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        (F.col("id") % 97).alias("payload"),
+    )
+    expected = docs.withColumn("payload", F.col("payload") + 1)
+    write_bucketed(docs, "bk_actual", "doc_id", 8)
+    write_bucketed(expected, "bk_expected", "doc_id", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at bench size Spark would just broadcast; the at-scale plan
+        # (both sides too big to broadcast) is the one bucketing serves
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = co_located_join(spark, "bk_actual", "bk_expected", on="doc_id")
+        assert joined.count() == 5000
+        plan = executed_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+
+        control = docs.join(expected, on="doc_id")
+        assert "Exchange" in executed_plan(control)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_actual")
+        spark.sql("DROP TABLE IF EXISTS bk_expected")
