@@ -340,6 +340,78 @@ def ivf_topk(
     return cosine_topk(near, q, k, vec_col, id_col)
 
 
+def write_lsh_partitioned(
+    df: DataFrame,
+    path: str,
+    bits: int | None = None,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Persist the corpus PARTITIONED BY its hyperplane bucket, plus a
+    ``_lsh_meta.json`` sidecar (bits/seed/dim) so queries can rebuild
+    the identical planes. This is what turns ``lsh_topk``'s bucket
+    filter from a full-scan predicate into PARTITION PRUNING: a query
+    then touches 1+probes directories out of 2^bits — the difference
+    between scanning 10^12 vectors and scanning a few million
+    (asserted via PartitionFilters in tests). Returns the bits used."""
+    import json
+    from pathlib import Path
+
+    first = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+    if first is None:
+        raise ValueError("empty corpus")
+    dim = len(first[0])
+    if bits is None:
+        bits = auto_bits(df.count())
+    planes = hyperplanes(dim, bits, seed)
+    (
+        df.where(F.col(vec_col).isNotNull())
+        .withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+        .write.partitionBy("__bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    Path(path, "_lsh_meta.json").write_text(
+        json.dumps({"bits": bits, "seed": seed, "dim": dim})
+    )
+    return bits
+
+
+def lsh_topk_partitioned(
+    spark,
+    path: str,
+    query: Sequence[float],
+    k: int = 10,
+    probes: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k against a ``write_lsh_partitioned`` corpus: rebuild
+    the planes from the sidecar, compute the query's bucket (+
+    margin-ranked flip probes) ON THE DRIVER — O(bits x dim) floats —
+    and read only those partitions (planning-time pruning, verified by
+    PartitionFilters). The scan then scores just the probed buckets
+    with the exact cosine."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads(Path(path, "_lsh_meta.json").read_text())
+    bits, seed = meta["bits"], meta["seed"]
+    planes = hyperplanes(meta["dim"], bits, seed)
+    qbits = 0
+    for b, plane in enumerate(planes):
+        if sum(qi * pi for qi, pi in zip(query, plane)) > 0:
+            qbits |= 1 << b
+    margins = sorted(
+        range(bits),
+        key=lambda b: abs(sum(qi * pi for qi, pi in zip(query, planes[b]))),
+    )
+    targets = [qbits] + [qbits ^ (1 << margins[i]) for i in range(min(probes, bits))]
+    corpus = spark.read.parquet(path).where(F.col("__bucket").isin(targets))
+    return cosine_topk(corpus, query, k, vec_col, id_col)
+
+
 def lsh_topk(
     corpus: DataFrame,
     query: Sequence[float],

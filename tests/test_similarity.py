@@ -178,3 +178,39 @@ def test_auto_bits_scaling():
     assert auto_bits(1000) == 8            # floor: small corpora unchanged
     assert auto_bits(64 * (1 << 12)) == 12  # 2^bits ≈ n / 64
     assert auto_bits(10**12) == 28          # ceiling
+
+
+def test_lsh_partitioned_corpus_prunes_and_recalls(spark, tmp_path):
+    """The persisted LSH layout: queries rebuild planes from the
+    sidecar, read only their probe partitions (PartitionFilters at the
+    scan — planning-time pruning, not a post-scan filter), and still
+    find the planted nearest neighbor."""
+    from pyspark.sql import functions as F
+
+    from pandera_forge_spark.operators.similarity import (
+        cosine_topk,
+        lsh_topk_partitioned,
+        write_lsh_partitioned,
+    )
+    from pandera_forge_spark.plans.inspect import executed_plan
+
+    emb = spark.range(2000).selectExpr(
+        "id as vec_id",
+        "array(cast(id % 17 as double) - 8.0, cast(id % 13 as double) - 6.0,"
+        " cast(id % 7 as double) - 3.0, 1.0d) as embedding",
+    )
+    path = str(tmp_path / "lsh_corpus")
+    bits = write_lsh_partitioned(emb, path, bits=6)
+    assert bits == 6
+
+    q = [4.0, 3.0, -1.0, 1.0]
+    got = lsh_topk_partitioned(spark, path, q, k=5, probes=3)
+    plan = executed_plan(got)
+    assert "PartitionFilters: [" in plan
+    assert "__bucket" in plan.split("PartitionFilters: [", 1)[1][:200]
+
+    approx = [r["vec_id"] for r in got.collect()]
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()]
+    # the top-1 exact neighbor must be recalled; overall overlap >= 3/5
+    assert exact[0] in approx
+    assert len(set(approx) & set(exact)) >= 3
