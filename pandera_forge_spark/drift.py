@@ -233,6 +233,26 @@ def categorical_drift_by_partition(
     )
 
 
+def categorical_drift_verdicts(
+    df: DataFrame,
+    col: str,
+    partition_cols: Sequence[str],
+    baseline: dict,
+    psi_threshold: float = 0.2,
+    chi2_threshold: Optional[float] = None,
+) -> DataFrame:
+    """Per-partition categorical drift pass/fail — same contract as the
+    numeric ``drift_verdicts``. PSI>=0.2 is the conventional
+    significant-shift cut; ``chi2_threshold`` is optional because the
+    chi-square critical value depends on category count and n (pick it
+    from the chi2 table for df=|cats| at your alpha)."""
+    d = categorical_drift_by_partition(df, col, partition_cols, baseline)
+    drifted = F.col("psi") >= F.lit(psi_threshold)
+    if chi2_threshold is not None:
+        drifted = drifted | (F.col("chi2") >= F.lit(chi2_threshold))
+    return d.withColumn("drifted", drifted)
+
+
 def psi_of(p: Sequence[float], q: Sequence[float]) -> float:
     """Driver-side PSI for unit tests / oracles."""
     return sum(

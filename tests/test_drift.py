@@ -132,3 +132,26 @@ def test_categorical_baseline_other_bucket(spark):
     b = categorical_baseline(df, "c", max_categories=5)
     assert len(b["cats"]) == 5
     assert abs(b["other"] - 0.75) < 1e-9  # 15 of 20 uniform categories
+
+
+def test_categorical_drift_verdicts(spark):
+    from pyspark.sql import functions as F
+
+    from pandera_forge_spark.drift import (
+        categorical_baseline,
+        categorical_drift_verdicts,
+    )
+
+    base = spark.range(1000).select(
+        F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("cat")
+    )
+    b = categorical_baseline(base, "cat")
+    cur = spark.range(2000).select(
+        F.when(F.col("id") < 1000, "same").otherwise("flip").alias("part"),
+        F.when(F.col("id") < 1000, F.when(F.col("id") % 2 == 0, "A").otherwise("B"))
+        .otherwise(F.lit("A"))
+        .alias("cat"),
+    )
+    v = {r["part"]: r["drifted"] for r in categorical_drift_verdicts(
+        cur, "cat", ["part"], b).collect()}
+    assert v == {"same": False, "flip": True}

@@ -145,3 +145,23 @@ def test_batched_runner_fewer_jobs_same_audit(spark, tmp_path):
     # third batched run: pure no-op resume
     r3 = run_partitions(table, a2, batch_size=12, process_batch=pb)
     assert not r3.processed and len(r3.skipped) == 60
+
+
+def test_batched_runner_error_path(spark, tmp_path):
+    """A failing batch records error audit rows for EVERY partition of
+    that batch (lineage is never lost) and fail_fast stops the loop."""
+    docs = make_documents(spark, 100, seed=9, n_buckets=6)
+    table = HivePartitionedParquet(spark, str(tmp_path / "eb"), "bucket")
+    table.write(docs)
+    audit = AuditLog(spark, str(tmp_path / "ebaudit"))
+
+    def boom(df, parts):
+        raise RuntimeError("batch kaboom")
+
+    r = run_partitions(
+        table, audit, process_batch=boom, batch_size=3, fail_fast=True
+    )
+    assert len(r.failed_partitions) == 3 and not r.processed
+    bad = audit.read().where(F.col("status") == "error")
+    assert bad.count() == 3
+    assert all("batch kaboom" in row["checks"] for row in bad.collect())
