@@ -165,3 +165,36 @@ def test_batched_runner_error_path(spark, tmp_path):
     bad = audit.read().where(F.col("status") == "error")
     assert bad.count() == 3
     assert all("batch kaboom" in row["checks"] for row in bad.collect())
+
+
+def test_run_schema_validation_script(spark, tmp_path, monkeypatch, capsys):
+    """The batched-runner deployment script end-to-end in-process
+    (spark-submit mechanics are proven separately in test_submit.py):
+    infer + batched validate + resume on a second invocation."""
+    import importlib
+
+    docs = make_documents(spark, 600, seed=11, n_buckets=10)
+    flat = docs.selectExpr("doc_id", "cast(size(spans) as long) as n_spans", "bucket")
+    root = str(tmp_path / "tbl")
+    flat.write.partitionBy("bucket").parquet(root)
+
+    # the script stops "its" session on exit; in-process that would be
+    # the shared pytest session — neutralize stop for this test
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+
+    mod = importlib.import_module("scripts.run_schema_validation")
+    argv = [
+        "prog", "--table", root, "--partition-col", "bucket",
+        "--audit", str(tmp_path / "aud"), "--batch-size", "4",
+        "--pattern-sample", "0",
+    ]
+    monkeypatch.setattr("sys.argv", argv)
+    assert mod.main() == 0
+    out1 = capsys.readouterr().out
+    assert "processed=10 skipped=0 failed=0" in out1
+
+    monkeypatch.setattr("sys.argv", argv)
+    assert mod.main() == 0
+    assert "processed=0 skipped=10 failed=0" in capsys.readouterr().out
