@@ -12,6 +12,8 @@ Python in the hot path). Grouped by family:
 - similarity: dot/norm/cosine over array<float> embeddings
 - dedup hashing: shingles, jaccard, simhash, hamming
 - spans: interleaved-document invariants and canonicalization
+- media: magic-byte MIME sniffing and header-field extraction over
+  binary payload columns (JVM-side, no media library)
 """
 
 from pandera_forge_spark.patterns import (
@@ -38,6 +40,12 @@ from pandera_forge_spark.operators.dedup import (
     jaccard,
     shingles,
     simhash64,
+)
+from pandera_forge_spark.operators.multimodal import (
+    gif_dimensions,
+    png_dimensions,
+    sniff_mime,
+    wav_sample_rate,
 )
 from pandera_forge_spark.spans import (
     canonical_spans,
@@ -70,4 +78,8 @@ __all__ = [
     "canonical_spans",
     "kind_consistency_ok",
     "offsets_nondecreasing",
+    "sniff_mime",
+    "png_dimensions",
+    "gif_dimensions",
+    "wav_sample_rate",
 ]
