@@ -95,9 +95,13 @@ def _fold_kll(col_name: str):
     small sketch per partition being merged (not per row), so driver
     and executor memory stay O(partitions x sketch_size)."""
     lst = F.collect_list(col_name)
+    # try_element_at: an EMPTY sketch frame (no partitions selected /
+    # all-null column) folds to null instead of an index error; the
+    # quantile of a null sketch is then null, matching the other
+    # merged fields' empty-input behavior
     return F.aggregate(
         F.slice(lst, 2, _SLICE_MAX),
-        F.element_at(lst, 1),
+        F.try_element_at(lst, F.lit(1)),
         lambda acc, x: F.kll_sketch_merge_double(acc, x),
     )
 

@@ -154,3 +154,13 @@ def test_incremental_sketch_store_resume(spark, tmp_path):
     assert merged["__rows"] == full["__rows"] == 8000
     assert merged["user__nulls"] == full["user__nulls"]
     assert merged["key__distinct_est"] == full["key__distinct_est"]
+
+
+def test_merge_empty_sketch_frame(spark):
+    """Selecting zero partitions (or a not-yet-populated store) merges
+    to a null/zero row instead of an element_at index error."""
+    df = _df(spark, 0, 100)
+    sk = partition_sketches(df, ["part"])
+    row = merge_sketches(sk.where(F.col("part") > 999)).collect()[0]
+    assert row["__rows"] is None
+    assert row["price__q50"] is None
