@@ -171,7 +171,10 @@ def categorical_baseline(
     n = total or 1
     cats = [r["v"] for r in top]
     props = [r["count"] / n for r in top]
-    other = max(0.0, 1.0 - sum(props))
+    # no data -> no tail mass (an all-null baseline carries no
+    # distributional evidence; scoring treats 0-row partitions as
+    # not-drifted symmetrically)
+    other = max(0.0, 1.0 - sum(props)) if total else 0.0
     return {"cats": cats, "props": props, "other": other, "n": total}
 
 
@@ -204,14 +207,10 @@ def categorical_drift_by_partition(
     g = df.groupBy(*partition_cols).agg(*aggs)
 
     n = F.greatest(F.col("__n"), F.lit(1)).cast("double")
-    cat_sum = None
+    cat_sum = F.lit(0).cast("long")
     for i in range(len(edges_cats)):
-        cat_sum = (
-            F.col(f"__cat_{i}")
-            if cat_sum is None
-            else cat_sum + F.col(f"__cat_{i}")
-        )
-    other_p = (F.col("__n") - cat_sum) / n if cat_sum is not None else F.lit(0.0)
+        cat_sum = cat_sum + F.col(f"__cat_{i}")
+    other_p = (F.col("__n") - cat_sum) / n
 
     pairs = [
         (F.col(f"__cat_{i}") / n, q) for i, q in enumerate(q_props)
@@ -225,11 +224,15 @@ def categorical_drift_by_partition(
         psi = term if psi is None else psi + term
         cterm = (p - qf) * (p - qf) / qf
         chi2 = cterm if chi2 is None else chi2 + cterm
+    # a partition with zero non-null rows carries no distributional
+    # evidence: score 0, don't compare an EPS-vector against the
+    # baseline (which would flag every empty partition as drifted)
+    has_data = F.col("__n") > 0
     return g.select(
         *partition_cols,
         F.col("__n").alias("n"),
-        psi.alias("psi"),
-        (n * chi2).alias("chi2"),
+        F.when(has_data, psi).otherwise(F.lit(0.0)).alias("psi"),
+        F.when(has_data, n * chi2).otherwise(F.lit(0.0)).alias("chi2"),
     )
 
 

@@ -155,3 +155,31 @@ def test_categorical_drift_verdicts(spark):
     v = {r["part"]: r["drifted"] for r in categorical_drift_verdicts(
         cur, "cat", ["part"], b).collect()}
     assert v == {"same": False, "flip": True}
+
+
+def test_categorical_drift_empty_and_allnull_partitions(spark):
+    """Partitions with zero non-null rows score 0 (no evidence), not
+    'maximally drifted'."""
+    from pyspark.sql import functions as F
+
+    from pandera_forge_spark.drift import (
+        categorical_baseline,
+        categorical_drift_by_partition,
+    )
+
+    base = spark.range(100).select(
+        F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("cat")
+    )
+    b = categorical_baseline(base, "cat")
+    cur = spark.range(200).select(
+        F.when(F.col("id") < 100, "ok").otherwise("nulls").alias("part"),
+        F.when(
+            F.col("id") < 100,
+            F.when(F.col("id") % 2 == 0, "A").otherwise("B"),
+        ).alias("cat"),  # 'nulls' partition: cat is NULL everywhere
+    )
+    rows = {r["part"]: r for r in categorical_drift_by_partition(
+        cur, "cat", ["part"], b).collect()}
+    assert rows["nulls"]["n"] == 0
+    assert rows["nulls"]["psi"] == 0.0 and rows["nulls"]["chi2"] == 0.0
+    assert rows["ok"]["psi"] < 0.01
