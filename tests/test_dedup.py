@@ -173,3 +173,15 @@ def test_exact_duplicate_pairs_and_clusters(corpus):
     got = {r["id"]: r["cluster_id"] for r in pairs_to_clusters(
         exact_duplicate_pairs(corpus, "text", "id")).collect()}
     assert got == {1: 1, 2: 1, 6: 1}
+
+
+def test_pairs_to_clusters_string_ids(spark):
+    """doc_id is a STRING in the north-rule table — min-label
+    propagation must order/least over strings identically."""
+    from pandera_forge_spark.operators.dedup import pairs_to_clusters
+
+    pairs = spark.createDataFrame(
+        [("docB", "docC"), ("docA", "docB")], "id_a string, id_b string"
+    )
+    got = {r["id"]: r["cluster_id"] for r in pairs_to_clusters(pairs).collect()}
+    assert got == {"docA": "docA", "docB": "docA", "docC": "docA"}
