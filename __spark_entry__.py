@@ -658,6 +658,40 @@ FROM orders
 """
 
 
+def q_pipeline_verdicts(spark, sf_dir):
+    """The FLAGSHIP single-pass pipeline end-to-end
+    (pipeline.interleaved_verdicts — the same flow entry() runs),
+    oracle-anchored: rebuild the interleaved fixture with the planted
+    modular mutations and compare every per-bucket verdict against its
+    closed form. Offset mutations (%37) hit only order_violations
+    (offsets are excluded from the sequence hash); text (%41) and
+    kind-flip (%43) mutations hit only sequence_mismatches (an audio
+    span with media_ref and null text is still kind-CONSISTENT);
+    duplicated ids (%113) weight row counts and count once as
+    duplicate_ids."""
+    from pandera_forge_spark.pipeline import interleaved_verdicts
+
+    clean = _interleaved(spark, sf_dir).withColumn(
+        "bucket", (F.col("doc_id") % 8).cast("int")
+    )
+    actual = _mutate_content(_mutate_first_offset(clean, 37), 41, 43)
+    actual = actual.unionByName(actual.where(F.col("doc_id") % 113 == 0))
+    return interleaved_verdicts(actual, clean).orderBy("bucket")
+
+
+SQL_PIPELINE_VERDICTS = """
+SELECT CAST(doc_id % 8 AS INT) AS bucket,
+       CAST(COUNT(*) + SUM(CASE WHEN doc_id % 113 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs,
+       CAST(SUM(CASE WHEN doc_id % 37 = 0
+                THEN (CASE WHEN doc_id % 113 = 0 THEN 2 ELSE 1 END)
+                ELSE 0 END) AS BIGINT) AS order_violations,
+       CAST(0 AS BIGINT) AS consistency_violations,
+       CAST(SUM(CASE WHEN doc_id % 41 = 0 OR doc_id % 43 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sequence_mismatches,
+       CAST(SUM(CASE WHEN doc_id % 113 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS duplicate_ids
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_span_order_violations(spark, sf_dir):
     actual = _mutate_first_offset(_interleaved(spark, sf_dir), 37)
     return span_order_violations(actual).orderBy("doc_id")
@@ -1294,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_categorical": q_drift_categorical,
         "skew_report": q_skew_report,
         "sketch_merge_exact": q_sketch_merge_exact,
+        "pipeline_verdicts": q_pipeline_verdicts,
         "span_order_violations": q_span_order_violations,
         "span_sequence_mismatches": q_span_sequence_mismatches,
         "span_kind_counts": q_span_kind_counts,
@@ -1341,6 +1376,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_categorical": SQL_DRIFT_CATEGORICAL,
         "skew_report": SQL_SKEW_REPORT,
         "sketch_merge_exact": SQL_SKETCH_MERGE_EXACT,
+        "pipeline_verdicts": SQL_PIPELINE_VERDICTS,
         "span_order_violations": SQL_SPAN_ORDER_VIOLATIONS,
         "span_sequence_mismatches": SQL_SPAN_SEQUENCE_MISMATCHES,
         "span_kind_counts": SQL_SPAN_KIND_COUNTS,
