@@ -551,6 +551,42 @@ FROM bins p, base q ORDER BY 1
 """
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot change audit (validator.snapshot_diff): orders vs a
+    planted next-day snapshot — +1 on o_totalprice where %97==0
+    (changed), rows %89==0 dropped (removed), fresh keys (%101==0,
+    shifted +90M) appended (added). Keys hit by both rules classify as removed (they left the
+    new snapshot). Closed-form per-key expectation in SQL."""
+    from pandera_forge_spark.validator import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    new = (
+        o.where(F.col("o_orderkey") % 89 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    added = o.where(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 90000000
+    )
+    new = new.unionByName(added)
+    return snapshot_diff(o, new, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+SQL_SNAPSHOT_DIFF = """
+SELECT o_orderkey, 'removed' AS change FROM orders WHERE o_orderkey % 89 = 0
+UNION ALL
+SELECT o_orderkey, 'changed' FROM orders
+WHERE o_orderkey % 97 = 0 AND o_orderkey % 89 != 0
+UNION ALL
+SELECT o_orderkey + 90000000, 'added' FROM orders WHERE o_orderkey % 101 = 0
+ORDER BY 1
+"""
+
+
 def q_skew_report(spark, sf_dir):
     """Skew diagnostics (validator.skew_report): the per-key count
     distribution that decides salting — checked closed-form against
@@ -1327,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_orders": q_drift_orders,
         "drift_categorical": q_drift_categorical,
         "skew_report": q_skew_report,
+        "snapshot_diff": q_snapshot_diff,
         "sketch_merge_exact": q_sketch_merge_exact,
         "pipeline_verdicts": q_pipeline_verdicts,
         "span_order_violations": q_span_order_violations,
@@ -1375,6 +1412,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_orders": _sql_drift_orders(),
         "drift_categorical": SQL_DRIFT_CATEGORICAL,
         "skew_report": SQL_SKEW_REPORT,
+        "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "sketch_merge_exact": SQL_SKETCH_MERGE_EXACT,
         "pipeline_verdicts": SQL_PIPELINE_VERDICTS,
         "span_order_violations": SQL_SPAN_ORDER_VIOLATIONS,

@@ -227,6 +227,67 @@ def has_duplicate_keys(df: DataFrame, key_cols: Sequence[str]) -> bool:
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Classify every key across two table snapshots: one row per
+    changed key with ``change`` in {'added','removed','changed'};
+    unchanged keys drop out. The yesterday-vs-today audit a warehouse
+    runs after every ingest.
+
+    Scale shape: each side reduces to (key, 64-bit row hash) BEFORE
+    the join — the full-outer join shuffles ~(key + 8 bytes)/row no
+    matter how wide the rows are; with both snapshots bucketed on the
+    key (sources/bucketing) the join plans with zero Exchange. Hash
+    caveat: Spark hash folds skip nulls, so two rows differing only by
+    which column holds a null can alias — rare and detectable
+    downstream by re-joining the flagged keys with a full column
+    compare (the forensic path, same pattern as the sequence-hash
+    pipeline)."""
+    keys = list(key_cols)
+    compare = list(compare_cols or [c for c in new.columns if c not in set(keys)])
+    oh = old.select(*keys, F.xxhash64(*[F.col(c) for c in compare]).alias("__oh"))
+    nh = new.select(*keys, F.xxhash64(*[F.col(c) for c in compare]).alias("__nh"))
+    j = oh.join(nh, on=keys, how="full_outer")
+    change = (
+        F.when(F.col("__oh").isNull(), "added")
+        .when(F.col("__nh").isNull(), "removed")
+        .when(F.col("__oh") != F.col("__nh"), "changed")
+    )
+    return j.select(*keys, change.alias("change")).where(F.col("change").isNotNull())
+
+
+def snapshot_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """One row: (added, removed, changed, unchanged) counts — the
+    ingest-audit headline. Same reduced join as ``snapshot_diff`` plus
+    the unchanged count (matched keys with equal hashes)."""
+    keys = list(key_cols)
+    compare = list(compare_cols or [c for c in new.columns if c not in set(keys)])
+    oh = old.select(*keys, F.xxhash64(*[F.col(c) for c in compare]).alias("__oh"))
+    nh = new.select(*keys, F.xxhash64(*[F.col(c) for c in compare]).alias("__nh"))
+    j = oh.join(nh, on=keys, how="full_outer")
+    return j.agg(
+        F.sum(F.col("__oh").isNull().cast("long")).alias("added"),
+        F.sum(F.col("__nh").isNull().cast("long")).alias("removed"),
+        F.sum(
+            (
+                F.col("__oh").isNotNull()
+                & F.col("__nh").isNotNull()
+                & (F.col("__oh") != F.col("__nh"))
+            ).cast("long")
+        ).alias("changed"),
+        F.sum((F.col("__oh") == F.col("__nh")).cast("long")).alias("unchanged"),
+    )
+
+
 def skew_report(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
     """Key-distribution skew diagnostics — the numbers that decide
     whether a groupBy/join on these keys needs salting (north rule:

@@ -187,3 +187,33 @@ def test_skew_report(spark):
     assert abs(r["top_share"] - 0.5) < 1e-6
     # avg key size = 2000/101 ~ 19.8 -> hot_ratio ~ 50.5
     assert 50 < r["hot_ratio"] < 51
+
+
+def test_snapshot_diff_and_summary(spark):
+    from pyspark.sql import functions as F
+
+    from pandera_forge_spark.validator import snapshot_diff, snapshot_diff_summary
+
+    old = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+    )
+    new = (
+        old.where(F.col("k") % 10 != 0)  # 10 removed
+        .withColumn("v", F.when(F.col("k") % 7 == 0, F.col("v") + 1).otherwise(F.col("v")))
+        .unionByName(
+            spark.range(100, 105).select(
+                F.col("id").alias("k"), F.lit(0).alias("v"), F.lit("new").alias("s")
+            )
+        )
+    )
+    d = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert all(d[k] == "removed" for k in range(0, 100, 10))
+    # %7 changes, except keys also removed (%10) classify removed
+    assert d[7] == "changed" and d[49] == "changed" and d[70] == "removed"
+    assert all(d[k] == "added" for k in range(100, 105))
+
+    s = snapshot_diff_summary(old, new, ["k"]).collect()[0]
+    n_changed = len([k for k in range(0, 100, 7) if k % 10 != 0])
+    assert (s["added"], s["removed"], s["changed"]) == (5, 10, n_changed)
+    assert s["unchanged"] == 100 - 10 - n_changed
