@@ -54,6 +54,9 @@ from pandera_forge_spark.validator import (
     duplicate_rows,
     has_duplicate_keys,
     orphan_rows,
+    skew_report,
+    snapshot_diff,
+    snapshot_diff_summary,
     validate_table,
     violation_rows,
 )
@@ -91,4 +94,7 @@ __all__ = [
     "duplicate_rows",
     "has_duplicate_keys",
     "orphan_rows",
+    "skew_report",
+    "snapshot_diff",
+    "snapshot_diff_summary",
 ]
