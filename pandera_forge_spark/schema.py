@@ -9,7 +9,10 @@ rendered to Pandera source (codegen.py) from the same object.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import datetime
+import json
+from dataclasses import asdict, dataclass, field
+from decimal import Decimal
 from typing import Any, Optional
 
 
@@ -206,3 +209,66 @@ class TableSchema:
             if spec.name == name or spec.sanitized_name == name:
                 return spec
         raise KeyError(name)
+
+    # ------------------------------------------------- serialization
+
+    def to_json(self, indent: Optional[int] = 2) -> str:
+        """Serialize the contract for versioning/persistence — infer
+        once, validate every future snapshot against the stored schema.
+        Temporal/decimal bound values are type-tagged so the round
+        trip restores real date/datetime/Decimal objects (a string
+        bound would mis-compile against a typed column).
+
+        ``custom_pandas`` checks carry a Python callable and are NOT
+        serializable — declare them in code and attach after
+        ``from_json`` (the error says so rather than silently dropping
+        a check)."""
+        for c in self.checks():
+            if c.kind == "custom_pandas":
+                raise ValueError(
+                    f"check {c.name!r} is custom_pandas (a Python callable) "
+                    "and cannot be serialized; attach it in code after "
+                    "TableSchema.from_json"
+                )
+        payload = {
+            "version": 1,
+            "name": self.name,
+            "columns": [asdict(c) for c in self.columns],
+            "extra_checks": [asdict(c) for c in self.extra_checks],
+        }
+        return json.dumps(payload, default=_json_encode_value, indent=indent)
+
+    @classmethod
+    def from_json(cls, text: str) -> "TableSchema":
+        d = json.loads(text, object_hook=_json_decode_value)
+        columns = []
+        for c in d["columns"]:
+            sc = c.pop("string_constraints", None)
+            columns.append(
+                ColumnSpec(
+                    **c,
+                    string_constraints=StringConstraints(**sc) if sc else None,
+                )
+            )
+        extra = [Check(**k) for k in d.get("extra_checks", [])]
+        return cls(name=d["name"], columns=columns, extra_checks=extra)
+
+
+def _json_encode_value(v):
+    if isinstance(v, datetime.datetime):
+        return {"__ts__": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"__date__": v.isoformat()}
+    if isinstance(v, Decimal):
+        return {"__dec__": str(v)}
+    raise TypeError(f"unserializable value in schema: {v!r} ({type(v).__name__})")
+
+
+def _json_decode_value(d: dict):
+    if "__ts__" in d and len(d) == 1:
+        return datetime.datetime.fromisoformat(d["__ts__"])
+    if "__date__" in d and len(d) == 1:
+        return datetime.date.fromisoformat(d["__date__"])
+    if "__dec__" in d and len(d) == 1:
+        return Decimal(d["__dec__"])
+    return d

@@ -108,3 +108,44 @@ def test_empty_table_end_to_end(spark):
     assert res.ok and res.total_rows == 0
 
     assert pfs.ModelGenerator().generate(empty, model_name="E") is not None
+
+
+def test_schema_json_roundtrip(spark):
+    """Infer once, persist, validate a later snapshot with the loaded
+    contract: round-tripped schema produces identical checks and
+    identical validation counts, including typed date bounds."""
+    import datetime
+
+    import pandera_forge_spark as pfs
+    from pandera_forge_spark.schema import Check, TableSchema
+
+    df = spark.range(500).selectExpr(
+        "id as k",
+        "cast(id % 50 as double) as v",
+        "date_add(date'2026-01-01', cast(id % 30 as int)) as d",
+        "concat('u', id % 7) as s",
+    )
+    schema = pfs.infer_schema(df, "Snap")
+    schema.extra_checks.append(Check("v", "custom_sql", "v >= 0", label="v_nonneg"))
+
+    text = schema.to_json()
+    loaded = TableSchema.from_json(text)
+    assert loaded == schema  # dataclass equality, incl. typed values
+    # date values survive as real dates, not strings (rule 3 gives
+    # dates no ge/le — numeric-only, like the reference — so the typed
+    # round trip shows up in the examples list)
+    assert all(isinstance(v, datetime.date) for v in loaded.column("d").examples)
+
+    bad = df.selectExpr("k", "v - 100 as v", "d", "s")
+    r1 = pfs.validate_table(bad, schema)
+    r2 = pfs.validate_table(bad, loaded)
+    assert r1.counts == r2.counts and not r2.ok
+
+    # callables refuse to serialize, loudly
+    import pytest
+
+    schema.extra_checks.append(
+        Check("v", "custom_pandas", lambda s: s >= 0, label="cb")
+    )
+    with pytest.raises(ValueError, match="custom_pandas"):
+        schema.to_json()
