@@ -109,8 +109,12 @@ def _fold_kll(col_name: str):
 def merge_sketches(
     sketch_df: DataFrame,
     quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+    group_cols: Optional[Sequence[str]] = None,
 ) -> DataFrame:
-    """Roll sketch rows up to ONE profile row — no data rescan.
+    """Roll sketch rows up to ONE profile row — no data rescan — or,
+    with ``group_cols``, one row per rollup group (daily sketch rows →
+    monthly profiles: the hierarchy costs one tiny aggregation over
+    sketch rows, never a second look at the data).
 
     Which merges apply is read off the sketch frame's own schema
     (``__nulls`` / ``__hll`` / ``__min`` / ``__kll`` suffixes), so any
@@ -142,6 +146,8 @@ def merge_sketches(
                         f"{c}__q{int(round(q * 100))}"
                     )
                 )
+    if group_cols:
+        return sketch_df.groupBy(*[F.col(g) for g in group_cols]).agg(*exprs)
     return sketch_df.agg(*exprs)
 
 

@@ -164,3 +164,20 @@ def test_merge_empty_sketch_frame(spark):
     row = merge_sketches(sk.where(F.col("part") > 999)).collect()[0]
     assert row["__rows"] is None
     assert row["price__q50"] is None
+
+
+def test_grouped_sketch_rollup(spark):
+    """Daily sketch rows roll up per month without rescanning data;
+    each group's exact fields match direct per-group computation."""
+    df = _df(spark, 0, 10000).withColumn("month", F.col("part") % 3)
+    sk = partition_sketches(df, ["month", "part"])
+    rolled = {
+        r["month"]: r
+        for r in merge_sketches(sk, group_cols=["month"]).collect()
+    }
+    assert len(rolled) == 3
+    for m, row in rolled.items():
+        grp = df.where(F.col("month") == m)
+        assert row["__rows"] == grp.count()
+        assert row["user__nulls"] == grp.where(F.col("user").isNull()).count()
+    assert sum(r["__rows"] for r in rolled.values()) == 10000
