@@ -412,6 +412,81 @@ def lsh_topk_partitioned(
     return cosine_topk(corpus, query, k, vec_col, id_col)
 
 
+def lsh_knn_join_partitioned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    probes: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Batched ANN k-NN join against a ``write_lsh_partitioned``
+    corpus: every query gets its approximate top-k in ONE pass.
+
+    Shape: query vectors are collected (queries << corpus — guarded by
+    ``max_queries``), each query's probe buckets are computed on the
+    driver, and a tiny (query_id, bucket, qvec) frame is broadcast
+    into a join with the corpus scan. A static ``isin`` over the union
+    of all probe buckets keeps the scan partition-pruned at planning
+    time (PartitionFilters), the broadcast join then routes each
+    corpus row only to the queries probing ITS bucket — per-query
+    candidate sets, never |queries| x |corpus|. Top-k per query via
+    window over the scored candidates."""
+    from pyspark.sql import Window
+
+    import json
+    from pathlib import Path
+
+    meta = json.loads(Path(path, "_lsh_meta.json").read_text())
+    bits, seed = meta["bits"], meta["seed"]
+    planes = hyperplanes(meta["dim"], bits, seed)
+
+    qrows = queries.select(query_id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"more than max_queries={max_queries} query vectors; raise the "
+            "cap or run in slices (the probe table is driver-built)"
+        )
+    target_rows = []
+    for r in qrows:
+        qid, qv = r[0], list(r[1])
+        qbits = 0
+        margins_raw = []
+        for b, plane in enumerate(planes):
+            proj = sum(qi * pi for qi, pi in zip(qv, plane))
+            if proj > 0:
+                qbits |= 1 << b
+            margins_raw.append((abs(proj), b))
+        margins = [b for _, b in sorted(margins_raw)]
+        buckets = {qbits} | {
+            qbits ^ (1 << margins[i]) for i in range(min(probes, bits))
+        }
+        for bk in buckets:
+            target_rows.append((qid, bk, qv))
+
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    tdf = spark.createDataFrame(
+        target_rows,
+        f"{query_id_col} {qid_type}, __bucket long, __qvec array<double>",
+    )
+    all_buckets = sorted({bk for _, bk, _ in target_rows})
+    corpus = spark.read.parquet(path).where(F.col("__bucket").isin(all_buckets))
+    scored = corpus.join(F.broadcast(tdf), "__bucket").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .dropDuplicates([query_id_col, id_col])
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     query: Sequence[float],

@@ -214,3 +214,48 @@ def test_lsh_partitioned_corpus_prunes_and_recalls(spark, tmp_path):
     # the top-1 exact neighbor must be recalled; overall overlap >= 3/5
     assert exact[0] in approx
     assert len(set(approx) & set(exact)) >= 3
+
+
+def test_lsh_knn_join_partitioned(spark, tmp_path):
+    """Batched ANN against the persisted layout: each query routes to
+    its own probe buckets through one broadcast join over a pruned
+    scan; top-1 exact neighbors are recalled per query."""
+    from pyspark.sql import functions as F
+
+    from pandera_forge_spark.operators.similarity import (
+        knn_join,
+        lsh_knn_join_partitioned,
+        write_lsh_partitioned,
+    )
+    from pandera_forge_spark.plans.inspect import executed_plan
+
+    emb = spark.range(2000).selectExpr(
+        "id as vec_id",
+        "array(cast(id % 23 as double) - 11.0, cast(id % 19 as double) - 9.0,"
+        " cast(id % 11 as double) - 5.0, 1.0d) as embedding",
+    )
+    path = str(tmp_path / "corpus")
+    write_lsh_partitioned(emb, path, bits=6)
+
+    queries = spark.createDataFrame(
+        [(0, [10.0, 2.0, -3.0, 1.0]), (1, [-5.0, 8.0, 1.0, 1.0]),
+         (2, [0.5, -7.0, 4.0, 1.0])],
+        "query_id long, embedding array<double>",
+    )
+    got = lsh_knn_join_partitioned(spark, path, queries, k=5, probes=4)
+    plan = executed_plan(got)
+    assert "PartitionFilters: [" in plan
+
+    approx = {
+        qid: [r["vec_id"] for r in rows]
+        for qid, rows in (
+            (q, sorted(
+                [r for r in got.collect() if r["query_id"] == q],
+                key=lambda r: r["rank"],
+            ))
+            for q in (0, 1, 2)
+        )
+    }
+    exact = knn_join(emb, queries, k=1).collect()
+    for r in exact:
+        assert r["vec_id"] in approx[r["query_id"]], (r, approx)
