@@ -43,6 +43,15 @@ def main() -> int:
         default=10_000,
         help="rows for regex-pattern detection (0 = full scan)",
     )
+    ap.add_argument(
+        "--schema-json",
+        help="validate against this persisted TableSchema contract "
+        "instead of inferring (see TableSchema.to_json)",
+    )
+    ap.add_argument(
+        "--save-schema-json",
+        help="write the inferred contract here for future runs",
+    )
     ap.add_argument("--fail-fast", action="store_true")
     args = ap.parse_args()
 
@@ -60,20 +69,31 @@ def main() -> int:
     spark = SparkSession.builder.appName("pfs-validate-schema").getOrCreate()
 
     table = HivePartitionedParquet(spark, args.table, args.partition_col)
-    full = spark.read.option("basePath", args.table).parquet(args.table)
-    sample = full
-    if args.infer_sample and 0 < args.infer_sample < 1:
-        sample = full.sample(False, args.infer_sample, seed=DEFAULT_SAMPLE_SEED)
-    schema = infer_schema(
-        sample,
-        "InferredModel",
-        pattern_sample=args.pattern_sample or None,
-    )
-    print(
-        f"inferred {sum(1 for c in schema.columns if c.pandera_type)} columns, "
-        f"{len(schema.checks())} checks",
-        file=sys.stderr,
-    )
+    if args.schema_json:
+        from pandera_forge_spark.schema import TableSchema
+
+        schema = TableSchema.from_json(Path(args.schema_json).read_text())
+        print(
+            f"loaded contract {schema.name}: {len(schema.checks())} checks",
+            file=sys.stderr,
+        )
+    else:
+        full = spark.read.option("basePath", args.table).parquet(args.table)
+        sample = full
+        if args.infer_sample and 0 < args.infer_sample < 1:
+            sample = full.sample(False, args.infer_sample, seed=DEFAULT_SAMPLE_SEED)
+        schema = infer_schema(
+            sample,
+            "InferredModel",
+            pattern_sample=args.pattern_sample or None,
+        )
+        print(
+            f"inferred {sum(1 for c in schema.columns if c.pandera_type)} columns, "
+            f"{len(schema.checks())} checks",
+            file=sys.stderr,
+        )
+        if args.save_schema_json:
+            Path(args.save_schema_json).write_text(schema.to_json())
 
     audit = AuditLog(spark, args.audit)
     report = run_partitions(

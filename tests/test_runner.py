@@ -198,3 +198,22 @@ def test_run_schema_validation_script(spark, tmp_path, monkeypatch, capsys):
     monkeypatch.setattr("sys.argv", argv)
     assert mod.main() == 0
     assert "processed=0 skipped=10 failed=0" in capsys.readouterr().out
+
+    # persist the contract, then validate a FRESH audit from it (no
+    # re-inference): the infer-once / validate-forever loop
+    sj = str(tmp_path / "contract.json")
+    argv_save = argv[:-2] + ["--pattern-sample", "0", "--save-schema-json", sj]
+    argv_save[argv_save.index("--audit") + 1] = str(tmp_path / "aud_s")
+    monkeypatch.setattr("sys.argv", argv_save)
+    assert mod.main() == 0
+    capsys.readouterr()
+
+    argv_load = [
+        "prog", "--table", root, "--partition-col", "bucket",
+        "--audit", str(tmp_path / "aud2"), "--batch-size", "5",
+        "--schema-json", sj,
+    ]
+    monkeypatch.setattr("sys.argv", argv_load)
+    assert mod.main() == 0
+    out3 = capsys.readouterr()
+    assert "processed=10 skipped=0 failed=0" in out3.out
