@@ -34,17 +34,30 @@ from pandera_forge_spark.operators.text import fingerprint, tokens
 
 # ---------------------------------------------------------------- exact
 
-def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def exact_duplicate_groups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_ids: Optional[int] = None,
+) -> DataFrame:
     """(fingerprint, n_docs, doc_ids) for every content group with >1
-    doc. One shuffle; collect_list stays small because only duplicate
-    groups survive the count filter."""
+    doc — the INSPECTION form (test/oracle scale): collect_list holds
+    O(group) ids in one aggregation buffer, so a content string
+    duplicated 10^7 times is one giant buffer in a single task.
+    ``max_ids`` slices the OUTPUT array (bounds result size for
+    display; the aggregation buffer is still O(group)). The scale path
+    for downstream dedup is ``exact_duplicate_pairs`` /
+    ``dedup_exact``, which never materialize an id array."""
     fp = fingerprint(F.col(text_col)).alias("fingerprint")
+    ids = F.sort_array(F.collect_list(id_col))
+    if max_ids is not None:
+        ids = F.slice(ids, 1, max_ids)
     return (
         df.select(fp, F.col(id_col))
         .groupBy("fingerprint")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            ids.alias("doc_ids"),
         )
         .where(F.col("n_docs") > 1)
     )
@@ -404,11 +417,24 @@ def near_duplicates_simhash(
     id_col: str,
     max_hamming: int = 3,
     seed: int = 42,
+    max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """SimHash near-dup pairs: bucket on 4 x 16-bit bands (two sigs
     within Hamming distance 3 of each other must agree exactly on at
     least one band — pigeonhole), verify with bit_count. Same
-    candidate-then-verify shape as MinHash-LSH."""
+    candidate-then-verify shape as MinHash-LSH.
+
+    ``max_bucket`` bounds the band self-join under viral duplication
+    (a mass-duplicated document agrees on ALL four bands, so an
+    uncapped join emits ~4·size²/2 pairs): per-(band, key) population
+    and hub (min id) are aggregated first, and a-side rows in a bucket
+    larger than ``max_bucket`` survive only if they ARE the hub — the
+    join fan-out per hot bucket is O(size) star pairs around the hub,
+    every member stays connected to the cluster representative, and
+    ``pairs_to_clusters`` recovers the full component. Same hub-filter
+    the embedding path applies before its bucket join
+    (similarity.near_duplicates_embedding). ``max_bucket=None``
+    disables the cap (exhaustive pairs, test scale only)."""
     sh = simhash_signatures(df, text_col, id_col, seed)
     banded = sh.select(
         id_col,
@@ -427,7 +453,18 @@ def near_duplicates_simhash(
             )
         ).alias("bb"),
     ).select(id_col, "__sim", "bb.band", "bb.key")
-    a = banded.select(
+    a = banded
+    if max_bucket is not None:
+        # the aggregate is O(distinct buckets) rows; AQE broadcasts it
+        # when it fits. Filtering the BUILD side before the join bounds
+        # the fan-out itself, not a post-hoc pair filter.
+        sizes = banded.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("__bsz"), F.min(id_col).alias("__hub")
+        )
+        a = banded.join(sizes, ["band", "key"]).where(
+            (F.col("__bsz") <= max_bucket) | (F.col(id_col) == F.col("__hub"))
+        )
+    a = a.select(
         F.col("band"), F.col("key"), F.col(id_col).alias("id_a"), F.col("__sim").alias("__sa")
     )
     b = banded.select(
@@ -450,6 +487,7 @@ def pairs_to_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 15,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_id),
     cluster_id = the component's min member id. This is the step a real
@@ -464,22 +502,33 @@ def pairs_to_clusters(
     near-cliques or hub stars (the cap guarantees stars), so diameter
     is tiny — convergence is checked each round (count of changed
     labels, an O(1)-row action) and iteration stops early.
-    ``localCheckpoint`` truncates the growing lineage each round so
-    plan size stays constant; at warehouse scale swap it for a
-    reliable ``checkpoint`` directory. Raises if max_iter rounds don't
-    converge (pathological topology) rather than returning partial
-    components silently."""
+    Lineage is truncated each round so plan size stays constant:
+    ``localCheckpoint`` by default (blocks cached on executors — fast,
+    but lost on executor death), or a RELIABLE ``checkpoint`` when
+    ``checkpoint_dir`` is given (blocks written to that fault-tolerant
+    directory — the warehouse-scale mode, where losing an executor
+    mid-iteration must not restart the whole propagation). Both modes
+    produce identical labels (asserted in tests). Raises if max_iter
+    rounds don't converge (pathological topology) rather than
+    returning partial components silently."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = (
+    labels = _truncate(
         und.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -497,7 +546,7 @@ def pairs_to_clusters(
                 (F.col("nmin") < F.col("label")).alias("__chg"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = _truncate(new_labels)
         changed = new_labels.where(F.col("__chg")).count()
         labels = new_labels.drop("__chg")
         if changed == 0:
@@ -511,17 +560,27 @@ def pairs_to_clusters(
 def exact_duplicate_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Hub-star pairs (min_id → member) for every exact-duplicate
     content group — O(group) pairs, the same star shape the LSH viral
-    cap emits; feed to ``pairs_to_clusters`` or use directly."""
-    g = exact_duplicate_groups(df, text_col, id_col)
-    hub = F.element_at(F.col("doc_ids"), 1)
-    return g.select(
-        F.explode(
-            F.transform(
-                F.slice(F.col("doc_ids"), 2, _SLICE_MAX),
-                lambda m: F.struct(hub.alias("id_a"), m.alias("id_b")),
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
+    cap emits; feed to ``pairs_to_clusters`` or use directly.
+
+    Scale shape: NO id array is ever materialized — a count/min(id)
+    aggregate (constant-size buffer, map-side combinable) finds each
+    group's hub, then a hash join back to the fingerprinted rows
+    STREAMS the (hub, member) pairs out. A content string duplicated
+    10^7 times costs one tiny aggregate row and 10^7 streamed output
+    rows, never a multi-hundred-MB collect_list buffer in one task."""
+    with_fp = df.select(
+        fingerprint(F.col(text_col)).alias("__fp"), F.col(id_col)
+    )
+    hubs = (
+        with_fp.groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("id_a"))
+        .where(F.col("__n") > 1)
+    )
+    return (
+        with_fp.join(hubs, "__fp")
+        .where(F.col(id_col) != F.col("id_a"))
+        .select("id_a", F.col(id_col).alias("id_b"))
+    )
 
 
 # -------------------------------------------------- pairwise verification

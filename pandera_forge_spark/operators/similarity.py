@@ -124,6 +124,46 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def probe_buckets(vec: Column, planes: list[list[float]], probes: int) -> Column:
+    """Array of ``struct<b: long>`` probe buckets for one vector, as a
+    pure column expression: the base sign-of-projection bucket plus the
+    single-bit flips of the ``probes`` smallest-|projection| planes
+    (margin-ranked multi-probe — the planes the vector is least
+    confidently on one side of). Shared by the bucket self-join
+    (near_duplicates_embedding) and the distributed probe routing of
+    ``lsh_knn_join_partitioned``."""
+    bits = len(planes)
+    buckets = F.array(F.struct(lsh_bucket(vec, planes).alias("b")))
+    if probes > 0:
+        # margin-ranked probing needs per-plane projections; emit the
+        # single-bit flips of the `probes` smallest |projection| planes
+        projs = F.array(*[dot(vec, _lit_vec(p)) for p in planes])
+        order = F.array_sort(
+            F.array(
+                *[
+                    F.struct(F.abs(F.element_at(projs, b + 1)).alias("m"), F.lit(b).alias("b"))
+                    for b in range(bits)
+                ]
+            )
+        )
+        base = lsh_bucket(vec, planes)
+        # shift amount is a Column (pyspark shiftleft takes int shifts
+        # only), so build the one-hot mask as 2^b — exact for bits<=52
+        flips = F.array(
+            *[
+                F.struct(
+                    base.bitwiseXOR(
+                        F.pow(F.lit(2.0), F.element_at(order, i + 1)["b"].cast("double"))
+                        .cast("long")
+                    ).alias("b")
+                )
+                for i in range(min(probes, bits))
+            ]
+        )
+        buckets = F.concat(buckets, flips)
+    return buckets
+
+
 TARGET_BUCKET_SIZE = 64  # mean bucket population the auto bits mode aims for
 
 
@@ -188,34 +228,7 @@ def near_duplicates_embedding(
     planes = hyperplanes(dim, bits, seed)
 
     vec = F.col(vec_col)
-    buckets = F.array(F.struct(lsh_bucket(vec, planes).alias("b")))
-    if probes > 0:
-        # margin-ranked probing needs per-plane projections; emit the
-        # single-bit flips of the `probes` smallest |projection| planes
-        projs = F.array(*[dot(vec, _lit_vec(p)) for p in planes])
-        order = F.array_sort(
-            F.array(
-                *[
-                    F.struct(F.abs(F.element_at(projs, b + 1)).alias("m"), F.lit(b).alias("b"))
-                    for b in range(bits)
-                ]
-            )
-        )
-        base = lsh_bucket(vec, planes)
-        # shift amount is a Column (pyspark shiftleft takes int shifts
-        # only), so build the one-hot mask as 2^b — exact for bits<=52
-        flips = F.array(
-            *[
-                F.struct(
-                    base.bitwiseXOR(
-                        F.pow(F.lit(2.0), F.element_at(order, i + 1)["b"].cast("double"))
-                        .cast("long")
-                    ).alias("b")
-                )
-                for i in range(min(probes, bits))
-            ]
-        )
-        buckets = F.concat(buckets, flips)
+    buckets = probe_buckets(vec, planes, probes)
 
     banded = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col), vec.alias("__v"), F.explode(buckets).alias("__bk")
@@ -421,20 +434,31 @@ def lsh_knn_join_partitioned(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
-    max_queries: int = 100_000,
+    max_prune_buckets: int = 100_000,
 ) -> DataFrame:
     """Batched ANN k-NN join against a ``write_lsh_partitioned``
     corpus: every query gets its approximate top-k in ONE pass.
 
-    Shape: query vectors are collected (queries << corpus — guarded by
-    ``max_queries``), each query's probe buckets are computed on the
-    driver, and a tiny (query_id, bucket, qvec) frame is broadcast
-    into a join with the corpus scan. A static ``isin`` over the union
-    of all probe buckets keeps the scan partition-pruned at planning
-    time (PartitionFilters), the broadcast join then routes each
-    corpus row only to the queries probing ITS bucket — per-query
-    candidate sets, never |queries| x |corpus|. Top-k per query via
-    window over the scored candidates."""
+    Shape: each query's probe buckets (base signature + margin-ranked
+    flips) are computed DISTRIBUTIVELY as column expressions on the
+    queries frame (``probe_buckets`` — the same algebra the bucket
+    self-join uses); the resulting (query_id, bucket, qvec) frame is
+    broadcast into a join with the corpus scan. No query vector ever
+    touches the driver — the only collect is the DISTINCT probe-bucket
+    ids (at most min(|queries|·(1+probes), 2^bits) longs), which feed
+    a static ``isin`` so the scan is partition-pruned at planning time
+    (PartitionFilters). The broadcast join then routes each corpus row
+    only to the queries probing ITS bucket — per-query candidate sets,
+    never |queries| x |corpus|. Query count is bounded by what a
+    broadcast holds (millions of (id, bucket, vec) rows), not by
+    driver memory for Python row objects.
+
+    If the distinct probe buckets exceed ``max_prune_buckets`` (a
+    giant ``isin`` literal slows planning), the static prune is
+    skipped — the broadcast hash join still routes rows correctly and
+    Spark's dynamic partition pruning takes over on the partitioned
+    ``__bucket`` column. Top-k per query via window over the scored
+    candidates."""
     from pyspark.sql import Window
 
     import json
@@ -444,37 +468,32 @@ def lsh_knn_join_partitioned(
     bits, seed = meta["bits"], meta["seed"]
     planes = hyperplanes(meta["dim"], bits, seed)
 
-    qrows = queries.select(query_id_col, vec_col).limit(max_queries + 1).collect()
-    if len(qrows) > max_queries:
-        raise ValueError(
-            f"more than max_queries={max_queries} query vectors; raise the "
-            "cap or run in slices (the probe table is driver-built)"
+    vec = F.col(vec_col)
+    probe_df = (
+        queries.where(vec.isNotNull())
+        .select(
+            F.col(query_id_col),
+            vec.cast("array<double>").alias("__qvec"),
+            F.explode(probe_buckets(vec, planes, probes)).alias("__bk"),
         )
-    target_rows = []
-    for r in qrows:
-        qid, qv = r[0], list(r[1])
-        qbits = 0
-        margins_raw = []
-        for b, plane in enumerate(planes):
-            proj = sum(qi * pi for qi, pi in zip(qv, plane))
-            if proj > 0:
-                qbits |= 1 << b
-            margins_raw.append((abs(proj), b))
-        margins = [b for _, b in sorted(margins_raw)]
-        buckets = {qbits} | {
-            qbits ^ (1 << margins[i]) for i in range(min(probes, bits))
-        }
-        for bk in buckets:
-            target_rows.append((qid, bk, qv))
-
-    qid_type = queries.schema[query_id_col].dataType.simpleString()
-    tdf = spark.createDataFrame(
-        target_rows,
-        f"{query_id_col} {qid_type}, __bucket long, __qvec array<double>",
+        .select(query_id_col, "__qvec", F.col("__bk.b").alias("__bucket"))
+        .dropDuplicates([query_id_col, "__bucket"])
     )
-    all_buckets = sorted({bk for _, bk, _ in target_rows})
-    corpus = spark.read.parquet(path).where(F.col("__bucket").isin(all_buckets))
-    scored = corpus.join(F.broadcast(tdf), "__bucket").select(
+
+    # the ONLY collect: distinct bucket ids (longs, not vectors) for
+    # planning-time pruning; capped so the isin literal stays sane
+    bucket_rows = (
+        probe_df.select("__bucket")
+        .distinct()
+        .limit(max_prune_buckets + 1)
+        .collect()
+    )
+    corpus = spark.read.parquet(path)
+    if len(bucket_rows) <= max_prune_buckets:
+        corpus = corpus.where(
+            F.col("__bucket").isin(sorted(r[0] for r in bucket_rows))
+        )
+    scored = corpus.join(F.broadcast(probe_df), "__bucket").select(
         query_id_col,
         id_col,
         F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),

@@ -185,3 +185,83 @@ def test_pairs_to_clusters_string_ids(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in pairs_to_clusters(pairs).collect()}
     assert got == {"docA": "docA", "docB": "docA", "docC": "docA"}
+
+
+def test_simhash_viral_bucket_capped(spark):
+    """300 identical docs agree on ALL four SimHash bands — uncapped
+    that is ~4·C(300,2) join rows. With max_bucket the hot buckets emit
+    the O(size) star around the min-id hub, membership is preserved,
+    and small honest buckets are untouched."""
+    rows = [(i, BASE) for i in range(300)]
+    rows += [(1000, OTHER), (1001, OTHER)]  # small honest dup pair
+    rows += [(2000 + i, f"noise doc {i} about {i*7} unrelated things") for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in near_duplicates_simhash(df, "text", "id", max_bucket=50).collect()
+    }
+    # every viral member stays connected to the hub...
+    assert {(0, i) for i in range(1, 300)} <= got
+    # ...the small pair survives the cap untouched...
+    assert (1000, 1001) in got
+    # ...and the fan-out is linear, not C(300,2)=44850 quadratic
+    assert len(got) < 400
+
+    uncapped = near_duplicates_simhash(df, "text", "id", max_bucket=None).count()
+    assert uncapped >= 44850  # the blowup the cap exists to prevent
+
+
+def test_exact_pairs_linear_no_array_buffer(spark):
+    """A 10^5-copy exact-dup group: pairs stream out as a hash join
+    (O(group) OUTPUT rows, constant-size aggregation buffer) — the
+    scale path never materializes a 10^5-element id array."""
+    from pandera_forge_spark.operators.dedup import exact_duplicate_pairs
+
+    big = spark.range(100_000).select(
+        F.col("id"), F.lit(BASE).alias("text")
+    )
+    extra = spark.createDataFrame(
+        [(200_000, OTHER), (200_001, "a unique doc")], "id long, text string"
+    )
+    df = big.unionByName(extra)
+
+    pairs = exact_duplicate_pairs(df, "text", "id")
+    assert pairs.count() == 99_999
+    # star shape: every pair hangs off the min-id hub
+    assert pairs.where(F.col("id_a") != 0).count() == 0
+    # no collect_list anywhere in the executed plan
+    from pandera_forge_spark.plans.inspect import executed_plan
+
+    assert "collect_list" not in executed_plan(pairs)
+
+
+def test_exact_duplicate_groups_max_ids_slices_output(corpus):
+    g = exact_duplicate_groups(corpus, "text", "id", max_ids=2).collect()
+    assert len(g) == 1
+    assert g[0]["n_docs"] == 3          # true population still reported
+    assert g[0]["doc_ids"] == [1, 2]    # display array sliced
+
+
+def test_pairs_to_clusters_reliable_checkpoint_identical(spark, tmp_path):
+    """checkpoint_dir mode (reliable checkpoint, warehouse scale) must
+    produce exactly the labels localCheckpoint mode does."""
+    from pandera_forge_spark.operators.dedup import pairs_to_clusters
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (100, 200), (7, 8), (40, 41)],
+        "id_a long, id_b long",
+    )
+    local = {r["id"]: r["cluster_id"] for r in pairs_to_clusters(pairs).collect()}
+    reliable = {
+        r["id"]: r["cluster_id"]
+        for r in pairs_to_clusters(
+            pairs, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert local == reliable
+    assert reliable[41] == 10
+    # the reliable mode actually wrote checkpoint data
+    import os
+
+    assert any(os.scandir(str(tmp_path / "ckpt")))

@@ -259,3 +259,66 @@ def test_lsh_knn_join_partitioned(spark, tmp_path):
     exact = knn_join(emb, queries, k=1).collect()
     for r in exact:
         assert r["vec_id"] in approx[r["query_id"]], (r, approx)
+
+
+def test_lsh_knn_join_distributed_probes_no_vector_collect(spark, tmp_path):
+    """Round-3 shape: probe buckets are computed distributively on the
+    queries frame — the only driver collect is distinct bucket ids.
+    With max_prune_buckets=0 the static isin prune is skipped and the
+    broadcast join alone must still route correctly (identical rows)."""
+    from pandera_forge_spark.operators.similarity import (
+        lsh_knn_join_partitioned,
+        write_lsh_partitioned,
+    )
+    from pandera_forge_spark.plans.inspect import executed_plan
+
+    emb = spark.range(1500).selectExpr(
+        "id as vec_id",
+        "array(cast(id % 29 as double) - 14.0, cast(id % 13 as double) - 6.0,"
+        " cast(id % 5 as double) - 2.0, 1.0d) as embedding",
+    )
+    path = str(tmp_path / "corpus")
+    write_lsh_partitioned(emb, path, bits=6)
+
+    queries = emb.where(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pruned = lsh_knn_join_partitioned(spark, path, queries, k=3, probes=3)
+    unpruned = lsh_knn_join_partitioned(
+        spark, path, queries, k=3, probes=3, max_prune_buckets=0
+    )
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(
+        [(r["query_id"], r["rank"], r["vec_id"]) for r in pruned.collect()]
+    ) == sorted(
+        [(r["query_id"], r["rank"], r["vec_id"]) for r in unpruned.collect()]
+    )
+    # the pruned plan carries PartitionFilters; every query found itself
+    assert "PartitionFilters: [" in executed_plan(pruned)
+    best = {r["query_id"]: r["vec_id"] for r in pruned.collect() if r["rank"] == 1}
+    assert all(qid == vid for qid, vid in best.items())
+
+
+def test_probe_buckets_expression_matches_bucket_membership(spark):
+    """probe_buckets's base bucket equals lsh_bucket for every vector,
+    and flips differ from base by exactly one bit."""
+    from pandera_forge_spark.operators.similarity import (
+        hyperplanes,
+        lsh_bucket,
+        probe_buckets,
+    )
+
+    emb = spark.range(200).selectExpr(
+        "array(cast(id % 7 as double) - 3.0, cast(id % 3 as double) - 1.0,"
+        " 1.0d, cast(id % 2 as double)) as v"
+    )
+    planes = hyperplanes(4, 5)
+    rows = emb.select(
+        lsh_bucket(F.col("v"), planes).alias("base"),
+        probe_buckets(F.col("v"), planes, probes=2).alias("probes"),
+    ).collect()
+    for r in rows:
+        bks = [s["b"] for s in r["probes"]]
+        assert bks[0] == r["base"]
+        for flip in bks[1:]:
+            assert bin(flip ^ r["base"]).count("1") == 1
