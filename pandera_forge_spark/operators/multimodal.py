@@ -158,6 +158,12 @@ def _jpeg_dims_py(payload) -> "list | None":
             i += 1
             continue
         marker = payload[i + 1]
+        if marker == 0xFF:
+            # spec-legal 0xFF fill bytes before a marker: skip ONE pad
+            # byte (not two) so the real marker that follows is read as
+            # a marker, not as segment-length bytes
+            i += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue

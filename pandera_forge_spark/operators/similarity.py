@@ -367,9 +367,13 @@ def write_lsh_partitioned(
     filter from a full-scan predicate into PARTITION PRUNING: a query
     then touches 1+probes directories out of 2^bits — the difference
     between scanning 10^12 vectors and scanning a few million
-    (asserted via PartitionFilters in tests). Returns the bits used."""
+    (asserted via PartitionFilters in tests). Returns the bits used.
+
+    The sidecar write goes through the Hadoop FileSystem (DriverFS), so
+    the corpus path may be s3a://, hdfs:// or local alike."""
     import json
-    from pathlib import Path
+
+    from pandera_forge_spark.sources.fs import DriverFS
 
     first = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
     if first is None:
@@ -385,10 +389,19 @@ def write_lsh_partitioned(
         .mode("overwrite")
         .parquet(path)
     )
-    Path(path, "_lsh_meta.json").write_text(
-        json.dumps({"bits": bits, "seed": seed, "dim": dim})
+    DriverFS(df.sparkSession).write_bytes(
+        f"{path}/_lsh_meta.json",
+        json.dumps({"bits": bits, "seed": seed, "dim": dim}).encode(),
     )
     return bits
+
+
+def _read_lsh_meta(spark, path: str) -> dict:
+    import json
+
+    from pandera_forge_spark.sources.fs import DriverFS
+
+    return json.loads(DriverFS(spark).read_bytes(f"{path}/_lsh_meta.json"))
 
 
 def lsh_topk_partitioned(
@@ -406,10 +419,7 @@ def lsh_topk_partitioned(
     and read only those partitions (planning-time pruning, verified by
     PartitionFilters). The scan then scores just the probed buckets
     with the exact cosine."""
-    import json
-    from pathlib import Path
-
-    meta = json.loads(Path(path, "_lsh_meta.json").read_text())
+    meta = _read_lsh_meta(spark, path)
     bits, seed = meta["bits"], meta["seed"]
     planes = hyperplanes(meta["dim"], bits, seed)
     qbits = 0
@@ -461,10 +471,7 @@ def lsh_knn_join_partitioned(
     candidates."""
     from pyspark.sql import Window
 
-    import json
-    from pathlib import Path
-
-    meta = json.loads(Path(path, "_lsh_meta.json").read_text())
+    meta = _read_lsh_meta(spark, path)
     bits, seed = meta["bits"], meta["seed"]
     planes = hyperplanes(meta["dim"], bits, seed)
 

@@ -26,7 +26,6 @@ from __future__ import annotations
 import json
 import time
 from dataclasses import dataclass
-from pathlib import Path
 from typing import Callable, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,29 +49,48 @@ class HivePartitionedParquet:
     def list_partitions(self) -> list[str]:
         """The partition manifest. Directory listing — O(partitions),
         no data scan (Iceberg equivalent: the `partitions` metadata
-        table)."""
-        p = Path(self.root)
-        vals = sorted(
-            d.name.split("=", 1)[1]
-            for d in p.iterdir()
-            if d.is_dir() and d.name.startswith(f"{self.partition_col}=")
+        table). Scheme-aware: works on s3a://, hdfs://, local paths
+        alike (DriverFS routes through Hadoop's FileSystem)."""
+        from pandera_forge_spark.sources.fs import DriverFS
+
+        fs = DriverFS(self.spark)
+        prefix = f"{self.partition_col}="
+        return sorted(
+            name.split("=", 1)[1]
+            for name in fs.listdir(self.root)
+            if name.startswith(prefix) and fs.is_dir(f"{self.root}/{name}")
         )
-        return vals
+
+    def _read(self) -> DataFrame:
+        """Base scan with the partition column read back as its RAW
+        directory string. Hive partition-type inference is deliberately
+        disabled for this read: a zero-padded value like ``day=00123``
+        otherwise infers as int 123, and its str() no longer matches
+        the manifest/audit key — the silent rows=0 false-pass the audit
+        log must never produce. Keeping the column a string makes the
+        manifest, the pruning filter, the verdict key and the audit key
+        one and the same value."""
+        inference_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = self.spark.conf.get(inference_key, "true")
+        self.spark.conf.set(inference_key, "false")
+        try:
+            # schema (incl. partition discovery) resolves eagerly here
+            return self.spark.read.option("basePath", self.root).parquet(self.root)
+        finally:
+            self.spark.conf.set(inference_key, prev)
 
     def read_partition(self, value: str) -> DataFrame:
         """Partition-pruned read: the filter on the partition column is
         resolved at planning time against the hive layout — only that
         directory is scanned (verify via PartitionFilters in explain)."""
-        df = self.spark.read.option("basePath", self.root).parquet(self.root)
-        return df.where(F.col(self.partition_col) == value)
+        return self._read().where(F.col(self.partition_col) == value)
 
     def read_partitions(self, values: Sequence[str]) -> DataFrame:
         """One pruned read covering a BATCH of partitions (isin over the
         partition column — still resolved at planning time, still only
         those directories scanned). This is what lets the runner
         amortize per-job scheduling latency over k partitions."""
-        df = self.spark.read.option("basePath", self.root).parquet(self.root)
-        return df.where(F.col(self.partition_col).isin(list(values)))
+        return self._read().where(F.col(self.partition_col).isin(list(values)))
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
         df.write.partitionBy(self.partition_col).mode(mode).parquet(self.root)
@@ -87,14 +105,15 @@ class AuditLog:
         self.root = root
 
     def completed_partitions(self) -> set[str]:
-        p = Path(self.root)
-        if not p.exists():
-            return set()
-        done = set()
-        for d in p.iterdir():
-            if d.is_dir() and d.name.startswith("partition=") and (d / "_SUCCESS").exists():
-                done.add(d.name.split("=", 1)[1])
-        return done
+        from pandera_forge_spark.sources.fs import DriverFS
+
+        fs = DriverFS(self.spark)
+        return {
+            name.split("=", 1)[1]
+            for name in fs.listdir(self.root)
+            if name.startswith("partition=")
+            and fs.exists(f"{self.root}/{name}/_SUCCESS")
+        }
 
     def commit(self, partition: str, rows: list[dict]) -> None:
         """Write one partition's audit rows + its _SUCCESS marker.
@@ -104,16 +123,18 @@ class AuditLog:
         partitions a per-commit Spark job would add scheduling latency
         comparable to the work itself. The write is overwrite-idempotent
         (stale files cleared first, _SUCCESS last), preserving the
-        commit protocol resume depends on. The Iceberg binding replaces
-        this with ``writeTo(audit).overwritePartitions()``."""
+        commit protocol resume depends on, and goes through the
+        Hadoop FileSystem (DriverFS) so ``--audit s3a://...`` works the
+        same as a local path. The Iceberg binding replaces this with
+        ``writeTo(audit).overwritePartitions()``."""
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
-        d = Path(self.root) / f"partition={partition}"
-        d.mkdir(parents=True, exist_ok=True)
-        for f in d.iterdir():
-            if f.is_file():
-                f.unlink()
+        from pandera_forge_spark.sources.fs import DriverFS, write_parquet_bytes
+
+        fs = DriverFS(self.spark)
+        d = f"{self.root}/partition={partition}"
+        fs.mkdirs(d)
+        fs.clear_files(d)
         tbl = pa.table(
             {
                 "partition": pa.array([partition] * len(rows), pa.string()),
@@ -135,8 +156,8 @@ class AuditLog:
                 "engine": pa.array(["pandera_forge_spark"] * len(rows), pa.string()),
             }
         )
-        pq.write_table(tbl, d / "part-00000.parquet")
-        (d / "_SUCCESS").touch()
+        fs.write_bytes(f"{d}/part-00000.parquet", write_parquet_bytes(tbl))
+        fs.touch(f"{d}/_SUCCESS")
 
     def read(self) -> DataFrame:
         return self.spark.read.schema(AUDIT_SCHEMA).parquet(f"{self.root}/partition=*")
@@ -256,6 +277,10 @@ def validation_process_batch(schema, partition_col: str):
         out: dict = {}
         for row in res.verdicts.collect():
             d = row.asDict()
+            # the partition column comes back as its RAW directory
+            # string (type inference disabled in HivePartitionedParquet
+            # reads), so this key is byte-identical to the manifest/audit
+            # key — zero-padded ints and float spellings included
             part = str(d.pop(partition_col))
             rows = int(d.pop("__rows__") or 0)
             checks = {name: int(v or 0) for name, v in d.items()}

@@ -238,16 +238,20 @@ def incremental_sketch_store(
     partitions on the next call. Day-after-day, profiling cost is
     O(new data), never O(table)."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
-    from pathlib import Path
 
+    from pandera_forge_spark.sources.fs import DriverFS, write_parquet_bytes
+
+    fs = DriverFS(spark)
     pcol = table.partition_col
-    root = Path(store_root)
     done = {
-        d.name.split("=", 1)[1]
-        for d in root.iterdir()
-        if d.is_dir() and d.name.startswith(f"{pcol}=") and (d / "_SUCCESS").exists()
-    } if root.exists() else set()
+        name.split("=", 1)[1]
+        for name in fs.listdir(store_root)
+        if name.startswith(f"{pcol}=")
+        and fs.exists(f"{store_root}/{name}/_SUCCESS")
+    }
+    # manifest values are raw directory strings (HivePartitionedParquet
+    # reads them back verbatim), so this set comparison is exact — no
+    # str-vs-typed mismatch for zero-padded or float-spelled values
     todo = [p for p in table.list_partitions() if p not in done]
     if not todo:
         return []
@@ -257,20 +261,18 @@ def incremental_sketch_store(
     )
     pdf = sk.toPandas()  # O(partitions) tiny rows of sketch binaries
     for part, group in pdf.groupby(pcol):
-        d = root / f"{pcol}={part}"
-        d.mkdir(parents=True, exist_ok=True)
-        for f in d.iterdir():
-            if f.is_file():
-                f.unlink()
+        d = f"{store_root}/{pcol}={part}"
+        fs.mkdirs(d)
+        fs.clear_files(d)
         # pandas hands timestamps over as ns; Spark's parquet reader
         # rejects TIMESTAMP(NANOS), so coerce to micros on write
-        pq.write_table(
+        data = write_parquet_bytes(
             pa.Table.from_pandas(group.reset_index(drop=True)),
-            d / "part-00000.parquet",
             coerce_timestamps="us",
             allow_truncated_timestamps=True,
         )
-        (d / "_SUCCESS").touch()
+        fs.write_bytes(f"{d}/part-00000.parquet", data)
+        fs.touch(f"{d}/_SUCCESS")
     return sorted(str(p) for p in todo)
 
 
@@ -285,6 +287,7 @@ def update_sketches(
     df_new: DataFrame,
     partition_cols: Sequence[str],
     columns: Optional[Sequence[str]] = None,
+    theta: Optional[bool] = None,
 ) -> DataFrame:
     """Incremental append: sketch ONLY the new data and union the rows
     onto the stored sketch frame. If a partition receives late rows its
@@ -292,7 +295,14 @@ def update_sketches(
     exact fields and the HLL estimate (a register-wise max) come out
     IDENTICAL to one-shot profiling; KLL quantiles agree within the
     sketch's rank error (compaction depends on arrival grouping).
-    Asserted in tests/test_sketches.py."""
+    Asserted in tests/test_sketches.py.
+
+    ``theta=None`` (default) infers from the stored frame's schema:
+    a store built with theta sketches (any ``__theta`` column) gets its
+    new rows sketched with theta too, so the unionByName lines up —
+    appending to the exact store ``new_key_estimate`` needs."""
+    if theta is None:
+        theta = any(c.endswith("__theta") for c in existing.columns)
     return existing.unionByName(
-        partition_sketches(df_new, partition_cols, columns)
+        partition_sketches(df_new, partition_cols, columns, theta=theta)
     )

@@ -158,10 +158,17 @@ def get_spark_session(
             )
         spark = builder.getOrCreate()
 
-    if config is not None and cfg.catalog and cfg.schema:
+    # gate on the RESOLVED settings, not on how they arrived: the
+    # env-var path (resolve_config default) must apply catalog/schema
+    # exactly like an explicit config argument does
+    if cfg.catalog:
         try:
             spark.sql(f"USE CATALOG {cfg.catalog}")
-            spark.sql(f"USE SCHEMA {cfg.schema}")
         except Exception:  # noqa: BLE001 — local sessions have no catalogs
+            pass
+    if cfg.schema:
+        try:
+            spark.sql(f"USE SCHEMA {cfg.schema}")
+        except Exception:  # noqa: BLE001
             pass
     return spark

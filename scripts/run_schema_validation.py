@@ -9,11 +9,15 @@ rows, resume-by-_SUCCESS on restart.
     python scripts/make_pyfiles_zip.py /tmp/pfs.zip
     spark-submit --master <cluster> --py-files /tmp/pfs.zip \\
         scripts/run_schema_validation.py \\
-        --table s3://.../events --partition-col day \\
-        --audit s3://.../audit [--batch-size 16] \\
+        --table s3a://.../events --partition-col day \\
+        --audit s3a://.../audit [--batch-size 16] \\
         [--infer-sample 0.1] [--pattern-sample 10000]
 
 No master/parallelism is hardcoded: spark-submit owns cluster config.
+Table and audit paths take any scheme the cluster's Hadoop FS can
+reach (s3a://, hdfs://, local): the manifest listing and the
+per-partition audit commits go through the same FileSystem API as the
+Spark reads (sources/fs.DriverFS), not the driver's local filesystem.
 """
 
 from __future__ import annotations

@@ -153,3 +153,22 @@ def test_mime_sniff_stays_jvm_side(spark):
         png_dimensions(F.col("payload")).alias("d"),
     )
     assert not has_python_udf(out)
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """Spec-legal 0xFF padding before a marker must not desync the SOF
+    walk (ADVICE r2: the pad byte was read as a marker and its bytes as
+    a segment length, mis-advancing past the SOF)."""
+    from pandera_forge_spark.operators.multimodal import _jpeg_dims_py
+
+    plain = _jpeg(640, 480)
+    assert _jpeg_dims_py(plain) == [640, 480]
+
+    # insert two fill bytes before the SOF marker: ...\xff\xff\xff\xc0
+    sof = plain.index(b"\xff\xc0")
+    padded = plain[:sof] + b"\xff\xff" + plain[sof:]
+    assert _jpeg_dims_py(padded) == [640, 480]
+
+    # fill bytes before APP0 too (straight after SOI)
+    padded2 = plain[:2] + b"\xff\xff\xff" + plain[2:]
+    assert _jpeg_dims_py(padded2) == [640, 480]

@@ -217,3 +217,46 @@ def test_run_schema_validation_script(spark, tmp_path, monkeypatch, capsys):
     assert mod.main() == 0
     out3 = capsys.readouterr()
     assert "processed=10 skipped=0 failed=0" in out3.out
+
+
+def test_partition_values_round_trip_raw_strings(spark, tmp_path):
+    """Hive-legal values that do NOT survive partition type inference
+    (zero-padded ints '00123' -> 123, float spellings '0.10' -> 0.1)
+    must still key their audit rows correctly — the silent
+    rows=0 false-pass ADVICE flagged. The manifest string, the pruned
+    read's column value, the verdict key and the audit key must all be
+    the same raw string."""
+    from pandera_forge_spark.inference import infer_schema
+    from pandera_forge_spark.runner import validation_process_batch
+
+    df = spark.createDataFrame(
+        [("00123", i) for i in range(5)]
+        + [("0.10", i) for i in range(3)]
+        + [("7", i) for i in range(2)],
+        "day string, x long",
+    )
+    root = str(tmp_path / "zp")
+    table = HivePartitionedParquet(spark, root, "day")
+    table.write(df)
+
+    manifest = table.list_partitions()
+    assert sorted(manifest) == ["0.10", "00123", "7"]
+    # the pruned read hands back the RAW directory string
+    vals = {
+        r["day"]
+        for r in table.read_partitions(manifest).select("day").distinct().collect()
+    }
+    assert vals == {"00123", "0.10", "7"}
+
+    schema = infer_schema(df.select("x"), "zp")
+    audit = AuditLog(spark, str(tmp_path / "zp_audit"))
+    rep = run_partitions(
+        table,
+        audit,
+        process_batch=validation_process_batch(schema, "day"),
+        batch_size=8,
+    )
+    assert rep.ok and sorted(rep.processed) == sorted(manifest)
+    got = {r["partition"]: r["rows"] for r in audit.read().collect()}
+    # every partition's TRUE row count landed — no rows=0 false-pass
+    assert got == {"00123": 5, "0.10": 3, "7": 2}

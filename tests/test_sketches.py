@@ -181,3 +181,21 @@ def test_grouped_sketch_rollup(spark):
         assert row["__rows"] == grp.count()
         assert row["user__nulls"] == grp.where(F.col("user").isNull()).count()
     assert sum(r["__rows"] for r in rolled.values()) == 10000
+
+
+def test_update_sketches_infers_theta_from_store(spark):
+    """A store built with theta=True must accept incremental appends
+    without the caller re-stating theta: update_sketches infers it from
+    the __theta columns, so the unionByName lines up and
+    new_key_estimate keeps working on the appended store."""
+    from pandera_forge_spark.sketches import new_key_estimate
+
+    day1, day2 = _df(spark, 0, 4000), _df(spark, 4000, 8000)
+    store = partition_sketches(day1, ["part"], ["key"], theta=True)
+    appended = update_sketches(store, day2, ["part"], ["key"])
+    assert any(c.endswith("__theta") for c in appended.columns)
+    assert appended.count() == store.count() * 2
+    # theta=False store stays theta-free under the same default
+    plain = partition_sketches(day1, ["part"], ["key"])
+    appended_plain = update_sketches(plain, day2, ["part"], ["key"])
+    assert not any(c.endswith("__theta") for c in appended_plain.columns)
