@@ -31,6 +31,7 @@ from pandera_forge_spark.operators.dedup import (
     dedup_exact,
     exact_duplicate_groups,
     near_duplicates_minhash,
+    near_duplicates_simhash,
 )
 from pandera_forge_spark.operators.similarity import cosine_topk
 from pandera_forge_spark.operators.text import (
@@ -912,6 +913,31 @@ FROM range(120) ORDER BY id_b
 """
 
 
+def q_near_dup_simhash(spark, sf_dir):
+    """SimHash near-dup anchor (operators/dedup.py
+    near_duplicates_simhash): planted EXACT copies at the +1000000
+    offset have identical 64-bit signatures, so every planted pair must
+    surface at hamming 0 — this exercises the whole path end-to-end
+    (token hashing, per-bit vote aggregation, 4x16-bit banding, the
+    hub-capped band self-join, bit_count verify). Scoped to the planted
+    offset because natural near-dup structure under hamming<=3 is not
+    closed-form; viral-cap semantics are pytest-anchored
+    (tests/test_dedup.py::test_simhash_viral_bucket_capped)."""
+    planted = _planted_exact(spark, sf_dir)
+    nd = near_duplicates_simhash(planted, "text", "doc_id", max_hamming=3)
+    return (
+        nd.where(F.col("id_b") - F.col("id_a") == 1000000)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a")
+    )
+
+
+SQL_NEAR_DUP_SIMHASH = """
+SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, CAST(0 AS INT) AS hamming
+FROM documents WHERE doc_id % 25 = 0 ORDER BY 1
+"""
+
+
 def q_text_metrics(spark, sf_dir):
     from pandera_forge_spark.operators.text import word_count_bpe_ish
 
@@ -1374,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_count": q_dedup_exact_count,
         "near_dup_minhash": q_near_dup_minhash,
         "near_dup_viral_capped": q_near_dup_viral_capped,
+        "near_dup_simhash": q_near_dup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "text_metrics": q_text_metrics,
         "token_stats_by_lang": q_token_stats_by_lang,
@@ -1423,6 +1450,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_count": SQL_DEDUP_EXACT_COUNT,
         "near_dup_minhash": SQL_NEAR_DUP_MINHASH,
         "near_dup_viral_capped": SQL_NEAR_DUP_VIRAL_CAPPED,
+        "near_dup_simhash": SQL_NEAR_DUP_SIMHASH,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "text_metrics": SQL_TEXT_METRICS,
         "token_stats_by_lang": SQL_TOKEN_STATS_BY_LANG,

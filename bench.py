@@ -161,7 +161,7 @@ def headline_queries(spark, sf_dir: str, flagship_docs: int = BENCH_DOCS):
     from pyspark.sql import functions as F
 
     from pandera_forge_spark.drift import baseline_summary, drift_by_partition
-    from pandera_forge_spark.inference import infer_schema
+    from pandera_forge_spark.inference import infer_and_validate, infer_schema
     from pandera_forge_spark.operators.dedup import near_duplicates_minhash
     from pandera_forge_spark.operators.similarity import cosine_topk
     from pandera_forge_spark.operators.text import char_count, fingerprint, token_count
@@ -185,11 +185,17 @@ def headline_queries(spark, sf_dir: str, flagship_docs: int = BENCH_DOCS):
     def q_infer_validate_lineitem():
         li = t("lineitem")
         # "auto" = the scale path: HLL + small-domain melt + exact
-        # duplicate-existence probes for uniqueness candidates
-        schema = infer_schema(li, "Lineitem", detect_patterns=False)
-        return validate_table(
-            li, schema, partition_cols=["l_returnflag"], check_unique=False
-        ).verdicts
+        # duplicate-existence probes for uniqueness candidates.
+        # infer_and_validate persists the (repartitioned) input ONCE
+        # across the profile/melt/probe/validate passes instead of
+        # re-running the scan+exchange lineage for each.
+        _, res = infer_and_validate(
+            li,
+            "Lineitem",
+            partition_cols=["l_returnflag"],
+            detect_patterns=False,
+        )
+        return res.verdicts
 
     def q_duplicates_salted():
         return duplicate_keys(t("orders"), ["o_custkey"], salt_buckets=16)

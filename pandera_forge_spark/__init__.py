@@ -41,7 +41,7 @@ from pandera_forge_spark.sketches import (
 )
 from pandera_forge_spark.patterns import NAMED_PATTERNS
 from pandera_forge_spark.profiler import profile_by_group, profile_table
-from pandera_forge_spark.inference import infer_schema, infer_semantic_type
+from pandera_forge_spark.inference import infer_and_validate, infer_schema, infer_semantic_type
 from pandera_forge_spark.generator import ModelGenerator
 from pandera_forge_spark.pipeline import interleaved_verdicts
 from pandera_forge_spark.sources.session import (
@@ -81,6 +81,7 @@ __all__ = [
     "baseline_from_kll",
     "incremental_sketch_store",
     "load_sketch_store",
+    "infer_and_validate",
     "infer_schema",
     "infer_semantic_type",
     "interleaved_verdicts",

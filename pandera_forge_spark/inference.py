@@ -205,3 +205,49 @@ def infer_schema(
             if sem != "unknown":
                 spec.description = sem
     return schema
+
+
+def infer_and_validate(
+    df: DataFrame,
+    name: str = "GeneratedModel",
+    partition_cols: Optional[Sequence[str]] = None,
+    check_unique: bool = False,
+    persist: bool = True,
+    **infer_kwargs,
+):
+    """Infer a schema AND validate the same frame against it, sharing
+    ONE materialization of the input across every pass.
+
+    The combined flow is inherently multi-pass — the fused stats agg,
+    the small-domain melt, the uniqueness-existence probes, then the
+    validation agg — and each pass otherwise re-evaluates ``df``'s full
+    lineage. When that lineage is more than a bare columnar scan (a
+    repartition, a join, a decoded view), re-evaluation dominates:
+    ``persist=True`` (MEMORY_AND_DISK) computes it once and serves the
+    remaining passes from storage, then unpersists eagerly.
+
+    Pass ``persist=False`` when the input IS a bare parquet/Iceberg
+    scan bigger than cluster storage memory — the passes are all
+    streaming aggregates, so re-scanning N× is the correct 100-TB
+    trade against evicting the working set. Returns
+    ``(TableSchema, ValidationResult)``; the verdicts frame is local
+    (already computed), so consuming it never re-scans."""
+    from pyspark import StorageLevel
+
+    from pandera_forge_spark.validator import validate_table
+
+    target = df
+    if persist:
+        target = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        schema = infer_schema(target, name, **infer_kwargs)
+        result = validate_table(
+            target,
+            schema,
+            partition_cols=partition_cols,
+            check_unique=check_unique,
+        )
+    finally:
+        if persist:
+            target.unpersist()
+    return schema, result

@@ -149,3 +149,37 @@ def test_schema_json_roundtrip(spark):
     )
     with pytest.raises(ValueError, match="custom_pandas"):
         schema.to_json()
+
+
+def test_infer_and_validate_matches_separate_calls(spark):
+    """The shared-materialization flow must be semantically identical
+    to infer_schema + validate_table called separately, and its
+    verdicts frame must be consumable repeatedly without re-scanning
+    (it is a local frame)."""
+    from pandera_forge_spark.inference import infer_and_validate, infer_schema
+    from pandera_forge_spark.validator import validate_table
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    schema_sep = infer_schema(li, "Lineitem", detect_patterns=False)
+    res_sep = validate_table(
+        li, schema_sep, partition_cols=["l_returnflag"], check_unique=False
+    )
+
+    schema, res = infer_and_validate(
+        li, "Lineitem", partition_cols=["l_returnflag"], detect_patterns=False
+    )
+    assert schema.to_json() == schema_sep.to_json()
+    assert res.counts == res_sep.counts
+    assert res.total_rows == res_sep.total_rows
+    a = sorted(map(tuple, res.verdicts.collect()))
+    b = sorted(map(tuple, res_sep.verdicts.collect()))
+    assert a == b
+    # input is unpersisted again after the call
+    assert not li.is_cached
+
+    # persist=False path: same results
+    _, res2 = infer_and_validate(
+        li, "Lineitem", partition_cols=["l_returnflag"],
+        persist=False, detect_patterns=False,
+    )
+    assert sorted(map(tuple, res2.verdicts.collect())) == a
