@@ -938,6 +938,60 @@ FROM documents WHERE doc_id % 25 = 0 ORDER BY 1
 """
 
 
+def q_stratified_sample_lang(spark, sf_dir):
+    """Deterministic stratified take (operators/sampling.py): first 20
+    docs per language in md5(doc_id) hash order — the prefiltered
+    scale path (per-stratum threshold cut + verified fallback), which
+    must be byte-identical to the exhaustive rank the oracle computes.
+    md5 (not xxhash64) is the rank key precisely so any engine can
+    replay the sample."""
+    from pandera_forge_spark.operators.sampling import stratified_take
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_take(docs, ["lang"], 20, "doc_id", prefilter=True)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+SQL_STRATIFIED_SAMPLE_LANG = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 20 ORDER BY lang, doc_id
+"""
+
+
+def q_dedup_near_dropped(spark, sf_dir):
+    """End-to-end dedup_near composite (pairs → clusters → min-id
+    survivor): on the planted-exact corpus every +1000000 copy must be
+    DROPPED (its cluster representative is always the smaller original
+    id) and only those, within the planted id range. Scoped to the
+    offset because natural near-dup structure among originals is not
+    closed-form."""
+    from pandera_forge_spark.operators.dedup import dedup_near
+
+    planted = _planted_exact(spark, sf_dir)
+    survivors, _ = dedup_near(planted, "text", "doc_id", threshold=0.95)
+    return (
+        planted.join(survivors.select("doc_id"), "doc_id", "left_anti")
+        .where(F.col("doc_id") >= 1000000)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DEDUP_NEAR_DROPPED = """
+SELECT doc_id + 1000000 AS doc_id FROM documents
+WHERE doc_id % 25 = 0 ORDER BY doc_id
+"""
+
+
 def q_text_metrics(spark, sf_dir):
     from pandera_forge_spark.operators.text import word_count_bpe_ish
 
@@ -1402,6 +1456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_viral_capped": q_near_dup_viral_capped,
         "near_dup_simhash": q_near_dup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_near_dropped": q_dedup_near_dropped,
+        "stratified_sample_lang": q_stratified_sample_lang,
         "text_metrics": q_text_metrics,
         "token_stats_by_lang": q_token_stats_by_lang,
         "cosine_topk": q_cosine_topk,
@@ -1451,6 +1507,8 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_minhash": SQL_NEAR_DUP_MINHASH,
         "near_dup_viral_capped": SQL_NEAR_DUP_VIRAL_CAPPED,
         "near_dup_simhash": SQL_NEAR_DUP_SIMHASH,
+        "dedup_near_dropped": SQL_DEDUP_NEAR_DROPPED,
+        "stratified_sample_lang": SQL_STRATIFIED_SAMPLE_LANG,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "text_metrics": SQL_TEXT_METRICS,
         "token_stats_by_lang": SQL_TOKEN_STATS_BY_LANG,

@@ -49,12 +49,14 @@ from pandera_forge_spark.sources.session import (
     get_spark_session,
     resolve_config,
 )
+from pandera_forge_spark.schema import schema_diff
 from pandera_forge_spark.validator import (
     duplicate_keys,
     duplicate_rows,
     has_duplicate_keys,
     orphan_rows,
     skew_report,
+    quarantine_split,
     snapshot_diff,
     snapshot_diff_summary,
     validate_table,
@@ -89,6 +91,8 @@ __all__ = [
     "SessionConfig",
     "get_spark_session",
     "resolve_config",
+    "quarantine_split",
+    "schema_diff",
     "validate_table",
     "violation_rows",
     "duplicate_keys",

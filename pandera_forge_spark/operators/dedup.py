@@ -583,6 +583,53 @@ def exact_duplicate_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFram
     )
 
 
+def dedup_near(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    method: str = "minhash",
+    max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
+    checkpoint_dir: Optional[str] = None,
+    **method_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end near-dedup — the single call an LLM-data pipeline
+    makes: candidate pairs (``minhash`` Jaccard-verified or ``simhash``
+    Hamming-verified), connected-component clustering (so A~B~C
+    deduplicates as ONE group even when A~C was never a pair), then a
+    min-id survivor per cluster.
+
+    Returns ``(survivors, mapping)``: ``survivors`` is ``df`` minus
+    every non-representative cluster member (an anti-join — original
+    rows pass through untouched), ``mapping`` is (id, cluster_id) for
+    every row that belonged to a cluster, survivors included, so
+    lineage joins can re-attach dropped docs to their kept
+    representative.
+
+    Every stage is the capped scale path: banded candidate generation
+    (never all-pairs), hub-star fallback past ``max_bucket``, label
+    propagation with per-round lineage truncation (reliable
+    ``checkpoint_dir`` at warehouse scale)."""
+    if method == "minhash":
+        pairs = near_duplicates_minhash(
+            df, text_col, id_col,
+            threshold=threshold, max_bucket=max_bucket, **method_kwargs,
+        ).select("id_a", "id_b")
+    elif method == "simhash":
+        pairs = near_duplicates_simhash(
+            df, text_col, id_col, max_bucket=max_bucket, **method_kwargs
+        ).select("id_a", "id_b")
+    else:
+        raise ValueError(f"unknown method {method!r} (minhash | simhash)")
+
+    mapping = pairs_to_clusters(pairs, checkpoint_dir=checkpoint_dir)
+    losers = mapping.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    survivors = df.join(losers, id_col, "left_anti")
+    return survivors, mapping
+
+
 # -------------------------------------------------- pairwise verification
 
 def ngram_jaccard_pairs(

@@ -1,0 +1,188 @@
+"""Deterministic stratified sampling for training-data curation.
+
+A 100-TB corpus is never trained on whole: pipelines take N documents
+per language / source / quality bucket, and the take must be
+DETERMINISTIC (same corpus -> same sample, any cluster size, any
+partitioning) so experiments are reproducible and downstream shards
+stable. Random sampling (``df.sample``) is seed-stable only per
+partitioning; these operators instead rank every row by a content hash
+of its id (md5 — chosen over xxhash64 because any engine can replay
+it, so the sample is verifiable outside Spark), which is both
+deterministic and uniformly distributed.
+
+Scale shape: the naive window (rank within stratum) shuffles the WHOLE
+corpus into per-stratum partitions — a hot stratum ("en" at 60% of the
+web) lands on one task. ``stratified_take`` therefore pre-filters by a
+per-stratum hash threshold ~ safety*n/count (an O(strata) broadcast),
+cutting the window's shuffle volume from O(rows) to O(strata x n x
+safety), and VERIFIES the cut: any stratum the threshold under-selected
+(possible, just exponentially unlikely at safety=2) is re-taken without
+the threshold, so the result is byte-identical to the exhaustive
+window — asserted against a DuckDB oracle in __spark_entry__.
+
+No reference counterpart (the reference has no sampling operators);
+``[NR]`` per SURVEY.md §2 conventions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SAFETY = 2.0  # prefilter keeps ~2x the quota per stratum before ranking
+
+
+def _nullsafe_join(
+    left: DataFrame, right: DataFrame, cols: Sequence[str], how: str = "inner"
+) -> DataFrame:
+    """Broadcast join on stratum columns that treats NULL as a normal
+    stratum value (groupBy puts nulls in one group; a plain equi-join
+    would silently drop those rows). Right-side key columns are
+    dropped after an inner join."""
+    # rename right-side keys first: the right frame derives from the
+    # left, so left[c]/right[c] would resolve to the SAME attribute
+    # (trivially-true self-join predicate)
+    renamed = right
+    for c in cols:
+        renamed = renamed.withColumnRenamed(c, f"__r_{c}")
+    cond = None
+    for c in cols:
+        term = left[c].eqNullSafe(renamed[f"__r_{c}"])
+        cond = term if cond is None else cond & term
+    out = left.join(F.broadcast(renamed), cond, how)
+    if how == "inner":
+        out = out.drop(*[f"__r_{c}" for c in cols])
+    return out
+
+
+def _rank_key(id_col: str) -> Column:
+    """Deterministic uniform ranking key: the md5 hex of the id's
+    string form. Lexicographic order on the fixed-width lowercase hex
+    IS numeric order on the 128-bit value, so ordering by the string
+    matches ordering by any numeric prefix of it."""
+    return F.md5(F.col(id_col).cast("string"))
+
+
+def _key_fraction(key: Column) -> Column:
+    """Map the first 8 hex chars to [0, 1) — monotonic in the full key,
+    so `fraction <= t` keeps exactly a hash-prefix range."""
+    return F.conv(F.substring(key, 1, 8), 16, 10).cast("double") / float(1 << 32)
+
+
+def stratified_take(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    n: int,
+    id_col: str,
+    prefilter: Optional[bool] = None,
+) -> DataFrame:
+    """The first ``n`` rows per stratum in deterministic hash order
+    (md5 of ``id_col``, ties broken by the id) — same result on any
+    cluster, any partitioning, any engine that can md5.
+
+    ``prefilter=None`` (auto) enables the threshold pre-cut when the
+    plan is non-trivial; ``False`` forces the exhaustive window (the
+    oracle-parity mode); ``True`` forces the pre-cut. Either way the
+    OUTPUT is identical — the pre-cut is verified per stratum and any
+    under-selected stratum falls back to its full row set before
+    ranking."""
+    if prefilter is None:
+        prefilter = True
+    strata = [F.col(c) for c in strata_cols]
+    keyed = df.withColumn("__key", _rank_key(id_col))
+
+    if prefilter:
+        counts = keyed.groupBy(*strata_cols).agg(
+            F.count(F.lit(1)).alias("__stratum_n")
+        )
+        # threshold so ~safety*n rows pass; small strata keep everything
+        thresh = F.least(
+            F.lit(1.0), F.lit(SAFETY * n) / F.col("__stratum_n")
+        )
+        cut = _nullsafe_join(keyed, counts, strata_cols).where(
+            (F.col("__stratum_n") <= F.lit(int(SAFETY * n)))
+            | (_key_fraction(F.col("__key")) <= thresh)
+        )
+        # verify: a stratum must retain min(n, its full count) rows;
+        # the check is O(strata) and almost always passes
+        kept = cut.groupBy(*strata_cols).agg(
+            F.count(F.lit(1)).alias("__kept_n"), F.first("__stratum_n").alias("__n")
+        )
+        short = kept.where(
+            F.col("__kept_n") < F.least(F.lit(n), F.col("__n"))
+        ).select(*strata_cols)
+        n_short = short.count()
+        if n_short:
+            fallback = _nullsafe_join(keyed, short, strata_cols, "semi")
+            survivors = _nullsafe_join(cut, short, strata_cols, "anti").drop(
+                "__stratum_n"
+            )
+            keyed = survivors.unionByName(fallback)
+        else:
+            keyed = cut.drop("__stratum_n")
+
+    w = Window.partitionBy(*strata).orderBy(F.col("__key"), F.col(id_col))
+    return (
+        keyed.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n)
+        .drop("__key", "__rk")
+    )
+
+
+def proportional_quotas(
+    df: DataFrame, strata_cols: Sequence[str], total_n: int
+) -> dict:
+    """Largest-remainder allocation of ``total_n`` across strata,
+    proportional to stratum size and capped by it. Driver-side math
+    over O(strata) count rows; deterministic (remainder ties broken by
+    stratum key)."""
+    rows = df.groupBy(*strata_cols).count().collect()
+    sizes = {tuple(r[c] for c in strata_cols): r["count"] for r in rows}
+    total = sum(sizes.values())
+    if total == 0:
+        return {}
+    exact = {k: total_n * sz / total for k, sz in sizes.items()}
+    quotas = {k: min(int(e), sizes[k]) for k, e in exact.items()}
+    left = total_n - sum(quotas.values())
+    by_rem = sorted(
+        sizes, key=lambda k: (-(exact[k] - int(exact[k])), tuple(map(str, k)))
+    )
+    for k in by_rem:
+        if left <= 0:
+            break
+        if quotas[k] < sizes[k]:
+            quotas[k] += 1
+            left -= 1
+    return quotas
+
+
+def proportional_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    total_n: int,
+    id_col: str,
+) -> DataFrame:
+    """~``total_n`` rows allocated across strata proportionally to
+    their sizes (largest remainder), each stratum's share taken in
+    deterministic hash order. Two jobs: the O(strata) count, then one
+    ranked take with per-stratum quotas broadcast in."""
+    quotas = proportional_quotas(df, strata_cols, total_n)
+    if not quotas:
+        return df.limit(0).drop()
+    spark = df.sparkSession
+    qrows = [(*k, q) for k, q in quotas.items()]
+    schema_parts = ", ".join(
+        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in strata_cols
+    )
+    qdf = spark.createDataFrame(qrows, f"{schema_parts}, __quota int")
+    strata = [F.col(c) for c in strata_cols]
+    w = Window.partitionBy(*strata).orderBy(F.col("__key"), F.col(id_col))
+    keyed = df.withColumn("__key", _rank_key(id_col))
+    return (
+        _nullsafe_join(keyed, qdf, strata_cols)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= F.col("__quota"))
+        .drop("__key", "__rk", "__quota")
+    )

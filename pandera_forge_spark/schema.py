@@ -272,3 +272,149 @@ def _json_decode_value(d: dict):
     if "__dec__" in d and len(d) == 1:
         return Decimal(d["__dec__"])
     return d
+
+
+# ----------------------------------------------------------- contract diff
+
+@dataclass
+class ConstraintChange:
+    """One semantic change between two schema contracts."""
+
+    column: str
+    constraint: str  # "type" | "nullable" | "unique" | "ge" | ...
+    old: Any
+    new: Any
+    direction: str  # "tightened" | "loosened" | "changed"
+
+
+@dataclass
+class SchemaDiff:
+    """Contract drift between two ``TableSchema``s — what a producer
+    must review before publishing a new contract version. ``breaking``
+    lists changes that can reject data the old contract accepted
+    (removed columns don't break consumers' reads of old data, but
+    tightened constraints and type changes do break producers)."""
+
+    added_columns: list[str]
+    removed_columns: list[str]
+    changes: list[ConstraintChange]
+
+    @property
+    def breaking(self) -> list[ConstraintChange]:
+        return [c for c in self.changes if c.direction in ("tightened", "changed")]
+
+    @property
+    def empty(self) -> bool:
+        return not (self.added_columns or self.removed_columns or self.changes)
+
+    def to_rows(self) -> list[tuple]:
+        """(column, constraint, old, new, direction) tuples — feed to
+        ``spark.createDataFrame(rows, "column string, constraint
+        string, old string, new string, direction string")`` for a
+        reviewable frame."""
+        rows = [(c, "__column__", "present", None, "removed") for c in self.removed_columns]
+        rows += [(c, "__column__", None, "present", "added") for c in self.added_columns]
+        rows += [
+            (c.column, c.constraint, _fmt(c.old), _fmt(c.new), c.direction)
+            for c in self.changes
+        ]
+        return sorted(rows)
+
+
+def _fmt(v) -> Optional[str]:
+    return None if v is None else str(v)
+
+
+def _bound_change(column, constraint, old, new, tighter_when_greater):
+    if old == new:
+        return None
+    if old is None:
+        return ConstraintChange(column, constraint, old, new, "tightened")
+    if new is None:
+        return ConstraintChange(column, constraint, old, new, "loosened")
+    try:
+        grew = new > old
+    except TypeError:
+        return ConstraintChange(column, constraint, old, new, "changed")
+    tight = grew if tighter_when_greater else not grew
+    return ConstraintChange(
+        column, constraint, old, new, "tightened" if tight else "loosened"
+    )
+
+
+def schema_diff(old: "TableSchema", new: "TableSchema") -> SchemaDiff:
+    """Semantic diff of two contracts, change-by-change with a
+    tightened/loosened verdict per constraint:
+
+    - ``nullable`` False→True loosens (nulls now accepted), True→False
+      tightens; same for dropping/adding ``unique``.
+    - ``ge`` raised / ``le`` lowered / ``min_length`` raised /
+      ``max_length`` lowered tighten (accept less); the opposite
+      directions loosen.
+    - ``isin``: a superset domain loosens, a subset tightens, anything
+      else is "changed" (so is a pattern/prefix/suffix/type change —
+      there is no order on those).
+
+    Constraints absent on both sides are not reported; identical
+    constraints are not reported."""
+    old_cols = {c.name: c for c in old.columns}
+    new_cols = {c.name: c for c in new.columns}
+    diff = SchemaDiff(
+        added_columns=sorted(set(new_cols) - set(old_cols)),
+        removed_columns=sorted(set(old_cols) - set(new_cols)),
+        changes=[],
+    )
+
+    for name in sorted(set(old_cols) & set(new_cols)):
+        a, b = old_cols[name], new_cols[name]
+        ch = diff.changes
+        if a.pandera_type != b.pandera_type:
+            ch.append(
+                ConstraintChange(name, "type", a.pandera_type, b.pandera_type, "changed")
+            )
+        if a.nullable != b.nullable:
+            ch.append(
+                ConstraintChange(
+                    name, "nullable", a.nullable, b.nullable,
+                    "loosened" if b.nullable else "tightened",
+                )
+            )
+        if a.unique != b.unique:
+            ch.append(
+                ConstraintChange(
+                    name, "unique", a.unique, b.unique,
+                    "tightened" if b.unique else "loosened",
+                )
+            )
+        for cons, tighter_when_greater in (("ge", True), ("le", False)):
+            c = _bound_change(name, cons, getattr(a, cons), getattr(b, cons), tighter_when_greater)
+            if c:
+                ch.append(c)
+        ia, ib = a.isin, b.isin
+        if ia != ib:
+            if ia is None or ib is None:
+                direction = "tightened" if ia is None else "loosened"
+            else:
+                sa, sb = set(ia), set(ib)
+                direction = (
+                    "tightened" if sb < sa else "loosened" if sb > sa else "changed"
+                )
+            ch.append(ConstraintChange(name, "isin", ia, ib, direction))
+        sa, sb = a.string_constraints, b.string_constraints
+        for cons, tighter_when_greater in (
+            ("min_length", True), ("max_length", False),
+        ):
+            c = _bound_change(
+                name, cons, getattr(sa, cons, None), getattr(sb, cons, None),
+                tighter_when_greater,
+            )
+            if c:
+                ch.append(c)
+        for cons in ("pattern", "starts_with", "ends_with"):
+            va, vb = getattr(sa, cons, None), getattr(sb, cons, None)
+            if va != vb:
+                direction = (
+                    "tightened" if va is None else "loosened" if vb is None else "changed"
+                )
+                ch.append(ConstraintChange(name, cons, va, vb, direction))
+    return diff

@@ -110,6 +110,49 @@ def validate_table(
     )
 
 
+def quarantine_split(
+    df: DataFrame,
+    schema: TableSchema,
+    output_root: str,
+    format: str = "parquet",
+) -> dict[str, int]:
+    """ONE-pass valid/quarantine routing — the ingestion shape: write
+    rows that satisfy every row-level check under
+    ``<output_root>/__valid=true`` and the rest under
+    ``__valid=false``, and count both sides WITHOUT a second scan.
+
+    Spark-first mechanics: the verdict is one boolean column (AND of
+    the compiled check predicates — all codegen, no UDF), the split is
+    ``partitionBy("__valid")`` on a single write job, and the counts
+    piggyback on that same job via ``DataFrame.observe`` — the
+    accumulator-backed metric channel, so no count() re-scan and no
+    cached intermediate. Downstream readers get partition-pruned access
+    to either side (``.../__valid=true`` never touches quarantined
+    files).
+
+    Returns ``{"rows": total, "valid": n, "quarantined": n}``."""
+    from pyspark.sql import Observation
+
+    checks = row_level(schema.checks())
+    ok = F.lit(True)
+    for c in checks:
+        ok = ok & compile_check(c)
+
+    obs = Observation("quarantine_split")
+    flagged = df.withColumn("__valid", ok).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("__valid").cast("long")).alias("valid"),
+    )
+    flagged.write.partitionBy("__valid").mode("overwrite").format(format).save(
+        output_root
+    )
+    got = obs.get
+    rows = int(got["rows"] or 0)
+    valid = int(got["valid"] or 0)
+    return {"rows": rows, "valid": valid, "quarantined": rows - valid}
+
+
 def violation_rows(
     df: DataFrame,
     schema: TableSchema,

@@ -265,3 +265,33 @@ def test_pairs_to_clusters_reliable_checkpoint_identical(spark, tmp_path):
     import os
 
     assert any(os.scandir(str(tmp_path / "ckpt")))
+
+
+def test_dedup_near_composite(spark):
+    """The one-call pipeline: pairs -> clusters -> min-id survivor.
+    A~B, B~C chained near-dups (A~C possibly never paired) keep ONLY
+    the min id; unrelated docs pass through; mapping covers every
+    cluster member including the survivor."""
+    from pandera_forge_spark.operators.dedup import dedup_near
+
+    rows = [
+        (1, BASE),
+        (2, BASE + " x"),          # near dup of 1
+        (3, BASE + " x y"),        # near dup of 2 (chain)
+        (10, OTHER),
+        (11, "entirely different content with many extra words to shingle on"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    survivors, mapping = dedup_near(df, "text", "id", threshold=0.5)
+    assert sorted(r["id"] for r in survivors.collect()) == [1, 10, 11]
+    got = {r["id"]: r["cluster_id"] for r in mapping.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+    # simhash flavor: exact copies collapse the same way
+    sv2, _ = dedup_near(
+        spark.createDataFrame(
+            [(1, BASE), (2, BASE), (7, OTHER)], "id long, text string"
+        ),
+        "text", "id", method="simhash",
+    )
+    assert sorted(r["id"] for r in sv2.collect()) == [1, 7]

@@ -1,0 +1,85 @@
+"""Deterministic stratified sampling (operators/sampling.py)."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pandera_forge_spark.operators.sampling import (
+    proportional_quotas,
+    proportional_sample,
+    stratified_take,
+)
+
+
+def _docs(spark):
+    return spark.range(2000).selectExpr(
+        "id as doc_id",
+        "CASE WHEN id % 10 < 6 THEN 'en' WHEN id % 10 < 8 THEN 'de' "
+        "WHEN id % 10 < 9 THEN 'fr' ELSE NULL END as lang",
+        "concat('doc ', id) as text",
+    )
+
+
+def _exhaustive(df, strata, n, id_col):
+    w = Window.partitionBy(*strata).orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
+def test_stratified_take_matches_exhaustive_window(spark):
+    """Prefiltered and exhaustive paths must return the SAME rows —
+    the prefilter is a volume optimization, never a semantics change —
+    and the null stratum is sampled like any other."""
+    df = _docs(spark)
+    want = {
+        (r["doc_id"], r["lang"])
+        for r in _exhaustive(df, ["lang"], 25, "doc_id").collect()
+    }
+    for pf in (True, False):
+        got = {
+            (r["doc_id"], r["lang"])
+            for r in stratified_take(df, ["lang"], 25, "doc_id", prefilter=pf).collect()
+        }
+        assert got == want, f"prefilter={pf}"
+    # 25 per stratum incl. the NULL lang stratum
+    assert len(want) == 100
+    assert sum(1 for _, lang in want if lang is None) == 25
+
+
+def test_stratified_take_small_stratum_keeps_all(spark):
+    """A stratum smaller than n yields all its rows."""
+    df = _docs(spark).where((F.col("lang") == "fr") & (F.col("doc_id") < 200))
+    assert df.count() == 20
+    assert stratified_take(df, ["lang"], 50, "doc_id").count() == 20
+
+
+def test_stratified_take_is_deterministic_across_partitioning(spark):
+    """Same rows whatever the physical layout — the reproducibility
+    contract random sampling can't give."""
+    df = _docs(spark)
+    a = sorted(r["doc_id"] for r in stratified_take(df, ["lang"], 10, "doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_take(df.repartition(17), ["lang"], 10, "doc_id").collect()
+    )
+    assert a == b
+
+
+def test_proportional_quotas_largest_remainder(spark):
+    df = _docs(spark)  # en 1200, de 400, fr 200, null 200
+    q = proportional_quotas(df, ["lang"], 100)
+    assert sum(q.values()) == 100
+    assert q[("en",)] == 60 and q[("de",)] == 20
+    assert q[("fr",)] == 10 and q[(None,)] == 10
+    # quota never exceeds stratum size
+    tiny = proportional_quotas(df.where(F.col("doc_id") < 20), ["lang"], 1000)
+    assert sum(tiny.values()) == 20
+
+
+def test_proportional_sample_counts(spark):
+    df = _docs(spark)
+    out = proportional_sample(df, ["lang"], 100, "doc_id")
+    got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert got == {"en": 60, "de": 20, "fr": 10, None: 10}

@@ -217,3 +217,36 @@ def test_snapshot_diff_and_summary(spark):
     n_changed = len([k for k in range(0, 100, 7) if k % 10 != 0])
     assert (s["added"], s["removed"], s["changed"]) == (5, 10, n_changed)
     assert s["unchanged"] == 100 - 10 - n_changed
+
+
+def test_quarantine_split_one_pass(spark, tmp_path):
+    """Valid rows land under __valid=true, violations under
+    __valid=false, counts come from the SAME job via observe (no
+    second scan), and they match validate_table's verdicts."""
+    from pandera_forge_spark.inference import infer_schema
+    from pandera_forge_spark.validator import quarantine_split, validate_table
+
+    clean = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    schema = infer_schema(clean, "Lineitem", detect_patterns=False)
+    bad = clean.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 50 == 0, F.lit(-4.0)).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    root = str(tmp_path / "split")
+    counts = quarantine_split(bad, schema, root)
+
+    res = validate_table(bad, schema, check_unique=False)
+    planted = bad.where(F.col("l_quantity") < 0).count()
+    assert counts["quarantined"] == planted > 0
+    assert counts["rows"] == bad.count()
+    assert counts["valid"] == counts["rows"] - planted
+    assert res.counts["l_quantity__ge"] == planted
+
+    # the hive partition value reads back as a string ("true"/"false")
+    ok_side = spark.read.parquet(root).where(F.col("__valid") == "true")
+    bad_side = spark.read.parquet(root).where(F.col("__valid") == "false")
+    assert ok_side.count() == counts["valid"]
+    assert bad_side.count() == counts["quarantined"]
+    assert bad_side.where(F.col("l_quantity") >= 0).count() == 0
