@@ -148,3 +148,38 @@ def validate_stream(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def stream_sketch_profile(
+    stream_df: DataFrame,
+    store_root: str,
+    partition_cols: Sequence[str],
+    columns: Optional[Sequence[str]] = None,
+    theta: bool = False,
+    checkpoint: Optional[str] = None,
+):
+    """Continuous profiling: sketch each micro-batch (the same
+    mergeable HLL/KLL/Theta rows ``sketches.partition_sketches``
+    produces) and append the rows under ``<store_root>/__epoch=<id>``.
+
+    Because every sketch field merges associatively, the UNION of all
+    epoch rows IS the running profile — ``load_sketch_store`` +
+    ``merge_sketches`` over the store equals one-shot profiling of
+    everything that has arrived (exact fields and HLL identical, KLL
+    within rank error; same invariant the batch incremental store
+    asserts). Profiling cost is O(new data) per trigger, never
+    O(history), and the per-epoch overwrite keeps foreachBatch retries
+    idempotent. Returns the unstarted writer (caller picks the
+    trigger)."""
+    from pandera_forge_spark.sketches import partition_sketches
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        sk = partition_sketches(
+            batch_df, list(partition_cols), columns, theta=theta
+        )
+        sk.write.mode("overwrite").parquet(f"{store_root}/__epoch={epoch_id}")
+
+    writer = stream_df.writeStream.foreachBatch(process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

@@ -206,3 +206,37 @@ def test_windowed_verdicts_watermark_late_data(spark, tmp_path):
     assert r["value__le"] == r["__rows__"] - 2  # violations track the extras
     # open windows (minute 30+) must NOT have emitted
     assert all(row["window"]["start"].minute == 0 for row in out)
+
+
+def test_stream_sketch_profile_matches_one_shot(spark, src, tmp_path):
+    """Sketch rows appended per micro-batch must merge to the SAME
+    profile as one-shot sketching of everything that arrived — the
+    continuous-profiling invariant (exact fields + HLL identical)."""
+    from pandera_forge_spark.sketches import merge_sketches, partition_sketches
+    from pandera_forge_spark.streaming.validate import stream_sketch_profile
+
+    stream = (
+        spark.readStream.schema("id long, value double, part long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = str(tmp_path / "sketch_store")
+    writer = stream_sketch_profile(
+        stream, store, ["part"], ["value"],
+        checkpoint=str(tmp_path / "sk_ckpt"),
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    arrived = spark.read.parquet(store)
+    # multiple epochs landed (one per file trigger)
+    assert arrived.select("__epoch").distinct().count() >= 2
+
+    got = merge_sketches(arrived.drop("__epoch")).collect()[0]
+    full = spark.read.parquet(src)
+    want = merge_sketches(partition_sketches(full, ["part"], ["value"])).collect()[0]
+    assert got["__rows"] == want["__rows"] == full.count()
+    assert got["value__nulls"] == want["value__nulls"]
+    assert got["value__min"] == want["value__min"]
+    assert got["value__max"] == want["value__max"]
+    assert got["value__distinct_est"] == want["value__distinct_est"]
