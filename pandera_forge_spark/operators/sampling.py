@@ -170,7 +170,7 @@ def proportional_sample(
     ranked take with per-stratum quotas broadcast in."""
     quotas = proportional_quotas(df, strata_cols, total_n)
     if not quotas:
-        return df.limit(0).drop()
+        return df.limit(0)
     spark = df.sparkSession
     qrows = [(*k, q) for k, q in quotas.items()]
     schema_parts = ", ".join(

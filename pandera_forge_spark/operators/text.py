@@ -136,3 +136,65 @@ def text_metrics(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
         detect_language(c).alias("lang_detected"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def dup_ratio(items: Column) -> Column:
+    """1 - distinct/total over an array (0 for empty arrays) — the
+    repeated-content fraction. Pure array algebra, per-row, no
+    shuffle."""
+    n = F.size(items)
+    return F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(items)) / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str, id_cols: list[str]
+) -> DataFrame:
+    """C4/Gopher-style repetition signals per document — the filters a
+    training-data pipeline applies before anything else, because
+    boilerplate (repeated lines, repeated words) is the dominant
+    low-quality mode in web text:
+
+    - ``dup_line_ratio``: fraction of non-empty lines that are
+      duplicates of an earlier line,
+    - ``dup_word_ratio``: same over whitespace tokens.
+
+    One narrow projection (split + array_distinct, all JVM codegen);
+    no shuffle, no UDF. Formula replayed verbatim by the DuckDB oracle
+    (list_filter/list_distinct), so the numbers are engine-checked."""
+    c = F.col(text_col)
+    lines = F.filter(F.split(c, "\n"), lambda x: x != "")
+    words = tokens(c)
+    return df.select(
+        *id_cols,
+        F.round(dup_ratio(lines), 6).alias("dup_line_ratio"),
+        F.round(dup_ratio(words), 6).alias("dup_word_ratio"),
+    )
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str, k: int = 100, n: int = 3
+) -> DataFrame:
+    """Corpus-level top-k token n-grams by DOCUMENT frequency — the
+    contamination / boilerplate census (an n-gram in half the corpus is
+    a template, not content; eval-set n-grams appearing here are
+    leakage).
+
+    Shape: per-doc DISTINCT shingles (so a doc spamming one phrase
+    counts once — and the explode fan-out is bounded by doc length),
+    explode, one partial-aggregatable count per n-gram, TakeOrdered for
+    the top k. The groupBy key space is large but the hot keys are
+    exactly what partial aggregation combines map-side; no window, no
+    full sort — ordering cost is O(rows log k)."""
+    from pandera_forge_spark.operators.dedup import shingles
+
+    c = F.col(text_col)
+    return (
+        df.select(F.explode(shingles(c, n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("ngram"))
+        .limit(k)
+    )

@@ -63,3 +63,45 @@ def test_text_metrics_on_documents(spark):
     # no shuffle: pure projection
     plan = m._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_repetition_metrics(spark):
+    from pandera_forge_spark.operators.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "line one\nline two\nline one"),       # 1 dup line of 3
+            (2, "all words all words all"),            # 5 words, 2 distinct
+            (3, "clean unique text here"),
+            (4, ""),                                   # empty -> 0.0, 0.0
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: (r["dup_line_ratio"], r["dup_word_ratio"])
+        for r in repetition_metrics(df, "text", ["id"]).collect()
+    }
+    assert got[1][0] == round(1 - 2 / 3, 6)
+    assert got[2][1] == round(1 - 2 / 5, 6)
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (0.0, 0.0)
+
+
+def test_top_ngrams(spark):
+    from pandera_forge_spark.operators.text import top_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat quietly down"),
+            (3, "the cat sat on the mat"),   # exact repeat of 1
+            (4, "a dog"),                    # <3 tokens -> whole-doc shingle
+        ],
+        "id long, text string",
+    )
+    rows = top_ngrams(df, "text", k=3).collect()
+    # "the cat sat" appears in 3 docs (per-doc distinct, so doc freq)
+    assert rows[0]["ngram"] == "the cat sat" and rows[0]["doc_freq"] == 3
+    assert all(rows[i]["doc_freq"] >= rows[i + 1]["doc_freq"] for i in range(2))
+    whole = top_ngrams(df.where(F.col("id") == 4), "text", k=5).collect()
+    assert [r["ngram"] for r in whole] == ["a dog"]
