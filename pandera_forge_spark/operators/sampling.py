@@ -105,14 +105,21 @@ def stratified_take(
             (F.col("__stratum_n") <= F.lit(int(SAFETY * n)))
             | (_key_fraction(F.col("__key")) <= thresh)
         )
-        # verify: a stratum must retain min(n, its full count) rows;
-        # the check is O(strata) and almost always passes
+        # verify: a stratum must retain min(n, its full count) rows.
+        # Start from COUNTS, not from the cut — a stratum the threshold
+        # eliminated entirely has no kept rows at all and would
+        # otherwise escape the check. O(strata) rows either way.
         kept = cut.groupBy(*strata_cols).agg(
-            F.count(F.lit(1)).alias("__kept_n"), F.first("__stratum_n").alias("__n")
+            F.count(F.lit(1)).alias("__kept_n")
         )
-        short = kept.where(
-            F.col("__kept_n") < F.least(F.lit(n), F.col("__n"))
-        ).select(*strata_cols)
+        short = (
+            _nullsafe_join(counts, kept, strata_cols, "left")
+            .where(
+                F.coalesce(F.col("__kept_n"), F.lit(0))
+                < F.least(F.lit(n), F.col("__stratum_n"))
+            )
+            .select(*strata_cols)
+        )
         n_short = short.count()
         if n_short:
             fallback = _nullsafe_join(keyed, short, strata_cols, "semi")

@@ -83,3 +83,36 @@ def test_proportional_sample_counts(spark):
     out = proportional_sample(df, ["lang"], 100, "doc_id")
     got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
     assert got == {"en": 60, "de": 20, "fr": 10, None: 10}
+
+
+def test_prefilter_fallback_under_selection(spark, monkeypatch):
+    """Force the threshold to under-select (SAFETY ~ 0) — the
+    verification pass must detect every short stratum and fall back to
+    its full row set, keeping the output byte-identical to the
+    exhaustive window."""
+    import pandera_forge_spark.operators.sampling as sampling
+
+    df = _docs(spark)
+    want = {
+        (r["doc_id"], r["lang"])
+        for r in _exhaustive(df, ["lang"], 15, "doc_id").collect()
+    }
+    monkeypatch.setattr(sampling, "SAFETY", 1e-9)
+    got = {
+        (r["doc_id"], r["lang"])
+        for r in sampling.stratified_take(df, ["lang"], 15, "doc_id", prefilter=True).collect()
+    }
+    assert got == want
+
+
+def test_prefilter_plan_shape(spark):
+    """The prefilter's stratum-counts join must be a broadcast hash
+    join (O(strata) build side), not a shuffle join."""
+    from pandera_forge_spark.plans.inspect import executed_plan
+
+    df = _docs(spark)
+    out = stratified_take(df, ["lang"], 10, "doc_id", prefilter=True)
+    out.collect()
+    plan = executed_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
