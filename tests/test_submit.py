@@ -46,3 +46,44 @@ def test_spark_submit_pyfiles_and_resume(tmp_path):
     combined = second.stdout + second.stderr
     assert "resume: skipping 8 completed buckets" in combined
     assert "audit verdict rows: 8" in second.stdout
+
+
+def test_spark_submit_dedup_job(tmp_path):
+    """Third deployment shape: the curation job (exact + near dedup +
+    stratified sample) submitted from outside the repo with imports
+    only from --py-files."""
+    import json
+
+    pfs_zip = tmp_path / "pfs.zip"
+    subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "make_pyfiles_zip.py"), str(pfs_zip)],
+        check=True, capture_output=True,
+    )
+    out = tmp_path / "curated"
+    cmd = [
+        "spark-submit",
+        "--master", "local[2]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--py-files", str(pfs_zip),
+        str(REPO / "scripts" / "run_dedup_job.py"),
+        "--fixture", "300",
+        "--out", str(out),
+        "--threshold", "0.6",
+        "--sample-per-stratum", "20",
+    ]
+    run = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=300, cwd=str(tmp_path)
+    )
+    assert run.returncode == 0, run.stderr[-2000:]
+    report = json.loads(
+        [l for l in run.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    # fixture: ids 10k..10k+9 share a body per k; exact dedup keeps the
+    # min of each identical group, near dedup collapses the ' tail'
+    # mutants into the same cluster — far fewer than 300 survive
+    assert report["docs_in"] == 300
+    assert report["corpus_out"] < 100
+    assert report["dropped"] == 300 - report["corpus_out"]
+    assert report["clustered_ids"] > 0
+    assert report["sample"] is not None and report["sample"] <= 60
