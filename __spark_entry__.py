@@ -967,6 +967,35 @@ SELECT doc_id, lang FROM (
 """
 
 
+def q_token_budget_lang(spark, sf_dir):
+    """Greedy per-language TOKEN budget (operators/sampling.py
+    take_token_budget): docs in md5 hash order until the stratum's
+    cumulative n_chars crosses 5000 — the tokens-not-docs allocator
+    every training mix uses. The oracle replays the identical running
+    sum in DuckDB."""
+    from pandera_forge_spark.operators.sampling import take_token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        take_token_budget(docs, ["lang"], 5000, "doc_id", "n_chars")
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+SQL_TOKEN_BUDGET_LANG = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         sum(n_chars) OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM documents
+) WHERE cum <= 5000 ORDER BY lang, doc_id
+"""
+
+
 def q_dedup_near_dropped(spark, sf_dir):
     """End-to-end dedup_near composite (pairs → clusters → min-id
     survivor): on the planted-exact corpus every +1000000 copy must be
@@ -1530,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_near_dropped": q_dedup_near_dropped,
         "stratified_sample_lang": q_stratified_sample_lang,
+        "token_budget_lang": q_token_budget_lang,
         "text_metrics": q_text_metrics,
         "repetition_metrics": q_repetition_metrics,
         "top_ngrams": q_top_ngrams,
@@ -1583,6 +1613,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_simhash": SQL_NEAR_DUP_SIMHASH,
         "dedup_near_dropped": SQL_DEDUP_NEAR_DROPPED,
         "stratified_sample_lang": SQL_STRATIFIED_SAMPLE_LANG,
+        "token_budget_lang": SQL_TOKEN_BUDGET_LANG,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "text_metrics": SQL_TEXT_METRICS,
         "repetition_metrics": SQL_REPETITION_METRICS,

@@ -193,3 +193,35 @@ def proportional_sample(
         .where(F.col("__rk") <= F.col("__quota"))
         .drop("__key", "__rk", "__quota")
     )
+
+
+def take_token_budget(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    budget: int,
+    id_col: str,
+    token_col: str,
+) -> DataFrame:
+    """Greedy per-stratum TOKEN-budget take: rows in deterministic
+    hash order until the stratum's cumulative ``token_col`` exceeds
+    ``budget`` (the boundary-crossing row is excluded). Training-data
+    quotas are token counts, not document counts — "50 B tokens of en,
+    5 B of de" — and this is that allocator, reproducible on any
+    engine (running sum over the md5 rank order).
+
+    One window per stratum over a running sum; pre-bound the shuffle
+    with ``stratified_take`` when strata are huge and budgets small
+    (take ~budget/avg_tokens × safety docs first, then apply the exact
+    budget)."""
+    strata = [F.col(c) for c in strata_cols]
+    w = (
+        Window.partitionBy(*strata)
+        .orderBy(F.col("__key"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__key", _rank_key(id_col))
+        .withColumn("__cum", F.sum(F.col(token_col).cast("long")).over(w))
+        .where(F.col("__cum") <= budget)
+        .drop("__key", "__cum")
+    )

@@ -547,3 +547,37 @@ def lsh_topk(
     bucketed = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
     near = bucketed.where(F.col("__bucket").isin(targets))
     return cosine_topk(near, query, k, vec_col, id_col)
+
+
+def dedup_near_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+    bits: int | None = None,
+    probes: int = 1,
+    max_bucket: int | None = 5000,
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end embedding near-dedup — the vector-space twin of
+    ``dedup.dedup_near``: hyperplane-LSH candidate pairs (hub-capped
+    under virality), connected-component clustering, min-id survivor
+    anti-join. Returns ``(survivors, mapping)`` with the same contract
+    (mapping covers every clustered id, survivors included)."""
+    from pandera_forge_spark.operators.dedup import pairs_to_clusters
+
+    pairs = near_duplicates_embedding(
+        df,
+        vec_col=vec_col,
+        id_col=id_col,
+        threshold=threshold,
+        bits=bits,
+        probes=probes,
+        max_bucket=max_bucket,
+    ).select("id_a", "id_b")
+    mapping = pairs_to_clusters(pairs, checkpoint_dir=checkpoint_dir)
+    losers = mapping.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    survivors = df.join(losers, id_col, "left_anti")
+    return survivors, mapping

@@ -306,3 +306,62 @@ def update_sketches(
     return existing.unionByName(
         partition_sketches(df_new, partition_cols, columns, theta=theta)
     )
+
+
+def compact_sketches(
+    sketch_df: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Merge sketch rows into one row per group while PRESERVING the
+    binary sketches (``merge_sketches`` outputs final estimates; this
+    outputs a frame with the SAME schema as ``partition_sketches``
+    rows, so it can keep serving as a store). Every merge is the
+    sketch's native union aggregate — constant-size aggregation
+    buffers, map-side combinable:
+
+    - ``__hll`` → ``hll_union_agg``; ``__kll`` →
+      ``kll_merge_agg_double``; ``__theta`` → ``theta_union_agg``;
+    - exact fields sum/min/max.
+
+    Use case: a long-running ``stream_sketch_profile`` store
+    accumulates one row set per epoch; compaction folds history into
+    one row per partition so store reads stay O(partitions), not
+    O(epochs)."""
+    exprs = []
+    for f in sketch_df.schema.fields:
+        name = f.name
+        if name in group_cols:
+            continue
+        if name == "__rows" or name.endswith("__nulls"):
+            exprs.append(F.sum(name).alias(name))
+        elif name.endswith("__min"):
+            exprs.append(F.min(name).alias(name))
+        elif name.endswith("__max"):
+            exprs.append(F.max(name).alias(name))
+        elif name.endswith("__hll"):
+            exprs.append(F.hll_union_agg(name).alias(name))
+        elif name.endswith("__kll"):
+            exprs.append(F.kll_merge_agg_double(name).alias(name))
+        elif name.endswith("__theta"):
+            exprs.append(F.theta_union_agg(name).alias(name))
+        else:
+            # unknown passenger columns (e.g. timestamps) keep their max
+            exprs.append(F.max(name).alias(name))
+    return sketch_df.groupBy(*group_cols).agg(*exprs)
+
+
+def compact_sketch_store(
+    spark, src_root: str, dest_root: str, group_cols: Sequence[str]
+) -> int:
+    """Compact an epoch-accumulating sketch store (the
+    ``stream_sketch_profile`` layout) into ``dest_root``: one row per
+    group, binary sketches preserved, committed with the _SUCCESS
+    protocol. Writing to a NEW root keeps the operation crash-safe —
+    the source store stays valid until the caller switches readers
+    over (re-merging source rows is associative, so a half-written
+    dest is simply ignored/overwritten on retry). Returns the number
+    of compacted rows."""
+    df = spark.read.parquet(f"{src_root}/*")
+    drop = [c for c in df.columns if c == "__epoch"]
+    out = compact_sketches(df.drop(*drop), group_cols)
+    out.write.mode("overwrite").parquet(dest_root)
+    return spark.read.parquet(dest_root).count()

@@ -116,3 +116,57 @@ def test_prefilter_plan_shape(spark):
     plan = executed_plan(out)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_take_token_budget(spark):
+    """Greedy per-stratum token budget in hash order: cumulative token
+    sum <= budget, boundary row excluded, deterministic."""
+    from pandera_forge_spark.operators.sampling import take_token_budget
+
+    df = _docs(spark).withColumn("n_tokens", (F.col("doc_id") % 50) + 10)
+    out = take_token_budget(df, ["lang"], 200, "doc_id", "n_tokens")
+    rows = out.collect()
+    # per-stratum sums never exceed the budget
+    sums = {
+        r["lang"]: r["s"]
+        for r in out.groupBy("lang").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    assert sums and all(s <= 200 for s in sums.values())
+    # greedy: adding the NEXT doc in hash order would cross the budget
+    w_all = take_token_budget(df, ["lang"], 10**9, "doc_id", "n_tokens")
+    assert w_all.count() == df.count()
+    # determinism across partitioning
+    again = {
+        r["doc_id"]
+        for r in take_token_budget(
+            df.repartition(13), ["lang"], 200, "doc_id", "n_tokens"
+        ).collect()
+    }
+    assert again == {r["doc_id"] for r in rows}
+
+
+def test_compact_sketch_store_roundtrip(spark, tmp_path):
+    """Compaction preserves binary sketches: the compacted store merges
+    to the SAME profile as the epoch-accumulating store."""
+    from pandera_forge_spark.sketches import (
+        compact_sketch_store,
+        merge_sketches,
+        partition_sketches,
+    )
+
+    df1 = spark.range(0, 3000).selectExpr("id", "cast(id % 97 as double) v", "id % 4 p")
+    df2 = spark.range(3000, 6000).selectExpr("id", "cast(id % 89 as double) v", "id % 4 p")
+    src = str(tmp_path / "store")
+    partition_sketches(df1, ["p"], ["v"]).write.parquet(f"{src}/__epoch=0")
+    partition_sketches(df2, ["p"], ["v"]).write.parquet(f"{src}/__epoch=1")
+
+    dest = str(tmp_path / "compacted")
+    n = compact_sketch_store(spark, src, dest, ["p"])
+    assert n == 4  # one row per partition, epochs folded
+
+    a = merge_sketches(spark.read.parquet(f"{src}/*").drop("__epoch")).collect()[0]
+    b = merge_sketches(spark.read.parquet(dest)).collect()[0]
+    assert a["__rows"] == b["__rows"] == 6000
+    assert a["v__nulls"] == b["v__nulls"]
+    assert a["v__min"] == b["v__min"] and a["v__max"] == b["v__max"]
+    assert a["v__distinct_est"] == b["v__distinct_est"]

@@ -322,3 +322,23 @@ def test_probe_buckets_expression_matches_bucket_membership(spark):
         assert bks[0] == r["base"]
         for flip in bks[1:]:
             assert bin(flip ^ r["base"]).count("1") == 1
+
+
+def test_dedup_near_embeddings_composite(spark):
+    """Vector-space dedup_near: chained near-identical vectors collapse
+    to the min id; distant vectors pass through; mapping covers every
+    cluster member."""
+    from pandera_forge_spark.operators.similarity import dedup_near_embeddings
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0001, 0.0]),    # ~1 with 1
+        (3, [1.0, 0.0002, 0.0]),    # ~1 with 2 (chain)
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    survivors, mapping = dedup_near_embeddings(df, threshold=0.999, bits=8, probes=2)
+    assert sorted(r["vec_id"] for r in survivors.collect()) == [1, 10, 11]
+    got = {r["id"]: r["cluster_id"] for r in mapping.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
