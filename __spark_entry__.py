@@ -1525,6 +1525,167 @@ ORDER BY 1
 """
 
 
+def _planted_pii(spark, sf_dir):
+    """documents with deterministic PII markers appended: one marker
+    kind per doc_id residue mod 97 (residues 0-4), everything else
+    untouched — closed-form on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    marker = (
+        F.when(F.col("doc_id") % 97 == 0, F.lit(" contact user@example.com"))
+        .when(F.col("doc_id") % 97 == 1, F.lit(" ssn 123-45-6789"))
+        .when(F.col("doc_id") % 97 == 2, F.lit(" card 4111 1111 1111 1111"))
+        .when(F.col("doc_id") % 97 == 3, F.lit(" call 555-123-4567"))
+        .when(F.col("doc_id") % 97 == 4, F.lit(" host 10.0.0.1"))
+        .otherwise(F.lit(""))
+    )
+    return docs.withColumn("text", F.concat(F.col("text"), marker))
+
+
+_PII_MARKER_SQL = """
+    CASE doc_id % 97
+      WHEN 0 THEN ' contact user@example.com'
+      WHEN 1 THEN ' ssn 123-45-6789'
+      WHEN 2 THEN ' card 4111 1111 1111 1111'
+      WHEN 3 THEN ' call 555-123-4567'
+      WHEN 4 THEN ' host 10.0.0.1'
+      ELSE '' END
+"""
+
+
+def q_pii_scan(spark, sf_dir):
+    """Corpus PII report (operators/pii.py pii_scan) over documents with
+    planted PII markers: one fused whole-stage-codegen scan computes
+    every (column x pattern) hit count; the oracle replays the same
+    RE2-safe regexes with DuckDB regexp_matches."""
+    from pandera_forge_spark.operators.pii import pii_scan
+
+    out = pii_scan(_planted_pii(spark, sf_dir), ["text"])
+    return out.select(
+        "column", "pattern", "rows", "hits", F.round("hit_ratio", 6).alias("hit_ratio")
+    ).orderBy("column", "pattern")
+
+
+SQL_PII_SCAN = r"""
+WITH planted AS (SELECT text || """ + _PII_MARKER_SQL + r""" AS text FROM documents),
+flags AS (
+  SELECT COUNT(*) AS rows_,
+    SUM(CASE WHEN regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') THEN 1 ELSE 0 END) AS email,
+    SUM(CASE WHEN regexp_matches(text, '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b') THEN 1 ELSE 0 END) AS credit_card,
+    SUM(CASE WHEN regexp_matches(text, '\b\d{3}-\d{2}-\d{4}\b') THEN 1 ELSE 0 END) AS ssn,
+    SUM(CASE WHEN regexp_matches(text, '\(\d{3}\) ?\d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b') THEN 1 ELSE 0 END) AS phone_us,
+    SUM(CASE WHEN regexp_matches(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b') THEN 1 ELSE 0 END) AS ipv4
+  FROM planted)
+SELECT 'text' AS "column", p.pattern, f.rows_ AS rows,
+       CASE p.pattern WHEN 'email' THEN f.email WHEN 'credit_card' THEN f.credit_card
+            WHEN 'ssn' THEN f.ssn WHEN 'phone_us' THEN f.phone_us ELSE f.ipv4 END AS hits,
+       ROUND(CASE p.pattern WHEN 'email' THEN f.email WHEN 'credit_card' THEN f.credit_card
+            WHEN 'ssn' THEN f.ssn WHEN 'phone_us' THEN f.phone_us ELSE f.ipv4 END * 1.0 / f.rows_, 6) AS hit_ratio
+FROM flags f, (VALUES ('email'), ('credit_card'), ('ssn'), ('phone_us'), ('ipv4')) AS p(pattern)
+ORDER BY "column", pattern
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """Redaction pass (operators/pii.py redact): planted-PII docs
+    scrubbed by the chained JVM regexp_replace projection; only the
+    planted residues are returned so the oracle is closed-form."""
+    from pandera_forge_spark.operators.pii import redact
+
+    planted = _planted_pii(spark, sf_dir)
+    out = redact(planted, ["text"])
+    return (
+        out.where((F.col("doc_id") % 97 < 5) & (F.col("doc_id") < 3000))
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
+
+
+SQL_PII_REDACT = r"""
+WITH planted AS (
+  SELECT doc_id, text || """ + _PII_MARKER_SQL + r""" AS text FROM documents)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII:email]', 'g'),
+          '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b', '[PII:credit_card]', 'g'),
+        '\b\d{3}-\d{2}-\d{4}\b', '[PII:ssn]', 'g'),
+      '\(\d{3}\) ?\d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b', '[PII:phone_us]', 'g'),
+    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[PII:ipv4]', 'g') AS text
+FROM planted WHERE doc_id % 97 < 5 AND doc_id < 3000 ORDER BY doc_id
+"""
+
+
+def q_span_ref_integrity(spark, sf_dir):
+    """Referential integrity INSIDE the nested spans column
+    (spans.span_ref_violations): media spans of the interleaved table
+    anti-joined against a media catalog missing every doc_id % 3 == 0
+    asset — text spans are filtered row-locally before the explode, so
+    only media refs ever become rows."""
+    from pandera_forge_spark.spans import span_ref_violations
+
+    inter = _interleaved(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    catalog = docs.where(F.col("doc_id") % 3 != 0).select(
+        F.concat(
+            F.lit("media://"), F.md5(F.col("doc_id").cast("string")), F.lit("/1")
+        ).alias("media_ref")
+    )
+    return span_ref_violations(inter, catalog, broadcast_catalog=True).orderBy("doc_id")
+
+
+SQL_SPAN_REF_INTEGRITY = """
+SELECT doc_id, 'media://' || md5(CAST(doc_id AS VARCHAR)) || '/1' AS media_ref
+FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id
+"""
+
+
+def q_fd_source_lang(spark, sf_dir):
+    """Functional-dependency check (validator.py
+    functional_dependency_violations): does source determine lang?
+    One shuffle, all-algebraic aggregates; min/max are the two
+    guaranteed-distinct conflicting witnesses."""
+    from pandera_forge_spark.validator import functional_dependency_violations
+
+    docs = _t(spark, sf_dir, "documents")
+    return functional_dependency_violations(docs, ["source"], "lang").orderBy("source")
+
+
+SQL_FD_SOURCE_LANG = """
+SELECT source, COUNT(*) AS n_rows, COUNT(DISTINCT lang) AS n_dependent_values,
+       MIN(lang) AS min_value, MAX(lang) AS max_value
+FROM documents GROUP BY source HAVING COUNT(DISTINCT lang) > 1 ORDER BY source
+"""
+
+
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic training-export shuffle
+    (operators/sampling.py deterministic_shuffle): shard assignment and
+    within-shard order are pure md5 functions of (salt, doc_id), so the
+    per-shard counts and first keys are engine-independent. n_shards=8
+    divides 16, so shard == last hex char of the 8-char prefix mod 8 —
+    the closed form the DuckDB oracle uses."""
+    from pandera_forge_spark.operators.sampling import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = deterministic_shuffle(docs, "doc_id", n_shards=8, salt="x")
+    return (
+        sh.groupBy(F.col("__shard").alias("shard"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("__order").alias("first_key"))
+        .orderBy("shard")
+    )
+
+
+SQL_SHUFFLE_SHARDS = """
+SELECT shard, COUNT(*) AS n, MIN(key) AS first_key FROM (
+  SELECT md5('x' || CAST(doc_id AS VARCHAR)) AS key,
+         (strpos('0123456789abcdef', substr(md5('x' || CAST(doc_id AS VARCHAR)), 8, 1)) - 1) % 8 AS shard
+  FROM documents) GROUP BY shard ORDER BY shard
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -1577,6 +1738,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "frame_sample_plan": q_frame_sample_plan,
         "near_dup_embedding": q_near_dup_embedding,
+        "pii_scan": q_pii_scan,
+        "pii_redact": q_pii_redact,
+        "span_ref_integrity": q_span_ref_integrity,
+        "fd_source_lang": q_fd_source_lang,
+        "shuffle_shards": q_shuffle_shards,
     }
 
 
@@ -1633,6 +1799,11 @@ def oracle_sql() -> dict[str, str]:
         "drift_verdicts_orders": _sql_drift_verdicts(),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "near_dup_embedding": SQL_NEAR_DUP_EMBEDDING,
+        "pii_scan": SQL_PII_SCAN,
+        "pii_redact": SQL_PII_REDACT,
+        "span_ref_integrity": SQL_SPAN_REF_INTEGRITY,
+        "fd_source_lang": SQL_FD_SOURCE_LANG,
+        "shuffle_shards": SQL_SHUFFLE_SHARDS,
         # frame_sample_plan: no oracle — per-row durations derive from
         # Spark's seeded xxhash64 (not reproducible in DuckDB); the
         # driver records the weaker rows-only check for it.

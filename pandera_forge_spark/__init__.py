@@ -55,9 +55,17 @@ from pandera_forge_spark.sources.session import (
     resolve_config,
 )
 from pandera_forge_spark.schema import schema_diff
+from pandera_forge_spark.operators.pii import (
+    pii_flagged_rows,
+    pii_scan,
+    redact,
+)
+from pandera_forge_spark.operators.sampling import deterministic_shuffle
+from pandera_forge_spark.spans import span_ref_violations
 from pandera_forge_spark.validator import (
     duplicate_keys,
     duplicate_rows,
+    functional_dependency_violations,
     has_duplicate_keys,
     orphan_rows,
     skew_report,
@@ -110,4 +118,10 @@ __all__ = [
     "skew_report",
     "snapshot_diff",
     "snapshot_diff_summary",
+    "pii_flagged_rows",
+    "pii_scan",
+    "redact",
+    "deterministic_shuffle",
+    "span_ref_violations",
+    "functional_dependency_violations",
 ]

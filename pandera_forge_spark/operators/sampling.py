@@ -225,3 +225,35 @@ def take_token_budget(
         .where(F.col("__cum") <= budget)
         .drop("__key", "__cum")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data export: assign
+    every row a shard in [0, n_shards) and a stable within-shard order,
+    both pure functions of (salt, id) — same corpus + same salt ->
+    byte-identical shards on any cluster size, any input partitioning.
+
+    Training runs need the corpus in a fixed pseudo-random order
+    (curriculum-free SGD) that is REPRODUCIBLE across re-exports;
+    ``df.repartition(n).sortWithinPartitions(rand())`` is neither. Here
+    order is the md5 of the salted id (uniform, engine-independent —
+    same rationale as ``_rank_key``), shard is its first 8 hex chars
+    mod n_shards, so a different ``salt`` yields an independent
+    permutation for the next epoch.
+
+    Adds (__shard int, __order string) columns; the export is then
+        out.repartition(n_shards, "__shard")
+           .sortWithinPartitions("__order")
+           .write.partitionBy("__shard")...
+    — ONE shuffle (the repartition), sort is per-partition spillable
+    TimSort, no global sort / range exchange needed because shard
+    membership already equals the hash range.
+    """
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    shard = (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards).cast("int")
+    return df.withColumn("__order", key).withColumn("__shard", shard)

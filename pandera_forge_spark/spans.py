@@ -112,6 +112,48 @@ def span_sequence_mismatches(
     ).where(F.col("mismatch").isNotNull())
 
 
+def span_ref_violations(
+    docs: DataFrame,
+    catalog: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    ref_col: str = "media_ref",
+    broadcast_catalog: bool = False,
+) -> DataFrame:
+    """Dangling media references: one row (doc_id, media_ref) per media
+    span whose ``media_ref`` does not exist in the media catalog.
+
+    The referential-integrity anti-join of the north rule applied INSIDE
+    the nested spans column — the reference can only check top-level
+    columns (reference: pandera_forge/validator.py joins whole frames);
+    interleaved documents need the check per span.
+
+    Scale shape:
+    - Text spans are dropped row-locally with ``F.filter`` BEFORE the
+      explode, so the lateral view generates only media spans (for a
+      mostly-text corpus that is a ~constant-factor cut of the exploded
+      row count) and only (doc_id, media_ref) is projected — the text
+      payload never leaves the scan.
+    - ``left_anti`` join against the catalog: broadcast it when the
+      catalog is dimension-sized (``broadcast_catalog=True``), otherwise
+      a shuffled hash join on the ref — both sides reduced to single
+      string columns before the exchange.
+    - A hot media_ref (one asset referenced by 10^8 docs) skews the
+      probe side only; anti-join probes stream, no reducer buffers the
+      group, and AQE splits oversized partitions.
+    """
+    spans = F.col(spans_col)
+    media_refs = F.filter(spans, lambda s: s["media_ref"].isNotNull())
+    exploded = docs.select(
+        F.col(id_col).alias(id_col),
+        F.explode(media_refs.getField("media_ref")).alias(ref_col),
+    )
+    cat = catalog.select(F.col(ref_col).alias(ref_col)).dropDuplicates([ref_col])
+    if broadcast_catalog:
+        cat = F.broadcast(cat)
+    return exploded.join(cat, on=ref_col, how="left_anti").select(id_col, ref_col)
+
+
 def profile_spans(
     df: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
 ) -> dict:

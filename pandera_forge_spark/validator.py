@@ -394,3 +394,49 @@ def orphan_rows(
     return child.where(F.col(child_key).isNotNull()).join(
         keys, on=child_key, how="left_anti"
     )
+
+
+def functional_dependency_violations(
+    df: DataFrame,
+    determinant_cols: Sequence[str],
+    dependent_col: str,
+    collect_examples: int = 0,
+) -> DataFrame:
+    """Functional-dependency check: determinant columns should uniquely
+    determine ``dependent_col`` (A -> B). Returns one row per violating
+    determinant group: (*determinants, n_rows, n_dependent_values,
+    min_value, max_value) where n_dependent_values > 1.
+
+    Generalizes the reference's uniqueness check (unique=True is the
+    FD "key -> whole row"; reference: pandera_forge/validator.py builds
+    only per-column unique checks) to the conditional-uniqueness
+    contracts a warehouse actually has ("order determines customer",
+    "media_ref determines mime type").
+
+    Scale shape: ONE shuffle — groupBy(determinants), every default
+    aggregate algebraic with map-side partial combine (count,
+    count_distinct, min, max). min/max double as two GUARANTEED-distinct
+    conflicting example values whenever the FD is violated, with a
+    constant-size aggregation buffer no matter how viral the group —
+    the same linearization the exact-dup path uses instead of
+    collect_list. ``collect_examples=k`` additionally materializes up
+    to k distinct values via slice(sort_array(collect_set)); that
+    buffer is O(distinct dependents per group), so reserve it for
+    dependents with known-small cardinality.
+    """
+    dets = list(determinant_cols)
+    dep = F.col(dependent_col)
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(dep).alias("n_dependent_values"),
+        F.min(dep).alias("min_value"),
+        F.max(dep).alias("max_value"),
+    ]
+    if collect_examples > 0:
+        aggs.append(
+            F.slice(F.sort_array(F.collect_set(dep)), 1, collect_examples).alias(
+                "example_values"
+            )
+        )
+    out = df.groupBy(*dets).agg(*aggs)
+    return out.where(F.col("n_dependent_values") > 1)

@@ -170,3 +170,46 @@ def test_compact_sketch_store_roundtrip(spark, tmp_path):
     assert a["v__nulls"] == b["v__nulls"]
     assert a["v__min"] == b["v__min"] and a["v__max"] == b["v__max"]
     assert a["v__distinct_est"] == b["v__distinct_est"]
+
+
+# ------------------------------------------------------ deterministic shuffle
+
+def test_deterministic_shuffle_stable_and_complete(spark):
+    from pandera_forge_spark.operators.sampling import deterministic_shuffle
+
+    df = _docs(spark)
+    a = deterministic_shuffle(df, "doc_id", n_shards=8, salt="ep0")
+    # repartitioning the INPUT differently must not change shard/order
+    b = deterministic_shuffle(df.repartition(13), "doc_id", n_shards=8, salt="ep0")
+    rows_a = sorted((r["doc_id"], r["__shard"], r["__order"]) for r in a.collect())
+    rows_b = sorted((r["doc_id"], r["__shard"], r["__order"]) for r in b.collect())
+    assert rows_a == rows_b
+    assert len(rows_a) == df.count()
+    shards = {s for _, s, _ in rows_a}
+    assert shards == set(range(8))
+
+
+def test_deterministic_shuffle_salt_changes_permutation(spark):
+    from pandera_forge_spark.operators.sampling import deterministic_shuffle
+
+    df = _docs(spark)
+    a = deterministic_shuffle(df, "doc_id", 4, salt="ep0")
+    b = deterministic_shuffle(df, "doc_id", 4, salt="ep1")
+    oa = [r["doc_id"] for r in a.orderBy("__order").limit(50).collect()]
+    ob = [r["doc_id"] for r in b.orderBy("__order").limit(50).collect()]
+    assert oa != ob
+
+
+def test_deterministic_shuffle_projection_only(spark):
+    from pandera_forge_spark.operators.sampling import deterministic_shuffle
+
+    df = _docs(spark)
+    plan = (
+        deterministic_shuffle(df, "doc_id", 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # shard/order assignment itself adds no shuffle; the export's
+    # repartition(__shard) is the single intended exchange
+    assert "Exchange" not in plan

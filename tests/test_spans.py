@@ -123,3 +123,60 @@ def test_duplicate_doc_ids_found(docs, mutated):
 def test_no_shuffle_in_row_local_checks(docs):
     plan = span_order_violations(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------- span refs
+
+def test_span_ref_violations_finds_dangling_refs(spark):
+    from pandera_forge_spark.spans import span_ref_violations
+
+    docs = make_documents(spark, n_docs=200, seed=7)
+    # catalog = every ref actually used, minus refs of docs 0 mod 3
+    all_refs = docs.select(
+        F.explode(
+            F.filter(F.col("spans"), lambda s: s["media_ref"].isNotNull()).getField(
+                "media_ref"
+            )
+        ).alias("media_ref"),
+        "doc_id",
+    )
+    catalog = all_refs.where(~(F.substring("doc_id", -12, 12).cast("long") % 3 == 0)).select(
+        "media_ref"
+    )
+    out = span_ref_violations(docs, catalog)
+    expected = {
+        (r["doc_id"], r["media_ref"])
+        for r in all_refs.where(F.substring("doc_id", -12, 12).cast("long") % 3 == 0).collect()
+    }
+    got = {(r["doc_id"], r["media_ref"]) for r in out.collect()}
+    assert got == expected and len(got) > 0
+
+
+def test_span_ref_violations_empty_when_catalog_complete(spark):
+    from pandera_forge_spark.spans import span_ref_violations
+
+    docs = make_documents(spark, n_docs=60, seed=7)
+    catalog = docs.select(
+        F.explode(
+            F.filter(F.col("spans"), lambda s: s["media_ref"].isNotNull()).getField(
+                "media_ref"
+            )
+        ).alias("media_ref")
+    )
+    assert span_ref_violations(docs, catalog, broadcast_catalog=True).count() == 0
+
+
+def test_span_ref_violations_text_spans_never_explode(spark):
+    from pandera_forge_spark.spans import span_ref_violations
+
+    docs = make_documents(spark, n_docs=30, seed=7)
+    catalog = docs.sparkSession.createDataFrame([("media://x",)], "media_ref string")
+    plan = (
+        span_ref_violations(docs, catalog, broadcast_catalog=True)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the explode input is the pre-filtered media_ref array, so the
+    # optimized plan filters inside the array before generating rows
+    assert "filter(" in plan and "Generate explode" in plan

@@ -250,3 +250,57 @@ def test_quarantine_split_one_pass(spark, tmp_path):
     assert ok_side.count() == counts["valid"]
     assert bad_side.count() == counts["quarantined"]
     assert bad_side.where(F.col("l_quantity") >= 0).count() == 0
+
+
+# ------------------------------------------------------- functional deps
+
+def test_fd_violations_found(spark):
+    from pandera_forge_spark.validator import functional_dependency_violations
+
+    rows = [
+        ("o1", "c1"), ("o1", "c1"), ("o2", "c2"),
+        ("o3", "c3"), ("o3", "c4"), ("o3", "c5"),  # violates o->c
+        ("o4", None), ("o4", "c6"),  # null dependent not counted distinct-ly
+    ]
+    df = spark.createDataFrame(rows, "order_id string, cust string")
+    out = functional_dependency_violations(df, ["order_id"], "cust").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["order_id"] == "o3"
+    assert r["n_rows"] == 3 and r["n_dependent_values"] == 3
+    assert r["min_value"] == "c3" and r["max_value"] == "c5"
+
+
+def test_fd_violations_examples_opt_in(spark):
+    from pandera_forge_spark.validator import functional_dependency_violations
+
+    rows = [("a", 1), ("a", 2), ("a", 3), ("b", 9)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    out = functional_dependency_violations(df, ["k"], "v", collect_examples=2).collect()
+    assert len(out) == 1
+    assert list(out[0]["example_values"]) == [1, 2]
+    # min/max are guaranteed-distinct conflicting witnesses
+    assert out[0]["min_value"] == 1 and out[0]["max_value"] == 3
+
+
+def test_fd_holds_returns_empty(spark):
+    from pandera_forge_spark.validator import functional_dependency_violations
+
+    df = spark.createDataFrame(
+        [("n1", "r1"), ("n1", "r1"), ("n2", "r1"), ("n3", "r2")],
+        "nation string, region string",
+    )
+    assert functional_dependency_violations(df, ["nation"], "region").count() == 0
+
+
+def test_fd_default_plan_has_no_unbounded_buffer(spark):
+    from pandera_forge_spark.validator import functional_dependency_violations
+
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    plan = (
+        functional_dependency_violations(df, ["k"], "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "collect_set" not in plan and "collect_list" not in plan
