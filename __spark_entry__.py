@@ -1686,6 +1686,127 @@ SELECT shard, COUNT(*) AS n, MIN(key) AS first_key FROM (
 """
 
 
+def q_asof_events(spark, sf_dir):
+    """Backward as-of join (operators/temporal.py asof_join): every 7th
+    event picks up the latest-preceding value from every 11th event of
+    the SAME user — the union + keyed-window carry-forward plan (one
+    shuffle, no join operator). The right side is pre-aggregated to one
+    row per (user, ts) so tie resolution is engine-independent; DuckDB
+    replays it with a native ASOF LEFT JOIN."""
+    from pandera_forge_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_id") % 7 == 0).select("event_id", "user_id", "ts")
+    right = (
+        ev.where(F.col("event_id") % 11 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("rv"))
+    )
+    out = asof_join(left, right, "ts", ["user_id"], ["rv"])
+    return out.select("event_id", "user_id", "rv").orderBy("event_id")
+
+
+SQL_ASOF_EVENTS = """
+SELECT l.event_id, l.user_id, r.rv
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_id % 7 = 0) l
+ASOF LEFT JOIN (
+  SELECT user_id, ts, MAX(value) AS rv FROM events WHERE event_id % 11 = 0
+  GROUP BY user_id, ts) r
+ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
+def q_sessions_user(spark, sf_dir):
+    """Gap-based sessionization rollup (operators/temporal.py
+    session_stats): 1-hour-gap sessions per user over events — lag +
+    running-sum window then an algebraic per-session agg; the oracle
+    replays the identical window algebra in DuckDB."""
+    from pandera_forge_spark.operators.temporal import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_stats(ev, "user_id", "ts", gap_seconds=3600.0)
+    return out.select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        F.round("start_ts", 6).alias("start_ts"),
+        F.round("end_ts", 6).alias("end_ts"),
+        F.round("duration_secs", 6).alias("duration_secs"),
+    ).orderBy("user_id", "session_idx")
+
+
+SQL_SESSIONS_USER = """
+WITH s AS (
+  SELECT user_id, epoch(ts) AS ts_s,
+    CASE WHEN lag(epoch(ts)) OVER w IS NULL
+           OR epoch(ts) - lag(epoch(ts)) OVER w > 3600 THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts))
+), t AS (
+  SELECT user_id, ts_s,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM s)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       ROUND(MIN(ts_s), 6) AS start_ts, ROUND(MAX(ts_s), 6) AS end_ts,
+       ROUND(MAX(ts_s) - MIN(ts_s), 6) AS duration_secs
+FROM t GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+"""
+
+
+def q_interval_join_events(spark, sf_dir):
+    """Bucketed band join (operators/temporal.py interval_join): every
+    7th event's value joined into +50-wide value intervals anchored at
+    every 100th event — the explode-into-buckets equi-join plan, never
+    a cartesian; the oracle is the plain BETWEEN join DuckDB can afford
+    at this scale."""
+    from pandera_forge_spark.operators.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.where(F.col("event_id") % 7 == 0).select("event_id", "value")
+    intervals = ev.where(F.col("event_id") % 100 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("value").alias("lo"),
+        (F.col("value") + 50.0).alias("hi"),
+    )
+    out = interval_join(points, intervals, "value", "lo", "hi", bucket_width=25.0)
+    return out.select("event_id", "interval_id").orderBy("event_id", "interval_id")
+
+
+SQL_INTERVAL_JOIN_EVENTS = """
+SELECT p.event_id, i.interval_id
+FROM (SELECT event_id, value FROM events WHERE event_id % 7 = 0) p
+JOIN (SELECT event_id AS interval_id, value AS lo, value + 50.0 AS hi
+      FROM events WHERE event_id % 100 = 0) i
+ON p.value BETWEEN i.lo AND i.hi
+ORDER BY p.event_id, i.interval_id
+"""
+
+
+def q_hourly_rollup(spark, sf_dir):
+    """Time-bucket rollup (operators/temporal.py time_rollup): hourly x
+    event_type event counts and value sums — the hypertable continuous-
+    aggregate shape as one partial-aggregated groupBy."""
+    from pandera_forge_spark.operators.temporal import time_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = time_rollup(
+        ev,
+        "ts",
+        "hour",
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("value_sum")],
+        extra_keys=["event_type"],
+    )
+    return out.orderBy("bucket", "event_type")
+
+
+SQL_HOURLY_ROLLUP = """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS value_sum
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -1743,6 +1864,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_ref_integrity": q_span_ref_integrity,
         "fd_source_lang": q_fd_source_lang,
         "shuffle_shards": q_shuffle_shards,
+        "asof_events": q_asof_events,
+        "sessions_user": q_sessions_user,
+        "interval_join_events": q_interval_join_events,
+        "hourly_rollup": q_hourly_rollup,
     }
 
 
@@ -1804,6 +1929,10 @@ def oracle_sql() -> dict[str, str]:
         "span_ref_integrity": SQL_SPAN_REF_INTEGRITY,
         "fd_source_lang": SQL_FD_SOURCE_LANG,
         "shuffle_shards": SQL_SHUFFLE_SHARDS,
+        "asof_events": SQL_ASOF_EVENTS,
+        "sessions_user": SQL_SESSIONS_USER,
+        "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,
+        "hourly_rollup": SQL_HOURLY_ROLLUP,
         # frame_sample_plan: no oracle — per-row durations derive from
         # Spark's seeded xxhash64 (not reproducible in DuckDB); the
         # driver records the weaker rows-only check for it.

@@ -61,6 +61,13 @@ from pandera_forge_spark.operators.pii import (
     redact,
 )
 from pandera_forge_spark.operators.sampling import deterministic_shuffle
+from pandera_forge_spark.operators.temporal import (
+    asof_join,
+    interval_join,
+    session_stats,
+    sessionize,
+    time_rollup,
+)
 from pandera_forge_spark.spans import span_ref_violations
 from pandera_forge_spark.validator import (
     duplicate_keys,
@@ -122,6 +129,11 @@ __all__ = [
     "pii_scan",
     "redact",
     "deterministic_shuffle",
+    "asof_join",
+    "interval_join",
+    "session_stats",
+    "sessionize",
+    "time_rollup",
     "span_ref_violations",
     "functional_dependency_violations",
 ]

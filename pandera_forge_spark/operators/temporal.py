@@ -1,0 +1,225 @@
+"""Temporal operators: as-of join, interval (range) join,
+sessionization, and time-bucket rollups.
+
+Spark's DataFrame API has no native as-of or band join (the brief's
+canonical "operator the engine lacks"); a naive theta-join
+(``l.ts >= r.ts``) plans as BroadcastNestedLoop/cartesian and dies at
+scale. These implementations re-express each operator as shuffle-bounded
+compositions of equi-joins, windows, and row-local algebra:
+
+- ``asof_join``   — union + keyed window carry-forward: ONE shuffle of
+  both sides on the key, no join at all.
+- ``interval_join`` — bucketed equi-join: intervals explode into the
+  fixed-width buckets they cover, points join their single bucket, the
+  exact predicate filters residuals. Shuffle is O(points + intervals x
+  avg_span/bucket_width), never O(points x intervals).
+- ``sessionize``  — lag + running sum per key: one shuffle, one sort.
+- ``time_rollup`` — date_trunc groupBy: plain partial-aggregated agg.
+
+Skew: all four shuffle on the entity/bucket key; a hot user or a
+time-bucket hot spot lands on one task. The window ops (asof, sessions)
+are order-dependent so salting cannot split a key — for pathological
+keys pre-split by time range and stitch at boundaries (documented per
+function); the rollup is algebraic and AQE/salting-safe as-is.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _seconds(df: DataFrame, ts_col: str) -> Column:
+    """Epoch seconds (fractional) for numeric OR timestamp inputs.
+    TIMESTAMP_NTZ has no direct double cast in Spark 4 — route it
+    through timestamp_ltz (interpreted in the session TZ, which the
+    engine pins to UTC), matching DuckDB's ``epoch()`` on the same
+    naive timestamp."""
+    dtype = dict(df.dtypes)[ts_col]
+    c = F.col(ts_col)
+    if dtype.startswith("timestamp"):
+        return c.cast("timestamp_ltz").cast("double")
+    return c.cast("double")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by_cols: Sequence[str],
+    value_cols: Sequence[str],
+    tolerance: Optional[float] = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach ``value_cols``
+    from the right row with the greatest ``ts_col`` <= left's
+    (inclusive), matching on ``by_cols``; null when no prior right row
+    (or when older than ``tolerance`` seconds, if given).
+
+    Plan shape (the scale-first trick): tag both sides, unionByName,
+    ONE shuffle partitioning the union by ``by_cols``, then a running
+    ``last(value, ignorenulls=True)`` ordered by (ts, side) carries
+    each right value forward onto the left rows that follow it. At
+    equal timestamps the right row sorts first, so ties match
+    inclusively — pandas ``merge_asof`` semantics. No join operator
+    appears in the plan at all, so there is nothing for Catalyst to
+    turn into a nested-loop: cost is one exchange + one per-key sorted
+    scan regardless of how many right rows each left row skips over.
+    """
+    by = list(by_cols)
+    vals = list(value_cols)
+    ts = _seconds(left, ts_col)
+
+    l = left.withColumn("__side", F.lit(1))
+    for v in vals:
+        l = l.withColumn(f"__v_{v}", F.lit(None).cast(right.schema[v].dataType))
+    r = right.select(
+        *by,
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        *[F.col(v).alias(f"__v_{v}") for v in vals],
+    )
+    # right rows contribute only key/ts/values; left keeps its payload
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts, F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched_ts = F.last(
+        F.when(F.col("__side") == 0, ts), ignorenulls=True
+    ).over(w)
+    out = u
+    for v in vals:
+        carried = F.last(
+            F.when(F.col("__side") == 0, F.col(f"__v_{v}")), ignorenulls=True
+        ).over(w)
+        if tolerance is not None:
+            carried = F.when(ts - matched_ts <= F.lit(float(tolerance)), carried)
+        out = out.withColumn(v, carried)
+    return out.where(F.col("__side") == 1).drop(
+        "__side", *[f"__v_{v}" for v in vals]
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    max_buckets_per_interval: int = 1024,
+) -> DataFrame:
+    """Band join: every (point, interval) pair with
+    ``lo <= point <= hi`` — WITHOUT the cartesian plan a raw range
+    predicate produces.
+
+    Both sides map into fixed-width buckets: a point belongs to exactly
+    ``floor(point/width)``; an interval explodes into every bucket it
+    overlaps (``sequence`` + explode, row-local). The equi-join on
+    bucket id is then an ordinary shuffled hash join — candidate pairs
+    only where buckets collide — and the exact BETWEEN filter runs on
+    the joined rows. Shuffle volume: O(points) + O(intervals x
+    span/width); pick ``bucket_width`` ~ the median interval span so
+    the explode factor stays ~2.
+
+    ``max_buckets_per_interval`` fences degenerate inputs (an interval
+    spanning the whole axis would explode into the full bucket range —
+    the same viral-fan-out class the dedup paths cap): wider intervals
+    raise rather than silently flooding the shuffle; split such
+    intervals upstream or raise the width.
+    """
+    width = float(bucket_width)
+    p_bucket = F.floor(F.col(point_col) / width)
+    lo_b = F.floor(F.col(lo_col) / width)
+    hi_b = F.floor(F.col(hi_col) / width)
+
+    guarded = intervals.withColumn(
+        "__nb", (hi_b - lo_b + 1).cast("long")
+    )
+    # fail loudly on fan-out bombs instead of shuffling them
+    bomb = guarded.where(F.col("__nb") > max_buckets_per_interval).limit(1)
+    if bomb.count() > 0:
+        raise ValueError(
+            f"interval wider than {max_buckets_per_interval} buckets; "
+            "raise bucket_width or split the interval"
+        )
+    iv = guarded.withColumn("__bucket", F.explode(F.sequence(lo_b, hi_b))).drop(
+        "__nb"
+    )
+    pt = points.withColumn("__bucket", p_bucket)
+    joined = pt.join(iv, on="__bucket", how="inner").drop("__bucket")
+    return joined.where(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: float,
+) -> DataFrame:
+    """Gap-based sessionization: adds ``session_idx`` (0-based per key)
+    and ``session_id`` (``key#idx``). A new session starts when the gap
+    since the key's previous event exceeds ``gap_seconds``.
+
+    One shuffle (partition by key) + per-key sort; ``lag`` marks
+    session starts, a running sum numbers them — both in the same
+    window stage. Hot-key caveat as per module docstring.
+    """
+    ts = _seconds(events, ts_col)
+    w = Window.partitionBy(key_col).orderBy(ts)
+    prev = F.lag(ts).over(w)
+    is_new = F.when(
+        prev.isNull() | ((ts - prev) > float(gap_seconds)), F.lit(1)
+    ).otherwise(F.lit(0))
+    idx = (
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1
+    ).cast("long")
+    return events.withColumn("session_idx", idx).withColumn(
+        "session_id",
+        F.concat(F.col(key_col).cast("string"), F.lit("#"), F.col("session_idx")),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: float,
+) -> DataFrame:
+    """Per-session rollup: (key, session_idx, n_events, start_ts,
+    end_ts, duration_secs). Sessionize + one algebraic groupBy — the
+    second shuffle is on (key, session_idx), strictly finer than the
+    first, and AQE coalesces it."""
+    s = sessionize(events, key_col, ts_col, gap_seconds)
+    ts = _seconds(events, ts_col)
+    return s.groupBy(key_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts).alias("start_ts"),
+        F.max(ts).alias("end_ts"),
+        (F.max(ts) - F.min(ts)).alias("duration_secs"),
+    )
+
+
+def time_rollup(
+    events: DataFrame,
+    ts_col: str,
+    unit: str,
+    agg_exprs: Sequence,
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Hypertable-style time-bucket rollup: groupBy
+    ``date_trunc(unit, ts)`` (+ optional dimension keys) with the given
+    aggregate expressions. Pure algebraic aggregation — map-side
+    partial combine does most of the work; with the table
+    partitioned/sorted by time the scan prunes to the queried range."""
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    return events.groupBy(bucket, *[F.col(k) for k in extra_keys]).agg(*agg_exprs)
