@@ -938,6 +938,37 @@ FROM documents WHERE doc_id % 25 = 0 ORDER BY 1
 """
 
 
+def q_incremental_near_dup(spark, sf_dir):
+    """Incremental (new-vs-corpus) near-dedup
+    (operators/dedup.py near_duplicates_incremental): the full
+    documents table plays the standing corpus; mutated copies (text +
+    ' tail') of every 25th doc play the day's ingest. Every planted
+    (new, source) pair must surface via the band-index probe + exact
+    Jaccard verify. Scoped to the planted offset — a new doc may also
+    legitimately match OTHER corpus docs (natural near-dups, not
+    closed-form; pytest-anchored instead)."""
+    from pandera_forge_spark.operators.dedup import near_duplicates_incremental
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        docs.where(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    nd = near_duplicates_incremental(docs, new, "text", "doc_id", threshold=0.6)
+    return (
+        nd.where(F.col("new_id") - F.col("corpus_id") == 1000000)
+        .select("new_id", "corpus_id")
+        .orderBy("new_id")
+    )
+
+
+SQL_INCREMENTAL_NEAR_DUP = """
+SELECT doc_id + 1000000 AS new_id, doc_id AS corpus_id FROM documents
+WHERE doc_id % 25 = 0 ORDER BY 1
+"""
+
+
 def q_stratified_sample_lang(spark, sf_dir):
     """Deterministic stratified take (operators/sampling.py): first 20
     docs per language in md5(doc_id) hash order — the prefiltered
@@ -1090,6 +1121,168 @@ WITH toks AS (
 SELECT ng AS ngram, COUNT(*) AS doc_freq
 FROM (SELECT unnest(g) AS ng FROM grams)
 GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 30
+"""
+
+
+# DuckDB fragments reused by the shingle-based oracles: tokenize +
+# 3-gram shingle list (same whole-doc fallback as dedup.shingles).
+_DUCK_TOKS = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')"
+_DUCK_GRAMS = r"""CASE WHEN len(toks) = 0 THEN ['']
+              WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in generate_series(1, len(toks) - 2)])
+         END"""
+
+
+def q_contamination_bench(spark, sf_dir):
+    """Benchmark-contamination check (operators/text.py contamination):
+    docs from source 'src0' play the eval set; every other doc reports
+    what fraction of its distinct 3-gram shingles appear anywhere in
+    that set. Broadcast shingle probe + one algebraic groupBy; the
+    oracle rebuilds both shingle sets and the IN-probe in DuckDB."""
+    from pandera_forge_spark.operators.text import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    return contamination(corpus, bench, "text", "doc_id").orderBy("doc_id")
+
+
+SQL_CONTAMINATION_BENCH = rf"""
+WITH btoks AS (
+  SELECT {_DUCK_TOKS} AS toks FROM documents WHERE source = 'src0'
+), bs AS (
+  SELECT DISTINCT unnest(g) AS s FROM (SELECT {_DUCK_GRAMS} AS g FROM btoks)
+), ctoks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents WHERE source <> 'src0'
+), cs AS (
+  SELECT doc_id, unnest(g) AS s
+  FROM (SELECT doc_id, {_DUCK_GRAMS} AS g FROM ctoks)
+)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN s IN (SELECT s FROM bs) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       round(SUM(CASE WHEN s IN (SELECT s FROM bs) THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS contamination_ratio
+FROM cs GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 TF-IDF terms (operators/text.py tfidf_top_terms):
+    smoothed idf, deterministic (score desc, term asc) tie-break. The
+    oracle replays tf, document frequency, ln-idf and the ranking
+    window in DuckDB — every score and every rank is engine-checked."""
+    from pandera_forge_spark.operators.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, "text", "doc_id", k=3)
+    return out.select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        "tfidf",
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("doc_id", "rank")
+
+
+SQL_TFIDF_TOP_TERMS = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, tf.term AS term, tf,
+         round(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
+def q_token_histogram(spark, sf_dir):
+    """Token-length histogram per language (profiler.histogram): counts
+    + observed min/max per explicit-edge bin — one algebraic hash agg
+    whose shuffle carries O(|langs|·bins) rows. Oracle replays the
+    bucket arithmetic as cast sums."""
+    from pandera_forge_spark.profiler import histogram
+    from pandera_forge_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    h = histogram(
+        docs, token_count(F.col("text")).cast("long"), [25.0, 30.0, 35.0],
+        group_cols=["lang"],
+    )
+    return h.select(
+        "lang", F.col("bucket").cast("long").alias("bucket"), "n", "lo", "hi"
+    ).orderBy("lang", "bucket")
+
+
+SQL_TOKEN_HISTOGRAM = rf"""
+WITH t AS (
+  SELECT lang, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tok FROM documents
+)
+SELECT lang,
+       CAST((CASE WHEN n_tok >= 25 THEN 1 ELSE 0 END)
+          + (CASE WHEN n_tok >= 30 THEN 1 ELSE 0 END)
+          + (CASE WHEN n_tok >= 35 THEN 1 ELSE 0 END) AS BIGINT) AS bucket,
+       COUNT(*) AS n, MIN(n_tok) AS lo, MAX(n_tok) AS hi
+FROM t GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_filter_funnel(spark, sf_dir):
+    """C4-style quality-filter funnel (operators/text.py filter_funnel):
+    sequential char-length / token-count / word-repetition rules; one
+    full-scan aggregation reports per-stage attrition + survivors. The
+    oracle recomputes each conjunction as CASE sums."""
+    from pandera_forge_spark.operators.text import (
+        dup_ratio,
+        filter_funnel,
+        token_count,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    rules = {
+        "chars": (F.length(c) >= 50) & (F.length(c) <= 2000),
+        "tokens": token_count(c) >= 25,
+        "repetition": dup_ratio(tokens(c)) <= 0.55,
+    }
+    return filter_funnel(docs, rules)
+
+
+SQL_FILTER_FUNNEL = rf"""
+WITH x AS (
+  SELECT (LENGTH(text) >= 50 AND LENGTH(text) <= 2000) AS p_chars,
+         len({_DUCK_TOKS}) >= 25 AS p_tokens,
+         (CASE WHEN len({_DUCK_TOKS}) > 0
+               THEN 1.0 - len(list_distinct({_DUCK_TOKS}))
+                    / CAST(len({_DUCK_TOKS}) AS DOUBLE)
+               ELSE 0.0 END) <= 0.55 AS p_rep
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS total,
+       CAST(SUM(CASE WHEN NOT p_chars THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped_chars,
+       CAST(SUM(CASE WHEN p_chars AND NOT p_tokens THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped_tokens,
+       CAST(SUM(CASE WHEN p_chars AND p_tokens AND NOT p_rep THEN 1 ELSE 0 END)
+            AS BIGINT) AS dropped_repetition,
+       CAST(SUM(CASE WHEN p_chars AND p_tokens AND p_rep THEN 1 ELSE 0 END)
+            AS BIGINT) AS survivors
+FROM x
 """
 
 
@@ -1686,6 +1879,97 @@ SELECT shard, COUNT(*) AS n, MIN(key) AS first_key FROM (
 """
 
 
+# the (key, shard) closed form shared by the packing oracles: md5 of
+# the 'x'-salted doc_id; shard = value of the 8th hex char mod 8
+_DUCK_KEYED = """
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS t,
+         md5('x' || CAST(doc_id AS VARCHAR)) AS key,
+         CAST((strpos('0123456789abcdef',
+                      substr(md5('x' || CAST(doc_id AS VARCHAR)), 8, 1)) - 1) % 8
+              AS INT) AS shard
+  FROM documents
+"""
+
+
+def q_pack_concat_split(spark, sf_dir):
+    """Concat-and-split packing manifest (operators/sampling.py
+    pack_concat_split): docs in deterministic shuffle order, n_chars as
+    the token proxy, capacity 2048, 8 shards — each doc's start offset
+    and first/last pack index from ONE running-sum window per shard.
+    The oracle replays the md5 order, the running sum and the floor
+    arithmetic verbatim."""
+    from pandera_forge_spark.operators.sampling import pack_concat_split
+
+    docs = _t(spark, sf_dir, "documents")
+    m = pack_concat_split(docs, "doc_id", "n_chars", 2048, n_shards=8, salt="x")
+    return m.select(
+        "doc_id",
+        "tokens",
+        F.col("shard").cast("long").alias("shard"),
+        "start_offset",
+        "pack_first",
+        "pack_last",
+    ).orderBy("doc_id")
+
+
+SQL_PACK_CONCAT_SPLIT = f"""
+WITH k AS ({_DUCK_KEYED}), c AS (
+  SELECT doc_id, t, shard,
+         SUM(t) OVER (PARTITION BY shard ORDER BY key, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM k
+)
+SELECT doc_id, t AS tokens, CAST(shard AS BIGINT) AS shard,
+       cum - t AS start_offset,
+       CAST(floor((cum - t) / 2048.0) AS BIGINT) AS pack_first,
+       CAST(floor((cum - least(t, 1)) / 2048.0) AS BIGINT) AS pack_last
+FROM c ORDER BY doc_id
+"""
+
+
+def q_pack_greedy(spark, sf_dir):
+    """No-split greedy packing manifest (operators/sampling.py
+    pack_greedy, the applyInPandas escape hatch): same order/shards as
+    pack_concat_split but docs never straddle packs. The oracle replays
+    the greedy recurrence with a DuckDB recursive CTE — every pack id
+    and in-pack position is engine-checked."""
+    from pandera_forge_spark.operators.sampling import pack_greedy
+
+    docs = _t(spark, sf_dir, "documents")
+    m = pack_greedy(docs, "doc_id", "n_chars", 2048, n_shards=8, salt="x")
+    return m.select(
+        "doc_id",
+        "tokens",
+        F.col("shard").cast("long").alias("shard"),
+        "pack",
+        F.col("pos").cast("long").alias("pos"),
+    ).orderBy("doc_id")
+
+
+SQL_PACK_GREEDY = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, t, shard,
+         row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS rn
+  FROM ({_DUCK_KEYED})
+), p AS (
+  SELECT shard, rn, doc_id, t, CAST(0 AS BIGINT) AS pack, 0 AS pos, t AS fill
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.shard, b.rn, b.doc_id, b.t,
+         CASE WHEN p.fill > 0 AND p.fill + b.t > 2048
+              THEN p.pack + 1 ELSE p.pack END,
+         CASE WHEN p.fill > 0 AND p.fill + b.t > 2048
+              THEN 0 ELSE p.pos + 1 END,
+         CASE WHEN p.fill > 0 AND p.fill + b.t > 2048
+              THEN b.t ELSE p.fill + b.t END
+  FROM p JOIN base b ON b.shard = p.shard AND b.rn = p.rn + 1
+)
+SELECT doc_id, t AS tokens, CAST(shard AS BIGINT) AS shard,
+       pack, CAST(pos AS BIGINT) AS pos
+FROM p ORDER BY doc_id
+"""
+
+
 def q_asof_events(spark, sf_dir):
     """Backward as-of join (operators/temporal.py asof_join): every 7th
     event picks up the latest-preceding value from every 11th event of
@@ -1838,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_minhash": q_near_dup_minhash,
         "near_dup_viral_capped": q_near_dup_viral_capped,
         "near_dup_simhash": q_near_dup_simhash,
+        "incremental_near_dup": q_incremental_near_dup,
         "dedup_clusters": q_dedup_clusters,
         "dedup_near_dropped": q_dedup_near_dropped,
         "stratified_sample_lang": q_stratified_sample_lang,
@@ -1845,6 +2130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": q_text_metrics,
         "repetition_metrics": q_repetition_metrics,
         "top_ngrams": q_top_ngrams,
+        "contamination_bench": q_contamination_bench,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "token_histogram": q_token_histogram,
+        "filter_funnel": q_filter_funnel,
         "token_stats_by_lang": q_token_stats_by_lang,
         "cosine_topk": q_cosine_topk,
         "embedding_norms": q_embedding_norms,
@@ -1864,6 +2153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_ref_integrity": q_span_ref_integrity,
         "fd_source_lang": q_fd_source_lang,
         "shuffle_shards": q_shuffle_shards,
+        "pack_concat_split": q_pack_concat_split,
+        "pack_greedy": q_pack_greedy,
         "asof_events": q_asof_events,
         "sessions_user": q_sessions_user,
         "interval_join_events": q_interval_join_events,
@@ -1902,6 +2193,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_minhash": SQL_NEAR_DUP_MINHASH,
         "near_dup_viral_capped": SQL_NEAR_DUP_VIRAL_CAPPED,
         "near_dup_simhash": SQL_NEAR_DUP_SIMHASH,
+        "incremental_near_dup": SQL_INCREMENTAL_NEAR_DUP,
         "dedup_near_dropped": SQL_DEDUP_NEAR_DROPPED,
         "stratified_sample_lang": SQL_STRATIFIED_SAMPLE_LANG,
         "token_budget_lang": SQL_TOKEN_BUDGET_LANG,
@@ -1909,6 +2201,10 @@ def oracle_sql() -> dict[str, str]:
         "text_metrics": SQL_TEXT_METRICS,
         "repetition_metrics": SQL_REPETITION_METRICS,
         "top_ngrams": SQL_TOP_NGRAMS,
+        "contamination_bench": SQL_CONTAMINATION_BENCH,
+        "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+        "token_histogram": SQL_TOKEN_HISTOGRAM,
+        "filter_funnel": SQL_FILTER_FUNNEL,
         "token_stats_by_lang": SQL_TOKEN_STATS_BY_LANG,
         "cosine_topk": SQL_COSINE_TOPK,
         "embedding_norms": SQL_EMBEDDING_NORMS,
@@ -1929,6 +2225,8 @@ def oracle_sql() -> dict[str, str]:
         "span_ref_integrity": SQL_SPAN_REF_INTEGRITY,
         "fd_source_lang": SQL_FD_SOURCE_LANG,
         "shuffle_shards": SQL_SHUFFLE_SHARDS,
+        "pack_concat_split": SQL_PACK_CONCAT_SPLIT,
+        "pack_greedy": SQL_PACK_GREEDY,
         "asof_events": SQL_ASOF_EVENTS,
         "sessions_user": SQL_SESSIONS_USER,
         "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,

@@ -209,17 +209,15 @@ def lsh_candidate_pairs(
     )
 
 
-def _lsh_pairs_from_shingles(
-    sh: DataFrame,
-    id_col: str,
-    num_hashes: int,
-    bands: int,
-    seed: int,
-    max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
+def _banded_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int, bands: int, seed: int
 ) -> DataFrame:
+    """(id, band, bucket) LSH band-bucket rows from a prepared
+    (id, __sh) shingle frame — O(docs × bands) rows, the index both the
+    self-join and the incremental (new-vs-corpus) paths probe."""
     rows_per_band = num_hashes // bands
     sig_df = _signatures_from_shingles(sh, id_col, num_hashes, seed)
-    banded = sig_df.select(
+    return sig_df.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -238,6 +236,17 @@ def _lsh_pairs_from_shingles(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def _lsh_pairs_from_shingles(
+    sh: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+    max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    banded = _banded_from_shingles(sh, id_col, num_hashes, bands, seed)
 
     grouped = banded.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_set(id_col)).alias("ids")
@@ -339,6 +348,96 @@ def near_duplicates_minhash(
         return out
     finally:
         sh.unpersist()
+
+
+def near_duplicates_incremental(
+    corpus: DataFrame,
+    new: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
+    eager: bool = True,
+) -> DataFrame:
+    """Incremental near-dedup: verified MinHash-LSH matches of NEW
+    documents against an EXISTING corpus — the daily-ingest shape. A
+    10^12-doc corpus is never re-self-joined when a day's crawl lands;
+    the day's docs probe the corpus band index and only (new × corpus)
+    collisions are verified. Returns (new_id, corpus_id, jaccard >=
+    threshold); new-vs-new duplication is a separate (much smaller)
+    self-join via ``near_duplicates_minhash`` on the new frame.
+
+    Shuffle plan: both sides band independently (each one id-keyed
+    shuffle), then ONE equi-join on (band, bucket). Candidate pairs are
+    verified with exact Jaccard over the persisted shingle frames. At
+    warehouse scale the corpus band index and shingle frame are
+    write-once artifacts (cf. ``write_lsh_partitioned`` for the
+    embedding analog) — recomputed here only because this operator
+    takes raw frames.
+
+    Viral buckets: the CORPUS side of each (band, bucket) is
+    hub-filtered past ``max_bucket`` (same star-cap semantics as the
+    self-join path) — a new doc probing a mass-duplicated bucket meets
+    its min-id representative instead of all O(size) members, keeping
+    the join fan-out linear in the new side. ``max_bucket=None``
+    disables (test scale only)."""
+    from pyspark import StorageLevel
+
+    corpus_sh = corpus.select(
+        F.col(id_col), hashed_shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    new_sh = new.select(
+        F.col(id_col), hashed_shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    if eager:
+        corpus_sh = corpus_sh.persist(StorageLevel.MEMORY_AND_DISK)
+        new_sh = new_sh.persist(StorageLevel.MEMORY_AND_DISK)
+    cb = _banded_from_shingles(
+        corpus_sh, id_col, num_hashes, bands, seed
+    ).select(F.col(id_col).alias("corpus_id"), "band", "bucket")
+    nb = _banded_from_shingles(
+        new_sh, id_col, num_hashes, bands, seed
+    ).select(F.col(id_col).alias("new_id"), "band", "bucket")
+    if max_bucket is not None:
+        sizes = cb.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__n"), F.min("corpus_id").alias("__hub")
+        )
+        cb = (
+            cb.join(sizes, ["band", "bucket"])
+            .where(
+                (F.col("__n") <= max_bucket)
+                | (F.col("corpus_id") == F.col("__hub"))
+            )
+            .drop("__n", "__hub")
+        )
+    cand = nb.join(cb, ["band", "bucket"]).select("new_id", "corpus_id").distinct()
+    a = new_sh.select(F.col(id_col).alias("new_id"), F.col("__sh").alias("__sha"))
+    b = corpus_sh.select(
+        F.col(id_col).alias("corpus_id"), F.col("__sh").alias("__shb")
+    )
+    out = (
+        cand.join(a, "new_id")
+        .join(b, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(jaccard(F.col("__sha"), F.col("__shb")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    if not eager:
+        return out
+    try:
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        return out
+    finally:
+        corpus_sh.unpersist()
+        new_sh.unpersist()
 
 
 # -------------------------------------------------------------- simhash

@@ -257,3 +257,99 @@ def deterministic_shuffle(
     key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     shard = (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards).cast("int")
     return df.withColumn("__order", key).withColumn("__shard", shard)
+
+
+def pack_concat_split(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    capacity: int,
+    n_shards: int = 1,
+    salt: str = "",
+) -> DataFrame:
+    """GPT-style sequence packing manifest: documents are (virtually)
+    concatenated in deterministic shuffle order and SPLIT into
+    fixed-``capacity`` token packs — a doc may straddle a pack
+    boundary, exactly like concat-and-chunk pretraining tokenization.
+
+    Pure window algebra per shard (one running token sum — no UDF, no
+    sequential state): a doc starting at cumulative offset ``o`` with
+    ``t`` tokens occupies packs ``o/capacity`` .. ``(o+t-1)/capacity``.
+    Returns the manifest (id, tokens, shard, start_offset, pack_first,
+    pack_last) from which a writer slices actual token ranges.
+    Deterministic on any cluster size (order = md5 of salted id)."""
+    strata = deterministic_shuffle(
+        df.select(id_col, token_col), id_col, n_shards, salt
+    )
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(F.col("__order"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = F.col(token_col).cast("long")
+    cum = F.sum(t).over(w)
+    start = (cum - t).alias("start_offset")
+    return strata.select(
+        F.col(id_col),
+        t.alias("tokens"),
+        F.col("__shard").alias("shard"),
+        start,
+        F.floor((cum - t) / capacity).alias("pack_first"),
+        # empty docs (t=0) sit entirely at their start offset
+        F.floor((cum - F.least(t, F.lit(1))) / capacity).alias("pack_last"),
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    capacity: int,
+    n_shards: int = 1,
+    salt: str = "",
+) -> DataFrame:
+    """No-split greedy packing manifest (instruction-tuning shape):
+    documents in deterministic shuffle order fill a pack until the next
+    doc would overflow ``capacity``, then a new pack starts; a doc
+    larger than ``capacity`` gets a pack of its own. Docs are never
+    split.
+
+    Greedy packing is inherently SEQUENTIAL within a shard — that is
+    the semantics, not an implementation artifact — so this is the
+    engine's declared Arrow escape hatch: ``applyInPandas`` per shard,
+    one vectorized batch per group, parallelism = ``n_shards`` (pick
+    shards ≈ cluster cores; a 10^12-doc export uses 10^5 shards, each
+    a few million manifest rows of (id, tokens) — far under Arrow group
+    limits). Returns (id, tokens, shard, pack, pos)."""
+    strata = deterministic_shuffle(
+        df.select(id_col, token_col), id_col, n_shards, salt
+    )
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["__order", id_col]).reset_index(drop=True)
+        packs, poss = [], []
+        pack_id, fill, pos = 0, 0, 0
+        for t in pdf[token_col].astype("int64"):
+            if fill > 0 and fill + t > capacity:
+                pack_id += 1
+                fill = 0
+                pos = 0
+            packs.append(pack_id)
+            poss.append(pos)
+            fill += t
+            pos += 1
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "tokens": pdf[token_col].astype("int64"),
+                "shard": pdf["__shard"].astype("int32"),
+                "pack": pd.Series(packs, dtype="int64"),
+                "pos": pd.Series(poss, dtype="int32"),
+            }
+        )
+
+    out_schema = f"`{id_col}` {id_t}, tokens long, shard int, pack long, pos int"
+    return strata.groupBy("__shard").applyInPandas(pack, out_schema)

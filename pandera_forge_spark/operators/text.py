@@ -174,6 +174,139 @@ def repetition_metrics(
     )
 
 
+def contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination check: per document, the fraction of its
+    DISTINCT token n-gram shingles that also occur anywhere in
+    ``benchmark`` — the standard train/eval leakage test a training-data
+    pipeline runs before export (an eval question whose shingles all
+    appear in a training doc is leaked, not learned).
+
+    Shape for 10^12 docs vs a ~10^5-doc eval set: the benchmark
+    collapses to its DISTINCT shingle set once (tiny — eval sets are
+    small by construction) and is broadcast, so the probe is a map-side
+    hash lookup with NO shuffle; the only shuffle is the per-doc
+    groupBy, which partial-aggregates map-side (count/sum are
+    algebraic). Pass ``broadcast=False`` to shuffle-join instead when
+    the "benchmark" side is itself huge (corpus-vs-corpus overlap).
+
+    Returns (id, n_shingles, n_contaminated, contamination_ratio).
+    Empty/whitespace docs have the single whole-doc shingle ''
+    (see ``dedup.shingles``) and score 0 unless the benchmark also
+    contains an empty doc.
+    """
+    from pandera_forge_spark.operators.dedup import shingles
+
+    bench = (
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("__s"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    if broadcast:
+        bench = F.broadcast(bench)
+    doc_sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__s")
+    )
+    return (
+        doc_sh.join(bench, "__s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_ratio",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    broadcast_df_threshold: bool = True,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the keyword-extraction /
+    topic-fingerprint primitive (dedup clustering labels, corpus search,
+    boilerplate spotting all start from it).
+
+    tf = raw term count within the doc; idf = ln((1+N)/(1+df)) + 1
+    (smoothed, always positive); score = tf·idf rounded to 6 digits.
+    Ties break deterministically (score desc, term asc).
+
+    Scale shape: one shuffle to (doc, term) counts (map-side combine —
+    zipf hot terms collapse before the exchange), one vocab-keyed
+    aggregation for document frequency (vocab ≪ corpus; broadcast back
+    when it fits, else a term-keyed shuffle join), the corpus size N as
+    a broadcast 1-row cross join, and a per-doc window for top-k. The
+    window's partition is doc_id — millions of small partitions, no
+    skew (a doc has at most its own length in distinct terms).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if broadcast_df_threshold:
+        dfreq = F.broadcast(dfreq)
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.lit(1.0) + F.col("__n")) / (F.lit(1.0) + F.col("df")))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )
+
+
+def filter_funnel(
+    df: DataFrame, rules: dict[str, Column]
+) -> DataFrame:
+    """Sequential quality-filter funnel report (C4/Gopher cleaning
+    shape): for each named rule, how many docs that SURVIVED all earlier
+    rules are dropped by this one, plus the final survivor count — the
+    per-stage attrition table every curation run publishes.
+
+    ONE full-scan aggregation: `dropped_at(i) = Σ (pass₁∧…∧passᵢ₋₁ ∧
+    ¬passᵢ)` — all algebraic sums, partial-aggregated map-side, no
+    shuffle beyond the 1-row final combine. Returns one row:
+    (total, dropped_<rule>..., survivors).
+    """
+    names = list(rules)
+    aggs = [F.count(F.lit(1)).alias("total")]
+    so_far = F.lit(True)
+    for name in names:
+        pred = rules[name]
+        aggs.append(
+            F.sum((so_far & ~pred).cast("long")).alias(f"dropped_{name}")
+        )
+        so_far = so_far & pred
+    aggs.append(F.sum(so_far.cast("long")).alias("survivors"))
+    return df.agg(*aggs)
+
+
 def top_ngrams(
     df: DataFrame, text_col: str, k: int = 100, n: int = 3
 ) -> DataFrame:

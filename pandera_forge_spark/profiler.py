@@ -474,3 +474,40 @@ def profile_by_group(
     columns = list(columns or [c for c in df.columns if c not in set(group_cols)])
     exprs = stat_exprs(df, columns, exact_distinct, detect_patterns)
     return df.groupBy(*[F.col(g) for g in group_cols]).agg(*exprs)
+
+
+def bucket_expr(col, edges: Sequence[float]):
+    """width_bucket-style bucket id for explicit ascending ``edges``:
+    0 for x < edges[0], i for edges[i-1] <= x < edges[i], len(edges)
+    for x >= edges[-1]. Pure column algebra (a sum of casts), so it
+    compiles into whole-stage codegen and partial-aggregates."""
+    b = F.lit(0)
+    for e in edges:
+        b = b + (col >= F.lit(e)).cast("int")
+    return b
+
+
+def histogram(
+    df: DataFrame, col, edges: Sequence[float], group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Histogram of an arbitrary numeric expression over explicit bin
+    edges — the distribution summary a curation run publishes per
+    corpus slice (token-length histograms size training buckets;
+    per-partition histograms feed the PSI drift check).
+
+    One hash aggregation keyed on (group_cols…, bucket): count + min +
+    max per bin, all algebraic, map-side combined — the shuffle carries
+    at most |groups|·(len(edges)+1) rows regardless of input size.
+    Null inputs are dropped (no bucket). Bins follow ``bucket_expr``.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    keys = [*group_cols, bucket_expr(col, edges).alias("bucket")]
+    return (
+        df.where(col.isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(col).alias("lo"),
+            F.max(col).alias("hi"),
+        )
+    )

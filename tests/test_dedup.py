@@ -295,3 +295,58 @@ def test_dedup_near_composite(spark):
         "text", "id", method="simhash",
     )
     assert sorted(r["id"] for r in sv2.collect()) == [1, 7]
+
+
+def test_incremental_near_dup(spark):
+    """New docs match the standing corpus through the band-index probe:
+    planted copies are found with jaccard 1.0 / >= threshold, unrelated
+    new docs match nothing, and new-vs-new pairs are NOT emitted (the
+    operator only joins across the two frames)."""
+    from pandera_forge_spark.operators.dedup import near_duplicates_incremental
+
+    corpus = spark.createDataFrame(
+        [(1, BASE), (2, OTHER), (3, "short text")], "id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (100, BASE),                  # exact copy of corpus 1
+            (101, NEAR),                  # near copy of corpus 1
+            (102, "fresh unseen content about entirely new topics"),
+            (103, BASE),                  # also a copy — but 100~103 must NOT pair
+        ],
+        "id long, text string",
+    )
+    got = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in near_duplicates_incremental(
+            corpus, new, "text", "id", threshold=0.5
+        ).collect()
+    }
+    assert got[(100, 1)] == 1.0
+    assert got[(103, 1)] == 1.0
+    assert (101, 1) in got and got[(101, 1)] >= 0.5
+    assert all(n != 102 for n, _ in got)
+    assert all(c in (1, 2, 3) for _, c in got)  # never new-vs-new
+
+
+def test_incremental_viral_corpus_capped(spark):
+    """A new doc probing a viral corpus bucket (300 identical corpus
+    docs) meets only the min-id hub representative, not all 300 —
+    join fan-out stays linear in the new side."""
+    from pandera_forge_spark.operators.dedup import near_duplicates_incremental
+
+    corpus_rows = [(i, BASE) for i in range(300)] + [(1000, OTHER)]
+    corpus = spark.createDataFrame(corpus_rows, "id long, text string")
+    new = spark.createDataFrame([(5000, BASE)], "id long, text string")
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in near_duplicates_incremental(
+            corpus, new, "text", "id", threshold=0.9, max_bucket=50
+        ).collect()
+    }
+    assert got == {(5000, 0)}
+    # uncapped finds all 300 (test scale only)
+    un = near_duplicates_incremental(
+        corpus, new, "text", "id", threshold=0.9, max_bucket=None
+    ).count()
+    assert un == 300

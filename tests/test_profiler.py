@@ -194,3 +194,22 @@ def test_fused_stats_frame_sampled(spark):
     row = fused_stats_frame(df, pattern_sample=200).collect()[0]
     assert row["__total__"] == 2000
     assert row["s__pat__email"] >= 0.9
+
+
+def test_histogram_buckets(spark):
+    from pyspark.sql import functions as F
+
+    from pandera_forge_spark.profiler import histogram
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 15), ("a", 25), ("b", 10), ("b", None)],
+        "g string, v int",
+    )
+    rows = histogram(df, F.col("v"), [10.0, 20.0], group_cols=["g"]).collect()
+    got = {(r["g"], r["bucket"]): (r["n"], r["lo"], r["hi"]) for r in rows}
+    # edges [10,20): bucket 0 = <10, 1 = [10,20), 2 = >=20; nulls dropped
+    assert got[("a", 0)] == (1, 5, 5)
+    assert got[("a", 1)] == (1, 15, 15)
+    assert got[("a", 2)] == (1, 25, 25)
+    assert got[("b", 1)] == (1, 10, 10)
+    assert len(got) == 4

@@ -213,3 +213,49 @@ def test_deterministic_shuffle_projection_only(spark):
     # shard/order assignment itself adds no shuffle; the export's
     # repartition(__shard) is the single intended exchange
     assert "Exchange" not in plan
+
+
+def test_pack_concat_split(spark):
+    from pandera_forge_spark.operators.sampling import pack_concat_split
+
+    df = spark.createDataFrame(
+        [(i, 60) for i in range(10)], "id long, tok int"
+    )
+    m = pack_concat_split(df, "id", "tok", 100, n_shards=1).collect()
+    rows = sorted(m, key=lambda r: r["start_offset"])
+    # concatenated offsets are 0,60,120,... regardless of input order
+    assert [r["start_offset"] for r in rows] == [60 * i for i in range(10)]
+    # doc at offset 60 straddles packs 0 and 1 (60..119 vs capacity 100)
+    assert (rows[1]["pack_first"], rows[1]["pack_last"]) == (0, 1)
+    # total span: last doc ends at 600 -> pack_last floor(599/100)=5
+    assert rows[-1]["pack_last"] == 5
+    # determinism: same result under different input partitioning
+    again = pack_concat_split(df.repartition(7), "id", "tok", 100, n_shards=1).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, m))
+
+
+def test_pack_greedy(spark):
+    from pandera_forge_spark.operators.sampling import pack_greedy
+
+    # tokens chosen so greedy behavior is visible: capacity 100
+    df = spark.createDataFrame(
+        [(1, 70), (2, 40), (3, 30), (4, 150), (5, 10)], "id long, tok int"
+    )
+    m = {r["id"]: r for r in pack_greedy(df, "id", "tok", 100, n_shards=1).collect()}
+    # no pack except oversized-doc packs exceeds capacity
+    by_pack = {}
+    for r in m.values():
+        by_pack.setdefault(r["pack"], []).append(r)
+    for rows in by_pack.values():
+        total = sum(r["tokens"] for r in rows)
+        assert total <= 100 or len(rows) == 1
+    # the 150-token doc sits alone
+    big = m[4]
+    assert len(by_pack[big["pack"]]) == 1
+    # positions are 0..k-1 within each pack (order by pos)
+    for rows in by_pack.values():
+        assert sorted(r["pos"] for r in rows) == list(range(len(rows)))
+    # determinism across partitioning
+    again = {r["id"]: (r["pack"], r["pos"])
+             for r in pack_greedy(df.repartition(5), "id", "tok", 100, n_shards=1).collect()}
+    assert again == {k: (r["pack"], r["pos"]) for k, r in m.items()}

@@ -105,3 +105,86 @@ def test_top_ngrams(spark):
     assert all(rows[i]["doc_freq"] >= rows[i + 1]["doc_freq"] for i in range(2))
     whole = top_ngrams(df.where(F.col("id") == 4), "text", k=5).collect()
     assert [r["ngram"] for r in whole] == ["a dog"]
+
+
+def test_contamination(spark):
+    from pandera_forge_spark.operators.text import contamination
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),        # fully contained: ratio 1.0
+            (2, "alpha beta gamma nothing else"), # 1 of 3 shingles shared
+            (3, "totally different words here"),  # 0 overlap
+            (4, "xy"),                            # <3 tokens: whole-doc shingle
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: (r["n_shingles"], r["n_contaminated"], r["contamination_ratio"])
+        for r in contamination(corpus, bench, "text", "id").collect()
+    }
+    assert got[1] == (2, 2, 1.0)
+    assert got[2] == (3, 1, round(1 / 3, 6))
+    assert got[3] == (2, 0, 0.0)
+    assert got[4] == (1, 0, 0.0)
+    # shuffle-join mode gives identical answers
+    got2 = {
+        r["id"]: (r["n_shingles"], r["n_contaminated"], r["contamination_ratio"])
+        for r in contamination(corpus, bench, "text", "id", broadcast=False).collect()
+    }
+    assert got2 == got
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    from pandera_forge_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry apple"),
+        ],
+        "id long, text string",
+    )
+    rows = tfidf_top_terms(df, "text", "id", k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r)
+    # doc 1: apple tf=2 df=2 -> 2*(ln(4/3)+1); banana tf=1 df=2
+    idf2 = math.log(4 / 3) + 1
+    assert by_doc[1][0]["term"] == "apple"
+    assert by_doc[1][0]["tfidf"] == round(2 * idf2, 6)
+    assert by_doc[1][0]["rank"] == 1
+    # doc 2: banana and cherry both tf=1 df=2 -> tie broken term asc
+    assert [r["term"] for r in by_doc[2]] == ["banana", "cherry"]
+    # every doc emits at most k rows, ranks are 1..k
+    assert all([r["rank"] for r in v] == list(range(1, len(v) + 1))
+               for v in by_doc.values())
+
+
+def test_filter_funnel(spark):
+    from pyspark.sql import functions as F
+
+    from pandera_forge_spark.operators.text import filter_funnel, token_count
+
+    df = spark.createDataFrame(
+        [
+            (1, "ok " * 30),            # passes both
+            (2, "x"),                   # fails chars (never reaches tokens)
+            (3, "word " * 12),          # >= 50 chars but only 12 tokens
+        ],
+        "id long, text string",
+    )
+    c = F.col("text")
+    row = filter_funnel(
+        df, {"chars": F.length(c) >= 50, "tokens": token_count(c) >= 20}
+    ).collect()[0]
+    assert row["total"] == 3
+    assert row["dropped_chars"] == 1
+    assert row["dropped_tokens"] == 1   # doc 3 only; doc 2 already gone
+    assert row["survivors"] == 1
