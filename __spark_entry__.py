@@ -938,6 +938,71 @@ FROM documents WHERE doc_id % 25 = 0 ORDER BY 1
 """
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source duplicate overlap matrix (operators/dedup.py
+    cross_group_duplicates): planted copies of every 7th doc under a
+    synthetic source 'srcX' guarantee each real source overlaps it;
+    any NATURAL cross-source text collisions match too because the
+    oracle replays the identical fingerprint + join, not a planted
+    list."""
+    from pandera_forge_spark.operators.dedup import cross_group_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    planted = docs.unionByName(
+        docs.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            "text",
+            F.lit("srcX").alias("source"),
+        )
+    )
+    return cross_group_duplicates(planted, "text", "source").orderBy(
+        "group_a", "group_b"
+    )
+
+
+SQL_SOURCE_OVERLAP = rf"""
+WITH d AS (
+  SELECT text, source FROM documents
+  UNION ALL
+  SELECT text, 'srcX' AS source FROM documents WHERE doc_id % 7 = 0
+), fp AS (
+  SELECT DISTINCT {_FP_SQL.format(c="text")} AS f, source FROM d
+)
+SELECT a.source AS group_a, b.source AS group_b, COUNT(*) AS n_shared
+FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_embedding_drift(spark, sf_dir):
+    """Embedding centroid drift per label (operators/similarity.py
+    centroid_drift): per-group and global per-dimension means (pure
+    algebraic aggregates, O(groups×dim) cells shuffled) and the cosine
+    between them. The oracle recomputes all 64 dimension averages and
+    the cosine arithmetic in DuckDB."""
+    from pandera_forge_spark.operators.similarity import centroid_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return centroid_drift(emb, "embedding", "label", 64).orderBy("label")
+
+
+def _sql_embedding_drift(dim: int = 64) -> str:
+    cs = ", ".join(f"avg(embedding[{i + 1}]) AS c_{i}" for i in range(dim))
+    gs = ", ".join(f"avg(embedding[{i + 1}]) AS g_{i}" for i in range(dim))
+    dot = " + ".join(f"c_{i} * g_{i}" for i in range(dim))
+    nc = " + ".join(f"c_{i} * c_{i}" for i in range(dim))
+    ng = " + ".join(f"g_{i} * g_{i}" for i in range(dim))
+    return f"""
+WITH per AS (
+  SELECT label, {cs}, COUNT(*) AS n FROM embeddings GROUP BY label
+), g AS (
+  SELECT {gs} FROM embeddings
+)
+SELECT label, n, round(({dot}) / (sqrt({nc}) * sqrt({ng})), 6) AS cos_to_global
+FROM per, g ORDER BY label
+"""
+
+
 def q_incremental_near_dup(spark, sf_dir):
     """Incremental (new-vs-corpus) near-dedup
     (operators/dedup.py near_duplicates_incremental): the full
@@ -2123,6 +2188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_viral_capped": q_near_dup_viral_capped,
         "near_dup_simhash": q_near_dup_simhash,
         "incremental_near_dup": q_incremental_near_dup,
+        "source_overlap": q_source_overlap,
+        "embedding_drift": q_embedding_drift,
         "dedup_clusters": q_dedup_clusters,
         "dedup_near_dropped": q_dedup_near_dropped,
         "stratified_sample_lang": q_stratified_sample_lang,
@@ -2194,6 +2261,8 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_viral_capped": SQL_NEAR_DUP_VIRAL_CAPPED,
         "near_dup_simhash": SQL_NEAR_DUP_SIMHASH,
         "incremental_near_dup": SQL_INCREMENTAL_NEAR_DUP,
+        "source_overlap": SQL_SOURCE_OVERLAP,
+        "embedding_drift": _sql_embedding_drift(),
         "dedup_near_dropped": SQL_DEDUP_NEAR_DROPPED,
         "stratified_sample_lang": SQL_STRATIFIED_SAMPLE_LANG,
         "token_budget_lang": SQL_TOKEN_BUDGET_LANG,

@@ -440,6 +440,37 @@ def near_duplicates_incremental(
         new_sh.unpersist()
 
 
+def cross_group_duplicates(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Cross-slice duplicate overlap matrix: for every pair of groups
+    (sources, crawls, snapshots…), how many normalized-text
+    fingerprints occur in BOTH — the corpus-provenance diagnostic that
+    tells you which feeds are re-crawling each other before you decide
+    survivor policy.
+
+    Shape: reduce to DISTINCT (fingerprint, group) rows (exact dedup's
+    md5 normalization — one shuffle), self-equi-join on the
+    fingerprint. Per-key fan-out is bounded by the number of groups
+    (≤ #groups² pairs per fingerprint, and #groups is small by
+    definition), so the join is linear in the corpus no matter how
+    viral any single text is. Output is O(#groups²) rows."""
+    from pandera_forge_spark.operators.text import fingerprint
+
+    fp = df.select(
+        fingerprint(F.col(text_col)).alias("__fp"),
+        F.col(group_col).alias("__g"),
+    ).distinct()
+    a = fp.select("__fp", F.col("__g").alias("group_a"))
+    b = fp.select("__fp", F.col("__g").alias("group_b"))
+    return (
+        a.join(b, "__fp")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 # -------------------------------------------------------------- simhash
 
 def simhash64(col: Column, seed: int = 42) -> Column:

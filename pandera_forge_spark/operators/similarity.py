@@ -107,6 +107,51 @@ def knn_join(
     )
 
 
+def centroid_exprs(vec_col: str, dim: int) -> list[Column]:
+    """Per-dimension mean expressions for a fixed-width vector column —
+    dim avg() aggregates, all algebraic (partial sums combine
+    map-side), so a grouped centroid never explodes rows: the shuffle
+    carries O(groups × dim) cells regardless of corpus size."""
+    return [
+        F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"c_{i}")
+        for i in range(dim)
+    ]
+
+
+def centroid_drift(
+    df: DataFrame, vec_col: str, group_col: str, dim: int
+) -> DataFrame:
+    """Embedding-space drift per slice: cosine similarity between each
+    group's centroid and the global centroid (plus the group's row
+    count). A slice whose centroid swings away from the corpus mean
+    signals topical/distributional shift — the embedding analog of the
+    PSI/KS drift checks (drift.py) for columns.
+
+    Two aggregations (one grouped, one global — both single-pass
+    algebraic), a broadcast 1-row cross join, then pure column
+    arithmetic for the cosine over 3·dim terms. No explode, no UDF;
+    scales to any corpus because only O(groups × dim) numbers ever
+    move."""
+    per = df.groupBy(F.col(group_col)).agg(
+        *centroid_exprs(vec_col, dim), F.count(F.lit(1)).alias("n")
+    )
+    glob = df.agg(
+        *[
+            F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"g_{i}")
+            for i in range(dim)
+        ]
+    )
+    joined = per.crossJoin(F.broadcast(glob))
+    dot_gg = sum(F.col(f"c_{i}") * F.col(f"g_{i}") for i in range(dim))
+    n_c = F.sqrt(sum(F.col(f"c_{i}") * F.col(f"c_{i}") for i in range(dim)))
+    n_g = F.sqrt(sum(F.col(f"g_{i}") * F.col(f"g_{i}") for i in range(dim)))
+    return joined.select(
+        F.col(group_col),
+        F.col("n"),
+        F.round(dot_gg / (n_c * n_g), 6).alias("cos_to_global"),
+    )
+
+
 def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (unit Gaussians, seeded)."""
     rng = random.Random(seed)

@@ -350,3 +350,25 @@ def test_incremental_viral_corpus_capped(spark):
         corpus, new, "text", "id", threshold=0.9, max_bucket=None
     ).count()
     assert un == 300
+
+
+def test_cross_group_duplicates(spark):
+    """Shared fingerprints are counted per group PAIR; normalization
+    (case/punctuation) applies; within-group dups don't inflate."""
+    from pandera_forge_spark.operators.dedup import cross_group_duplicates
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello World", "a"),
+            (2, "hello, world!", "b"),   # same fp as 1 after normalization
+            (3, "hello world", "c"),     # same fp again
+            (4, "unique to a", "a"),
+            (5, "Hello World", "a"),     # duplicate within a: no self-pair
+        ],
+        "id long, text string, src string",
+    )
+    got = {
+        (r["group_a"], r["group_b"]): r["n_shared"]
+        for r in cross_group_duplicates(df, "text", "src").collect()
+    }
+    assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}

@@ -342,3 +342,25 @@ def test_dedup_near_embeddings_composite(spark):
     assert sorted(r["vec_id"] for r in survivors.collect()) == [1, 10, 11]
     got = {r["id"]: r["cluster_id"] for r in mapping.collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_centroid_drift(spark):
+    """A group at the global centroid scores cos 1.0; an orthogonal
+    group scores by the cosine arithmetic; counts ride along."""
+    from pandera_forge_spark.operators.similarity import centroid_drift
+
+    rows = [
+        (1, [1.0, 0.0], "x"),
+        (2, [1.0, 0.0], "x"),
+        (3, [0.0, 1.0], "y"),
+        (4, [0.0, 1.0], "y"),
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>, g string")
+    got = {r["g"]: r for r in centroid_drift(df, "vec", "g", 2).collect()}
+    # global centroid = (0.5, 0.5); each group centroid is a unit axis
+    import math
+
+    expect = round(0.5 / (1.0 * math.sqrt(0.5)), 6)
+    assert got["x"]["cos_to_global"] == expect
+    assert got["y"]["cos_to_global"] == expect
+    assert got["x"]["n"] == 2 and got["y"]["n"] == 2
