@@ -165,3 +165,57 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_actual")
         spark.sql("DROP TABLE IF EXISTS bk_expected")
+
+
+def test_contamination_broadcasts_and_stays_jvm(spark):
+    """The eval-set shingle probe must be a BroadcastHashJoin (no
+    shuffle of the corpus for the join) with zero Python UDFs."""
+    from pandera_forge_spark.operators.text import contamination
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    out = contamination(corpus, bench, "text", "doc_id")
+    assert has_broadcast_hash_join(out)
+    assert not has_python_udf(out)
+
+
+def test_tfidf_no_udf_no_expand(spark):
+    from pandera_forge_spark.operators.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = tfidf_top_terms(docs, "text", "doc_id", k=3)
+    assert not has_python_udf(out)
+    assert not has_expand(out)
+
+
+def test_pack_concat_split_single_shuffle(spark):
+    """The concat-split manifest is ONE exchange (the per-shard window
+    partitioning) and no UDF; pack_greedy is the declared Arrow path."""
+    from pandera_forge_spark.operators.sampling import (
+        pack_concat_split,
+        pack_greedy,
+    )
+    from pandera_forge_spark.plans import executed_plan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    m = pack_concat_split(docs, "doc_id", "n_chars", 2048, n_shards=4)
+    plan = executed_plan(m)
+    assert plan.count("Exchange") == 1
+    assert not has_python_udf(m)
+    g = pack_greedy(docs, "doc_id", "n_chars", 2048, n_shards=4)
+    assert "FlatMapGroupsInPandas" in executed_plan(g)
+
+
+def test_centroid_drift_no_explode(spark):
+    """Centroids come from algebraic per-dimension averages — the plan
+    must contain no Generate (explode) and no UDF."""
+    from pandera_forge_spark.operators.similarity import centroid_drift
+    from pandera_forge_spark.plans import executed_plan
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = centroid_drift(emb, "embedding", "label", 64)
+    plan = executed_plan(out)
+    assert "Generate" not in plan
+    assert not has_python_udf(out)
+    assert has_broadcast_hash_join(out) or "BroadcastNestedLoopJoin" in plan
