@@ -938,6 +938,71 @@ FROM documents WHERE doc_id % 25 = 0 ORDER BY 1
 """
 
 
+def q_corr_lineitem(spark, sf_dir):
+    """Pairwise Pearson correlations (profiler.correlation_matrix):
+    all C(4,2) cells from ONE moment aggregation, exploded to long
+    form. DuckDB's corr() replays each cell."""
+    from pandera_forge_spark.profiler import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ).orderBy("col_a", "col_b")
+
+
+def _sql_corr_lineitem() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    selects = " UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"round(corr({a}, {b}), 6) AS corr FROM lineitem"
+        for a, b in pairs
+    )
+    return f"SELECT * FROM ({selects}) ORDER BY col_a, col_b"
+
+
+def q_outliers_events(spark, sf_dir):
+    """IQR outlier extraction (validator.outlier_rows): every ~997th
+    event's value is inflated 50x, then rows outside the Tukey fence
+    [q1-1.5·IQR, q3+1.5·IQR] are emitted with the fences that caught
+    them. exact=True percentiles for oracle parity (approx_percentile
+    is the at-scale default); DuckDB replays the same interpolated
+    quantiles and the strict-inequality fence."""
+    from pandera_forge_spark.validator import outlier_rows
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(F.col("event_id") % 997 == 0, F.col("value") * 50).otherwise(
+            F.col("value")
+        ),
+    )
+    out = outlier_rows(ev, ["value"], ["event_id"], factor=1.5, exact=True)
+    return out.select(
+        "event_id",
+        "column",
+        F.round("value", 6).alias("value"),
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+    ).orderBy("event_id")
+
+
+SQL_OUTLIERS_EVENTS = """
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN event_id % 997 = 0 THEN value * 50 ELSE value END AS value
+  FROM events
+), q AS (
+  SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+  FROM ev
+), f AS (
+  SELECT q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q
+)
+SELECT event_id, 'value' AS "column", round(value, 6) AS value,
+       round(lo, 6) AS lo, round(hi, 6) AS hi
+FROM ev, f WHERE value < lo OR value > hi ORDER BY event_id
+"""
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source duplicate overlap matrix (operators/dedup.py
     cross_group_duplicates): planted copies of every 7th doc under a
@@ -2190,6 +2255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_near_dup": q_incremental_near_dup,
         "source_overlap": q_source_overlap,
         "embedding_drift": q_embedding_drift,
+        "corr_lineitem": q_corr_lineitem,
+        "outliers_events": q_outliers_events,
         "dedup_clusters": q_dedup_clusters,
         "dedup_near_dropped": q_dedup_near_dropped,
         "stratified_sample_lang": q_stratified_sample_lang,
@@ -2263,6 +2330,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_near_dup": SQL_INCREMENTAL_NEAR_DUP,
         "source_overlap": SQL_SOURCE_OVERLAP,
         "embedding_drift": _sql_embedding_drift(),
+        "corr_lineitem": _sql_corr_lineitem(),
+        "outliers_events": SQL_OUTLIERS_EVENTS,
         "dedup_near_dropped": SQL_DEDUP_NEAR_DROPPED,
         "stratified_sample_lang": SQL_STRATIFIED_SAMPLE_LANG,
         "token_budget_lang": SQL_TOKEN_BUDGET_LANG,

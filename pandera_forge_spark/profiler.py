@@ -487,6 +487,46 @@ def bucket_expr(col, edges: Sequence[float]):
     return b
 
 
+def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlations for the given numeric columns —
+    the cross-column drift/sanity signal (a price column decorrelating
+    from quantity is a pipeline bug even when both pass their
+    univariate checks).
+
+    ONE aggregation computing all C(n,2) corr() cells (each an
+    algebraic moment aggregate, map-side combined — no per-pair scans,
+    no MLlib assembler detour), then the 1-row result is exploded to
+    long form (col_a, col_b, corr). Cost is a single scan regardless
+    of pair count; n² expression cells are fine for the tens of
+    numeric columns a real table has."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    # corr() itself raises DIVIDE_BY_ZERO under ANSI when a column is
+    # constant; build it from covar_samp / (stddev·stddev) with
+    # try_divide so degenerate pairs yield NULL instead of aborting
+    # the whole profile job. Identical value elsewhere (both are the
+    # sample Pearson estimator).
+    exprs = []
+    for a, b in pairs:
+        ca, cb = F.col(a).cast("double"), F.col(b).cast("double")
+        exprs.append(
+            F.try_divide(
+                F.covar_samp(ca, cb), F.stddev_samp(ca) * F.stddev_samp(cb)
+            ).alias(f"{a}__{b}")
+        )
+    row = df.agg(*exprs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(F.col(f"{a}__{b}"), 6).alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return row.select(F.explode(structs).alias("p")).select("p.*")
+
+
 def histogram(
     df: DataFrame, col, edges: Sequence[float], group_cols: Sequence[str] = ()
 ) -> DataFrame:

@@ -440,3 +440,103 @@ def functional_dependency_violations(
         )
     out = df.groupBy(*dets).agg(*aggs)
     return out.where(F.col("n_dependent_values") > 1)
+
+
+def iqr_bounds(
+    df: DataFrame,
+    cols: Sequence[str],
+    factor: float = 1.5,
+    exact: bool = False,
+    relative_error: float = 0.001,
+):
+    """Tukey-fence bounds per column: (q1, q3, lo=q1-f·IQR,
+    hi=q3+f·IQR) as a driver dict from ONE aggregation over all
+    columns.
+
+    ``exact=False`` (the at-scale default) uses ``approx_percentile``
+    (KLL-style mergeable sketch, bounded memory per column);
+    ``exact=True`` uses the exact interpolating ``percentile``
+    aggregate — its buffer holds per-distinct-value counts, fine for
+    bounded-cardinality columns and for oracle parity at test scale,
+    not for 10^12 distinct doubles."""
+    exprs = []
+    for c in cols:
+        col = F.col(c).cast("double")
+        if exact:
+            exprs += [
+                F.percentile(col, F.lit(0.25)).alias(f"{c}__q1"),
+                F.percentile(col, F.lit(0.75)).alias(f"{c}__q3"),
+            ]
+        else:
+            exprs += [
+                F.approx_percentile(col, F.lit(0.25), F.lit(int(1 / relative_error))).alias(f"{c}__q1"),
+                F.approx_percentile(col, F.lit(0.75), F.lit(int(1 / relative_error))).alias(f"{c}__q3"),
+            ]
+    row = df.agg(*exprs).collect()[0]
+    out = {}
+    for c in cols:
+        q1, q3 = row[f"{c}__q1"], row[f"{c}__q3"]
+        if q1 is None or q3 is None:
+            out[c] = None
+            continue
+        iqr = q3 - q1
+        out[c] = {"q1": q1, "q3": q3, "lo": q1 - factor * iqr, "hi": q3 + factor * iqr}
+    return out
+
+
+def outlier_rows(
+    df: DataFrame,
+    cols: Sequence[str],
+    id_cols: Sequence[str],
+    factor: float = 1.5,
+    exact: bool = False,
+) -> DataFrame:
+    """IQR (Tukey-fence) outlier extraction — the numeric-anomaly
+    companion to the constraint checks: rows whose value falls strictly
+    outside [q1 - f·IQR, q3 + f·IQR] for any requested column, emitted
+    as (ids…, column, value, lo, hi).
+
+    Two jobs by construction: the quantile aggregation (O(cols)
+    sketch cells to the driver), then one scan with the fences as
+    LITERALS — the filter is an OR of range predicates the parquet
+    reader can evaluate against row-group statistics (min/max pruning),
+    exactly like violation_rows. Columns whose bounds are null (empty
+    input) are skipped."""
+    bounds = iqr_bounds(df, cols, factor, exact)
+    branches = []
+    for c in cols:
+        b = bounds.get(c)
+        if b is None:
+            continue
+        col = F.col(c).cast("double")
+        pred = (col < F.lit(b["lo"])) | (col > F.lit(b["hi"]))
+        branches.append(
+            (
+                pred,
+                F.struct(
+                    F.lit(c).alias("column"),
+                    col.alias("value"),
+                    F.lit(b["lo"]).alias("lo"),
+                    F.lit(b["hi"]).alias("hi"),
+                ),
+            )
+        )
+    if not branches:
+        return df.select(*id_cols).limit(0).select(
+            *id_cols,
+            F.lit("").alias("column"),
+            F.lit(0.0).alias("value"),
+            F.lit(0.0).alias("lo"),
+            F.lit(0.0).alias("hi"),
+        )
+    hits = F.array(
+        *[F.when(pred, s).otherwise(F.lit(None)) for pred, s in branches]
+    )
+    any_pred = branches[0][0]
+    for pred, _ in branches[1:]:
+        any_pred = any_pred | pred
+    return (
+        df.where(any_pred)
+        .select(*id_cols, F.explode(F.filter(hits, lambda x: x.isNotNull())).alias("__o"))
+        .select(*id_cols, "__o.column", "__o.value", "__o.lo", "__o.hi")
+    )

@@ -213,3 +213,23 @@ def test_histogram_buckets(spark):
     assert got[("a", 2)] == (1, 25, 25)
     assert got[("b", 1)] == (1, 10, 10)
     assert len(got) == 4
+
+
+def test_correlation_matrix(spark):
+    from pandera_forge_spark.profiler import correlation_matrix
+
+    rows = [(float(i), 2.0 * i + 1, float(-i), 3.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in correlation_matrix(df, ["a", "b", "c"]).collect()
+    }
+    assert got[("a", "b")] == 1.0    # perfectly linear
+    assert got[("a", "c")] == -1.0   # anti-correlated
+    assert got[("b", "c")] == -1.0
+    # constant column -> corr undefined (null), not an error
+    withd = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in correlation_matrix(df, ["a", "d"]).collect()
+    }
+    assert withd[("a", "d")] is None

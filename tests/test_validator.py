@@ -304,3 +304,33 @@ def test_fd_default_plan_has_no_unbounded_buffer(spark):
         .toString()
     )
     assert "collect_set" not in plan and "collect_list" not in plan
+
+
+def test_outlier_rows_tukey_fence(spark):
+    from pandera_forge_spark.validator import iqr_bounds, outlier_rows
+
+    # 1..100 plus two planted anomalies
+    rows = [(i, float(i)) for i in range(1, 101)] + [(900, 1000.0), (901, -500.0)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = outlier_rows(df, ["v"], ["id"], factor=1.5, exact=True).collect()
+    assert {(r["id"], r["value"]) for r in got} == {(900, 1000.0), (901, -500.0)}
+    # fences ride along and bracket the inliers
+    r = got[0]
+    assert r["lo"] < 1.0 and r["hi"] > 100.0 and r["hi"] < 1000.0
+    # approximate mode finds the same planted anomalies here
+    approx = outlier_rows(df, ["v"], ["id"], factor=1.5, exact=False).collect()
+    assert {(r["id"], r["value"]) for r in approx} == {(900, 1000.0), (901, -500.0)}
+    b = iqr_bounds(df, ["v"], exact=True)["v"]
+    assert b["q1"] < b["q3"]
+
+
+def test_outlier_rows_multi_column_and_empty(spark):
+    from pandera_forge_spark.validator import outlier_rows
+
+    rows = [(i, float(i % 10), 5.0) for i in range(50)] + [(99, 500.0, 500.0)]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    got = outlier_rows(df, ["a", "b"], ["id"], exact=True).collect()
+    # the planted row is an outlier in BOTH columns -> two rows
+    assert sorted(r["column"] for r in got if r["id"] == 99) == ["a", "b"]
+    empty = spark.createDataFrame([], "id long, a double")
+    assert outlier_rows(empty, ["a"], ["id"], exact=True).count() == 0
