@@ -1003,6 +1003,241 @@ FROM ev, f WHERE value < lo OR value > hi ORDER BY event_id
 """
 
 
+def q_entropy_lineitem(spark, sf_dir):
+    """Shannon entropy per column (profiler.entropy_profile): one melt
+    + one groupBy shuffle for ALL columns, reduced with the single-pass
+    identity H = log2(N) - Σ c·log2(c)/N. The oracle replays the same
+    identity per column from DuckDB group counts."""
+    from pandera_forge_spark.profiler import entropy_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return entropy_profile(
+        li, ["l_returnflag", "l_linestatus", "l_linenumber"]
+    ).orderBy("column")
+
+
+def _sql_entropy_lineitem() -> str:
+    parts = []
+    for c in ["l_returnflag", "l_linestatus", "l_linenumber"]:
+        parts.append(
+            f"""SELECT '{c}' AS "column", CAST(sum(cnt) AS BIGINT) AS n_values,
+       count(*) AS distinct_count,
+       round(log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt), 6) AS entropy
+FROM (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM lineitem
+      WHERE {c} IS NOT NULL GROUP BY {c})"""
+        )
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
+def q_null_corr_orders(spark, sf_dir):
+    """Co-missingness matrix (profiler.null_correlation): nulls are
+    planted so o_custkey drops on every 5th key and o_totalprice on
+    every 10th (a strict subset — the correlated-failure pattern), then
+    all pairwise (nulls_a, nulls_b, both_null, jaccard) cells come from
+    ONE aggregation. DuckDB replays the conditional counts."""
+    from pandera_forge_spark.profiler import null_correlation
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .withColumn(
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+                F.col("o_custkey")
+            ),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit(None)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+    )
+    return null_correlation(
+        o, ["o_custkey", "o_totalprice", "o_orderpriority"]
+    ).orderBy("col_a", "col_b")
+
+
+SQL_NULL_CORR_ORDERS = """
+WITH o AS (
+  SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END AS a,
+         CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_totalprice END AS b,
+         o_orderpriority AS c
+  FROM orders
+), s AS (
+  SELECT CAST(sum(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         CAST(sum(CASE WHEN a IS NULL AND b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nab,
+         CAST(sum(CASE WHEN a IS NULL AND c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nac,
+         CAST(sum(CASE WHEN b IS NULL AND c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nbc
+  FROM o
+)
+SELECT 'o_custkey' AS col_a, 'o_totalprice' AS col_b, na AS nulls_a, nb AS nulls_b,
+       nab AS both_null,
+       round(CASE WHEN na + nb - nab = 0 THEN NULL
+             ELSE nab / CAST(na + nb - nab AS DOUBLE) END, 6) AS null_jaccard
+FROM s
+UNION ALL
+SELECT 'o_custkey', 'o_orderpriority', na, nc, nac,
+       round(CASE WHEN na + nc - nac = 0 THEN NULL
+             ELSE nac / CAST(na + nc - nac AS DOUBLE) END, 6) FROM s
+UNION ALL
+SELECT 'o_totalprice', 'o_orderpriority', nb, nc, nbc,
+       round(CASE WHEN nb + nc - nbc = 0 THEN NULL
+             ELSE nbc / CAST(nb + nc - nbc AS DOUBLE) END, 6) FROM s
+ORDER BY col_a, col_b
+"""
+
+
+def q_quantile_events(spark, sf_dir):
+    """Per-group quantile table (profiler.quantile_profile): one
+    grouped aggregation where each column contributes a single
+    array-returning percentile cell, exploded to (group, column, prob,
+    value). exact=True (interpolating percentile) for oracle parity;
+    approx_percentile (mergeable KLL-style sketch) is the at-scale
+    default. DuckDB's quantile_cont uses the identical linear
+    interpolation."""
+    from pandera_forge_spark.profiler import quantile_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return quantile_profile(
+        ev,
+        ["value"],
+        [0.1, 0.25, 0.5, 0.75, 0.9],
+        exact=True,
+        group_cols=["event_type"],
+    ).orderBy("event_type", "prob")
+
+
+def _sql_quantile_events() -> str:
+    parts = [
+        f"""SELECT event_type, 'value' AS "column", CAST({p} AS DOUBLE) AS prob,
+       round(quantile_cont(value, {p}), 6) AS value
+FROM events GROUP BY event_type"""
+        for p in (0.1, 0.25, 0.5, 0.75, 0.9)
+    ]
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY event_type, prob"
+    )
+
+
+def q_chunked_docs(spark, sf_dir):
+    """Overlapping document chunking (operators/text.py
+    chunk_documents): size-64 windows at stride 48 — a narrow
+    sequence+posexplode+substring map stage, no shuffle. DuckDB
+    replays the window arithmetic with range()+substr."""
+    from pandera_forge_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 3)
+    out = chunk_documents(docs, "text", ["doc_id"], size=64, overlap=16)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("offset").cast("long").alias("offset"),
+        "chunk_text",
+        F.col("chunk_len").cast("long").alias("chunk_len"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+SQL_CHUNKED_DOCS = """
+SELECT doc_id, CAST(i // 48 AS BIGINT) AS chunk_id, CAST(i AS BIGINT) AS "offset",
+       substr(text, CAST(i + 1 AS INT), 64) AS chunk_text,
+       CAST(length(substr(text, CAST(i + 1 AS INT), 64)) AS BIGINT) AS chunk_len
+FROM (SELECT doc_id, text, unnest(range(0, length(text), 48)) AS i
+      FROM documents WHERE doc_id % 20 = 3 AND length(text) > 0)
+ORDER BY doc_id, chunk_id
+"""
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py weighted_take): Efraimidis–Spirakis keyed by
+    ln(u)/w with u derived from md5(doc_id) — engine-independent, so
+    DuckDB replays the exact key and takes the same 15 docs per
+    language."""
+    from pandera_forge_spark.operators.sampling import weighted_take
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        weighted_take(docs, 15, "doc_id", "n_chars", strata_cols=["lang"])
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("lang", "doc_id")
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1)
+                       / 4294967297.0) / CAST(n_chars AS DOUBLE) DESC,
+                    doc_id
+         ) AS rk
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+) WHERE rk <= 15 ORDER BY lang, doc_id
+"""
+
+
+def q_embedding_health(spark, sf_dir):
+    """Embedding sanity verdict (operators/similarity.py
+    embedding_health): null / wrong-dim / NaN / all-zero vectors are
+    planted on disjoint-precedence vec_id moduli, then ONE scan of
+    higher-order-function conditional counts (exists/transform —
+    JVM-side, no UDF) classifies every row by its first failure.
+    DuckDB replays the same CASE precedence with list functions."""
+    from pandera_forge_spark.operators.similarity import embedding_health
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    planted = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 97 == 0, F.lit(None).cast("array<float>"))
+        .when(F.col("vec_id") % 89 == 0, F.slice(vec, 1, 10))
+        .when(
+            F.col("vec_id") % 83 == 0,
+            F.concat(
+                F.array(F.lit(float("nan")).cast("float")), F.slice(vec, 2, 63)
+            ),
+        )
+        .when(
+            F.col("vec_id") % 79 == 0,
+            F.transform(vec, lambda x: F.lit(0.0).cast("float")),
+        )
+        .otherwise(vec),
+    )
+    out = embedding_health(planted, "embedding", expected_dim=64)
+    return out.withColumn("dim", F.col("dim").cast("long"))
+
+
+SQL_EMBEDDING_HEALTH = """
+WITH p AS (
+  SELECT CASE WHEN vec_id % 97 = 0 THEN NULL
+              WHEN vec_id % 89 = 0 THEN embedding[1:10]
+              WHEN vec_id % 83 = 0 THEN list_concat(['nan'::FLOAT], embedding[2:64])
+              WHEN vec_id % 79 = 0 THEN list_transform(embedding, x -> 0.0::FLOAT)
+              ELSE embedding END AS v
+  FROM embeddings
+), c AS (
+  SELECT v,
+         (v IS NOT NULL AND len(v) != 64) AS wrong_dim,
+         (v IS NOT NULL AND len(list_filter(v, x -> isnan(x) OR x IS NULL)) > 0) AS has_nan,
+         (v IS NOT NULL AND len(list_filter(v, x -> x != 0.0)) = 0) AS is_zero
+  FROM p
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(sum(CASE WHEN wrong_dim THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+       CAST(sum(CASE WHEN NOT wrong_dim AND has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+       CAST(sum(CASE WHEN NOT wrong_dim AND NOT has_nan AND is_zero THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(sum(CASE WHEN v IS NOT NULL AND NOT wrong_dim AND NOT has_nan AND NOT is_zero THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       CAST(64 AS BIGINT) AS dim
+FROM c
+"""
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source duplicate overlap matrix (operators/dedup.py
     cross_group_duplicates): planted copies of every 7th doc under a
@@ -2257,6 +2492,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "corr_lineitem": q_corr_lineitem,
         "outliers_events": q_outliers_events,
+        "entropy_lineitem": q_entropy_lineitem,
+        "null_corr_orders": q_null_corr_orders,
+        "quantile_events": q_quantile_events,
+        "chunked_docs": q_chunked_docs,
+        "weighted_sample": q_weighted_sample,
+        "embedding_health": q_embedding_health,
         "dedup_clusters": q_dedup_clusters,
         "dedup_near_dropped": q_dedup_near_dropped,
         "stratified_sample_lang": q_stratified_sample_lang,
@@ -2332,6 +2573,12 @@ def oracle_sql() -> dict[str, str]:
         "embedding_drift": _sql_embedding_drift(),
         "corr_lineitem": _sql_corr_lineitem(),
         "outliers_events": SQL_OUTLIERS_EVENTS,
+        "entropy_lineitem": _sql_entropy_lineitem(),
+        "null_corr_orders": SQL_NULL_CORR_ORDERS,
+        "quantile_events": _sql_quantile_events(),
+        "chunked_docs": SQL_CHUNKED_DOCS,
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "embedding_health": SQL_EMBEDDING_HEALTH,
         "dedup_near_dropped": SQL_DEDUP_NEAR_DROPPED,
         "stratified_sample_lang": SQL_STRATIFIED_SAMPLE_LANG,
         "token_budget_lang": SQL_TOKEN_BUDGET_LANG,

@@ -353,3 +353,57 @@ def pack_greedy(
 
     out_schema = f"`{id_col}` {id_t}, tokens long, shard int, pack long, pos int"
     return strata.groupBy("__shard").applyInPandas(pack, out_schema)
+
+
+def weighted_take(
+    df: DataFrame,
+    n: int,
+    id_col: str,
+    weight_col: str,
+    strata_cols: Sequence[str] = (),
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (global or
+    per stratum): each row's inclusion probability is proportional to
+    its weight — the quality-score / domain-temperature sampler every
+    training-mix recipe needs, but reproducible on any cluster.
+
+    Efraimidis–Spirakis A-Res: rank by ``ln(u) / w`` descending where
+    ``u`` is a uniform in (0,1) derived from the md5 of the salted id
+    (the same engine-independent trick as ``_rank_key``) — the top n
+    keys ARE an exact weighted sample without replacement. One narrow
+    map to attach keys, one top-n (window per stratum, or TakeOrdered
+    when global) — no iteration, no rejection loop, no rand()
+    nondeterminism. Rows with weight <= 0 or NULL are excluded (their
+    inclusion probability is 0). Ties (u identical) break by id.
+
+    A different ``salt`` draws an independent sample — epochs, CV
+    folds, ablation mixes."""
+    key_hex = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    # first 8 hex chars -> uniform in (0,1); +1 on numerator and +1 on
+    # the 2^32 denominator keep u strictly inside (0,1) so ln(u) is
+    # finite and nonzero
+    u = (F.conv(F.substring(key_hex, 1, 8), 16, 10).cast("double") + 1.0) / float(
+        (1 << 32) + 1
+    )
+    w = F.col(weight_col).cast("double")
+    keyed = df.where(w.isNotNull() & (w > 0)).withColumn(
+        "__wkey", F.log(u) / w
+    )
+    if not strata_cols:
+        # global top-n: orderBy+limit compiles to TakeOrdered (per-
+        # partition heap + driver merge of n rows), NOT a one-task
+        # window over the whole table
+        return (
+            keyed.orderBy(F.col("__wkey").desc(), F.col(id_col))
+            .limit(n)
+            .drop("__wkey")
+        )
+    win = Window.partitionBy(
+        *[F.col(c) for c in strata_cols]
+    ).orderBy(F.col("__wkey").desc(), F.col(id_col))
+    return (
+        keyed.withColumn("__rk", F.row_number().over(win))
+        .where(F.col("__rk") <= n)
+        .drop("__wkey", "__rk")
+    )

@@ -626,3 +626,48 @@ def dedup_near_embeddings(
     )
     survivors = df.join(losers, id_col, "left_anti")
     return survivors, mapping
+
+
+def embedding_health(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    expected_dim: int | None = None,
+) -> DataFrame:
+    """One-row embedding-quality verdict: (n_rows, n_null, n_wrong_dim,
+    n_nan, n_zero, n_ok, dim) — the sanity gate before any ANN /
+    dedup / retrieval step, because one NaN vector silently poisons
+    every cosine it touches and a dimension mismatch crashes the
+    first dot product at hour six of the job.
+
+    ``expected_dim=None`` derives the modal vector length in a first
+    O(1)-row aggregate, then ONE scan computes all counters as
+    conditional counts over higher-order functions (``exists`` /
+    ``aggregate`` — JVM-side, no UDF). A row is n_ok when present,
+    right-sized, finite, and not all-zero; the four failure counters
+    classify each bad row by its FIRST failure in that order, so the
+    counters always sum to n_rows."""
+    vec = F.col(vec_col)
+    if expected_dim is None:
+        expected_dim = df.where(vec.isNotNull()).agg(
+            F.mode(F.size(vec))
+        ).collect()[0][0]
+        if expected_dim is None:
+            expected_dim = 0
+    has_nan = F.exists(vec, lambda x: F.isnan(x) | x.isNull())
+    is_zero = ~F.exists(vec, lambda x: x != 0.0)
+    wrong_dim = F.size(vec) != F.lit(int(expected_dim))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(vec.isNull(), 1)).alias("n_null"),
+        F.count(F.when(vec.isNotNull() & wrong_dim, 1)).alias("n_wrong_dim"),
+        F.count(
+            F.when(vec.isNotNull() & ~wrong_dim & has_nan, 1)
+        ).alias("n_nan"),
+        F.count(
+            F.when(vec.isNotNull() & ~wrong_dim & ~has_nan & is_zero, 1)
+        ).alias("n_zero"),
+        F.count(
+            F.when(vec.isNotNull() & ~wrong_dim & ~has_nan & ~is_zero, 1)
+        ).alias("n_ok"),
+        F.lit(int(expected_dim)).alias("dim"),
+    )

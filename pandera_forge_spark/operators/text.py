@@ -331,3 +331,50 @@ def top_ngrams(
         .orderBy(F.col("doc_freq").desc(), F.col("ngram"))
         .limit(k)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    size: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into fixed-size character windows with
+    optional overlap — the RAG/embedding-pipeline fan-out step (chunk,
+    then embed each chunk). Output: (ids…, chunk_id, offset,
+    chunk_text, chunk_len).
+
+    Pure column algebra: ``sequence(0, len-1, stride)`` generates the
+    offsets, ``explode`` fans them out, ``substring`` slices — one
+    narrow map stage, no shuffle, no Python. The fan-out factor is
+    len/stride per row, exactly the output size; empty documents emit
+    zero chunks. At 100 TB this is the shape you want: chunking is
+    embarrassingly parallel and the explode count is bounded by the
+    data you must emit anyway."""
+    if size <= 0:
+        raise ValueError("size must be positive")
+    if not 0 <= overlap < size:
+        raise ValueError("overlap must be in [0, size)")
+    stride = size - overlap
+    c = F.col(text_col)
+    offsets = F.sequence(
+        F.lit(0), F.length(c) - F.lit(1), F.lit(stride)
+    )
+    out = (
+        df.where(F.length(c) > 0)
+        .select(
+            *id_cols,
+            F.posexplode(offsets).alias("chunk_id", "offset"),
+            c.alias("__t"),
+        )
+        .select(
+            *id_cols,
+            "chunk_id",
+            "offset",
+            F.substring(F.col("__t"), F.col("offset") + 1, F.lit(size)).alias(
+                "chunk_text"
+            ),
+        )
+    )
+    return out.withColumn("chunk_len", F.length("chunk_text"))

@@ -527,6 +527,136 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return row.select(F.explode(structs).alias("p")).select("p.*")
 
 
+def entropy_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Shannon entropy (bits) of each column's value distribution —
+    the cardinality-quality signal the plain distinct count misses: a
+    column that is 99.9% one value and 0.1% long tail has high distinct
+    count but near-zero entropy, which is how template boilerplate and
+    collapsed upstream joins show up in a training corpus.
+
+    One melt (explode of (column, value) structs, nulls excluded) into
+    one ``groupBy(column, value).count`` shuffle for ALL columns, then
+    an O(distinct)-row reduce using the single-pass identity
+    ``H = log2(N) - Σ c·log2(c) / N`` — no per-column scans, no
+    second pass for N. Output: (column, n_values, distinct_count,
+    entropy)."""
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("m")
+    ).select("m.*")
+    counts = (
+        melted.where(F.col("value").isNotNull())
+        .groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.groupBy("column").agg(
+        F.sum("cnt").alias("n_values"),
+        F.count(F.lit(1)).alias("distinct_count"),
+        F.round(
+            F.log2(F.sum("cnt"))
+            - F.sum(F.col("cnt") * F.log2("cnt")) / F.sum("cnt"),
+            6,
+        ).alias("entropy"),
+    )
+
+
+def null_correlation(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Co-missingness matrix: for every column pair, how often the two
+    are null TOGETHER vs separately — nulls that travel in packs mean
+    one upstream failure (a dropped join, a dead extractor), not
+    independent noise, and per-column null-rate checks can't see that.
+
+    ONE aggregation over all C(n,2) pairs (each cell three conditional
+    counts — algebraic, map-side combined), exploded to long form
+    (col_a, col_b, nulls_a, nulls_b, both_null, null_jaccard) where
+    ``null_jaccard = both / (a + b - both)`` (NULL when no nulls at
+    all)."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    exprs = [
+        F.count(F.when(F.col(c).isNull(), 1)).alias(f"__n_{c}") for c in cols
+    ]
+    for a, b in pairs:
+        exprs.append(
+            F.count(
+                F.when(F.col(a).isNull() & F.col(b).isNull(), 1)
+            ).alias(f"__b_{a}__{b}")
+        )
+    row = df.agg(*exprs)
+    structs = []
+    for a, b in pairs:
+        both = F.col(f"__b_{a}__{b}")
+        na, nb = F.col(f"__n_{a}"), F.col(f"__n_{b}")
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                na.alias("nulls_a"),
+                nb.alias("nulls_b"),
+                both.alias("both_null"),
+                F.round(
+                    F.try_divide(both, (na + nb - both).cast("double")), 6
+                ).alias("null_jaccard"),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def quantile_profile(
+    df: DataFrame,
+    cols: Sequence[str],
+    probs: Sequence[float] = (0.01, 0.25, 0.5, 0.75, 0.99),
+    exact: bool = False,
+    relative_error: float = 0.001,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Quantile table for numeric columns, optionally per group —
+    the distribution fingerprint drift baselines and SLA checks read.
+    Output: (group_cols…, column, prob, value).
+
+    One aggregation: each column contributes a single array-returning
+    percentile cell (``approx_percentile`` = mergeable KLL-style
+    sketch, the at-scale default; ``exact=True`` = interpolating exact
+    percentile for oracle parity at test scale), then arrays are
+    zipped with their probs and exploded to long form — O(cols·probs)
+    result rows, never a second scan."""
+    plist = [float(p) for p in probs]
+    pcol = F.array(*[F.lit(p) for p in plist])
+    aggs = []
+    for c in cols:
+        col = F.col(c).cast("double")
+        if exact:
+            aggs.append(F.percentile(col, pcol).alias(f"__q_{c}"))
+        else:
+            aggs.append(
+                F.approx_percentile(
+                    col, pcol, F.lit(int(1 / relative_error))
+                ).alias(f"__q_{c}")
+            )
+    row = df.groupBy(*group_cols).agg(aggs[0], *aggs[1:])
+    structs = []
+    for c in cols:
+        for i, p in enumerate(plist):
+            structs.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.lit(p).alias("prob"),
+                    F.round(F.col(f"__q_{c}")[i], 6).alias("value"),
+                )
+            )
+    return row.select(
+        *group_cols, F.explode(F.array(*structs)).alias("p")
+    ).select(*group_cols, "p.*")
+
+
 def histogram(
     df: DataFrame, col, edges: Sequence[float], group_cols: Sequence[str] = ()
 ) -> DataFrame:

@@ -233,3 +233,72 @@ def test_correlation_matrix(spark):
         for r in correlation_matrix(df, ["a", "d"]).collect()
     }
     assert withd[("a", "d")] is None
+
+
+def test_entropy_profile(spark):
+    from pandera_forge_spark.profiler import entropy_profile
+
+    rows = (
+        [("a", "x")] * 8           # uniform-ish col1, constant col2... see below
+        + [("b", "x")] * 8
+        + [("c", None)] * 4
+    )
+    df = spark.createDataFrame(rows, "c1 string, c2 string")
+    got = {r["column"]: r for r in entropy_profile(df, ["c1", "c2"]).collect()}
+    # c1: 8/20 a, 8/20 b, 4/20 c
+    import math
+    p = [8 / 20, 8 / 20, 4 / 20]
+    want = round(-sum(x * math.log2(x) for x in p), 6)
+    assert got["c1"]["entropy"] == want
+    assert got["c1"]["distinct_count"] == 3 and got["c1"]["n_values"] == 20
+    # c2: constant among non-nulls -> zero entropy; nulls excluded
+    assert got["c2"]["entropy"] == 0.0 and got["c2"]["n_values"] == 16
+
+
+def test_null_correlation(spark):
+    from pandera_forge_spark.profiler import null_correlation
+
+    rows = []
+    for i in range(40):
+        a = None if i % 4 == 0 else i          # 10 nulls
+        b = None if i % 4 == 0 or i == 1 else i  # same 10 + 1 extra
+        c = i  # never null
+        rows.append((a, b, c))
+    df = spark.createDataFrame(rows, "a int, b int, c int")
+    got = {
+        (r["col_a"], r["col_b"]): r
+        for r in null_correlation(df, ["a", "b", "c"]).collect()
+    }
+    ab = got[("a", "b")]
+    assert (ab["nulls_a"], ab["nulls_b"], ab["both_null"]) == (10, 11, 10)
+    assert ab["null_jaccard"] == round(10 / 11, 6)
+    ac = got[("a", "c")]
+    assert ac["both_null"] == 0 and ac["null_jaccard"] == 0.0
+    assert len(got) == 3
+
+
+def test_quantile_profile_exact_and_grouped(spark):
+    from pandera_forge_spark.profiler import quantile_profile
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g in ("x", "y") for v in range(1, 101)],
+        "g string, v double",
+    )
+    got = {
+        (r["column"], r["prob"]): r["value"]
+        for r in quantile_profile(df, ["v"], [0.5], exact=True).collect()
+    }
+    assert got[("v", 0.5)] == 50.5  # 1..100 twice -> median 50.5
+    grouped = {
+        (r["g"], r["prob"]): r["value"]
+        for r in quantile_profile(
+            df, ["v"], [0.25, 0.5], exact=True, group_cols=["g"]
+        ).collect()
+    }
+    assert grouped[("x", 0.5)] == 50.5 and grouped[("y", 0.25)] == 25.75
+    # approx mode lands within the error bound
+    approx = {
+        (r["column"], r["prob"]): r["value"]
+        for r in quantile_profile(df, ["v"], [0.5], exact=False).collect()
+    }
+    assert abs(approx[("v", 0.5)] - 50.5) <= 1.5

@@ -114,12 +114,22 @@ def test_batched_runner_fewer_jobs_same_audit(spark, tmp_path):
             "checks": res.counts,
         }
 
-    tracker = spark.sparkContext.statusTracker()
+    # Count jobs inside DEDICATED job groups: the default group's id
+    # list is bounded by spark.ui.retainedJobs, so late in a long
+    # suite the before/after delta on group None undercounts whichever
+    # side ran while old entries were being evicted (intermittent
+    # full-suite-only failure). A fresh group only ever holds this
+    # test's own jobs.
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
 
     a1 = AuditLog(spark, str(tmp_path / "a1"))
-    n0 = len(tracker.getJobIdsForGroup(None))
-    r1 = run_partitions(table, a1, per_part)
-    jobs_single = len(tracker.getJobIdsForGroup(None)) - n0
+    sc.setJobGroup("runner-single", "per-partition run")
+    try:
+        r1 = run_partitions(table, a1, per_part)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs_single = len(tracker.getJobIdsForGroup("runner-single"))
 
     a2 = AuditLog(spark, str(tmp_path / "a2"))
     pb = validation_process_batch(schema, "bucket")
@@ -127,9 +137,12 @@ def test_batched_runner_fewer_jobs_same_audit(spark, tmp_path):
     # granularity must survive batching
     rk = run_partitions(table, a2, batch_size=12, process_batch=pb, max_partitions=24)
     assert len(rk.processed) == 24
-    n0 = len(tracker.getJobIdsForGroup(None))
-    r2 = run_partitions(table, a2, batch_size=12, process_batch=pb)
-    jobs_batched_resume = len(tracker.getJobIdsForGroup(None)) - n0
+    sc.setJobGroup("runner-batched", "batched resume run")
+    try:
+        r2 = run_partitions(table, a2, batch_size=12, process_batch=pb)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs_batched_resume = len(tracker.getJobIdsForGroup("runner-batched"))
     assert sorted(r2.skipped) == sorted(rk.processed)
     assert len(r2.processed) == 36
 

@@ -259,3 +259,38 @@ def test_pack_greedy(spark):
     again = {r["id"]: (r["pack"], r["pos"])
              for r in pack_greedy(df.repartition(5), "id", "tok", 100, n_shards=1).collect()}
     assert again == {k: (r["pack"], r["pos"]) for k, r in m.items()}
+
+
+def test_weighted_take_deterministic_and_biased(spark):
+    from pandera_forge_spark.operators.sampling import weighted_take
+
+    # 20 heavy rows (w=1000) among 200 light rows (w=0.01): a 30-row
+    # weighted sample must contain essentially every heavy row
+    rows = [(i, 1000.0 if i < 20 else 0.01) for i in range(220)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_take(df, 30, "id", "w")
+    ids = sorted(r["id"] for r in got.collect())
+    assert len(ids) == 30
+    assert sum(1 for i in ids if i < 20) >= 19
+    # deterministic: same call -> identical ids
+    again = sorted(r["id"] for r in weighted_take(df, 30, "id", "w").collect())
+    assert ids == again
+    # different salt -> a different light-row tail (heavy core stable)
+    other = sorted(
+        r["id"] for r in weighted_take(df, 30, "id", "w", salt="epoch2").collect()
+    )
+    assert other != ids
+
+
+def test_weighted_take_strata_and_bad_weights(spark):
+    from pandera_forge_spark.operators.sampling import weighted_take
+
+    rows = [(i, "g%d" % (i % 3), float(i % 5)) for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    got = weighted_take(df, 4, "id", "w", strata_cols=["g"]).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["g"], []).append(r["id"])
+    assert all(len(v) == 4 for v in per.values()) and len(per) == 3
+    # rows with w==0 (i%5==0) can never be sampled
+    assert all(r["w"] > 0 for r in got)

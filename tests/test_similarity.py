@@ -364,3 +364,36 @@ def test_centroid_drift(spark):
     assert got["x"]["cos_to_global"] == expect
     assert got["y"]["cos_to_global"] == expect
     assert got["x"]["n"] == 2 and got["y"]["n"] == 2
+
+
+def test_embedding_health_classifies_each_failure_once(spark):
+    from pandera_forge_spark.operators.similarity import embedding_health
+
+    rows = [
+        (1, [1.0, 2.0, 3.0]),          # ok
+        (2, [0.0, 0.0, 0.0]),          # zero
+        (3, [1.0, float("nan"), 2.0]), # nan
+        (4, [1.0, 2.0]),               # wrong dim
+        (5, None),                     # null
+        (6, [4.0, 5.0, 6.0]),          # ok
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = embedding_health(df, "embedding").collect()[0]
+    assert (r["n_rows"], r["n_null"], r["n_wrong_dim"], r["n_nan"],
+            r["n_zero"], r["n_ok"]) == (6, 1, 1, 1, 1, 2)
+    assert r["dim"] == 3
+    # counters partition the rows exactly
+    assert r["n_null"] + r["n_wrong_dim"] + r["n_nan"] + r["n_zero"] + r["n_ok"] == r["n_rows"]
+    # explicit expected_dim overrides the modal derivation
+    r2 = embedding_health(df, "embedding", expected_dim=2).collect()[0]
+    assert r2["n_wrong_dim"] == 4 and r2["n_ok"] == 1
+
+
+def test_embedding_health_plan_is_udf_free(spark):
+    from pandera_forge_spark.operators.similarity import embedding_health
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    assert not has_python_udf(embedding_health(df, "embedding", expected_dim=2))

@@ -188,3 +188,40 @@ def test_filter_funnel(spark):
     assert row["dropped_chars"] == 1
     assert row["dropped_tokens"] == 1   # doc 3 only; doc 2 already gone
     assert row["survivors"] == 1
+
+
+def test_chunk_documents(spark):
+    from pandera_forge_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xyz"), (3, "")], "doc_id long, text string"
+    )
+    got = chunk_documents(df, "text", ["doc_id"], size=4, overlap=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["offset"], r["chunk_text"], r["chunk_len"])
+        )
+    # stride 2: offsets 0,2,4,6,8 for len 10
+    assert [t[2] for t in sorted(by_doc[1])] == [
+        "abcd", "cdef", "efgh", "ghij", "ij",
+    ]
+    assert [t[1] for t in sorted(by_doc[1])] == [0, 2, 4, 6, 8]
+    assert [t[3] for t in sorted(by_doc[1])] == [4, 4, 4, 4, 2]
+    assert [t[2] for t in sorted(by_doc[2])] == ["xyz", "z"]
+    assert 3 not in by_doc  # empty doc -> no chunks
+    # full coverage, no gaps: concatenating stride-prefix of each chunk
+    # (except last) + last chunk reconstructs the text
+    parts = [t[2] for t in sorted(by_doc[1])]
+    assert "".join(p[:2] for p in parts[:-1]) + parts[-1] == "abcdefghij"
+
+
+def test_chunk_documents_validates_args(spark):
+    import pytest
+    from pandera_forge_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", ["doc_id"], size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", ["doc_id"], size=4, overlap=4)
