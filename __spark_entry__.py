@@ -1238,6 +1238,106 @@ FROM c
 """
 
 
+def q_span_transitions(spark, sf_dir):
+    """Kind-transition matrix over interleaved spans (spans.py
+    span_transition_matrix): docs get one of three span layouts by
+    doc_id % 3 — [text,image,text], [text,text], [image,text,image,
+    text] — STORED out of offset order so the operator's comparator
+    sort is exercised. Transition counts are then a closed form on the
+    modulo classes, which DuckDB replays."""
+    from pandera_forge_spark.spans import span_transition_matrix
+
+    docs = _t(spark, sf_dir, "documents")
+    null_s = F.lit(None).cast("string")
+
+    def txt(off):
+        return F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").alias("text"),
+            null_s.alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    def img(off):
+        return F.struct(
+            F.lit("image").alias("kind"),
+            null_s.alias("text"),
+            F.lit("media://x").alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    m = F.col("doc_id") % 3
+    spans = (
+        F.when(m == 0, F.array(img(100), txt(200), txt(0)))
+        .when(m == 1, F.array(txt(50), txt(0)))
+        .otherwise(F.array(txt(300), img(0), img(200), txt(100)))
+    )
+    frame = docs.select("doc_id", spans.alias("spans"))
+    return span_transition_matrix(frame).orderBy("kind_from", "kind_to")
+
+
+SQL_SPAN_TRANSITIONS = """
+WITH c AS (
+  SELECT CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM documents
+)
+SELECT * FROM (
+  SELECT 'image' AS kind_from, 'text' AS kind_to, c0 + 2 * c2 AS n, c0 + c2 AS n_docs FROM c
+  UNION ALL SELECT 'text', 'image', c0 + c2, c0 + c2 FROM c
+  UNION ALL SELECT 'text', 'text', c1, c1 FROM c
+) ORDER BY kind_from, kind_to
+"""
+
+
+def q_violation_examples(spark, sf_dir):
+    """Deterministic k-examples-per-check (validator.violation_examples
+    = violation_rows routed through stratified_take's prefiltered
+    md5-rank path): a tight quantity bound plants ~thousands of
+    violations, only 3 surface per check, and DuckDB replays the exact
+    md5 ranking."""
+    from pandera_forge_spark.validator import violation_examples
+
+    li = _t(spark, sf_dir, "lineitem")
+    schema = TableSchema(
+        name="T",
+        columns=[
+            ColumnSpec(
+                name="l_quantity", sanitized_name="l_quantity", name_was_valid=True,
+                spark_type="double", pandera_type="Float64", nullable=True, le=40.0,
+            ),
+            ColumnSpec(
+                name="l_discount", sanitized_name="l_discount", name_was_valid=True,
+                spark_type="double", pandera_type="Float64", nullable=True, le=0.05,
+            ),
+        ],
+    )
+    return violation_examples(li, schema, ["l_orderkey", "l_linenumber"], k=3).orderBy(
+        "check", "l_orderkey", "l_linenumber"
+    )
+
+
+SQL_VIOLATION_EXAMPLES = """
+WITH bad AS (
+  SELECT l_orderkey, l_linenumber, 'l_quantity__le' AS check,
+         CAST(l_quantity AS VARCHAR) AS value,
+         CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR) AS vid
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity > 40.0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount__le',
+         CAST(l_discount AS VARCHAR),
+         CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)
+  FROM lineitem WHERE l_discount IS NOT NULL AND l_discount > 0.05
+)
+SELECT l_orderkey, l_linenumber, "check", value FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY "check" ORDER BY md5(vid), vid
+  ) AS rk FROM bad
+) WHERE rk <= 3 ORDER BY "check", l_orderkey, l_linenumber
+"""
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source duplicate overlap matrix (operators/dedup.py
     cross_group_duplicates): planted copies of every 7th doc under a
@@ -2498,6 +2598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunked_docs": q_chunked_docs,
         "weighted_sample": q_weighted_sample,
         "embedding_health": q_embedding_health,
+        "span_transitions": q_span_transitions,
+        "violation_examples": q_violation_examples,
         "dedup_clusters": q_dedup_clusters,
         "dedup_near_dropped": q_dedup_near_dropped,
         "stratified_sample_lang": q_stratified_sample_lang,
@@ -2579,6 +2681,8 @@ def oracle_sql() -> dict[str, str]:
         "chunked_docs": SQL_CHUNKED_DOCS,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "embedding_health": SQL_EMBEDDING_HEALTH,
+        "span_transitions": SQL_SPAN_TRANSITIONS,
+        "violation_examples": SQL_VIOLATION_EXAMPLES,
         "dedup_near_dropped": SQL_DEDUP_NEAR_DROPPED,
         "stratified_sample_lang": SQL_STRATIFIED_SAMPLE_LANG,
         "token_budget_lang": SQL_TOKEN_BUDGET_LANG,

@@ -202,3 +202,44 @@ def profile_spans(
             for r in kind_rows
         },
     }
+
+
+def span_transition_matrix(
+    df: DataFrame, spans_col: str = "spans", doc_id_col: str = "doc_id"
+) -> DataFrame:
+    """Kind-bigram census over interleaved documents: how often each
+    span kind follows each other kind in document order — the
+    modality-interleaving fingerprint (a corpus whose image→text rate
+    collapses lost its captions; text→text runs exploding means the
+    interleaver upstream stopped splitting).
+
+    Row-local array algebra: sort spans by offset (comparator
+    array_sort — struct order would wrongly sort by kind), zip the
+    kind sequence with its own tail via ``zip_with`` on two slices,
+    explode the bigrams, ONE partial-aggregatable groupBy. No window,
+    no per-doc shuffle — the only exchange carries O(kinds²) keys.
+    Output: (kind_from, kind_to, n, n_docs) where n_docs counts
+    distinct documents containing the transition."""
+    spans = F.col(spans_col)
+    ordered = F.array_sort(
+        spans,
+        lambda l, r: F.when(l["offset"] < r["offset"], -1)
+        .when(l["offset"] > r["offset"], 1)
+        .otherwise(0),
+    )
+    kinds = F.transform(ordered, lambda s: s["kind"])
+    n = F.size(kinds)
+    bigrams = F.zip_with(
+        F.slice(kinds, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(kinds, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("kind_from"), b.alias("kind_to")),
+    )
+    return (
+        df.where(n >= 2)
+        .select(F.col(doc_id_col), F.explode(bigrams).alias("t"))
+        .groupBy(F.col("t.kind_from"), F.col("t.kind_to"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(doc_id_col)).alias("n_docs"),
+        )
+    )

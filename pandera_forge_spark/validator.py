@@ -540,3 +540,31 @@ def outlier_rows(
         .select(*id_cols, F.explode(F.filter(hits, lambda x: x.isNotNull())).alias("__o"))
         .select(*id_cols, "__o.column", "__o.value", "__o.lo", "__o.hi")
     )
+
+
+def violation_examples(
+    df: DataFrame,
+    schema,
+    id_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """Deterministic k example rows per failed check — what a human
+    actually reads out of a 100-TB validation run (the full violation
+    set may itself be terabytes; ``violation_rows(max_per_check=...)``
+    ranks it with a per-check window, which puts one check's millions
+    of violations in a single task).
+
+    This routes the exploded violations through ``stratified_take``'s
+    prefiltered path instead: per-check md5-threshold cut with the
+    verified exact fallback, so the window only ever sees O(checks·k)
+    survivors. The sample is the same on any engine that can md5, and
+    ties are impossible because rows are keyed by the concatenated id
+    tuple."""
+    from pandera_forge_spark.operators.sampling import stratified_take
+
+    bad = violation_rows(df, schema, id_cols).withColumn(
+        "__vid", F.concat_ws("#", *[F.col(c).cast("string") for c in id_cols])
+    )
+    return stratified_take(bad, ["check"], k, "__vid", prefilter=True).drop(
+        "__vid"
+    )

@@ -180,3 +180,32 @@ def test_span_ref_violations_text_spans_never_explode(spark):
     # the explode input is the pre-filtered media_ref array, so the
     # optimized plan filters inside the array before generating rows
     assert "filter(" in plan and "Generate explode" in plan
+
+
+def test_span_transition_matrix_sorts_by_offset(spark):
+    from pandera_forge_spark.spans import span_transition_matrix
+
+    def s(kind, off, ref=None):
+        return (kind, "t" if kind == "text" else None, ref, off)
+
+    rows = [
+        # stored OUT of offset order: sorted -> text, image, text
+        (1, [s("image", 100, "m1"), s("text", 200), s("text", 0)]),
+        (2, [s("text", 0), s("text", 50)]),
+        (3, [s("text", 0)]),        # single span: no transitions
+        (4, []),                    # empty: no transitions
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = {
+        (r["kind_from"], r["kind_to"]): (r["n"], r["n_docs"])
+        for r in span_transition_matrix(df).collect()
+    }
+    assert got == {
+        ("text", "image"): (1, 1),
+        ("image", "text"): (1, 1),
+        ("text", "text"): (1, 1),
+    }

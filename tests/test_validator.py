@@ -334,3 +334,38 @@ def test_outlier_rows_multi_column_and_empty(spark):
     assert sorted(r["column"] for r in got if r["id"] == 99) == ["a", "b"]
     empty = spark.createDataFrame([], "id long, a double")
     assert outlier_rows(empty, ["a"], ["id"], exact=True).count() == 0
+
+
+def test_violation_examples_deterministic_k_per_check(spark):
+    from pandera_forge_spark.schema import ColumnSpec, TableSchema
+    from pandera_forge_spark.validator import violation_examples, violation_rows
+
+    schema = TableSchema(
+        name="T",
+        columns=[
+            ColumnSpec(
+                name="v", sanitized_name="v", name_was_valid=True,
+                spark_type="double", pandera_type="Float64", nullable=True,
+                le=10.0,
+            ),
+            ColumnSpec(
+                name="s", sanitized_name="s", name_was_valid=True,
+                spark_type="string", pandera_type="String", nullable=False,
+            ),
+        ],
+    )
+    # 200 rows: 100 violate v<=10, 3 violate s not-null
+    rows = [(i, float(i % 20), None if i in (5, 6, 7) else "x") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v double, s string")
+    got = violation_examples(df, schema, ["id"], k=4).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["check"], []).append(r["id"])
+    assert len(per["v__le"]) == 4          # capped
+    assert sorted(per["s__not_null"]) == [5, 6, 7]  # fewer than k -> all
+    # deterministic: identical on re-run
+    again = violation_examples(df, schema, ["id"], k=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # the examples are a subset of the full violation set
+    full = {(r["id"], r["check"]) for r in violation_rows(df, schema, ["id"]).collect()}
+    assert {(r["id"], r["check"]) for r in got} <= full
