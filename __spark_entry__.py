@@ -1338,6 +1338,54 @@ SELECT l_orderkey, l_linenumber, "check", value FROM (
 """
 
 
+def q_implies_check(spark, sf_dir):
+    """Conditional cross-field contract (checks.py 'implies' kind):
+    purchase events must carry a positive value; every 211th event's
+    value is negated to plant violations. Vacuous passes (other event
+    types, null antecedents) must NOT surface. DuckDB replays the
+    implication as WHERE antecedent AND NOT consequent."""
+    from pandera_forge_spark.schema import Check
+    from pandera_forge_spark.validator import violation_rows
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(F.col("event_id") % 211 == 0, -F.abs(F.col("value"))).otherwise(
+            F.col("value")
+        ),
+    )
+    schema = TableSchema(
+        name="Events",
+        columns=[],
+        extra_checks=[
+            Check(
+                column="value",
+                kind="implies",
+                value={
+                    "when": "event_type = 'purchase'",
+                    "then": "value > 0",
+                },
+                label="purchase_positive_value",
+            )
+        ],
+    )
+    out = violation_rows(ev, schema, ["event_id"])
+    return out.select(
+        "event_id",
+        "check",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    ).orderBy("event_id")
+
+
+SQL_IMPLIES_CHECK = """
+SELECT event_id, 'purchase_positive_value' AS "check",
+       round(CASE WHEN event_id % 211 = 0 THEN -abs(value) ELSE value END, 6) AS value
+FROM events
+WHERE event_type = 'purchase'
+  AND NOT coalesce(CASE WHEN event_id % 211 = 0 THEN -abs(value) ELSE value END > 0, FALSE)
+ORDER BY event_id
+"""
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source duplicate overlap matrix (operators/dedup.py
     cross_group_duplicates): planted copies of every 7th doc under a
@@ -2600,6 +2648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_health": q_embedding_health,
         "span_transitions": q_span_transitions,
         "violation_examples": q_violation_examples,
+        "implies_check": q_implies_check,
         "dedup_clusters": q_dedup_clusters,
         "dedup_near_dropped": q_dedup_near_dropped,
         "stratified_sample_lang": q_stratified_sample_lang,
@@ -2683,6 +2732,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_health": SQL_EMBEDDING_HEALTH,
         "span_transitions": SQL_SPAN_TRANSITIONS,
         "violation_examples": SQL_VIOLATION_EXAMPLES,
+        "implies_check": SQL_IMPLIES_CHECK,
         "dedup_near_dropped": SQL_DEDUP_NEAR_DROPPED,
         "stratified_sample_lang": SQL_STRATIFIED_SAMPLE_LANG,
         "token_budget_lang": SQL_TOKEN_BUDGET_LANG,

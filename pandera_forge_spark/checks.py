@@ -28,6 +28,7 @@ ROW_LEVEL_KINDS = (
     "ends_with",
     "custom_sql",
     "custom_pandas",
+    "implies",
 )
 # "unique" is table-level (needs a shuffle) — handled by
 # validator.duplicate_keys, not compiled here.
@@ -60,6 +61,16 @@ def compile_check(check: Check) -> Column:
         return col.isNull() | col.cast("string").startswith(check.value)
     if k == "ends_with":
         return col.isNull() | col.cast("string").endswith(check.value)
+    if k == "implies":
+        # conditional (cross-field) contract: WHEN holds → THEN must
+        # hold. value = {"when": <bool SQL>, "then": <bool SQL>}; rows
+        # where WHEN is false or null vacuously pass (standard
+        # implication with SQL three-valued logic coalesced on the
+        # antecedent). Serializes through the contract JSON as a plain
+        # dict; still pure JVM codegen.
+        cond = F.coalesce(F.expr(check.value["when"]), F.lit(False))
+        then = F.coalesce(F.expr(check.value["then"]), F.lit(False))
+        return ~cond | then
     if k == "custom_sql":
         # arbitrary boolean SQL over the row — still JVM/codegen; the
         # expression owns its null semantics

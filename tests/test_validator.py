@@ -369,3 +369,37 @@ def test_violation_examples_deterministic_k_per_check(spark):
     # the examples are a subset of the full violation set
     full = {(r["id"], r["check"]) for r in violation_rows(df, schema, ["id"]).collect()}
     assert {(r["id"], r["check"]) for r in got} <= full
+
+
+def test_implies_check_conditional_contract(spark):
+    from pandera_forge_spark.schema import Check, ColumnSpec, TableSchema
+    from pandera_forge_spark.validator import validate_table
+
+    # contract: kind='image' implies media_ref is not null
+    rows = [
+        (1, "image", "m://a"),   # ok
+        (2, "image", None),      # VIOLATION
+        (3, "text", None),       # vacuous pass (antecedent false)
+        (4, None, None),         # vacuous pass (antecedent null)
+    ]
+    df = spark.createDataFrame(rows, "id long, kind string, media_ref string")
+    schema = TableSchema(
+        name="Spans",
+        columns=[],
+        extra_checks=[
+            Check(
+                column="media_ref",
+                kind="implies",
+                value={"when": "kind = 'image'", "then": "media_ref IS NOT NULL"},
+                label="image_has_media_ref",
+            )
+        ],
+    )
+    res = validate_table(df, schema)
+    assert res.counts == {"image_has_media_ref": 1}
+    assert not res.ok
+
+    # contract JSON round-trip preserves the implication
+    again = TableSchema.from_json(schema.to_json())
+    res2 = validate_table(df, again)
+    assert res2.counts == {"image_has_media_ref": 1}
