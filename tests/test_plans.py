@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pandera_forge_spark.fixtures import make_documents, mutate_documents
 from pandera_forge_spark.pipeline import interleaved_verdicts
 from pandera_forge_spark.plans import (
+    executed_plan,
     has_broadcast_hash_join,
     has_expand,
     has_python_udf,
@@ -219,3 +220,59 @@ def test_centroid_drift_no_explode(spark):
     assert "Generate" not in plan
     assert not has_python_udf(out)
     assert has_broadcast_hash_join(out) or "BroadcastNestedLoopJoin" in plan
+
+
+def test_outlier_rows_pushes_fence_predicates(spark, lineitem):
+    from pandera_forge_spark.validator import outlier_rows
+
+    df = outlier_rows(lineitem, ["l_quantity"], ["l_orderkey"], exact=False)
+    pushed = pushed_filters(df)
+    # the Tukey fences are literals, so the OR-of-ranges reaches the
+    # parquet scan — row groups whose min/max stats prove them clean
+    # are never read
+    assert any("l_quantity" in p for p in pushed), pushed
+    assert not has_python_udf(df)
+
+
+def test_chunk_documents_has_no_shuffle(spark):
+    from pandera_forge_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = chunk_documents(docs, "text", ["doc_id"], size=64, overlap=16)
+    plan = executed_plan(df)
+    assert "Exchange" not in plan, plan  # narrow map stage only
+    assert not has_python_udf(df)
+
+
+def test_correlation_matrix_single_aggregate_no_udf(spark, lineitem):
+    from pandera_forge_spark.profiler import correlation_matrix
+
+    df = correlation_matrix(lineitem, ["l_quantity", "l_extendedprice", "l_tax"])
+    plan = executed_plan(df)
+    # ONE aggregate pair (partial+final) over one scan — no per-pair
+    # scans, no Expand
+    assert plan.count("FileScan") == 1 or plan.count("Scan parquet") == 1, plan
+    assert not has_expand(df)
+    assert not has_python_udf(df)
+
+
+def test_weighted_take_global_is_take_ordered(spark):
+    from pandera_forge_spark.operators.sampling import weighted_take
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = weighted_take(docs, 10, "doc_id", "n_chars")
+    plan = executed_plan(df)
+    # global top-n must compile to TakeOrdered (per-partition heaps +
+    # driver merge of n rows), never a single-partition Window sort
+    assert "TakeOrdered" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_embedding_health_single_scan_no_shuffle_agg(spark):
+    from pandera_forge_spark.operators.similarity import embedding_health
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = embedding_health(emb, "embedding", expected_dim=64)
+    plan = executed_plan(df)
+    assert plan.count("FileScan") == 1 or plan.count("Scan parquet") == 1, plan
+    assert not has_python_udf(df)
