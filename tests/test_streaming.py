@@ -240,3 +240,56 @@ def test_stream_sketch_profile_matches_one_shot(spark, src, tmp_path):
     assert got["value__min"] == want["value__min"]
     assert got["value__max"] == want["value__max"]
     assert got["value__distinct_est"] == want["value__distinct_est"]
+
+
+def test_stream_drift_flags_shifted_epoch(spark, tmp_path):
+    """Two arrivals: one drawn from the baseline distribution, one
+    shifted +60. The shifted micro-batch's epoch rows must flag
+    drifted=True; the in-distribution epoch must not. Per-epoch drift
+    equals the batch drift of that file alone (state-free scoring)."""
+    from pandera_forge_spark.drift import baseline_summary, drift_verdicts
+    from pandera_forge_spark.streaming.validate import stream_drift
+
+    base = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 100).cast("double").alias("value"),
+        F.lit(0).alias("part"),
+    )
+    baseline = baseline_summary(base, "value")
+
+    p = str(tmp_path / "dsrc")
+    ok = spark.range(0, 500).select(
+        F.col("id"), (F.col("id") % 100).cast("double").alias("value"),
+        F.lit(0).alias("part"),
+    )
+    shifted = spark.range(500, 1000).select(
+        F.col("id"), ((F.col("id") % 100) + 60).cast("double").alias("value"),
+        F.lit(0).alias("part"),
+    )
+    ok.coalesce(1).write.parquet(p, mode="overwrite")
+    shifted.coalesce(1).write.mode("append").parquet(p)
+
+    stream = (
+        spark.readStream.schema("id long, value double, part long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(p)
+    )
+    sink = str(tmp_path / "drift_out")
+    writer = stream_drift(
+        stream, "value", baseline, sink, group_cols=["part"],
+        checkpoint=str(tmp_path / "dckpt"),
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(sink)
+    rows = {r["__epoch"]: r for r in out.collect()}
+    assert len(rows) == 2
+    flags = sorted(r["drifted"] for r in rows.values())
+    assert flags == [False, True]
+    # the drifted epoch is the one whose n==500 shifted rows score high PSI
+    drifted = [r for r in rows.values() if r["drifted"]][0]
+    assert drifted["psi"] > 0.2
+    # state-free: per-epoch result == batch drift of that file alone
+    want = drift_verdicts(shifted, "value", ["part"], baseline).collect()[0]
+    assert abs(drifted["psi"] - want["psi"]) < 1e-9
+    assert abs(drifted["ks"] - want["ks"]) < 1e-9
