@@ -20,6 +20,7 @@ from pathlib import Path
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_SAMPLE_SEED = 42
 
@@ -181,3 +182,67 @@ def read_excel(spark: SparkSession, path: str) -> dict[str, DataFrame]:
         ) from e
     sheets = pd.read_excel(path, sheet_name=None, engine="openpyxl")
     return {name: spark.createDataFrame(pdf) for name, pdf in sheets.items()}
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: Optional[str] = None,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines scan — the de-facto interchange format for document
+    corpora. PERMISSIVE mode with an explicit corrupt-record column:
+    a malformed line becomes one row whose ``corrupt_col`` holds the
+    raw text and every schema field is null, so broken upstream
+    exports are *measurable* (count the column) instead of silently
+    dropped (DROPMALFORMED) or job-fatal (FAILFAST).
+
+    Pass ``schema`` (DDL string) in production: without it Spark runs
+    a full inference pass over the data (twice the I/O at corpus
+    scale) — and Spark only materializes corrupt rows when the column
+    is part of an EXPLICIT schema, so the corrupt channel needs it
+    too. With no schema given this helper infers one first (fine for
+    interactive use), then re-reads with the corrupt column appended.
+    """
+    if schema is None:
+        inferred = spark.read.json(path).schema
+        fields = [f for f in inferred.fields if f.name != corrupt_col]
+        from pyspark.sql import types as T
+
+        full = T.StructType(fields + [T.StructField(corrupt_col, T.StringType())])
+        reader_schema = full
+    else:
+        reader_schema = f"{schema}, {corrupt_col} STRING"
+    return (
+        spark.read.schema(reader_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def corrupt_record_report(df: DataFrame, corrupt_col: str = "_corrupt_record") -> dict:
+    """One-aggregate health report for a PERMISSIVE JSONL read:
+    total rows, corrupt rows, and corrupt fraction.
+
+    Spark refuses queries whose only referenced column from a raw
+    JSON scan is the corrupt-record column
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN — the usual workaround is
+    cache(), unacceptable at corpus scale); referencing any real field
+    in the same aggregate lifts the restriction while staying a single
+    scan."""
+    data_cols = [c for c in df.columns if c != corrupt_col]
+    extra = (
+        [F.count(F.col(data_cols[0])).alias("__touch")] if data_cols else []
+    )
+    row = df.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count(F.col(corrupt_col)).alias("corrupt"),
+        *extra,
+    ).collect()[0]
+    rows = row["rows"] or 0
+    return {
+        "rows": rows,
+        "corrupt": row["corrupt"],
+        "corrupt_fraction": (row["corrupt"] / rows) if rows else 0.0,
+    }

@@ -196,3 +196,32 @@ def test_spark_connect_url():
     ) == "sc://h.example.com:443/;token=t"
     with pytest.raises(ValueError, match="host and token"):
         spark_connect_url(SessionConfig())
+
+
+def test_read_jsonl_counts_corrupt_lines(spark, tmp_path):
+    from pandera_forge_spark.sources.readers import (
+        corrupt_record_report,
+        read_jsonl,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello"}\n'
+        '{"doc_id": 2, "text": "world"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 3, "text": "ok", "extra": 9}\n'
+        '{"doc_id": 4 "text": "missing comma"}\n'
+    )
+    df = read_jsonl(spark, str(p), schema="doc_id BIGINT, text STRING")
+    rows = df.collect()
+    assert len(rows) == 5
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["doc_id"] for r in good} == {1, 2, 3}
+    assert len(bad) == 2 and all(r["doc_id"] is None for r in bad)
+    rep = corrupt_record_report(df)
+    assert rep == {"rows": 5, "corrupt": 2, "corrupt_fraction": 0.4}
+
+    # schema-inference path also captures corrupt lines
+    df2 = read_jsonl(spark, str(p))
+    assert corrupt_record_report(df2)["corrupt"] == 2
