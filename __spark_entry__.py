@@ -1386,6 +1386,51 @@ ORDER BY event_id
 """
 
 
+def q_grouped_outliers(spark, sf_dir):
+    """Per-group Tukey-fence outliers (validator.grouped_outlier_rows):
+    fences from each event_type's OWN distribution (exact percentiles
+    for parity), broadcast-joined back; every ~499th event's value is
+    inflated 40x. DuckDB replays the per-group quantile_cont fences
+    and the strict-inequality filter."""
+    from pandera_forge_spark.validator import grouped_outlier_rows
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(F.col("event_id") % 499 == 0, F.col("value") * 40).otherwise(
+            F.col("value")
+        ),
+    )
+    out = grouped_outlier_rows(
+        ev, ["value"], ["event_id"], ["event_type"], factor=1.5, exact=True
+    )
+    return out.select(
+        "event_type",
+        "event_id",
+        "column",
+        F.round("value", 6).alias("value"),
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+    ).orderBy("event_type", "event_id")
+
+
+SQL_GROUPED_OUTLIERS = """
+WITH ev AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 499 = 0 THEN value * 40 ELSE value END AS value
+  FROM events
+), f AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+  FROM ev GROUP BY event_type
+)
+SELECT ev.event_type, event_id, 'value' AS "column", round(value, 6) AS value,
+       round(q1 - 1.5 * (q3 - q1), 6) AS lo, round(q3 + 1.5 * (q3 - q1), 6) AS hi
+FROM ev JOIN f ON ev.event_type = f.event_type
+WHERE value < q1 - 1.5 * (q3 - q1) OR value > q3 + 1.5 * (q3 - q1)
+ORDER BY ev.event_type, event_id
+"""
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source duplicate overlap matrix (operators/dedup.py
     cross_group_duplicates): planted copies of every 7th doc under a
@@ -2649,6 +2694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_transitions": q_span_transitions,
         "violation_examples": q_violation_examples,
         "implies_check": q_implies_check,
+        "grouped_outliers": q_grouped_outliers,
         "dedup_clusters": q_dedup_clusters,
         "dedup_near_dropped": q_dedup_near_dropped,
         "stratified_sample_lang": q_stratified_sample_lang,
@@ -2733,6 +2779,7 @@ def oracle_sql() -> dict[str, str]:
         "span_transitions": SQL_SPAN_TRANSITIONS,
         "violation_examples": SQL_VIOLATION_EXAMPLES,
         "implies_check": SQL_IMPLIES_CHECK,
+        "grouped_outliers": SQL_GROUPED_OUTLIERS,
         "dedup_near_dropped": SQL_DEDUP_NEAR_DROPPED,
         "stratified_sample_lang": SQL_STRATIFIED_SAMPLE_LANG,
         "token_budget_lang": SQL_TOKEN_BUDGET_LANG,

@@ -568,3 +568,86 @@ def violation_examples(
     return stratified_take(bad, ["check"], k, "__vid", prefilter=True).drop(
         "__vid"
     )
+
+
+def grouped_outlier_rows(
+    df: DataFrame,
+    cols: Sequence[str],
+    id_cols: Sequence[str],
+    group_cols: Sequence[str],
+    factor: float = 1.5,
+    exact: bool = False,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Per-GROUP Tukey-fence outliers: a value is anomalous relative to
+    its own segment's distribution, not the global one — the shape
+    that matters when segments differ by orders of magnitude (purchase
+    amounts vs page-view durations in one events table: global fences
+    would flag every purchase and no bad page-view).
+
+    Two jobs, both distributed: (1) per-(group, column) quantile
+    aggregation — O(groups·cols) sketch rows, ``approx_percentile``
+    mergeable sketches at scale, exact interpolating mode for parity;
+    (2) a BROADCAST join of those fence rows back onto the table and
+    one filter+explode pass. Unlike the global variant the fences
+    cannot be literals (they vary per row's group), so the pushdown
+    trade-off is explicit: the scan is full, the join side is tiny."""
+    from pyspark.sql.functions import broadcast
+
+    qexprs = []
+    for c in cols:
+        col = F.col(c).cast("double")
+        if exact:
+            qexprs += [
+                F.percentile(col, F.lit(0.25)).alias(f"__q1_{c}"),
+                F.percentile(col, F.lit(0.75)).alias(f"__q3_{c}"),
+            ]
+        else:
+            acc = F.lit(int(1 / relative_error))
+            qexprs += [
+                F.approx_percentile(col, F.lit(0.25), acc).alias(f"__q1_{c}"),
+                F.approx_percentile(col, F.lit(0.75), acc).alias(f"__q3_{c}"),
+            ]
+    fences = df.groupBy(*group_cols).agg(*qexprs)
+    fcols = []
+    for c in cols:
+        q1, q3 = F.col(f"__q1_{c}"), F.col(f"__q3_{c}")
+        iqr = q3 - q1
+        fences = fences.withColumn(f"__lo_{c}", q1 - factor * iqr).withColumn(
+            f"__hi_{c}", q3 + factor * iqr
+        )
+        fcols += [f"__lo_{c}", f"__hi_{c}"]
+    fences = fences.select(*group_cols, *fcols)
+
+    joined = df.join(broadcast(fences), list(group_cols), "left")
+    branches = []
+    for c in cols:
+        col = F.col(c).cast("double")
+        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        pred = lo.isNotNull() & ((col < lo) | (col > hi))
+        branches.append(
+            (
+                pred,
+                F.struct(
+                    F.lit(c).alias("column"),
+                    col.alias("value"),
+                    lo.alias("lo"),
+                    hi.alias("hi"),
+                ),
+            )
+        )
+    any_pred = branches[0][0]
+    for pred, _ in branches[1:]:
+        any_pred = any_pred | pred
+    hits = F.array(
+        *[F.when(pred, s).otherwise(F.lit(None)) for pred, s in branches]
+    )
+    return (
+        joined.where(any_pred)
+        .select(
+            *group_cols,
+            *id_cols,
+            F.explode(F.filter(hits, lambda x: x.isNotNull())).alias("__o"),
+        )
+        .select(*group_cols, *id_cols, "__o.column", "__o.value", "__o.lo", "__o.hi")
+    )

@@ -225,3 +225,39 @@ def test_chunk_documents_validates_args(spark):
         chunk_documents(df, "text", ["doc_id"], size=0)
     with pytest.raises(ValueError):
         chunk_documents(df, "text", ["doc_id"], size=4, overlap=4)
+
+
+def test_chunk_documents_reconstruction_randomized(spark):
+    """For arbitrary text and any (size, overlap), concatenating each
+    chunk's first `stride` chars plus the final chunk reproduces the
+    document exactly, and every chunk equals the corresponding
+    substring — the lossless-cover property chunking must guarantee."""
+    import random
+
+    from pandera_forge_spark.operators.text import chunk_documents
+
+    rng = random.Random(20260817)
+    alphabet = "abc xyzé中 "
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 50))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    texts = dict(rows)
+    for size, overlap in [(7, 3), (5, 0)]:
+        stride = size - overlap
+        got = chunk_documents(df, "text", ["doc_id"], size=size, overlap=overlap)
+        by_doc = {}
+        for r in got.collect():
+            by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["offset"], r["chunk_text"]))
+        for doc_id, text in texts.items():
+            if not text:
+                assert doc_id not in by_doc
+                continue
+            chunks = [c for c in sorted(by_doc[doc_id])]
+            # each chunk is exactly the substring at its offset
+            for cid, off, ct in chunks:
+                assert ct == text[off:off + size], (doc_id, size, overlap)
+            parts = [c[2] for c in chunks]
+            rebuilt = "".join(p[:stride] for p in parts[:-1]) + parts[-1]
+            assert rebuilt == text, (doc_id, size, overlap)

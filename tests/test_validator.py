@@ -403,3 +403,43 @@ def test_implies_check_conditional_contract(spark):
     again = TableSchema.from_json(schema.to_json())
     res2 = validate_table(df, again)
     assert res2.counts == {"image_has_media_ref": 1}
+
+
+def test_grouped_outlier_rows_segment_relative(spark):
+    from pandera_forge_spark.validator import grouped_outlier_rows, outlier_rows
+
+    # group A ~ 1..100, group B ~ 10000..10100. The planted A-value 500
+    # is a screaming outlier WITHIN A but inside the global range — the
+    # case the global fences miss by construction.
+    rows = (
+        [(i, "A", float(1 + i % 100)) for i in range(300)]
+        + [(i + 1000, "B", float(10000 + i % 100)) for i in range(300)]
+        + [(9001, "A", 500.0), (9002, "B", 99999.0)]
+    )
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = grouped_outlier_rows(df, ["v"], ["id"], ["g"], exact=True).collect()
+    flagged = {(r["g"], r["id"]) for r in got}
+    assert flagged == {("A", 9001), ("B", 9002)}
+    # fences ride along per group
+    for r in got:
+        if r["g"] == "A":
+            assert r["hi"] < 500.0
+        else:
+            assert r["lo"] > 500.0
+    # the global variant (sanity): A's 500 is NOT a global outlier
+    glob = outlier_rows(df, ["v"], ["id"], exact=True).collect()
+    assert (9001 not in {r["id"] for r in glob})
+
+
+def test_grouped_outlier_rows_broadcasts_fences(spark):
+    from pandera_forge_spark.plans.inspect import executed_plan, has_python_udf
+    from pandera_forge_spark.validator import grouped_outlier_rows
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i)) for i in range(60)],
+        "id long, g string, v double",
+    )
+    out = grouped_outlier_rows(df, ["v"], ["id"], ["g"], exact=True)
+    plan = executed_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert not has_python_udf(out)
