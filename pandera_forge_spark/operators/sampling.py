@@ -399,9 +399,17 @@ def weighted_take(
             .limit(n)
             .drop("__wkey")
         )
-    win = Window.partitionBy(
-        *[F.col(c) for c in strata_cols]
-    ).orderBy(F.col("__wkey").desc(), F.col(id_col))
+    # Hot-stratum note: the row_number()<=n filter triggers Spark's
+    # rank-limit pushdown (WindowGroupLimit, 3.5+): each MAP task
+    # pre-trims to its local top-n per stratum BEFORE the exchange, so
+    # the shuffle carries <= n rows per (input partition, stratum) and
+    # the final per-stratum task sorts <= n x input-partitions rows —
+    # never the whole hot stratum. Plan-asserted in
+    # test_weighted_take_rank_limit_pushdown; no manual salting needed.
+    strata = [F.col(c) for c in strata_cols]
+    win = Window.partitionBy(*strata).orderBy(
+        F.col("__wkey").desc(), F.col(id_col)
+    )
     return (
         keyed.withColumn("__rk", F.row_number().over(win))
         .where(F.col("__rk") <= n)

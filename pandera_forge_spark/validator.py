@@ -578,6 +578,7 @@ def grouped_outlier_rows(
     factor: float = 1.5,
     exact: bool = False,
     relative_error: float = 0.001,
+    broadcast_fences: bool = True,
 ) -> DataFrame:
     """Per-GROUP Tukey-fence outliers: a value is anomalous relative to
     its own segment's distribution, not the global one — the shape
@@ -591,7 +592,10 @@ def grouped_outlier_rows(
     (2) a BROADCAST join of those fence rows back onto the table and
     one filter+explode pass. Unlike the global variant the fences
     cannot be literals (they vary per row's group), so the pushdown
-    trade-off is explicit: the scan is full, the join side is tiny."""
+    trade-off is explicit: the scan is full, the join side is tiny.
+    ``broadcast_fences=False`` drops the hint for a high-cardinality
+    group key (millions of groups would blow the broadcast limit) and
+    lets AQE pick the shuffle join; results are identical."""
     from pyspark.sql.functions import broadcast
 
     qexprs = []
@@ -619,7 +623,9 @@ def grouped_outlier_rows(
         fcols += [f"__lo_{c}", f"__hi_{c}"]
     fences = fences.select(*group_cols, *fcols)
 
-    joined = df.join(broadcast(fences), list(group_cols), "left")
+    if broadcast_fences:
+        fences = broadcast(fences)
+    joined = df.join(fences, list(group_cols), "left")
     branches = []
     for c in cols:
         col = F.col(c).cast("double")

@@ -294,3 +294,17 @@ def test_weighted_take_strata_and_bad_weights(spark):
     assert all(len(v) == 4 for v in per.values()) and len(per) == 3
     # rows with w==0 (i%5==0) can never be sampled
     assert all(r["w"] > 0 for r in got)
+
+
+def test_weighted_take_rank_limit_pushdown(spark):
+    """The per-stratum rank must trigger Spark's WindowGroupLimit
+    pushdown: a Partial (map-side) top-n trim BEFORE the exchange, so
+    a hot stratum never ships its whole row set through the shuffle."""
+    from pandera_forge_spark.operators.sampling import weighted_take
+    from pandera_forge_spark.plans.inspect import executed_plan
+
+    rows = [(i, "hot" if i % 10 else "cold", float(1 + i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    out = weighted_take(df, 5, "id", "w", strata_cols=["g"])
+    plan = executed_plan(out)
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
