@@ -378,3 +378,33 @@ def chunk_documents(
         )
     )
     return out.withColumn("chunk_len", F.length("chunk_text"))
+
+
+def normalize_text(
+    col: Column,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+    strip_punct: bool = False,
+) -> Column:
+    """Standard pre-tokenization text normalization as a pure codegen
+    projection — the cleanup pass that runs before chunking, packing,
+    or near-dedup shingling so that formatting noise (stray control
+    characters, run-on whitespace, case) doesn't fragment otherwise
+    identical content.
+
+    Chained ``regexp_replace``/``lower`` — JVM-side, no UDF, no
+    shuffle; composes with any operator taking a text Column. Order:
+    control-strip, optional punct-strip, whitespace collapse + trim,
+    casefold — so collapsed whitespace also absorbs gaps left by
+    stripped characters."""
+    out = col
+    if strip_control:
+        out = F.regexp_replace(out, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    if strip_punct:
+        out = F.regexp_replace(out, r"[^\w\s]", " ")
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    if lowercase:
+        out = F.lower(out)
+    return out

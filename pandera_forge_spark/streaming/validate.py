@@ -194,14 +194,16 @@ def stream_drift(
     checkpoint: Optional[str] = None,
     psi_threshold: float = 0.2,
     ks_threshold: float = 0.1,
+    categorical: bool = False,
     on_batch: Optional[Callable] = None,
 ):
     """Continuous distribution-drift monitoring: each micro-batch is
-    scored against a STATIC ``baseline_summary`` (PSI + KS on the
-    baseline's fixed quantile grid — the same algebra as batch
-    ``drift_verdicts``, with the baseline folded in as literals), and
-    the per-(group, epoch) verdict rows land in an idempotent
-    per-epoch overwrite sink exactly like ``validate_stream``.
+    scored against a STATIC baseline (PSI + KS on the baseline's fixed
+    quantile grid for numeric columns; PSI + chi² over the baseline's
+    top-category shares when ``categorical=True`` — pass the matching
+    ``baseline_summary`` / ``categorical_baseline`` dict), and the
+    per-(group, epoch) verdict rows land in an idempotent per-epoch
+    overwrite sink exactly like ``validate_stream``.
 
     This is the production shape for "is today's feed drifting from
     last month": the baseline is computed ONCE offline (or from the
@@ -209,17 +211,26 @@ def stream_drift(
     algebraic aggregation over the batch — state-free, so foreachBatch
     retries are safe and the stream carries no growing state store.
     Returns the unstarted writer (caller picks the trigger)."""
-    from pandera_forge_spark.drift import drift_verdicts
+    from pandera_forge_spark.drift import categorical_drift_verdicts, drift_verdicts
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        out = drift_verdicts(
-            batch_df,
-            col,
-            list(group_cols),
-            baseline,
-            psi_threshold=psi_threshold,
-            ks_threshold=ks_threshold,
-        )
+        if categorical:
+            out = categorical_drift_verdicts(
+                batch_df,
+                col,
+                list(group_cols),
+                baseline,
+                psi_threshold=psi_threshold,
+            )
+        else:
+            out = drift_verdicts(
+                batch_df,
+                col,
+                list(group_cols),
+                baseline,
+                psi_threshold=psi_threshold,
+                ks_threshold=ks_threshold,
+            )
         out.write.mode("overwrite").parquet(f"{drift_sink}/__epoch={epoch_id}")
         if on_batch is not None:
             on_batch(epoch_id)

@@ -293,3 +293,42 @@ def test_stream_drift_flags_shifted_epoch(spark, tmp_path):
     want = drift_verdicts(shifted, "value", ["part"], baseline).collect()[0]
     assert abs(drifted["psi"] - want["psi"]) < 1e-9
     assert abs(drifted["ks"] - want["ks"]) < 1e-9
+
+
+def test_stream_drift_categorical_flags_shifted_mix(spark, tmp_path):
+    """Categorical mode: baseline is 50/50 a/b; one arrival keeps the
+    mix, the other is all-'c' (unseen category -> OTHER mass). Only
+    the shifted epoch flags."""
+    from pandera_forge_spark.drift import categorical_baseline
+    from pandera_forge_spark.streaming.validate import stream_drift
+
+    base = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(1000)], "id long, cat string"
+    ).withColumn("part", F.lit(0))
+    baseline = categorical_baseline(base, "cat")
+
+    p = str(tmp_path / "csrc")
+    ok = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(400)], "id long, cat string"
+    ).withColumn("part", F.lit(0))
+    shifted = spark.createDataFrame(
+        [(i + 1000, "c") for i in range(400)], "id long, cat string"
+    ).withColumn("part", F.lit(0))
+    ok.coalesce(1).write.parquet(p, mode="overwrite")
+    shifted.coalesce(1).write.mode("append").parquet(p)
+
+    stream = (
+        spark.readStream.schema("id long, cat string, part int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(p)
+    )
+    sink = str(tmp_path / "cdrift")
+    q = stream_drift(
+        stream, "cat", baseline, sink, group_cols=["part"],
+        checkpoint=str(tmp_path / "cck"), categorical=True,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 2
+    assert sorted(r["drifted"] for r in rows) == [False, True]

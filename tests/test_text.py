@@ -261,3 +261,27 @@ def test_chunk_documents_reconstruction_randomized(spark):
             parts = [c[2] for c in chunks]
             rebuilt = "".join(p[:stride] for p in parts[:-1]) + parts[-1]
             assert rebuilt == text, (doc_id, size, overlap)
+
+
+def test_normalize_text(spark):
+    from pandera_forge_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "  Hello\tWORLD \x01\x02 again  "),
+            (2, "a,b;c!"),
+            (3, None),
+        ],
+        "id long, t string",
+    )
+    got = {
+        r["id"]: (r["n"], r["np"])
+        for r in df.select(
+            "id",
+            normalize_text(F.col("t")).alias("n"),
+            normalize_text(F.col("t"), strip_punct=True).alias("np"),
+        ).collect()
+    }
+    assert got[1] == ("hello world again", "hello world again")
+    assert got[2] == ("a,b;c!", "a b c")
+    assert got[3] == (None, None)
