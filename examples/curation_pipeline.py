@@ -1,0 +1,130 @@
+"""End-to-end training-data curation walkthrough — every stage a real
+engine operator, runnable as-is against the driver testdata:
+
+    python examples/curation_pipeline.py [sf_dir]
+
+Stages (each one scales to the 100-TB shapes documented in SCALE.md):
+  1. ingest + normalize      read_parquet / normalize_text
+  2. quality gate            filter_funnel (attrition report) + filter
+  3. dedup                   dedup_exact, then dedup_near (MinHash-LSH
+                             pairs -> clusters -> min-id survivors)
+  4. contract                infer_schema -> validate_table verdicts
+  5. curate                  stratified_take per language + weighted
+                             sample by length
+  6. export manifest         pack_concat_split + deterministic_shuffle
+Prints one JSON report per stage; returns the report dict when called
+in-process (the pytest smoke does exactly that).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def run(spark: SparkSession, sf_dir: str) -> dict:
+    from pandera_forge_spark.inference import infer_schema
+    from pandera_forge_spark.operators.dedup import dedup_near
+    from pandera_forge_spark.operators.sampling import (
+        deterministic_shuffle,
+        pack_concat_split,
+        stratified_take,
+        weighted_take,
+    )
+    from pandera_forge_spark.operators.text import (
+        filter_funnel,
+        normalize_text,
+        quality_score,
+        token_count,
+    )
+    from pandera_forge_spark.validator import validate_table
+
+    report: dict = {}
+
+    # 1. ingest + normalize (narrow projection, no shuffle)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "lang",
+        "source",
+        normalize_text(F.col("text")).alias("text"),
+    )
+
+    # 2. quality gate: sequential rule attrition in ONE scan, then the
+    #    surviving filter applied
+    rules = {
+        "min_tokens": token_count(F.col("text")) >= 5,
+        "quality": quality_score(F.col("text")) >= 0.2,
+    }
+    funnel = filter_funnel(docs, rules).collect()[0].asDict()
+    report["funnel"] = {k: int(v) for k, v in funnel.items()}
+    gated = docs
+    for pred in rules.values():
+        gated = gated.where(pred)
+
+    # 3. dedup: exact first (hash-groupBy survivors), then near
+    #    (banded MinHash candidates, verified, clustered, min-id kept)
+    survivors, mapping = dedup_near(gated, "text", "doc_id", threshold=0.7)
+    survivors = survivors.persist()
+    report["dedup"] = {
+        "input": gated.count(),
+        "survivors": survivors.count(),
+        "clustered_ids": mapping.count(),
+    }
+
+    # 4. contract: infer on the cleaned corpus, validate it back
+    schema = infer_schema(survivors, "curated_documents")
+    res = validate_table(survivors, schema)
+    report["validation"] = {"ok": res.ok, "checks": len(res.counts)}
+
+    # 5. curate: deterministic per-language take + length-weighted draw
+    per_lang = stratified_take(survivors, ["lang"], 50, "doc_id")
+    weighted = weighted_take(
+        survivors.withColumn("n_chars", F.length("text")),
+        100,
+        "doc_id",
+        "n_chars",
+    )
+    report["curation"] = {
+        "stratified_rows": per_lang.count(),
+        "weighted_rows": weighted.count(),
+    }
+
+    # 6. export: pack manifest + reproducible shard/order columns
+    packed = pack_concat_split(
+        per_lang.withColumn("n_tokens", token_count(F.col("text"))),
+        "doc_id",
+        "n_tokens",
+        capacity=512,
+    )
+    shuffled = deterministic_shuffle(per_lang, "doc_id", n_shards=8)
+    report["export"] = {
+        "packs": int(packed.agg(F.max("pack_last")).collect()[0][0]) + 1,
+        "shards": shuffled.select("__shard").distinct().count(),
+    }
+    survivors.unpersist()
+    return report
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("curation-pipeline-example")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    try:
+        report = run(spark, sf_dir)
+        print(json.dumps(report, indent=2))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -339,3 +339,34 @@ def validation_process_batch(schema, partition_col: str):
         return out
 
     return process_batch
+
+
+def audit_summary(audit_df: DataFrame) -> DataFrame:
+    """One-row SLA rollup of an audit log — what a dashboard or a
+    nightly report reads instead of 10^5 per-partition rows: partition
+    counts by status, total rows/violations, violation rate, wall-time
+    stats, and the worst partition (max violations, ties by name).
+
+    Pure algebraic aggregation over the O(partitions) audit frame —
+    cheap at any manifest size; the 'worst partition' is a max_by, not
+    a sort."""
+    dur = F.col("finished") - F.col("started")
+    return audit_df.agg(
+        F.count(F.lit(1)).alias("partitions"),
+        F.count(F.when(F.col("status") == "ok", 1)).alias("ok"),
+        F.count(F.when(F.col("status") == "violations", 1)).alias(
+            "with_violations"
+        ),
+        F.count(F.when(F.col("status") == "error", 1)).alias("errors"),
+        F.coalesce(F.sum("rows"), F.lit(0)).alias("total_rows"),
+        F.coalesce(F.sum("violations"), F.lit(0)).alias("total_violations"),
+        F.round(
+            F.try_divide(F.sum("violations"), F.sum("rows").cast("double")), 8
+        ).alias("violation_rate"),
+        F.round(F.sum(dur), 3).alias("wall_sec_total"),
+        F.round(F.max(dur), 3).alias("wall_sec_max"),
+        F.max_by(
+            F.col("partition"), F.struct(F.col("violations"), F.col("partition"))
+        ).alias("worst_partition"),
+        F.max("violations").alias("worst_violations"),
+    )

@@ -1,0 +1,16 @@
+"""The examples must actually run — in-process smoke over sf0.001."""
+
+
+def test_curation_pipeline_example(spark):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    import curation_pipeline
+
+    report = curation_pipeline.run(spark, "/root/testdata/sf0.001")
+    assert report["funnel"]["total"] == 500
+    assert 0 < report["dedup"]["survivors"] <= report["dedup"]["input"]
+    assert report["validation"]["ok"] is True
+    assert report["curation"]["weighted_rows"] == 100
+    assert report["export"]["shards"] == 8 and report["export"]["packs"] > 0

@@ -322,3 +322,26 @@ def test_iceberg_binding_smoke(spark, tmp_path):
     audit = AuditLog(spark, str(tmp_path / "iceberg_audit"))
     rep = run_partitions(table, audit, _process_counts)
     assert rep.ok and sorted(rep.processed) == ["00123", "7"]
+
+
+def test_audit_summary_rollup(spark, tmp_path):
+    from pandera_forge_spark.runner import audit_summary
+
+    docs = make_documents(spark, 200, seed=5, n_buckets=4)
+    table = HivePartitionedParquet(spark, str(tmp_path / "t"), "bucket")
+    table.write(docs)
+    audit = AuditLog(spark, str(tmp_path / "a"))
+
+    def proc(df, part):
+        n = df.count()
+        v = 7 if part == "2" else 0
+        return {"rows": n, "violations": v, "checks": {"c": v}}
+
+    run_partitions(table, audit, proc)
+    s = audit_summary(audit.read()).collect()[0]
+    assert s["partitions"] == 4 and s["ok"] == 3 and s["errors"] == 0
+    assert s["with_violations"] == 1
+    assert s["total_rows"] == 200 and s["total_violations"] == 7
+    assert s["worst_partition"] == "2" and s["worst_violations"] == 7
+    assert s["violation_rate"] == round(7 / 200, 8)
+    assert s["wall_sec_total"] >= s["wall_sec_max"] >= 0
