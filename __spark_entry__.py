@@ -1431,6 +1431,46 @@ ORDER BY ev.event_type, event_id
 """
 
 
+def q_chunk_interleaved(spark, sf_dir):
+    """Span-preserving chunking of interleaved docs (spans.py
+    chunk_interleaved): the 3-span fixture (text/image/text) packed at
+    capacity 128 — the body text owns chunk 0, the zero-cost image and
+    meta span land at floor(len/128). DuckDB replays the closed-form
+    chunk arithmetic per doc."""
+    from pandera_forge_spark.spans import chunk_interleaved
+
+    inter = _interleaved(spark, sf_dir)
+    out = chunk_interleaved(inter, capacity=128)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_text",
+        F.size("media_refs").cast("long").alias("n_media"),
+        F.try_element_at("media_refs", F.lit(1)).alias("first_ref"),
+        "n_spans",
+    ).orderBy("doc_id", "chunk_id")
+
+
+SQL_CHUNK_INTERLEAVED = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS L,
+         'meta:' || lang || ':' || source AS meta,
+         'media://' || md5(CAST(doc_id AS VARCHAR)) || '/1' AS ref
+  FROM documents
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS chunk_id,
+       CASE WHEN L // 128 = 0 THEN text || meta ELSE text END AS chunk_text,
+       CAST(CASE WHEN L // 128 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_media,
+       CASE WHEN L // 128 = 0 THEN ref ELSE NULL END AS first_ref,
+       CAST(CASE WHEN L // 128 = 0 THEN 3 ELSE 1 END AS BIGINT) AS n_spans
+FROM d
+UNION ALL
+SELECT doc_id, CAST(L // 128 AS BIGINT), meta, 1, ref, CAST(2 AS BIGINT)
+FROM d WHERE L // 128 > 0
+ORDER BY doc_id, chunk_id
+"""
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source duplicate overlap matrix (operators/dedup.py
     cross_group_duplicates): planted copies of every 7th doc under a
@@ -1975,11 +2015,21 @@ def q_text_quality(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
+
+    # floor-based deterministic rounding: Spark's round() HALF_UPs the
+    # SHORTEST DECIMAL repr of the double while DuckDB rounds the
+    # binary value, so a score that is mathematically x.xxxx5 but
+    # stored just below the half rounds differently (hit at sf0.1:
+    # quality 0.63655₁₀ stored as 0.63654999…). floor(x*1e4 + 0.5)/1e4
+    # is the same IEEE op sequence in both engines.
+    def r4(col):
+        return F.floor(col * 10000 + F.lit(0.5)) / 10000
+
     return docs.select(
         "doc_id",
-        F.round(punct_ratio(c), 4).alias("punct_ratio"),
-        F.round(stopword_ratio(c), 4).alias("stop_ratio"),
-        F.round(quality_score(c), 4).alias("quality"),
+        r4(punct_ratio(c)).alias("punct_ratio"),
+        r4(stopword_ratio(c)).alias("stop_ratio"),
+        r4(quality_score(c)).alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -2002,13 +2052,13 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id,
-       ROUND(punct_ratio, 4) AS punct_ratio,
-       ROUND(stop_ratio, 4) AS stop_ratio,
-       ROUND(LEAST(n_chars / 500.0, 1.0) * 0.3
+       FLOOR(punct_ratio * 10000 + 0.5) / 10000 AS punct_ratio,
+       FLOOR(stop_ratio * 10000 + 0.5) / 10000 AS stop_ratio,
+       FLOOR((LEAST(n_chars / 500.0, 1.0) * 0.3
              + LEAST(stop_ratio * 4.0, 1.0) * 0.3
              + GREATEST(1.0 - punct_ratio * 3.0, 0.0) * 0.25
-             + GREATEST(1.0 - CASE WHEN n_letters > 0 THEN n_upper / n_letters ELSE 0.0 END, 0.0) * 0.15,
-             4) AS quality
+             + GREATEST(1.0 - CASE WHEN n_letters > 0 THEN n_upper / n_letters ELSE 0.0 END, 0.0) * 0.15)
+             * 10000 + 0.5) / 10000 AS quality
 FROM r ORDER BY 1
 """
 
@@ -2695,6 +2745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_examples": q_violation_examples,
         "implies_check": q_implies_check,
         "grouped_outliers": q_grouped_outliers,
+        "chunk_interleaved": q_chunk_interleaved,
         "dedup_clusters": q_dedup_clusters,
         "dedup_near_dropped": q_dedup_near_dropped,
         "stratified_sample_lang": q_stratified_sample_lang,
@@ -2780,6 +2831,7 @@ def oracle_sql() -> dict[str, str]:
         "violation_examples": SQL_VIOLATION_EXAMPLES,
         "implies_check": SQL_IMPLIES_CHECK,
         "grouped_outliers": SQL_GROUPED_OUTLIERS,
+        "chunk_interleaved": SQL_CHUNK_INTERLEAVED,
         "dedup_near_dropped": SQL_DEDUP_NEAR_DROPPED,
         "stratified_sample_lang": SQL_STRATIFIED_SAMPLE_LANG,
         "token_budget_lang": SQL_TOKEN_BUDGET_LANG,

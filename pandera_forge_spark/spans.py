@@ -243,3 +243,83 @@ def span_transition_matrix(
             F.count_distinct(F.col(doc_id_col)).alias("n_docs"),
         )
     )
+
+
+def chunk_interleaved(
+    df: DataFrame,
+    capacity: int,
+    spans_col: str = "spans",
+    doc_id_col: str = "doc_id",
+    media_cost: int = 0,
+) -> DataFrame:
+    """Span-preserving chunking of interleaved documents: spans are
+    packed in offset order into chunks of at most ``capacity``
+    cumulative text characters (media spans cost ``media_cost``), and
+    a span is NEVER split — the RAG/training-prep shape for
+    text+media documents, where cutting a caption away from its image
+    or bisecting a media ref corrupts the example.
+
+    Assignment is row-local array algebra: comparator-sorted spans,
+    running text-length prefix via ``aggregate`` (one pass, no window,
+    no shuffle), ``chunk_id = floor(start_cum / capacity)`` — a span
+    longer than capacity therefore owns its chunk alone, it is not
+    truncated. Then ONE groupBy((doc, chunk)) assembles chunk text
+    (order restored by sorting the collected (pos, text) structs — the
+    buffer is bounded by capacity, not document size) and the media
+    refs riding in that chunk. Output: (doc_id, chunk_id, chunk_text,
+    media_refs, n_spans, text_len)."""
+    spans = F.col(spans_col)
+    ordered = F.array_sort(
+        spans,
+        lambda l, r: F.when(l["offset"] < r["offset"], -1)
+        .when(l["offset"] > r["offset"], 1)
+        .otherwise(0),
+    )
+    cost = lambda s: F.when(
+        s["kind"] == "text", F.length(F.coalesce(s["text"], F.lit("")))
+    ).otherwise(F.lit(media_cost))
+    # prefix[i] = cumulative cost BEFORE span i (exclusive scan), built
+    # in one aggregate pass over the array
+    prefix = F.aggregate(
+        ordered,
+        F.array(F.lit(0).cast("long")),
+        lambda acc, s: F.concat(
+            acc, F.array(F.element_at(acc, -1) + cost(s).cast("long"))
+        ),
+    )
+    tagged = F.zip_with(
+        ordered,
+        F.slice(prefix, 1, F.size(ordered)),
+        lambda s, start: F.struct(
+            s.alias("s"), F.floor(start / capacity).alias("chunk_id")
+        ),
+    )
+    exploded = df.select(
+        F.col(doc_id_col), F.posexplode(tagged).alias("pos", "t")
+    ).select(
+        F.col(doc_id_col),
+        F.col("t.chunk_id").alias("chunk_id"),
+        F.col("pos"),
+        F.col("t.s").alias("s"),
+    )
+    ordered_structs = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col("s")))
+    )
+    return (
+        exploded.groupBy(doc_id_col, "chunk_id")
+        .agg(
+            F.array_join(
+                F.filter(
+                    F.transform(ordered_structs, lambda x: x["s"]["text"]),
+                    lambda t: t.isNotNull(),
+                ),
+                "",
+            ).alias("chunk_text"),
+            F.filter(
+                F.transform(ordered_structs, lambda x: x["s"]["media_ref"]),
+                lambda m: m.isNotNull(),
+            ).alias("media_refs"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+        .withColumn("text_len", F.length("chunk_text").cast("long"))
+    )

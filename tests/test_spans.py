@@ -209,3 +209,46 @@ def test_span_transition_matrix_sorts_by_offset(spark):
         ("image", "text"): (1, 1),
         ("text", "text"): (1, 1),
     }
+
+
+def test_chunk_interleaved_span_preserving(spark):
+    from pandera_forge_spark.spans import chunk_interleaved
+
+    def s(kind, off, text=None, ref=None):
+        return (kind, text, ref, off)
+
+    rows = [
+        # doc 1: text(4) image text(4) text(4) with capacity 8:
+        # prefix costs 0,4,4,8 -> chunks [0,0,0], [1]
+        (1, [s("text", 0, "aaaa"), s("image", 10, None, "m1"),
+             s("text", 20, "bbbb"), s("text", 30, "cccc")]),
+        # doc 2: one text span LONGER than capacity -> kept whole
+        (2, [s("text", 0, "x" * 20), s("text", 10, "yy")]),
+        # doc 3: stored out of order; sort must restore offsets
+        (3, [s("text", 100, "22"), s("text", 0, "11"), s("image", 50, None, "m3")]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunk_interleaved(df, capacity=8).collect()
+    }
+    c10, c11 = got[(1, 0)], got[(1, 1)]
+    assert c10["chunk_text"] == "aaaabbbb" and c10["media_refs"] == ["m1"]
+    assert c10["n_spans"] == 3
+    assert c11["chunk_text"] == "cccc" and c11["media_refs"] == []
+    # long span owns chunk 0 whole; the next span starts a new chunk
+    assert got[(2, 0)]["chunk_text"] == "x" * 20
+    assert got[(2, 2)]["chunk_text"] == "yy"  # starts at cum 20 -> chunk 2
+    # out-of-order storage: offsets 0,50,100 -> text "11" then "22",
+    # image ref rides chunk 0 (cost 0)
+    c3 = got[(3, 0)]
+    assert c3["chunk_text"] == "1122" and c3["media_refs"] == ["m3"]
+    # no text lost anywhere
+    for doc_id, text_total in ((1, 12), (2, 22), (3, 4)):
+        assert sum(
+            r["text_len"] for (d, _), r in got.items() if d == doc_id
+        ) == text_total
