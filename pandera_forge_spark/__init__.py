@@ -68,18 +68,37 @@ from pandera_forge_spark.operators.temporal import (
     sessionize,
     time_rollup,
 )
-from pandera_forge_spark.spans import span_ref_violations
+from pandera_forge_spark.operators.sampling import weighted_take
+from pandera_forge_spark.operators.similarity import embedding_health
+from pandera_forge_spark.operators.text import chunk_documents, normalize_text
+from pandera_forge_spark.profiler import (
+    correlation_matrix,
+    entropy_profile,
+    null_correlation,
+    quantile_profile,
+)
+from pandera_forge_spark.runner import audit_summary
+from pandera_forge_spark.sources.readers import corrupt_record_report, read_jsonl
+from pandera_forge_spark.spans import (
+    chunk_interleaved,
+    span_ref_violations,
+    span_transition_matrix,
+)
 from pandera_forge_spark.validator import (
     duplicate_keys,
     duplicate_rows,
     functional_dependency_violations,
+    grouped_outlier_rows,
     has_duplicate_keys,
+    iqr_bounds,
     orphan_rows,
+    outlier_rows,
     skew_report,
     quarantine_split,
     snapshot_diff,
     snapshot_diff_summary,
     validate_table,
+    violation_examples,
     violation_rows,
 )
 
@@ -136,4 +155,21 @@ __all__ = [
     "time_rollup",
     "span_ref_violations",
     "functional_dependency_violations",
+    "correlation_matrix",
+    "entropy_profile",
+    "null_correlation",
+    "quantile_profile",
+    "iqr_bounds",
+    "outlier_rows",
+    "grouped_outlier_rows",
+    "violation_examples",
+    "chunk_documents",
+    "normalize_text",
+    "weighted_take",
+    "embedding_health",
+    "span_transition_matrix",
+    "chunk_interleaved",
+    "audit_summary",
+    "read_jsonl",
+    "corrupt_record_report",
 ]
