@@ -793,3 +793,119 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def write_band_index(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> None:
+    """Persist the corpus MinHash band index + shingle frame ONCE —
+    the write-once artifact ``near_duplicates_incremental``'s docstring
+    promises: a 10^12-doc corpus is banded and shingled a single time,
+    and every day's crawl thereafter probes the stored index instead of
+    re-scanning 100 TB of text.
+
+    Layout: ``<path>/bands`` (id, band, bucket — partitioned by band so
+    a probe joining one band prunes to its directory),
+    ``<path>/shingles`` (id, shingle-hash array for the exact-Jaccard
+    verify), ``<path>/_band_meta.json`` (the exact hashing parameters —
+    a probe MUST band with identical num_hashes/bands/shingle_n/seed or
+    collisions are meaningless, so they are stored, not trusted to
+    call-site discipline). Sidecar goes through DriverFS (s3a/hdfs/
+    local alike)."""
+    import json
+
+    from pandera_forge_spark.sources.fs import DriverFS
+
+    sh = df.select(
+        F.col(id_col), hashed_shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    banded = _banded_from_shingles(sh, id_col, num_hashes, bands, seed)
+    banded.write.partitionBy("band").mode("overwrite").parquet(f"{path}/bands")
+    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    DriverFS(df.sparkSession).write_bytes(
+        f"{path}/_band_meta.json",
+        json.dumps(
+            {
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "shingle_n": shingle_n,
+                "seed": seed,
+                "id_col": id_col,
+            }
+        ).encode(),
+    )
+
+
+def probe_band_index(
+    spark,
+    path: str,
+    new: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Probe a persisted band index with the day's new documents:
+    identical semantics to ``near_duplicates_incremental`` (hub-capped
+    corpus buckets, exact-Jaccard verify, (new_id, corpus_id, jaccard)
+    out) but the corpus side is the stored artifact — zero corpus text
+    is re-read, only the O(docs×bands) band rows and the shingle rows
+    of actual candidates. Hashing parameters come from the sidecar, so
+    a probe can never silently band differently than the index."""
+    import json
+
+    from pandera_forge_spark.sources.fs import DriverFS
+
+    meta = json.loads(
+        DriverFS(spark).read_bytes(f"{path}/_band_meta.json").decode()
+    )
+    corpus_id = meta["id_col"]
+    new_sh = new.select(
+        F.col(id_col), hashed_shingles(F.col(text_col), meta["shingle_n"]).alias("__sh")
+    ).persist()
+    nb = _banded_from_shingles(
+        new_sh, id_col, meta["num_hashes"], meta["bands"], meta["seed"]
+    ).select(F.col(id_col).alias("new_id"), "band", "bucket")
+    cb = spark.read.parquet(f"{path}/bands").select(
+        F.col(corpus_id).alias("corpus_id"), "band", "bucket"
+    )
+    if max_bucket is not None:
+        sizes = cb.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__n"), F.min("corpus_id").alias("__hub")
+        )
+        cb = (
+            cb.join(sizes, ["band", "bucket"])
+            .where(
+                (F.col("__n") <= max_bucket)
+                | (F.col("corpus_id") == F.col("__hub"))
+            )
+            .drop("__n", "__hub")
+        )
+    cand = nb.join(cb, ["band", "bucket"]).select("new_id", "corpus_id").distinct()
+    a = new_sh.select(F.col(id_col).alias("new_id"), F.col("__sh").alias("__sha"))
+    b = spark.read.parquet(f"{path}/shingles").select(
+        F.col(corpus_id).alias("corpus_id"), F.col("__sh").alias("__shb")
+    )
+    out = (
+        cand.join(a, "new_id")
+        .join(b, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(jaccard(F.col("__sha"), F.col("__shb")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    try:
+        out = out.persist()
+        out.count()
+        return out
+    finally:
+        new_sh.unpersist()

@@ -372,3 +372,46 @@ def test_cross_group_duplicates(spark):
         for r in cross_group_duplicates(df, "text", "src").collect()
     }
     assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_band_index_probe_matches_incremental(spark, tmp_path):
+    """write_band_index + probe_band_index must reproduce EXACTLY the
+    (new_id, corpus_id, jaccard) set the raw-frame incremental path
+    computes — the stored artifact changes cost, never semantics.
+    Probes also must band with the sidecar's parameters, not the
+    caller's."""
+    from pandera_forge_spark.operators.dedup import (
+        near_duplicates_incremental,
+        probe_band_index,
+        write_band_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    new = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 500000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+
+    want = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in near_duplicates_incremental(
+            docs, new, "text", "doc_id", threshold=0.6
+        ).collect()
+    }
+
+    idx = str(tmp_path / "bandidx")
+    write_band_index(docs, idx, "text", "doc_id")
+    got = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in probe_band_index(
+            spark, idx, new, "text", "doc_id", threshold=0.6
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # every planted (corpus doc -> mutated copy) pair surfaces
+    planted = {r["doc_id"] for r in docs.where(F.col("doc_id") % 10 == 0).collect()}
+    assert {c for (n, c, _j) in got if n - c == 500000} == planted
