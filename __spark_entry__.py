@@ -1431,6 +1431,42 @@ ORDER BY ev.event_type, event_id
 """
 
 
+def q_band_index_probe(spark, sf_dir):
+    """Persisted-band-index incremental dedup (operators/dedup.py
+    write_band_index + probe_band_index): the corpus index is written
+    once to a scratch dir, then mutated copies of every 25th doc probe
+    it — same planted closed form as `incremental_near_dup`, but
+    through the stored artifact (sidecar-parameterized banding, no
+    corpus re-read)."""
+    import tempfile
+
+    from pandera_forge_spark.operators.dedup import (
+        probe_band_index,
+        write_band_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = tempfile.mkdtemp(prefix="bandidx_") + "/idx"
+    write_band_index(docs, idx, "text", "doc_id")
+    new = (
+        docs.where(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    nd = probe_band_index(spark, idx, new, "text", "doc_id", threshold=0.6)
+    return (
+        nd.where(F.col("new_id") - F.col("corpus_id") == 1000000)
+        .select("new_id", "corpus_id")
+        .orderBy("new_id")
+    )
+
+
+SQL_BAND_INDEX_PROBE = """
+SELECT doc_id + 1000000 AS new_id, doc_id AS corpus_id FROM documents
+WHERE doc_id % 25 = 0 ORDER BY 1
+"""
+
+
 def q_chunk_interleaved(spark, sf_dir):
     """Span-preserving chunking of interleaved docs (spans.py
     chunk_interleaved): the 3-span fixture (text/image/text) packed at
@@ -2746,6 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "implies_check": q_implies_check,
         "grouped_outliers": q_grouped_outliers,
         "chunk_interleaved": q_chunk_interleaved,
+        "band_index_probe": q_band_index_probe,
         "dedup_clusters": q_dedup_clusters,
         "dedup_near_dropped": q_dedup_near_dropped,
         "stratified_sample_lang": q_stratified_sample_lang,
@@ -2832,6 +2869,7 @@ def oracle_sql() -> dict[str, str]:
         "implies_check": SQL_IMPLIES_CHECK,
         "grouped_outliers": SQL_GROUPED_OUTLIERS,
         "chunk_interleaved": SQL_CHUNK_INTERLEAVED,
+        "band_index_probe": SQL_BAND_INDEX_PROBE,
         "dedup_near_dropped": SQL_DEDUP_NEAR_DROPPED,
         "stratified_sample_lang": SQL_STRATIFIED_SAMPLE_LANG,
         "token_budget_lang": SQL_TOKEN_BUDGET_LANG,
