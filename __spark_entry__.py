@@ -1319,16 +1319,21 @@ def q_violation_examples(spark, sf_dir):
 
 
 SQL_VIOLATION_EXAMPLES = """
-WITH bad AS (
+WITH raw AS (
   SELECT l_orderkey, l_linenumber, 'l_quantity__le' AS check,
-         CAST(l_quantity AS VARCHAR) AS value,
-         CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR) AS vid
+         CAST(l_quantity AS VARCHAR) AS value
   FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity > 40.0
   UNION ALL
   SELECT l_orderkey, l_linenumber, 'l_discount__le',
-         CAST(l_discount AS VARCHAR),
-         CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)
+         CAST(l_discount AS VARCHAR)
   FROM lineitem WHERE l_discount IS NOT NULL AND l_discount > 0.05
+), bad AS (
+  SELECT *,
+         CAST(length(CAST(l_orderkey AS VARCHAR)) AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR)
+           || CAST(length(CAST(l_linenumber AS VARCHAR)) AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)
+           || CAST(length("check") AS VARCHAR) || ':' || "check"
+           || CAST(length(value) AS VARCHAR) || ':' || value AS vid
+  FROM raw
 )
 SELECT l_orderkey, l_linenumber, "check", value FROM (
   SELECT *, row_number() OVER (
@@ -1469,10 +1474,11 @@ WHERE doc_id % 25 = 0 ORDER BY 1
 
 def q_chunk_interleaved(spark, sf_dir):
     """Span-preserving chunking of interleaved docs (spans.py
-    chunk_interleaved): the 3-span fixture (text/image/text) packed at
-    capacity 128 — the body text owns chunk 0, the zero-cost image and
-    meta span land at floor(len/128). DuckDB replays the closed-form
-    chunk arithmetic per doc."""
+    chunk_interleaved): the 3-span fixture (text/image/text) packed
+    GREEDILY at capacity 128 — body text opens chunk 0, the zero-cost
+    image always rides it, and the meta span joins chunk 0 iff
+    len(text)+len(meta) fits, else opens chunk 1. DuckDB replays the
+    closed-form per-doc case split."""
     from pandera_forge_spark.spans import chunk_interleaved
 
     inter = _interleaved(spark, sf_dir)
@@ -1493,16 +1499,18 @@ WITH d AS (
          'meta:' || lang || ':' || source AS meta,
          'media://' || md5(CAST(doc_id AS VARCHAR)) || '/1' AS ref
   FROM documents
+), fits AS (
+  SELECT *, (L + length(meta) <= 128) AS one_chunk FROM d
 )
 SELECT doc_id, CAST(0 AS BIGINT) AS chunk_id,
-       CASE WHEN L // 128 = 0 THEN text || meta ELSE text END AS chunk_text,
-       CAST(CASE WHEN L // 128 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_media,
-       CASE WHEN L // 128 = 0 THEN ref ELSE NULL END AS first_ref,
-       CAST(CASE WHEN L // 128 = 0 THEN 3 ELSE 1 END AS BIGINT) AS n_spans
-FROM d
+       CASE WHEN one_chunk THEN text || meta ELSE text END AS chunk_text,
+       CAST(1 AS BIGINT) AS n_media,
+       ref AS first_ref,
+       CAST(CASE WHEN one_chunk THEN 3 ELSE 2 END AS BIGINT) AS n_spans
+FROM fits
 UNION ALL
-SELECT doc_id, CAST(L // 128 AS BIGINT), meta, 1, ref, CAST(2 AS BIGINT)
-FROM d WHERE L // 128 > 0
+SELECT doc_id, CAST(1 AS BIGINT), meta, 0, NULL, CAST(1 AS BIGINT)
+FROM fits WHERE NOT one_chunk
 ORDER BY doc_id, chunk_id
 """
 

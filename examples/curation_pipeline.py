@@ -67,12 +67,18 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
     for pred in rules.values():
         gated = gated.where(pred)
 
-    # 3. dedup: exact first (hash-groupBy survivors), then near
-    #    (banded MinHash candidates, verified, clustered, min-id kept)
-    survivors, mapping = dedup_near(gated, "text", "doc_id", threshold=0.7)
+    # 3. dedup: exact first (hash-groupBy survivors — the cheap pass
+    #    the near-dedup cost model assumes), then near (banded MinHash
+    #    candidates, verified, clustered, min-id kept)
+    from pandera_forge_spark.operators.dedup import dedup_exact
+
+    n_gated = gated.count()
+    exact = dedup_exact(gated, "text", "doc_id")
+    survivors, mapping = dedup_near(exact, "text", "doc_id", threshold=0.7)
     survivors = survivors.persist()
     report["dedup"] = {
-        "input": gated.count(),
+        "input": n_gated,
+        "after_exact": exact.count(),
         "survivors": survivors.count(),
         "clustered_ids": mapping.count(),
     }

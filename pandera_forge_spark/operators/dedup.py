@@ -350,6 +350,52 @@ def near_duplicates_minhash(
         sh.unpersist()
 
 
+def _hub_cap_corpus_bands(cb: DataFrame, max_bucket: Optional[int]) -> DataFrame:
+    """Star-cap a corpus band frame (corpus_id, band, bucket): past
+    ``max_bucket`` only the min-id hub of each (band, bucket) survives
+    — shared by the raw-frame incremental path and the persisted-index
+    probe so the cap semantics can never diverge between them."""
+    if max_bucket is None:
+        return cb
+    sizes = cb.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__n"), F.min("corpus_id").alias("__hub")
+    )
+    return (
+        cb.join(sizes, ["band", "bucket"])
+        .where(
+            (F.col("__n") <= max_bucket) | (F.col("corpus_id") == F.col("__hub"))
+        )
+        .drop("__n", "__hub")
+    )
+
+
+def _verify_candidate_pairs(
+    cand: DataFrame,
+    new_sh: DataFrame,
+    corpus_sh: DataFrame,
+    id_col: str,
+    corpus_id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of (new_id, corpus_id) candidates
+    against the two shingle frames — the other half shared between the
+    incremental path and the index probe."""
+    a = new_sh.select(F.col(id_col).alias("new_id"), F.col("__sh").alias("__sha"))
+    b = corpus_sh.select(
+        F.col(corpus_id_col).alias("corpus_id"), F.col("__sh").alias("__shb")
+    )
+    return (
+        cand.join(a, "new_id")
+        .join(b, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(jaccard(F.col("__sha"), F.col("__shb")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def near_duplicates_incremental(
     corpus: DataFrame,
     new: DataFrame,
@@ -402,33 +448,9 @@ def near_duplicates_incremental(
     nb = _banded_from_shingles(
         new_sh, id_col, num_hashes, bands, seed
     ).select(F.col(id_col).alias("new_id"), "band", "bucket")
-    if max_bucket is not None:
-        sizes = cb.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("__n"), F.min("corpus_id").alias("__hub")
-        )
-        cb = (
-            cb.join(sizes, ["band", "bucket"])
-            .where(
-                (F.col("__n") <= max_bucket)
-                | (F.col("corpus_id") == F.col("__hub"))
-            )
-            .drop("__n", "__hub")
-        )
+    cb = _hub_cap_corpus_bands(cb, max_bucket)
     cand = nb.join(cb, ["band", "bucket"]).select("new_id", "corpus_id").distinct()
-    a = new_sh.select(F.col(id_col).alias("new_id"), F.col("__sh").alias("__sha"))
-    b = corpus_sh.select(
-        F.col(id_col).alias("corpus_id"), F.col("__sh").alias("__shb")
-    )
-    out = (
-        cand.join(a, "new_id")
-        .join(b, "corpus_id")
-        .select(
-            "new_id",
-            "corpus_id",
-            F.round(jaccard(F.col("__sha"), F.col("__shb")), 6).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    out = _verify_candidate_pairs(cand, new_sh, corpus_sh, id_col, id_col, threshold)
     if not eager:
         return out
     try:
@@ -823,12 +845,22 @@ def write_band_index(
 
     from pandera_forge_spark.sources.fs import DriverFS
 
+    from pyspark import StorageLevel
+
     sh = df.select(
         F.col(id_col), hashed_shingles(F.col(text_col), shingle_n).alias("__sh")
-    )
-    banded = _banded_from_shingles(sh, id_col, num_hashes, bands, seed)
-    banded.write.partitionBy("band").mode("overwrite").parquet(f"{path}/bands")
-    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # persist across the two actions: without it both the bands
+        # write and the shingles write re-scan and re-shingle the full
+        # corpus — twice the cost of the one-time artifact at 100 TB
+        banded = _banded_from_shingles(sh, id_col, num_hashes, bands, seed)
+        banded.write.partitionBy("band").mode("overwrite").parquet(
+            f"{path}/bands"
+        )
+        sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    finally:
+        sh.unpersist()
     DriverFS(df.sparkSession).write_bytes(
         f"{path}/_band_meta.json",
         json.dumps(
@@ -876,32 +908,15 @@ def probe_band_index(
     cb = spark.read.parquet(f"{path}/bands").select(
         F.col(corpus_id).alias("corpus_id"), "band", "bucket"
     )
-    if max_bucket is not None:
-        sizes = cb.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("__n"), F.min("corpus_id").alias("__hub")
-        )
-        cb = (
-            cb.join(sizes, ["band", "bucket"])
-            .where(
-                (F.col("__n") <= max_bucket)
-                | (F.col("corpus_id") == F.col("__hub"))
-            )
-            .drop("__n", "__hub")
-        )
+    cb = _hub_cap_corpus_bands(cb, max_bucket)
     cand = nb.join(cb, ["band", "bucket"]).select("new_id", "corpus_id").distinct()
-    a = new_sh.select(F.col(id_col).alias("new_id"), F.col("__sh").alias("__sha"))
-    b = spark.read.parquet(f"{path}/shingles").select(
-        F.col(corpus_id).alias("corpus_id"), F.col("__sh").alias("__shb")
-    )
-    out = (
-        cand.join(a, "new_id")
-        .join(b, "corpus_id")
-        .select(
-            "new_id",
-            "corpus_id",
-            F.round(jaccard(F.col("__sha"), F.col("__shb")), 6).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+    out = _verify_candidate_pairs(
+        cand,
+        new_sh,
+        spark.read.parquet(f"{path}/shingles"),
+        id_col,
+        corpus_id,
+        threshold,
     )
     try:
         out = out.persist()

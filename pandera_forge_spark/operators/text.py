@@ -402,7 +402,10 @@ def normalize_text(
     if strip_control:
         out = F.regexp_replace(out, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
     if strip_punct:
-        out = F.regexp_replace(out, r"[^\w\s]", " ")
+        # \p{L}\p{N}, not \w: Java's \w is ASCII-only without
+        # UNICODE_CHARACTER_CLASS, so [^\w\s] would delete every
+        # accented/CJK character from a multilingual corpus
+        out = F.regexp_replace(out, r"[^\p{L}\p{N}\s]", " ")
     if collapse_whitespace:
         out = F.trim(F.regexp_replace(out, r"\s+", " "))
     if lowercase:

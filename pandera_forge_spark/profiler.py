@@ -558,7 +558,7 @@ def entropy_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         .groupBy("column", "value")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    return counts.groupBy("column").agg(
+    agg = counts.groupBy("column").agg(
         F.sum("cnt").alias("n_values"),
         F.count(F.lit(1)).alias("distinct_count"),
         F.round(
@@ -566,6 +566,20 @@ def entropy_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             - F.sum(F.col("cnt") * F.log2("cnt")) / F.sum("cnt"),
             6,
         ).alias("entropy"),
+    )
+    # an entirely-null column produces NO melted rows, so without a
+    # seed it would vanish from the output — the dead-extractor
+    # pathology this profiler exists to surface. Left-join the column
+    # list back in: such columns report n_values=0, distinct 0,
+    # entropy NULL.
+    seed = df.sparkSession.createDataFrame(
+        [(c,) for c in cols], "`column` string"
+    )
+    return seed.join(agg, "column", "left").select(
+        "column",
+        F.coalesce(F.col("n_values"), F.lit(0)).alias("n_values"),
+        F.coalesce(F.col("distinct_count"), F.lit(0)).alias("distinct_count"),
+        F.col("entropy"),
     )
 
 

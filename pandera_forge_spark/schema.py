@@ -118,6 +118,7 @@ CHECK_KINDS = (
     "dtype",
     "custom_sql",  # value = boolean SQL expression string (JVM-side)
     "custom_pandas",  # value = pd.Series -> bool pd.Series callable (Arrow)
+    "implies",  # value = {"when": <bool SQL>, "then": <bool SQL>} implication
 )
 
 

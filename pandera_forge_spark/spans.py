@@ -260,14 +260,19 @@ def chunk_interleaved(
     or bisecting a media ref corrupts the example.
 
     Assignment is row-local array algebra: comparator-sorted spans,
-    running text-length prefix via ``aggregate`` (one pass, no window,
-    no shuffle), ``chunk_id = floor(start_cum / capacity)`` — a span
-    longer than capacity therefore owns its chunk alone, it is not
-    truncated. Then ONE groupBy((doc, chunk)) assembles chunk text
+    then a GREEDY sequential pack via one ``aggregate`` scan (no
+    window, no shuffle): a span joins the current chunk if it fits
+    (``fill + cost <= capacity``), if the chunk is still empty (so a
+    longer-than-capacity span forms its own oversized chunk rather
+    than being truncated), or if it costs 0 (media rides the chunk of
+    the content it follows — an image is never orphaned into an empty
+    chunk); otherwise it opens the next chunk. Every chunk is
+    therefore <= capacity text chars EXCEPT one containing a single
+    oversize span. Then ONE groupBy((doc, chunk)) assembles chunk text
     (order restored by sorting the collected (pos, text) structs — the
-    buffer is bounded by capacity, not document size) and the media
-    refs riding in that chunk. Output: (doc_id, chunk_id, chunk_text,
-    media_refs, n_spans, text_len)."""
+    buffer is bounded by capacity plus one unsplittable span, not
+    document size) and the media refs riding in that chunk. Output:
+    (doc_id, chunk_id, chunk_text, media_refs, n_spans, text_len)."""
     spans = F.col(spans_col)
     ordered = F.array_sort(
         spans,
@@ -277,22 +282,39 @@ def chunk_interleaved(
     )
     cost = lambda s: F.when(
         s["kind"] == "text", F.length(F.coalesce(s["text"], F.lit("")))
-    ).otherwise(F.lit(media_cost))
-    # prefix[i] = cumulative cost BEFORE span i (exclusive scan), built
-    # in one aggregate pass over the array
-    prefix = F.aggregate(
+    ).otherwise(F.lit(media_cost)).cast("long")
+    # greedy pack state: acc[i] = (chunk_id, fill AFTER span i); the
+    # seed (0, 0) is dropped by the slice below
+    zero = F.struct(
+        F.lit(0).cast("long").alias("cid"), F.lit(0).cast("long").alias("fill")
+    )
+    states = F.aggregate(
         ordered,
-        F.array(F.lit(0).cast("long")),
+        F.array(zero),
         lambda acc, s: F.concat(
-            acc, F.array(F.element_at(acc, -1) + cost(s).cast("long"))
+            acc,
+            F.array(
+                F.when(
+                    (F.element_at(acc, -1)["fill"] + cost(s) <= capacity)
+                    | (F.element_at(acc, -1)["fill"] == 0)
+                    | (cost(s) == 0),
+                    F.struct(
+                        F.element_at(acc, -1)["cid"].alias("cid"),
+                        (F.element_at(acc, -1)["fill"] + cost(s)).alias("fill"),
+                    ),
+                ).otherwise(
+                    F.struct(
+                        (F.element_at(acc, -1)["cid"] + 1).alias("cid"),
+                        cost(s).alias("fill"),
+                    )
+                )
+            ),
         ),
     )
     tagged = F.zip_with(
         ordered,
-        F.slice(prefix, 1, F.size(ordered)),
-        lambda s, start: F.struct(
-            s.alias("s"), F.floor(start / capacity).alias("chunk_id")
-        ),
+        F.slice(states, 2, F.size(ordered)),
+        lambda s, st: F.struct(s.alias("s"), st["cid"].alias("chunk_id")),
     )
     exploded = df.select(
         F.col(doc_id_col), F.posexplode(tagged).alias("pos", "t")

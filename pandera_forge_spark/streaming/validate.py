@@ -233,7 +233,10 @@ def stream_drift(
             )
         out.write.mode("overwrite").parquet(f"{drift_sink}/__epoch={epoch_id}")
         if on_batch is not None:
-            on_batch(epoch_id)
+            # same (result, epoch_id) convention as validate_stream's
+            # hook, and the verdict frame is what an alert-on-drift
+            # callback needs without re-reading the sink
+            on_batch(out, epoch_id)
 
     writer = stream_df.writeStream.foreachBatch(process)
     if checkpoint:

@@ -459,6 +459,8 @@ def iqr_bounds(
     aggregate — its buffer holds per-distinct-value counts, fine for
     bounded-cardinality columns and for oracle parity at test scale,
     not for 10^12 distinct doubles."""
+    if not cols:
+        return {}
     exprs = []
     for c in cols:
         col = F.col(c).cast("double")
@@ -557,14 +559,24 @@ def violation_examples(
     This routes the exploded violations through ``stratified_take``'s
     prefiltered path instead: per-check md5-threshold cut with the
     verified exact fallback, so the window only ever sees O(checks·k)
-    survivors. The sample is the same on any engine that can md5, and
-    ties are impossible because rows are keyed by the concatenated id
-    tuple."""
+    survivors. The sample is the same on any engine that can md5:
+    rows are keyed by a LENGTH-PREFIXED encoding (``len:value`` per
+    field — prefix-free, so a field containing any separator cannot
+    collide the way a plain delimiter join would: 'a#b','c' vs
+    'a','b#c') of the id tuple PLUS the check name and offending
+    value, because real tables carry duplicate id tuples (the driver's
+    synthetic lineitem has ~12k duplicate (orderkey, linenumber)
+    pairs) — with the value in the key, the only possible tie is
+    between byte-identical output rows, where either pick is the same
+    answer."""
     from pandera_forge_spark.operators.sampling import stratified_take
 
-    bad = violation_rows(df, schema, id_cols).withColumn(
-        "__vid", F.concat_ws("#", *[F.col(c).cast("string") for c in id_cols])
-    )
+    bad = violation_rows(df, schema, id_cols)
+    parts: list = []
+    for c in list(id_cols) + ["check", "value"]:
+        s = F.coalesce(F.col(c).cast("string"), F.lit(""))
+        parts += [F.length(s).cast("string"), F.lit(":"), s]
+    bad = bad.withColumn("__vid", F.concat(*parts))
     return stratified_take(bad, ["check"], k, "__vid", prefilter=True).drop(
         "__vid"
     )
@@ -597,6 +609,18 @@ def grouped_outlier_rows(
     group key (millions of groups would blow the broadcast limit) and
     lets AQE pick the shuffle join; results are identical."""
     from pyspark.sql.functions import broadcast
+
+    if not cols:
+        # same typed-empty contract as outlier_rows: callers iterating
+        # configurable column lists get a frame, not an IndexError
+        return df.select(*group_cols, *id_cols).limit(0).select(
+            *group_cols,
+            *id_cols,
+            F.lit("").alias("column"),
+            F.lit(0.0).alias("value"),
+            F.lit(0.0).alias("lo"),
+            F.lit(0.0).alias("hi"),
+        )
 
     qexprs = []
     for c in cols:

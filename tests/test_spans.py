@@ -240,9 +240,14 @@ def test_chunk_interleaved_span_preserving(spark):
     assert c10["chunk_text"] == "aaaabbbb" and c10["media_refs"] == ["m1"]
     assert c10["n_spans"] == 3
     assert c11["chunk_text"] == "cccc" and c11["media_refs"] == []
-    # long span owns chunk 0 whole; the next span starts a new chunk
+    # long span owns chunk 0 whole; the next span starts the NEXT chunk
     assert got[(2, 0)]["chunk_text"] == "x" * 20
-    assert got[(2, 2)]["chunk_text"] == "yy"  # starts at cum 20 -> chunk 2
+    assert got[(2, 1)]["chunk_text"] == "yy"
+    assert (2, 2) not in got  # greedy: no empty chunk gap
+    # hard capacity invariant: every chunk is <= capacity unless it
+    # holds a single oversize span
+    for r in got.values():
+        assert r["text_len"] <= 8 or r["n_spans"] == 1
     # out-of-order storage: offsets 0,50,100 -> text "11" then "22",
     # image ref rides chunk 0 (cost 0)
     c3 = got[(3, 0)]

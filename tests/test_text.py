@@ -285,3 +285,14 @@ def test_normalize_text(spark):
     assert got[1] == ("hello world again", "hello world again")
     assert got[2] == ("a,b;c!", "a b c")
     assert got[3] == (None, None)
+
+
+def test_normalize_text_preserves_unicode_letters(spark):
+    from pandera_forge_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame([(1, "caf\u00e9 \u4e2d\u6587 test!")], "id long, t string")
+    got = df.select(
+        normalize_text(F.col("t"), strip_punct=True).alias("np")
+    ).collect()[0]["np"]
+    # accented and CJK letters survive; only the '!' is stripped
+    assert got == "caf\u00e9 \u4e2d\u6587 test"

@@ -443,3 +443,13 @@ def test_grouped_outlier_rows_broadcasts_fences(spark):
     plan = executed_plan(out)
     assert "BroadcastHashJoin" in plan, plan
     assert not has_python_udf(out)
+
+
+def test_outlier_rows_empty_cols_contract(spark):
+    from pandera_forge_spark.validator import grouped_outlier_rows, outlier_rows
+
+    df = spark.createDataFrame([(1, "g", 1.0)], "id long, g string, v double")
+    assert outlier_rows(df, [], ["id"]).count() == 0
+    out = grouped_outlier_rows(df, [], ["id"], ["g"])
+    assert out.count() == 0
+    assert out.columns == ["g", "id", "column", "value", "lo", "hi"]
