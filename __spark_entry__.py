@@ -2744,7 +2744,52 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Entry ORDER matters: the driver's correctness harness compares only the
+    # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
+    # "least recently driver-verified first" and rotated each round
+    # (rotation history in BASELINE.md).  Round 4 front-loads:
+    #   1-17: never present in any CORRECTNESS_r{1,2,3} artifact
+    #         (judge-verified green by hand in round 3),
+    #  18-32: last driver-verified in rounds 1-2 (outside the r3 window),
+    #  33+  : new round-4 queries, then the round-3-verified tail.
     return {
+        # -- never driver-checked (r3 positions 51-82) ---------------------
+        "pii_scan": q_pii_scan,
+        "pii_redact": q_pii_redact,
+        "span_ref_integrity": q_span_ref_integrity,
+        "fd_source_lang": q_fd_source_lang,
+        "shuffle_shards": q_shuffle_shards,
+        "pack_concat_split": q_pack_concat_split,
+        "pack_greedy": q_pack_greedy,
+        "asof_events": q_asof_events,
+        "sessions_user": q_sessions_user,
+        "interval_join_events": q_interval_join_events,
+        "hourly_rollup": q_hourly_rollup,
+        "repetition_metrics": q_repetition_metrics,
+        "top_ngrams": q_top_ngrams,
+        "contamination_bench": q_contamination_bench,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "token_histogram": q_token_histogram,
+        "filter_funnel": q_filter_funnel,
+        # -- last driver-verified in rounds 1-2 ----------------------------
+        "text_metrics": q_text_metrics,
+        "token_stats_by_lang": q_token_stats_by_lang,
+        "cosine_topk": q_cosine_topk,
+        "embedding_norms": q_embedding_norms,
+        "inferred_schema_region": q_inferred_schema_region,
+        "profile_by_group_lineitem": q_profile_by_group_lineitem,
+        "text_quality": q_text_quality,
+        "language_id": q_language_id,
+        "ngram_jaccard_planted": q_ngram_jaccard_planted,
+        "knn_join": q_knn_join,
+        "duplicate_order_rows": q_duplicate_order_rows,
+        "drift_verdicts_orders": q_drift_verdicts_orders,
+        "multimodal_features": q_multimodal_features,
+        "frame_sample_plan": q_frame_sample_plan,
+        "near_dup_embedding": q_near_dup_embedding,
+        # -- new in round 4 -------------------------------------------------
+        # (inserted here so they land inside the driver's 50-entry window)
+        # -- driver-verified green in round 3 (first-50 tail) ---------------
         "profile_lineitem": q_profile_lineitem,
         "profile_fused_orders": q_profile_fused_orders,
         "uniqueness_orders": q_uniqueness_orders,
@@ -2795,38 +2840,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_dropped": q_dedup_near_dropped,
         "stratified_sample_lang": q_stratified_sample_lang,
         "token_budget_lang": q_token_budget_lang,
-        "text_metrics": q_text_metrics,
-        "repetition_metrics": q_repetition_metrics,
-        "top_ngrams": q_top_ngrams,
-        "contamination_bench": q_contamination_bench,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "token_histogram": q_token_histogram,
-        "filter_funnel": q_filter_funnel,
-        "token_stats_by_lang": q_token_stats_by_lang,
-        "cosine_topk": q_cosine_topk,
-        "embedding_norms": q_embedding_norms,
-        "inferred_schema_region": q_inferred_schema_region,
-        "profile_by_group_lineitem": q_profile_by_group_lineitem,
-        "text_quality": q_text_quality,
-        "language_id": q_language_id,
-        "ngram_jaccard_planted": q_ngram_jaccard_planted,
-        "knn_join": q_knn_join,
-        "duplicate_order_rows": q_duplicate_order_rows,
-        "drift_verdicts_orders": q_drift_verdicts_orders,
-        "multimodal_features": q_multimodal_features,
-        "frame_sample_plan": q_frame_sample_plan,
-        "near_dup_embedding": q_near_dup_embedding,
-        "pii_scan": q_pii_scan,
-        "pii_redact": q_pii_redact,
-        "span_ref_integrity": q_span_ref_integrity,
-        "fd_source_lang": q_fd_source_lang,
-        "shuffle_shards": q_shuffle_shards,
-        "pack_concat_split": q_pack_concat_split,
-        "pack_greedy": q_pack_greedy,
-        "asof_events": q_asof_events,
-        "sessions_user": q_sessions_user,
-        "interval_join_events": q_interval_join_events,
-        "hourly_rollup": q_hourly_rollup,
     }
 
 
