@@ -739,7 +739,7 @@ def dedup_near(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    threshold: float = 0.8,
+    threshold: Optional[float] = None,
     method: str = "minhash",
     max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
     checkpoint_dir: Optional[str] = None,
@@ -750,6 +750,12 @@ def dedup_near(
     Hamming-verified), connected-component clustering (so A~B~C
     deduplicates as ONE group even when A~C was never a pair), then a
     min-id survivor per cluster.
+
+    ``threshold`` is the minhash Jaccard cut (default 0.8) and applies
+    ONLY to ``method='minhash'``; simhash similarity is Hamming-based —
+    pass ``max_hamming`` via ``method_kwargs`` instead. Passing
+    ``threshold`` with ``method='simhash'`` raises rather than being
+    silently ignored.
 
     Returns ``(survivors, mapping)``: ``survivors`` is ``df`` minus
     every non-representative cluster member (an anti-join — original
@@ -765,9 +771,16 @@ def dedup_near(
     if method == "minhash":
         pairs = near_duplicates_minhash(
             df, text_col, id_col,
-            threshold=threshold, max_bucket=max_bucket, **method_kwargs,
+            threshold=0.8 if threshold is None else threshold,
+            max_bucket=max_bucket, **method_kwargs,
         ).select("id_a", "id_b")
     elif method == "simhash":
+        if threshold is not None:
+            raise ValueError(
+                "threshold is a minhash Jaccard cut and does not apply to "
+                "method='simhash' (Hamming-based); pass max_hamming via "
+                "method_kwargs instead"
+            )
         pairs = near_duplicates_simhash(
             df, text_col, id_col, max_bucket=max_bucket, **method_kwargs
         ).select("id_a", "id_b")

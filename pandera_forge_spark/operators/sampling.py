@@ -82,12 +82,11 @@ def stratified_take(
     (md5 of ``id_col``, ties broken by the id) — same result on any
     cluster, any partitioning, any engine that can md5.
 
-    ``prefilter=None`` (auto) enables the threshold pre-cut when the
-    plan is non-trivial; ``False`` forces the exhaustive window (the
-    oracle-parity mode); ``True`` forces the pre-cut. Either way the
-    OUTPUT is identical — the pre-cut is verified per stratum and any
-    under-selected stratum falls back to its full row set before
-    ranking."""
+    ``prefilter=None`` defaults to ``True`` (the threshold pre-cut);
+    ``False`` forces the exhaustive window (the oracle-parity mode).
+    Either way the OUTPUT is identical — the pre-cut is verified per
+    stratum and any under-selected stratum falls back to its full row
+    set before ranking."""
     if prefilter is None:
         prefilter = True
     strata = [F.col(c) for c in strata_cols]

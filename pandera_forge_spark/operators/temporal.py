@@ -59,13 +59,19 @@ def asof_join(
 
     Plan shape (the scale-first trick): tag both sides, unionByName,
     ONE shuffle partitioning the union by ``by_cols``, then a running
-    ``last(value, ignorenulls=True)`` ordered by (ts, side) carries
-    each right value forward onto the left rows that follow it. At
-    equal timestamps the right row sorts first, so ties match
-    inclusively — pandas ``merge_asof`` semantics. No join operator
-    appears in the plan at all, so there is nothing for Catalyst to
-    turn into a nested-loop: cost is one exchange + one per-key sorted
-    scan regardless of how many right rows each left row skips over.
+    ``last(struct(ts, values), ignorenulls=True)`` ordered by
+    (ts, side) carries each right ROW forward onto the left rows that
+    follow it. Carrying the whole row as a struct (never-null for a
+    right row) rather than each value column separately is what makes
+    the semantics pandas ``merge_asof``-exact: a matched right row
+    whose value is NULL yields NULL (a bare ``last(value,
+    ignorenulls=True)`` would skip it and resurrect an OLDER row's
+    value), and ``tolerance`` gates on the timestamp of the row the
+    values actually came from. At equal timestamps the right row sorts
+    first, so ties match inclusively. No join operator appears in the
+    plan at all, so there is nothing for Catalyst to turn into a
+    nested-loop: cost is one exchange + one per-key sorted scan
+    regardless of how many right rows each left row skips over.
     """
     by = list(by_cols)
     vals = list(value_cols)
@@ -88,19 +94,31 @@ def asof_join(
         .orderBy(ts, F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched_ts = F.last(
-        F.when(F.col("__side") == 0, ts), ignorenulls=True
+    # One struct per right row — non-null whenever a right row exists,
+    # even if every value column in it is NULL — so last(...,
+    # ignorenulls=True) selects the latest right ROW, not the latest
+    # non-null VALUE.
+    matched = F.last(
+        F.when(
+            F.col("__side") == 0,
+            F.struct(
+                ts.alias("__mts"),
+                *[F.col(f"__v_{v}").alias(v) for v in vals],
+            ),
+        ),
+        ignorenulls=True,
     ).over(w)
-    out = u
+    out = u.withColumn("__m", matched)
     for v in vals:
-        carried = F.last(
-            F.when(F.col("__side") == 0, F.col(f"__v_{v}")), ignorenulls=True
-        ).over(w)
+        carried = F.col("__m")[v]
         if tolerance is not None:
-            carried = F.when(ts - matched_ts <= F.lit(float(tolerance)), carried)
+            # gate on the matched row's own ts (null match -> null)
+            carried = F.when(
+                ts - F.col("__m")["__mts"] <= F.lit(float(tolerance)), carried
+            )
         out = out.withColumn(v, carried)
     return out.where(F.col("__side") == 1).drop(
-        "__side", *[f"__v_{v}" for v in vals]
+        "__side", "__m", *[f"__v_{v}" for v in vals]
     )
 
 

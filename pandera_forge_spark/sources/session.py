@@ -161,12 +161,17 @@ def get_spark_session(
     # gate on the RESOLVED settings, not on how they arrived: the
     # env-var path (resolve_config default) must apply catalog/schema
     # exactly like an explicit config argument does
+    catalog_ok = True
     if cfg.catalog:
         try:
             spark.sql(f"USE CATALOG {cfg.catalog}")
         except Exception:  # noqa: BLE001 — local sessions have no catalogs
-            pass
-    if cfg.schema:
+            catalog_ok = False
+    # apply the schema only when the catalog context it belongs to is in
+    # effect — a USE SCHEMA after a failed USE CATALOG would land the
+    # schema in whatever catalog happened to be current (half-applied
+    # context), which is worse than applying neither
+    if cfg.schema and catalog_ok:
         try:
             spark.sql(f"USE SCHEMA {cfg.schema}")
         except Exception:  # noqa: BLE001

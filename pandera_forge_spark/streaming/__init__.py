@@ -10,6 +10,7 @@ same check compiler and verdict semantics via ``foreachBatch``.
 
 from pandera_forge_spark.streaming.stateful import duplicate_ids_stream
 from pandera_forge_spark.streaming.validate import (
+    stream_drift,
     stream_sketch_profile,
     stream_verdicts,
     validate_stream,
@@ -18,6 +19,7 @@ from pandera_forge_spark.streaming.validate import (
 
 __all__ = [
     "duplicate_ids_stream",
+    "stream_drift",
     "stream_sketch_profile",
     "stream_verdicts",
     "validate_stream",

@@ -296,6 +296,12 @@ def test_dedup_near_composite(spark):
     )
     assert sorted(r["id"] for r in sv2.collect()) == [1, 7]
 
+    # threshold is Jaccard-only: passing it with simhash raises rather
+    # than being silently ignored (round-3 advisor finding)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="simhash"):
+        dedup_near(df, "text", "id", threshold=0.95, method="simhash")
+
 
 def test_incremental_near_dup(spark):
     """New docs match the standing corpus through the band-index probe:

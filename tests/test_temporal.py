@@ -52,6 +52,28 @@ def test_asof_tolerance(trades, quotes):
     assert got[("B", 15.0)] == 9.0
 
 
+def test_asof_null_value_stays_null(spark):
+    """pandas merge_asof parity: a matched right row whose value is NULL
+    yields NULL — the carry must not skip it and resurrect an older
+    row's value (round-3 advisor repro: right (1,10),(5,NULL), left
+    ts=6 -> NULL, not 10.0)."""
+    left = spark.createDataFrame([("k", 6.0)], "sym string, ts double")
+    right = spark.createDataFrame(
+        [("k", 1.0, 10.0), ("k", 5.0, None)], "sym string, ts double, px double"
+    )
+    out = asof_join(left, right, "ts", ["sym"], ["px"]).collect()
+    assert len(out) == 1 and out[0]["px"] is None
+
+    # tolerance must gate on the MATCHED row (ts=5, 1s old: inside a 2s
+    # tolerance) — not on the older row the value would have come from
+    out = asof_join(left, right, "ts", ["sym"], ["px"], tolerance=2.0).collect()
+    assert out[0]["px"] is None
+    # and a left row at ts=5.5 matching the null row exactly: still null
+    left2 = spark.createDataFrame([("k", 5.5)], "sym string, ts double")
+    out = asof_join(left2, right, "ts", ["sym"], ["px"], tolerance=10.0).collect()
+    assert out[0]["px"] is None
+
+
 def test_asof_plan_has_no_nested_loop(trades, quotes):
     plan = (
         asof_join(trades, quotes, "ts", ["sym"], ["px"])
