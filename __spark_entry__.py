@@ -1999,6 +1999,72 @@ LIMIT 5
 """
 
 
+# Centroid vectors are taken FROM the corpus at fixed vec_ids so the
+# DuckDB oracle can reconstruct byte-identical centroids — k-means
+# itself is covered by the recall pytest (tests/test_similarity.py);
+# this query anchors the IVF *pipeline* (assign -> probe -> top-k).
+IVF_CENTROID_VIDS = [3, 7, 11, 19]
+
+
+def q_ivf_topk_planted(spark, sf_dir):
+    """IVF ANN top-k (operators/similarity.py ivf_topk) with explicit
+    centroids: each corpus vector is assigned to its nearest centroid
+    cell via argmax(dot(v,c) - |c|^2/2) (struct-max ties -> higher
+    cell), the query probes only the n_probe=2 nearest cells (squared
+    distance, ties -> lower cell), and cosine top-k runs over the
+    probed cells only. The oracle replays every stage in DuckDB with
+    the same tie-breaks, so a probe that silently scanned extra cells
+    (or assignment drift) hash-mismatches."""
+    from pandera_forge_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    fetched = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.where(
+            F.col("vec_id").isin([0] + IVF_CENTROID_VIDS)
+        ).collect()
+    }
+    centroids = [fetched[v] for v in IVF_CENTROID_VIDS]
+    qv = fetched[0]
+    top = ivf_topk(emb, qv, centroids, k=10, n_probe=2)
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+SQL_IVF_TOPK_PLANTED = """
+WITH cents AS (
+  SELECT c.cell, CAST(e.embedding AS DOUBLE[]) AS cv
+  FROM (VALUES (0, 3), (1, 7), (2, 11), (3, 19)) AS c(cell, vid)
+  JOIN embeddings e ON e.vec_id = c.vid
+),
+q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+assign AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+                    - list_dot_product(c.cv, c.cv) / 2.0 DESC,
+                    c.cell DESC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+probe AS (
+  SELECT cell FROM cents, q
+  ORDER BY list_dot_product(qv, qv) - 2 * list_dot_product(qv, cv)
+           + list_dot_product(cv, cv) ASC, cell ASC
+  LIMIT 2
+)
+SELECT a.vec_id, ROUND(list_cosine_similarity(a.v, q.qv), 4) AS cosine
+FROM assign a, q
+WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM probe)
+ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id ASC
+LIMIT 10
+"""
+
+
 def q_embedding_norms(spark, sf_dir):
     from pandera_forge_spark.operators.similarity import norm
 
@@ -2789,6 +2855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_embedding": q_near_dup_embedding,
         # -- new in round 4 -------------------------------------------------
         # (inserted here so they land inside the driver's 50-entry window)
+        "ivf_topk_planted": q_ivf_topk_planted,
         # -- driver-verified green in round 3 (first-50 tail) ---------------
         "profile_lineitem": q_profile_lineitem,
         "profile_fused_orders": q_profile_fused_orders,
@@ -2904,6 +2971,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_funnel": SQL_FILTER_FUNNEL,
         "token_stats_by_lang": SQL_TOKEN_STATS_BY_LANG,
         "cosine_topk": SQL_COSINE_TOPK,
+        "ivf_topk_planted": SQL_IVF_TOPK_PLANTED,
         "embedding_norms": SQL_EMBEDDING_NORMS,
         "inferred_schema_region": SQL_INFERRED_SCHEMA_REGION,
         "profile_by_group_lineitem": SQL_PROFILE_BY_GROUP_LINEITEM,

