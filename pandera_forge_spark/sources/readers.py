@@ -171,15 +171,26 @@ def sample_for_analysis(
 
 def read_excel(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     """All sheets → one DataFrame per sheet (reference:
-    pandas/pandas_generator.py:144-205). Driver-side pandas, gated —
-    openpyxl is not in this container."""
+    pandas/pandas_generator.py:144-205). Driver-side by design — the
+    reference parses workbooks with pandas ExcelFile and they are
+    MB-scale artifacts, never the 100-TB path. Uses pandas+openpyxl
+    when available (full fidelity: dates, styles); otherwise falls
+    back to the bundled stdlib SpreadsheetML reader (sources/xlsx.py —
+    zipfile + ElementTree over the public ECMA-376 format), so Excel
+    ingestion works in this container too."""
     try:
-        import openpyxl  # noqa: F401 — the gate: pandas' xlsx engine
+        import openpyxl  # noqa: F401 — pandas' xlsx engine
         import pandas as pd
-    except ImportError as e:
-        raise NotImplementedError(
-            "Excel reads need pandas+openpyxl on the driver"
-        ) from e
+    except ImportError:
+        from pandera_forge_spark.sources.xlsx import (
+            matrix_to_spark,
+            read_workbook,
+        )
+
+        return {
+            name: matrix_to_spark(spark, matrix)
+            for name, matrix in read_workbook(path).items()
+        }
     sheets = pd.read_excel(path, sheet_name=None, engine="openpyxl")
     return {name: spark.createDataFrame(pdf) for name, pdf in sheets.items()}
 

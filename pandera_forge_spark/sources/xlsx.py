@@ -1,0 +1,184 @@
+"""Minimal standard-library ``.xlsx`` reader.
+
+``read_excel`` (sources/readers.py) mirrors the reference's Excel
+ingestion (``pandas/pandas_generator.py:144-205``: ``pd.ExcelFile`` ->
+one frame per sheet), but this container has no openpyxl, so the pandas
+engine is unavailable. This module implements the fallback from public
+format knowledge only — SpreadsheetML (ECMA-376 / ISO-IEC 29500) is an
+open, documented zip-of-XML format:
+
+- ``xl/workbook.xml``          sheet names + relationship ids
+- ``xl/_rels/workbook.xml.rels`` relationship id -> sheet part path
+- ``xl/sharedStrings.xml``     the shared-string table (cell t="s")
+- ``xl/worksheets/sheet*.xml`` rows -> cells (``r`` ref, ``t`` type,
+  ``<v>`` value or ``<is>`` inline string)
+
+Deliberately driver-side: the reference treats a workbook as a small
+driver-side source (it parses with pandas and immediately generates a
+model); workbooks are MB-scale artifacts, never the 100-TB path. The
+distributed engine starts where the returned DataFrame does.
+
+Scope (documented, loud): cell types s / inlineStr / str / b / e / n
+are handled; date/time NUMBER FORMATS are not resolved (a date cell
+surfaces as its raw Excel serial number — resolving it needs the style
+table and is out of scope for the reference parity this backs);
+formulas surface as their cached ``<v>`` results, like pandas.
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+import xml.etree.ElementTree as ET
+from typing import Optional
+
+_MAIN = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_RELDOC = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+_RELPKG = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+_INT_RE = re.compile(r"^-?\d+$")
+
+
+def _col_index(cell_ref: str) -> int:
+    """'BC12' -> 0-based column 54 (base-26 over the letter prefix)."""
+    n = 0
+    for ch in cell_ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - ord("A") + 1)
+        else:
+            break
+    return n - 1
+
+
+def _text_of(elem) -> str:
+    """Concatenated text of every <t> run under a <si>/<is> (rich-text
+    strings split one logical value across runs)."""
+    return "".join(t.text or "" for t in elem.iter(f"{_MAIN}t"))
+
+
+def _cell_value(c, shared: list[str]):
+    t = c.get("t", "n")
+    if t == "inlineStr":
+        is_el = c.find(f"{_MAIN}is")
+        return _text_of(is_el) if is_el is not None else None
+    v_el = c.find(f"{_MAIN}v")
+    if v_el is None or v_el.text is None:
+        return None
+    raw = v_el.text
+    if t == "s":
+        return shared[int(raw)]
+    if t == "str":
+        return raw
+    if t == "b":
+        return raw in ("1", "true", "TRUE")
+    if t == "e":  # cell error (#DIV/0! etc.) -> null, like pandas
+        return None
+    # t == "n" (or absent): number
+    return int(raw) if _INT_RE.match(raw) else float(raw)
+
+
+def _parse_sheet(root, shared: list[str]) -> list[list]:
+    """Sheet XML -> dense row-major matrix (None-padded; sparse cells
+    land at the column their ``r`` ref names)."""
+    data = root.find(f"{_MAIN}sheetData")
+    rows: list[list] = []
+    if data is None:
+        return rows
+    width = 0
+    for row_el in data.findall(f"{_MAIN}row"):
+        row: list = []
+        next_col = 0
+        for c in row_el.findall(f"{_MAIN}c"):
+            ref = c.get("r")
+            col = _col_index(ref) if ref else next_col
+            while len(row) < col:
+                row.append(None)
+            row.append(_cell_value(c, shared))
+            next_col = col + 1
+        # honor the row's own r index: a skipped row is an empty row
+        r_idx = row_el.get("r")
+        if r_idx is not None:
+            while len(rows) < int(r_idx) - 1:
+                rows.append([])
+        rows.append(row)
+        width = max(width, len(row))
+    return [r + [None] * (width - len(r)) for r in rows]
+
+
+def read_workbook(path: str) -> dict[str, list[list]]:
+    """Every sheet of an .xlsx as {sheet_name: dense matrix}, in
+    workbook order. Stdlib only (zipfile + ElementTree)."""
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rid_to_target = {
+            rel.get("Id"): rel.get("Target")
+            for rel in rels.iter(f"{_RELPKG}Relationship")
+        }
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            shared = [_text_of(si) for si in sst.findall(f"{_MAIN}si")]
+
+        out: dict[str, list[list]] = {}
+        sheets_el = wb.find(f"{_MAIN}sheets")
+        for sh in sheets_el.findall(f"{_MAIN}sheet"):
+            name = sh.get("name")
+            target = rid_to_target[sh.get(f"{_RELDOC}id")]
+            if not target.startswith("xl/"):
+                target = "xl/" + target.lstrip("/")
+            out[name] = _parse_sheet(ET.fromstring(z.read(target)), shared)
+        return out
+
+
+def _header_names(header_row: list) -> list[str]:
+    names = []
+    for i, h in enumerate(header_row):
+        names.append(str(h) if h is not None and str(h) != "" else f"col{i}")
+    return names
+
+
+def matrix_to_spark(spark, matrix: list[list], header: bool = True):
+    """Dense matrix -> Spark DataFrame: first row as header (pandas
+    read_excel default, the reference's mode), per-column type from the
+    value set (all-int -> long, numeric -> double, all-bool -> boolean,
+    else string). Empty sheet -> empty single-column frame so callers
+    can still count it."""
+    from pyspark.sql import types as T
+
+    if not matrix:
+        return spark.createDataFrame(
+            [], T.StructType([T.StructField("col0", T.StringType())])
+        )
+    names = _header_names(matrix[0]) if header else [
+        f"col{i}" for i in range(len(matrix[0]))
+    ]
+    body = matrix[1:] if header else matrix
+    ncol = len(names)
+    cols = [[r[i] if i < len(r) else None for r in body] for i in range(ncol)]
+
+    fields = []
+    casters = []
+    for name, vals in zip(names, cols):
+        nn = [v for v in vals if v is not None]
+        if nn and all(isinstance(v, bool) for v in nn):
+            fields.append(T.StructField(name, T.BooleanType()))
+            casters.append(lambda v: v)
+        elif nn and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool) for v in nn
+        ):
+            if all(isinstance(v, int) for v in nn):
+                fields.append(T.StructField(name, T.LongType()))
+                casters.append(lambda v: v)
+            else:
+                fields.append(T.StructField(name, T.DoubleType()))
+                casters.append(lambda v: None if v is None else float(v))
+        else:
+            fields.append(T.StructField(name, T.StringType()))
+            casters.append(lambda v: None if v is None else str(v))
+    rows = [
+        tuple(cast(v) for cast, v in zip(casters, row_vals))
+        for row_vals in zip(*cols)
+    ] if body else []
+    return spark.createDataFrame(rows, T.StructType(fields))

@@ -104,31 +104,120 @@ def test_time_travel_real_iceberg(spark, tmp_path):
     pytest.fail("Iceberg jar detected — wire the real snapshot round-trip")
 
 
-def test_excel_gate_or_roundtrip(spark, tmp_path):
-    """Excel reads are gated on openpyxl: absent (this sandbox) the
-    reader raises the declared NotImplementedError; present, a real
-    two-sheet round-trip must work."""
-    import pytest
+def _write_minimal_xlsx(path):
+    """A hand-rolled two-sheet workbook exercising the SpreadsheetML
+    surface the stdlib reader must handle: shared strings (one split
+    across rich-text runs), inline strings, ints/floats/bools, blank
+    and SKIPPED cells (explicit refs), a skipped row, a formula cell
+    with a cached value, and a cell error. Written with raw zipfile so
+    the test does not share parsing code with the reader."""
+    import zipfile
 
+    ct = (
+        '<?xml version="1.0"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        "</Types>"
+    )
+    root_rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    workbook = (
+        '<?xml version="1.0"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="metrics" sheetId="1" r:id="rId1"/>'
+        '<sheet name="notes" sheetId="2" r:id="rId2"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>'
+        "</Relationships>"
+    )
+    shared = (
+        '<?xml version="1.0"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">'
+        "<si><t>name</t></si><si><t>score</t></si>"
+        "<si><r><t>al</t></r><r><t>pha</t></r></si>"  # rich-text runs
+        "<si><t>beta</t></si></sst>"
+    )
+    # header: name(sst) score(sst) n ok | rows: sparse C skipped in row 3,
+    # row 4 entirely skipped (r jumps to 5)
+    sheet1 = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1" t="inlineStr"><is><t>n</t></is></c>'
+        '<c r="D1" t="inlineStr"><is><t>ok</t></is></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>1.5</v></c>'
+        '<c r="C2"><v>7</v></c><c r="D2" t="b"><v>1</v></c></row>'
+        '<row r="3"><c r="A3" t="s"><v>3</v></c><c r="B3"><v>-2</v></c>'
+        '<c r="D3" t="b"><v>0</v></c></row>'
+        '<row r="5"><c r="A5" t="inlineStr"><is><t>gamma</t></is></c>'
+        '<c r="B5"><v>3</v></c><c r="C5"><v>-9</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    # formula with cached value + an error cell
+    sheet2 = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>text</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>total</t></is></c></row>'
+        '<row r="2"><c r="A2" t="inlineStr"><is><t>hello</t></is></c>'
+        '<c r="B2"><f>SUM(1,2)</f><v>3</v></c></row>'
+        '<row r="3"><c r="A3" t="e"><v>#DIV/0!</v></c><c r="B3"><v>4</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet1)
+        z.writestr("xl/worksheets/sheet2.xml", sheet2)
+
+
+def test_excel_roundtrip_stdlib(spark, tmp_path):
+    """Excel ingestion is ungated: without openpyxl (this sandbox) the
+    stdlib SpreadsheetML fallback parses a real workbook — shared and
+    rich-text strings resolve, sparse cells and skipped rows land as
+    nulls, per-column types infer (long/double/boolean/string), formula
+    cells yield their cached values, error cells null."""
     from pandera_forge_spark.sources.readers import read_excel
 
     path = tmp_path / "book.xlsx"
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError:
-        path.write_bytes(b"PK\x03\x04 not a real workbook")
-        with pytest.raises(NotImplementedError, match="openpyxl"):
-            read_excel(spark, str(path))
-        pytest.skip("openpyxl absent — gate verified, round-trip unavailable")
-
-    import pandas as pd
-
-    with pd.ExcelWriter(path) as xw:
-        pd.DataFrame({"a": [1, 2, 3]}).to_excel(xw, sheet_name="s1", index=False)
-        pd.DataFrame({"b": ["x", "y"]}).to_excel(xw, sheet_name="s2", index=False)
+    _write_minimal_xlsx(path)
     sheets = read_excel(spark, str(path))
-    assert sheets["s1"].count() == 3
-    assert sheets["s2"].columns == ["b"]
+    assert list(sheets) == ["metrics", "notes"]
+
+    m = sheets["metrics"]
+    assert m.columns == ["name", "score", "n", "ok"]
+    types = dict(m.dtypes)
+    assert types == {
+        "name": "string", "score": "double", "n": "bigint", "ok": "boolean"
+    }
+    rows = {r["name"]: r for r in m.collect()}
+    assert set(rows) == {"alpha", "beta", "gamma", None}
+    assert rows["alpha"]["score"] == 1.5 and rows["alpha"]["n"] == 7
+    assert rows["alpha"]["ok"] is True
+    assert rows["beta"]["score"] == -2.0 and rows["beta"]["n"] is None
+    assert rows["beta"]["ok"] is False
+    assert rows["gamma"]["n"] == -9 and rows["gamma"]["ok"] is None
+    empty = rows[None]  # the skipped row r=4
+    assert empty["score"] is None and empty["n"] is None
+
+    n = sheets["notes"]
+    assert n.columns == ["text", "total"]
+    got = {r["text"]: r["total"] for r in n.collect()}
+    assert got == {"hello": 3, None: 4}  # cached formula value; error -> null
 
 
 # ----------------------------------------- session bootstrap (connector)
