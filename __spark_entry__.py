@@ -1999,6 +1999,56 @@ LIMIT 5
 """
 
 
+def q_time_travel_epochs(spark, sf_dir):
+    """Time travel over the engine's OWN versioned storage
+    (sources/versioned.py — snapshot manifests, versionAsOf /
+    timestampAsOf semantics mirroring reference
+    databricks/connector.py:196-212): epoch 1 commits the orders slice
+    o_orderkey%3==0, epoch 2 APPENDS the %3==1 slice, then the query
+    reads version=1 and latest and reports (rows, exact key-sum) per
+    read. The as-of-v1 read must NOT see epoch 2 — the oracle derives
+    both epochs straight from the orders table, so any snapshot leak
+    (torn manifest, wrong file set) breaks the hash."""
+    import shutil
+    import tempfile
+
+    from pandera_forge_spark.sources.versioned import VersionedParquet
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    root = tempfile.mkdtemp(prefix="pfs_tt_")
+    try:
+        vt = VersionedParquet(spark, root)
+        vt.commit(orders.where(F.col("o_orderkey") % 3 == 0))
+        vt.commit(orders.where(F.col("o_orderkey") % 3 == 1), mode="append")
+
+        def summarize(df, tag):
+            return (
+                df.agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("o_orderkey").alias("sum_key"),
+                )
+                .select(F.lit(tag).alias("version"), "n_rows", "sum_key")
+                .collect()[0]  # eager: the snapshot dir is torn down below
+            )
+
+        rows = [summarize(vt.read(version=1), "v1"), summarize(vt.read(), "v2")]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version string, n_rows long, sum_key long"
+    ).orderBy("version")
+
+
+SQL_TIME_TRAVEL_EPOCHS = """
+SELECT 'v1' AS version, COUNT(*) AS n_rows, SUM(o_orderkey) AS sum_key
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT 'v2' AS version, COUNT(*) AS n_rows, SUM(o_orderkey) AS sum_key
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+ORDER BY version
+"""
+
+
 # Centroid vectors are taken FROM the corpus at fixed vec_ids so the
 # DuckDB oracle can reconstruct byte-identical centroids — k-means
 # itself is covered by the recall pytest (tests/test_similarity.py);
@@ -2856,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 -------------------------------------------------
         # (inserted here so they land inside the driver's 50-entry window)
         "ivf_topk_planted": q_ivf_topk_planted,
+        "time_travel_epochs": q_time_travel_epochs,
         # -- driver-verified green in round 3 (first-50 tail) ---------------
         "profile_lineitem": q_profile_lineitem,
         "profile_fused_orders": q_profile_fused_orders,
@@ -2972,6 +3023,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats_by_lang": SQL_TOKEN_STATS_BY_LANG,
         "cosine_topk": SQL_COSINE_TOPK,
         "ivf_topk_planted": SQL_IVF_TOPK_PLANTED,
+        "time_travel_epochs": SQL_TIME_TRAVEL_EPOCHS,
         "embedding_norms": SQL_EMBEDDING_NORMS,
         "inferred_schema_region": SQL_INFERRED_SCHEMA_REGION,
         "profile_by_group_lineitem": SQL_PROFILE_BY_GROUP_LINEITEM,
