@@ -888,6 +888,70 @@ def write_band_index(
     )
 
 
+def append_band_index_epoch(
+    df: DataFrame,
+    path: str,
+    epoch_id: int,
+    text_col: str,
+    id_col: str,
+) -> None:
+    """Append one ingest epoch's documents to a persisted band index:
+    band + shingle rows land under ``<path>/bands_epochs/__epoch=<id>``
+    and ``<path>/shingles_epochs/__epoch=<id>`` as per-epoch OVERWRITE
+    writes, so a replayed epoch (foreachBatch retry, stream restart)
+    replaces its own rows instead of duplicating them. Hashing
+    parameters come from the index sidecar — an epoch can never band
+    differently than the base index."""
+    import json
+
+    from pandera_forge_spark.sources.fs import DriverFS
+
+    from pyspark import StorageLevel
+
+    meta = json.loads(
+        DriverFS(df.sparkSession).read_bytes(f"{path}/_band_meta.json").decode()
+    )
+    corpus_id = meta["id_col"]
+    sh = df.select(
+        F.col(id_col).alias(corpus_id),
+        hashed_shingles(F.col(text_col), meta["shingle_n"]).alias("__sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        banded = _banded_from_shingles(
+            sh, corpus_id, meta["num_hashes"], meta["bands"], meta["seed"]
+        )
+        banded.write.mode("overwrite").parquet(
+            f"{path}/bands_epochs/__epoch={int(epoch_id)}"
+        )
+        sh.write.mode("overwrite").parquet(
+            f"{path}/shingles_epochs/__epoch={int(epoch_id)}"
+        )
+    finally:
+        sh.unpersist()
+
+
+def _with_epochs(spark, base: DataFrame, root: str, sub: str,
+                 max_epoch: Optional[int]) -> DataFrame:
+    """Union a base index frame with its appended epoch rows (epochs
+    >= ``max_epoch`` excluded — a replayed epoch must not see its own
+    partial writes). Partition pruning resolves the epoch filter at
+    planning time; no epoch dirs -> the base frame unchanged."""
+    from pandera_forge_spark.sources.fs import DriverFS
+
+    edir = f"{root}/{sub}"
+    fs = DriverFS(spark)
+    if not fs.exists(edir) or not any(
+        n.startswith("__epoch=") for n in fs.listdir(edir)
+    ):
+        return base
+    ep = spark.read.option("basePath", edir).parquet(f"{edir}/__epoch=*")
+    if max_epoch is not None:
+        # cast guards against partition-type inference being disabled
+        # session-wide (the runner toggles it) — string '10' < 9 lies
+        ep = ep.where(F.col("__epoch").cast("long") < int(max_epoch))
+    return base.unionByName(ep.drop("__epoch"))
+
+
 def probe_band_index(
     spark,
     path: str,
@@ -896,6 +960,7 @@ def probe_band_index(
     id_col: str,
     threshold: float = 0.7,
     max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
+    max_epoch: Optional[int] = None,
 ) -> DataFrame:
     """Probe a persisted band index with the day's new documents:
     identical semantics to ``near_duplicates_incremental`` (hub-capped
@@ -903,7 +968,12 @@ def probe_band_index(
     out) but the corpus side is the stored artifact — zero corpus text
     is re-read, only the O(docs×bands) band rows and the shingle rows
     of actual candidates. Hashing parameters come from the sidecar, so
-    a probe can never silently band differently than the index."""
+    a probe can never silently band differently than the index.
+
+    The corpus side includes every epoch appended via
+    ``append_band_index_epoch`` whose id is < ``max_epoch`` (all of
+    them when None) — the streaming twin passes the current epoch id so
+    a replayed micro-batch never probes its own partial append."""
     import json
 
     from pandera_forge_spark.sources.fs import DriverFS
@@ -918,15 +988,19 @@ def probe_band_index(
     nb = _banded_from_shingles(
         new_sh, id_col, meta["num_hashes"], meta["bands"], meta["seed"]
     ).select(F.col(id_col).alias("new_id"), "band", "bucket")
-    cb = spark.read.parquet(f"{path}/bands").select(
-        F.col(corpus_id).alias("corpus_id"), "band", "bucket"
-    )
+    cb = _with_epochs(
+        spark, spark.read.parquet(f"{path}/bands"), path, "bands_epochs",
+        max_epoch,
+    ).select(F.col(corpus_id).alias("corpus_id"), "band", "bucket")
     cb = _hub_cap_corpus_bands(cb, max_bucket)
     cand = nb.join(cb, ["band", "bucket"]).select("new_id", "corpus_id").distinct()
     out = _verify_candidate_pairs(
         cand,
         new_sh,
-        spark.read.parquet(f"{path}/shingles"),
+        _with_epochs(
+            spark, spark.read.parquet(f"{path}/shingles"), path,
+            "shingles_epochs", max_epoch,
+        ),
         id_col,
         corpus_id,
         threshold,

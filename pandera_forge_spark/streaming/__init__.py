@@ -8,6 +8,7 @@ documents AS THEY ARRIVE with Structured Streaming, reusing the exact
 same check compiler and verdict semantics via ``foreachBatch``.
 """
 
+from pandera_forge_spark.streaming.dedup import stream_near_dedup
 from pandera_forge_spark.streaming.stateful import duplicate_ids_stream
 from pandera_forge_spark.streaming.validate import (
     stream_drift,
@@ -20,6 +21,7 @@ from pandera_forge_spark.streaming.validate import (
 __all__ = [
     "duplicate_ids_stream",
     "stream_drift",
+    "stream_near_dedup",
     "stream_sketch_profile",
     "stream_verdicts",
     "validate_stream",

@@ -332,3 +332,76 @@ def test_stream_drift_categorical_flags_shifted_mix(spark, tmp_path):
     rows = spark.read.parquet(sink).collect()
     assert len(rows) == 2
     assert sorted(r["drifted"] for r in rows) == [False, True]
+
+
+def test_stream_near_dedup_cross_batch(spark, tmp_path):
+    """The streaming twin of incremental near-dedup: planted cross-batch
+    near-dups are found EXACTLY once, in the epoch their second member
+    arrives; within-batch and unrelated docs match nothing; a replayed
+    epoch re-derives identical matches and its index append does not
+    duplicate (per-epoch overwrite)."""
+    import os
+
+    from pandera_forge_spark.operators.dedup import probe_band_index
+    from pandera_forge_spark.streaming import stream_near_dedup
+
+    BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+    OTHER = "completely unrelated text about spark distributed query engines and parquet"
+    epochs = [
+        [("d1", BASE), ("d2", OTHER)],
+        [("d101", BASE + " x"), ("d102", "some fresh totally new content words")],
+        [("d201", BASE + " y"), ("d202", "more novel sentences that match nothing else at all")],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(epochs):
+        stage = str(tmp_path / f"e{i}")
+        spark.createDataFrame(rows, "doc_id string, text string").coalesce(
+            1
+        ).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = src / f"epoch{i}.parquet"
+        os.rename(f"{stage}/{part}", dst)
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)  # force epoch order
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    idx = str(tmp_path / "band_idx")
+    sink = str(tmp_path / "matches")
+    writer = stream_near_dedup(
+        stream, idx, sink, text_col="text", id_col="doc_id",
+        threshold=0.5, max_bucket=None,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    rows = spark.read.parquet(f"{sink}/__epoch=*").collect()
+    got = sorted((r["new_id"], r["corpus_id"]) for r in rows)
+    # exactly once each: d101~d1 in epoch 1; d201~{d1, d101} in epoch 2
+    assert got == [("d101", "d1"), ("d201", "d1"), ("d201", "d101")]
+    assert all(r["jaccard"] >= 0.5 for r in rows)
+
+    # replay epoch 2: probing with max_epoch=2 excludes its own append,
+    # so the matches are byte-identical to what the stream recorded
+    batch2 = spark.createDataFrame(epochs[2], "doc_id string, text string")
+    replay = probe_band_index(
+        spark, idx, batch2, "text", "doc_id",
+        threshold=0.5, max_bucket=None, max_epoch=2,
+    )
+    replay_pairs = sorted(
+        (r["new_id"], r["corpus_id"]) for r in replay.collect()
+    )
+    assert replay_pairs == [("d201", "d1"), ("d201", "d101")]
+    replay.unpersist()
+
+    # replayed append overwrites, never duplicates
+    from pandera_forge_spark.operators.dedup import append_band_index_epoch
+
+    before = spark.read.parquet(f"{idx}/bands_epochs/__epoch=2").count()
+    append_band_index_epoch(batch2, idx, 2, "text", "doc_id")
+    after = spark.read.parquet(f"{idx}/bands_epochs/__epoch=2").count()
+    assert before == after
