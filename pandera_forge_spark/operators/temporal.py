@@ -18,9 +18,12 @@ compositions of equi-joins, windows, and row-local algebra:
 
 Skew: all four shuffle on the entity/bucket key; a hot user or a
 time-bucket hot spot lands on one task. The window ops (asof, sessions)
-are order-dependent so salting cannot split a key — for pathological
-keys pre-split by time range and stitch at boundaries (documented per
-function); the rollup is algebraic and AQE/salting-safe as-is.
+are order-dependent so salting cannot split a key — both implement the
+pre-split-by-time-range-and-stitch mitigation behind ``split_every``
+(per-(key, chunk) windows bound any task at one chunk's rows; a tiny
+per-chunk summary frame stitches the boundaries; outputs are
+pytest-asserted identical to the unsplit path). The rollup is algebraic
+and AQE/salting-safe as-is.
 """
 
 from __future__ import annotations
@@ -51,6 +54,7 @@ def asof_join(
     by_cols: Sequence[str],
     value_cols: Sequence[str],
     tolerance: Optional[float] = None,
+    split_every: Optional[float] = None,
 ) -> DataFrame:
     """Backward as-of join: for every left row, attach ``value_cols``
     from the right row with the greatest ``ts_col`` <= left's
@@ -72,6 +76,18 @@ def asof_join(
     plan at all, so there is nothing for Catalyst to turn into a
     nested-loop: cost is one exchange + one per-key sorted scan
     regardless of how many right rows each left row skips over.
+
+    Hot keys: the per-key window is order-dependent, so salting cannot
+    split it — one pathological key (a bot user, a default id) lands
+    its whole timeline on one task. ``split_every=<seconds>`` is the
+    documented pre-split-and-stitch, implemented: rows chunk by
+    ``floor(ts / split_every)``, the carry runs per (key, chunk) —
+    bounding a task at one chunk's rows — and a per-(key, chunk)
+    summary frame (max-ts right row per chunk, O(keys x chunks) rows)
+    window-carries each chunk's carry-IN from earlier chunks; a row
+    whose chunk has no prior right row coalesces to the carry-in.
+    Output is identical to the unsplit path (asserted by pytest on a
+    planted hot key).
     """
     by = list(by_cols)
     vals = list(value_cols)
@@ -89,26 +105,56 @@ def asof_join(
     # right rows contribute only key/ts/values; left keeps its payload
     u = l.unionByName(r, allowMissingColumns=True)
 
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(ts, F.col("__side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     # One struct per right row — non-null whenever a right row exists,
     # even if every value column in it is NULL — so last(...,
     # ignorenulls=True) selects the latest right ROW, not the latest
     # non-null VALUE.
-    matched = F.last(
-        F.when(
-            F.col("__side") == 0,
-            F.struct(
-                ts.alias("__mts"),
-                *[F.col(f"__v_{v}").alias(v) for v in vals],
-            ),
+    rstruct = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            ts.alias("__mts"),
+            *[F.col(f"__v_{v}").alias(v) for v in vals],
         ),
-        ignorenulls=True,
-    ).over(w)
-    out = u.withColumn("__m", matched)
+    )
+    if split_every is None:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(ts, F.col("__side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = u.withColumn("__m", F.last(rstruct, ignorenulls=True).over(w))
+    else:
+        u = u.withColumn("__chunk", F.floor(ts / float(split_every)))
+        wc = (
+            Window.partitionBy(*by, "__chunk")
+            .orderBy(ts, F.col("__side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        within = F.last(rstruct, ignorenulls=True).over(wc)
+        u = u.withColumn("__w", within)
+        # carry-out per chunk: the max-ts right row (== what the
+        # sequential carry holds at chunk end); carry-in per chunk:
+        # last non-null carry-out of any EARLIER chunk — a window over
+        # the tiny per-(key, chunk) summary, never over the data
+        outs = (
+            u.where(F.col("__side") == 0)
+            .groupBy(*by, "__chunk")
+            .agg(F.max_by(rstruct, ts).alias("__out"))
+        )
+        chunks = u.select(*by, "__chunk").distinct()
+        wprev = (
+            Window.partitionBy(*by)
+            .orderBy("__chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry_in = (
+            chunks.join(outs, [*by, "__chunk"], "left")
+            .withColumn("__in", F.last("__out", ignorenulls=True).over(wprev))
+            .select(*by, "__chunk", "__in")
+        )
+        out = u.join(carry_in, [*by, "__chunk"], "left").withColumn(
+            "__m", F.coalesce(F.col("__w"), F.col("__in"))
+        )
     for v in vals:
         carried = F.col("__m")[v]
         if tolerance is not None:
@@ -118,7 +164,8 @@ def asof_join(
             )
         out = out.withColumn(v, carried)
     return out.where(F.col("__side") == 1).drop(
-        "__side", "__m", *[f"__v_{v}" for v in vals]
+        "__side", "__m", "__w", "__in", "__chunk",
+        *[f"__v_{v}" for v in vals],
     )
 
 
@@ -180,6 +227,7 @@ def sessionize(
     key_col: str,
     ts_col: str,
     gap_seconds: float,
+    split_every: Optional[float] = None,
 ) -> DataFrame:
     """Gap-based sessionization: adds ``session_idx`` (0-based per key)
     and ``session_id`` (``key#idx``). A new session starts when the gap
@@ -187,21 +235,83 @@ def sessionize(
 
     One shuffle (partition by key) + per-key sort; ``lag`` marks
     session starts, a running sum numbers them — both in the same
-    window stage. Hot-key caveat as per module docstring.
-    """
+    window stage.
+
+    Hot keys: ``split_every=<seconds>`` runs the lag + running sum per
+    (key, time-chunk) — bounding a task at one chunk's rows — and
+    stitches at boundaries through a per-(key, chunk) summary: chunk k
+    MERGES its first session into chunk k-1's last iff the gap between
+    k-1's last event and k's first event is <= gap_seconds (exactly the
+    global rule, since those two events are globally consecutive), and
+    each chunk's session offset is a prefix sum of prior session counts
+    minus merges. Output identical to the unsplit path (pytest-planted
+    hot key, sessions straddling chunk boundaries included)."""
+    gap = float(gap_seconds)
     ts = _seconds(events, ts_col)
-    w = Window.partitionBy(key_col).orderBy(ts)
-    prev = F.lag(ts).over(w)
-    is_new = F.when(
-        prev.isNull() | ((ts - prev) > float(gap_seconds)), F.lit(1)
-    ).otherwise(F.lit(0))
-    idx = (
-        F.sum(is_new).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if split_every is None:
+        w = Window.partitionBy(key_col).orderBy(ts)
+        prev = F.lag(ts).over(w)
+        is_new = F.when(
+            prev.isNull() | ((ts - prev) > gap), F.lit(1)
+        ).otherwise(F.lit(0))
+        idx = (
+            F.sum(is_new).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - 1
+        ).cast("long")
+        out = events.withColumn("session_idx", idx)
+    else:
+        e = events.withColumn("__chunk", F.floor(ts / float(split_every)))
+        wc = Window.partitionBy(key_col, "__chunk").orderBy(ts)
+        prev = F.lag(ts).over(wc)
+        is_new = F.when(
+            prev.isNull() | ((ts - prev) > gap), F.lit(1)
+        ).otherwise(F.lit(0))
+        widx = (
+            F.sum(is_new).over(
+                wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - 1
+        ).cast("long")
+        e = e.withColumn("__widx", widx)
+        summ = e.groupBy(key_col, "__chunk").agg(
+            F.min(ts).alias("__first"),
+            F.max(ts).alias("__last"),
+            (F.max("__widx") + 1).alias("__nsess"),
         )
-        - 1
-    ).cast("long")
-    return events.withColumn("session_idx", idx).withColumn(
+        ws = Window.partitionBy(key_col).orderBy("__chunk")
+        prev_last = F.lag("__last").over(ws)
+        # materialize the merge bit before summing it — windows can't
+        # nest, and __merge is itself a lag over the summary frame
+        summ = summ.withColumn(
+            "__merge",
+            F.when(
+                prev_last.isNotNull() & ((F.col("__first") - prev_last) <= gap),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        # offset_k = sum_{j<k} nsess_j - sum_{j<=k} merge_j: sessions
+        # opened by earlier chunks, minus every boundary that turned
+        # out to be one continuing session
+        cum_prev = F.coalesce(
+            F.sum("__nsess").over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        cum_merge = F.sum("__merge").over(
+            ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        offsets = summ.select(
+            key_col, "__chunk", (cum_prev - cum_merge).cast("long").alias("__off")
+        )
+        out = (
+            e.join(offsets, [key_col, "__chunk"])
+            .withColumn(
+                "session_idx", (F.col("__off") + F.col("__widx")).cast("long")
+            )
+            .drop("__chunk", "__widx", "__off")
+        )
+    return out.withColumn(
         "session_id",
         F.concat(F.col(key_col).cast("string"), F.lit("#"), F.col("session_idx")),
     )

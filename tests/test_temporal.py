@@ -175,3 +175,83 @@ def test_time_rollup(spark):
     assert got[("2024-01-01 10:00:00", "a")] == (2, 3.0)
     assert got[("2024-01-01 11:00:00", "a")] == (1, 4.0)
     assert got[("2024-01-01 10:00:00", "b")] == (1, 8.0)
+
+
+def _hot_events(spark, n_hot=400, n_cold=30):
+    """One pathological key ('hot') with events every ~37s across many
+    chunks, plus a few normal keys; gaps planted so sessions straddle
+    chunk boundaries."""
+    rows = [("hot", float(i * 37 % 7919 + (i // 97) * 9000)) for i in range(n_hot)]
+    rows += [(f"u{i % 5}", float(i * 211)) for i in range(n_cold)]
+    return spark.createDataFrame(rows, "user string, ts double").dropDuplicates(
+        ["user", "ts"]
+    )
+
+
+def test_asof_split_stitch_identical(spark):
+    """split_every bounds per-task rows for a hot key and must produce
+    EXACTLY the unsplit output — including chunks with no right rows
+    (carry-in from earlier chunks), tolerance gating, and null matches
+    before the first right row."""
+    ev = _hot_events(spark)
+    left = ev
+    right = ev.where(F.col("ts") % 5 == 0).withColumn("px", F.col("ts") * 2)
+
+    for tol in (None, 500.0):
+        base = asof_join(left, right, "ts", ["user"], ["px"], tolerance=tol)
+        split = asof_join(
+            left, right, "ts", ["user"], ["px"], tolerance=tol,
+            split_every=1000.0,
+        )
+        b = sorted(map(tuple, base.select("user", "ts", "px").collect()))
+        s = sorted(map(tuple, split.select("user", "ts", "px").collect()))
+        assert b == s and len(b) == left.count()
+
+    # the hot key's rows really are bounded per (key, chunk)
+    chunked = left.withColumn("__chunk", F.floor(F.col("ts") / 1000.0))
+    per_task = (
+        chunked.groupBy("user", "__chunk").count().agg(F.max("count")).first()[0]
+    )
+    assert per_task < left.where(F.col("user") == "hot").count()
+
+
+def test_asof_split_null_value_semantics(spark):
+    """The merge_asof null-carry fix holds on the split path too."""
+    left = spark.createDataFrame([("k", 6.0), ("k", 2500.0)], "sym string, ts double")
+    right = spark.createDataFrame(
+        [("k", 1.0, 10.0), ("k", 5.0, None), ("k", 2000.0, 7.0)],
+        "sym string, ts double, px double",
+    )
+    out = {
+        r["ts"]: r["px"]
+        for r in asof_join(
+            left, right, "ts", ["sym"], ["px"], split_every=1000.0
+        ).collect()
+    }
+    assert out[6.0] is None      # matched null row stays null (cross-check)
+    assert out[2500.0] == 7.0    # carry-in from an earlier chunk
+
+
+def test_sessionize_split_stitch_identical(spark):
+    """Sessions that straddle chunk boundaries merge exactly as the
+    unsplit path numbers them; session counts and ids match per row."""
+    ev = _hot_events(spark)
+    for gap in (40.0, 300.0):
+        base = sessionize(ev, "user", "ts", gap)
+        split = sessionize(ev, "user", "ts", gap, split_every=1000.0)
+        b = sorted(map(tuple, base.select("user", "ts", "session_id").collect()))
+        s = sorted(map(tuple, split.select("user", "ts", "session_id").collect()))
+        assert b == s and len(b) == ev.count()
+
+
+def test_sessionize_split_boundary_merge(spark):
+    """Closed-form boundary case: events at 990 and 1010 (chunks 0/1,
+    gap 20 <= 30) are ONE session; 1010 -> 2500 breaks."""
+    ev = spark.createDataFrame(
+        [("u", 990.0), ("u", 1010.0), ("u", 2500.0)], "user string, ts double"
+    )
+    out = {
+        r["ts"]: r["session_idx"]
+        for r in sessionize(ev, "user", "ts", 30.0, split_every=1000.0).collect()
+    }
+    assert out == {990.0: 0, 1010.0: 0, 2500.0: 1}
