@@ -138,13 +138,27 @@ def stratified_take(
 
 
 def proportional_quotas(
-    df: DataFrame, strata_cols: Sequence[str], total_n: int
+    df: DataFrame, strata_cols: Sequence[str], total_n: int,
+    max_strata: int = 1_000_000,
 ) -> dict:
     """Largest-remainder allocation of ``total_n`` across strata,
     proportional to stratum size and capped by it. Driver-side math
     over O(strata) count rows; deterministic (remainder ties broken by
-    stratum key)."""
-    rows = df.groupBy(*strata_cols).count().collect()
+    stratum key).
+
+    ``max_strata`` fences the collect: the right trade at categorical
+    cardinalities (languages, sources, shards), but if the stratum key
+    is accidentally per-URL/per-doc the count frame IS the corpus —
+    fail loudly instead of pulling it onto the driver."""
+    # one job, driver memory bounded by the limit even when the check
+    # fails: collect at most max_strata+1 rows, never the full blowup
+    rows = df.groupBy(*strata_cols).count().limit(max_strata + 1).collect()
+    if len(rows) > max_strata:
+        raise ValueError(
+            f"more than {max_strata} strata over {list(strata_cols)} — the "
+            "quota table would not fit on the driver; coarsen the stratum "
+            "key or raise max_strata deliberately"
+        )
     sizes = {tuple(r[c] for c in strata_cols): r["count"] for r in rows}
     total = sum(sizes.values())
     if total == 0:

@@ -46,18 +46,34 @@ class HivePartitionedParquet:
         self.root = root
         self.partition_col = partition_col
 
+    MAX_MANIFEST = 1_000_000
+
     def list_partitions(self) -> list[str]:
         """The partition manifest. Directory listing — O(partitions),
         no data scan (Iceberg equivalent: the `partitions` metadata
         table). Scheme-aware: works on s3a://, hdfs://, local paths
-        alike (DriverFS routes through Hadoop's FileSystem)."""
+        alike (DriverFS routes through Hadoop's FileSystem).
+
+        Loudly fenced at ``MAX_MANIFEST`` entries: a manifest is meant
+        to be 10^4-10^5 operational partitions; a per-key layout (one
+        directory per URL/doc) would make every runner pass O(corpus)
+        driver work — that layout belongs in Iceberg metadata tables
+        (``IcebergTable``), not hive directories."""
         from pandera_forge_spark.sources.fs import DriverFS
 
         fs = DriverFS(self.spark)
         prefix = f"{self.partition_col}="
+        names = fs.listdir(self.root)
+        if len(names) > self.MAX_MANIFEST:
+            raise ValueError(
+                f"{len(names)} entries under {self.root} exceed the "
+                f"{self.MAX_MANIFEST} manifest fence — this layout is "
+                "per-key, not per-partition; use the IcebergTable binding "
+                "or repartition the table"
+            )
         return sorted(
             name.split("=", 1)[1]
-            for name in fs.listdir(self.root)
+            for name in names
             if name.startswith(prefix) and fs.is_dir(f"{self.root}/{name}")
         )
 

@@ -107,7 +107,15 @@ class VersionedParquet:
             raise ValueError("mode must be append or overwrite")
         vs = self.versions()
         n = (vs[-1]["version"] + 1) if vs else 1
+        # probe a free dir: a TORN prior attempt (data written, manifest
+        # not) leaves commit-<n> orphaned; writing the retry beside it
+        # (-r1, -r2…) keeps recovery unblocked — the orphan stays
+        # invisible (manifests list explicit files) until expire() sweeps
         commit_dir = f"{self.root}/data/commit-{n:06d}"
+        retry = 0
+        while self.fs.exists(commit_dir):
+            retry += 1
+            commit_dir = f"{self.root}/data/commit-{n:06d}-r{retry}"
         df.write.mode("error").parquet(commit_dir)
         new_files = sorted(
             f"{commit_dir}/{name}"
@@ -122,6 +130,9 @@ class VersionedParquet:
             "timestamp": time.time(),
             "operation": mode,
             "files": files,
+            # snapshot schema rides in the manifest so an empty
+            # snapshot (or a schema audit) never needs a data file
+            "schema": df.schema.json(),
         }
         mpath = f"{self._manifest_dir()}/v{n:09d}.json"
         self.fs.mkdirs(self._manifest_dir())
@@ -146,6 +157,11 @@ class VersionedParquet:
         snapshot committed at or before that instant (``timestampAsOf``).
         The plan scans exactly the manifest's file list."""
         m = self._resolve(version, as_of)
+        if not m["files"]:
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(json.loads(m["schema"]))
+            return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(*m["files"])
 
     # ------------------------------------------------------------- expiry

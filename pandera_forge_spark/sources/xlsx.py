@@ -125,9 +125,11 @@ def read_workbook(path: str) -> dict[str, list[list]]:
         sheets_el = wb.find(f"{_MAIN}sheets")
         for sh in sheets_el.findall(f"{_MAIN}sheet"):
             name = sh.get("name")
-            target = rid_to_target[sh.get(f"{_RELDOC}id")]
+            # rels targets come relative to xl/ ("worksheets/sheet1.xml")
+            # or package-absolute ("/xl/worksheets/sheet1.xml")
+            target = rid_to_target[sh.get(f"{_RELDOC}id")].lstrip("/")
             if not target.startswith("xl/"):
-                target = "xl/" + target.lstrip("/")
+                target = "xl/" + target
             out[name] = _parse_sheet(ET.fromstring(z.read(target)), shared)
         return out
 

@@ -308,3 +308,20 @@ def test_weighted_take_rank_limit_pushdown(spark):
     out = weighted_take(df, 5, "id", "w", strata_cols=["g"])
     plan = executed_plan(out)
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+def test_proportional_quotas_strata_fence(spark):
+    """The O(strata) driver collect is loudly fenced: a per-key stratum
+    column (accidental per-URL grouping) raises instead of pulling the
+    corpus onto the driver; driver memory stays bounded by the limit
+    even in the failing case."""
+    import pytest
+
+    from pandera_forge_spark.operators.sampling import proportional_quotas
+
+    df = spark.range(100).withColumn("k", F.col("id") % 20)
+    with pytest.raises(ValueError, match="strata"):
+        proportional_quotas(df, ["k"], 10, max_strata=5)
+    # normal cardinality unaffected
+    q = proportional_quotas(df, ["k"], 10, max_strata=1000)
+    assert sum(q.values()) == 10
