@@ -894,6 +894,7 @@ def append_band_index_epoch(
     epoch_id: int,
     text_col: str,
     id_col: str,
+    shingles: Optional[DataFrame] = None,
 ) -> None:
     """Append one ingest epoch's documents to a persisted band index:
     band + shingle rows land under ``<path>/bands_epochs/__epoch=<id>``
@@ -912,10 +913,17 @@ def append_band_index_epoch(
         DriverFS(df.sparkSession).read_bytes(f"{path}/_band_meta.json").decode()
     )
     corpus_id = meta["id_col"]
-    sh = df.select(
-        F.col(id_col).alias(corpus_id),
-        hashed_shingles(F.col(text_col), meta["shingle_n"]).alias("__sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if shingles is not None:
+        # caller-provided (id_col, __sh) frame — the streaming twin
+        # shingles each micro-batch ONCE and shares it with the probe
+        sh = shingles.select(
+            F.col(id_col).alias(corpus_id), "__sh"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        sh = df.select(
+            F.col(id_col).alias(corpus_id),
+            hashed_shingles(F.col(text_col), meta["shingle_n"]).alias("__sh"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         banded = _banded_from_shingles(
             sh, corpus_id, meta["num_hashes"], meta["bands"], meta["seed"]
@@ -961,6 +969,7 @@ def probe_band_index(
     threshold: float = 0.7,
     max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
     max_epoch: Optional[int] = None,
+    new_shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Probe a persisted band index with the day's new documents:
     identical semantics to ``near_duplicates_incremental`` (hub-capped
@@ -982,9 +991,16 @@ def probe_band_index(
         DriverFS(spark).read_bytes(f"{path}/_band_meta.json").decode()
     )
     corpus_id = meta["id_col"]
-    new_sh = new.select(
-        F.col(id_col), hashed_shingles(F.col(text_col), meta["shingle_n"]).alias("__sh")
-    ).persist()
+    owns_shingles = new_shingles is None
+    if owns_shingles:
+        new_sh = new.select(
+            F.col(id_col),
+            hashed_shingles(F.col(text_col), meta["shingle_n"]).alias("__sh"),
+        ).persist()
+    else:
+        # caller-provided (id_col, __sh), shingled with the index's
+        # parameters and persisted by the caller
+        new_sh = new_shingles.select(F.col(id_col), "__sh")
     nb = _banded_from_shingles(
         new_sh, id_col, meta["num_hashes"], meta["bands"], meta["seed"]
     ).select(F.col(id_col).alias("new_id"), "band", "bucket")
@@ -1010,4 +1026,5 @@ def probe_band_index(
         out.count()
         return out
     finally:
-        new_sh.unpersist()
+        if owns_shingles:
+            new_sh.unpersist()

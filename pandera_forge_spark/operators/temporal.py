@@ -34,6 +34,27 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _nullsafe_equi_join(
+    left: DataFrame, right: DataFrame, cols: Sequence[str], how: str
+) -> DataFrame:
+    """Equi-join treating NULL keys as ordinary values (`<=>`): the
+    split-stitch frames group null keys/chunks like any other group, so
+    a plain name-list join would silently DROP null-key rows from the
+    stitched output. Null-safe equality still hash-partitions, so this
+    plans as an ordinary shuffled join (the summary side is O(keys x
+    chunks) — not necessarily broadcastable). Right-side key columns
+    are renamed first (the right frame derives from the left, so bare
+    names would self-resolve) and dropped after."""
+    renamed = right
+    for c in cols:
+        renamed = renamed.withColumnRenamed(c, f"__r_{c}")
+    cond = None
+    for c in cols:
+        term = left[c].eqNullSafe(renamed[f"__r_{c}"])
+        cond = term if cond is None else cond & term
+    return left.join(renamed, cond, how).drop(*[f"__r_{c}" for c in cols])
+
+
 def _seconds(df: DataFrame, ts_col: str) -> Column:
     """Epoch seconds (fractional) for numeric OR timestamp inputs.
     TIMESTAMP_NTZ has no direct double cast in Spark 4 — route it
@@ -148,13 +169,13 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         carry_in = (
-            chunks.join(outs, [*by, "__chunk"], "left")
+            _nullsafe_equi_join(chunks, outs, [*by, "__chunk"], "left")
             .withColumn("__in", F.last("__out", ignorenulls=True).over(wprev))
             .select(*by, "__chunk", "__in")
         )
-        out = u.join(carry_in, [*by, "__chunk"], "left").withColumn(
-            "__m", F.coalesce(F.col("__w"), F.col("__in"))
-        )
+        out = _nullsafe_equi_join(
+            u, carry_in, [*by, "__chunk"], "left"
+        ).withColumn("__m", F.coalesce(F.col("__w"), F.col("__in")))
     for v in vals:
         carried = F.col("__m")[v]
         if tolerance is not None:
@@ -305,7 +326,7 @@ def sessionize(
             key_col, "__chunk", (cum_prev - cum_merge).cast("long").alias("__off")
         )
         out = (
-            e.join(offsets, [key_col, "__chunk"])
+            _nullsafe_equi_join(e, offsets, [key_col, "__chunk"], "inner")
             .withColumn(
                 "session_idx", (F.col("__off") + F.col("__widx")).cast("long")
             )

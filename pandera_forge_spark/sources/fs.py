@@ -109,6 +109,31 @@ class DriverFS:
 
             shutil.rmtree(lp)
 
+    def rename(self, src: str, dst: str) -> bool:
+        """Rename within one filesystem. Atomic on local/HDFS (the
+        commit primitive VersionedParquet's manifest writes rely on);
+        object stores emulate it with copy+delete — deployments there
+        should bind versioning to Iceberg, whose catalog commits
+        atomically. Returns False if the filesystem refused (e.g. dst
+        exists on HDFS)."""
+        h = self._hadoop(src)
+        if h is not None:
+            fs, p = h
+            _, d = self._hadoop(dst)
+            return bool(fs.rename(p, d))
+        import os
+
+        s, d = self._local(src), self._local(dst)
+        try:
+            # link+unlink instead of rename: POSIX rename silently
+            # REPLACES an existing dst, but link fails atomically —
+            # the claim semantics HDFS rename gives for free
+            os.link(s, d)
+        except FileExistsError:
+            return False
+        s.unlink()
+        return True
+
     def clear_files(self, path: str) -> None:
         """Delete the plain files directly under a directory (the
         overwrite-idempotent commit protocol: stale files cleared first,

@@ -140,9 +140,18 @@ class VersionedParquet:
             raise FileExistsError(
                 f"snapshot {n} already committed at {self.root}; retry"
             )
+        # write-then-rename: a writer killed mid-write leaves only a
+        # .tmp (invisible to versions(), which filters on .json), never
+        # a torn manifest that would brick every later read and commit
+        tmp = f"{mpath}.tmp.{commit_dir.rsplit('-', 1)[-1]}"
         self.fs.write_bytes(
-            mpath, json.dumps(manifest, sort_keys=True).encode()
+            tmp, json.dumps(manifest, sort_keys=True).encode()
         )
+        if not self.fs.rename(tmp, mpath):
+            self.fs.delete(tmp)
+            raise FileExistsError(
+                f"snapshot {n} already committed at {self.root}; retry"
+            )
         return n
 
     # --------------------------------------------------------------- reads

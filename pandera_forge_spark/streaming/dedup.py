@@ -83,33 +83,56 @@ def stream_near_dedup(
         if not fs.exists(f"{index_path}/_band_meta.json") or init_epoch == int(
             epoch_id
         ):
+            # sidecar FIRST: if the process dies between the two writes,
+            # the replayed epoch sees init_epoch == itself and
+            # re-initializes; the reverse order would leave a complete
+            # index with no sidecar, and the replay would probe the
+            # index built from itself (a self-match for every doc)
+            fs.write_bytes(
+                init_sidecar, json.dumps({"epoch": int(epoch_id)}).encode()
+            )
             write_band_index(
                 batch_df, index_path, text_col, id_col,
                 num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
                 seed=seed,
             )
-            fs.write_bytes(
-                init_sidecar, json.dumps({"epoch": int(epoch_id)}).encode()
-            )
             if on_batch is not None:
                 on_batch(None, epoch_id)
             return
-        matches = probe_band_index(
-            spark, index_path, batch_df, text_col, id_col,
-            threshold=threshold, max_bucket=max_bucket,
-            max_epoch=int(epoch_id),
+        # shingle the batch ONCE (with the index's own parameters) and
+        # share the frame between the probe and the epoch append — the
+        # shingling projection dominates per-epoch CPU
+        from pyspark.sql import functions as F
+
+        from pandera_forge_spark.operators.dedup import hashed_shingles
+
+        meta = json.loads(
+            fs.read_bytes(f"{index_path}/_band_meta.json").decode()
         )
+        sh = batch_df.select(
+            F.col(id_col),
+            hashed_shingles(F.col(text_col), meta["shingle_n"]).alias("__sh"),
+        ).persist()
         try:
-            matches.write.mode("overwrite").parquet(
-                f"{match_sink}/__epoch={int(epoch_id)}"
+            matches = probe_band_index(
+                spark, index_path, batch_df, text_col, id_col,
+                threshold=threshold, max_bucket=max_bucket,
+                max_epoch=int(epoch_id), new_shingles=sh,
             )
-            append_band_index_epoch(
-                batch_df, index_path, int(epoch_id), text_col, id_col
-            )
-            if on_batch is not None:
-                on_batch(matches, epoch_id)
+            try:
+                matches.write.mode("overwrite").parquet(
+                    f"{match_sink}/__epoch={int(epoch_id)}"
+                )
+                append_band_index_epoch(
+                    batch_df, index_path, int(epoch_id), text_col, id_col,
+                    shingles=sh,
+                )
+                if on_batch is not None:
+                    on_batch(matches, epoch_id)
+            finally:
+                matches.unpersist()
         finally:
-            matches.unpersist()
+            sh.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(process)
     if checkpoint:

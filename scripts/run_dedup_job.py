@@ -63,7 +63,9 @@ def main() -> int:
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--method", choices=["minhash", "simhash"], default="minhash")
-    ap.add_argument("--threshold", type=float, default=0.8)
+    # default None: dedup_near applies 0.8 for minhash; simhash rejects
+    # an explicit threshold (Hamming-based — pass max_hamming instead)
+    ap.add_argument("--threshold", type=float, default=None)
     ap.add_argument("--checkpoint-dir", help="reliable checkpoint dir for clustering")
     ap.add_argument("--sample-per-stratum", type=int)
     ap.add_argument("--strata-col", default="lang")

@@ -90,16 +90,22 @@ def worker(cores: int) -> None:
         spark, lambda: run_flagship(spark, DOCS), max_sec=600.0
     )
     app_id = spark.sparkContext.applicationId
+    # GC is reported as the DELTA across the timed run — the REST
+    # counter is cumulative since JVM start and would otherwise charge
+    # the warm-up runs to the measurement
+    gc_before = sum(
+        e.get("totalGCTime", 0) for e in _rest(app_id, "executors")
+    )
     t0 = time.time()
     wall = run_flagship(spark, DOCS)
 
     stages = [
         s
         for s in _rest(app_id, "stages?status=complete")
-        if "submissionTime" in s and _parse_ts(s["submissionTime"]) >= t0 - 0.5
+        if "submissionTime" in s and _parse_ts(s["submissionTime"]) >= t0
     ]
     execs = _rest(app_id, "executors")
-    total_gc_ms = sum(e.get("totalGCTime", 0) for e in execs)
+    total_gc_ms = sum(e.get("totalGCTime", 0) for e in execs) - gc_before
     per_stage = [
         {
             "stage": s["stageId"],

@@ -255,3 +255,41 @@ def test_sessionize_split_boundary_merge(spark):
         for r in sessionize(ev, "user", "ts", 30.0, split_every=1000.0).collect()
     }
     assert out == {990.0: 0, 1010.0: 0, 2500.0: 1}
+
+
+def test_split_stitch_null_keys_and_ts(spark):
+    """Null keys and null timestamps group like any other value: the
+    split path must keep them and match the unsplit output row-for-row
+    (the stitch joins are null-safe, not name-list equi-joins)."""
+    left = spark.createDataFrame(
+        [("k", 6.0), (None, 6.0), (None, 2500.0), ("k", None)],
+        "sym string, ts double",
+    )
+    right = spark.createDataFrame(
+        [("k", 1.0, 10.0), (None, 100.0, 5.0)],
+        "sym string, ts double, px double",
+    )
+    base = asof_join(left, right, "ts", ["sym"], ["px"])
+    split = asof_join(left, right, "ts", ["sym"], ["px"], split_every=1000.0)
+    b = sorted(map(tuple, base.select("sym", "ts", "px").collect()),
+               key=lambda t: (str(t[0]), str(t[1])))
+    s = sorted(map(tuple, split.select("sym", "ts", "px").collect()),
+               key=lambda t: (str(t[0]), str(t[1])))
+    assert b == s and len(s) == 4
+    # the null-key row in a later chunk still gets its carry-in
+    got = {(r["sym"], r["ts"]): r["px"] for r in split.collect()}
+    assert got[(None, 2500.0)] == 5.0
+
+    ev = spark.createDataFrame(
+        [("u", 10.0), ("u", 990.0), ("u", 1010.0), (None, 50.0),
+         (None, 1020.0), ("u", None)],
+        "user string, ts double",
+    )
+    base = sessionize(ev, "user", "ts", 30.0)
+    split = sessionize(ev, "user", "ts", 30.0, split_every=1000.0)
+    key = lambda r: (str(r["user"]), str(r["ts"]))
+    b = sorted(((str(r["user"]), str(r["ts"]), r["session_id"])
+                for r in base.collect()))
+    s = sorted(((str(r["user"]), str(r["ts"]), r["session_id"])
+                for r in split.collect()))
+    assert b == s and len(s) == ev.count()

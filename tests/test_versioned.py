@@ -117,3 +117,31 @@ def test_schema_carries_columns(spark, vt):
     got = vt.read(version=1)
     assert set(got.columns) == {"id", "grp"}
     assert got.where(F.col("grp") == "1").count() == 2
+
+
+def test_torn_manifest_write_is_invisible(spark, vt):
+    """Manifests commit via write-then-rename: a writer killed mid-write
+    leaves only a .tmp file, which versions() ignores — the table stays
+    readable and committable (the round-4 review's brick scenario)."""
+    vt.commit(spark.range(0, 3))
+    # simulate the kill: a partial manifest body under the tmp name
+    vt.fs.write_bytes(
+        f"{vt.root}/_versions/v{2:09d}.json.tmp.000002", b'{"version": 2, "fil'
+    )
+    assert [m["version"] for m in vt.versions()] == [1]  # tmp invisible
+    assert _ids(vt.read()) == [0, 1, 2]
+    v2 = vt.commit(spark.range(9, 10))  # next commit proceeds normally
+    assert v2 == 2 and _ids(vt.read()) == [0, 1, 2, 9]
+
+
+def test_rename_refuses_existing_dst(spark, vt, tmp_path):
+    from pandera_forge_spark.sources.fs import DriverFS
+
+    fs = DriverFS(spark)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    fs.write_bytes(a, b"one")
+    fs.write_bytes(b, b"two")
+    assert fs.rename(a, b) is False  # dst exists -> refused, not replaced
+    assert fs.read_bytes(b) == b"two"
+    c = str(tmp_path / "c")
+    assert fs.rename(a, c) is True and fs.read_bytes(c) == b"one"
