@@ -2758,6 +2758,46 @@ def q_asof_events(spark, sf_dir):
     return out.select("event_id", "user_id", "rv").orderBy("event_id")
 
 
+def q_asof_events_split(spark, sf_dir):
+    """Same inputs and same DuckDB ASOF oracle as ``asof_events``, but
+    executed through the hot-key split-stitch path
+    (``split_every=1 day``): per-(user, day-chunk) windows + a
+    null-safe stitched carry-in must reproduce the unsplit as-of
+    semantics exactly on real data — the driver-verified twin of the
+    planted-hot-key pytest."""
+    from pandera_forge_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_id") % 7 == 0).select("event_id", "user_id", "ts")
+    right = (
+        ev.where(F.col("event_id") % 11 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("rv"))
+    )
+    out = asof_join(left, right, "ts", ["user_id"], ["rv"], split_every=86400.0)
+    return out.select("event_id", "user_id", "rv").orderBy("event_id")
+
+
+def q_sessions_user_split(spark, sf_dir):
+    """Same rollup and same oracle as ``sessions_user``, executed with
+    ``split_every=1 day`` — session numbering must survive chunk
+    boundaries (merge-iff-gap<=threshold stitch) byte-identically."""
+    from pandera_forge_spark.operators.temporal import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_stats(
+        ev, "user_id", "ts", gap_seconds=3600.0, split_every=86400.0
+    )
+    return out.select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        F.round("start_ts", 6).alias("start_ts"),
+        F.round("end_ts", 6).alias("end_ts"),
+        F.round("duration_secs", 6).alias("duration_secs"),
+    ).orderBy("user_id", "session_idx")
+
+
 SQL_ASOF_EVENTS = """
 SELECT l.event_id, l.user_id, r.rv
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_id % 7 = 0) l
@@ -2907,6 +2947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (inserted here so they land inside the driver's 50-entry window)
         "ivf_topk_planted": q_ivf_topk_planted,
         "time_travel_epochs": q_time_travel_epochs,
+        "asof_events_split": q_asof_events_split,
+        "sessions_user_split": q_sessions_user_split,
         # -- driver-verified green in round 3 (first-50 tail) ---------------
         "profile_lineitem": q_profile_lineitem,
         "profile_fused_orders": q_profile_fused_orders,
@@ -3046,6 +3088,10 @@ def oracle_sql() -> dict[str, str]:
         "pack_greedy": SQL_PACK_GREEDY,
         "asof_events": SQL_ASOF_EVENTS,
         "sessions_user": SQL_SESSIONS_USER,
+        # split-stitch twins: SAME oracle — the split execution must be
+        # output-identical to the unsplit semantics
+        "asof_events_split": SQL_ASOF_EVENTS,
+        "sessions_user_split": SQL_SESSIONS_USER,
         "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,
         "hourly_rollup": SQL_HOURLY_ROLLUP,
         # frame_sample_plan: no oracle — per-row durations derive from

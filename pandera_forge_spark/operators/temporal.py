@@ -343,12 +343,14 @@ def session_stats(
     key_col: str,
     ts_col: str,
     gap_seconds: float,
+    split_every: Optional[float] = None,
 ) -> DataFrame:
     """Per-session rollup: (key, session_idx, n_events, start_ts,
     end_ts, duration_secs). Sessionize + one algebraic groupBy — the
     second shuffle is on (key, session_idx), strictly finer than the
-    first, and AQE coalesces it."""
-    s = sessionize(events, key_col, ts_col, gap_seconds)
+    first, and AQE coalesces it. ``split_every`` passes through to the
+    hot-key split-stitch."""
+    s = sessionize(events, key_col, ts_col, gap_seconds, split_every=split_every)
     ts = _seconds(events, ts_col)
     return s.groupBy(key_col, "session_idx").agg(
         F.count(F.lit(1)).alias("n_events"),
