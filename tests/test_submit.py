@@ -87,3 +87,55 @@ def test_spark_submit_dedup_job(tmp_path):
     assert report["dropped"] == 300 - report["corpus_out"]
     assert report["clustered_ids"] > 0
     assert report["sample"] is not None and report["sample"] <= 60
+
+
+def test_spark_submit_stream_dedup_job(tmp_path):
+    """Fourth deployment shape: the streaming near-dedup job in
+    catch-up (availableNow) mode, submitted from outside the repo with
+    imports only from --py-files. Three fixture epochs with planted
+    cross-epoch near-dups: epoch 0 initializes the index, epochs 1-2
+    probe-then-append; a second catch-up run resumes from the
+    checkpoint and finds nothing new (no double-reported matches)."""
+    import json
+
+    pfs_zip = tmp_path / "pfs.zip"
+    subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "make_pyfiles_zip.py"), str(pfs_zip)],
+        check=True, capture_output=True,
+    )
+
+    def submit(extra):
+        cmd = [
+            "spark-submit",
+            "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", str(pfs_zip),
+            str(REPO / "scripts" / "run_stream_dedup_job.py"),
+            "--input", str(tmp_path / "arrivals"),
+            "--index", str(tmp_path / "band_index"),
+            "--matches", str(tmp_path / "matches"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            *extra,
+        ]
+        return subprocess.run(
+            cmd, capture_output=True, text=True, timeout=420, cwd=str(tmp_path)
+        )
+
+    first = submit(["--fixture", "90", "--threshold", "0.6"])
+    assert first.returncode == 0, first.stderr[-2000:]
+    report = json.loads(
+        [l for l in first.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    # wave1 docs match wave0 (30 pairs); wave2 match wave0+wave1 (60)
+    assert report["match_epochs"] == 2
+    assert report["matches"] == 90
+    assert report["docs_indexed"] == 90
+
+    # resume with no new files: checkpoint replays nothing, counts hold
+    second = submit(["--threshold", "0.6"])
+    assert second.returncode == 0, second.stderr[-2000:]
+    report2 = json.loads(
+        [l for l in second.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert report2["matches"] == 90 and report2["docs_indexed"] == 90
