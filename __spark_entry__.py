@@ -2049,6 +2049,144 @@ ORDER BY version
 """
 
 
+def q_quarantine_counts(spark, sf_dir):
+    """One-pass valid/quarantine routing (validator.quarantine_split):
+    the verdict column + partitionBy write + observe-counted sides,
+    verified against the WRITTEN FILES (each side read back
+    partition-pruned must equal the observe metrics) — then against the
+    oracle's direct predicate counts. Planted contract: l_quantity <=
+    45 AND l_discount <= 0.08 (nulls pass, the engine's check
+    semantics)."""
+    import shutil
+    import tempfile
+
+    from pandera_forge_spark.validator import quarantine_split
+
+    li = _t(spark, sf_dir, "lineitem")
+    schema = TableSchema(
+        name="T",
+        columns=[
+            ColumnSpec(
+                name="l_quantity", sanitized_name="l_quantity",
+                name_was_valid=True, spark_type="double",
+                pandera_type="Float64", nullable=True, le=45.0,
+            ),
+            ColumnSpec(
+                name="l_discount", sanitized_name="l_discount",
+                name_was_valid=True, spark_type="double",
+                pandera_type="Float64", nullable=True, le=0.08,
+            ),
+        ],
+    )
+    root = tempfile.mkdtemp(prefix="pfs_quar_")
+    try:
+        counts = quarantine_split(li, schema, root)
+        v_rb = spark.read.parquet(f"{root}/__valid=true").count()
+        q_rb = spark.read.parquet(f"{root}/__valid=false").count()
+        if (v_rb, q_rb) != (counts["valid"], counts["quarantined"]):
+            raise AssertionError(
+                f"observe metrics {counts} disagree with written files "
+                f"(valid={v_rb}, quarantined={q_rb})"
+            )
+        rows = [("quarantined", q_rb), ("valid", v_rb)]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "side string, n_rows long").orderBy("side")
+
+
+SQL_QUARANTINE_COUNTS = """
+SELECT 'quarantined' AS side, COUNT(*) AS n_rows FROM lineitem
+WHERE NOT ((l_quantity IS NULL OR l_quantity <= 45.0)
+           AND (l_discount IS NULL OR l_discount <= 0.08))
+UNION ALL
+SELECT 'valid' AS side, COUNT(*) AS n_rows FROM lineitem
+WHERE (l_quantity IS NULL OR l_quantity <= 45.0)
+  AND (l_discount IS NULL OR l_discount <= 0.08)
+ORDER BY side
+"""
+
+
+def q_audit_sla(spark, sf_dir):
+    """The full checkpointed runner flow, end to end, inside one
+    oracle row (runner.py): write orders hive-partitioned by
+    o_orderpriority, run the batched grouped validation (batch_size=3)
+    with a planted o_totalprice <= 400000 contract, commit per-partition
+    audit rows, then roll the audit log up with audit_summary. The
+    deterministic SLA columns (partition counts by status, totals,
+    rate, worst partition by max_by ties-by-name) must match the
+    oracle's direct derivation from orders."""
+    import shutil
+    import tempfile
+
+    from pandera_forge_spark.runner import (
+        AuditLog,
+        HivePartitionedParquet,
+        audit_summary,
+        run_partitions,
+        validation_process_batch,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    schema = TableSchema(
+        name="T",
+        columns=[
+            ColumnSpec(
+                name="o_totalprice", sanitized_name="o_totalprice",
+                name_was_valid=True, spark_type="double",
+                pandera_type="Float64", nullable=True, le=400000.0,
+            ),
+        ],
+    )
+    root = tempfile.mkdtemp(prefix="pfs_audit_")
+    try:
+        tbl = HivePartitionedParquet(spark, f"{root}/table", "o_orderpriority")
+        tbl.write(orders)
+        audit = AuditLog(spark, f"{root}/audit")
+        report = run_partitions(
+            tbl, audit, batch_size=3,
+            process_batch=validation_process_batch(schema, "o_orderpriority"),
+        )
+        if report.failed_partitions:
+            raise AssertionError(f"runner errors: {report.failed_partitions}")
+        row = (
+            audit_summary(audit.read())
+            .select(
+                "partitions", "ok", "with_violations", "errors",
+                "total_rows", "total_violations", "violation_rate",
+                "worst_partition", "worst_violations",
+            )
+            .collect()[0]  # eager: the audit dir is torn down below
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "partitions long, ok long, with_violations long, errors long, "
+        "total_rows long, total_violations long, violation_rate double, "
+        "worst_partition string, worst_violations long",
+    )
+
+
+SQL_AUDIT_SLA = """
+WITH v AS (
+  SELECT o_orderpriority AS p, COUNT(*) AS n,
+         SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice > 400000.0
+                  THEN 1 ELSE 0 END) AS viol
+  FROM orders GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS partitions,
+       CAST(SUM(CASE WHEN viol = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ok,
+       CAST(SUM(CASE WHEN viol > 0 THEN 1 ELSE 0 END) AS BIGINT) AS with_violations,
+       CAST(0 AS BIGINT) AS errors,
+       CAST(SUM(n) AS BIGINT) AS total_rows,
+       CAST(SUM(viol) AS BIGINT) AS total_violations,
+       ROUND(SUM(viol) / CAST(SUM(n) AS DOUBLE), 8) AS violation_rate,
+       (SELECT p FROM v ORDER BY viol DESC, p DESC LIMIT 1) AS worst_partition,
+       CAST(MAX(viol) AS BIGINT) AS worst_violations
+FROM v
+"""
+
+
 # Centroid vectors are taken FROM the corpus at fixed vec_ids so the
 # DuckDB oracle can reconstruct byte-identical centroids — k-means
 # itself is covered by the recall pytest (tests/test_similarity.py);
@@ -2949,6 +3087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_epochs": q_time_travel_epochs,
         "asof_events_split": q_asof_events_split,
         "sessions_user_split": q_sessions_user_split,
+        "quarantine_counts": q_quarantine_counts,
+        "audit_sla": q_audit_sla,
         # -- driver-verified green in round 3 (first-50 tail) ---------------
         "profile_lineitem": q_profile_lineitem,
         "profile_fused_orders": q_profile_fused_orders,
@@ -3092,6 +3232,8 @@ def oracle_sql() -> dict[str, str]:
         # output-identical to the unsplit semantics
         "asof_events_split": SQL_ASOF_EVENTS,
         "sessions_user_split": SQL_SESSIONS_USER,
+        "quarantine_counts": SQL_QUARANTINE_COUNTS,
+        "audit_sla": SQL_AUDIT_SLA,
         "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,
         "hourly_rollup": SQL_HOURLY_ROLLUP,
         # frame_sample_plan: no oracle — per-row durations derive from
