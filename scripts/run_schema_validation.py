@@ -26,7 +26,10 @@ import argparse
 import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+try:
+    import pandera_forge_spark  # noqa: F401 — resolves from --py-files
+except ImportError:  # running from a checkout without the zip
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> int:

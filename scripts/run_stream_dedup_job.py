@@ -34,22 +34,35 @@ import json
 import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+try:
+    import pandera_forge_spark  # noqa: F401 — resolves from --py-files
+except ImportError:  # running from a checkout without the zip
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _fixture_epochs(spark, input_dir: str, n: int) -> None:
-    """Three arrival files: a base corpus, then two waves whose docs
-    include suffix-mutated near-copies of earlier waves."""
+    """Exactly ``n`` docs as three arrival files: a base corpus, then
+    two waves whose docs are suffix-mutated near-copies of earlier
+    waves. Driver-local file manipulation by design (mtime ordering
+    needs os.utime) — fixture smoke runs are local-path only."""
     import os
 
+    if "://" in input_dir:
+        raise ValueError(
+            "--fixture synthesizes local files only (mtime-ordered via "
+            "os.utime); point --input at a local path for smoke runs"
+        )
+
     from pyspark.sql import functions as F
+
+    k = max(n // 3, 1)
 
     def wave(lo: int, hi: int, suffix: str):
         return spark.range(lo, hi).select(
             F.col("id").cast("string").alias("doc_id"),
             F.concat(
                 F.lit("streaming document body "),
-                (F.col("id") % (n // 3 or 1)).cast("string"),
+                (F.col("id") % k).cast("string"),
                 F.lit(" about topic "),
                 (F.col("id") % 5).cast("string"),
                 F.lit(" with enough tokens to shingle reliably"),
@@ -57,14 +70,14 @@ def _fixture_epochs(spark, input_dir: str, n: int) -> None:
             ).alias("text"),
         )
 
-    k = max(n // 3, 1)
-    for i, suffix in enumerate(["", " tail", " tip"]):
+    bounds = [(0, k), (k, 2 * k), (2 * k, n)]  # last wave absorbs remainder
+    for i, ((lo, hi), suffix) in enumerate(zip(bounds, ["", " tail", " tip"])):
+        if lo >= hi:
+            continue
         # literal sibling path: Hadoop would normalize "a/../b" away
         # while os.listdir resolves it through a not-yet-existing dir
         stage = f"{input_dir.rstrip('/')}.stage{i}"
-        wave(i * k, (i + 1) * k, suffix).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
+        wave(lo, hi, suffix).coalesce(1).write.mode("overwrite").parquet(stage)
         part = next(
             f for f in os.listdir(stage) if f.endswith(".parquet")
         )
@@ -89,6 +102,11 @@ def main() -> int:
         "default: availableNow catch-up, then exit",
     )
     ap.add_argument("--fixture", type=int, help="synthesize N docs as 3 epochs")
+    ap.add_argument(
+        "--full-report", action="store_true",
+        help="also census the WHOLE index and match history (O(index) "
+        "scans — the default report covers only this run's new epochs)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -122,36 +140,59 @@ def main() -> int:
         q.awaitTermination()
         return 0
 
-    q = writer.trigger(availableNow=True).start()
-    q.awaitTermination()
-
     from pandera_forge_spark.sources.fs import DriverFS
 
     fs = DriverFS(spark)
-    n_matches = 0
-    epochs = []
-    if fs.exists(args.matches):
-        epochs = sorted(
+
+    def match_epochs() -> set:
+        if not fs.exists(args.matches):
+            return set()
+        return {
             n for n in fs.listdir(args.matches) if n.startswith("__epoch=")
+        }
+
+    before = match_epochs()
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    # default report is scoped to THIS run's new epochs — a daily
+    # catch-up never pays an O(match-history) or O(index) scan just to
+    # print a count line
+    new_epochs = sorted(match_epochs() - before)
+    n_matches = sum(
+        spark.read.parquet(f"{args.matches}/{e}").count() for e in new_epochs
+    )
+    report = {
+        "new_match_epochs": len(new_epochs),
+        "new_matches": int(n_matches),
+    }
+    if args.full_report:
+        from pyspark.sql import functions as F
+
+        n_all = 0
+        all_epochs = sorted(match_epochs())
+        if all_epochs:
+            n_all = spark.read.parquet(f"{args.matches}/__epoch=*").count()
+        ids = None
+        if fs.exists(f"{args.index}/bands"):
+            ids = spark.read.parquet(f"{args.index}/bands").select(
+                F.col(args.id_col).alias("__id")
+            )
+        if fs.exists(f"{args.index}/bands_epochs"):
+            ep = (
+                spark.read.option("basePath", f"{args.index}/bands_epochs")
+                .parquet(f"{args.index}/bands_epochs/__epoch=*")
+                .select(F.col(args.id_col).alias("__id"))
+            )
+            ids = ep if ids is None else ids.unionByName(ep)
+        report.update(
+            match_epochs_total=len(all_epochs),
+            matches_total=int(n_all),
+            # union-distinct: a re-delivered doc_id in base + an epoch
+            # counts once
+            docs_indexed=int(ids.distinct().count()) if ids is not None else 0,
         )
-        if epochs:
-            n_matches = spark.read.parquet(
-                f"{args.matches}/__epoch=*"
-            ).count()
-    n_indexed = spark.read.parquet(f"{args.index}/bands").select(
-        args.id_col
-    ).distinct().count()
-    if fs.exists(f"{args.index}/bands_epochs"):
-        n_indexed += (
-            spark.read.option("basePath", f"{args.index}/bands_epochs")
-            .parquet(f"{args.index}/bands_epochs/__epoch=*")
-            .select(args.id_col).distinct().count()
-        )
-    print(json.dumps({
-        "match_epochs": len(epochs),
-        "matches": int(n_matches),
-        "docs_indexed": int(n_indexed),
-    }))
+    print(json.dumps(report))
     return 0
 
 

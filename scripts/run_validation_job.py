@@ -28,7 +28,10 @@ import sys
 from pathlib import Path
 
 # when run from the repo (no --py-files), make the package importable
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+try:
+    import pandera_forge_spark  # noqa: F401 — resolves from --py-files
+except ImportError:  # running from a checkout without the zip
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> int:

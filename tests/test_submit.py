@@ -122,20 +122,23 @@ def test_spark_submit_stream_dedup_job(tmp_path):
             cmd, capture_output=True, text=True, timeout=420, cwd=str(tmp_path)
         )
 
-    first = submit(["--fixture", "90", "--threshold", "0.6"])
+    first = submit(["--fixture", "90", "--threshold", "0.6", "--full-report"])
     assert first.returncode == 0, first.stderr[-2000:]
     report = json.loads(
         [l for l in first.stdout.splitlines() if l.startswith("{")][-1]
     )
     # wave1 docs match wave0 (30 pairs); wave2 match wave0+wave1 (60)
-    assert report["match_epochs"] == 2
-    assert report["matches"] == 90
+    assert report["new_match_epochs"] == 2
+    assert report["new_matches"] == 90
+    assert report["matches_total"] == 90
     assert report["docs_indexed"] == 90
 
-    # resume with no new files: checkpoint replays nothing, counts hold
-    second = submit(["--threshold", "0.6"])
+    # resume with no new files: the checkpoint replays nothing — zero
+    # NEW matches (nothing double-reported), history and index unchanged
+    second = submit(["--threshold", "0.6", "--full-report"])
     assert second.returncode == 0, second.stderr[-2000:]
     report2 = json.loads(
         [l for l in second.stdout.splitlines() if l.startswith("{")][-1]
     )
-    assert report2["matches"] == 90 and report2["docs_indexed"] == 90
+    assert report2["new_match_epochs"] == 0 and report2["new_matches"] == 0
+    assert report2["matches_total"] == 90 and report2["docs_indexed"] == 90
