@@ -293,3 +293,19 @@ def test_split_stitch_null_keys_and_ts(spark):
     s = sorted(((str(r["user"]), str(r["ts"]), r["session_id"])
                 for r in split.collect()))
     assert b == s and len(s) == ev.count()
+
+
+def test_split_stitch_plans_stay_equi_join(spark):
+    """The null-safe stitch joins (`<=>`) must still plan as shuffled
+    equi-joins — a planner regression to BroadcastNestedLoop/cartesian
+    would be silent data-scale death on 10^12 rows."""
+    ev = _hot_events(spark, n_hot=60, n_cold=12)
+    right = ev.where(F.col("ts") % 5 == 0).withColumn("px", F.col("ts") * 2)
+    for df in (
+        asof_join(ev, right, "ts", ["user"], ["px"], split_every=1000.0),
+        sessionize(ev, "user", "ts", 40.0, split_every=1000.0),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+        assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+                or "BroadcastHashJoin" in plan)
