@@ -227,6 +227,96 @@ def contamination(
     )
 
 
+def contamination_bloom(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    fp_rate: float = 0.01,
+) -> DataFrame:
+    """``contamination`` for benchmark sides too large to broadcast as
+    an exact shingle set: the benchmark collapses to a BLOOM FILTER
+    built entirely with column algebra — xxhash64 under ``k`` seeds for
+    the bit positions, one ``bit_or`` aggregation packing them into
+    64-bit words — and the probe side tests bits against a single
+    broadcast row holding the packed array. Broadcast bytes drop from
+    O(distinct shingles x avg shingle width) to ``m/8`` bytes chosen
+    from ``fp_rate`` (1% -> ~1.2 bytes per benchmark shingle), and the
+    probe stays a map-side whole-stage-codegen projection with no
+    shuffle beyond the per-doc groupBy.
+
+    Bloom semantics: NO false negatives — a leaked shingle is always
+    counted — and ~``fp_rate`` false positives, so
+    ``n_contaminated``/``contamination_ratio`` are upper bounds of the
+    exact operator's values (pytest-asserted against ``contamination``
+    on planted leaks). Same output columns as ``contamination``.
+    """
+    import math
+
+    from pandera_forge_spark.operators.dedup import shingles
+
+    bench_sh = benchmark.select(
+        F.explode(shingles(F.col(text_col), n)).alias("__s")
+    ).distinct()
+    n_items = max(1, bench_sh.count())
+    m_bits = max(64, int(-n_items * math.log(fp_rate) / (math.log(2) ** 2)))
+    m_bits = ((m_bits + 63) // 64) * 64  # whole words
+    k = max(1, round(m_bits / n_items * math.log(2)))
+    n_words = m_bits // 64
+
+    def positions(col):
+        return [
+            F.pmod(F.xxhash64(F.lit(i), col), F.lit(m_bits)) for i in range(k)
+        ]
+
+    # build: k bit positions per shingle -> (word, mask) -> bit_or per
+    # word. O(m/64) result rows; the single assembled row is the only
+    # thing the driver ever holds. (shiftleft via SQL expr: the Python
+    # F.shiftleft only takes a literal shift amount.)
+    pos = bench_sh.select(
+        F.explode(F.array(*positions(F.col("__s")))).alias("__p")
+    )
+    words = (
+        pos.select(
+            (F.col("__p") / 64).cast("long").alias("__w"),
+            F.expr("shiftleft(1L, cast(__p % 64 as int))").alias("__m"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__m").alias("__v"))
+        .collect()
+    )
+    packed = [0] * n_words
+    for r in words:
+        packed[int(r["__w"])] = int(r["__v"])
+    bloom = df.sparkSession.createDataFrame(
+        [(packed,)], "__bloom array<long>"
+    )
+
+    doc_sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__s")
+    ).join(F.broadcast(bloom))  # 1-row broadcast: the packed filter
+    hit = F.lit(True)
+    for i in range(k):
+        p_sql = f"pmod(xxhash64({i}, __s), {m_bits})"
+        term = F.expr(
+            f"(element_at(__bloom, cast({p_sql} / 64 as int) + 1) & "
+            f"shiftleft(1L, cast({p_sql} % 64 as int))) != 0"
+        )
+        hit = hit & term
+    return (
+        doc_sh.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(hit.cast("long")).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_ratio",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

@@ -296,3 +296,60 @@ def test_normalize_text_preserves_unicode_letters(spark):
     ).collect()[0]["np"]
     # accented and CJK letters survive; only the '!' is stripped
     assert got == "caf\u00e9 \u4e2d\u6587 test"
+
+
+def test_contamination_bloom_matches_exact(spark):
+    """Bloom variant: identical columns, NO false negatives (every
+    per-doc count >= the exact operator's), and at 1% fp over a small
+    benchmark the planted answers are exactly the exact operator's. A
+    larger corpus-vs-bench run bounds the aggregate false-positive
+    overcount; the probe plan carries no join beyond the 1-row bloom
+    broadcast and no Python UDF."""
+    from pandera_forge_spark.operators.text import contamination, contamination_bloom
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma nothing else"),
+            (3, "totally different words here"),
+            (4, "xy"),
+        ],
+        "id long, text string",
+    )
+    exact = {
+        r["id"]: (r["n_shingles"], r["n_contaminated"])
+        for r in contamination(corpus, bench, "text", "id").collect()
+    }
+    bloom = {
+        r["id"]: (r["n_shingles"], r["n_contaminated"])
+        for r in contamination_bloom(corpus, bench, "text", "id").collect()
+    }
+    assert set(bloom) == set(exact)
+    for i in exact:
+        assert bloom[i][0] == exact[i][0]            # same shingle counts
+        assert bloom[i][1] >= exact[i][1]            # no false negatives
+    # tiny benchmark + 1% target: planted answers come out exact
+    assert bloom == exact
+
+    # aggregate FP bound on a larger disjoint corpus: ~1% of shingles
+    from pyspark.sql import functions as F
+
+    big = spark.range(2000).select(
+        F.col("id"),
+        F.concat(
+            F.lit("unique filler "), F.col("id").cast("string"),
+            F.lit(" more words "), (F.col("id") * 7).cast("string"),
+            F.lit(" trailing tokens here"),
+        ).alias("text"),
+    )
+    res = contamination_bloom(big, bench, "text", "id", fp_rate=0.01)
+    agg = res.agg(
+        F.sum("n_shingles").alias("s"), F.sum("n_contaminated").alias("c")
+    ).collect()[0]
+    assert agg["c"] / agg["s"] < 0.05  # ~1% target, generous margin
+
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
