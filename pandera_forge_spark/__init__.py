@@ -44,9 +44,13 @@ from pandera_forge_spark.profiler import profile_by_group, profile_table
 from pandera_forge_spark.inference import infer_and_validate, infer_schema, infer_semantic_type
 from pandera_forge_spark.enrichment import (
     HeuristicEnricher,
+    HttpEnricher,
     enrich_schema,
     generate_documentation,
 )
+from pandera_forge_spark.sources.versioned import VersionedParquet
+from pandera_forge_spark.sources.readers import read_excel
+from pandera_forge_spark.operators.text import contamination_bloom
 from pandera_forge_spark.generator import ModelGenerator
 from pandera_forge_spark.pipeline import interleaved_verdicts
 from pandera_forge_spark.sources.session import (
@@ -123,8 +127,12 @@ __all__ = [
     "incremental_sketch_store",
     "load_sketch_store",
     "HeuristicEnricher",
+    "HttpEnricher",
     "enrich_schema",
     "generate_documentation",
+    "VersionedParquet",
+    "read_excel",
+    "contamination_bloom",
     "infer_and_validate",
     "infer_schema",
     "infer_semantic_type",
