@@ -405,3 +405,71 @@ def test_stream_near_dedup_cross_batch(spark, tmp_path):
     append_band_index_epoch(batch2, idx, 2, "text", "doc_id")
     after = spark.read.parquet(f"{idx}/bands_epochs/__epoch=2").count()
     assert before == after
+
+
+def test_stream_sessions_matches_batch(spark, tmp_path):
+    """Native session_window streaming sessionization emits the same
+    sessions the batch lag+running-sum operator derives (same gap
+    rule): per (key, session) the event counts and first/last event
+    times agree, and session_end = last_event + gap."""
+    import datetime as dt
+
+    from pandera_forge_spark.operators.temporal import session_stats
+    from pandera_forge_spark.streaming import stream_sessions
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def t(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    rows = [
+        ("u1", t(0)), ("u1", t(100)),          # session 0
+        ("u1", t(4000)), ("u1", t(4100)),      # session 1 (gap 3900 > 3600)
+        ("u1", t(9000)),                       # session 2
+        ("u2", t(50)),                         # session 0
+        # watermark flush: append mode emits a session only once the
+        # watermark passes its close; this far-future event advances it
+        # (its own still-open session must NOT emit)
+        ("zz", t(1_000_000)),
+    ]
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(rows, "user string, ts timestamp").write.parquet(src)
+
+    stream = spark.readStream.schema("user string, ts timestamp").parquet(src)
+    sess = stream_sessions(stream, "user", "ts", gap_seconds=3600.0,
+                           watermark="0 seconds")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM sess_out").collect()
+    assert all(r["user"] != "zz" for r in emitted)  # open session held back
+    got = {
+        (r["user"], r["first_event"]): (
+            r["n_events"], r["last_event"], r["session_end"]
+        )
+        for r in emitted
+    }
+
+    batch = [
+        b
+        for b in session_stats(
+            spark.read.parquet(src), "user", "ts", gap_seconds=3600.0
+        ).collect()
+        if b["user"] != "zz"
+    ]
+    assert len(got) == len(batch) == 4
+    for b in batch:
+        # batch start_ts is epoch seconds; rebuild the timestamp
+        first = dt.datetime.utcfromtimestamp(b["start_ts"])
+        key = (b["user"], first)
+        assert key in got, (key, sorted(got))
+        n, last, end = got[key]
+        assert n == b["n_events"]
+        assert last == dt.datetime.utcfromtimestamp(b["end_ts"])
+        assert (end - last).total_seconds() == 3600.0  # end = last + gap
