@@ -2187,6 +2187,117 @@ FROM v
 """
 
 
+# Shared DuckDB replay of operators/text.py winnow_fingerprints —
+# the CTE chain mirrors the Spark algebra stage for stage (normalize,
+# md5 k-gram rolling hashes, window-min selection, distinct) so both
+# winnowing queries verify the actual fingerprint VALUES, not a
+# planted closed form.  k=8, window=4 as the operator defaults.
+_WINNOW_FPS_SQL = r"""
+s AS (
+  SELECT doc_id,
+         lower(regexp_replace(coalesce(text, ''), '[^A-Za-z0-9]+', '', 'g')) AS s
+  FROM documents
+),
+g AS (
+  SELECT doc_id, length(s) AS slen,
+         list_transform(
+           range(1, greatest(length(s) - 7, 1) + 1),
+           i -> CAST(CAST('0x' || substr(md5(substr(s, i, 8)), 1, 12) AS UBIGINT) AS BIGINT)
+         ) AS g
+  FROM s
+),
+fps AS (
+  SELECT doc_id,
+         CASE WHEN slen > 0 THEN
+           list_sort(list_distinct(list_transform(
+             range(1, greatest(len(g) - 3, 1) + 1),
+             j -> list_min(g[j : j + 3]))))
+         ELSE [] END AS fps
+  FROM g
+)
+"""
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (operators/text.py
+    winnow_fingerprints — the MOSS document-fingerprinting primitive):
+    per-doc fingerprint-set checksums (count / sum / min / max) over a
+    doc_id slice. The oracle recomputes the ENTIRE pipeline (normalize
+    → md5 char-8-gram rolling hashes → 4-window minima → distinct) in
+    DuckDB, so any drift in gram positions, hash width, window
+    selection, or the empty-text rule hash-mismatches."""
+    from pandera_forge_spark.operators.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=8, window=4)
+    return (
+        fps.where(F.col("doc_id") % 13 == 0)
+        .select(
+            "doc_id",
+            F.size("fps").alias("n_fps"),
+            F.aggregate("fps", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+                "fps_sum"
+            ),
+            F.array_min("fps").alias("fps_min"),
+            F.array_max("fps").alias("fps_max"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH {_WINNOW_FPS_SQL}
+SELECT doc_id,
+       CAST(len(fps) AS INT) AS n_fps,
+       CAST(list_sum(fps) AS BIGINT) AS fps_sum,
+       list_min(fps) AS fps_min,
+       list_max(fps) AS fps_max
+FROM fps WHERE doc_id % 13 = 0 ORDER BY doc_id
+"""
+
+
+def q_fingerprint_overlap(spark, sf_dir):
+    """MOSS-style near-dup pairs by shared winnowing fingerprints
+    (operators/text.py fingerprint_overlap_pairs): explode → stop-
+    fingerprint df-filter (2 ≤ df ≤ max_df) → self-join on fingerprint
+    → per-pair shared count + containment overlap. Runs on the natural
+    corpus (no planting); the oracle replays explode/filter/join/count
+    verbatim, so the stop-fingerprint bound and the containment
+    denominator are value-checked, not just row-counted."""
+    from pandera_forge_spark.operators.text import fingerprint_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint_overlap_pairs(
+        docs, "text", "doc_id", k=8, window=4, min_shared=2, max_df=50,
+        min_overlap=0.3,
+    ).orderBy("id_a", "id_b")
+
+
+SQL_FINGERPRINT_OVERLAP = f"""
+WITH {_WINNOW_FPS_SQL},
+ex AS (
+  SELECT doc_id, len(fps) AS n, unnest(fps) AS fp FROM fps
+),
+kept AS (
+  SELECT * FROM ex
+  WHERE fp IN (SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50)
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         COUNT(*) AS shared, MAX(a.n) AS na, MAX(b.n) AS nb
+  FROM kept a JOIN kept b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+       floor(shared / CAST(least(na, nb) AS DOUBLE) * 1000000 + 0.5) / 1000000
+         AS overlap
+FROM p
+WHERE shared >= 2 AND shared / CAST(least(na, nb) AS DOUBLE) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
 # Centroid vectors are taken FROM the corpus at fixed vec_ids so the
 # DuckDB oracle can reconstruct byte-identical centroids — k-means
 # itself is covered by the recall pytest (tests/test_similarity.py);
@@ -3089,6 +3200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_user_split": q_sessions_user_split,
         "quarantine_counts": q_quarantine_counts,
         "audit_sla": q_audit_sla,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "fingerprint_overlap": q_fingerprint_overlap,
         # -- driver-verified green in round 3 (first-50 tail) ---------------
         "profile_lineitem": q_profile_lineitem,
         "profile_fused_orders": q_profile_fused_orders,
@@ -3234,6 +3347,8 @@ def oracle_sql() -> dict[str, str]:
         "sessions_user_split": SQL_SESSIONS_USER,
         "quarantine_counts": SQL_QUARANTINE_COUNTS,
         "audit_sla": SQL_AUDIT_SLA,
+        "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+        "fingerprint_overlap": SQL_FINGERPRINT_OVERLAP,
         "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,
         "hourly_rollup": SQL_HOURLY_ROLLUP,
         # frame_sample_plan: no oracle — per-row durations derive from

@@ -50,7 +50,11 @@ from pandera_forge_spark.enrichment import (
 )
 from pandera_forge_spark.sources.versioned import VersionedParquet
 from pandera_forge_spark.sources.readers import read_excel
-from pandera_forge_spark.operators.text import contamination_bloom
+from pandera_forge_spark.operators.text import (
+    contamination_bloom,
+    fingerprint_overlap_pairs,
+    winnow_fingerprints,
+)
 from pandera_forge_spark.generator import ModelGenerator
 from pandera_forge_spark.pipeline import interleaved_verdicts
 from pandera_forge_spark.sources.session import (
@@ -133,6 +137,8 @@ __all__ = [
     "VersionedParquet",
     "read_excel",
     "contamination_bloom",
+    "fingerprint_overlap_pairs",
+    "winnow_fingerprints",
     "infer_and_validate",
     "infer_schema",
     "infer_semantic_type",

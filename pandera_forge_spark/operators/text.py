@@ -470,6 +470,177 @@ def chunk_documents(
     return out.withColumn("chunk_len", F.length("chunk_text"))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer,
+    Wilkerson, Aiken, SIGMOD 2003 — the MOSS algorithm): hash every
+    character ``k``-gram of the casefolded alnum-only normalization,
+    then keep the minimum hash of every ``window`` consecutive grams.
+    The selected set is a position-robust content signature with
+    guaranteed density (any match of length ``k + window - 1`` chars
+    shares at least one fingerprint) at an expected ``2/(window+1)``
+    selection rate — the "document fingerprinting (rolling hash)"
+    primitive the training-data brief mandates, and the substrate for
+    :func:`fingerprint_overlap_pairs`.
+
+    Returns ``(id_col, fps: array<bigint>)`` — sorted distinct
+    fingerprints; empty/null text yields an empty array (no content,
+    no signature).
+
+    Engineering shape — the ``zip_with``-ladder idiom (see
+    ``dedup.shingles``), NOT ``transform(sequence(i), i -> f(arr, i))``
+    lambdas: a captured subtree inside a higher-order-function lambda
+    is re-evaluated PER ELEMENT (no CSE), and chaining projections
+    does not help because Catalyst's CollapseProject inlines a
+    once-referenced alias straight back into the lambda — the naive
+    form is O(n²) md5 calls per document. Both the k-gram build and
+    the sliding window-min are instead elementwise ``zip_with`` over
+    SHIFTED SLICES of the previous array, so every lambda touches only
+    its own element variables and each expensive subtree is evaluated
+    a constant (k·window) times per ROW:
+
+    - grams: a (k-1)-level ``zip_with``/``concat_ws`` ladder over the
+      char array, then one ``transform`` hashing each gram (lambda
+      references only the lambda var) — first 12 hex chars (48 bits)
+      of md5, md5 because DuckDB computes it bit-identically (the
+      oracle replays the whole pipeline), 48 bits because 32-bit
+      grams birthday-collide into false shared fingerprints at corpus
+      scale while 48 bits keep the array a plain ``bigint``;
+    - window minima: a (window-1)-level ``zip_with``/``least`` ladder
+      over the gram-hash array (``least`` skips the null padding of
+      the shorter slice; partial tail windows are sliced off).
+
+    Per-row cost is O(n_chars · window) md5/compare work — a narrow
+    map stage, no shuffle, no UDF; at 100 TB it scales like any other
+    projection, and the output is ~``2/(window+1) · n_chars`` longs
+    per doc (a compression of the text, not an expansion).
+    """
+    if k <= 0 or window <= 0:
+        raise ValueError("k and window must be positive")
+    _max = 1 << 30
+    s = F.lower(
+        F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"[^A-Za-z0-9]+", "")
+    )
+    n = F.length(s)
+    chars = F.split(s, "")
+    # k-gram ladder: concat_ws skips the null padding zip_with adds to
+    # the shorter side, so tail entries are TRUNCATED grams — exactly
+    # substring semantics; texts shorter than k keep one whole-string
+    # gram via the greatest(...) slice below
+    gacc = chars
+    for j in range(1, k):
+        gacc = F.zip_with(
+            gacc,
+            F.slice(chars, j + 1, _max),
+            lambda a, b: F.concat_ws("", a, b),
+        )
+    m = F.greatest(n - F.lit(k - 1), F.lit(1))
+    grams = F.transform(
+        F.slice(gacc, 1, m),
+        lambda x: F.conv(F.substring(F.md5(x), 1, 12), 16, 10).cast("long"),
+    )
+    # sliding window-min ladder; least() skips null padding, partial
+    # tail windows are sliced off (fewer grams than `window` keeps the
+    # single min-of-all entry); tie-breaking is irrelevant because
+    # only the value set survives the distinct
+    wacc = grams
+    for j in range(1, window):
+        wacc = F.zip_with(
+            wacc,
+            F.slice(grams, j + 1, _max),
+            lambda a, b: F.least(a, b),
+        )
+    wins = F.slice(wacc, 1, F.greatest(m - F.lit(window - 1), F.lit(1)))
+    fps = F.array_sort(F.array_distinct(wins))
+    return df.select(
+        F.col(id_col),
+        F.when(n > 0, fps).otherwise(F.array().cast("array<long>")).alias("fps"),
+    )
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+    min_overlap: float = 0.0,
+) -> DataFrame:
+    """Near-duplicate pairs by shared winnowing fingerprints — the
+    MOSS-style overlap detector, complementing the MinHash/SimHash
+    family with a CHARACTER-level, position-robust signal (catches
+    copies with word-boundary edits that token shingles fragment).
+
+    Pipeline: :func:`winnow_fingerprints` → explode → document-
+    frequency filter → self-join on fingerprint → per-pair count.
+    Returns ``(id_a, id_b, shared, overlap)`` where ``overlap`` is
+    ``shared / min(|fps_a|, |fps_b|)`` (containment-style, so a small
+    doc fully embedded in a big one scores 1.0). ``min_overlap``
+    gates on that ratio BEFORE rounding — the ratio is a quotient of
+    exact small integers, so the gate is engine-exact (no float-
+    boundary ambiguity). Phrase-heavy natural corpora share isolated
+    fingerprints constantly; ``min_overlap≈0.3`` is the useful
+    near-dup operating point, while 0.0 returns the raw overlap graph.
+
+    Scale shape: fingerprints occurring in more than ``max_df``
+    documents are STOP FINGERPRINTS (boilerplate — headers, license
+    blocks) and are dropped before the join, the standard winnowing-
+    index practice; it bounds per-fingerprint join fanout at
+    ``max_df²`` pairs and keeps the self-join linear in corpus size
+    under virality, the same discipline as ``dedup.DEFAULT_MAX_BUCKET``.
+    Both shuffles (doc-frequency groupBy, pair groupBy) partial-
+    aggregate map-side; no UDF anywhere.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, window)
+    ex = fps.select(
+        F.col(id_col), F.size("fps").alias("__n"), F.explode("fps").alias("__fp")
+    )
+    counts = (
+        ex.groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+    )
+    kept = ex.join(counts.select("__fp"), "__fp")
+    a = kept.select(
+        "__fp", F.col(id_col).alias("id_a"), F.col("__n").alias("__na")
+    )
+    b = kept.select(
+        "__fp", F.col(id_col).alias("id_b"), F.col("__n").alias("__nb")
+    )
+    pairs = (
+        a.join(b, "__fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.max("__na").alias("__na"),
+            F.max("__nb").alias("__nb"),
+        )
+        .where(F.col("shared") >= min_shared)
+    )
+    if min_overlap > 0.0:
+        pairs = pairs.where(
+            F.col("shared") / F.least("__na", "__nb") >= F.lit(min_overlap)
+        )
+    # floor-based rounding for cross-engine parity (see BASELINE.md:
+    # Spark round() HALF_UPs the shortest-decimal repr, DuckDB the
+    # binary value)
+    overlap = (
+        F.floor(
+            F.col("shared") / F.least("__na", "__nb") * 1000000 + F.lit(0.5)
+        )
+        / 1000000
+    )
+    return pairs.select("id_a", "id_b", "shared", overlap.alias("overlap"))
+
+
 def normalize_text(
     col: Column,
     lowercase: bool = True,

@@ -353,3 +353,148 @@ def test_contamination_bloom_matches_exact(spark):
 
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------------------ winnowing
+
+def _winnow_local(text, k=8, w=4):
+    """Pure-Python reference of operators/text.py winnow_fingerprints:
+    same normalization, same md5/48-bit gram hashes, same window-min +
+    distinct — the executable spec the Spark algebra must match."""
+    import hashlib
+    import re as _re
+
+    s = _re.sub(r"[^A-Za-z0-9]+", "", text or "").lower()
+    if not s:
+        return []
+    m = max(len(s) - k + 1, 1)
+    grams = [
+        int(hashlib.md5(s[i : i + k].encode()).hexdigest()[:12], 16)
+        for i in range(m)
+    ]
+    nwin = max(len(grams) - w + 1, 1)
+    return sorted({min(grams[j : j + w]) for j in range(nwin)})
+
+
+def test_winnow_matches_local_reference(spark):
+    from pandera_forge_spark.operators.text import winnow_fingerprints
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog, twice over!",
+        "short",
+        "punctuation---only***separators###between@@@words",
+        "a" * 100,  # degenerate: all grams identical -> one fingerprint
+        "Tiny",    # shorter than k: one whole-string gram
+        "",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r["id"]: list(r["fps"])
+        for r in winnow_fingerprints(df, "text", "id").collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _winnow_local(t), f"doc {i} diverged"
+    # winnowing density: ~2/(w+1) of grams selected, never more than
+    # the window count
+    n_grams = len(texts[0].replace(" ", "")) - 8 + 1
+    assert 0 < len(got[0]) <= n_grams
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """The winnowing guarantee: any shared substring of length >=
+    k + window - 1 (in normalized space) produces at least one shared
+    fingerprint, whatever surrounds it."""
+    from pandera_forge_spark.operators.text import winnow_fingerprints
+
+    shared = "thecommonpassagebothdocumentsquoteverbatim0123456789"
+    a = "left context before it " + shared + " and trailing words"
+    b = "totally different opening " + shared + " unrelated ending!"
+    df = spark.createDataFrame([(0, a), (1, b)], "id long, text string")
+    fps = {
+        r["id"]: set(r["fps"])
+        for r in winnow_fingerprints(df, "text", "id").collect()
+    }
+    assert fps[0] & fps[1]
+
+
+def test_fingerprint_overlap_pairs_planted(spark):
+    from pandera_forge_spark.operators.text import fingerprint_overlap_pairs
+
+    import hashlib
+
+    # fully-distinct bodies (md5-derived words): any shared 8-gram
+    # between two base docs would be an astronomically unlikely hex
+    # coincidence, so the only legitimate pair is the planted copy
+    def _body(i):
+        return " ".join(
+            hashlib.md5(f"{i}-{j}".encode()).hexdigest()[:10] for j in range(12)
+        )
+
+    base = [(i, _body(i)) for i in range(8)]
+    # near-copy of doc 0 with edits at both ends
+    mutated = [(100, "PREFIX added. " + base[0][1] + " plus a new tail.")]
+    df = spark.createDataFrame(base + mutated, "doc_id long, text string")
+    pairs = fingerprint_overlap_pairs(
+        df, "text", "doc_id", min_shared=2, max_df=50
+    ).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r for r in pairs}
+    assert (0, 100) in by_pair
+    hit = by_pair[(0, 100)]
+    assert hit["overlap"] > 0.5
+    assert hit["shared"] >= 2
+    # containment denominator is the SMALLER set
+    assert hit["overlap"] <= 1.0
+    # distinct docs share nothing
+    assert (1, 2) not in by_pair
+
+
+def test_fingerprint_overlap_stop_fingerprints(spark):
+    """Boilerplate shared by more than max_df docs must NOT create
+    pairs: its fingerprints exceed the document-frequency cap and are
+    dropped before the self-join (the winnowing-index stop-fingerprint
+    rule that bounds join fanout at scale)."""
+    from pandera_forge_spark.operators.text import fingerprint_overlap_pairs
+
+    import hashlib
+
+    boiler = "standard license header attached to every file in the corpus"
+    docs = [
+        (
+            i,
+            boiler
+            + " "
+            + " ".join(
+                hashlib.md5(f"body-{i}-{j}".encode()).hexdigest()[:10]
+                for j in range(6)
+            ),
+        )
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # every fingerprint of `boiler` occurs in all 30 docs > max_df=10
+    pairs = fingerprint_overlap_pairs(
+        df, "text", "doc_id", min_shared=2, max_df=10
+    ).collect()
+    assert pairs == []
+    # raising the cap above the corpus size re-admits the boilerplate
+    pairs_uncapped = fingerprint_overlap_pairs(
+        df, "text", "doc_id", min_shared=2, max_df=100
+    ).collect()
+    assert len(pairs_uncapped) == 30 * 29 // 2
+
+
+def test_winnow_plan_is_udf_free(spark):
+    from pandera_forge_spark.operators.text import (
+        fingerprint_overlap_pairs,
+        winnow_fingerprints,
+    )
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    df = spark.createDataFrame([(0, "some text body")], "doc_id long, text string")
+    assert not has_python_udf(winnow_fingerprints(df, "text", "doc_id"))
+    assert not has_python_udf(
+        fingerprint_overlap_pairs(df, "text", "doc_id")
+    )
