@@ -2298,6 +2298,85 @@ ORDER BY id_a, id_b
 """
 
 
+def q_quantized_topk_recall(spark, sf_dir):
+    """int8 embedding quantization (operators/similarity.py
+    quantize_embeddings) anchored end-to-end: exact cosine top-10 and
+    quantized-cosine top-10 for five query vectors, reporting per-query
+    hit counts and recall. The oracle replays quantization (per-vector
+    max-abs scale, floor-half-up — identical IEEE double ops) and both
+    rankings in DuckDB; quantized scores are exact small-integer
+    arithmetic, so they are bit-identical across engines by
+    construction, and a quantizer drift of even one code level flips
+    hits and hash-mismatches."""
+    from pandera_forge_spark.operators.similarity import (
+        knn_join,
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = quantize_embeddings(emb, "embedding")
+    corpus_q = q.select(
+        "vec_id", F.col("qvec").cast("array<double>").alias("embedding")
+    )
+    queries_exact = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    queries_quant = corpus_q.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = knn_join(emb, queries_exact, k=10).select("query_id", "vec_id")
+    quant = knn_join(corpus_q, queries_quant, k=10).select("query_id", "vec_id")
+    return (
+        exact.join(quant, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits") / F.lit(10.0)).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+SQL_QUANTIZED_TOPK_RECALL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+m AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e
+),
+qq AS (
+  SELECT vec_id,
+         CASE WHEN ma > 0
+              THEN list_transform(v, x -> CAST(CAST(floor(x / (ma / 127.0) + 0.5) AS INT) AS DOUBLE))
+              ELSE list_transform(v, x -> CAST(0 AS DOUBLE)) END AS qv
+  FROM m
+),
+re AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         row_number() OVER (PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(c.v, q.v), 6) DESC,
+                    c.vec_id ASC) AS r
+  FROM e c CROSS JOIN e q WHERE q.vec_id < 5
+),
+rq AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         row_number() OVER (PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(c.qv, q.qv), 6) DESC,
+                    c.vec_id ASC) AS r
+  FROM qq c CROSS JOIN qq q WHERE q.vec_id < 5
+)
+SELECT re.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       COUNT(*) / 10.0 AS recall
+FROM (SELECT * FROM re WHERE r <= 10) re
+JOIN (SELECT * FROM rq WHERE r <= 10) rq USING (query_id, vec_id)
+GROUP BY re.query_id ORDER BY re.query_id
+"""
+
+
 # Centroid vectors are taken FROM the corpus at fixed vec_ids so the
 # DuckDB oracle can reconstruct byte-identical centroids — k-means
 # itself is covered by the recall pytest (tests/test_similarity.py);
@@ -3202,6 +3281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_sla": q_audit_sla,
         "winnow_fingerprints": q_winnow_fingerprints,
         "fingerprint_overlap": q_fingerprint_overlap,
+        "quantized_topk_recall": q_quantized_topk_recall,
         # -- driver-verified green in round 3 (first-50 tail) ---------------
         "profile_lineitem": q_profile_lineitem,
         "profile_fused_orders": q_profile_fused_orders,
@@ -3349,6 +3429,7 @@ def oracle_sql() -> dict[str, str]:
         "audit_sla": SQL_AUDIT_SLA,
         "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
         "fingerprint_overlap": SQL_FINGERPRINT_OVERLAP,
+        "quantized_topk_recall": SQL_QUANTIZED_TOPK_RECALL,
         "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,
         "hourly_rollup": SQL_HOURLY_ROLLUP,
         # frame_sample_plan: no oracle — per-row durations derive from

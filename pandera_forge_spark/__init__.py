@@ -77,7 +77,10 @@ from pandera_forge_spark.operators.temporal import (
     time_rollup,
 )
 from pandera_forge_spark.operators.sampling import weighted_take
-from pandera_forge_spark.operators.similarity import embedding_health
+from pandera_forge_spark.operators.similarity import (
+    embedding_health,
+    quantize_embeddings,
+)
 from pandera_forge_spark.operators.text import chunk_documents, normalize_text
 from pandera_forge_spark.profiler import (
     correlation_matrix,
@@ -181,6 +184,7 @@ __all__ = [
     "normalize_text",
     "weighted_take",
     "embedding_health",
+    "quantize_embeddings",
     "span_transition_matrix",
     "chunk_interleaved",
     "audit_summary",

@@ -448,3 +448,96 @@ def test_embedding_health_plan_is_udf_free(spark):
         [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
     )
     assert not has_python_udf(embedding_health(df, "embedding", expected_dim=2))
+
+
+# -------------------------------------------------------- quantization
+
+def test_quantize_embeddings_roundtrip_bound(spark):
+    """Reconstruction q_i * scale is within scale/2 of the input per
+    component, codes stay in [-127, 127], and the max-|x| component
+    hits ±127 exactly (symmetric scaling uses the full code range)."""
+    from pandera_forge_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [1e-6, 2e-6, -3e-6, 1e-6]),  # tiny magnitudes still span codes
+            (3, [0.0, 0.0, 0.0, 0.0]),       # all-zero: codes 0, scale 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in quantize_embeddings(df, "embedding").collect()
+    }
+    for vid, r in rows.items():
+        codes, scale = r["qvec"], r["qscale"]
+        assert all(-127 <= c <= 127 for c in codes)
+        for x, c in zip(r["embedding"], codes):
+            assert abs(c * scale - x) <= scale / 2 + 1e-15
+    assert rows[3]["qscale"] == 0.0 and rows[3]["qvec"] == [0, 0, 0, 0]
+    assert 127 in [abs(c) for c in rows[1]["qvec"]]
+    assert 127 in [abs(c) for c in rows[2]["qvec"]]
+
+
+def test_quantized_cosine_approximates_exact(spark, embeddings):
+    """Quantized cosine tracks exact cosine within int8 noise on real
+    vectors, and quantized top-10 recalls >= 8/10 of the exact top-10
+    for every probe query."""
+    from pandera_forge_spark.operators.similarity import (
+        cosine,
+        knn_join,
+        quantize_embeddings,
+    )
+
+    emb = embeddings.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = quantize_embeddings(emb, "embedding")
+    qd = q.select(
+        "vec_id",
+        "embedding",
+        F.col("qvec").cast("array<double>").alias("qemb"),
+    )
+    ref = qd.where(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("re"), F.col("qemb").alias("rq")
+    )
+    both = qd.crossJoin(F.broadcast(ref)).select(
+        (cosine(F.col("embedding"), F.col("re"))
+         - cosine(F.col("qemb"), F.col("rq"))).alias("err")
+    )
+    max_err = both.agg(F.max(F.abs(F.col("err")))).collect()[0][0]
+    assert max_err < 0.02  # int8 quantization noise on 64-dim vectors
+
+    queries_e = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    queries_q = qd.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qemb").alias("embedding"),
+    )
+    exact = knn_join(emb, queries_e, k=10).select("query_id", "vec_id")
+    quant = knn_join(
+        qd.select("vec_id", F.col("qemb").alias("embedding")), queries_q, k=10
+    ).select("query_id", "vec_id")
+    hits = (
+        exact.join(quant, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .count()
+        .collect()
+    )
+    assert len(hits) == 3
+    for r in hits:
+        assert r["count"] >= 8
+
+
+def test_quantize_plan_is_udf_free_and_narrow(spark):
+    from pandera_forge_spark.operators.similarity import quantize_embeddings
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "vec_id long, embedding array<double>"
+    )
+    out = quantize_embeddings(df, "embedding")
+    assert not has_python_udf(out)
+    # single narrow projection: no exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
