@@ -2377,6 +2377,52 @@ GROUP BY re.query_id ORDER BY re.query_id
 """
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 sparse retrieval (operators/search.py bm25_topk) over the
+    documents corpus for a 4-term query. The oracle replays tokenize →
+    postings → query-term filter → df counts → Okapi scoring in DuckDB;
+    per-term contributions are quantized to integer micro-units before
+    the per-doc sum, so scores (and therefore the top-k cut and every
+    tie) are exact integer arithmetic — engine-identical by
+    construction, not by float luck. k1/b literals are spelled as the
+    same arithmetic on both sides ((1.2 + 1.0), 0.75) to avoid
+    parse-vs-compute ULP drift."""
+    from pandera_forge_spark.operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, "text", "doc_id", "hash join spark window", k=15)
+
+
+SQL_BM25_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+post AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, dl, COUNT(*) AS tf
+  FROM post WHERE term IN ('hash', 'join', 'spark', 'window')
+  GROUP BY 1, 2, 3
+),
+st AS (SELECT COUNT(*) AS n_docs, AVG(len(t)) AS avgdl FROM toks),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         SUM(CAST(floor(
+           ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / st.avgdl))
+           * 1000000.0 + 0.5) AS BIGINT)) AS s
+  FROM tf JOIN dfq USING (term) CROSS JOIN st
+  GROUP BY 1
+)
+SELECT doc_id, s / 1000000.0 AS score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT 15
+"""
+
+
 # Centroid vectors are taken FROM the corpus at fixed vec_ids so the
 # DuckDB oracle can reconstruct byte-identical centroids — k-means
 # itself is covered by the recall pytest (tests/test_similarity.py);
@@ -3282,6 +3328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "fingerprint_overlap": q_fingerprint_overlap,
         "quantized_topk_recall": q_quantized_topk_recall,
+        "bm25_topk": q_bm25_topk,
         # -- driver-verified green in round 3 (first-50 tail) ---------------
         "profile_lineitem": q_profile_lineitem,
         "profile_fused_orders": q_profile_fused_orders,
@@ -3430,6 +3477,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
         "fingerprint_overlap": SQL_FINGERPRINT_OVERLAP,
         "quantized_topk_recall": SQL_QUANTIZED_TOPK_RECALL,
+        "bm25_topk": SQL_BM25_TOPK,
         "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,
         "hourly_rollup": SQL_HOURLY_ROLLUP,
         # frame_sample_plan: no oracle — per-row durations derive from

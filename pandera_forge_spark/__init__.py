@@ -69,6 +69,7 @@ from pandera_forge_spark.operators.pii import (
     redact,
 )
 from pandera_forge_spark.operators.sampling import deterministic_shuffle
+from pandera_forge_spark.operators.search import bm25_index, bm25_topk, corpus_stats
 from pandera_forge_spark.operators.temporal import (
     asof_join,
     interval_join,
@@ -165,6 +166,9 @@ __all__ = [
     "pii_scan",
     "redact",
     "deterministic_shuffle",
+    "bm25_index",
+    "bm25_topk",
+    "corpus_stats",
     "asof_join",
     "interval_join",
     "session_stats",

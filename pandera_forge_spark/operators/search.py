@@ -1,0 +1,135 @@
+"""Sparse lexical retrieval (BM25) over an inverted-index shape.
+
+Training-data-pipeline addition (build brief: similarity search): the
+term-sparse complement to the dense-embedding paths in
+``operators/similarity.py`` — the retrieval primitive behind corpus
+search, eval-set leak triage ("which training docs score highest
+against this benchmark question?"), and hybrid (sparse+dense) ranking.
+
+Spark-first shape, and the reason it scales to 10^12 docs:
+
+- The corpus reduces to POSTINGS ``(doc_id, term, tf, dl)`` — one
+  explode + one partially-aggregated groupBy. Persisted with
+  ``bucketBy(term)`` (see :func:`bm25_index` notes) the index is the
+  classic term-partitioned inverted index.
+- At query time the postings frame is filtered to the query's terms
+  BEFORE any shuffle — an ``isin`` over a handful of literals that
+  Catalyst pushes into the scan (partition/bucket prune on a bucketed
+  index), so a 5-term query moves 5 posting lists, not the corpus.
+- Per-term document frequencies for scoring are aggregated from those
+  same filtered postings (tiny: one row per query term) and broadcast
+  back; global stats (N, avgdl) ride a 1-row broadcast crossJoin, so
+  the whole plan stays lazy — no driver-side ``collect`` of anything
+  data-proportional.
+- Per-term BM25 contributions are quantized to integer micro-units
+  (``floor(x·1e6 + 0.5)`` longs) BEFORE the per-doc sum: integer sums
+  are exact in any order, so scores are bit-identical across engines,
+  partitionings, and retries — no float-summation-order ambiguity at
+  the top-k boundary (same discipline as
+  ``similarity.quantize_embeddings``).
+
+No UDF anywhere; the only Python is tokenizing the QUERY string (a
+constant) with the same rules as the corpus tokenizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pandera_forge_spark.operators.text import tokens
+
+# BM25 Okapi defaults (Robertson et al.); idf uses the
+# ln(1 + (N - df + 0.5)/(df + 0.5)) form, which is non-negative for
+# every df <= N (the form Lucene uses).
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+
+def tokenize_query(query: str) -> list[str]:
+    """Query-string twin of ``text.tokens`` (lower, trim, whitespace
+    split, drop empties), deduplicated and sorted for deterministic
+    plans. Runs driver-side on a constant — not a UDF."""
+    return sorted({t for t in (query or "").strip().lower().split() if t})
+
+
+def bm25_index(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Postings frame ``(id_col, term, tf, dl)`` — term frequency per
+    (doc, term) plus the doc's token length carried through the
+    aggregation as a grouping key (constant per doc, so it adds no
+    cardinality and saves a second join against a doc-length table).
+
+    One explode + one groupBy; count partial-aggregates map-side. To
+    persist as a real inverted index, write with
+    ``.write.bucketBy(n, "term").sortBy("term")`` so query-time term
+    filters prune buckets instead of scanning the index."""
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    post = toks.select(
+        F.col(id_col), F.size("__t").alias("dl"), F.explode("__t").alias("term")
+    )
+    return post.groupBy(id_col, "term", "dl").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def corpus_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """1-row frame ``(n_docs, avgdl)`` — the only global state BM25
+    needs; broadcast into the scoring plan, never collected."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query: str,
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    index: DataFrame | None = None,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 against ``query``.
+
+    Returns ``(id_col, score)`` ordered by score descending, ties by
+    id. ``score`` is the sum of per-term contributions quantized to
+    1e-6 — exact integer arithmetic end to end, so equal-profile
+    documents tie EXACTLY and the ranking is reproducible bit-for-bit
+    on any engine or partitioning.
+
+    Pass a precomputed ``index`` (:func:`bm25_index`) and ``stats``
+    (:func:`corpus_stats`) to amortize the corpus pass across queries —
+    the query-time plan then touches only the query terms' postings.
+    """
+    q_terms = tokenize_query(query)
+    if not q_terms:
+        raise ValueError("query has no tokens")
+    idx = index if index is not None else bm25_index(df, text_col, id_col)
+    st = stats if stats is not None else corpus_stats(df, text_col)
+
+    # filter FIRST: only the query terms' postings enter any shuffle
+    hits = idx.where(F.col("term").isin(q_terms))
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = hits.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(st))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_term = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    # quantize per-term contributions to exact integer micro-units so
+    # the per-doc sum is order-independent (see module docstring)
+    contrib = F.floor(idf * tf_term * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return (
+        scored.select(F.col(id_col), contrib.alias("__c"))
+        .groupBy(id_col)
+        .agg(F.sum("__c").alias("__s"))
+        .select(F.col(id_col), (F.col("__s") / F.lit(1000000.0)).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

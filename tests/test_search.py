@@ -1,0 +1,99 @@
+"""BM25 sparse retrieval (operators/search.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_forge_spark.operators.search import (
+    bm25_index,
+    bm25_topk,
+    corpus_stats,
+    tokenize_query,
+)
+
+
+def _bm25_local(docs, query, k1=1.2, b=0.75):
+    """Pure-Python BM25 reference with the same micro-unit
+    quantization — the executable spec."""
+    toks = {i: t.strip().lower().split() for i, t in docs}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    q = sorted({t for t in query.strip().lower().split() if t})
+    df = {t: sum(1 for tk in toks.values() if t in tk) for t in q}
+    scores = {}
+    for i, tk in toks.items():
+        s = 0
+        for t in q:
+            tf = tk.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            term = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * len(tk) / avgdl)
+            )
+            s += math.floor(term * 1000000.0 + 0.5)
+        if s:
+            scores[i] = s / 1000000.0
+    return scores
+
+
+DOCS = [
+    (0, "spark shuffles data between stages during wide joins"),
+    (1, "the hash join broadcasts the small side to every executor"),
+    (2, "window functions rank rows within partitions"),
+    (3, "gardening tips for tomatoes and basil in summer"),
+    (4, "spark spark spark join join hash"),  # term-stuffed
+]
+
+
+def test_bm25_matches_local_reference(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    query = "spark hash join"
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(df, "text", "doc_id", query, k=10).collect()
+    }
+    want = _bm25_local(DOCS, query)
+    assert got == want
+    # the term-stuffed doc outranks everything; the gardening doc
+    # scores no hits at all
+    assert max(got, key=got.get) == 4
+    assert 3 not in got
+
+
+def test_bm25_precomputed_index_path(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = bm25_index(df, "text", "doc_id")
+    st = corpus_stats(df, "text")
+    direct = bm25_topk(df, "text", "doc_id", "window rank", k=5).collect()
+    via_index = bm25_topk(
+        df, "text", "doc_id", "window rank", k=5, index=idx, stats=st
+    ).collect()
+    assert direct == via_index
+
+
+def test_bm25_query_validation_and_tokenizer(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_topk(df, "text", "doc_id", "   ")
+    assert tokenize_query("  Hash JOIN hash ") == ["hash", "join"]
+
+
+def test_bm25_plan_udf_free_and_filter_first(spark, tmp_path):
+    from pandera_forge_spark.plans.inspect import has_python_udf, pushed_filters
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    top = bm25_topk(df, "text", "doc_id", "spark join")
+    assert not has_python_udf(top)
+
+    # on a PERSISTED index, the query-term isin reaches the parquet scan
+    p = str(tmp_path / "postings")
+    bm25_index(df, "text", "doc_id").write.parquet(p)
+    idx = spark.read.parquet(p)
+    st = corpus_stats(df, "text")
+    top2 = bm25_topk(
+        df, "text", "doc_id", "spark join", index=idx, stats=st
+    )
+    pushed = " ".join(pushed_filters(top2)).lower()
+    assert "term" in pushed, f"term filter not pushed: {pushed!r}"
