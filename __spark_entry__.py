@@ -2393,8 +2393,9 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, "text", "doc_id", "hash join spark window", k=15)
 
 
-SQL_BM25_TOPK = r"""
-WITH toks AS (
+# BM25 scoring CTE chain (through `sc`: doc_id, s in micro-units) —
+# shared by the plain top-k oracle and the hybrid-RRF oracle.
+_BM25_SC_SQL = r"""toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
                      x -> x <> '') AS t
@@ -2417,9 +2418,65 @@ sc AS (
            * 1000000.0 + 0.5) AS BIGINT)) AS s
   FROM tf JOIN dfq USING (term) CROSS JOIN st
   GROUP BY 1
-)
+)"""
+
+SQL_BM25_TOPK = f"""
+WITH {_BM25_SC_SQL}
 SELECT doc_id, s / 1000000.0 AS score
 FROM sc ORDER BY score DESC, doc_id ASC LIMIT 15
+"""
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid sparse+dense retrieval via reciprocal-rank fusion
+    (operators/search.py rrf_fuse): BM25 top-20 for a 4-term query
+    fused with dense cosine top-20 against embedding vec 0 (vec_id
+    doubles as doc_id in the synthetic fixture). Both input rankings
+    are already oracle-anchored queries; the fused contributions are
+    floor(1e9/(60+rank)) longs, so the oracle (which replays both
+    rankings and the fusion in DuckDB) matches exactly — rank
+    arithmetic, not float luck."""
+    from pandera_forge_spark.operators.search import bm25_topk, rrf_fuse
+    from pandera_forge_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    bm = bm25_topk(docs, "text", "doc_id", "hash join spark window", k=20)
+    dense = cosine_topk(emb, qv, k=20).select(
+        F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score")
+    )
+    return rrf_fuse([(bm, "score"), (dense, "score")], "doc_id", k=10)
+
+
+SQL_HYBRID_RRF = f"""
+WITH {_BM25_SC_SQL},
+bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+  FROM sc ORDER BY s DESC, doc_id ASC LIMIT 20
+),
+dense AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_cosine_similarity(
+           CAST(e.embedding AS DOUBLE[]),
+           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+         ), 6) AS score
+  FROM embeddings e
+  ORDER BY score DESC, e.vec_id ASC LIMIT 20
+),
+dr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM dense
+),
+u AS (
+  SELECT doc_id, CAST(floor(1000000000.0 / (60 + r)) AS BIGINT) AS c FROM bm
+  UNION ALL
+  SELECT doc_id, CAST(floor(1000000000.0 / (60 + r)) AS BIGINT) AS c FROM dr
+)
+SELECT doc_id, SUM(c) / 1000000000.0 AS rrf
+FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id ASC LIMIT 10
 """
 
 
@@ -3329,6 +3386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_overlap": q_fingerprint_overlap,
         "quantized_topk_recall": q_quantized_topk_recall,
         "bm25_topk": q_bm25_topk,
+        "hybrid_rrf": q_hybrid_rrf,
         # -- driver-verified green in round 3 (first-50 tail) ---------------
         "profile_lineitem": q_profile_lineitem,
         "profile_fused_orders": q_profile_fused_orders,
@@ -3478,6 +3536,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_overlap": SQL_FINGERPRINT_OVERLAP,
         "quantized_topk_recall": SQL_QUANTIZED_TOPK_RECALL,
         "bm25_topk": SQL_BM25_TOPK,
+        "hybrid_rrf": SQL_HYBRID_RRF,
         "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,
         "hourly_rollup": SQL_HOURLY_ROLLUP,
         # frame_sample_plan: no oracle — per-row durations derive from

@@ -69,7 +69,12 @@ from pandera_forge_spark.operators.pii import (
     redact,
 )
 from pandera_forge_spark.operators.sampling import deterministic_shuffle
-from pandera_forge_spark.operators.search import bm25_index, bm25_topk, corpus_stats
+from pandera_forge_spark.operators.search import (
+    bm25_index,
+    bm25_topk,
+    corpus_stats,
+    rrf_fuse,
+)
 from pandera_forge_spark.operators.temporal import (
     asof_join,
     interval_join,
@@ -169,6 +174,7 @@ __all__ = [
     "bm25_index",
     "bm25_topk",
     "corpus_stats",
+    "rrf_fuse",
     "asof_join",
     "interval_join",
     "session_stats",

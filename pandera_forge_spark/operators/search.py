@@ -34,7 +34,7 @@ constant) with the same rules as the corpus tokenizer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pandera_forge_spark.operators.text import tokens
@@ -131,5 +131,57 @@ def bm25_topk(
         .agg(F.sum("__c").alias("__s"))
         .select(F.col(id_col), (F.col("__s") / F.lit(1000000.0)).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def rrf_fuse(
+    rankings: list[tuple[DataFrame, str]],
+    id_col: str,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009) of
+    N retrieval result lists — the standard hybrid-ranking combiner for
+    sparse (BM25) + dense (embedding) retrieval, score-scale-free
+    because it uses only RANKS: ``rrf(d) = Σ_lists 1/(rrf_k +
+    rank_list(d))``.
+
+    ``rankings`` is a list of ``(frame, score_col)`` pairs; each frame
+    is an ALREADY-BOUNDED top-N result (e.g. :func:`bm25_topk`,
+    ``similarity.cosine_topk``) — that bound is what makes the global
+    ``row_number`` window here safe: it sorts a frame of N rows, not a
+    corpus (ranks must be global, so computing them distributed would
+    be wrong, and computing them over unbounded input would be the
+    single-partition-window anti-pattern).
+
+    Per-list contributions are quantized to ``floor(1e9/(rrf_k+rank))``
+    longs before the union+sum — exact integer arithmetic, so fused
+    scores and tie-breaks are engine-identical (same discipline as
+    :func:`bm25_topk`). Returns ``(id_col, rrf)`` top-``k``.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    parts = []
+    for frame, score_col in rankings:
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        parts.append(
+            frame.select(
+                F.col(id_col), F.row_number().over(w).alias("__r")
+            ).select(
+                F.col(id_col),
+                F.floor(F.lit(1000000000.0) / (F.lit(rrf_k) + F.col("__r")))
+                .cast("long")
+                .alias("__c"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(id_col)
+        .agg(F.sum("__c").alias("__s"))
+        .select(F.col(id_col), (F.col("__s") / F.lit(1000000000.0)).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc(id_col))
         .limit(k)
     )

@@ -97,3 +97,41 @@ def test_bm25_plan_udf_free_and_filter_first(spark, tmp_path):
     )
     pushed = " ".join(pushed_filters(top2)).lower()
     assert "term" in pushed, f"term filter not pushed: {pushed!r}"
+
+
+def test_rrf_fuse_exact_and_validated(spark):
+    """RRF over two tiny rankings matches the closed form, and the
+    combiner validates empty input."""
+    from pandera_forge_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(3, 5.0), (1, 4.0), (4, 3.0)], "doc_id long, score double"
+    )
+    got = {
+        r["doc_id"]: r["rrf"]
+        for r in rrf_fuse([(a, "score"), (b, "score")], "doc_id", k=10).collect()
+    }
+
+    def c(rank):
+        import math
+        return math.floor(1e9 / (60 + rank))
+
+    want = {
+        1: (c(1) + c(2)) / 1e9,   # rank 1 in a, rank 2 in b
+        2: c(2) / 1e9,
+        3: (c(3) + c(1)) / 1e9,
+        4: c(3) / 1e9,
+    }
+    assert got == want
+    # doc 3 (ranks 3+1) beats doc 1 (ranks 1+2)? both sum c(1)+c(2) vs
+    # c(3)+c(1) -> doc 1 wins; order check:
+    order = [r["doc_id"] for r in
+             rrf_fuse([(a, "score"), (b, "score")], "doc_id", k=10).collect()]
+    assert order[0] == 1 and order[1] == 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        rrf_fuse([], "doc_id")
