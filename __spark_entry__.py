@@ -2480,6 +2480,66 @@ FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_zorder_events(spark, sf_dir):
+    """Z-order (Morton) values (operators/layout.py) over events on
+    the (user_id, value) plane — the multi-column clustering key whose
+    layout payoff is pytest-measured (tests/test_layout.py pruning
+    assertion); this oracle anchors the VALUE computation: min-max
+    quantize both dims to 10-bit codes, interleave bits, and checksum
+    per event_type. The SQL replays the same floor/clamp/bit algebra
+    term by term, so one flipped bit position hash-mismatches."""
+    from pandera_forge_spark.operators.layout import quantize_dim, zorder_value
+
+    ev = _t(spark, sf_dir, "events")
+    zu = quantize_dim(F.col("user_id"), 0.0, 150.0, 10)
+    zv = quantize_dim(F.col("value"), 0.0, 500.0, 10)
+    z = zorder_value([zu, zv], 10)
+    return (
+        ev.select("event_type", z.alias("z"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("z").alias("z_sum"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _zorder_sql_term(code_expr: str, d: int, n_dims: int, bits: int) -> str:
+    return " + ".join(
+        f"((({code_expr} >> {i}) & 1) << {i * n_dims + d})" for i in range(bits)
+    )
+
+
+def _quantize_sql(expr: str, lo: float, hi: float, bits: int) -> str:
+    return (
+        f"greatest(0, least(CAST(floor(({expr} - {lo}) / {hi - lo} * "
+        f"{float(1 << bits)}) AS BIGINT), {(1 << bits) - 1}))"
+    )
+
+
+SQL_ZORDER_EVENTS = f"""
+WITH c AS (
+  SELECT event_type,
+         {_quantize_sql("user_id", 0.0, 150.0, 10)} AS cu,
+         {_quantize_sql("value", 0.0, 500.0, 10)} AS cv
+  FROM events
+),
+z AS (
+  SELECT event_type,
+         {_zorder_sql_term("cu", 0, 2, 10)}
+         + {_zorder_sql_term("cv", 1, 2, 10)} AS z
+  FROM c
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(z) AS BIGINT) AS z_sum,
+       MIN(z) AS z_min, MAX(z) AS z_max
+FROM z GROUP BY event_type ORDER BY event_type
+"""
+
+
 # Centroid vectors are taken FROM the corpus at fixed vec_ids so the
 # DuckDB oracle can reconstruct byte-identical centroids — k-means
 # itself is covered by the recall pytest (tests/test_similarity.py);
@@ -3387,6 +3447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk_recall": q_quantized_topk_recall,
         "bm25_topk": q_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
+        "zorder_events": q_zorder_events,
         # -- driver-verified green in round 3 (first-50 tail) ---------------
         "profile_lineitem": q_profile_lineitem,
         "profile_fused_orders": q_profile_fused_orders,
@@ -3537,6 +3598,7 @@ def oracle_sql() -> dict[str, str]:
         "quantized_topk_recall": SQL_QUANTIZED_TOPK_RECALL,
         "bm25_topk": SQL_BM25_TOPK,
         "hybrid_rrf": SQL_HYBRID_RRF,
+        "zorder_events": SQL_ZORDER_EVENTS,
         "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,
         "hourly_rollup": SQL_HOURLY_ROLLUP,
         # frame_sample_plan: no oracle — per-row durations derive from

@@ -69,6 +69,13 @@ from pandera_forge_spark.operators.pii import (
     redact,
 )
 from pandera_forge_spark.operators.sampling import deterministic_shuffle
+from pandera_forge_spark.operators.layout import (
+    cluster_by_zorder,
+    file_minmax_stats,
+    pruned_file_fraction,
+    quantize_dim,
+    zorder_value,
+)
 from pandera_forge_spark.operators.search import (
     bm25_index,
     bm25_topk,
@@ -175,6 +182,11 @@ __all__ = [
     "bm25_topk",
     "corpus_stats",
     "rrf_fuse",
+    "cluster_by_zorder",
+    "file_minmax_stats",
+    "pruned_file_fraction",
+    "quantize_dim",
+    "zorder_value",
     "asof_join",
     "interval_join",
     "session_stats",
