@@ -2540,6 +2540,70 @@ FROM z GROUP BY event_type ORDER BY event_type
 """
 
 
+_BENFORD_COLS = ["l_discount", "l_extendedprice", "l_quantity"]
+
+
+def q_benford_lineitem(spark, sf_dir):
+    """Benford first-digit conformance (profiler.py benford_profile)
+    over three lineitem numerics. First digits come from the string
+    repr (round-trip reprs of the same value cannot disagree on the
+    leading significant digit — no log10 float hazard); chi² terms are
+    micro-unit longs, so the statistic and the conforms cut are exact
+    integer arithmetic. The oracle replays melt → digit extract → 9-
+    digit seed → chi² with bit-identical Benford probability literals
+    (embedded from the same Python constants)."""
+    from pandera_forge_spark.profiler import benford_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return benford_profile(li, _BENFORD_COLS).orderBy("column")
+
+
+def _benford_sql() -> str:
+    from pandera_forge_spark.profiler import BENFORD_P
+
+    src = "\n  UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS s FROM lineitem"
+        for c in _BENFORD_COLS
+    )
+    # the e0 suffix forces DuckDB to parse the literal as DOUBLE —
+    # a bare decimal literal is DECIMAL(38), which both overflows in
+    # the chi² multiplication and has different arithmetic semantics
+    p_case = (
+        "CASE f.digit "
+        + " ".join(f"WHEN '{d}' THEN {BENFORD_P[d]!r}e0" for d in range(1, 10))
+        + " END"
+    )
+    return f"""
+WITH src AS (
+  {src}
+),
+d AS (SELECT col, regexp_extract(s, '[1-9]', 0) AS digit FROM src),
+c AS (SELECT col, digit, COUNT(*) AS cnt FROM d WHERE digit <> '' GROUP BY 1, 2),
+seed AS (
+  SELECT u.col, CAST(t.dd AS VARCHAR) AS digit
+  FROM (SELECT DISTINCT col FROM src) u CROSS JOIN range(1, 10) t(dd)
+),
+f AS (
+  SELECT seed.col, seed.digit, COALESCE(c.cnt, 0) AS cnt
+  FROM seed LEFT JOIN c ON seed.col = c.col AND seed.digit = c.digit
+),
+tot AS (SELECT col, SUM(cnt) AS n FROM f GROUP BY 1),
+terms AS (
+  SELECT f.col, tot.n,
+         CAST(floor((f.cnt - tot.n * ({p_case})) * (f.cnt - tot.n * ({p_case}))
+              / (tot.n * ({p_case})) * 1000000.0 + 0.5) AS BIGINT) AS t
+  FROM f JOIN tot ON f.col = tot.col WHERE tot.n > 0
+)
+SELECT col AS "column", CAST(n AS BIGINT) AS n,
+       SUM(t) / 1000000.0 AS chi2,
+       SUM(t) <= {int(round(15.507 * 1000000))} AS conforms
+FROM terms GROUP BY col, n ORDER BY col
+"""
+
+
+SQL_BENFORD_LINEITEM = _benford_sql()
+
+
 # Centroid vectors are taken FROM the corpus at fixed vec_ids so the
 # DuckDB oracle can reconstruct byte-identical centroids — k-means
 # itself is covered by the recall pytest (tests/test_similarity.py);
@@ -3448,6 +3512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
         "zorder_events": q_zorder_events,
+        "benford_lineitem": q_benford_lineitem,
         # -- driver-verified green in round 3 (first-50 tail) ---------------
         "profile_lineitem": q_profile_lineitem,
         "profile_fused_orders": q_profile_fused_orders,
@@ -3599,6 +3664,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": SQL_BM25_TOPK,
         "hybrid_rrf": SQL_HYBRID_RRF,
         "zorder_events": SQL_ZORDER_EVENTS,
+        "benford_lineitem": SQL_BENFORD_LINEITEM,
         "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,
         "hourly_rollup": SQL_HOURLY_ROLLUP,
         # frame_sample_plan: no oracle — per-row durations derive from

@@ -96,6 +96,7 @@ from pandera_forge_spark.operators.similarity import (
 )
 from pandera_forge_spark.operators.text import chunk_documents, normalize_text
 from pandera_forge_spark.profiler import (
+    benford_profile,
     correlation_matrix,
     entropy_profile,
     null_correlation,
@@ -194,6 +195,7 @@ __all__ = [
     "time_rollup",
     "span_ref_violations",
     "functional_dependency_violations",
+    "benford_profile",
     "correlation_matrix",
     "entropy_profile",
     "null_correlation",

@@ -695,3 +695,111 @@ def histogram(
             F.max(col).alias("hi"),
         )
     )
+
+
+# First-significant-digit probabilities under Benford's law,
+# P(d) = log10(1 + 1/d) — computed ONCE in Python so the Spark plan
+# and any SQL oracle embed bit-identical double literals.
+BENFORD_P = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+# chi-square critical value at alpha=0.05 with 8 degrees of freedom
+# (9 digit bins - 1) — the conventional conformance cut.
+BENFORD_CHI2_CRIT = 15.507
+
+
+def benford_profile(
+    df: DataFrame, cols: Sequence[str], threshold: float = BENFORD_CHI2_CRIT
+) -> DataFrame:
+    """Benford's-law conformance per numeric column — the first-digit
+    screen auditors run on financial columns and data engineers run on
+    anything that should be organically generated: fabricated,
+    truncated, or unit-mangled numerics flunk it loudly (and genuinely
+    uniform synthetic data SHOULD flunk it — the chi² statistic is the
+    signal either way).
+
+    The first significant digit comes from ``regexp_extract(cast(x as
+    string), '[1-9]')`` — string-based on purpose: both Spark and
+    DuckDB print round-trip decimal reprs, and two round-trip reprs of
+    the same double cannot differ in their leading significant digit,
+    so the extraction is engine-exact without any log10/pow float
+    hazard. Zeros and nulls carry no digit and drop out.
+
+    One melt → one ``groupBy(column, digit)`` shuffle for ALL columns,
+    then a 9-digit seed LEFT JOIN so absent digits contribute their
+    full expected mass ``n·p_d`` to chi²; per-digit terms are
+    quantized to integer micro-units before the final sum, so the
+    statistic (and the conforms verdict at the threshold) is exact
+    integer arithmetic — engine- and partitioning-independent. The
+    reduce carries O(|cols| · 9) rows regardless of input size.
+
+    Output: ``(column, n, chi2, conforms)``.
+    """
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.regexp_extract(
+                            F.col(c).cast("string"), "[1-9]", 0
+                        ).alias("digit"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("m")
+    ).select("m.*")
+    counts = (
+        melted.where(F.col("digit") != "")
+        .groupBy("column", "digit")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seed = df.sparkSession.createDataFrame(
+        [(c, str(d)) for c in cols for d in range(1, 10)],
+        "`column` string, digit string",
+    )
+    full = seed.join(counts, ["column", "digit"], "left").select(
+        "column",
+        "digit",
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+    )
+    # per-column n first (exact int), then the per-digit chi² term —
+    # the n join-back is O(|cols|) rows, broadcast
+    totals = full.groupBy("column").agg(F.sum("cnt").alias("n"))
+    p = F.element_at(
+        F.create_map(
+            *[x for d in range(1, 10) for x in (F.lit(str(d)), F.lit(BENFORD_P[d]))]
+        ),
+        F.col("digit"),
+    )
+    expected = F.col("n") * p
+    term_micro = F.floor(
+        (F.col("cnt") - expected) * (F.col("cnt") - expected) / expected * 1000000.0
+        + F.lit(0.5)
+    ).cast("long")
+    per_digit = full.join(F.broadcast(totals), "column").where(F.col("n") > 0)
+    scored = (
+        per_digit.select("column", "n", term_micro.alias("__t"))
+        .groupBy("column", "n")
+        .agg(F.sum("__t").alias("__s"))
+        .select(
+            "column",
+            "n",
+            (F.col("__s") / F.lit(1000000.0)).alias("chi2"),
+            (F.col("__s") <= F.lit(int(round(threshold * 1000000))))
+            .alias("conforms"),
+        )
+    )
+    # an entirely null/zero column has no digits at all (n=0, filtered
+    # above to dodge the 0/0 expected) — seed it back so it reports
+    # (n=0, chi2 NULL, conforms NULL) instead of vanishing, same
+    # convention as entropy_profile
+    col_seed = df.sparkSession.createDataFrame(
+        [(c,) for c in cols], "`column` string"
+    )
+    return col_seed.join(scored, "column", "left").select(
+        "column",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        "chi2",
+        "conforms",
+    )

@@ -302,3 +302,69 @@ def test_quantile_profile_exact_and_grouped(spark):
         for r in quantile_profile(df, ["v"], [0.5], exact=False).collect()
     }
     assert abs(approx[("v", 0.5)] - 50.5) <= 1.5
+
+
+# ---------------------------------------------------------- Benford
+
+def _benford_local(values, threshold=15.507):
+    """Pure-Python reference of profiler.benford_profile for one
+    column, same micro-unit quantization."""
+    import math
+
+    digits = []
+    for v in values:
+        if v is None:
+            continue
+        import re
+
+        m = re.search(r"[1-9]", str(v))
+        if m:
+            digits.append(m.group(0))
+    n = len(digits)
+    if n == 0:
+        return (0, None, None)
+    s = 0
+    for d in range(1, 10):
+        p = math.log10(1.0 + 1.0 / d)
+        cnt = digits.count(str(d))
+        s += math.floor((cnt - n * p) ** 2 / (n * p) * 1000000.0 + 0.5)
+    return (n, s / 1000000.0, s <= round(threshold * 1000000))
+
+
+def test_benford_profile_reference_and_verdicts(spark):
+    from pandera_forge_spark.profiler import benford_profile
+
+    # powers of 2: the classic Benford-conforming sequence
+    pows = [float(2**k) for k in range(200)]
+    # all values share first digit 1: maximally non-conforming
+    ones = [1000.0 + i for i in range(200)]
+    rows = [(pows[i], ones[i], None) for i in range(200)]
+    df = spark.createDataFrame(rows, "benfordish double, flat double, empty double")
+    got = {
+        r["column"]: (r["n"], r["chi2"], r["conforms"])
+        for r in benford_profile(df, ["benfordish", "flat", "empty"]).collect()
+    }
+    assert got["benfordish"] == _benford_local(pows)
+    assert got["flat"] == _benford_local(ones)
+    assert got["benfordish"][2] is True
+    assert got["flat"][2] is False
+    # entirely-null column is reported, not dropped
+    assert got["empty"] == (0, None, None)
+
+
+def test_benford_zero_values_have_no_digit(spark):
+    from pandera_forge_spark.profiler import benford_profile
+
+    df = spark.createDataFrame(
+        [(0.0,), (0.0,), (123.0,)], "x double"
+    )
+    row = benford_profile(df, ["x"]).collect()[0]
+    assert row["n"] == 1  # only 123.0 carries a significant digit
+
+
+def test_benford_plan_udf_free(spark):
+    from pandera_forge_spark.plans.inspect import has_python_udf
+    from pandera_forge_spark.profiler import benford_profile
+
+    df = spark.createDataFrame([(1.5,)], "x double")
+    assert not has_python_udf(benford_profile(df, ["x"]))
