@@ -2249,7 +2249,10 @@ SQL_WINNOW_FINGERPRINTS = f"""
 WITH {_WINNOW_FPS_SQL}
 SELECT doc_id,
        CAST(len(fps) AS INT) AS n_fps,
-       CAST(list_sum(fps) AS BIGINT) AS fps_sum,
+       -- COALESCE: DuckDB list_sum([]) is NULL while the Spark side's
+       -- aggregate(fps, 0L, ...) is 0 for an empty fingerprint array
+       -- (empty/punctuation-only docs)
+       COALESCE(CAST(list_sum(fps) AS BIGINT), 0) AS fps_sum,
        list_min(fps) AS fps_min,
        list_max(fps) AS fps_max
 FROM fps WHERE doc_id % 13 = 0 ORDER BY doc_id
@@ -2411,10 +2414,12 @@ st AS (SELECT COUNT(*) AS n_docs, AVG(len(t)) AS avgdl FROM toks),
 dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
 sc AS (
   SELECT tf.doc_id,
+         -- parenthesized to match the Spark expression's association
+         -- exactly: idf * ((tf*(k1+1)) / den), then * 1e6
          SUM(CAST(floor(
-           ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
-           * (tf.tf * (1.2 + 1.0))
-             / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / st.avgdl))
+           (ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+            * ((tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / st.avgdl))))
            * 1000000.0 + 0.5) AS BIGINT)) AS s
   FROM tf JOIN dfq USING (term) CROSS JOIN st
   GROUP BY 1
@@ -2559,7 +2564,7 @@ def q_benford_lineitem(spark, sf_dir):
 
 
 def _benford_sql() -> str:
-    from pandera_forge_spark.profiler import BENFORD_P
+    from pandera_forge_spark.profiler import BENFORD_CHI2_CRIT, BENFORD_P
 
     src = "\n  UNION ALL ".join(
         f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS s FROM lineitem"
@@ -2596,7 +2601,7 @@ terms AS (
 )
 SELECT col AS "column", CAST(n AS BIGINT) AS n,
        SUM(t) / 1000000.0 AS chi2,
-       SUM(t) <= {int(round(15.507 * 1000000))} AS conforms
+       SUM(t) <= {int(round(BENFORD_CHI2_CRIT * 1000000))} AS conforms
 FROM terms GROUP BY col, n ORDER BY col
 """
 

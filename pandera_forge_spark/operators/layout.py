@@ -28,15 +28,23 @@ def quantize_dim(col: Column, lo: float, hi: float, bits: int = 16) -> Column:
     ``[0, 2^bits)`` for Z-value interleaving: ``floor((x - lo) /
     (hi - lo) * 2^bits)`` clamped to the code range (values at/beyond
     ``hi`` take the top code). Pure double arithmetic + floor —
-    engine-exact for oracle replay."""
+    engine-exact for oracle replay.
+
+    NULL inputs stay NULL (guarded explicitly — Spark's
+    ``least``/``greatest`` SKIP null arguments, so without the guard a
+    null would silently clamp to the TOP code and cluster as if it
+    equaled ``hi``); a null code nulls the whole Morton value, and
+    ``repartitionByRange`` groups the null rows together instead of
+    hiding them in the max corner."""
     if hi <= lo:
         raise ValueError("hi must exceed lo")
     n_codes = float(1 << bits)
     code = F.floor((col - F.lit(lo)) / F.lit(hi - lo) * F.lit(n_codes))
-    return F.greatest(
+    clamped = F.greatest(
         F.lit(0).cast("long"),
         F.least(code.cast("long"), F.lit((1 << bits) - 1).cast("long")),
     )
+    return F.when(col.isNull(), F.lit(None).cast("long")).otherwise(clamped)
 
 
 def zorder_value(codes: list[Column], bits: int = 16) -> Column:
@@ -49,7 +57,15 @@ def zorder_value(codes: list[Column], bits: int = 16) -> Column:
     Built as a sum of ``(code >> i & 1) << (i*D + d)`` terms — ``D *
     bits`` bitwise expressions, all whole-stage-codegen; the terms are
     disjoint powers of two, so integer addition is exact and
-    order-free (engine-identical)."""
+    order-free (engine-identical).
+
+    Codes are range-checked AT RUNTIME: a negative code (arithmetic
+    shift yields 1-bits everywhere) or one at/above ``2^bits`` (high
+    bits silently dropped) would interleave garbage — distant rows
+    aliasing to the same z-value with no error and no pruning benefit.
+    Out-of-range codes raise loudly instead (:func:`quantize_dim` is
+    the sanctioned clamped producer); NULL codes pass through and
+    null the Morton value."""
     d_n = len(codes)
     if d_n < 2:
         raise ValueError("zorder needs at least 2 dimensions")
@@ -57,7 +73,16 @@ def zorder_value(codes: list[Column], bits: int = 16) -> Column:
         raise ValueError("D * bits must be <= 62 to fit a signed long")
     terms = []
     for d, c in enumerate(codes):
-        cl = c.cast("long")
+        raw = c.cast("long")
+        ok = raw.isNull() | ((raw >= 0) & (raw < (1 << bits)))
+        cl = F.when(ok, raw).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"zorder_value: dimension {d} code out of [0, 2^{bits}) "
+                    "— quantize_dim is the sanctioned producer"
+                )
+            ).cast("long")
+        )
         for i in range(bits):
             terms.append(
                 F.shiftleft(F.shiftright(cl, i).bitwiseAND(F.lit(1)), i * d_n + d)
@@ -85,7 +110,13 @@ def cluster_by_zorder(
     ASSIGNMENT is therefore not byte-deterministic (Spark's own
     contract), but the CONTENT is; pair with
     :func:`file_minmax_stats` to measure the layout. The Z column is
-    dropped from the output."""
+    dropped from the output; a pre-existing column with that name
+    would be silently destroyed, so collisions raise instead."""
+    if z_col in df.columns:
+        raise ValueError(
+            f"z_col {z_col!r} already exists on the input frame — pass a "
+            "different z_col"
+        )
     z = zorder_value(codes, bits)
     return (
         df.withColumn(z_col, z)

@@ -23,10 +23,17 @@ Spark-first shape, and the reason it scales to 10^12 docs:
   data-proportional.
 - Per-term BM25 contributions are quantized to integer micro-units
   (``floor(x·1e6 + 0.5)`` longs) BEFORE the per-doc sum: integer sums
-  are exact in any order, so scores are bit-identical across engines,
-  partitionings, and retries — no float-summation-order ambiguity at
+  are exact in any order, so scores are reproducible across
+  partitionings and retries — no float-summation-order ambiguity at
   the top-k boundary (same discipline as
-  ``similarity.quantize_embeddings``).
+  ``similarity.quantize_embeddings``). Residual cross-ENGINE caveat:
+  the per-term double itself involves ``ln`` (JVM vs libm may differ
+  in the last ulp), so an oracle replay additionally spells the
+  arithmetic in the same association order; a contribution landing
+  within ~1 ulp of a micro-unit boundary could still floor differently
+  — astronomically unlikely per term, and confined to a ±1e-6 score
+  wiggle, but it is ``ln``-accuracy-dependent, not "bit-identical by
+  construction" the way pure-integer pipelines are.
 
 No UDF anywhere; the only Python is tokenizing the QUERY string (a
 constant) with the same rules as the corpus tokenizer.

@@ -99,3 +99,44 @@ def test_zorder_plan_udf_free(spark):
         ).alias("z")
     )
     assert not has_python_udf(out)
+
+
+def test_quantize_dim_null_propagates(spark):
+    """NULL inputs must stay NULL — Spark's least/greatest skip nulls,
+    so an unguarded clamp would silently map nulls to the TOP code and
+    cluster them as if they equaled hi."""
+    df = spark.createDataFrame([(None,), (5.0,)], "x double")
+    got = [
+        r["c"]
+        for r in df.select(quantize_dim(F.col("x"), 0.0, 10.0, 4).alias("c")).collect()
+    ]
+    assert got == [None, 8]
+    # and a null code nulls the whole Morton value
+    z = df.select(
+        zorder_value(
+            [quantize_dim(F.col("x"), 0.0, 10.0, 4), F.lit(3).cast("long")], 4
+        ).alias("z")
+    ).collect()
+    assert z[0]["z"] is None and z[1]["z"] is not None
+
+
+def test_zorder_out_of_range_code_raises(spark):
+    """Raw out-of-range codes interleave garbage silently; the runtime
+    guard must fail loudly instead."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame([(1024, 1)], "a long, b long")  # 1024 >= 2^10
+    bad = df.select(zorder_value([F.col("a"), F.col("b")], 10).alias("z"))
+    with pytest.raises(SparkRuntimeException):
+        bad.collect()
+    neg = spark.createDataFrame([(-1, 1)], "a long, b long").select(
+        zorder_value([F.col("a"), F.col("b")], 10).alias("z")
+    )
+    with pytest.raises(SparkRuntimeException):
+        neg.collect()
+
+
+def test_cluster_by_zorder_zcol_collision_raises(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "a long, b long, __z long")
+    with pytest.raises(ValueError):
+        cluster_by_zorder(df, [F.col("a"), F.col("b")], 2, bits=4)
