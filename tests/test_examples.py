@@ -14,3 +14,20 @@ def test_curation_pipeline_example(spark):
     assert report["validation"]["ok"] is True
     assert report["curation"]["weighted_rows"] == 100
     assert report["export"]["shards"] == 8 and report["export"]["packs"] > 0
+
+
+def test_retrieval_pipeline_example(spark):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    import retrieval_pipeline
+
+    report = retrieval_pipeline.run(spark, "/root/testdata/sf0.001")
+    assert report["index"]["docs"] == 500
+    assert report["index"]["postings"] > 500  # multiple terms per doc
+    assert report["sparse"]["hits"] == 20
+    assert report["dense"]["hits"] == 20
+    assert len(report["hybrid"]["top"]) == 10
+    # every hybrid winner was checked for benchmark leakage
+    assert report["leak_triage"]["checked"] == 10
