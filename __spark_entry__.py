@@ -2352,8 +2352,10 @@ m AS (
   SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e
 ),
 qq AS (
+  -- guard on the SCALE (ma/127.0), matching the operator: a
+  -- subnormal max-abs underflows the scale to 0 even though ma > 0
   SELECT vec_id,
-         CASE WHEN ma > 0
+         CASE WHEN ma / 127.0 > 0
               THEN list_transform(v, x -> CAST(CAST(floor(x / (ma / 127.0) + 0.5) AS INT) AS DOUBLE))
               ELSE list_transform(v, x -> CAST(0 AS DOUBLE)) END AS qv
   FROM m

@@ -141,6 +141,12 @@ def quantize_embeddings(
     projection, O(dim) per row, no shuffle, no UDF. All-zero vectors
     quantize to zeros with scale 0 (exactly reconstructable).
 
+    The guard is on the SCALE, not on max|x|: for a subnormal max|x|
+    (≈5e-324) the division ``max|x| / L`` underflows to 0.0 even
+    though ``max|x| > 0``, and an unguarded ``x / scale`` would be
+    Infinity → ANSI cast crash (hypothesis-found). Such vectors
+    quantize to zeros with scale 0, like true zero vectors.
+
     Returns ``df`` plus ``qvec: array<int>`` and ``qscale: double``.
     """
     if not 2 <= bits <= 32:
@@ -148,17 +154,16 @@ def quantize_embeddings(
     levels = float((1 << (bits - 1)) - 1)
     v = F.col(vec_col)
     ma = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    ma_arr = F.array_repeat(ma, F.size(v))
+    scale = (ma / F.lit(levels)).cast("double")
+    scale_arr = F.array_repeat(scale, F.size(v))
     qvec = F.zip_with(
         v,
-        ma_arr,
-        lambda x, m: F.when(
-            m > 0, F.floor(x / (m / F.lit(levels)) + F.lit(0.5)).cast("int")
+        scale_arr,
+        lambda x, s: F.when(
+            s > 0, F.floor(x / s + F.lit(0.5)).cast("int")
         ).otherwise(F.lit(0)),
     )
-    return df.withColumn(qvec_col, qvec).withColumn(
-        scale_col, (ma / F.lit(levels)).cast("double")
-    )
+    return df.withColumn(qvec_col, qvec).withColumn(scale_col, scale)
 
 
 def centroid_exprs(vec_col: str, dim: int) -> list[Column]:

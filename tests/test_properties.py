@@ -104,3 +104,120 @@ def test_cross_backend_differential(spark):
     )
     got = {v: None for v in [e for e in p["s"].examples]}
     assert set(got) == set(top)  # 7 distinct <= 10 -> all values listed
+
+
+# ---- round-4 session operators: properties of the pure references
+# the Spark implementations are separately proven equal to
+# (tests/test_text.py::_winnow_local, test_layout.py::_morton_local),
+# chaining hypothesis coverage onto the distributed paths.
+
+def _winnow_ref(text, k=8, w=4):
+    import hashlib
+    import re as _re
+
+    s = _re.sub(r"[^A-Za-z0-9]+", "", text or "").lower()
+    if not s:
+        return set()
+    m = max(len(s) - k + 1, 1)
+    grams = [
+        int(hashlib.md5(s[i : i + k].encode()).hexdigest()[:12], 16)
+        for i in range(m)
+    ]
+    nwin = max(len(grams) - w + 1, 1)
+    return {min(grams[j : j + w]) for j in range(nwin)}
+
+
+@given(
+    st.text(alphabet="abcdefgh ", min_size=0, max_size=60),
+    st.text(alphabet="abcdefgh ", min_size=0, max_size=60),
+    st.text(alphabet="qrstuvwx", min_size=11, max_size=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_winnow_shared_substring_always_shares_a_fingerprint(pre, post, shared):
+    """The winnowing guarantee (k=8, w=4): any shared substring of
+    length >= k + w - 1 = 11 in normalized space yields at least one
+    shared fingerprint, regardless of context. The contexts use a
+    disjoint alphabet so they cannot accidentally extend the match."""
+    a = _winnow_ref(pre + shared + post)
+    b = _winnow_ref(post + shared + pre)
+    assert a & b
+
+
+@given(st.text(alphabet="abcd0 .!", max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_winnow_density_bounds(text):
+    import re as _re
+
+    fps = _winnow_ref(text)
+    s = _re.sub(r"[^A-Za-z0-9]+", "", text or "").lower()
+    if not s:
+        assert fps == set()
+        return
+    m = max(len(s) - 8 + 1, 1)
+    assert 1 <= len(fps) <= max(m - 4 + 1, 1)
+
+
+def _morton(codes, bits):
+    z = 0
+    for d, c in enumerate(codes):
+        for i in range(bits):
+            z |= ((c >> i) & 1) << (i * len(codes) + d)
+    return z
+
+
+@given(
+    st.integers(min_value=0, max_value=1023),
+    st.integers(min_value=0, max_value=1023),
+    st.integers(min_value=0, max_value=1023),
+)
+@settings(max_examples=300, deadline=None)
+def test_morton_is_injective_and_decodable(a, b, c):
+    z = _morton([a, b, c], 10)
+    # decode by de-interleaving: bijectivity means no two coordinate
+    # triples collide
+    got = [0, 0, 0]
+    for i in range(10):
+        for d in range(3):
+            got[d] |= ((z >> (i * 3 + d)) & 1) << i
+    assert got == [a, b, c]
+    assert 0 <= z < 1 << 30
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_int8_quantization_roundtrip_property(vec):
+    """Mirror of similarity.quantize_embeddings algebra: codes stay in
+    [-127, 127] and reconstruction is within scale/2 per component."""
+    import math
+
+    ma = max(abs(x) for x in vec)
+    scale = ma / 127.0
+    # subnormal max-abs underflows the scale to 0: the operator
+    # quantizes such vectors to zeros (guard on scale, not max-abs)
+    if scale == 0:
+        return
+    codes = [math.floor(x / scale + 0.5) for x in vec]
+    assert all(-127 <= c <= 127 for c in codes)
+    for x, q in zip(vec, codes):
+        assert abs(q * scale - x) <= scale / 2 * (1 + 1e-12)
+
+
+@given(
+    st.integers(min_value=1, max_value=10**9),
+    st.integers(min_value=0, max_value=10**9),
+)
+@settings(max_examples=300, deadline=None)
+def test_bm25_idf_nonnegative(n_docs, df_raw):
+    """The ln(1 + (N-df+0.5)/(df+0.5)) idf form must be non-negative
+    for every df <= N (the property the Lucene form exists for)."""
+    import math
+
+    df = min(df_raw, n_docs)
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    assert idf >= 0.0

@@ -541,3 +541,17 @@ def test_quantize_plan_is_udf_free_and_narrow(spark):
     # single narrow projection: no exchange in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_quantize_subnormal_scale_guard(spark):
+    """Subnormal max-abs underflows scale=ma/127 to 0.0 even though
+    ma > 0 — an unguarded x/scale would be Infinity and crash the ANSI
+    int cast (hypothesis-found). Such vectors quantize to zeros."""
+    from pandera_forge_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [5e-324, -5e-324])], "vec_id long, embedding array<double>"
+    )
+    row = quantize_embeddings(df, "embedding").collect()[0]
+    assert row["qvec"] == [0, 0]
+    assert row["qscale"] == 0.0
