@@ -227,6 +227,78 @@ def contamination(
     )
 
 
+def bloom_filter_words(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    fp_rate: float = 0.01,
+) -> tuple[list[int], int, int]:
+    """Build the packed Bloom filter over ``benchmark``'s distinct
+    token n-gram shingles: returns ``(words, m_bits, k)`` where
+    ``words`` is the ``m_bits/64``-long bit array as longs and ``k``
+    the number of xxhash64 seeds. Shared by the batch probe
+    (:func:`contamination_bloom`) and the stateless streaming probe
+    (``streaming.text.stream_contamination``) so both test the SAME
+    bits.
+
+    The build is distributed column algebra — k positions per shingle,
+    ``bit_or`` packing per word — and the assembled O(m/64)-long array
+    is the only thing the driver holds. (``shiftleft`` via SQL expr:
+    the Python ``F.shiftleft`` only takes a literal shift amount.)"""
+    import math
+
+    from pandera_forge_spark.operators.dedup import shingles
+
+    bench_sh = benchmark.select(
+        F.explode(shingles(F.col(text_col), n)).alias("__s")
+    ).distinct()
+    n_items = max(1, bench_sh.count())
+    m_bits = max(64, int(-n_items * math.log(fp_rate) / (math.log(2) ** 2)))
+    m_bits = ((m_bits + 63) // 64) * 64  # whole words
+    k = max(1, round(m_bits / n_items * math.log(2)))
+    n_words = m_bits // 64
+
+    pos = bench_sh.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.lit(i), F.col("__s")), F.lit(m_bits))
+                    for i in range(k)
+                ]
+            )
+        ).alias("__p")
+    )
+    rows = (
+        pos.select(
+            (F.col("__p") / 64).cast("long").alias("__w"),
+            F.expr("shiftleft(1L, cast(__p % 64 as int))").alias("__m"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__m").alias("__v"))
+        .collect()
+    )
+    packed = [0] * n_words
+    for r in rows:
+        packed[int(r["__w"])] = int(r["__v"])
+    return packed, m_bits, k
+
+
+def bloom_hit_expr(shingle: Column, m_bits: int, k: int) -> Column:
+    """Membership test of one shingle against the broadcast ``__bloom``
+    word-array column — usable INSIDE higher-order-function lambdas
+    (``call_function`` for the variable-amount shiftleft), which is
+    what makes the per-row streaming probe possible."""
+    h = F.lit(True)
+    for i in range(k):
+        p = F.pmod(F.xxhash64(F.lit(i), shingle), F.lit(m_bits))
+        word = F.element_at(F.col("__bloom"), (p / 64).cast("int") + 1)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+        )
+        h = h & (word.bitwiseAND(mask) != 0)
+    return h
+
+
 def contamination_bloom(
     df: DataFrame,
     benchmark: DataFrame,
@@ -252,46 +324,11 @@ def contamination_bloom(
     exact operator's values (pytest-asserted against ``contamination``
     on planted leaks). Same output columns as ``contamination``.
     """
-    import math
-
-    from pandera_forge_spark.operators.dedup import shingles
-
-    bench_sh = benchmark.select(
-        F.explode(shingles(F.col(text_col), n)).alias("__s")
-    ).distinct()
-    n_items = max(1, bench_sh.count())
-    m_bits = max(64, int(-n_items * math.log(fp_rate) / (math.log(2) ** 2)))
-    m_bits = ((m_bits + 63) // 64) * 64  # whole words
-    k = max(1, round(m_bits / n_items * math.log(2)))
-    n_words = m_bits // 64
-
-    def positions(col):
-        return [
-            F.pmod(F.xxhash64(F.lit(i), col), F.lit(m_bits)) for i in range(k)
-        ]
-
-    # build: k bit positions per shingle -> (word, mask) -> bit_or per
-    # word. O(m/64) result rows; the single assembled row is the only
-    # thing the driver ever holds. (shiftleft via SQL expr: the Python
-    # F.shiftleft only takes a literal shift amount.)
-    pos = bench_sh.select(
-        F.explode(F.array(*positions(F.col("__s")))).alias("__p")
-    )
-    words = (
-        pos.select(
-            (F.col("__p") / 64).cast("long").alias("__w"),
-            F.expr("shiftleft(1L, cast(__p % 64 as int))").alias("__m"),
-        )
-        .groupBy("__w")
-        .agg(F.bit_or("__m").alias("__v"))
-        .collect()
-    )
-    packed = [0] * n_words
-    for r in words:
-        packed[int(r["__w"])] = int(r["__v"])
+    packed, m_bits, k = bloom_filter_words(benchmark, text_col, n, fp_rate)
     bloom = df.sparkSession.createDataFrame(
         [(packed,)], "__bloom array<long>"
     )
+    from pandera_forge_spark.operators.dedup import shingles
 
     doc_sh = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__s")

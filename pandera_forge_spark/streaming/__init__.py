@@ -11,6 +11,7 @@ same check compiler and verdict semantics via ``foreachBatch``.
 from pandera_forge_spark.streaming.dedup import stream_near_dedup
 from pandera_forge_spark.streaming.stateful import duplicate_ids_stream
 from pandera_forge_spark.streaming.temporal import stream_sessions
+from pandera_forge_spark.streaming.text import stream_contamination
 from pandera_forge_spark.streaming.validate import (
     stream_drift,
     stream_sketch_profile,
@@ -22,6 +23,7 @@ from pandera_forge_spark.streaming.validate import (
 __all__ = [
     "duplicate_ids_stream",
     "stream_drift",
+    "stream_contamination",
     "stream_near_dedup",
     "stream_sessions",
     "stream_sketch_profile",

@@ -473,3 +473,68 @@ def test_stream_sessions_matches_batch(spark, tmp_path):
         assert n == b["n_events"]
         assert last == dt.datetime.utcfromtimestamp(b["end_ts"])
         assert (end - last).total_seconds() == 3600.0  # end = last + gap
+
+
+def test_stream_contamination_stateless_matches_batch(spark, tmp_path):
+    """The stateless streaming leak screen must (a) run append-mode
+    with NO state store in the plan, and (b) produce exactly the batch
+    contamination_bloom rows once all epochs drain — per-doc results
+    are row-local, so streaming vs batch is a pure re-partitioning of
+    the same computation."""
+    import os
+
+    from pandera_forge_spark.operators.text import contamination_bloom
+    from pandera_forge_spark.streaming.text import stream_contamination
+
+    LEAK = "which planet is known as the red planet in our solar system"
+    epochs = [
+        [(1, LEAK), (2, "ordinary training text about cooking pasta at home")],
+        [(3, "the red planet quiz says: " + LEAK), (4, "unrelated words entirely")],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(epochs):
+        stage = str(tmp_path / f"e{i}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(f"{stage}/{part}", src / f"epoch{i}.parquet")
+
+    bench = spark.createDataFrame([(LEAK,)], "text string")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    screened = stream_contamination(stream, bench, "text", "doc_id")
+    assert screened.isStreaming
+    q = (
+        screened.writeStream.format("memory")
+        .queryName("contamination_screen")
+        .outputMode("append")  # stateless: append works with no watermark
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # stateless for real: the streaming progress reports zero state
+    # operators (a groupBy-based screen would show one here)
+    assert q.lastProgress["stateOperators"] == []
+
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_contaminated"])
+        for r in spark.table("contamination_screen").collect()
+    }
+    all_docs = spark.createDataFrame(
+        [r for e in epochs for r in e], "doc_id long, text string"
+    )
+    want = {
+        r["doc_id"]: (r["n_shingles"], r["n_contaminated"])
+        for r in contamination_bloom(all_docs, bench, "text", "doc_id").collect()
+    }
+    assert got == want
+    # the planted leak is fully contaminated; the pasta doc is not
+    assert got[1][1] == got[1][0]
+    assert got[2][1] < got[2][0]
