@@ -135,3 +135,35 @@ def test_rrf_fuse_exact_and_validated(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         rrf_fuse([], "doc_id")
+
+
+def test_bm25_bucketed_index_prunes_buckets(spark):
+    """The production index shape (bucketBy(term)) must actually
+    bucket-prune: a 2-term query's scan reads only the query terms'
+    buckets, not the whole index — the executed plan reports
+    SelectedBucketsCount < total."""
+    import re
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    spark.sql("DROP TABLE IF EXISTS __bm25_postings_test")
+    (
+        bm25_index(df, "text", "doc_id")
+        .write.bucketBy(16, "term")
+        .sortBy("term")
+        .mode("overwrite")
+        .saveAsTable("__bm25_postings_test")
+    )
+    try:
+        idx = spark.table("__bm25_postings_test")
+        top = bm25_topk(
+            df, "text", "doc_id", "spark join", k=5,
+            index=idx, stats=corpus_stats(df, "text"),
+        )
+        plan = top._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, f"no bucket pruning in plan:\n{plan[:2000]}"
+        selected, total = int(m.group(1)), int(m.group(2))
+        assert total == 16 and selected <= 2  # <= one bucket per query term
+        assert top.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS __bm25_postings_test")
