@@ -751,11 +751,18 @@ def dedup_near(
     deduplicates as ONE group even when A~C was never a pair), then a
     min-id survivor per cluster.
 
-    ``threshold`` is the minhash Jaccard cut (default 0.8) and applies
-    ONLY to ``method='minhash'``; simhash similarity is Hamming-based —
-    pass ``max_hamming`` via ``method_kwargs`` instead. Passing
-    ``threshold`` with ``method='simhash'`` raises rather than being
-    silently ignored.
+    ``threshold`` is the minhash Jaccard cut (default 0.8) or, for
+    ``method='winnow'``, the fingerprint containment cut (default 0.3
+    — see ``text.fingerprint_overlap_pairs``); simhash similarity is
+    Hamming-based — pass ``max_hamming`` via ``method_kwargs``
+    instead. Passing ``threshold`` with ``method='simhash'`` raises
+    rather than being silently ignored.
+
+    ``method='winnow'`` pairs on shared rolling-hash winnowing
+    fingerprints — the CHARACTER-level signal that catches copies with
+    word-boundary edits token shingles fragment; its boilerplate bound
+    is the stop-fingerprint ``max_df`` (method_kwargs), not
+    ``max_bucket``.
 
     Returns ``(survivors, mapping)``: ``survivors`` is ``df`` minus
     every non-representative cluster member (an anti-join — original
@@ -774,6 +781,14 @@ def dedup_near(
             threshold=0.8 if threshold is None else threshold,
             max_bucket=max_bucket, **method_kwargs,
         ).select("id_a", "id_b")
+    elif method == "winnow":
+        from pandera_forge_spark.operators.text import fingerprint_overlap_pairs
+
+        pairs = fingerprint_overlap_pairs(
+            df, text_col, id_col,
+            min_overlap=0.3 if threshold is None else threshold,
+            **method_kwargs,
+        ).select("id_a", "id_b")
     elif method == "simhash":
         if threshold is not None:
             raise ValueError(
@@ -785,7 +800,9 @@ def dedup_near(
             df, text_col, id_col, max_bucket=max_bucket, **method_kwargs
         ).select("id_a", "id_b")
     else:
-        raise ValueError(f"unknown method {method!r} (minhash | simhash)")
+        raise ValueError(
+            f"unknown method {method!r} (minhash | simhash | winnow)"
+        )
 
     mapping = pairs_to_clusters(pairs, checkpoint_dir=checkpoint_dir)
     losers = mapping.where(F.col("id") != F.col("cluster_id")).select(

@@ -421,3 +421,33 @@ def test_band_index_probe_matches_incremental(spark, tmp_path):
     # every planted (corpus doc -> mutated copy) pair surfaces
     planted = {r["doc_id"] for r in docs.where(F.col("doc_id") % 10 == 0).collect()}
     assert {c for (n, c, _j) in got if n - c == 500000} == planted
+
+
+def test_dedup_near_winnow_method(spark):
+    """dedup_near(method='winnow') plugs the character-level
+    fingerprint pairs into the same clusters->survivors flow: a
+    word-boundary-edited copy (token shingles fragment, winnow
+    fingerprints don't) is dropped; distinct docs survive."""
+    import hashlib
+
+    from pandera_forge_spark.operators.dedup import dedup_near
+
+    def body(i):
+        return " ".join(
+            hashlib.md5(f"w-{i}-{j}".encode()).hexdigest()[:10] for j in range(12)
+        )
+
+    base = [(i, body(i)) for i in range(6)]
+    # copy of doc 0 with word boundaries MOVED (same chars, different
+    # token shingles): insert spaces mid-word
+    moved = base[0][1].replace(" ", "", 3).replace("a", "a ", 2)
+    df = spark.createDataFrame(
+        base + [(100, moved)], "doc_id long, text string"
+    )
+    survivors, mapping = dedup_near(
+        df, "text", "doc_id", method="winnow", threshold=0.5
+    )
+    kept = sorted(r["doc_id"] for r in survivors.collect())
+    assert kept == [0, 1, 2, 3, 4, 5]  # min-id representative kept
+    m = {r["id"]: r["cluster_id"] for r in mapping.collect()}
+    assert m.get(100) == 0
