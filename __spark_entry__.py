@@ -2356,7 +2356,7 @@ qq AS (
   -- subnormal max-abs underflows the scale to 0 even though ma > 0
   SELECT vec_id,
          CASE WHEN ma / 127.0 > 0
-              THEN list_transform(v, x -> CAST(CAST(floor(x / (ma / 127.0) + 0.5) AS INT) AS DOUBLE))
+              THEN list_transform(v, x -> CAST(CAST(greatest(-127.0e0, least(127.0e0, floor(x / (ma / 127.0) + 0.5))) AS INT) AS DOUBLE))
               ELSE list_transform(v, x -> CAST(0 AS DOUBLE)) END AS qv
   FROM m
 ),

@@ -37,6 +37,25 @@ QUERY = "hash join spark window"
 
 
 def run(spark: SparkSession, sf_dir: str, index_dir: str | None = None) -> dict:
+    report: dict = {}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+    # 1. build + persist the inverted index once; queries then touch
+    #    only their own terms' postings (bucketBy(term) on a real
+    #    warehouse table makes that a bucket prune)
+    own_tmp = index_dir is None
+    tmp = tempfile.TemporaryDirectory() if own_tmp else None
+    try:
+        return _run_stages(spark, report, docs, emb, tmp.name if own_tmp else index_dir)
+    finally:
+        if tmp is not None:
+            tmp.cleanup()
+
+
+def _run_stages(spark, report: dict, docs, emb, base: str) -> dict:
     from pandera_forge_spark.operators.search import (
         bm25_index,
         bm25_topk,
@@ -49,18 +68,6 @@ def run(spark: SparkSession, sf_dir: str, index_dir: str | None = None) -> dict:
     )
     from pandera_forge_spark.operators.text import contamination
 
-    report: dict = {}
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
-
-    # 1. build + persist the inverted index once; queries then touch
-    #    only their own terms' postings (bucketBy(term) on a real
-    #    warehouse table makes that a bucket prune)
-    own_tmp = index_dir is None
-    tmp = tempfile.TemporaryDirectory() if own_tmp else None
-    base = tmp.name if own_tmp else index_dir
     postings_path = f"{base}/postings"
     bm25_index(docs, "text", "doc_id").write.mode("overwrite").parquet(
         postings_path
@@ -84,7 +91,12 @@ def run(spark: SparkSession, sf_dir: str, index_dir: str | None = None) -> dict:
     corpus_q = q.select(
         "vec_id", F.col("qvec").cast("array<double>").alias("embedding")
     )
-    qv = corpus_q.where(F.col("vec_id") == 0).head()["embedding"]
+    # probe with the lowest-id vector; fail with a real message rather
+    # than a NoneType subscript when the corpus is empty
+    probe = corpus_q.orderBy("vec_id").head()
+    if probe is None:
+        raise ValueError("embeddings corpus is empty — nothing to retrieve")
+    qv = probe["embedding"]
     dense = cosine_topk(corpus_q, qv, k=20).select(
         F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score")
     )
@@ -110,8 +122,6 @@ def run(spark: SparkSession, sf_dir: str, index_dir: str | None = None) -> dict:
         "checked": cont.count(),
         "flagged_ratio_ge_0.8": flagged,
     }
-    if tmp is not None:
-        tmp.cleanup()
     return report
 
 

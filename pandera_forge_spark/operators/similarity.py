@@ -141,11 +141,19 @@ def quantize_embeddings(
     projection, O(dim) per row, no shuffle, no UDF. All-zero vectors
     quantize to zeros with scale 0 (exactly reconstructable).
 
-    The guard is on the SCALE, not on max|x|: for a subnormal max|x|
-    (≈5e-324) the division ``max|x| / L`` underflows to 0.0 even
-    though ``max|x| > 0``, and an unguarded ``x / scale`` would be
-    Infinity → ANSI cast crash (hypothesis-found). Such vectors
-    quantize to zeros with scale 0, like true zero vectors.
+    Two subnormal-range guards (both hypothesis-found, both only
+    reachable when max|x| is within ~200 ulps of zero):
+    - the guard is on the SCALE, not on max|x|: for max|x| ≈ 5e-324
+      the division ``max|x| / L`` underflows to 0.0 even though
+      ``max|x| > 0``, and an unguarded ``x / scale`` would be
+      Infinity → ANSI cast crash; such vectors quantize to zeros with
+      scale 0, like true zero vectors;
+    - codes are CLAMPED to ``[-L, L]`` after rounding: when the scale
+      is subnormal-but-nonzero its relative rounding error is huge, so
+      ``x / scale`` can exceed L by orders of magnitude (max|x| =
+      190·5e-324 → scale rounds to 5e-324 → code 190). Clamped
+      components trade the scale/2 reconstruction bound for staying in
+      the advertised integer range — the standard quantizer contract.
 
     Returns ``df`` plus ``qvec: array<int>`` and ``qscale: double``.
     """
@@ -156,11 +164,15 @@ def quantize_embeddings(
     ma = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = (ma / F.lit(levels)).cast("double")
     scale_arr = F.array_repeat(scale, F.size(v))
+    lo, hi = F.lit(-int(levels)), F.lit(int(levels))
     qvec = F.zip_with(
         v,
         scale_arr,
         lambda x, s: F.when(
-            s > 0, F.floor(x / s + F.lit(0.5)).cast("int")
+            s > 0,
+            F.greatest(
+                lo, F.least(hi, F.floor(x / s + F.lit(0.5)))
+            ).cast("int"),
         ).otherwise(F.lit(0)),
     )
     return df.withColumn(qvec_col, qvec).withColumn(scale_col, scale)

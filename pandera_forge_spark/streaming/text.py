@@ -35,6 +35,15 @@ def stream_contamination(
     (``size``/``filter`` over the shingle array) instead of
     explode+groupBy, so the plan is stateless and append-mode-safe.
 
+    Semantics are PER ARRIVING ROW: each document emits exactly one
+    output row in its own micro-batch. When ``id_col`` is unique
+    across the stream (the normal ingest contract) this equals the
+    batch operator row for row; if the same id can RE-ARRIVE (replays,
+    late re-ingest), the batch groupBy would merge those texts into
+    one row while this screen emits one row per arrival — dedupe
+    downstream if your sink is keyed by id (statelessness is exactly
+    the property that makes cross-arrival merging impossible here).
+
     The static ``benchmark`` frame is collapsed to its packed filter
     once at plan time (~1.2 bytes per benchmark shingle at 1% fp) and
     broadcast; each micro-batch is then a narrow map stage. Bloom
@@ -49,14 +58,15 @@ def stream_contamination(
     )
     joined = stream_df.join(F.broadcast(bloom))
     sh = shingles(F.col(text_col), n)
-    # sh is referenced twice (size + filter): the shingle pipeline runs
-    # twice per ROW — a constant factor, unlike the per-ELEMENT
-    # recompute the HOF-capture trap causes (see winnow_fingerprints);
-    # the filter lambda itself touches only its element and the cheap
+    # sh appears three times below (two sizes + the filter input), so
+    # the shingle pipeline is evaluated up to ~3x per ROW — a constant
+    # factor, unlike the per-ELEMENT recompute the HOF-capture trap
+    # causes (see winnow_fingerprints). Do NOT count on whole-stage-
+    # codegen subexpression elimination collapsing them: higher-order
+    # functions are CodegenFallback expressions outside its reach.
+    # The filter lambda itself touches only its element and the cheap
     # broadcast __bloom column reference.
     contaminated = F.size(F.filter(sh, lambda s: bloom_hit_expr(s, m_bits, k)))
-    # identical subtrees (sh, contaminated) are computed once per row by
-    # whole-stage-codegen subexpression elimination
     return joined.select(
         F.col(id_col),
         F.size(sh).cast("long").alias("n_shingles"),

@@ -477,10 +477,12 @@ def test_stream_sessions_matches_batch(spark, tmp_path):
 
 def test_stream_contamination_stateless_matches_batch(spark, tmp_path):
     """The stateless streaming leak screen must (a) run append-mode
-    with NO state store in the plan, and (b) produce exactly the batch
+    with NO state store in the plan, and (b) for UNIQUE doc_ids (the
+    normal ingest contract) produce exactly the batch
     contamination_bloom rows once all epochs drain — per-doc results
-    are row-local, so streaming vs batch is a pure re-partitioning of
-    the same computation."""
+    are row-local, so with unique ids streaming vs batch is a pure
+    re-partitioning of the same computation (a RE-ARRIVING id would
+    instead emit one row per arrival; documented divergence)."""
     import os
 
     from pandera_forge_spark.operators.text import contamination_bloom
