@@ -2547,6 +2547,73 @@ FROM z GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_strip_boilerplate(spark, sf_dir):
+    """C4-style boilerplate removal (operators/text.py
+    strip_boilerplate): a banner line planted into every doc_id % 3
+    == 0 document crosses the min_df=10 census threshold and is
+    stripped corpus-wide; surviving lines keep their order and raw
+    whitespace. The oracle replays census (per-doc DISTINCT lines →
+    df count) and strip (ordered list_filter against the broadcast
+    census list) in DuckDB and value-checks per-doc length + md5 of
+    the rebuilt text — any order scramble, trim divergence, or
+    census-threshold drift hash-mismatches."""
+    from pandera_forge_spark.operators.text import strip_boilerplate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("JOIN OUR NEWSLETTER TODAY\n"), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    stripped = strip_boilerplate(planted, "text", min_df=10)
+    return (
+        stripped.where(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.length("text").alias("n_chars_after"),
+            F.md5("text").alias("text_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_STRIP_BOILERPLATE = """
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'JOIN OUR NEWSLETTER TODAY' || chr(10) || text
+              ELSE text END AS text
+  FROM documents
+),
+seg AS (
+  SELECT DISTINCT doc_id, trim(s) AS line
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS s FROM planted)
+  WHERE trim(s) <> ''
+),
+bp AS (
+  SELECT line FROM (SELECT line, COUNT(*) AS df FROM seg GROUP BY 1)
+  WHERE df >= 10
+),
+bl AS (SELECT coalesce(list(line), []) AS bll FROM bp),
+stripped AS (
+  SELECT p.doc_id,
+         array_to_string(
+           list_filter(
+             string_split(p.text, chr(10)),
+             s -> trim(s) <> '' AND NOT list_contains(bl.bll, trim(s))
+           ),
+           chr(10)
+         ) AS text
+  FROM planted p CROSS JOIN bl
+)
+SELECT doc_id, CAST(length(text) AS INT) AS n_chars_after,
+       md5(text) AS text_md5
+FROM stripped WHERE doc_id % 5 = 0 ORDER BY doc_id
+"""
+
+
 _BENFORD_COLS = ["l_discount", "l_extendedprice", "l_quantity"]
 
 
@@ -3520,6 +3587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "zorder_events": q_zorder_events,
         "benford_lineitem": q_benford_lineitem,
+        "strip_boilerplate": q_strip_boilerplate,
         # -- driver-verified green in round 3 (first-50 tail) ---------------
         "profile_lineitem": q_profile_lineitem,
         "profile_fused_orders": q_profile_fused_orders,
@@ -3672,6 +3740,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": SQL_HYBRID_RRF,
         "zorder_events": SQL_ZORDER_EVENTS,
         "benford_lineitem": SQL_BENFORD_LINEITEM,
+        "strip_boilerplate": SQL_STRIP_BOILERPLATE,
         "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,
         "hourly_rollup": SQL_HOURLY_ROLLUP,
         # frame_sample_plan: no oracle — per-row durations derive from

@@ -51,8 +51,10 @@ from pandera_forge_spark.enrichment import (
 from pandera_forge_spark.sources.versioned import VersionedParquet
 from pandera_forge_spark.sources.readers import read_excel
 from pandera_forge_spark.operators.text import (
+    boilerplate_lines,
     contamination_bloom,
     fingerprint_overlap_pairs,
+    strip_boilerplate,
     winnow_fingerprints,
 )
 from pandera_forge_spark.generator import ModelGenerator
@@ -153,7 +155,9 @@ __all__ = [
     "generate_documentation",
     "VersionedParquet",
     "read_excel",
+    "boilerplate_lines",
     "contamination_bloom",
+    "strip_boilerplate",
     "fingerprint_overlap_pairs",
     "winnow_fingerprints",
     "infer_and_validate",

@@ -709,3 +709,104 @@ def normalize_text(
     if lowercase:
         out = F.lower(out)
     return out
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    min_df: int = 10,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Lines (or ``delimiter``-separated segments) that occur in at
+    least ``min_df`` DISTINCT documents — the corpus-level boilerplate
+    census (nav menus, cookie banners, license headers) that C4-style
+    cleaning removes before anything else. Returns ``(line, df)``.
+
+    Per-doc DISTINCT lines (``array_distinct`` before the explode) so a
+    page repeating its own footer five times still counts once toward
+    document frequency. One explode + one count groupBy, partial-
+    aggregated map-side; empty/whitespace-only segments are never
+    reported. Output cardinality is bounded by corpus_lines / min_df —
+    at a given min_df the frame SHRINKS as the threshold rises, which
+    is what makes the strip pass below broadcastable."""
+    lines = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), delimiter),
+                lambda s: F.trim(s),
+            ),
+            lambda s: s != "",
+        )
+    )
+    return (
+        df.select(F.explode(lines).alias("line"))
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str,
+    min_df: int = 10,
+    delimiter: str = "\n",
+    boilerplate: DataFrame | None = None,
+) -> DataFrame:
+    """Remove boilerplate lines from every document — the C4 cleaning
+    pass: any line occurring in ≥ ``min_df`` distinct documents is
+    deleted corpus-wide; surviving lines keep their original order;
+    ``text_col`` is REPLACED, all other columns pass through.
+
+    Shape for 10^12 docs: the boilerplate census (see
+    :func:`boilerplate_lines`) is O(corpus_lines / min_df) rows and is
+    BROADCAST; the strip itself is then posexplode → broadcast
+    LEFT-ANTI hash join → per-doc reassembly (groupBy doc,
+    order-restoring ``array_sort`` on (pos, line) structs,
+    ``concat_ws``). The only non-broadcast shuffle is the reassembly
+    groupBy, keyed on the doc — the same cardinality as the input.
+    Trimmed-empty lines are dropped like boilerplate (they carry no
+    content); a document that was ALL boilerplate comes back with
+    ``text_col = ''`` rather than vanishing.
+
+    Pass a precomputed ``boilerplate`` frame (``(line, ...)``) to
+    reuse one census across strips or to inject a curated blocklist.
+    """
+    bp = (
+        boilerplate
+        if boilerplate is not None
+        else boilerplate_lines(df, text_col, min_df, delimiter)
+    ).select("line")
+    other_cols = [c for c in df.columns if c != text_col]
+    exploded = df.select(
+        *other_cols,
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), delimiter)
+        ).alias("__pos", "__line"),
+    ).where(F.trim(F.col("__line")) != "")
+    kept = exploded.join(
+        F.broadcast(bp),
+        F.trim(exploded["__line"]) == bp["line"],
+        "left_anti",
+    )
+    reassembled = (
+        kept.groupBy(*other_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pos", "__line"))
+            ).alias("__ordered")
+        )
+        .select(
+            *other_cols,
+            F.concat_ws(
+                delimiter,
+                F.transform(F.col("__ordered"), lambda s: s["__line"]),
+            ).alias(text_col),
+        )
+    )
+    # all-boilerplate docs have no kept lines: seed them back with ''
+    survivors_only = df.select(*other_cols)
+    return survivors_only.join(reassembled, other_cols, "left").select(
+        *other_cols,
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+    )

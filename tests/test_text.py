@@ -498,3 +498,51 @@ def test_winnow_plan_is_udf_free(spark):
     assert not has_python_udf(
         fingerprint_overlap_pairs(df, "text", "doc_id")
     )
+
+
+# ------------------------------------------------------- boilerplate
+
+def test_strip_boilerplate_removes_frequent_lines(spark):
+    from pandera_forge_spark.operators.text import (
+        boilerplate_lines,
+        strip_boilerplate,
+    )
+
+    banner = "SUBSCRIBE TO OUR NEWSLETTER"
+    docs = [
+        (i, "lang" + str(i % 2), f"unique body line {i}\n{banner}\nsecond body {i}")
+        for i in range(12)
+    ] + [(100, "en", banner)]  # all-boilerplate doc
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+
+    census = {r["line"]: r["df"] for r in boilerplate_lines(df, "text", min_df=10).collect()}
+    assert census == {banner: 13}
+
+    out = {r["doc_id"]: r for r in strip_boilerplate(df, "text", min_df=10).collect()}
+    assert len(out) == 13  # every doc survives as a row
+    for i in range(12):
+        # banner gone, order preserved, raw line text intact
+        assert out[i]["text"] == f"unique body line {i}\nsecond body {i}"
+        assert out[i]["lang"] == "lang" + str(i % 2)  # passthrough cols
+    assert out[100]["text"] == ""  # all-boilerplate -> empty, not dropped
+
+
+def test_strip_boilerplate_counts_per_doc_distinct(spark):
+    """A doc repeating its own footer 5 times contributes ONCE to the
+    census df, so self-repetition can't promote a line to boilerplate."""
+    from pandera_forge_spark.operators.text import boilerplate_lines
+
+    df = spark.createDataFrame(
+        [(0, "footer\nfooter\nfooter\nfooter\nfooter"), (1, "footer\nbody")],
+        "doc_id long, text string",
+    )
+    census = {r["line"]: r["df"] for r in boilerplate_lines(df, "text", min_df=2).collect()}
+    assert census == {"footer": 2}
+
+
+def test_strip_boilerplate_plan_udf_free(spark):
+    from pandera_forge_spark.operators.text import strip_boilerplate
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    df = spark.createDataFrame([(0, "a\nb")], "doc_id long, text string")
+    assert not has_python_udf(strip_boilerplate(df, "text", min_df=2))
