@@ -94,7 +94,9 @@ from pandera_forge_spark.operators.temporal import (
 from pandera_forge_spark.operators.sampling import weighted_take
 from pandera_forge_spark.operators.similarity import (
     embedding_health,
+    ivf_topk_partitioned,
     quantize_embeddings,
+    write_ivf_partitioned,
 )
 from pandera_forge_spark.operators.text import chunk_documents, normalize_text
 from pandera_forge_spark.profiler import (
@@ -212,7 +214,9 @@ __all__ = [
     "normalize_text",
     "weighted_take",
     "embedding_health",
+    "ivf_topk_partitioned",
     "quantize_embeddings",
+    "write_ivf_partitioned",
     "span_transition_matrix",
     "chunk_interleaved",
     "audit_summary",

@@ -469,6 +469,83 @@ def ivf_topk(
     return cosine_topk(near, q, k, vec_col, id_col)
 
 
+def write_ivf_partitioned(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Persist the corpus PARTITIONED BY its IVF cell — the trained-
+    quantizer twin of :func:`write_lsh_partitioned`: k-means centroids
+    from a seeded sample (or pass ``centroids`` to reuse a trained
+    set), distributed ``ivf_assign``, one partitioned write, and an
+    ``_ivf_meta.json`` sidecar holding the exact centroid doubles so a
+    query session reconstructs bit-identical cell choices. Probing
+    then reads ``n_probe`` DIRECTORIES out of ``n_cells`` — planning-
+    time partition pruning, not a scan filter. Returns the centroids.
+
+    The sidecar goes through the Hadoop FileSystem (DriverFS), so the
+    path may be s3a://, hdfs:// or local alike."""
+    import json
+
+    from pandera_forge_spark.sources.fs import DriverFS
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            df.where(F.col(vec_col).isNotNull()),
+            n_cells=n_cells,
+            seed=seed,
+            vec_col=vec_col,
+        )
+    (
+        df.where(F.col(vec_col).isNotNull())
+        .withColumn("__cell", ivf_assign(F.col(vec_col), centroids))
+        .write.partitionBy("__cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    DriverFS(df.sparkSession).write_bytes(
+        f"{path}/_ivf_meta.json",
+        json.dumps({"centroids": centroids, "seed": seed}).encode(),
+    )
+    return centroids
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    query: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN top-k against a :func:`write_ivf_partitioned` corpus:
+    centroids come from the sidecar, the ``n_probe`` nearest cells are
+    picked ON THE DRIVER (O(cells × dim) floats, squared distance, the
+    same ordering as ``ivf_topk``), and only those cell DIRECTORIES
+    are read — PartitionFilters in the scan, asserted in tests. The
+    probed cells are then scored with the exact cosine."""
+    import json
+
+    from pandera_forge_spark.sources.fs import DriverFS
+
+    meta = json.loads(DriverFS(spark).read_bytes(f"{path}/_ivf_meta.json"))
+    centroids = meta["centroids"]
+    q = [float(v) for v in query]
+
+    def sqd(c):
+        return sum((a - b) ** 2 for a, b in zip(q, c))
+
+    order = sorted(range(len(centroids)), key=lambda i: sqd(centroids[i]))
+    probe = order[: max(1, n_probe)]
+    corpus = spark.read.parquet(path).where(F.col("__cell").isin(probe))
+    return cosine_topk(corpus, q, k, vec_col, id_col)
+
+
 def write_lsh_partitioned(
     df: DataFrame,
     path: str,

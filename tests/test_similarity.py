@@ -555,3 +555,31 @@ def test_quantize_subnormal_scale_guard(spark):
     row = quantize_embeddings(df, "embedding").collect()[0]
     assert row["qvec"] == [0, 0]
     assert row["qscale"] == 0.0
+
+
+def test_ivf_partitioned_matches_inmemory_and_prunes(spark, tmp_path, embeddings):
+    """The persisted IVF layout must (a) return exactly what the
+    in-memory ivf_topk returns for the same centroids/probes, and (b)
+    read only the probed cell DIRECTORIES (PartitionFilters on
+    __cell), the planning-time pruning that makes 10^12-vector probing
+    feasible."""
+    from pandera_forge_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_partitioned,
+        kmeans_centroids,
+        write_ivf_partitioned,
+    )
+
+    emb = embeddings.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    path = str(tmp_path / "ivf")
+    cents = write_ivf_partitioned(emb, path, n_cells=8)
+    assert cents == kmeans_centroids(emb, n_cells=8)  # deterministic train
+
+    q = emb.where(F.col("vec_id") == 3).first()["embedding"]
+    got = ivf_topk_partitioned(spark, path, q, k=5, n_probe=2)
+    want = ivf_topk(emb, q, cents, k=5, n_probe=2)
+    assert got.collect() == want.collect()
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "__cell" in plan.split("PartitionFilters: [", 1)[1][:200]
