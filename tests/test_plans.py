@@ -276,3 +276,52 @@ def test_embedding_health_single_scan_no_shuffle_agg(spark):
     plan = executed_plan(df)
     assert plan.count("FileScan") == 1 or plan.count("Scan parquet") == 1, plan
     assert not has_python_udf(df)
+
+
+def test_aqe_splits_planted_skewed_join(spark):
+    """Scale evidence for the skew story: when a sort-merge join key is
+    pathologically hot (half the left side on one key), AQE's runtime
+    skew-join must SPLIT that reduce partition instead of letting one
+    task own half the data — the executed adaptive plan reports an
+    AQEShuffleRead marked 'skewed'. This is the engine's documented
+    alternative to manual salting (validator.duplicate_keys_salted)
+    for joins where the key set is not known in advance."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        # scale the skew thresholds down to test size; adaptive +
+        # skewJoin themselves are on by default
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        left = (
+            spark.range(200000)
+            .select((F.col("id") % 1000).alias("k"), F.col("id").alias("v"))
+            .withColumn(
+                "k", F.when(F.col("v") % 2 == 0, 7).otherwise(F.col("k"))
+            )  # half of all rows land on key 7
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 200000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skewed" in plan, plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
