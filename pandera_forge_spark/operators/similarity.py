@@ -443,6 +443,29 @@ def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array_max(scored)["cell"]
 
 
+def _probe_cells(
+    query: Sequence[float], centroids: list[list[float]], n_probe: int
+) -> list[int]:
+    """The ``n_probe`` centroid cells nearest to the query (squared
+    distance ascending, ties by cell id via the stable sort) — the ONE
+    definition of probe ordering, shared by the in-memory and
+    persisted IVF paths so their results can never drift apart.
+    Rejects dimension mismatches instead of silently zip-truncating."""
+    q = [float(v) for v in query]
+    for c in centroids:
+        if len(c) != len(q):
+            raise ValueError(
+                f"query dim {len(q)} != centroid dim {len(c)} — "
+                "refusing to zip-truncate"
+            )
+
+    def sqd(c):
+        return sum((a - b) ** 2 for a, b in zip(q, c))
+
+    order = sorted(range(len(centroids)), key=lambda i: sqd(centroids[i]))
+    return order[: max(1, n_probe)]
+
+
 def ivf_topk(
     corpus: DataFrame,
     query: Sequence[float],
@@ -457,12 +480,7 @@ def ivf_topk(
     bucket function being a trained k-means cell instead of a random
     hyperplane signature — better recall per probe on clustered data."""
     q = [float(v) for v in query]
-
-    def sqd(c):
-        return sum((a - b) ** 2 for a, b in zip(q, c))
-
-    order = sorted(range(len(centroids)), key=lambda i: sqd(centroids[i]))
-    probe = order[: max(1, n_probe)]
+    probe = _probe_cells(q, centroids, n_probe)
     near = corpus.withColumn("__cell", ivf_assign(F.col(vec_col), centroids)).where(
         F.col("__cell").isin(probe)
     )
@@ -493,6 +511,12 @@ def write_ivf_partitioned(
 
     from pandera_forge_spark.sources.fs import DriverFS
 
+    for col in (vec_col, id_col):
+        if col not in df.columns:
+            raise ValueError(
+                f"column {col!r} missing from the corpus frame — "
+                "checked before the expensive partitioned write"
+            )
     if centroids is None:
         centroids = kmeans_centroids(
             df.where(F.col(vec_col).isNotNull()),
@@ -534,14 +558,8 @@ def ivf_topk_partitioned(
     from pandera_forge_spark.sources.fs import DriverFS
 
     meta = json.loads(DriverFS(spark).read_bytes(f"{path}/_ivf_meta.json"))
-    centroids = meta["centroids"]
     q = [float(v) for v in query]
-
-    def sqd(c):
-        return sum((a - b) ** 2 for a, b in zip(q, c))
-
-    order = sorted(range(len(centroids)), key=lambda i: sqd(centroids[i]))
-    probe = order[: max(1, n_probe)]
+    probe = _probe_cells(q, meta["centroids"], n_probe)
     corpus = spark.read.parquet(path).where(F.col("__cell").isin(probe))
     return cosine_topk(corpus, q, k, vec_col, id_col)
 
@@ -568,6 +586,12 @@ def write_lsh_partitioned(
 
     from pandera_forge_spark.sources.fs import DriverFS
 
+    for col in (vec_col, id_col):
+        if col not in df.columns:
+            raise ValueError(
+                f"column {col!r} missing from the corpus frame — "
+                "checked before the expensive partitioned write"
+            )
     first = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
     if first is None:
         raise ValueError("empty corpus")

@@ -728,11 +728,20 @@ def boilerplate_lines(
     aggregated map-side; empty/whitespace-only segments are never
     reported. Output cardinality is bounded by corpus_lines / min_df —
     at a given min_df the frame SHRINKS as the threshold rises, which
-    is what makes the strip pass below broadcastable."""
+    is what makes the strip pass below broadcastable.
+
+    ``delimiter`` is treated as a LITERAL string (escaped before the
+    regex split), so '|' or '.' separators split where the user means,
+    not per-character."""
+    import re as _re
+
     lines = F.array_distinct(
         F.filter(
             F.transform(
-                F.split(F.coalesce(F.col(text_col), F.lit("")), delimiter),
+                F.split(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    _re.escape(delimiter),
+                ),
                 lambda s: F.trim(s),
             ),
             lambda s: s != "",
@@ -769,19 +778,37 @@ def strip_boilerplate(
     content); a document that was ALL boilerplate comes back with
     ``text_col = ''`` rather than vanishing.
 
+    Contract: the NON-text columns together must uniquely identify a
+    document — reassembly groups by them, so two rows sharing every
+    non-text value would have their lines merged (and a text-only
+    frame has no identity at all: that case raises). The seed-back
+    join is NULL-SAFE (``eqNullSafe`` terms), so a null in a
+    passthrough column cannot orphan its document's text. ``delimiter``
+    is a literal string, escaped before the regex split.
+
     Pass a precomputed ``boilerplate`` frame (``(line, ...)``) to
     reuse one census across strips or to inject a curated blocklist.
     """
+    import re as _re
+
     bp = (
         boilerplate
         if boilerplate is not None
         else boilerplate_lines(df, text_col, min_df, delimiter)
     ).select("line")
     other_cols = [c for c in df.columns if c != text_col]
+    if not other_cols:
+        raise ValueError(
+            "strip_boilerplate needs at least one non-text column to "
+            "identify documents (a text-only frame would reassemble the "
+            "whole corpus into every row)"
+        )
     exploded = df.select(
         *other_cols,
         F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), delimiter)
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")), _re.escape(delimiter)
+            )
         ).alias("__pos", "__line"),
     ).where(F.trim(F.col("__line")) != "")
     kept = exploded.join(
@@ -804,9 +831,17 @@ def strip_boilerplate(
             ).alias(text_col),
         )
     )
-    # all-boilerplate docs have no kept lines: seed them back with ''
-    survivors_only = df.select(*other_cols)
-    return survivors_only.join(reassembled, other_cols, "left").select(
-        *other_cols,
-        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+    # all-boilerplate docs have no kept lines: seed them back with ''.
+    # eqNullSafe terms: a NULL passthrough value must still match its
+    # own reassembled row (plain equi-join would orphan it and wipe
+    # the document's text)
+    left = df.select(*other_cols).alias("__l")
+    right = reassembled.alias("__r")
+    cond = None
+    for c in other_cols:
+        term = F.col(f"__l.{c}").eqNullSafe(F.col(f"__r.{c}"))
+        cond = term if cond is None else (cond & term)
+    return left.join(right, cond, "left").select(
+        *[F.col(f"__l.{c}").alias(c) for c in other_cols],
+        F.coalesce(F.col(f"__r.{text_col}"), F.lit("")).alias(text_col),
     )

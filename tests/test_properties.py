@@ -204,12 +204,17 @@ def test_int8_quantization_roundtrip_property(vec):
         return
     raw = [math.floor(x / scale + 0.5) for x in vec]
     codes = [max(-127, min(127, c)) for c in raw]
-    assert all(-127 <= c <= 127 for c in codes)
+    smallest_normal = 2.2250738585072014e-308
     for x, q, r in zip(vec, codes, raw):
-        if q == r:
-            # the scale/2 reconstruction bound holds for every
-            # UNCLAMPED component; clamping (subnormal scales only)
-            # trades the bound for the advertised code range
+        if q != r:
+            # the clamp may only ever BIND when the scale is subnormal
+            # (its relative rounding error is what lets x/scale blow
+            # past the code range); for any normal scale, raw codes
+            # must already be in [-127, 127]
+            assert scale < smallest_normal, (x, scale, r)
+        else:
+            # and every unclamped component keeps the scale/2
+            # reconstruction bound
             assert abs(q * scale - x) <= scale / 2 * (1 + 1e-12)
 
 

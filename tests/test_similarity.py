@@ -583,3 +583,18 @@ def test_ivf_partitioned_matches_inmemory_and_prunes(spark, tmp_path, embeddings
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert "__cell" in plan.split("PartitionFilters: [", 1)[1][:200]
+
+
+def test_quantize_subnormal_nonzero_scale_clamps(spark):
+    """A subnormal-but-NONZERO scale (max|x| a few hundred ulps) blows
+    x/scale past the code range; the operator must clamp to ±127
+    rather than emit out-of-range codes (review-found)."""
+    from pandera_forge_spark.operators.similarity import quantize_embeddings
+
+    x = 190 * 5e-324  # scale = x/127 rounds to 5e-324 -> x/scale = 190
+    df = spark.createDataFrame(
+        [(1, [x, -x, 0.0])], "vec_id long, embedding array<double>"
+    )
+    row = quantize_embeddings(df, "embedding").collect()[0]
+    assert row["qvec"] == [127, -127, 0]
+    assert row["qscale"] > 0

@@ -546,3 +546,31 @@ def test_strip_boilerplate_plan_udf_free(spark):
 
     df = spark.createDataFrame([(0, "a\nb")], "doc_id long, text string")
     assert not has_python_udf(strip_boilerplate(df, "text", min_df=2))
+
+
+def test_strip_boilerplate_null_passthrough_and_regex_delimiter(spark):
+    """Review-found edge cases: (a) a NULL passthrough column must not
+    orphan its document (null-safe seed-back join), (b) a regex-
+    metachar delimiter is literal, (c) a text-only frame raises."""
+    import pytest as _pytest
+
+    from pandera_forge_spark.operators.text import strip_boilerplate
+
+    df = spark.createDataFrame(
+        [
+            (1, None, "BANNER|keep one"),
+            (2, "en", "BANNER|keep two"),
+            (3, None, "BANNER|keep three"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate(df, "text", min_df=3, delimiter="|").collect()
+    }
+    assert out[1]["text"] == "keep one" and out[1]["lang"] is None
+    assert out[2]["text"] == "keep two"
+    assert out[3]["text"] == "keep three"
+
+    with _pytest.raises(ValueError):
+        strip_boilerplate(df.select("text"), "text", min_df=3)
