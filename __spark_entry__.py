@@ -2434,6 +2434,64 @@ FROM sc ORDER BY score DESC, doc_id ASC LIMIT 15
 """
 
 
+def q_bm25_join(spark, sf_dir):
+    """Batch sparse retrieval (operators/search.py bm25_join — the
+    BM25 twin of knn_join): the first three documents act as queries
+    against the whole corpus, each getting its top-5 by BM25; scores
+    are micro-unit-quantized long sums (engine-exact). The oracle
+    replays tokenize → per-query distinct terms → semi-filtered
+    postings → df counts → scoring → per-query window rank in DuckDB,
+    so pruning or df-count drift (e.g. counting df after the query
+    join, which would multiply it) hash-mismatches."""
+    from pandera_forge_spark.operators.search import bm25_join
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_join(docs, queries, k=5).orderBy("query_id", "rank")
+
+
+SQL_BM25_JOIN = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+post AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+qt AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term
+  FROM toks WHERE doc_id < 3
+),
+tf AS (
+  SELECT doc_id, term, dl, COUNT(*) AS tf
+  FROM post WHERE term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY 1, 2, 3
+),
+st AS (SELECT COUNT(*) AS n_docs, AVG(len(t)) AS avgdl FROM toks),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(CAST(floor(
+           (ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+            * ((tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / st.avgdl))))
+           * 1000000.0 + 0.5) AS BIGINT)) AS s
+  FROM tf JOIN qt USING (term) JOIN dfq USING (term) CROSS JOIN st
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, doc_id, s / 1000000.0 AS score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Hybrid sparse+dense retrieval via reciprocal-rank fusion
     (operators/search.py rrf_fuse): BM25 top-20 for a 4-term query
@@ -3585,6 +3643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk_recall": q_quantized_topk_recall,
         "bm25_topk": q_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
+        "bm25_join": q_bm25_join,
         "zorder_events": q_zorder_events,
         "benford_lineitem": q_benford_lineitem,
         "strip_boilerplate": q_strip_boilerplate,
@@ -3738,6 +3797,7 @@ def oracle_sql() -> dict[str, str]:
         "quantized_topk_recall": SQL_QUANTIZED_TOPK_RECALL,
         "bm25_topk": SQL_BM25_TOPK,
         "hybrid_rrf": SQL_HYBRID_RRF,
+        "bm25_join": SQL_BM25_JOIN,
         "zorder_events": SQL_ZORDER_EVENTS,
         "benford_lineitem": SQL_BENFORD_LINEITEM,
         "strip_boilerplate": SQL_STRIP_BOILERPLATE,

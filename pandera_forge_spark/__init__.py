@@ -80,6 +80,7 @@ from pandera_forge_spark.operators.layout import (
 )
 from pandera_forge_spark.operators.search import (
     bm25_index,
+    bm25_join,
     bm25_topk,
     corpus_stats,
     rrf_fuse,
@@ -186,6 +187,7 @@ __all__ = [
     "redact",
     "deterministic_shuffle",
     "bm25_index",
+    "bm25_join",
     "bm25_topk",
     "corpus_stats",
     "rrf_fuse",

@@ -142,6 +142,88 @@ def bm25_topk(
     )
 
 
+def bm25_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_text_col: str = "text",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    index: DataFrame | None = None,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Batch sparse retrieval — the BM25 twin of ``similarity.knn_join``:
+    every row of ``queries`` gets its top-``k`` corpus documents by
+    BM25. The bulk shape behind eval-set leak triage ("for EACH
+    benchmark question, which training docs score highest?") and
+    retrieval-augmented labeling, where one query at a time would mean
+    thousands of jobs.
+
+    Plan shape for 10^12 docs × 10^5 queries:
+    - queries tokenize to ``(query_id, term)`` pairs (per-query
+      DISTINCT terms — BM25 ignores query-term multiplicity);
+    - the postings frame is filtered by a BROADCAST semi-join on the
+      queries' distinct term set — the dynamic-set equivalent of
+      ``bm25_topk``'s literal ``isin`` (same posting-list pruning; the
+      term set is query-frame-sized, hence broadcastable);
+    - document frequencies come from the filtered postings (exact: df
+      counts the FULL corpus occurrences of each surviving term);
+    - scoring joins postings to query terms ON TERM (broadcast), sums
+      micro-unit long contributions per (query, doc) — order-free,
+      engine-exact — and takes top-k per query with a window
+      (partitioned by query: parallel across queries, never global).
+
+    Returns ``(query_id_col, id_col, score, rank)``.
+    """
+    idx = index if index is not None else bm25_index(corpus, text_col, id_col)
+    st = stats if stats is not None else corpus_stats(corpus, text_col)
+
+    q_terms = queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(tokens(F.col(query_text_col)))).alias("term"),
+    )
+    term_set = q_terms.select("term").distinct()
+    hits = idx.join(F.broadcast(term_set), "term", "left_semi")
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        hits.join(F.broadcast(q_terms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(st))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_term = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = F.floor(idf * tf_term * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    per_pair = (
+        scored.select(F.col(query_id_col), F.col(id_col), contrib.alias("__c"))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__c").alias("__s"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__s"), F.asc(id_col)
+    )
+    return (
+        per_pair.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            (F.col("__s") / F.lit(1000000.0)).alias("score"),
+            "rank",
+        )
+    )
+
+
 def rrf_fuse(
     rankings: list[tuple[DataFrame, str]],
     id_col: str,

@@ -167,3 +167,39 @@ def test_bm25_bucketed_index_prunes_buckets(spark):
         assert top.count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS __bm25_postings_test")
+
+
+def test_bm25_join_matches_single_query_path(spark):
+    """bm25_join over a one-row query frame must equal bm25_topk for
+    the same query string (rank included), and multiple queries rank
+    independently."""
+    from pandera_forge_spark.operators.search import bm25_join
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(10, "spark hash join"), (20, "window rank")],
+        "query_id long, text string",
+    )
+    joined = bm25_join(df, queries, k=5)
+    by_q = {}
+    for r in joined.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+
+    single = bm25_topk(df, "text", "doc_id", "spark hash join", k=5).collect()
+    got = sorted(by_q[10], key=lambda r: r["rank"])
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in single
+    ]
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    # second query scores independently: doc 2 (window functions rank
+    # rows) tops "window rank"
+    assert sorted(by_q[20], key=lambda r: r["rank"])[0]["doc_id"] == 2
+
+
+def test_bm25_join_plan_udf_free(spark):
+    from pandera_forge_spark.operators.search import bm25_join
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = spark.createDataFrame([(1, "spark")], "query_id long, text string")
+    assert not has_python_udf(bm25_join(df, queries, k=3))
