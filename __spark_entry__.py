@@ -2492,6 +2492,57 @@ FROM r WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_event_funnel(spark, sf_dir):
+    """Ordered-step conversion funnel (operators/temporal.py
+    event_funnel): per user, progression through view → click →
+    purchase where each step must be STRICTLY after the previous
+    step's first qualifying time. Spark computes it as ONE shuffle +
+    a row-local fold over the time-sorted step events; the oracle is
+    the k-pass sequential-min formulation (t1 = min view; t2 = min
+    click > t1; t3 = min purchase > t2) — two independent derivations
+    of the same semantics, value-compared per user."""
+    from pandera_forge_spark.operators.temporal import event_funnel
+
+    ev = _t(spark, sf_dir, "events")
+    f = event_funnel(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+    return f.select(
+        "user_id",
+        "steps_completed",
+        F.round("completed_ts", 6).alias("completed_ts"),
+    ).orderBy("user_id")
+
+
+SQL_EVENT_FUNNEL = """
+WITH e AS (SELECT user_id, epoch(ts) AS ts, event_type FROM events),
+keys AS (
+  SELECT DISTINCT user_id FROM e
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+t1 AS (SELECT user_id, MIN(ts) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+t2 AS (
+  SELECT e.user_id, MIN(ts) AS t FROM e JOIN t1 USING (user_id)
+  WHERE event_type = 'click' AND e.ts > t1.t GROUP BY 1
+),
+t3 AS (
+  SELECT e.user_id, MIN(ts) AS t FROM e JOIN t2 USING (user_id)
+  WHERE event_type = 'purchase' AND e.ts > t2.t GROUP BY 1
+)
+SELECT k.user_id,
+       CAST(CASE WHEN t3.t IS NOT NULL THEN 3
+                 WHEN t2.t IS NOT NULL THEN 2
+                 WHEN t1.t IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS steps_completed,
+       ROUND(t3.t, 6) AS completed_ts
+FROM keys k
+LEFT JOIN t1 USING (user_id)
+LEFT JOIN t2 USING (user_id)
+LEFT JOIN t3 USING (user_id)
+ORDER BY user_id
+"""
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Hybrid sparse+dense retrieval via reciprocal-rank fusion
     (operators/search.py rrf_fuse): BM25 top-20 for a 4-term query
@@ -3644,6 +3695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
         "bm25_join": q_bm25_join,
+        "event_funnel": q_event_funnel,
         "zorder_events": q_zorder_events,
         "benford_lineitem": q_benford_lineitem,
         "strip_boilerplate": q_strip_boilerplate,
@@ -3798,6 +3850,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": SQL_BM25_TOPK,
         "hybrid_rrf": SQL_HYBRID_RRF,
         "bm25_join": SQL_BM25_JOIN,
+        "event_funnel": SQL_EVENT_FUNNEL,
         "zorder_events": SQL_ZORDER_EVENTS,
         "benford_lineitem": SQL_BENFORD_LINEITEM,
         "strip_boilerplate": SQL_STRIP_BOILERPLATE,

@@ -87,6 +87,7 @@ from pandera_forge_spark.operators.search import (
 )
 from pandera_forge_spark.operators.temporal import (
     asof_join,
+    event_funnel,
     interval_join,
     session_stats,
     sessionize,
@@ -197,6 +198,7 @@ __all__ = [
     "quantize_dim",
     "zorder_value",
     "asof_join",
+    "event_funnel",
     "interval_join",
     "session_stats",
     "sessionize",

@@ -374,3 +374,82 @@ def time_rollup(
     partitioned/sorted by time the scan prunes to the queried range."""
     bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
     return events.groupBy(bucket, *[F.col(k) for k in extra_keys]).agg(*agg_exprs)
+
+
+def event_funnel(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Ordered-step funnel per key — the product-analytics primitive
+    "how far did each user get through view → click → purchase?",
+    where each step must occur STRICTLY AFTER the previous step's
+    first qualifying occurrence (equivalently: t1 = min ts of step 1,
+    t2 = min ts of step 2 with ts > t1, …).
+
+    ONE shuffle, not one per step: the k-pass "min-then-join-then-min"
+    formulation shuffles k times; here each key's step events are
+    collected once, sorted row-locally, and a single ``aggregate``
+    fold walks them in time order advancing a (step, last_ts) state —
+    the per-key sequential scan the semantics inherently require,
+    done inside the row instead of across k jobs. The collect buffer
+    holds only STEP-typed events for the key (the ``isin`` filter runs
+    before the shuffle), the usual per-user cardinality bound; a
+    pathologically hot key inherits the same caveat as any
+    order-dependent per-key operator here (see ``sessionize``'s
+    split-stitch discussion).
+
+    Tie semantics: equal timestamps do NOT advance (strict ``>``), so
+    the result is insensitive to the sort order of same-timestamp
+    events — and therefore deterministic and engine-replayable.
+
+    Returns ``(key_col, steps_completed, completed_ts)`` — one row per
+    key that has at least one step-typed event; ``completed_ts`` is
+    the epoch-seconds of the final step (NULL unless all steps
+    completed).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ts = _seconds(events, ts_col)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    per_key = (
+        events.where(F.col(type_col).isin(list(steps)))
+        .groupBy(key_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(ts.alias("ts"), F.col(type_col).alias("t"))
+                )
+            ).alias("__evs")
+        )
+    )
+    init = F.struct(
+        F.lit(0).alias("step"), F.lit(float("-inf")).alias("last_ts")
+    )
+
+    def fold(acc, ev):
+        # try_element_at: NULL past the end (funnel already complete)
+        # instead of an ANSI index error; NULL comparison is false
+        want = F.try_element_at(steps_arr, acc["step"] + F.lit(1))
+        advance = (
+            want.isNotNull()
+            & (ev["t"] == want)
+            & (ev["ts"] > acc["last_ts"])
+        )
+        return F.when(
+            advance,
+            F.struct(
+                (acc["step"] + F.lit(1)).alias("step"),
+                ev["ts"].alias("last_ts"),
+            ),
+        ).otherwise(acc)
+
+    final = F.aggregate(F.col("__evs"), init, fold)
+    n = len(steps)
+    return per_key.select(
+        F.col(key_col),
+        final["step"].alias("steps_completed"),
+        F.when(final["step"] == n, final["last_ts"]).alias("completed_ts"),
+    )

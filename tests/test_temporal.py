@@ -309,3 +309,58 @@ def test_split_stitch_plans_stay_equi_join(spark):
         assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
         assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
                 or "BroadcastHashJoin" in plan)
+
+
+def test_event_funnel_strict_ordering(spark):
+    """Funnel semantics: steps must be strictly increasing in time —
+    a purchase BEFORE the click doesn't count, equal timestamps don't
+    advance, keys without step events don't appear, and completion
+    carries the final step's time."""
+    import pytest as _pytest
+
+    from pandera_forge_spark.operators.temporal import event_funnel
+
+    rows = [
+        # u1: full funnel in order
+        (1, 10.0, "view"), (1, 20.0, "click"), (1, 30.0, "purchase"),
+        # u2: purchase precedes click -> stuck at 2 (view, click)
+        (2, 10.0, "view"), (2, 15.0, "purchase"), (2, 20.0, "click"),
+        # u3: click at the SAME ts as view -> strict > blocks it
+        (3, 10.0, "view"), (3, 10.0, "click"),
+        # u4: only a later-step event -> 0 steps but still reported
+        (4, 5.0, "purchase"),
+        # u5: no step events at all -> absent
+        (5, 5.0, "error"),
+        # u6: repeated steps pick the EARLIEST qualifying occurrence
+        (6, 1.0, "view"), (6, 2.0, "click"), (6, 9.0, "click"),
+        (6, 3.0, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts double, event_type string")
+    got = {
+        r["user_id"]: (r["steps_completed"], r["completed_ts"])
+        for r in event_funnel(
+            df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got[1] == (3, 30.0)
+    assert got[2] == (2, None)
+    assert got[3] == (1, None)
+    assert got[4] == (0, None)
+    assert 5 not in got
+    assert got[6] == (3, 3.0)  # click@2 then purchase@3, not click@9
+
+    with _pytest.raises(ValueError):
+        event_funnel(df, "user_id", "ts", "event_type", [])
+
+
+def test_event_funnel_plan_single_shuffle_udf_free(spark):
+    from pandera_forge_spark.operators.temporal import event_funnel
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    df = spark.createDataFrame(
+        [(1, 1.0, "view")], "user_id long, ts double, event_type string"
+    )
+    out = event_funnel(df, "user_id", "ts", "event_type", ["view", "click"])
+    assert not has_python_udf(out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan  # one shuffle, not one per step
