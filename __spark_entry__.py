@@ -2543,6 +2543,35 @@ ORDER BY user_id
 """
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Retention cohort matrix (operators/temporal.py
+    retention_cohorts): users cohorted by first active day
+    (86400-second epoch-anchored periods), counted in each later
+    active day. The oracle replays dedup → per-key min → join → count
+    in DuckDB."""
+    from pandera_forge_spark.operators.temporal import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev, "user_id", "ts", period_seconds=86400.0).orderBy(
+        "cohort_period", "periods_since"
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH active AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS period
+  FROM events
+),
+cohorts AS (SELECT user_id, MIN(period) AS cohort FROM active GROUP BY 1)
+SELECT c.cohort AS cohort_period,
+       a.period - c.cohort AS periods_since,
+       CAST(COUNT(*) AS BIGINT) AS n_active
+FROM active a JOIN cohorts c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Hybrid sparse+dense retrieval via reciprocal-rank fusion
     (operators/search.py rrf_fuse): BM25 top-20 for a 4-term query
@@ -3696,6 +3725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "bm25_join": q_bm25_join,
         "event_funnel": q_event_funnel,
+        "retention_cohorts": q_retention_cohorts,
         "zorder_events": q_zorder_events,
         "benford_lineitem": q_benford_lineitem,
         "strip_boilerplate": q_strip_boilerplate,
@@ -3851,6 +3881,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": SQL_HYBRID_RRF,
         "bm25_join": SQL_BM25_JOIN,
         "event_funnel": SQL_EVENT_FUNNEL,
+        "retention_cohorts": SQL_RETENTION_COHORTS,
         "zorder_events": SQL_ZORDER_EVENTS,
         "benford_lineitem": SQL_BENFORD_LINEITEM,
         "strip_boilerplate": SQL_STRIP_BOILERPLATE,

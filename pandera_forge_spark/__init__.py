@@ -88,6 +88,7 @@ from pandera_forge_spark.operators.search import (
 from pandera_forge_spark.operators.temporal import (
     asof_join,
     event_funnel,
+    retention_cohorts,
     interval_join,
     session_stats,
     sessionize,
@@ -199,6 +200,7 @@ __all__ = [
     "zorder_value",
     "asof_join",
     "event_funnel",
+    "retention_cohorts",
     "interval_join",
     "session_stats",
     "sessionize",

@@ -453,3 +453,43 @@ def event_funnel(
         final["step"].alias("steps_completed"),
         F.when(final["step"] == n, final["last_ts"]).alias("completed_ts"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    period_seconds: float = 604800.0,
+) -> DataFrame:
+    """Retention cohort matrix — the other standard product-analytics
+    rollup: keys cohorted by their FIRST activity period, then counted
+    in every later period they were active. Returns
+    ``(cohort_period, periods_since, n_active)`` where
+    ``cohort_period`` is the epoch-anchored period index (floor(epoch /
+    period_seconds) — fixed-width periods, not calendar weeks) and
+    ``periods_since`` is 0 for the cohort period itself.
+
+    Shape: distinct (key, period) pairs first (one partial-aggregated
+    shuffle — this dedupes the raw event volume down to at most
+    keys × active-periods), per-key min as the cohort (a second agg on
+    the already-deduped frame, same key partitioning so AQE keeps it
+    co-located), join back on the key, and a final O(cohorts ×
+    periods)-row count. Nothing scales with raw event count past the
+    first dedup; no UDF anywhere.
+    """
+    if period_seconds <= 0:
+        raise ValueError("period_seconds must be positive")
+    ts = _seconds(events, ts_col)
+    period = F.floor(ts / F.lit(float(period_seconds)))
+    active = (
+        events.select(F.col(key_col), period.alias("__period")).distinct()
+    )
+    cohorts = active.groupBy(key_col).agg(F.min("__period").alias("__cohort"))
+    return (
+        active.join(cohorts, key_col)
+        .groupBy(
+            F.col("__cohort").alias("cohort_period"),
+            (F.col("__period") - F.col("__cohort")).alias("periods_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -364,3 +364,35 @@ def test_event_funnel_plan_single_shuffle_udf_free(spark):
     assert not has_python_udf(out)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan  # one shuffle, not one per step
+
+
+def test_retention_cohorts_closed_form(spark):
+    """Two cohorts with planted churn: counts per (cohort, offset)
+    match the closed form; multiple events in one period count a key
+    once; invalid period raises."""
+    import pytest as _pytest
+
+    from pandera_forge_spark.operators.temporal import retention_cohorts
+
+    rows = [
+        # cohort 0: users 1,2 start period 0; user 1 returns p1, p2;
+        # user 2 returns p2 only (twice in-period -> still one)
+        (1, 5.0), (1, 15.0), (1, 25.0),
+        (2, 7.0), (2, 21.0), (2, 23.0),
+        # cohort 1: user 3 starts p1, returns p2
+        (3, 11.0), (3, 29.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts double")
+    got = {
+        (r["cohort_period"], r["periods_since"]): r["n_active"]
+        for r in retention_cohorts(df, "user_id", "ts", period_seconds=10.0).collect()
+    }
+    assert got == {
+        (0, 0): 2,  # users 1, 2
+        (0, 1): 1,  # user 1
+        (0, 2): 2,  # users 1, 2
+        (1, 0): 1,  # user 3
+        (1, 1): 1,  # user 3 at p2
+    }
+    with _pytest.raises(ValueError):
+        retention_cohorts(df, "user_id", "ts", period_seconds=0)
