@@ -88,8 +88,8 @@ from pandera_forge_spark.operators.search import (
 from pandera_forge_spark.operators.temporal import (
     asof_join,
     event_funnel,
-    retention_cohorts,
     interval_join,
+    retention_cohorts,
     session_stats,
     sessionize,
     time_rollup,
@@ -200,8 +200,8 @@ __all__ = [
     "zorder_value",
     "asof_join",
     "event_funnel",
-    "retention_cohorts",
     "interval_join",
+    "retention_cohorts",
     "session_stats",
     "sessionize",
     "time_rollup",

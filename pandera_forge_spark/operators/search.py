@@ -86,6 +86,26 @@ def corpus_stats(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def _bm25_contrib(k1: float, b: float):
+    """The per-(doc, term) Okapi contribution as a micro-unit long —
+    THE one definition of the scoring formula, shared by the single-
+    query and batch paths (and mirrored literally by their SQL
+    oracles): ``floor(idf · tf_norm · 1e6 + 0.5)`` over columns
+    (tf, dl, df, n_docs, avgdl). Integer micro-units make per-doc sums
+    order-independent; see the module docstring for the residual
+    ``ln`` cross-engine caveat."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_term = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return F.floor(idf * tf_term * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+
 def bm25_topk(
     df: DataFrame,
     text_col: str,
@@ -120,18 +140,7 @@ def bm25_topk(
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     scored = hits.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(st))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tf_term = (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1)
-        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-    )
-    # quantize per-term contributions to exact integer micro-units so
-    # the per-doc sum is order-independent (see module docstring)
-    contrib = F.floor(idf * tf_term * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    contrib = _bm25_contrib(k1, b)
     return (
         scored.select(F.col(id_col), contrib.alias("__c"))
         .groupBy(id_col)
@@ -181,10 +190,31 @@ def bm25_join(
     idx = index if index is not None else bm25_index(corpus, text_col, id_col)
     st = stats if stats is not None else corpus_stats(corpus, text_col)
 
+    # tokenless queries would otherwise VANISH from the output (no
+    # terms, no joins) — in leak triage that reads as "no leak found";
+    # fail loudly instead. One tiny limit(1) job over the query frame.
+    empty = (
+        # coalesce first: tokens(NULL) is NULL and size(NULL) is NULL
+        # under ANSI, so a bare size()==0 would let NULL text slip past
+        queries.where(
+            F.size(tokens(F.coalesce(F.col(query_text_col), F.lit("")))) == 0
+        )
+        .select(query_id_col)
+        .limit(1)
+        .collect()
+    )
+    if empty:
+        raise ValueError(
+            f"query {query_id_col}={empty[0][0]!r} has no tokens — "
+            "tokenless queries would silently disappear from the result"
+        )
+    # .distinct(): duplicate query rows would otherwise duplicate
+    # (query_id, term) pairs and sum each contribution once per copy —
+    # silently k-folding every score
     q_terms = queries.select(
         F.col(query_id_col),
         F.explode(F.array_distinct(tokens(F.col(query_text_col)))).alias("term"),
-    )
+    ).distinct()
     term_set = q_terms.select("term").distinct()
     hits = idx.join(F.broadcast(term_set), "term", "left_semi")
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -194,16 +224,7 @@ def bm25_join(
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(st))
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tf_term = (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1)
-        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-    )
-    contrib = F.floor(idf * tf_term * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    contrib = _bm25_contrib(k1, b)
     per_pair = (
         scored.select(F.col(query_id_col), F.col(id_col), contrib.alias("__c"))
         .groupBy(query_id_col, id_col)

@@ -485,8 +485,11 @@ def retention_cohorts(
         events.select(F.col(key_col), period.alias("__period")).distinct()
     )
     cohorts = active.groupBy(key_col).agg(F.min("__period").alias("__cohort"))
+    # null-safe join-back (module convention): a NULL key is a real
+    # group (anonymous traffic) and must keep its cohort row — a plain
+    # name-list join would silently drop it from the matrix
     return (
-        active.join(cohorts, key_col)
+        _nullsafe_equi_join(active, cohorts, [key_col], "inner")
         .groupBy(
             F.col("__cohort").alias("cohort_period"),
             (F.col("__period") - F.col("__cohort")).alias("periods_since"),

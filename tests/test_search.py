@@ -1,3 +1,4 @@
+import pytest
 """BM25 sparse retrieval (operators/search.py)."""
 
 import math
@@ -203,3 +204,29 @@ def test_bm25_join_plan_udf_free(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     queries = spark.createDataFrame([(1, "spark")], "query_id long, text string")
     assert not has_python_udf(bm25_join(df, queries, k=3))
+
+
+def test_bm25_join_guards_duplicates_and_empty_queries(spark):
+    """Review-found edges: duplicate query rows must not k-fold scores,
+    and a tokenless query raises instead of vanishing."""
+    from pandera_forge_spark.operators.search import bm25_join
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    dup = spark.createDataFrame(
+        [(10, "spark hash"), (10, "spark hash")], "query_id long, text string"
+    )
+    single = spark.createDataFrame(
+        [(10, "spark hash")], "query_id long, text string"
+    )
+    assert (
+        bm25_join(df, dup, k=5).collect()
+        == bm25_join(df, single, k=5).collect()
+    )
+    with pytest.raises(ValueError):
+        bm25_join(df, spark.createDataFrame(
+            [(1, "spark"), (2, "   ")], "query_id long, text string"
+        ))
+    with pytest.raises(ValueError):
+        bm25_join(df, spark.createDataFrame(
+            [(1, "spark"), (2, None)], "query_id long, text string"
+        ))

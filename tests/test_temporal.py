@@ -396,3 +396,18 @@ def test_retention_cohorts_closed_form(spark):
     }
     with _pytest.raises(ValueError):
         retention_cohorts(df, "user_id", "ts", period_seconds=0)
+
+
+def test_retention_cohorts_keeps_null_keys(spark):
+    """NULL keys (anonymous traffic) are a real cohort group — the
+    null-safe join-back must keep them in the matrix."""
+    from pandera_forge_spark.operators.temporal import retention_cohorts
+
+    df = spark.createDataFrame(
+        [(None, 5.0), (None, 15.0), (1, 5.0)], "user_id long, ts double"
+    )
+    got = {
+        (r["cohort_period"], r["periods_since"]): r["n_active"]
+        for r in retention_cohorts(df, "user_id", "ts", period_seconds=10.0).collect()
+    }
+    assert got == {(0, 0): 2, (0, 1): 1}
