@@ -3674,7 +3674,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   1-17: never present in any CORRECTNESS_r{1,2,3} artifact
     #         (judge-verified green by hand in round 3),
     #  18-32: last driver-verified in rounds 1-2 (outside the r3 window),
-    #  33+  : new round-4 queries, then the round-3-verified tail.
+    #  33-49: the 17 new round-4 queries (window at EXACT capacity),
+    #  50+  : the round-3-verified tail.
+    # ROUND-5 ROTATION (do this first next round): after CORRECTNESS_r04
+    # verifies positions 1-50, move the round-3-verified tail (positions
+    # 51+, `profile_fused_orders` onward) to the FRONT and the r4-verified
+    # block to the back, so every query is driver-verified at most two
+    # rounds apart.
     return {
         # -- never driver-checked (r3 positions 51-82) ---------------------
         "pii_scan": q_pii_scan,
