@@ -31,3 +31,17 @@ def test_retrieval_pipeline_example(spark):
     assert len(report["hybrid"]["top"]) == 10
     # every hybrid winner was checked for benchmark leakage
     assert report["leak_triage"]["checked"] == 10
+
+
+def test_analytics_pipeline_example(spark):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    import analytics_pipeline
+
+    report = analytics_pipeline.run(spark, "/root/testdata/sf0.001")
+    assert report["sessions"]["n_sessions"] > 0
+    assert sum(report["funnel"].values()) == 15  # every sf0.001 user funnels
+    assert report["retention"]["day0_users"] == 15
+    assert report["rollup"]["hours"] > 0
