@@ -2040,10 +2040,10 @@ def q_time_travel_epochs(spark, sf_dir):
 
 
 SQL_TIME_TRAVEL_EPOCHS = """
-SELECT 'v1' AS version, COUNT(*) AS n_rows, SUM(o_orderkey) AS sum_key
+SELECT 'v1' AS version, COUNT(*) AS n_rows, CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
 FROM orders WHERE o_orderkey % 3 = 0
 UNION ALL
-SELECT 'v2' AS version, COUNT(*) AS n_rows, SUM(o_orderkey) AS sum_key
+SELECT 'v2' AS version, COUNT(*) AS n_rows, CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
 FROM orders WHERE o_orderkey % 3 IN (0, 1)
 ORDER BY version
 """
@@ -3304,8 +3304,8 @@ flags AS (
     SUM(CASE WHEN regexp_matches(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b') THEN 1 ELSE 0 END) AS ipv4
   FROM planted)
 SELECT 'text' AS "column", p.pattern, f.rows_ AS rows,
-       CASE p.pattern WHEN 'email' THEN f.email WHEN 'credit_card' THEN f.credit_card
-            WHEN 'ssn' THEN f.ssn WHEN 'phone_us' THEN f.phone_us ELSE f.ipv4 END AS hits,
+       CAST(CASE p.pattern WHEN 'email' THEN f.email WHEN 'credit_card' THEN f.credit_card
+            WHEN 'ssn' THEN f.ssn WHEN 'phone_us' THEN f.phone_us ELSE f.ipv4 END AS BIGINT) AS hits,
        ROUND(CASE p.pattern WHEN 'email' THEN f.email WHEN 'credit_card' THEN f.credit_card
             WHEN 'ssn' THEN f.ssn WHEN 'phone_us' THEN f.phone_us ELSE f.ipv4 END * 1.0 / f.rows_, 6) AS hit_ratio
 FROM flags f, (VALUES ('email'), ('credit_card'), ('ssn'), ('phone_us'), ('ipv4')) AS p(pattern)
@@ -3455,7 +3455,7 @@ WITH k AS ({_DUCK_KEYED}), c AS (
   FROM k
 )
 SELECT doc_id, t AS tokens, CAST(shard AS BIGINT) AS shard,
-       cum - t AS start_offset,
+       CAST(cum - t AS BIGINT) AS start_offset,
        CAST(floor((cum - t) / 2048.0) AS BIGINT) AS pack_first,
        CAST(floor((cum - least(t, 1)) / 2048.0) AS BIGINT) AS pack_last
 FROM c ORDER BY doc_id
@@ -3606,7 +3606,7 @@ WITH s AS (
          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s
                            ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
   FROM s)
-SELECT user_id, session_idx, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events,
        ROUND(MIN(ts_s), 6) AS start_ts, ROUND(MAX(ts_s), 6) AS end_ts,
        ROUND(MAX(ts_s) - MIN(ts_s), 6) AS duration_secs
 FROM t GROUP BY user_id, session_idx ORDER BY user_id, session_idx

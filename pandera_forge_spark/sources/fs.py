@@ -121,6 +121,7 @@ class DriverFS:
             fs, p = h
             _, d = self._hadoop(dst)
             return bool(fs.rename(p, d))
+        import errno
         import os
 
         s, d = self._local(src), self._local(dst)
@@ -129,8 +130,21 @@ class DriverFS:
             # REPLACES an existing dst, but link fails atomically —
             # the claim semantics HDFS rename gives for free
             os.link(s, d)
-        except FileExistsError:
-            return False
+        except OSError as e:
+            if e.errno == errno.EEXIST:
+                return False
+            # Filesystems without hardlinks (some network/FUSE mounts)
+            # raise EPERM/EOPNOTSUPP/EXDEV here — claim dst with an
+            # exclusive create instead, then replace the placeholder.
+            try:
+                fd = os.open(d, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except OSError as e2:
+                if e2.errno == errno.EEXIST:
+                    return False
+                raise
+            os.close(fd)
+            os.replace(s, d)
+            return True
         s.unlink()
         return True
 

@@ -21,9 +21,28 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def normalize(v):
+    """Type-faithful, full-precision rendering (round 5).
+
+    The round-4 version coerced Decimal->float, integer-floats->int and
+    rendered everything through %.6g — lossier than the driver's hash, so
+    five HUGEINT oracle columns passed locally and failed the driver
+    (VERDICT r4 item 2). Now: ints render as ints, floats as full repr()
+    (round-trip precision), Decimals as their own str() — so a DuckDB
+    HUGEINT that pandas fetches as float64 renders '4.5e+08'-style and
+    visibly diverges from Spark's bigint.
+    """
     import datetime
     import math
 
+    try:
+        import numpy as np
+
+        if isinstance(v, np.generic):
+            v = v.item()
+        if isinstance(v, np.ndarray):
+            v = list(v)
+    except ImportError:
+        pass
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -31,21 +50,15 @@ def normalize(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6g}"
+        return repr(v)
     if isinstance(v, (datetime.datetime, datetime.date)):
         return str(v)
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple)):
         return "[" + ",".join(normalize(x) for x in v) + "]"
-    try:
-        import decimal
+    import decimal
 
-        if isinstance(v, decimal.Decimal):
-            f = float(v)
-            return normalize(f)
-    except ImportError:
-        pass
+    if isinstance(v, decimal.Decimal):
+        return str(v)
     return str(v)
 
 
@@ -95,8 +108,13 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # Fetch through pandas (like the driver's Arrow path) so dtype
+            # divergence — e.g. a nullable bigint widening to float64 —
+            # shows up in the rendered values, not just in collect()'s
+            # Python objects.
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
@@ -106,8 +124,9 @@ def main():
             continue
         try:
             res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = res.df()
+            ocols = list(opdf.columns)
+            orows = [tuple(r) for r in opdf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
