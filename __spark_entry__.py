@@ -2049,6 +2049,83 @@ ORDER BY version
 """
 
 
+def q_stream_dedup_epochs(spark, sf_dir):
+    """Streaming near-dedup (streaming/dedup.py stream_near_dedup — the
+    foreachBatch band-index path) driven END-TO-END in-process over 3
+    planted epochs with availableNow, the time_travel_epochs pattern:
+    epoch 0 initializes the index, epochs 1-2 probe-then-append, and the
+    per-epoch match sink is read back as the result. The corpus is
+    closed-form: doc i carries 12 tokens that each embed i%25, so every
+    3-shingle contains the residue — same residue => identical shingle
+    set (verified jaccard exactly 1.0), different residue => disjoint
+    (jaccard 0). A match is therefore exactly a cross-epoch residue
+    collision with epoch(new) > epoch(corpus), which the oracle derives
+    from range(60) directly. Exactly-once: each planted pair appears in
+    ONE epoch's sink; a duplicate emission or a self-match breaks the
+    row count and hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from pandera_forge_spark.streaming import stream_near_dedup
+
+    K, PER, N = 25, 20, 60  # residue classes, docs/epoch, 3 epochs
+    root = tempfile.mkdtemp(prefix="pfs_sdd_")
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        r = (F.col("id") % K).cast("string")
+        text = F.concat_ws(
+            " ", *[F.concat(F.lit(f"t{t}x"), r) for t in range(12)]
+        )
+        for e in range(3):
+            stage = os.path.join(root, f"stage{e}")
+            (
+                spark.range(e * PER, (e + 1) * PER)
+                .select(F.col("id").cast("string").alias("doc_id"), text.alias("text"))
+                .coalesce(1)
+                .write.parquet(stage)
+            )
+            part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+            dst = os.path.join(src, f"epoch{e}.parquet")
+            os.replace(os.path.join(stage, part), dst)
+            shutil.rmtree(stage, ignore_errors=True)
+            os.utime(dst, (1_000_000_000 + e * 1000,) * 2)  # mtime = epoch order
+
+        stream = (
+            spark.readStream.schema("doc_id string, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        sink = os.path.join(root, "matches")
+        writer = stream_near_dedup(
+            stream, os.path.join(root, "idx"), sink,
+            text_col="text", id_col="doc_id",
+            threshold=0.5, max_bucket=None,
+            checkpoint=os.path.join(root, "ckpt"),
+        )
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(300)
+        rows = [
+            (rec["new_id"], rec["corpus_id"], float(rec["jaccard"]))
+            for rec in spark.read.parquet(f"{sink}/__epoch=*").collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "new_id string, corpus_id string, jaccard double"
+    ).orderBy("new_id", "corpus_id")
+
+
+SQL_STREAM_DEDUP_EPOCHS = """
+WITH d AS (SELECT CAST(i AS BIGINT) AS i FROM range(60) t(i))
+SELECT CAST(a.i AS VARCHAR) AS new_id, CAST(b.i AS VARCHAR) AS corpus_id,
+       CAST(1.0 AS DOUBLE) AS jaccard
+FROM d a JOIN d b ON a.i % 25 = b.i % 25 AND a.i // 20 > b.i // 20
+ORDER BY new_id, corpus_id
+"""
+
+
 def q_quarantine_counts(spark, sf_dir):
     """One-pass valid/quarantine routing (validator.quarantine_split):
     the verdict column + partitionBy write + observe-counted sides,
@@ -3670,83 +3747,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
     # "least recently driver-verified first" and rotated each round
-    # (rotation history in BASELINE.md).  Round 4 front-loads:
-    #   1-17: never present in any CORRECTNESS_r{1,2,3} artifact
-    #         (judge-verified green by hand in round 3),
-    #  18-32: last driver-verified in rounds 1-2 (outside the r3 window),
-    #  33-49: the 17 new round-4 queries (window at EXACT capacity),
-    #  50+  : the round-3-verified tail.
-    # ROUND-5 ROTATION (do this first next round): after CORRECTNESS_r04
-    # verifies positions 1-50, move the round-3-verified tail (positions
-    # 51+, `profile_fused_orders` onward) to the FRONT and the r4-verified
-    # block to the back, so every query is driver-verified at most two
-    # rounds apart.
+    # (rotation history in BASELINE.md; per-query last-green ledger in
+    # VERIFICATION_LEDGER.json, regenerated by scripts/verification_ledger.py).
+    # Round 5 front-loads, per VERDICT r4 items 1 and 3:
+    #   1-5:  the five round-4 red rows (judge-verified value-correct; their
+    #         oracle SQL emitted DuckDB HUGEINT columns, now CAST to BIGINT),
+    #   6:    stream_dedup_epochs, the one new round-5 oracle row,
+    #   7-50: the round-3-verified tail (44 of its 49 queries).
+    # The window holds 50 but 5 fixed + 1 new + 49 tail = 55 candidates, so
+    # five tail queries stay at positions 51-55; each is a parameter-variant
+    # of an in-window sibling (rationale inline below), keeping every DISTINCT
+    # code path driver-verified within the last two rounds.
     return {
-        # -- never driver-checked (r3 positions 51-82) ---------------------
+        # -- round-4 red rows, oracle HUGEINT CASTs fixed (VERDICT r4 #1) ------
         "pii_scan": q_pii_scan,
-        "pii_redact": q_pii_redact,
-        "span_ref_integrity": q_span_ref_integrity,
-        "fd_source_lang": q_fd_source_lang,
-        "shuffle_shards": q_shuffle_shards,
         "pack_concat_split": q_pack_concat_split,
-        "pack_greedy": q_pack_greedy,
-        "asof_events": q_asof_events,
         "sessions_user": q_sessions_user,
-        "interval_join_events": q_interval_join_events,
-        "hourly_rollup": q_hourly_rollup,
-        "repetition_metrics": q_repetition_metrics,
-        "top_ngrams": q_top_ngrams,
-        "contamination_bench": q_contamination_bench,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "token_histogram": q_token_histogram,
-        "filter_funnel": q_filter_funnel,
-        # -- last driver-verified in rounds 1-2 ----------------------------
-        "text_metrics": q_text_metrics,
-        "token_stats_by_lang": q_token_stats_by_lang,
-        "cosine_topk": q_cosine_topk,
-        "embedding_norms": q_embedding_norms,
-        "inferred_schema_region": q_inferred_schema_region,
-        "profile_by_group_lineitem": q_profile_by_group_lineitem,
-        "text_quality": q_text_quality,
-        "language_id": q_language_id,
-        "ngram_jaccard_planted": q_ngram_jaccard_planted,
-        "knn_join": q_knn_join,
-        "duplicate_order_rows": q_duplicate_order_rows,
-        "drift_verdicts_orders": q_drift_verdicts_orders,
-        "multimodal_features": q_multimodal_features,
-        "frame_sample_plan": q_frame_sample_plan,
-        "near_dup_embedding": q_near_dup_embedding,
-        # -- new in round 4 -------------------------------------------------
-        # (inserted here so they land inside the driver's 50-entry window)
-        "ivf_topk_planted": q_ivf_topk_planted,
-        "time_travel_epochs": q_time_travel_epochs,
-        "asof_events_split": q_asof_events_split,
         "sessions_user_split": q_sessions_user_split,
-        "quarantine_counts": q_quarantine_counts,
-        "audit_sla": q_audit_sla,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "fingerprint_overlap": q_fingerprint_overlap,
-        "quantized_topk_recall": q_quantized_topk_recall,
-        "bm25_topk": q_bm25_topk,
-        "hybrid_rrf": q_hybrid_rrf,
-        "bm25_join": q_bm25_join,
-        "event_funnel": q_event_funnel,
-        "retention_cohorts": q_retention_cohorts,
-        "zorder_events": q_zorder_events,
-        "benford_lineitem": q_benford_lineitem,
-        "strip_boilerplate": q_strip_boilerplate,
-        # -- driver-verified green in round 3 (first-50 tail) ---------------
-        "profile_lineitem": q_profile_lineitem,
+        "time_travel_epochs": q_time_travel_epochs,
+        # -- new round-5 component (needs its first driver row) ----------------
+        "stream_dedup_epochs": q_stream_dedup_epochs,
+        # -- round-3-verified tail, rotated in (last driver-green r3) ----------
         "profile_fused_orders": q_profile_fused_orders,
         "uniqueness_orders": q_uniqueness_orders,
         "topk_returnflag": q_topk_returnflag,
-        "topk_event_type": q_topk_event_type,
         "topk_engine_salted": q_topk_engine_salted,
         "isin_domain_linestatus": q_isin_domain_linestatus,
         "duplicate_custkeys": q_duplicate_custkeys,
-        "duplicate_custkeys_salted": q_duplicate_custkeys_salted,
         "ri_customers_without_orders": q_ri_customers_without_orders,
-        "ri_lineitem_orphans": q_ri_lineitem_orphans,
         "pattern_ratios": q_pattern_ratios,
         "validation_verdicts_lineitem": q_validation_verdicts_lineitem,
         "violation_rows_lineitem": q_violation_rows_lineitem,
@@ -3761,9 +3789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_kind_counts": q_span_kind_counts,
         "span_profile": q_span_profile,
         "exact_dup_groups": q_exact_dup_groups,
-        "dedup_exact_count": q_dedup_exact_count,
         "near_dup_minhash": q_near_dup_minhash,
-        "near_dup_viral_capped": q_near_dup_viral_capped,
         "near_dup_simhash": q_near_dup_simhash,
         "incremental_near_dup": q_incremental_near_dup,
         "source_overlap": q_source_overlap,
@@ -3786,6 +3812,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_dropped": q_dedup_near_dropped,
         "stratified_sample_lang": q_stratified_sample_lang,
         "token_budget_lang": q_token_budget_lang,
+        # -- 51-55: left out (50-slot cap); each is a parameter-variant --------
+        # of an in-window sibling: topk_event_type~topk_returnflag,
+        # duplicate_custkeys_salted~duplicate_custkeys (salt flag, also
+        # exercised by topk_engine_salted), ri_lineitem_orphans~
+        # ri_customers_without_orders (same anti-join op), dedup_exact_
+        # count~exact_dup_groups (aggregate of the same result),
+        # near_dup_viral_capped~near_dup_minhash (cap parameter).
+        "topk_event_type": q_topk_event_type,
+        "duplicate_custkeys_salted": q_duplicate_custkeys_salted,
+        "ri_lineitem_orphans": q_ri_lineitem_orphans,
+        "dedup_exact_count": q_dedup_exact_count,
+        "near_dup_viral_capped": q_near_dup_viral_capped,
+        # -- 56+: driver-verified green in CORRECTNESS_r04 ---------------------
+        "pii_redact": q_pii_redact,
+        "span_ref_integrity": q_span_ref_integrity,
+        "fd_source_lang": q_fd_source_lang,
+        "shuffle_shards": q_shuffle_shards,
+        "pack_greedy": q_pack_greedy,
+        "asof_events": q_asof_events,
+        "interval_join_events": q_interval_join_events,
+        "hourly_rollup": q_hourly_rollup,
+        "repetition_metrics": q_repetition_metrics,
+        "top_ngrams": q_top_ngrams,
+        "contamination_bench": q_contamination_bench,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "token_histogram": q_token_histogram,
+        "filter_funnel": q_filter_funnel,
+        "text_metrics": q_text_metrics,
+        "token_stats_by_lang": q_token_stats_by_lang,
+        "cosine_topk": q_cosine_topk,
+        "embedding_norms": q_embedding_norms,
+        "inferred_schema_region": q_inferred_schema_region,
+        "profile_by_group_lineitem": q_profile_by_group_lineitem,
+        "text_quality": q_text_quality,
+        "language_id": q_language_id,
+        "ngram_jaccard_planted": q_ngram_jaccard_planted,
+        "knn_join": q_knn_join,
+        "duplicate_order_rows": q_duplicate_order_rows,
+        "drift_verdicts_orders": q_drift_verdicts_orders,
+        "multimodal_features": q_multimodal_features,
+        "frame_sample_plan": q_frame_sample_plan,
+        "near_dup_embedding": q_near_dup_embedding,
+        "ivf_topk_planted": q_ivf_topk_planted,
+        "asof_events_split": q_asof_events_split,
+        "quarantine_counts": q_quarantine_counts,
+        "audit_sla": q_audit_sla,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "fingerprint_overlap": q_fingerprint_overlap,
+        "quantized_topk_recall": q_quantized_topk_recall,
+        "bm25_topk": q_bm25_topk,
+        "hybrid_rrf": q_hybrid_rrf,
+        "bm25_join": q_bm25_join,
+        "event_funnel": q_event_funnel,
+        "retention_cohorts": q_retention_cohorts,
+        "zorder_events": q_zorder_events,
+        "benford_lineitem": q_benford_lineitem,
+        "strip_boilerplate": q_strip_boilerplate,
+        "profile_lineitem": q_profile_lineitem,
     }
 
 
@@ -3896,4 +3980,5 @@ def oracle_sql() -> dict[str, str]:
         # frame_sample_plan: no oracle — per-row durations derive from
         # Spark's seeded xxhash64 (not reproducible in DuckDB); the
         # driver records the weaker rows-only check for it.
+        "stream_dedup_epochs": SQL_STREAM_DEDUP_EPOCHS,
     }

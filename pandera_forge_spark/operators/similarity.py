@@ -560,7 +560,12 @@ def ivf_topk_partitioned(
     meta = json.loads(DriverFS(spark).read_bytes(f"{path}/_ivf_meta.json"))
     q = [float(v) for v in query]
     probe = _probe_cells(q, meta["centroids"], n_probe)
-    corpus = spark.read.parquet(path).where(F.col("__cell").isin(probe))
+    # Explicit cast: with partitionColumnTypeInference disabled the hive
+    # partition column reads back as string, and an int isin would
+    # silently match nothing (same defense as dedup._with_epochs).
+    corpus = spark.read.parquet(path).where(
+        F.col("__cell").cast("int").isin([int(c) for c in probe])
+    )
     return cosine_topk(corpus, q, k, vec_col, id_col)
 
 

@@ -91,6 +91,14 @@ def stream_near_dedup(
             fs.write_bytes(
                 init_sidecar, json.dumps({"epoch": int(epoch_id)}).encode()
             )
+            # A restart with a FRESH checkpoint restarts epoch ids at 0,
+            # which re-enters this init path against an index that may
+            # carry a prior stream's per-epoch appends; write_band_index
+            # overwrites only bands/ and shingles/, so stale
+            # bands_epochs/__epoch=N dirs would silently union into
+            # later probes. Clear them before (re)initializing.
+            fs.delete(f"{index_path}/bands_epochs", recursive=True)
+            fs.delete(f"{index_path}/shingles_epochs", recursive=True)
             write_band_index(
                 batch_df, index_path, text_col, id_col,
                 num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,

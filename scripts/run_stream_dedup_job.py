@@ -46,6 +46,7 @@ def _fixture_epochs(spark, input_dir: str, n: int) -> None:
     waves. Driver-local file manipulation by design (mtime ordering
     needs os.utime) — fixture smoke runs are local-path only."""
     import os
+    import shutil
 
     if "://" in input_dir:
         raise ValueError(
@@ -83,6 +84,7 @@ def _fixture_epochs(spark, input_dir: str, n: int) -> None:
         )
         os.makedirs(input_dir, exist_ok=True)
         os.replace(f"{stage}/{part}", f"{input_dir}/epoch{i}.parquet")
+        shutil.rmtree(stage, ignore_errors=True)
         os.utime(f"{input_dir}/epoch{i}.parquet", (1_000_000_000 + i * 100,) * 2)
 
 

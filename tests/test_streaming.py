@@ -540,3 +540,82 @@ def test_stream_contamination_stateless_matches_batch(spark, tmp_path):
     # the planted leak is fully contaminated; the pasta doc is not
     assert got[1][1] == got[1][0]
     assert got[2][1] < got[2][0]
+
+
+def test_stream_near_dedup_reinit_clears_stale_epochs(spark, tmp_path):
+    """Restarting a stream with a FRESH checkpoint restarts epoch ids at
+    0, re-entering the init path against the existing index; the init
+    must clear the PRIOR stream's bands_epochs/shingles_epochs appends,
+    or later probes silently union stale corpus rows and emit matches
+    against documents that are no longer part of the standing corpus."""
+    import os
+
+    from pandera_forge_spark.streaming import stream_near_dedup
+
+    BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+
+    def write_epochs(src, epochs):
+        src.mkdir()
+        for i, rows in enumerate(epochs):
+            stage = str(src) + f".stage{i}"
+            spark.createDataFrame(rows, "doc_id string, text string").coalesce(
+                1
+            ).write.parquet(stage)
+            part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+            dst = src / f"epoch{i}.parquet"
+            os.rename(f"{stage}/{part}", dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+
+    def run(src, sink, ckpt):
+        stream = (
+            spark.readStream.schema("doc_id string, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = stream_near_dedup(
+            stream, idx, sink, text_col="text", id_col="doc_id",
+            threshold=0.5, max_bucket=None, checkpoint=str(ckpt),
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(180)
+
+    idx = str(tmp_path / "idx")
+    # first stream: d1 in epoch 0 (init), d101 ~ d1 appended at epoch 1,
+    # d201 ~ d1 appended at epoch 2
+    write_epochs(tmp_path / "src1", [
+        [("d1", BASE)],
+        [("d101", BASE + " x")],
+        [("d201", BASE + " y")],
+    ])
+    sink1 = str(tmp_path / "matches1")
+    run(tmp_path / "src1", sink1, tmp_path / "ck1")
+    pairs1 = sorted(
+        (r["new_id"], r["corpus_id"])
+        for r in spark.read.parquet(f"{sink1}/__epoch=*").collect()
+    )
+    assert pairs1 == [("d101", "d1"), ("d201", "d1"), ("d201", "d101")]
+
+    # second stream, FRESH checkpoint (epoch ids restart at 0), same
+    # index: a SINGLE epoch, so it only re-initializes — the prior
+    # stream's bands_epochs/__epoch=1,2 appends (d101, d201) are never
+    # overwritten by new epochs and, without the init-path clear, stay
+    # unioned into every later probe of the index
+    write_epochs(tmp_path / "src2", [
+        [("e0", "completely unrelated corpus about distributed query engines")],
+    ])
+    sink2 = str(tmp_path / "matches2")
+    run(tmp_path / "src2", sink2, tmp_path / "ck2")
+
+    # batch probe (max_epoch=None unions ALL epoch dirs): the query doc
+    # is a near-dup of the FIRST stream's d101/d201 and of nothing in
+    # the re-initialized corpus — any match is a stale-index leak
+    from pandera_forge_spark.operators.dedup import probe_band_index
+
+    q = spark.createDataFrame(
+        [("q1", BASE + " x z")], "doc_id string, text string"
+    )
+    leaked = probe_band_index(
+        spark, idx, q, "text", "doc_id", threshold=0.5, max_bucket=None
+    )
+    rows2 = leaked.collect()
+    leaked.unpersist()
+    assert rows2 == [], f"stale-index matches leaked: {rows2}"
