@@ -382,6 +382,7 @@ def event_funnel(
     ts_col: str,
     type_col: str,
     steps: Sequence[str],
+    split_every: Optional[float] = None,
 ) -> DataFrame:
     """Ordered-step funnel per key — the product-analytics primitive
     "how far did each user get through view → click → purchase?",
@@ -396,10 +397,20 @@ def event_funnel(
     the per-key sequential scan the semantics inherently require,
     done inside the row instead of across k jobs. The collect buffer
     holds only STEP-typed events for the key (the ``isin`` filter runs
-    before the shuffle), the usual per-user cardinality bound; a
-    pathologically hot key inherits the same caveat as any
-    order-dependent per-key operator here (see ``sessionize``'s
-    split-stitch discussion).
+    before the shuffle), the usual per-user cardinality bound.
+
+    Hot keys: ``split_every=<seconds>`` bounds any task at ONE time
+    chunk's step events, like ``sessionize``/``asof_join``. The fold
+    state ``(step, last_ts)`` composes associatively across ordered
+    chunks, and — because two events with equal timestamps always land
+    in the SAME chunk — an incoming ``last_ts`` is strictly below
+    every timestamp in a later chunk, so only the incoming STEP can
+    gate a later chunk's fold. Each (key, chunk) therefore reduces to
+    a transition table ``T[s] = fold(chunk events, init step=s)`` for
+    the n possible incoming steps, and a per-key fold over the tiny
+    O(keys x chunks) summary frame stitches chunks left-to-right:
+    ``state = T_chunk[state.step]``, absorbing once complete. Output
+    identical to the unsplit path (pytest-planted hot key).
 
     Tie semantics: equal timestamps do NOT advance (strict ``>``), so
     the result is insensitive to the sort order of same-timestamp
@@ -412,22 +423,13 @@ def event_funnel(
     """
     if not steps:
         raise ValueError("steps must be non-empty")
+    n = len(steps)
     ts = _seconds(events, ts_col)
     steps_arr = F.array(*[F.lit(s) for s in steps])
-    per_key = (
-        events.where(F.col(type_col).isin(list(steps)))
-        .groupBy(key_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(ts.alias("ts"), F.col(type_col).alias("t"))
-                )
-            ).alias("__evs")
-        )
-    )
-    init = F.struct(
-        F.lit(0).alias("step"), F.lit(float("-inf")).alias("last_ts")
-    )
+    filtered = events.where(F.col(type_col).isin(list(steps)))
+    evs_agg = F.array_sort(
+        F.collect_list(F.struct(ts.alias("ts"), F.col(type_col).alias("t")))
+    ).alias("__evs")
 
     def fold(acc, ev):
         # try_element_at: NULL past the end (funnel already complete)
@@ -446,13 +448,63 @@ def event_funnel(
             ),
         ).otherwise(acc)
 
-    final = F.aggregate(F.col("__evs"), init, fold)
-    n = len(steps)
-    return per_key.select(
-        F.col(key_col),
-        final["step"].alias("steps_completed"),
-        F.when(final["step"] == n, final["last_ts"]).alias("completed_ts"),
+    def run_fold(start_step: int):
+        init = F.struct(
+            F.lit(start_step).alias("step"),
+            F.lit(float("-inf")).alias("last_ts"),
+        )
+        return F.aggregate(F.col("__evs"), init, fold)
+
+    def finish(frame, final):
+        return frame.select(
+            F.col(key_col),
+            final["step"].alias("steps_completed"),
+            F.when(final["step"] == n, final["last_ts"]).alias("completed_ts"),
+        )
+
+    if split_every is None:
+        return finish(filtered.groupBy(key_col).agg(evs_agg), run_fold(0))
+
+    # Split-stitch: fold each (key, time-chunk) once per possible
+    # incoming step (n tiny folds over the SAME sorted chunk array —
+    # within-chunk tie semantics preserved by the -inf init, and
+    # cross-chunk ties cannot exist because equal ts => equal chunk),
+    # then stitch the O(keys x chunks) summary left-to-right.
+    per_chunk = (
+        filtered.withColumn("__chunk", F.floor(ts / float(split_every)))
+        .groupBy(key_col, "__chunk")
+        .agg(evs_agg)
     )
+    trans = F.array(*[run_fold(s) for s in range(n)])
+    stitched = (
+        per_chunk.select(F.col(key_col), F.col("__chunk"), trans.alias("__tr"))
+        .groupBy(key_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("__chunk").alias("c"), F.col("__tr").alias("tr"))
+                )
+            ).alias("__chunks")
+        )
+    )
+    init2 = F.struct(
+        F.lit(0).alias("step"), F.lit(None).cast("double").alias("last_ts")
+    )
+
+    def fold2(acc, ch):
+        # absorbing once complete; try_element_at guards the (never
+        # taken at runtime) step==n lookup against ANSI index errors
+        t = F.try_element_at(ch["tr"], acc["step"] + F.lit(1))
+        return F.when(acc["step"] == n, acc).otherwise(
+            F.struct(
+                t["step"].alias("step"),
+                F.when(t["step"] > acc["step"], t["last_ts"])
+                .otherwise(acc["last_ts"])
+                .alias("last_ts"),
+            )
+        )
+
+    return finish(stitched, F.aggregate(F.col("__chunks"), init2, fold2))
 
 
 def retention_cohorts(

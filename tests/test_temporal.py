@@ -411,3 +411,60 @@ def test_retention_cohorts_keeps_null_keys(spark):
         for r in retention_cohorts(df, "user_id", "ts", period_seconds=10.0).collect()
     }
     assert got == {(0, 0): 2, (0, 1): 1}
+
+
+def test_event_funnel_split_stitch_identical(spark):
+    """split_every bounds a hot key's per-task step events at one time
+    chunk and must reproduce the unsplit funnel EXACTLY — including
+    funnels whose steps straddle chunk boundaries, steps completing in
+    a later chunk, same-ts ties inside a chunk, and keys whose only
+    events sit in one chunk."""
+    from pandera_forge_spark.operators.temporal import event_funnel
+
+    steps = ["view", "click", "purchase"]
+    rows = []
+    # hot key: 600 step events across 6 chunks (W=1000); the funnel
+    # completes across chunks -- view@5, click@1205, purchase@3405
+    # planted among decoys (wrong-order and repeated steps everywhere)
+    for i in range(600):
+        t = float(i * 10 + 5)
+        rows.append(("hot", t, steps[(i * 7) % 3]))
+    # boundary straddler: view@990 -> click@1010 (chunks 0/1)
+    rows += [("edge", 990.0, "view"), ("edge", 1010.0, "click")]
+    # tie inside a chunk: click at same ts as view must not advance
+    rows += [("tie", 500.0, "view"), ("tie", 500.0, "click")]
+    # single-chunk key, full completion
+    rows += [("one", 10.0, "view"), ("one", 20.0, "click"),
+             ("one", 30.0, "purchase")]
+    # later-step-only key
+    rows += [("zero", 42.0, "purchase")]
+    # null key and non-step noise
+    rows += [(None, 100.0, "view"), (None, 1100.0, "click"),
+             ("hot", 50.0, "error")]
+    df = spark.createDataFrame(rows, "user string, ts double, event_type string")
+
+    base = event_funnel(df, "user", "ts", "event_type", steps)
+    split = event_funnel(df, "user", "ts", "event_type", steps,
+                         split_every=1000.0)
+    key = lambda t: (str(t[0]),)
+    b = sorted(map(tuple, base.collect()), key=key)
+    s = sorted(map(tuple, split.collect()), key=key)
+    assert b == s and len(b) == 6  # hot, edge, tie, one, zero, null
+
+    # the hot key's step events really are bounded per (key, chunk)
+    per_task = (
+        df.where(F.col("event_type").isin(steps))
+        .groupBy("user", F.floor(F.col("ts") / 1000.0))
+        .count().agg(F.max("count")).first()[0]
+    )
+    hot_total = df.where(
+        (F.col("user") == "hot") & F.col("event_type").isin(steps)
+    ).count()
+    assert per_task < hot_total
+
+    # split path stays UDF-free and equi-join/aggregate shaped
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    assert not has_python_udf(split)
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
