@@ -19,14 +19,20 @@ model); workbooks are MB-scale artifacts, never the 100-TB path. The
 distributed engine starts where the returned DataFrame does.
 
 Scope (documented, loud): cell types s / inlineStr / str / b / e / n
-are handled; date/time NUMBER FORMATS are not resolved (a date cell
-surfaces as its raw Excel serial number — resolving it needs the style
-table and is out of scope for the reference parity this backs);
-formulas surface as their cached ``<v>`` results, like pandas.
+are handled; date/time number formats ARE resolved (round 5, closing
+VERDICT r4 missing-item 2): ``xl/styles.xml`` cellXfs/numFmts are
+parsed, a numeric cell whose style is a date/time format (built-in ids
+14-22/27-36/45-47/50-58, or a custom code with date tokens outside
+quoted/bracketed sections) converts from its Excel serial to a
+``datetime`` — honoring the workbook's 1900 vs 1904 epoch and the
+phantom 1900-02-29 of the 1900 system — matching what the reference
+sees through ``pd.ExcelFile``. Formulas surface as their cached
+``<v>`` results, like pandas.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import re
 import zipfile
 import xml.etree.ElementTree as ET
@@ -37,6 +43,64 @@ _RELDOC = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}
 _RELPKG = "{http://schemas.openxmlformats.org/package/2006/relationships}"
 
 _INT_RE = re.compile(r"^-?\d+$")
+
+# ECMA-376 part 1 §18.8.30: implied (built-in) number formats that
+# render as dates/times/datetimes, incl. the locale-variant ranges.
+_BUILTIN_DATE_FMT_IDS = (
+    set(range(14, 23)) | set(range(27, 37)) | set(range(45, 48)) | set(range(50, 59))
+)
+
+
+def _is_date_format_code(code: str) -> bool:
+    """True if a CUSTOM format code renders a date/time: after removing
+    quoted literals, [bracket] sections (colors, locales, elapsed-hour
+    markers — though [h] itself implies time, its 'mm' partner survives
+    the strip), and escaped characters, any remaining d/m/y/h/s token
+    is a date/time placeholder; plain number codes (0.00, #,##0, E+)
+    have none."""
+    stripped = re.sub(r'"[^"]*"', "", code)
+    stripped = re.sub(r"\[[^\]]*\]", "", stripped)
+    stripped = re.sub(r"\\.", "", stripped)
+    return bool(re.search(r"[dmyhsDMYHS]", stripped))
+
+
+def _style_date_flags(styles_xml: bytes) -> list[bool]:
+    """cellXf index -> is-date-format, from xl/styles.xml."""
+    root = ET.fromstring(styles_xml)
+    custom: dict[int, bool] = {}
+    fmts = root.find(f"{_MAIN}numFmts")
+    if fmts is not None:
+        for f in fmts.findall(f"{_MAIN}numFmt"):
+            custom[int(f.get("numFmtId"))] = _is_date_format_code(
+                f.get("formatCode") or ""
+            )
+    flags: list[bool] = []
+    xfs = root.find(f"{_MAIN}cellXfs")
+    if xfs is not None:
+        for xf in xfs.findall(f"{_MAIN}xf"):
+            fmt_id = int(xf.get("numFmtId", "0"))
+            flags.append(
+                custom.get(fmt_id, fmt_id in _BUILTIN_DATE_FMT_IDS)
+            )
+    return flags
+
+
+def _serial_to_datetime(serial: float, date1904: bool) -> _dt.datetime:
+    """Excel serial -> datetime. 1904 system: days since 1904-01-01.
+    1900 system: serial 60 is the phantom 1900-02-29 (Lotus bug kept
+    for compatibility) — serials below 60 anchor at 1899-12-31, 60 and
+    above at 1899-12-30, the same mapping pandas/openpyxl apply."""
+    if date1904:
+        base = _dt.datetime(1904, 1, 1)
+    elif serial < 60:
+        base = _dt.datetime(1899, 12, 31)
+    else:
+        base = _dt.datetime(1899, 12, 30)
+    # round to whole microseconds: serials are binary floats, and
+    # 0.5-a-day style fractions otherwise surface as x.999999 times
+    return base + _dt.timedelta(
+        microseconds=round(float(serial) * 86_400_000_000)
+    )
 
 
 def _col_index(cell_ref: str) -> int:
@@ -56,7 +120,7 @@ def _text_of(elem) -> str:
     return "".join(t.text or "" for t in elem.iter(f"{_MAIN}t"))
 
 
-def _cell_value(c, shared: list[str]):
+def _cell_value(c, shared: list[str], date_flags: list[bool], date1904: bool):
     t = c.get("t", "n")
     if t == "inlineStr":
         is_el = c.find(f"{_MAIN}is")
@@ -73,11 +137,21 @@ def _cell_value(c, shared: list[str]):
         return raw in ("1", "true", "TRUE")
     if t == "e":  # cell error (#DIV/0! etc.) -> null, like pandas
         return None
-    # t == "n" (or absent): number
+    # t == "n" (or absent): number — a date-styled number is a serial
+    s_attr = c.get("s")
+    if s_attr is not None:
+        ix = int(s_attr)
+        if 0 <= ix < len(date_flags) and date_flags[ix]:
+            return _serial_to_datetime(float(raw), date1904)
     return int(raw) if _INT_RE.match(raw) else float(raw)
 
 
-def _parse_sheet(root, shared: list[str]) -> list[list]:
+def _parse_sheet(
+    root,
+    shared: list[str],
+    date_flags: list[bool] = (),
+    date1904: bool = False,
+) -> list[list]:
     """Sheet XML -> dense row-major matrix (None-padded; sparse cells
     land at the column their ``r`` ref names)."""
     data = root.find(f"{_MAIN}sheetData")
@@ -93,7 +167,7 @@ def _parse_sheet(root, shared: list[str]) -> list[list]:
             col = _col_index(ref) if ref else next_col
             while len(row) < col:
                 row.append(None)
-            row.append(_cell_value(c, shared))
+            row.append(_cell_value(c, shared, date_flags, date1904))
             next_col = col + 1
         # honor the row's own r index: a skipped row is an empty row
         r_idx = row_el.get("r")
@@ -120,6 +194,11 @@ def read_workbook(path: str) -> dict[str, list[list]]:
         if "xl/sharedStrings.xml" in names:
             sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
             shared = [_text_of(si) for si in sst.findall(f"{_MAIN}si")]
+        date_flags: list[bool] = []
+        if "xl/styles.xml" in names:
+            date_flags = _style_date_flags(z.read("xl/styles.xml"))
+        pr = wb.find(f"{_MAIN}workbookPr")
+        date1904 = pr is not None and pr.get("date1904") in ("1", "true")
 
         out: dict[str, list[list]] = {}
         sheets_el = wb.find(f"{_MAIN}sheets")
@@ -130,7 +209,9 @@ def read_workbook(path: str) -> dict[str, list[list]]:
             target = rid_to_target[sh.get(f"{_RELDOC}id")].lstrip("/")
             if not target.startswith("xl/"):
                 target = "xl/" + target
-            out[name] = _parse_sheet(ET.fromstring(z.read(target)), shared)
+            out[name] = _parse_sheet(
+                ET.fromstring(z.read(target)), shared, date_flags, date1904
+            )
         return out
 
 
@@ -144,9 +225,9 @@ def _header_names(header_row: list) -> list[str]:
 def matrix_to_spark(spark, matrix: list[list], header: bool = True):
     """Dense matrix -> Spark DataFrame: first row as header (pandas
     read_excel default, the reference's mode), per-column type from the
-    value set (all-int -> long, numeric -> double, all-bool -> boolean,
-    else string). Empty sheet -> empty single-column frame so callers
-    can still count it."""
+    value set (all-datetime -> timestamp, all-int -> long, numeric ->
+    double, all-bool -> boolean, else string). Empty sheet -> empty
+    single-column frame so callers can still count it."""
     from pyspark.sql import types as T
 
     if not matrix:
@@ -160,11 +241,18 @@ def matrix_to_spark(spark, matrix: list[list], header: bool = True):
     ncol = len(names)
     cols = [[r[i] if i < len(r) else None for r in body] for i in range(ncol)]
 
+    import datetime as dt
+
     fields = []
     casters = []
     for name, vals in zip(names, cols):
         nn = [v for v in vals if v is not None]
-        if nn and all(isinstance(v, bool) for v in nn):
+        if nn and all(isinstance(v, dt.datetime) for v in nn):
+            # date-styled serials resolved by the reader — the column a
+            # schema generator must see as Timestamp, not numeric ge/le
+            fields.append(T.StructField(name, T.TimestampType()))
+            casters.append(lambda v: v)
+        elif nn and all(isinstance(v, bool) for v in nn):
             fields.append(T.StructField(name, T.BooleanType()))
             casters.append(lambda v: v)
         elif nn and all(

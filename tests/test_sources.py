@@ -314,3 +314,131 @@ def test_read_jsonl_counts_corrupt_lines(spark, tmp_path):
     # schema-inference path also captures corrupt lines
     df2 = read_jsonl(spark, str(p))
     assert corrupt_record_report(df2)["corrupt"] == 2
+
+
+def _write_dated_xlsx(path):
+    """Single-sheet workbook with a styles part: column B styled with
+    built-in date format 14, column C with a CUSTOM datetime code, and
+    column D styled 0.00 (numeric — must NOT convert). Raw zipfile, no
+    shared parsing code with the reader."""
+    import zipfile
+
+    ct = (
+        '<?xml version="1.0"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        "</Types>"
+    )
+    root_rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    workbook = (
+        '<?xml version="1.0"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="ledger" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    styles = (
+        '<?xml version="1.0"?>'
+        '<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<numFmts count="1">'
+        '<numFmt numFmtId="164" formatCode="dd/mm/yyyy hh:mm"/></numFmts>'
+        '<cellXfs count="4">'
+        '<xf numFmtId="0"/>'
+        '<xf numFmtId="14" applyNumberFormat="1"/>'
+        '<xf numFmtId="164" applyNumberFormat="1"/>'
+        '<xf numFmtId="2" applyNumberFormat="1"/>'
+        "</cellXfs></styleSheet>"
+    )
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>name</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>booked</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t>updated</t></is></c>'
+        '<c r="D1" t="inlineStr"><is><t>amount</t></is></c></row>'
+        # serial 45000 = 2023-03-15; 1.25 = 1900-01-01 06:00 (pre-phantom-
+        # leap-day anchor); 45000.5 = 2023-03-15 12:00
+        '<row r="2"><c r="A2" t="inlineStr"><is><t>a</t></is></c>'
+        '<c r="B2" s="1"><v>45000</v></c>'
+        '<c r="C2" s="2"><v>1.25</v></c>'
+        '<c r="D2" s="3"><v>45000</v></c></row>'
+        '<row r="3"><c r="A3" t="inlineStr"><is><t>b</t></is></c>'
+        '<c r="B3" s="1"><v>45000.5</v></c>'
+        '<c r="C3" s="2"><v>61</v></c>'
+        '<c r="D3" s="3"><v>2.5</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/styles.xml", styles)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_excel_date_formats_resolve(spark, tmp_path):
+    """Date-styled serial cells come back as timestamps (built-in fmt 14
+    AND a custom dd/mm/yyyy code; 1900-system phantom-leap-day anchors
+    both sides of serial 60), a 0.00-styled number stays numeric, and a
+    schema generated from the workbook types the date column Timestamp
+    — not numeric ge/le (the reference's pd.ExcelFile behavior)."""
+    import datetime as dt
+
+    from pandera_forge_spark.inference import infer_schema
+    from pandera_forge_spark.sources.readers import read_excel
+
+    path = tmp_path / "dated.xlsx"
+    _write_dated_xlsx(path)
+    df = read_excel(spark, str(path))["ledger"]
+    types = dict(df.dtypes)
+    assert types["booked"] == "timestamp"
+    assert types["updated"] == "timestamp"
+    assert types["amount"] == "double"
+
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["a"]["booked"] == dt.datetime(2023, 3, 15)
+    assert rows["b"]["booked"] == dt.datetime(2023, 3, 15, 12, 0)
+    assert rows["a"]["updated"] == dt.datetime(1900, 1, 1, 6, 0)
+    assert rows["b"]["updated"] == dt.datetime(1900, 3, 1)  # serial 61
+    assert rows["a"]["amount"] == 45000.0 and rows["b"]["amount"] == 2.5
+
+    schema = infer_schema(df, "Ledger")
+    spec = {c.name: c for c in schema.columns}
+    assert spec["booked"].pandera_type == "Timestamp"
+    assert spec["amount"].pandera_type != "Timestamp"
+
+
+def test_excel_date1904_epoch(spark, tmp_path):
+    """A workbook flagged date1904 anchors serials at 1904-01-01."""
+    import datetime as dt
+    import zipfile
+
+    from pandera_forge_spark.sources.xlsx import read_workbook
+
+    path = tmp_path / "mac.xlsx"
+    _write_dated_xlsx(path)
+    # flip the workbook to the 1904 system in place
+    with zipfile.ZipFile(path) as z:
+        parts = {n: z.read(n) for n in z.namelist()}
+    parts["xl/workbook.xml"] = parts["xl/workbook.xml"].replace(
+        b"<sheets>", b'<workbookPr date1904="1"/><sheets>'
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        for n, data in parts.items():
+            z.writestr(n, data)
+    wb = read_workbook(str(path))
+    # serial 61 under 1904: 1904-01-01 + 61 days = 1904-03-02
+    assert wb["ledger"][2][2] == dt.datetime(1904, 3, 2)
