@@ -295,3 +295,112 @@ def rrf_fuse(
         .orderBy(F.desc("rrf"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ----------------------------------------------------------------------
+# persisted inverted index (the partitioned-write twin of
+# similarity.write_ivf_partitioned)
+# ----------------------------------------------------------------------
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the index's bucket expression: IEEE CRC32 of
+    the UTF-8 term, mod n_buckets. zlib.crc32 and Spark's ``crc32``
+    compute the same checksum, so a query plans its partition filter
+    without touching the JVM."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def _term_bucket_col(n_buckets: int):
+    return F.pmod(
+        F.crc32(F.encode(F.col("term"), "UTF-8")), F.lit(n_buckets)
+    ).cast("int")
+
+
+def write_bm25_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> dict:
+    """Persist the postings frame PARTITIONED BY term bucket, plus a
+    ``_bm25_meta.json`` sidecar carrying the corpus stats (n_docs,
+    avgdl) and the bucket count — so query sessions score WITHOUT ever
+    touching the corpus again.
+
+    Hash-bucket partition dirs rather than ``bucketBy``: plain parquet
+    paths work on any object store with no metastore, and a query's
+    term set maps driver-side (same CRC32, :func:`_term_bucket_py`) to
+    at most |terms| partition directories — planning-time pruning, the
+    inverted-index read pattern. The sidecar goes through DriverFS, so
+    the path may be s3a://, hdfs:// or local alike."""
+    import json
+
+    from pandera_forge_spark.sources.fs import DriverFS
+
+    for col in (text_col, id_col):
+        if col not in df.columns:
+            raise ValueError(
+                f"column {col!r} missing from the corpus frame — "
+                "checked before the expensive partitioned write"
+            )
+    idx = bm25_index(df, text_col, id_col).withColumn(
+        "__tb", _term_bucket_col(n_buckets)
+    )
+    idx.write.partitionBy("__tb").mode("overwrite").parquet(path)
+    st = corpus_stats(df, text_col).collect()[0]  # 1 row, driver-safe
+    meta = {
+        "n_buckets": int(n_buckets),
+        "n_docs": int(st["n_docs"]),
+        "avgdl": float(st["avgdl"]),
+        "id_col": id_col,
+    }
+    DriverFS(df.sparkSession).write_bytes(
+        f"{path}/_bm25_meta.json", json.dumps(meta).encode()
+    )
+    return meta
+
+
+def load_bm25_index(spark, path: str):
+    """(postings frame with ``__tb``, 1-row stats frame, meta dict)."""
+    import json
+
+    from pandera_forge_spark.sources.fs import DriverFS
+
+    meta = json.loads(DriverFS(spark).read_bytes(f"{path}/_bm25_meta.json"))
+    post = spark.read.parquet(path)
+    stats = spark.createDataFrame(
+        [(meta["n_docs"], meta["avgdl"])], "n_docs long, avgdl double"
+    )
+    return post, stats, meta
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    query: str,
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """:func:`bm25_topk` against a :func:`write_bm25_index` corpus: the
+    query's terms map to their partition dirs driver-side and the scan
+    reads ONLY those (PartitionFilters, asserted in tests) — a 5-term
+    query against a 10^12-doc index touches at most 5 of n_buckets
+    directories, and the sidecar stats mean no corpus pass at all.
+    Scores are identical to the direct path (same postings rows, same
+    integer micro-unit arithmetic)."""
+    post, stats, meta = load_bm25_index(spark, path)
+    terms = tokenize_query(query)
+    if not terms:
+        raise ValueError("query has no tokens")
+    buckets = sorted({_term_bucket_py(t, meta["n_buckets"]) for t in terms})
+    # explicit cast: with partition-column type inference disabled the
+    # dir value reads back as string (same defense as ivf_topk_partitioned)
+    pruned = post.where(F.col("__tb").cast("int").isin(buckets)).drop("__tb")
+    return bm25_topk(
+        None, None, meta["id_col"], query, k=k, k1=k1, b=b,
+        index=pruned, stats=stats,
+    )

@@ -230,3 +230,67 @@ def test_bm25_join_guards_duplicates_and_empty_queries(spark):
         bm25_join(df, spark.createDataFrame(
             [(1, "spark"), (2, None)], "query_id long, text string"
         ))
+
+
+def test_bm25_persisted_index_equality_and_pruning(spark, tmp_path):
+    """write_bm25_index/load_bm25_index/bm25_topk_indexed: the indexed
+    path returns EXACTLY the direct path's rows (same micro-unit
+    arithmetic over the same postings), the scan reads only the query
+    terms' bucket directories (PartitionFilters in the executed plan,
+    file count bounded by the touched buckets), the sidecar stats make
+    the query corpus-free, and the driver-side CRC32 bucket matches the
+    JVM's for every indexed term."""
+    from pandera_forge_spark.operators.search import (
+        _term_bucket_py,
+        bm25_topk_indexed,
+        load_bm25_index,
+        write_bm25_index,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    path = str(tmp_path / "bm25_idx")
+    meta = write_bm25_index(df, path, "text", "doc_id", n_buckets=16)
+    assert meta["n_docs"] == len(DOCS)
+
+    query = "spark hash join"
+    direct = bm25_topk(df, "text", "doc_id", query, k=10)
+    indexed = bm25_topk_indexed(spark, path, query, k=10)
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, indexed.collect())
+    )
+
+    # planning-time pruning: PartitionFilters on __tb, and the files
+    # actually read are only the touched buckets' dirs
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "__tb" in plan.split("PartitionFilters: [", 1)[1][:300]
+    buckets = {_term_bucket_py(t, 16) for t in tokenize_query(query)}
+    # execution-time proof (inputFiles() lists the UNPRUNED relation):
+    # the files actually read all live under the query terms' bucket dirs
+    read_files = {
+        r[0]
+        for r in spark.read.parquet(path)
+        .where(F.col("__tb").cast("int").isin(list(buckets)))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    touched = {
+        f.split("__tb=")[1].split("/")[0] for f in read_files if "__tb=" in f
+    }
+    assert touched <= {str(b) for b in buckets} and touched
+
+    # python CRC32 bucketing == the JVM expression, term by term
+    post, stats, _ = load_bm25_index(spark, path)
+    for r in post.select("term", "__tb").distinct().collect():
+        assert _term_bucket_py(r["term"], 16) == int(r["__tb"])
+    # sidecar stats match a fresh corpus pass
+    live = corpus_stats(df, "text").collect()[0]
+    got = stats.collect()[0]
+    assert got["n_docs"] == live["n_docs"]
+    assert abs(got["avgdl"] - live["avgdl"]) < 1e-12
+
+    with pytest.raises(ValueError):
+        bm25_topk_indexed(spark, path, "   ")
+    with pytest.raises(ValueError):
+        write_bm25_index(df, path, "nope", "doc_id")
