@@ -428,3 +428,54 @@ def weighted_take(
         .where(F.col("__rk") <= n)
         .drop("__wkey", "__rk")
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    group_col: Optional[str] = None,
+) -> DataFrame:
+    """Deterministic split assignment for training-data export: adds a
+    ``__split`` column ("train"/"val"/... per ``fractions``) that is a
+    pure function of (salt, key) — same corpus + same salt gives the
+    SAME assignment on any cluster size, any partitioning, any engine
+    (md5 is the uniform source, like every sampler in this module; no
+    ``rand()``, no ``randomSplit`` nondeterminism).
+
+    ``group_col`` is the leak defense: pass a near-dup cluster id
+    (``dedup.dedup_clusters``), source domain, or url host and every
+    row of a group lands in the SAME split — without it, two near-
+    duplicate documents can straddle train and test and the eval is
+    contaminated by construction. The hash key is then the group, so
+    group sizes skew split sizes slightly; fractions govern the GROUP
+    mass, which is what leak-aware splitting means.
+
+    NULL keys hash as '' — all of them land together in one
+    deterministic split rather than spraying nondeterministically.
+
+    Shape: one narrow projection (hash + chained comparisons against
+    the cumulative boundaries); zero shuffles, zero UDFs — at 10^12
+    rows this is a free rider on whatever scan already runs.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    bad = {k: v for k, v in fractions.items() if v <= 0}
+    if bad:
+        raise ValueError(f"fractions must be positive: {bad}")
+    total = float(sum(fractions.values()))
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    key_col = group_col if group_col is not None else id_col
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    u = _key_fraction(F.md5(F.concat(F.lit(salt), key)))
+    names = list(fractions)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += float(fractions[name])
+        branch = u < F.lit(cum)
+        expr = F.when(branch, name) if expr is None else expr.when(branch, name)
+    label = names[-1] if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("__split", label)

@@ -325,3 +325,77 @@ def test_proportional_quotas_strata_fence(spark):
     # normal cardinality unaffected
     q = proportional_quotas(df, ["k"], 10, max_strata=1000)
     assert sum(q.values()) == 10
+
+
+def test_train_val_test_split_deterministic_and_proportional(spark):
+    """Split labels are a pure function of (salt, id): identical across
+    repartitionings, fractions land within tolerance on 6k rows, every
+    row gets exactly one label, a different salt moves rows, and the
+    plan stays a pure projection (no exchange, no UDF)."""
+    import pytest as _pytest
+
+    from pandera_forge_spark.operators.sampling import train_val_test_split
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    df = spark.range(6000).select(F.col("id").cast("string").alias("doc_id"))
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = train_val_test_split(df, "doc_id", fr, salt="s1")
+    got = {r["doc_id"]: r["__split"] for r in out.collect()}
+    assert len(got) == 6000 and set(got.values()) == {"train", "val", "test"}
+
+    counts = {}
+    for v in got.values():
+        counts[v] = counts.get(v, 0) + 1
+    for name, f in fr.items():
+        assert abs(counts[name] / 6000 - f) < 0.02, (name, counts)
+
+    # partitioning-independent
+    re = {
+        r["doc_id"]: r["__split"]
+        for r in train_val_test_split(
+            df.repartition(13), "doc_id", fr, salt="s1"
+        ).collect()
+    }
+    assert re == got
+
+    # independent assignment under a different salt
+    other = {
+        r["doc_id"]: r["__split"]
+        for r in train_val_test_split(df, "doc_id", fr, salt="s2").collect()
+    }
+    moved = sum(1 for k in got if got[k] != other[k])
+    assert moved > 1000  # ~32% expected; far from 0
+
+    # pure narrow projection
+    assert not has_python_udf(out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    with _pytest.raises(ValueError):
+        train_val_test_split(df, "doc_id", {})
+    with _pytest.raises(ValueError):
+        train_val_test_split(df, "doc_id", {"train": 0.5, "val": 0.4})
+    with _pytest.raises(ValueError):
+        train_val_test_split(df, "doc_id", {"train": 1.5, "val": -0.5})
+
+
+def test_train_val_test_split_group_integrity(spark):
+    """group_col keeps every row of a group in ONE split (the near-dup
+    leak defense), and NULL group keys land together deterministically."""
+    from pandera_forge_spark.operators.sampling import train_val_test_split
+
+    rows = [(f"d{i}", f"g{i % 200}" if i % 17 else None) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id string, cluster string")
+    out = train_val_test_split(
+        df, "doc_id", {"train": 0.7, "val": 0.3}, group_col="cluster"
+    )
+    per_group = (
+        out.groupBy("cluster")
+        .agg(F.countDistinct("__split").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 1 for r in per_group)
+    null_splits = {
+        r["__split"] for r in out.where(F.col("cluster").isNull()).collect()
+    }
+    assert len(null_splits) == 1
