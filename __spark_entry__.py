@@ -1713,6 +1713,34 @@ FROM u GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """Edit-distance record linkage (operators/linkage.py fuzzy_pairs):
+    all customer-name pairs within one edit, via the lossless
+    symmetric-delete block + thresholded levenshtein verify — never a
+    cross join. TPC-H names ('Customer#000000042') differ from a
+    neighbor in exactly the digit positions, so single-digit-apart ids
+    form distance-1 pairs; the DuckDB oracle brute-forces the same
+    all-pairs filter on the mod-sampled subset."""
+    from pandera_forge_spark.operators.linkage import fuzzy_pairs
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 7 == 0)
+    return (
+        fuzzy_pairs(cust, "c_name", "c_custkey", max_distance=1)
+        .select("id_a", "id_b", "distance")
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_FUZZY_NAME_PAIRS = """
+WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 7 = 0)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY 1, 2
+"""
+
+
 def q_dedup_near_dropped(spark, sf_dir):
     """End-to-end dedup_near composite (pairs → clusters → min-id
     survivor): on the planted-exact corpus every +1000000 copy must be
@@ -3796,11 +3824,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 5 front-loads, per VERDICT r4 items 1 and 3:
     #   1-5:  the five round-4 red rows (judge-verified value-correct; their
     #         oracle SQL emitted DuckDB HUGEINT columns, now CAST to BIGINT),
-    #   6-7:  stream_dedup_epochs and train_split_groups, the two new
-    #         round-5 oracle rows,
-    #   8-50: the round-3-verified tail (43 of its 49 queries).
-    # The window holds 50 but 5 fixed + 2 new + 49 tail = 56 candidates, so
-    # six tail queries stay at positions 51-56; each is a parameter-variant
+    #   6-8:  stream_dedup_epochs, train_split_groups, fuzzy_name_pairs —
+    #         the three new round-5 oracle rows,
+    #   9-50: the round-3-verified tail (42 of its 49 queries).
+    # The window holds 50 but 5 fixed + 3 new + 49 tail = 57 candidates, so
+    # seven tail queries stay at positions 51-57; each is a parameter-variant
     # or composition of in-window siblings (rationale inline below), keeping
     # every DISTINCT code path driver-verified within the last two rounds.
     return {
@@ -3813,6 +3841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new round-5 components (need their first driver rows) -------------
         "stream_dedup_epochs": q_stream_dedup_epochs,
         "train_split_groups": q_train_split_groups,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
         # -- round-3-verified tail, rotated in (last driver-green r3) ----------
         "profile_fused_orders": q_profile_fused_orders,
         "uniqueness_orders": q_uniqueness_orders,
@@ -3850,7 +3879,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_health": q_embedding_health,
         "span_transitions": q_span_transitions,
         "implies_check": q_implies_check,
-        "grouped_outliers": q_grouped_outliers,
         "chunk_interleaved": q_chunk_interleaved,
         "band_index_probe": q_band_index_probe,
         "dedup_clusters": q_dedup_clusters,
@@ -3866,8 +3894,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # result), near_dup_viral_capped~near_dup_minhash (cap parameter),
         # violation_examples = violation_rows_lineitem routed through
         # stratified_take's md5-rank path (in-window via
-        # stratified_sample_lang).
+        # stratified_sample_lang), grouped_outliers~outliers_events (the
+        # same Tukey-fence predicate and planted-inflation shape, fences
+        # computed per event_type instead of globally).
         "violation_examples": q_violation_examples,
+        "grouped_outliers": q_grouped_outliers,
         "topk_event_type": q_topk_event_type,
         "duplicate_custkeys_salted": q_duplicate_custkeys_salted,
         "ri_lineitem_orphans": q_ri_lineitem_orphans,
@@ -3974,6 +4005,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_lang": SQL_STRATIFIED_SAMPLE_LANG,
         "token_budget_lang": SQL_TOKEN_BUDGET_LANG,
         "train_split_groups": SQL_TRAIN_SPLIT_GROUPS,
+        "fuzzy_name_pairs": SQL_FUZZY_NAME_PAIRS,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "text_metrics": SQL_TEXT_METRICS,
         "repetition_metrics": SQL_REPETITION_METRICS,

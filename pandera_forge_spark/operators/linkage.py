@@ -1,0 +1,192 @@
+"""Edit-distance record linkage: blocked fuzzy joins on short keys.
+
+The operator a training-data pipeline needs when the join key itself is
+dirty — entity names, titles, product codes, author strings — and an
+exact equi-join silently drops every row with a one-character typo.
+``fuzzy_pairs`` (self-dedup) and ``fuzzy_join`` (two-table linkage)
+return every pair within a Levenshtein distance bound, EXACTLY, without
+an O(n²) cross join.
+
+Blocking is the symmetric-delete scheme (public algorithm, known from
+the SymSpell spell-checker): every string is expanded to the set of
+variants reachable by deleting at most ``max_distance`` characters, and
+candidate pairs are pairs sharing ANY variant. The guarantee is
+lossless: if ``lev(s, t) <= d``, an optimal alignment turns each of the
+``d`` edits into at most one deletion on each side (a substitution
+deletes one char from both, an insert deletes one from ``t``, a delete
+one from ``s``), so some common string lies in both delete
+neighborhoods and the pair is generated. Candidates are then verified
+with the engine's native ``levenshtein`` (threshold form — early exit
+above the bound), so false candidates cost one bounded string scan and
+emit nothing.
+
+100-TB shape: a narrow projection explodes each key into
+``O(len^max_distance)`` variants (len+1 at d=1; ~len²/2 at d=2), one
+hash-partitioned equi-join on the variant string, one distinct, one
+verify filter — all JVM-side, zero Python UDFs, no cross join anywhere.
+The explode factor is the cost knob, which is why this operator is for
+SHORT KEYS (names, codes — not document text; near-dup text is
+``operators/dedup``'s banded MinHash): ``max_key_length`` fences the
+blow-up loudly instead of letting a 10-KB outlier key generate 50M
+variants inside one task. Variant-block skew (many rows sharing one
+variant) is ordinary join-key skew, handled by AQE skew splitting like
+every other join in this engine.
+
+No reference counterpart: pandera-forge validates single tables; this
+extends the dedup/RI family (SURVEY.md §2 J1-J2) to approximate keys,
+per the training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _deletions(v: Column) -> Column:
+    """All strings obtained by deleting exactly one character of ``v``
+    (empty array for the empty string — Spark's ``sequence(1, 0)``
+    would otherwise count DOWN and fabricate indices)."""
+    one_each = F.transform(
+        F.sequence(F.lit(1), F.length(v)),
+        lambda i: F.concat(
+            F.substr(v, F.lit(1), i - F.lit(1)),
+            F.substr(v, i + F.lit(1), F.length(v)),
+        ),
+    )
+    return F.when(F.length(v) > 0, one_each).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def delete_variants(key: Column, max_distance: int) -> Column:
+    """The delete-neighborhood of ``key``: every string reachable by
+    deleting 0..``max_distance`` characters, deduplicated. Size is
+    1 at d=0, len+1 at d=1, ~len²/2 at d=2 — pure column algebra
+    (nested ``transform``/``flatten``), evaluated row-local inside
+    whole-stage codegen."""
+    if max_distance < 0:
+        raise ValueError(f"max_distance must be >= 0, got {max_distance}")
+    vars_col = F.array(key)
+    for _ in range(max_distance):
+        vars_col = F.array_distinct(
+            F.concat(vars_col, F.flatten(F.transform(vars_col, _deletions)))
+        )
+    return vars_col
+
+
+def _keyed(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    max_distance: int,
+    max_key_length: int,
+    side: str,
+) -> DataFrame:
+    """(variant, id, key) candidate frame: null keys dropped (a null
+    key matches nothing — documented, not sprayed into the '' block),
+    over-long keys refused loudly BEFORE the explode multiplies them."""
+    base = df.select(
+        F.col(id_col).alias(f"id_{side}"), F.col(key_col).alias(f"key_{side}")
+    ).where(F.col(key_col).isNotNull())
+    if max_key_length is not None:
+        # early-exit probe, same pattern as bm25_join's guard: one
+        # pushdown-filtered scan that stops at the first offender;
+        # the alternative (silently dropping or exploding it) either
+        # corrupts the result or hands one task a len^d blow-up
+        offender = (
+            base.where(F.length(f"key_{side}") > max_key_length)
+            .select(f"key_{side}")
+            .limit(1)
+            .collect()
+        )
+        if offender:
+            k = offender[0][0]
+            raise ValueError(
+                f"fuzzy join key {k[:40]!r}... is {len(k)} chars "
+                f"(> max_key_length={max_key_length}); the delete "
+                f"neighborhood is O(len^{max_distance}) — link on a "
+                f"short key, or raise max_key_length deliberately"
+            )
+    return base.select(
+        F.explode(
+            delete_variants(F.col(f"key_{side}"), max_distance)
+        ).alias("__variant"),
+        f"id_{side}",
+        f"key_{side}",
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    max_distance: int = 1,
+    max_key_length: Optional[int] = 64,
+) -> DataFrame:
+    """Every unordered pair of rows whose ``key_col`` values are within
+    Levenshtein distance ``max_distance`` — exact (the symmetric-delete
+    block is lossless, see module docstring), one equi-join, no cross
+    join. Returns (id_a, id_b, key_a, key_b, distance) with
+    ``id_a < id_b``."""
+    keyed_a = _keyed(df, key_col, id_col, max_distance, max_key_length, "a")
+    keyed_b = _keyed(df, key_col, id_col, max_distance, max_key_length, "b")
+    cand = (
+        keyed_a.join(keyed_b, "__variant")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "key_a", "key_b")
+        # a pair sharing k variants arrives k times; dedup BEFORE the
+        # verify so levenshtein runs once per pair, not once per block
+        .distinct()
+    )
+    return _verify(cand, max_distance)
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    id_col: str,
+    right_key_col: Optional[str] = None,
+    right_id_col: Optional[str] = None,
+    max_distance: int = 1,
+    max_key_length: Optional[int] = 64,
+) -> DataFrame:
+    """Two-table linkage: every (left row, right row) pair whose keys
+    are within ``max_distance`` edits. Returns (id_a, key_a from left;
+    id_b, key_b from right; distance). Same lossless blocking as
+    ``fuzzy_pairs``; both sides pay their own explode and meet in one
+    shuffle on the variant string."""
+    keyed_a = _keyed(
+        left, key_col, id_col, max_distance, max_key_length, "a"
+    )
+    keyed_b = _keyed(
+        right,
+        right_key_col or key_col,
+        right_id_col or id_col,
+        max_distance,
+        max_key_length,
+        "b",
+    )
+    cand = (
+        keyed_a.join(keyed_b, "__variant")
+        .select("id_a", "id_b", "key_a", "key_b")
+        .distinct()
+    )
+    return _verify(cand, max_distance)
+
+
+def _verify(cand: DataFrame, max_distance: int) -> DataFrame:
+    """Exact Levenshtein verify over the candidate pairs. Uses the
+    thresholded engine form (returns -1 past the bound without
+    finishing the DP table) and casts to bigint so oracles compare
+    type-identically."""
+    return (
+        cand.withColumn(
+            "distance",
+            F.levenshtein("key_a", "key_b", int(max_distance)),
+        )
+        .where(F.col("distance") >= 0)
+        .withColumn("distance", F.col("distance").cast("bigint"))
+    )

@@ -1,0 +1,149 @@
+"""Edit-distance record linkage (operators/linkage.py).
+
+The load-bearing property is LOSSLESSNESS of the symmetric-delete
+block: fuzzy_pairs must equal the brute-force all-pairs Levenshtein
+filter exactly, at d=1 and d=2, on a corpus with planted typo
+clusters, identical keys, unicode, empties, and nulls.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_forge_spark.operators.linkage import (
+    delete_variants,
+    fuzzy_join,
+    fuzzy_pairs,
+)
+from pandera_forge_spark.plans.inspect import has_python_udf
+
+
+def _mutate(rng: random.Random, s: str) -> str:
+    """One random edit: substitute, insert, or delete."""
+    alphabet = "abcdefg"
+    op = rng.choice(["sub", "ins", "del"] if s else ["ins"])
+    i = rng.randrange(len(s) + (op == "ins"))
+    if op == "sub":
+        return s[:i] + rng.choice(alphabet) + s[i + 1 :]
+    if op == "ins":
+        return s[:i] + rng.choice(alphabet) + s[i:]
+    return s[:i] + s[i + 1 :]
+
+
+def _corpus(n: int, seed: int = 7):
+    """Seeded corpus of base words plus 0-2-edit mutants — dense in
+    true pairs at every distance, plus exact duplicates."""
+    rng = random.Random(seed)
+    alphabet = "abcdefg"
+    rows = []
+    for i in range(n):
+        base = "".join(rng.choice(alphabet) for _ in range(rng.randrange(3, 9)))
+        rows.append((i * 10, base))
+        m = base
+        for k in range(rng.randrange(0, 3)):
+            m = _mutate(rng, m)
+            rows.append((i * 10 + k + 1, m))
+        if rng.random() < 0.3:
+            rows.append((i * 10 + 9, base))  # exact duplicate
+    return rows
+
+
+def _brute(df, d):
+    a = df.where(F.col("k").isNotNull()).select(
+        F.col("id").alias("id_a"), F.col("k").alias("ka")
+    )
+    b = df.where(F.col("k").isNotNull()).select(
+        F.col("id").alias("id_b"), F.col("k").alias("kb")
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("ka", "kb"))
+        .where(F.col("distance") <= d)
+    )
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_fuzzy_pairs_equals_brute_force(spark, d):
+    rows = _corpus(40)
+    df = spark.createDataFrame(rows, "id bigint, k string")
+    got = {
+        (r.id_a, r.id_b, r.distance)
+        for r in fuzzy_pairs(df, "k", "id", max_distance=d).collect()
+    }
+    want = {(r.id_a, r.id_b, r.distance) for r in _brute(df, d).collect()}
+    assert got == want and want  # non-vacuous: the corpus plants pairs
+
+
+def test_edge_keys_null_empty_unicode(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a"), (4, "é"), (5, "éx"), (6, "")],
+        "id bigint, k string",
+    )
+    got = {
+        (r.id_a, r.id_b, r.distance)
+        for r in fuzzy_pairs(df, "k", "id", max_distance=1).collect()
+    }
+    # null matches nothing; ""~"" d0, ""~"a" d1, ""~"é" d1, "é"~"éx" d1,
+    # "a"~"é" d1 (substitution), "éx"~"" is d2 — out
+    assert got == {
+        (2, 6, 0),
+        (2, 3, 1),
+        (2, 4, 1),
+        (3, 4, 1),
+        (4, 5, 1),
+        (3, 6, 1),
+        (4, 6, 1),
+    }
+
+
+def test_fuzzy_join_two_tables(spark):
+    left = spark.createDataFrame(
+        [(1, "acme corp"), (2, "globex"), (3, "initech")],
+        "id bigint, name string",
+    )
+    right = spark.createDataFrame(
+        [(100, "acme c0rp"), (101, "globexx"), (102, "umbrella")],
+        "rid bigint, rname string",
+    )
+    got = {
+        (r.id_a, r.id_b, r.distance)
+        for r in fuzzy_join(
+            left,
+            right,
+            "name",
+            "id",
+            right_key_col="rname",
+            right_id_col="rid",
+            max_distance=1,
+        ).collect()
+    }
+    assert got == {(1, 100, 1), (2, 101, 1)}
+
+
+def test_delete_variants_counts(spark):
+    df = spark.createDataFrame([("abcd",)], "k string")
+    [r0] = df.select(delete_variants(F.col("k"), 0).alias("v")).collect()
+    [r1] = df.select(delete_variants(F.col("k"), 1).alias("v")).collect()
+    [r2] = df.select(delete_variants(F.col("k"), 2).alias("v")).collect()
+    assert r0.v == ["abcd"]
+    assert sorted(r1.v) == sorted(["abcd", "bcd", "acd", "abd", "abc"])
+    # d=2: original + 4 singles + C(4,2)=6 distinct doubles
+    assert len(r2.v) == 11 and "ab" in r2.v and "cd" in r2.v
+
+
+def test_max_key_length_fence_is_loud(spark):
+    df = spark.createDataFrame([(1, "x" * 100), (2, "ok")], "id bigint, k string")
+    with pytest.raises(ValueError, match="max_key_length"):
+        fuzzy_pairs(df, "k", "id", max_distance=1, max_key_length=64)
+    # opting out deliberately works
+    assert (
+        fuzzy_pairs(df, "k", "id", max_distance=1, max_key_length=None).count()
+        == 0
+    )
+
+
+def test_no_python_udf_in_plan(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "abd")], "id bigint, k string")
+    assert not has_python_udf(fuzzy_pairs(df, "k", "id", max_distance=1))
