@@ -3346,9 +3346,11 @@ SELECT CAST(300 AS BIGINT) AS n_media,
 
 
 def q_frame_sample_plan(spark, sf_dir):
-    """Video frame-sampling fan-out plan (rows-only driver check: the
-    per-row duration comes from seeded xxhash64, which DuckDB cannot
-    reproduce)."""
+    """Video frame-sampling fan-out plan: each video row explodes into
+    duration_ms/every_ms frame timestamps. The fixture's kind/duration
+    now derive from md5 (engine-replayable), so DuckDB re-derives the
+    exact per-video frame counts — this was the catalog's one rows-only
+    row through round 4."""
     from pandera_forge_spark.operators.multimodal import (
         frame_sample_plan,
         make_media_fixture,
@@ -3359,6 +3361,22 @@ def q_frame_sample_plan(spark, sf_dir):
     return plan.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames")
     ).orderBy("media_id")
+
+
+SQL_FRAME_SAMPLE_PLAN = """
+WITH m AS (
+  SELECT 'm' || CAST(id AS VARCHAR) AS media_id,
+         ('0x' || substr(md5(CAST(id AS VARCHAR) || '|kind|42'), 1, 8))::UBIGINT
+           % 3 AS kidx,
+         ('0x' || substr(md5(CAST(id AS VARCHAR) || '|dur|42'), 1, 8))::UBIGINT
+           % 5000 + 500 AS duration_ms
+  FROM range(300) t(id)
+)
+SELECT media_id,
+       GREATEST(CAST(FLOOR(duration_ms / 1000.0) AS BIGINT), 1) AS n_frames
+FROM m WHERE kidx = 2  -- 1-based array index 3 = 'video'
+ORDER BY media_id
+"""
 
 
 def q_inferred_schema_region(spark, sf_dir):
@@ -4030,6 +4048,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_order_rows": SQL_DUPLICATE_ORDER_ROWS,
         "drift_verdicts_orders": _sql_drift_verdicts(),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "frame_sample_plan": SQL_FRAME_SAMPLE_PLAN,
         "near_dup_embedding": SQL_NEAR_DUP_EMBEDDING,
         "pii_scan": SQL_PII_SCAN,
         "pii_redact": SQL_PII_REDACT,

@@ -23,7 +23,7 @@ import math
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -281,25 +281,38 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def _md5_u32(s: Column) -> Column:
+    """First 8 md5 hex chars as an unsigned 32-bit integer — the
+    engine's standard engine-replayable uniform source (any SQL engine
+    can md5, unlike seeded xxhash64), matching operators/sampling.py."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
 def make_media_fixture(spark, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table matching MEDIA_SCHEMA."""
+    """Deterministic synthetic media table matching MEDIA_SCHEMA.
+
+    kind and duration_ms derive from md5 (not xxhash64) so a DuckDB
+    oracle can re-derive the exact same rows in SQL — this is what lets
+    ``frame_sample_plan``'s driver row be value-checked instead of
+    rows-only."""
+    sid = F.col("id").cast("string")
     kinds = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
+        (_md5_u32(F.concat(sid, F.lit(f"|kind|{seed}"))) % 3 + 1).cast("int"),
     )
     payload = F.encode(
-        F.concat(F.lit("payload:"), F.md5(F.concat(F.col("id").cast("string"), F.lit(seed)))),
+        F.concat(F.lit("payload:"), F.md5(F.concat(sid, F.lit(seed)))),
         "utf-8",
     )
     return spark.range(n).select(
-        F.concat(F.lit("m"), F.col("id").cast("string")).alias("media_id"),
+        F.concat(F.lit("m"), sid).alias("media_id"),
         kinds.alias("kind"),
         payload.alias("payload"),
         F.struct(
             F.lit(640).alias("width"),
             F.lit(480).alias("height"),
             F.lit(16000).alias("sample_rate"),
-            (F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(5000)) + 500)
+            (_md5_u32(F.concat(sid, F.lit(f"|dur|{seed}"))) % 5000 + 500)
             .cast("int")
             .alias("duration_ms"),
             F.lit("stub").alias("codec"),
