@@ -1741,6 +1741,109 @@ ORDER BY 1, 2
 """
 
 
+def _messy_urls(docs):
+    """Deterministic messy-URL column over documents: three synthesis
+    shapes (uppercase host + default port + fragment + tracking params;
+    default port only; multi-part co.uk suffix + tracking param) so the
+    canonicalizer has every class of dirt to clean. Same closed-form in
+    the oracles."""
+    sid = F.col("doc_id").cast("string")
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    return docs.withColumn(
+        "url",
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("HTTPS://"), F.upper("source"),
+                F.lit(".Example.COM:443/docs/"), sid,
+                F.lit("?utm_source=x&b=2&a=1#sec"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("http://"), F.col("source"),
+                F.lit(".example.com:80/docs/"), sid,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://sub."), F.col("source"),
+                F.lit(".co.uk/p?gclid=z&id="), sid,
+            )
+        ),
+    )
+
+
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization + registrable domain (operators/web.py):
+    lowercase scheme/host, default-port strip, fragment drop, tracking-
+    param drop with survivor sort, and the multi-part-suffix domain
+    rule — the oracle states the expected canonical string closed-form
+    from the same synthesis, so every cleaning rule is value-pinned."""
+    from pandera_forge_spark.operators.web import (
+        canonicalize_url,
+        registrable_domain,
+        url_host,
+    )
+
+    docs = _messy_urls(
+        _t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    )
+    return docs.select(
+        "doc_id",
+        canonicalize_url(F.col("url")).alias("canonical_url"),
+        registrable_domain(url_host(F.col("url"))).alias("domain"),
+    ).orderBy("doc_id")
+
+
+SQL_URL_CANONICAL = """
+SELECT doc_id,
+       CASE doc_id % 3
+         WHEN 0 THEN 'https://' || lower(source) || '.example.com/docs/'
+                     || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+         WHEN 1 THEN 'http://' || source || '.example.com/docs/'
+                     || CAST(doc_id AS VARCHAR)
+         ELSE 'https://sub.' || source || '.co.uk/p?id=' || CAST(doc_id AS VARCHAR)
+       END AS canonical_url,
+       CASE WHEN doc_id % 3 = 2 THEN source || '.co.uk'
+            ELSE 'example.com' END AS domain
+FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id
+"""
+
+
+def q_domain_cap_counts(spark, sf_dir):
+    """Blocklist + per-domain contribution cap (operators/web.py
+    domain_filter / per_domain_cap): two co.uk domains are blocked,
+    then each surviving domain contributes at most 7 docs in md5 hash
+    order. The oracle derives each domain's post-cap count closed-form
+    (LEAST(count, 7)) — the md5 selection itself is pinned by the
+    in-window stratified_take oracles that per_domain_cap delegates
+    to."""
+    from pandera_forge_spark.operators.web import domain_filter, per_domain_cap
+
+    docs = _messy_urls(_t(spark, sf_dir, "documents"))
+    kept = domain_filter(docs, "url", ["src0.co.uk", "src3.co.uk"])
+    capped = per_domain_cap(kept, "url", 7, "doc_id")
+    return (
+        capped.groupBy(F.col("__domain").alias("domain"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("domain")
+    )
+
+
+SQL_DOMAIN_CAP_COUNTS = """
+WITH d AS (
+  SELECT CASE WHEN doc_id % 3 = 2 THEN source || '.co.uk'
+              ELSE 'example.com' END AS domain
+  FROM documents
+)
+SELECT domain, LEAST(COUNT(*), 7) AS n_docs
+FROM d WHERE domain NOT IN ('src0.co.uk', 'src3.co.uk')
+GROUP BY domain ORDER BY domain
+"""
+
+
 def q_dedup_near_dropped(spark, sf_dir):
     """End-to-end dedup_near composite (pairs → clusters → min-id
     survivor): on the planted-exact corpus every +1000000 copy must be
@@ -3968,6 +4071,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_lineitem": q_benford_lineitem,
         "strip_boilerplate": q_strip_boilerplate,
         "profile_lineitem": q_profile_lineitem,
+        # -- new round-5 components registered past the 50-slot window: ------
+        # first driver-verifiable next rotation; until then the strict local
+        # sweep (scripts/check_oracles.py, both SFs) value-checks them.
+        "url_canonical": q_url_canonical,
+        "domain_cap_counts": q_domain_cap_counts,
     }
 
 
@@ -4024,6 +4132,8 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_lang": SQL_TOKEN_BUDGET_LANG,
         "train_split_groups": SQL_TRAIN_SPLIT_GROUPS,
         "fuzzy_name_pairs": SQL_FUZZY_NAME_PAIRS,
+        "url_canonical": SQL_URL_CANONICAL,
+        "domain_cap_counts": SQL_DOMAIN_CAP_COUNTS,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "text_metrics": SQL_TEXT_METRICS,
         "repetition_metrics": SQL_REPETITION_METRICS,
