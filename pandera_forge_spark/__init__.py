@@ -94,7 +94,18 @@ from pandera_forge_spark.operators.temporal import (
     sessionize,
     time_rollup,
 )
-from pandera_forge_spark.operators.sampling import weighted_take
+from pandera_forge_spark.operators.sampling import (
+    train_val_test_split,
+    weighted_take,
+)
+from pandera_forge_spark.operators.linkage import fuzzy_join, fuzzy_pairs
+from pandera_forge_spark.operators.web import (
+    canonicalize_url,
+    domain_filter,
+    per_domain_cap,
+    registrable_domain,
+    url_host,
+)
 from pandera_forge_spark.operators.similarity import (
     embedding_health,
     ivf_topk_partitioned,
@@ -219,6 +230,14 @@ __all__ = [
     "chunk_documents",
     "normalize_text",
     "weighted_take",
+    "train_val_test_split",
+    "fuzzy_join",
+    "fuzzy_pairs",
+    "canonicalize_url",
+    "domain_filter",
+    "per_domain_cap",
+    "registrable_domain",
+    "url_host",
     "embedding_health",
     "ivf_topk_partitioned",
     "quantize_embeddings",

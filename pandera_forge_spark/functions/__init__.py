@@ -14,6 +14,8 @@ Python in the hot path). Grouped by family:
 - spans: interleaved-document invariants and canonicalization
 - media: magic-byte MIME sniffing and header-field extraction over
   binary payload columns (JVM-side, no media library)
+- web: URL canonicalization, host + registrable-domain extraction,
+  delete-neighborhood expansion for edit-distance blocking
 """
 
 from pandera_forge_spark.patterns import (
@@ -52,6 +54,12 @@ from pandera_forge_spark.spans import (
     kind_consistency_ok,
     offsets_nondecreasing,
 )
+from pandera_forge_spark.operators.linkage import delete_variants
+from pandera_forge_spark.operators.web import (
+    canonicalize_url,
+    registrable_domain,
+    url_host,
+)
 
 __all__ = [
     "NAMED_PATTERNS",
@@ -82,4 +90,8 @@ __all__ = [
     "png_dimensions",
     "gif_dimensions",
     "wav_sample_rate",
+    "canonicalize_url",
+    "registrable_domain",
+    "url_host",
+    "delete_variants",
 ]
