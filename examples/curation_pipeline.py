@@ -5,13 +5,16 @@ engine operator, runnable as-is against the driver testdata:
 
 Stages (each one scales to the 100-TB shapes documented in SCALE.md):
   1. ingest + normalize      read_parquet / normalize_text
-  2. quality gate            filter_funnel (attrition report) + filter
-  3. dedup                   dedup_exact, then dedup_near (MinHash-LSH
+  2. URL hygiene             canonicalize_url + domain_filter blocklist
+                             + per_domain_cap anti-monoculture cap
+  3. quality gate            filter_funnel (attrition report) + filter
+  4. dedup                   dedup_exact, then dedup_near (MinHash-LSH
                              pairs -> clusters -> min-id survivors)
-  4. contract                infer_schema -> validate_table verdicts
-  5. curate                  stratified_take per language + weighted
+  5. contract                infer_schema -> validate_table verdicts
+  6. curate                  stratified_take per language + weighted
                              sample by length
-  6. export manifest         pack_concat_split + deterministic_shuffle
+  7. export manifest         pack_concat_split + deterministic_shuffle
+                             + leak-aware train_val_test_split
 Prints one JSON report per stage; returns the report dict when called
 in-process (the pytest smoke does exactly that).
 """
@@ -55,7 +58,38 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
         normalize_text(F.col("text")).alias("text"),
     )
 
-    # 2. quality gate: sequential rule attrition in ONE scan, then the
+    # 2. URL hygiene: canonical page identity, blocklist, and the
+    #    per-domain contribution cap (the corpus ships no URL column,
+    #    so one is synthesized from the source — per-source co.uk
+    #    hosts give each source its own registrable domain)
+    from pandera_forge_spark.operators.web import (
+        canonicalize_url,
+        domain_filter,
+        per_domain_cap,
+    )
+
+    with_urls = docs.withColumn(
+        "url",
+        canonicalize_url(
+            F.concat(
+                F.lit("HTTPS://"), F.upper("source"),
+                F.lit(".co.uk/d/"), F.col("doc_id"),
+                F.lit("?utm_source=crawl"),
+            )
+        ),
+    )
+    unblocked = domain_filter(with_urls, "url", ["src19.co.uk"])
+    capped = per_domain_cap(unblocked, "url", 20, "doc_id").drop(
+        "__domain", "url"
+    )
+    report["url_hygiene"] = {
+        "input": docs.count(),
+        "after_blocklist": unblocked.count(),
+        "after_domain_cap": capped.count(),
+    }
+    docs = capped
+
+    # 3. quality gate: sequential rule attrition in ONE scan, then the
     #    surviving filter applied
     rules = {
         "min_tokens": token_count(F.col("text")) >= 5,
@@ -109,9 +143,22 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
         capacity=512,
     )
     shuffled = deterministic_shuffle(per_lang, "doc_id", n_shards=8)
+    # leak-aware split: group on source so near-identical docs from one
+    # site can never straddle train and eval
+    from pandera_forge_spark.operators.sampling import train_val_test_split
+
+    split = train_val_test_split(
+        per_lang, "doc_id", {"train": 0.9, "val": 0.1}, group_col="source"
+    )
     report["export"] = {
         "packs": int(packed.agg(F.max("pack_last")).collect()[0][0]) + 1,
         "shards": shuffled.select("__shard").distinct().count(),
+        "split": {
+            r["__split"]: r["n"]
+            for r in split.groupBy("__split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        },
     }
     survivors.unpersist()
     return report

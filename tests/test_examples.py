@@ -9,11 +9,20 @@ def test_curation_pipeline_example(spark):
     import curation_pipeline
 
     report = curation_pipeline.run(spark, "/root/testdata/sf0.001")
-    assert report["funnel"]["total"] == 500
+    # 500 docs; blocklist drops src19's 25; the 20-per-domain cap trims
+    # the remaining 19 sources of 25 docs to 20 each
+    assert report["url_hygiene"] == {
+        "input": 500,
+        "after_blocklist": 475,
+        "after_domain_cap": 380,
+    }
+    assert report["funnel"]["total"] == 380
     assert 0 < report["dedup"]["survivors"] <= report["dedup"]["input"]
     assert report["validation"]["ok"] is True
     assert report["curation"]["weighted_rows"] == 100
     assert report["export"]["shards"] == 8 and report["export"]["packs"] > 0
+    split = report["export"]["split"]
+    assert set(split) <= {"train", "val"} and sum(split.values()) > 0
 
 
 def test_retrieval_pipeline_example(spark):
