@@ -3945,13 +3945,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 5 front-loads, per VERDICT r4 items 1 and 3:
     #   1-5:  the five round-4 red rows (judge-verified value-correct; their
     #         oracle SQL emitted DuckDB HUGEINT columns, now CAST to BIGINT),
-    #   6-8:  stream_dedup_epochs, train_split_groups, fuzzy_name_pairs —
-    #         the three new round-5 oracle rows,
-    #   9-50: the round-3-verified tail (42 of its 49 queries).
-    # The window holds 50 but 5 fixed + 3 new + 49 tail = 57 candidates, so
-    # seven tail queries stay at positions 51-57; each is a parameter-variant
-    # or composition of in-window siblings (rationale inline below), keeping
-    # every DISTINCT code path driver-verified within the last two rounds.
+    #   6-11: the six queries that are new or oracle-changed this round —
+    #         stream_dedup_epochs, train_split_groups, fuzzy_name_pairs,
+    #         url_canonical, domain_cap_counts (first driver rows), and
+    #         frame_sample_plan (r4 row was rows-only; its oracle is now a
+    #         full value oracle, so it needs a value-checked row),
+    #   12-50: the round-3-verified tail (39 of its 49 queries).
+    # The window holds 50 but 5 fixed + 6 new/changed + 49 tail = 60
+    # candidates, so ten tail queries stay at positions 51-60; each is a
+    # parameter-variant or composition of in-window siblings (rationale
+    # inline below), keeping every DISTINCT code path driver-verified
+    # within the last two rounds.
     return {
         # -- round-4 red rows, oracle HUGEINT CASTs fixed (VERDICT r4 #1) ------
         "pii_scan": q_pii_scan,
@@ -3959,10 +3963,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_user": q_sessions_user,
         "sessions_user_split": q_sessions_user_split,
         "time_travel_epochs": q_time_travel_epochs,
-        # -- new round-5 components (need their first driver rows) -------------
+        # -- new or oracle-changed round-5 components (need driver rows) -------
         "stream_dedup_epochs": q_stream_dedup_epochs,
         "train_split_groups": q_train_split_groups,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "url_canonical": q_url_canonical,
+        "domain_cap_counts": q_domain_cap_counts,
+        "frame_sample_plan": q_frame_sample_plan,
         # -- round-3-verified tail, rotated in (last driver-green r3) ----------
         "profile_fused_orders": q_profile_fused_orders,
         "uniqueness_orders": q_uniqueness_orders,
@@ -3975,7 +3982,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_verdicts_lineitem": q_validation_verdicts_lineitem,
         "violation_rows_lineitem": q_violation_rows_lineitem,
         "drift_orders": q_drift_orders,
-        "drift_categorical": q_drift_categorical,
         "skew_report": q_skew_report,
         "snapshot_diff": q_snapshot_diff,
         "sketch_merge_exact": q_sketch_merge_exact,
@@ -3987,7 +3993,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "near_dup_minhash": q_near_dup_minhash,
         "near_dup_simhash": q_near_dup_simhash,
-        "incremental_near_dup": q_incremental_near_dup,
         "source_overlap": q_source_overlap,
         "embedding_drift": q_embedding_drift,
         "corr_lineitem": q_corr_lineitem,
@@ -4003,10 +4008,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_interleaved": q_chunk_interleaved,
         "band_index_probe": q_band_index_probe,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_near_dropped": q_dedup_near_dropped,
         "stratified_sample_lang": q_stratified_sample_lang,
         "token_budget_lang": q_token_budget_lang,
-        # -- 51-56: left out (50-slot cap); each is a parameter-variant --------
+        # -- 51-60: left out (50-slot cap); each is a parameter-variant --------
         # or composition of in-window siblings: topk_event_type~
         # topk_returnflag, duplicate_custkeys_salted~duplicate_custkeys
         # (salt flag, also exercised by topk_engine_salted),
@@ -4017,7 +4021,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stratified_take's md5-rank path (in-window via
         # stratified_sample_lang), grouped_outliers~outliers_events (the
         # same Tukey-fence predicate and planted-inflation shape, fences
-        # computed per event_type instead of globally).
+        # computed per event_type instead of globally),
+        # drift_categorical = the categorical mode of the same drift
+        # operator as drift_orders (numeric mode in-window; both modes
+        # share binning/PSI code, split only at the bucket-key expr),
+        # incremental_near_dup = the same probe logic as band_index_probe
+        # (in-window) minus the persisted index — the two paths are
+        # exact-equivalence-asserted by pytest (tests/test_dedup.py),
+        # dedup_near_dropped = composition of near_dup_minhash +
+        # dedup_clusters survivor selection, both in-window.
         "violation_examples": q_violation_examples,
         "grouped_outliers": q_grouped_outliers,
         "topk_event_type": q_topk_event_type,
@@ -4025,6 +4037,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ri_lineitem_orphans": q_ri_lineitem_orphans,
         "dedup_exact_count": q_dedup_exact_count,
         "near_dup_viral_capped": q_near_dup_viral_capped,
+        "drift_categorical": q_drift_categorical,
+        "incremental_near_dup": q_incremental_near_dup,
+        "dedup_near_dropped": q_dedup_near_dropped,
         # -- 56+: driver-verified green in CORRECTNESS_r04 ---------------------
         "pii_redact": q_pii_redact,
         "span_ref_integrity": q_span_ref_integrity,
@@ -4053,7 +4068,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_order_rows": q_duplicate_order_rows,
         "drift_verdicts_orders": q_drift_verdicts_orders,
         "multimodal_features": q_multimodal_features,
-        "frame_sample_plan": q_frame_sample_plan,
         "near_dup_embedding": q_near_dup_embedding,
         "ivf_topk_planted": q_ivf_topk_planted,
         "asof_events_split": q_asof_events_split,
@@ -4071,11 +4085,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_lineitem": q_benford_lineitem,
         "strip_boilerplate": q_strip_boilerplate,
         "profile_lineitem": q_profile_lineitem,
-        # -- new round-5 components registered past the 50-slot window: ------
-        # first driver-verifiable next rotation; until then the strict local
-        # sweep (scripts/check_oracles.py, both SFs) value-checks them.
-        "url_canonical": q_url_canonical,
-        "domain_cap_counts": q_domain_cap_counts,
     }
 
 
