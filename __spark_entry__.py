@@ -3004,6 +3004,64 @@ FROM stripped WHERE doc_id % 5 = 0 ORDER BY doc_id
 """
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity scoring (operators/text.py train_bigram_lm +
+    lm_score) — the CCNet/Gopher-style quality filter: train bigram
+    counts on the corpus, score every document by average bigram
+    log-probability with add-0.5 smoothing. Per-bigram log-probs are
+    quantized to micro-unit longs BEFORE summing, so per-doc totals are
+    integer sums — order-independent across partitions and bit-identical
+    to the DuckDB replay (the BM25 trick). The oracle replays tokenize →
+    BOS-prefixed bigrams → counts → smoothed ln-probs verbatim."""
+    from pandera_forge_spark.operators.text import lm_score, train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs)
+    return lm_score(docs, lm, broadcast_lm=True).orderBy("doc_id")
+
+
+SQL_LM_PERPLEXITY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_prepend('<s>', list_filter(
+           regexp_split_to_array(trim(lower(coalesce(text,''))), '\s+'),
+           x -> x <> '')) AS a
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest(a[1:len(a)-1]) AS w1, unnest(a[2:len(a)]) AS w2
+  FROM toks
+),
+lm AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS c1 FROM lm GROUP BY 1),
+voc AS (SELECT COUNT(DISTINCT w2) + 1 AS v FROM lm),
+dbc AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM bg GROUP BY 1, 2, 3),
+scored AS (
+  SELECT d.doc_id, d.k, l.n IS NULL AS oov,
+         CAST(floor(ln((COALESCE(l.n, 0) + 0.5e0)
+                       / (COALESCE(c.c1, 0) + 0.5e0 * v.v)) * 1e6)
+              AS BIGINT) AS lp_micro
+  FROM dbc d LEFT JOIN lm l USING (w1, w2)
+             LEFT JOIN ctx c USING (w1) CROSS JOIN voc v
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(k) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CASE WHEN oov THEN k ELSE 0 END) AS BIGINT) AS oov_bigrams,
+         CAST(SUM(k * lp_micro) AS BIGINT) AS sum_lp_micro
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       COALESCE(a.oov_bigrams, 0) AS oov_bigrams,
+       COALESCE(a.sum_lp_micro, 0) AS sum_lp_micro,
+       CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+            THEN CAST(a.sum_lp_micro AS DOUBLE)
+                 / CAST(a.n_bigrams AS DOUBLE) / 1e6 END AS avg_logprob
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+"""
+
+
 _BENFORD_COLS = ["l_discount", "l_extendedprice", "l_quantity"]
 
 
@@ -4085,6 +4143,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_lineitem": q_benford_lineitem,
         "strip_boilerplate": q_strip_boilerplate,
         "profile_lineitem": q_profile_lineitem,
+        # -- registered past the 50-slot window (new in late round 5): -------
+        # value-checked by the strict local sweep (scripts/check_oracles.py,
+        # both SFs) until a future rotation gives it a driver row.
+        "lm_perplexity": q_lm_perplexity,
     }
 
 
@@ -4197,8 +4259,6 @@ def oracle_sql() -> dict[str, str]:
         "strip_boilerplate": SQL_STRIP_BOILERPLATE,
         "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,
         "hourly_rollup": SQL_HOURLY_ROLLUP,
-        # frame_sample_plan: no oracle — per-row durations derive from
-        # Spark's seeded xxhash64 (not reproducible in DuckDB); the
-        # driver records the weaker rows-only check for it.
         "stream_dedup_epochs": SQL_STREAM_DEDUP_EPOCHS,
+        "lm_perplexity": SQL_LM_PERPLEXITY,
     }

@@ -8,12 +8,14 @@ Stages (each one scales to the 100-TB shapes documented in SCALE.md):
   2. URL hygiene             canonicalize_url + domain_filter blocklist
                              + per_domain_cap anti-monoculture cap
   3. quality gate            filter_funnel (attrition report) + filter
-  4. dedup                   dedup_exact, then dedup_near (MinHash-LSH
+  4. perplexity filter       train_bigram_lm + lm_score, drop the
+                             least-fluent tail (CCNet/Gopher shape)
+  5. dedup                   dedup_exact, then dedup_near (MinHash-LSH
                              pairs -> clusters -> min-id survivors)
-  5. contract                infer_schema -> validate_table verdicts
-  6. curate                  stratified_take per language + weighted
+  6. contract                infer_schema -> validate_table verdicts
+  7. curate                  stratified_take per language + weighted
                              sample by length
-  7. export manifest         pack_concat_split + deterministic_shuffle
+  8. export manifest         pack_concat_split + deterministic_shuffle
                              + leak-aware train_val_test_split
 Prints one JSON report per stage; returns the report dict when called
 in-process (the pytest smoke does exactly that).
@@ -101,7 +103,27 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
     for pred in rules.values():
         gated = gated.where(pred)
 
-    # 3. dedup: exact first (hash-groupBy survivors — the cheap pass
+    # 4. perplexity filter: train a bigram LM on the gated corpus and
+    #    drop the least-fluent 5% tail. At scale the LM trains ONCE on
+    #    a trusted corpus and persists (vocab-sized counts); here it
+    #    self-trains, which still ranks gibberish below fluent text.
+    from pandera_forge_spark.operators.text import lm_score, train_bigram_lm
+
+    lm = train_bigram_lm(gated, min_count=1)
+    scores = lm_score(gated, lm, broadcast_lm=True)
+    cutoff = scores.agg(
+        F.percentile_approx("avg_logprob", 0.05).alias("c")
+    ).collect()[0]["c"]
+    fluent = scores.where(F.col("avg_logprob") >= F.lit(cutoff)).select("doc_id")
+    n_before_ppl = gated.count()
+    gated = gated.join(fluent, "doc_id", "left_semi")
+    report["perplexity_filter"] = {
+        "input": n_before_ppl,
+        "cutoff_avg_logprob": round(float(cutoff), 6),
+        "kept": gated.count(),
+    }
+
+    # 5. dedup: exact first (hash-groupBy survivors — the cheap pass
     #    the near-dedup cost model assumes), then near (banded MinHash
     #    candidates, verified, clustered, min-id kept)
     from pandera_forge_spark.operators.dedup import dedup_exact
@@ -117,12 +139,12 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
         "clustered_ids": mapping.count(),
     }
 
-    # 4. contract: infer on the cleaned corpus, validate it back
+    # 6. contract: infer on the cleaned corpus, validate it back
     schema = infer_schema(survivors, "curated_documents")
     res = validate_table(survivors, schema)
     report["validation"] = {"ok": res.ok, "checks": len(res.counts)}
 
-    # 5. curate: deterministic per-language take + length-weighted draw
+    # 7. curate: deterministic per-language take + length-weighted draw
     per_lang = stratified_take(survivors, ["lang"], 50, "doc_id")
     weighted = weighted_take(
         survivors.withColumn("n_chars", F.length("text")),
@@ -135,7 +157,7 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
         "weighted_rows": weighted.count(),
     }
 
-    # 6. export: pack manifest + reproducible shard/order columns
+    # 8. export: pack manifest + reproducible shard/order columns
     packed = pack_concat_split(
         per_lang.withColumn("n_tokens", token_count(F.col("text"))),
         "doc_id",

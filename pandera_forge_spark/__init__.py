@@ -54,7 +54,9 @@ from pandera_forge_spark.operators.text import (
     boilerplate_lines,
     contamination_bloom,
     fingerprint_overlap_pairs,
+    lm_score,
     strip_boilerplate,
+    train_bigram_lm,
     winnow_fingerprints,
 )
 from pandera_forge_spark.generator import ModelGenerator
@@ -176,6 +178,8 @@ __all__ = [
     "strip_boilerplate",
     "fingerprint_overlap_pairs",
     "winnow_fingerprints",
+    "train_bigram_lm",
+    "lm_score",
     "infer_and_validate",
     "infer_schema",
     "infer_semantic_type",

@@ -845,3 +845,126 @@ def strip_boilerplate(
         *[F.col(f"__l.{c}").alias(c) for c in other_cols],
         F.coalesce(F.col(f"__r.{text_col}"), F.lit("")).alias(text_col),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model perplexity scoring (beyond-reference: the
+# CCNet/Gopher-style "perplexity filter" every large-scale pretraining
+# pipeline runs — train a cheap n-gram LM on a trusted corpus, score
+# candidate documents by average token log-probability, drop the tails).
+# ---------------------------------------------------------------------------
+
+LM_BOS = "<s>"
+
+
+def _bigram_structs(col: Column) -> Column:
+    """``[w1..wn]`` (BOS-prefixed) -> ``[(BOS,w1),(w1,w2)..]`` as an
+    array<struct<w1,w2>> — pure column algebra, one narrow projection.
+
+    The zip_with lambda touches only its own arguments, so the
+    CollapseProject lambda-inlining trap (captured subtrees re-evaluated
+    per element) does not apply: the two slices are per-ROW expressions.
+    Null text is coalesced to '' (0 bigrams) so engine and oracle agree
+    without relying on NULL-array propagation semantics.
+    """
+    a = F.concat(F.array(F.lit(LM_BOS)), tokens(F.coalesce(col, F.lit(""))))
+    n = F.size(a)
+    return F.zip_with(
+        F.slice(a, 1, n - 1),
+        F.slice(a, 2, n - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Bigram counts ``(w1, w2, n)`` over a corpus — the training half
+    of the perplexity filter.
+
+    Scale shape: one narrow map stage (tokenize + zip_with bigrams, no
+    data-proportional driver work) into ONE shuffle to (w1, w2) counts
+    with map-side combine — zipf-hot bigrams ("of the") collapse to one
+    row per map task before the exchange, so key skew never concentrates
+    rows. The result is vocabulary-sized, not corpus-sized; persist it
+    or write it out once and reuse across scoring runs. ``min_count``
+    prunes hapax bigrams (at web scale the long tail is ~half the rows
+    and pure noise — pruning shrinks the scoring join's build side and
+    only shifts those contexts into the smoothed-unseen mass).
+    """
+    bg = df.select(F.explode(_bigram_structs(F.col(text_col))).alias("bg"))
+    out = bg.groupBy(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    if min_count > 1:
+        out = out.where(F.col("n") >= min_count)
+    return out
+
+
+def lm_score(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    alpha: float = 0.5,
+    broadcast_lm: bool = False,
+) -> DataFrame:
+    """Per-document average bigram log-probability under ``lm`` (output
+    of :func:`train_bigram_lm`) with add-alpha smoothing — higher is more
+    fluent under the training corpus; ``exp(-avg_logprob)`` is the
+    perplexity. Emits one row per input document:
+
+    ``id_cols..., n_bigrams, oov_bigrams, sum_lp_micro, avg_logprob``
+
+    P(w2|w1) = (c(w1,w2)+alpha) / (c(w1)+alpha*V) with V = distinct
+    trained w2 + 1 (one reserved unseen type). Per-bigram log-probs are
+    quantized to micro-units (floor(ln(p)*1e6) as BIGINT) BEFORE any
+    sum, so per-doc totals are integer sums — order-independent across
+    partitions and bit-identical between engines (the BM25 trick).
+
+    Scale shape: docs reduce to per-doc DISTINCT bigram counts (one
+    shuffle, map-side combine), then an equi-join against the
+    vocabulary-sized lm/context frames — broadcast both when the lm
+    fits (``broadcast_lm=True``), else a plain shuffle join whose hot
+    keys are ordinary join skew (AQE splits them); V rides along as a
+    1-row broadcast. No UDFs, no collect, no window.
+    """
+    id_cols = list(id_cols) if id_cols is not None else ["doc_id"]
+    ctx = lm.groupBy("w1").agg(F.sum("n").alias("c1"))
+    voc = lm.agg((F.countDistinct("w2") + F.lit(1)).alias("v"))
+    flat = df.select(
+        *id_cols, F.explode_outer(_bigram_structs(F.col(text_col))).alias("bg")
+    )
+    dbc = flat.groupBy(
+        *id_cols, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    ).agg(F.count(F.lit(1)).alias("k"))
+    lm_side = F.broadcast(lm) if broadcast_lm else lm
+    ctx_side = F.broadcast(ctx) if broadcast_lm else ctx
+    p = (F.coalesce(F.col("n"), F.lit(0)) + F.lit(alpha)) / (
+        F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("v")
+    )
+    scored = (
+        dbc.join(lm_side, ["w1", "w2"], "left")
+        .join(ctx_side, ["w1"], "left")
+        .crossJoin(F.broadcast(voc))
+        .withColumn("__lp_micro", F.floor(F.log(p) * F.lit(1e6)).cast("long"))
+    )
+    real = F.col("w1").isNotNull()  # explode_outer's empty-doc row
+    agg = scored.groupBy(*id_cols).agg(
+        F.sum(F.when(real, F.col("k")).otherwise(F.lit(0))).alias("n_bigrams"),
+        F.sum(
+            F.when(real & F.col("n").isNull(), F.col("k")).otherwise(F.lit(0))
+        ).alias("oov_bigrams"),
+        F.sum(
+            F.when(real, F.col("k") * F.col("__lp_micro")).otherwise(F.lit(0))
+        ).alias("sum_lp_micro"),
+    )
+    return agg.withColumn(
+        "avg_logprob",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("sum_lp_micro").cast("double")
+            / F.col("n_bigrams").cast("double")
+            / F.lit(1e6),
+        ).otherwise(F.lit(None).cast("double")),
+    )

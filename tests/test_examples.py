@@ -17,6 +17,11 @@ def test_curation_pipeline_example(spark):
         "after_domain_cap": 380,
     }
     assert report["funnel"]["total"] == 380
+    ppl = report["perplexity_filter"]
+    # drops the least-fluent ~5% tail, never more than ~10%
+    assert 0.85 * ppl["input"] <= ppl["kept"] < ppl["input"]
+    assert ppl["cutoff_avg_logprob"] < 0  # log-probs are negative
+    assert report["dedup"]["input"] == ppl["kept"]
     assert 0 < report["dedup"]["survivors"] <= report["dedup"]["input"]
     assert report["validation"]["ok"] is True
     assert report["curation"]["weighted_rows"] == 100

@@ -574,3 +574,122 @@ def test_strip_boilerplate_null_passthrough_and_regex_delimiter(spark):
 
     with _pytest.raises(ValueError):
         strip_boilerplate(df.select("text"), "text", min_df=3)
+
+
+# ---------------------------------------------------------------------------
+# bigram LM perplexity scoring
+# ---------------------------------------------------------------------------
+
+
+def _lm_fixture(spark):
+    rows = [
+        (1, "the cat sat"),
+        (2, "the cat ran"),
+        (3, "the dog sat"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_train_bigram_lm_counts(spark):
+    from pandera_forge_spark.operators.text import train_bigram_lm
+
+    lm = {(r["w1"], r["w2"]): r["n"] for r in train_bigram_lm(_lm_fixture(spark)).collect()}
+    # BOS-prefixed: each doc contributes ('<s>', first-word)
+    assert lm[("<s>", "the")] == 3
+    assert lm[("the", "cat")] == 2
+    assert lm[("the", "dog")] == 1
+    assert lm[("cat", "sat")] == 1
+    assert lm[("dog", "sat")] == 1
+    # 3 docs x 3 bigrams each
+    assert sum(lm.values()) == 9
+
+
+def test_train_bigram_lm_min_count(spark):
+    from pandera_forge_spark.operators.text import train_bigram_lm
+
+    lm = train_bigram_lm(_lm_fixture(spark), min_count=2)
+    keys = {(r["w1"], r["w2"]) for r in lm.collect()}
+    assert ("the", "cat") in keys and ("<s>", "the") in keys
+    assert ("the", "dog") not in keys  # hapax pruned
+
+
+def test_lm_score_hand_computed(spark):
+    import math
+
+    from pandera_forge_spark.operators.text import lm_score, train_bigram_lm
+
+    docs = _lm_fixture(spark)
+    lm = train_bigram_lm(docs)
+    out = {r["doc_id"]: r for r in lm_score(docs, lm, broadcast_lm=True).collect()}
+    # vocabulary of trained w2: the, cat, ran, dog, sat -> V = 5 + 1
+    V = 6
+    a = 0.5
+
+    def lp(n, c1):
+        return math.floor(math.log((n + a) / (c1 + a * V)) * 1e6)
+
+    # doc 1 "the cat sat": (<s>,the) n=3 c1=3; (the,cat) n=2 c1=3; (cat,sat) n=1 c1=2
+    expect = lp(3, 3) + lp(2, 3) + lp(1, 2)
+    r = out[1]
+    assert r["n_bigrams"] == 3 and r["oov_bigrams"] == 0
+    assert r["sum_lp_micro"] == expect
+    assert abs(r["avg_logprob"] - expect / 3 / 1e6) < 1e-12
+
+
+def test_lm_score_oov_and_empty(spark):
+    import math
+
+    from pandera_forge_spark.operators.text import lm_score, train_bigram_lm
+
+    lm = train_bigram_lm(_lm_fixture(spark))
+    probe = spark.createDataFrame(
+        [(10, "zz qq"), (11, ""), (12, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in lm_score(probe, lm, broadcast_lm=True).collect()}
+    # "zz qq": (<s>,zz) context <s> seen (c1=3), pair unseen; (zz,qq) both unseen
+    V = 6
+    a = 0.5
+    exp = math.floor(math.log(a / (3 + a * V)) * 1e6) + math.floor(
+        math.log(a / (0 + a * V)) * 1e6
+    )
+    assert out[10]["n_bigrams"] == 2
+    assert out[10]["oov_bigrams"] == 2
+    assert out[10]["sum_lp_micro"] == exp
+    # empty and null text: a row with zero bigrams and NULL score
+    for d in (11, 12):
+        assert out[d]["n_bigrams"] == 0
+        assert out[d]["oov_bigrams"] == 0
+        assert out[d]["sum_lp_micro"] == 0
+        assert out[d]["avg_logprob"] is None
+
+
+def test_lm_score_partition_independent(spark):
+    from pandera_forge_spark.operators.text import lm_score, train_bigram_lm
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lm = train_bigram_lm(docs).persist()
+    base = {r["doc_id"]: r for r in lm_score(docs, lm).collect()}
+    skewed = {
+        r["doc_id"]: r
+        for r in lm_score(docs.repartition(17), lm, broadcast_lm=True).collect()
+    }
+    lm.unpersist()
+    assert base.keys() == skewed.keys()
+    for k in base:
+        assert base[k]["sum_lp_micro"] == skewed[k]["sum_lp_micro"]
+        assert base[k]["n_bigrams"] == skewed[k]["n_bigrams"]
+
+
+def test_lm_score_plan_clean(spark):
+    from pandera_forge_spark.operators.text import lm_score, train_bigram_lm
+    from pandera_forge_spark.plans.inspect import (
+        has_broadcast_hash_join,
+        has_python_udf,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lm = train_bigram_lm(docs)
+    out = lm_score(docs, lm, broadcast_lm=True)
+    assert not has_python_udf(out)
+    assert not has_python_udf(lm)
+    assert has_broadcast_hash_join(out)
