@@ -3062,6 +3062,38 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
 """
 
 
+def q_mixture_lang(spark, sf_dir):
+    """Target-mixture rebalance (operators/sampling.py mixture_sample):
+    50 docs at a 50/30/20 en/de/fr mixture, per-stratum picks in
+    deterministic md5 order. total_n=50 makes every quota integer-exact
+    (25/15/10) and far below each lang's count at every SF, so the
+    oracle replays the selection as three closed-form rank cuts —
+    the largest-remainder and feasibility-ceiling paths are
+    pytest-covered (tests/test_sampling.py)."""
+    from pandera_forge_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs, ["lang"], {"en": 0.5, "de": 0.3, "fr": 0.2}, "doc_id", total_n=50
+    )
+    return out.select("doc_id", "lang").orderBy("lang", "doc_id")
+
+
+SQL_MIXTURE_LANG = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents WHERE lang IN ('en', 'de', 'fr')
+) WHERE (lang = 'en' AND rk <= 25)
+     OR (lang = 'de' AND rk <= 15)
+     OR (lang = 'fr' AND rk <= 10)
+ORDER BY lang, doc_id
+"""
+
+
 _BENFORD_COLS = ["l_discount", "l_extendedprice", "l_quantity"]
 
 
@@ -4147,6 +4179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-checked by the strict local sweep (scripts/check_oracles.py,
         # both SFs) until a future rotation gives it a driver row.
         "lm_perplexity": q_lm_perplexity,
+        "mixture_lang": q_mixture_lang,
     }
 
 
@@ -4261,4 +4294,5 @@ def oracle_sql() -> dict[str, str]:
         "hourly_rollup": SQL_HOURLY_ROLLUP,
         "stream_dedup_epochs": SQL_STREAM_DEDUP_EPOCHS,
         "lm_perplexity": SQL_LM_PERPLEXITY,
+        "mixture_lang": SQL_MIXTURE_LANG,
     }

@@ -97,6 +97,8 @@ from pandera_forge_spark.operators.temporal import (
     time_rollup,
 )
 from pandera_forge_spark.operators.sampling import (
+    mixture_quotas,
+    mixture_sample,
     train_val_test_split,
     weighted_take,
 )
@@ -235,6 +237,8 @@ __all__ = [
     "normalize_text",
     "weighted_take",
     "train_val_test_split",
+    "mixture_quotas",
+    "mixture_sample",
     "fuzzy_join",
     "fuzzy_pairs",
     "canonicalize_url",

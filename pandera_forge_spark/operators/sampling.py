@@ -178,17 +178,17 @@ def proportional_quotas(
     return quotas
 
 
-def proportional_sample(
+def _ranked_quota_take(
     df: DataFrame,
     strata_cols: Sequence[str],
-    total_n: int,
+    quotas: dict,
     id_col: str,
 ) -> DataFrame:
-    """~``total_n`` rows allocated across strata proportionally to
-    their sizes (largest remainder), each stratum's share taken in
-    deterministic hash order. Two jobs: the O(strata) count, then one
-    ranked take with per-stratum quotas broadcast in."""
-    quotas = proportional_quotas(df, strata_cols, total_n)
+    """First ``quotas[stratum]`` rows per stratum in deterministic md5
+    order — the shared take behind :func:`proportional_sample` and
+    :func:`mixture_sample`. The quota table is O(strata) rows and joins
+    in as a broadcast; strata without a quota row drop out (inner
+    join). One window per stratum, same shape as stratified_take."""
     if not quotas:
         return df.limit(0)
     spark = df.sparkSession
@@ -206,6 +206,114 @@ def proportional_sample(
         .where(F.col("__rk") <= F.col("__quota"))
         .drop("__key", "__rk", "__quota")
     )
+
+
+def proportional_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    total_n: int,
+    id_col: str,
+) -> DataFrame:
+    """~``total_n`` rows allocated across strata proportionally to
+    their sizes (largest remainder), each stratum's share taken in
+    deterministic hash order. Two jobs: the O(strata) count, then one
+    ranked take with per-stratum quotas broadcast in."""
+    quotas = proportional_quotas(df, strata_cols, total_n)
+    return _ranked_quota_take(df, strata_cols, quotas, id_col)
+
+
+def mixture_quotas(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    weights: dict,
+    total_n: Optional[int] = None,
+    max_strata: int = 1_000_000,
+) -> dict:
+    """Per-stratum quotas hitting TARGET mixture ``weights`` (the
+    static domain-mixture allocator: "50% web, 30% code, 20% books" —
+    the Pile/DoReMi shape), capped by what each stratum actually holds.
+
+    ``weights`` maps stratum key (scalar for one stratum column, tuple
+    otherwise) to a positive weight; weights are normalized internally,
+    strata not named are dropped (weight 0). ``total_n=None`` takes the
+    LARGEST total that satisfies the mixture without upsampling:
+    T = min over weighted strata of floor(n_s / w_s). An explicit
+    ``total_n`` above that ceiling raises loudly (this operator never
+    silently degrades the mixture); a weighted stratum absent from the
+    corpus raises for the same reason. Integerization is
+    largest-remainder (remainder ties broken by stratum key), matching
+    :func:`proportional_quotas`.
+
+    Driver-side math over O(strata) count rows; ``max_strata`` fences
+    the collect exactly like :func:`proportional_quotas`."""
+    rows = df.groupBy(*strata_cols).count().limit(max_strata + 1).collect()
+    if len(rows) > max_strata:
+        raise ValueError(
+            f"more than {max_strata} strata over {list(strata_cols)} — the "
+            "quota table would not fit on the driver; coarsen the stratum "
+            "key or raise max_strata deliberately"
+        )
+    sizes = {tuple(r[c] for c in strata_cols): r["count"] for r in rows}
+    wkeys = {
+        (k if isinstance(k, tuple) else (k,)): float(v)
+        for k, v in weights.items()
+    }
+    if not wkeys:
+        return {}
+    bad = {k: v for k, v in wkeys.items() if v <= 0}
+    if bad:
+        raise ValueError(f"weights must be positive: {bad}")
+    missing = sorted(str(k) for k in wkeys if sizes.get(k, 0) == 0)
+    if missing:
+        raise ValueError(
+            f"weighted strata absent from the corpus: {missing} — the "
+            "target mixture is unsatisfiable without upsampling"
+        )
+    wsum = sum(wkeys.values())
+    feasible = min(int(sizes[k] * wsum / w) for k, w in wkeys.items())
+    if total_n is None:
+        total_n = feasible
+    elif total_n > feasible:
+        raise ValueError(
+            f"total_n={total_n} exceeds the mixture-feasible ceiling "
+            f"{feasible} (binding stratum caps); pass total_n=None for "
+            "the maximum, or shrink the request"
+        )
+    if total_n <= 0:
+        return {}
+    exact = {k: total_n * w / wsum for k, w in wkeys.items()}
+    quotas = {k: min(int(e), sizes[k]) for k, e in exact.items()}
+    left = total_n - sum(quotas.values())
+    by_rem = sorted(
+        wkeys, key=lambda k: (-(exact[k] - int(exact[k])), tuple(map(str, k)))
+    )
+    for k in by_rem:
+        if left <= 0:
+            break
+        if quotas[k] < sizes[k]:
+            quotas[k] += 1
+            left -= 1
+    return quotas
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    weights: dict,
+    id_col: str,
+    total_n: Optional[int] = None,
+) -> DataFrame:
+    """Rebalance a corpus to a target domain mixture: quotas from
+    :func:`mixture_quotas`, rows taken per stratum in deterministic
+    md5 order (same key discipline as every sampler here — the
+    selection is reproducible on any cluster size, any partitioning,
+    any engine that can md5). Unweighted strata drop out entirely.
+
+    Shape: one O(strata) count (fenced), a broadcast quota join, one
+    ranked window per stratum — identical cost to
+    :func:`proportional_sample`; only the quota arithmetic differs."""
+    quotas = mixture_quotas(df, strata_cols, weights, total_n)
+    return _ranked_quota_take(df, strata_cols, quotas, id_col)
 
 
 def take_token_budget(

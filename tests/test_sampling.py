@@ -399,3 +399,99 @@ def test_train_val_test_split_group_integrity(spark):
         r["__split"] for r in out.where(F.col("cluster").isNull()).collect()
     }
     assert len(null_splits) == 1
+
+
+# ---------------------------------------------------------------------------
+# target-mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_quotas_feasible_max(spark):
+    from pandera_forge_spark.operators.sampling import mixture_quotas
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # sf0.001 lang sizes: en 193, de 71, fr 82 (es/zh unweighted)
+    q = mixture_quotas(docs, ["lang"], {"en": 0.5, "de": 0.3, "fr": 0.2})
+    # T = min(193/.5, 71/.3, 82/.2) = 236; largest-remainder fill
+    assert q == {("en",): 118, ("de",): 71, ("fr",): 47}
+    assert sum(q.values()) == 236
+
+
+def test_mixture_quotas_explicit_total(spark):
+    from pandera_forge_spark.operators.sampling import mixture_quotas
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = mixture_quotas(docs, ["lang"], {"en": 0.5, "de": 0.3, "fr": 0.2}, 50)
+    assert q == {("en",): 25, ("de",): 15, ("fr",): 10}
+    # weights need not be pre-normalized
+    q2 = mixture_quotas(docs, ["lang"], {"en": 5, "de": 3, "fr": 2}, 50)
+    assert q2 == q
+
+
+def test_mixture_quotas_loud_fences(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.sampling import mixture_quotas
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError, match="feasible ceiling"):
+        mixture_quotas(docs, ["lang"], {"en": 0.5, "de": 0.3, "fr": 0.2}, 10_000)
+    with pytest.raises(ValueError, match="absent from the corpus"):
+        mixture_quotas(docs, ["lang"], {"en": 0.5, "klingon": 0.5})
+    with pytest.raises(ValueError, match="positive"):
+        mixture_quotas(docs, ["lang"], {"en": 0.5, "de": -0.5})
+    assert mixture_quotas(docs, ["lang"], {}) == {}
+
+
+def test_mixture_sample_selection(spark):
+    from pyspark.sql import functions as F
+
+    from pandera_forge_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = mixture_sample(docs, ["lang"], {"en": 0.5, "de": 0.3, "fr": 0.2},
+                         "doc_id", total_n=50)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"en": 25, "de": 15, "fr": 10}
+    # the en picks are exactly the 25 smallest md5(doc_id) among en docs
+    expect = {
+        r["doc_id"]
+        for r in docs.where(F.col("lang") == "en")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(25)
+        .collect()
+    }
+    got = {r["doc_id"] for r in out.where(F.col("lang") == "en").collect()}
+    assert got == expect
+    # partitioning-independent
+    again = mixture_sample(docs.repartition(13), ["lang"],
+                           {"en": 0.5, "de": 0.3, "fr": 0.2}, "doc_id", 50)
+    assert {r["doc_id"] for r in again.collect()} == {
+        r["doc_id"] for r in out.collect()
+    }
+
+
+def test_mixture_sample_multi_col_strata(spark):
+    from pyspark.sql import functions as F
+
+    from pandera_forge_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    two = docs.withColumn("half", (F.col("doc_id") % 2).cast("int"))
+    out = mixture_sample(
+        two, ["lang", "half"],
+        {("en", 0): 0.5, ("de", 1): 0.5}, "doc_id", total_n=20,
+    )
+    counts = {(r["lang"], r["half"]): r["n"] for r in
+              out.groupBy("lang", "half").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {("en", 0): 10, ("de", 1): 10}
+
+
+def test_mixture_sample_plan_clean(spark):
+    from pandera_forge_spark.operators.sampling import mixture_sample
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = mixture_sample(docs, ["lang"], {"en": 0.6, "de": 0.4}, "doc_id", 20)
+    assert not has_python_udf(out)
