@@ -3062,6 +3062,63 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
 """
 
 
+def q_collapse_lines(spark, sf_dir):
+    """Intra-document consecutive-duplicate-line collapse
+    (operators/text.py collapse_repeated_lines): docs with
+    doc_id % 4 == 0 get a planted repeated-nav-line block appended;
+    the operator must collapse the block to one line and leave every
+    other document byte-identical. The oracle replays the planting and
+    the index-aware list_filter in DuckDB and compares md5(text)."""
+    from pandera_forge_spark.operators.text import collapse_repeated_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\nHOME | ABOUT | CONTACT\nHOME | ABOUT | CONTACT"
+                      "\nHOME | ABOUT | CONTACT"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = collapse_repeated_lines(planted)
+    return out.select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars_after"),
+        F.md5("text").alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+SQL_COLLAPSE_LINES = """
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN text || chr(10) || 'HOME | ABOUT | CONTACT'
+                        || chr(10) || 'HOME | ABOUT | CONTACT'
+                        || chr(10) || 'HOME | ABOUT | CONTACT'
+              ELSE text END AS text
+  FROM documents
+),
+collapsed AS (
+  SELECT doc_id,
+         array_to_string(
+           list_filter(
+             string_split(coalesce(text, ''), chr(10)),
+             (x, i) -> i = 1 OR trim(x) <>
+               trim(string_split(coalesce(text, ''), chr(10))[i - 1])
+           ),
+           chr(10)
+         ) AS text
+  FROM planted
+)
+SELECT doc_id, CAST(length(text) AS INT) AS n_chars_after,
+       md5(text) AS text_md5
+FROM collapsed ORDER BY doc_id
+"""
+
+
 def q_mixture_lang(spark, sf_dir):
     """Target-mixture rebalance (operators/sampling.py mixture_sample):
     50 docs at a 50/30/20 en/de/fr mixture, per-stratum picks in
@@ -4180,6 +4237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both SFs) until a future rotation gives it a driver row.
         "lm_perplexity": q_lm_perplexity,
         "mixture_lang": q_mixture_lang,
+        "collapse_lines": q_collapse_lines,
     }
 
 
@@ -4295,4 +4353,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_epochs": SQL_STREAM_DEDUP_EPOCHS,
         "lm_perplexity": SQL_LM_PERPLEXITY,
         "mixture_lang": SQL_MIXTURE_LANG,
+        "collapse_lines": SQL_COLLAPSE_LINES,
     }

@@ -52,6 +52,7 @@ from pandera_forge_spark.sources.versioned import VersionedParquet
 from pandera_forge_spark.sources.readers import read_excel
 from pandera_forge_spark.operators.text import (
     boilerplate_lines,
+    collapse_repeated_lines,
     contamination_bloom,
     fingerprint_overlap_pairs,
     lm_score,
@@ -182,6 +183,7 @@ __all__ = [
     "winnow_fingerprints",
     "train_bigram_lm",
     "lm_score",
+    "collapse_repeated_lines",
     "infer_and_validate",
     "infer_schema",
     "infer_semantic_type",

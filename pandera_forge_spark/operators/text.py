@@ -968,3 +968,38 @@ def lm_score(
             / F.lit(1e6),
         ).otherwise(F.lit(None).cast("double")),
     )
+
+
+def collapse_repeated_lines(
+    df: DataFrame, text_col: str = "text", delimiter: str = "\n"
+) -> DataFrame:
+    """Collapse CONSECUTIVE duplicate lines within each document to
+    their first occurrence (crawler artifacts repeat nav/footer lines
+    back-to-back; this is the intra-document complement of the
+    corpus-level :func:`strip_boilerplate`). Lines compare
+    trim-normalized; the kept line keeps its original form. Every
+    other column passes through untouched.
+
+    Scale shape: a narrow per-row projection — split, one zip_with
+    against the 1-shifted array, filter, rejoin; zero shuffles, zero
+    UDFs, no corpus-wide state. The shifted array is a zip_with
+    ARGUMENT (not a captured subtree), so the split is evaluated
+    per row, not per element — the CollapseProject lambda-inlining
+    trap documented at winnow_fingerprints does not bite here."""
+    import re as _re
+
+    a = F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(delimiter))
+    prev = F.concat(
+        F.array(F.lit(None).cast("string")), F.slice(a, 1, F.size(a) - 1)
+    )
+    pairs = F.zip_with(
+        a,
+        prev,
+        lambda x, p: F.struct(
+            x.alias("line"),
+            (p.isNull() | (F.trim(x) != F.trim(p))).alias("keep"),
+        ),
+    )
+    kept = F.filter(pairs, lambda s: s["keep"])
+    out = F.array_join(F.transform(kept, lambda s: s["line"]), delimiter)
+    return df.withColumn(text_col, out)

@@ -693,3 +693,41 @@ def test_lm_score_plan_clean(spark):
     assert not has_python_udf(out)
     assert not has_python_udf(lm)
     assert has_broadcast_hash_join(out)
+
+
+def test_collapse_repeated_lines(spark):
+    from pandera_forge_spark.operators.text import collapse_repeated_lines
+
+    rows = [
+        (1, "a\nb\nb\nb\nc"),          # consecutive dups collapse
+        (2, "a\nb\na"),                  # non-consecutive dups survive
+        (3, "x\n  x  \nx"),              # trim-normalized compare, first kept
+        (4, ""),
+        (5, None),
+        (6, "only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in collapse_repeated_lines(df).collect()}
+    assert out[1] == "a\nb\nc"
+    assert out[2] == "a\nb\na"
+    assert out[3] == "x"
+    assert out[4] == ""
+    assert out[5] == ""  # null coalesces to empty, documented
+    assert out[6] == "only"
+
+
+def test_collapse_repeated_lines_passthrough_and_plan(spark):
+    from pandera_forge_spark.operators.text import collapse_repeated_lines
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = collapse_repeated_lines(docs)
+    assert out.columns == docs.columns
+    assert not has_python_udf(out)
+    # idempotent: a second pass changes nothing
+    once = {r["doc_id"]: r["text"] for r in out.collect()}
+    twice = {
+        r["doc_id"]: r["text"]
+        for r in collapse_repeated_lines(out).collect()
+    }
+    assert once == twice
