@@ -4097,12 +4097,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #         url_canonical, domain_cap_counts (first driver rows), and
     #         frame_sample_plan (r4 row was rows-only; its oracle is now a
     #         full value oracle, so it needs a value-checked row),
-    #   12-50: the round-3-verified tail (39 of its 49 queries).
-    # The window holds 50 but 5 fixed + 6 new/changed + 49 tail = 60
-    # candidates, so ten tail queries stay at positions 51-60; each is a
-    # parameter-variant or composition of in-window siblings (rationale
-    # inline below), keeping every DISTINCT code path driver-verified
-    # within the last two rounds.
+    #   12-14: the three operators added late this round (bigram-LM
+    #         perplexity, target-mixture sampling, duplicate-line
+    #         collapse) — never driver-verified, so they outrank any
+    #         already-green tail row,
+    #   15-50: the round-3-verified tail (36 of its 49 queries).
+    # The window holds 50 but 5 fixed + 6 new/changed + 3 late + 49 tail
+    # = 63 candidates, so thirteen tail queries stay at positions 51-63;
+    # each is a parameter-variant or composition of in-window (or
+    # r4-green) siblings (rationale inline below), keeping every
+    # DISTINCT code path driver-verified within the last two rounds.
     return {
         # -- round-4 red rows, oracle HUGEINT CASTs fixed (VERDICT r4 #1) ------
         "pii_scan": q_pii_scan,
@@ -4117,13 +4121,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "domain_cap_counts": q_domain_cap_counts,
         "frame_sample_plan": q_frame_sample_plan,
+        # -- late-round-5 operators, first driver rows -------------------------
+        "lm_perplexity": q_lm_perplexity,
+        "mixture_lang": q_mixture_lang,
+        "collapse_lines": q_collapse_lines,
         # -- round-3-verified tail, rotated in (last driver-green r3) ----------
         "profile_fused_orders": q_profile_fused_orders,
         "uniqueness_orders": q_uniqueness_orders,
         "topk_returnflag": q_topk_returnflag,
         "topk_engine_salted": q_topk_engine_salted,
-        "isin_domain_linestatus": q_isin_domain_linestatus,
-        "duplicate_custkeys": q_duplicate_custkeys,
         "ri_customers_without_orders": q_ri_customers_without_orders,
         "pattern_ratios": q_pattern_ratios,
         "validation_verdicts_lineitem": q_validation_verdicts_lineitem,
@@ -4135,7 +4141,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_verdicts": q_pipeline_verdicts,
         "span_order_violations": q_span_order_violations,
         "span_sequence_mismatches": q_span_sequence_mismatches,
-        "span_kind_counts": q_span_kind_counts,
         "span_profile": q_span_profile,
         "exact_dup_groups": q_exact_dup_groups,
         "near_dup_minhash": q_near_dup_minhash,
@@ -4176,8 +4181,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (in-window) minus the persisted index — the two paths are
         # exact-equivalence-asserted by pytest (tests/test_dedup.py),
         # dedup_near_dropped = composition of near_dup_minhash +
-        # dedup_clusters survivor selection, both in-window.
+        # dedup_clusters survivor selection, both in-window;
+        # duplicate_custkeys = the same validator.uniqueness_violations
+        # path as duplicate_order_rows (driver-green r4) with
+        # uniqueness_orders (same op family) in-window,
+        # isin_domain_linestatus = the magic-10 small-domain isin rule,
+        # driver-anchored by inferred_schema_region (green r4, same
+        # AUTO_SMALL_DOMAIN branch of inference.py),
+        # span_kind_counts = the same explode-then-aggregate span walk as
+        # span_profile and span_transitions, both in-window.
         "violation_examples": q_violation_examples,
+        "duplicate_custkeys": q_duplicate_custkeys,
+        "isin_domain_linestatus": q_isin_domain_linestatus,
+        "span_kind_counts": q_span_kind_counts,
         "grouped_outliers": q_grouped_outliers,
         "topk_event_type": q_topk_event_type,
         "duplicate_custkeys_salted": q_duplicate_custkeys_salted,
@@ -4232,12 +4248,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_lineitem": q_benford_lineitem,
         "strip_boilerplate": q_strip_boilerplate,
         "profile_lineitem": q_profile_lineitem,
-        # -- registered past the 50-slot window (new in late round 5): -------
-        # value-checked by the strict local sweep (scripts/check_oracles.py,
-        # both SFs) until a future rotation gives it a driver row.
-        "lm_perplexity": q_lm_perplexity,
-        "mixture_lang": q_mixture_lang,
-        "collapse_lines": q_collapse_lines,
     }
 
 
