@@ -488,8 +488,13 @@ def _append_history(summary: dict) -> None:
     stability of the 2->8 ratio auditable across invocations)."""
     p = REPO / "SCALING_HISTORY.json"
     hist = json.loads(p.read_text()) if p.exists() else []
+    # the ledger table in BENCH.md is keyed on "round"; derive it from
+    # the driver's per-round bench artifacts (BENCH_r04.json exists =>
+    # round 5 is in progress)
+    rnd = len(list(REPO.glob("BENCH_r*.json"))) + 1
     hist.append({
         "note": "bench.py --scaling invocation",
+        "round": rnd,
         **{k: v for k, v in summary.items() if k not in ("metric", "target")},
     })
     p.write_text(json.dumps(hist, indent=2) + "\n")

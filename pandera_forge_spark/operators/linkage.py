@@ -86,29 +86,37 @@ def _keyed(
 ) -> DataFrame:
     """(variant, id, key) candidate frame: null keys dropped (a null
     key matches nothing — documented, not sprayed into the '' block),
-    over-long keys refused loudly BEFORE the explode multiplies them."""
-    base = df.select(
-        F.col(id_col).alias(f"id_{side}"), F.col(key_col).alias(f"key_{side}")
-    ).where(F.col(key_col).isNotNull())
+    over-long keys refused loudly BEFORE the explode multiplies them.
+
+    The length fence is IN-BAND (``raise_error`` inside the key
+    projection) rather than a driver-side probe: a ``limit(1)`` probe
+    with no offender is a full extra scan per side, eagerly, at
+    DataFrame-construction time — two spare full-corpus jobs per call
+    at the module's advertised scale. In-band, the guard rides the one
+    real scan for free and fires at action time with the same message."""
+    key = F.col(key_col)
     if max_key_length is not None:
-        # early-exit probe, same pattern as bm25_join's guard: one
-        # pushdown-filtered scan that stops at the first offender;
-        # the alternative (silently dropping or exploding it) either
-        # corrupts the result or hands one task a len^d blow-up
-        offender = (
-            base.where(F.length(f"key_{side}") > max_key_length)
-            .select(f"key_{side}")
-            .limit(1)
-            .collect()
-        )
-        if offender:
-            k = offender[0][0]
-            raise ValueError(
-                f"fuzzy join key {k[:40]!r}... is {len(k)} chars "
-                f"(> max_key_length={max_key_length}); the delete "
-                f"neighborhood is O(len^{max_distance}) — link on a "
-                f"short key, or raise max_key_length deliberately"
+        # null-safe: a null condition would fall into the otherwise
+        # branch and raise on rows the isNotNull filter drops anyway
+        key = F.when(
+            key.isNull() | (F.length(key) <= max_key_length), key
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "fuzzy join key exceeds "
+                        f"max_key_length={max_key_length} (the delete "
+                        f"neighborhood is O(len^{max_distance})) — link "
+                        "on a short key, or raise max_key_length "
+                        "deliberately; offending key starts: "
+                    ),
+                    F.substring(F.col(key_col), 1, 40),
+                )
             )
+        )
+    base = df.where(F.col(key_col).isNotNull()).select(
+        F.col(id_col).alias(f"id_{side}"), key.alias(f"key_{side}")
+    )
     return base.select(
         F.explode(
             delete_variants(F.col(f"key_{side}"), max_distance)

@@ -70,8 +70,11 @@ def canonicalize_url(url: Column) -> Column:
     ).otherwise(host)
     path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
+    # anchor the query '?' BEFORE any '#': a bare \? would match a '?'
+    # inside the fragment ('page#frag?x=1') and leak fragment content
+    # into the canonical form
     query = _query_without_tracking(
-        F.regexp_extract(url, r"\?([^#]*)", 1)
+        F.regexp_extract(url, r"^[^#]*?\?([^#]*)", 1)
     )
     canon = F.concat(
         scheme,
@@ -125,7 +128,14 @@ def domain_filter(
     table, join against it yourself; this is the curated-list shape."""
     dom = registrable_domain(url_host(F.col(url_col)))
     blocked = [d.lower() for d in blocked_domains]
-    cond = dom.isin(*blocked) if blocked else F.lit(False)
+    # coalesce: a NULL url yields a NULL membership test, and a bare
+    # ~NULL is NULL — blocklist mode would silently drop every
+    # null-URL row as a side effect. NULL domain => "not blocked".
+    cond = (
+        F.coalesce(dom.isin(*blocked), F.lit(False))
+        if blocked
+        else F.lit(False)
+    )
     return df.where(cond if keep else ~cond)
 
 

@@ -143,7 +143,36 @@ class DriverFS:
                     return False
                 raise
             os.close(fd)
-            os.replace(s, d)
+            # The claim at dst succeeded; now move the payload in.
+            # os.replace(s, d) itself fails EXDEV for cross-device
+            # moves (one of the errnos that put us on this branch), so
+            # fall back to staging a copy NEXT TO dst — same
+            # filesystem by construction — and replacing from there.
+            # Any failure must release the placeholder claim: a
+            # zero-byte ghost at dst would make every later rename()
+            # return False and hand readers an unparseable manifest.
+            import shutil
+
+            tmp = d.with_name(f"{d.name}.{os.getpid()}.rename-tmp")
+            try:
+                os.replace(s, d)
+                return True
+            except OSError:
+                pass
+            try:
+                shutil.copy2(s, tmp)
+                os.replace(tmp, d)
+            except BaseException:
+                for leftover in (tmp, d):
+                    try:
+                        os.unlink(leftover)
+                    except OSError:
+                        pass
+                raise
+            try:
+                os.unlink(s)
+            except OSError:
+                pass  # payload committed; a stale src copy is harmless
             return True
         s.unlink()
         return True

@@ -135,13 +135,18 @@ def test_delete_variants_counts(spark):
 
 def test_max_key_length_fence_is_loud(spark):
     df = spark.createDataFrame([(1, "x" * 100), (2, "ok")], "id bigint, k string")
-    with pytest.raises(ValueError, match="max_key_length"):
-        fuzzy_pairs(df, "k", "id", max_distance=1, max_key_length=64)
+    # the fence is in-band (raise_error in the key projection, zero
+    # extra jobs) so it fires at action time, not construction time
+    with pytest.raises(Exception, match="max_key_length"):
+        fuzzy_pairs(df, "k", "id", max_distance=1, max_key_length=64).count()
     # opting out deliberately works
     assert (
         fuzzy_pairs(df, "k", "id", max_distance=1, max_key_length=None).count()
         == 0
     )
+    # no offenders: construction AND action succeed without a probe job
+    ok = spark.createDataFrame([(1, "abc"), (2, "abd")], "id bigint, k string")
+    assert fuzzy_pairs(ok, "k", "id", max_distance=1, max_key_length=64).count() == 1
 
 
 def test_no_python_udf_in_plan(spark):

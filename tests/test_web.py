@@ -35,6 +35,11 @@ def _canon(spark, url):
         ("https://x.com/?gclid=1&fbclid=2&ref=3", "https://x.com/?"),
         # non-URL passes through unchanged
         ("not a url", "not a url"),
+        # a '?' INSIDE the fragment is not a query: both fragments drop
+        # to the same canonical form (regression: a bare \? regex
+        # leaked fragment content into the canonical URL)
+        ("https://example.com/path#frag?x=1", "https://example.com/path"),
+        ("https://example.com/path#other", "https://example.com/path"),
     ],
 )
 def test_canonicalize_url(spark, url, expect):
@@ -92,6 +97,13 @@ def test_domain_filter_block_and_keep(spark):
     } == {2, 3}
     # empty blocklist blocks nothing
     assert domain_filter(df, "url", []).count() == 3
+    # a NULL url is "not blocked": blocklist mode keeps it (regression:
+    # ~NULL is NULL, which silently dropped every null-URL row)
+    withnull = spark.createDataFrame(
+        [(1, "https://spam.com/x"), (2, None)], "id bigint, url string"
+    )
+    assert {r.id for r in domain_filter(withnull, "url", ["spam.com"]).collect()} == {2}
+    assert domain_filter(withnull, "url", ["spam.com"], keep=True).count() == 1
 
 
 def test_per_domain_cap_bounds_and_determinism(spark):
