@@ -4083,6 +4083,171 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_semdedup_planted(spark, sf_dir):
+    """SemDeDup semantic dedup (operators/similarity.py semantic_dedup)
+    with explicit centroids (the four fixed vec_ids, same anchor
+    trick as ivf_topk_planted) over embeddings plus planted exact
+    copies. The oracle replays EVERY stage in DuckDB — cell assignment
+    with the argmax tie-break (score DESC, cell DESC), within-cell
+    cosine in the Spark helper's exact expression shape
+    (dot/(sqrt(dot aa)*sqrt(dot bb))), the smaller-id greedy rule, and
+    the min-id kept mapping — so a blocking or threshold drift
+    hash-mismatches. Every planted copy must be dropped (its original
+    shares its cell by construction); natural same-cell drops are
+    replayed, not assumed."""
+    from pandera_forge_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    fetched = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.where(F.col("vec_id").isin(IVF_CENTROID_VIDS)).collect()
+    }
+    centroids = [fetched[v] for v in IVF_CENTROID_VIDS]
+    copies = emb.where(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    _, dropped = semantic_dedup(
+        emb.unionByName(copies), centroids=centroids, threshold=0.99
+    )
+    return dropped.select("vec_id", "kept_id", "cell").orderBy("vec_id")
+
+
+SQL_SEMDEDUP_PLANTED = """
+WITH cents AS (
+  SELECT c.cell, CAST(e.embedding AS DOUBLE[]) AS cv
+  FROM (VALUES (0, 3), (1, 7), (2, 11), (3, 19)) AS c(cell, vid)
+  JOIN embeddings e ON e.vec_id = c.vid
+),
+corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+assign AS (
+  SELECT vec_id, v, cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_dot_product(v, cv)
+                    - list_dot_product(cv, cv) / 2.0 DESC,
+                    cell DESC
+         ) AS rn
+  FROM corpus CROSS JOIN cents
+),
+cellmap AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+close AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell
+  FROM cellmap a JOIN cellmap b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)))
+        >= 0.99e0
+)
+SELECT id_b AS vec_id, MIN(id_a) AS kept_id, MIN(cell) AS cell
+FROM close GROUP BY id_b ORDER BY vec_id
+"""
+
+
+def _planted_metric(spark, sf_dir):
+    """events with a deterministic integer-valued metric: quiet band
+    0..20 from event_id, a 1000.0 spike every 997th id — integer-valued
+    doubles keep every windowed sum EXACT, so both engines compute
+    bit-identical z-scores regardless of their window-aggregation
+    association order."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 997 == 0, F.lit(1000.0)).otherwise(
+            (F.col("event_id") % 21).cast("double")
+        ),
+    )
+
+
+def q_rolling_anomalies(spark, sf_dir):
+    """Trailing-window z-score anomalies (operators/temporal.py
+    rolling_zscore): one RANGE frame per event_type over the preceding
+    day, leave-one-out mean/variance, |z| > 4 flags. The oracle
+    replays the identical expression shapes over the identical exact
+    integer window sums, so z itself is emitted raw (bit-identical by
+    construction, not rounded)."""
+    from pandera_forge_spark.operators.temporal import rolling_zscore
+
+    out = rolling_zscore(
+        _planted_metric(spark, sf_dir),
+        key_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        frame_seconds=86400,
+        z_threshold=4.0,
+        min_points=8,
+    )
+    return (
+        out.where("is_anomaly")
+        .select("event_id", "event_type", "n_window", "z")
+        .orderBy("event_id")
+    )
+
+
+def q_rolling_anomalies_split(spark, sf_dir):
+    """The split-stitch path of the same operator (split_every = 7
+    days, chunk-boundary context carry-in) against the SAME oracle —
+    the split must be invisible in the result, same contract as
+    sessions_user_split / asof_events_split."""
+    from pandera_forge_spark.operators.temporal import rolling_zscore
+
+    out = rolling_zscore(
+        _planted_metric(spark, sf_dir),
+        key_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        frame_seconds=86400,
+        z_threshold=4.0,
+        min_points=8,
+        split_every=7 * 86400.0,
+    )
+    return (
+        out.where("is_anomaly")
+        .select("event_id", "event_type", "n_window", "z")
+        .orderBy("event_id")
+    )
+
+
+SQL_ROLLING_ANOMALIES = """
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS t,
+         CASE WHEN event_id % 997 = 0 THEN 1000.0e0
+              ELSE CAST(event_id % 21 AS DOUBLE) END AS v
+  FROM events
+),
+w AS (
+  SELECT event_id, event_type, v,
+         SUM(v) OVER win AS s,
+         SUM(v * v) OVER win AS ss,
+         COUNT(v) OVER win AS n
+  FROM base
+  WINDOW win AS (PARTITION BY event_type ORDER BY t
+                 RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+),
+z AS (
+  SELECT event_id, event_type,
+         n - 1 AS n_window,
+         (v - (s - v) / (n - 1))
+           / SQRT(((ss - v * v) - (s - v) * (s - v) / (n - 1)) / ((n - 1) - 1))
+           AS z,
+         ((ss - v * v) - (s - v) * (s - v) / (n - 1)) / ((n - 1) - 1) AS var
+  FROM w
+  WHERE n - 1 >= 8
+)
+SELECT event_id, event_type, CAST(n_window AS BIGINT) AS n_window, z
+FROM z
+WHERE var > 0 AND ABS(z) > 4.0e0
+ORDER BY event_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -4101,9 +4266,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #         perplexity, target-mixture sampling, duplicate-line
     #         collapse) — never driver-verified, so they outrank any
     #         already-green tail row,
-    #   15-50: the round-3-verified tail (36 of its 49 queries).
-    # The window holds 50 but 5 fixed + 6 new/changed + 3 late + 49 tail
-    # = 63 candidates, so thirteen tail queries stay at positions 51-63;
+    #   15-16: the final-session operators (SemDeDup semantic dedup,
+    #         rolling z-score anomalies) — never driver-verified,
+    #   17-50: the round-3-verified tail (34 of its 49 queries).
+    # The window holds 50 but 5 fixed + 6 new/changed + 5 session + 49 tail
+    # = 65 candidates, so fifteen r3-green tail queries plus the
+    # split-path twin rolling_anomalies_split stay at positions 51-66;
     # each is a parameter-variant or composition of in-window (or
     # r4-green) siblings (rationale inline below), keeping every
     # DISTINCT code path driver-verified within the last two rounds.
@@ -4125,9 +4293,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "mixture_lang": q_mixture_lang,
         "collapse_lines": q_collapse_lines,
+        "semdedup_planted": q_semdedup_planted,
+        "rolling_anomalies": q_rolling_anomalies,
         # -- round-3-verified tail, rotated in (last driver-green r3) ----------
         "profile_fused_orders": q_profile_fused_orders,
-        "uniqueness_orders": q_uniqueness_orders,
         "topk_returnflag": q_topk_returnflag,
         "topk_engine_salted": q_topk_engine_salted,
         "ri_customers_without_orders": q_ri_customers_without_orders,
@@ -4155,7 +4324,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunked_docs": q_chunked_docs,
         "weighted_sample": q_weighted_sample,
         "embedding_health": q_embedding_health,
-        "span_transitions": q_span_transitions,
         "implies_check": q_implies_check,
         "chunk_interleaved": q_chunk_interleaved,
         "band_index_probe": q_band_index_probe,
@@ -4177,6 +4345,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # drift_categorical = the categorical mode of the same drift
         # operator as drift_orders (numeric mode in-window; both modes
         # share binning/PSI code, split only at the bucket-key expr),
+        # rolling_anomalies_split = the split_every path of
+        # rolling_anomalies (in-window) checked against the IDENTICAL
+        # oracle SQL, and split==unsplit is pytest-asserted
+        # (tests/test_temporal.py) — the sessions_user_split precedent,
+        # uniqueness_orders = the uniqueness rule of the same fused
+        # profile aggregation as profile_fused_orders (in-window), and
+        # the same validator uniqueness family as duplicate_order_rows
+        # (driver-green r4),
+        # span_transitions = the same explode-then-aggregate span walk
+        # as span_profile (in-window); its zip_with-bigram comparator
+        # is the ladder machinery driver-anchored r4 by
+        # winnow_fingerprints,
         # incremental_near_dup = the same probe logic as band_index_probe
         # (in-window) minus the persisted index — the two paths are
         # exact-equivalence-asserted by pytest (tests/test_dedup.py),
@@ -4189,7 +4369,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-anchored by inferred_schema_region (green r4, same
         # AUTO_SMALL_DOMAIN branch of inference.py),
         # span_kind_counts = the same explode-then-aggregate span walk as
-        # span_profile and span_transitions, both in-window.
+        # span_profile (in-window) and span_transitions (just below).
+        "rolling_anomalies_split": q_rolling_anomalies_split,
+        "uniqueness_orders": q_uniqueness_orders,
+        "span_transitions": q_span_transitions,
         "violation_examples": q_violation_examples,
         "duplicate_custkeys": q_duplicate_custkeys,
         "isin_domain_linestatus": q_isin_domain_linestatus,
@@ -4364,4 +4547,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": SQL_LM_PERPLEXITY,
         "mixture_lang": SQL_MIXTURE_LANG,
         "collapse_lines": SQL_COLLAPSE_LINES,
+        "semdedup_planted": SQL_SEMDEDUP_PLANTED,
+        "rolling_anomalies": SQL_ROLLING_ANOMALIES,
+        # split path, same result contract -> the IDENTICAL oracle
+        "rolling_anomalies_split": SQL_ROLLING_ANOMALIES,
     }

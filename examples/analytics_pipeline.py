@@ -29,6 +29,7 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
     from pandera_forge_spark.operators.temporal import (
         event_funnel,
         retention_cohorts,
+        rolling_zscore,
         session_stats,
         time_rollup,
     )
@@ -79,6 +80,15 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
     )
     top = hourly.orderBy(F.desc("n"), "bucket").first()
     report["rollup"] = {"hours": hourly.count(), "top_hour_events": int(top["n"])}
+
+    # 5. anomalies: each event's value vs its event_type's trailing day
+    flagged = rolling_zscore(
+        ev, "event_type", "ts", "value", frame_seconds=86400, z_threshold=4.0
+    )
+    report["anomalies"] = {
+        "n_flagged": flagged.where("is_anomaly").count(),
+        "n_scored": flagged.where(F.col("z").isNotNull()).count(),
+    }
     return report
 
 

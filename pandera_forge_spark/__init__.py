@@ -93,6 +93,7 @@ from pandera_forge_spark.operators.temporal import (
     event_funnel,
     interval_join,
     retention_cohorts,
+    rolling_zscore,
     session_stats,
     sessionize,
     time_rollup,
@@ -115,6 +116,7 @@ from pandera_forge_spark.operators.similarity import (
     embedding_health,
     ivf_topk_partitioned,
     quantize_embeddings,
+    semantic_dedup,
     write_ivf_partitioned,
 )
 from pandera_forge_spark.operators.text import chunk_documents, normalize_text
@@ -221,6 +223,7 @@ __all__ = [
     "event_funnel",
     "interval_join",
     "retention_cohorts",
+    "rolling_zscore",
     "session_stats",
     "sessionize",
     "time_rollup",
@@ -251,6 +254,7 @@ __all__ = [
     "embedding_health",
     "ivf_topk_partitioned",
     "quantize_embeddings",
+    "semantic_dedup",
     "write_ivf_partitioned",
     "span_transition_matrix",
     "chunk_interleaved",

@@ -848,3 +848,95 @@ def embedding_health(
         ).alias("n_ok"),
         F.lit(int(expected_dim)).alias("dim"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    max_cell: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public): assign every embedding to its nearest
+    k-means cell, then within each cell drop any item that has a
+    LOWER-id neighbor with cosine >= ``threshold``. Returns
+    ``(survivors, dropped)`` where ``dropped`` is
+    ``(id_col, kept_id, cell)`` and ``kept_id`` is the smallest such
+    neighbor (deterministic, order-free rule — no iteration).
+
+    Semantics note: this is the paper's one-pass greedy, NOT transitive
+    closure — in a chain a-b-c with cos(a,b) and cos(b,c) above the
+    bar but cos(a,c) below it, b and c are both dropped and a
+    survives; ``dedup_near_embeddings`` is the connected-component
+    variant when closure is wanted.
+
+    Scale: candidate generation is blocked by cell, so the self-join
+    shuffles BOTH sides on the cell id and evaluates sum(|cell|^2)/2
+    cosines. Two consequences at 10^12 rows: (1) ``n_cells`` is the
+    shuffle parallelism AND the blow-up bound — size it so the mean
+    cell holds ~1-5k vectors (n_cells ~ N/2000; the paper uses ~10^5
+    clusters for 10^8 docs), never the default 16; (2) ``max_cell``
+    arms an in-band fence (per-cell counts are n_cells rows,
+    broadcast-joined back, ``raise_error`` in the projection) so a
+    degenerate centroid that swallows the corpus fails loudly instead
+    of handing one task a quadratic task. Assignment itself is
+    broadcast-literal column algebra (``ivf_assign``), one narrow
+    map."""
+    if centroids is None:
+        centroids = kmeans_centroids(
+            df, n_cells=n_cells, seed=seed, vec_col=vec_col
+        )
+    vec = F.col(vec_col).cast("array<double>")
+    assigned = df.select(
+        F.col(id_col), vec.alias("__v"),
+        ivf_assign(vec, centroids).alias("__cell"),
+    )
+    if max_cell is not None:
+        counts = assigned.groupBy("__cell").agg(
+            F.count(F.lit(1)).alias("__cn")
+        )
+        assigned = (
+            assigned.join(F.broadcast(counts), "__cell")
+            .withColumn(
+                id_col,
+                F.when(F.col("__cn") <= max_cell, F.col(id_col)).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"semantic_dedup cell exceeds max_cell="
+                                f"{max_cell} (the within-cell join is "
+                                "O(|cell|^2)) — raise n_cells or "
+                                "max_cell deliberately; cell id: "
+                            ),
+                            F.col("__cell").cast("string"),
+                        )
+                    ).cast(dict(df.dtypes)[id_col]),
+                ),
+            )
+            .drop("__cn")
+        )
+    a = assigned.select(
+        F.col("__cell"),
+        F.col(id_col).alias("__id_a"),
+        F.col("__v").alias("__v_a"),
+    )
+    b = assigned.select(
+        F.col("__cell"),
+        F.col(id_col).alias("__id_b"),
+        F.col("__v").alias("__v_b"),
+    )
+    close = (
+        a.join(b, "__cell")
+        .where(F.col("__id_a") < F.col("__id_b"))
+        .where(cosine(F.col("__v_a"), F.col("__v_b")) >= threshold)
+    )
+    dropped = close.groupBy(F.col("__id_b").alias(id_col)).agg(
+        F.min("__id_a").alias("kept_id"),
+        F.first("__cell").alias("cell"),
+    )
+    survivors = df.join(dropped.select(id_col), id_col, "left_anti")
+    return survivors, dropped

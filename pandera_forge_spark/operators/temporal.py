@@ -548,3 +548,96 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def rolling_zscore(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    frame_seconds: float = 3600.0,
+    z_threshold: float = 4.0,
+    min_points: int = 8,
+    split_every: Optional[float] = None,
+) -> DataFrame:
+    """Trailing-window anomaly detection: for every event, the z-score
+    of its value against the OTHER events of the same key in the
+    preceding ``frame_seconds`` — the windowed form of a range
+    constraint, for metrics whose normal band moves with time. Adds
+    ``n_window`` (peer count, self excluded), ``z`` (NULL when the
+    window is too thin: fewer than ``min_points`` peers, or zero
+    variance) and ``is_anomaly`` (``|z| > z_threshold``; never NULL).
+
+    Mechanics: ONE range frame per key (``[t - frame_seconds, t]``,
+    peers at the same timestamp included) computes sum/sum-of-squares/
+    count; the current row is subtracted out algebraically
+    (leave-one-out), so there is no off-by-one-second frame hack and
+    ties behave identically on every engine. Variance uses the sample
+    formula ``(ss - s^2/n)/(n-1)`` over the n peers. Whole-stage
+    codegen throughout — no UDF.
+
+    Scale: the shuffle is one hash partition by key; a hot key is one
+    task's sort. ``split_every`` (seconds, must be >= frame_seconds)
+    splits each key's timeline into independent chunks, duplicating
+    only the trailing ``frame_seconds`` of each chunk into the next as
+    context rows — exact (the frame never looks back further), and
+    per-task work drops from O(key's rows) to O(rows per chunk)."""
+    if min_points < 2:
+        raise ValueError("min_points must be >= 2 (variance needs 2 peers)")
+    if float(frame_seconds) != int(frame_seconds):
+        raise ValueError(
+            "frame_seconds must be integral (rangeBetween takes long "
+            f"offsets), got {frame_seconds}"
+        )
+    if split_every is not None and split_every < frame_seconds:
+        raise ValueError(
+            f"split_every={split_every} must be >= frame_seconds="
+            f"{frame_seconds}: a shorter chunk cannot carry the full "
+            "lookback context"
+        )
+    v = F.col(value_col).cast("double")
+    base = events.withColumn("__t", _seconds(events, ts_col))
+    if split_every is not None:
+        chunk = F.floor(F.col("__t") / F.lit(float(split_every)))
+        cur = base.withColumn("__chunk", chunk).withColumn(
+            "__ctx", F.lit(False)
+        )
+        carry = (
+            base.where(
+                F.col("__t") % F.lit(float(split_every))
+                >= F.lit(float(split_every - frame_seconds))
+            )
+            .withColumn("__chunk", chunk + 1)
+            .withColumn("__ctx", F.lit(True))
+        )
+        base = cur.unionByName(carry)
+        part = [F.col(key_col), F.col("__chunk")]
+    else:
+        part = [F.col(key_col)]
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col("__t"))
+        .rangeBetween(-int(frame_seconds), 0)
+    )
+    s = F.sum(v).over(w)
+    ss = F.sum(v * v).over(w)
+    n = F.count(v).over(w)
+    # leave-one-out: stats over the n-1 PEERS (nulls never enter: a
+    # null value is not counted by n and contributes nothing to s/ss)
+    n1 = n - F.when(v.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    s1 = s - F.coalesce(v, F.lit(0.0))
+    ss1 = ss - F.coalesce(v * v, F.lit(0.0))
+    mean = s1 / n1
+    var = (ss1 - s1 * s1 / n1) / (n1 - 1)
+    z = F.when((n1 >= min_points) & (var > 0), (v - mean) / F.sqrt(var))
+    out = (
+        base.withColumn("n_window", n1.cast("long"))
+        .withColumn("z", z)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(z) > F.lit(float(z_threshold)), F.lit(False)),
+        )
+    )
+    if split_every is not None:
+        out = out.where(~F.col("__ctx")).drop("__ctx", "__chunk")
+    return out.drop("__t")

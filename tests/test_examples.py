@@ -59,3 +59,6 @@ def test_analytics_pipeline_example(spark):
     assert sum(report["funnel"].values()) == 15  # every sf0.001 user funnels
     assert report["retention"]["day0_users"] == 15
     assert report["rollup"]["hours"] > 0
+    # natural sf0.001 values: plenty scored, anomalies a small minority
+    an = report["anomalies"]
+    assert an["n_scored"] > 0 and 0 <= an["n_flagged"] < an["n_scored"] // 10

@@ -598,3 +598,83 @@ def test_quantize_subnormal_nonzero_scale_clamps(spark):
     row = quantize_embeddings(df, "embedding").collect()[0]
     assert row["qvec"] == [127, -127, 0]
     assert row["qscale"] > 0
+
+
+def test_semantic_dedup_greedy_and_cells(spark):
+    """Two far-apart cells; within cell A, ids 1/2 are near-identical
+    (dropped: 2 keeps 1) and a chain 10-11-12 where only adjacent
+    pairs clear the bar (greedy: 11 and 12 both dropped, 10 survives,
+    12's kept_id is 11 even though 11 is itself dropped)."""
+    from pandera_forge_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        # cell around (1, 0): the pair
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.001]),
+        # chain: cos(10,11) and cos(11,12) >= t, cos(10,12) < t
+        (10, [1.0, 0.30]),
+        (11, [1.0, 0.45]),
+        (12, [1.0, 0.60]),
+        # far cell around (0, 1): alone, survives
+        (20, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    survivors, dropped = semantic_dedup(
+        df,
+        centroids=[[1.0, 0.3], [0.0, 1.0]],
+        threshold=0.99,
+    )
+    got = {r.vec_id: r.kept_id for r in dropped.collect()}
+    assert got == {2: 1, 11: 10, 12: 11}
+    assert {r.vec_id for r in survivors.collect()} == {1, 10, 20}
+
+
+def test_semantic_dedup_blocking_is_cell_scoped(spark):
+    """Identical vectors assigned to different cells are NOT compared —
+    the documented approximation of cell blocking (and the reason
+    n_cells must scale with the corpus)."""
+    from pandera_forge_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # degenerate centroids that split the two (still cos-identical to
+    # nothing): each vector goes to its own cell, no pair forms
+    survivors, dropped = semantic_dedup(
+        df, centroids=[[1.0, 0.0], [0.0, 1.0]], threshold=0.0
+    )
+    assert dropped.count() == 0 and survivors.count() == 2
+
+
+def test_semantic_dedup_max_cell_fence(spark):
+    from pandera_forge_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i) * 1e-6]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    survivors, dropped = semantic_dedup(
+        df, centroids=[[1.0, 0.0]], threshold=0.999, max_cell=3
+    )
+    with pytest.raises(Exception, match="max_cell"):
+        dropped.count()
+    # under the cap the same pipeline runs
+    s2, d2 = semantic_dedup(
+        df, centroids=[[1.0, 0.0]], threshold=0.999, max_cell=100
+    )
+    assert d2.count() == 9 and s2.count() == 1
+
+
+def test_semantic_dedup_no_python_udf(spark):
+    from pandera_forge_spark.operators.similarity import semantic_dedup
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    survivors, dropped = semantic_dedup(
+        df, centroids=[[1.0, 0.0]], threshold=0.9
+    )
+    assert not has_python_udf(survivors) and not has_python_udf(dropped)

@@ -468,3 +468,98 @@ def test_event_funnel_split_stitch_identical(spark):
     assert not has_python_udf(split)
     plan = split._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+def _rz_frame(spark):
+    from datetime import datetime
+
+    # key 'a': 10 quiet points then one spike inside one hour;
+    # key 'b': too thin (3 points)
+    rows = []
+    for i in range(10):
+        rows.append((i, datetime(2024, 1, 1, 12, 0, i), "a", 10.0 + (i % 2)))
+    rows.append((99, datetime(2024, 1, 1, 12, 0, 30), "a", 500.0))
+    for i in range(3):
+        rows.append((200 + i, datetime(2024, 1, 1, 12, 0, i), "b", 1.0))
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    from pandera_forge_spark.operators.temporal import rolling_zscore
+
+    out = rolling_zscore(
+        _rz_frame(spark), frame_seconds=3600.0, z_threshold=4.0, min_points=8
+    )
+    flagged = {r.event_id for r in out.where("is_anomaly").collect()}
+    assert flagged == {99}
+    by_id = {r.event_id: r for r in out.collect()}
+    # the spike saw the 10 quiet peers before (and at) its timestamp
+    assert by_id[99].n_window == 10
+    # thin key: z NULL, never anomalous
+    assert by_id[200].z is None and by_id[200].is_anomaly is False
+    # quiet rows have a z once enough peers exist, all small
+    assert abs(by_id[9].z) < 4.0
+
+
+def test_rolling_zscore_split_equals_unsplit(spark):
+    from pandera_forge_spark.operators.temporal import rolling_zscore
+
+    df = _rz_frame(spark)
+    cols = ["event_id", "n_window", "z", "is_anomaly"]
+    plain = sorted(
+        rolling_zscore(df, frame_seconds=120.0).select(*cols).collect()
+    )
+    split = sorted(
+        rolling_zscore(df, frame_seconds=120.0, split_every=120.0)
+        .select(*cols)
+        .collect()
+    )
+    assert plain == split
+    # and with a chunk boundary cutting the data
+    split2 = sorted(
+        rolling_zscore(df, frame_seconds=60.0, split_every=61.0)
+        .select(*cols)
+        .collect()
+    )
+    plain2 = sorted(
+        rolling_zscore(df, frame_seconds=60.0).select(*cols).collect()
+    )
+    assert plain2 == split2
+
+
+def test_rolling_zscore_guards(spark):
+    from pandera_forge_spark.operators.temporal import rolling_zscore
+
+    df = _rz_frame(spark)
+    with pytest.raises(ValueError, match="min_points"):
+        rolling_zscore(df, min_points=1)
+    with pytest.raises(ValueError, match="split_every"):
+        rolling_zscore(df, frame_seconds=100.0, split_every=50.0)
+
+
+def test_rolling_zscore_null_value_is_peer_neutral(spark):
+    from datetime import datetime
+
+    from pandera_forge_spark.operators.temporal import rolling_zscore
+
+    rows = [
+        (i, datetime(2024, 1, 1, 12, 0, i), "a", float(i % 2))
+        for i in range(9)
+    ] + [(50, datetime(2024, 1, 1, 12, 0, 30), "a", None)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r.event_id: r for r in rolling_zscore(df, min_points=8).collect()}
+    # a null value contributes nothing and is itself unflaggable,
+    # but its peers still count it out correctly
+    assert out[50].z is None and out[50].is_anomaly is False
+    assert out[50].n_window == 9
+
+
+def test_rolling_zscore_no_python_udf(spark):
+    from pandera_forge_spark.operators.temporal import rolling_zscore
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    assert not has_python_udf(rolling_zscore(_rz_frame(spark)))
