@@ -4090,7 +4090,8 @@ def q_semdedup_planted(spark, sf_dir):
     copies. The oracle replays EVERY stage in DuckDB — cell assignment
     with the argmax tie-break (score DESC, cell DESC), within-cell
     cosine in the Spark helper's exact expression shape
-    (dot/(sqrt(dot aa)*sqrt(dot bb))), the smaller-id greedy rule, and
+    (dot/(sqrt(dot aa)*sqrt(dot bb)) guarded to 0.0 on a zero
+    denominator, exactly like similarity.cosine), the greedy rule, and
     the min-id kept mapping — so a blocking or threshold drift
     hash-mismatches. Every planted copy must be dropped (its original
     shares its cell by construction); natural same-cell drops are
@@ -4141,9 +4142,14 @@ close AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell
   FROM cellmap a JOIN cellmap b
     ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE list_dot_product(a.v, b.v)
-        / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)))
-        >= 0.99e0
+  WHERE CASE
+          WHEN SQRT(list_dot_product(a.v, a.v))
+               * SQRT(list_dot_product(b.v, b.v)) > 0
+          THEN list_dot_product(a.v, b.v)
+               / (SQRT(list_dot_product(a.v, a.v))
+                  * SQRT(list_dot_product(b.v, b.v)))
+          ELSE 0.0e0
+        END >= 0.99e0
 )
 SELECT id_b AS vec_id, MIN(id_a) AS kept_id, MIN(cell) AS cell
 FROM close GROUP BY id_b ORDER BY vec_id

@@ -113,6 +113,7 @@ from pandera_forge_spark.operators.web import (
     url_host,
 )
 from pandera_forge_spark.operators.similarity import (
+    assign_cells,
     embedding_health,
     ivf_topk_partitioned,
     quantize_embeddings,
@@ -253,6 +254,7 @@ __all__ = [
     "url_host",
     "embedding_health",
     "ivf_topk_partitioned",
+    "assign_cells",
     "quantize_embeddings",
     "semantic_dedup",
     "write_ivf_partitioned",

@@ -413,7 +413,15 @@ def kmeans_centroids(
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
     for _ in range(iters):
-        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # matmul distance form (|x|^2 - 2xC^T + |c|^2), not pairwise
+        # broadcasting: the naive (x[:,None,:]-cents)**2 tensor is
+        # O(sample x cells x dim) memory — 5 TB at the cell counts the
+        # scale guidance recommends; this form is two GEMMs
+        d = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
         assign = d.argmin(axis=1)
         for c in range(len(cents)):
             members = x[assign == c]
@@ -427,7 +435,12 @@ def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     per-centroid squared distances (equivalently argmax of dot - |c|²/2
     — used here so each centroid costs ONE dot product). All literals;
     whole-stage codegen; at scale the corpus is written partitioned by
-    this cell id so probing prunes partitions."""
+    this cell id so probing prunes partitions.
+
+    A null vector assigns to a NULL cell (explicitly: its scores are
+    all null, and the bare struct-max would otherwise fall through to
+    the highest cell id — which also kept it inconsistent with the
+    Arrow GEMM path in ``assign_cells``)."""
     scored = F.array(
         *[
             F.struct(
@@ -440,7 +453,59 @@ def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
             for i, c in enumerate(centroids)
         ]
     )
-    return F.array_max(scored)["cell"]
+    return F.when(vec.isNotNull(), F.array_max(scored)["cell"])
+
+
+ASSIGN_LITERAL_MAX_CELLS = 64
+
+
+def _assign_cells_arrow(centroids: list[list[float]]):
+    """Arrow-batched nearest-centroid assignment: one numpy GEMM per
+    record batch against a closure-captured (cells x dim) matrix. The
+    tie-break matches ``ivf_assign`` exactly (equal best score -> the
+    HIGHER cell id, via argmax over the column-reversed score matrix).
+    Null vectors assign to a null cell, like the literal path."""
+    try:
+        import numpy as np
+        import pandas as pd
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "large-cell-count assignment needs numpy/pandas"
+        ) from e
+
+    c = np.asarray(centroids, dtype="float64")
+    half = (c * c).sum(axis=1) / 2.0
+    k = c.shape[0]
+
+    def _assign(batch):
+        out = pd.Series([None] * len(batch), dtype="object")
+        mask = batch.notna()
+        if mask.any():
+            x = np.stack(batch[mask].to_numpy()).astype("float64")
+            scores = x @ c.T - half[None, :]
+            best_rev = scores[:, ::-1].argmax(axis=1)
+            out[mask] = (k - 1) - best_rev
+        return out
+
+    # explicit form, not type-hint inference: this module uses
+    # `from __future__ import annotations`, which stringifies hints
+    # pyspark then cannot resolve for locally-imported pandas
+    return F.pandas_udf(_assign, "int")
+
+
+def assign_cells(vec: Column, centroids: list[list[float]]) -> Column:
+    """Cell assignment for ANY cell count: literal argmax algebra
+    (whole-stage codegen, zero Python) up to
+    ``ASSIGN_LITERAL_MAX_CELLS`` centroids; beyond that, the
+    Arrow-batched GEMM path — a 10^5-centroid literal array would blow
+    Catalyst plan/codegen limits, and a corpus x centroids join is
+    O(N*k) rows, so the matmul UDF (vectorized, never per-row) is the
+    honest scale path. The two paths share the argmax-ties-go-high
+    rule; they may differ only where two cells' scores round
+    differently in the last ulp (fold vs GEMM summation)."""
+    if len(centroids) <= ASSIGN_LITERAL_MAX_CELLS:
+        return ivf_assign(vec, centroids)
+    return _assign_cells_arrow(centroids)(vec)
 
 
 def _probe_cells(
@@ -859,6 +924,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     seed: int = 42,
     max_cell: int | None = None,
+    persist: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — public): assign every embedding to its nearest
@@ -883,9 +949,13 @@ def semantic_dedup(
     arms an in-band fence (per-cell counts are n_cells rows,
     broadcast-joined back, ``raise_error`` in the projection) so a
     degenerate centroid that swallows the corpus fails loudly instead
-    of handing one task a quadratic task. Assignment itself is
-    broadcast-literal column algebra (``ivf_assign``), one narrow
-    map."""
+    of handing one task a quadratic task. Assignment goes through
+    ``assign_cells`` — literal column algebra at small cell counts,
+    the Arrow-batched GEMM path at the recommended large ones — and
+    the assigned frame is persisted by default so the fence, the join
+    build side, and the join probe side reuse ONE assignment pass
+    (``persist=False`` opts out when the projected corpus exceeds
+    cluster cache; assignment is then recomputed per consumer)."""
     if centroids is None:
         centroids = kmeans_centroids(
             df, n_cells=n_cells, seed=seed, vec_col=vec_col
@@ -893,8 +963,10 @@ def semantic_dedup(
     vec = F.col(vec_col).cast("array<double>")
     assigned = df.select(
         F.col(id_col), vec.alias("__v"),
-        ivf_assign(vec, centroids).alias("__cell"),
+        assign_cells(vec, centroids).alias("__cell"),
     )
+    if persist:
+        assigned = assigned.persist()
     if max_cell is not None:
         counts = assigned.groupBy("__cell").agg(
             F.count(F.lit(1)).alias("__cn")

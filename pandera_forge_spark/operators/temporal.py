@@ -603,8 +603,12 @@ def rolling_zscore(
             "__ctx", F.lit(False)
         )
         carry = (
+            # pmod, not %: Spark's remainder keeps the dividend's sign,
+            # so a negative timestamp would never test >= the carry
+            # cutoff and the split path would silently lose its context
+            # rows (review-found)
             base.where(
-                F.col("__t") % F.lit(float(split_every))
+                F.pmod(F.col("__t"), F.lit(float(split_every)))
                 >= F.lit(float(split_every - frame_seconds))
             )
             .withColumn("__chunk", chunk + 1)

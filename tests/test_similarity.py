@@ -678,3 +678,54 @@ def test_semantic_dedup_no_python_udf(spark):
         df, centroids=[[1.0, 0.0]], threshold=0.9
     )
     assert not has_python_udf(survivors) and not has_python_udf(dropped)
+
+
+def test_assign_cells_arrow_matches_literal(spark):
+    """Beyond ASSIGN_LITERAL_MAX_CELLS the GEMM pandas-UDF path takes
+    over; on well-separated centroids it must agree with the literal
+    argmax path cell-for-cell (incl. null vectors -> null cell)."""
+    import numpy as np
+
+    from pandera_forge_spark.operators.similarity import (
+        _assign_cells_arrow,
+        ivf_assign,
+    )
+
+    rng = np.random.default_rng(7)
+    # 80 well-separated centroids (> the 64 literal cutoff)
+    cents = [[float(10 * i), float(10 * i + 1), 0.0] for i in range(80)]
+    rows = [
+        (i, [10.0 * (i % 80) + rng.uniform(-1, 1), 10.0 * (i % 80) + 1, 0.0])
+        for i in range(200)
+    ] + [(999, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    v = F.col("embedding")
+    got = {
+        r.vec_id: r.c
+        for r in df.select(
+            "vec_id", _assign_cells_arrow(cents)(v).alias("c")
+        ).collect()
+    }
+    want = {
+        r.vec_id: r.c
+        for r in df.select("vec_id", ivf_assign(v, cents).alias("c")).collect()
+    }
+    assert got == want
+    assert got[999] is None
+
+
+def test_semantic_dedup_zero_vector_never_pairs(spark):
+    """similarity.cosine guards a zero denominator to 0.0, so an
+    all-zero embedding (embedding_health's n_zero class) pairs with
+    nothing — it must survive, not NaN its whole cell."""
+    from pandera_forge_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0001]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    survivors, dropped = semantic_dedup(
+        df, centroids=[[1.0, 0.0]], threshold=0.9
+    )
+    assert {r.vec_id for r in dropped.collect()} == {2}
+    assert {r.vec_id for r in survivors.collect()} == {1, 3}

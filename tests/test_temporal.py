@@ -563,3 +563,28 @@ def test_rolling_zscore_no_python_udf(spark):
     from pandera_forge_spark.plans.inspect import has_python_udf
 
     assert not has_python_udf(rolling_zscore(_rz_frame(spark)))
+
+
+def test_rolling_zscore_split_negative_ts(spark):
+    """Regression: the carry filter must use pmod — Spark's % keeps the
+    dividend's sign, so negative (pre-1970 / numeric) timestamps would
+    silently lose their context rows and diverge from unsplit."""
+    from pandera_forge_spark.operators.temporal import rolling_zscore
+
+    rows = [
+        (i, float(t), "a", float(i % 3))
+        for i, t in enumerate(range(-120, 120, 7))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts double, event_type string, value double"
+    )
+    cols = ["event_id", "n_window", "z", "is_anomaly"]
+    plain = sorted(
+        rolling_zscore(df, frame_seconds=50, min_points=3).select(*cols).collect()
+    )
+    split = sorted(
+        rolling_zscore(df, frame_seconds=50, min_points=3, split_every=50.0)
+        .select(*cols)
+        .collect()
+    )
+    assert plain == split
