@@ -92,12 +92,15 @@ from pandera_forge_spark.operators.temporal import (
     asof_join,
     event_funnel,
     interval_join,
+    monotonic_violations,
     retention_cohorts,
     rolling_zscore,
+    sequence_gaps,
     session_stats,
     sessionize,
     time_rollup,
 )
+from pandera_forge_spark.operators.cdc import apply_changelog, latest_by_key
 from pandera_forge_spark.operators.sampling import (
     mixture_quotas,
     mixture_sample,
@@ -223,11 +226,15 @@ __all__ = [
     "asof_join",
     "event_funnel",
     "interval_join",
+    "monotonic_violations",
     "retention_cohorts",
     "rolling_zscore",
+    "sequence_gaps",
     "session_stats",
     "sessionize",
     "time_rollup",
+    "apply_changelog",
+    "latest_by_key",
     "span_ref_violations",
     "functional_dependency_violations",
     "benford_profile",

@@ -645,3 +645,157 @@ def rolling_zscore(
     if split_every is not None:
         out = out.where(~F.col("__ctx")).drop("__ctx", "__chunk")
     return out.drop("__t")
+
+
+def _with_prev(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    capture: dict,
+    split_every: Optional[float] = None,
+) -> DataFrame:
+    """Attach, for every row, values captured from the PREVIOUS row of
+    the same key in ``order_cols`` order: ``capture`` maps output column
+    name -> source column name. First row of a key gets NULLs. The
+    shared kernel of the sequence validators (``monotonic_violations``,
+    ``sequence_gaps``).
+
+    Unsplit: one ``lag`` window — one shuffle on the key, O(1) window
+    state, and the per-key sort is external (spills), so a hot key is
+    slow but never OOM.
+
+    ``split_every`` bounds a hot key's SORT too: rows chunk on
+    ``floor(order_cols[0] / split_every)`` (epoch seconds for
+    timestamps), lag runs per (key, chunk), and each chunk's first row
+    takes its prev from a per-(key, chunk) "last row" summary shifted
+    by one chunk — O(keys x chunks) rows, exactly the sessionize
+    stitch shape. Equal first-order values always share a chunk, so the
+    chunked order is the global order and the output is identical to
+    the unsplit path (pytest-asserted). The summary's struct-max needs
+    the order tuple total per key to pick the true last row — the same
+    contract lag itself needs for a deterministic answer."""
+    keys = list(key_cols)
+    order = list(order_cols)
+    srcs = list(dict.fromkeys(capture.values()))
+    if split_every is None:
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+        out = df
+        for name, src in capture.items():
+            out = out.withColumn(name, F.lag(F.col(src)).over(w))
+        return out
+    d0 = dict(df.dtypes)[order[0]]
+    if not (
+        d0.startswith("timestamp")
+        or d0.startswith("decimal")
+        or d0 in ("tinyint", "smallint", "int", "bigint", "float", "double")
+    ):
+        raise ValueError(
+            f"split_every needs a numeric/timestamp first order column to "
+            f"chunk on; {order[0]!r} is {d0}"
+        )
+    chunk = F.floor(_seconds(df, order[0]) / F.lit(float(split_every)))
+    base = df.withColumn("__chunk", chunk)
+    wc = Window.partitionBy(*keys, "__chunk").orderBy(*[F.col(c) for c in order])
+    out = base.withColumn("__rn", F.row_number().over(wc))
+    for name, src in capture.items():
+        out = out.withColumn(name, F.lag(F.col(src)).over(wc))
+    last = F.max(
+        F.struct(
+            *[F.col(c).alias(c) for c in order],
+            F.struct(*[F.col(s).alias(s) for s in srcs]).alias("__cap"),
+        )
+    ).alias("__last")
+    ws = Window.partitionBy(*keys).orderBy(F.col("__chunk"))
+    summ = (
+        base.groupBy(*keys, "__chunk")
+        .agg(last)
+        .select(
+            *keys,
+            "__chunk",
+            F.lag(F.col("__last.__cap")).over(ws).alias("__carry"),
+        )
+    )
+    out = _nullsafe_equi_join(out, summ, keys + ["__chunk"], "left")
+    for name, src in capture.items():
+        out = out.withColumn(
+            name,
+            F.when(F.col("__rn") == 1, F.col(f"__carry.{src}")).otherwise(
+                F.col(name)
+            ),
+        )
+    return out.drop("__chunk", "__rn", "__carry")
+
+
+def monotonic_violations(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    strict: bool = False,
+    decreasing: bool = False,
+    split_every: Optional[float] = None,
+) -> DataFrame:
+    """Ordering-invariant check: rows where ``value_col`` regresses
+    against the previous row of the same key in ``order_cols`` order —
+    the sequence form of a range constraint (a counter that reset, a
+    timestamp that went backwards under clock skew, a version that got
+    rolled back). Returns the violating rows (all input columns) plus
+    ``prev_<value_col>``; non-violating keys drop out entirely.
+
+    ``strict=True`` also flags plateaus (requires strictly increasing);
+    ``decreasing=True`` mirrors the direction. NULL values never
+    violate (three-valued comparison; nullability is ``null_rate``'s
+    job, not a sequence check's) and NULL order values sort first, same
+    as both engines' ASC default.
+
+    Scale: the ``_with_prev`` kernel — one shuffle, no row buffering;
+    ``split_every`` caps a hot key's task at one time-chunk of rows.
+    The order tuple should be total per key (append a unique id) or
+    prev is whichever tied row the sort emitted first."""
+    prev_name = f"prev_{value_col}"
+    out = _with_prev(df, key_cols, order_cols, {prev_name: value_col}, split_every)
+    prev, cur = F.col(prev_name), F.col(value_col)
+    if decreasing:
+        bad = (prev < cur) if not strict else (prev <= cur)
+    else:
+        bad = (prev > cur) if not strict else (prev >= cur)
+    return out.where(bad)
+
+
+def sequence_gaps(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    min_gap_seconds: float,
+    order_cols: Optional[Sequence[str]] = None,
+    split_every: Optional[float] = None,
+) -> DataFrame:
+    """Coverage-gap detection: per key, the holes in the event timeline
+    — consecutive events more than ``min_gap_seconds`` apart. The
+    freshness/completeness validator for feeds that are supposed to
+    tick steadily (a sensor that went dark overnight, an ingest that
+    skipped a day). One row per hole: key columns + ``gap_start`` /
+    ``gap_end`` (the bracketing events' timestamps, original dtype) +
+    ``gap_seconds`` (double, epoch-seconds difference).
+
+    Ties on ``ts_col`` are harmless without a tiebreak: whichever tied
+    row sorts first, the VALUES bracketing every hole are the same
+    (equal timestamps produce a zero gap that never emits). Pass
+    ``order_cols`` to pin a total order anyway when downstream wants
+    deterministic row identity. NULL timestamps sort first and never
+    emit a gap (NULL arithmetic), they just don't break the chain.
+
+    Scale: identical to ``monotonic_violations`` — one shuffle, O(1)
+    state, ``split_every`` bounds hot-key sorts; a chunk boundary
+    cannot hide a hole because the carried last-row stitches the two
+    bracketing events back together (pytest: split == unsplit)."""
+    order = list(order_cols) if order_cols is not None else [ts_col]
+    out = _with_prev(df, key_cols, order, {"gap_start": ts_col}, split_every)
+    gap = _seconds(out, ts_col) - _seconds(out, "gap_start")
+    out = out.withColumn("gap_seconds", gap)
+    return out.where(F.col("gap_seconds") > F.lit(float(min_gap_seconds))).select(
+        *key_cols,
+        "gap_start",
+        F.col(ts_col).alias("gap_end"),
+        "gap_seconds",
+    )

@@ -1,0 +1,145 @@
+"""Sequence validators: monotonic_violations and sequence_gaps
+(operators/temporal.py), including the split_every stitch."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_forge_spark.operators.temporal import (
+    monotonic_violations,
+    sequence_gaps,
+)
+from pandera_forge_spark.plans.inspect import has_python_udf
+
+
+@pytest.fixture(scope="module")
+def meter(spark):
+    # (key, t, seq, v): k1 has a counter reset at t=30 and a plateau at
+    # t=40; k2 is clean; k3 has a NULL value mid-sequence and a NULL
+    # timestamp first
+    rows = [
+        ("k1", 10.0, 1, 100.0),
+        ("k1", 20.0, 2, 150.0),
+        ("k1", 30.0, 3, 50.0),
+        ("k1", 40.0, 4, 50.0),
+        ("k1", 50.0, 5, 60.0),
+        ("k2", 10.0, 6, 1.0),
+        ("k2", 9000.0, 7, 2.0),
+        ("k3", None, 8, 5.0),
+        ("k3", 15.0, 9, None),
+        ("k3", 25.0, 10, 3.0),
+    ]
+    return spark.createDataFrame(rows, "key string, t double, seq int, v double")
+
+
+def test_monotonic_basic(meter):
+    out = monotonic_violations(meter, ["key"], ["t", "seq"], "v")
+    got = {(r["key"], r["t"]): r["prev_v"] for r in out.collect()}
+    # only the reset violates non-strict; the plateau passes; NULL value
+    # and NULL-neighbored rows never violate
+    assert got == {("k1", 30.0): 150.0}
+
+
+def test_monotonic_strict_flags_plateau(meter):
+    out = monotonic_violations(meter, ["key"], ["t", "seq"], "v", strict=True)
+    keys = {(r["key"], r["t"]) for r in out.collect()}
+    assert keys == {("k1", 30.0), ("k1", 40.0)}
+
+
+def test_monotonic_decreasing(meter):
+    out = monotonic_violations(meter, ["key"], ["t", "seq"], "v", decreasing=True)
+    keys = {(r["key"], r["t"]) for r in out.collect()}
+    # now every INCREASE violates
+    assert keys == {("k1", 20.0), ("k1", 50.0), ("k2", 9000.0)}
+
+
+def test_monotonic_split_equals_unsplit(meter):
+    a = monotonic_violations(meter, ["key"], ["t", "seq"], "v")
+    b = monotonic_violations(
+        meter, ["key"], ["t", "seq"], "v", split_every=25.0
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # strict mode too (plateau straddles nothing; reset crosses chunk 1->1)
+    a2 = monotonic_violations(meter, ["key"], ["t", "seq"], "v", strict=True)
+    b2 = monotonic_violations(
+        meter, ["key"], ["t", "seq"], "v", strict=True, split_every=25.0
+    )
+    assert sorted(map(tuple, a2.collect())) == sorted(map(tuple, b2.collect()))
+
+
+def test_monotonic_split_boundary_violation(spark):
+    # the violating pair straddles the chunk boundary: prev must carry
+    rows = [("k", 9.0, 1, 100.0), ("k", 11.0, 2, 99.0)]
+    df = spark.createDataFrame(rows, "key string, t double, seq int, v double")
+    out = monotonic_violations(df, ["key"], ["t", "seq"], "v", split_every=10.0)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["prev_v"] == 100.0 and rows[0]["t"] == 11.0
+
+
+def test_monotonic_split_needs_orderable_chunk_col(spark):
+    df = spark.createDataFrame([("k", "a", 1.0)], "key string, o string, v double")
+    with pytest.raises(ValueError, match="numeric/timestamp"):
+        monotonic_violations(df, ["key"], ["o"], "v", split_every=10.0)
+
+
+def test_gaps_basic(meter):
+    out = sequence_gaps(meter, ["key"], "t", 15.0, order_cols=["t", "seq"])
+    got = {(r["key"], r["gap_start"], r["gap_end"]): r["gap_seconds"] for r in out.collect()}
+    # k2's 10 -> 9000 hole; k3's null ts doesn't emit and doesn't break
+    # the chain (15 -> 25 is only 10s)
+    assert got == {("k2", 10.0, 9000.0): 8990.0}
+
+
+def test_gaps_threshold_exclusive(spark):
+    df = spark.createDataFrame(
+        [("k", 0.0), ("k", 10.0), ("k", 30.0)], "key string, t double"
+    )
+    assert sequence_gaps(df, ["key"], "t", 10.0).count() == 1  # 20 > 10; 10 == 10 not
+    assert sequence_gaps(df, ["key"], "t", 9.0).count() == 2
+
+
+def test_gaps_timestamp_dtype(spark):
+    df = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00"), ("k", "2024-01-02 00:00:30")],
+        "key string, s string",
+    ).select("key", F.col("s").cast("timestamp").alias("ts"))
+    out = sequence_gaps(df, ["key"], "ts", 86400.0).collect()
+    assert len(out) == 1 and out[0]["gap_seconds"] == 86430.0
+    # bracketing timestamps keep their dtype
+    assert str(out[0]["gap_start"]) == "2024-01-01 00:00:00"
+
+
+def test_gaps_split_equals_unsplit(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [("hot", float(rng.randrange(0, 1000))) for _ in range(400)]
+    rows += [("cold", 5.0), ("cold", 900.0)]
+    # dedupe ts so the order is total (split summary and lag agree on
+    # ties anyway, but row identity stays unique for the comparison)
+    rows = list({(k, t) for k, t in rows})
+    df = spark.createDataFrame(rows, "key string, t double").repartition(8)
+    a = sequence_gaps(df, ["key"], "t", 3.0)
+    b = sequence_gaps(df, ["key"], "t", 3.0, split_every=100.0)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # sparse key: the hole spans MANY empty chunks and still stitches
+    got = {r["key"]: r["gap_seconds"] for r in b.where(F.col("key") == "cold").collect()}
+    assert got == {"cold": 895.0}
+
+
+def test_gaps_split_tie_on_boundary(spark):
+    # equal timestamps always share a chunk: ties at the cut can't
+    # fabricate or hide a gap
+    df = spark.createDataFrame(
+        [("k", 100.0), ("k", 100.0), ("k", 130.0)], "key string, t double"
+    )
+    a = sequence_gaps(df, ["key"], "t", 20.0)
+    b = sequence_gaps(df, ["key"], "t", 20.0, split_every=100.0)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert a.count() == 1
+
+
+def test_sequence_checks_no_udf(meter):
+    assert not has_python_udf(monotonic_violations(meter, ["key"], ["t", "seq"], "v"))
+    assert not has_python_udf(
+        sequence_gaps(meter, ["key"], "t", 15.0, split_every=100.0)
+    )
