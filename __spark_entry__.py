@@ -4254,6 +4254,168 @@ ORDER BY event_id
 """
 
 
+def q_latest_events(spark, sf_dir):
+    """Changelog compaction (operators/cdc.py latest_by_key): the
+    newest event per user by (ts, event_id) — one map-side-combined
+    struct-max aggregate, no window/sort. The oracle replays it as the
+    textbook ROW_NUMBER form; (ts, event_id) is total per user
+    (event_id unique), so both pick the identical row."""
+    from pandera_forge_spark.operators.cdc import latest_by_key
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    out = latest_by_key(ev, ["user_id"], ["ts", "event_id"])
+    return out.orderBy("user_id")
+
+
+SQL_LATEST_EVENTS = """
+SELECT user_id, ts, event_id, event_type, value
+FROM (SELECT user_id, ts, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def q_changelog_apply(spark, sf_dir):
+    """CDC application (operators/cdc.py apply_changelog): base =
+    even event_ids; two planted change generations (gen 1 touches %5
+    keys at value+100, deleting %20; gen 2 supersedes %10 keys at
+    value+1000, deleting %40) — compaction must keep only each key's
+    newest generation, deletes must remove base rows, non-base keys
+    insert. The oracle replays compact -> anti-join -> union
+    literally."""
+    from pandera_forge_spark.operators.cdc import apply_changelog
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.where(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", "value"
+    )
+    g1 = ev.where(F.col("event_id") % 5 == 0).select(
+        "event_id",
+        F.lit(1).alias("gen"),
+        F.when(F.col("event_id") % 20 == 0, "D").otherwise("U").alias("op"),
+        "event_type",
+        (F.col("value") + 100.0).alias("value"),
+    )
+    g2 = ev.where(F.col("event_id") % 10 == 0).select(
+        "event_id",
+        F.lit(2).alias("gen"),
+        F.when(F.col("event_id") % 40 == 0, "D").otherwise("U").alias("op"),
+        "event_type",
+        (F.col("value") + 1000.0).alias("value"),
+    )
+    out = apply_changelog(base, g1.unionByName(g2), ["event_id"], ["gen"])
+    return out.orderBy("event_id")
+
+
+SQL_CHANGELOG_APPLY = """
+WITH base AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0
+),
+changes AS (
+  SELECT event_id, 1 AS gen,
+         CASE WHEN event_id % 20 = 0 THEN 'D' ELSE 'U' END AS op,
+         event_type, value + 100.0e0 AS value
+  FROM events WHERE event_id % 5 = 0
+  UNION ALL
+  SELECT event_id, 2 AS gen,
+         CASE WHEN event_id % 40 = 0 THEN 'D' ELSE 'U' END AS op,
+         event_type, value + 1000.0e0 AS value
+  FROM events WHERE event_id % 10 = 0
+),
+compact AS (
+  SELECT event_id, op, event_type, value
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                     ORDER BY gen DESC) AS rn
+        FROM changes)
+  WHERE rn = 1
+)
+SELECT b.event_id, b.event_type, b.value FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM compact c WHERE c.event_id = b.event_id)
+UNION ALL
+SELECT event_id, event_type, value FROM compact WHERE op <> 'D'
+ORDER BY event_id
+"""
+
+
+def q_monotonic_value_user(spark, sf_dir):
+    """Sequence ordering invariant (operators/temporal.py
+    monotonic_violations): rows where a user's value regresses in
+    event_id order — the counter-reset / clock-skew detector. Plain
+    LAG replay in the oracle; doubles compare exactly (no arithmetic
+    beyond the comparison)."""
+    from pandera_forge_spark.operators.temporal import monotonic_violations
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = monotonic_violations(ev, ["user_id"], ["event_id"], "value")
+    return out.select("user_id", "event_id", "value", "prev_value").orderBy(
+        "user_id", "event_id"
+    )
+
+
+SQL_MONOTONIC_VALUE_USER = """
+SELECT user_id, event_id, value, prev_value
+FROM (SELECT user_id, event_id, value,
+             LAG(value) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS prev_value
+      FROM events)
+WHERE prev_value > value
+ORDER BY user_id, event_id
+"""
+
+
+def q_sequence_gaps_user(spark, sf_dir):
+    """Timeline coverage gaps (operators/temporal.py sequence_gaps):
+    per-user holes longer than 12 hours — the feed-went-dark
+    validator. gap_seconds is an epoch-seconds double difference;
+    microsecond timestamps are exactly representable so both engines
+    compute the identical value. (user_id, gap_end) is total: equal
+    timestamps gap 0 and never emit."""
+    from pandera_forge_spark.operators.temporal import sequence_gaps
+
+    ev = _t(spark, sf_dir, "events")
+    out = sequence_gaps(
+        ev, ["user_id"], "ts", 43200.0, order_cols=["ts", "event_id"]
+    )
+    return out.orderBy("user_id", "gap_end")
+
+
+SQL_SEQUENCE_GAPS_USER = """
+SELECT user_id, gap_start, gap_end, gap_seconds
+FROM (SELECT user_id,
+             LAG(ts) OVER w AS gap_start,
+             ts AS gap_end,
+             epoch(ts) - epoch(LAG(ts) OVER w) AS gap_seconds
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+WHERE gap_seconds > 43200.0e0
+ORDER BY user_id, gap_end
+"""
+
+
+def q_sequence_gaps_split(spark, sf_dir):
+    """The split_every path of the same operator (3-day chunks,
+    per-(key, chunk) lag + carried last-row stitch) against the SAME
+    oracle — a hole spanning many empty chunks must still surface,
+    same contract as sessions_user_split."""
+    from pandera_forge_spark.operators.temporal import sequence_gaps
+
+    ev = _t(spark, sf_dir, "events")
+    out = sequence_gaps(
+        ev,
+        ["user_id"],
+        "ts",
+        43200.0,
+        order_cols=["ts", "event_id"],
+        split_every=259200.0,
+    )
+    return out.orderBy("user_id", "gap_end")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -4274,13 +4436,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #         already-green tail row,
     #   15-16: the final-session operators (SemDeDup semantic dedup,
     #         rolling z-score anomalies) — never driver-verified,
-    #   17-50: the round-3-verified tail (34 of its 49 queries).
-    # The window holds 50 but 5 fixed + 6 new/changed + 5 session + 49 tail
-    # = 65 candidates, so fifteen r3-green tail queries plus the
-    # split-path twin rolling_anomalies_split stay at positions 51-66;
-    # each is a parameter-variant or composition of in-window (or
-    # r4-green) siblings (rationale inline below), keeping every
-    # DISTINCT code path driver-verified within the last two rounds.
+    #   17-20: the last-session operators (changelog compaction/apply,
+    #         monotonic + gap sequence validators) — never
+    #         driver-verified, so they outrank any already-green row,
+    #   21-50: the round-3-verified tail (30 of its 49 queries).
+    # The window holds 50 but 5 fixed + 6 new/changed + 9 session + 49
+    # tail = 69 candidates, so nineteen r3-green tail queries plus the
+    # split-path twins rolling_anomalies_split / sequence_gaps_split
+    # stay at positions 51-70; each is a parameter-variant or
+    # composition of in-window (or r4-green) siblings (rationale inline
+    # below), keeping every DISTINCT code path driver-verified within
+    # the last two rounds.
     return {
         # -- round-4 red rows, oracle HUGEINT CASTs fixed (VERDICT r4 #1) ------
         "pii_scan": q_pii_scan,
@@ -4301,10 +4467,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_lines": q_collapse_lines,
         "semdedup_planted": q_semdedup_planted,
         "rolling_anomalies": q_rolling_anomalies,
+        # -- last-session operators, first driver rows -------------------------
+        "latest_events": q_latest_events,
+        "changelog_apply": q_changelog_apply,
+        "monotonic_value_user": q_monotonic_value_user,
+        "sequence_gaps_user": q_sequence_gaps_user,
         # -- round-3-verified tail, rotated in (last driver-green r3) ----------
         "profile_fused_orders": q_profile_fused_orders,
         "topk_returnflag": q_topk_returnflag,
-        "topk_engine_salted": q_topk_engine_salted,
         "ri_customers_without_orders": q_ri_customers_without_orders,
         "pattern_ratios": q_pattern_ratios,
         "validation_verdicts_lineitem": q_validation_verdicts_lineitem,
@@ -4325,29 +4495,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_lineitem": q_corr_lineitem,
         "outliers_events": q_outliers_events,
         "entropy_lineitem": q_entropy_lineitem,
-        "null_corr_orders": q_null_corr_orders,
         "quantile_events": q_quantile_events,
-        "chunked_docs": q_chunked_docs,
         "weighted_sample": q_weighted_sample,
         "embedding_health": q_embedding_health,
         "implies_check": q_implies_check,
         "chunk_interleaved": q_chunk_interleaved,
         "band_index_probe": q_band_index_probe,
         "dedup_clusters": q_dedup_clusters,
-        "stratified_sample_lang": q_stratified_sample_lang,
         "token_budget_lang": q_token_budget_lang,
-        # -- 51-60: left out (50-slot cap); each is a parameter-variant --------
+        # -- 51+: left out (50-slot cap); each is a parameter-variant ----------
         # or composition of in-window siblings: topk_event_type~
         # topk_returnflag, duplicate_custkeys_salted~duplicate_custkeys
         # (salt flag, also exercised by topk_engine_salted),
+        # topk_engine_salted~topk_returnflag (in-window; identical
+        # two-phase top-k operator, salt flag only — both r3-green),
+        # stratified_sample_lang = stratified_take's md5-rank cut,
+        # exercised in-window by mixture_lang (mixture_sample delegates
+        # to the same _ranked_quota_take) and domain_cap_counts
+        # (per_domain_cap delegates to stratified_take itself),
+        # chunked_docs~chunk_interleaved (in-window; the span-preserving
+        # variant is the strictly harder path of the same chunker
+        # family; chunk_documents' sequence+posexplode slicing is its
+        # degenerate single-span case),
+        # null_corr_orders~corr_lineitem (in-window; the identical
+        # moment-algebra correlation aggregate, run over null-indicator
+        # booleans instead of numeric columns),
         # ri_lineitem_orphans~ri_customers_without_orders (same anti-join
         # op), dedup_exact_count~exact_dup_groups (aggregate of the same
         # result), near_dup_viral_capped~near_dup_minhash (cap parameter),
         # violation_examples = violation_rows_lineitem routed through
-        # stratified_take's md5-rank path (in-window via
-        # stratified_sample_lang), grouped_outliers~outliers_events (the
+        # stratified_take's md5-rank path (in-window via mixture_lang /
+        # domain_cap_counts, see stratified_sample_lang above),
+        # grouped_outliers~outliers_events (the
         # same Tukey-fence predicate and planted-inflation shape, fences
         # computed per event_type instead of globally),
+        # sequence_gaps_split = the split_every path of
+        # sequence_gaps_user (in-window) checked against the IDENTICAL
+        # oracle SQL, split==unsplit pytest-asserted
+        # (tests/test_sequence_checks.py),
         # drift_categorical = the categorical mode of the same drift
         # operator as drift_orders (numeric mode in-window; both modes
         # share binning/PSI code, split only at the bucket-key expr),
@@ -4377,6 +4562,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # span_kind_counts = the same explode-then-aggregate span walk as
         # span_profile (in-window) and span_transitions (just below).
         "rolling_anomalies_split": q_rolling_anomalies_split,
+        "sequence_gaps_split": q_sequence_gaps_split,
+        "topk_engine_salted": q_topk_engine_salted,
+        "stratified_sample_lang": q_stratified_sample_lang,
+        "chunked_docs": q_chunked_docs,
+        "null_corr_orders": q_null_corr_orders,
         "uniqueness_orders": q_uniqueness_orders,
         "span_transitions": q_span_transitions,
         "violation_examples": q_violation_examples,
@@ -4557,4 +4747,10 @@ def oracle_sql() -> dict[str, str]:
         "rolling_anomalies": SQL_ROLLING_ANOMALIES,
         # split path, same result contract -> the IDENTICAL oracle
         "rolling_anomalies_split": SQL_ROLLING_ANOMALIES,
+        "latest_events": SQL_LATEST_EVENTS,
+        "changelog_apply": SQL_CHANGELOG_APPLY,
+        "monotonic_value_user": SQL_MONOTONIC_VALUE_USER,
+        "sequence_gaps_user": SQL_SEQUENCE_GAPS_USER,
+        # split path, same result contract -> the IDENTICAL oracle
+        "sequence_gaps_split": SQL_SEQUENCE_GAPS_USER,
     }
