@@ -4443,7 +4443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The window holds 50 but 5 fixed + 6 new/changed + 9 session + 49
     # tail = 69 candidates, so nineteen r3-green tail queries plus the
     # split-path twins rolling_anomalies_split / sequence_gaps_split
-    # stay at positions 51-70; each is a parameter-variant or
+    # stay at positions 51-71; each is a parameter-variant or
     # composition of in-window (or r4-green) siblings (rationale inline
     # below), keeping every DISTINCT code path driver-verified within
     # the last two rounds.

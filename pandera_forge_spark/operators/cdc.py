@@ -40,20 +40,10 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pandera_forge_spark.operators.temporal import _nullsafe_equi_join
-
-
-def _latest_struct(order: Sequence[str], payload: Sequence[str]):
-    """max() operand: order columns first (lexicographic majority),
-    payload tucked behind them as a nested struct so it rides along
-    without participating in the comparison until the full order tuple
-    ties (which a total order contract rules out)."""
-    return F.max(
-        F.struct(
-            *[F.col(c).alias(c) for c in order],
-            F.struct(*[F.col(c).alias(c) for c in payload]).alias("__p"),
-        )
-    ).alias("__latest")
+from pandera_forge_spark.operators.temporal import (
+    _last_row_struct,
+    _nullsafe_equi_join,
+)
 
 
 def latest_by_key(
@@ -71,8 +61,11 @@ def latest_by_key(
     order column); if the full order tuple ever ties, the payload
     struct itself breaks the tie lexicographically, which is still
     deterministic but rarely what you meant. NULL order values sort
-    lowest (a NULL timestamp loses to any real one), matching both
-    Spark's and DuckDB's default ASC NULLS FIRST ordering.
+    lowest (a NULL timestamp loses to any real one) — Spark struct
+    ordering; a DuckDB ``ORDER BY ... DESC`` replay agrees because both
+    engines put NULLs last under DESC, but DuckDB's ASC default is
+    NULLS LAST since v0.8, so pin null placement explicitly in any SQL
+    replay over NULLable order columns.
 
     Scale: one algebraic aggregate — map-side partial max reduces each
     input partition to <= 1 row per key before the exchange; no sort,
@@ -85,11 +78,13 @@ def latest_by_key(
         payload = [c for c in df.columns if c not in taken]
     else:
         payload = list(payload_cols)
-    agg = df.groupBy(*[F.col(k) for k in keys]).agg(_latest_struct(order, payload))
+    agg = df.groupBy(*[F.col(k) for k in keys]).agg(
+        _last_row_struct(order, payload).alias("__latest")
+    )
     return agg.select(
         *keys,
         *[F.col(f"__latest.{c}").alias(c) for c in order],
-        *[F.col(f"__latest.__p.{c}").alias(c) for c in payload],
+        *[F.col(f"__latest.__cap.{c}").alias(c) for c in payload],
     )
 
 
@@ -128,6 +123,12 @@ def apply_changelog(
     after the map-side partial max."""
     keys = list(key_cols)
     out_cols = list(base.columns)
+    if op_col in out_cols:
+        raise ValueError(
+            f"op_col {op_col!r} collides with a base column: the change "
+            "marker and the data column would be indistinguishable — pass "
+            "a differently-named op_col"
+        )
     if payload_cols is None:
         taken = set(keys) | set(order_cols) | {op_col}
         payload = [c for c in changes.columns if c not in taken]
@@ -139,7 +140,12 @@ def apply_changelog(
             f"changes cannot rebuild base columns {missing}: pass them in "
             "payload_cols (or include them in the changes frame)"
         )
-    compact = latest_by_key(changes, keys, order_cols, list(payload) + [op_col])
+    compact = latest_by_key(
+        changes,
+        keys,
+        order_cols,
+        list(payload) + ([op_col] if op_col not in payload else []),
+    )
     survivors = _nullsafe_equi_join(
         base, compact.select(*keys), keys, "left_anti"
     )

@@ -55,6 +55,16 @@ def _nullsafe_equi_join(
     return left.join(renamed, cond, how).drop(*[f"__r_{c}" for c in cols])
 
 
+def _check_split_every(split_every: Optional[float]) -> None:
+    """Loud fence shared by every split-stitch operator: a zero chunk
+    width divides by zero (Inf/NaN chunk ids) and a negative one makes
+    ``floor(t / split_every)`` DECREASE in time, so the chunk-ordered
+    stitch runs backwards and silently produces wrong carries/merges —
+    plausible-looking output, no error (review-found)."""
+    if split_every is not None and not split_every > 0:
+        raise ValueError(f"split_every must be > 0 seconds, got {split_every}")
+
+
 def _seconds(df: DataFrame, ts_col: str) -> Column:
     """Epoch seconds (fractional) for numeric OR timestamp inputs.
     TIMESTAMP_NTZ has no direct double cast in Spark 4 — route it
@@ -126,6 +136,7 @@ def asof_join(
     # right rows contribute only key/ts/values; left keeps its payload
     u = l.unionByName(r, allowMissingColumns=True)
 
+    _check_split_every(split_every)
     # One struct per right row — non-null whenever a right row exists,
     # even if every value column in it is NULL — so last(...,
     # ignorenulls=True) selects the latest right ROW, not the latest
@@ -267,6 +278,7 @@ def sessionize(
     each chunk's session offset is a prefix sum of prior session counts
     minus merges. Output identical to the unsplit path (pytest-planted
     hot key, sessions straddling chunk boundaries included)."""
+    _check_split_every(split_every)
     gap = float(gap_seconds)
     ts = _seconds(events, ts_col)
     if split_every is None:
@@ -424,6 +436,7 @@ def event_funnel(
     if not steps:
         raise ValueError("steps must be non-empty")
     n = len(steps)
+    _check_split_every(split_every)
     ts = _seconds(events, ts_col)
     steps_arr = F.array(*[F.lit(s) for s in steps])
     filtered = events.where(F.col(type_col).isin(list(steps)))
@@ -589,6 +602,7 @@ def rolling_zscore(
             "frame_seconds must be integral (rangeBetween takes long "
             f"offsets), got {frame_seconds}"
         )
+    _check_split_every(split_every)
     if split_every is not None and split_every < frame_seconds:
         raise ValueError(
             f"split_every={split_every} must be >= frame_seconds="
@@ -647,6 +661,23 @@ def rolling_zscore(
     return out.drop("__t")
 
 
+def _last_row_struct(order_cols: Sequence[str], capture_cols: Sequence[str]):
+    """``max()`` operand picking the row with the greatest
+    ``order_cols`` tuple, carrying ``capture_cols`` in a nested
+    ``__cap`` struct behind the comparison fields: the lexicographic
+    struct max IS "last row by order", algebraic, so it
+    partial-aggregates map-side. Shared by ``_with_prev``'s chunk
+    summary and ``cdc.latest_by_key`` — one kernel, one set of
+    NULL-ordering/tie rules (Spark struct comparison, NULL fields
+    lowest; captures only consulted if the full order tuple ties)."""
+    return F.max(
+        F.struct(
+            *[F.col(c).alias(c) for c in order_cols],
+            F.struct(*[F.col(c).alias(c) for c in capture_cols]).alias("__cap"),
+        )
+    )
+
+
 def _with_prev(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -674,6 +705,7 @@ def _with_prev(
     the unsplit path (pytest-asserted). The summary's struct-max needs
     the order tuple total per key to pick the true last row — the same
     contract lag itself needs for a deterministic answer."""
+    _check_split_every(split_every)
     keys = list(key_cols)
     order = list(order_cols)
     srcs = list(dict.fromkeys(capture.values()))
@@ -699,12 +731,7 @@ def _with_prev(
     out = base.withColumn("__rn", F.row_number().over(wc))
     for name, src in capture.items():
         out = out.withColumn(name, F.lag(F.col(src)).over(wc))
-    last = F.max(
-        F.struct(
-            *[F.col(c).alias(c) for c in order],
-            F.struct(*[F.col(s).alias(s) for s in srcs]).alias("__cap"),
-        )
-    ).alias("__last")
+    last = _last_row_struct(order, srcs).alias("__last")
     ws = Window.partitionBy(*keys).orderBy(F.col("__chunk"))
     summ = (
         base.groupBy(*keys, "__chunk")
@@ -745,8 +772,10 @@ def monotonic_violations(
     ``strict=True`` also flags plateaus (requires strictly increasing);
     ``decreasing=True`` mirrors the direction. NULL values never
     violate (three-valued comparison; nullability is ``null_rate``'s
-    job, not a sequence check's) and NULL order values sort first, same
-    as both engines' ASC default.
+    job, not a sequence check's) and NULL order values sort first
+    (Spark's ASC default — note DuckDB defaults to NULLS LAST since
+    v0.8, so an oracle replay over a NULLable order column must pin
+    ``NULLS FIRST`` explicitly).
 
     Scale: the ``_with_prev`` kernel — one shuffle, no row buffering;
     ``split_every`` caps a hot key's task at one time-chunk of rows.

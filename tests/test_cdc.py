@@ -119,6 +119,26 @@ def test_apply_changelog_schema_and_guard(base, changelog, spark):
         apply_changelog(wider, changelog, ["key"], ["ts", "seq"])
 
 
+def test_apply_changelog_op_col_collision_is_loud(spark, changelog):
+    """review-found: a base column named like op_col made the marker and
+    the data column indistinguishable (and the old guard's suggested fix
+    crashed on a duplicate struct field) — now a loud error up front."""
+    base_with_op = spark.createDataFrame(
+        [("k1", "keep", 1)], "key string, op string, val int"
+    )
+    with pytest.raises(ValueError, match="op_col"):
+        apply_changelog(base_with_op, changelog, ["key"], ["ts", "seq"])
+
+
+def test_apply_changelog_op_in_payload_cols_ok(base, changelog):
+    # explicitly listing op_col in payload_cols must not duplicate the
+    # struct field
+    out = apply_changelog(
+        base, changelog, ["key"], ["ts", "seq"], payload_cols=["val", "op"]
+    )
+    assert {r["key"]: r["val"] for r in out.collect()}["k1"] == 30
+
+
 def test_apply_changelog_no_udf(base, changelog):
     out = apply_changelog(base, changelog, ["key"], ["ts", "seq"])
     assert not has_python_udf(out)

@@ -138,6 +138,21 @@ def test_gaps_split_tie_on_boundary(spark):
     assert a.count() == 1
 
 
+def test_nonpositive_split_every_raises(meter):
+    """review-found: a negative split_every made floor(t/split) DECREASE
+    in time, so the stitch ran backwards and silently missed violations;
+    zero divided by zero — both now loud, across every split operator."""
+    from pandera_forge_spark.operators.temporal import sessionize
+
+    for bad in (0.0, -10.0):
+        with pytest.raises(ValueError, match="split_every"):
+            monotonic_violations(meter, ["key"], ["t", "seq"], "v", split_every=bad)
+        with pytest.raises(ValueError, match="split_every"):
+            sequence_gaps(meter, ["key"], "t", 5.0, split_every=bad)
+        with pytest.raises(ValueError, match="split_every"):
+            sessionize(meter, "key", "t", 5.0, split_every=bad)
+
+
 def test_sequence_checks_no_udf(meter):
     assert not has_python_udf(monotonic_violations(meter, ["key"], ["t", "seq"], "v"))
     assert not has_python_udf(
