@@ -4397,6 +4397,89 @@ ORDER BY user_id, gap_end
 """
 
 
+def q_stream_gaps_epochs(spark, sf_dir):
+    """Streaming freshness monitor (streaming/sequence.py
+    stream_sequence_gaps) driven END-TO-END in-process, the
+    stream_dedup_epochs pattern: the events table is cut into 3 epoch
+    files at time-span thirds (equal timestamps can't straddle a cut),
+    availableNow streams one file per trigger, each batch carries every
+    user's last-seen timestamp from prior epochs, and the union of the
+    per-epoch gap sinks is read back. The epoch boundary IS a
+    split_every chunk boundary, so the result must equal the plain
+    batch LAG over the whole table — the oracle replays exactly that
+    (same SQL family as sequence_gaps_user at a 6 h threshold). A
+    cross-epoch hole double-emitted on replay, or one hidden by a
+    missing carry, breaks the row count and hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from pandera_forge_spark.streaming import stream_sequence_gaps
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    tss = ev.schema["ts"].dataType.simpleString()
+    lo, hi = ev.agg(
+        F.min(F.col("ts").cast("timestamp_ltz").cast("double")),
+        F.max(F.col("ts").cast("timestamp_ltz").cast("double")),
+    ).first()
+    c1, c2 = lo + (hi - lo) / 3.0, lo + 2.0 * (hi - lo) / 3.0
+    sec = F.col("ts").cast("timestamp_ltz").cast("double")
+    root = tempfile.mkdtemp(prefix="pfs_sgaps_")
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        cuts = [sec < c1, (sec >= c1) & (sec < c2), sec >= c2]
+        for e, cond in enumerate(cuts):
+            stage = os.path.join(root, f"stage{e}")
+            ev.where(cond).coalesce(1).write.parquet(stage)
+            part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+            os.replace(os.path.join(stage, part), os.path.join(src, f"e{e}.parquet"))
+            shutil.rmtree(stage, ignore_errors=True)
+            os.utime(
+                os.path.join(src, f"e{e}.parquet"), (1_000_000_000 + e * 1000,) * 2
+            )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        writer = stream_sequence_gaps(
+            stream,
+            os.path.join(root, "state"),
+            os.path.join(root, "gaps"),
+            ["user_id"],
+            "ts",
+            21600.0,
+            order_cols=["ts", "event_id"],
+            checkpoint=os.path.join(root, "ckpt"),
+        )
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(300)
+        rows = [
+            (r["user_id"], r["gap_start"], r["gap_end"], float(r["gap_seconds"]))
+            for r in spark.read.parquet(os.path.join(root, "gaps", "__epoch=*")).collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        f"user_id bigint, gap_start {tss}, gap_end {tss}, gap_seconds double",
+    ).orderBy("user_id", "gap_end")
+
+
+SQL_STREAM_GAPS_EPOCHS = """
+SELECT user_id, gap_start, gap_end, gap_seconds
+FROM (SELECT user_id,
+             LAG(ts) OVER w AS gap_start,
+             ts AS gap_end,
+             epoch(ts) - epoch(LAG(ts) OVER w) AS gap_seconds
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+WHERE gap_seconds > 21600.0e0
+ORDER BY user_id, gap_end
+"""
+
+
 def q_sequence_gaps_split(spark, sf_dir):
     """The split_every path of the same operator (3-day chunks,
     per-(key, chunk) lag + carried last-row stitch) against the SAME
@@ -4436,14 +4519,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #         already-green tail row,
     #   15-16: the final-session operators (SemDeDup semantic dedup,
     #         rolling z-score anomalies) — never driver-verified,
-    #   17-20: the last-session operators (changelog compaction/apply,
-    #         monotonic + gap sequence validators) — never
-    #         driver-verified, so they outrank any already-green row,
-    #   21-50: the round-3-verified tail (30 of its 49 queries).
-    # The window holds 50 but 5 fixed + 6 new/changed + 9 session + 49
-    # tail = 69 candidates, so nineteen r3-green tail queries plus the
+    #   17-21: the last-session operators (changelog compaction/apply,
+    #         monotonic + gap sequence validators, streaming gap
+    #         monitor) — never driver-verified, so they outrank any
+    #         already-green row,
+    #   22-50: the round-3-verified tail (29 of its 49 queries).
+    # The window holds 50 but 5 fixed + 6 new/changed + 10 session + 49
+    # tail = 70 candidates, so twenty r3-green tail queries plus the
     # split-path twins rolling_anomalies_split / sequence_gaps_split
-    # stay at positions 51-71; each is a parameter-variant or
+    # stay at positions 51-72; each is a parameter-variant or
     # composition of in-window (or r4-green) siblings (rationale inline
     # below), keeping every DISTINCT code path driver-verified within
     # the last two rounds.
@@ -4472,6 +4556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_apply": q_changelog_apply,
         "monotonic_value_user": q_monotonic_value_user,
         "sequence_gaps_user": q_sequence_gaps_user,
+        "stream_gaps_epochs": q_stream_gaps_epochs,
         # -- round-3-verified tail, rotated in (last driver-green r3) ----------
         "profile_fused_orders": q_profile_fused_orders,
         "topk_returnflag": q_topk_returnflag,
@@ -4490,7 +4575,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "near_dup_minhash": q_near_dup_minhash,
         "near_dup_simhash": q_near_dup_simhash,
-        "source_overlap": q_source_overlap,
         "embedding_drift": q_embedding_drift,
         "corr_lineitem": q_corr_lineitem,
         "outliers_events": q_outliers_events,
@@ -4529,6 +4613,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # grouped_outliers~outliers_events (the
         # same Tukey-fence predicate and planted-inflation shape, fences
         # computed per event_type instead of globally),
+        # source_overlap = a per-(source-pair) aggregation of the SAME
+        # exact_duplicate_pairs kernel anchored in-window by
+        # exact_dup_groups (identical agg+join linearization,
+        # plan-asserted; only the final groupBy differs),
         # sequence_gaps_split = the split_every path of
         # sequence_gaps_user (in-window) checked against the IDENTICAL
         # oracle SQL, split==unsplit pytest-asserted
@@ -4563,6 +4651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # span_profile (in-window) and span_transitions (just below).
         "rolling_anomalies_split": q_rolling_anomalies_split,
         "sequence_gaps_split": q_sequence_gaps_split,
+        "source_overlap": q_source_overlap,
         "topk_engine_salted": q_topk_engine_salted,
         "stratified_sample_lang": q_stratified_sample_lang,
         "chunked_docs": q_chunked_docs,
@@ -4751,6 +4840,7 @@ def oracle_sql() -> dict[str, str]:
         "changelog_apply": SQL_CHANGELOG_APPLY,
         "monotonic_value_user": SQL_MONOTONIC_VALUE_USER,
         "sequence_gaps_user": SQL_SEQUENCE_GAPS_USER,
+        "stream_gaps_epochs": SQL_STREAM_GAPS_EPOCHS,
         # split path, same result contract -> the IDENTICAL oracle
         "sequence_gaps_split": SQL_SEQUENCE_GAPS_USER,
     }

@@ -9,6 +9,7 @@ same check compiler and verdict semantics via ``foreachBatch``.
 """
 
 from pandera_forge_spark.streaming.dedup import stream_near_dedup
+from pandera_forge_spark.streaming.sequence import stream_sequence_gaps
 from pandera_forge_spark.streaming.stateful import duplicate_ids_stream
 from pandera_forge_spark.streaming.temporal import stream_sessions
 from pandera_forge_spark.streaming.text import stream_contamination
@@ -25,6 +26,7 @@ __all__ = [
     "stream_drift",
     "stream_contamination",
     "stream_near_dedup",
+    "stream_sequence_gaps",
     "stream_sessions",
     "stream_sketch_profile",
     "stream_verdicts",

@@ -1,0 +1,153 @@
+"""Streaming sequence-gap monitor (streaming/sequence.py): multi-epoch
+run == batch sequence_gaps over the concatenated input."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_forge_spark.operators.temporal import sequence_gaps
+from pandera_forge_spark.streaming import stream_sequence_gaps
+
+SCHEMA = "key string, ts double, id int"
+
+# three epochs cutting each key's timeline in time order; planted:
+#  - k1 goes dark through epoch 1 (cross-epoch hole: 40 -> 210)
+#  - k2 has an IN-epoch-0 hole (20 -> 100), a boundary-crossing hole
+#    (100 -> 190) and a boundary gap below threshold (205 - 190 = 15)
+#  - null key rows carry state too (one cross-epoch hole: 30 -> 120)
+#  - k4 has a gap exactly == threshold (never emitted)
+#  - k3 arrives for the first time in the late-epoch test (no carry)
+EPOCHS = [
+    [
+        ("k1", 10.0, 1), ("k1", 40.0, 2),
+        ("k2", 20.0, 3), ("k2", 100.0, 4),
+        (None, 30.0, 5),
+        ("k4", 0.0, 6),
+    ],
+    [
+        ("k2", 190.0, 7),
+        (None, 120.0, 8), (None, 130.0, 9),
+        ("k4", 50.0, 10),
+    ],
+    [
+        ("k1", 210.0, 11),
+        ("k2", 205.0, 12),
+        (None, 140.0, 13),
+    ],
+]
+MIN_GAP = 50.0
+
+
+def _write_epochs(spark, root, epochs):
+    src = os.path.join(root, "src")
+    os.makedirs(src, exist_ok=True)
+    for e, rows in enumerate(epochs):
+        stage = os.path.join(root, f"stage{e}")
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.replace(os.path.join(stage, part), os.path.join(src, f"e{e}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+        os.utime(
+            os.path.join(src, f"e{e}.parquet"), (1_000_000_000 + e * 1000,) * 2
+        )
+    return src
+
+
+def _run_stream(spark, root, src):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    writer = stream_sequence_gaps(
+        stream,
+        os.path.join(root, "state"),
+        os.path.join(root, "gaps"),
+        ["key"],
+        "ts",
+        MIN_GAP,
+        order_cols=["ts", "id"],
+        checkpoint=os.path.join(root, "ckpt"),
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    return spark.read.parquet(os.path.join(root, "gaps", "__epoch=*"))
+
+
+@pytest.fixture(scope="module")
+def run(spark):
+    root = tempfile.mkdtemp(prefix="pfs_sgap_")
+    src = _write_epochs(spark, root, EPOCHS)
+    got = _run_stream(spark, root, src)
+    rows = sorted(
+        ((r["key"], r["gap_start"], r["gap_end"], r["gap_seconds"])
+         for r in got.collect()),
+        key=repr,  # None keys don't order against strings
+    )
+    yield {"root": root, "src": src, "rows": rows, "spark": spark}
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stream_equals_batch(run, spark):
+    allrows = [r for ep in EPOCHS for r in ep]
+    batch = sequence_gaps(
+        spark.createDataFrame(allrows, SCHEMA),
+        ["key"],
+        "ts",
+        MIN_GAP,
+        order_cols=["ts", "id"],
+    )
+    expected = sorted(
+        ((r["key"], r["gap_start"], r["gap_end"], r["gap_seconds"])
+         for r in batch.collect()),
+        key=repr,
+    )
+    assert run["rows"] == expected
+
+
+def test_planted_holes_found_exactly_once(run):
+    got = {(k, s, e): g for k, s, e, g in run["rows"]}
+    assert got[("k1", 40.0, 210.0)] == 170.0  # cross-epoch, 2 epochs dark
+    assert got[("k2", 20.0, 100.0)] == 80.0  # in-epoch hole
+    assert got[("k2", 100.0, 190.0)] == 90.0  # boundary-crossing hole
+    assert got[(None, 30.0, 120.0)] == 90.0  # null key carries state too
+    assert len(run["rows"]) == 4  # k4 (gap == threshold) stays silent
+
+
+def test_late_epoch_is_incremental(run, spark):
+    """A fourth epoch appended to the same checkpoint emits ONLY its own
+    holes (computed against carried state), leaving prior sinks
+    untouched."""
+    root, src = run["root"], run["src"]
+    extra = [("k1", 500.0, 14), ("k3", 215.0, 15)]
+    stage = os.path.join(root, "stage3")
+    spark.createDataFrame(extra, SCHEMA).coalesce(1).write.parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.replace(os.path.join(stage, part), os.path.join(src, "e3.parquet"))
+    shutil.rmtree(stage, ignore_errors=True)
+    got = _run_stream(spark, root, src)
+    rows = sorted(
+        ((r["key"], r["gap_start"], r["gap_end"], r["gap_seconds"])
+         for r in got.collect()),
+        key=repr,  # None keys don't order against strings
+    )
+    allrows = [r for ep in EPOCHS for r in ep] + extra
+    batch = sequence_gaps(
+        spark.createDataFrame(allrows, SCHEMA),
+        ["key"],
+        "ts",
+        MIN_GAP,
+        order_cols=["ts", "id"],
+    )
+    expected = sorted(
+        ((r["key"], r["gap_start"], r["gap_end"], r["gap_seconds"])
+         for r in batch.collect()),
+        key=repr,
+    )
+    assert rows == expected
+    # the new epoch contributed exactly the k1 290-second hole
+    assert (("k1", 210.0, 500.0, 290.0)) in rows
+    assert len(rows) == len(run["rows"]) + 1
