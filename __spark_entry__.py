@@ -2280,7 +2280,9 @@ def q_stream_dedup_epochs(spark, sf_dir):
             checkpoint=os.path.join(root, "ckpt"),
         )
         q = writer.trigger(availableNow=True).start()
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("availableNow stream did not finish in 300 s")
         rows = [
             (rec["new_id"], rec["corpus_id"], float(rec["jaccard"]))
             for rec in spark.read.parquet(f"{sink}/__epoch=*").collect()
@@ -4454,7 +4456,9 @@ def q_stream_gaps_epochs(spark, sf_dir):
             checkpoint=os.path.join(root, "ckpt"),
         )
         q = writer.trigger(availableNow=True).start()
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("availableNow stream did not finish in 300 s")
         rows = [
             (r["user_id"], r["gap_start"], r["gap_end"], float(r["gap_seconds"]))
             for r in spark.read.parquet(os.path.join(root, "gaps", "__epoch=*")).collect()

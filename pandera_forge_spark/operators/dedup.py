@@ -965,11 +965,21 @@ def _with_epochs(spark, base: DataFrame, root: str, sub: str,
 
     edir = f"{root}/{sub}"
     fs = DriverFS(spark)
-    if not fs.exists(edir) or not any(
-        n.startswith("__epoch=") for n in fs.listdir(edir)
-    ):
+    if not fs.exists(edir):
         return base
-    ep = spark.read.option("basePath", edir).parquet(f"{edir}/__epoch=*")
+    # committed dirs only: a torn append (crash mid-write, no _SUCCESS)
+    # must not poison schema inference on replay — and skipping it is
+    # correct, since the torn epoch is exactly the one being replayed
+    names = [
+        n
+        for n in fs.listdir(edir)
+        if n.startswith("__epoch=") and fs.exists(f"{edir}/{n}/_SUCCESS")
+    ]
+    if not names:
+        return base
+    ep = spark.read.option("basePath", edir).parquet(
+        *[f"{edir}/{n}" for n in names]
+    )
     if max_epoch is not None:
         # cast guards against partition-type inference being disabled
         # session-wide (the runner toggles it) — string '10' < 9 lies

@@ -73,7 +73,7 @@ def _run_stream(spark, root, src):
         checkpoint=os.path.join(root, "ckpt"),
     )
     q = writer.trigger(availableNow=True).start()
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not finish in 300 s"
     return spark.read.parquet(os.path.join(root, "gaps", "__epoch=*"))
 
 
