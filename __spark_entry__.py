@@ -4484,6 +4484,59 @@ ORDER BY user_id, gap_end
 """
 
 
+CMS_PROBE_UIDS = [3, 17, 42, 58, 71, 88, 99, 104, 123, 137]
+
+
+def q_cms_user_counts(spark, sf_dir):
+    """Count-min frequency sketch (sketches.py cms_*): sketch
+    events.user_id at depth 4 x width 512, merge, estimate ten fixed
+    users. Hashes are md5-derived ("cms:r:value" first-8-hex mod w),
+    so DuckDB replays the ENTIRE sketch — bucket assignment, counter
+    sums, and the min-over-rows estimate — bit-for-bit; a hash, seed,
+    or min-rule drift mismatches. Estimates may legitimately exceed
+    true counts (collisions): the oracle replays the collisions too,
+    not the truth."""
+    from pandera_forge_spark.sketches import (
+        cms_estimate,
+        cms_merge,
+        cms_partition_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sk = cms_merge(cms_partition_sketch(ev, "user_id", depth=4, width=512))
+    keys = spark.createDataFrame(
+        [(int(u),) for u in CMS_PROBE_UIDS], "user_id bigint"
+    )
+    return cms_estimate(keys, sk, "user_id").orderBy("user_id")
+
+
+SQL_CMS_USER_COUNTS = """
+WITH keys AS (SELECT UNNEST([3,17,42,58,71,88,99,104,123,137]) AS user_id),
+r AS (SELECT UNNEST([0,1,2,3]) AS r),
+counts AS (
+  SELECT r.r AS r,
+         ('0x'||substr(md5('cms:'||CAST(r.r AS VARCHAR)||':'||
+                            CAST(e.user_id AS VARCHAR)),1,8))::UBIGINT % 512
+           AS b,
+         COUNT(*) AS c
+  FROM events e, r
+  WHERE e.user_id IS NOT NULL
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT k.user_id, r.r AS r,
+         ('0x'||substr(md5('cms:'||CAST(r.r AS VARCHAR)||':'||
+                            CAST(k.user_id AS VARCHAR)),1,8))::UBIGINT % 512
+           AS b
+  FROM keys k, r
+)
+SELECT CAST(p.user_id AS BIGINT) AS user_id,
+       CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est
+FROM probe p LEFT JOIN counts c ON c.r = p.r AND c.b = p.b
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_sequence_gaps_split(spark, sf_dir):
     """The split_every path of the same operator (3-day chunks,
     per-(key, chunk) lag + carried last-row stitch) against the SAME
@@ -4523,15 +4576,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #         already-green tail row,
     #   15-16: the final-session operators (SemDeDup semantic dedup,
     #         rolling z-score anomalies) — never driver-verified,
-    #   17-21: the last-session operators (changelog compaction/apply,
+    #   17-22: the last-session operators (changelog compaction/apply,
     #         monotonic + gap sequence validators, streaming gap
-    #         monitor) — never driver-verified, so they outrank any
-    #         already-green row,
-    #   22-50: the round-3-verified tail (29 of its 49 queries).
-    # The window holds 50 but 5 fixed + 6 new/changed + 10 session + 49
-    # tail = 70 candidates, so twenty r3-green tail queries plus the
+    #         monitor, count-min sketch) — never driver-verified, so
+    #         they outrank any already-green row,
+    #   23-50: the round-3-verified tail (28 of its 49 queries).
+    # The window holds 50 but 5 fixed + 6 new/changed + 11 session + 49
+    # tail = 71 candidates, so twenty-one r3-green tail queries plus the
     # split-path twins rolling_anomalies_split / sequence_gaps_split
-    # stay at positions 51-72; each is a parameter-variant or
+    # stay at positions 51-73; each is a parameter-variant or
     # composition of in-window (or r4-green) siblings (rationale inline
     # below), keeping every DISTINCT code path driver-verified within
     # the last two rounds.
@@ -4561,13 +4614,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monotonic_value_user": q_monotonic_value_user,
         "sequence_gaps_user": q_sequence_gaps_user,
         "stream_gaps_epochs": q_stream_gaps_epochs,
+        "cms_user_counts": q_cms_user_counts,
         # -- round-3-verified tail, rotated in (last driver-green r3) ----------
         "profile_fused_orders": q_profile_fused_orders,
         "topk_returnflag": q_topk_returnflag,
         "ri_customers_without_orders": q_ri_customers_without_orders,
         "pattern_ratios": q_pattern_ratios,
         "validation_verdicts_lineitem": q_validation_verdicts_lineitem,
-        "violation_rows_lineitem": q_violation_rows_lineitem,
         "drift_orders": q_drift_orders,
         "skew_report": q_skew_report,
         "snapshot_diff": q_snapshot_diff,
@@ -4617,6 +4670,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # grouped_outliers~outliers_events (the
         # same Tukey-fence predicate and planted-inflation shape, fences
         # computed per event_type instead of globally),
+        # violation_rows_lineitem = the row-level projection of the SAME
+        # compiled checks as in-window validation_verdicts_lineitem
+        # (one compile_check path, verdict agg vs row filter), with the
+        # violation-predicate routing also driver-green r4 via
+        # quarantine_counts,
         # source_overlap = a per-(source-pair) aggregation of the SAME
         # exact_duplicate_pairs kernel anchored in-window by
         # exact_dup_groups (identical agg+join linearization,
@@ -4656,6 +4714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_anomalies_split": q_rolling_anomalies_split,
         "sequence_gaps_split": q_sequence_gaps_split,
         "source_overlap": q_source_overlap,
+        "violation_rows_lineitem": q_violation_rows_lineitem,
         "topk_engine_salted": q_topk_engine_salted,
         "stratified_sample_lang": q_stratified_sample_lang,
         "chunked_docs": q_chunked_docs,
@@ -4845,6 +4904,7 @@ def oracle_sql() -> dict[str, str]:
         "monotonic_value_user": SQL_MONOTONIC_VALUE_USER,
         "sequence_gaps_user": SQL_SEQUENCE_GAPS_USER,
         "stream_gaps_epochs": SQL_STREAM_GAPS_EPOCHS,
+        "cms_user_counts": SQL_CMS_USER_COUNTS,
         # split path, same result contract -> the IDENTICAL oracle
         "sequence_gaps_split": SQL_SEQUENCE_GAPS_USER,
     }

@@ -32,6 +32,9 @@ from pandera_forge_spark.schema import (
 from pandera_forge_spark.sanitizer import sanitize_class_name, sanitize_column_name
 from pandera_forge_spark.sketches import (
     baseline_from_kll,
+    cms_estimate,
+    cms_merge,
+    cms_partition_sketch,
     incremental_sketch_store,
     load_sketch_store,
     merge_sketches,
@@ -172,6 +175,9 @@ __all__ = [
     "partition_sketches",
     "merge_sketches",
     "update_sketches",
+    "cms_partition_sketch",
+    "cms_merge",
+    "cms_estimate",
     "new_key_estimate",
     "baseline_from_kll",
     "incremental_sketch_store",

@@ -365,3 +365,189 @@ def compact_sketch_store(
     out = compact_sketches(df.drop(*drop), group_cols)
     out.write.mode("overwrite").parquet(dest_root)
     return spark.read.parquet(dest_root).count()
+
+
+# -- Count-Min frequency sketch (heavy-hitter counts) ----------------------
+#
+# HLL answers "how many distinct", KLL answers "what quantile"; the
+# count-min sketch (Cormode & Muthukrishnan 2005) answers "about how
+# often does THIS value occur" from the same kind of tiny mergeable
+# row, completing the sketch family. depth x width counters; value v
+# increments counter (r, h_r(v)) for each row r; the estimate is the
+# MIN over rows — always >= the true count, with collisions bounded by
+# e*n/width at 1 - (1/e)^depth confidence. Hashes derive from md5 of
+# "(seed:r:value)" so a SQL engine can replay the sketch bit-for-bit
+# (the weighted_take md5 idiom); everything is exact integer column
+# algebra — deterministic, mergeable by cellwise +, zero UDFs.
+
+
+def cms_bucket(col, row: int, width: int, seed: str = "cms"):
+    """Row-``row``'s bucket for a value: first 8 md5 hex digits of
+    "seed:row:value" mod width. NULL values hash to NULL (excluded —
+    nullability is the profiler's job)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:{row}:"), F.col(col).cast("string")))
+            if isinstance(col, str)
+            else F.md5(F.concat(F.lit(f"{seed}:{row}:"), col.cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(int(width)))
+
+
+def cms_partition_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+) -> DataFrame:
+    """One mergeable CMS row per group: ``__cms`` (dense
+    ``array<long>`` of depth*width counters), ``__cms_n`` (non-null
+    values counted — the error bound's n), plus literal ``__cms_depth``
+    / ``__cms_width`` / ``__cms_seed`` so merge/estimate refuse
+    parameter mismatches loudly.
+
+    Scale shape: each input row explodes into ``depth`` (row, bucket)
+    pairs (a constant fan-out), ONE partial-aggregated groupBy counts
+    them, and a bounded ``collect_list`` (at most depth*width entries
+    per group — a constant) densifies the map; n falls out of the same
+    counts (row 0's counters sum to it), so the data is scanned once.
+    No per-key state, no top-k heap: the shuffle carries at most
+    depth*width counter rows per group however many distinct values
+    the data holds."""
+    d, w = int(depth), int(width)
+    groups = list(group_cols)
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"), cms_bucket(value_col, r, w, seed).alias("b")
+            )
+            for r in range(d)
+        ]
+    )
+    pairs = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*groups, F.explode(buckets).alias("__rb"))
+        .groupBy(*groups, F.col("__rb.r").alias("__r"), F.col("__rb.b").alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    entries = F.map_from_entries(
+        F.collect_list(
+            F.struct(
+                (F.col("__r") * w + F.col("__b")).cast("int").alias("k"),
+                F.col("__c").alias("v"),
+            )
+        )
+    )
+    n = F.coalesce(
+        F.sum(F.when(F.col("__r") == 0, F.col("__c")).otherwise(F.lit(0))),
+        F.lit(0),
+    ).alias("__cms_n")
+    agg = (
+        pairs.groupBy(*groups).agg(entries.alias("__m"), n)
+        if groups
+        else pairs.agg(entries.alias("__m"), n)
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(d * w - 1)),
+        lambda i: F.coalesce(
+            F.try_element_at(F.col("__m"), i), F.lit(0).cast("long")
+        ),
+    )
+    return agg.select(
+        *groups,
+        dense.alias("__cms"),
+        "__cms_n",
+        F.lit(d).alias("__cms_depth"),
+        F.lit(w).alias("__cms_width"),
+        F.lit(seed).alias("__cms_seed"),
+    )
+
+
+def cms_merge(
+    sketch_df: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Roll CMS rows up by cellwise addition — one row (per rollup
+    group), no data rescan; the list being folded holds one sketch per
+    merged row (per partition/epoch), so memory stays O(rows x
+    depth*width). Parameter agreement is fenced IN-BAND: a frame
+    mixing depth/width/seed raises inside the same job (zip_with over
+    mismatched lengths would otherwise null-corrupt counters
+    silently), costing no extra scan."""
+    lst = F.collect_list("__cms")
+    merged = F.aggregate(
+        F.slice(lst, 2, _SLICE_MAX),
+        F.try_element_at(lst, F.lit(1)),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
+    nparam = F.countDistinct(
+        F.struct("__cms_depth", "__cms_width", "__cms_seed")
+    ).alias("__nparam")
+    exprs = [
+        merged.alias("__cms"),
+        F.sum("__cms_n").alias("__cms_n"),
+        F.first("__cms_depth").alias("__cms_depth"),
+        F.first("__cms_width").alias("__cms_width"),
+        F.first("__cms_seed").alias("__cms_seed"),
+        nparam,
+    ]
+    groups = list(group_cols)
+    agg = (
+        sketch_df.groupBy(*[F.col(g) for g in groups]).agg(*exprs)
+        if groups
+        else sketch_df.agg(*exprs)
+    )
+    fenced = F.when(F.col("__nparam") <= 1, F.col("__cms")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("cms_merge: frame mixes CMS parameters ("),
+                F.col("__nparam").cast("string"),
+                F.lit(" distinct depth/width/seed combinations)"),
+            )
+        )
+    )
+    return agg.withColumn("__cms", fenced).drop("__nparam")
+
+
+def cms_estimate(keys_df: DataFrame, sketch_df: DataFrame, key_col: str) -> DataFrame:
+    """Estimated occurrence count for every key in ``keys_df`` against
+    a MERGED one-row sketch: ``est = min over rows r of
+    counter[r*width + h_r(key)]`` — adds an ``est`` column (bigint,
+    always >= the true count; within e*n/width of it with probability
+    1 - (1/e)^depth; NULL keys estimate NULL). The sketch rides along
+    as a 1-row broadcast stats frame — the probe is row-local column
+    algebra, no shuffle of ``keys_df`` at all.
+
+    The hash parameters must be known driver-side to build the probe
+    expressions, so this materializes the sketch frame ONCE (a single
+    limit-2 collect that also fences "exactly one merged row"); pass a
+    persisted or store-loaded merged frame to avoid recomputing its
+    lineage here and in the probe job."""
+    rows = (
+        sketch_df.select("__cms_depth", "__cms_width", "__cms_seed")
+        .limit(2)
+        .collect()
+    )
+    if len(rows) != 1:
+        raise ValueError(
+            f"cms_estimate needs ONE merged sketch row, got {len(rows)} "
+            "(cms_merge without group_cols first)"
+        )
+    d, w, seed = int(rows[0][0]), int(rows[0][1]), rows[0][2]
+    probe = keys_df.crossJoin(F.broadcast(sketch_df.select("__cms")))
+    est = F.least(
+        *[
+            F.get(
+                F.col("__cms"),
+                (F.lit(r * w) + cms_bucket(key_col, r, w, seed)).cast("int"),
+            )
+            for r in range(d)
+        ]
+    )
+    return probe.withColumn("est", est.cast("long")).drop("__cms")
