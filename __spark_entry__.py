@@ -4503,7 +4503,12 @@ def q_cms_user_counts(spark, sf_dir):
     )
 
     ev = _t(spark, sf_dir, "events")
-    sk = cms_merge(cms_partition_sketch(ev, "user_id", depth=4, width=512))
+    # persist: cms_estimate materializes the frame once for the hash
+    # params, then probes it — without the cache the sketch lineage
+    # (scan + explode + two aggs) would execute twice (review-found)
+    sk = cms_merge(
+        cms_partition_sketch(ev, "user_id", depth=4, width=512)
+    ).persist()
     keys = spark.createDataFrame(
         [(int(u),) for u in CMS_PROBE_UIDS], "user_id bigint"
     )

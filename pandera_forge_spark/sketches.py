@@ -385,13 +385,10 @@ def cms_bucket(col, row: int, width: int, seed: str = "cms"):
     """Row-``row``'s bucket for a value: first 8 md5 hex digits of
     "seed:row:value" mod width. NULL values hash to NULL (excluded —
     nullability is the profiler's job)."""
+    c = F.col(col) if isinstance(col, str) else col
     h = F.conv(
         F.substring(
-            F.md5(F.concat(F.lit(f"{seed}:{row}:"), F.col(col).cast("string")))
-            if isinstance(col, str)
-            else F.md5(F.concat(F.lit(f"{seed}:{row}:"), col.cast("string"))),
-            1,
-            8,
+            F.md5(F.concat(F.lit(f"{seed}:{row}:"), c.cast("string"))), 1, 8
         ),
         16,
         10,
@@ -422,6 +419,11 @@ def cms_partition_sketch(
     depth*width counter rows per group however many distinct values
     the data holds."""
     d, w = int(depth), int(width)
+    if d < 1 or w < 1:
+        # same defect class as the split_every fence: a negative width
+        # builds a garbage counter array whose estimates silently
+        # UNDERESTIMATE — the one thing a CMS must never do
+        raise ValueError(f"depth and width must be >= 1, got {depth}x{width}")
     groups = list(group_cols)
     buckets = F.array(
         *[
@@ -539,15 +541,23 @@ def cms_estimate(keys_df: DataFrame, sketch_df: DataFrame, key_col: str) -> Data
             f"cms_estimate needs ONE merged sketch row, got {len(rows)} "
             "(cms_merge without group_cols first)"
         )
+    if rows[0][0] is None:
+        # an ungrouped merge of ZERO sketch rows yields one all-NULL row
+        # (first/collect_list over nothing) — as loud as the multi-row
+        # case, not a TypeError three lines later
+        raise ValueError(
+            "cms_estimate got an EMPTY merged sketch (zero sketch rows "
+            "were merged — e.g. a store filter that matched nothing)"
+        )
     d, w, seed = int(rows[0][0]), int(rows[0][1]), rows[0][2]
     probe = keys_df.crossJoin(F.broadcast(sketch_df.select("__cms")))
-    est = F.least(
-        *[
-            F.get(
-                F.col("__cms"),
-                (F.lit(r * w) + cms_bucket(key_col, r, w, seed)).cast("int"),
-            )
-            for r in range(d)
-        ]
-    )
+    lookups = [
+        F.get(
+            F.col("__cms"),
+            (F.lit(r * w) + cms_bucket(key_col, r, w, seed)).cast("int"),
+        )
+        for r in range(d)
+    ]
+    # depth=1 is a legitimate CMS; F.least needs two columns
+    est = lookups[0] if d == 1 else F.least(*lookups)
     return probe.withColumn("est", est.cast("long")).drop("__cms")

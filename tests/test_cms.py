@@ -93,8 +93,6 @@ def test_partition_independence(spark, corpus):
 def test_mixed_params_fence_is_loud(spark, corpus):
     a = cms_partition_sketch(corpus, "s", width=128)
     b = cms_partition_sketch(corpus, "s", width=256)
-    from py4j.protocol import Py4JJavaError
-
     with pytest.raises(Exception, match="mixes CMS parameters"):
         cms_merge(a.unionByName(b)).select("__cms").collect()
 
@@ -110,6 +108,29 @@ def test_estimate_needs_one_row(spark, corpus):
     keys = spark.createDataFrame([("v1",)], "s string")
     with pytest.raises(ValueError, match="ONE merged sketch row"):
         cms_estimate(keys, two.drop("g"), "s")
+
+
+def test_nonpositive_params_are_loud(corpus):
+    """review-found: a negative width built a garbage sketch whose
+    estimates silently UNDERESTIMATED — the one CMS guarantee."""
+    for d, w in ((0, 64), (-1, 64), (4, 0), (4, -64)):
+        with pytest.raises(ValueError, match=">= 1"):
+            cms_partition_sketch(corpus, "s", depth=d, width=w)
+
+
+def test_depth_one_estimates(spark, corpus):
+    sk = cms_merge(cms_partition_sketch(corpus, "s", depth=1, width=2048))
+    keys = spark.createDataFrame([("v5",)], "s string")
+    assert cms_estimate(keys, sk, "s").first()["est"] == 6
+
+
+def test_empty_merged_frame_is_loud(spark, corpus):
+    empty = cms_merge(
+        cms_partition_sketch(corpus, "s", width=64).where(F.lit(False))
+    )
+    keys = spark.createDataFrame([("v5",)], "s string")
+    with pytest.raises(ValueError, match="EMPTY merged sketch"):
+        cms_estimate(keys, empty, "s")
 
 
 def test_null_key_estimates_null(spark, corpus):
