@@ -4484,6 +4484,53 @@ ORDER BY user_id, gap_end
 """
 
 
+def q_interval_overlaps_user(spark, sf_dir):
+    """Double-booking detection (operators/temporal.py
+    interval_overlaps): events become intervals [ts, ts + value
+    minutes] in epoch-seconds doubles (identical IEEE arithmetic both
+    engines); per user, a row violates when ANY earlier interval's end
+    exceeds its start — a RUNNING MAX over preceding rows, not a lag
+    (the umbrella-interval case). event_id in the order tuple makes
+    prev_end attribution total, so rows hash deterministically."""
+    from pandera_forge_spark.operators.temporal import interval_overlaps
+
+    ev = _t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp_ltz").cast("double")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        sec.alias("i_start"),
+        (sec + F.col("value") * 60.0).alias("i_end"),
+    )
+    out = interval_overlaps(
+        iv, ["user_id"], "i_start", "i_end",
+        order_cols=["i_start", "i_end", "event_id"],
+    )
+    return out.select(
+        "user_id", "event_id", "i_start", "i_end", "prev_end"
+    ).orderBy("user_id", "event_id")
+
+
+SQL_INTERVAL_OVERLAPS_USER = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch(ts) AS i_start,
+         epoch(ts) + value * 60.0e0 AS i_end
+  FROM events
+),
+w AS (
+  SELECT user_id, event_id, i_start, i_end,
+         MAX(i_end) OVER (PARTITION BY user_id
+                          ORDER BY i_start, i_end, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_end
+  FROM iv
+)
+SELECT user_id, event_id, i_start, i_end, prev_end
+FROM w WHERE prev_end > i_start
+ORDER BY user_id, event_id
+"""
+
+
 CMS_PROBE_UIDS = [3, 17, 42, 58, 71, 88, 99, 104, 123, 137]
 
 
@@ -4581,15 +4628,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #         already-green tail row,
     #   15-16: the final-session operators (SemDeDup semantic dedup,
     #         rolling z-score anomalies) — never driver-verified,
-    #   17-22: the last-session operators (changelog compaction/apply,
-    #         monotonic + gap sequence validators, streaming gap
-    #         monitor, count-min sketch) — never driver-verified, so
-    #         they outrank any already-green row,
-    #   23-50: the round-3-verified tail (28 of its 49 queries).
-    # The window holds 50 but 5 fixed + 6 new/changed + 11 session + 49
-    # tail = 71 candidates, so twenty-one r3-green tail queries plus the
+    #   17-23: the last-session operators (changelog compaction/apply,
+    #         monotonic + gap + overlap sequence validators, streaming
+    #         gap monitor, count-min sketch) — never driver-verified,
+    #         so they outrank any already-green row,
+    #   24-50: the round-3-verified tail (27 of its 49 queries).
+    # The window holds 50 but 5 fixed + 6 new/changed + 12 session + 49
+    # tail = 72 candidates, so twenty-two r3-green tail queries plus the
     # split-path twins rolling_anomalies_split / sequence_gaps_split
-    # stay at positions 51-73; each is a parameter-variant or
+    # stay at positions 51-74; each is a parameter-variant or
     # composition of in-window (or r4-green) siblings (rationale inline
     # below), keeping every DISTINCT code path driver-verified within
     # the last two rounds.
@@ -4620,6 +4667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_gaps_user": q_sequence_gaps_user,
         "stream_gaps_epochs": q_stream_gaps_epochs,
         "cms_user_counts": q_cms_user_counts,
+        "interval_overlaps_user": q_interval_overlaps_user,
         # -- round-3-verified tail, rotated in (last driver-green r3) ----------
         "profile_fused_orders": q_profile_fused_orders,
         "topk_returnflag": q_topk_returnflag,
@@ -4627,7 +4675,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_ratios": q_pattern_ratios,
         "validation_verdicts_lineitem": q_validation_verdicts_lineitem,
         "drift_orders": q_drift_orders,
-        "skew_report": q_skew_report,
         "snapshot_diff": q_snapshot_diff,
         "sketch_merge_exact": q_sketch_merge_exact,
         "pipeline_verdicts": q_pipeline_verdicts,
@@ -4675,6 +4722,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # grouped_outliers~outliers_events (the
         # same Tukey-fence predicate and planted-inflation shape, fences
         # computed per event_type instead of globally),
+        # skew_report = a composition of two count aggregates with no
+        # novel expression code: its heavy stage (groupBy-count of the
+        # key) is the first stage of in-window exact_dup_groups /
+        # the duplicate-keys family, the second stage a five-column
+        # rollup of that count frame,
         # violation_rows_lineitem = the row-level projection of the SAME
         # compiled checks as in-window validation_verdicts_lineitem
         # (one compile_check path, verdict agg vs row filter), with the
@@ -4720,6 +4772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_gaps_split": q_sequence_gaps_split,
         "source_overlap": q_source_overlap,
         "violation_rows_lineitem": q_violation_rows_lineitem,
+        "skew_report": q_skew_report,
         "topk_engine_salted": q_topk_engine_salted,
         "stratified_sample_lang": q_stratified_sample_lang,
         "chunked_docs": q_chunked_docs,
@@ -4910,6 +4963,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_gaps_user": SQL_SEQUENCE_GAPS_USER,
         "stream_gaps_epochs": SQL_STREAM_GAPS_EPOCHS,
         "cms_user_counts": SQL_CMS_USER_COUNTS,
+        "interval_overlaps_user": SQL_INTERVAL_OVERLAPS_USER,
         # split path, same result contract -> the IDENTICAL oracle
         "sequence_gaps_split": SQL_SEQUENCE_GAPS_USER,
     }

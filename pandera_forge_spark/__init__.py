@@ -95,6 +95,7 @@ from pandera_forge_spark.operators.temporal import (
     asof_join,
     event_funnel,
     interval_join,
+    interval_overlaps,
     monotonic_violations,
     retention_cohorts,
     rolling_zscore,
@@ -232,6 +233,7 @@ __all__ = [
     "asof_join",
     "event_funnel",
     "interval_join",
+    "interval_overlaps",
     "monotonic_violations",
     "retention_cohorts",
     "rolling_zscore",

@@ -753,6 +753,50 @@ def _with_prev(
     return out.drop("__chunk", "__rn", "__carry")
 
 
+def interval_overlaps(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    order_cols: Optional[Sequence[str]] = None,
+    touching_ok: bool = True,
+) -> DataFrame:
+    """Double-booking detection — the complement of ``sequence_gaps``:
+    per key, rows whose interval [start, end] overlaps ANY earlier
+    interval of the same key (a session that started before the last
+    one ended, a sensor reporting two readings for the same window).
+    With the gap/overlap/monotonic trio a timeline's integrity is fully
+    checkable: no holes, no double-cover, no regressions.
+
+    Returns the violating rows plus ``prev_end`` — the latest end among
+    all STRICTLY EARLIER intervals (ordered by ``order_cols``, default
+    ``[start, end]``) — so the report shows what the row collided with.
+    ``touching_ok=True`` (default) treats end == next start as clean
+    (half-open interval semantics); ``False`` flags the touch too.
+    NULL starts/ends never violate (three-valued logic); intervals with
+    NULL order values sort first.
+
+    The check is a RUNNING MAX of the end column over the preceding
+    rows — not a lag: an interval can overlap one that started long ago
+    and outlasted everything since (the umbrella meeting), which a
+    previous-row-only compare would miss. One shuffle by key, O(1)
+    window state, external sort; at a hot key the sort is the cost,
+    same as ``sequence_gaps``."""
+    keys = list(key_cols)
+    order = list(order_cols) if order_cols is not None else [start_col, end_col]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.withColumn("prev_end", F.max(F.col(end_col)).over(w))
+    start = F.col(start_col)
+    bad = (F.col("prev_end") > start) if touching_ok else (
+        F.col("prev_end") >= start
+    )
+    return out.where(bad)
+
+
 def monotonic_violations(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from pandera_forge_spark.operators.temporal import (
+    interval_overlaps,
     monotonic_violations,
     sequence_gaps,
 )
@@ -136,6 +137,71 @@ def test_gaps_split_tie_on_boundary(spark):
     b = sequence_gaps(df, ["key"], "t", 20.0, split_every=100.0)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     assert a.count() == 1
+
+
+@pytest.fixture(scope="module")
+def bookings(spark):
+    # k1: clean chain, then an umbrella interval (10..100) that a LAG
+    # check would miss for the (40, 50) row; k2 touching intervals;
+    # k3 NULL end mid-chain
+    rows = [
+        ("k1", 0.0, 5.0, 1),
+        ("k1", 10.0, 100.0, 2),  # umbrella
+        ("k1", 40.0, 50.0, 3),  # inside the umbrella, not its lag-prev
+        ("k1", 200.0, 210.0, 4),
+        ("k2", 0.0, 10.0, 5),
+        ("k2", 10.0, 20.0, 6),  # touching
+        ("k3", 0.0, None, 7),
+        ("k3", 5.0, 9.0, 8),
+    ]
+    return spark.createDataFrame(rows, "key string, s double, e double, id int")
+
+
+def test_overlaps_running_max_not_lag(bookings):
+    out = interval_overlaps(bookings, ["key"], "s", "e", order_cols=["s", "e", "id"])
+    got = {r["id"]: r["prev_end"] for r in out.collect()}
+    # the umbrella catches id=3 (prev_end=100 > 40) AND id=4? 200 > 100? no.
+    assert got == {3: 100.0}
+
+
+def test_overlaps_touching_flag(bookings):
+    strict = interval_overlaps(
+        bookings, ["key"], "s", "e", order_cols=["s", "e", "id"], touching_ok=False
+    )
+    ids = {r["id"] for r in strict.collect()}
+    assert ids == {3, 6}  # the touch at k2 now counts
+
+
+def test_overlaps_null_end_never_violates(bookings):
+    out = interval_overlaps(bookings, ["key"], "s", "e", order_cols=["s", "e", "id"])
+    # k3's NULL end contributes nothing to the running max, and the
+    # following interval doesn't violate against it
+    assert not [r for r in out.collect() if r["key"] == "k3"]
+
+
+def test_overlaps_timestamp_dtype(spark):
+    df = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", "2024-01-01 02:00:00", 1),
+         ("k", "2024-01-01 01:00:00", "2024-01-01 03:00:00", 2)],
+        "key string, s string, e string, id int",
+    ).select(
+        "key",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+        "id",
+    )
+    out = interval_overlaps(df, ["key"], "s", "e", order_cols=["s", "e", "id"])
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["id"] == 2
+    assert str(rows[0]["prev_end"]) == "2024-01-01 02:00:00"
+
+
+def test_overlaps_no_udf(bookings):
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    assert not has_python_udf(
+        interval_overlaps(bookings, ["key"], "s", "e")
+    )
 
 
 def test_nonpositive_split_every_raises(meter):
