@@ -62,3 +62,27 @@ def test_analytics_pipeline_example(spark):
     # natural sf0.001 values: plenty scored, anomalies a small minority
     an = report["anomalies"]
     assert an["n_scored"] > 0 and 0 <= an["n_flagged"] < an["n_scored"] // 10
+
+
+def test_monitoring_pipeline_example(spark):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    import monitoring_pipeline
+
+    report = monitoring_pipeline.run(spark, "/root/testdata/sf0.001")
+    # sf0.001 events = 1000 rows: base 500 evens; %5 touches 200 keys
+    # (100 even), %20 deletes 50 (all even) -> 500 - 50 + 100 inserts
+    assert report["cdc"] == {"base": 500, "next_snapshot": 550}
+    d = report["snapshot_diff"]
+    assert d["removed"] == 50 and d["added"] == 100 and d["changed"] == 50
+    assert d["unchanged"] == 400
+    assert report["freshness"]["holes"] > 0
+    assert report["freshness"]["worst_gap_s"] > 43200.0
+    assert report["double_booking"]["violations"] >= 0
+    assert report["ordering"]["regressions"] > 0
+    # width 512 >> 15 users: estimates are exact counts, and the three
+    # estimates cover the three hottest users
+    assert len(report["hot_values"]) == 3
+    assert all(v > 0 for v in report["hot_values"].values())
