@@ -112,6 +112,7 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
     report["hot_values"] = {
         str(r["user_id"]): int(r["est"]) for r in est.collect()
     }
+    sk.unpersist()
     return report
 
 

@@ -773,8 +773,12 @@ def interval_overlaps(
     ``[start, end]``) — so the report shows what the row collided with.
     ``touching_ok=True`` (default) treats end == next start as clean
     (half-open interval semantics); ``False`` flags the touch too.
-    NULL starts/ends never violate (three-valued logic); intervals with
-    NULL order values sort first.
+    ``order_cols`` MUST lead with ``start_col`` (fenced) — the running
+    max is only a valid overlap test start-major; append tiebreaks
+    (a unique id) after it for deterministic attribution. NULL starts
+    and ends never violate AND never accuse: a NULL-start interval's
+    end is masked out of the running max (its overlap is
+    indeterminate).
 
     The check is a RUNNING MAX of the end column over the preceding
     rows — not a lag: an interval can overlap one that started long ago
@@ -784,13 +788,32 @@ def interval_overlaps(
     same as ``sequence_gaps``."""
     keys = list(key_cols)
     order = list(order_cols) if order_cols is not None else [start_col, end_col]
+    if order[0] != start_col:
+        # the running-max test is only a valid overlap check when rows
+        # are start-major: any other leading order makes a LATER-
+        # starting interval's end precede an earlier one and manufactures
+        # false positives (review-found)
+        raise ValueError(
+            f"order_cols must lead with start_col ({start_col!r}); "
+            f"got {order[0]!r} — append tiebreaks after it instead"
+        )
+    if "prev_end" in df.columns:
+        raise ValueError(
+            "input already has a 'prev_end' column — rename it; the "
+            "report attaches its own"
+        )
     w = (
         Window.partitionBy(*keys)
         .orderBy(*[F.col(c) for c in order])
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    out = df.withColumn("prev_end", F.max(F.col(end_col)).over(w))
     start = F.col(start_col)
+    # a NULL-start interval's overlap is indeterminate: mask its end out
+    # of the running max so it can't manufacture violations downstream
+    # (three-valued logic, review-found); its own row never violates
+    # either (NULL comparison below)
+    masked_end = F.when(start.isNotNull(), F.col(end_col))
+    out = df.withColumn("prev_end", F.max(masked_end).over(w))
     bad = (F.col("prev_end") > start) if touching_ok else (
         F.col("prev_end") >= start
     )

@@ -196,6 +196,30 @@ def test_overlaps_timestamp_dtype(spark):
     assert str(rows[0]["prev_end"]) == "2024-01-01 02:00:00"
 
 
+def test_overlaps_null_start_never_accuses(spark):
+    """review-found: a NULL-start interval's (huge) end entered the
+    running max and flagged every later interval of the key."""
+    df = spark.createDataFrame(
+        [("k", None, 1e9, 1), ("k", 5.0, 10.0, 2), ("k", 20.0, 30.0, 3)],
+        "key string, s double, e double, id int",
+    )
+    assert interval_overlaps(df, ["key"], "s", "e", order_cols=["s", "id"]).count() == 0
+
+
+def test_overlaps_order_must_lead_with_start(bookings):
+    """review-found: a non-start-major order makes the running-max test
+    invalid (a disjoint earlier-by-id interval gets accused)."""
+    with pytest.raises(ValueError, match="lead with start_col"):
+        interval_overlaps(bookings, ["key"], "s", "e", order_cols=["id"])
+
+
+def test_overlaps_prev_end_collision_is_loud(bookings):
+    with pytest.raises(ValueError, match="prev_end"):
+        interval_overlaps(
+            bookings.withColumn("prev_end", F.lit(0.0)), ["key"], "s", "e"
+        )
+
+
 def test_overlaps_no_udf(bookings):
     from pandera_forge_spark.plans.inspect import has_python_udf
 
