@@ -4484,6 +4484,68 @@ ORDER BY user_id, gap_end
 """
 
 
+def q_stream_monotonic_epochs(spark, sf_dir):
+    """Streaming ordering-invariant monitor (streaming/sequence.py
+    stream_monotonic_violations): events cut into 3 epoch files at
+    event_id thirds (a global order cut is an order cut per key),
+    availableNow streams one file per trigger, each batch carries every
+    user's last value BY event_id from prior epochs, and the union of
+    the per-epoch sinks must equal the plain batch LAG — the oracle is
+    the SAME SQL as monotonic_value_user. A regression straddling an
+    epoch boundary double-emitted or missed breaks count and hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from pandera_forge_spark.streaming import stream_monotonic_violations
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    hi = ev.agg(F.max("event_id")).first()[0]
+    c1, c2 = hi // 3, 2 * (hi // 3)
+    root = tempfile.mkdtemp(prefix="pfs_smono_")
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        eid = F.col("event_id")
+        cuts = [eid <= c1, (eid > c1) & (eid <= c2), eid > c2]
+        for e, cond in enumerate(cuts):
+            stage = os.path.join(root, f"stage{e}")
+            ev.where(cond).coalesce(1).write.parquet(stage)
+            part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+            os.replace(os.path.join(stage, part), os.path.join(src, f"e{e}.parquet"))
+            shutil.rmtree(stage, ignore_errors=True)
+            os.utime(
+                os.path.join(src, f"e{e}.parquet"), (1_000_000_000 + e * 1000,) * 2
+            )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        writer = stream_monotonic_violations(
+            stream,
+            os.path.join(root, "state"),
+            os.path.join(root, "viol"),
+            ["user_id"],
+            ["event_id"],
+            "value",
+            checkpoint=os.path.join(root, "ckpt"),
+        )
+        q = writer.trigger(availableNow=True).start()
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("availableNow stream did not finish in 300 s")
+        rows = [
+            (r["user_id"], r["event_id"], float(r["value"]), float(r["prev_value"]))
+            for r in spark.read.parquet(os.path.join(root, "viol", "__epoch=*")).collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, value double, prev_value double"
+    ).orderBy("user_id", "event_id")
+
+
 def q_interval_overlaps_user(spark, sf_dir):
     """Double-booking detection (operators/temporal.py
     interval_overlaps): events become intervals [ts, ts + value
@@ -4736,6 +4798,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact_duplicate_pairs kernel anchored in-window by
         # exact_dup_groups (identical agg+join linearization,
         # plan-asserted; only the final groupBy differs),
+        # stream_monotonic_epochs = the streaming epoch-state kernel
+        # driver-anchored by stream_gaps_epochs (in-window; identical
+        # _with_carried_prev/_write_epoch_state code path) composed
+        # with monotonic_value_user's predicate (in-window; IDENTICAL
+        # oracle SQL), streaming==batch pytest-asserted
+        # (tests/test_stream_sequence.py),
         # sequence_gaps_split = the split_every path of
         # sequence_gaps_user (in-window) checked against the IDENTICAL
         # oracle SQL, split==unsplit pytest-asserted
@@ -4770,6 +4838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # span_profile (in-window) and span_transitions (just below).
         "rolling_anomalies_split": q_rolling_anomalies_split,
         "sequence_gaps_split": q_sequence_gaps_split,
+        "stream_monotonic_epochs": q_stream_monotonic_epochs,
         "source_overlap": q_source_overlap,
         "violation_rows_lineitem": q_violation_rows_lineitem,
         "skew_report": q_skew_report,
@@ -4966,4 +5035,6 @@ def oracle_sql() -> dict[str, str]:
         "interval_overlaps_user": SQL_INTERVAL_OVERLAPS_USER,
         # split path, same result contract -> the IDENTICAL oracle
         "sequence_gaps_split": SQL_SEQUENCE_GAPS_USER,
+        # streaming path of the same invariant -> the IDENTICAL oracle
+        "stream_monotonic_epochs": SQL_MONOTONIC_VALUE_USER,
     }

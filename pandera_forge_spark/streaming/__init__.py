@@ -9,7 +9,10 @@ same check compiler and verdict semantics via ``foreachBatch``.
 """
 
 from pandera_forge_spark.streaming.dedup import stream_near_dedup
-from pandera_forge_spark.streaming.sequence import stream_sequence_gaps
+from pandera_forge_spark.streaming.sequence import (
+    stream_monotonic_violations,
+    stream_sequence_gaps,
+)
 from pandera_forge_spark.streaming.stateful import duplicate_ids_stream
 from pandera_forge_spark.streaming.temporal import stream_sessions
 from pandera_forge_spark.streaming.text import stream_contamination
@@ -25,6 +28,7 @@ __all__ = [
     "duplicate_ids_stream",
     "stream_drift",
     "stream_contamination",
+    "stream_monotonic_violations",
     "stream_near_dedup",
     "stream_sequence_gaps",
     "stream_sessions",

@@ -1,48 +1,49 @@
-"""Streaming freshness / coverage-gap monitoring.
+"""Streaming sequence monitors: freshness gaps and ordering
+regressions, continuously.
 
-The streaming twin of ``operators/temporal.sequence_gaps``: each
-micro-batch checks the arriving events' timelines for holes longer than
-``min_gap_seconds`` — both WITHIN the batch and ACROSS the batch
-boundary, by carrying every key's last-seen timestamp from all prior
-epochs. This is the "feed went dark overnight" validator run
-continuously: the hole between yesterday's last tick and today's first
-one surfaces in today's epoch, which a per-batch-only check would miss
-entirely.
+The streaming twins of ``operators/temporal.sequence_gaps`` and
+``operators/temporal.monotonic_violations``: each micro-batch checks
+the arriving rows' per-key sequences both WITHIN the batch and ACROSS
+the batch boundary, by carrying every key's last row (by the declared
+order) from all prior epochs. This is validation run continuously —
+the hole between yesterday's last tick and today's first one, or the
+counter that reset between two batches, surfaces in the batch where
+the second half arrived; a per-batch-only check would miss both.
 
-State is the per-key last event timestamp — small (O(keys)) and
-columnar, so like the band index it lives as epoch-keyed parquet
-appends rather than in the state store:
+State is one narrow row per key — the order tuple plus the captured
+column of the key's last row BY ``order_cols`` — small and columnar,
+so like the dedup band index it lives as epoch-keyed parquet appends
+rather than in the state store:
 
-- ``<state_dir>/last_epochs/__epoch=<id>`` — the timestamp of each
-  key's last row BY ``order_cols`` in this epoch (overwrite; one row
-  per key seen in the batch);
+- ``<state_dir>/last_epochs/__epoch=<id>`` — this epoch's per-key last
+  row (overwrite; one row per key seen in the batch);
 - a batch reads only epochs strictly BELOW its own id (committed dirs
   only) and reduces them per key with the same last-by-order rule — so
   a replayed micro-batch (foreachBatch retry, restart from checkpoint)
-  re-derives byte-identical gaps and can never see its own partial
+  re-derives byte-identical output and can never see its own partial
   append.
 
-Gaps land in ``<gap_sink>/__epoch=<id>`` (overwrite): exactly-once per
-epoch, same contract as ``streaming/dedup``.
+Findings land in ``<sink>/__epoch=<id>`` (overwrite): exactly-once per
+epoch, same contract as ``streaming/dedup``. Give each monitor its OWN
+``state_dir`` — they share the layout, not the content.
 
 Correctness contract: with epochs that cut each key's rows in
 ``order_cols`` order (the ordered-ingest / watermark assumption every
-event-time stream leans on — for the default ``order_cols=[ts_col]``
-this also means NULL timestamps, which sort FIRST, may only appear in
-a key's first epoch), the union of all epoch sinks is IDENTICAL to
-the batch ``sequence_gaps`` over the concatenated input — the epoch
-boundary is exactly a ``split_every`` chunk boundary, and the state
-carry is the chunk stitch (pytest-asserted; driver row
-``stream_gaps_epochs`` replays it against the plain batch LAG oracle).
-Violating the assumption degrades gracefully: an out-of-order arrival
-can suppress a hole or shorten one, but never fabricates a gap the
-data doesn't bracket.
+event-time stream leans on — for a timestamp-led order this also means
+NULL timestamps, which sort FIRST, may only appear in a key's first
+epoch), the union of all epoch sinks is IDENTICAL to the batch
+operator over the concatenated input — the epoch boundary is exactly a
+``split_every`` chunk boundary, and the state carry is the chunk
+stitch (pytest-asserted; driver rows ``stream_gaps_epochs`` /
+``stream_monotonic_epochs`` replay it against the plain batch LAG
+oracles). Violating the assumption degrades gracefully: an
+out-of-order arrival can suppress a finding or change which row is
+"previous", but never fabricates a gap the data doesn't bracket.
 
 Scale: per trigger the cost is one window over the batch plus a
 per-key last-row reduce over O(keys x epochs) narrow state rows;
-compact the
-``last_epochs`` dirs offline with ``cdc.latest_by_key`` when epoch
-count grows (the same hygiene as the dedup band index).
+compact the ``last_epochs`` dirs offline with ``cdc.latest_by_key``
+when epoch count grows (the same hygiene as the dedup band index).
 """
 
 from __future__ import annotations
@@ -66,14 +67,15 @@ def _prior_state(
     key_cols: Sequence[str],
     order_cols: Sequence[str],
 ) -> Optional[DataFrame]:
-    """Per-key timestamp of the LAST row by ``order_cols`` over every
-    epoch strictly below ``below_epoch``; None when no prior epoch
-    exists. Epochs are enumerated driver-side and only dirs carrying a
-    ``_SUCCESS`` commit marker are read: a crash mid state-write leaves
-    a torn ``__epoch=N`` dir, and globbing it would fail schema
-    inference FOREVER (review-found) — skipping it is also correct,
-    because a torn epoch N is by definition the one being replayed, and
-    a replay must not see its own partial writes anyway."""
+    """Per-key captured column (``__last``) of the LAST row by
+    ``order_cols`` over every epoch strictly below ``below_epoch``;
+    None when no prior epoch exists. Epochs are enumerated driver-side
+    and only dirs carrying a ``_SUCCESS`` commit marker are read: a
+    crash mid state-write leaves a torn ``__epoch=N`` dir, and globbing
+    it would fail schema inference FOREVER (review-found) — skipping it
+    is also correct, because a torn epoch N is by definition the one
+    being replayed, and a replay must not see its own partial writes
+    anyway."""
     from pandera_forge_spark.sources.fs import DriverFS
 
     fs = DriverFS(spark)
@@ -93,11 +95,57 @@ def _prior_state(
         *[f"{root}/{n}" for n in dirs]
     )
     red = st.groupBy(*key_cols).agg(
-        _last_row_struct(list(order_cols), ["__last_ts"]).alias("__l")
+        _last_row_struct(list(order_cols), ["__last"]).alias("__l")
     )
-    return red.select(
-        *key_cols, F.col("__l.__cap.__last_ts").alias("__last_ts")
+    return red.select(*key_cols, F.col("__l.__cap.__last").alias("__last"))
+
+
+def _write_epoch_state(
+    batch_df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[str],
+    src_col: str,
+    state_dir: str,
+    epoch: int,
+) -> None:
+    """Persist this epoch's per-key last row BY ``order`` (the carried
+    value is ``src_col`` of that row — NOT a per-key max of src_col,
+    which would diverge from the batch twin whenever the order isn't
+    the captured column itself, review-found)."""
+    batch_df.groupBy(*keys).agg(
+        _last_row_struct(list(order), [src_col]).alias("__l")
+    ).select(
+        *keys,
+        *[F.col(f"__l.{c}").alias(c) for c in order],
+        F.col(f"__l.__cap.{src_col}").alias("__last"),
+    ).write.mode("overwrite").parquet(f"{state_dir}/last_epochs/__epoch={epoch}")
+
+
+def _with_carried_prev(
+    batch_df: DataFrame,
+    state_dir: str,
+    epoch: int,
+    keys: Sequence[str],
+    order: Sequence[str],
+    src_col: str,
+) -> DataFrame:
+    """The shared kernel: attach ``__prev`` = ``src_col`` of the
+    previous row per key in ``order`` — in-batch rows via lag, each
+    key's FIRST batch row via the carried prior-epoch state."""
+    wc = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+    b = batch_df.withColumn("__rn", F.row_number().over(wc)).withColumn(
+        "__prev", F.lag(F.col(src_col)).over(wc)
     )
+    state = _prior_state(batch_df.sparkSession, state_dir, epoch, keys, order)
+    if state is not None:
+        b = _nullsafe_equi_join(b, state, keys, "left")
+        b = b.withColumn(
+            "__prev",
+            F.when(F.col("__rn") == 1, F.col("__last")).otherwise(
+                F.col("__prev")
+            ),
+        ).drop("__last")
+    return b.drop("__rn")
 
 
 def stream_sequence_gaps(
@@ -111,30 +159,20 @@ def stream_sequence_gaps(
     checkpoint: Optional[str] = None,
     on_batch: Optional[Callable] = None,
 ):
-    """Returns the unstarted ``writeStream`` writer (caller picks the
-    trigger, like every foreachBatch surface in this package). Sink
-    rows: ``key_cols + gap_start + gap_end + gap_seconds`` — the batch
+    """Continuous freshness monitoring: per-key timeline holes longer
+    than ``min_gap_seconds``, across batch boundaries. Returns the
+    unstarted ``writeStream`` writer (caller picks the trigger, like
+    every foreachBatch surface in this package). Sink rows:
+    ``key_cols + gap_start + gap_end + gap_seconds`` — the batch
     operator's schema exactly."""
     keys = list(key_cols)
     order = list(order_cols) if order_cols is not None else [ts_col]
     gap = float(min_gap_seconds)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
         e = int(epoch_id)
-        wc = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
-        b = batch_df.withColumn("__rn", F.row_number().over(wc)).withColumn(
-            "__prev_ts", F.lag(F.col(ts_col)).over(wc)
-        )
-        state = _prior_state(spark, state_dir, e, keys, order)
-        if state is not None:
-            b = _nullsafe_equi_join(b, state, keys, "left")
-            prev = F.when(F.col("__rn") == 1, F.col("__last_ts")).otherwise(
-                F.col("__prev_ts")
-            )
-        else:
-            prev = F.col("__prev_ts")
-        g = b.withColumn("gap_start", prev)
+        g = _with_carried_prev(batch_df, state_dir, e, keys, order, ts_col)
+        g = g.withColumnRenamed("__prev", "gap_start")
         g = g.withColumn(
             "gap_seconds", _seconds(g, ts_col) - _seconds(g, "gap_start")
         )
@@ -148,20 +186,54 @@ def stream_sequence_gaps(
         # state append AFTER the sink: a crash between the two replays
         # the epoch, which rewrites both dirs identically (reads only
         # epochs < e, so its own partial append is invisible)
-        # the carried value is the ts of the last row BY order_cols —
-        # max(ts) would diverge from the batch twin whenever order_cols
-        # is not the timestamp itself (review-found)
-        batch_df.groupBy(*keys).agg(
-            _last_row_struct(order, [ts_col]).alias("__l")
-        ).select(
-            *keys,
-            *[F.col(f"__l.{c}").alias(c) for c in order],
-            F.col(f"__l.__cap.{ts_col}").alias("__last_ts"),
-        ).write.mode("overwrite").parquet(
-            f"{state_dir}/last_epochs/__epoch={e}"
-        )
+        _write_epoch_state(batch_df, keys, order, ts_col, state_dir, e)
         if on_batch is not None:
             on_batch(gaps, e)
+
+    writer = stream_df.writeStream.foreachBatch(process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def stream_monotonic_violations(
+    stream_df: DataFrame,
+    state_dir: str,
+    sink: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    strict: bool = False,
+    decreasing: bool = False,
+    checkpoint: Optional[str] = None,
+    on_batch: Optional[Callable] = None,
+):
+    """Continuous ordering-invariant monitoring: per-key value
+    regressions in ``order_cols`` order, across batch boundaries — the
+    counter that reset between two micro-batches surfaces in the batch
+    where it came back lower. Same state kernel, carry rules, and
+    exactly-once contract as ``stream_sequence_gaps``; the union of
+    epoch sinks equals the batch ``monotonic_violations`` over the
+    concatenated input under the same epoch-cut assumption. Sink rows:
+    the violating input rows plus ``prev_<value_col>``."""
+    keys = list(key_cols)
+    order = list(order_cols)
+    prev_name = f"prev_{value_col}"
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+        b = _with_carried_prev(batch_df, state_dir, e, keys, order, value_col)
+        b = b.withColumnRenamed("__prev", prev_name)
+        prev, cur = F.col(prev_name), F.col(value_col)
+        if decreasing:
+            bad = (prev < cur) if not strict else (prev <= cur)
+        else:
+            bad = (prev > cur) if not strict else (prev >= cur)
+        out = b.where(bad)
+        out.write.mode("overwrite").parquet(f"{sink}/__epoch={e}")
+        _write_epoch_state(batch_df, keys, order, value_col, state_dir, e)
+        if on_batch is not None:
+            on_batch(out, e)
 
     writer = stream_df.writeStream.foreachBatch(process)
     if checkpoint:

@@ -151,3 +151,62 @@ def test_late_epoch_is_incremental(run, spark):
     # the new epoch contributed exactly the k1 290-second hole
     assert (("k1", 210.0, 500.0, 290.0)) in rows
     assert len(rows) == len(run["rows"]) + 1
+
+
+def test_stream_monotonic_equals_batch(spark):
+    """The ordering-invariant twin over the same epoch-state kernel: a
+    counter resetting ACROSS batches surfaces in the later batch."""
+    from pandera_forge_spark.operators.temporal import monotonic_violations
+    from pandera_forge_spark.streaming import stream_monotonic_violations
+
+    epochs = [
+        [("k1", 1, 10.0), ("k1", 2, 20.0), ("k2", 3, 5.0), (None, 4, 1.0)],
+        [("k1", 5, 15.0), ("k2", 6, 7.0), (None, 7, 0.5)],  # k1 + null reset
+        [("k1", 8, 16.0), ("k2", 9, 3.0)],  # k2 resets
+    ]
+    schema = "key string, seq int, v double"
+    root = tempfile.mkdtemp(prefix="pfs_smono_")
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        for e, rows in enumerate(epochs):
+            stage = os.path.join(root, f"stage{e}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+            part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+            os.replace(os.path.join(stage, part), os.path.join(src, f"e{e}.parquet"))
+            shutil.rmtree(stage, ignore_errors=True)
+            os.utime(os.path.join(src, f"e{e}.parquet"), (1_000_000_000 + e * 1000,) * 2)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        writer = stream_monotonic_violations(
+            stream,
+            os.path.join(root, "state"),
+            os.path.join(root, "viol"),
+            ["key"],
+            ["seq"],
+            "v",
+            checkpoint=os.path.join(root, "ckpt"),
+        )
+        q = writer.trigger(availableNow=True).start()
+        assert q.awaitTermination(300), "stream did not finish in 300 s"
+        got = sorted(
+            ((r["key"], r["seq"], r["v"], r["prev_v"])
+             for r in spark.read.parquet(os.path.join(root, "viol", "__epoch=*")).collect()),
+            key=repr,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    allrows = [r for ep in epochs for r in ep]
+    batch = monotonic_violations(
+        spark.createDataFrame(allrows, schema), ["key"], ["seq"], "v"
+    )
+    expected = sorted(
+        ((r["key"], r["seq"], r["v"], r["prev_v"]) for r in batch.collect()),
+        key=repr,
+    )
+    assert got == expected
+    # the three planted cross-epoch resets all surfaced, exactly once
+    assert {(k, s) for k, s, _, _ in got} == {("k1", 5), (None, 7), ("k2", 9)}
