@@ -4399,6 +4399,37 @@ ORDER BY user_id, gap_end
 """
 
 
+def _stage_epoch_files(frames, root):
+    """Shared staging harness for the streaming driver rows: write each
+    frame as ONE parquet file src/e<N>.parquet with mtimes in epoch
+    order (the file source's arrival order), so availableNow +
+    maxFilesPerTrigger=1 replays them as epochs 0..N-1. One copy — the
+    mtime spacing and part-file selection must not diverge between the
+    streaming rows (review-found)."""
+    import os
+    import shutil
+
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for e, frame in enumerate(frames):
+        stage = os.path.join(root, f"stage{e}")
+        frame.coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.replace(os.path.join(stage, part), os.path.join(src, f"e{e}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+        os.utime(
+            os.path.join(src, f"e{e}.parquet"), (1_000_000_000 + e * 1000,) * 2
+        )
+    return src
+
+
+def _run_available_now(writer):
+    q = writer.trigger(availableNow=True).start()
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("availableNow stream did not finish in 300 s")
+
+
 def q_stream_gaps_epochs(spark, sf_dir):
     """Streaming freshness monitor (streaming/sequence.py
     stream_sequence_gaps) driven END-TO-END in-process, the
@@ -4428,18 +4459,8 @@ def q_stream_gaps_epochs(spark, sf_dir):
     sec = F.col("ts").cast("timestamp_ltz").cast("double")
     root = tempfile.mkdtemp(prefix="pfs_sgaps_")
     try:
-        src = os.path.join(root, "src")
-        os.makedirs(src)
         cuts = [sec < c1, (sec >= c1) & (sec < c2), sec >= c2]
-        for e, cond in enumerate(cuts):
-            stage = os.path.join(root, f"stage{e}")
-            ev.where(cond).coalesce(1).write.parquet(stage)
-            part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-            os.replace(os.path.join(stage, part), os.path.join(src, f"e{e}.parquet"))
-            shutil.rmtree(stage, ignore_errors=True)
-            os.utime(
-                os.path.join(src, f"e{e}.parquet"), (1_000_000_000 + e * 1000,) * 2
-            )
+        src = _stage_epoch_files([ev.where(c) for c in cuts], root)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", "1")
@@ -4455,10 +4476,7 @@ def q_stream_gaps_epochs(spark, sf_dir):
             order_cols=["ts", "event_id"],
             checkpoint=os.path.join(root, "ckpt"),
         )
-        q = writer.trigger(availableNow=True).start()
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("availableNow stream did not finish in 300 s")
+        _run_available_now(writer)
         rows = [
             (r["user_id"], r["gap_start"], r["gap_end"], float(r["gap_seconds"]))
             for r in spark.read.parquet(os.path.join(root, "gaps", "__epoch=*")).collect()
@@ -4504,19 +4522,9 @@ def q_stream_monotonic_epochs(spark, sf_dir):
     c1, c2 = hi // 3, 2 * (hi // 3)
     root = tempfile.mkdtemp(prefix="pfs_smono_")
     try:
-        src = os.path.join(root, "src")
-        os.makedirs(src)
         eid = F.col("event_id")
         cuts = [eid <= c1, (eid > c1) & (eid <= c2), eid > c2]
-        for e, cond in enumerate(cuts):
-            stage = os.path.join(root, f"stage{e}")
-            ev.where(cond).coalesce(1).write.parquet(stage)
-            part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-            os.replace(os.path.join(stage, part), os.path.join(src, f"e{e}.parquet"))
-            shutil.rmtree(stage, ignore_errors=True)
-            os.utime(
-                os.path.join(src, f"e{e}.parquet"), (1_000_000_000 + e * 1000,) * 2
-            )
+        src = _stage_epoch_files([ev.where(c) for c in cuts], root)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", "1")
@@ -4531,10 +4539,7 @@ def q_stream_monotonic_epochs(spark, sf_dir):
             "value",
             checkpoint=os.path.join(root, "ckpt"),
         )
-        q = writer.trigger(availableNow=True).start()
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("availableNow stream did not finish in 300 s")
+        _run_available_now(writer)
         rows = [
             (r["user_id"], r["event_id"], float(r["value"]), float(r["prev_value"]))
             for r in spark.read.parquet(os.path.join(root, "viol", "__epoch=*")).collect()

@@ -820,6 +820,16 @@ def interval_overlaps(
     return out.where(bad)
 
 
+def _regression_predicate(prev, cur, strict: bool, decreasing: bool):
+    """The monotonicity-violation predicate, defined ONCE for the batch
+    and streaming twins (their union-of-sinks == batch contract depends
+    on the semantics never desynchronizing). Three-valued: NULL prev or
+    cur never violates."""
+    if decreasing:
+        return (prev < cur) if not strict else (prev <= cur)
+    return (prev > cur) if not strict else (prev >= cur)
+
+
 def monotonic_violations(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -850,12 +860,9 @@ def monotonic_violations(
     prev is whichever tied row the sort emitted first."""
     prev_name = f"prev_{value_col}"
     out = _with_prev(df, key_cols, order_cols, {prev_name: value_col}, split_every)
-    prev, cur = F.col(prev_name), F.col(value_col)
-    if decreasing:
-        bad = (prev < cur) if not strict else (prev <= cur)
-    else:
-        bad = (prev > cur) if not strict else (prev >= cur)
-    return out.where(bad)
+    return out.where(
+        _regression_predicate(F.col(prev_name), F.col(value_col), strict, decreasing)
+    )
 
 
 def sequence_gaps(

@@ -36,9 +36,12 @@ operator over the concatenated input — the epoch boundary is exactly a
 ``split_every`` chunk boundary, and the state carry is the chunk
 stitch (pytest-asserted; driver rows ``stream_gaps_epochs`` /
 ``stream_monotonic_epochs`` replay it against the plain batch LAG
-oracles). Violating the assumption degrades gracefully: an
-out-of-order arrival can suppress a finding or change which row is
-"previous", but never fabricates a gap the data doesn't bracket.
+oracles). Violating the assumption degrades differently per monitor: the gaps
+monitor can suppress a hole or shorten one but never fabricates a gap
+the data doesn't bracket; the ordering monitor CAN emit a violation
+the batch operator would not (a late row compared against a
+later-ordered carried value), so feed it order-monotone epochs or
+treat its alerts as at-least-once under disorder.
 
 Scale: per trigger the cost is one window over the batch plus a
 per-key last-row reduce over O(keys x epochs) narrow state rows;
@@ -56,6 +59,7 @@ from pyspark.sql import functions as F
 from pandera_forge_spark.operators.temporal import (
     _last_row_struct,
     _nullsafe_equi_join,
+    _regression_predicate,
     _seconds,
 )
 
@@ -91,9 +95,23 @@ def _prior_state(
     ]
     if not dirs:
         return None
-    st = spark.read.option("basePath", root).parquet(
-        *[f"{root}/{n}" for n in dirs]
+    st = (
+        spark.read.option("basePath", root)
+        .option("mergeSchema", "true")
+        .parquet(*[f"{root}/{n}" for n in dirs])
     )
+    if "__last_ts" in st.columns:
+        # state written by the pre-kernel gaps monitor named the carried
+        # column __last_ts; honor it so an upgraded monitor restarting
+        # from its checkpoint keeps its carry instead of wedging on an
+        # unresolved column (mergeSchema surfaces BOTH names across
+        # mixed-format epochs — coalesce bridges them)
+        if "__last" in st.columns:
+            st = st.withColumn(
+                "__last", F.coalesce(F.col("__last"), F.col("__last_ts"))
+            )
+        else:
+            st = st.withColumnRenamed("__last_ts", "__last")
     red = st.groupBy(*key_cols).agg(
         _last_row_struct(list(order_cols), ["__last"]).alias("__l")
     )
@@ -172,7 +190,11 @@ def stream_sequence_gaps(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         e = int(epoch_id)
         g = _with_carried_prev(batch_df, state_dir, e, keys, order, ts_col)
-        g = g.withColumnRenamed("__prev", "gap_start")
+        # withColumn, not withColumnRenamed: renaming onto an existing
+        # gap_start column would create a duplicate name and an
+        # AMBIGUOUS_REFERENCE crash one line later (review-found);
+        # replacing matches the batch twin's semantics
+        g = g.withColumn("gap_start", F.col("__prev")).drop("__prev")
         g = g.withColumn(
             "gap_seconds", _seconds(g, ts_col) - _seconds(g, "gap_start")
         )
@@ -223,13 +245,12 @@ def stream_monotonic_violations(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         e = int(epoch_id)
         b = _with_carried_prev(batch_df, state_dir, e, keys, order, value_col)
-        b = b.withColumnRenamed("__prev", prev_name)
-        prev, cur = F.col(prev_name), F.col(value_col)
-        if decreasing:
-            bad = (prev < cur) if not strict else (prev <= cur)
-        else:
-            bad = (prev > cur) if not strict else (prev >= cur)
-        out = b.where(bad)
+        b = b.withColumn(prev_name, F.col("__prev")).drop("__prev")
+        out = b.where(
+            _regression_predicate(
+                F.col(prev_name), F.col(value_col), strict, decreasing
+            )
+        )
         out.write.mode("overwrite").parquet(f"{sink}/__epoch={e}")
         _write_epoch_state(batch_df, keys, order, value_col, state_dir, e)
         if on_batch is not None:
