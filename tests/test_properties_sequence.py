@@ -178,3 +178,49 @@ def test_cms_matches_python_replay(spark, values, depth, width):
         expect = min(counters[r][bucket(v, r)] for r in range(depth))
         assert got[v] == expect
         assert got[v] >= values.count(v)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            _keys,
+            st.one_of(st.none(), st.floats(min_value=0, max_value=50, allow_nan=False, width=16)),
+            st.floats(min_value=-10, max_value=60, allow_nan=False, width=16),
+        ),
+        max_size=14,
+    )
+)
+@settings(**SPARK_SETTINGS)
+def test_interval_overlaps_matches_bruteforce(spark, rows):
+    """Running-max == brute force 'max masked end among earlier rows in
+    (start, id) order exceeds my start' — NULL starts neither violate
+    nor accuse, NULL ends contribute nothing, inverted intervals
+    (end < start) pass through like any other value."""
+    from pandera_forge_spark.operators.temporal import interval_overlaps
+
+    data = [
+        (k, s, (s + d) if s is not None else None, i)
+        for i, (k, s, d) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "key string, s double, e double, id int"
+    ).repartition(3)
+    got = {
+        (r["key"], r["id"]): r["prev_end"]
+        for r in interval_overlaps(
+            df, ["key"], "s", "e", order_cols=["s", "id"]
+        ).collect()
+    }
+    expect = {}
+    by_key = {}
+    for k, s, e, i in data:
+        by_key.setdefault(k, []).append((s is not None, s or 0.0, i, s, e))
+    for k, seq in by_key.items():
+        seq.sort()
+        best = None
+        for _, _, i, s, e in seq:
+            if best is not None and s is not None and best > s:
+                expect[(k, i)] = best
+            if s is not None and e is not None:  # masked end: NULL start never accuses
+                best = e if best is None else max(best, e)
+    assert got == expect
