@@ -4598,6 +4598,32 @@ ORDER BY user_id, event_id
 """
 
 
+def q_interval_overlaps_split(spark, sf_dir):
+    """The split_every path of the same operator (1-day chunks,
+    chunk-max carry instead of a last-row stitch) against the SAME
+    oracle — an umbrella interval spanning many chunks must still
+    accuse every later interval, same contract as the other split
+    twins."""
+    from pandera_forge_spark.operators.temporal import interval_overlaps
+
+    ev = _t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp_ltz").cast("double")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        sec.alias("i_start"),
+        (sec + F.col("value") * 60.0).alias("i_end"),
+    )
+    out = interval_overlaps(
+        iv, ["user_id"], "i_start", "i_end",
+        order_cols=["i_start", "i_end", "event_id"],
+        split_every=86400.0,
+    )
+    return out.select(
+        "user_id", "event_id", "i_start", "i_end", "prev_end"
+    ).orderBy("user_id", "event_id")
+
+
 CMS_PROBE_UIDS = [3, 17, 42, 58, 71, 88, 99, 104, 123, 137]
 
 
@@ -4803,6 +4829,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact_duplicate_pairs kernel anchored in-window by
         # exact_dup_groups (identical agg+join linearization,
         # plan-asserted; only the final groupBy differs),
+        # interval_overlaps_split = the split_every (chunk-max carry)
+        # path of in-window interval_overlaps_user against the
+        # IDENTICAL oracle SQL, split==unsplit pytest- and
+        # hypothesis-asserted (tests/test_sequence_checks.py,
+        # tests/test_properties_sequence.py),
         # stream_monotonic_epochs = the streaming epoch-state kernel
         # driver-anchored by stream_gaps_epochs (in-window; identical
         # _with_carried_prev/_write_epoch_state code path) composed
@@ -4844,6 +4875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_anomalies_split": q_rolling_anomalies_split,
         "sequence_gaps_split": q_sequence_gaps_split,
         "stream_monotonic_epochs": q_stream_monotonic_epochs,
+        "interval_overlaps_split": q_interval_overlaps_split,
         "source_overlap": q_source_overlap,
         "violation_rows_lineitem": q_violation_rows_lineitem,
         "skew_report": q_skew_report,
@@ -5042,4 +5074,6 @@ def oracle_sql() -> dict[str, str]:
         "sequence_gaps_split": SQL_SEQUENCE_GAPS_USER,
         # streaming path of the same invariant -> the IDENTICAL oracle
         "stream_monotonic_epochs": SQL_MONOTONIC_VALUE_USER,
+        # split path, same result contract -> the IDENTICAL oracle
+        "interval_overlaps_split": SQL_INTERVAL_OVERLAPS_USER,
     }

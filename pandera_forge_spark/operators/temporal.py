@@ -760,6 +760,7 @@ def interval_overlaps(
     end_col: str,
     order_cols: Optional[Sequence[str]] = None,
     touching_ok: bool = True,
+    split_every: Optional[float] = None,
 ) -> DataFrame:
     """Double-booking detection — the complement of ``sequence_gaps``:
     per key, rows whose interval [start, end] overlaps ANY earlier
@@ -785,7 +786,17 @@ def interval_overlaps(
     and outlasted everything since (the umbrella meeting), which a
     previous-row-only compare would miss. One shuffle by key, O(1)
     window state, external sort; at a hot key the sort is the cost,
-    same as ``sequence_gaps``."""
+    same as ``sequence_gaps``.
+
+    ``split_every`` bounds a hot key's sort like its siblings, with a
+    CHUNK-MAX carry instead of a last-row stitch: rows chunk on
+    ``floor(start / split_every)`` (equal starts share a chunk, and
+    start leads the order, so chunks respect the global order), the
+    running max runs per (key, chunk), and each chunk's carry-in is the
+    max of all EARLIER chunks' masked-end maxima — an O(keys x chunks)
+    summary window. ``prev_end = greatest(in-chunk running max,
+    carry-in)`` reproduces the unsplit answer exactly
+    (pytest-asserted, hypothesis-differentialed)."""
     keys = list(key_cols)
     order = list(order_cols) if order_cols is not None else [start_col, end_col]
     if order[0] != start_col:
@@ -802,18 +813,59 @@ def interval_overlaps(
             "input already has a 'prev_end' column — rename it; the "
             "report attaches its own"
         )
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*[F.col(c) for c in order])
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    _check_split_every(split_every)
     start = F.col(start_col)
     # a NULL-start interval's overlap is indeterminate: mask its end out
     # of the running max so it can't manufacture violations downstream
     # (three-valued logic, review-found); its own row never violates
     # either (NULL comparison below)
     masked_end = F.when(start.isNotNull(), F.col(end_col))
-    out = df.withColumn("prev_end", F.max(masked_end).over(w))
+    if split_every is None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*[F.col(c) for c in order])
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        out = df.withColumn("prev_end", F.max(masked_end).over(w))
+    else:
+        d0 = dict(df.dtypes)[start_col]
+        if not (
+            d0.startswith("timestamp")
+            or d0.startswith("decimal")
+            or d0 in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        ):
+            raise ValueError(
+                f"split_every needs a numeric/timestamp start column to "
+                f"chunk on; {start_col!r} is {d0}"
+            )
+        chunk = F.floor(_seconds(df, start_col) / F.lit(float(split_every)))
+        base = df.withColumn("__chunk", chunk)
+        wc = (
+            Window.partitionBy(*keys, "__chunk")
+            .orderBy(*[F.col(c) for c in order])
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        out = base.withColumn("__inmax", F.max(masked_end).over(wc))
+        ws = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__chunk"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        summ = (
+            base.groupBy(*keys, "__chunk")
+            .agg(F.max(masked_end).alias("__cmax"))
+            .select(
+                *keys,
+                "__chunk",
+                F.max(F.col("__cmax")).over(ws).alias("__carry"),
+            )
+        )
+        out = _nullsafe_equi_join(out, summ, keys + ["__chunk"], "left")
+        # greatest skips NULLs: first chunk (no carry) and all-masked
+        # chunks degrade to the other operand
+        out = out.withColumn(
+            "prev_end", F.greatest(F.col("__inmax"), F.col("__carry"))
+        ).drop("__chunk", "__inmax", "__carry")
     bad = (F.col("prev_end") > start) if touching_ok else (
         F.col("prev_end") >= start
     )

@@ -211,6 +211,13 @@ def test_interval_overlaps_matches_bruteforce(spark, rows):
             df, ["key"], "s", "e", order_cols=["s", "id"]
         ).collect()
     }
+    got_split = {
+        (r["key"], r["id"]): r["prev_end"]
+        for r in interval_overlaps(
+            df, ["key"], "s", "e", order_cols=["s", "id"], split_every=17.0
+        ).collect()
+    }
+    assert got_split == got
     expect = {}
     by_key = {}
     for k, s, e, i in data:

@@ -220,6 +220,29 @@ def test_overlaps_prev_end_collision_is_loud(bookings):
         )
 
 
+def test_overlaps_split_equals_unsplit(spark, bookings):
+    a = interval_overlaps(bookings, ["key"], "s", "e", order_cols=["s", "id"])
+    b = interval_overlaps(
+        bookings, ["key"], "s", "e", order_cols=["s", "id"], split_every=50.0
+    )
+    assert sorted(map(tuple, a.collect()), key=repr) == sorted(
+        map(tuple, b.collect()), key=repr
+    )
+    # umbrella spanning MANY chunks: carry must hold the max, not the last
+    rows = [("k", 0.0, 1000.0, 1), ("k", 300.0, 310.0, 2), ("k", 700.0, 710.0, 3)]
+    df = spark.createDataFrame(rows, "key string, s double, e double, id int")
+    out = interval_overlaps(
+        df, ["key"], "s", "e", order_cols=["s", "id"], split_every=100.0
+    )
+    got = {r["id"]: r["prev_end"] for r in out.collect()}
+    assert got == {2: 1000.0, 3: 1000.0}
+
+
+def test_overlaps_split_nonpositive_raises(bookings):
+    with pytest.raises(ValueError, match="split_every"):
+        interval_overlaps(bookings, ["key"], "s", "e", split_every=0.0)
+
+
 def test_overlaps_no_udf(bookings):
     from pandera_forge_spark.plans.inspect import has_python_udf
 
