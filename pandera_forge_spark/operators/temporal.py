@@ -65,6 +65,53 @@ def _check_split_every(split_every: Optional[float]) -> None:
         raise ValueError(f"split_every must be > 0 seconds, got {split_every}")
 
 
+def _chunk_of(sec: Column, split_every: float) -> Column:
+    """``floor(sec / split_every)`` with an IN-BAND NaN fence: Spark
+    floors NaN into chunk 0 while NaN SORTS last, so a NaN value would
+    teleport to the earliest chunk and silently corrupt every stitch or
+    carry built on chunk order (review-found). Timestamps can't be NaN
+    (casts yield NULL); only raw float/double order columns can, and
+    they now raise inside the same job instead — no extra scan."""
+    return F.when(
+        F.isnan(sec),
+        F.raise_error(
+            F.lit(
+                "split_every: NaN in the chunk column — NaN sorts last "
+                "but floors to chunk 0; filter or repair NaN values first"
+            )
+        ),
+    ).otherwise(F.floor(sec / F.lit(float(split_every))))
+
+
+def _check_chunkable_dtype(df: DataFrame, col: str, what: str) -> None:
+    """split_every needs a numeric/timestamp column to chunk on; a
+    string column would cast to NULL seconds and silently collapse
+    every row into one chunk."""
+    d0 = dict(df.dtypes)[col]
+    if not (
+        d0.startswith("timestamp")
+        or d0.startswith("decimal")
+        or d0 in ("tinyint", "smallint", "int", "bigint", "float", "double")
+    ):
+        raise ValueError(
+            f"split_every needs a numeric/timestamp {what} to chunk on; "
+            f"{col!r} is {d0}"
+        )
+
+
+def _check_reserved(df: DataFrame, names: Sequence[str], op: str) -> None:
+    """The split paths attach internal working columns and drop them at
+    the end; an input that already carries one of those names would be
+    silently overwritten AND deleted from the output — fence loudly,
+    like the prev_end/op_col collisions (review-found)."""
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"{op}: input columns {clash} collide with internal working "
+            "names — rename them"
+        )
+
+
 def _seconds(df: DataFrame, ts_col: str) -> Column:
     """Epoch seconds (fractional) for numeric OR timestamp inputs.
     TIMESTAMP_NTZ has no direct double cast in Spark 4 — route it
@@ -156,7 +203,7 @@ def asof_join(
         )
         out = u.withColumn("__m", F.last(rstruct, ignorenulls=True).over(w))
     else:
-        u = u.withColumn("__chunk", F.floor(ts / float(split_every)))
+        u = u.withColumn("__chunk", _chunk_of(ts, split_every))
         wc = (
             Window.partitionBy(*by, "__chunk")
             .orderBy(ts, F.col("__side"))
@@ -295,7 +342,7 @@ def sessionize(
         ).cast("long")
         out = events.withColumn("session_idx", idx)
     else:
-        e = events.withColumn("__chunk", F.floor(ts / float(split_every)))
+        e = events.withColumn("__chunk", _chunk_of(ts, split_every))
         wc = Window.partitionBy(key_col, "__chunk").orderBy(ts)
         prev = F.lag(ts).over(wc)
         is_new = F.when(
@@ -484,7 +531,7 @@ def event_funnel(
     # cross-chunk ties cannot exist because equal ts => equal chunk),
     # then stitch the O(keys x chunks) summary left-to-right.
     per_chunk = (
-        filtered.withColumn("__chunk", F.floor(ts / float(split_every)))
+        filtered.withColumn("__chunk", _chunk_of(ts, split_every))
         .groupBy(key_col, "__chunk")
         .agg(evs_agg)
     )
@@ -612,7 +659,7 @@ def rolling_zscore(
     v = F.col(value_col).cast("double")
     base = events.withColumn("__t", _seconds(events, ts_col))
     if split_every is not None:
-        chunk = F.floor(F.col("__t") / F.lit(float(split_every)))
+        chunk = _chunk_of(F.col("__t"), split_every)
         cur = base.withColumn("__chunk", chunk).withColumn(
             "__ctx", F.lit(False)
         )
@@ -715,17 +762,9 @@ def _with_prev(
         for name, src in capture.items():
             out = out.withColumn(name, F.lag(F.col(src)).over(w))
         return out
-    d0 = dict(df.dtypes)[order[0]]
-    if not (
-        d0.startswith("timestamp")
-        or d0.startswith("decimal")
-        or d0 in ("tinyint", "smallint", "int", "bigint", "float", "double")
-    ):
-        raise ValueError(
-            f"split_every needs a numeric/timestamp first order column to "
-            f"chunk on; {order[0]!r} is {d0}"
-        )
-    chunk = F.floor(_seconds(df, order[0]) / F.lit(float(split_every)))
+    _check_chunkable_dtype(df, order[0], "first order column")
+    _check_reserved(df, ["__chunk", "__rn", "__carry"], "_with_prev")
+    chunk = _chunk_of(_seconds(df, order[0]), split_every)
     base = df.withColumn("__chunk", chunk)
     wc = Window.partitionBy(*keys, "__chunk").orderBy(*[F.col(c) for c in order])
     out = base.withColumn("__rn", F.row_number().over(wc))
@@ -828,17 +867,11 @@ def interval_overlaps(
         )
         out = df.withColumn("prev_end", F.max(masked_end).over(w))
     else:
-        d0 = dict(df.dtypes)[start_col]
-        if not (
-            d0.startswith("timestamp")
-            or d0.startswith("decimal")
-            or d0 in ("tinyint", "smallint", "int", "bigint", "float", "double")
-        ):
-            raise ValueError(
-                f"split_every needs a numeric/timestamp start column to "
-                f"chunk on; {start_col!r} is {d0}"
-            )
-        chunk = F.floor(_seconds(df, start_col) / F.lit(float(split_every)))
+        _check_chunkable_dtype(df, start_col, "start column")
+        _check_reserved(
+            df, ["__chunk", "__inmax", "__carry"], "interval_overlaps"
+        )
+        chunk = _chunk_of(_seconds(df, start_col), split_every)
         base = df.withColumn("__chunk", chunk)
         wc = (
             Window.partitionBy(*keys, "__chunk")

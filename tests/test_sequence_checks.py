@@ -271,3 +271,38 @@ def test_sequence_checks_no_udf(meter):
     assert not has_python_udf(
         sequence_gaps(meter, ["key"], "t", 15.0, split_every=100.0)
     )
+
+
+def test_split_nan_chunk_is_loud(spark):
+    """review-found: Spark floors NaN into chunk 0 while NaN sorts
+    LAST — a NaN order value would silently corrupt the stitch; every
+    split operator now raises in-band."""
+    df = spark.createDataFrame(
+        [("k", float("nan"), 1000.0, 1), ("k", 50.0, 51.0, 2)],
+        "key string, s double, e double, id int",
+    )
+    with pytest.raises(Exception, match="NaN"):
+        interval_overlaps(
+            df, ["key"], "s", "e", order_cols=["s", "id"], split_every=10.0
+        ).collect()
+    df2 = spark.createDataFrame(
+        [("k", float("nan"), 1.0), ("k", 5.0, 2.0)], "key string, t double, v double"
+    )
+    with pytest.raises(Exception, match="NaN"):
+        monotonic_violations(df2, ["key"], ["t"], "v", split_every=10.0).collect()
+    # unsplit paths keep Spark's native NaN-sorts-last semantics
+    assert interval_overlaps(df, ["key"], "s", "e", order_cols=["s", "id"]).count() == 0
+
+
+def test_split_reserved_names_are_loud(spark, meter, bookings):
+    for col in ("__chunk", "__rn", "__carry"):
+        with pytest.raises(ValueError, match="collide"):
+            monotonic_violations(
+                meter.withColumn(col, F.lit(1)), ["key"], ["t", "seq"], "v",
+                split_every=25.0,
+            )
+    with pytest.raises(ValueError, match="collide"):
+        interval_overlaps(
+            bookings.withColumn("__inmax", F.lit(1)), ["key"], "s", "e",
+            split_every=50.0,
+        )
