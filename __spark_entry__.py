@@ -2279,10 +2279,7 @@ def q_stream_dedup_epochs(spark, sf_dir):
             threshold=0.5, max_bucket=None,
             checkpoint=os.path.join(root, "ckpt"),
         )
-        q = writer.trigger(availableNow=True).start()
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("availableNow stream did not finish in 300 s")
+        _run_available_now(writer)
         rows = [
             (rec["new_id"], rec["corpus_id"], float(rec["jaccard"]))
             for rec in spark.read.parquet(f"{sink}/__epoch=*").collect()
@@ -4645,14 +4642,26 @@ def q_cms_user_counts(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     # persist: cms_estimate materializes the frame once for the hash
     # params, then probes it — without the cache the sketch lineage
-    # (scan + explode + two aggs) would execute twice (review-found)
+    # (scan + explode + two aggs) would execute twice (review-found);
+    # the estimate is materialized eagerly so the cache can be RELEASED
+    # before returning (review-found leak: it outlived the query in the
+    # 120-query sweep session)
     sk = cms_merge(
         cms_partition_sketch(ev, "user_id", depth=4, width=512)
     ).persist()
-    keys = spark.createDataFrame(
-        [(int(u),) for u in CMS_PROBE_UIDS], "user_id bigint"
+    try:
+        keys = spark.createDataFrame(
+            [(int(u),) for u in CMS_PROBE_UIDS], "user_id bigint"
+        )
+        rows = [
+            (r["user_id"], r["est"])
+            for r in cms_estimate(keys, sk, "user_id").collect()
+        ]
+    finally:
+        sk.unpersist()
+    return spark.createDataFrame(rows, "user_id bigint, est bigint").orderBy(
+        "user_id"
     )
-    return cms_estimate(keys, sk, "user_id").orderBy("user_id")
 
 
 SQL_CMS_USER_COUNTS = """

@@ -78,6 +78,18 @@ def latest_by_key(
         payload = [c for c in df.columns if c not in taken]
     else:
         payload = list(payload_cols)
+        overlap = sorted(set(payload) & (set(keys) | set(order)))
+        if overlap:
+            # the select would emit the column TWICE (once from the
+            # order tuple, once from the payload struct) — a frame with
+            # duplicate names that crashes any downstream reference
+            raise ValueError(
+                f"payload_cols {overlap} are already key/order columns "
+                "and would duplicate in the output — drop them from "
+                "payload_cols (they are returned anyway)"
+            )
+        if len(set(payload)) != len(payload):
+            raise ValueError(f"payload_cols has duplicates: {payload}")
     agg = df.groupBy(*[F.col(k) for k in keys]).agg(
         _last_row_struct(order, payload).alias("__latest")
     )

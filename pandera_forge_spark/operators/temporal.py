@@ -944,6 +944,7 @@ def monotonic_violations(
     The order tuple should be total per key (append a unique id) or
     prev is whichever tied row the sort emitted first."""
     prev_name = f"prev_{value_col}"
+    _check_reserved(df, [prev_name], "monotonic_violations")
     out = _with_prev(df, key_cols, order_cols, {prev_name: value_col}, split_every)
     return out.where(
         _regression_predicate(F.col(prev_name), F.col(value_col), strict, decreasing)
@@ -978,6 +979,7 @@ def sequence_gaps(
     cannot hide a hole because the carried last-row stitches the two
     bracketing events back together (pytest: split == unsplit)."""
     order = list(order_cols) if order_cols is not None else [ts_col]
+    _check_reserved(df, ["gap_start", "gap_seconds"], "sequence_gaps")
     out = _with_prev(df, key_cols, order, {"gap_start": ts_col}, split_every)
     gap = _seconds(out, ts_col) - _seconds(out, "gap_start")
     out = out.withColumn("gap_seconds", gap)

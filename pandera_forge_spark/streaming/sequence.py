@@ -57,6 +57,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pandera_forge_spark.operators.temporal import (
+    _check_reserved,
     _last_row_struct,
     _nullsafe_equi_join,
     _regression_predicate,
@@ -86,13 +87,24 @@ def _prior_state(
     root = f"{state_dir}/last_epochs"
     if not fs.exists(root):
         return None
-    dirs = [
+    below = [
         n
         for n in fs.listdir(root)
         if n.startswith("__epoch=")
         and int(n.split("=", 1)[1]) < int(below_epoch)
-        and fs.exists(f"{root}/{n}/_SUCCESS")
     ]
+    dirs = [n for n in below if fs.exists(f"{root}/{n}/_SUCCESS")]
+    if below and not dirs:
+        # every prior-epoch dir exists but none carries a commit marker:
+        # that is not "no state", it is success markers disabled
+        # (mapreduce.fileoutputcommitter.marksuccessfuljobs=false) or
+        # mass corruption — silently dropping every carry would emit
+        # wrong (empty) findings with no error (review-found)
+        raise RuntimeError(
+            f"{root}: {len(below)} prior-epoch state dirs exist but none "
+            "has a _SUCCESS marker — success markers disabled on this "
+            "filesystem? The monitors rely on them to skip torn writes"
+        )
     if not dirs:
         return None
     st = (
@@ -112,6 +124,15 @@ def _prior_state(
             )
         else:
             st = st.withColumnRenamed("__last_ts", "__last")
+    missing = [c for c in order_cols if c not in st.columns]
+    if missing:
+        # ALL prior epochs are legacy-format (keys + carried value only,
+        # no order columns): reduce with a plain max — the legacy format
+        # only ever carried timestamps under a ts-led order, where
+        # max(ts) IS last-by-order (review-found: the struct reduce
+        # would reference unresolved columns and wedge the stream)
+        red = st.groupBy(*key_cols).agg(F.max("__last").alias("__last"))
+        return red
     red = st.groupBy(*key_cols).agg(
         _last_row_struct(list(order_cols), ["__last"]).alias("__l")
     )
@@ -186,6 +207,11 @@ def stream_sequence_gaps(
     keys = list(key_cols)
     order = list(order_cols) if order_cols is not None else [ts_col]
     gap = float(min_gap_seconds)
+    _check_reserved(
+        stream_df,
+        ["__rn", "__prev", "__last", "gap_start", "gap_seconds"],
+        "stream_sequence_gaps",
+    )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         e = int(epoch_id)
@@ -241,6 +267,11 @@ def stream_monotonic_violations(
     keys = list(key_cols)
     order = list(order_cols)
     prev_name = f"prev_{value_col}"
+    _check_reserved(
+        stream_df,
+        ["__rn", "__prev", "__last", prev_name],
+        "stream_monotonic_violations",
+    )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         e = int(epoch_id)

@@ -142,3 +142,13 @@ def test_apply_changelog_op_in_payload_cols_ok(base, changelog):
 def test_apply_changelog_no_udf(base, changelog):
     out = apply_changelog(base, changelog, ["key"], ["ts", "seq"])
     assert not has_python_udf(out)
+
+
+def test_latest_by_key_payload_overlap_is_loud(changelog):
+    """review-found: a payload column that is also a key/order column
+    would emit TWICE in the output (duplicate names, downstream
+    crashes) — now a loud error."""
+    with pytest.raises(ValueError, match="duplicate"):
+        latest_by_key(changelog, ["key"], ["ts", "seq"], payload_cols=["ts", "val"])
+    with pytest.raises(ValueError, match="duplicates"):
+        latest_by_key(changelog, ["key"], ["ts", "seq"], payload_cols=["val", "val"])

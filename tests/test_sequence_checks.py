@@ -306,3 +306,15 @@ def test_split_reserved_names_are_loud(spark, meter, bookings):
             bookings.withColumn("__inmax", F.lit(1)), ["key"], "s", "e",
             split_every=50.0,
         )
+
+
+def test_prev_and_gap_column_collisions_are_loud(meter):
+    """review-found: monotonic/gaps silently overwrote a pre-existing
+    prev_<value>/gap_start input column while interval_overlaps fenced
+    the identical collision — now all three are loud."""
+    with pytest.raises(ValueError, match="collide"):
+        monotonic_violations(
+            meter.withColumn("prev_v", F.lit(0.0)), ["key"], ["t", "seq"], "v"
+        )
+    with pytest.raises(ValueError, match="collide"):
+        sequence_gaps(meter.withColumn("gap_start", F.lit(0.0)), ["key"], "t", 5.0)

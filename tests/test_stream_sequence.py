@@ -210,3 +210,50 @@ def test_stream_monotonic_equals_batch(spark):
     assert got == expected
     # the three planted cross-epoch resets all surfaced, exactly once
     assert {(k, s) for k, s, _, _ in got} == {("k1", 5), (None, 7), ("k2", 9)}
+
+
+def test_prior_state_legacy_format_and_markers(spark, tmp_path):
+    """review-found pair: (a) ALL-legacy state (keys + __last_ts only)
+    must reduce with plain max instead of referencing absent order
+    columns; (b) prior-epoch dirs with NO _SUCCESS markers must raise,
+    not silently drop every carry."""
+    from pandera_forge_spark.streaming.sequence import _prior_state
+
+    root = str(tmp_path / "state")
+    legacy = spark.createDataFrame(
+        [("k1", 10.0), ("k1", 99.0), ("k2", 5.0)], "key string, __last_ts double"
+    )
+    legacy.write.parquet(f"{root}/last_epochs/__epoch=0")
+    st = _prior_state(spark, root, 1, ["key"], ["ts", "id"])
+    got = {r["key"]: r["__last"] for r in st.collect()}
+    assert got == {"k1": 99.0, "k2": 5.0}
+    # strip the commit marker -> loud, not silent-empty
+    import os
+
+    os.remove(f"{root}/last_epochs/__epoch=0/_SUCCESS")
+    with pytest.raises(RuntimeError, match="_SUCCESS"):
+        _prior_state(spark, root, 1, ["key"], ["ts", "id"])
+
+
+def test_stream_monitor_reserved_names_are_loud(spark, tmp_path):
+    from pandera_forge_spark.streaming import (
+        stream_monotonic_violations,
+        stream_sequence_gaps,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    stream = (
+        spark.readStream.schema("key string, ts double, __prev double")
+        .parquet(src)
+    )
+    with pytest.raises(ValueError, match="collide"):
+        stream_sequence_gaps(stream, "/tmp/x", "/tmp/y", ["key"], "ts", 10.0)
+    stream2 = (
+        spark.readStream.schema("key string, seq int, v double, prev_v double")
+        .parquet(src)
+    )
+    with pytest.raises(ValueError, match="collide"):
+        stream_monotonic_violations(
+            stream2, "/tmp/x", "/tmp/y", ["key"], ["seq"], "v"
+        )
