@@ -970,12 +970,26 @@ def _with_epochs(spark, base: DataFrame, root: str, sub: str,
     # committed dirs only: a torn append (crash mid-write, no _SUCCESS)
     # must not poison schema inference on replay — and skipping it is
     # correct, since the torn epoch is exactly the one being replayed
-    names = [
-        n
-        for n in fs.listdir(edir)
-        if n.startswith("__epoch=") and fs.exists(f"{edir}/{n}/_SUCCESS")
-    ]
+    all_dirs = [n for n in fs.listdir(edir) if n.startswith("__epoch=")]
+    names = [n for n in all_dirs if fs.exists(f"{edir}/{n}/_SUCCESS")]
     if not names:
+        # dirs exist but NONE is committed: distinguish the legitimate
+        # case (only the replayed own/future epoch is torn, excluded by
+        # max_epoch anyway) from success markers being disabled on this
+        # filesystem — silently skipping EVERY epoch there would stop
+        # matching cross-epoch duplicates with no error (review-found)
+        suspicious = [
+            n
+            for n in all_dirs
+            if max_epoch is None or int(n.split("=", 1)[1]) < int(max_epoch)
+        ]
+        if suspicious:
+            raise RuntimeError(
+                f"{edir}: epoch dirs {suspicious} exist below the probe "
+                "epoch but none has a _SUCCESS marker — success markers "
+                "disabled on this filesystem? Torn-write skipping relies "
+                "on them"
+            )
         return base
     ep = spark.read.option("basePath", edir).parquet(
         *[f"{edir}/{n}" for n in names]

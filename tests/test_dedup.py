@@ -451,3 +451,26 @@ def test_dedup_near_winnow_method(spark):
     assert kept == [0, 1, 2, 3, 4, 5]  # min-id representative kept
     m = {r["id"]: r["cluster_id"] for r in mapping.collect()}
     assert m.get(100) == 0
+
+
+def test_with_epochs_missing_markers_is_loud(spark, tmp_path):
+    """review-found: with success markers disabled, every epoch dir
+    looks torn and the probe silently matched nothing — now loud when a
+    committed-range dir lacks its marker; a torn dir at/above the probe
+    epoch (the legitimate replay case) stays silent."""
+    import os
+
+    from pandera_forge_spark.operators.dedup import _with_epochs
+
+    root = str(tmp_path / "idx")
+    base = spark.createDataFrame([(1,)], "x int")
+    spark.createDataFrame([(2,)], "x int").write.parquet(
+        f"{root}/bands_epochs/__epoch=0"
+    )
+    os.remove(f"{root}/bands_epochs/__epoch=0/_SUCCESS")
+    # torn dir >= max_epoch: the replayed epoch itself — silent base
+    got = _with_epochs(spark, base, root, "bands_epochs", max_epoch=0)
+    assert [r["x"] for r in got.collect()] == [1]
+    # torn dir BELOW the probe epoch: markers missing — loud
+    with pytest.raises(RuntimeError, match="_SUCCESS"):
+        _with_epochs(spark, base, root, "bands_epochs", max_epoch=1)
