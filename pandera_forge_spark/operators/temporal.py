@@ -989,3 +989,102 @@ def sequence_gaps(
         F.col(ts_col).alias("gap_end"),
         "gap_seconds",
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    interval_seconds: int,
+    order_col: Optional[str] = None,
+    max_fill: int = 100_000,
+) -> DataFrame:
+    """Regularize a per-key event stream onto a fixed time grid with
+    forward-fill: one row per (key, interval bucket) from each key's
+    first observation to its last, carrying the most recent observed
+    value across empty buckets — the resample-and-ffill primitive that
+    feeds drift/rolling monitors expecting an evenly spaced series.
+
+    Output: (*key_cols, bucket_epoch:long, value, is_filled:boolean)
+    where ``bucket_epoch`` is the bucket's epoch-second floor and
+    ``is_filled`` marks rows synthesized into observation gaps.
+
+    Semantics: the bucket's value is the observation with the MAXIMUM
+    ``order_col`` inside it (``max_by`` — pass a unique id; it defaults
+    to ``ts_col``, where intra-bucket ties pick an arbitrary row). Rows
+    with NULL timestamps carry no timeline position and are dropped.
+    The series neither back-fills before a key's first observation nor
+    extrapolates past its last — gap-fill, not forecasting.
+
+    Plan (no join, no UDF): ONE ``groupBy(key, bucket)`` collapses the
+    corpus to at most timeline_span/interval rows per key (map-side
+    partial combine — a year of hourly buckets is <=8760 rows per key
+    no matter how many raw events hit it, so the subsequent per-key
+    window sorts bounded data even for the hottest key), then a single
+    ``lead`` window per key, then a row-local ``sequence``/``explode``
+    that synthesizes each gap from its left-bracketing row. The
+    per-row fanout is fenced IN-BAND at ``max_fill`` buckets
+    (``raise_error`` inside the same job — no extra scan), so one
+    pathological gap cannot OOM a task by exploding an unbounded
+    array."""
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("resample_ffill: need at least one key column")
+    if not isinstance(interval_seconds, int) or interval_seconds <= 0:
+        raise ValueError(
+            f"resample_ffill: interval_seconds must be a positive int, "
+            f"got {interval_seconds!r}"
+        )
+    if max_fill < 1:
+        raise ValueError(f"resample_ffill: max_fill must be >= 1, got {max_fill}")
+    for c in keys + [ts_col, value_col]:
+        if c not in df.columns:
+            raise ValueError(f"resample_ffill: column {c!r} missing")
+    order = order_col if order_col is not None else ts_col
+    if order not in df.columns:
+        raise ValueError(f"resample_ffill: order column {order!r} missing")
+    _check_chunkable_dtype(df, ts_col, "timestamp column")
+    _check_reserved(
+        df, ["__bucket", "__next", "bucket_epoch", "is_filled"], "resample_ffill"
+    )
+
+    step = F.lit(int(interval_seconds)).cast("long")
+    bucketed = (
+        df.where(F.col(ts_col).isNotNull())
+        .withColumn(
+            "__bucket",
+            (F.floor(_seconds(df, ts_col) / step) * step).cast("long"),
+        )
+        .groupBy(*keys, "__bucket")
+        .agg(F.max_by(F.col(value_col), F.col(order)).alias(value_col))
+    )
+    w = Window.partitionBy(*keys).orderBy("__bucket")
+    laid = bucketed.withColumn("__next", F.lead("__bucket").over(w))
+    n_fill = (F.col("__next") - F.col("__bucket")) / step
+    seq_end = F.when(
+        n_fill > F.lit(int(max_fill)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "resample_ffill: a single gap spans more than "
+                    f"max_fill={max_fill} buckets ("
+                ),
+                n_fill.cast("long").cast("string"),
+                F.lit(
+                    ") — widen interval_seconds, raise max_fill, or "
+                    "split the key's timeline"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__next") - step)
+    return (
+        laid.withColumn(
+            "bucket_epoch",
+            F.explode(
+                F.sequence(F.col("__bucket"), F.coalesce(seq_end, F.col("__bucket")), step)
+            ),
+        )
+        .withColumn("is_filled", F.col("bucket_epoch") != F.col("__bucket"))
+        .select(*keys, "bucket_epoch", value_col, "is_filled")
+    )
