@@ -198,3 +198,63 @@ def _verify(cand: DataFrame, max_distance: int) -> DataFrame:
         .where(F.col("distance") >= 0)
         .withColumn("distance", F.col("distance").cast("bigint"))
     )
+
+
+def best_match_pairs(
+    pairs: DataFrame,
+    left_col: str,
+    right_col: str,
+    score_col: str,
+    mutual: bool = True,
+) -> DataFrame:
+    """Reduce a scored candidate-pair frame (the output of
+    ``fuzzy_pairs``/``fuzzy_join``, a k-NN join, or any blocking stage)
+    to each entity's single best match — and, with ``mutual=True``
+    (the default), to RECIPROCAL best matches only: pairs where each
+    side is the other's top-1. Mutual top-1 is the classic
+    high-precision linkage rule (embedding alignment, dedup canonical
+    picking): a hub record that is "everyone's best match" survives at
+    most once, as the one pair it reciprocates.
+
+    Returns (left_col, right_col, score_col). Ties on score break to
+    the SMALLEST partner id (total order → deterministic, engine-
+    reproducible). Rows with a NULL id on either side or a NULL score
+    are ignored — a match needs two identities and a comparable score.
+    NaN scores rank above all finite scores in Spark's ordering; feed
+    finite scores.
+
+    Plan: two algebraic aggregations (``min`` of a (negated-score,
+    partner-id) struct — partial-aggregates map-side, so a hot entity
+    with millions of candidates collapses inside the scan) plus one
+    equi-join of the two one-row-per-entity frames on the (left, right)
+    pair. No window over the raw pairs, no sort of the candidate set,
+    never O(candidates²)."""
+    for c in [left_col, right_col, score_col]:
+        if c not in pairs.columns:
+            raise ValueError(f"best_match_pairs: column {c!r} missing")
+    clean = pairs.where(
+        F.col(left_col).isNotNull()
+        & F.col(right_col).isNotNull()
+        & F.col(score_col).isNotNull()
+    )
+
+    def top1(group_col: str, partner_col: str) -> DataFrame:
+        best = F.min(
+            F.struct(
+                (-F.col(score_col).cast("double")).alias("__ns"),
+                F.col(partner_col).alias("__p"),
+            )
+        ).alias("__best")
+        return clean.groupBy(group_col).agg(best).select(
+            F.col(group_col),
+            F.col("__best.__p").alias(partner_col),
+            (-F.col("__best.__ns")).alias(score_col),
+        )
+
+    best_l = top1(left_col, right_col)
+    if not mutual:
+        return best_l
+    best_r = top1(right_col, left_col).select(left_col, right_col)
+    return best_l.join(best_r, [left_col, right_col], "inner").select(
+        left_col, right_col, score_col
+    )

@@ -587,3 +587,98 @@ def train_val_test_split(
         expr = F.when(branch, name) if expr is None else expr.when(branch, name)
     label = names[-1] if expr is None else expr.otherwise(names[-1])
     return df.withColumn("__split", label)
+
+
+def calibrate_scores(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    grid: int = 1000,
+    out_col: str = "score_pct",
+) -> DataFrame:
+    """Per-group percentile calibration of a score column: adds
+    ``out_col`` = the score's mid-rank percentile within its group, in
+    (0, 1). Quality scores are only comparable WITHIN the scorer and
+    slice that produced them — "keep the top 30% of each source" needs
+    each source's own CDF, and raw thresholds transfer across sources
+    exactly wrong. Mid-rank (ties share the average of their ranks) is
+    the standard unbiased convention.
+
+    Mechanics: scores bucket onto a fixed grid (``floor(score *
+    grid)`` — exact IEEE multiply+floor, engine-reproducible), ONE
+    ``groupBy(group, bucket)`` count builds the per-group histogram,
+    one window over the histogram (at most ~grid rows per group — the
+    window sorts BOUNDED data no matter how many raw rows hit the
+    group) turns it into a CDF, and one equi-join maps every row
+    through it. The percentile is computed as the exact integer
+    ``(2*below + in_bucket) / (2*n)`` pushed through a single IEEE
+    division — bit-identical on any engine. Scores tied within one
+    grid cell share a percentile: resolution is 1/grid of the score
+    range, pick ``grid`` accordingly.
+
+    NULL scores take no part in the CDF and calibrate to NULL.
+    Non-finite scores raise in-band (one NaN/Inf would silently own
+    the top cell otherwise).
+
+    Scale: the histogram frame is O(groups x grid) rows — join-back is
+    an AQE-broadcast in practice; the raw frame shuffles ONCE on
+    (group, bucket) for the count and once on (group, bucket) for the
+    join, both partial-aggregated/skew-safe because the hot unit is a
+    (group, bucket) cell, never a whole group."""
+    if grid < 1:
+        raise ValueError(f"calibrate_scores: grid must be >= 1, got {grid}")
+    for c in [group_col, score_col]:
+        if c not in df.columns:
+            raise ValueError(f"calibrate_scores: column {c!r} missing")
+    for c in ["__b", "__cnt", "__below", "__n", out_col]:
+        if c in df.columns:
+            raise ValueError(
+                f"calibrate_scores: column {c!r} already exists "
+                "(reserved/output name)"
+            )
+    s = F.col(score_col).cast("double")
+    bucket = F.when(
+        s.isNull(), F.lit(None).cast("long")
+    ).when(
+        F.isnan(s) | (F.abs(s) == float("inf")),
+        F.raise_error(
+            F.concat(
+                F.lit("calibrate_scores: non-finite score in column "),
+                F.lit(score_col),
+                F.lit(" (value "),
+                s.cast("string"),
+                F.lit(")"),
+            )
+        ).cast("long"),
+    ).otherwise(F.floor(s * F.lit(float(grid))).cast("long"))
+    base = df.withColumn("__b", bucket)
+    hist = (
+        base.where(F.col("__b").isNotNull())
+        .groupBy(group_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    wp = Window.partitionBy(group_col).orderBy("__b")
+    cdf = (
+        hist.withColumn(
+            "__below",
+            F.coalesce(
+                F.sum("__cnt").over(wp.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "__n",
+            F.sum("__cnt").over(
+                wp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
+        .select(
+            group_col,
+            "__b",
+            (
+                (2 * F.col("__below") + F.col("__cnt")).cast("double")
+                / (2 * F.col("__n")).cast("double")
+            ).alias(out_col),
+        )
+    )
+    return base.join(cdf, [group_col, "__b"], "left").drop("__b")

@@ -1028,25 +1028,52 @@ def resample_ffill(
     (``raise_error`` inside the same job — no extra scan), so one
     pathological gap cannot OOM a task by exploding an unbounded
     array."""
+    grid = _resample_grid(
+        df, key_cols, ts_col, value_col, interval_seconds, order_col,
+        max_fill, op="resample_ffill", with_next_value=False,
+    )
+    return grid.select(*key_cols, "bucket_epoch", value_col, "is_filled")
+
+
+def _resample_grid(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    interval_seconds: int,
+    order_col: Optional[str],
+    max_fill: int,
+    op: str,
+    with_next_value: bool,
+) -> DataFrame:
+    """Shared grid kernel of ``resample_ffill`` / ``resample_interpolate``:
+    collapse to one row per (key, interval bucket) via ``max_by`` on
+    ``order_col``, attach each bucket's successor with one ``lead``
+    window per key, then synthesize the gap rows with a fenced row-local
+    ``sequence``/``explode``. Returns the exploded frame still carrying
+    ``__bucket``/``__next`` (and ``__nextval`` when ``with_next_value``)
+    so each fill policy derives its value from the bracketing rows."""
     keys = list(key_cols)
     if not keys:
-        raise ValueError("resample_ffill: need at least one key column")
+        raise ValueError(f"{op}: need at least one key column")
     if not isinstance(interval_seconds, int) or interval_seconds <= 0:
         raise ValueError(
-            f"resample_ffill: interval_seconds must be a positive int, "
+            f"{op}: interval_seconds must be a positive int, "
             f"got {interval_seconds!r}"
         )
     if max_fill < 1:
-        raise ValueError(f"resample_ffill: max_fill must be >= 1, got {max_fill}")
+        raise ValueError(f"{op}: max_fill must be >= 1, got {max_fill}")
     for c in keys + [ts_col, value_col]:
         if c not in df.columns:
-            raise ValueError(f"resample_ffill: column {c!r} missing")
+            raise ValueError(f"{op}: column {c!r} missing")
     order = order_col if order_col is not None else ts_col
     if order not in df.columns:
-        raise ValueError(f"resample_ffill: order column {order!r} missing")
+        raise ValueError(f"{op}: order column {order!r} missing")
     _check_chunkable_dtype(df, ts_col, "timestamp column")
     _check_reserved(
-        df, ["__bucket", "__next", "bucket_epoch", "is_filled"], "resample_ffill"
+        df,
+        ["__bucket", "__next", "__nextval", "bucket_epoch", "is_filled"],
+        op,
     )
 
     step = F.lit(int(interval_seconds)).cast("long")
@@ -1061,13 +1088,15 @@ def resample_ffill(
     )
     w = Window.partitionBy(*keys).orderBy("__bucket")
     laid = bucketed.withColumn("__next", F.lead("__bucket").over(w))
+    if with_next_value:
+        laid = laid.withColumn("__nextval", F.lead(F.col(value_col)).over(w))
     n_fill = (F.col("__next") - F.col("__bucket")) / step
     seq_end = F.when(
         n_fill > F.lit(int(max_fill)),
         F.raise_error(
             F.concat(
                 F.lit(
-                    "resample_ffill: a single gap spans more than "
+                    f"{op}: a single gap spans more than "
                     f"max_fill={max_fill} buckets ("
                 ),
                 n_fill.cast("long").cast("string"),
@@ -1078,13 +1107,240 @@ def resample_ffill(
             )
         ).cast("long"),
     ).otherwise(F.col("__next") - step)
-    return (
-        laid.withColumn(
-            "bucket_epoch",
-            F.explode(
-                F.sequence(F.col("__bucket"), F.coalesce(seq_end, F.col("__bucket")), step)
+    return laid.withColumn(
+        "bucket_epoch",
+        F.explode(
+            F.sequence(F.col("__bucket"), F.coalesce(seq_end, F.col("__bucket")), step)
+        ),
+    ).withColumn("is_filled", F.col("bucket_epoch") != F.col("__bucket"))
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    interval_seconds: int,
+    order_col: Optional[str] = None,
+    max_fill: int = 100_000,
+) -> DataFrame:
+    """Regularize a per-key event stream onto a fixed time grid with
+    LINEAR interpolation across observation gaps — the numeric sibling
+    of ``resample_ffill`` for metrics where a held value misleads
+    (counters, gauges, sensor series) and the straight line between the
+    bracketing observations is the honest estimate.
+
+    Output: (*key_cols, bucket_epoch:long, value:double,
+    is_filled:boolean). Observed buckets keep their observed value
+    (cast to double, bit-exact for any float input); a synthesized
+    bucket at epoch ``b`` between observations ``(t0, v0)`` and
+    ``(t1, v1)`` gets ``v0 + (v1 - v0) * ((b - t0) / (t1 - t0))`` —
+    exact integer epoch differences into one IEEE division, so the
+    result is engine-reproducible bit-for-bit. A gap whose right
+    bracket carries a NULL value interpolates to NULL (no silent hold);
+    the series neither back-fills before the first observation nor
+    extrapolates past the last, exactly like ``resample_ffill``.
+
+    Plan: identical to ``resample_ffill`` (shared kernel) plus one more
+    ``lead`` in the SAME window — one groupBy collapse, one per-key
+    window over bounded bucket rows, one fenced row-local explode; no
+    join, no UDF, and the hottest key's window sorts at most
+    timeline_span/interval rows regardless of raw event count."""
+    grid = _resample_grid(
+        df, key_cols, ts_col, value_col, interval_seconds, order_col,
+        max_fill, op="resample_interpolate", with_next_value=True,
+    )
+    v0 = F.col(value_col).cast("double")
+    v1 = F.col("__nextval").cast("double")
+    frac = (F.col("bucket_epoch") - F.col("__bucket")).cast("double") / (
+        F.col("__next") - F.col("__bucket")
+    ).cast("double")
+    filled = v0 + (v1 - v0) * frac
+    return grid.select(
+        *key_cols,
+        "bucket_epoch",
+        F.when(F.col("is_filled"), filled).otherwise(v0).alias(value_col),
+        "is_filled",
+    )
+
+
+def cusum_scores(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    target: float = 0.0,
+    slack: float = 0.0,
+    threshold: float = 25.0,
+    order_col: Optional[str] = None,
+    split_every: Optional[float] = None,
+) -> DataFrame:
+    """Tabular CUSUM changepoint detection per key: the classic
+    two-sided control statistic
+
+        SH_i = max(0, SH_{i-1} + (x_i - target - slack))
+        SL_i = max(0, SL_{i-1} + (target - slack - x_i))
+
+    which accumulates evidence of a SUSTAINED mean shift (up / down)
+    and resets whenever the series returns to band — the
+    change-detection complement of ``rolling_zscore``'s point-anomaly
+    flags. Adds ``cusum_high``/``cusum_low`` (doubles) and ``is_alert``
+    (either statistic above ``threshold``; never NULL).
+
+    The recurrence looks inherently sequential, but it has a closed
+    window form: with prefix sums ``P_i = Σ_{j<=i} (x_j - target -
+    slack)``, ``SH_i = P_i - min(0, min_{j<=i} P_j)`` (induction on the
+    ``max(0, ·)`` reset; the 0 term is the empty prefix). So the whole
+    operator is TWO stacked windows per key — a running sum, then a
+    running min of it — over one shuffle and one sort, whole-stage
+    codegen, no UDF and no iterative driver loop. With integer-valued
+    inputs and integral ``target``/``slack`` every intermediate is an
+    exact integer, so results are bit-identical on any engine and any
+    partitioning.
+
+    NULL values contribute nothing to either prefix (window sums skip
+    NULLs on every engine); a NULL-valued row reads the running
+    statistic of the prefix excluding it — "ignore missing points"
+    semantics — and the statistic itself is never NULL (a row with no
+    observed prefix reads the starting state, 0). Rows with NULL
+    timestamps carry no timeline position and are dropped. Pass
+    ``order_col`` (a unique id) to pin tie order when timestamps
+    collide — without it, equal-timestamp rows accumulate in an
+    arbitrary engine order.
+
+    Scale: one hash partition by key; the per-key sort is external
+    (spills, never OOMs), but a hot key is one task's sort.
+    ``split_every`` (seconds) bounds that: prefix sums and running
+    mins are computed per (key, time-chunk) and stitched through a
+    per-chunk summary frame — a chunk's global prefix is the carried
+    sum of all earlier chunks plus its local prefix, and the global
+    running min is ``least(0, min over earlier chunks of their
+    carried-adjusted min, carried sum + local running min)`` — exact,
+    associative, O(keys x chunks) summary rows."""
+    _check_split_every(split_every)
+    for c in [key_col, ts_col, value_col]:
+        if c not in events.columns:
+            raise ValueError(f"cusum_scores: column {c!r} missing")
+    if order_col is not None and order_col not in events.columns:
+        raise ValueError(f"cusum_scores: order column {order_col!r} missing")
+    _check_reserved(
+        events,
+        ["__t", "__chunk", "__ph", "__pl", "__mh", "__ml",
+         "cusum_high", "cusum_low", "is_alert"],
+        "cusum_scores",
+    )
+    v = F.col(value_col).cast("double")
+    d_hi = v - F.lit(float(target) + float(slack))
+    d_lo = F.lit(float(target) - float(slack)) - v
+    base = events.where(F.col(ts_col).isNotNull()).withColumn(
+        "__t", _seconds(events, ts_col)
+    )
+    order = [F.col("__t")] + ([F.col(order_col)] if order_col else [])
+
+    if split_every is None:
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = (
+            base.withColumn("__ph", F.sum(d_hi).over(w))
+            .withColumn("__pl", F.sum(d_lo).over(w))
+        )
+        wm = (
+            Window.partitionBy(key_col)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # coalesce: a row before any observed value reads prefix 0 (the
+        # CUSUM starting state); F.least skips the NULL min the same way
+        hi = F.coalesce(F.col("__ph"), F.lit(0.0)) - F.least(
+            F.lit(0.0), F.min("__ph").over(wm)
+        )
+        lo = F.coalesce(F.col("__pl"), F.lit(0.0)) - F.least(
+            F.lit(0.0), F.min("__pl").over(wm)
+        )
+    else:
+        _check_reserved(
+            events, ["__csh", "__csl", "__gmh", "__gml", "__carryh",
+                     "__carryl", "__prevmh", "__prevml"],
+            "cusum_scores(split_every)",
+        )
+        base = base.withColumn("__chunk", _chunk_of(F.col("__t"), split_every))
+        wc = (
+            Window.partitionBy(key_col, "__chunk")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        rows = (
+            base.withColumn("__ph", F.sum(d_hi).over(wc))
+            .withColumn("__pl", F.sum(d_lo).over(wc))
+        )
+        rows = rows.withColumn("__mh", F.min("__ph").over(wc)).withColumn(
+            "__ml", F.min("__pl").over(wc)
+        )
+        # per-(key, chunk) summary: the chunk's delta total and its
+        # minimum local prefix, both plain aggregates of the windowed
+        # columns (sum of deltas == last local prefix, but summing the
+        # deltas directly is NULL-safe when a chunk is all-NULL values)
+        summ = rows.groupBy(key_col, "__chunk").agg(
+            F.sum(d_hi).alias("__csh"),
+            F.sum(d_lo).alias("__csl"),
+            F.min("__ph").alias("__gmh"),
+            F.min("__pl").alias("__gml"),
+        )
+        wprev = (
+            Window.partitionBy(key_col)
+            .orderBy("__chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        summ = (
+            summ.withColumn(
+                "__carryh", F.coalesce(F.sum("__csh").over(wprev), F.lit(0.0))
+            )
+            .withColumn(
+                "__carryl", F.coalesce(F.sum("__csl").over(wprev), F.lit(0.0))
+            )
+            .withColumn(
+                "__prevmh",
+                F.min(F.col("__carryh") + F.col("__gmh")).over(wprev),
+            )
+            .withColumn(
+                "__prevml",
+                F.min(F.col("__carryl") + F.col("__gml")).over(wprev),
+            )
+            .select(key_col, "__chunk", "__carryh", "__carryl",
+                    "__prevmh", "__prevml")
+        )
+        rows = _nullsafe_equi_join(rows, summ, [key_col, "__chunk"], "left")
+        # F.least skips NULLs, so an absent prev-chunk min (first chunk)
+        # or an all-NULL local min drops out instead of poisoning the
+        # result — the remaining 0.0 term is always present
+        hi = (
+            F.col("__carryh") + F.coalesce(F.col("__ph"), F.lit(0.0))
+        ) - F.least(
+            F.lit(0.0), F.col("__prevmh"), F.col("__carryh") + F.col("__mh")
+        )
+        lo = (
+            F.col("__carryl") + F.coalesce(F.col("__pl"), F.lit(0.0))
+        ) - F.least(
+            F.lit(0.0), F.col("__prevml"), F.col("__carryl") + F.col("__ml")
+        )
+        out = rows
+    res = (
+        out.withColumn("cusum_high", hi)
+        .withColumn("cusum_low", lo)
+        .withColumn(
+            "is_alert",
+            F.coalesce(
+                (F.col("cusum_high") > F.lit(float(threshold)))
+                | (F.col("cusum_low") > F.lit(float(threshold))),
+                F.lit(False),
             ),
         )
-        .withColumn("is_filled", F.col("bucket_epoch") != F.col("__bucket"))
-        .select(*keys, "bucket_epoch", value_col, "is_filled")
     )
+    drop = ["__t", "__ph", "__pl"]
+    if split_every is not None:
+        drop += ["__chunk", "__mh", "__ml", "__carryh", "__carryl",
+                 "__prevmh", "__prevml"]
+    return res.drop(*drop)

@@ -152,3 +152,56 @@ def test_max_key_length_fence_is_loud(spark):
 def test_no_python_udf_in_plan(spark):
     df = spark.createDataFrame([(1, "abc"), (2, "abd")], "id bigint, k string")
     assert not has_python_udf(fuzzy_pairs(df, "k", "id", max_distance=1))
+
+
+# --- best_match_pairs -----------------------------------------------------
+
+from pandera_forge_spark.operators.linkage import best_match_pairs
+
+
+@pytest.fixture(scope="module")
+def scored_pairs(spark):
+    # l1's best is r1 (0.9) and r1's best is l1 -> mutual.
+    # l2's best is r1 (0.8) but r1 prefers l1 -> not mutual.
+    # l3's best is r3 (0.7) and r3's best is l3 -> mutual.
+    # tie case: l4 scores 0.5 on both r4 and r5 -> smallest id (r4)
+    # wins; r4's best is l4 -> mutual.
+    rows = [
+        ("l1", "r1", 0.9), ("l1", "r3", 0.2),
+        ("l2", "r1", 0.8), ("l2", "r3", 0.1),
+        ("l3", "r3", 0.7), ("l3", "r1", 0.3),
+        ("l4", "r4", 0.5), ("l4", "r5", 0.5),
+        ("l5", "r4", 0.4),
+        (None, "r9", 1.0), ("l9", None, 1.0), ("l9", "r9", None),
+    ]
+    return spark.createDataFrame(rows, "left string, right string, score double")
+
+
+def test_mutual_best_matches(scored_pairs):
+    got = {
+        (r["left"], r["right"]): r["score"]
+        for r in best_match_pairs(scored_pairs, "left", "right", "score").collect()
+    }
+    assert got == {("l1", "r1"): 0.9, ("l3", "r3"): 0.7, ("l4", "r4"): 0.5}
+
+
+def test_non_mutual_top1(scored_pairs):
+    got = {
+        r["left"]: (r["right"], r["score"])
+        for r in best_match_pairs(
+            scored_pairs, "left", "right", "score", mutual=False
+        ).collect()
+    }
+    # every non-null left appears once with its best right
+    assert got == {
+        "l1": ("r1", 0.9),
+        "l2": ("r1", 0.8),
+        "l3": ("r3", 0.7),
+        "l4": ("r4", 0.5),  # tie broken to smallest right id
+        "l5": ("r4", 0.4),
+    }
+
+
+def test_best_match_missing_column(scored_pairs):
+    with pytest.raises(ValueError, match="missing"):
+        best_match_pairs(scored_pairs, "left", "right", "nope")

@@ -105,3 +105,75 @@ def test_numeric_epoch_column_supported(spark):
     out = resample_ffill(df, ["k"], "sec", "v", 10).collect()
     got = {r["bucket_epoch"]: (r["v"], r["is_filled"]) for r in out}
     assert got == {0: (1.0, False), 10: (1.0, True), 20: (2.0, False)}
+
+
+# --- resample_interpolate -------------------------------------------------
+
+from pandera_forge_spark.operators.temporal import resample_interpolate
+
+
+def test_interpolate_values(spark, series):
+    import calendar
+
+    base = calendar.timegm((2024, 1, 1, 0, 0, 0))
+    out = {
+        (r["user_id"], r["bucket_epoch"]): (r["value"], r["is_filled"])
+        for r in resample_interpolate(
+            series, ["user_id"], "ts", "value", 3600, order_col="event_id"
+        ).collect()
+    }
+    # user 1 observed: hour0=10.0, hour1=25.0 (max event_id), hour4=40.0;
+    # hours 2 and 3 interpolate linearly 25 -> 40 over 3 steps
+    assert out[(1, base + 0 * 3600)] == (10.0, False)
+    assert out[(1, base + 1 * 3600)] == (25.0, False)
+    assert out[(1, base + 2 * 3600)] == (25.0 + (40.0 - 25.0) * (1.0 / 3.0), True)
+    assert out[(1, base + 3 * 3600)] == (25.0 + (40.0 - 25.0) * (2.0 / 3.0), True)
+    assert out[(1, base + 4 * 3600)] == (40.0, False)
+    # single observation: one bucket, untouched; NULL-ts user absent
+    assert out[(2, base + 2 * 3600)] == (7.0, False)
+    assert sum(1 for (u, _) in out if u == 2) == 1
+    assert not any(u == 3 for (u, _) in out)
+
+
+def test_interpolate_null_bracket_yields_null(spark):
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0), 10.0, 1),
+        (1, datetime(2024, 1, 1, 2), None, 2),  # right bracket NULL
+        (1, datetime(2024, 1, 1, 4), 30.0, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    )
+    out = {
+        r["bucket_epoch"]: r["value"]
+        for r in resample_interpolate(
+            df, ["user_id"], "ts", "value", 3600, order_col="event_id"
+        ).collect()
+    }
+    import calendar
+
+    base = calendar.timegm((2024, 1, 1, 0, 0, 0))
+    assert out[base + 1 * 3600] is None  # 10 -> NULL gap: no silent hold
+    assert out[base + 2 * 3600] is None  # the NULL observation itself
+    assert out[base + 3 * 3600] is None  # NULL -> 30 gap: v0 is NULL
+    assert out[base + 4 * 3600] == 30.0
+
+
+def test_interpolate_fence_and_no_udf(spark, series):
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    out = resample_interpolate(
+        series, ["user_id"], "ts", "value", 3600, order_col="event_id"
+    )
+    assert not has_python_udf(out)
+    with pytest.raises(ValueError, match="max_fill"):
+        resample_interpolate(
+            series, ["user_id"], "ts", "value", 3600, max_fill=0
+        )
+    with pytest.raises(Exception, match="max_fill"):
+        resample_interpolate(
+            series, ["user_id"], "ts", "value", 60, max_fill=10,
+            order_col="event_id",
+        ).collect()

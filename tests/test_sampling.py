@@ -495,3 +495,62 @@ def test_mixture_sample_plan_clean(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = mixture_sample(docs, ["lang"], {"en": 0.6, "de": 0.4}, "doc_id", 20)
     assert not has_python_udf(out)
+
+
+# --- calibrate_scores -----------------------------------------------------
+
+import pytest
+
+from pandera_forge_spark.operators.sampling import calibrate_scores
+
+
+def test_calibrate_midrank(spark):
+    # group g: scores 0.1 x2, 0.2 x1, 0.9 x1 (n=4)
+    rows = [
+        ("g", 0.1), ("g", 0.1), ("g", 0.2), ("g", 0.9),
+        ("h", 5.0),
+        ("i", None),
+    ]
+    df = spark.createDataFrame(rows, "src string, score double")
+    got = [
+        (r["src"], r["score"], r["score_pct"])
+        for r in calibrate_scores(df, "src", "score").collect()
+    ]
+    by = {}
+    for s, sc, p in got:
+        by.setdefault((s, sc), []).append(p)
+    # midrank: (2*below + in_bucket) / (2*n)
+    assert by[("g", 0.1)] == [2 / 8, 2 / 8]
+    assert by[("g", 0.2)] == [5 / 8]
+    assert by[("g", 0.9)] == [7 / 8]
+    assert by[("h", 5.0)] == [1 / 2]  # single row: midrank 0.5
+    assert by[("i", None)] == [None]  # NULL score calibrates to NULL
+    assert len(got) == 6  # no rows lost
+
+
+def test_calibrate_grid_resolution(spark):
+    # scores 0.1001 and 0.1002 share a grid-1000 cell -> same pct;
+    # at grid=10000 they separate
+    rows = [("g", 0.1001), ("g", 0.1002), ("g", 0.5)]
+    df = spark.createDataFrame(rows, "src string, score double")
+    coarse = sorted(
+        r["score_pct"] for r in calibrate_scores(df, "src", "score").collect()
+    )
+    assert coarse[0] == coarse[1]
+    fine = sorted(
+        r["score_pct"]
+        for r in calibrate_scores(df, "src", "score", grid=10000).collect()
+    )
+    assert fine[0] < fine[1] < fine[2]
+
+
+def test_calibrate_nonfinite_raises_inband(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", float("nan"))], "src string, score double"
+    )
+    with pytest.raises(Exception, match="non-finite"):
+        calibrate_scores(df, "src", "score").collect()
+    with pytest.raises(ValueError, match="grid"):
+        calibrate_scores(df, "src", "score", grid=0)
+    with pytest.raises(ValueError, match="reserved|exists"):
+        calibrate_scores(df.withColumn("score_pct", F.lit(0)), "src", "score")
