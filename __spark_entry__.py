@@ -4873,6 +4873,214 @@ ORDER BY 1, 2, 3, 4
 """
 
 
+def q_cusum_alerts(spark, sf_dir):
+    """Two-sided CUSUM changepoint scores (operators/temporal.py
+    cusum_scores) over the planted integer metric: the max(0, ·)
+    recurrence re-expressed as prefix-sum minus running-min — two
+    stacked windows per event_type, one shuffle, no iterative loop.
+    Integer-valued inputs and integral target/slack keep every prefix
+    sum exact, so both engines emit bit-identical statistics raw
+    (unrounded), the rolling_anomalies convention."""
+    from pandera_forge_spark.operators.temporal import cusum_scores
+
+    out = cusum_scores(
+        _planted_metric(spark, sf_dir),
+        key_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        target=10.0,
+        slack=1.0,
+        threshold=200.0,
+        order_col="event_id",
+    )
+    return out.select(
+        "event_type", "event_id", "cusum_high", "cusum_low", "is_alert"
+    ).orderBy("event_id")
+
+
+def q_cusum_alerts_split(spark, sf_dir):
+    """The split_every (chunk-carry stitch) path of cusum_scores against
+    the IDENTICAL oracle SQL — the sessions_user_split precedent;
+    split==unsplit is additionally pytest-asserted over ties, NULLs and
+    negative epochs (tests/test_cusum.py)."""
+    from pandera_forge_spark.operators.temporal import cusum_scores
+
+    out = cusum_scores(
+        _planted_metric(spark, sf_dir),
+        key_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        target=10.0,
+        slack=1.0,
+        threshold=200.0,
+        order_col="event_id",
+        split_every=86400.0,
+    )
+    return out.select(
+        "event_type", "event_id", "cusum_high", "cusum_low", "is_alert"
+    ).orderBy("event_id")
+
+
+SQL_CUSUM_ALERTS = """
+WITH src AS (
+  SELECT event_type, event_id, ts,
+         CASE WHEN event_id % 997 = 0 THEN 1000.0e0
+              ELSE CAST(event_id % 21 AS DOUBLE) END AS v
+  FROM events WHERE ts IS NOT NULL
+), p AS (
+  SELECT event_type, event_id, ts,
+         SUM(v - 11.0e0) OVER win AS ph,
+         SUM(9.0e0 - v) OVER win AS pl
+  FROM src
+  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+), m AS (
+  SELECT event_type, event_id,
+         ph - LEAST(0.0e0, MIN(ph) OVER win) AS cusum_high,
+         pl - LEAST(0.0e0, MIN(pl) OVER win) AS cusum_low
+  FROM p
+  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type, event_id, cusum_high, cusum_low,
+       (cusum_high > 200.0e0) OR (cusum_low > 200.0e0) AS is_alert
+FROM m ORDER BY event_id
+"""
+
+
+def q_gapfill_interp_user(spark, sf_dir):
+    """Linear-interpolation resample (operators/temporal.py
+    resample_interpolate): the same hourly grid as gapfill_user, holes
+    bridged by the straight line between the bracketing observations —
+    shared kernel with resample_ffill plus one more lead in the same
+    window. The interpolation is exact integer epoch differences
+    through ONE IEEE division then one multiply-add, mirrored
+    expression-for-expression in the oracle, so values compare
+    bit-identically unrounded."""
+    from pandera_forge_spark.operators.temporal import resample_interpolate
+
+    ev = _t(spark, sf_dir, "events").where("user_id % 17 = 3")
+    return resample_interpolate(
+        ev, ["user_id"], "ts", "value", 3600, order_col="event_id"
+    ).orderBy("user_id", "bucket_epoch")
+
+
+SQL_GAPFILL_INTERP_USER = """
+WITH b AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts)/3600) AS BIGINT)*3600 AS bkt,
+         arg_max(value, event_id) AS val
+  FROM events WHERE user_id % 17 = 3 AND ts IS NOT NULL
+  GROUP BY 1, 2
+), w AS (
+  SELECT user_id, bkt, val,
+         LEAD(bkt) OVER (PARTITION BY user_id ORDER BY bkt) AS nxt,
+         LEAD(val) OVER (PARTITION BY user_id ORDER BY bkt) AS nval
+  FROM b
+), g AS (
+  SELECT user_id, bkt, val, nxt, nval,
+         unnest(generate_series(bkt, COALESCE(nxt - 3600, bkt), 3600))
+           AS bucket_epoch
+  FROM w
+)
+SELECT user_id, bucket_epoch,
+       CASE WHEN bucket_epoch <> bkt
+            THEN val + (nval - val)
+                 * (CAST(bucket_epoch - bkt AS DOUBLE)
+                    / CAST(nxt - bkt AS DOUBLE))
+            ELSE val END AS value,
+       bucket_epoch <> bkt AS is_filled
+FROM g ORDER BY user_id, bucket_epoch
+"""
+
+
+def q_mutual_best_fuzzy(spark, sf_dir):
+    """Reciprocal best-match linkage (operators/linkage.py
+    best_match_pairs over fuzzy_join): two customer-name samples linked
+    within one edit, reduced to pairs where each side is the other's
+    top-1 (score = -distance; ties to the smallest partner id). The
+    engine never sorts the candidate set — two struct-min aggregates +
+    one equi-join; the oracle brute-forces the same pair set and
+    replays both ROW_NUMBER directions."""
+    from pandera_forge_spark.operators.linkage import best_match_pairs, fuzzy_join
+
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.where(F.col("c_custkey") % 7 == 0)
+    b = cust.where(F.col("c_custkey") % 5 == 0)
+    pairs = fuzzy_join(a, b, "c_name", "c_custkey", max_distance=1)
+    scored = pairs.withColumn("score", -F.col("distance").cast("double"))
+    out = best_match_pairs(scored, "id_a", "id_b", "score")
+    return out.select(
+        "id_a", "id_b", (-F.col("score")).cast("bigint").alias("distance")
+    ).orderBy("id_a", "id_b")
+
+
+SQL_MUTUAL_BEST_FUZZY = """
+WITH a AS (SELECT c_custkey AS id_a, c_name AS name_a
+           FROM customer WHERE c_custkey % 7 = 0),
+b AS (SELECT c_custkey AS id_b, c_name AS name_b
+      FROM customer WHERE c_custkey % 5 = 0),
+p AS (
+  SELECT id_a, id_b,
+         CAST(levenshtein(name_a, name_b) AS BIGINT) AS distance
+  FROM a JOIN b ON levenshtein(name_a, name_b) <= 1
+), bl AS (
+  SELECT id_a, id_b, distance,
+         ROW_NUMBER() OVER (PARTITION BY id_a
+                            ORDER BY distance ASC, id_b ASC) AS r
+  FROM p
+), br AS (
+  SELECT id_a, id_b,
+         ROW_NUMBER() OVER (PARTITION BY id_b
+                            ORDER BY distance ASC, id_a ASC) AS r
+  FROM p
+)
+SELECT bl.id_a, bl.id_b, bl.distance
+FROM bl JOIN br ON bl.id_a = br.id_a AND bl.id_b = br.id_b
+WHERE bl.r = 1 AND br.r = 1
+ORDER BY 1, 2
+"""
+
+
+def q_score_calibration(spark, sf_dir):
+    """Per-group percentile calibration (operators/sampling.py
+    calibrate_scores): every event's value mapped to its mid-rank
+    percentile within its event_type via the bounded grid-histogram
+    CDF (never a per-group window over raw rows). The percentile is an
+    exact integer numerator (2*below + in_bucket over 2*n) through a
+    single IEEE division — the oracle replays bucket → histogram →
+    CDF → join bit-identically."""
+    from pandera_forge_spark.operators.sampling import calibrate_scores
+
+    ev = _t(spark, sf_dir, "events")
+    out = calibrate_scores(ev, "event_type", "value", grid=1000)
+    return out.select("event_type", "event_id", "score_pct").orderBy("event_id")
+
+
+SQL_SCORE_CALIBRATION = """
+WITH b AS (
+  SELECT event_type, event_id,
+         CASE WHEN value IS NULL THEN NULL
+              ELSE CAST(FLOOR(value * 1000.0e0) AS BIGINT) END AS bkt
+  FROM events
+), h AS (
+  SELECT event_type, bkt, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM b WHERE bkt IS NOT NULL GROUP BY 1, 2
+), c AS (
+  SELECT event_type, bkt, cnt,
+         COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bkt
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS below,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT b.event_type, b.event_id,
+       CAST(2*c.below + c.cnt AS DOUBLE) / CAST(2*c.n AS DOUBLE) AS score_pct
+FROM b LEFT JOIN c ON b.event_type = c.event_type AND b.bkt = c.bkt
+ORDER BY b.event_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -4900,7 +5108,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   24-27: the final-session operators (k-anonymity, l-diversity,
     #         forward-fill resample, join-key discovery) — never
     #         driver-verified, same rule,
-    #   28-50: the round-3-verified tail (23 of its 49 queries).
+    #   28-31: the this-session operators (CUSUM changepoints,
+    #         linear-interpolation resample, reciprocal best match,
+    #         score calibration) — never driver-verified, same rule,
+    #   32-50: the round-3-verified tail (19 of its 49 queries).
     # The window holds 50; the rest of the r3-green tail plus the
     # split-path twins rolling_anomalies_split / sequence_gaps_split
     # stay at positions 51+; each is a parameter-variant or
@@ -4940,6 +5151,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity_userday": q_l_diversity_userday,
         "gapfill_user": q_gapfill_user,
         "join_key_discovery": q_join_key_discovery,
+        # -- this-session operators, first driver rows --------------------------
+        "cusum_alerts": q_cusum_alerts,
+        "gapfill_interp_user": q_gapfill_interp_user,
+        "mutual_best_fuzzy": q_mutual_best_fuzzy,
+        "score_calibration": q_score_calibration,
         # -- round-3-verified tail, rotated in (last driver-green r3) ----------
         "profile_fused_orders": q_profile_fused_orders,
         "topk_returnflag": q_topk_returnflag,
@@ -4958,11 +5174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_simhash": q_near_dup_simhash,
         "corr_lineitem": q_corr_lineitem,
         "outliers_events": q_outliers_events,
-        "entropy_lineitem": q_entropy_lineitem,
-        "quantile_events": q_quantile_events,
-        "embedding_health": q_embedding_health,
         "chunk_interleaved": q_chunk_interleaved,
-        "band_index_probe": q_band_index_probe,
         "dedup_clusters": q_dedup_clusters,
         # -- 51+: left out (50-slot cap); each is a parameter-variant ----------
         # or composition of in-window siblings: topk_event_type~
@@ -5062,7 +5274,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-slice centroid groupBy differs — r3-green,
         # token_budget_lang = in-window mixture_lang's md5 ordering
         # composed with the running-sum window kernel driver-anchored
-        # in-window by pack_concat_split — r3-green.
+        # in-window by pack_concat_split — r3-green,
+        # cusum_alerts_split = the split_every path of in-window
+        # cusum_alerts against the IDENTICAL oracle SQL, split==unsplit
+        # pytest-asserted over ties/NULLs/negative epochs
+        # (tests/test_cusum.py) — the sessions_user_split precedent,
+        # entropy_lineitem (r3-green) = the same single-melt fused
+        # aggregation skeleton as in-window profile_fused_orders, only
+        # the per-cell reduction (Shannon H) differs,
+        # quantile_events (r3-green) = percentile_approx array cells of
+        # the same fused profile aggregation family (profile_fused_orders
+        # in-window; quantile sketch merge r4-anchored by sketch rows),
+        # embedding_health (r3-green) = the same zip_with/aggregate
+        # embedding algebra as r4-green embedding_norms /
+        # near_dup_embedding, plus first-failure precedence counters
+        # that are pure CASE algebra,
+        # band_index_probe (r3-green) = the persisted-index probe whose
+        # logic is exact-equivalence-asserted by pytest against
+        # incremental_near_dup and whose banding kernel is in-window
+        # via near_dup_minhash.
+        "cusum_alerts_split": q_cusum_alerts_split,
+        "entropy_lineitem": q_entropy_lineitem,
+        "quantile_events": q_quantile_events,
+        "embedding_health": q_embedding_health,
+        "band_index_probe": q_band_index_probe,
         "weighted_sample": q_weighted_sample,
         "implies_check": q_implies_check,
         "embedding_drift": q_embedding_drift,
@@ -5269,6 +5504,11 @@ def oracle_sql() -> dict[str, str]:
         "l_diversity_userday": SQL_L_DIVERSITY_USERDAY,
         "gapfill_user": SQL_GAPFILL_USER,
         "join_key_discovery": SQL_JOIN_KEY_DISCOVERY,
+        "cusum_alerts": SQL_CUSUM_ALERTS,
+        "cusum_alerts_split": SQL_CUSUM_ALERTS,
+        "gapfill_interp_user": SQL_GAPFILL_INTERP_USER,
+        "mutual_best_fuzzy": SQL_MUTUAL_BEST_FUZZY,
+        "score_calibration": SQL_SCORE_CALIBRATION,
         # split path, same result contract -> the IDENTICAL oracle
         "sequence_gaps_split": SQL_SEQUENCE_GAPS_USER,
         # streaming path of the same invariant -> the IDENTICAL oracle

@@ -93,10 +93,13 @@ from pandera_forge_spark.operators.search import (
 )
 from pandera_forge_spark.operators.temporal import (
     asof_join,
+    cusum_scores,
     event_funnel,
     interval_join,
     interval_overlaps,
     monotonic_violations,
+    resample_ffill,
+    resample_interpolate,
     retention_cohorts,
     rolling_zscore,
     sequence_gaps,
@@ -106,12 +109,17 @@ from pandera_forge_spark.operators.temporal import (
 )
 from pandera_forge_spark.operators.cdc import apply_changelog, latest_by_key
 from pandera_forge_spark.operators.sampling import (
+    calibrate_scores,
     mixture_quotas,
     mixture_sample,
     train_val_test_split,
     weighted_take,
 )
-from pandera_forge_spark.operators.linkage import fuzzy_join, fuzzy_pairs
+from pandera_forge_spark.operators.linkage import (
+    best_match_pairs,
+    fuzzy_join,
+    fuzzy_pairs,
+)
 from pandera_forge_spark.operators.web import (
     canonicalize_url,
     domain_filter,
@@ -236,6 +244,9 @@ __all__ = [
     "interval_overlaps",
     "monotonic_violations",
     "retention_cohorts",
+    "cusum_scores",
+    "resample_ffill",
+    "resample_interpolate",
     "rolling_zscore",
     "sequence_gaps",
     "session_stats",
@@ -261,6 +272,8 @@ __all__ = [
     "mixture_quotas",
     "mixture_sample",
     "fuzzy_join",
+    "best_match_pairs",
+    "calibrate_scores",
     "fuzzy_pairs",
     "canonicalize_url",
     "domain_filter",
