@@ -5042,6 +5042,104 @@ ORDER BY 1, 2
 """
 
 
+def q_stream_cusum_epochs(spark, sf_dir):
+    """Streaming CUSUM changepoint monitor (streaming/sequence.py
+    stream_cusum) driven END-TO-END in-process, the stream_gaps_epochs
+    pattern: the planted-metric events cut into 3 epoch files at
+    time-span thirds, availableNow streams one per trigger, each batch
+    seeds every key's statistic from the carried (cusum_high,
+    cusum_low) state of prior epochs, and the union of the per-epoch
+    alert sinks must equal the batch operator's alert rows — the
+    oracle is the batch CUSUM SQL filtered to the threshold. Evidence
+    that accumulates ACROSS epochs (the case a per-batch check
+    misses) breaks the row count if any carry is lost; a replayed
+    epoch double-emitting breaks it the other way."""
+    import os
+    import shutil
+    import tempfile
+
+    from pandera_forge_spark.streaming import stream_cusum
+
+    ev = _planted_metric(spark, sf_dir).select(
+        "event_type", "ts", "value", "event_id"
+    )
+    lo, hi = ev.agg(
+        F.min(F.col("ts").cast("timestamp_ltz").cast("double")),
+        F.max(F.col("ts").cast("timestamp_ltz").cast("double")),
+    ).first()
+    c1, c2 = lo + (hi - lo) / 3.0, lo + 2.0 * (hi - lo) / 3.0
+    sec = F.col("ts").cast("timestamp_ltz").cast("double")
+    root = tempfile.mkdtemp(prefix="pfs_scusum_")
+    try:
+        cuts = [sec < c1, (sec >= c1) & (sec < c2), sec >= c2]
+        src = _stage_epoch_files([ev.where(c) for c in cuts], root)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        writer = stream_cusum(
+            stream,
+            os.path.join(root, "state"),
+            os.path.join(root, "alerts"),
+            "event_type",
+            "ts",
+            "value",
+            target=10.0,
+            slack=1.0,
+            threshold=200.0,
+            order_col="event_id",
+            checkpoint=os.path.join(root, "ckpt"),
+        )
+        _run_available_now(writer)
+        rows = [
+            (
+                r["event_type"],
+                int(r["event_id"]),
+                float(r["cusum_high"]),
+                float(r["cusum_low"]),
+            )
+            for r in spark.read.parquet(
+                os.path.join(root, "alerts", "__epoch=*")
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, event_id bigint, cusum_high double, "
+        "cusum_low double",
+    ).orderBy("event_id")
+
+
+SQL_STREAM_CUSUM_EPOCHS = """
+WITH src AS (
+  SELECT event_type, event_id, ts,
+         CASE WHEN event_id % 997 = 0 THEN 1000.0e0
+              ELSE CAST(event_id % 21 AS DOUBLE) END AS v
+  FROM events WHERE ts IS NOT NULL
+), p AS (
+  SELECT event_type, event_id, ts,
+         SUM(v - 11.0e0) OVER win AS ph,
+         SUM(9.0e0 - v) OVER win AS pl
+  FROM src
+  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+), m AS (
+  SELECT event_type, event_id,
+         ph - LEAST(0.0e0, MIN(ph) OVER win) AS cusum_high,
+         pl - LEAST(0.0e0, MIN(pl) OVER win) AS cusum_low
+  FROM p
+  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type, event_id, cusum_high, cusum_low
+FROM m
+WHERE cusum_high > 200.0e0 OR cusum_low > 200.0e0
+ORDER BY event_id
+"""
+
+
 def q_score_calibration(spark, sf_dir):
     """Per-group percentile calibration (operators/sampling.py
     calibrate_scores): every event's value mapped to its mid-rank
@@ -5108,10 +5206,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   24-27: the final-session operators (k-anonymity, l-diversity,
     #         forward-fill resample, join-key discovery) — never
     #         driver-verified, same rule,
-    #   28-31: the this-session operators (CUSUM changepoints,
+    #   28-32: the this-session operators (CUSUM changepoints,
     #         linear-interpolation resample, reciprocal best match,
-    #         score calibration) — never driver-verified, same rule,
-    #   32-50: the round-3-verified tail (19 of its 49 queries).
+    #         score calibration, streaming CUSUM monitor) — never
+    #         driver-verified, same rule,
+    #   33-50: the round-3-verified tail (18 of its 49 queries).
     # The window holds 50; the rest of the r3-green tail plus the
     # split-path twins rolling_anomalies_split / sequence_gaps_split
     # stay at positions 51+; each is a parameter-variant or
@@ -5156,6 +5255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_interp_user": q_gapfill_interp_user,
         "mutual_best_fuzzy": q_mutual_best_fuzzy,
         "score_calibration": q_score_calibration,
+        "stream_cusum_epochs": q_stream_cusum_epochs,
         # -- round-3-verified tail, rotated in (last driver-green r3) ----------
         "profile_fused_orders": q_profile_fused_orders,
         "topk_returnflag": q_topk_returnflag,
@@ -5171,7 +5271,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_profile": q_span_profile,
         "exact_dup_groups": q_exact_dup_groups,
         "near_dup_minhash": q_near_dup_minhash,
-        "near_dup_simhash": q_near_dup_simhash,
         "corr_lineitem": q_corr_lineitem,
         "outliers_events": q_outliers_events,
         "chunk_interleaved": q_chunk_interleaved,
@@ -5279,6 +5378,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cusum_alerts against the IDENTICAL oracle SQL, split==unsplit
         # pytest-asserted over ties/NULLs/negative epochs
         # (tests/test_cusum.py) — the sessions_user_split precedent,
+        # near_dup_simhash (r3-green) = the same banded-LSH self-join +
+        # hub-cap machinery as in-window near_dup_minhash (band equality
+        # on simhash chunks vs minhash signatures; the hub cap itself
+        # also tail-anchored by near_dup_viral_capped's rationale),
         # entropy_lineitem (r3-green) = the same single-melt fused
         # aggregation skeleton as in-window profile_fused_orders, only
         # the per-cell reduction (Shannon H) differs,
@@ -5294,6 +5397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental_near_dup and whose banding kernel is in-window
         # via near_dup_minhash.
         "cusum_alerts_split": q_cusum_alerts_split,
+        "near_dup_simhash": q_near_dup_simhash,
         "entropy_lineitem": q_entropy_lineitem,
         "quantile_events": q_quantile_events,
         "embedding_health": q_embedding_health,
@@ -5506,6 +5610,7 @@ def oracle_sql() -> dict[str, str]:
         "join_key_discovery": SQL_JOIN_KEY_DISCOVERY,
         "cusum_alerts": SQL_CUSUM_ALERTS,
         "cusum_alerts_split": SQL_CUSUM_ALERTS,
+        "stream_cusum_epochs": SQL_STREAM_CUSUM_EPOCHS,
         "gapfill_interp_user": SQL_GAPFILL_INTERP_USER,
         "mutual_best_fuzzy": SQL_MUTUAL_BEST_FUZZY,
         "score_calibration": SQL_SCORE_CALIBRATION,

@@ -10,6 +10,7 @@ same check compiler and verdict semantics via ``foreachBatch``.
 
 from pandera_forge_spark.streaming.dedup import stream_near_dedup
 from pandera_forge_spark.streaming.sequence import (
+    stream_cusum,
     stream_monotonic_violations,
     stream_sequence_gaps,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "duplicate_ids_stream",
     "stream_drift",
     "stream_contamination",
+    "stream_cusum",
     "stream_monotonic_violations",
     "stream_near_dedup",
     "stream_sequence_gaps",

@@ -291,3 +291,121 @@ def stream_monotonic_violations(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def stream_cusum(
+    stream_df: DataFrame,
+    state_dir: str,
+    sink: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    target: float,
+    slack: float = 0.0,
+    threshold: float = 25.0,
+    order_col: Optional[str] = None,
+    checkpoint: Optional[str] = None,
+    on_batch: Optional[Callable] = None,
+):
+    """Continuous changepoint monitoring: the streaming twin of
+    ``operators/temporal.cusum_scores``. Each micro-batch advances
+    every key's two-sided CUSUM statistic and emits the rows whose
+    statistic crosses ``threshold`` — a mean shift that builds up
+    ACROSS micro-batches (the exact case a per-batch-only check
+    misses: ten small batches each drifting a little) surfaces in the
+    batch where the accumulated evidence crosses.
+
+    The CUSUM recurrence is Markovian, so the carried state is ONE
+    narrow row per key — (order tuple, cusum_high, cusum_low) of the
+    key's last row — in the same epoch-keyed parquet layout, commit
+    rules, and replay contract as the other sequence monitors (state
+    dirs are read strictly below the batch's own epoch; both writes
+    are per-epoch overwrites, so a foreachBatch retry re-derives
+    byte-identical output). In-batch, the seeded recurrence has the
+    same closed window form as the batch operator:
+    ``S_i = greatest(seed + P_i, P_i - min_{j<=i} P_j)`` over
+    batch-local prefix sums (induction on the max(0,·) reset; with no
+    seed this is exactly the batch formula), so a trigger costs two
+    stacked windows over the batch plus the O(keys x epochs) state
+    reduce.
+
+    Correctness contract (same as the module's other monitors): with
+    epochs that cut each key's rows in (ts, order_col) order, the
+    union of all epoch sinks equals the batch operator's alert rows
+    over the concatenated input — driver row ``stream_cusum_epochs``
+    replays that against the batch oracle SQL. Sink rows:
+    (key_col, order cols, value_col, cusum_high, cusum_low).
+
+    Scale: state is one row per key per epoch; compact
+    ``last_epochs`` offline with ``cdc.latest_by_key`` when epoch
+    count grows, like the dedup band index."""
+    keys = [key_col]
+    order = [ts_col] + ([order_col] if order_col is not None else [])
+    _check_reserved(
+        stream_df,
+        ["__ph", "__pl", "__mh", "__ml", "__last", "__cusum",
+         "cusum_high", "cusum_low"],
+        "stream_cusum",
+    )
+    t_hi = float(target) + float(slack)
+    t_lo = float(target) - float(slack)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+        b = batch_df.where(F.col(ts_col).isNotNull())
+        state = _prior_state(b.sparkSession, state_dir, e, keys, order)
+        if state is not None:
+            b = _nullsafe_equi_join(b, state, keys, "left")
+        else:
+            b = b.withColumn(
+                "__last",
+                F.lit(None).cast("struct<h:double,l:double>"),
+            )
+        v = F.col(value_col).cast("double")
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*[F.col(c) for c in order])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        b = b.withColumn("__ph", F.sum(v - F.lit(t_hi)).over(w)).withColumn(
+            "__pl", F.sum(F.lit(t_lo) - v).over(w)
+        )
+        wm = (
+            Window.partitionBy(*keys)
+            .orderBy(*[F.col(c) for c in order])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        seed_h = F.coalesce(F.col("__last.h"), F.lit(0.0))
+        seed_l = F.coalesce(F.col("__last.l"), F.lit(0.0))
+        ph = F.coalesce(F.col("__ph"), F.lit(0.0))
+        pl = F.coalesce(F.col("__pl"), F.lit(0.0))
+        # greatest skips the NULL min term (rows before any observed
+        # value in the batch), leaving the carried seed — the correct
+        # "statistic unchanged" answer for a NULL-valued prefix
+        hi = F.greatest(seed_h + ph, ph - F.min("__ph").over(wm))
+        lo = F.greatest(seed_l + pl, pl - F.min("__pl").over(wm))
+        stats = (
+            b.withColumn("cusum_high", hi)
+            .withColumn("cusum_low", lo)
+            .drop("__ph", "__pl", "__last")
+        )
+        alerts = stats.where(
+            (F.col("cusum_high") > F.lit(float(threshold)))
+            | (F.col("cusum_low") > F.lit(float(threshold)))
+        ).select(key_col, *order, value_col, "cusum_high", "cusum_low")
+        alerts.write.mode("overwrite").parquet(f"{sink}/__epoch={e}")
+        # state append AFTER the sink (replay rewrites both identically)
+        carried = stats.withColumn(
+            "__cusum",
+            F.struct(
+                F.col("cusum_high").alias("h"), F.col("cusum_low").alias("l")
+            ),
+        )
+        _write_epoch_state(carried, keys, order, "__cusum", state_dir, e)
+        if on_batch is not None:
+            on_batch(alerts, e)
+
+    writer = stream_df.writeStream.foreachBatch(process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
