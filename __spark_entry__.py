@@ -5140,6 +5140,46 @@ ORDER BY event_id
 """
 
 
+def q_table_checksum_orders(spark, sf_dir):
+    """Order-insensitive table checksum (sketches.py table_checksum):
+    per-o_orderpriority content fingerprint over the exact-rendering
+    columns — count plus two 32-bit XOR lanes and a mod-2^20 sum lane
+    of the per-row md5. Any row order, any partitioning, any engine
+    produces the same four numbers; the oracle replays md5 →
+    lane-extract → XOR/sum in DuckDB (md5 and the chr(31)/chr(30)
+    separators render identically). One changed/extra/missing row in
+    60k reddens the hash."""
+    from pandera_forge_spark.sketches import table_checksum
+
+    orders = _t(spark, sf_dir, "orders")
+    return table_checksum(
+        orders,
+        cols=["o_orderkey", "o_custkey", "o_orderstatus"],
+        group_cols=["o_orderpriority"],
+    ).orderBy("o_orderpriority")
+
+
+SQL_TABLE_CHECKSUM_ORDERS = """
+WITH h AS (
+  SELECT o_orderpriority,
+         md5(concat_ws(chr(31),
+             COALESCE(CAST(o_orderkey AS VARCHAR), chr(30)),
+             COALESCE(CAST(o_custkey AS VARCHAR), chr(30)),
+             COALESCE(o_orderstatus, chr(30)))) AS h
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(CAST(('0x' || substr(h, 1, 8))::UBIGINT AS BIGINT))
+            AS BIGINT) AS xor_lo,
+       CAST(bit_xor(CAST(('0x' || substr(h, 9, 8))::UBIGINT AS BIGINT))
+            AS BIGINT) AS xor_hi,
+       CAST(SUM(('0x' || substr(h, 17, 8))::UBIGINT % 1048576)
+            AS BIGINT) AS sum_mod
+FROM h GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_score_calibration(spark, sf_dir):
     """Per-group percentile calibration (operators/sampling.py
     calibrate_scores): every event's value mapped to its mid-rank
@@ -5206,11 +5246,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   24-27: the final-session operators (k-anonymity, l-diversity,
     #         forward-fill resample, join-key discovery) — never
     #         driver-verified, same rule,
-    #   28-32: the this-session operators (CUSUM changepoints,
+    #   28-33: the this-session operators (CUSUM changepoints,
     #         linear-interpolation resample, reciprocal best match,
-    #         score calibration, streaming CUSUM monitor) — never
-    #         driver-verified, same rule,
-    #   33-50: the round-3-verified tail (18 of its 49 queries).
+    #         score calibration, streaming CUSUM monitor, table
+    #         checksum) — never driver-verified, same rule,
+    #   34-50: the round-3-verified tail (17 of its 49 queries).
     # The window holds 50; the rest of the r3-green tail plus the
     # split-path twins rolling_anomalies_split / sequence_gaps_split
     # stay at positions 51+; each is a parameter-variant or
@@ -5256,6 +5296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_best_fuzzy": q_mutual_best_fuzzy,
         "score_calibration": q_score_calibration,
         "stream_cusum_epochs": q_stream_cusum_epochs,
+        "table_checksum_orders": q_table_checksum_orders,
         # -- round-3-verified tail, rotated in (last driver-green r3) ----------
         "profile_fused_orders": q_profile_fused_orders,
         "topk_returnflag": q_topk_returnflag,
@@ -5266,7 +5307,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "sketch_merge_exact": q_sketch_merge_exact,
         "pipeline_verdicts": q_pipeline_verdicts,
-        "span_order_violations": q_span_order_violations,
         "span_sequence_mismatches": q_span_sequence_mismatches,
         "span_profile": q_span_profile,
         "exact_dup_groups": q_exact_dup_groups,
@@ -5382,6 +5422,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hub-cap machinery as in-window near_dup_minhash (band equality
         # on simhash chunks vs minhash signatures; the hub cap itself
         # also tail-anchored by near_dup_viral_capped's rationale),
+        # span_order_violations (r3-green) = the same explode-then-
+        # aggregate span walk as in-window span_sequence_mismatches /
+        # span_profile; its zip_with offset comparator is the ladder
+        # machinery driver-anchored r4 by winnow_fingerprints (the
+        # span_transitions precedent),
         # entropy_lineitem (r3-green) = the same single-melt fused
         # aggregation skeleton as in-window profile_fused_orders, only
         # the per-cell reduction (Shannon H) differs,
@@ -5398,6 +5443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # via near_dup_minhash.
         "cusum_alerts_split": q_cusum_alerts_split,
         "near_dup_simhash": q_near_dup_simhash,
+        "span_order_violations": q_span_order_violations,
         "entropy_lineitem": q_entropy_lineitem,
         "quantile_events": q_quantile_events,
         "embedding_health": q_embedding_health,
@@ -5611,6 +5657,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_alerts": SQL_CUSUM_ALERTS,
         "cusum_alerts_split": SQL_CUSUM_ALERTS,
         "stream_cusum_epochs": SQL_STREAM_CUSUM_EPOCHS,
+        "table_checksum_orders": SQL_TABLE_CHECKSUM_ORDERS,
         "gapfill_interp_user": SQL_GAPFILL_INTERP_USER,
         "mutual_best_fuzzy": SQL_MUTUAL_BEST_FUZZY,
         "score_calibration": SQL_SCORE_CALIBRATION,

@@ -37,9 +37,11 @@ from pandera_forge_spark.sketches import (
     cms_partition_sketch,
     incremental_sketch_store,
     load_sketch_store,
+    merge_checksums,
     merge_sketches,
     new_key_estimate,
     partition_sketches,
+    table_checksum,
     update_sketches,
 )
 from pandera_forge_spark.patterns import NAMED_PATTERNS
@@ -182,6 +184,8 @@ __all__ = [
     "profile_table",
     "profile_by_group",
     "partition_sketches",
+    "table_checksum",
+    "merge_checksums",
     "merge_sketches",
     "update_sketches",
     "cms_partition_sketch",

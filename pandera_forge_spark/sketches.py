@@ -561,3 +561,122 @@ def cms_estimate(keys_df: DataFrame, sketch_df: DataFrame, key_col: str) -> Data
     # depth=1 is a legitimate CMS; F.least needs two columns
     est = lookups[0] if d == 1 else F.least(*lookups)
     return probe.withColumn("est", est.cast("long")).drop("__cms")
+
+
+# ---------------------------------------------------------------------------
+# Order-insensitive table checksum (cross-environment equality audit)
+# ---------------------------------------------------------------------------
+
+# Only types whose CAST-to-string renders identically on every engine may
+# enter the fingerprint: floats/doubles (shortest-repr vs %g), decimals
+# (scale padding) and timestamps (fractional-second trimming) all have
+# engine-specific string forms that would make equal tables hash unequal.
+_CHECKSUM_EXACT = ("tinyint", "smallint", "int", "bigint", "string",
+                   "varchar", "char", "boolean", "date")
+
+
+def row_fingerprint(cols: Sequence, *, null_marker: str = "\x1e",
+                    sep: str = "\x1f"):
+    """md5 over the unit-separated, NULL-marked string rendering of the
+    given columns — the per-row content hash under every checksum lane.
+    ``coalesce`` runs BEFORE concat_ws because both Spark and DuckDB
+    concat_ws silently SKIP NULLs, which would make ('a', NULL, 'b')
+    collide with ('a', 'b', NULL); the markers are control characters
+    no sane data column contains (collisions with data containing them
+    are possible but flagged in the docstring, not fenced — fencing
+    would cost a full scan)."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit(null_marker)) for c in cols
+    ]
+    return F.md5(F.concat_ws(sep, *parts))
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: Optional[Sequence[str]] = None,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Order-insensitive, mergeable fingerprint of a table's CONTENT:
+    per group (or whole-table), ``n_rows`` plus three independent
+    lanes of the per-row md5 — ``xor_lo``/``xor_hi`` (bitwise XOR of
+    two 32-bit hash chunks; XOR is commutative/associative, so any
+    partitioning and any row order produce the same value) and
+    ``sum_mod`` (a third chunk mod 2^20, summed — catches the
+    duplicate-pair cancellation XOR alone is blind to: two identical
+    rows XOR to zero but still add twice). Two environments hold the
+    same rows iff all four numbers match per group — the "did the
+    replication/migration/backfill produce the same table" audit that
+    needs NO data movement and no sort.
+
+    Lanes are chosen to stay in engine-exact integer ranges at 10^12
+    rows: XOR never grows, and sum_mod <= rows x 2^20 ~ 10^18 < 2^63,
+    so no overflow (Spark ANSI would raise) and no DECIMAL/HUGEINT
+    type divergence. The aggregation is algebraic — map-side partial,
+    one reduce, O(groups) output; merging per-partition checksum rows
+    into a table row is the same fold (``merge_checksums``).
+
+    Only exact-string-rendering column types are allowed (ints,
+    strings, boolean, date); floats/decimals/timestamps raise with
+    guidance — cast to an exact form first (e.g. timestamp ->
+    ``unix_micros``, double -> a fixed-point long) so both
+    environments hash the same rendering."""
+    keys = list(group_cols)
+    cs = list(cols) if cols is not None else [c for c in df.columns if c not in keys]
+    if not cs:
+        raise ValueError("table_checksum: no columns to fingerprint")
+    dt = dict(df.dtypes)
+    for c in cs + keys:
+        if c not in df.columns:
+            raise ValueError(f"table_checksum: column {c!r} missing")
+    bad = [
+        (c, dt[c])
+        for c in cs
+        if not (dt[c] in _CHECKSUM_EXACT or dt[c].startswith("varchar")
+                or dt[c].startswith("char"))
+    ]
+    if bad:
+        raise ValueError(
+            "table_checksum: columns with engine-dependent string "
+            f"rendering {bad} — cast to an exact form first (timestamp "
+            "-> unix_micros(ts), double -> CAST(x*10^k AS LONG), "
+            "decimal -> CAST(x AS STRING) only if scale-stable)"
+        )
+    h = row_fingerprint(cs)
+    lo = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    hi = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    md = F.conv(F.substring(h, 17, 8), 16, 10).cast("long") % F.lit(1048576)
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(__cs_lo)").alias("xor_lo"),
+        F.expr("bit_xor(__cs_hi)").alias("xor_hi"),
+        F.sum("__cs_md").alias("sum_mod"),
+    ]
+    based = (
+        df.withColumn("__cs_lo", lo)
+        .withColumn("__cs_hi", hi)
+        .withColumn("__cs_md", md)
+    )
+    if keys:
+        return based.groupBy(*keys).agg(*aggs)
+    return based.agg(*aggs)
+
+
+def merge_checksums(
+    checksum_df: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Fold per-partition/per-group checksum rows (the output of
+    ``table_checksum``) into coarser rows: counts and mod-sums add,
+    XOR lanes XOR — the same algebra that made the lanes
+    order-insensitive makes them mergeable, so per-partition audit
+    rows written at ingest time roll up to a table fingerprint with
+    no rescan (the incremental-sketch-store pattern)."""
+    keys = list(group_cols)
+    aggs = [
+        F.sum("n_rows").alias("n_rows"),
+        F.expr("bit_xor(xor_lo)").alias("xor_lo"),
+        F.expr("bit_xor(xor_hi)").alias("xor_hi"),
+        F.sum("sum_mod").alias("sum_mod"),
+    ]
+    if keys:
+        return checksum_df.groupBy(*keys).agg(*aggs)
+    return checksum_df.agg(*aggs)

