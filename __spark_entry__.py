@@ -5219,6 +5219,107 @@ ORDER BY b.event_id
 """
 
 
+def q_scd2_user_history(spark, sf_dir):
+    """Type-2 validity-interval history (operators/cdc.scd2_history)
+    from a changelog derived deterministically from events: op = 'D'
+    for every 5th error event, 'U' otherwise; per user, each surviving
+    change holds from its own ts until the next change (LEAD), deletes
+    close intervals without emitting rows. One lead window — the
+    ``_with_next`` kernel — and a filter; the oracle replays the same
+    LEAD in DuckDB. event_id rides in the payload so interval identity
+    is total even if two events of a user share a timestamp."""
+    from pandera_forge_spark.operators.cdc import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    ch = ev.withColumn(
+        "op",
+        F.when(
+            (F.col("event_type") == "error") & (F.col("event_id") % 5 == 0), "D"
+        ).otherwise("U"),
+    )
+    out = scd2_history(
+        ch,
+        ["user_id"],
+        "ts",
+        tiebreak_cols=["event_id"],
+        op_col="op",
+        payload_cols=["event_id", "event_type", "value"],
+    )
+    return out.orderBy("user_id", "valid_from", "event_id")
+
+
+SQL_SCD2_USER_HISTORY = """
+WITH ch AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_type = 'error' AND event_id % 5 = 0
+              THEN 'D' ELSE 'U' END AS op
+  FROM events
+), led AS (
+  SELECT user_id, event_id, event_type, value, op,
+         ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM ch
+)
+SELECT user_id, event_id, event_type, value, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM led WHERE op <> 'D'
+ORDER BY user_id, valid_from, event_id
+"""
+
+
+def q_twa_user_value(spark, sf_dir):
+    """Per-user time-weighted average of value
+    (operators/temporal.time_weighted_average): each observation holds
+    until the user's next event. Exactness strategy: timestamps floored
+    to whole epoch seconds and values scaled to integer centi-units
+    (floor(v*100 + 0.5) — identical IEEE ops on both engines, the
+    round() trap from BASELINE.md gotchas), so every product and both
+    sums are exact integers in doubles and the single division is
+    bit-deterministic. DuckDB widens SUM(BIGINT) to HUGEINT — the
+    oracle CASTs both sums to DOUBLE (exact, < 2^53) before dividing,
+    matching Spark's double aggregation."""
+    from pandera_forge_spark.operators.temporal import time_weighted_average
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("ts").cast("timestamp_ltz").cast("double"))
+        .cast("bigint")
+        .alias("ts_sec"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    out = time_weighted_average(
+        base, ["user_id"], "ts_sec", "v", order_cols=["ts_sec", "event_id"]
+    )
+    return out.orderBy("user_id")
+
+
+SQL_TWA_USER_VALUE = """
+WITH base AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+         CAST(FLOOR(value * 100 + 0.5e0) AS BIGINT) AS v
+  FROM events
+), led AS (
+  SELECT user_id, v, ts_sec,
+         LEAD(ts_sec) OVER (PARTITION BY user_id
+                            ORDER BY ts_sec, event_id) AS nxt
+  FROM base
+), seg AS (
+  SELECT user_id, v,
+         CASE WHEN v IS NOT NULL AND nxt >= ts_sec
+              THEN nxt - ts_sec END AS dur
+  FROM led
+)
+SELECT user_id,
+       CAST(SUM(v * dur) AS DOUBLE) AS weighted_sum,
+       CAST(SUM(dur) AS DOUBLE) AS covered_seconds,
+       CAST(SUM(v * dur) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE) AS twa
+FROM seg GROUP BY 1 ORDER BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -5246,11 +5347,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   24-27: the final-session operators (k-anonymity, l-diversity,
     #         forward-fill resample, join-key discovery) — never
     #         driver-verified, same rule,
-    #   28-33: the this-session operators (CUSUM changepoints,
+    #   28-35: the this-session operators (CUSUM changepoints,
     #         linear-interpolation resample, reciprocal best match,
     #         score calibration, streaming CUSUM monitor, table
-    #         checksum) — never driver-verified, same rule,
-    #   34-50: the round-3-verified tail (17 of its 49 queries).
+    #         checksum, SCD2 history, time-weighted average) — never
+    #         driver-verified, same rule,
+    #   36-50: the round-3-verified tail (15 of its 49 queries;
+    #         drift_orders and pattern_ratios moved to 51+ — each has
+    #         an r4-green driver anchor for its shared code path,
+    #         rationale inline below).
     # The window holds 50; the rest of the r3-green tail plus the
     # split-path twins rolling_anomalies_split / sequence_gaps_split
     # stay at positions 51+; each is a parameter-variant or
@@ -5297,13 +5402,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_calibration": q_score_calibration,
         "stream_cusum_epochs": q_stream_cusum_epochs,
         "table_checksum_orders": q_table_checksum_orders,
+        "scd2_user_history": q_scd2_user_history,
+        "twa_user_value": q_twa_user_value,
         # -- round-3-verified tail, rotated in (last driver-green r3) ----------
         "profile_fused_orders": q_profile_fused_orders,
         "topk_returnflag": q_topk_returnflag,
         "ri_customers_without_orders": q_ri_customers_without_orders,
-        "pattern_ratios": q_pattern_ratios,
         "validation_verdicts_lineitem": q_validation_verdicts_lineitem,
-        "drift_orders": q_drift_orders,
         "snapshot_diff": q_snapshot_diff,
         "sketch_merge_exact": q_sketch_merge_exact,
         "pipeline_verdicts": q_pipeline_verdicts,
@@ -5371,8 +5476,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle SQL, split==unsplit pytest-asserted
         # (tests/test_sequence_checks.py),
         # drift_categorical = the categorical mode of the same drift
-        # operator as drift_orders (numeric mode in-window; both modes
-        # share binning/PSI code, split only at the bucket-key expr),
+        # operator as drift_orders (r3-green, just below; the shared
+        # PSI path is driver-green r4 via drift_verdicts_orders —
+        # both modes share binning/PSI code, split only at the
+        # bucket-key expr),
         # rolling_anomalies_split = the split_every path of
         # rolling_anomalies (in-window) checked against the IDENTICAL
         # oracle SQL, and split==unsplit is pytest-asserted
@@ -5440,7 +5547,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # band_index_probe (r3-green) = the persisted-index probe whose
         # logic is exact-equivalence-asserted by pytest against
         # incremental_near_dup and whose banding kernel is in-window
-        # via near_dup_minhash.
+        # via near_dup_minhash,
+        # drift_orders (r3-green) = the pre-threshold PSI/KS frame of
+        # the SAME drift.py path whose thresholded verdicts are
+        # driver-green r4 (drift_verdicts_orders wraps the same
+        # drift_by_partition output and its oracle SQL is literally
+        # derived from _sql_drift_orders()); displaced to admit the
+        # never-verified scd2/twa rows,
+        # pattern_ratios (r3-green) = the full-scan form of the
+        # 17-regex pattern membership whose dict and ratio expressions
+        # are driver-green r4 inside profile_lineitem's seeded-sample
+        # pattern pass (same patterns.py code, different input frame);
+        # displaced for the same reason.
+        "drift_orders": q_drift_orders,
+        "pattern_ratios": q_pattern_ratios,
         "cusum_alerts_split": q_cusum_alerts_split,
         "near_dup_simhash": q_near_dup_simhash,
         "span_order_violations": q_span_order_violations,
@@ -5658,6 +5778,8 @@ def oracle_sql() -> dict[str, str]:
         "cusum_alerts_split": SQL_CUSUM_ALERTS,
         "stream_cusum_epochs": SQL_STREAM_CUSUM_EPOCHS,
         "table_checksum_orders": SQL_TABLE_CHECKSUM_ORDERS,
+        "scd2_user_history": SQL_SCD2_USER_HISTORY,
+        "twa_user_value": SQL_TWA_USER_VALUE,
         "gapfill_interp_user": SQL_GAPFILL_INTERP_USER,
         "mutual_best_fuzzy": SQL_MUTUAL_BEST_FUZZY,
         "score_calibration": SQL_SCORE_CALIBRATION,

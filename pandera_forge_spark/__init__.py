@@ -108,8 +108,13 @@ from pandera_forge_spark.operators.temporal import (
     session_stats,
     sessionize,
     time_rollup,
+    time_weighted_average,
 )
-from pandera_forge_spark.operators.cdc import apply_changelog, latest_by_key
+from pandera_forge_spark.operators.cdc import (
+    apply_changelog,
+    latest_by_key,
+    scd2_history,
+)
 from pandera_forge_spark.operators.sampling import (
     calibrate_scores,
     mixture_quotas,
@@ -258,6 +263,8 @@ __all__ = [
     "time_rollup",
     "apply_changelog",
     "latest_by_key",
+    "scd2_history",
+    "time_weighted_average",
     "span_ref_violations",
     "functional_dependency_violations",
     "benford_profile",

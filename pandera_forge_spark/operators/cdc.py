@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pandera_forge_spark.operators.temporal import (
     _last_row_struct,
     _nullsafe_equi_join,
+    _with_next,
 )
 
 
@@ -165,3 +166,73 @@ def apply_changelog(
         ~F.col(op_col).isin(list(delete_values)) | F.col(op_col).isNull()
     ).select(*out_cols)
     return survivors.unionByName(upserts)
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_cols: Sequence[str] = (),
+    op_col: Optional[str] = None,
+    delete_values: Sequence[str] = ("D",),
+    payload_cols: Optional[Sequence[str]] = None,
+    split_every: Optional[float] = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an append-only
+    changelog: one VALIDITY INTERVAL per surviving change — the row's
+    payload held from its own timestamp (``valid_from``) until the next
+    change of the same key (``valid_to``, NULL while still open), with
+    ``is_current`` marking the open row. The companion of
+    ``latest_by_key`` (which keeps only the newest state) and the shape
+    every as-of auditing/"what did the record say on date X" question
+    needs; the reference profiles a single static snapshot
+    (generator.py:59-94) and has no history notion — this is the
+    north-rule lineage extension that PRODUCES the as-of snapshots its
+    validators then profile.
+
+    Delete semantics: a change whose ``op_col`` is in ``delete_values``
+    CLOSES the previous interval at its timestamp (it is the previous
+    row's ``valid_to`` via lead) but emits no interval row itself — a
+    deleted key has no current row. With ``op_col=None`` every change
+    is an upsert. A NULL op is an upsert (same 3VL rule as
+    ``apply_changelog`` — ``isin`` would otherwise silently delete).
+
+    Determinism: ``(ts_col, *tiebreak_cols)`` must be total per key
+    (append a unique change id); a tie makes interval attribution
+    nondeterministic. NULL timestamps sort first (Spark ASC; pin NULLS
+    FIRST in any DuckDB replay) and open an interval whose
+    ``valid_from`` is NULL.
+
+    Output: ``key_cols + payload + (valid_from, valid_to, is_current)``
+    where valid_from/valid_to keep ``ts_col``'s dtype.
+
+    Scale: exactly one lead window (the ``_with_next`` kernel — one
+    shuffle on the key, O(1) state, external sort) and a filter; no
+    joins, nothing proportional to history depth beyond the sort.
+    ``split_every`` bounds a hot key's sort at one time chunk, output
+    identical to the unsplit path (pytest-asserted)."""
+    keys = list(key_cols)
+    order = [ts_col] + list(tiebreak_cols)
+    for c in ("valid_from", "valid_to", "is_current"):
+        if c in changes.columns:
+            raise ValueError(
+                f"input already has a {c!r} column — rename it; the "
+                "history attaches its own"
+            )
+    if payload_cols is None:
+        taken = set(keys) | set(order) | ({op_col} if op_col else set())
+        payload = [c for c in changes.columns if c not in taken]
+    else:
+        payload = list(payload_cols)
+    out = _with_next(changes, keys, order, {"valid_to": ts_col}, split_every)
+    if op_col is not None:
+        out = out.where(
+            ~F.col(op_col).isin(list(delete_values)) | F.col(op_col).isNull()
+        )
+    return out.select(
+        *keys,
+        *payload,
+        F.col(ts_col).alias("valid_from"),
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )

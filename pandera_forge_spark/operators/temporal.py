@@ -792,6 +792,163 @@ def _with_prev(
     return out.drop("__chunk", "__rn", "__carry")
 
 
+def _first_row_struct(order_cols: Sequence[str], capture_cols: Sequence[str]):
+    """``min()`` operand picking the row with the SMALLEST
+    ``order_cols`` tuple — the mirror of ``_last_row_struct`` for
+    lead-shaped stitches. Spark struct comparison puts NULL fields
+    lowest, so a NULL-order row wins the min exactly as it sorts FIRST
+    under the window's ASC default — kernel and window agree on which
+    row is "first"."""
+    return F.min(
+        F.struct(
+            *[F.col(c).alias(c) for c in order_cols],
+            F.struct(*[F.col(c).alias(c) for c in capture_cols]).alias("__cap"),
+        )
+    )
+
+
+def _with_next(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    capture: dict,
+    split_every: Optional[float] = None,
+) -> DataFrame:
+    """Attach, for every row, values captured from the NEXT row of the
+    same key in ``order_cols`` order — the ``lead`` mirror of
+    ``_with_prev``: ``capture`` maps output column name -> source
+    column name; the last row of a key gets NULLs. Powers
+    ``cdc.scd2_history`` (validity-interval close) and
+    ``time_weighted_average`` (segment duration).
+
+    Unsplit: one ``lead`` window — one shuffle on the key, O(1) window
+    state, external per-key sort (a hot key is slow, never OOM).
+
+    ``split_every`` bounds a hot key's sort symmetrically to
+    ``_with_prev``: rows chunk on ``floor(order_cols[0] /
+    split_every)``, lead runs per (key, chunk), and each chunk's LAST
+    row takes its next from the FOLLOWING chunk's first-row summary —
+    ``_first_row_struct`` per (key, chunk) plus a per-chunk row count
+    to identify the last in-chunk row (the multi-column order tuple
+    cannot be reversed generically, so "last" comes from ``__rn ==
+    count`` rather than a descending rank). Equal first-order values
+    always share a chunk, so chunked order == global order and the
+    output is identical to the unsplit path (pytest-asserted)."""
+    _check_split_every(split_every)
+    keys = list(key_cols)
+    order = list(order_cols)
+    srcs = list(dict.fromkeys(capture.values()))
+    if split_every is None:
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+        out = df
+        for name, src in capture.items():
+            out = out.withColumn(name, F.lead(F.col(src)).over(w))
+        return out
+    _check_chunkable_dtype(df, order[0], "first order column")
+    _check_reserved(df, ["__chunk", "__rn", "__cnt", "__carry"], "_with_next")
+    chunk = _chunk_of(_seconds(df, order[0]), split_every)
+    base = df.withColumn("__chunk", chunk)
+    wc = Window.partitionBy(*keys, "__chunk").orderBy(*[F.col(c) for c in order])
+    out = base.withColumn("__rn", F.row_number().over(wc))
+    for name, src in capture.items():
+        out = out.withColumn(name, F.lead(F.col(src)).over(wc))
+    first = _first_row_struct(order, srcs).alias("__first")
+    ws = Window.partitionBy(*keys).orderBy(F.col("__chunk"))
+    summ = (
+        base.groupBy(*keys, "__chunk")
+        .agg(first, F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            *keys,
+            "__chunk",
+            "__cnt",
+            F.lead(F.col("__first.__cap")).over(ws).alias("__carry"),
+        )
+    )
+    out = _nullsafe_equi_join(out, summ, keys + ["__chunk"], "left")
+    for name, src in capture.items():
+        out = out.withColumn(
+            name,
+            F.when(F.col("__rn") == F.col("__cnt"), F.col(f"__carry.{src}")).otherwise(
+                F.col(name)
+            ),
+        )
+    return out.drop("__chunk", "__rn", "__cnt", "__carry")
+
+
+def time_weighted_average(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    order_cols: Optional[Sequence[str]] = None,
+    end_ts: Optional[float] = None,
+    split_every: Optional[float] = None,
+) -> DataFrame:
+    """Time-weighted average of a piecewise-constant signal per key —
+    the TWAP/utilization primitive a plain ``avg`` gets wrong whenever
+    observations are unevenly spaced (a sensor that reports on change,
+    a price feed, a gauge metric): each observation holds from its own
+    timestamp until the NEXT observation of the same key, so its weight
+    is that duration, not 1. The reference has only unweighted
+    describe-stats (field_analyzer min/max/mean); this is the
+    north-rule temporal extension of the same per-column statistic.
+
+    ``end_ts`` (epoch seconds) extends the LAST observation of every
+    key to a known horizon (a day boundary, "now"); without it the
+    last segment has unknown duration and is excluded — the
+    conventional closed-interval TWAP over [first_ts, last_ts]. A key
+    whose last observation is AFTER ``end_ts`` has that one segment
+    masked out (a negative duration would silently subtract coverage).
+
+    Rows with a NULL value are masked out of BOTH sums (their segment
+    is "signal unknown", not "signal zero"); a NULL timestamp sorts
+    first and yields NULL durations that likewise drop out. Ties on the
+    order tuple make segment attribution nondeterministic — append a
+    unique id via ``order_cols`` (defaults to ``[ts_col]``).
+
+    Output: one row per key — ``weighted_sum`` (sum of value x
+    seconds), ``covered_seconds``, ``twa = weighted_sum /
+    covered_seconds`` (NULL when nothing is covered, via try_divide —
+    ANSI mode would otherwise abort on a single-observation key).
+
+    Scale: one ``_with_next`` lead (one shuffle, O(1) state,
+    ``split_every`` caps hot-key sorts) + one algebraic groupBy that
+    partial-aggregates map-side. Exactness: with integer-valued value
+    and whole-second timestamps every product and both sums are exact
+    integers in doubles, so the single final division is deterministic
+    and engine-replayable (the oracle strategy)."""
+    keys = list(key_cols)
+    order = list(order_cols) if order_cols is not None else [ts_col]
+    if order[0] != ts_col:
+        # durations are next_ts - ts along the order; any other leading
+        # order column can make them negative and silently poison the
+        # sums — same fence shape as interval_overlaps' start-major rule
+        raise ValueError(
+            f"order_cols must lead with ts_col ({ts_col!r}); got "
+            f"{order[0]!r} — append tiebreaks after it instead"
+        )
+    _check_reserved(df, ["__next_ts"], "time_weighted_average")
+    out = _with_next(df, keys, order, {"__next_ts": ts_col}, split_every)
+    sec = _seconds(out, ts_col)
+    nxt = _seconds(out, "__next_ts")
+    if end_ts is not None:
+        nxt = F.coalesce(nxt, F.lit(float(end_ts)))
+    # an end_ts earlier than a key's last observation would make that
+    # segment NEGATIVE and silently subtract from both sums — mask it
+    # out instead (ts-major order guarantees every in-sequence segment
+    # is >= 0, so only the end_ts segment can trip this)
+    dur = F.when(F.col(value_col).isNotNull() & (nxt >= sec), nxt - sec)
+    wsum = F.sum(F.col(value_col) * dur).alias("weighted_sum")
+    cov = F.sum(dur).alias("covered_seconds")
+    return (
+        out.groupBy(*keys)
+        .agg(wsum, cov)
+        .withColumn(
+            "twa", F.try_divide(F.col("weighted_sum"), F.col("covered_seconds"))
+        )
+    )
+
+
 def interval_overlaps(
     df: DataFrame,
     key_cols: Sequence[str],
