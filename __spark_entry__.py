@@ -5320,6 +5320,90 @@ FROM seg GROUP BY 1 ORDER BY 1
 """
 
 
+def q_cube_profile_orders(spark, sf_dir):
+    """Full grouping-set lattice profile (profiler.cube_profile) over
+    orders: rows, o_totalprice null count and min/max, and exact
+    o_custkey distinct for every cell of CUBE(o_orderpriority,
+    o_orderstatus) — one Expand+aggregate pass; the oracle is DuckDB's
+    own GROUP BY CUBE with GROUPING() flags."""
+    from pandera_forge_spark.profiler import cube_profile
+
+    orders = _t(spark, sf_dir, "orders")
+    out = cube_profile(
+        orders,
+        ["o_orderpriority", "o_orderstatus"],
+        ["o_totalprice"],
+        distinct_cols=["o_custkey"],
+    )
+    return out.orderBy(
+        "o_orderpriority_grouped",
+        "o_orderstatus_grouped",
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+
+
+SQL_CUBE_PROFILE_ORDERS = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) AS INT) AS o_orderpriority_grouped,
+       CAST(GROUPING(o_orderstatus) AS INT) AS o_orderstatus_grouped,
+       COUNT(*) AS "rows",
+       COUNT(*) - COUNT(o_totalprice) AS o_totalprice_nulls,
+       MIN(o_totalprice) AS o_totalprice_min,
+       MAX(o_totalprice) AS o_totalprice_max,
+       COUNT(DISTINCT o_custkey) AS o_custkey_distinct
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY 3, 4, 1, 2
+"""
+
+
+def q_split_balance(spark, sf_dir):
+    """Hash-split allocation audit (operators/sampling.py
+    split_balance_report) over documents at 80/10/10: per arm, the
+    observed count vs expected mass and the per-arm chi-square term
+    (emitted per arm, never cross-arm float-summed, so the output is
+    engine-exact). The oracle replays the md5 assignment and the same
+    (obs-exp)^2/exp arithmetic from exact integers."""
+    from pandera_forge_spark.operators.sampling import split_balance_report
+
+    docs = _t(spark, sf_dir, "documents")
+    out = split_balance_report(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="bal5"
+    )
+    return out.orderBy("split")
+
+
+SQL_SPLIT_BALANCE = """
+WITH u AS (
+  SELECT ('0x' || substr(md5('bal5' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 8))::UBIGINT
+           / 4294967296.0 AS frac
+  FROM documents
+), labeled AS (
+  SELECT CASE WHEN frac < 0.8e0 THEN 'train'
+              WHEN frac < 0.9e0 THEN 'val'
+              ELSE 'test' END AS split
+  FROM u
+), counts AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS observed FROM labeled GROUP BY 1
+), arms AS (
+  SELECT * FROM (VALUES ('train', 0.8e0), ('val', 0.1e0), ('test', 0.1e0))
+       AS t(split, expected_fraction)
+), joined AS (
+  SELECT a.split, a.expected_fraction,
+         COALESCE(c.observed, 0) AS observed
+  FROM arms a LEFT JOIN counts c ON a.split = c.split
+)
+SELECT split, expected_fraction, observed,
+       CAST(SUM(observed) OVER () AS BIGINT) AS total,
+       SUM(observed) OVER () * expected_fraction AS expected,
+       (observed - SUM(observed) OVER () * expected_fraction)
+         * (observed - SUM(observed) OVER () * expected_fraction)
+         / (SUM(observed) OVER () * expected_fraction) AS chi2_term
+FROM joined ORDER BY split
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -5347,15 +5431,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   24-27: the final-session operators (k-anonymity, l-diversity,
     #         forward-fill resample, join-key discovery) — never
     #         driver-verified, same rule,
-    #   28-35: the this-session operators (CUSUM changepoints,
+    #   28-36: the this-session operators (CUSUM changepoints,
     #         linear-interpolation resample, reciprocal best match,
     #         score calibration, streaming CUSUM monitor, table
-    #         checksum, SCD2 history, time-weighted average) — never
-    #         driver-verified, same rule,
-    #   36-50: the round-3-verified tail (15 of its 49 queries;
-    #         drift_orders and pattern_ratios moved to 51+ — each has
-    #         an r4-green driver anchor for its shared code path,
-    #         rationale inline below).
+    #         checksum, SCD2 history, time-weighted average,
+    #         cube/grouping-sets profile) — never driver-verified,
+    #         same rule,
+    #   37-50: the round-3-verified tail (14 of its 49 queries;
+    #         drift_orders, pattern_ratios and profile_fused_orders
+    #         moved to 51+ — each has an r4-green driver anchor for
+    #         its shared code path, rationale inline below).
     # The window holds 50; the rest of the r3-green tail plus the
     # split-path twins rolling_anomalies_split / sequence_gaps_split
     # stay at positions 51+; each is a parameter-variant or
@@ -5404,8 +5489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_checksum_orders": q_table_checksum_orders,
         "scd2_user_history": q_scd2_user_history,
         "twa_user_value": q_twa_user_value,
+        "cube_profile_orders": q_cube_profile_orders,
         # -- round-3-verified tail, rotated in (last driver-green r3) ----------
-        "profile_fused_orders": q_profile_fused_orders,
         "topk_returnflag": q_topk_returnflag,
         "ri_customers_without_orders": q_ri_customers_without_orders,
         "validation_verdicts_lineitem": q_validation_verdicts_lineitem,
@@ -5484,10 +5569,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rolling_anomalies (in-window) checked against the IDENTICAL
         # oracle SQL, and split==unsplit is pytest-asserted
         # (tests/test_temporal.py) — the sessions_user_split precedent,
-        # uniqueness_orders = the uniqueness rule of the same fused
-        # profile aggregation as profile_fused_orders (in-window), and
-        # the same validator uniqueness family as duplicate_order_rows
-        # (driver-green r4),
+        # uniqueness_orders = the COUNT(DISTINCT)=COUNT uniqueness rule
+        # driver-green r4 via inferred_schema_region (same expression)
+        # and the same validator uniqueness family as
+        # duplicate_order_rows (driver-green r4); its fused-aggregation
+        # home is r4-green via profile_lineitem,
         # span_transitions = the same explode-then-aggregate span walk
         # as span_profile (in-window); its zip_with-bigram comparator
         # is the ladder machinery driver-anchored r4 by
@@ -5558,9 +5644,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 17-regex pattern membership whose dict and ratio expressions
         # are driver-green r4 inside profile_lineitem's seeded-sample
         # pattern pass (same patterns.py code, different input frame);
-        # displaced for the same reason.
+        # displaced for the same reason,
+        # profile_fused_orders (r3-green) = the SAME fused_stats_frame
+        # aggregation driver-green r4 via profile_lineitem (all-columns
+        # single-row form) and profile_by_group_lineitem (grouped
+        # form) — only the input table differs; displaced to admit the
+        # never-verified cube_profile row (a genuinely new Expand /
+        # grouping-sets plan shape),
+        # split_balance (new this session) = in-window
+        # train_split_groups' md5 assignment (IDENTICAL routing SQL,
+        # driver row at position 7) composed with a count-per-arm +
+        # literal arms-frame join; the chi-square term is deterministic
+        # column algebra pytest-anchored incl. the pathological-key and
+        # zero-arm cases (tests/test_cube_srm.py).
         "drift_orders": q_drift_orders,
         "pattern_ratios": q_pattern_ratios,
+        "profile_fused_orders": q_profile_fused_orders,
+        "split_balance": q_split_balance,
         "cusum_alerts_split": q_cusum_alerts_split,
         "near_dup_simhash": q_near_dup_simhash,
         "span_order_violations": q_span_order_violations,
@@ -5780,6 +5880,8 @@ def oracle_sql() -> dict[str, str]:
         "table_checksum_orders": SQL_TABLE_CHECKSUM_ORDERS,
         "scd2_user_history": SQL_SCD2_USER_HISTORY,
         "twa_user_value": SQL_TWA_USER_VALUE,
+        "cube_profile_orders": SQL_CUBE_PROFILE_ORDERS,
+        "split_balance": SQL_SPLIT_BALANCE,
         "gapfill_interp_user": SQL_GAPFILL_INTERP_USER,
         "mutual_best_fuzzy": SQL_MUTUAL_BEST_FUZZY,
         "score_calibration": SQL_SCORE_CALIBRATION,

@@ -117,6 +117,7 @@ from pandera_forge_spark.operators.cdc import (
 )
 from pandera_forge_spark.operators.sampling import (
     calibrate_scores,
+    split_balance_report,
     mixture_quotas,
     mixture_sample,
     train_val_test_split,
@@ -146,6 +147,7 @@ from pandera_forge_spark.operators.text import chunk_documents, normalize_text
 from pandera_forge_spark.profiler import (
     benford_profile,
     correlation_matrix,
+    cube_profile,
     entropy_profile,
     null_correlation,
     quantile_profile,
@@ -269,6 +271,7 @@ __all__ = [
     "functional_dependency_violations",
     "benford_profile",
     "correlation_matrix",
+    "cube_profile",
     "entropy_profile",
     "null_correlation",
     "quantile_profile",
@@ -285,6 +288,7 @@ __all__ = [
     "fuzzy_join",
     "best_match_pairs",
     "calibrate_scores",
+    "split_balance_report",
     "fuzzy_pairs",
     "canonicalize_url",
     "domain_filter",

@@ -682,3 +682,77 @@ def calibrate_scores(
         )
     )
     return base.join(cdf, [group_col, "__b"], "left").drop("__b")
+
+
+def split_balance_report(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    group_col: Optional[str] = None,
+) -> DataFrame:
+    """Allocation audit for ``train_val_test_split`` (and any hash-
+    bucketed assignment): per split, the observed row count against the
+    expected mass, plus its chi-square term — the sample-ratio-mismatch
+    check. A healthy md5 split matches fractions to sampling noise; a
+    big term means the KEY is pathological (constant/low-cardinality
+    ids collapsing into one bucket, upstream filtering correlated with
+    the hash, a salt reused against a skewed group_col) — exactly the
+    silent eval-contamination failure a split audit exists to catch.
+
+    Every arm appears even at zero observed rows (a literal arms frame
+    left-joins the counts — a missing arm IS the finding). The
+    chi-square statistic is the SUM of ``chi2_term`` over arms; it is
+    emitted per-arm rather than summed so the output is engine-exact
+    (each term is one (obs-exp)^2/exp from exact integers — a cross-arm
+    float sum would depend on arm order) and so the report says WHICH
+    arm drifted. Degrees of freedom = arms - 1.
+
+    Scale: the assignment is the same zero-shuffle hash projection as
+    ``train_val_test_split``; the audit adds one algebraic groupBy over
+    ~|arms| cells (map-side combine reduces each task to at most one
+    row per arm) and a broadcast-sized join against the literal arms
+    frame. With ``group_col``, expected masses govern GROUP counts, so
+    the audit counts distinct groups (two-phase, still bounded by
+    |groups|), matching what the splitter actually randomizes."""
+    labeled = train_val_test_split(df, id_col, fractions, salt, group_col)
+    if group_col is None:
+        counts = labeled.groupBy("__split").agg(
+            F.count(F.lit(1)).alias("observed")
+        )
+    else:
+        # the splitter hashes the GROUP, so fractions promise group
+        # mass, not row mass — audit the thing that was randomized
+        counts = (
+            labeled.select("__split", group_col)
+            .groupBy("__split")
+            .agg(F.countDistinct(F.coalesce(
+                F.col(group_col).cast("string"), F.lit(""))).alias("observed"))
+        )
+    spark = df.sparkSession
+    arms = spark.createDataFrame(
+        [(k, float(v)) for k, v in fractions.items()],
+        "split string, expected_fraction double",
+    )
+    out = (
+        # broadcast the COUNTS side: Spark can't build the left side of
+        # a left-outer join, and counts is <= |arms| rows post-agg
+        arms.join(
+            F.broadcast(counts.withColumnRenamed("__split", "split")),
+            "split",
+            "left",
+        ).withColumn("observed", F.coalesce(F.col("observed"), F.lit(0)))
+    )
+    # unpartitioned window is safe here: the frame is |arms| rows
+    total = F.sum(F.col("observed")).over(Window.partitionBy())
+    out = out.withColumn("total", total)
+    exp = F.col("total") * F.col("expected_fraction")
+    return out.select(
+        "split",
+        "expected_fraction",
+        F.col("observed").cast("long").alias("observed"),
+        F.col("total").cast("long").alias("total"),
+        exp.alias("expected"),
+        F.try_divide((F.col("observed") - exp) * (F.col("observed") - exp), exp)
+        .alias("chi2_term"),
+    )

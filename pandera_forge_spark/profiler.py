@@ -803,3 +803,77 @@ def benford_profile(
         "chi2",
         "conforms",
     )
+
+
+def cube_profile(
+    df: DataFrame,
+    dims: Sequence[str],
+    metric_cols: Sequence[str],
+    mode: str = "cube",
+    distinct_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Multi-dimensional quality profile in ONE pass: row count, per-
+    metric null count and min/max for EVERY combination of the profile
+    dimensions — the data-quality dashboard query ("rows and null rates
+    by (source x lang), by source alone, by lang alone, and overall")
+    that would otherwise be 2^d separate groupBy scans. The reference
+    profiles one flat table with no dimensional breakdown at all
+    (spark/spark_generator.py:76-79 loops columns, never groups); this
+    is the north-rule per-partition profile generalized to the full
+    lattice.
+
+    ``mode='cube'`` materializes all 2^d grouping sets,
+    ``mode='rollup'`` the d+1 hierarchical prefixes (drill-down paths
+    like (year, month, day)). Each output row carries one
+    ``<dim>_grouped`` flag per dimension (1 = the dimension is
+    aggregated away in this cell) — REQUIRED to disambiguate a real
+    NULL dimension value from the aggregated-away NULL, exactly the
+    SQL GROUPING() function on both engines.
+
+    ``distinct_cols`` opts into exact per-cell distinct counts — the
+    one non-algebraic statistic here (Spark rewrites it as an expand +
+    two-phase aggregate; still distributed, but it shuffles the
+    distinct values where the base profile moves only partial-agg
+    states). Leave it empty on the hot path.
+
+    Scale: one scan; the Expand operator replicates each input row
+    once per grouping set BEFORE partial aggregation (2^d x rows map
+    output for cube — hence the d <= 6 fence; rollup is only d+1), and
+    every statistic is algebraic, so each task emits one state row per
+    populated cell and the exchange carries O(cells), never O(rows).
+    A skewed dimension value is leveled by the same map-side combine
+    as any hash aggregate."""
+    dims = list(dims)
+    metrics = list(metric_cols)
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    if mode not in ("cube", "rollup"):
+        raise ValueError(f"mode must be 'cube' or 'rollup', got {mode!r}")
+    if mode == "cube" and len(dims) > 6:
+        raise ValueError(
+            f"cube over {len(dims)} dims materializes 2^{len(dims)} "
+            "grouping sets and replicates every input row that many "
+            "times before aggregation — profile fewer dims at once or "
+            "use mode='rollup' (d+1 sets)"
+        )
+    generated = [f"{d}_grouped" for d in dims] + ["rows"]
+    for m in metrics:
+        generated += [f"{m}_nulls", f"{m}_min", f"{m}_max"]
+    for c in distinct_cols:
+        generated.append(f"{c}_distinct")
+    clash = [c for c in generated if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"cube_profile output names {clash} collide with input "
+            "columns — rename them"
+        )
+    aggs = [F.grouping(d).cast("int").alias(f"{d}_grouped") for d in dims]
+    aggs.append(F.count(F.lit(1)).alias("rows"))
+    for m in metrics:
+        aggs.append((F.count(F.lit(1)) - F.count(F.col(m))).alias(f"{m}_nulls"))
+        aggs.append(F.min(F.col(m)).alias(f"{m}_min"))
+        aggs.append(F.max(F.col(m)).alias(f"{m}_max"))
+    for c in distinct_cols:
+        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}_distinct"))
+    grouped = df.cube(*dims) if mode == "cube" else df.rollup(*dims)
+    return grouped.agg(*aggs)
