@@ -112,6 +112,7 @@ from pandera_forge_spark.operators.temporal import (
 )
 from pandera_forge_spark.operators.cdc import (
     apply_changelog,
+    golden_records,
     latest_by_key,
     scd2_history,
 )
@@ -127,6 +128,7 @@ from pandera_forge_spark.operators.linkage import (
     best_match_pairs,
     fuzzy_join,
     fuzzy_pairs,
+    sorted_neighborhood_pairs,
 )
 from pandera_forge_spark.operators.web import (
     canonicalize_url,
@@ -266,6 +268,8 @@ __all__ = [
     "apply_changelog",
     "latest_by_key",
     "scd2_history",
+    "golden_records",
+    "sorted_neighborhood_pairs",
     "time_weighted_average",
     "span_ref_violations",
     "functional_dependency_violations",

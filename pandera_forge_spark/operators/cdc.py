@@ -236,3 +236,72 @@ def scd2_history(
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+def golden_records(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    field_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Survivorship / golden-record assembly: one row per entity where
+    EACH field independently carries its latest NON-NULL value by the
+    order tuple — the master-data primitive ``latest_by_key`` is not:
+    latest-row-wins propagates the newest record's NULLs over older
+    real values, while a golden record fills each attribute from
+    whichever generation last knew it (phone from Tuesday's record,
+    email from March's).
+
+    Per field the winner is ``max(struct(order*, field))`` with every
+    order component masked to NULL when the field is NULL — Spark
+    struct comparison puts NULL fields lowest, so any row that HAS the
+    field beats every row that lacks it, and among those the greatest
+    order tuple wins; an all-NULL field stays NULL. Ties on the full
+    order tuple fall to the field value itself (deterministic; make
+    the order total per key — append a unique id — if that matters).
+    Also emits ``n_records`` (generations seen per key).
+
+    Scale: ONE algebraic aggregate for all fields together — every
+    masked struct-max partial-aggregates map-side, so each input task
+    emits one candidate row per key regardless of history depth; no
+    window, no sort, no per-field pass. The per-field window
+    formulation (FIRST_VALUE ... IGNORE NULLS) sorts every key's whole
+    history once per field."""
+    keys = list(key_cols)
+    order = list(order_cols)
+    if field_cols is None:
+        taken = set(keys) | set(order)
+        fields = [c for c in df.columns if c not in taken]
+    else:
+        fields = list(field_cols)
+        overlap = sorted(set(fields) & (set(keys) | set(order)))
+        if overlap:
+            raise ValueError(
+                f"field_cols {overlap} are key/order columns — a column "
+                "cannot be both the ordering and the survivorship payload"
+            )
+    if not fields:
+        raise ValueError("no field_cols to survive: pass at least one")
+    if "n_records" in set(keys) | set(fields):
+        raise ValueError(
+            "output name 'n_records' collides with a key/field column — "
+            "rename it"
+        )
+    aggs = []
+    for f in fields:
+        present = F.col(f).isNotNull()
+        aggs.append(
+            F.max(
+                F.struct(
+                    *[
+                        F.when(present, F.col(c)).alias(f"__o{i}")
+                        for i, c in enumerate(order)
+                    ],
+                    F.col(f).alias("__v"),
+                )
+            )[
+                "__v"
+            ].alias(f)
+        )
+    aggs.append(F.count(F.lit(1)).alias("n_records"))
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
