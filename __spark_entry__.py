@@ -5476,6 +5476,50 @@ ORDER BY id_b, id_a
 """
 
 
+def q_mi_lang_source(spark, sf_dir):
+    """Pairwise mutual information (profiler.mutual_information) of
+    (lang, source) on documents: per-joint-cell terms quantized to
+    micro-nat longs (the lm_score discipline) so the cross-cell sum is
+    an order-independent exact integer; the oracle replays joint →
+    marginals → log-sum term → floor-quantize → integer sum."""
+    from pandera_forge_spark.profiler import mutual_information
+
+    docs = _t(spark, sf_dir, "documents")
+    return mutual_information(docs, ["lang", "source"]).orderBy("col_a")
+
+
+SQL_MI_LANG_SOURCE = """
+WITH joint AS (
+  SELECT CAST(lang AS VARCHAR) AS a, CAST(source AS VARCHAR) AS b,
+         CAST(COUNT(*) AS BIGINT) AS cab
+  FROM documents GROUP BY 1, 2
+), ma AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS ca FROM joint GROUP BY 1),
+mb AS (SELECT b, CAST(SUM(cab) AS BIGINT) AS cb FROM joint GROUP BY 1),
+nrow AS (SELECT CAST(SUM(cab) AS BIGINT) AS n FROM joint),
+cells AS (
+  SELECT j.cab, ma.ca, mb.cb, nrow.n
+  FROM joint j
+  JOIN ma ON j.a IS NOT DISTINCT FROM ma.a
+  JOIN mb ON j.b IS NOT DISTINCT FROM mb.b
+  CROSS JOIN nrow
+), q AS (
+  SELECT cab,
+    CAST(FLOOR(
+      (CAST(cab AS DOUBLE) / CAST(n AS DOUBLE))
+      * (LN(CAST(cab AS DOUBLE)) + LN(CAST(n AS DOUBLE))
+         - LN(CAST(ca AS DOUBLE)) - LN(CAST(cb AS DOUBLE)))
+      * 1000000.0e0 + 0.5e0) AS BIGINT) AS tq
+  FROM cells
+)
+SELECT 'lang' AS col_a, 'source' AS col_b,
+       CAST(COALESCE(SUM(cab), 0) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS cells,
+       CAST(SUM(tq) AS BIGINT) AS mi_micro,
+       CAST(SUM(tq) AS DOUBLE) / 1000000.0e0 AS mi_nats
+FROM q
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -5749,6 +5793,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_balance": q_split_balance,
         "golden_user_contact": q_golden_user_contact,
         "snm_name_pairs": q_snm_name_pairs,
+        # mi_lang_source (new this session) = the micro-quantized
+        # log-sum discipline driver-anchored in-window by lm_perplexity
+        # (position 12; IDENTICAL floor(x*1e6+0.5) long-sum kernel)
+        # applied over one groupBy-count joint frame — the same
+        # counts-then-reduce shape as the entropy/fd family; python
+        # replay + exact-independence/bijection pytests
+        # (tests/test_mutual_info.py).
+        "mi_lang_source": q_mi_lang_source,
         "cusum_alerts_split": q_cusum_alerts_split,
         "near_dup_simhash": q_near_dup_simhash,
         "span_order_violations": q_span_order_violations,
@@ -5972,6 +6024,7 @@ def oracle_sql() -> dict[str, str]:
         "split_balance": SQL_SPLIT_BALANCE,
         "golden_user_contact": SQL_GOLDEN_USER_CONTACT,
         "snm_name_pairs": SQL_SNM_NAME_PAIRS,
+        "mi_lang_source": SQL_MI_LANG_SOURCE,
         "gapfill_interp_user": SQL_GAPFILL_INTERP_USER,
         "mutual_best_fuzzy": SQL_MUTUAL_BEST_FUZZY,
         "score_calibration": SQL_SCORE_CALIBRATION,

@@ -877,3 +877,117 @@ def cube_profile(
         aggs.append(F.countDistinct(F.col(c)).alias(f"{c}_distinct"))
     grouped = df.cube(*dims) if mode == "cube" else df.rollup(*dims)
     return grouped.agg(*aggs)
+
+
+def mutual_information(
+    df: DataFrame,
+    cols: Sequence[str],
+    include_nulls: bool = True,
+) -> DataFrame:
+    """Pairwise mutual information (nats) between categorical columns —
+    the association measure the profiler family is missing between
+    ``correlation_matrix`` (numeric-linear) and ``null_correlation``
+    (missingness): MI catches ANY dependence between discrete columns
+    (a lang column that is a pure function of source, a redundant
+    pre-joined attribute, a leaking label), which is exactly what
+    functional-dependency discovery (``fd_source_lang``) screens for
+    with a harder yes/no — MI grades the strength.
+
+    One row per unordered column pair: ``(col_a, col_b, n, cells,
+    mi_micro, mi_nats)`` where ``cells`` is the populated joint-cell
+    count. ``include_nulls=True`` (default) treats NULL as a real
+    category on both axes (co-missingness is dependence too);
+    ``False`` drops rows where either side is NULL — n then differs
+    per pair.
+
+    Engine-exact: each joint cell's term ``(c_ab/n) * (ln c_ab + ln n
+    - ln c_a - ln c_b)`` is quantized to MICRO-NAT longs before the
+    cross-cell sum (floor(x*1e6 + 0.5) — the lm_score discipline), so
+    the total is an order-independent integer and replays bit-identically;
+    ``mi_nats = mi_micro / 1e6``. The log-sum form never materializes
+    ``n * c_ab`` (which would overflow BIGINT at 10^12 rows).
+
+    Scale: per pair, ONE ``groupBy(a, b)`` shuffle over the joint cells
+    (map-side combine reduces each task to its populated cells);
+    marginals and the final reduce run over the O(cells) counts frame,
+    never the raw rows. Pairs are independent jobs — profile the
+    suspicious pairs, not all m²."""
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("mutual_information needs at least two columns")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    spark = df.sparkSession
+    outs = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            a, b = cols[i], cols[j]
+            base = df.select(
+                F.col(a).cast("string").alias("__a"),
+                F.col(b).cast("string").alias("__b"),
+            )
+            if not include_nulls:
+                base = base.where(
+                    F.col("__a").isNotNull() & F.col("__b").isNotNull()
+                )
+            joint = base.groupBy("__a", "__b").agg(
+                F.count(F.lit(1)).alias("__cab")
+            )
+            # marginals derive FROM joint — rename their keys so the
+            # self-derived join condition is unambiguous (same-name
+            # refs across a derived frame resolve to one attribute)
+            ma = joint.groupBy(F.col("__a").alias("__ka")).agg(
+                F.sum("__cab").alias("__ca")
+            )
+            mb = joint.groupBy(F.col("__b").alias("__kb")).agg(
+                F.sum("__cab").alias("__cb")
+            )
+            cells = (
+                joint.join(
+                    F.broadcast(ma), F.col("__a").eqNullSafe(F.col("__ka"))
+                )
+                .drop("__ka")
+                .join(F.broadcast(mb), F.col("__b").eqNullSafe(F.col("__kb")))
+                .drop("__kb")
+            )
+            # n as a 1-row broadcast stats frame (house pattern) — an
+            # unpartitioned window here would drag every joint cell of
+            # a high-cardinality pair into one task
+            nrow = joint.agg(F.sum("__cab").alias("__n"))
+            cells = cells.crossJoin(F.broadcast(nrow))
+            n = F.col("__n")
+            term = (F.col("__cab").cast("double") / n.cast("double")) * (
+                F.log(F.col("__cab").cast("double"))
+                + F.log(n.cast("double"))
+                - F.log(F.col("__ca").cast("double"))
+                - F.log(F.col("__cb").cast("double"))
+            )
+            per_cell = cells.select(
+                F.col("__cab"),
+                F.floor(term * F.lit(1000000.0) + F.lit(0.5))
+                .cast("long")
+                .alias("__tq"),
+            )
+            outs.append(
+                per_cell.agg(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.coalesce(F.sum("__cab"), F.lit(0)).alias("n"),
+                    F.count(F.lit(1)).alias("cells"),
+                    F.sum("__tq").alias("mi_micro"),
+                ).select(
+                    "col_a",
+                    "col_b",
+                    "n",
+                    "cells",
+                    "mi_micro",
+                    (F.col("mi_micro").cast("double") / F.lit(1000000.0)).alias(
+                        "mi_nats"
+                    ),
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
