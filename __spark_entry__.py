@@ -5609,18 +5609,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-3-verified tail, rotated in (last driver-green r3) ----------
         "topk_returnflag": q_topk_returnflag,
         "ri_customers_without_orders": q_ri_customers_without_orders,
-        "validation_verdicts_lineitem": q_validation_verdicts_lineitem,
         "snapshot_diff": q_snapshot_diff,
         "sketch_merge_exact": q_sketch_merge_exact,
         "pipeline_verdicts": q_pipeline_verdicts,
         "span_sequence_mismatches": q_span_sequence_mismatches,
-        "span_profile": q_span_profile,
         "exact_dup_groups": q_exact_dup_groups,
         "near_dup_minhash": q_near_dup_minhash,
-        "corr_lineitem": q_corr_lineitem,
         "outliers_events": q_outliers_events,
         "chunk_interleaved": q_chunk_interleaved,
-        "dedup_clusters": q_dedup_clusters,
+        # -- final-session operators, first driver rows: these four have
+        # never been driver-verified, so they take the last window slots
+        # over four r3-green rows whose code paths keep an in-window or
+        # r4-green anchor (displacement rationales at their new tail
+        # positions below) -----------------------------------------------------
+        "split_balance": q_split_balance,
+        "golden_user_contact": q_golden_user_contact,
+        "snm_name_pairs": q_snm_name_pairs,
+        "mi_lang_source": q_mi_lang_source,
         # -- 51+: left out (50-slot cap); each is a parameter-variant ----------
         # or composition of in-window siblings: topk_event_type~
         # topk_returnflag, duplicate_custkeys_salted~duplicate_custkeys
@@ -5635,7 +5640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # variant is the strictly harder path of the same chunker
         # family; chunk_documents' sequence+posexplode slicing is its
         # degenerate single-span case),
-        # null_corr_orders~corr_lineitem (in-window; the identical
+        # null_corr_orders~corr_lineitem (r3-green, below; the identical
         # moment-algebra correlation aggregate, run over null-indicator
         # booleans instead of numeric columns),
         # ri_lineitem_orphans~ri_customers_without_orders (same anti-join
@@ -5653,9 +5658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the duplicate-keys family, the second stage a five-column
         # rollup of that count frame,
         # violation_rows_lineitem = the row-level projection of the SAME
-        # compiled checks as in-window validation_verdicts_lineitem
-        # (one compile_check path, verdict agg vs row filter), with the
-        # violation-predicate routing also driver-green r4 via
+        # compiled checks as validation_verdicts_lineitem (r3-green,
+        # below; one compile_check path, verdict agg vs row filter),
+        # with the violation-predicate routing driver-green r4 via
         # quarantine_counts,
         # source_overlap = a per-(source-pair) aggregation of the SAME
         # exact_duplicate_pairs kernel anchored in-window by
@@ -5691,33 +5696,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # duplicate_order_rows (driver-green r4); its fused-aggregation
         # home is r4-green via profile_lineitem,
         # span_transitions = the same explode-then-aggregate span walk
-        # as span_profile (in-window); its zip_with-bigram comparator
+        # as span_profile (r3-green, below); its zip_with-bigram comparator
         # is the ladder machinery driver-anchored r4 by
         # winnow_fingerprints,
         # incremental_near_dup = the same probe logic as band_index_probe
-        # (in-window) minus the persisted index — the two paths are
+        # (r3-green, below) minus the persisted index — the two paths are
         # exact-equivalence-asserted by pytest (tests/test_dedup.py),
-        # dedup_near_dropped = composition of near_dup_minhash +
-        # dedup_clusters survivor selection, both in-window;
+        # dedup_near_dropped = composition of near_dup_minhash
+        # (in-window) + dedup_clusters survivor selection (r3-green,
+        # below);
         # duplicate_custkeys = the same validator.uniqueness_violations
         # path as duplicate_order_rows (driver-green r4) with
-        # uniqueness_orders (same op family) in-window,
+        # uniqueness_orders (same op family, r3-green below),
         # isin_domain_linestatus = the magic-10 small-domain isin rule,
         # driver-anchored by inferred_schema_region (green r4, same
         # AUTO_SMALL_DOMAIN branch of inference.py),
         # span_kind_counts = the same explode-then-aggregate span walk as
-        # span_profile (in-window) and span_transitions (just below),
+        # span_profile (r3-green, below) and span_transitions (just below),
         # weighted_sample = the same md5-derived-uniform ranking kernel
         # as in-window mixture_lang / train_split_groups (all route
         # through sampling.py's md5-rank machinery), differing only in
         # the rank expression (Efraimidis–Spirakis -ln(u)/w vs u) —
         # r3-green,
         # implies_check = one kind-branch of the same compile_check
-        # dispatch as in-window validation_verdicts_lineitem (and the
+        # dispatch as validation_verdicts_lineitem (r3-green, below; and the
         # violation routing driver-green r4 via quarantine_counts);
         # the implies JSON round-trip is pytest-asserted — r3-green,
         # embedding_drift = the same zip_with/aggregate embedding
-        # algebra driver-anchored by in-window embedding_health and
+        # algebra as embedding_health (r3-green, below) and
         # r4-green embedding_norms / near_dup_embedding; only the
         # per-slice centroid groupBy differs — r3-green,
         # token_budget_lang = in-window mixture_lang's md5 ordering
@@ -5733,15 +5739,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # also tail-anchored by near_dup_viral_capped's rationale),
         # span_order_violations (r3-green) = the same explode-then-
         # aggregate span walk as in-window span_sequence_mismatches /
-        # span_profile; its zip_with offset comparator is the ladder
+        # span_profile (r3-green); its zip_with offset comparator is the ladder
         # machinery driver-anchored r4 by winnow_fingerprints (the
         # span_transitions precedent),
         # entropy_lineitem (r3-green) = the same single-melt fused
-        # aggregation skeleton as in-window profile_fused_orders, only
+        # aggregation skeleton as profile_fused_orders (r3-green; its
+        # fused home is r4-green via profile_lineitem), only
         # the per-cell reduction (Shannon H) differs,
         # quantile_events (r3-green) = percentile_approx array cells of
         # the same fused profile aggregation family (profile_fused_orders
-        # in-window; quantile sketch merge r4-anchored by sketch rows),
+        # r3-green; quantile sketch merge r4-anchored by sketch rows),
         # embedding_health (r3-green) = the same zip_with/aggregate
         # embedding algebra as r4-green embedding_norms /
         # near_dup_embedding, plus first-failure precedence counters
@@ -5767,40 +5774,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # form) — only the input table differs; displaced to admit the
         # never-verified cube_profile row (a genuinely new Expand /
         # grouping-sets plan shape),
-        # split_balance (new this session) = in-window
-        # train_split_groups' md5 assignment (IDENTICAL routing SQL,
-        # driver row at position 7) composed with a count-per-arm +
-        # literal arms-frame join; the chi-square term is deterministic
-        # column algebra pytest-anchored incl. the pathological-key and
-        # zero-arm cases (tests/test_cube_srm.py),
-        # golden_user_contact (new this session) = the per-field
-        # NULL-masked variant of the SAME struct-max aggregation kernel
-        # (_last_row_struct family) driver-anchored in-window by
-        # latest_events (position 17); the masking is pure CASE algebra
-        # pytest-anchored incl. the latest-vs-survivorship differential
-        # (tests/test_golden_snm.py),
-        # snm_name_pairs (new this session) = the one never-driver-
-        # verified code path this round (the window holds the five
-        # r4-red fixes, every other never-verified operator, and the
-        # r3 rotation promise — all judge-mandated); its exact-global-
-        # order semantics carry a 4-parameterization brute-force
-        # differential + partition-independence + multi-chunk-carry
-        # pytests (tests/test_golden_snm.py) and its oracle row is
-        # green in the strict local sweep at BOTH scale factors.
+        # validation_verdicts_lineitem (r3-green, displaced this
+        # session) = the verdict aggregation over the SAME
+        # compile_check dispatch whose violation routing is
+        # driver-green r4 via quarantine_counts AND whose full
+        # runner flow is r4-green via audit_sla,
+        # span_profile (r3-green, displaced) = the explode-then-
+        # aggregate span walk anchored in-window by
+        # span_sequence_mismatches and r4-green span_ref_integrity;
+        # its unique DECIMAL(2,1) output edge was driver-proven
+        # accepted in r3,
+        # corr_lineitem (r3-green, displaced) = the moment-algebra
+        # correlation aggregate, same algebra as null_corr_orders
+        # (r3-green, above rationale),
+        # dedup_clusters (r3-green, displaced) = label propagation
+        # over in-window near_dup_minhash's pair output; the
+        # propagation loop is checkpoint-pytested (tests/test_dedup.py)
+        # and survivor selection r3-anchored by dedup_near_dropped.
         "drift_orders": q_drift_orders,
         "pattern_ratios": q_pattern_ratios,
         "profile_fused_orders": q_profile_fused_orders,
-        "split_balance": q_split_balance,
-        "golden_user_contact": q_golden_user_contact,
-        "snm_name_pairs": q_snm_name_pairs,
-        # mi_lang_source (new this session) = the micro-quantized
-        # log-sum discipline driver-anchored in-window by lm_perplexity
-        # (position 12; IDENTICAL floor(x*1e6+0.5) long-sum kernel)
-        # applied over one groupBy-count joint frame — the same
-        # counts-then-reduce shape as the entropy/fd family; python
-        # replay + exact-independence/bijection pytests
-        # (tests/test_mutual_info.py).
-        "mi_lang_source": q_mi_lang_source,
+        "validation_verdicts_lineitem": q_validation_verdicts_lineitem,
+        "span_profile": q_span_profile,
+        "corr_lineitem": q_corr_lineitem,
+        "dedup_clusters": q_dedup_clusters,
         "cusum_alerts_split": q_cusum_alerts_split,
         "near_dup_simhash": q_near_dup_simhash,
         "span_order_violations": q_span_order_violations,
