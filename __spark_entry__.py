@@ -5520,6 +5520,77 @@ FROM q
 """
 
 
+def q_concentration_source(spark, sf_dir):
+    """Key-concentration audit (profiler.concentration_profile) of
+    documents.source: top-{1,3,10} row shares plus the exact Gini of
+    the rows-per-source distribution via the frequency-of-frequencies
+    identity; every aggregate is an exact integer and the only float
+    ops are a division over two exact integers (or the Gini rational)
+    followed by the shared floor(x*1e6+0.5) micro-quantization, so the
+    oracle replays bit-identically."""
+    from pandera_forge_spark.profiler import concentration_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return concentration_profile(docs, "source", top_ks=(1, 3, 10)).orderBy(
+        "metric", "k"
+    )
+
+
+SQL_CONCENTRATION_SOURCE = """
+WITH counts AS (
+  SELECT source AS k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM counts
+), ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, k ASC NULLS FIRST) AS rn
+  FROM counts
+), tops AS (
+  SELECT kk,
+         CAST(COALESCE(SUM(c) FILTER (WHERE rn <= kk), 0) AS BIGINT)
+           AS covered
+  FROM ranked CROSS JOIN (VALUES (1), (3), (10)) AS ks(kk)
+  GROUP BY kk
+), freq AS (
+  SELECT c AS v, CAST(COUNT(*) AS BIGINT) AS f FROM counts GROUP BY 1
+), terms AS (
+  SELECT v, f,
+         COALESCE(SUM(f) OVER (ORDER BY v ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+  FROM freq
+), s AS (
+  SELECT COALESCE(SUM(
+    CAST(v AS HUGEINT) * (CAST(f AS HUGEINT) * CAST(strt AS HUGEINT)
+      + (CAST(f AS HUGEINT) * (CAST(f AS HUGEINT) + 1)) // 2)
+  ), 0) AS sv
+  FROM terms
+)
+SELECT 'topk_share' AS metric, CAST(kk AS INT) AS k, n_rows, n_keys,
+       covered AS covered_rows,
+       CAST(FLOOR(CAST(covered AS DOUBLE) / CAST(n_rows AS DOUBLE)
+            * 1000000.0e0 + 0.5e0) AS BIGINT) AS value_micro,
+       CAST(CAST(FLOOR(CAST(covered AS DOUBLE) / CAST(n_rows AS DOUBLE)
+            * 1000000.0e0 + 0.5e0) AS BIGINT) AS DOUBLE) / 1000000.0e0
+         AS value
+FROM tops CROSS JOIN tot
+UNION ALL
+SELECT 'gini', CAST(NULL AS INT), n_rows, n_keys, CAST(NULL AS BIGINT),
+       CAST(FLOOR(g * 1000000.0e0 + 0.5e0) AS BIGINT),
+       CAST(CAST(FLOOR(g * 1000000.0e0 + 0.5e0) AS BIGINT) AS DOUBLE)
+         / 1000000.0e0
+FROM (
+  SELECT (2.0e0 * CAST(sv AS DOUBLE)
+          - CAST(n_keys + 1 AS DOUBLE) * CAST(n_rows AS DOUBLE))
+         / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS g,
+         n_rows, n_keys
+  FROM s CROSS JOIN tot
+)
+ORDER BY metric, k
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -5615,8 +5686,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_sequence_mismatches": q_span_sequence_mismatches,
         "exact_dup_groups": q_exact_dup_groups,
         "near_dup_minhash": q_near_dup_minhash,
-        "outliers_events": q_outliers_events,
         "chunk_interleaved": q_chunk_interleaved,
+        # concentration_source (new this session): never driver-verified,
+        # takes outliers_events' slot — that family keeps grouped_outliers
+        # (r3-green, identical Tukey-fence predicate with per-group
+        # fences) registered, rationale at its tail position
+        "concentration_source": q_concentration_source,
         # -- final-session operators, first driver rows: these four have
         # never been driver-verified, so they take the last window slots
         # over four r3-green rows whose code paths keep an in-window or
@@ -5649,7 +5724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # violation_examples = violation_rows_lineitem routed through
         # stratified_take's md5-rank path (in-window via mixture_lang /
         # domain_cap_counts, see stratified_sample_lang above),
-        # grouped_outliers~outliers_events (the
+        # grouped_outliers~outliers_events (r3-green, below; the
         # same Tukey-fence predicate and planted-inflation shape, fences
         # computed per event_type instead of globally),
         # skew_report = a composition of two count aggregates with no
@@ -5791,6 +5866,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # over in-window near_dup_minhash's pair output; the
         # propagation loop is checkpoint-pytested (tests/test_dedup.py)
         # and survivor selection r3-anchored by dedup_near_dropped.
+        # outliers_events (r3-green, displaced this session by the
+        # never-verified concentration_source row) = the Tukey-fence
+        # predicate, same shape as grouped_outliers (r3-green, above
+        # rationale); both carry planted-inflation pytests.
+        "outliers_events": q_outliers_events,
         "drift_orders": q_drift_orders,
         "pattern_ratios": q_pattern_ratios,
         "profile_fused_orders": q_profile_fused_orders,
@@ -6022,6 +6102,7 @@ def oracle_sql() -> dict[str, str]:
         "golden_user_contact": SQL_GOLDEN_USER_CONTACT,
         "snm_name_pairs": SQL_SNM_NAME_PAIRS,
         "mi_lang_source": SQL_MI_LANG_SOURCE,
+        "concentration_source": SQL_CONCENTRATION_SOURCE,
         "gapfill_interp_user": SQL_GAPFILL_INTERP_USER,
         "mutual_best_fuzzy": SQL_MUTUAL_BEST_FUZZY,
         "score_calibration": SQL_SCORE_CALIBRATION,

@@ -991,3 +991,151 @@ def mutual_information(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def concentration_profile(
+    df: DataFrame,
+    key_col: str,
+    top_ks: Sequence[int] = (1, 10, 100),
+    eager: bool = True,
+) -> DataFrame:
+    """Key-concentration audit: what share of rows the top-k keys own,
+    plus the exact Gini coefficient of the rows-per-key distribution —
+    the "is this corpus 40% one domain" check a curation pipeline runs
+    before `per_domain_cap` decides its cap, and the inequality measure
+    that a drifting crawler frontier moves long before any per-key
+    top-k list changes.
+
+    Output is long-form, one row per metric: ``(metric, k, n_rows,
+    n_keys, covered_rows, value_micro, value)`` — a ``topk_share`` row
+    per requested k (``covered_rows`` = rows owned by the top-k keys,
+    ties at the boundary broken by key ASC NULLS FIRST so the cut is
+    total-ordered) and one ``gini`` row (k/covered_rows NULL). NULL is
+    a real key (un-attributed rows concentrate too).
+
+    Engine-exact: every aggregate is an integer; the only float ops are
+    one division (or the Gini rational) over two exact integers followed
+    by the shared floor(x*1e6+0.5) micro-quantization, so ``value_micro``
+    replays bit-identically. Gini comes from the frequency-of-frequencies
+    identity: with ``f_v`` keys having exactly ``v`` rows and ``start_v``
+    keys having fewer, the ascending rank-weighted sum is
+    ``S = sum_v v*(f_v*start_v + f_v*(f_v+1)/2)`` and
+    ``G = (2S - (n_keys+1)*n_rows) / (n_keys*n_rows)``.
+
+    Scale: ONE groupBy(key) shuffle over raw rows (map-side combined);
+    everything downstream runs on the O(distinct keys) counts frame —
+    top-k cuts are sort-limit (per-partition top-k, no global sort) and
+    the Gini window orders the frequency-of-frequencies frame, whose
+    size is the number of DISTINCT COUNT VALUES (Zipf corpora: a few
+    thousand rows even at 10^12 docs), not the key count. The S terms
+    are summed as decimal(38,0) — exact past BIGINT's ceiling, since
+    ``v*f_v*start_v`` can reach ~1e28 at 10^12 rows — then converted to
+    double once.
+
+    ``eager=True`` (default) persists the counts frame, materializes
+    the result via an eager localCheckpoint, and unpersists — the
+    metric branches (totals, each top-k cut, the Gini sum) all reuse
+    ONE groupBy instead of each rescanning raw rows. ``eager=False``
+    returns the lazy plan (plan inspection / caller-managed caching)."""
+    from pyspark.sql import Window
+
+    top_ks = [int(k) for k in top_ks]
+    if not top_ks or any(k <= 0 for k in top_ks):
+        raise ValueError("top_ks must be positive ints")
+    if key_col not in df.columns:
+        raise ValueError(f"column not in frame: {key_col}")
+
+    counts = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    if eager:
+        counts = counts.persist()
+    try:
+        totals = counts.agg(
+            F.coalesce(F.sum("__c"), F.lit(0)).alias("__n_rows"),
+            F.count(F.lit(1)).alias("__n_keys"),
+        )
+
+        def _quant(expr):
+            return F.floor(expr * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+        outs = []
+        for k in top_ks:
+            top = (
+                counts.orderBy(F.col("__c").desc(), F.col("__k").asc())
+                .limit(k)
+                .agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("__covered"))
+            )
+            share = F.col("__covered").cast("double") / F.col(
+                "__n_rows"
+            ).cast("double")
+            outs.append(
+                top.crossJoin(F.broadcast(totals)).select(
+                    F.lit("topk_share").alias("metric"),
+                    F.lit(k).alias("k"),
+                    F.col("__n_rows").alias("n_rows"),
+                    F.col("__n_keys").alias("n_keys"),
+                    F.col("__covered").alias("covered_rows"),
+                    _quant(share).alias("value_micro"),
+                    (_quant(share).cast("double") / F.lit(1000000.0)).alias(
+                        "value"
+                    ),
+                )
+            )
+
+        freq = counts.groupBy(F.col("__c").alias("__v")).agg(
+            F.count(F.lit(1)).alias("__f")
+        )
+        w = (
+            Window.orderBy(F.col("__v").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        dec = "decimal(38,0)"
+        terms = freq.withColumn(
+            "__start", F.coalesce(F.sum("__f").over(w), F.lit(0))
+        ).select(
+            (
+                F.col("__v").cast(dec)
+                * (
+                    F.col("__f").cast(dec) * F.col("__start").cast(dec)
+                    + (
+                        F.col("__f").cast(dec)
+                        * (F.col("__f").cast(dec) + F.lit(1).cast(dec))
+                        / F.lit(2).cast(dec)
+                    ).cast(dec)
+                )
+            ).alias("__term")
+        )
+        s = terms.agg(
+            F.coalesce(F.sum("__term"), F.lit(0).cast(dec)).alias("__s")
+        )
+        gini = (
+            F.lit(2.0) * F.col("__s").cast("double")
+            - (F.col("__n_keys") + F.lit(1)).cast("double")
+            * F.col("__n_rows").cast("double")
+        ) / (
+            F.col("__n_keys").cast("double") * F.col("__n_rows").cast("double")
+        )
+        outs.append(
+            s.crossJoin(F.broadcast(totals)).select(
+                F.lit("gini").alias("metric"),
+                F.lit(None).cast("int").alias("k"),
+                F.col("__n_rows").alias("n_rows"),
+                F.col("__n_keys").alias("n_keys"),
+                F.lit(None).cast("long").alias("covered_rows"),
+                _quant(gini).alias("value_micro"),
+                (_quant(gini).cast("double") / F.lit(1000000.0)).alias(
+                    "value"
+                ),
+            )
+        )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        if eager:
+            # materialize before unpersist so callers get computed rows
+            out = out.localCheckpoint(eager=True)
+    finally:
+        if eager:
+            counts.unpersist()
+    return out
