@@ -5520,6 +5520,48 @@ FROM q
 """
 
 
+def q_association_lang_source(spark, sf_dir):
+    """Value-level lift pairs (profiler.association_pairs) between
+    documents.source and documents.lang: top-15 cells by lift with
+    min_support 5; lift computed as (n_ab*n)/(n_a*n_b) in doubles over
+    exact integer counts, micro-quantized; the top-n cut is
+    total-ordered (lift_micro DESC, values ASC NULLS FIRST) so the
+    emitted SET replays exactly."""
+    from pandera_forge_spark.profiler import association_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return association_pairs(docs, "source", "lang", min_support=5, top_n=15)
+
+
+SQL_ASSOCIATION_LANG_SOURCE = """
+WITH joint AS (
+  SELECT CAST(source AS VARCHAR) AS a, CAST(lang AS VARCHAR) AS b,
+         CAST(COUNT(*) AS BIGINT) AS cab
+  FROM documents GROUP BY 1, 2
+), ma AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS ca FROM joint GROUP BY 1),
+mb AS (SELECT b, CAST(SUM(cab) AS BIGINT) AS cb FROM joint GROUP BY 1),
+nrow AS (SELECT CAST(SUM(cab) AS BIGINT) AS n FROM joint),
+cells AS (
+  SELECT j.a, j.b, j.cab, ma.ca, mb.cb, nrow.n,
+    CAST(FLOOR(
+      (CAST(j.cab AS DOUBLE) * CAST(nrow.n AS DOUBLE))
+      / (CAST(ma.ca AS DOUBLE) * CAST(mb.cb AS DOUBLE))
+      * 1000000.0e0 + 0.5e0) AS BIGINT) AS lift_micro
+  FROM joint j
+  JOIN ma ON j.a IS NOT DISTINCT FROM ma.a
+  JOIN mb ON j.b IS NOT DISTINCT FROM mb.b
+  CROSS JOIN nrow
+  WHERE j.cab >= 5
+)
+SELECT a AS val_a, b AS val_b, cab AS n_ab, ca AS n_a, cb AS n_b, n,
+       lift_micro,
+       CAST(lift_micro AS DOUBLE) / 1000000.0e0 AS lift
+FROM cells
+ORDER BY lift_micro DESC, val_a ASC NULLS FIRST, val_b ASC NULLS FIRST
+LIMIT 15
+"""
+
+
 def q_concentration_source(spark, sf_dir):
     """Key-concentration audit (profiler.concentration_profile) of
     documents.source: top-{1,3,10} row shares plus the exact Gini of
@@ -5871,6 +5913,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # predicate, same shape as grouped_outliers (r3-green, above
         # rationale); both carry planted-inflation pytests.
         "outliers_events": q_outliers_events,
+        # association_lang_source (new this session) = the IDENTICAL
+        # joint/marginal kernel as in-window mi_lang_source (position
+        # 50: same groupBy(a,b) counts, eqNullSafe broadcast marginals,
+        # 1-row broadcast total, floor(x*1e6+0.5) quantization); only
+        # the per-cell formula (lift ratio vs log-sum term) and a
+        # total-ordered sort-limit cut differ, both replayed by the
+        # python differential (tests/test_association.py) and green in
+        # the strict local sweep at BOTH scale factors.
+        "association_lang_source": q_association_lang_source,
         "drift_orders": q_drift_orders,
         "pattern_ratios": q_pattern_ratios,
         "profile_fused_orders": q_profile_fused_orders,
@@ -6103,6 +6154,7 @@ def oracle_sql() -> dict[str, str]:
         "snm_name_pairs": SQL_SNM_NAME_PAIRS,
         "mi_lang_source": SQL_MI_LANG_SOURCE,
         "concentration_source": SQL_CONCENTRATION_SOURCE,
+        "association_lang_source": SQL_ASSOCIATION_LANG_SOURCE,
         "gapfill_interp_user": SQL_GAPFILL_INTERP_USER,
         "mutual_best_fuzzy": SQL_MUTUAL_BEST_FUZZY,
         "score_calibration": SQL_SCORE_CALIBRATION,
