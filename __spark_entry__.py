@@ -5562,6 +5562,77 @@ LIMIT 15
 """
 
 
+def q_hygiene_customer(spark, sf_dir):
+    """Dirty-string census (profiler.string_hygiene_report) over a
+    planted-dirty customer fixture: c_name mutated per-key with
+    modular rules (leading space %7, trailing space %11, double space
+    %13, emptied %17, whitespace-only %19, control char %23, non-ASCII
+    %29 — first match wins), censused alongside untouched c_mktsegment;
+    the oracle replays the identical CASE mutation then the identical
+    SUM(CASE) census. All counts exact integers."""
+    from pandera_forge_spark.profiler import string_hygiene_report
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    com = F.col("c_name")
+    dirty = (
+        F.when(k % 7 == 0, F.concat(F.lit(" "), com))
+        .when(k % 11 == 0, F.concat(com, F.lit(" ")))
+        .when(k % 13 == 0, F.concat(com, F.lit("  x")))
+        .when(k % 17 == 0, F.lit(""))
+        .when(k % 19 == 0, F.lit("   "))
+        .when(k % 23 == 0, F.concat(com, F.lit("\x01")))
+        .when(k % 29 == 0, F.concat(com, F.lit("é")))
+        .otherwise(com)
+    )
+    d = c.select(
+        F.col("c_mktsegment"), dirty.alias("c_name_dirty")
+    )
+    return string_hygiene_report(d, ["c_name_dirty", "c_mktsegment"]).orderBy(
+        "column"
+    )
+
+
+SQL_HYGIENE_CUSTOMER = """
+WITH d AS (
+  SELECT c_mktsegment,
+    CASE
+      WHEN c_custkey % 7 = 0 THEN ' ' || c_name
+      WHEN c_custkey % 11 = 0 THEN c_name || ' '
+      WHEN c_custkey % 13 = 0 THEN c_name || '  x'
+      WHEN c_custkey % 17 = 0 THEN ''
+      WHEN c_custkey % 19 = 0 THEN '   '
+      WHEN c_custkey % 23 = 0 THEN c_name || CHR(1)
+      WHEN c_custkey % 29 = 0 THEN c_name || 'é'
+      ELSE c_name
+    END AS c_name_dirty
+  FROM customer
+), census AS (
+  SELECT 'c_name_dirty' AS col, c_name_dirty AS s FROM d
+  UNION ALL
+  SELECT 'c_mktsegment', c_mktsegment FROM d
+)
+SELECT col AS "column",
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_nonnull,
+  CAST(SUM(CASE WHEN s <> TRIM(s) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_untrimmed,
+  CAST(SUM(CASE WHEN s = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+  CAST(SUM(CASE WHEN s <> '' AND TRIM(s) = '' THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_ws_only,
+  CAST(SUM(CASE WHEN regexp_matches(s, '[\\x00-\\x1F\\x7F]') THEN 1
+    ELSE 0 END) AS BIGINT) AS n_control,
+  CAST(SUM(CASE WHEN s LIKE '%  %' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_multispace,
+  CAST(SUM(CASE WHEN regexp_matches(s, '[^\\x00-\\x7F]') THEN 1
+    ELSE 0 END) AS BIGINT) AS n_nonascii
+FROM census
+GROUP BY col
+ORDER BY col
+"""
+
+
 def q_concentration_source(spark, sf_dir):
     """Key-concentration audit (profiler.concentration_profile) of
     documents.source: top-{1,3,10} row shares plus the exact Gini of
@@ -5922,6 +5993,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # python differential (tests/test_association.py) and green in
         # the strict local sweep at BOTH scale factors.
         "association_lang_source": q_association_lang_source,
+        # hygiene_customer (new this session) = one fused SUM(CASE)
+        # aggregate — the same single-scan fused-aggregate family
+        # driver-green r4 via profile_lineitem (and in-window via
+        # split_balance's census arm), over a planted modular mutation
+        # (the pipeline_verdicts / snapshot_diff fixture pattern); every
+        # metric an exact integer, python-free plan, planted-census
+        # pytest (tests/test_hygiene.py), green in the strict local
+        # sweep at BOTH scale factors.
+        "hygiene_customer": q_hygiene_customer,
         "drift_orders": q_drift_orders,
         "pattern_ratios": q_pattern_ratios,
         "profile_fused_orders": q_profile_fused_orders,
@@ -6155,6 +6235,7 @@ def oracle_sql() -> dict[str, str]:
         "mi_lang_source": SQL_MI_LANG_SOURCE,
         "concentration_source": SQL_CONCENTRATION_SOURCE,
         "association_lang_source": SQL_ASSOCIATION_LANG_SOURCE,
+        "hygiene_customer": SQL_HYGIENE_CUSTOMER,
         "gapfill_interp_user": SQL_GAPFILL_INTERP_USER,
         "mutual_best_fuzzy": SQL_MUTUAL_BEST_FUZZY,
         "score_calibration": SQL_SCORE_CALIBRATION,

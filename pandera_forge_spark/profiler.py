@@ -1224,3 +1224,70 @@ def association_pairs(
         F.col("val_a").asc_nulls_first(),
         F.col("val_b").asc_nulls_first(),
     ).limit(int(top_n))
+
+
+def string_hygiene_report(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Dirty-string census — the pre-tokenization hygiene audit: per
+    column, how many values carry leading/trailing spaces (``trim``
+    semantics: the space character only — a leading tab counts as
+    control, not untrimmed; Spark and ANSI TRIM agree), are
+    empty, are whitespace-only, contain control characters, collapse
+    under double-space removal, or leave ASCII. These are the defects
+    that silently split tokens, break exact-dedup keys (`" x" != "x"`),
+    and poison groupBy cardinalities — cheap to count BEFORE a
+    trillion-row shuffle keys on them.
+
+    One long-form row per column: ``(column, n_rows, n_nonnull,
+    n_untrimmed, n_empty, n_ws_only, n_control, n_multispace,
+    n_nonascii)``. Every metric is an exact integer
+    ``SUM(CASE WHEN ...)`` so the report replays bit-identically.
+
+    Scale: ALL columns census in ONE fused aggregate — a single scan,
+    map-side partial aggregation, no shuffle of raw rows (the exchange
+    carries one partial state per task), fully whole-stage-codegen
+    (`rlike`/`contains`/`trim` are JVM expressions, no UDF)."""
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+
+    def _cnt(cond):
+        return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            _cnt(s.isNotNull()).alias(f"{c}__nonnull"),
+            _cnt(s != F.trim(s)).alias(f"{c}__untrimmed"),
+            _cnt(s == F.lit("")).alias(f"{c}__empty"),
+            _cnt((s != F.lit("")) & (F.trim(s) == F.lit(""))).alias(
+                f"{c}__ws_only"
+            ),
+            _cnt(s.rlike(r"[\x00-\x1F\x7F]")).alias(f"{c}__control"),
+            _cnt(s.contains(F.lit("  "))).alias(f"{c}__multispace"),
+            _cnt(s.rlike(r"[^\x00-\x7F]")).alias(f"{c}__nonascii"),
+        ]
+    wide = df.agg(*aggs)
+    # melt the 1-row wide frame via explode(array(structs)) — a union of
+    # per-column selects would re-run the aggregate (and rescan raw
+    # rows) once per column; this consumes the wide row exactly once
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"{c}__nonnull").alias("n_nonnull"),
+            F.col(f"{c}__untrimmed").alias("n_untrimmed"),
+            F.col(f"{c}__empty").alias("n_empty"),
+            F.col(f"{c}__ws_only").alias("n_ws_only"),
+            F.col(f"{c}__control").alias("n_control"),
+            F.col(f"{c}__multispace").alias("n_multispace"),
+            F.col(f"{c}__nonascii").alias("n_nonascii"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("__r")).select(
+        "__r.*"
+    )
