@@ -5562,6 +5562,44 @@ LIMIT 15
 """
 
 
+def q_soft_fd_source_lang(spark, sf_dir):
+    """Graded FD strength (validator.soft_fd_report): what fraction of
+    documents rows conform to source -> lang under majority repair —
+    the strength measure behind fd_source_lang's hard verdict. Every
+    field an exact integer except the micro-quantized conformance
+    ratio; no argmax (ties cannot change the majority COUNT)."""
+    from pandera_forge_spark.validator import soft_fd_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return soft_fd_report(docs, ["source"], "lang")
+
+
+SQL_SOFT_FD_SOURCE_LANG = """
+WITH cells AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1, 2
+), groups AS (
+  SELECT source, CAST(MAX(cnt) AS BIGINT) AS maj,
+         CAST(SUM(cnt) AS BIGINT) AS tot,
+         CAST(COUNT(*) AS BIGINT) AS cells
+  FROM cells GROUP BY 1
+)
+SELECT 'source' AS determinant, 'lang' AS dependent,
+  CAST(SUM(tot) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) AS BIGINT) AS n_groups,
+  CAST(SUM(cells) AS BIGINT) AS n_cells,
+  CAST(SUM(maj) AS BIGINT) AS n_conforming,
+  CAST(SUM(CASE WHEN maj = tot THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_exact_groups,
+  CAST(FLOOR(CAST(SUM(maj) AS DOUBLE) / CAST(SUM(tot) AS DOUBLE)
+       * 1000000.0e0 + 0.5e0) AS BIGINT) AS conformance_micro,
+  CAST(CAST(FLOOR(CAST(SUM(maj) AS DOUBLE) / CAST(SUM(tot) AS DOUBLE)
+       * 1000000.0e0 + 0.5e0) AS BIGINT) AS DOUBLE) / 1000000.0e0
+    AS conformance
+FROM groups
+"""
+
+
 def q_hygiene_customer(spark, sf_dir):
     """Dirty-string census (profiler.string_hygiene_report) over a
     planted-dirty customer fixture: c_name mutated per-key with
@@ -6002,6 +6040,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest (tests/test_hygiene.py), green in the strict local
         # sweep at BOTH scale factors.
         "hygiene_customer": q_hygiene_customer,
+        # soft_fd_source_lang (new this session) = the same cascaded
+        # groupBy(qi, sensitive)->groupBy(qi) shape as in-window
+        # l_diversity_userday (position 25) over the same (source, lang)
+        # cells as r4-green fd_source_lang's hard verdict; summary
+        # aggregates are plain integer sums with the in-window
+        # micro-quantization kernel; python replay + tie/NULL-mode
+        # pytests (tests/test_soft_fd.py), green in the strict local
+        # sweep at BOTH scale factors.
+        "soft_fd_source_lang": q_soft_fd_source_lang,
         "drift_orders": q_drift_orders,
         "pattern_ratios": q_pattern_ratios,
         "profile_fused_orders": q_profile_fused_orders,
@@ -6236,6 +6283,7 @@ def oracle_sql() -> dict[str, str]:
         "concentration_source": SQL_CONCENTRATION_SOURCE,
         "association_lang_source": SQL_ASSOCIATION_LANG_SOURCE,
         "hygiene_customer": SQL_HYGIENE_CUSTOMER,
+        "soft_fd_source_lang": SQL_SOFT_FD_SOURCE_LANG,
         "gapfill_interp_user": SQL_GAPFILL_INTERP_USER,
         "mutual_best_fuzzy": SQL_MUTUAL_BEST_FUZZY,
         "score_calibration": SQL_SCORE_CALIBRATION,

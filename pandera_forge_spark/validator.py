@@ -681,3 +681,94 @@ def grouped_outlier_rows(
         )
         .select(*group_cols, *id_cols, "__o.column", "__o.value", "__o.lo", "__o.hi")
     )
+
+
+def soft_fd_report(
+    df: DataFrame,
+    determinant_cols: Sequence[str],
+    dependent_col: str,
+    include_nulls: bool = True,
+) -> DataFrame:
+    """Graded functional dependency — the strength measure behind
+    :func:`functional_dependency_violations`' hard yes/no: what
+    fraction of rows CONFORM to "determinant -> dependent" if every
+    group kept only its majority dependent value (the g3 FD error
+    measure of Kivinen & Mannila, complemented). "source determines
+    lang for 99.2% of rows" is an actionable data contract; a hard FD
+    that fails on 0.8% of rows reports only failure.
+
+    One summary row: ``(determinant, dependent, n_rows, n_groups,
+    n_cells, n_conforming, n_exact_groups, conformance_micro,
+    conformance)`` where ``n_cells`` counts populated (group,
+    dependent-value) cells, ``n_conforming = sum over groups of the
+    majority cell count`` (no argmax needed — ties cannot change the
+    max), ``n_exact_groups`` counts groups already satisfying the hard
+    FD, and ``conformance = n_conforming / n_rows`` micro-quantized by
+    the shared floor(x*1e6+0.5) kernel so the row replays exactly.
+
+    ``include_nulls=True`` treats a NULL dependent as a real category
+    (a group that is half NULL half 'de' is 50% conforming);
+    ``False`` drops NULL-dependent rows first. NULL determinants are
+    always real groups (matching the hard check's groupBy semantics).
+
+    Scale: shuffle 1 = groupBy(determinants, dependent) over raw rows
+    (map-side combined to populated cells); shuffle 2 = groupBy
+    (determinants) over the O(cells) frame; the final reduce is a
+    1-row aggregate. Nothing after the first exchange is
+    row-proportional, and a viral determinant costs its cell count,
+    never a per-group buffer."""
+    dets = list(determinant_cols)
+    if not dets:
+        raise ValueError("determinant_cols must be non-empty")
+    missing = [c for c in dets + [dependent_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    base = df
+    if not include_nulls:
+        base = base.where(F.col(dependent_col).isNotNull())
+    cells = base.groupBy(*dets, dependent_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    groups = cells.groupBy(*dets).agg(
+        F.max("__cnt").alias("__maj"),
+        F.sum("__cnt").alias("__tot"),
+        F.count(F.lit(1)).alias("__cells"),
+    )
+    conf = F.col("n_conforming").cast("double") / F.col("n_rows").cast(
+        "double"
+    )
+    return (
+        groups.agg(
+            F.coalesce(F.sum("__tot"), F.lit(0)).alias("n_rows"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.coalesce(F.sum("__cells"), F.lit(0)).alias("n_cells"),
+            F.coalesce(F.sum("__maj"), F.lit(0)).alias("n_conforming"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("__maj") == F.col("__tot"), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                F.lit(0),
+            ).alias("n_exact_groups"),
+        )
+        .select(
+            F.lit(",".join(dets)).alias("determinant"),
+            F.lit(dependent_col).alias("dependent"),
+            "n_rows",
+            "n_groups",
+            "n_cells",
+            "n_conforming",
+            "n_exact_groups",
+            # guard n_rows == 0: 0/0 is NaN on Spark but NULL on DuckDB
+            # (engine divergence) — emit NULL on both
+            F.when(
+                F.col("n_rows") > 0,
+                F.floor(conf * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
+            ).alias("conformance_micro"),
+        )
+        .withColumn(
+            "conformance",
+            F.col("conformance_micro").cast("double") / F.lit(1000000.0),
+        )
+    )
