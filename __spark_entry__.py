@@ -5562,6 +5562,86 @@ LIMIT 15
 """
 
 
+def q_type_headroom_lineitem(spark, sf_dir):
+    """Narrowest-safe-type audit (profiler.type_headroom_report) over
+    lineitem's eight numeric columns: integer columns narrow by native
+    min/max bounds; double columns narrow only when every value is
+    finite, integer-exact (fmod(v,1) == 0 — never a floor-to-long,
+    which overflows for large doubles) and within ±2^53. The oracle
+    replays the identical aggregates and CASE cascade per column."""
+    from pandera_forge_spark.profiler import type_headroom_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return type_headroom_report(li).orderBy("column")
+
+
+_TH_INT_COLS = [("l_orderkey", "bigint"), ("l_partkey", "bigint"),
+                ("l_suppkey", "bigint"), ("l_linenumber", "int")]
+_TH_DBL_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _sql_type_headroom() -> str:
+    """Generate the DuckDB mirror of type_headroom_report(lineitem):
+    one wide aggregate CTE, then one UNION ALL projection per column
+    applying the identical narrowing CASE cascade."""
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
+    for c, _ in _TH_INT_COLS:
+        aggs += [
+            f"CAST(SUM(CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS {c}__nonnull",
+            f"MIN({c}) AS {c}__min",
+            f"MAX({c}) AS {c}__max",
+        ]
+    for c in _TH_DBL_COLS:
+        finite = f"(NOT isnan({c}) AND NOT isinf({c}))"
+        aggs += [
+            f"CAST(SUM(CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS {c}__nonnull",
+            f"MIN({c}) AS {c}__min",
+            f"MAX({c}) AS {c}__max",
+            f"CAST(SUM(CASE WHEN isnan({c}) THEN 1 ELSE 0 END) AS BIGINT) AS {c}__nan",
+            f"CAST(SUM(CASE WHEN isinf({c}) THEN 1 ELSE 0 END) AS BIGINT) AS {c}__inf",
+            f"CAST(SUM(CASE WHEN {finite} AND {c} IS NOT NULL AND fmod({c}, 1.0e0) <> 0.0e0 THEN 1 ELSE 0 END) AS BIGINT) AS {c}__nonint",
+        ]
+    parts = []
+    for c, dtype in _TH_INT_COLS:
+        nn, mn, mx = f"{c}__nonnull", f"{c}__min", f"{c}__max"
+        sug = f"""CASE
+          WHEN {nn} > 0 AND {mn} >= -128 AND {mx} <= 127 THEN 'tinyint'
+          WHEN {nn} > 0 AND {mn} >= -32768 AND {mx} <= 32767 THEN 'smallint'
+          WHEN {nn} > 0 AND {mn} >= -2147483648 AND {mx} <= 2147483647 THEN 'int'
+          WHEN {nn} > 0 THEN 'bigint'
+          ELSE '{dtype}' END"""
+        parts.append(
+            f"SELECT '{c}' AS \"column\", '{dtype}' AS dtype, n_rows,"
+            f" {nn} AS n_nonnull, CAST(0 AS BIGINT) AS n_nan,"
+            f" CAST(0 AS BIGINT) AS n_inf, CAST(0 AS BIGINT) AS n_non_integer,"
+            f" CAST({mn} AS DOUBLE) AS min_value, CAST({mx} AS DOUBLE) AS max_value,"
+            f" {sug} AS suggested_type FROM wide"
+        )
+    for c in _TH_DBL_COLS:
+        nn, mn, mx = f"{c}__nonnull", f"{c}__min", f"{c}__max"
+        clean = (
+            f"({nn} > 0 AND {c}__nan = 0 AND {c}__inf = 0"
+            f" AND {c}__nonint = 0)"
+        )
+        sug = f"""CASE
+          WHEN {clean} AND {mn} >= -128.0e0 AND {mx} <= 127.0e0 THEN 'tinyint'
+          WHEN {clean} AND {mn} >= -32768.0e0 AND {mx} <= 32767.0e0 THEN 'smallint'
+          WHEN {clean} AND {mn} >= -2147483648.0e0 AND {mx} <= 2147483647.0e0 THEN 'int'
+          WHEN {clean} AND {mn} >= -9007199254740992.0e0 AND {mx} <= 9007199254740992.0e0 THEN 'bigint'
+          ELSE 'double' END"""
+        parts.append(
+            f"SELECT '{c}', 'double', n_rows, {nn},"
+            f" {c}__nan, {c}__inf, {c}__nonint,"
+            f" CAST({mn} AS DOUBLE), CAST({mx} AS DOUBLE),"
+            f" {sug} FROM wide"
+        )
+    return (
+        "WITH wide AS (SELECT " + ", ".join(aggs) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(parts)
+        + '\nORDER BY "column"'
+    )
+
+
 def q_soft_fd_source_lang(spark, sf_dir):
     """Graded FD strength (validator.soft_fd_report): what fraction of
     documents rows conform to source -> lang under majority repair —
@@ -6049,6 +6129,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytests (tests/test_soft_fd.py), green in the strict local
         # sweep at BOTH scale factors.
         "soft_fd_source_lang": q_soft_fd_source_lang,
+        # type_headroom_lineitem (new this session) = the same fused
+        # min/max/SUM(CASE) single-scan aggregate family as in-window
+        # split_balance / r4-green profile_lineitem, plus a deterministic
+        # CASE cascade over the aggregate outputs (pure projection, no
+        # new kernel); narrowing-ladder/NaN/2^53-edge pytests
+        # (tests/test_type_headroom.py), green in the strict local sweep
+        # at BOTH scale factors.
+        "type_headroom_lineitem": q_type_headroom_lineitem,
         "drift_orders": q_drift_orders,
         "pattern_ratios": q_pattern_ratios,
         "profile_fused_orders": q_profile_fused_orders,
@@ -6284,6 +6372,7 @@ def oracle_sql() -> dict[str, str]:
         "association_lang_source": SQL_ASSOCIATION_LANG_SOURCE,
         "hygiene_customer": SQL_HYGIENE_CUSTOMER,
         "soft_fd_source_lang": SQL_SOFT_FD_SOURCE_LANG,
+        "type_headroom_lineitem": _sql_type_headroom(),
         "gapfill_interp_user": SQL_GAPFILL_INTERP_USER,
         "mutual_best_fuzzy": SQL_MUTUAL_BEST_FUZZY,
         "score_calibration": SQL_SCORE_CALIBRATION,

@@ -1291,3 +1291,143 @@ def string_hygiene_report(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return wide.select(F.explode(F.array(*structs)).alias("__r")).select(
         "__r.*"
     )
+
+
+_INT_BOUNDS = (
+    ("tinyint", -128, 127),
+    ("smallint", -32768, 32767),
+    ("int", -2147483648, 2147483647),
+    ("bigint", -9223372036854775808, 9223372036854775807),
+)
+_TWO_P53 = 9007199254740992.0
+
+
+def type_headroom_report(
+    df: DataFrame, cols: Optional[Sequence[str]] = None
+) -> DataFrame:
+    """Narrowest-safe-type audit — the storage/shuffle-width counterpart
+    of schema inference: for every numeric column, how much headroom the
+    declared type wastes and the narrowest type the observed data fits.
+    A bigint column whose values fit int halves its bytes in every
+    shuffle, sort and cache at 10^12 rows; a double column that is
+    secretly integer-valued (TPC-H quantity) can drop to tinyint.
+
+    One row per column: ``(column, dtype, n_rows, n_nonnull, n_nan,
+    n_inf, n_non_integer, min_value, max_value, suggested_type)``.
+    Integer columns suggest the narrowest signed type whose bounds hold
+    the observed [min, max]. Float/double columns suggest an integer
+    type ONLY when every value is finite and integer-exact (checked
+    via ``fmod(v, 1) != 0`` — never ``floor`` cast, which overflows
+    long for large doubles) AND |bound| ≤ 2^53 (past that a double
+    cannot certify integer exactness); otherwise they stay ``double``.
+    Empty / all-NULL columns keep their declared type (no evidence to
+    narrow on). ``min_value``/``max_value`` emit as doubles for a
+    uniform long-form schema — the narrowing decisions compare the
+    NATIVE aggregates, so a bigint at the int64 edge classifies
+    exactly even though its report rendering rounds.
+
+    Scale: ALL columns in ONE fused aggregate (min/max/conditional
+    counts — algebraic, map-side combined; a single scan, no shuffle
+    of raw rows), melted via explode(array(structs)) on the 1-row
+    result."""
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    if cols is None:
+        cols = [c for c, dt in dtypes.items() if _is_numeric(dt)]
+    else:
+        cols = list(cols)
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"columns not in frame: {missing}")
+        bad = [c for c in cols if not _is_numeric(dtypes[c])]
+        if bad:
+            raise ValueError(f"not numeric columns: {bad}")
+    if not cols:
+        raise ValueError("no numeric columns to audit")
+
+    def _cnt(cond):
+        return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        v = F.col(c)
+        is_float = isinstance(dtypes[c], (T.FloatType, T.DoubleType))
+        aggs += [
+            _cnt(v.isNotNull()).alias(f"{c}__nonnull"),
+            F.min(v).alias(f"{c}__min"),
+            F.max(v).alias(f"{c}__max"),
+        ]
+        if is_float:
+            d = v.cast("double")
+            inf = F.lit(float("inf"))
+            finite = ~F.isnan(d) & (d != inf) & (d != -inf)
+            aggs += [
+                _cnt(F.isnan(d)).alias(f"{c}__nan"),
+                _cnt((d == inf) | (d == -inf)).alias(f"{c}__inf"),
+                _cnt(finite & ((d % F.lit(1.0)) != F.lit(0.0))).alias(
+                    f"{c}__nonint"
+                ),
+            ]
+        else:
+            aggs += [
+                F.lit(0).cast("long").alias(f"{c}__nan"),
+                F.lit(0).cast("long").alias(f"{c}__inf"),
+                F.lit(0).cast("long").alias(f"{c}__nonint"),
+            ]
+    wide = df.agg(*aggs)
+
+    structs = []
+    for c in cols:
+        dt = dtypes[c]
+        dtype_str = dt.simpleString()
+        is_float = isinstance(dt, (T.FloatType, T.DoubleType))
+        mn, mx = F.col(f"{c}__min"), F.col(f"{c}__max")
+        nonnull = F.col(f"{c}__nonnull")
+        if is_float:
+            clean = (
+                (nonnull > 0)
+                & (F.col(f"{c}__nan") == 0)
+                & (F.col(f"{c}__inf") == 0)
+                & (F.col(f"{c}__nonint") == 0)
+            )
+            sug = F.lit("double")
+            # build the cascade innermost-first: bigint certifiable only
+            # within +-2^53, else stay double
+            sug = F.when(
+                clean
+                & (mn >= F.lit(-_TWO_P53))
+                & (mx <= F.lit(_TWO_P53)),
+                F.lit("bigint"),
+            ).otherwise(sug)
+            for name, lo, hi in reversed(_INT_BOUNDS[:-1]):
+                sug = F.when(
+                    clean
+                    & (mn >= F.lit(float(lo)))
+                    & (mx <= F.lit(float(hi))),
+                    F.lit(name),
+                ).otherwise(sug)
+        elif isinstance(dt, T.DecimalType):
+            sug = F.lit(dtype_str)
+        else:
+            sug = F.lit(dtype_str)
+            for name, lo, hi in reversed(_INT_BOUNDS):
+                sug = F.when(
+                    (nonnull > 0) & (mn >= F.lit(lo)) & (mx <= F.lit(hi)),
+                    F.lit(name),
+                ).otherwise(sug)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(dtype_str).alias("dtype"),
+                F.col("n_rows").alias("n_rows"),
+                nonnull.alias("n_nonnull"),
+                F.col(f"{c}__nan").alias("n_nan"),
+                F.col(f"{c}__inf").alias("n_inf"),
+                F.col(f"{c}__nonint").alias("n_non_integer"),
+                mn.cast("double").alias("min_value"),
+                mx.cast("double").alias("max_value"),
+                sug.alias("suggested_type"),
+            )
+        )
+    return wide.select(F.explode(F.array(*structs)).alias("__r")).select(
+        "__r.*"
+    )
