@@ -5562,6 +5562,71 @@ LIMIT 15
 """
 
 
+def q_join_audit_orders_lineitem(spark, sf_dir):
+    """Pre-flight join audit (validator.join_cardinality_report) of
+    orders JOIN lineitem ON orderkey: exact output cardinality and
+    max-fanout from per-key counts, never running the join. output_rows
+    and max_key_fanout are decimal(38,0)/HUGEINT exact integers emitted
+    as canonical digit STRINGS — identical render on every engine where
+    the numeric types would hash-diverge."""
+    from pandera_forge_spark.validator import join_cardinality_report
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return join_cardinality_report(o, li, ["o_orderkey"], ["l_orderkey"])
+
+
+SQL_JOIN_AUDIT_ORDERS_LINEITEM = """
+WITH lc AS (
+  SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cl
+  FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1
+), rc AS (
+  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cr
+  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+), lnull AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS lnr FROM orders
+  WHERE o_orderkey IS NULL
+), rnull AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS rnr FROM lineitem
+  WHERE l_orderkey IS NULL
+), j AS (
+  SELECT lc.cl, rc.cr FROM lc FULL OUTER JOIN rc ON lc.k = rc.k
+), agg AS (
+  SELECT
+    CAST(COALESCE(SUM(cl), 0) AS BIGINT) AS n_left,
+    CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS n_right,
+    CAST(COALESCE(SUM(CASE WHEN cl IS NOT NULL THEN 1 ELSE 0 END), 0)
+      AS BIGINT) AS n_left_keys,
+    CAST(COALESCE(SUM(CASE WHEN cr IS NOT NULL THEN 1 ELSE 0 END), 0)
+      AS BIGINT) AS n_right_keys,
+    CAST(COALESCE(SUM(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_matched_keys,
+    CAST(COALESCE(SUM(CASE WHEN cl IS NOT NULL AND cr IS NULL
+      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_left_only_keys,
+    CAST(COALESCE(SUM(CASE WHEN cl IS NULL AND cr IS NOT NULL
+      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_right_only_keys,
+    COALESCE(SUM(CAST(cl AS HUGEINT) * CAST(cr AS HUGEINT)),
+      CAST(0 AS HUGEINT)) AS outx,
+    COALESCE(MAX(CAST(cl AS HUGEINT) * CAST(cr AS HUGEINT)),
+      CAST(0 AS HUGEINT)) AS maxfan
+  FROM j
+)
+SELECT n_left, n_right, n_left_keys, n_right_keys, n_matched_keys,
+  n_left_only_keys, n_right_only_keys,
+  lnr AS left_null_key_rows, rnr AS right_null_key_rows,
+  CAST(outx AS VARCHAR) AS output_rows,
+  CAST(maxfan AS VARCHAR) AS max_key_fanout,
+  CASE WHEN outx > 0 THEN CAST(FLOOR(CAST(maxfan AS DOUBLE)
+    / CAST(outx AS DOUBLE) * 1000000.0e0 + 0.5e0) AS BIGINT)
+  END AS max_fanout_share_micro,
+  CASE WHEN outx > 0 THEN CAST(CAST(FLOOR(CAST(maxfan AS DOUBLE)
+    / CAST(outx AS DOUBLE) * 1000000.0e0 + 0.5e0) AS BIGINT) AS DOUBLE)
+    / 1000000.0e0
+  END AS max_fanout_share
+FROM agg CROSS JOIN lnull CROSS JOIN rnull
+"""
+
+
 def q_type_headroom_lineitem(spark, sf_dir):
     """Narrowest-safe-type audit (profiler.type_headroom_report) over
     lineitem's eight numeric columns: integer columns narrow by native
@@ -6137,6 +6202,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tests/test_type_headroom.py), green in the strict local sweep
         # at BOTH scale factors.
         "type_headroom_lineitem": q_type_headroom_lineitem,
+        # join_audit_orders_lineitem (new this session) = two map-side
+        # groupBy(key) counts (the duplicate-keys family, in-window via
+        # the uniqueness anchors) + one full-outer equi-join of key
+        # frames (the snapshot_diff in-window kernel) + a 1-row reduce;
+        # exact big-int results ride the decimal->canonical-string
+        # render (identical on every engine — the anti-HUGEINT
+        # discipline), actual-join differentials in
+        # tests/test_join_audit.py; green in the strict local sweep at
+        # BOTH scale factors.
+        "join_audit_orders_lineitem": q_join_audit_orders_lineitem,
         "drift_orders": q_drift_orders,
         "pattern_ratios": q_pattern_ratios,
         "profile_fused_orders": q_profile_fused_orders,
@@ -6373,6 +6448,7 @@ def oracle_sql() -> dict[str, str]:
         "hygiene_customer": SQL_HYGIENE_CUSTOMER,
         "soft_fd_source_lang": SQL_SOFT_FD_SOURCE_LANG,
         "type_headroom_lineitem": _sql_type_headroom(),
+        "join_audit_orders_lineitem": SQL_JOIN_AUDIT_ORDERS_LINEITEM,
         "gapfill_interp_user": SQL_GAPFILL_INTERP_USER,
         "mutual_best_fuzzy": SQL_MUTUAL_BEST_FUZZY,
         "score_calibration": SQL_SCORE_CALIBRATION,

@@ -772,3 +772,141 @@ def soft_fd_report(
             F.col("conformance_micro").cast("double") / F.lit(1000000.0),
         )
     )
+
+
+def join_cardinality_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: Sequence[str],
+    right_on: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Pre-flight join audit — EXACT output cardinality and fan-out of
+    ``left JOIN right`` on the given keys, computed from per-key counts
+    WITHOUT running the join: ``output_rows = Σ_k cl(k)·cr(k)``. The
+    "this join explodes 400×" finding costs two groupBys over the
+    inputs instead of a cluster-melting shuffle at 10^12 rows; the
+    max-fanout key and its output share say whether the explosion is
+    broad or one hot key (→ salt exactly that key).
+
+    One summary row: ``(n_left, n_right, n_left_keys, n_right_keys,
+    n_matched_keys, n_left_only_keys, n_right_only_keys,
+    left_null_key_rows, right_null_key_rows, output_rows,
+    max_key_fanout, max_fanout_share_micro, max_fanout_share)``.
+    Rows with ANY NULL key component never match under SQL equality —
+    they are counted in ``*_null_key_rows`` and excluded from key
+    frames (matching the join they predict). ``output_rows`` and
+    ``max_key_fanout`` are EXACT at any scale: summed as
+    decimal(38,0) (``cl·cr`` passes BIGINT when both sides of one key
+    exceed ~3e9 rows) and emitted as their canonical digit STRING —
+    arbitrary-precision integers render identically on every engine,
+    where a decimal/int128 column would diverge in type. The share is
+    one double division of two exact integers, micro-quantized; NULL
+    when the join is empty (0/0 diverges across engines).
+
+    Scale: one map-side-combined groupBy per side over raw rows; the
+    key-frame equi-join and the final 1-row reduce run over O(distinct
+    keys). Nothing here shuffles a payload byte."""
+    left_on = list(left_on)
+    right_on = list(right_on or left_on)
+    if len(left_on) != len(right_on) or not left_on:
+        raise ValueError("left_on/right_on must be same-length, non-empty")
+    missing = [c for c in left_on if c not in left.columns] + [
+        c for c in right_on if c not in right.columns
+    ]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+
+    def _side(df, keys, cname):
+        nonnull = F.lit(True)
+        for k in keys:
+            nonnull = nonnull & F.col(k).isNotNull()
+        counts = (
+            df.where(nonnull)
+            .groupBy(
+                *[
+                    F.col(k).alias(f"__k{i}")
+                    for i, k in enumerate(keys)
+                ]
+            )
+            .agg(F.count(F.lit(1)).alias(cname))
+        )
+        nulls = df.where(~nonnull).agg(
+            F.count(F.lit(1)).alias(f"{cname}_nullrows")
+        )
+        return counts, nulls
+
+    lc, lnull = _side(left, left_on, "__cl")
+    rc, rnull = _side(right, right_on, "__cr")
+    kcols = [f"__k{i}" for i in range(len(left_on))]
+    j = lc.join(rc, on=kcols, how="full")
+    dec = "decimal(38,0)"
+    pairs = F.col("__cl").cast(dec) * F.col("__cr").cast(dec)
+    agg = j.agg(
+        F.coalesce(F.sum("__cl"), F.lit(0)).alias("n_left"),
+        F.coalesce(F.sum("__cr"), F.lit(0)).alias("n_right"),
+        F.coalesce(F.sum((F.col("__cl").isNotNull()).cast("long")), F.lit(0)).alias(
+            "n_left_keys"
+        ),
+        F.coalesce(F.sum((F.col("__cr").isNotNull()).cast("long")), F.lit(0)).alias(
+            "n_right_keys"
+        ),
+        F.coalesce(
+            F.sum(
+                (F.col("__cl").isNotNull() & F.col("__cr").isNotNull()).cast(
+                    "long"
+                )
+            ),
+            F.lit(0),
+        ).alias("n_matched_keys"),
+        F.coalesce(
+            F.sum(
+                (F.col("__cl").isNotNull() & F.col("__cr").isNull()).cast(
+                    "long"
+                )
+            ),
+            F.lit(0),
+        ).alias("n_left_only_keys"),
+        F.coalesce(
+            F.sum(
+                (F.col("__cl").isNull() & F.col("__cr").isNotNull()).cast(
+                    "long"
+                )
+            ),
+            F.lit(0),
+        ).alias("n_right_only_keys"),
+        F.coalesce(F.sum(pairs), F.lit(0).cast(dec)).alias("__out"),
+        F.coalesce(F.max(pairs), F.lit(0).cast(dec)).alias("__maxfan"),
+    )
+    share = F.col("__maxfan").cast("double") / F.col("__out").cast("double")
+    share_micro = F.when(
+        F.col("__out") > 0,
+        F.floor(share * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
+    )
+    out = (
+        agg.crossJoin(F.broadcast(lnull))
+        .crossJoin(F.broadcast(rnull))
+        .select(
+            "n_left",
+            "n_right",
+            "n_left_keys",
+            "n_right_keys",
+            "n_matched_keys",
+            "n_left_only_keys",
+            "n_right_only_keys",
+            F.coalesce(F.col("__cl_nullrows"), F.lit(0)).alias(
+                "left_null_key_rows"
+            ),
+            F.coalesce(F.col("__cr_nullrows"), F.lit(0)).alias(
+                "right_null_key_rows"
+            ),
+            F.col("__out").cast("string").alias("output_rows"),
+            F.col("__maxfan").cast("string").alias("max_key_fanout"),
+            share_micro.alias("max_fanout_share_micro"),
+        )
+        .withColumn(
+            "max_fanout_share",
+            F.col("max_fanout_share_micro").cast("double")
+            / F.lit(1000000.0),
+        )
+    )
+    return out
