@@ -147,12 +147,17 @@ from pandera_forge_spark.operators.similarity import (
 )
 from pandera_forge_spark.operators.text import chunk_documents, normalize_text
 from pandera_forge_spark.profiler import (
+    association_pairs,
     benford_profile,
+    concentration_profile,
     correlation_matrix,
     cube_profile,
     entropy_profile,
+    mutual_information,
     null_correlation,
     quantile_profile,
+    string_hygiene_report,
+    type_headroom_report,
 )
 from pandera_forge_spark.runner import audit_summary
 from pandera_forge_spark.sources.readers import corrupt_record_report, read_jsonl
@@ -165,6 +170,8 @@ from pandera_forge_spark.validator import (
     duplicate_keys,
     duplicate_rows,
     functional_dependency_violations,
+    join_cardinality_report,
+    soft_fd_report,
     grouped_outlier_rows,
     has_duplicate_keys,
     iqr_bounds,
@@ -273,7 +280,14 @@ __all__ = [
     "time_weighted_average",
     "span_ref_violations",
     "functional_dependency_violations",
+    "join_cardinality_report",
+    "soft_fd_report",
+    "association_pairs",
     "benford_profile",
+    "concentration_profile",
+    "mutual_information",
+    "string_hygiene_report",
+    "type_headroom_report",
     "correlation_matrix",
     "cube_profile",
     "entropy_profile",
