@@ -5562,6 +5562,56 @@ LIMIT 15
 """
 
 
+def q_duplicate_events_user(spark, sf_dir):
+    """At-least-once redelivery audit (temporal.duplicate_events) over
+    events with planted redeliveries: every event_id % 211 == 0 gets a
+    clone 3 seconds later with identical payload (event_type, props);
+    the audit flags consecutive same-payload events within 5 s per
+    user. Oracle replays the union + LAG + null-safe payload equality;
+    order pinned total (ts, event_id) with NULLS FIRST."""
+    from pandera_forge_spark.operators.temporal import duplicate_events
+
+    e = _t(spark, sf_dir, "events")
+    clones = e.where(F.col("event_id") % 211 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 3 SECONDS")
+    )
+    aug = e.unionByName(clones)
+    return duplicate_events(
+        aug,
+        ["user_id"],
+        "ts",
+        within_seconds=5,
+        payload_cols=["event_type", "props"],
+        order_cols=["ts", "event_id"],
+    )
+
+
+SQL_DUPLICATE_EVENTS_USER = """
+WITH aug AS (
+  SELECT event_id, ts, user_id, event_type, value, props FROM events
+  UNION ALL
+  SELECT event_id, ts + INTERVAL 3 SECOND, user_id, event_type, value,
+         props
+  FROM events WHERE event_id % 211 = 0
+), lagd AS (
+  SELECT event_id, ts, user_id, event_type, value, props,
+         LAG(ts) OVER w AS prev_ts,
+         LAG(event_type) OVER w AS __pet,
+         LAG(props) OVER w AS __pp
+  FROM aug
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
+)
+SELECT event_id, ts, user_id, event_type, value, props, prev_ts,
+       CAST(epoch(ts) - epoch(prev_ts) AS DOUBLE) AS dup_gap_seconds
+FROM lagd
+WHERE prev_ts IS NOT NULL
+  AND CAST(epoch(ts) - epoch(prev_ts) AS DOUBLE) <= 5.0e0
+  AND event_type IS NOT DISTINCT FROM __pet
+  AND props IS NOT DISTINCT FROM __pp
+"""
+
+
 def q_join_audit_orders_lineitem(spark, sf_dir):
     """Pre-flight join audit (validator.join_cardinality_report) of
     orders JOIN lineitem ON orderkey: exact output cardinality and
@@ -6212,6 +6262,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_join_audit.py; green in the strict local sweep at
         # BOTH scale factors.
         "join_audit_orders_lineitem": q_join_audit_orders_lineitem,
+        # duplicate_events_user (new this session) = the shared
+        # _with_prev lag kernel driver-anchored in-window by
+        # sequence_gaps_user / monotonic_value_user (positions 20/19 —
+        # identical capture machinery, here capturing the payload
+        # struct instead of one value) + the null-safe equality idiom;
+        # planted-clone fixture; split==unsplit + brute-force replay
+        # pytests (tests/test_duplicate_events.py); green in the strict
+        # local sweep at BOTH scale factors.
+        "duplicate_events_user": q_duplicate_events_user,
         "drift_orders": q_drift_orders,
         "pattern_ratios": q_pattern_ratios,
         "profile_fused_orders": q_profile_fused_orders,
@@ -6449,6 +6508,7 @@ def oracle_sql() -> dict[str, str]:
         "soft_fd_source_lang": SQL_SOFT_FD_SOURCE_LANG,
         "type_headroom_lineitem": _sql_type_headroom(),
         "join_audit_orders_lineitem": SQL_JOIN_AUDIT_ORDERS_LINEITEM,
+        "duplicate_events_user": SQL_DUPLICATE_EVENTS_USER,
         "gapfill_interp_user": SQL_GAPFILL_INTERP_USER,
         "mutual_best_fuzzy": SQL_MUTUAL_BEST_FUZZY,
         "score_calibration": SQL_SCORE_CALIBRATION,

@@ -1501,3 +1501,68 @@ def cusum_scores(
         drop += ["__chunk", "__mh", "__ml", "__carryh", "__carryl",
                  "__prevmh", "__prevml"]
     return res.drop(*drop)
+
+
+def duplicate_events(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    within_seconds: float,
+    payload_cols: Optional[Sequence[str]] = None,
+    order_cols: Optional[Sequence[str]] = None,
+    split_every: Optional[float] = None,
+) -> DataFrame:
+    """At-least-once delivery audit: per key, events whose PREVIOUS
+    event (in time order) landed within ``within_seconds`` AND carries
+    an identical payload — the redelivered webhook / double-fired
+    producer / retried insert an at-least-once pipeline leaks, caught
+    before it inflates every downstream count. Returns the LATER row of
+    each duplicate pair (all input columns) plus ``prev_<ts_col>`` and
+    ``dup_gap_seconds``; clean keys drop out entirely.
+
+    Payload equality is null-safe per column (NULL == NULL is a match
+    — two retries of a half-filled event are still the same event);
+    ``payload_cols`` defaults to every column except keys, the
+    timestamp, and ``order_cols``. Back-to-back triplicates emit two
+    rows (each compares to its immediate predecessor) — the count is
+    "redeliveries", not "duplicate groups". Events exactly
+    ``within_seconds`` apart count as duplicates (<=, retry jitter is
+    bounded, not open). NULL timestamps sort first and never emit
+    (NULL arithmetic), matching the other sequence validators.
+
+    Scale: the ``_with_prev`` kernel — one shuffle on the key, O(1)
+    window state (it captures the previous row's payload columns, a
+    fixed-width struct, never a buffer), ``split_every`` caps a hot
+    key's sort at one time chunk; a chunk boundary cannot hide a pair
+    because the carried last row stitches the bracketing events
+    (split == unsplit, pytest-asserted). The alternative — a
+    self-join on key with a time-band predicate — is a range join
+    that explodes on exactly the hot producers this audit exists to
+    catch."""
+    keys = list(key_cols)
+    if payload_cols is None:
+        skip = set(keys) | {ts_col} | set(order_cols or [])
+        payload_cols = [c for c in df.columns if c not in skip]
+    payload = list(payload_cols)
+    if not payload:
+        raise ValueError("payload_cols must be non-empty")
+    missing = [c for c in payload + [ts_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    order = list(order_cols) if order_cols is not None else [ts_col]
+    prev_ts = f"prev_{ts_col}"
+    cap_names = {prev_ts: ts_col}
+    for c in payload:
+        cap_names[f"__prev_{c}"] = c
+    _check_reserved(df, list(cap_names) + ["dup_gap_seconds"], "duplicate_events")
+    out = _with_prev(df, keys, order, cap_names, split_every)
+    gap = _seconds(out, ts_col) - _seconds(out, prev_ts)
+    same = F.lit(True)
+    for c in payload:
+        same = same & F.col(c).eqNullSafe(F.col(f"__prev_{c}"))
+    out = out.withColumn("dup_gap_seconds", gap)
+    return out.where(
+        F.col("dup_gap_seconds").isNotNull()
+        & (F.col("dup_gap_seconds") <= F.lit(float(within_seconds)))
+        & same
+    ).drop(*[c for c in cap_names if c != prev_ts])
