@@ -96,6 +96,7 @@ from pandera_forge_spark.operators.search import (
 from pandera_forge_spark.operators.temporal import (
     asof_join,
     cusum_scores,
+    duplicate_events,
     event_funnel,
     interval_join,
     interval_overlaps,
@@ -262,6 +263,7 @@ __all__ = [
     "event_funnel",
     "interval_join",
     "interval_overlaps",
+    "duplicate_events",
     "monotonic_violations",
     "retention_cohorts",
     "cusum_scores",
