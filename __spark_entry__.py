@@ -5514,8 +5514,8 @@ cells AS (
 SELECT 'lang' AS col_a, 'source' AS col_b,
        CAST(COALESCE(SUM(cab), 0) AS BIGINT) AS n,
        CAST(COUNT(*) AS BIGINT) AS cells,
-       CAST(SUM(tq) AS BIGINT) AS mi_micro,
-       CAST(SUM(tq) AS DOUBLE) / 1000000.0e0 AS mi_nats
+       CAST(COALESCE(SUM(tq), 0) AS BIGINT) AS mi_micro,
+       CAST(COALESCE(SUM(tq), 0) AS DOUBLE) / 1000000.0e0 AS mi_nats
 FROM q
 """
 
@@ -5606,6 +5606,7 @@ SELECT event_id, ts, user_id, event_type, value, props, prev_ts,
        CAST(epoch(ts) - epoch(prev_ts) AS DOUBLE) AS dup_gap_seconds
 FROM lagd
 WHERE prev_ts IS NOT NULL
+  AND CAST(epoch(ts) - epoch(prev_ts) AS DOUBLE) >= 0.0e0
   AND CAST(epoch(ts) - epoch(prev_ts) AS DOUBLE) <= 5.0e0
   AND event_type IS NOT DISTINCT FROM __pet
   AND props IS NOT DISTINCT FROM __pp

@@ -1563,6 +1563,10 @@ def duplicate_events(
     out = out.withColumn("dup_gap_seconds", gap)
     return out.where(
         F.col("dup_gap_seconds").isNotNull()
+        # lower bound matters when order_cols is not ts-led: an
+        # out-of-time-order predecessor would give a NEGATIVE gap that
+        # <= within_seconds alone would wrongly admit
+        & (F.col("dup_gap_seconds") >= F.lit(0.0))
         & (F.col("dup_gap_seconds") <= F.lit(float(within_seconds)))
         & same
     ).drop(*[c for c in cap_names if c != prev_ts])

@@ -879,6 +879,48 @@ def cube_profile(
     return grouped.agg(*aggs)
 
 
+def _count_if(cond) -> "F.Column":
+    """``SUM(CASE WHEN cond THEN 1 ELSE 0 END)`` — the fused-aggregate
+    conditional counter shared by the census-style profilers (NULL
+    conditions count as 0, matching SQL CASE)."""
+    return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+
+
+def _joint_marginals(
+    df: DataFrame, col_a: str, col_b: str, include_nulls: bool
+) -> DataFrame:
+    """Shared association kernel: the populated joint cells of
+    ``(col_a, col_b)`` with both marginals and the total attached —
+    ``(__a, __b, __cab, __ca, __cb, __n)``. One ``groupBy(a, b)``
+    shuffle over raw rows (map-side combined); marginals derive FROM
+    the joint under RENAMED keys (same-name refs across a self-derived
+    frame resolve to one attribute) and re-attach as broadcasts; the
+    total is a 1-row broadcast stats frame (an unpartitioned window
+    would drag every cell of a high-cardinality pair into one task).
+    Backs :func:`mutual_information` and :func:`association_pairs`."""
+    base = df.select(
+        F.col(col_a).cast("string").alias("__a"),
+        F.col(col_b).cast("string").alias("__b"),
+    )
+    if not include_nulls:
+        base = base.where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    joint = base.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__cab"))
+    ma = joint.groupBy(F.col("__a").alias("__ka")).agg(
+        F.sum("__cab").alias("__ca")
+    )
+    mb = joint.groupBy(F.col("__b").alias("__kb")).agg(
+        F.sum("__cab").alias("__cb")
+    )
+    nrow = joint.agg(F.sum("__cab").alias("__n"))
+    return (
+        joint.join(F.broadcast(ma), F.col("__a").eqNullSafe(F.col("__ka")))
+        .drop("__ka")
+        .join(F.broadcast(mb), F.col("__b").eqNullSafe(F.col("__kb")))
+        .drop("__kb")
+        .crossJoin(F.broadcast(nrow))
+    )
+
+
 def mutual_information(
     df: DataFrame,
     cols: Sequence[str],
@@ -918,44 +960,11 @@ def mutual_information(
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"columns not in frame: {missing}")
-    spark = df.sparkSession
     outs = []
     for i in range(len(cols)):
         for j in range(i + 1, len(cols)):
             a, b = cols[i], cols[j]
-            base = df.select(
-                F.col(a).cast("string").alias("__a"),
-                F.col(b).cast("string").alias("__b"),
-            )
-            if not include_nulls:
-                base = base.where(
-                    F.col("__a").isNotNull() & F.col("__b").isNotNull()
-                )
-            joint = base.groupBy("__a", "__b").agg(
-                F.count(F.lit(1)).alias("__cab")
-            )
-            # marginals derive FROM joint — rename their keys so the
-            # self-derived join condition is unambiguous (same-name
-            # refs across a derived frame resolve to one attribute)
-            ma = joint.groupBy(F.col("__a").alias("__ka")).agg(
-                F.sum("__cab").alias("__ca")
-            )
-            mb = joint.groupBy(F.col("__b").alias("__kb")).agg(
-                F.sum("__cab").alias("__cb")
-            )
-            cells = (
-                joint.join(
-                    F.broadcast(ma), F.col("__a").eqNullSafe(F.col("__ka"))
-                )
-                .drop("__ka")
-                .join(F.broadcast(mb), F.col("__b").eqNullSafe(F.col("__kb")))
-                .drop("__kb")
-            )
-            # n as a 1-row broadcast stats frame (house pattern) — an
-            # unpartitioned window here would drag every joint cell of
-            # a high-cardinality pair into one task
-            nrow = joint.agg(F.sum("__cab").alias("__n"))
-            cells = cells.crossJoin(F.broadcast(nrow))
+            cells = _joint_marginals(df, a, b, include_nulls)
             n = F.col("__n")
             term = (F.col("__cab").cast("double") / n.cast("double")) * (
                 F.log(F.col("__cab").cast("double"))
@@ -975,7 +984,11 @@ def mutual_information(
                     F.lit(b).alias("col_b"),
                     F.coalesce(F.sum("__cab"), F.lit(0)).alias("n"),
                     F.count(F.lit(1)).alias("cells"),
-                    F.sum("__tq").alias("mi_micro"),
+                    # coalesce: a pair with zero surviving rows (all
+                    # NULL under include_nulls=False) is MI 0, not NULL
+                    F.coalesce(
+                        F.sum("__tq"), F.lit(0).cast("long")
+                    ).alias("mi_micro"),
                 ).select(
                     "col_a",
                     "col_b",
@@ -1181,27 +1194,11 @@ def association_pairs(
         raise ValueError("min_support must be >= 1")
     if top_n < 1:
         raise ValueError("top_n must be >= 1")
-    base = df.select(
-        F.col(col_a).cast("string").alias("__a"),
-        F.col(col_b).cast("string").alias("__b"),
-    )
-    if not include_nulls:
-        base = base.where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
-    joint = base.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__cab"))
-    ma = joint.groupBy(F.col("__a").alias("__ka")).agg(
-        F.sum("__cab").alias("__ca")
-    )
-    mb = joint.groupBy(F.col("__b").alias("__kb")).agg(
-        F.sum("__cab").alias("__cb")
-    )
-    nrow = joint.agg(F.sum("__cab").alias("__n"))
-    cells = (
-        joint.where(F.col("__cab") >= F.lit(int(min_support)))
-        .join(F.broadcast(ma), F.col("__a").eqNullSafe(F.col("__ka")))
-        .drop("__ka")
-        .join(F.broadcast(mb), F.col("__b").eqNullSafe(F.col("__kb")))
-        .drop("__kb")
-        .crossJoin(F.broadcast(nrow))
+    # shared kernel with mutual_information; the support filter runs on
+    # the assembled cells frame, AFTER the marginal sums (marginals
+    # must count filtered-out singleton cells too)
+    cells = _joint_marginals(df, col_a, col_b, include_nulls).where(
+        F.col("__cab") >= F.lit(int(min_support))
     )
     lift = (
         F.col("__cab").cast("double") * F.col("__n").cast("double")
@@ -1253,8 +1250,7 @@ def string_hygiene_report(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     if missing:
         raise ValueError(f"columns not in frame: {missing}")
 
-    def _cnt(cond):
-        return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+    _cnt = _count_if
 
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
@@ -1344,8 +1340,7 @@ def type_headroom_report(
     if not cols:
         raise ValueError("no numeric columns to audit")
 
-    def _cnt(cond):
-        return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+    _cnt = _count_if
 
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
@@ -1389,9 +1384,12 @@ def type_headroom_report(
                 & (F.col(f"{c}__inf") == 0)
                 & (F.col(f"{c}__nonint") == 0)
             )
-            sug = F.lit("double")
+            # fallback is the DECLARED type: a float column that cannot
+            # narrow must stay 'float', not widen to 'double' (and an
+            # all-NULL column keeps its type — no evidence to narrow)
+            sug = F.lit(dtype_str)
             # build the cascade innermost-first: bigint certifiable only
-            # within +-2^53, else stay double
+            # within +-2^53, else stay as declared
             sug = F.when(
                 clean
                 & (mn >= F.lit(-_TWO_P53))

@@ -125,3 +125,15 @@ def test_no_python_udf(spark):
         [("a", 1, "x")], "k string, ts bigint, payload string"
     )
     assert not has_python_udf(duplicate_events(df, ["k"], "ts", 5))
+
+
+def test_negative_gap_from_non_ts_order_not_a_dup(spark):
+    # review fix: order by id puts a LATER event as predecessor; the
+    # negative gap must not pass the within filter
+    rows = [("a", 5000, 2, "x"), ("a", 100, 3, "x")]
+    df = spark.createDataFrame(rows, "k string, ts bigint, oid bigint, p string")
+    got = duplicate_events(
+        df, ["k"], "ts", within_seconds=5,
+        payload_cols=["p"], order_cols=["oid"],
+    )
+    assert got.count() == 0

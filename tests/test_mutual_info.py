@@ -104,3 +104,11 @@ def test_mi_partition_independent(spark):
 def test_mi_no_python_udf(spark):
     df = spark.createDataFrame([("x", "u")], "a string, b string")
     assert not has_python_udf(mutual_information(df, ["a", "b"]))
+
+
+def test_mi_zero_surviving_rows_is_zero_not_null(spark):
+    # review fix: all rows NULL on one side + include_nulls=False ->
+    # (n=0, cells=0, mi 0), never NULL
+    df = spark.createDataFrame([("x", None), ("y", None)], "a string, b string")
+    got = _mi(mutual_information(df, ["a", "b"], include_nulls=False))
+    assert got[("a", "b")] == (0, 0, 0, 0.0)

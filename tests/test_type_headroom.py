@@ -91,3 +91,16 @@ def test_partition_independent_single_scan(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("logicalrdd") <= 1
     assert not has_python_udf(out)
+
+
+def test_float_column_keeps_float_never_widens(spark):
+    # review fix: a float column that cannot narrow must stay 'float',
+    # not widen to 'double'; an integral float still narrows
+    df = spark.createDataFrame([(1.5, 3.0), (2.5, 7.0)], "a float, b float")
+    got = _rows(type_headroom_report(df))
+    assert got["a"]["dtype"] == "float"
+    assert got["a"]["suggested_type"] == "float"
+    assert got["b"]["suggested_type"] == "tinyint"
+    # all-NULL float keeps its declared type too
+    df2 = spark.createDataFrame([(None,), (None,)], "v float")
+    assert _rows(type_headroom_report(df2, ["v"]))["v"]["suggested_type"] == "float"
