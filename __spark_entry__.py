@@ -5938,6 +5938,218 @@ ORDER BY metric, k
 """
 
 
+def _planted_annotations(spark, sf_dir):
+    """A three-annotator labeling pass over documents, fully
+    closed-form on both engines: annotator 'a' labels every doc
+    l(doc_id % 3); 'b' agrees except on doc_id % 13 == 0 (label
+    shifted +1 mod 3 — always a disagreement); 'c' labels only even
+    docs and disagrees on doc_id % 17 == 0 (shifted +2)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    lab = lambda shift_on, shift: F.concat(  # noqa: E731
+        F.lit("l"),
+        (
+            (
+                F.col("doc_id")
+                + F.when(F.col("doc_id") % shift_on == 0, F.lit(shift)).otherwise(
+                    F.lit(0)
+                )
+            )
+            % 3
+        ).cast("string"),
+    )
+    a = docs.select(
+        F.col("doc_id").alias("item"),
+        F.lit("a").alias("ann"),
+        F.concat(F.lit("l"), (F.col("doc_id") % 3).cast("string")).alias("label"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("item"),
+        F.lit("b").alias("ann"),
+        lab(13, 1).alias("label"),
+    )
+    c = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("item"),
+        F.lit("c").alias("ann"),
+        lab(17, 2).alias("label"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+_ANNOTATIONS_SQL = """
+  SELECT doc_id AS item, 'a' AS ann,
+         'l' || CAST(doc_id % 3 AS VARCHAR) AS label
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'b',
+         'l' || CAST((doc_id + CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END)
+                     % 3 AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'c',
+         'l' || CAST((doc_id + CASE WHEN doc_id % 17 = 0 THEN 2 ELSE 0 END)
+                     % 3 AS VARCHAR)
+  FROM documents WHERE doc_id % 2 = 0
+"""
+
+
+def q_annotator_kappa(spark, sf_dir):
+    """Pairwise inter-annotator agreement (operators/labels.py
+    annotator_agreement) over the planted three-annotator pass: item
+    self-join -> exact integer marginals -> Cohen's kappa in ONE
+    division of exact longs (bit-identical on both engines). The
+    oracle replays the identical pipeline; its SUM outputs are CAST
+    to BIGINT (the round-4 HUGEINT lesson)."""
+    from pandera_forge_spark.operators.labels import annotator_agreement
+
+    ann = _planted_annotations(spark, sf_dir)
+    return annotator_agreement(ann, "item", "ann", "label").orderBy(
+        "ann_a", "ann_b"
+    )
+
+
+SQL_ANNOTATOR_KAPPA = f"""
+WITH ann AS ({_ANNOTATIONS_SQL}),
+pairs AS (
+  SELECT l.ann AS ann_a, r.ann AS ann_b, l.label AS la, r.label AS lb
+  FROM ann l JOIN ann r ON l.item = r.item AND l.ann < r.ann
+),
+po AS (
+  SELECT ann_a, ann_b, COUNT(*) AS n_items,
+         CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM pairs GROUP BY ann_a, ann_b
+),
+ma AS (SELECT ann_a, ann_b, la AS l, COUNT(*) AS na
+       FROM pairs GROUP BY ann_a, ann_b, la),
+mb AS (SELECT ann_a, ann_b, lb AS l, COUNT(*) AS nb
+       FROM pairs GROUP BY ann_a, ann_b, lb),
+pe AS (
+  SELECT ma.ann_a, ma.ann_b, CAST(SUM(ma.na * mb.nb) AS BIGINT) AS nanb
+  FROM ma JOIN mb
+    ON ma.ann_a = mb.ann_a AND ma.ann_b = mb.ann_b AND ma.l = mb.l
+  GROUP BY ma.ann_a, ma.ann_b
+)
+SELECT po.ann_a, po.ann_b, po.n_items, po.n_agree,
+       CASE WHEN po.n_items * po.n_items - COALESCE(pe.nanb, 0) <> 0
+            THEN CAST(po.n_agree * po.n_items - COALESCE(pe.nanb, 0) AS DOUBLE)
+               / CAST(po.n_items * po.n_items - COALESCE(pe.nanb, 0) AS DOUBLE)
+       END AS kappa
+FROM po LEFT JOIN pe ON po.ann_a = pe.ann_a AND po.ann_b = pe.ann_b
+ORDER BY po.ann_a, po.ann_b
+"""
+
+
+def q_label_majority_conflicts(spark, sf_dir):
+    """Conflicted items + their elected golden label (operators/
+    labels.py label_conflicts joined with majority_label): planted
+    disagreements on the %13 and %17 residues, ties broken toward the
+    lexicographically smallest label — the labels array is emitted as
+    a '|'-joined string so the compare stays on proven scalar
+    hashing."""
+    from pandera_forge_spark.operators.labels import (
+        label_conflicts,
+        majority_label,
+    )
+
+    ann = _planted_annotations(spark, sf_dir)
+    conf = label_conflicts(ann, ["item"], "label").select(
+        "item",
+        F.concat_ws("|", F.col("labels")).alias("labels"),
+        "n_labels",
+        "n_rows",
+    )
+    maj = majority_label(ann, ["item"], "label").select(
+        "item", "label", "votes"
+    )
+    return conf.join(maj, "item").orderBy("item")
+
+
+SQL_LABEL_MAJORITY_CONFLICTS = f"""
+WITH ann AS ({_ANNOTATIONS_SQL}),
+agg AS (
+  SELECT item,
+         array_to_string(list_sort(list(DISTINCT label)), '|') AS labels,
+         CAST(COUNT(DISTINCT label) AS INT) AS n_labels,
+         COUNT(*) AS n_rows
+  FROM ann GROUP BY item HAVING COUNT(DISTINCT label) > 1
+),
+cnts AS (SELECT item, label, COUNT(*) AS votes FROM ann GROUP BY item, label),
+win AS (
+  SELECT item, label, votes,
+         ROW_NUMBER() OVER (PARTITION BY item
+                            ORDER BY votes DESC, label ASC) AS rn
+  FROM cnts
+)
+SELECT a.item, a.labels, a.n_labels, a.n_rows, w.label, w.votes
+FROM agg a JOIN win w ON a.item = w.item AND w.rn = 1
+ORDER BY a.item
+"""
+
+
+def q_trend_slope_type(spark, sf_dir):
+    """Per-key OLS metric trend (operators/temporal.py trend_slope)
+    over the planted integer-valued metric: x re-based per key before
+    squaring, x-moments as exact longs, y-moments as exact
+    integer-valued double sums, one fixed IEEE tree per output — the
+    oracle replays the identical expression shapes, so slope/
+    intercept/r2 are emitted RAW (bit-identical by construction).
+    SUM outputs CAST before use (HUGEINT lesson)."""
+    from pandera_forge_spark.operators.temporal import trend_slope
+
+    out = trend_slope(
+        _planted_metric(spark, sf_dir),
+        ["event_type"],
+        "ts",
+        "value",
+        min_points=8,
+    )
+    return out.select(
+        "event_type", "n_points", "t0", "slope", "intercept", "r2"
+    ).orderBy("event_type")
+
+
+SQL_TREND_SLOPE_TYPE = """
+WITH base AS (
+  SELECT event_type,
+         CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0) AS BIGINT)
+           AS sec,
+         CASE WHEN event_id % 997 = 0 THEN 1000.0e0
+              ELSE CAST(event_id % 21 AS DOUBLE) END AS v
+  FROM events WHERE ts IS NOT NULL
+),
+m AS (
+  SELECT event_type, sec,
+         sec - MIN(sec) OVER (PARTITION BY event_type) AS xp, v
+  FROM base
+),
+a AS (
+  SELECT event_type, COUNT(*) AS n_points,
+         CAST(SUM(xp) AS DOUBLE) AS sx,
+         SUM(v) AS sy,
+         CAST(SUM(xp * xp) AS DOUBLE) AS sxx,
+         SUM(CAST(xp AS DOUBLE) * v) AS sxy,
+         SUM(v * v) AS syy,
+         MIN(sec) AS t0
+  FROM m GROUP BY event_type
+)
+SELECT event_type, n_points, t0,
+       (CAST(n_points AS DOUBLE) * sxy - sx * sy)
+         / (CAST(n_points AS DOUBLE) * sxx - sx * sx) AS slope,
+       (sy - (CAST(n_points AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n_points AS DOUBLE) * sxx - sx * sx) * sx)
+         / CAST(n_points AS DOUBLE) AS intercept,
+       CASE WHEN CAST(n_points AS DOUBLE) * syy - sy * sy > 0
+            THEN ((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n_points AS DOUBLE) * sxx - sx * sx))
+               * ((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n_points AS DOUBLE) * syy - sy * sy))
+       END AS r2
+FROM a
+WHERE n_points >= 8
+  AND CAST(n_points AS DOUBLE) * sxx - sx * sx > 0
+ORDER BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -6024,16 +6236,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_history": q_scd2_user_history,
         "twa_user_value": q_twa_user_value,
         "cube_profile_orders": q_cube_profile_orders,
+        # -- continuation-session operators, first driver rows: never
+        # driver-verified, so they take three of the r3-rotated slots
+        # (topk_returnflag / near_dup_minhash / chunk_interleaved moved
+        # to the head of the tail, displacement rationales there) ---------------
+        "annotator_kappa": q_annotator_kappa,
+        "label_majority_conflicts": q_label_majority_conflicts,
+        "trend_slope_type": q_trend_slope_type,
         # -- round-3-verified tail, rotated in (last driver-green r3) ----------
-        "topk_returnflag": q_topk_returnflag,
         "ri_customers_without_orders": q_ri_customers_without_orders,
         "snapshot_diff": q_snapshot_diff,
         "sketch_merge_exact": q_sketch_merge_exact,
         "pipeline_verdicts": q_pipeline_verdicts,
         "span_sequence_mismatches": q_span_sequence_mismatches,
         "exact_dup_groups": q_exact_dup_groups,
-        "near_dup_minhash": q_near_dup_minhash,
-        "chunk_interleaved": q_chunk_interleaved,
         # concentration_source (new this session): never driver-verified,
         # takes outliers_events' slot — that family keeps grouped_outliers
         # (r3-green, identical Tukey-fence predicate with per-group
@@ -6048,7 +6264,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_user_contact": q_golden_user_contact,
         "snm_name_pairs": q_snm_name_pairs,
         "mi_lang_source": q_mi_lang_source,
-        # -- 51+: left out (50-slot cap); each is a parameter-variant ----------
+        # -- 51-53: r3-green rows displaced this session by the three
+        # never-verified label/trend rows above; each keeps an anchor:
+        # topk_returnflag (r1+r3 green, unchanged since r1; the
+        # two-phase top-k kernel has two more r3-green twins in the
+        # tail, topk_event_type / topk_engine_salted),
+        # near_dup_minhash (r3-green; the shingle/minhash/band kernel
+        # runs in-window via stream_dedup_epochs, whose foreachBatch
+        # probe calls write_band_index + the same banded-join exprs),
+        # chunk_interleaved (r3-green; the packing family is in-window
+        # via pack_concat_split / pack_greedy and the span walk via
+        # span_sequence_mismatches) --------------------------------------------
+        "topk_returnflag": q_topk_returnflag,
+        "near_dup_minhash": q_near_dup_minhash,
+        "chunk_interleaved": q_chunk_interleaved,
+        # -- 54+: left out (50-slot cap); each is a parameter-variant ----------
         # or composition of in-window siblings: topk_event_type~
         # topk_returnflag, duplicate_custkeys_salted~duplicate_custkeys
         # (salt flag, also exercised by topk_engine_salted),
@@ -6499,6 +6729,9 @@ def oracle_sql() -> dict[str, str]:
         "scd2_user_history": SQL_SCD2_USER_HISTORY,
         "twa_user_value": SQL_TWA_USER_VALUE,
         "cube_profile_orders": SQL_CUBE_PROFILE_ORDERS,
+        "annotator_kappa": SQL_ANNOTATOR_KAPPA,
+        "label_majority_conflicts": SQL_LABEL_MAJORITY_CONFLICTS,
+        "trend_slope_type": SQL_TREND_SLOPE_TYPE,
         "split_balance": SQL_SPLIT_BALANCE,
         "golden_user_contact": SQL_GOLDEN_USER_CONTACT,
         "snm_name_pairs": SQL_SNM_NAME_PAIRS,

@@ -110,6 +110,7 @@ from pandera_forge_spark.operators.temporal import (
     sessionize,
     time_rollup,
     time_weighted_average,
+    trend_slope,
 )
 from pandera_forge_spark.operators.cdc import (
     apply_changelog,
@@ -130,6 +131,11 @@ from pandera_forge_spark.operators.linkage import (
     fuzzy_join,
     fuzzy_pairs,
     sorted_neighborhood_pairs,
+)
+from pandera_forge_spark.operators.labels import (
+    annotator_agreement,
+    label_conflicts,
+    majority_label,
 )
 from pandera_forge_spark.operators.web import (
     canonicalize_url,
@@ -280,6 +286,10 @@ __all__ = [
     "golden_records",
     "sorted_neighborhood_pairs",
     "time_weighted_average",
+    "trend_slope",
+    "annotator_agreement",
+    "label_conflicts",
+    "majority_label",
     "span_ref_violations",
     "functional_dependency_violations",
     "join_cardinality_report",

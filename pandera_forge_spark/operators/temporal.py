@@ -1570,3 +1570,96 @@ def duplicate_events(
         & (F.col("dup_gap_seconds") <= F.lit(float(within_seconds)))
         & same
     ).drop(*[c for c in cap_names if c != prev_ts])
+
+
+def trend_slope(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    min_points: int = 3,
+) -> DataFrame:
+    """Per-key least-squares trend of a metric over time: ``slope``
+    (value units per second), ``intercept`` (fitted value at the key's
+    FIRST observation) and ``r2``, from the closed-form moment sums —
+    the monitoring question "is this metric drifting, and how fast"
+    asked of every key at once. Rows with a NULL timestamp or NULL
+    value are ignored; keys with fewer than ``min_points`` surviving
+    points, or with all points at one timestamp (zero x-variance), are
+    dropped.
+
+    Mechanics: x is re-based per key (``sec - min(sec) over key``)
+    BEFORE squaring, so ``sum(x^2)`` stays within exact-long range
+    (epoch seconds squared would not); the window min and the moment
+    groupBy hash-partition on the same keys, so Catalyst plans ONE
+    Exchange. x-sums aggregate as longs (exact, associative —
+    partition order can't perturb them); y enters as double, so y-sums
+    are exact only while every partial sum is integer-valued below
+    2^53 — the property the oracle fixtures plant, and the reason the
+    emitted doubles are reproducible bit-for-bit across engines. The
+    final slope/intercept/r2 are fixed IEEE expression trees over
+    those sums. No UDF anywhere.
+
+    Scale: one shuffle on the keys; the aggregate is algebraic, so
+    map-side partial aggregation bounds the shuffle at
+    O(distinct keys), never O(rows) — a hot key costs nothing extra.
+    Overflow bound (ANSI mode raises loudly, never wraps):
+    ``n_per_key * span_seconds^2 < 2^63`` — a year-long key
+    (span 3.2e7 s) holds ~9e3 billion points before the fence.
+    """
+    if min_points < 2:
+        raise ValueError("min_points must be >= 2 (a line needs 2 points)")
+    keys = list(key_cols)
+    _check_reserved(df, ["__t", "__xp", "__v"], "trend_slope")
+    # output names fenced on the KEYS only: non-key input columns don't
+    # survive the groupBy, but a key named n_points/slope/... would
+    # collide with the emitted columns
+    clash = set(keys) & {"n_points", "t0", "slope", "intercept", "r2"}
+    if clash:
+        raise ValueError(
+            f"trend_slope: key columns {sorted(clash)} collide with "
+            "output names — rename them"
+        )
+    sec = F.floor(_seconds(df, ts_col)).cast("long")
+    v = F.col(value_col).cast("double")
+    base = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .withColumn("__t", sec)
+        .withColumn("__v", v)
+    )
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    base = base.withColumn("__xp", F.col("__t") - F.min("__t").over(w))
+    xp = F.col("__xp")
+    vv = F.col("__v")
+    agg = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(xp).alias("__sx"),
+        F.sum(vv).alias("__sy"),
+        F.sum(xp * xp).alias("__sxx"),
+        F.sum(xp.cast("double") * vv).alias("__sxy"),
+        F.sum(vv * vv).alias("__syy"),
+        F.min("__t").alias("__t0"),
+    )
+    n_d = F.col("n_points").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy")
+    sxx = F.col("__sxx").cast("double")
+    sxy = F.col("__sxy")
+    syy = F.col("__syy")
+    den_x = n_d * sxx - sx * sx
+    den_y = n_d * syy - sy * sy
+    num = n_d * sxy - sx * sy
+    slope = num / den_x
+    return (
+        agg.where((F.col("n_points") >= min_points) & (den_x > 0))
+        .withColumn("t0", F.col("__t0"))
+        .withColumn("slope", slope)
+        .withColumn("intercept", (sy - slope * sx) / n_d)
+        .withColumn(
+            "r2",
+            F.when(den_y > 0, (num / den_x) * (num / den_y)).otherwise(
+                F.lit(None).cast("double")
+            ),
+        )
+        .drop("__sx", "__sy", "__sxx", "__sxy", "__syy", "__t0")
+    )

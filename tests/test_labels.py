@@ -1,0 +1,224 @@
+"""Label-quality operators (operators/labels.py) and the per-key OLS
+trend (operators/temporal.py trend_slope)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_forge_spark.operators.labels import (
+    annotator_agreement,
+    label_conflicts,
+    majority_label,
+)
+from pandera_forge_spark.operators.temporal import trend_slope
+from pandera_forge_spark.plans.inspect import executed_plan, has_python_udf
+
+
+@pytest.fixture(scope="module")
+def annotations(spark):
+    # item 1: unanimous 'x' (3 votes); item 2: 2-1 split; item 3: 1-1
+    # tie -> lexicographic winner; item 4: single null label (ignored);
+    # item 5: one annotator only
+    rows = [
+        (1, "a", "x"),
+        (1, "b", "x"),
+        (1, "c", "x"),
+        (2, "a", "x"),
+        (2, "b", "y"),
+        (2, "c", "y"),
+        (3, "a", "z"),
+        (3, "b", "w"),
+        (4, "a", None),
+        (5, "c", "x"),
+    ]
+    return spark.createDataFrame(rows, "item int, ann string, label string")
+
+
+def test_label_conflicts(annotations):
+    out = label_conflicts(annotations, ["item"], "label")
+    got = {r["item"]: (r["labels"], r["n_labels"], r["n_rows"]) for r in out.collect()}
+    assert set(got) == {2, 3}
+    assert got[2] == (["x", "y"], 2, 3)
+    assert got[3] == (["w", "z"], 2, 2)
+
+
+def test_label_conflicts_fence_trips(annotations):
+    with pytest.raises(Exception, match="max_labels"):
+        label_conflicts(annotations, ["item"], "label", max_labels=1).collect()
+
+
+def test_majority_label(annotations):
+    out = majority_label(annotations, ["item"], "label")
+    got = {
+        r["item"]: (r["label"], r["votes"], r["total"], r["n_labels"])
+        for r in out.collect()
+    }
+    assert got[1] == ("x", 3, 3, 1)
+    assert got[2] == ("y", 2, 3, 2)
+    # 1-1 tie: lexicographically smallest label wins, deterministically
+    assert got[3] == ("w", 1, 2, 2)
+    assert got[5] == ("x", 1, 1, 1)
+    assert 4 not in got  # null-only item has no votes
+
+
+def test_majority_no_window_no_udf(annotations):
+    out = majority_label(annotations, ["item"], "label")
+    assert not has_python_udf(out)
+    assert "Window" not in executed_plan(out)
+
+
+def test_annotator_agreement_exact(annotations):
+    out = annotator_agreement(annotations, "item", "ann", "label")
+    got = {(r["ann_a"], r["ann_b"]): r for r in out.collect()}
+    # a-b co-annotate items 1,2,3: agree on 1 only
+    r = got[("a", "b")]
+    assert (r["n_items"], r["n_agree"]) == (3, 1)
+    # marginals over shared items: a: x2 z1, b: x1 y1 w1 -> nanb = 2
+    # kappa = (1*3 - 2) / (9 - 2) = 1/7
+    assert r["kappa"] == (1 * 3 - 2) / (3 * 3 - 2)
+    # a-c co-annotate items 1,2: agree on 1; a: x2, c: x1 y1 -> nanb=2
+    r = got[("a", "c")]
+    assert (r["n_items"], r["n_agree"]) == (2, 1)
+    assert r["kappa"] == (1 * 2 - 2) / (4 - 2)
+    # b-c co-annotate items 1,2 and agree on both; marginals x1 y1 both
+    # sides -> nanb=2, kappa = (2*2-2)/(4-2) = 1.0
+    r = got[("b", "c")]
+    assert (r["n_items"], r["n_agree"], r["kappa"]) == (2, 2, 1.0)
+
+
+def test_annotator_agreement_constant_label_null_kappa(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (1, "b", "x"), (2, "a", "x"), (2, "b", "x")],
+        "item int, ann string, label string",
+    )
+    [r] = annotator_agreement(df, "item", "ann", "label").collect()
+    assert r["n_agree"] == 2 and r["kappa"] is None
+
+
+def test_annotator_agreement_disjoint_labels_kappa_zero(spark):
+    # a always 'x', b always 'y': no common label, empty marginal
+    # intersection — the pair must still be reported, kappa 0
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (1, "b", "y"), (2, "a", "x"), (2, "b", "y")],
+        "item int, ann string, label string",
+    )
+    [r] = annotator_agreement(df, "item", "ann", "label").collect()
+    assert (r["n_items"], r["n_agree"], r["kappa"]) == (2, 0, 0.0)
+
+
+def test_annotator_agreement_duplicate_row_fence(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (1, "a", "y"), (1, "b", "x")],
+        "item int, ann string, label string",
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        annotator_agreement(df, "item", "ann", "label").collect()
+
+
+def test_labels_collision_fences(annotations):
+    # only KEY columns can collide with output names — non-key columns
+    # don't survive the groupBy, and a label_col named "label" is fine
+    with pytest.raises(ValueError, match="collide"):
+        label_conflicts(
+            annotations.withColumnRenamed("item", "labels"), ["labels"], "label"
+        )
+    with pytest.raises(ValueError, match="collide"):
+        majority_label(
+            annotations.withColumnRenamed("item", "votes"), ["votes"], "label"
+        )
+    # a non-key column named like an output must NOT trip the fence
+    ok = label_conflicts(
+        annotations.withColumn("n_rows_src", F.lit(1)), ["item"], "label"
+    )
+    assert ok.count() == 2
+
+
+# ---------------------------------------------------------------- trend
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    # key 'lin': exact line v = 2t + 5 -> slope 2, r2 1
+    # key 'flat': constant -> slope 0, r2 NULL (zero y-variance)
+    # key 'noisy': hand-computable 3 points
+    # key 'one_t': all points at one timestamp -> dropped (zero x-var)
+    # key 'thin': below min_points -> dropped
+    rows = (
+        [("lin", float(t), 2.0 * t + 5.0) for t in range(10)]
+        + [("flat", float(t), 7.0) for t in range(5)]
+        + [("noisy", 0.0, 0.0), ("noisy", 1.0, 2.0), ("noisy", 2.0, 1.0)]
+        + [("one_t", 4.0, 1.0), ("one_t", 4.0, 2.0), ("one_t", 4.0, 3.0)]
+        + [("thin", 0.0, 0.0), ("thin", 1.0, 1.0)]
+    )
+    return spark.createDataFrame(rows, "k string, ts double, v double")
+
+
+def test_trend_slope_exact_line(series):
+    out = trend_slope(series, ["k"], "ts", "v", min_points=3)
+    got = {r["k"]: r for r in out.collect()}
+    assert set(got) == {"lin", "flat", "noisy"}
+    assert got["lin"]["slope"] == 2.0
+    assert got["lin"]["intercept"] == 5.0
+    assert got["lin"]["r2"] == 1.0
+    assert got["flat"]["slope"] == 0.0
+    assert got["flat"]["r2"] is None
+    # noisy: n=3 sx=3 sy=3 sxx=5 sxy=4 syy=5
+    # num = 12-9 = 3; den_x = 15-9 = 6; den_y = 15-9 = 6
+    assert got["noisy"]["slope"] == 0.5
+    assert math.isclose(got["noisy"]["r2"], 0.25)
+    assert got["noisy"]["n_points"] == 3
+
+
+def test_trend_slope_matches_python_ols(series):
+    out = {r["k"]: r for r in trend_slope(series, ["k"], "ts", "v").collect()}
+    pts = [(0.0, 0.0), (1.0, 2.0), (2.0, 1.0)]
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] ** 2 for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert out["noisy"]["slope"] == slope
+    assert out["noisy"]["intercept"] == (sy - slope * sx) / n
+
+
+def test_trend_slope_timestamp_input_and_null_handling(spark):
+    df = spark.createDataFrame(
+        [
+            ("k", "2024-01-01 00:00:00", 1.0),
+            ("k", "2024-01-01 00:00:10", 21.0),
+            ("k", "2024-01-01 00:00:20", 41.0),
+            ("k", None, 9999.0),
+            ("k", "2024-01-01 00:00:30", None),
+        ],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    [r] = trend_slope(df, ["k"], "ts", "v").collect()
+    assert r["n_points"] == 3
+    assert r["slope"] == 2.0  # 20 units / 10 seconds
+    assert r["intercept"] == 1.0
+    assert r["t0"] == 1704067200
+
+
+def test_trend_slope_partition_independent(series):
+    a = trend_slope(series.repartition(7), ["k"], "ts", "v").collect()
+    b = trend_slope(series.coalesce(1), ["k"], "ts", "v").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_trend_slope_single_exchange_no_udf(series):
+    out = trend_slope(series, ["k"], "ts", "v")
+    assert not has_python_udf(out)
+    plan = executed_plan(out)
+    # window min + groupBy share the hash partitioning on the key
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_trend_slope_fences(series):
+    with pytest.raises(ValueError, match="min_points"):
+        trend_slope(series, ["k"], "ts", "v", min_points=1)
+    with pytest.raises(ValueError, match="collide"):
+        trend_slope(series.withColumnRenamed("k", "slope"), ["slope"], "ts", "v")
+    with pytest.raises(ValueError, match="collide"):
+        trend_slope(series.withColumn("__xp", F.lit(1)), ["k"], "ts", "v")
