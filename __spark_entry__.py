@@ -6150,6 +6150,185 @@ ORDER BY event_type
 """
 
 
+def q_kmv_custkey_overlap(spark, sf_dir):
+    """KMV k-minimum-values set-overlap audit (sketches.py kmv_*): the
+    train/test-overlap estimator the HLL/CMS family can't provide —
+    distinct custkeys of 'F'-status orders vs 'P'-status orders, k=256.
+    Hashes are the first 12 md5 hex digits of "kmv:value" (fit BIGINT
+    on both engines), so DuckDB replays the ENTIRE sketch — the
+    distinct-hash top-k cut, the union sketch, the shared count, and
+    the (k-1)*2^48/h_k estimator's exact IEEE arithmetic — value for
+    value. Both sides exceed k at both SFs, so the ESTIMATE path (not
+    the exact small-set path) is what's being verified."""
+    from pandera_forge_spark.sketches import kmv_overlap, kmv_partition_sketch
+
+    o = _t(spark, sf_dir, "orders")
+    a = kmv_partition_sketch(
+        o.where(F.col("o_orderstatus") == "F"), "o_custkey", k=256
+    )
+    b = kmv_partition_sketch(
+        o.where(F.col("o_orderstatus") == "P"), "o_custkey", k=256
+    )
+    return kmv_overlap(a, b)
+
+
+SQL_KMV_CUSTKEY_OVERLAP = """
+WITH ha AS (
+  SELECT DISTINCT CAST(('0x'||substr(md5('kmv:'||CAST(o_custkey AS VARCHAR)),
+                        1,12))::UBIGINT AS BIGINT) AS h
+  FROM orders WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL
+),
+hb AS (
+  SELECT DISTINCT CAST(('0x'||substr(md5('kmv:'||CAST(o_custkey AS VARCHAR)),
+                        1,12))::UBIGINT AS BIGINT) AS h
+  FROM orders WHERE o_orderstatus = 'P' AND o_custkey IS NOT NULL
+),
+ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 256),
+s AS (
+  SELECT (SELECT COUNT(*) FROM ka) AS ca, (SELECT MAX(h) FROM ka) AS ma,
+         (SELECT COUNT(*) FROM kb) AS cb, (SELECT MAX(h) FROM kb) AS mb,
+         (SELECT COUNT(*) FROM ku) AS cu, (SELECT MAX(h) FROM ku) AS mu,
+         (SELECT COUNT(*) FROM ku
+          WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)) AS sh
+),
+est AS (
+  SELECT ca, cb, cu, sh,
+         CASE WHEN ca < 256 THEN CAST(ca AS DOUBLE)
+              ELSE CAST(255 AS DOUBLE) * 281474976710656e0 / CAST(ma AS DOUBLE)
+         END AS est_a,
+         CASE WHEN cb < 256 THEN CAST(cb AS DOUBLE)
+              ELSE CAST(255 AS DOUBLE) * 281474976710656e0 / CAST(mb AS DOUBLE)
+         END AS est_b,
+         CASE WHEN cu < 256 THEN CAST(cu AS DOUBLE)
+              ELSE CAST(255 AS DOUBLE) * 281474976710656e0 / CAST(mu AS DOUBLE)
+         END AS union_est,
+         CASE WHEN cu = 0 THEN NULL
+              ELSE CAST(sh AS DOUBLE) / CAST(cu AS DOUBLE) END AS jaccard_est
+  FROM s
+)
+SELECT CAST(256 AS INT) AS k,
+       CAST(ca AS INT) AS size_a, CAST(cb AS INT) AS size_b,
+       CAST(cu AS INT) AS size_u,
+       est_a, est_b,
+       CAST(sh AS BIGINT) AS shared,
+       jaccard_est, union_est,
+       jaccard_est * union_est AS inter_est
+FROM est
+"""
+
+
+def q_kmv_users_by_type(spark, sf_dir):
+    """Per-group KMV distinct estimation (sketches.py
+    kmv_partition_sketch + kmv_estimate): distinct users per event
+    type at k=64 — every group exceeds k at both SFs, so each row
+    exercises the estimator, and the per-group k-cut rides Spark's
+    WindowGroupLimit rank-limit pushdown (plan-asserted in
+    tests/test_kmv.py). The oracle replays the per-group distinct-hash
+    row_number cut and the same IEEE estimate expression."""
+    from pandera_forge_spark.sketches import kmv_estimate, kmv_partition_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_estimate(
+        kmv_partition_sketch(ev, "user_id", group_cols=["event_type"], k=64)
+    )
+    return sk.select("event_type", "sketch_size", "distinct_est").orderBy(
+        "event_type"
+    )
+
+
+SQL_KMV_USERS_BY_TYPE = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x'||substr(md5('kmv:'||CAST(user_id AS VARCHAR)),
+                            1,12))::UBIGINT AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+k AS (
+  SELECT event_type, COUNT(*) AS cnt,
+         MAX(CASE WHEN rn = 64 THEN h END) AS h64
+  FROM r WHERE rn <= 64 GROUP BY 1
+)
+SELECT event_type, CAST(cnt AS INT) AS sketch_size,
+       CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+            ELSE CAST(63 AS DOUBLE) * 281474976710656e0 / CAST(h64 AS DOUBLE)
+       END AS distinct_est
+FROM k ORDER BY event_type
+"""
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (operators/search.py hard_negatives — the
+    DPR/ANCE recipe over the shared _bm25_pairs kernel): the first
+    three documents act as queries, each one's positive is ITSELF
+    (guaranteed top-ranked, so an after-the-cut filter would come up
+    one short — the exact bug the pre-cut anti-join exists to avoid),
+    and the top-5 remaining candidates are the negatives. The oracle
+    replays bm25_join's scoring CTE chain with the positive-pair
+    exclusion applied BEFORE the rank window, same as the engine."""
+    from pandera_forge_spark.operators.search import hard_negatives
+
+    docs = _t(spark, sf_dir, "documents")
+    queries_df = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    positives = queries_df.select(
+        "query_id", F.col("query_id").alias("doc_id")
+    )
+    return hard_negatives(docs, queries_df, positives, n=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+SQL_HARD_NEGATIVES = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+post AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+qt AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term
+  FROM toks WHERE doc_id < 3
+),
+tf AS (
+  SELECT doc_id, term, dl, COUNT(*) AS tf
+  FROM post WHERE term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY 1, 2, 3
+),
+st AS (SELECT COUNT(*) AS n_docs, AVG(len(t)) AS avgdl FROM toks),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(CAST(floor(
+           (ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+            * ((tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / st.avgdl))))
+           * 1000000.0 + 0.5) AS BIGINT)) AS s
+  FROM tf JOIN qt USING (term) JOIN dfq USING (term) CROSS JOIN st
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc
+  -- the positive pair (each query's own document) is excluded BEFORE
+  -- the rank window — the engine's pre-cut anti-join, replayed
+  WHERE doc_id <> query_id
+)
+SELECT query_id, doc_id, s / 1000000.0 AS score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -6183,10 +6362,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #         checksum, SCD2 history, time-weighted average,
     #         cube/grouping-sets profile) — never driver-verified,
     #         same rule,
-    #   37-50: the round-3-verified tail (14 of its 49 queries;
-    #         drift_orders, pattern_ratios and profile_fused_orders
-    #         moved to 51+ — each has an r4-green driver anchor for
-    #         its shared code path, rationale inline below).
+    #   37-39: the continuation-session label/trend operators — never
+    #         driver-verified,
+    #   40-42: the final-continuation-session operators (KMV overlap
+    #         sketch x2, BM25 hard-negative mining) — never
+    #         driver-verified,
+    #   43-50: the round-3-verified tail (8 of its 49 queries;
+    #         drift_orders, pattern_ratios, profile_fused_orders,
+    #         ri_customers_without_orders, sketch_merge_exact and
+    #         pipeline_verdicts moved to 51+ — each has an r4-green or
+    #         in-window driver anchor for its shared code path,
+    #         rationale inline below).
     # The window holds 50; the rest of the r3-green tail plus the
     # split-path twins rolling_anomalies_split / sequence_gaps_split
     # stay at positions 51+; each is a parameter-variant or
@@ -6243,11 +6429,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annotator_kappa": q_annotator_kappa,
         "label_majority_conflicts": q_label_majority_conflicts,
         "trend_slope_type": q_trend_slope_type,
+        # -- final-continuation-session operators, first driver rows: the
+        # KMV overlap sketch family and BM25 hard-negative mining have
+        # never been driver-verified, so they take three of the
+        # r3-rotated slots (ri_customers_without_orders /
+        # sketch_merge_exact / pipeline_verdicts moved to the head of
+        # the tail, displacement rationales there) -------------------------------
+        "kmv_custkey_overlap": q_kmv_custkey_overlap,
+        "kmv_users_by_type": q_kmv_users_by_type,
+        "hard_negatives_bm25": q_hard_negatives,
         # -- round-3-verified tail, rotated in (last driver-green r3) ----------
-        "ri_customers_without_orders": q_ri_customers_without_orders,
         "snapshot_diff": q_snapshot_diff,
-        "sketch_merge_exact": q_sketch_merge_exact,
-        "pipeline_verdicts": q_pipeline_verdicts,
         "span_sequence_mismatches": q_span_sequence_mismatches,
         "exact_dup_groups": q_exact_dup_groups,
         # concentration_source (new this session): never driver-verified,
@@ -6265,7 +6457,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_name_pairs": q_snm_name_pairs,
         "mi_lang_source": q_mi_lang_source,
         # -- 51-53: r3-green rows displaced this session by the three
-        # never-verified label/trend rows above; each keeps an anchor:
+        # never-verified KMV/hard-negative rows above; each keeps an
+        # anchor:
+        # ri_customers_without_orders (r3-green; the left-anti hash-join
+        # shape is in-window via changelog_apply's null-safe anti-join
+        # apply, the RI family has a second r3-green row
+        # ri_lineitem_orphans over the SAME validator.orphan_rows path,
+        # and the validator's predicate routing is r4-green via
+        # quarantine_counts),
+        # sketch_merge_exact (r3-green; the mergeable-sketch discipline
+        # is in-window THREE times over — cms_user_counts,
+        # table_checksum_orders, and now kmv_custkey_overlap /
+        # kmv_users_by_type — same partial-sketch -> merge contract),
+        # pipeline_verdicts (r3-green; it IS the flagship
+        # interleaved_verdicts plan the driver's entry() smoke-check
+        # executes every round and bench.py measures as the headline —
+        # rows+schema exercised per-round even without a value row) ------------
+        "ri_customers_without_orders": q_ri_customers_without_orders,
+        "sketch_merge_exact": q_sketch_merge_exact,
+        "pipeline_verdicts": q_pipeline_verdicts,
+        # -- 54-56: r3-green rows displaced by the label/trend rows in the
+        # continuation session; each keeps an anchor:
         # topk_returnflag (r1+r3 green, unchanged since r1; the
         # two-phase top-k kernel has two more r3-green twins in the
         # tail, topk_event_type / topk_engine_salted),
@@ -6732,6 +6944,9 @@ def oracle_sql() -> dict[str, str]:
         "annotator_kappa": SQL_ANNOTATOR_KAPPA,
         "label_majority_conflicts": SQL_LABEL_MAJORITY_CONFLICTS,
         "trend_slope_type": SQL_TREND_SLOPE_TYPE,
+        "kmv_custkey_overlap": SQL_KMV_CUSTKEY_OVERLAP,
+        "kmv_users_by_type": SQL_KMV_USERS_BY_TYPE,
+        "hard_negatives_bm25": SQL_HARD_NEGATIVES,
         "split_balance": SQL_SPLIT_BALANCE,
         "golden_user_contact": SQL_GOLDEN_USER_CONTACT,
         "snm_name_pairs": SQL_SNM_NAME_PAIRS,

@@ -187,6 +187,44 @@ def bm25_join(
 
     Returns ``(query_id_col, id_col, score, rank)``.
     """
+    per_pair = _bm25_pairs(
+        corpus, queries, text_col, id_col, query_text_col, query_id_col,
+        k1, b, index, stats,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__s"), F.asc(id_col)
+    )
+    return (
+        per_pair.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            (F.col("__s") / F.lit(1000000.0)).alias("score"),
+            "rank",
+        )
+    )
+
+
+def _bm25_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_text_col: str,
+    query_id_col: str,
+    k1: float,
+    b: float,
+    index: DataFrame | None,
+    stats: DataFrame | None,
+) -> DataFrame:
+    """THE batch-scoring kernel shared by :func:`bm25_join` and
+    :func:`hard_negatives`: every (query, candidate-doc) pair that
+    shares at least one term, with its micro-unit long score ``__s`` —
+    no rank cut yet, so callers can exclude rows (positives) BEFORE
+    ranking without the truncate-then-filter bug a composed
+    ``bm25_join -> anti-join`` would have (a positive inside the top-k
+    would silently shrink that query's result)."""
     idx = index if index is not None else bm25_index(corpus, text_col, id_col)
     st = stats if stats is not None else corpus_stats(corpus, text_col)
 
@@ -225,17 +263,69 @@ def bm25_join(
         .crossJoin(F.broadcast(st))
     )
     contrib = _bm25_contrib(k1, b)
-    per_pair = (
+    return (
         scored.select(F.col(query_id_col), F.col(id_col), contrib.alias("__c"))
         .groupBy(query_id_col, id_col)
         .agg(F.sum("__c").alias("__s"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("__s"), F.asc(id_col)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_text_col: str = "text",
+    query_id_col: str = "query_id",
+    n: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    index: DataFrame | None = None,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training — for every query,
+    the ``n`` HIGHEST-BM25 corpus documents that are NOT that query's
+    labeled positives. Random negatives are trivially separable; the
+    negatives that actually train a retriever/reranker are the
+    lexically-confusable near-misses, i.e. exactly the top of the BM25
+    ranking minus the positive set (the standard DPR/ANCE recipe).
+
+    Shape: the shared :func:`_bm25_pairs` kernel scores every
+    term-sharing (query, doc) pair, positives are removed with a
+    per-(query, doc) left-anti hash join BEFORE the rank cut (an
+    after-the-cut filter would return fewer than ``n`` negatives for
+    exactly the queries whose positives rank highest — the ones that
+    matter), then a per-query window takes the top ``n``. The positives
+    frame is (query_id, doc_id) pairs; a NULL in either key column
+    raises loudly — an equality anti-join would silently NOT exclude
+    such a pair, handing the model its own positive as a "negative".
+
+    Returns ``(query_id_col, id_col, score, rank)`` like
+    :func:`bm25_join`.
+    """
+    missing = [c for c in (query_id_col, id_col) if c not in positives.columns]
+    if missing:
+        raise ValueError(f"hard_negatives: positives frame lacks {missing}")
+    pos = positives.select(query_id_col, id_col)
+    bad = pos.where(
+        F.col(query_id_col).isNull() | F.col(id_col).isNull()
+    ).limit(1).collect()
+    if bad:
+        raise ValueError(
+            "hard_negatives: positives contain a NULL key "
+            f"({bad[0].asDict()}) — equality anti-join would silently "
+            "keep that positive as a negative"
+        )
+    per_pair = _bm25_pairs(
+        corpus, queries, text_col, id_col, query_text_col, query_id_col,
+        k1, b, index, stats,
     )
+    neg = per_pair.join(pos, [query_id_col, id_col], "left_anti")
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("__s"), F.asc(id_col))
     return (
-        per_pair.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        neg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
         .select(
             query_id_col,
             id_col,

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -680,3 +680,264 @@ def merge_checksums(
     if keys:
         return checksum_df.groupBy(*keys).agg(*aggs)
     return checksum_df.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — set overlap without rescans
+# ---------------------------------------------------------------------------
+#
+# The gap this fills in the mergeable family: HLL answers |A| and |A∪B|,
+# Theta needs the DataSketches binary (opaque to an independent replay),
+# CMS answers frequencies — none of them yields an AUDITABLE intersection
+# estimate. A KMV sketch is just the k smallest md5-derived hashes of the
+# distinct values (Bar-Yossef et al., "Counting distinct elements in a
+# data stream"): union = k smallest of the concatenation, Jaccard = the
+# fraction of the union sketch present in both sides, and every number is
+# replayable from the raw values by ANY engine with md5 — the property
+# the whole oracle harness is built on. The train/test-overlap audit
+# ("how many eval doc ids / urls / shingles also occur in training?")
+# becomes two persisted one-row sketches and column algebra, no rescan.
+
+# 2^48 — hashes are the first 12 md5 hex digits, so they fit a BIGINT on
+# every engine (no UBIGINT/HUGEINT divergence) while keeping collision
+# probability ~n^2/2^49 negligible; and m * 2^48 is exactly representable
+# as a double for any m < 2^53, so the (k-1)*2^48/h_k estimate is the
+# same IEEE arithmetic everywhere.
+_KMV_SPACE = float(1 << 48)
+
+
+def kmv_hash(col, seed: str = "kmv"):
+    """48-bit md5-derived hash of a value: first 12 hex digits of
+    md5("seed:value") as a BIGINT. NULL values hash to NULL (distinct
+    counting never counts NULL — nullability is the profiler's job).
+    DuckDB replay: ``('0x'||substr(md5('seed:'||CAST(v AS VARCHAR)),
+    1,12))::UBIGINT`` — same bytes, same integer."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), c.cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+
+
+def kmv_partition_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    k: int = 256,
+    seed: str = "kmv",
+) -> DataFrame:
+    """One mergeable KMV row per group: ``__kmv`` (ascending
+    ``array<bigint>`` of the k smallest distinct hashes — fewer than k
+    means the group's EXACT distinct set fit the sketch), plus literal
+    ``__kmv_k`` / ``__kmv_seed`` so merge/overlap refuse parameter
+    mismatches loudly (the cms_* discipline).
+
+    Scale shape: one ``.distinct()`` on (group, hash) — the shuffle any
+    distinct-count needs — then a rank-limited window whose per-group
+    k-cut Spark pushes BELOW the shuffle (WindowGroupLimit: each map
+    task forwards at most k rows per group), so the second exchange
+    carries O(groups x k) rows however many distinct values exist. The
+    ungrouped variant is a global sort-limit (TakeOrderedAndProject):
+    every task forwards its local k minima, one reducer keeps k."""
+    if int(k) < 2:
+        # k=1 would make the estimator (k-1)/u_k identically zero and
+        # the Jaccard denominator degenerate — loud, not silently wrong
+        raise ValueError(f"kmv k must be >= 2, got {k}")
+    k = int(k)
+    groups = list(group_cols)
+    bad = [g for g in groups if g not in df.columns]
+    if bad or value_col not in df.columns:
+        raise ValueError(
+            f"kmv_partition_sketch: missing columns {bad + ([value_col] if value_col not in df.columns else [])}"
+        )
+    d = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*groups, kmv_hash(value_col, seed).alias("__h"))
+        .distinct()
+    )
+    if groups:
+        w = Window.partitionBy(*groups).orderBy("__h")
+        kept = (
+            d.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+        agg = kept.groupBy(*groups).agg(
+            F.array_sort(F.collect_list("__h")).alias("__kmv")
+        )
+    else:
+        kept = d.orderBy("__h").limit(k)
+        agg = kept.agg(F.array_sort(F.collect_list("__h")).alias("__kmv"))
+    return agg.select(
+        *groups,
+        "__kmv",
+        F.lit(k).alias("__kmv_k"),
+        F.lit(seed).alias("__kmv_seed"),
+    )
+
+
+def kmv_merge(sketch_df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Roll KMV rows up: k smallest distinct hashes of the
+    concatenation — exactly the sketch the union of the underlying sets
+    would have produced, so per-partition/per-epoch sketch rows written
+    at ingest time answer any-subset distinct counts with no rescan.
+    Memory per output group is rows_merged x k hash longs inside one
+    aggregate — the same bounded collect_list shape as ``cms_merge``,
+    with the same IN-BAND parameter fence (mixing k or seed raises
+    inside the job; a silent mix would bias every estimate)."""
+    lst = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("__kmv")))),
+        1,
+        _SLICE_MAX,
+    )
+    nparam = F.countDistinct(F.struct("__kmv_k", "__kmv_seed")).alias("__nparam")
+    exprs = [
+        lst.alias("__all"),
+        F.first("__kmv_k").alias("__kmv_k"),
+        F.first("__kmv_seed").alias("__kmv_seed"),
+        nparam,
+    ]
+    groups = list(group_cols)
+    agg = (
+        sketch_df.groupBy(*[F.col(g) for g in groups]).agg(*exprs)
+        if groups
+        else sketch_df.agg(*exprs)
+    )
+    fenced = F.when(
+        F.col("__nparam") <= 1, F.slice(F.col("__all"), 1, F.col("__kmv_k"))
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("kmv_merge: frame mixes KMV parameters ("),
+                F.col("__nparam").cast("string"),
+                F.lit(" distinct k/seed combinations)"),
+            )
+        )
+    )
+    return (
+        agg.withColumn("__kmv", fenced)
+        .drop("__nparam", "__all")
+        .select(*groups, "__kmv", "__kmv_k", "__kmv_seed")
+    )
+
+
+def _kmv_est(arr, k):
+    """The KMV estimator as a column over (array, k): fewer than k
+    hashes -> the array IS the distinct set (exact count); otherwise
+    (k-1) * 2^48 / h_(k) (Bar-Yossef unbiased form). Spelled as the
+    identical IEEE ops the DuckDB oracle uses: CAST-to-double of two
+    exact integers, one multiply by an exact power-of-two-scaled
+    literal, one divide."""
+    # F.get (0-based, null-safe) not element_at: ANSI element_at RAISES
+    # on out-of-bounds, and when() does not short-circuit evaluation of
+    # the unused branch on a size<k row
+    return F.when(F.size(arr) < k, F.size(arr).cast("double")).otherwise(
+        (k - F.lit(1)).cast("double")
+        * F.lit(_KMV_SPACE)
+        / F.get(arr, (k - F.lit(1)).cast("int")).cast("double")
+    )
+
+
+def kmv_estimate(sketch_df: DataFrame) -> DataFrame:
+    """Adds ``sketch_size`` (int — how many hashes the sketch holds)
+    and ``distinct_est`` (double — exact when sketch_size < k, the
+    (k-1)*2^48/h_k estimator otherwise, relative error ~1/sqrt(k-2))
+    to every sketch row. Pure row-local column algebra — estimate a
+    million per-group sketches in one map stage. An all-NULL row (an
+    ungrouped merge of ZERO sketch rows) raises in-band rather than
+    estimating 0 of an empty frame that was really a bad filter."""
+    arr = F.when(
+        F.col("__kmv").isNotNull(), F.col("__kmv")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "kmv_estimate: NULL sketch row (zero sketch rows were "
+                "merged — e.g. a store filter that matched nothing)"
+            )
+        )
+    )
+    k = F.col("__kmv_k")
+    return sketch_df.withColumn(
+        "sketch_size", F.size(arr).cast("int")
+    ).withColumn("distinct_est", _kmv_est(arr, k))
+
+
+def kmv_overlap(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Set-overlap audit from two KMV sketch frames (merged internally,
+    so any per-partition sketch rows work): ONE row with
+
+    - ``k``, ``size_a`` / ``size_b`` / ``size_u`` (sketch fill levels),
+    - ``est_a`` / ``est_b`` — per-side distinct estimates,
+    - ``shared`` — of the union sketch's hashes, how many occur in BOTH
+      sides (the Jaccard numerator),
+    - ``jaccard_est`` = shared / size_u,
+    - ``union_est`` — the estimator over the union sketch,
+    - ``inter_est`` = jaccard_est * union_est — the headline "how many
+      training keys does the eval set share" number.
+
+    Everything after the two merges is column algebra over two 1-row
+    broadcast frames — no data rescan, no shuffle. Mismatched k or seed
+    between the sides raises in-band (a cross-parameter Jaccard is
+    meaningless); two genuinely empty inputs yield NULL jaccard/inter
+    (0/0), not a crash and not a silent 0."""
+    a = kmv_merge(sketch_a).select(
+        F.col("__kmv").alias("__a"),
+        F.col("__kmv_k").alias("__ka"),
+        F.col("__kmv_seed").alias("__sa"),
+    )
+    b = kmv_merge(sketch_b).select(
+        F.col("__kmv").alias("__b"),
+        F.col("__kmv_k").alias("__kb"),
+        F.col("__kmv_seed").alias("__sb"),
+    )
+    both = a.crossJoin(F.broadcast(b))
+    fence = F.when(
+        (F.col("__ka") == F.col("__kb")) & (F.col("__sa") == F.col("__sb")),
+        F.col("__ka"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("kmv_overlap: parameter mismatch (k "),
+                F.col("__ka").cast("string"),
+                F.lit("/"),
+                F.col("__kb").cast("string"),
+                F.lit(", seed "),
+                F.col("__sa"),
+                F.lit("/"),
+                F.col("__sb"),
+                F.lit(")"),
+            )
+        )
+    )
+    both = both.withColumn("__k", fence)
+    k = F.col("__k")
+    arr_u = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("__a"), F.col("__b")))),
+        1,
+        k,
+    )
+    both = both.withColumn("__u", arr_u)
+    shared = F.size(
+        F.filter(
+            F.col("__u"),
+            lambda h: F.array_contains(F.col("__a"), h)
+            & F.array_contains(F.col("__b"), h),
+        )
+    )
+    both = both.withColumn("shared", shared.cast("long"))
+    jac = F.when(F.size("__u") == 0, F.lit(None).cast("double")).otherwise(
+        F.col("shared").cast("double") / F.size("__u").cast("double")
+    )
+    return both.select(
+        k.cast("int").alias("k"),
+        F.size("__a").cast("int").alias("size_a"),
+        F.size("__b").cast("int").alias("size_b"),
+        F.size("__u").cast("int").alias("size_u"),
+        _kmv_est(F.col("__a"), k).alias("est_a"),
+        _kmv_est(F.col("__b"), k).alias("est_b"),
+        F.col("shared"),
+        jac.alias("jaccard_est"),
+        _kmv_est(F.col("__u"), k).alias("union_est"),
+        (jac * _kmv_est(F.col("__u"), k)).alias("inter_est"),
+    )

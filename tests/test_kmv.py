@@ -1,0 +1,202 @@
+"""KMV k-minimum-values distinct/overlap sketch (sketches.py kmv_*)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_forge_spark.plans.inspect import has_python_udf
+from pandera_forge_spark.sketches import (
+    _KMV_SPACE,
+    kmv_estimate,
+    kmv_hash,
+    kmv_merge,
+    kmv_overlap,
+    kmv_partition_sketch,
+)
+
+
+def _py_hash(value, seed="kmv"):
+    return int(hashlib.md5(f"{seed}:{value}".encode()).hexdigest()[:12], 16)
+
+
+def _py_est(hashes, k):
+    """The estimator replayed in python doubles (== IEEE 64-bit)."""
+    if len(hashes) < k:
+        return float(len(hashes))
+    return float(k - 1) * _KMV_SPACE / float(sorted(hashes)[k - 1])
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # 60 distinct values, each duplicated (dup count must not matter),
+    # plus a NULL (excluded, never hashed)
+    rows = [(f"v{i}",) for i in range(60) for _ in range(1 + i % 3)]
+    rows.append((None,))
+    return spark.createDataFrame(rows, "s string").repartition(7)
+
+
+def test_hash_matches_python_md5(spark):
+    df = spark.createDataFrame([("abc",), ("v7",), ("",)], "s string")
+    for row in df.select("s", kmv_hash("s").alias("h")).collect():
+        assert row["h"] == _py_hash(row["s"])
+
+
+def test_under_k_sketch_is_the_exact_distinct_set(spark, corpus):
+    sk = kmv_estimate(kmv_merge(kmv_partition_sketch(corpus, "s", k=128)))
+    row = sk.first()
+    assert row["__kmv"] == sorted(_py_hash(f"v{i}") for i in range(60))
+    assert row["sketch_size"] == 60
+    assert row["distinct_est"] == 60.0  # exact path: size < k
+
+
+def test_estimate_path_matches_python_replay(spark, corpus):
+    k = 16
+    sk = kmv_estimate(kmv_merge(kmv_partition_sketch(corpus, "s", k=k)))
+    row = sk.first()
+    hashes = [_py_hash(f"v{i}") for i in range(60)]
+    assert row["__kmv"] == sorted(hashes)[:k]
+    assert row["distinct_est"] == _py_est(hashes, k)
+    # sanity: the estimate is in the right ballpark of the truth (60)
+    assert 30 <= row["distinct_est"] <= 120
+
+
+def test_grouped_sketch_and_rank_limit_pushdown(spark, corpus):
+    g = corpus.withColumn(
+        "grp", (F.length(F.coalesce(F.col("s"), F.lit(""))) % 2).cast("int")
+    )
+    sk = kmv_partition_sketch(g, "s", group_cols=["grp"], k=8)
+    # WindowGroupLimit: each map task forwards at most k rows per group
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    got = {r["grp"]: r["__kmv"] for r in sk.collect()}
+    by_grp = {0: set(), 1: set()}
+    for i in range(60):
+        by_grp[len(f"v{i}") % 2].add(_py_hash(f"v{i}"))
+    for grp, hashes in by_grp.items():
+        assert got[grp] == sorted(hashes)[:8]
+
+
+def test_merge_equals_single_shot(spark, corpus):
+    halves = kmv_partition_sketch(
+        corpus.withColumn(
+            "part", F.crc32(F.coalesce(F.col("s"), F.lit(""))) % 3
+        ),
+        "s",
+        group_cols=["part"],
+        k=16,
+    ).drop("part")
+    merged = kmv_merge(halves).first()
+    single = kmv_merge(kmv_partition_sketch(corpus, "s", k=16)).first()
+    assert merged["__kmv"] == single["__kmv"]
+
+
+def test_duplicates_do_not_change_the_sketch(spark, corpus):
+    once = spark.createDataFrame([(f"v{i}",) for i in range(60)], "s string")
+    a = kmv_merge(kmv_partition_sketch(corpus, "s", k=16)).first()["__kmv"]
+    b = kmv_merge(kmv_partition_sketch(once, "s", k=16)).first()["__kmv"]
+    assert a == b
+
+
+def test_mixed_params_fence_is_loud(spark, corpus):
+    a = kmv_partition_sketch(corpus, "s", k=16)
+    b = kmv_partition_sketch(corpus, "s", k=32)
+    with pytest.raises(Exception, match="mixes KMV parameters"):
+        kmv_merge(a.unionByName(b)).select("__kmv").collect()
+
+
+def test_k_below_two_is_loud(corpus):
+    with pytest.raises(ValueError, match=">= 2"):
+        kmv_partition_sketch(corpus, "s", k=1)
+
+
+def test_missing_column_is_loud(corpus):
+    with pytest.raises(ValueError, match="missing columns"):
+        kmv_partition_sketch(corpus, "nope")
+
+
+def test_estimate_of_zero_merged_rows_is_loud(spark, corpus):
+    empty = kmv_merge(
+        kmv_partition_sketch(corpus, "s", k=16).where(F.lit(False))
+    )
+    with pytest.raises(Exception, match="NULL sketch row"):
+        kmv_estimate(empty).collect()
+
+
+def test_overlap_exact_path_planted(spark):
+    # A = 0..39, B = 20..59 -> |A∪B| = 60, |A∩B| = 20, J = 1/3
+    a = spark.createDataFrame([(f"v{i}",) for i in range(40)], "s string")
+    b = spark.createDataFrame([(f"v{i}",) for i in range(20, 60)], "s string")
+    row = kmv_overlap(
+        kmv_partition_sketch(a, "s", k=128),
+        kmv_partition_sketch(b, "s", k=128),
+    ).first()
+    assert (row["size_a"], row["size_b"], row["size_u"]) == (40, 40, 60)
+    assert row["shared"] == 20
+    assert row["est_a"] == 40.0 and row["est_b"] == 40.0
+    assert row["union_est"] == 60.0
+    assert row["jaccard_est"] == 20.0 / 60.0
+    assert row["inter_est"] == (20.0 / 60.0) * 60.0
+
+
+def test_overlap_estimate_path_matches_python_replay(spark):
+    k = 16
+    a_vals = [f"v{i}" for i in range(40)]
+    b_vals = [f"v{i}" for i in range(20, 60)]
+    a = spark.createDataFrame([(v,) for v in a_vals], "s string")
+    b = spark.createDataFrame([(v,) for v in b_vals], "s string")
+    row = kmv_overlap(
+        kmv_partition_sketch(a, "s", k=k),
+        kmv_partition_sketch(b, "s", k=k),
+    ).first()
+    ha = sorted(_py_hash(v) for v in a_vals)[:k]
+    hb = sorted(_py_hash(v) for v in b_vals)[:k]
+    hu = sorted(set(ha) | set(hb))[:k]
+    shared = sum(1 for h in hu if h in set(ha) and h in set(hb))
+    jac = shared / float(len(hu))
+    assert row["shared"] == shared
+    assert row["jaccard_est"] == jac
+    union_hashes = [_py_hash(v) for v in set(a_vals) | set(b_vals)]
+    assert row["union_est"] == _py_est(union_hashes, k)
+    assert row["inter_est"] == jac * row["union_est"]
+
+
+def test_overlap_param_mismatch_is_loud(spark):
+    a = spark.createDataFrame([("x",)], "s string")
+    sk1 = kmv_partition_sketch(a, "s", k=16)
+    sk2 = kmv_partition_sketch(a, "s", k=32)
+    with pytest.raises(Exception, match="parameter mismatch"):
+        kmv_overlap(sk1, sk2).collect()
+    sk3 = kmv_partition_sketch(a, "s", k=16, seed="other")
+    with pytest.raises(Exception, match="parameter mismatch"):
+        kmv_overlap(sk1, sk3).collect()
+
+
+def test_overlap_of_empty_sets_is_null_not_zero(spark):
+    e = spark.createDataFrame([], "s string")
+    row = kmv_overlap(
+        kmv_partition_sketch(e, "s", k=16),
+        kmv_partition_sketch(e, "s", k=16),
+    ).first()
+    assert row["size_u"] == 0 and row["shared"] == 0
+    assert row["jaccard_est"] is None and row["inter_est"] is None
+    assert row["union_est"] == 0.0
+
+
+def test_overlap_accepts_unmerged_partition_rows(spark, corpus):
+    # per-group sketch rows go straight in — kmv_overlap merges
+    g = corpus.withColumn(
+        "grp", (F.length(F.coalesce(F.col("s"), F.lit(""))) % 2).cast("int")
+    )
+    parts = kmv_partition_sketch(g, "s", group_cols=["grp"], k=64).drop("grp")
+    whole = kmv_partition_sketch(corpus, "s", k=64)
+    row = kmv_overlap(parts, whole).first()
+    assert row["jaccard_est"] == 1.0  # same underlying set
+    assert row["shared"] == row["size_u"]
+
+
+def test_no_udf(spark, corpus):
+    sk = kmv_partition_sketch(corpus, "s", k=16)
+    assert not has_python_udf(sk)
+    assert not has_python_udf(kmv_estimate(kmv_merge(sk)))
+    assert not has_python_udf(kmv_overlap(sk, sk))

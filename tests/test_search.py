@@ -294,3 +294,87 @@ def test_bm25_persisted_index_equality_and_pruning(spark, tmp_path):
         bm25_topk_indexed(spark, path, "   ")
     with pytest.raises(ValueError):
         write_bm25_index(df, path, "nope", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# hard_negatives
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_match_unranked_filter(spark):
+    """negatives == the FULL candidate ranking minus positives — the
+    kernel is shared with bm25_join, so compare against bm25_join with
+    an unreachable k, python-filtered, re-ranked."""
+    from pandera_forge_spark.operators.search import bm25_join, hard_negatives
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = df.where(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    positives = spark.createDataFrame(
+        [(0, 0), (1, 1)], "query_id long, doc_id long"
+    )
+    got = hard_negatives(df, queries, positives, n=3).collect()
+    full = bm25_join(df, queries, k=100).collect()
+    want = {}
+    for r in sorted(full, key=lambda r: (r["query_id"], r["rank"])):
+        if (r["query_id"], r["doc_id"]) in {(0, 0), (1, 1)}:
+            continue
+        want.setdefault(r["query_id"], [])
+        if len(want[r["query_id"]]) < 3:
+            want[r["query_id"]].append((r["doc_id"], r["score"]))
+    got_by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        got_by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score"])
+        )
+    assert got_by_q == want
+    # ranks are renumbered 1..len per query (contiguous from 1, no holes
+    # where the positive used to sit)
+    for qid in got_by_q:
+        ranks = sorted(r["rank"] for r in got if r["query_id"] == qid)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_hard_negatives_full_n_when_positive_tops(spark):
+    """THE reason the anti-join runs before the rank cut: the query's
+    positive is its own top-1 (self-retrieval), yet n negatives still
+    come back — a compose-with-bm25_join(k=n) would return n-1."""
+    from pandera_forge_spark.operators.search import bm25_join, hard_negatives
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = df.where(F.col("doc_id") == 4).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    positives = spark.createDataFrame([(4, 4)], "query_id long, doc_id long")
+    top = bm25_join(df, queries, k=1).collect()
+    assert top[0]["doc_id"] == 4  # the positive IS the top hit
+    neg = hard_negatives(df, queries, positives, n=2).collect()
+    assert len(neg) == 2
+    assert all(r["doc_id"] != 4 for r in neg)
+
+
+def test_hard_negatives_null_positive_key_is_loud(spark):
+    from pandera_forge_spark.operators.search import hard_negatives
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = df.where(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    positives = spark.createDataFrame(
+        [(0, None)], "query_id long, doc_id long"
+    )
+    with pytest.raises(ValueError, match="NULL key"):
+        hard_negatives(df, queries, positives, n=2)
+
+
+def test_hard_negatives_missing_positive_columns_is_loud(spark):
+    from pandera_forge_spark.operators.search import hard_negatives
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = df.where(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    positives = spark.createDataFrame([(0,)], "query_id long")
+    with pytest.raises(ValueError, match="lacks"):
+        hard_negatives(df, queries, positives, n=2)
