@@ -6329,6 +6329,221 @@ FROM r WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_pagerank_orders(spark, sf_dir):
+    """Integer-quantized PageRank (operators/graph.py pagerank): the
+    link-centrality prior for crawl curation, run over a deterministic
+    directed graph projected from orders (src = o_custkey % 400,
+    dst = o_orderkey % 800, distinct) — ~800 nodes of which roughly
+    half appear only as destinations, so the DANGLING-mass
+    redistribution path is exercised alongside cycles and hubs. Ranks
+    are BIGINT micro-units of a 10^12 total mass and damping is the
+    exact rational 85/100, so all four iterations are pure integer
+    multiply/floor-divide/sum — the oracle replays every iteration
+    value-for-value (unrolled CTE chain, one per iteration; every
+    DuckDB SUM cast back to BIGINT per the r4 HUGEINT lesson). Top 25
+    by (rank DESC, node ASC) — integer ranks make the tie-break
+    exact."""
+    from pandera_forge_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 400).alias("src"),
+        (F.col("o_orderkey") % 800).alias("dst"),
+    ).distinct()
+    return pagerank(edges, iters=4).orderBy(F.desc("rank"), "node").limit(25)
+
+
+def _pagerank_oracle_sql(iters=4, num=85, den=100, scale=10**12, top=25):
+    """Unrolled-iteration DuckDB replay of the quantized PageRank —
+    generated textually so the iteration count stays in one place."""
+    sql = f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey % 400 AS src, o_orderkey % 800 AS dst FROM orders
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (
+  SELECT n.node, COALESCE(d.c, 0) AS outdeg
+  FROM nodes n LEFT JOIN (SELECT src, COUNT(*) AS c FROM edges GROUP BY 1) d
+    ON n.node = d.src
+),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT node, outdeg, {scale} // nn.n AS rank FROM deg CROSS JOIN nn)"""
+    for t in range(1, iters + 1):
+        p = f"r{t - 1}"
+        sql += f""",
+r{t} AS (
+  SELECT d.node, d.outdeg,
+         ({den - num} * {scale}) // ({den} * nn.n)
+         + ({num} * (SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT)
+                     FROM {p} WHERE outdeg = 0)) // ({den} * nn.n)
+         + COALESCE(c.contrib, 0) AS rank
+  FROM deg d CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst AS node,
+                    CAST(SUM(({num} * r.rank) // ({den} * r.outdeg))
+                         AS BIGINT) AS contrib
+             FROM edges e JOIN {p} r ON e.src = r.node
+             GROUP BY 1) c ON d.node = c.node
+)"""
+    sql += f"""
+SELECT node, outdeg, rank FROM r{iters}
+ORDER BY rank DESC, node ASC LIMIT {top}
+"""
+    return sql
+
+
+SQL_PAGERANK_ORDERS = _pagerank_oracle_sql()
+
+
+def q_rp_embeddings(spark, sf_dir):
+    """Deterministic Johnson–Lindenstrauss projection
+    (operators/similarity.py random_projection): 64-dim embeddings ->
+    8 dims under the md5-derived ±1 (Achlioptas) matrix, elements
+    micro-unit-quantized BEFORE the signed sum so every projected
+    coordinate is an exact BIGINT any engine re-derives from
+    (seed, j, i) alone. Long format (vec_id, j, value) for the first
+    40 vectors; the oracle rebuilds the sign matrix in SQL from the
+    same md5 bytes and replays the zip/quantize/sum."""
+    from pandera_forge_spark.operators.similarity import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 40)
+    proj = random_projection(emb, in_dim=64, out_dim=8, seed="rp")
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("j", "value")
+    ).orderBy("vec_id", "j")
+
+
+SQL_RP_EMBEDDINGS = """
+WITH signs AS (
+  SELECT j, i,
+         CASE WHEN ('0x' || substr(md5('rp:' || CAST(j AS VARCHAR)
+                                    || ':' || CAST(i AS VARCHAR)), 1, 2)
+                   )::INT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM generate_series(0, 7) t1(j), generate_series(0, 63) t2(i)
+),
+q AS (
+  SELECT vec_id,
+         unnest(generate_series(0, 63)) AS i,
+         unnest(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000e0 + 0.5e0)
+                          AS BIGINT))) AS qv
+  FROM embeddings WHERE vec_id < 40
+)
+SELECT q.vec_id, CAST(s.j AS INT) AS j, CAST(SUM(q.qv * s.s) AS BIGINT) AS value
+FROM q JOIN signs s ON s.i = q.i
+GROUP BY 1, 2
+ORDER BY vec_id, j
+"""
+
+
+def q_retrieval_metrics_bm25(spark, sf_dir):
+    """Retrieval evaluation (operators/search.py retrieval_metrics —
+    the trec_eval core over the shared BM25 kernel): docs 0-4 as
+    queries against the documents corpus, qrels planted per query as
+    {q, q+10, q+20} (derived from the table itself so the oracle
+    re-derives them), metrics at k=10. nDCG gains are nano-unit
+    quantized longs in the ln-ratio form (the repo's proven
+    transcendental), so DCG/IDCG totals are exact integer sums and
+    the ratios identical IEEE divisions on both engines."""
+    from pandera_forge_spark.operators.search import (
+        bm25_join,
+        retrieval_metrics,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    queries_df = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    run = bm25_join(docs, queries_df, k=10)
+    qrels = queries_df.select("query_id").withColumn(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.col("query_id"),
+                F.col("query_id") + 10,
+                F.col("query_id") + 20,
+            )
+        ),
+    )
+    return retrieval_metrics(run, qrels, k=10).orderBy("query_id")
+
+
+SQL_RETRIEVAL_METRICS_BM25 = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+post AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+qt AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term
+  FROM toks WHERE doc_id < 5
+),
+tf AS (
+  SELECT doc_id, term, dl, COUNT(*) AS tf
+  FROM post WHERE term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY 1, 2, 3
+),
+st AS (SELECT COUNT(*) AS n_docs, AVG(len(t)) AS avgdl FROM toks),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(CAST(floor(
+           (ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+            * ((tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / st.avgdl))))
+           * 1000000.0 + 0.5) AS BIGINT)) AS s
+  FROM tf JOIN qt USING (term) JOIN dfq USING (term) CROSS JOIN st
+  GROUP BY 1, 2
+),
+run AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc
+),
+topk AS (SELECT * FROM run WHERE rank <= 10),
+qrels AS (
+  SELECT query_id, query_id + off AS doc_id
+  FROM (SELECT doc_id AS query_id FROM documents WHERE doc_id < 5) q,
+       (SELECT unnest([0, 10, 20]) AS off) o
+),
+nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM qrels GROUP BY 1),
+hits AS (
+  SELECT t.query_id,
+         COUNT(*) AS h,
+         MIN(t.rank) AS first_rank,
+         CAST(SUM(CAST(floor(1000000000e0 / (ln(t.rank + 1) / ln(2))
+                             + 0.5e0) AS BIGINT)) AS BIGINT) AS dcg_q
+  FROM topk t JOIN qrels r ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+  GROUP BY 1
+),
+idcg AS (
+  -- scalar generate_series (a correlated list), not the table
+  -- function: DuckDB's table-function form rejects lateral columns
+  SELECT query_id,
+         CAST(list_sum(list_transform(
+                generate_series(1, LEAST(n_rel, 10)),
+                i -> CAST(floor(1000000000e0 / (ln(i + 1) / ln(2))
+                                + 0.5e0) AS BIGINT)))
+              AS BIGINT) AS idcg_q
+  FROM nrel
+)
+SELECT n.query_id, n.n_rel,
+       CAST(COALESCE(h.h, 0) AS BIGINT) AS hits_at_k,
+       CAST(COALESCE(h.h, 0) AS DOUBLE) / CAST(n.n_rel AS DOUBLE)
+         AS recall_at_k,
+       CASE WHEN h.first_rank IS NULL THEN 0.0e0
+            ELSE 1.0e0 / CAST(h.first_rank AS DOUBLE) END AS rr_at_k,
+       CAST(COALESCE(h.dcg_q, 0) AS DOUBLE) / CAST(i.idcg_q AS DOUBLE)
+         AS ndcg_at_k
+FROM nrel n JOIN idcg i ON n.query_id = i.query_id
+LEFT JOIN hits h ON n.query_id = h.query_id
+ORDER BY n.query_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -6438,10 +6653,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_custkey_overlap": q_kmv_custkey_overlap,
         "kmv_users_by_type": q_kmv_users_by_type,
         "hard_negatives_bm25": q_hard_negatives,
-        # -- round-3-verified tail, rotated in (last driver-green r3) ----------
-        "snapshot_diff": q_snapshot_diff,
-        "span_sequence_mismatches": q_span_sequence_mismatches,
-        "exact_dup_groups": q_exact_dup_groups,
+        # -- 43-45: the fifth-session operators (quantized PageRank, JL
+        # random projection, retrieval metrics) — never driver-verified,
+        # so they take the remaining r3-green tail slots (snapshot_diff /
+        # span_sequence_mismatches / exact_dup_groups move to the head of
+        # the tail, displacement rationales there) -------------------------------
+        "pagerank_orders": q_pagerank_orders,
+        "rp_embeddings": q_rp_embeddings,
+        "retrieval_metrics_bm25": q_retrieval_metrics_bm25,
         # concentration_source (new this session): never driver-verified,
         # takes outliers_events' slot — that family keeps grouped_outliers
         # (r3-green, identical Tukey-fence predicate with per-group
@@ -6456,7 +6675,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_user_contact": q_golden_user_contact,
         "snm_name_pairs": q_snm_name_pairs,
         "mi_lang_source": q_mi_lang_source,
-        # -- 51-53: r3-green rows displaced this session by the three
+        # -- 51-53: r3-green rows displaced by the fifth-session
+        # PageRank/JL/retrieval-metrics rows above; each keeps an anchor:
+        # snapshot_diff (r3-green; its null-safe keyed row-compare kernel
+        # is in-window via changelog_apply — the same null-safe equi-join
+        # + struct-equality discipline — and its fixture pattern is shared
+        # by in-window rows like table_checksum_orders),
+        # span_sequence_mismatches (r1+r3 green, code unchanged since r1;
+        # the span-struct walk has an r4-green anchor in
+        # span_ref_integrity — same explode/comparator machinery — and
+        # the north-rule span invariant is ALSO asserted by pytest
+        # against the reference fixtures every round),
+        # exact_dup_groups (r3-green; the count/min-agg + hash-join
+        # linearization is shared with r3-green dedup_exact_count and the
+        # dedup family is in-window via stream_dedup_epochs) --------------------
+        "snapshot_diff": q_snapshot_diff,
+        "span_sequence_mismatches": q_span_sequence_mismatches,
+        "exact_dup_groups": q_exact_dup_groups,
+        # -- 54-56: r3-green rows displaced this session by the three
         # never-verified KMV/hard-negative rows above; each keeps an
         # anchor:
         # ri_customers_without_orders (r3-green; the left-anti hash-join
@@ -6476,7 +6712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ri_customers_without_orders": q_ri_customers_without_orders,
         "sketch_merge_exact": q_sketch_merge_exact,
         "pipeline_verdicts": q_pipeline_verdicts,
-        # -- 54-56: r3-green rows displaced by the label/trend rows in the
+        # -- 57-59: r3-green rows displaced by the label/trend rows in the
         # continuation session; each keeps an anchor:
         # topk_returnflag (r1+r3 green, unchanged since r1; the
         # two-phase top-k kernel has two more r3-green twins in the
@@ -6490,7 +6726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_returnflag": q_topk_returnflag,
         "near_dup_minhash": q_near_dup_minhash,
         "chunk_interleaved": q_chunk_interleaved,
-        # -- 54+: left out (50-slot cap); each is a parameter-variant ----------
+        # -- 60+: left out (50-slot cap); each is a parameter-variant ----------
         # or composition of in-window siblings: topk_event_type~
         # topk_returnflag, duplicate_custkeys_salted~duplicate_custkeys
         # (salt flag, also exercised by topk_engine_salted),
@@ -6947,6 +7183,9 @@ def oracle_sql() -> dict[str, str]:
         "kmv_custkey_overlap": SQL_KMV_CUSTKEY_OVERLAP,
         "kmv_users_by_type": SQL_KMV_USERS_BY_TYPE,
         "hard_negatives_bm25": SQL_HARD_NEGATIVES,
+        "pagerank_orders": SQL_PAGERANK_ORDERS,
+        "rp_embeddings": SQL_RP_EMBEDDINGS,
+        "retrieval_metrics_bm25": SQL_RETRIEVAL_METRICS_BM25,
         "split_balance": SQL_SPLIT_BALANCE,
         "golden_user_contact": SQL_GOLDEN_USER_CONTACT,
         "snm_name_pairs": SQL_SNM_NAME_PAIRS,

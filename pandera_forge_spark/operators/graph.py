@@ -1,0 +1,192 @@
+"""Link-graph centrality for crawl curation — integer-quantized PageRank.
+
+Why this lives in a training-data engine: link-based centrality is the
+classic page-quality prior for web-crawl corpora (the original
+CommonCrawl curation signal) — "keep documents whose host/page
+accumulates rank from many well-ranked referrers" is a filter the
+text-quality family (`quality_score`, `lm_score`) cannot express,
+because it is a property of the GRAPH, not of any one document's bytes.
+The reference has no graph operators at all (it is a single-table
+profiler — see SURVEY.md §1.1, `generator.py:59-94`); this module is a
+north-rule scale extension in the same family as the dedup cluster
+propagation (`operators/dedup.py:pairs_to_clusters`).
+
+Determinism discipline (the BM25/MI micro-unit trick, applied to the
+whole algorithm): ranks are BIGINT micro-units of a fixed total mass
+``scale`` and the damping factor is the exact rational
+``damping_num/damping_den``, so every per-edge contribution is one
+integer multiply + one integer floor-division and every per-node rank
+is a SUM of longs — order-independent across partitions, bit-identical
+on any engine with 64-bit integers. A float PageRank would differ
+between Spark and an oracle in the last ulp on the first iteration and
+diverge from there; the quantized one is replayable value-for-value
+(driver row ``pagerank_orders``). The quantization bias is strictly
+downward (floors drop mass) and bounded by ``(edges + 2·nodes)/scale``
+per iteration — at the default ``scale=10^12`` that is noise far below
+the estimator's own meaning.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+# 85/100 — the canonical damping factor, kept as an exact rational so
+# the arithmetic stays in integers end-to-end
+DEFAULT_DAMPING_NUM = 85
+DEFAULT_DAMPING_DEN = 100
+DEFAULT_SCALE = 10**12
+
+
+def _fenced_endpoint(col: str, side: str):
+    """NULL edge endpoints raise IN-BAND (inside the job, at the row
+    that is wrong) — a silent drop would quietly delete the edge and
+    every rank downstream of it, and a driver-side pre-scan would pay a
+    full extra pass. House style: the fence rides the projection."""
+    c = F.col(col)
+    return F.when(c.isNotNull(), c).otherwise(
+        F.raise_error(
+            F.lit(
+                f"pagerank: NULL {side} endpoint in edge column '{col}' — "
+                "an edge with a missing endpoint is meaningless; filter "
+                "or repair upstream"
+            )
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+    damping_num: int = DEFAULT_DAMPING_NUM,
+    damping_den: int = DEFAULT_DAMPING_DEN,
+    scale: int = DEFAULT_SCALE,
+    checkpoint_dir: Optional[str] = None,
+) -> DataFrame:
+    """PageRank over a directed edge list, exact-integer arithmetic.
+
+    Returns ``(node, outdeg, rank)`` — one row per node that appears as
+    either endpoint; ``rank`` is a BIGINT in units of ``1/scale`` of
+    the total mass (sum of ranks ≈ ``scale``, minus floor dust).
+
+    Semantics per iteration (all BIGINT, all floor division, so the
+    result is a pure function of the edge multiset — duplicate edges
+    count as parallel edges, dedup upstream if that is not wanted):
+
+    - each node ``u`` with ``outdeg > 0`` sends every out-neighbor
+      ``(damping_num · rank(u)) div (damping_den · outdeg(u))``,
+    - dangling mass (ranks of outdeg-0 nodes) redistributes uniformly:
+      ``(damping_num · Σ dangling) div (damping_den · n)``,
+    - plus the constant teleport
+      ``((damping_den − damping_num) · scale) div (damping_den · n)``.
+
+    Scale shape (the `pairs_to_clusters` pattern): per iteration one
+    hash join of the edge list with the node-sized rank frame on the
+    SAME key both rounds (src, then groupBy dst) — two shuffles, both
+    map-side combinable because contributions are plain long sums; the
+    dangling term is a 1-row broadcast crossJoin, never a rescan; the
+    rank frame is O(nodes), edges are never materialized beyond the
+    join. Lineage is truncated every round (``localCheckpoint``, or a
+    RELIABLE ``checkpoint`` when ``checkpoint_dir`` is given — the
+    multi-executor mode where losing an executor mid-iteration must not
+    replay the whole propagation). Hot dst keys (hub pages) are
+    ordinary aggregation skew: partial aggregation collapses each map
+    task's contribution to one row per (task, dst) before the exchange.
+
+    ``iters`` is a fixed budget, not a convergence loop — rank queries
+    want a deterministic, replayable artifact; convergence monitoring
+    at scale is one extra `sum(abs(delta))` the caller can run between
+    rounds if desired.
+    """
+    if iters < 1:
+        raise ValueError(f"pagerank: iters must be >= 1, got {iters}")
+    if not (0 < damping_num < damping_den):
+        raise ValueError(
+            "pagerank: need 0 < damping_num < damping_den, got "
+            f"{damping_num}/{damping_den}"
+        )
+    # damping_num * rank and damping_den * n must both stay inside
+    # int64 for any rank <= scale and any plausible n — fence the
+    # parameter space rather than overflow silently (ANSI mode would
+    # raise mid-job; non-ANSI would wrap and corrupt every rank)
+    if scale < damping_den or scale * damping_den >= 2**62:
+        raise ValueError(
+            f"pagerank: scale {scale} out of range [{damping_den}, "
+            f"2^62/damping_den) — ranks are BIGINT micro-units"
+        )
+    missing = [c for c in (src_col, dst_col) if c not in edges.columns]
+    if missing:
+        raise ValueError(f"pagerank: edge frame lacks columns {missing}")
+
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    e = edges.select(
+        _fenced_endpoint(src_col, "source").alias("src"),
+        _fenced_endpoint(dst_col, "destination").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    base = _truncate(
+        nodes.join(outdeg, "node", "left").select(
+            "node", F.coalesce(F.col("outdeg"), F.lit(0)).alias("outdeg")
+        )
+    )
+    n = base.count()
+    if n == 0:
+        # empty edge frame: empty result, same schema — not a crash
+        # (an upstream filter that matched nothing is the caller's
+        # bug to notice via .count(), matching the dedup family)
+        return base.withColumn("rank", F.lit(None).cast("long"))
+
+    r0 = scale // n
+    teleport = ((damping_den - damping_num) * scale) // (damping_den * n)
+    ranks = base.withColumn("rank", F.lit(r0).cast("long"))
+
+    send = F.expr(
+        f"({damping_num} * rank) div ({damping_den} * outdeg)"
+    ).alias("__c")
+    for _ in range(iters):
+        dang = ranks.where(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).alias("__dang")
+        )
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .select(F.col("dst"), send)
+            .groupBy("dst")
+            .agg(F.sum("__c").alias("__sum"))
+        )
+        ranks = _truncate(
+            base.crossJoin(F.broadcast(dang))
+            .join(contrib, base.node == contrib.dst, "left")
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.lit(teleport).cast("long")
+                    + F.expr(
+                        f"({damping_num} * __dang) div "
+                        f"({damping_den} * {n})"
+                    )
+                    + F.coalesce(F.col("__sum"), F.lit(0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -494,3 +494,149 @@ def bm25_topk_indexed(
         None, None, meta["id_col"], query, k=k, k1=k1, b=b,
         index=pruned, stats=stats,
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation — MRR / recall@k / nDCG@k over a run + qrels
+# ---------------------------------------------------------------------------
+
+# nDCG gains are quantized to nano-units (floor(1e9/log2(rank+1) + 0.5)
+# longs) so per-query DCG totals are exact integer sums — the BM25
+# micro-unit discipline applied to the EVALUATION, making metric rows
+# replayable value-for-value by any engine with libm log2
+_GAIN_SCALE = 1e9
+
+
+def _gain_q(rank_col):
+    """Quantized DCG gain of a 1-based rank:
+    ``floor(1e9 / (ln(r+1)/ln(2)) + 0.5)``. Spelled as the ln RATIO —
+    not ``log2`` — because natural log is the ONE transcendental this
+    repo's oracle parity record is built on (BM25, MI, the perplexity
+    filter all bank on JVM StrictMath.log == libm log at these
+    arguments); a direct log2 would add a second, unproven libm
+    function to the trust base for zero benefit."""
+    return F.floor(
+        F.lit(_GAIN_SCALE)
+        / (
+            F.log(rank_col.cast("double") + F.lit(1.0))
+            / F.log(F.lit(2.0))
+        )
+        + F.lit(0.5)
+    ).cast("long")
+
+
+def retrieval_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query retrieval quality of a ranked ``run`` (the output shape
+    of :func:`bm25_join` / :func:`rrf_fuse`: one row per (query, doc)
+    with a 1-based ``rank``) against binary relevance judgments
+    ``qrels`` (one row per relevant (query, doc) pair) — the trec_eval
+    core, as one distributed plan. The missing piece between the
+    retrieval operators and :func:`hard_negatives`: you tune k1/b or
+    fusion weights BY this number.
+
+    One row per JUDGED query (a query in ``run`` without judgments has
+    no defined metrics and is dropped; a judged query missing from the
+    run scores 0 — the trec_eval convention):
+
+    - ``n_rel``  — its total relevant docs,
+    - ``hits_at_k`` — relevant docs retrieved at rank <= k,
+    - ``recall_at_k`` = hits_at_k / n_rel,
+    - ``rr_at_k`` — 1/rank of the first relevant hit (0 when none):
+      mean over queries = MRR@k,
+    - ``ndcg_at_k`` — DCG/IDCG with binary gains 1/log2(rank+1), both
+      sides quantized to nano-unit longs (exact integer sums, see
+      ``_gain_q``); IDCG is the closed form over ranks
+      1..min(n_rel, k), computed as column algebra (sequence +
+      transform + aggregate), never a join.
+
+    Scale shape: the run is cut to rank <= k FIRST (a pushable
+    predicate), then ONE hash join qrels⋈run on (query, doc) and ONE
+    groupBy(query) — both map-side combinable; qrels (human judgments,
+    tiny) also feeds n_rel via its own groupBy. Duplicate qrels pairs
+    raise IN-BAND (they would double-count hits silently); NULL keys in
+    qrels raise for the same reason an anti-join fence does in
+    :func:`hard_negatives`.
+    """
+    if k < 1:
+        raise ValueError(f"retrieval_metrics: k must be >= 1, got {k}")
+    for frame, name, cols in (
+        (run, "run", (query_id_col, id_col, rank_col)),
+        (qrels, "qrels", (query_id_col, id_col)),
+    ):
+        missing = [c for c in cols if c not in frame.columns]
+        if missing:
+            raise ValueError(f"retrieval_metrics: {name} lacks {missing}")
+    q, d = query_id_col, id_col
+    nullkey = F.col(q).isNull() | F.col(d).isNull()
+    # the fence RIDES the kept doc-id column — a fence on a dropped
+    # column would be pruned by Catalyst and never evaluate
+    d_type = dict(qrels.dtypes)[d]
+    pairs = (
+        qrels.select(q, d)
+        .groupBy(q, d)
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .select(
+            F.col(q),
+            F.when(~nullkey & (F.col("__m") == 1), F.col(d))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "retrieval_metrics: qrels pair is NULL-keyed "
+                            "or duplicated (would double-count): "
+                        ),
+                        F.coalesce(F.col(q).cast("string"), F.lit("NULL")),
+                        F.lit("/"),
+                        F.coalesce(F.col(d).cast("string"), F.lit("NULL")),
+                    )
+                ).cast(d_type)
+            )
+            .alias(d),
+        )
+    )
+    nrel = pairs.groupBy(q).agg(F.count(F.lit(1)).alias("n_rel"))
+    topk = run.select(q, d, F.col(rank_col).alias("__r")).where(
+        F.col("__r") <= k
+    )
+    hit_agg = (
+        topk.join(pairs, [q, d])
+        .groupBy(q)
+        .agg(
+            F.count(F.lit(1)).alias("__hits"),
+            F.min("__r").alias("__first"),
+            F.sum(_gain_q(F.col("__r"))).alias("__dcg_q"),
+        )
+    )
+    per_q = nrel.join(hit_agg, q, "left")
+    m = F.least(F.col("n_rel"), F.lit(k))
+    idcg_q = F.aggregate(
+        F.transform(F.sequence(F.lit(1), m), lambda i: _gain_q(i)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    hits = F.coalesce(F.col("__hits"), F.lit(0))
+    return per_q.select(
+        q,
+        F.col("n_rel"),
+        hits.cast("long").alias("hits_at_k"),
+        (hits.cast("double") / F.col("n_rel").cast("double")).alias(
+            "recall_at_k"
+        ),
+        F.when(
+            F.col("__first").isNotNull(),
+            F.lit(1.0) / F.col("__first").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rr_at_k"),
+        (
+            F.coalesce(F.col("__dcg_q"), F.lit(0)).cast("double")
+            / idcg_q.cast("double")
+        ).alias("ndcg_at_k"),
+    )

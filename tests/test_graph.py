@@ -1,0 +1,138 @@
+"""PageRank — exact-integer python replay, fences, checkpoint parity."""
+
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_forge_spark.operators.graph import pagerank
+
+
+def _replay(edges, iters, num=85, den=100, scale=10**12):
+    """Bit-exact python replay of the quantized algorithm — the same
+    integer ops in the same order-free form."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    outdeg = Counter(u for u, _ in edges)
+    n = len(nodes)
+    r = {v: scale // n for v in nodes}
+    tele = ((den - num) * scale) // (den * n)
+    for _ in range(iters):
+        dang = sum(r[v] for v in nodes if outdeg[v] == 0)
+        contrib = defaultdict(int)
+        for u, v in edges:
+            contrib[v] += (num * r[u]) // (den * outdeg[u])
+        r = {
+            v: tele + (num * dang) // (den * n) + contrib[v] for v in nodes
+        }
+    return r, dict(outdeg)
+
+
+EDGES = [
+    # a 3-cycle feeding a hub, a dangling sink, parallel edges
+    (1, 2), (2, 3), (3, 1),
+    (1, 4), (2, 4), (3, 4),
+    (4, 5),           # 5 is dangling (no out-edges)
+    (1, 4),           # parallel edge: doubles 1's traffic to the hub
+]
+
+
+def _edges_df(spark, edges=EDGES):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_pagerank_matches_integer_replay(spark):
+    for iters in (1, 3, 7):
+        got = {
+            r["node"]: (r["outdeg"], r["rank"])
+            for r in pagerank(_edges_df(spark), iters=iters).collect()
+        }
+        want_r, want_d = _replay(EDGES, iters)
+        assert set(got) == set(want_r)
+        for v in want_r:
+            assert got[v] == (want_d.get(v, 0), want_r[v]), (iters, v)
+
+
+def test_pagerank_hub_ranks_highest_and_mass_conserved(spark):
+    rows = pagerank(_edges_df(spark), iters=10).collect()
+    by_rank = sorted(rows, key=lambda r: -r["rank"])
+    # 5 drains the hub (4 -> 5 is 4's only out-edge), so the sink and
+    # the hub dominate the 3-cycle members
+    assert {by_rank[0]["node"], by_rank[1]["node"]} == {4, 5}
+    total = sum(r["rank"] for r in rows)
+    # floors only drop mass, never add
+    assert 0.98 * 10**12 < total <= 10**12
+
+
+def test_pagerank_checkpoint_dir_parity(spark, tmp_path):
+    a = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges_df(spark), iters=4).collect()
+    }
+    b = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            _edges_df(spark), iters=4, checkpoint_dir=str(tmp_path / "ck")
+        ).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_null_endpoint_raises_in_band(spark):
+    df = spark.createDataFrame([(1, 2), (None, 3)], "src long, dst long")
+    with pytest.raises(Exception, match="NULL source endpoint"):
+        pagerank(df, iters=1).collect()
+    df2 = spark.createDataFrame([(1, 2), (3, None)], "src long, dst long")
+    with pytest.raises(Exception, match="NULL destination endpoint"):
+        pagerank(df2, iters=1).collect()
+
+
+def test_pagerank_parameter_fences(spark):
+    df = _edges_df(spark)
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(df, iters=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping_num=100, damping_den=100)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping_num=0)
+    with pytest.raises(ValueError, match="scale"):
+        pagerank(df, scale=10)
+    with pytest.raises(ValueError, match="scale"):
+        pagerank(df, scale=2**62)
+    with pytest.raises(ValueError, match="lacks columns"):
+        pagerank(df.withColumnRenamed("src", "s"))
+
+
+def test_pagerank_empty_edges_empty_result(spark):
+    df = _edges_df(spark).where(F.col("src") < 0)
+    out = pagerank(df, iters=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "outdeg", "rank"]
+
+
+def test_pagerank_string_nodes_and_no_udf(spark):
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c")], "src string, dst string"
+    )
+    out = pagerank(df, iters=2)
+    rows = {r["node"]: r["rank"] for r in out.collect()}
+    want, _ = _replay([("a", "b"), ("b", "a"), ("a", "c")], 2)
+    assert rows == want
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    assert not has_python_udf(out)
+
+
+def test_pagerank_partition_independence(spark):
+    one = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            _edges_df(spark).repartition(1), iters=3
+        ).collect()
+    }
+    many = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            _edges_df(spark).repartition(7), iters=3
+        ).collect()
+    }
+    assert one == many
