@@ -6544,6 +6544,133 @@ ORDER BY n.query_id
 """
 
 
+def q_triangles_orders(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient
+    (operators/graph.py triangle_count, degree-ordered orientation —
+    the spam-farm-vs-organic-neighborhood shape signal complementing
+    pagerank's flow score): undirected simple graph projected from
+    orders (o_custkey % 200 — o_orderkey % 200, self-loops dropped,
+    duplicates collapsed). Counts are exact integers and lcc one IEEE
+    division of exact ints, so the oracle replays the full
+    orient→wedge→close join chain value-for-value. Top 25 by
+    (triangles DESC, node ASC) — integer tie-break."""
+    from pandera_forge_spark.operators.graph import triangle_count
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 200).alias("src"),
+        (F.col("o_orderkey") % 200).alias("dst"),
+    )
+    return (
+        triangle_count(edges)
+        .orderBy(F.desc("triangles"), "node")
+        .limit(25)
+    )
+
+
+SQL_TRIANGLES_ORDERS = """
+WITH e0 AS (
+  SELECT DISTINCT o_custkey % 200 AS s, o_orderkey % 200 AS t FROM orders
+  WHERE o_custkey % 200 <> o_orderkey % 200
+),
+und AS (SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b FROM e0),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1
+),
+eor AS (
+  SELECT CASE WHEN (da.degree, u.a) < (db.degree, u.b)
+              THEN u.a ELSE u.b END AS x,
+         CASE WHEN (da.degree, u.a) < (db.degree, u.b)
+              THEN u.b ELSE u.a END AS y
+  FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node
+),
+tri AS (
+  SELECT e1.x AS u, e1.y AS v, e2.y AS w
+  FROM eor e1 JOIN eor e2 ON e1.x = e2.x AND e1.y <> e2.y
+  JOIN eor e3 ON e3.x = e1.y AND e3.y = e2.y
+),
+corners AS (
+  SELECT node, COUNT(*) AS triangles FROM (
+    SELECT u AS node FROM tri
+    UNION ALL SELECT v FROM tri
+    UNION ALL SELECT w FROM tri) GROUP BY 1
+)
+SELECT d.node AS node, d.degree AS degree,
+       COALESCE(c.triangles, 0) AS triangles,
+       CASE WHEN d.degree >= 2
+            THEN 2.0e0 * COALESCE(c.triangles, 0)
+                 / (CAST(d.degree AS DOUBLE)
+                    * (CAST(d.degree AS DOUBLE) - 1.0e0))
+            ELSE 0.0e0 END AS lcc
+FROM deg d LEFT JOIN corners c ON d.node = c.node
+ORDER BY triangles DESC, node ASC LIMIT 25
+"""
+
+
+def q_kmv_user_containment(spark, sf_dir):
+    """Asymmetric set containment from KMV sketches (sketches.py
+    kmv_containment — the "what fraction of MY keys are in YOURS"
+    train/test-leak number the symmetric Jaccard hides): distinct
+    'error'-event users vs distinct 'view'-event users at k=128. Both
+    sides exceed k at both SFs, so the union-sketch membership path
+    (not the exact small-set path) is verified; the oracle replays the
+    sketches, union, per-side membership and both containment
+    divisions."""
+    from pandera_forge_spark.sketches import (
+        kmv_containment,
+        kmv_partition_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    a = kmv_partition_sketch(
+        ev.where(F.col("event_type") == "error"), "user_id", k=128
+    )
+    b = kmv_partition_sketch(
+        ev.where(F.col("event_type") == "view"), "user_id", k=128
+    )
+    return kmv_containment(a, b)
+
+
+SQL_KMV_USER_CONTAINMENT = """
+WITH ha AS (
+  SELECT DISTINCT CAST(('0x'||substr(md5('kmv:'||CAST(user_id AS VARCHAR)),
+                        1,12))::UBIGINT AS BIGINT) AS h
+  FROM events WHERE event_type = 'error' AND user_id IS NOT NULL
+),
+hb AS (
+  SELECT DISTINCT CAST(('0x'||substr(md5('kmv:'||CAST(user_id AS VARCHAR)),
+                        1,12))::UBIGINT AS BIGINT) AS h
+  FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+),
+ka AS (SELECT h FROM ha ORDER BY h LIMIT 128),
+kb AS (SELECT h FROM hb ORDER BY h LIMIT 128),
+ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+       ORDER BY h LIMIT 128),
+s AS (
+  SELECT (SELECT COUNT(*) FROM ka) AS ca,
+         (SELECT COUNT(*) FROM kb) AS cb,
+         (SELECT COUNT(*) FROM ku) AS cu,
+         (SELECT COUNT(*) FROM ku WHERE h IN (SELECT h FROM ka)) AS ia,
+         (SELECT COUNT(*) FROM ku WHERE h IN (SELECT h FROM kb)) AS ib,
+         (SELECT COUNT(*) FROM ku
+          WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)) AS sh
+)
+SELECT CAST(128 AS INT) AS k,
+       CAST(ca AS INT) AS size_a, CAST(cb AS INT) AS size_b,
+       CAST(cu AS INT) AS size_u,
+       CAST(ia AS INT) AS in_a, CAST(ib AS INT) AS in_b,
+       CAST(sh AS BIGINT) AS shared,
+       CASE WHEN ia = 0 THEN NULL
+            ELSE CAST(sh AS DOUBLE) / CAST(ia AS DOUBLE) END
+         AS containment_a_in_b,
+       CASE WHEN ib = 0 THEN NULL
+            ELSE CAST(sh AS DOUBLE) / CAST(ib AS DOUBLE) END
+         AS containment_b_in_a
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -6675,7 +6802,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_user_contact": q_golden_user_contact,
         "snm_name_pairs": q_snm_name_pairs,
         "mi_lang_source": q_mi_lang_source,
-        # -- 51-53: r3-green rows displaced by the fifth-session
+        # -- 51-52: fifth-session operators added AFTER the window
+        # saturated with never-driver-verified rows (all 50 in-window
+        # slots now hold first-time rows). Each rides an in-window
+        # anchor and is strict-sweep green at BOTH SFs:
+        # kmv_user_containment shares the ENTIRE merge/union/membership
+        # kernel with in-window kmv_custkey_overlap (position 40) —
+        # only the per-side membership counts and the two containment
+        # divisions differ;
+        # triangles_orders rides the graph module's shared edge fence +
+        # exact-integer discipline anchored in-window by pagerank_orders
+        # (position 43), with the wedge-join chain verified by exact
+        # python replays (K4 / messy-input pytests) --------------------------
+        "kmv_user_containment": q_kmv_user_containment,
+        "triangles_orders": q_triangles_orders,
+        # -- 53-55: r3-green rows displaced by the fifth-session
         # PageRank/JL/retrieval-metrics rows above; each keeps an anchor:
         # snapshot_diff (r3-green; its null-safe keyed row-compare kernel
         # is in-window via changelog_apply — the same null-safe equi-join
@@ -6692,7 +6833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "span_sequence_mismatches": q_span_sequence_mismatches,
         "exact_dup_groups": q_exact_dup_groups,
-        # -- 54-56: r3-green rows displaced this session by the three
+        # -- 56-58: r3-green rows displaced this session by the three
         # never-verified KMV/hard-negative rows above; each keeps an
         # anchor:
         # ri_customers_without_orders (r3-green; the left-anti hash-join
@@ -6712,7 +6853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ri_customers_without_orders": q_ri_customers_without_orders,
         "sketch_merge_exact": q_sketch_merge_exact,
         "pipeline_verdicts": q_pipeline_verdicts,
-        # -- 57-59: r3-green rows displaced by the label/trend rows in the
+        # -- 59-61: r3-green rows displaced by the label/trend rows in the
         # continuation session; each keeps an anchor:
         # topk_returnflag (r1+r3 green, unchanged since r1; the
         # two-phase top-k kernel has two more r3-green twins in the
@@ -6726,7 +6867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_returnflag": q_topk_returnflag,
         "near_dup_minhash": q_near_dup_minhash,
         "chunk_interleaved": q_chunk_interleaved,
-        # -- 60+: left out (50-slot cap); each is a parameter-variant ----------
+        # -- 62+: left out (50-slot cap); each is a parameter-variant ----------
         # or composition of in-window siblings: topk_event_type~
         # topk_returnflag, duplicate_custkeys_salted~duplicate_custkeys
         # (salt flag, also exercised by topk_engine_salted),
@@ -7186,6 +7327,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_orders": SQL_PAGERANK_ORDERS,
         "rp_embeddings": SQL_RP_EMBEDDINGS,
         "retrieval_metrics_bm25": SQL_RETRIEVAL_METRICS_BM25,
+        "kmv_user_containment": SQL_KMV_USER_CONTAINMENT,
+        "triangles_orders": SQL_TRIANGLES_ORDERS,
         "split_balance": SQL_SPLIT_BALANCE,
         "golden_user_contact": SQL_GOLDEN_USER_CONTACT,
         "snm_name_pairs": SQL_SNM_NAME_PAIRS,

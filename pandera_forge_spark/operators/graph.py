@@ -33,7 +33,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_count"]
 
 # 85/100 — the canonical damping factor, kept as an exact rational so
 # the arithmetic stays in integers end-to-end
@@ -51,9 +51,9 @@ def _fenced_endpoint(col: str, side: str):
     return F.when(c.isNotNull(), c).otherwise(
         F.raise_error(
             F.lit(
-                f"pagerank: NULL {side} endpoint in edge column '{col}' — "
-                "an edge with a missing endpoint is meaningless; filter "
-                "or repair upstream"
+                f"graph operator: NULL {side} endpoint in edge column "
+                f"'{col}' — an edge with a missing endpoint is "
+                "meaningless; filter or repair upstream"
             )
         )
     )
@@ -190,3 +190,92 @@ def pagerank(
             )
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    UNDIRECTED simple graph induced by the edge list (direction,
+    duplicate edges and self-loops are collapsed/dropped internally —
+    the standard triangle-counting contract). Returns
+    ``(node, degree, triangles, lcc)`` with
+    ``lcc = 2·triangles / (degree·(degree−1))`` (0.0 when degree < 2).
+
+    Why in a curation engine: clustering structure separates organic
+    link neighborhoods (high lcc) from spam farms and scraped link
+    lists (star-shaped, lcc ≈ 0) — the graph-shape complement of
+    :func:`pagerank`'s flow-based score. All counts are exact integers;
+    lcc is one IEEE division of exact ints — replayable everywhere.
+
+    Scale shape (degree-ordered orientation — the MapReduce-classic
+    trick): each undirected edge is oriented from its lower
+    (degree, node) endpoint to the higher, which caps every node's
+    out-degree at O(sqrt(m)) regardless of how skewed the real degree
+    distribution is, so the wedge self-join (the only superlinear step)
+    generates Σ outdeg² = O(m^1.5) candidate rows worst-case instead of
+    the Σ deg² a naive wedge join pays at a celebrity node. Three hash
+    joins + one groupBy, all on key columns; no windows, no UDFs, no
+    collect. Each triangle materializes exactly once (its endpoints
+    appear in strict orientation order) and credits all three corners.
+    NULL endpoints raise in-band (same fence as :func:`pagerank`)."""
+    missing = [c for c in (src_col, dst_col) if c not in edges.columns]
+    if missing:
+        raise ValueError(f"triangle_count: edge frame lacks columns {missing}")
+    e = edges.select(
+        _fenced_endpoint(src_col, "source").alias("s"),
+        _fenced_endpoint(dst_col, "destination").alias("t"),
+    ).where(F.col("s") != F.col("t"))
+    und = e.select(
+        F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("__db"))
+    lower_first = F.struct(F.col("__da"), F.col("a")) < F.struct(
+        F.col("__db"), F.col("b")
+    )
+    eor = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    e1 = eor.select(F.col("u"), F.col("v").alias("__v"))
+    e2 = eor.select(F.col("u"), F.col("v").alias("__w"))
+    wedges = e1.join(e2, "u").where(F.col("__v") != F.col("__w"))
+    closing = eor.select(
+        F.col("u").alias("__v"), F.col("v").alias("__w")
+    )
+    tri = wedges.join(closing, ["__v", "__w"])
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("__v").alias("node")))
+        .unionAll(tri.select(F.col("__w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    out = deg.join(corners, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+    )
+    lcc = F.when(
+        F.col("degree") >= 2,
+        F.lit(2.0)
+        * F.col("triangles").cast("double")
+        / (
+            F.col("degree").cast("double")
+            * (F.col("degree").cast("double") - F.lit(1.0))
+        ),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("lcc", lcc)

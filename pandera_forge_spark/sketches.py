@@ -941,3 +941,97 @@ def kmv_overlap(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
         _kmv_est(F.col("__u"), k).alias("union_est"),
         (jac * _kmv_est(F.col("__u"), k)).alias("inter_est"),
     )
+
+
+def kmv_containment(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """ASYMMETRIC overlap from two KMV sketch frames: one row with
+
+    - ``k``, ``size_a`` / ``size_b`` / ``size_u``, ``shared`` (as in
+      :func:`kmv_overlap`),
+    - ``in_a`` / ``in_b`` — of the union sketch's hashes, how many fall
+      in each side,
+    - ``containment_a_in_b`` = shared / in_a — the estimated fraction
+      of A's distinct values that also occur in B,
+    - ``containment_b_in_a`` = shared / in_b.
+
+    This is the number the symmetric Jaccard hides: an eval set 99%
+    swallowed by a much larger training corpus has tiny Jaccard but
+    containment ~0.99 — "how much of MY set is in YOURS" is the
+    train/test-leak question (Broder's containment, estimated on the
+    union sketch exactly as in :func:`kmv_overlap`). Same two 1-row
+    broadcast merges, same in-band parameter fence, same NULL (0/0)
+    semantics when a side's union presence is empty."""
+    a = kmv_merge(sketch_a).select(
+        F.col("__kmv").alias("__a"),
+        F.col("__kmv_k").alias("__ka"),
+        F.col("__kmv_seed").alias("__sa"),
+    )
+    b = kmv_merge(sketch_b).select(
+        F.col("__kmv").alias("__b"),
+        F.col("__kmv_k").alias("__kb"),
+        F.col("__kmv_seed").alias("__sb"),
+    )
+    both = a.crossJoin(F.broadcast(b))
+    fence = F.when(
+        (F.col("__ka") == F.col("__kb")) & (F.col("__sa") == F.col("__sb")),
+        F.col("__ka"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("kmv_containment: parameter mismatch (k "),
+                F.col("__ka").cast("string"),
+                F.lit("/"),
+                F.col("__kb").cast("string"),
+                F.lit(", seed "),
+                F.col("__sa"),
+                F.lit("/"),
+                F.col("__sb"),
+                F.lit(")"),
+            )
+        )
+    )
+    both = both.withColumn("__k", fence)
+    k = F.col("__k")
+    both = both.withColumn(
+        "__u",
+        F.slice(
+            F.array_sort(F.array_distinct(F.concat(F.col("__a"), F.col("__b")))),
+            1,
+            k,
+        ),
+    )
+    in_a = F.size(
+        F.filter(F.col("__u"), lambda h: F.array_contains(F.col("__a"), h))
+    )
+    in_b = F.size(
+        F.filter(F.col("__u"), lambda h: F.array_contains(F.col("__b"), h))
+    )
+    shared = F.size(
+        F.filter(
+            F.col("__u"),
+            lambda h: F.array_contains(F.col("__a"), h)
+            & F.array_contains(F.col("__b"), h),
+        )
+    )
+    both = (
+        both.withColumn("__ina", in_a)
+        .withColumn("__inb", in_b)
+        .withColumn("__sh", shared)
+    )
+
+    def _ratio(num, den):
+        return F.when(den == 0, F.lit(None).cast("double")).otherwise(
+            num.cast("double") / den.cast("double")
+        )
+
+    return both.select(
+        k.cast("int").alias("k"),
+        F.size("__a").cast("int").alias("size_a"),
+        F.size("__b").cast("int").alias("size_b"),
+        F.size("__u").cast("int").alias("size_u"),
+        F.col("__ina").cast("int").alias("in_a"),
+        F.col("__inb").cast("int").alias("in_b"),
+        F.col("__sh").cast("long").alias("shared"),
+        _ratio(F.col("__sh"), F.col("__ina")).alias("containment_a_in_b"),
+        _ratio(F.col("__sh"), F.col("__inb")).alias("containment_b_in_a"),
+    )

@@ -136,3 +136,91 @@ def test_pagerank_partition_independence(spark):
         ).collect()
     }
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+
+def _tri_replay(edges):
+    """Exact python replay: undirected simple graph, per-node triangle
+    count + lcc."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {v: 0 for v in adj}
+    for a, b in und:
+        for _c in adj[a] & adj[b]:
+            tri[a] += 1
+            tri[b] += 1
+    # corner x of triangle {x,y,z} is credited by edges (x,y) and (x,z)
+    # -> exactly twice
+    tri = {v: t // 2 for v, t in tri.items()}
+    out = {}
+    for v in adj:
+        d = len(adj[v])
+        lcc = 2.0 * tri[v] / (d * (d - 1)) if d >= 2 else 0.0
+        out[v] = (d, tri[v], lcc)
+    return out
+
+
+def test_triangle_count_k4(spark):
+    from pandera_forge_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    got = {r["node"]: r for r in triangle_count(df).collect()}
+    for v in range(4):
+        assert got[v]["degree"] == 3
+        assert got[v]["triangles"] == 3
+        assert got[v]["lcc"] == 1.0
+
+
+def test_triangle_count_matches_replay_messy_input(spark):
+    """Directed duplicates, reversed edges, self-loops — all collapsed;
+    mixed topology (triangle + tail + square + isolated-by-loop)."""
+    from pandera_forge_spark.operators.graph import triangle_count
+
+    edges = [
+        (1, 2), (2, 1), (2, 3), (3, 1), (1, 2),   # triangle 1-2-3, dups
+        (3, 4),                                   # tail
+        (5, 6), (6, 7), (7, 8), (8, 5),           # square, no triangle
+        (9, 9),                                   # self-loop only: dropped
+        (2, 4), (4, 1),                           # second triangle 1-2-4
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["lcc"])
+        for r in triangle_count(df).collect()
+    }
+    want = _tri_replay(edges)
+    assert got == want
+    assert 9 not in got  # self-loop-only node has no simple edges
+
+
+def test_triangle_count_fences_and_no_udf(spark):
+    import pytest as _pytest
+
+    from pandera_forge_spark.operators.graph import triangle_count
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError, match="lacks columns"):
+        triangle_count(df.withColumnRenamed("dst", "d"))
+    bad = spark.createDataFrame([(1, None)], "src long, dst long")
+    with _pytest.raises(Exception, match="NULL destination"):
+        triangle_count(bad).collect()
+    assert not has_python_udf(triangle_count(df))
+
+
+def test_triangle_count_partition_independence(spark):
+    from pandera_forge_spark.operators.graph import triangle_count
+
+    edges = [(a, b) for a in range(8) for b in range(8) if a < b and (a + b) % 3]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    one = sorted(map(tuple, triangle_count(df.repartition(1)).collect()))
+    many = sorted(map(tuple, triangle_count(df.repartition(7)).collect()))
+    assert one == many

@@ -200,3 +200,70 @@ def test_no_udf(spark, corpus):
     assert not has_python_udf(sk)
     assert not has_python_udf(kmv_estimate(kmv_merge(sk)))
     assert not has_python_udf(kmv_overlap(sk, sk))
+
+
+def test_kmv_containment_subset_and_replay(spark):
+    """A strictly contained in B: containment_a_in_b == 1.0 exactly
+    (every union hash in A is also in B); python replay of the rest."""
+    from pandera_forge_spark.sketches import (
+        kmv_containment,
+        kmv_partition_sketch,
+    )
+
+    a_vals = list(range(100))
+    b_vals = list(range(400))  # superset
+    dfa = spark.createDataFrame([(v,) for v in a_vals], "v long")
+    dfb = spark.createDataFrame([(v,) for v in b_vals], "v long")
+    sa = kmv_partition_sketch(dfa, "v", k=32)
+    sb = kmv_partition_sketch(dfb, "v", k=32)
+    row = kmv_containment(sa, sb).collect()[0]
+    assert row["containment_a_in_b"] == 1.0
+    assert 0.0 < row["containment_b_in_a"] < 1.0
+    # replay: union sketch membership from python md5
+    import hashlib
+
+    def h(v):
+        return int(
+            hashlib.md5(f"kmv:{v}".encode()).hexdigest()[:12], 16
+        )
+
+    ha = sorted({h(v) for v in a_vals})[:32]
+    hb = sorted({h(v) for v in b_vals})[:32]
+    u = sorted(set(ha) | set(hb))[:32]
+    in_a = sum(1 for x in u if x in set(ha))
+    in_b = sum(1 for x in u if x in set(hb))
+    shared = sum(1 for x in u if x in set(ha) and x in set(hb))
+    assert (row["in_a"], row["in_b"], row["shared"]) == (in_a, in_b, shared)
+    assert row["containment_b_in_a"] == shared / in_b
+
+
+def test_kmv_containment_param_mismatch_raises(spark):
+    from pandera_forge_spark.sketches import (
+        kmv_containment,
+        kmv_partition_sketch,
+    )
+
+    df = spark.createDataFrame([(v,) for v in range(50)], "v long")
+    sa = kmv_partition_sketch(df, "v", k=16)
+    sb = kmv_partition_sketch(df, "v", k=32)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="parameter mismatch"):
+        kmv_containment(sa, sb).collect()
+
+
+def test_kmv_containment_disjoint_zero(spark):
+    from pandera_forge_spark.sketches import (
+        kmv_containment,
+        kmv_partition_sketch,
+    )
+
+    dfa = spark.createDataFrame([(v,) for v in range(50)], "v long")
+    dfb = spark.createDataFrame([(v,) for v in range(1000, 1050)], "v long")
+    row = kmv_containment(
+        kmv_partition_sketch(dfa, "v", k=64),
+        kmv_partition_sketch(dfb, "v", k=64),
+    ).collect()[0]
+    assert row["shared"] == 0
+    assert row["containment_a_in_b"] == 0.0
+    assert row["containment_b_in_a"] == 0.0
