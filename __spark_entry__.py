@@ -6709,12 +6709,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   40-42: the final-continuation-session operators (KMV overlap
     #         sketch x2, BM25 hard-negative mining) — never
     #         driver-verified,
-    #   43-50: the round-3-verified tail (8 of its 49 queries;
-    #         drift_orders, pattern_ratios, profile_fused_orders,
-    #         ri_customers_without_orders, sketch_merge_exact and
-    #         pipeline_verdicts moved to 51+ — each has an r4-green or
-    #         in-window driver anchor for its shared code path,
-    #         rationale inline below).
+    #   43-45: the fifth-session operators (quantized PageRank, JL
+    #         random projection, retrieval metrics) — never
+    #         driver-verified (snapshot_diff / span_sequence_mismatches
+    #         / exact_dup_groups moved to the tail, rationales below),
+    #   46-50: concentration_source + the four final-session label/
+    #         split operators — never driver-verified. The window is
+    #         now SATURATED with first-time rows: zero r3-green anchors
+    #         remain in-window; every displaced row's rationale sits at
+    #         its tail position (drift_orders, pattern_ratios,
+    #         profile_fused_orders, ri_customers_without_orders,
+    #         sketch_merge_exact, pipeline_verdicts, snapshot_diff,
+    #         span_sequence_mismatches, exact_dup_groups at 53+).
     # The window holds 50; the rest of the r3-green tail plus the
     # split-path twins rolling_anomalies_split / sequence_gaps_split
     # stay at positions 51+; each is a parameter-variant or

@@ -103,6 +103,12 @@ def pagerank(
     want a deterministic, replayable artifact; convergence monitoring
     at scale is one extra `sum(abs(delta))` the caller can run between
     rounds if desired.
+
+    NOTE: ``checkpoint_dir`` calls ``sc.setCheckpointDir`` — a
+    SparkContext-GLOBAL setting that stays in effect after this call
+    (the same contract as ``dedup.pairs_to_clusters``); an application
+    that checkpoints elsewhere should re-set its own directory
+    afterwards.
     """
     if iters < 1:
         raise ValueError(f"pagerank: iters must be >= 1, got {iters}")
@@ -173,6 +179,9 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("__c").alias("__sum"))
         )
+        # damping_den * n is folded in PYTHON: as two int SQL literals
+        # Spark would multiply them in int32 and overflow past ~21.4M
+        # nodes (ARITHMETIC_OVERFLOW under ANSI, silent wrap otherwise)
         ranks = _truncate(
             base.crossJoin(F.broadcast(dang))
             .join(contrib, base.node == contrib.dst, "left")
@@ -183,7 +192,7 @@ def pagerank(
                     F.lit(teleport).cast("long")
                     + F.expr(
                         f"({damping_num} * __dang) div "
-                        f"({damping_den} * {n})"
+                        f"{damping_den * n}"
                     )
                     + F.coalesce(F.col("__sum"), F.lit(0))
                 ).alias("rank"),
@@ -242,17 +251,28 @@ def triangle_count(
     lower_first = F.struct(F.col("__da"), F.col("a")) < F.struct(
         F.col("__db"), F.col("b")
     )
+    # carry the HIGHER endpoint's degree so wedges are generated in
+    # orientation-consistent order only — the closing edge can only
+    # ever exist as v→w with (deg_v, v) < (deg_w, w), so emitting both
+    # (v, w) and (w, v) would double the shuffle of the one
+    # superlinear step for rows that cannot match
     eor = (
         und.join(da, "a")
         .join(db, "b")
         .select(
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lower_first, F.col("__db"))
+            .otherwise(F.col("__da"))
+            .alias("__dv"),
         )
     )
-    e1 = eor.select(F.col("u"), F.col("v").alias("__v"))
-    e2 = eor.select(F.col("u"), F.col("v").alias("__w"))
-    wedges = e1.join(e2, "u").where(F.col("__v") != F.col("__w"))
+    e1 = eor.select(F.col("u"), F.col("v").alias("__v"), F.col("__dv").alias("__dvv"))
+    e2 = eor.select(F.col("u"), F.col("v").alias("__w"), F.col("__dv").alias("__dvw"))
+    wedges = e1.join(e2, "u").where(
+        F.struct(F.col("__dvv"), F.col("__v"))
+        < F.struct(F.col("__dvw"), F.col("__w"))
+    )
     closing = eor.select(
         F.col("u").alias("__v"), F.col("v").alias("__w")
     )

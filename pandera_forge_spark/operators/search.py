@@ -602,8 +602,36 @@ def retrieval_metrics(
         )
     )
     nrel = pairs.groupBy(q).agg(F.count(F.lit(1)).alias("n_rel"))
-    topk = run.select(q, d, F.col(rank_col).alias("__r")).where(
-        F.col("__r") <= k
+    # the RUN side gets the same dup fence as qrels (a run assembled by
+    # concatenating two runs would double-count hits and DCG silently),
+    # plus a rank >= 1 fence: a 0-based rank makes the DCG gain
+    # 1e9/log2(1) = Infinity and poisons ndcg. Both ride the kept __r.
+    topk = (
+        run.select(q, d, F.col(rank_col).alias("__r"))
+        .where(F.col("__r") <= k)
+        .groupBy(q, d)
+        .agg(F.count(F.lit(1)).alias("__m"), F.min("__r").alias("__rmin"))
+        .select(
+            q,
+            d,
+            F.when(
+                (F.col("__m") == 1) & (F.col("__rmin") >= 1), F.col("__rmin")
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "retrieval_metrics: run pair duplicated or "
+                            "rank < 1 (would corrupt hits/DCG): "
+                        ),
+                        F.coalesce(F.col(q).cast("string"), F.lit("NULL")),
+                        F.lit("/"),
+                        F.coalesce(F.col(d).cast("string"), F.lit("NULL")),
+                    )
+                ).cast(dict(run.dtypes)[rank_col])
+            )
+            .alias("__r"),
+        )
     )
     hit_agg = (
         topk.join(pairs, [q, d])

@@ -863,24 +863,16 @@ def kmv_estimate(sketch_df: DataFrame) -> DataFrame:
     ).withColumn("distinct_est", _kmv_est(arr, k))
 
 
-def kmv_overlap(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
-    """Set-overlap audit from two KMV sketch frames (merged internally,
-    so any per-partition sketch rows work): ONE row with
-
-    - ``k``, ``size_a`` / ``size_b`` / ``size_u`` (sketch fill levels),
-    - ``est_a`` / ``est_b`` — per-side distinct estimates,
-    - ``shared`` — of the union sketch's hashes, how many occur in BOTH
-      sides (the Jaccard numerator),
-    - ``jaccard_est`` = shared / size_u,
-    - ``union_est`` — the estimator over the union sketch,
-    - ``inter_est`` = jaccard_est * union_est — the headline "how many
-      training keys does the eval set share" number.
-
-    Everything after the two merges is column algebra over two 1-row
-    broadcast frames — no data rescan, no shuffle. Mismatched k or seed
-    between the sides raises in-band (a cross-parameter Jaccard is
-    meaningless); two genuinely empty inputs yield NULL jaccard/inter
-    (0/0), not a crash and not a silent 0."""
+def _kmv_pair_kernel(
+    sketch_a: DataFrame, sketch_b: DataFrame, caller: str
+) -> DataFrame:
+    """THE two-sided kernel shared by :func:`kmv_overlap` and
+    :func:`kmv_containment`: merge each side, broadcast-crossJoin the
+    two 1-row frames, fence parameter mismatches IN-BAND, and build the
+    union sketch. Returns one row with ``__a``, ``__b``, ``__u``
+    (k-length hash arrays) and ``__k`` — each caller is one projection
+    on top, so a fix to the fence or the union-slice logic lands in
+    both estimators by construction."""
     a = kmv_merge(sketch_a).select(
         F.col("__kmv").alias("__a"),
         F.col("__kmv_k").alias("__ka"),
@@ -898,7 +890,7 @@ def kmv_overlap(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
     ).otherwise(
         F.raise_error(
             F.concat(
-                F.lit("kmv_overlap: parameter mismatch (k "),
+                F.lit(f"{caller}: parameter mismatch (k "),
                 F.col("__ka").cast("string"),
                 F.lit("/"),
                 F.col("__kb").cast("string"),
@@ -911,13 +903,35 @@ def kmv_overlap(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
         )
     )
     both = both.withColumn("__k", fence)
-    k = F.col("__k")
     arr_u = F.slice(
         F.array_sort(F.array_distinct(F.concat(F.col("__a"), F.col("__b")))),
         1,
-        k,
+        F.col("__k"),
     )
-    both = both.withColumn("__u", arr_u)
+    return both.withColumn("__u", arr_u).select("__a", "__b", "__u", "__k")
+
+
+def kmv_overlap(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Set-overlap audit from two KMV sketch frames (merged internally,
+    so any per-partition sketch rows work): ONE row with
+
+    - ``k``, ``size_a`` / ``size_b`` / ``size_u`` (sketch fill levels),
+    - ``est_a`` / ``est_b`` — per-side distinct estimates,
+    - ``shared`` — of the union sketch's hashes, how many occur in BOTH
+      sides (the Jaccard numerator),
+    - ``jaccard_est`` = shared / size_u,
+    - ``union_est`` — the estimator over the union sketch,
+    - ``inter_est`` = jaccard_est * union_est — the headline "how many
+      training keys does the eval set share" number.
+
+    Everything after the two merges is column algebra over two 1-row
+    broadcast frames — no data rescan, no shuffle (the shared
+    :func:`_kmv_pair_kernel`). Mismatched k or seed between the sides
+    raises in-band (a cross-parameter Jaccard is meaningless); two
+    genuinely empty inputs yield NULL jaccard/inter (0/0), not a crash
+    and not a silent 0."""
+    both = _kmv_pair_kernel(sketch_a, sketch_b, "kmv_overlap")
+    k = F.col("__k")
     shared = F.size(
         F.filter(
             F.col("__u"),
@@ -958,48 +972,12 @@ def kmv_containment(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
     swallowed by a much larger training corpus has tiny Jaccard but
     containment ~0.99 — "how much of MY set is in YOURS" is the
     train/test-leak question (Broder's containment, estimated on the
-    union sketch exactly as in :func:`kmv_overlap`). Same two 1-row
-    broadcast merges, same in-band parameter fence, same NULL (0/0)
-    semantics when a side's union presence is empty."""
-    a = kmv_merge(sketch_a).select(
-        F.col("__kmv").alias("__a"),
-        F.col("__kmv_k").alias("__ka"),
-        F.col("__kmv_seed").alias("__sa"),
-    )
-    b = kmv_merge(sketch_b).select(
-        F.col("__kmv").alias("__b"),
-        F.col("__kmv_k").alias("__kb"),
-        F.col("__kmv_seed").alias("__sb"),
-    )
-    both = a.crossJoin(F.broadcast(b))
-    fence = F.when(
-        (F.col("__ka") == F.col("__kb")) & (F.col("__sa") == F.col("__sb")),
-        F.col("__ka"),
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("kmv_containment: parameter mismatch (k "),
-                F.col("__ka").cast("string"),
-                F.lit("/"),
-                F.col("__kb").cast("string"),
-                F.lit(", seed "),
-                F.col("__sa"),
-                F.lit("/"),
-                F.col("__sb"),
-                F.lit(")"),
-            )
-        )
-    )
-    both = both.withColumn("__k", fence)
+    union sketch). Same shared :func:`_kmv_pair_kernel` as
+    :func:`kmv_overlap` — same two 1-row broadcast merges, same
+    in-band parameter fence, same NULL (0/0) semantics when a side's
+    union presence is empty."""
+    both = _kmv_pair_kernel(sketch_a, sketch_b, "kmv_containment")
     k = F.col("__k")
-    both = both.withColumn(
-        "__u",
-        F.slice(
-            F.array_sort(F.array_distinct(F.concat(F.col("__a"), F.col("__b")))),
-            1,
-            k,
-        ),
-    )
     in_a = F.size(
         F.filter(F.col("__u"), lambda h: F.array_contains(F.col("__a"), h))
     )

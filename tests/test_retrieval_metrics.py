@@ -129,3 +129,24 @@ def test_metrics_no_udf(spark):
     run = spark.createDataFrame(RUN, "query_id long, doc_id long, rank int")
     qrels = spark.createDataFrame(QRELS, "query_id long, doc_id long")
     assert not has_python_udf(retrieval_metrics(run, qrels))
+
+
+def test_metrics_duplicate_run_pair_raises_in_band(spark):
+    """A run built by concatenating two runs: the same relevant
+    (query, doc) at two ranks would double-count hits/DCG — fenced."""
+    run = spark.createDataFrame(
+        RUN + [(1, 10, 5)], "query_id long, doc_id long, rank int"
+    )
+    qrels = spark.createDataFrame(QRELS, "query_id long, doc_id long")
+    with pytest.raises(Exception, match="duplicated or rank"):
+        retrieval_metrics(run, qrels, k=5).collect()
+
+
+def test_metrics_zero_based_rank_raises_in_band(spark):
+    """rank 0 would make the DCG gain 1e9/log2(1) = Infinity — fenced."""
+    run = spark.createDataFrame(
+        [(1, 10, 0)], "query_id long, doc_id long, rank int"
+    )
+    qrels = spark.createDataFrame([(1, 10)], "query_id long, doc_id long")
+    with pytest.raises(Exception, match="duplicated or rank"):
+        retrieval_metrics(run, qrels, k=5).collect()
