@@ -6671,6 +6671,121 @@ FROM s
 """
 
 
+def q_cooccurrence_pmi(spark, sf_dir):
+    """Token co-occurrence PMI (operators/text.py cooccurrence_pmi —
+    word-association mining over the documents corpus): distinct-token
+    presence pairs per doc, PMI in the log-SUM form (never n·c_ab —
+    BIGINT-safe at 10^12 docs, the mutual_information discipline)
+    quantized to micro-nat longs so ordering and ties are exact
+    integers. Top 40 pairs by (pmi_micro DESC, t1, t2); the oracle
+    replays tokenize → distinct presence → pair self-join → frequency
+    joins → the identical ln expression tree."""
+    from pandera_forge_spark.operators.text import cooccurrence_pmi
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        cooccurrence_pmi(docs, min_count=50)
+        .orderBy(F.desc("pmi_micro"), "t1", "t2")
+        .limit(40)
+    )
+
+
+SQL_COOCCURRENCE_PMI = r"""
+WITH dt AS (
+  SELECT doc_id AS d,
+         unnest(list_distinct(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\s+'),
+           x -> x <> ''))) AS t
+  FROM documents
+),
+pairs AS (
+  SELECT a.t AS t1, b.t AS t2, COUNT(*) AS c_ab
+  FROM dt a JOIN dt b ON a.d = b.d AND a.t < b.t
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 50
+),
+tf AS (SELECT t, COUNT(*) AS c FROM dt GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT d) AS n FROM dt)
+SELECT p.t1, p.t2, CAST(p.c_ab AS BIGINT) AS c_ab,
+       CAST(floor((ln(CAST(n.n AS DOUBLE)) - ln(CAST(ca.c AS DOUBLE))
+                   - ln(CAST(cb.c AS DOUBLE))
+                   + ln(CAST(p.c_ab AS DOUBLE))) * 1000000e0)
+            AS BIGINT) AS pmi_micro
+FROM pairs p JOIN tf ca ON p.t1 = ca.t JOIN tf cb ON p.t2 = cb.t
+CROSS JOIN n
+ORDER BY pmi_micro DESC, t1, t2 LIMIT 40
+"""
+
+
+def q_hits_orders(spark, sf_dir):
+    """HITS hubs & authorities (operators/graph.py hits — the third
+    graph lens: flow=pagerank, shape=triangles, role=hits) over the
+    same orders-projected directed graph as pagerank_orders. Integer
+    L1-normalized variant: every score is an integer sum + one floor
+    division by a broadcast scalar, so all three iterations replay
+    value-for-value (unrolled CTEs, SUMs cast BIGINT). Top 25 by
+    (authority DESC, node ASC)."""
+    from pandera_forge_spark.operators.graph import hits
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 400).alias("src"),
+        (F.col("o_orderkey") % 800).alias("dst"),
+    ).distinct()
+    return (
+        hits(edges, iters=3)
+        .orderBy(F.desc("authority"), "node")
+        .limit(25)
+    )
+
+
+def _hits_oracle_sql(iters=3, scale=10**12, top=25):
+    """Unrolled DuckDB replay of the integer L1-normalized HITS."""
+    sql = f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey % 400 AS src, o_orderkey % 800 AS dst FROM orders
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+a0 AS (SELECT node, {scale} // nn.n AS authority FROM nodes CROSS JOIN nn)"""
+    for t in range(1, iters + 1):
+        p = f"a{t - 1}"
+        sql += f""",
+h{t}_full AS (
+  SELECT n.node, COALESCE(r.hub, 0) AS hub
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, CAST(SUM(a.authority) AS BIGINT) AS hub
+    FROM edges e JOIN {p} a ON e.dst = a.node GROUP BY 1) r
+  ON n.node = r.node
+),
+h{t} AS (
+  SELECT node, hub // q.q AS hub FROM h{t}_full CROSS JOIN (
+    SELECT GREATEST(CAST(COALESCE(SUM(hub), 0) AS BIGINT) // {scale}, 1)
+           AS q FROM h{t}_full) q
+),
+a{t}_full AS (
+  SELECT n.node, COALESCE(r.authority, 0) AS authority
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(h.hub) AS BIGINT) AS authority
+    FROM edges e JOIN h{t} h ON e.src = h.node GROUP BY 1) r
+  ON n.node = r.node
+),
+a{t} AS (
+  SELECT node, authority // q.q AS authority FROM a{t}_full CROSS JOIN (
+    SELECT GREATEST(CAST(COALESCE(SUM(authority), 0) AS BIGINT)
+                    // {scale}, 1) AS q FROM a{t}_full) q
+)"""
+    sql += f"""
+SELECT h.node AS node, h.hub AS hub, a.authority AS authority
+FROM h{iters} h JOIN a{iters} a ON h.node = a.node
+ORDER BY authority DESC, node ASC LIMIT {top}
+"""
+    return sql
+
+
+SQL_HITS_ORDERS = _hits_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -6822,6 +6937,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # python replays (K4 / messy-input pytests) --------------------------
         "kmv_user_containment": q_kmv_user_containment,
         "triangles_orders": q_triangles_orders,
+        # cooccurrence_pmi: same saturation rationale; it shares the
+        # log-sum micro-nat quantize discipline with in-window
+        # mi_lang_source (profiler.mutual_information) and the
+        # tokenize/explode/groupBy kernel with r4-green top_ngrams /
+        # tfidf_top_terms; exact python-replay pytest + strict sweep
+        # green at BOTH SFs --------------------------------------------------
+        "cooccurrence_pmi": q_cooccurrence_pmi,
+        # hits_orders: same saturation rationale; the edge-fence /
+        # integer-normalize / per-iteration join-groupBy kernel is
+        # anchored in-window by pagerank_orders over the IDENTICAL edge
+        # fixture; exact python-replay pytests + strict sweep green at
+        # BOTH SFs ----------------------------------------------------------
+        "hits_orders": q_hits_orders,
         # -- 53-55: r3-green rows displaced by the fifth-session
         # PageRank/JL/retrieval-metrics rows above; each keeps an anchor:
         # snapshot_diff (r3-green; its null-safe keyed row-compare kernel
@@ -7335,6 +7463,8 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_metrics_bm25": SQL_RETRIEVAL_METRICS_BM25,
         "kmv_user_containment": SQL_KMV_USER_CONTAINMENT,
         "triangles_orders": SQL_TRIANGLES_ORDERS,
+        "cooccurrence_pmi": SQL_COOCCURRENCE_PMI,
+        "hits_orders": SQL_HITS_ORDERS,
         "split_balance": SQL_SPLIT_BALANCE,
         "golden_user_contact": SQL_GOLDEN_USER_CONTACT,
         "snm_name_pairs": SQL_SNM_NAME_PAIRS,

@@ -33,7 +33,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count"]
+__all__ = ["hits", "pagerank", "triangle_count"]
 
 # 85/100 — the canonical damping factor, kept as an exact rational so
 # the arithmetic stays in integers end-to-end
@@ -299,3 +299,118 @@ def triangle_count(
         ),
     ).otherwise(F.lit(0.0))
     return out.withColumn("lcc", lcc)
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+    scale: int = DEFAULT_SCALE,
+    checkpoint_dir: Optional[str] = None,
+) -> DataFrame:
+    """HITS hubs & authorities over a directed edge list — the third
+    graph lens after :func:`pagerank` (flow) and :func:`triangle_count`
+    (shape): authorities are pages many good hubs point AT (content
+    worth keeping), hubs are pages that point at many good authorities
+    (link lists — often boilerplate to DROP). Returns
+    ``(node, hub, authority)`` as BIGINT scores summing to ≈ ``scale``
+    each.
+
+    Integer L1-normalized variant (Kleinberg's algorithm normalizes by
+    L2; L1 keeps every step in exact BIGINT arithmetic — same ordering,
+    different constant): per iteration
+
+    - ``h'(u) = Σ_{u→v} a(v)``   (sum over u's out-neighbors),
+    - ``h(u) = h'(u) div q_h`` with ``q_h = max(Σh' div scale, 1)``,
+    - ``a'(v) = Σ_{u→v} h(u)``, normalized the same way.
+
+    Every value is an integer sum of integers plus one floor division
+    by a broadcast scalar — order-independent across partitions and
+    replayable value-for-value (driver row ``hits_orders``). Duplicate
+    edges count as parallel edges (dedup upstream if unwanted); nodes
+    with no out-edges have hub 0, no in-edges authority 0 — the HITS
+    semantics, no dangling redistribution.
+
+    Scale shape: per iteration two edge⋈score hash joins + two
+    map-side-combinable long-sum groupBys + two 1-row broadcast
+    normalizers; score frames are O(nodes); lineage truncated per round
+    (``localCheckpoint`` / reliable ``checkpoint_dir`` — see
+    :func:`pagerank`, including its note that ``checkpoint_dir``
+    mutates the SparkContext-global checkpoint directory). Intermediate
+    sums are bounded by max_indegree·scale; at the default
+    ``scale=10^12`` that overflows int64 only past ~9M parallel
+    in-edges on one node, where ANSI mode raises loudly rather than
+    wrapping."""
+    if iters < 1:
+        raise ValueError(f"hits: iters must be >= 1, got {iters}")
+    if not (1 <= scale <= 10**15):
+        raise ValueError(f"hits: scale must be in [1, 10^15], got {scale}")
+    missing = [c for c in (src_col, dst_col) if c not in edges.columns]
+    if missing:
+        raise ValueError(f"hits: edge frame lacks columns {missing}")
+
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    e = edges.select(
+        _fenced_endpoint(src_col, "source").alias("src"),
+        _fenced_endpoint(dst_col, "destination").alias("dst"),
+    )
+    nodes = _truncate(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return (
+            nodes.withColumn("hub", F.lit(None).cast("long"))
+            .withColumn("authority", F.lit(None).cast("long"))
+        )
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        """score div max(Σscore div scale, 1) — Σ and q ride one 1-row
+        broadcast; a zero-sum side (e.g. hubs of a sink-only graph)
+        divides by 1 and stays all-zero."""
+        # integer div, NOT float-divide-then-cast: past 2^53 a double
+        # quotient loses ulps and diverges from an engine's exact //
+        tot = raw.agg(
+            F.expr(
+                f"greatest(coalesce(sum({col}), cast(0 as bigint)) "
+                f"div {scale}, cast(1 as bigint))"
+            ).alias("__q")
+        )
+        return raw.crossJoin(F.broadcast(tot)).select(
+            "node",
+            F.expr(f"{col} div __q").alias(col),
+        )
+
+    auth = nodes.withColumn("authority", F.lit(scale // n).cast("long"))
+    hub = None
+    for _ in range(iters):
+        h_raw = (
+            e.join(auth, e.dst == auth.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        h_full = nodes.join(h_raw, "node", "left").select(
+            "node", F.coalesce(F.col("hub"), F.lit(0)).alias("hub")
+        )
+        hub = _truncate(_norm(h_full, "hub"))
+        a_raw = (
+            e.join(hub, e.src == hub.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        a_full = nodes.join(a_raw, "node", "left").select(
+            "node",
+            F.coalesce(F.col("authority"), F.lit(0)).alias("authority"),
+        )
+        auth = _truncate(_norm(a_full, "authority"))
+    return hub.join(auth, "node").select("node", "hub", "authority")

@@ -1003,3 +1003,110 @@ def collapse_repeated_lines(
     kept = F.filter(pairs, lambda s: s["keep"])
     out = F.array_join(F.transform(kept, lambda s: s["line"]), delimiter)
     return df.withColumn(text_col, out)
+
+
+def cooccurrence_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    max_terms_per_doc: int = 1000,
+) -> DataFrame:
+    """Pointwise mutual information of token PAIRS co-occurring in the
+    same document — the word-association miner (collocations, entity
+    couplings, template fingerprints) complementing
+    `profiler.mutual_information` (column-level) and `top_ngrams`
+    (adjacency-level): PMI finds "tokyo"~"yen" even when they never
+    touch. One row per unordered pair with
+
+        ``t1, t2, c_ab, pmi_micro``
+
+    where ``c_ab`` is the number of documents containing BOTH terms and
+    ``pmi_micro = floor((ln n − ln c_a − ln c_b + ln c_ab) · 1e6)`` —
+    the log-SUM form (never materializes ``n·c_ab``, BIGINT-safe at
+    10^12 docs — the `mutual_information` discipline) quantized to
+    micro-nat longs so ordering and ties are exact integers on every
+    engine.
+
+    Scale shape: documents reduce to DISTINCT (doc, term) rows first
+    (one narrow explode + distinct — presence, not frequency, is what
+    doc-level PMI measures), then the ONLY superlinear step is the
+    within-doc pair self-join, bounded by ``max_terms_per_doc``² per
+    document with an IN-BAND ``raise_error`` fence riding the term
+    column (a 10^6-distinct-token pathological doc would otherwise be
+    one task's quadratic memory — the `label_conflicts` cap
+    discipline). ``min_count`` prunes pairs BEFORE the frequency joins,
+    so the expensive side of the join is (surviving pairs), not
+    (all pairs); per-term doc frequencies and the 1-row corpus count
+    join back as vocabulary-sized frames. No UDF, no window, no
+    collect.
+    """
+    if min_count < 1:
+        raise ValueError(
+            f"cooccurrence_pmi: min_count must be >= 1, got {min_count}"
+        )
+    if max_terms_per_doc < 2:
+        raise ValueError(
+            "cooccurrence_pmi: max_terms_per_doc must be >= 2, got "
+            f"{max_terms_per_doc}"
+        )
+    missing = [c for c in (text_col, id_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"cooccurrence_pmi: frame lacks columns {missing}")
+    dt = (
+        df.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias(
+                "__t"
+            ),
+        )
+    )
+    per_doc = dt.groupBy("__doc").agg(F.count(F.lit(1)).alias("__m"))
+    fenced = dt.join(per_doc, "__doc").select(
+        "__doc",
+        F.when(F.col("__m") <= max_terms_per_doc, F.col("__t"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "cooccurrence_pmi: document exceeds "
+                        f"max_terms_per_doc={max_terms_per_doc} distinct "
+                        "tokens (quadratic pair blow-up); doc id: "
+                    ),
+                    F.col("__doc").cast("string"),
+                )
+            )
+        )
+        .alias("__t"),
+    )
+    a = fenced.select("__doc", F.col("__t").alias("t1"))
+    b = fenced.select("__doc", F.col("__t").alias("t2"))
+    pairs = (
+        a.join(b, "__doc")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+    )
+    tf = dt.groupBy(F.col("__t")).agg(F.count(F.lit(1)).alias("__c"))
+    n = dt.agg(F.countDistinct("__doc").alias("__n"))
+    ca = tf.select(F.col("__t").alias("t1"), F.col("__c").alias("__ca"))
+    cb = tf.select(F.col("__t").alias("t2"), F.col("__c").alias("__cb"))
+    out = (
+        pairs.join(ca, "t1")
+        .join(cb, "t2")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "pmi_micro",
+            F.floor(
+                (
+                    F.log(F.col("__n").cast("double"))
+                    - F.log(F.col("__ca").cast("double"))
+                    - F.log(F.col("__cb").cast("double"))
+                    + F.log(F.col("c_ab").cast("double"))
+                )
+                * F.lit(1e6)
+            ).cast("long"),
+        )
+    )
+    return out.select("t1", "t2", "c_ab", "pmi_micro")

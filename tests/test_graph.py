@@ -224,3 +224,97 @@ def test_triangle_count_partition_independence(spark):
     one = sorted(map(tuple, triangle_count(df.repartition(1)).collect()))
     many = sorted(map(tuple, triangle_count(df.repartition(7)).collect()))
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# hits
+# ---------------------------------------------------------------------------
+
+
+def _hits_replay(edges, iters, scale=10**12):
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    a = {v: scale // n for v in nodes}
+    h = None
+    for _ in range(iters):
+        hr = {v: 0 for v in nodes}
+        for u, v in edges:
+            hr[u] += a[v]
+        q = max(sum(hr.values()) // scale, 1)
+        h = {v: hr[v] // q for v in nodes}
+        ar = {v: 0 for v in nodes}
+        for u, v in edges:
+            ar[v] += h[u]
+        q = max(sum(ar.values()) // scale, 1)
+        a = {v: ar[v] // q for v in nodes}
+    return h, a
+
+
+HITS_EDGES = [
+    # hub node 0 points at authorities 1, 2, 3; 4 also points at 1, 2;
+    # 3 points back at 0; a stray 5 -> 6 edge
+    (0, 1), (0, 2), (0, 3),
+    (4, 1), (4, 2),
+    (3, 0),
+    (5, 6),
+    (0, 1),  # parallel edge counts twice
+]
+
+
+def test_hits_matches_integer_replay(spark):
+    from pandera_forge_spark.operators.graph import hits
+
+    df = spark.createDataFrame(HITS_EDGES, "src long, dst long")
+    for iters in (1, 3):
+        got = {
+            r["node"]: (r["hub"], r["authority"])
+            for r in hits(df, iters=iters).collect()
+        }
+        want_h, want_a = _hits_replay(HITS_EDGES, iters)
+        assert got == {v: (want_h[v], want_a[v]) for v in want_h}, iters
+
+
+def test_hits_semantics(spark):
+    from pandera_forge_spark.operators.graph import hits
+
+    df = spark.createDataFrame(HITS_EDGES, "src long, dst long")
+    got = {r["node"]: r for r in hits(df, iters=4).collect()}
+    # 0 is the strongest hub (3 distinct targets + a parallel edge);
+    # 1 the strongest authority (0 twice + 4)
+    assert got[0]["hub"] == max(r["hub"] for r in got.values())
+    assert got[1]["authority"] == max(r["authority"] for r in got.values())
+    # pure sink 6: no out-edges -> hub 0; 5 is never pointed at -> auth 0
+    assert got[6]["hub"] == 0
+    assert got[5]["authority"] == 0
+
+
+def test_hits_fences_and_no_udf(spark):
+    from pandera_forge_spark.operators.graph import hits
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    df = spark.createDataFrame(HITS_EDGES, "src long, dst long")
+    with pytest.raises(ValueError, match="iters"):
+        hits(df, iters=0)
+    with pytest.raises(ValueError, match="scale"):
+        hits(df, scale=0)
+    with pytest.raises(ValueError, match="lacks columns"):
+        hits(df.withColumnRenamed("src", "s"))
+    bad = spark.createDataFrame([(None, 1)], "src long, dst long")
+    with pytest.raises(Exception, match="NULL source"):
+        hits(bad, iters=1).collect()
+    assert not has_python_udf(hits(df, iters=1))
+
+
+def test_hits_partition_independence_and_checkpoint_parity(spark, tmp_path):
+    from pandera_forge_spark.operators.graph import hits
+
+    df = spark.createDataFrame(HITS_EDGES, "src long, dst long")
+    one = sorted(map(tuple, hits(df.repartition(1), iters=2).collect()))
+    many = sorted(map(tuple, hits(df.repartition(5), iters=2).collect()))
+    ck = sorted(
+        map(
+            tuple,
+            hits(df, iters=2, checkpoint_dir=str(tmp_path / "ck")).collect(),
+        )
+    )
+    assert one == many == ck
