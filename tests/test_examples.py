@@ -86,3 +86,19 @@ def test_monitoring_pipeline_example(spark):
     # estimates cover the three hottest users
     assert len(report["hot_values"]) == 3
     assert all(v > 0 for v in report["hot_values"].values())
+
+
+def test_graph_pipeline_example(spark):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    import graph_pipeline
+
+    report = graph_pipeline.run(spark, "/root/testdata/sf0.001", k_nodes=60)
+    assert report["pagerank"]["nodes"] > 60  # src ∪ dst node space
+    assert report["pagerank"]["top_rank_micro"] > 0
+    assert report["hits"]["top_authority_node"] >= 0
+    assert report["shape"]["triangles"] > 0
+    assert 0 < report["shape"]["avg_lcc"] <= 1
+    assert 0 <= report["overlap"]["shared_of_top20"] <= 20
