@@ -4873,6 +4873,72 @@ ORDER BY 1, 2, 3, 4
 """
 
 
+def q_candidate_keys_orders(spark, sf_dir):
+    """Within-table candidate-KEY discovery (operators/discovery.py
+    candidate_keys): exact uniqueness stats + key verdicts for every
+    column combination up to arity 2 over three orders columns — one
+    groupBy(combo) shuffle per combination whose second stage is an
+    algebraic fold of the group-count frame (the l_diversity two-stage
+    discipline; never a COUNT(DISTINCT) Expand), n_rows from ONE shared
+    1-row broadcast stats frame, uniqueness as a single raw IEEE
+    division of exact longs. Finds o_orderkey as the true key and
+    (o_orderkey, *) supersets as unique-but-redundant."""
+    from pandera_forge_spark.operators.discovery import candidate_keys
+
+    return candidate_keys(
+        _t(spark, sf_dir, "orders"),
+        cols=["o_orderkey", "o_custkey", "o_orderstatus"],
+        max_arity=2,
+    ).orderBy("key_cols")
+
+
+# Per combination: group counts -> (distinct, nonnull, dup) fold, the
+# identical expression tree as the Spark side; SUMs over BIGINT counts
+# CAST back to BIGINT (DuckDB widens to HUGEINT — the round-4 lesson);
+# uniqueness is the same single division of exact longs.
+_CK = """
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_nonnull,
+         CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT)
+           AS n_dup_rows
+  FROM (SELECT COUNT(*) AS c FROM orders WHERE {nn} GROUP BY {cols})
+"""
+
+_CK_ROW = """
+SELECT '{name}' AS key_cols, {arity} AS arity, t.n_rows,
+       s.n_nonnull, s.n_distinct, s.n_dup_rows,
+       CASE WHEN s.n_nonnull > 0 THEN s.n_distinct / s.n_nonnull END
+         AS uniqueness,
+       (s.n_dup_rows = 0 AND s.n_nonnull > 0) AS is_unique,
+       (s.n_dup_rows = 0 AND s.n_nonnull > 0 AND s.n_nonnull = t.n_rows)
+         AS is_key
+FROM ({stats}) s CROSS JOIN tot t
+"""
+
+SQL_CANDIDATE_KEYS_ORDERS = (
+    "WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)\n"
+    + "\nUNION ALL\n".join(
+        _CK_ROW.format(
+            name=",".join(combo),
+            arity=len(combo),
+            stats=_CK.format(
+                nn=" AND ".join(f"{c} IS NOT NULL" for c in combo),
+                cols=", ".join(combo),
+            ),
+        )
+        for combo in [
+            ("o_orderkey",),
+            ("o_custkey",),
+            ("o_orderstatus",),
+            ("o_orderkey", "o_custkey"),
+            ("o_orderkey", "o_orderstatus"),
+            ("o_custkey", "o_orderstatus"),
+        ]
+    )
+    + "\nORDER BY key_cols"
+)
+
+
 def q_cusum_alerts(spark, sf_dir):
     """Two-sided CUSUM changepoint scores (operators/temporal.py
     cusum_scores) over the planted integer metric: the max(0, ·)
@@ -7314,6 +7380,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_lineitem": q_benford_lineitem,
         "strip_boilerplate": q_strip_boilerplate,
         "profile_lineitem": q_profile_lineitem,
+        # candidate_keys_orders: final-session addition in the justified
+        # tail (window saturated with first-time rows); its two-stage
+        # group-count fold is the in-window l_diversity_userday
+        # discipline and the 1-row broadcast totals frame is shared
+        # repo-wide; exact python-replay pytests + strict sweep green at
+        # BOTH SFs -------------------------------------------------------------
+        "candidate_keys_orders": q_candidate_keys_orders,
     }
 
 
@@ -7485,4 +7558,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_monotonic_epochs": SQL_MONOTONIC_VALUE_USER,
         # split path, same result contract -> the IDENTICAL oracle
         "interval_overlaps_split": SQL_INTERVAL_OVERLAPS_USER,
+        "candidate_keys_orders": SQL_CANDIDATE_KEYS_ORDERS,
     }

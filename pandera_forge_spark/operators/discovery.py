@@ -49,17 +49,21 @@ from pyspark.sql import functions as F
 _EXCLUDED_TYPES = ("float", "double")
 
 
-def _candidate_cols(df: DataFrame, requested: Optional[Sequence[str]]) -> list[str]:
+def _candidate_cols(
+    df: DataFrame,
+    requested: Optional[Sequence[str]],
+    op: str = "join_key_candidates",
+) -> list[str]:
     dtypes = dict(df.dtypes)
     if requested is not None:
         missing = [c for c in requested if c not in dtypes]
         if missing:
-            raise ValueError(f"join_key_candidates: columns {missing} missing")
+            raise ValueError(f"{op}: columns {missing} missing")
         bad = [c for c in requested if dtypes[c].startswith("array")
                or dtypes[c].startswith("struct") or dtypes[c].startswith("map")]
         if bad:
             raise ValueError(
-                f"join_key_candidates: nested columns {bad} cannot be join keys"
+                f"{op}: nested columns {bad} cannot be join keys"
             )
         return list(requested)
     return [
@@ -200,3 +204,147 @@ def join_key_candidates(
         if eager:
             melted.unpersist()
     return out
+
+
+def candidate_keys(
+    df: DataFrame,
+    cols: Optional[Sequence[str]] = None,
+    max_arity: int = 2,
+    max_combos: int = 20,
+    screen: Optional[float] = None,
+) -> DataFrame:
+    """Within-table candidate-KEY discovery: for every column combination
+    up to ``max_arity``, exact uniqueness stats and a key verdict — the
+    profiling step that runs BEFORE ``validator.duplicate_keys`` /
+    ``uniqueness`` checks can even be configured (the within-table
+    complement of :func:`join_key_candidates`; the reference infers a
+    ``unique`` flag for single columns only, one at a time —
+    reference: generators/spark/spark_field_analyzer.py:44).
+
+    One row per combination::
+
+        (key_cols, arity, n_rows, n_nonnull, n_distinct, n_dup_rows,
+         uniqueness, is_unique, is_key)
+
+    - ``key_cols``: comma-joined column names (a scalar string — the
+      proven cross-engine hashing shape).
+    - ``n_nonnull``: rows where EVERY combo column is non-NULL — SQL's
+      UNIQUE constraint ignores rows with any NULL component, and a
+      primary key forbids them, so NULL-component tuples count toward
+      neither distinctness nor duplication.
+    - ``n_dup_rows``: non-null rows whose tuple occurs more than once.
+    - ``uniqueness`` = n_distinct / n_nonnull — ONE raw IEEE division of
+      exact longs (NULL when n_nonnull = 0), bit-equal across engines.
+    - ``is_unique``: no duplicated tuple AND at least one non-null tuple
+      (an empty or all-NULL combo is vacuously NOT unique — it certifies
+      nothing).
+    - ``is_key`` = is_unique AND n_nonnull = n_rows AND n_rows > 0 (a
+      key additionally forbids NULLs).
+
+    Plan shape: each combination costs ONE ``groupBy(combo)`` shuffle
+    whose second stage aggregates the O(distinct tuples) group-count
+    frame algebraically (count / sum / conditional sum — map-side
+    partials end to end; the ``l_diversity_violations`` two-stage
+    discipline, never a COUNT(DISTINCT) Expand which would replicate
+    every raw row per combination). ``n_rows`` comes from one shared
+    1-row aggregate crossJoined back (broadcast — the stats-frame
+    idiom). The per-combo shuffle cost is the honest price of EXACT
+    verdicts; ``max_combos`` fences it loudly.
+
+    ``screen`` (e.g. ``0.9``): estimate-first prune — ONE extra fused
+    scan computes ``approx_count_distinct(struct(combo))`` for ALL
+    combinations at once (HLL++, algebraic, no Expand) and only
+    combinations whose approx distinct/row ratio reaches the threshold
+    proceed to the exact phase; the rest are dropped from the output.
+    HLL error (default rsd 5%) means the threshold needs slack — pick
+    ``screen <= 0.9`` to never prune a true key. The screen decision is
+    deterministic in Spark but not replayable by a SQL oracle, so
+    driver-verified rows use ``screen=None`` (exact everything).
+    """
+    if max_arity < 1:
+        raise ValueError(f"candidate_keys: max_arity must be >= 1, got {max_arity}")
+    if max_combos < 1:
+        raise ValueError(f"candidate_keys: max_combos must be >= 1, got {max_combos}")
+    if screen is not None and not 0.0 < screen <= 1.0:
+        raise ValueError(f"candidate_keys: screen must be in (0, 1], got {screen}")
+    base_cols = _candidate_cols(df, cols, op="candidate_keys")
+    if len(set(base_cols)) != len(base_cols):
+        dupes = sorted({c for c in base_cols if base_cols.count(c) > 1})
+        raise ValueError(f"candidate_keys: duplicate columns {dupes}")
+    if not base_cols:
+        raise ValueError("candidate_keys: no candidate columns survived")
+
+    from itertools import combinations
+
+    combos: list[tuple[str, ...]] = []
+    for arity in range(1, min(max_arity, len(base_cols)) + 1):
+        combos.extend(combinations(base_cols, arity))
+    if len(combos) > max_combos:
+        raise ValueError(
+            f"candidate_keys: {len(combos)} combinations exceed max_combos="
+            f"{max_combos} (each costs one shuffle at table scale) — pass a "
+            "narrower cols list, lower max_arity, or raise max_combos "
+            "deliberately"
+        )
+
+    if screen is not None:
+        approx = df.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.approx_count_distinct(F.struct(*c)).alias(f"__d{i}")
+                for i, c in enumerate(combos)
+            ],
+        ).collect()[0]
+        n = approx["__n"]
+        combos = [
+            c
+            for i, c in enumerate(combos)
+            if n == 0 or approx[f"__d{i}"] >= screen * n
+        ]
+
+    totals = df.agg(F.count(F.lit(1)).alias("n_rows"))
+    parts = []
+    for combo in combos:
+        nonnull = df
+        for c in combo:
+            nonnull = nonnull.where(F.col(c).isNotNull())
+        one = (
+            nonnull.groupBy(*[F.col(c) for c in combo])
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.coalesce(F.sum("__c"), F.lit(0).cast("long")).alias("n_nonnull"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0)),
+                    F.lit(0).cast("long"),
+                ).alias("n_dup_rows"),
+            )
+            .crossJoin(F.broadcast(totals))
+            .select(
+                F.lit(",".join(combo)).alias("key_cols"),
+                F.lit(len(combo)).alias("arity"),
+                "n_rows",
+                "n_nonnull",
+                "n_distinct",
+                "n_dup_rows",
+                F.when(
+                    F.col("n_nonnull") > 0,
+                    F.col("n_distinct") / F.col("n_nonnull"),
+                ).alias("uniqueness"),
+                ((F.col("n_dup_rows") == 0) & (F.col("n_nonnull") > 0)).alias(
+                    "is_unique"
+                ),
+                (
+                    (F.col("n_dup_rows") == 0)
+                    & (F.col("n_nonnull") > 0)
+                    & (F.col("n_nonnull") == F.col("n_rows"))
+                ).alias("is_key"),
+            )
+        )
+        parts.append(one)
+    if not parts:
+        raise ValueError(
+            "candidate_keys: the screen pruned every combination — lower "
+            "screen or pass screen=None for the exact path"
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -127,3 +127,120 @@ def test_eager_and_lazy_agree(catalog):
     assert eager.keys() == lazy.keys()
     for k in eager:
         assert eager[k] == lazy[k]
+
+
+# ---------------------------------------------------------------- candidate_keys
+
+
+from itertools import combinations as _combos
+
+from pandera_forge_spark.operators.discovery import candidate_keys
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    # id: a true key. pair (grp, seq): unique together but not alone.
+    # grp: few values, duplicated. nully: unique where present, one NULL.
+    rows = []
+    for i in range(12):
+        rows.append((i, i % 3, i // 3, None if i == 0 else 100 + i))
+    return spark.createDataFrame(rows, "id long, grp int, seq int, nully long")
+
+
+def _ck_replay(data, combo):
+    """Row-at-a-time python replay of one combination's stats."""
+    n_rows = len(data)
+    tuples = [tuple(r[c] for c in combo) for r in data]
+    nn = [t for t in tuples if all(v is not None for v in t)]
+    from collections import Counter
+
+    counts = Counter(nn)
+    n_distinct = len(counts)
+    n_dup = sum(c for c in counts.values() if c > 1)
+    return {
+        "n_rows": n_rows,
+        "n_nonnull": len(nn),
+        "n_distinct": n_distinct,
+        "n_dup_rows": n_dup,
+        "uniqueness": (n_distinct / len(nn)) if nn else None,
+        "is_unique": n_dup == 0 and len(nn) > 0,
+        "is_key": n_dup == 0 and 0 < len(nn) == n_rows,
+    }
+
+
+def test_candidate_keys_exact_replay(keyed):
+    data = [r.asDict() for r in keyed.collect()]
+    out = {r["key_cols"]: r.asDict() for r in candidate_keys(keyed).collect()}
+    cols = ["id", "grp", "seq", "nully"]
+    expect_combos = [c for a in (1, 2) for c in _combos(cols, a)]
+    assert set(out) == {",".join(c) for c in expect_combos}
+    for combo in expect_combos:
+        got = out[",".join(combo)]
+        want = _ck_replay(data, combo)
+        for k, v in want.items():
+            assert got[k] == v, (combo, k, got[k], v)
+        assert got["arity"] == len(combo)
+
+
+def test_candidate_keys_verdicts(keyed):
+    out = {r["key_cols"]: r for r in candidate_keys(keyed).collect()}
+    assert out["id"]["is_key"]
+    assert not out["grp"]["is_unique"]
+    # unique where present but one NULL: unique yes, key no.
+    assert out["nully"]["is_unique"] and not out["nully"]["is_key"]
+    # composite key that neither component is alone.
+    assert out["grp,seq"]["is_key"]
+    assert not out["grp"]["is_key"] and not out["seq"]["is_key"]
+
+
+def test_candidate_keys_empty_and_all_null(spark):
+    empty = spark.createDataFrame([], "a long, b string")
+    for r in candidate_keys(empty).collect():
+        assert r["n_rows"] == 0 and r["n_nonnull"] == 0
+        assert not r["is_unique"] and not r["is_key"]
+        assert r["uniqueness"] is None
+    allnull = spark.createDataFrame([(None,), (None,)], "a string")
+    r = candidate_keys(allnull, max_arity=1).collect()[0]
+    assert (r["n_rows"], r["n_nonnull"], r["n_distinct"]) == (2, 0, 0)
+    assert not r["is_unique"] and not r["is_key"] and r["uniqueness"] is None
+
+
+def test_candidate_keys_screen_prunes_hopeless(keyed):
+    # grp has 3 distinct over 12 rows — pruned at screen=0.9; true keys
+    # survive. Output equals the exact path restricted to survivors.
+    exact = {r["key_cols"]: r for r in candidate_keys(keyed).collect()}
+    screened = {
+        r["key_cols"]: r for r in candidate_keys(keyed, screen=0.9).collect()
+    }
+    assert "grp" not in screened and "id" in screened and "grp,seq" in screened
+    for k, r in screened.items():
+        assert r == exact[k]
+    with pytest.raises(ValueError, match="pruned every combination"):
+        candidate_keys(keyed, cols=["grp"], max_arity=1, screen=0.9)
+
+
+def test_candidate_keys_fences(keyed, spark):
+    with pytest.raises(ValueError, match="columns \\['nope'\\] missing"):
+        candidate_keys(keyed, cols=["nope"])
+    with pytest.raises(ValueError, match="max_arity"):
+        candidate_keys(keyed, max_arity=0)
+    with pytest.raises(ValueError, match="exceed max_combos"):
+        candidate_keys(keyed, max_combos=3)
+    with pytest.raises(ValueError, match="duplicate columns"):
+        candidate_keys(keyed, cols=["id", "id"])
+    with pytest.raises(ValueError, match="screen must be"):
+        candidate_keys(keyed, screen=1.5)
+    nested = spark.createDataFrame([(1, [1])], "id long, xs array<long>")
+    with pytest.raises(ValueError, match="nested"):
+        candidate_keys(nested, cols=["xs"])
+
+
+def test_candidate_keys_partition_independent(keyed):
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    a = candidate_keys(keyed.repartition(1)).collect()
+    b = candidate_keys(keyed.repartition(7, "grp")).collect()
+    assert key(a) == key(b)
+
+
+def test_candidate_keys_plan_udf_free(keyed):
+    assert not has_python_udf(candidate_keys(keyed))
