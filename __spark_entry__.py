@@ -6395,6 +6395,54 @@ FROM r WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_common_neighbors_orders(spark, sf_dir):
+    """Bibliographic-coupling pairs (operators/graph.py
+    common_neighbor_pairs): nodes sharing >= 2 out-neighbors over the
+    SAME deterministic orders-projected edge graph as pagerank_orders —
+    the structural near-duplicate (mirror/template/link-farm) signal.
+    One pivot-keyed self-join (the one superlinear step, Σ indeg²
+    bounded here by the fixture's residue classes), two degree joins,
+    exact-integer shared/degree counts, overlap + jaccard as single raw
+    IEEE divisions of exact longs. Top 100 by (shared DESC, node_a,
+    node_b) — exact integers make the cut total-ordered (the
+    association_pairs discipline). The hub-cap path (max_pivot_degree)
+    is exact-python-replay pytest-verified; the driver row runs the
+    uncapped exact path so one SQL replays both scale factors."""
+    from pandera_forge_spark.operators.graph import common_neighbor_pairs
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 400).alias("src"),
+        (F.col("o_orderkey") % 800).alias("dst"),
+    ).distinct()
+    out = common_neighbor_pairs(edges, min_shared=2, max_pivot_degree=None)
+    return out.orderBy(F.desc("shared"), "node_a", "node_b").limit(100)
+
+
+SQL_COMMON_NEIGHBORS_ORDERS = """
+WITH e AS (
+  SELECT DISTINCT o_custkey % 400 AS n, o_orderkey % 800 AS p FROM orders
+  WHERE o_custkey % 400 <> o_orderkey % 800
+), deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY n
+), s AS (
+  SELECT a.n AS node_a, b.n AS node_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM e a JOIN e b ON a.p = b.p AND a.n < b.n
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT s.node_a, s.node_b, s.shared,
+       da.degree AS degree_a, db.degree AS degree_b,
+       s.shared / LEAST(da.degree, db.degree) AS overlap,
+       s.shared / (da.degree + db.degree - s.shared) AS jaccard
+FROM s
+JOIN deg da ON da.n = s.node_a
+JOIN deg db ON db.n = s.node_b
+ORDER BY s.shared DESC, s.node_a, s.node_b
+LIMIT 100
+"""
+
+
 def q_pagerank_orders(spark, sf_dir):
     """Integer-quantized PageRank (operators/graph.py pagerank): the
     link-centrality prior for crawl curation, run over a deterministic
@@ -7387,6 +7435,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # repo-wide; exact python-replay pytests + strict sweep green at
         # BOTH SFs -------------------------------------------------------------
         "candidate_keys_orders": q_candidate_keys_orders,
+        # common_neighbors_orders: final-session tail row; the pivot
+        # self-join + degree-join kernel rides the graph module's
+        # in-window anchors (pagerank_orders, same edge fixture and
+        # fence; triangles_orders' wedge join is the same shape), with
+        # the hub-cap path exact-replay pytest-verified; strict sweep
+        # green at BOTH SFs ------------------------------------------------
+        "common_neighbors_orders": q_common_neighbors_orders,
     }
 
 
@@ -7559,4 +7614,5 @@ def oracle_sql() -> dict[str, str]:
         # split path, same result contract -> the IDENTICAL oracle
         "interval_overlaps_split": SQL_INTERVAL_OVERLAPS_USER,
         "candidate_keys_orders": SQL_CANDIDATE_KEYS_ORDERS,
+        "common_neighbors_orders": SQL_COMMON_NEIGHBORS_ORDERS,
     }

@@ -33,7 +33,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hits", "pagerank", "triangle_count"]
+__all__ = ["common_neighbor_pairs", "hits", "pagerank", "triangle_count"]
 
 # 85/100 — the canonical damping factor, kept as an exact rational so
 # the arithmetic stays in integers end-to-end
@@ -414,3 +414,119 @@ def hits(
         )
         auth = _truncate(_norm(a_full, "authority"))
     return hub.join(auth, "node").select("node", "hub", "authority")
+
+
+def common_neighbor_pairs(
+    edges: DataFrame,
+    min_shared: int = 2,
+    max_pivot_degree: Optional[int] = 1000,
+    mode: str = "coupling",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Node pairs sharing at least ``min_shared`` neighbors — the
+    fourth graph lens (flow = :func:`pagerank`, role = :func:`hits`,
+    shape = :func:`triangle_count`, SIMILARITY = this): two pages whose
+    outgoing links largely coincide are mirrors, template clones, or a
+    link farm stamping the same target list — near-duplicate structure
+    the text-side MinHash cannot see when the page BODIES differ.
+
+    ``mode="coupling"`` (bibliographic coupling, Kessler 1963): pairs
+    share OUT-neighbors — "these two pages cite the same things".
+    ``mode="cocitation"`` (Small 1973): pairs share IN-neighbors —
+    "the same pages cite these two"; exactly coupling over the
+    reversed edge list, and implemented as that.
+
+    Returns ``(node_a, node_b, shared, degree_a, degree_b, overlap,
+    jaccard)`` with ``node_a < node_b``, ``degree_*`` the full deduped
+    out-degree (in-degree for cocitation), ``overlap = shared /
+    min(degree_a, degree_b)`` (containment — 1.0 means one
+    neighborhood nests in the other) and ``jaccard = shared /
+    (degree_a + degree_b − shared)``; each ratio ONE raw IEEE division
+    of exact longs. Exact-duplicate edges collapse first (an adjacency
+    is a set); self-loops drop (a page "citing itself" is structural
+    noise); direction otherwise matters — (a→b) and (b→a) are
+    different adjacency entries.
+
+    Scale shape: the one superlinear step pivots on the SHARED
+    neighbor — group the edge list by pivot node and pair the nodes
+    pointing at it, Σ pivot_indegree² candidate rows. A mega-hub pivot
+    (every page links example.com/about) is quadratic AND carries no
+    similarity signal, so pivots above ``max_pivot_degree`` are
+    EXCLUDED from pair generation — the document-frequency stop-filter
+    discipline of ``fingerprint_overlap``/``strip_boilerplate``;
+    ``shared`` then counts shared NON-HUB neighbors (documented bias:
+    strictly downward, never inflating a pair). ``degree_*`` stay full
+    degrees, so overlap/jaccard keep their ≤ 1 bound. Pass ``None`` to
+    disable the cap (exact, quadratic at hubs). Everything is two hash
+    joins + two groupBys + one self-join on the pivot key; no windows,
+    no UDFs, no collect; NULL endpoints raise in-band (shared graph
+    fence).
+    """
+    if min_shared < 1:
+        raise ValueError(
+            f"common_neighbor_pairs: min_shared must be >= 1, got {min_shared}"
+        )
+    if max_pivot_degree is not None and max_pivot_degree < 1:
+        raise ValueError(
+            "common_neighbor_pairs: max_pivot_degree must be >= 1 or None, "
+            f"got {max_pivot_degree}"
+        )
+    if mode not in ("coupling", "cocitation"):
+        raise ValueError(
+            "common_neighbor_pairs: mode must be 'coupling' or 'cocitation', "
+            f"got {mode!r}"
+        )
+    missing = [c for c in (src_col, dst_col) if c not in edges.columns]
+    if missing:
+        raise ValueError(
+            f"common_neighbor_pairs: edge frame lacks columns {missing}"
+        )
+    # node = the side being compared, pivot = the shared neighbor;
+    # cocitation is coupling over the reversed edge list.
+    node_col, pivot_col = (
+        (src_col, dst_col) if mode == "coupling" else (dst_col, src_col)
+    )
+    e = (
+        edges.select(
+            _fenced_endpoint(node_col, "node").alias("n"),
+            _fenced_endpoint(pivot_col, "neighbor").alias("p"),
+        )
+        .where(F.col("n") != F.col("p"))
+        .distinct()
+    )
+    deg = e.groupBy("n").agg(F.count(F.lit(1)).alias("degree"))
+    if max_pivot_degree is not None:
+        pivot_deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("__pd"))
+        kept = e.join(
+            pivot_deg.where(F.col("__pd") <= max_pivot_degree).select("p"), "p"
+        )
+    else:
+        kept = e
+    a = kept.select(F.col("n").alias("node_a"), "p")
+    b = kept.select(F.col("n").alias("node_b"), "p")
+    shared = (
+        a.join(b, "p")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    da = deg.select(F.col("n").alias("node_a"), F.col("degree").alias("degree_a"))
+    db = deg.select(F.col("n").alias("node_b"), F.col("degree").alias("degree_b"))
+    return (
+        shared.join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "shared",
+            "degree_a",
+            "degree_b",
+            (F.col("shared") / F.least("degree_a", "degree_b")).alias("overlap"),
+            (
+                F.col("shared")
+                / (F.col("degree_a") + F.col("degree_b") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )

@@ -318,3 +318,133 @@ def test_hits_partition_independence_and_checkpoint_parity(spark, tmp_path):
         )
     )
     assert one == many == ck
+
+
+# ------------------------------------------------- common_neighbor_pairs
+
+
+from itertools import combinations as _pairs
+
+from pandera_forge_spark.operators.graph import common_neighbor_pairs
+
+
+def _cn_replay(edges, min_shared=1, cap=None):
+    """Python replay: dedupe, drop self-loops, cap pivots, pair."""
+    adj = {(s, t) for s, t in edges if s != t}
+    deg = Counter(s for s, _ in adj)
+    pivots = Counter(t for _, t in adj)
+    kept = {
+        (s, t) for s, t in adj if cap is None or pivots[t] <= cap
+    }
+    out_sets = defaultdict(set)
+    for s, t in kept:
+        out_sets[s].add(t)
+    rows = {}
+    for a, b in _pairs(sorted(out_sets), 2):
+        shared = len(out_sets[a] & out_sets[b])
+        if shared >= min_shared:
+            rows[(a, b)] = {
+                "shared": shared,
+                "degree_a": deg[a],
+                "degree_b": deg[b],
+                "overlap": shared / min(deg[a], deg[b]),
+                "jaccard": shared / (deg[a] + deg[b] - shared),
+            }
+    return rows
+
+
+CN_EDGES = [
+    # 1 and 2 are mirrors (identical targets), 3 shares one of them,
+    # plus a self-loop, a duplicate edge, and a reversed pair.
+    (1, 10), (1, 11), (1, 12),
+    (2, 10), (2, 11), (2, 12),
+    (3, 10), (3, 99),
+    (4, 4),            # self-loop: dropped
+    (1, 10),           # exact duplicate: deduped
+    (10, 1),           # reversed edge: a DIFFERENT adjacency entry
+]
+
+
+def test_common_neighbors_exact_replay(spark):
+    df = _edges_df(spark, CN_EDGES)
+    got = {
+        (r["node_a"], r["node_b"]): r.asDict()
+        for r in common_neighbor_pairs(df, min_shared=1, max_pivot_degree=None).collect()
+    }
+    want = _cn_replay(CN_EDGES, min_shared=1)
+    assert set(got) == set(want)
+    for k, w in want.items():
+        for field, v in w.items():
+            assert got[k][field] == v, (k, field, got[k][field], v)
+
+
+def test_common_neighbors_mirror_semantics(spark):
+    out = {
+        (r["node_a"], r["node_b"]): r
+        for r in common_neighbor_pairs(
+            _edges_df(spark, CN_EDGES), min_shared=2, max_pivot_degree=None
+        ).collect()
+    }
+    # the mirrors share all 3 targets: containment and jaccard 1.0
+    assert out[(1, 2)]["shared"] == 3
+    assert out[(1, 2)]["overlap"] == 1.0 and out[(1, 2)]["jaccard"] == 1.0
+    # 3 shares only node 10 with each mirror — filtered at min_shared=2
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_common_neighbors_hub_cap(spark):
+    # node 10 is pointed at by 1, 2, 3 (and is itself a source to 1):
+    # capping pivots at in-degree 2 removes it, so pair (1,3) (whose
+    # only shared neighbor is 10) vanishes while (1,2) survives on
+    # 11/12; full degrees stay uncapped so ratios keep their bound.
+    got = {
+        (r["node_a"], r["node_b"]): r.asDict()
+        for r in common_neighbor_pairs(
+            _edges_df(spark, CN_EDGES), min_shared=1, max_pivot_degree=2
+        ).collect()
+    }
+    want = _cn_replay(CN_EDGES, min_shared=1, cap=2)
+    assert set(got) == set(want)
+    assert got[(1, 2)]["shared"] == 2  # 11, 12 — 10 excluded
+    assert got[(1, 2)]["degree_a"] == 3  # full out-degree, not capped
+    assert (1, 3) not in got
+    for k, w in want.items():
+        for field, v in w.items():
+            assert got[k][field] == v
+
+
+def test_cocitation_is_coupling_reversed(spark):
+    df = _edges_df(spark, CN_EDGES)
+    rev = df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    co = common_neighbor_pairs(df, min_shared=1, mode="cocitation").collect()
+    coup = common_neighbor_pairs(rev, min_shared=1, mode="coupling").collect()
+    assert key(co) == key(coup)
+    assert len(co) > 0  # 10/11/12 are co-cited by the mirrors
+
+
+def test_common_neighbors_fences_and_no_udf(spark):
+    from pandera_forge_spark.plans.inspect import has_python_udf
+    from py4j.protocol import Py4JJavaError
+
+    df = _edges_df(spark, CN_EDGES)
+    with pytest.raises(ValueError, match="min_shared"):
+        common_neighbor_pairs(df, min_shared=0)
+    with pytest.raises(ValueError, match="max_pivot_degree"):
+        common_neighbor_pairs(df, max_pivot_degree=0)
+    with pytest.raises(ValueError, match="mode"):
+        common_neighbor_pairs(df, mode="both")
+    with pytest.raises(ValueError, match="lacks columns"):
+        common_neighbor_pairs(df.select(F.col("src").alias("s"), "dst"))
+    nulled = spark.createDataFrame([(1, None), (1, 2)], "src long, dst long")
+    with pytest.raises(Py4JJavaError, match="NULL neighbor endpoint"):
+        common_neighbor_pairs(nulled, min_shared=1).collect()
+    assert not has_python_udf(common_neighbor_pairs(df))
+
+
+def test_common_neighbors_partition_independence(spark):
+    df = _edges_df(spark, CN_EDGES)
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    a = common_neighbor_pairs(df.repartition(1), min_shared=1).collect()
+    b = common_neighbor_pairs(df.repartition(7, "dst"), min_shared=1).collect()
+    assert key(a) == key(b)
