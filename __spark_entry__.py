@@ -6395,6 +6395,80 @@ FROM r WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_sampled_cert_orders(spark, sf_dir):
+    """Certified sampled validation (validator.py
+    sampled_violation_bound): three row-level checks evaluated over the
+    DETERMINISTIC md5-fraction half of orders, reporting per
+    (o_orderstatus, check) the violation rate and the one-sided Wilson
+    99% upper bound — the audit shape for check suites too expensive to
+    full-scan at 10^12 rows. The sample is the train_val_test_split
+    hash kernel (pure function of salt+key — any engine resamples the
+    identical rows), counts are ONE fused grouped aggregation melted by
+    a single explode, and the bound is a fixed +,-,*,/,sqrt tree over
+    exact longs and literal z — IEEE-correctly-rounded ops only, so
+    DuckDB replays it bit-for-bit. o_totalprice<=300000 has real
+    violations, >=1000 is near-clean, not_null on o_orderpriority exercises the k=0
+    informative bound."""
+    from pandera_forge_spark.schema import Check
+    from pandera_forge_spark.validator import sampled_violation_bound
+
+    checks = [
+        Check(column="o_totalprice", kind="le", value=300000),
+        Check(column="o_totalprice", kind="ge", value=1000),
+        Check(column="o_orderpriority", kind="not_null"),
+    ]
+    out = sampled_violation_bound(
+        _t(spark, sf_dir, "orders"),
+        checks,
+        id_col="o_orderkey",
+        fraction=0.5,
+        confidence=0.99,
+        salt="cert",
+        group_by=["o_orderstatus"],
+    )
+    return out.orderBy("o_orderstatus", "check")
+
+
+# z = Phi^-1(0.99) and its square, as the SAME python-computed literals
+# the engine embeds; every arithmetic step below mirrors the Spark
+# expression tree's shape and association so the doubles agree bit-for-bit.
+SQL_SAMPLED_CERT_ORDERS = """
+WITH s AS (
+  SELECT * FROM orders
+  WHERE ('0x' || substr(md5('cert' || COALESCE(CAST(o_orderkey AS VARCHAR), '')), 1, 8))::UBIGINT
+        / 4294967296.0 < 0.5
+), a AS (
+  SELECT o_orderstatus,
+         CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice > 300000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS k_le,
+         CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 1000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS k_ge,
+         CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS k_nn
+  FROM s GROUP BY 1
+), m AS (
+  SELECT o_orderstatus, n_sampled,
+         'o_totalprice__le' AS "check", k_le AS n_violations FROM a
+  UNION ALL SELECT o_orderstatus, n_sampled, 'o_totalprice__ge', k_ge FROM a
+  UNION ALL SELECT o_orderstatus, n_sampled, 'o_orderpriority__not_null', k_nn FROM a
+)
+SELECT o_orderstatus, "check", n_sampled, n_violations,
+       n_violations / n_sampled AS violation_rate,
+       LEAST(1.0,
+         (((n_violations / n_sampled)
+             + 5.411894431054339 / (2.0 * n_sampled))
+          + (2.3263478740408408
+             * sqrt(((n_violations / n_sampled)
+                     * (1.0 - (n_violations / n_sampled))) / n_sampled
+                    + 5.411894431054339
+                      / ((4.0 * n_sampled) * n_sampled))))
+         / (1.0 + 5.411894431054339 / n_sampled)
+       ) AS upper_bound
+FROM m ORDER BY o_orderstatus, "check"
+"""
+
+
 def q_common_neighbors_orders(spark, sf_dir):
     """Bibliographic-coupling pairs (operators/graph.py
     common_neighbor_pairs): nodes sharing >= 2 out-neighbors over the
@@ -7442,6 +7516,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the hub-cap path exact-replay pytest-verified; strict sweep
         # green at BOTH SFs ------------------------------------------------
         "common_neighbors_orders": q_common_neighbors_orders,
+        # sampled_cert_orders: final-session tail row; the md5-fraction
+        # sample kernel is in-window via train_split_groups /
+        # split_balance (same hash routing, DuckDB-replayed), the fused
+        # SUM(CASE) melt via hygiene_customer, and the fixed IEEE
+        # sqrt/division tree follows the proven exact-longs discipline;
+        # strict sweep green at BOTH SFs ------------------------------------
+        "sampled_cert_orders": q_sampled_cert_orders,
     }
 
 
@@ -7615,4 +7696,5 @@ def oracle_sql() -> dict[str, str]:
         "interval_overlaps_split": SQL_INTERVAL_OVERLAPS_USER,
         "candidate_keys_orders": SQL_CANDIDATE_KEYS_ORDERS,
         "common_neighbors_orders": SQL_COMMON_NEIGHBORS_ORDERS,
+        "sampled_cert_orders": SQL_SAMPLED_CERT_ORDERS,
     }

@@ -910,3 +910,139 @@ def join_cardinality_report(
         )
     )
     return out
+
+
+# One-sided normal quantiles Φ⁻¹(c) at the supported confidences, as
+# full-precision literals — embedding the constant keeps the engine
+# free of any normal-quantile special function an oracle could not
+# replay; add entries rather than computing at runtime.
+WILSON_Z = {
+    0.90: 1.2815515655446004,
+    0.95: 1.6448536269514722,
+    0.99: 2.3263478740408408,
+}
+
+
+def sampled_violation_bound(
+    df: DataFrame,
+    checks: Sequence[Check],
+    id_col: str,
+    fraction: float,
+    confidence: float = 0.99,
+    salt: str = "",
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Statistically certified validation on a DETERMINISTIC sample:
+    evaluate every row-level check over the md5-fraction sample of
+    ``df`` and report, per check (× group), the observed violation
+    rate plus a one-sided Wilson upper confidence bound — "violation
+    rate ≤ U at ``confidence``" — the audit you run when a full-scan
+    verdict over 10^12 rows is not worth its cost for an exploratory
+    or expensive (regex-heavy) check suite, or when a contract only
+    needs "p99-certified below 0.1%", not an exact count.
+
+    The sample is the ``train_val_test_split`` kernel: rows whose
+    ``md5(salt‖id)`` prefix-fraction is below ``fraction`` — a pure
+    function of (salt, id), so the SAME rows are sampled on any
+    cluster size, any partitioning, any engine (no ``sample()``
+    nondeterminism), the certificate is reproducible bit-for-bit, and
+    re-running with the same salt composes with any earlier audit.
+    NULL ids hash as '' and travel together (pass a real key;
+    ``id_col`` is assumed unique-ish — a heavily duplicated id makes
+    the sample lumpy, which is a property of the key, not the
+    estimator).
+
+    Returns one row per check (per group): ``(check, n_sampled,
+    n_violations, violation_rate, upper_bound)``. ``violation_rate``
+    is one raw IEEE division of exact longs; ``upper_bound`` is the
+    Wilson score interval's upper end
+
+        (p̂ + z²/2n + z·sqrt(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+
+    — a fixed tree of +,−,×,÷,sqrt over exact longs and the literal
+    ``z`` (division and sqrt are correctly rounded per IEEE-754, so
+    the value is bit-identical on every engine; no transcendental in
+    sight), clamped to 1.0. Both are NULL when the sample is empty —
+    an empty sample certifies nothing. Wilson stays informative at
+    k = 0 (upper = z²/(n+z²)), the "never saw a violation, how bad
+    could it be" bound.
+
+    Plan: ONE narrow filter (hash + compare, no shuffle) + ONE fused
+    aggregation of all checks (algebraic sums, map-side combine; the
+    ``validate_table`` expressions), melted to per-check rows via a
+    single explode of an O(checks) literal-shaped array — the
+    ``string_hygiene_report`` discipline. ``group_by`` turns the agg
+    into one grouped pass (per-partition certificates, the north-rule
+    verdict shape) — still one scan.
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(
+            f"sampled_violation_bound: fraction must be in (0, 1], got {fraction}"
+        )
+    if confidence not in WILSON_Z:
+        raise ValueError(
+            "sampled_violation_bound: confidence must be one of "
+            f"{sorted(WILSON_Z)} (z kept as a literal — see WILSON_Z), "
+            f"got {confidence}"
+        )
+    rl = row_level(list(checks))
+    if not rl:
+        raise ValueError(
+            "sampled_violation_bound: no row-level checks to certify "
+            "(unique checks need their own shuffle — see duplicate_keys)"
+        )
+    if id_col not in df.columns:
+        raise ValueError(f"sampled_violation_bound: id column {id_col!r} missing")
+    groups = list(group_by) if group_by else []
+    missing = [c for c in groups if c not in df.columns]
+    if missing:
+        raise ValueError(f"sampled_violation_bound: group columns {missing} missing")
+
+    from pandera_forge_spark.operators.sampling import _key_fraction
+
+    key = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    u = _key_fraction(F.md5(F.concat(F.lit(salt), key)))
+    sample = df.where(u < F.lit(float(fraction)))
+
+    agg = sample.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum((~compile_check(c)).cast("long")).alias(f"__k{i}") for i, c in enumerate(rl)],
+    )
+    melted = agg.select(
+        *groups,
+        F.col("__n").alias("n_sampled"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c.name).alias("check"),
+                        F.coalesce(F.col(f"__k{i}"), F.lit(0).cast("long")).alias(
+                            "n_violations"
+                        ),
+                    )
+                    for i, c in enumerate(rl)
+                ]
+            )
+        ).alias("__m"),
+    ).select(*groups, F.col("__m.check").alias("check"), "n_sampled", "__m.n_violations")
+
+    z = float(WILSON_Z[confidence])
+    n = F.col("n_sampled").cast("double")
+    k = F.col("n_violations").cast("double")
+    p = k / n
+    centre = p + F.lit(z * z) / (F.lit(2.0) * n)
+    rad = F.lit(z) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + F.lit(z * z) / (F.lit(4.0) * n * n)
+    )
+    upper = F.least(F.lit(1.0), (centre + rad) / (F.lit(1.0) + F.lit(z * z) / n))
+    nonempty = F.col("n_sampled") > 0
+    return melted.select(
+        *groups,
+        "check",
+        "n_sampled",
+        "n_violations",
+        F.when(nonempty, F.col("n_violations") / F.col("n_sampled")).alias(
+            "violation_rate"
+        ),
+        F.when(nonempty, upper).alias("upper_bound"),
+    )

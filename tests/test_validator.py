@@ -453,3 +453,165 @@ def test_outlier_rows_empty_cols_contract(spark):
     out = grouped_outlier_rows(df, [], ["id"], ["g"])
     assert out.count() == 0
     assert out.columns == ["g", "id", "column", "value", "lo", "hi"]
+
+
+# ------------------------------------------------ sampled_violation_bound
+
+
+import hashlib
+import math
+
+import pytest
+
+from pandera_forge_spark.validator import WILSON_Z, sampled_violation_bound
+
+
+def _frac(salt, key):
+    """Python replay of the md5 prefix-fraction kernel."""
+    h = hashlib.md5((salt + ("" if key is None else str(key))).encode()).hexdigest()
+    return int(h[:8], 16) / float(1 << 32)
+
+
+def _wilson_upper(k, n, z):
+    p = float(k) / float(n)
+    centre = p + (z * z) / (2.0 * n)
+    rad = z * math.sqrt(p * (1.0 - p) / n + (z * z) / (4.0 * n * n))
+    return min(1.0, (centre + rad) / (1.0 + (z * z) / n))
+
+
+SVB_CHECKS = [
+    Check(column="v", kind="ge", value=0),
+    Check(column="v", kind="le", value=90),
+    Check(column="v", kind="not_null"),
+]
+
+
+@pytest.fixture(scope="module")
+def svb_df(spark):
+    # v = i for most rows; planted: every 10th negative (ge violations),
+    # i>90 gives le violations, every 25th NULL (not_null violations).
+    rows = []
+    for i in range(200):
+        v = None if i % 25 == 0 else (-i if i % 10 == 5 else i)
+        rows.append((i, "a" if i % 2 == 0 else "b", v))
+    return spark.createDataFrame(rows, "id long, grp string, v long")
+
+
+def test_svb_full_fraction_matches_exact_counts(svb_df):
+    data = svb_df.collect()
+    out = {
+        r["check"]: r
+        for r in sampled_violation_bound(
+            svb_df, SVB_CHECKS, id_col="id", fraction=1.0, confidence=0.99
+        ).collect()
+    }
+    n = len(data)
+    expect = {
+        "v__ge": sum(1 for r in data if r["v"] is not None and r["v"] < 0),
+        "v__le": sum(1 for r in data if r["v"] is not None and r["v"] > 90),
+        "v__not_null": sum(1 for r in data if r["v"] is None),
+    }
+    z = WILSON_Z[0.99]
+    for name, k in expect.items():
+        r = out[name]
+        assert (r["n_sampled"], r["n_violations"]) == (n, k)
+        assert r["violation_rate"] == k / n
+        assert r["upper_bound"] == _wilson_upper(k, n, z)  # bit-exact tree
+        assert r["violation_rate"] < r["upper_bound"] <= 1.0
+
+
+def test_svb_sample_is_md5_deterministic(svb_df):
+    data = svb_df.collect()
+    ids = {r["id"] for r in data if _frac("s1", r["id"]) < 0.4}
+    sampled_rows = [r for r in data if r["id"] in ids]
+    out = {
+        r["check"]: r
+        for r in sampled_violation_bound(
+            svb_df, SVB_CHECKS, id_col="id", fraction=0.4, salt="s1"
+        ).collect()
+    }
+    assert out["v__ge"]["n_sampled"] == len(sampled_rows)
+    assert out["v__ge"]["n_violations"] == sum(
+        1 for r in sampled_rows if r["v"] is not None and r["v"] < 0
+    )
+    # a different salt samples a different subset
+    other = sampled_violation_bound(
+        svb_df, SVB_CHECKS, id_col="id", fraction=0.4, salt="s2"
+    ).collect()[0]["n_sampled"]
+    assert other != len(sampled_rows)
+
+
+def test_svb_grouped_replay(svb_df):
+    data = svb_df.collect()
+    out = {
+        (r["grp"], r["check"]): r
+        for r in sampled_violation_bound(
+            svb_df,
+            SVB_CHECKS,
+            id_col="id",
+            fraction=1.0,
+            confidence=0.95,
+            group_by=["grp"],
+        ).collect()
+    }
+    z = WILSON_Z[0.95]
+    for g in ("a", "b"):
+        rows = [r for r in data if r["grp"] == g]
+        k = sum(1 for r in rows if r["v"] is None)
+        r = out[(g, "v__not_null")]
+        assert (r["n_sampled"], r["n_violations"]) == (len(rows), k)
+        assert r["upper_bound"] == _wilson_upper(k, len(rows), z)
+
+
+def test_svb_zero_violations_still_bounded(spark):
+    df = spark.createDataFrame([(i, i) for i in range(50)], "id long, v long")
+    r = sampled_violation_bound(
+        df, [Check(column="v", kind="ge", value=0)], id_col="id", fraction=1.0
+    ).collect()[0]
+    assert r["n_violations"] == 0 and r["violation_rate"] == 0.0
+    z = WILSON_Z[0.99]
+    assert r["upper_bound"] == _wilson_upper(0, 50, z) > 0.0  # informative at k=0
+
+
+def test_svb_empty_sample_certifies_nothing(spark):
+    df = spark.createDataFrame([], "id long, v long")
+    r = sampled_violation_bound(
+        df, [Check(column="v", kind="ge", value=0)], id_col="id", fraction=0.5
+    ).collect()[0]
+    assert r["n_sampled"] == 0 and r["n_violations"] == 0
+    assert r["violation_rate"] is None and r["upper_bound"] is None
+
+
+def test_svb_fences(svb_df):
+    with pytest.raises(ValueError, match="fraction"):
+        sampled_violation_bound(svb_df, SVB_CHECKS, id_col="id", fraction=0.0)
+    with pytest.raises(ValueError, match="confidence"):
+        sampled_violation_bound(
+            svb_df, SVB_CHECKS, id_col="id", fraction=0.5, confidence=0.97
+        )
+    with pytest.raises(ValueError, match="no row-level"):
+        sampled_violation_bound(
+            svb_df, [Check(column="id", kind="unique")], id_col="id", fraction=0.5
+        )
+    with pytest.raises(ValueError, match="id column"):
+        sampled_violation_bound(svb_df, SVB_CHECKS, id_col="nope", fraction=0.5)
+    with pytest.raises(ValueError, match="group columns"):
+        sampled_violation_bound(
+            svb_df, SVB_CHECKS, id_col="id", fraction=0.5, group_by=["nope"]
+        )
+
+
+def test_svb_partition_independent_and_udf_free(svb_df):
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    key = lambda rows: sorted((r["check"], tuple(r)) for r in rows)
+    a = sampled_violation_bound(
+        svb_df.repartition(1), SVB_CHECKS, id_col="id", fraction=0.4
+    ).collect()
+    b = sampled_violation_bound(
+        svb_df.repartition(7, "grp"), SVB_CHECKS, id_col="id", fraction=0.4
+    ).collect()
+    assert key(a) == key(b)
+    assert not has_python_udf(
+        sampled_violation_bound(svb_df, SVB_CHECKS, id_col="id", fraction=0.4)
+    )
