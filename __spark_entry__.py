@@ -6395,6 +6395,68 @@ FROM r WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_ts_hygiene_events(spark, sf_dir):
+    """Dirty-timestamp census (profiler.timestamp_hygiene_report) over
+    a planted-dirty events fixture: ts mutated per event_id with
+    modular rules (epoch-zero %97, past-2038 %89, pre-1980 %83,
+    midnight date-trunc %79, NULL %73 — first match wins), censused
+    against the explicit logical run date 2026-06-01 (the report
+    REQUIRES as_of — no implicit now(), the engine-wide determinism
+    rule). One fused SUM(CASE) scan melted once; the oracle replays
+    the identical CASE mutation then the identical census. Overlap
+    semantics on display: the epoch row is also pre-1980 and midnight,
+    the 2045 row also future."""
+    from pandera_forge_spark.profiler import timestamp_hygiene_report
+
+    e = _t(spark, sf_dir, "events")
+    k = F.col("event_id")
+    ts = F.col("ts")
+    dirty = (
+        F.when(k % 97 == 0, F.to_timestamp(F.lit("1970-01-01 00:00:00")))
+        .when(k % 89 == 0, F.to_timestamp(F.lit("2045-07-01 01:02:03")))
+        .when(k % 83 == 0, F.to_timestamp(F.lit("1975-06-01 12:00:00")))
+        .when(k % 79 == 0, F.date_trunc("day", ts))
+        .when(k % 73 == 0, F.lit(None).cast("timestamp"))
+        .otherwise(ts)
+    )
+    d = e.select(dirty.alias("ts_dirty"))
+    return timestamp_hygiene_report(
+        d, ["ts_dirty"], as_of="2026-06-01 00:00:00"
+    )
+
+
+SQL_TS_HYGIENE_EVENTS = """
+WITH d AS (
+  SELECT CASE
+    WHEN event_id % 97 = 0 THEN TIMESTAMP '1970-01-01 00:00:00'
+    WHEN event_id % 89 = 0 THEN TIMESTAMP '2045-07-01 01:02:03'
+    WHEN event_id % 83 = 0 THEN TIMESTAMP '1975-06-01 12:00:00'
+    WHEN event_id % 79 = 0 THEN date_trunc('day', ts)
+    WHEN event_id % 73 = 0 THEN NULL
+    ELSE ts
+  END AS ts_dirty
+  FROM events
+)
+SELECT 'ts_dirty' AS "column",
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN ts_dirty IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(SUM(CASE WHEN ts_dirty > TIMESTAMP '2026-06-01 00:00:00'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_future,
+       CAST(SUM(CASE WHEN ts_dirty < TIMESTAMP '1980-01-01 00:00:00'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_1980,
+       CAST(SUM(CASE WHEN ts_dirty = TIMESTAMP '1970-01-01 00:00:00'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_epoch_zero,
+       CAST(SUM(CASE WHEN date_trunc('day', ts_dirty) = ts_dirty
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_midnight,
+       CAST(SUM(CASE WHEN ts_dirty > TIMESTAMP '2038-01-19 03:14:07'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_past_2038,
+       MIN(ts_dirty) AS min_ts,
+       MAX(ts_dirty) AS max_ts
+FROM d
+"""
+
+
 def q_sampled_cert_orders(spark, sf_dir):
     """Certified sampled validation (validator.py
     sampled_violation_bound): three row-level checks evaluated over the
@@ -7523,6 +7585,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sqrt/division tree follows the proven exact-longs discipline;
         # strict sweep green at BOTH SFs ------------------------------------
         "sampled_cert_orders": q_sampled_cert_orders,
+        # ts_hygiene_events: final-session tail row; the fused
+        # SUM(CASE)+melt kernel is in-window via hygiene_customer (same
+        # planted-CASE replay pattern), date_trunc alignment anchored by
+        # r4-green hourly_rollup; strict sweep green at BOTH SFs -------------
+        "ts_hygiene_events": q_ts_hygiene_events,
     }
 
 
@@ -7697,4 +7764,5 @@ def oracle_sql() -> dict[str, str]:
         "candidate_keys_orders": SQL_CANDIDATE_KEYS_ORDERS,
         "common_neighbors_orders": SQL_COMMON_NEIGHBORS_ORDERS,
         "sampled_cert_orders": SQL_SAMPLED_CERT_ORDERS,
+        "ts_hygiene_events": SQL_TS_HYGIENE_EVENTS,
     }

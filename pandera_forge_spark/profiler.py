@@ -1429,3 +1429,98 @@ def type_headroom_report(
     return wide.select(F.explode(F.array(*structs)).alias("__r")).select(
         "__r.*"
     )
+
+
+def timestamp_hygiene_report(
+    df: DataFrame,
+    cols: Sequence[str],
+    as_of: str,
+) -> DataFrame:
+    """Dirty-timestamp census — the temporal sibling of
+    :func:`string_hygiene_report`: per timestamp column, how many
+    values are NULL, in the FUTURE of ``as_of`` (clock skew, wrong
+    unit, wrong century), before 1980 (epoch-adjacent parse garbage),
+    exactly the Unix epoch (the classic failed-parse default), at
+    midnight (a DATE cast to timestamp — real event times are almost
+    never 00:00:00.000000, so a midnight-heavy column lost its time
+    component upstream), or past the 32-bit rollover
+    (2038-01-19 03:14:07 — a signed-int32 seconds counter wrapped
+    somewhere). These are the defects that silently wreck watermarks,
+    as-of joins, sessionization and retention windows — cheap to
+    count BEFORE a trillion-row pipeline keys time logic on them.
+    Overlaps are counted independently (the epoch IS a midnight and
+    IS pre-1980); the report is a census, not a partition.
+
+    ``as_of`` is REQUIRED and explicit ("YYYY-MM-DD[ HH:MM:SS]"):
+    an implicit now() would make the report unreproducible — the
+    engine-wide determinism discipline (no rand(), no now()); pass
+    the pipeline's logical run date.
+
+    One long-form row per column: ``(column, n_rows, n_null,
+    n_future, n_pre_1980, n_epoch_zero, n_midnight, n_past_2038,
+    min_ts, max_ts)`` — every count an exact integer ``SUM(CASE)``.
+
+    Scale: ALL columns census in ONE fused aggregate — single scan,
+    map-side partial aggregation, the exchange carries one partial
+    state per task; ``date_trunc``/comparisons are JVM expressions,
+    no UDF. Date-typed columns are rejected (every DATE is midnight
+    by construction — cast deliberately if that census is wanted).
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("timestamp_hygiene_report: cols must be non-empty")
+    dtypes = dict(df.dtypes)
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"timestamp_hygiene_report: columns not in frame: {missing}")
+    bad = [c for c in cols if not dtypes[c].startswith("timestamp")]
+    if bad:
+        raise ValueError(
+            f"timestamp_hygiene_report: non-timestamp columns {bad} "
+            "(DATE columns are all-midnight by construction — cast "
+            "explicitly if you mean it)"
+        )
+    if not isinstance(as_of, str) or not as_of.strip():
+        raise ValueError(
+            "timestamp_hygiene_report: as_of is required (explicit logical "
+            "run date — an implicit now() would be unreproducible)"
+        )
+
+    ref = F.to_timestamp(F.lit(as_of))
+    epoch = F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+    y1980 = F.to_timestamp(F.lit("1980-01-01 00:00:00"))
+    roll = F.to_timestamp(F.lit("2038-01-19 03:14:07"))
+
+    _cnt = _count_if
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        t = F.col(c)
+        aggs += [
+            _cnt(t.isNull()).alias(f"{c}__null"),
+            _cnt(t > ref).alias(f"{c}__future"),
+            _cnt(t < y1980).alias(f"{c}__pre1980"),
+            _cnt(t == epoch).alias(f"{c}__epoch0"),
+            _cnt(F.date_trunc("day", t) == t).alias(f"{c}__midnight"),
+            _cnt(t > roll).alias(f"{c}__past2038"),
+            F.min(t).alias(f"{c}__min"),
+            F.max(t).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"{c}__null").alias("n_null"),
+            F.col(f"{c}__future").alias("n_future"),
+            F.col(f"{c}__pre1980").alias("n_pre_1980"),
+            F.col(f"{c}__epoch0").alias("n_epoch_zero"),
+            F.col(f"{c}__midnight").alias("n_midnight"),
+            F.col(f"{c}__past2038").alias("n_past_2038"),
+            F.col(f"{c}__min").alias("min_ts"),
+            F.col(f"{c}__max").alias("max_ts"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("__r")).select(
+        "__r.*"
+    )

@@ -90,3 +90,90 @@ def test_partition_independent(spark):
 def test_no_python_udf(spark):
     df = spark.createDataFrame([("x",)], "s string")
     assert not has_python_udf(string_hygiene_report(df, ["s"]))
+
+
+# --------------------------------------------- timestamp_hygiene_report
+
+
+from datetime import datetime
+
+from pandera_forge_spark.profiler import timestamp_hygiene_report
+
+AS_OF = "2026-06-01 00:00:00"
+
+TS_PLANTED = [
+    datetime(2025, 3, 4, 10, 30, 5),      # clean
+    datetime(2027, 1, 1, 8, 0, 1),        # future of as_of
+    datetime(1975, 6, 1, 12, 0, 0),       # pre-1980
+    datetime(1970, 1, 1, 0, 0, 0),        # epoch zero (also pre-1980, midnight)
+    datetime(2024, 5, 5, 0, 0, 0),        # midnight (date cast as ts)
+    datetime(2045, 7, 1, 1, 2, 3),        # past 2038 rollover (also future)
+    None,
+]
+
+
+def test_ts_planted_census(spark):
+    df = spark.createDataFrame([(v,) for v in TS_PLANTED], "ts timestamp")
+    got = _rows(timestamp_hygiene_report(df, ["ts"], as_of=AS_OF))["ts"]
+    assert got == {
+        "column": "ts",
+        "n_rows": 7,
+        "n_null": 1,
+        "n_future": 2,       # 2027 and 2045 — overlaps counted independently
+        "n_pre_1980": 2,     # 1975 and the epoch
+        "n_epoch_zero": 1,
+        "n_midnight": 2,     # the epoch and the date-cast row
+        "n_past_2038": 1,
+        "min_ts": datetime(1970, 1, 1, 0, 0, 0),
+        "max_ts": datetime(2045, 7, 1, 1, 2, 3),
+    }
+
+
+def test_ts_clean_column_all_zero(spark):
+    df = spark.createDataFrame(
+        [(datetime(2025, 1, 1, 9, 30, 0),), (datetime(2025, 1, 2, 17, 45, 59),)],
+        "ts timestamp",
+    )
+    got = _rows(timestamp_hygiene_report(df, ["ts"], as_of=AS_OF))["ts"]
+    for k in ("n_null", "n_future", "n_pre_1980", "n_epoch_zero",
+              "n_midnight", "n_past_2038"):
+        assert got[k] == 0, k
+
+
+def test_ts_multi_column_single_scan(spark):
+    df = spark.createDataFrame(
+        [(datetime(2027, 1, 1), datetime(1971, 1, 1, 5, 0))],
+        "a timestamp, b timestamp",
+    )
+    out = timestamp_hygiene_report(df, ["a", "b"], as_of=AS_OF)
+    got = _rows(out)
+    assert got["a"]["n_future"] == 1 and got["b"]["n_pre_1980"] == 1
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("relation") <= 1
+
+
+def test_ts_fences(spark):
+    df = spark.createDataFrame(
+        [(datetime(2025, 1, 1), 1)], "ts timestamp, n long"
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        timestamp_hygiene_report(df, [], as_of=AS_OF)
+    with pytest.raises(ValueError, match="not in frame"):
+        timestamp_hygiene_report(df, ["nope"], as_of=AS_OF)
+    with pytest.raises(ValueError, match="non-timestamp"):
+        timestamp_hygiene_report(df, ["n"], as_of=AS_OF)
+    with pytest.raises(ValueError, match="as_of is required"):
+        timestamp_hygiene_report(df, ["ts"], as_of="")
+    dated = spark.createDataFrame([("2025-01-01",)], "d string").select(
+        pytest.importorskip("pyspark.sql.functions").col("d").cast("date").alias("d")
+    )
+    with pytest.raises(ValueError, match="non-timestamp"):
+        timestamp_hygiene_report(dated, ["d"], as_of=AS_OF)
+
+
+def test_ts_partition_independent_and_no_udf(spark):
+    df = spark.createDataFrame([(v,) for v in TS_PLANTED], "ts timestamp")
+    a = _rows(timestamp_hygiene_report(df.repartition(1), ["ts"], as_of=AS_OF))
+    b = _rows(timestamp_hygiene_report(df.repartition(5), ["ts"], as_of=AS_OF))
+    assert a == b
+    assert not has_python_udf(timestamp_hygiene_report(df, ["ts"], as_of=AS_OF))
