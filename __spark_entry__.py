@@ -6395,6 +6395,83 @@ FROM r WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_value_variants_segments(spark, sf_dir):
+    """Value-standardization audit (operators/linkage.py
+    value_variants) over planted-dirty c_mktsegment: truncation %31
+    and 'X'-suffix %37 mutations create two distance-1 variants per
+    segment that are distance 2 from EACH OTHER — the correction
+    mapping must unite them through the component, not the direct
+    pair. Engine: groupBy count → fuzzy_pairs (symmetric-delete, no
+    cross join) → pairs_to_clusters min-label → one argmax struct-min.
+    The oracle replays counts → brute-force levenshtein pairs →
+    min-label propagation UNROLLED two rounds (the planted clusters
+    are stars, diameter 2 — the pagerank unrolled-CTE discipline) →
+    the same ROW_NUMBER election."""
+    from pandera_forge_spark.operators.linkage import value_variants
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    seg = F.col("c_mktsegment")
+    dirty = (
+        F.when(k % 31 == 0, F.expr("substr(c_mktsegment, 1, length(c_mktsegment) - 1)"))
+        .when(k % 37 == 0, F.concat(seg, F.lit("X")))
+        .otherwise(seg)
+    )
+    d = c.select(dirty.alias("seg_dirty"))
+    out = value_variants(d, "seg_dirty", max_distance=1, min_count=1)
+    return out.orderBy("canonical", "value")
+
+
+SQL_VALUE_VARIANTS_SEGMENTS = """
+WITH d AS (
+  SELECT CASE
+    WHEN c_custkey % 31 = 0
+      THEN substr(c_mktsegment, 1, length(c_mktsegment) - 1)
+    WHEN c_custkey % 37 = 0 THEN c_mktsegment || 'X'
+    ELSE c_mktsegment
+  END AS value
+  FROM customer
+), c AS (
+  SELECT value, CAST(COUNT(*) AS BIGINT) AS n_rows FROM d
+  WHERE value IS NOT NULL GROUP BY 1
+), p AS (
+  SELECT a.value AS va, b.value AS vb
+  FROM c a JOIN c b ON a.value < b.value
+  WHERE levenshtein(a.value, b.value) <= 1
+), nb AS (
+  SELECT va AS v, vb AS w FROM p UNION ALL SELECT vb AS v, va AS w FROM p
+), l1 AS (
+  SELECT v, LEAST(v, MIN(w)) AS lbl FROM nb GROUP BY v
+), l2 AS (
+  SELECT nb.v, LEAST(MIN(lv.lbl), MIN(lw.lbl)) AS lbl
+  FROM nb
+  JOIN l1 lv ON lv.v = nb.v
+  JOIN l1 lw ON lw.v = nb.w
+  GROUP BY nb.v
+), mem AS (
+  SELECT l2.v AS value, c.n_rows, l2.lbl FROM l2 JOIN c ON c.value = l2.v
+), canon AS (
+  SELECT lbl, value AS canonical, n_rows AS canonical_rows
+  FROM (
+    SELECT lbl, value, n_rows,
+           ROW_NUMBER() OVER (PARTITION BY lbl ORDER BY n_rows DESC, value)
+             AS rn
+    FROM mem
+  ) WHERE rn = 1
+), agg AS (
+  SELECT lbl, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+         CAST(SUM(n_rows) AS BIGINT) AS cluster_rows
+  FROM mem GROUP BY 1
+)
+SELECT mem.value, mem.n_rows, canon.canonical, canon.canonical_rows,
+       agg.cluster_size, agg.cluster_rows
+FROM mem
+JOIN canon USING (lbl)
+JOIN agg USING (lbl)
+ORDER BY canonical, value
+"""
+
+
 def q_ts_hygiene_events(spark, sf_dir):
     """Dirty-timestamp census (profiler.timestamp_hygiene_report) over
     a planted-dirty events fixture: ts mutated per event_id with
@@ -7590,6 +7667,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # planted-CASE replay pattern), date_trunc alignment anchored by
         # r4-green hourly_rollup; strict sweep green at BOTH SFs -------------
         "ts_hygiene_events": q_ts_hygiene_events,
+        # value_variants_segments: final-session tail row; every stage
+        # is an in-window-anchored kernel — groupBy counts everywhere,
+        # fuzzy_pairs via fuzzy_name_pairs (r5-window), min-label
+        # propagation via the dedup family (stream_dedup_epochs), argmax
+        # struct-min via label_majority_conflicts; strict sweep green at
+        # BOTH SFs ----------------------------------------------------------
+        "value_variants_segments": q_value_variants_segments,
     }
 
 
@@ -7765,4 +7849,5 @@ def oracle_sql() -> dict[str, str]:
         "common_neighbors_orders": SQL_COMMON_NEIGHBORS_ORDERS,
         "sampled_cert_orders": SQL_SAMPLED_CERT_ORDERS,
         "ts_hygiene_events": SQL_TS_HYGIENE_EVENTS,
+        "value_variants_segments": SQL_VALUE_VARIANTS_SEGMENTS,
     }

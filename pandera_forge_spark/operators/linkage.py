@@ -387,3 +387,103 @@ def sorted_neighborhood_pairs(
         .where(F.col("distance") >= 0)
         .withColumn("distance", F.col("distance").cast("bigint"))
     )
+
+
+def value_variants(
+    df: DataFrame,
+    col: str,
+    max_distance: int = 1,
+    min_count: int = 1,
+    max_value_length: Optional[int] = 64,
+    max_iter: int = 15,
+    checkpoint_dir: Optional[str] = None,
+    eager: bool = True,
+) -> DataFrame:
+    """Value-standardization audit (the OpenRefine "cluster & edit"
+    primitive, distributed): find groups of DISTINCT values of ``col``
+    within ``max_distance`` edits of each other — misspellings, case
+    slips, truncations of one intended value — and elect each group's
+    canonical form (the highest-frequency member, ties to the
+    lexicographically smallest). Returns the CORRECTION MAPPING, one
+    row per clustered value::
+
+        (value, n_rows, canonical, canonical_rows, cluster_size,
+         cluster_rows)
+
+    — join it back on ``value`` and ``coalesce(canonical, value)`` is
+    the repaired column. Values in no cluster (nothing within
+    ``max_distance``) are absent: a singleton needs no standardizing.
+
+    Pipeline (every stage an existing audited kernel):
+
+    1. ``groupBy(col)`` count — the ONLY shuffle over raw rows; from
+       here everything is O(distinct values). ``min_count`` prunes
+       hapax noise BEFORE pair generation.
+    2. :func:`fuzzy_pairs` over the distinct-value frame (value is its
+       own id) — lossless symmetric-delete blocking, never a cross
+       join; ``max_value_length`` is its loud explode fence.
+    3. ``dedup.pairs_to_clusters`` min-label propagation — A~B and B~C
+       standardize together even when A~C exceeds the distance (the
+       truncation and the suffix typo of one word are distance 2 apart
+       but share their canonical); ``checkpoint_dir`` passes through
+       for the fault-tolerant lineage-truncation mode.
+    4. canonical per cluster as ONE algebraic ``min(struct(-count,
+       value))`` — the ``majority_label`` argmax idiom, map-side
+       combinable, no window over members.
+
+    NULL values never cluster (dropped with the count pass).
+    ``eager=True`` persists the distinct-count frame across its three
+    consumers (pair generation uses it twice, the mapping join once)
+    and localCheckpoints the audit-sized result; ``eager=False``
+    returns the pure lazy plan for inspection."""
+    if col not in df.columns:
+        raise ValueError(f"value_variants: column {col!r} missing")
+    if min_count < 1:
+        raise ValueError(f"value_variants: min_count must be >= 1, got {min_count}")
+    counts = (
+        df.select(F.col(col).cast("string").alias("value"))
+        .where(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .where(F.col("n_rows") >= int(min_count))
+    )
+    if eager:
+        counts = counts.persist()
+    try:
+        pairs = fuzzy_pairs(
+            counts,
+            key_col="value",
+            id_col="value",
+            max_distance=max_distance,
+            max_key_length=max_value_length,
+        )
+        from pandera_forge_spark.operators.dedup import pairs_to_clusters
+
+        clusters = pairs_to_clusters(
+            pairs, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+        )
+        mem = clusters.withColumnRenamed("id", "value").join(counts, "value")
+        canon = mem.groupBy("cluster_id").agg(
+            F.min(F.struct((-F.col("n_rows")).alias("neg"), F.col("value"))).alias(
+                "__c"
+            ),
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sum("n_rows").alias("cluster_rows"),
+        )
+        out = (
+            mem.join(canon, "cluster_id")
+            .select(
+                "value",
+                "n_rows",
+                F.col("__c.value").alias("canonical"),
+                (-F.col("__c.neg")).alias("canonical_rows"),
+                "cluster_size",
+                "cluster_rows",
+            )
+        )
+        if eager:
+            out = out.localCheckpoint(eager=True)
+    finally:
+        if eager:
+            counts.unpersist()
+    return out

@@ -205,3 +205,85 @@ def test_non_mutual_top1(scored_pairs):
 def test_best_match_missing_column(scored_pairs):
     with pytest.raises(ValueError, match="missing"):
         best_match_pairs(scored_pairs, "left", "right", "nope")
+
+
+# ----------------------------------------------------------- value_variants
+
+
+from pandera_forge_spark.operators.linkage import value_variants
+
+
+@pytest.fixture(scope="module")
+def messy(spark):
+    # 'building' dominant with two distance-1 variants that are
+    # distance 2 from EACH OTHER (must still share a canonical via the
+    # component), 'auto' clean-only, plus a hapax typo and NULLs.
+    rows = (
+        [("building",)] * 20
+        + [("buildin",)] * 3      # truncation (d1 from building)
+        + [("buildings",)] * 2    # suffix typo (d1 from building, d2 from buildin)
+        + [("auto",)] * 10
+        + [("autoo",)] * 1        # hapax — pruned at min_count=2
+        + [(None,)] * 2
+    )
+    return spark.createDataFrame(rows, "seg string")
+
+
+def test_value_variants_mapping(messy):
+    out = {
+        r["value"]: r.asDict()
+        for r in value_variants(messy, "seg", min_count=2).collect()
+    }
+    # the star cluster: both variants map to the dominant form, and the
+    # canonical row itself is in the mapping (joinable repair table)
+    assert set(out) == {"building", "buildin", "buildings"}
+    for v in ("building", "buildin", "buildings"):
+        r = out[v]
+        assert r["canonical"] == "building"
+        assert r["canonical_rows"] == 20
+        assert r["cluster_size"] == 3
+        assert r["cluster_rows"] == 25
+    assert out["buildin"]["n_rows"] == 3
+    # 'auto' has no surviving neighbor (hapax pruned): not a finding
+    assert "auto" not in out
+
+
+def test_value_variants_hapax_included_at_min_count_1(messy):
+    out = {
+        r["value"]: r.asDict()
+        for r in value_variants(messy, "seg", min_count=1).collect()
+    }
+    assert out["autoo"]["canonical"] == "auto"
+    assert out["auto"]["cluster_size"] == 2 and out["auto"]["cluster_rows"] == 11
+
+
+def test_value_variants_tie_breaks_lexicographically(spark):
+    df = spark.createDataFrame(
+        [("abc",)] * 5 + [("abd",)] * 5, "v string"
+    )
+    out = {r["value"]: r for r in value_variants(df, "v").collect()}
+    assert out["abc"]["canonical"] == "abc" == out["abd"]["canonical"]
+
+
+def test_value_variants_eager_lazy_agree(messy):
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    e = value_variants(messy, "seg", min_count=2).collect()
+    l = value_variants(messy, "seg", min_count=2, eager=False).collect()
+    assert key(e) == key(l)
+
+
+def test_value_variants_fences_and_no_udf(messy):
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    with pytest.raises(ValueError, match="missing"):
+        value_variants(messy, "nope")
+    with pytest.raises(ValueError, match="min_count"):
+        value_variants(messy, "seg", min_count=0)
+    assert not has_python_udf(value_variants(messy, "seg", eager=False))
+
+
+def test_value_variants_partition_independent(messy):
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    a = value_variants(messy.repartition(1), "seg").collect()
+    b = value_variants(messy.repartition(6), "seg").collect()
+    assert key(a) == key(b)
