@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from pandera_forge_spark.drift import baseline_summary, drift_by_partition
+from pandera_forge_spark.drift import (
+    baseline_summary,
+    drift_by_partition,
+    wasserstein_by_partition,
+)
 from pandera_forge_spark.inference import infer_schema
 from pandera_forge_spark.operators.dedup import (
     dedup_exact,
@@ -550,6 +554,71 @@ SELECT p.o_orderpriority,
        ROUND({ks}, 6) AS ks
 FROM bins p, base q ORDER BY 1
 """
+
+
+def q_wasserstein_orders(spark, sf_dir):
+    """Grid-Wasserstein drift (drift.wasserstein_by_partition) of
+    o_totalprice per order priority vs the whole-table baseline, on the
+    SAME fixed grid as the PSI/KS query. The statistic's core is pure
+    integer cross-multiplied CDF gaps — emitted UNROUNDED because the
+    only float ops (one multiply per edge by the gap literal, one final
+    divide, in a fixed left fold) are bit-identical on any engine."""
+    o = _t(spark, sf_dir, "orders")
+    base = baseline_summary(o, "o_totalprice", edges=DRIFT_EDGES)
+    return (
+        wasserstein_by_partition(o, "o_totalprice", ["o_orderpriority"], base)
+        .orderBy("o_orderpriority")
+    )
+
+
+def _sql_wasserstein_orders() -> str:
+    nb = len(DRIFT_EDGES) + 1
+    conds = []
+    lo = None
+    for e in DRIFT_EDGES + [None]:
+        if lo is None:
+            conds.append(f"o_totalprice <= {e}")
+        elif e is not None:
+            conds.append(f"o_totalprice > {lo} AND o_totalprice <= {e}")
+        else:
+            conds.append(f"o_totalprice > {lo}")
+        lo = e
+    bin_cols = ",\n    ".join(
+        f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS b{i}"
+        for i, c in enumerate(conds)
+    )
+    # fixed left-fold of per-edge terms, exactly wasserstein_by_partition's
+    # expression order: CAST(ABS(cumP*Nq - cumQ*Np) AS DOUBLE) * gap
+    terms = []
+    for i in range(len(DRIFT_EDGES) - 1):
+        ps = " + ".join(f"p.b{j}" for j in range(i + 1))
+        qs = " + ".join(f"q.b{j}" for j in range(i + 1))
+        gap = float(DRIFT_EDGES[i + 1] - DRIFT_EDGES[i])
+        terms.append(
+            f"CAST(ABS(({ps}) * q.n - ({qs}) * p.n) AS DOUBLE) * CAST({gap!r} AS DOUBLE)"
+        )
+    fold = " + ".join(terms)
+    return f"""
+WITH bins AS (
+  SELECT o_orderpriority,
+    {bin_cols},
+    CAST(COUNT(o_totalprice) AS BIGINT) AS n
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_orderpriority
+),
+base AS (
+  SELECT {", ".join(f"CAST(SUM(b{i}) AS BIGINT) AS b{i}" for i in range(nb))},
+         CAST(SUM(n) AS BIGINT) AS n FROM bins
+)
+SELECT p.o_orderpriority,
+       p.n AS n,
+       CASE WHEN p.n > 0
+            THEN ({fold}) / (CAST(p.n AS DOUBLE) * CAST(q.n AS DOUBLE))
+            ELSE 0e0 END AS w1
+FROM bins p, base q ORDER BY 1
+"""
+
+
+SQL_WASSERSTEIN_ORDERS = _sql_wasserstein_orders()
 
 
 def q_snapshot_diff(spark, sf_dir):
@@ -7674,6 +7743,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # struct-min via label_majority_conflicts; strict sweep green at
         # BOTH SFs ----------------------------------------------------------
         "value_variants_segments": q_value_variants_segments,
+        # wasserstein_orders: continuation-session tail row; the binned
+        # conditional-sum kernel and fixed grid are the in-window-family
+        # drift_orders' (r3/r4-green, same edges, same bins CTE shape);
+        # the integer cross-multiplied CDF-gap fold follows the proven
+        # exact-longs discipline (sampled_cert_orders, cms_user_counts);
+        # strict sweep green at BOTH SFs -------------------------------------
+        "wasserstein_orders": q_wasserstein_orders,
     }
 
 
@@ -7850,4 +7926,5 @@ def oracle_sql() -> dict[str, str]:
         "sampled_cert_orders": SQL_SAMPLED_CERT_ORDERS,
         "ts_hygiene_events": SQL_TS_HYGIENE_EVENTS,
         "value_variants_segments": SQL_VALUE_VARIANTS_SEGMENTS,
+        "wasserstein_orders": SQL_WASSERSTEIN_ORDERS,
     }

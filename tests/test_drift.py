@@ -73,6 +73,95 @@ def test_psi_of_helper():
     assert psi_of([0.9, 0.1], [0.5, 0.5]) > 0.2
 
 
+def test_wasserstein_severity_order(spark, data):
+    """W1 ranks 'shifted' above 'same distribution' and is ~0 for
+    identical data; a one-bin jitter scores LOWER than a far shift even
+    when PSI can't tell them apart — the severity ordering W1 exists
+    for."""
+    from pandera_forge_spark.drift import wasserstein_by_partition
+
+    a, both = data
+    # fixed grid so the statistic is deterministic and oracle-replayable
+    edges = [-2.0 + 0.5 * i for i in range(9)]  # -2.0 .. 2.0
+    s = baseline_summary(a, "x", edges=edges)
+    rows = {r["part"]: r for r in wasserstein_by_partition(
+        both, "x", ["part"], s).collect()}
+    assert rows["A"]["w1"] < 1e-12  # identical data: exactly zero drift
+    assert rows["A2"]["w1"] < 0.05  # fresh draw of same dist: small
+    assert rows["B"]["w1"] > 0.3  # mean shift 0.5: W1 ~ the shift
+    assert rows["B"]["w1"] > 5 * rows["A2"]["w1"]
+
+
+def test_wasserstein_distance_weighting(spark):
+    """Moving 30% of mass ONE bin vs FOUR bins: same PSI, 4x the W1 —
+    the support-awareness PSI lacks."""
+    from pandera_forge_spark.drift import wasserstein_by_partition
+
+    edges = [float(i) for i in range(6)]  # 0..5, unit gaps
+    base = spark.range(1000).select(F.lit(0.0).alias("x"))  # all mass at 0
+    s = baseline_summary(base, "x", edges=edges)
+    # near: 70% at 0.0, 30% at 1.0; far: 70% at 0.0, 30% at 5.0
+    cur = spark.range(2000).select(
+        F.when(F.col("id") < 1000, "near").otherwise("far").alias("part"),
+        F.when(F.col("id") % 10 < 7, F.lit(0.0))
+        .otherwise(
+            F.when(F.col("id") < 1000, F.lit(1.0)).otherwise(F.lit(5.0))
+        )
+        .alias("x"),
+    )
+    rows = {r["part"]: r["w1"] for r in wasserstein_by_partition(
+        cur, "x", ["part"], s).collect()}
+    assert abs(rows["near"] - 0.3) < 1e-12  # 0.3 mass moved 1 unit
+    assert abs(rows["far"] - 1.5) < 1e-12  # 0.3 mass moved 5 units
+    assert abs(rows["far"] / rows["near"] - 5.0) < 1e-9
+
+
+def test_wasserstein_matches_driver_replay(spark):
+    """Engine W1 == w1_of python replay bit-for-bit on integer counts."""
+    from pandera_forge_spark.drift import w1_of, wasserstein_by_partition
+
+    edges = [0.0, 10.0, 25.0, 50.0, 100.0]
+    base = spark.range(997).select(((F.col("id") * 37) % 113).cast("double").alias("x"))
+    s = baseline_summary(base, "x", edges=edges)
+    cur = spark.range(1009).select(
+        F.lit("p").alias("part"),
+        (((F.col("id") * 91) % 131) - 5).cast("double").alias("x"),
+    )
+    got = wasserstein_by_partition(cur, "x", ["part"], s).collect()[0]["w1"]
+    # replay: bin the current partition the same way driver-side
+    xs = [(((i * 91) % 131) - 5) for i in range(1009)]
+    bins = [0] * (len(edges) + 1)
+    for x in xs:
+        b = 0
+        while b < len(edges) and x > edges[b]:
+            b += 1
+        bins[b] += 1
+    expect = w1_of(bins, s["counts"], edges)
+    assert got == expect  # bit-identical, not approximately
+
+
+def test_wasserstein_guards(spark):
+    from pandera_forge_spark.drift import wasserstein_by_partition
+
+    base = spark.range(10).select(F.col("id").cast("double").alias("x"))
+    s = baseline_summary(base, "x", edges=[1.0, 5.0])
+    legacy = {k: v for k, v in s.items() if k not in ("counts", "n")}
+    with pytest.raises(ValueError, match="integer bin counts"):
+        wasserstein_by_partition(base.withColumn("part", F.lit("p")), "x", ["part"], legacy)
+    one_edge = baseline_summary(base, "x", edges=[5.0])
+    with pytest.raises(ValueError, match=">=2 edges"):
+        wasserstein_by_partition(base.withColumn("part", F.lit("p")), "x", ["part"], one_edge)
+    bad = dict(s, edges=[5.0, 1.0])
+    with pytest.raises(ValueError, match="strictly increasing"):
+        wasserstein_by_partition(base.withColumn("part", F.lit("p")), "x", ["part"], bad)
+    # empty partition scores 0.0, not NULL
+    withnull = spark.range(10).select(
+        F.lit("allnull").alias("part"), F.lit(None).cast("double").alias("x")
+    )
+    row = wasserstein_by_partition(withnull, "x", ["part"], s).collect()[0]
+    assert row["n"] == 0 and row["w1"] == 0.0
+
+
 def test_categorical_drift(spark):
     """Identical distribution -> PSI/chi2 ~ 0; a partition with a
     shifted category mix scores high on both; missing categories take
