@@ -7182,6 +7182,61 @@ ORDER BY authority DESC, node ASC LIMIT {top}
 SQL_HITS_ORDERS = _hits_oracle_sql()
 
 
+def q_kcore_orders(spark, sf_dir):
+    """k-core membership (operators/graph.py kcore): synchronous-peel
+    cohesion filter over the SAME directed orders projection as
+    ``pagerank_orders`` (src = o_custkey % 400, dst = o_orderkey % 800,
+    distinct) — k=25 with a rounds=4 budget does real multi-round
+    peeling at sf0.01 (two peel rounds drop 401 of 800 nodes) and
+    converges trivially on the denser sf0.1 graph; both are inside the
+    budget, so the strict in-band convergence fence stays quiet. All
+    arithmetic is integer edge counting — the oracle replays every peel
+    round as an unrolled CTE, value-for-value."""
+    from pandera_forge_spark.operators.graph import kcore
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 400).alias("src"),
+        (F.col("o_orderkey") % 800).alias("dst"),
+    ).distinct()
+    return kcore(edges, k=25, rounds=4).orderBy("node")
+
+
+def _kcore_oracle_sql(k=25, rounds=4):
+    """Unrolled-round DuckDB replay of the synchronous peel: round t
+    computes degrees over e{t-1} and keeps only edges whose BOTH
+    endpoints have degree >= k; the output is the degree frame over the
+    final edge set (every DuckDB COUNT cast to BIGINT per the r4
+    HUGEINT lesson)."""
+    sql = """
+WITH e0 AS (
+  SELECT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM (
+    SELECT DISTINCT o_custkey % 400 AS a, o_orderkey % 800 AS b FROM orders)
+  WHERE a <> b GROUP BY 1, 2
+)"""
+    for t in range(1, rounds + 1):
+        p = f"e{t - 1}"
+        sql += f""",
+d{t} AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM {p} UNION ALL SELECT b FROM {p}) GROUP BY 1
+),
+e{t} AS (
+  SELECT e.a, e.b FROM {p} e
+  JOIN d{t} ka ON e.a = ka.node AND ka.degree >= {k}
+  JOIN d{t} kb ON e.b = kb.node AND kb.degree >= {k}
+)"""
+    sql += f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+  SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+GROUP BY 1 ORDER BY node
+"""
+    return sql
+
+
+SQL_KCORE_ORDERS = _kcore_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -7750,6 +7805,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-longs discipline (sampled_cert_orders, cms_user_counts);
         # strict sweep green at BOTH SFs -------------------------------------
         "wasserstein_orders": q_wasserstein_orders,
+        # kcore_orders: continuation-session tail row; same edge fixture
+        # and NULL fence as in-window pagerank_orders, same unrolled-CTE
+        # oracle replay discipline (pagerank/hits), integer degree
+        # counting throughout; strict sweep green at BOTH SFs -----------------
+        "kcore_orders": q_kcore_orders,
     }
 
 
@@ -7927,4 +7987,5 @@ def oracle_sql() -> dict[str, str]:
         "ts_hygiene_events": SQL_TS_HYGIENE_EVENTS,
         "value_variants_segments": SQL_VALUE_VARIANTS_SEGMENTS,
         "wasserstein_orders": SQL_WASSERSTEIN_ORDERS,
+        "kcore_orders": SQL_KCORE_ORDERS,
     }

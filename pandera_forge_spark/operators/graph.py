@@ -33,7 +33,13 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["common_neighbor_pairs", "hits", "pagerank", "triangle_count"]
+__all__ = [
+    "common_neighbor_pairs",
+    "hits",
+    "kcore",
+    "pagerank",
+    "triangle_count",
+]
 
 # 85/100 — the canonical damping factor, kept as an exact rational so
 # the arithmetic stays in integers end-to-end
@@ -414,6 +420,128 @@ def hits(
         )
         auth = _truncate(_norm(a_full, "authority"))
     return hub.join(auth, "node").select("node", "hub", "authority")
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    strict: bool = True,
+    checkpoint_dir: Optional[str] = None,
+) -> DataFrame:
+    """k-core membership via synchronous peeling — the fifth graph lens
+    (flow = :func:`pagerank`, role = :func:`hits`, shape =
+    :func:`triangle_count`, similarity = :func:`common_neighbor_pairs`,
+    COHESION = this): the k-core is the maximal subgraph where every
+    node keeps at least ``k`` neighbors, the standard density filter
+    separating an organically interlinked cluster from pendant chains,
+    scraped link lists and drive-by spam pages — a pendant page can buy
+    one link into a good neighborhood, but it cannot buy its way into a
+    3-core without the neighborhood linking back densely.
+
+    Works on the UNDIRECTED SIMPLE graph induced by the edge list
+    (direction, duplicate edges, self-loops collapse/drop — the
+    :func:`triangle_count` contract). Returns ``(node, degree)`` — the
+    surviving nodes with their residual degree inside the core.
+
+    Synchronous peeling: each round computes degrees over the REMAINING
+    edge set and removes ALL nodes below ``k`` at once. Every round's
+    survivor set is a pure function of the input (no removal-order
+    dependence, unlike sequential peeling), so a DuckDB oracle replays
+    it round-for-round (driver row ``kcore_orders``), and the fixpoint
+    — when a round removes nobody — IS the k-core (Seidman 1983; the
+    peel is monotone, so the fixpoint is unique and synchronous /
+    sequential peeling agree there).
+
+    ``rounds`` is a fixed budget, not a convergence loop (the
+    :func:`pagerank` contract — a deterministic, replayable artifact
+    beats a data-dependent number of driver round-trips). With
+    ``strict=True`` (default) a survivor whose residual degree is still
+    below ``k`` raises IN-BAND — under-budget peeling is loud, never a
+    silently-too-large "core". Peel depth is bounded by the graph's
+    degeneracy ordering depth; web graphs converge in a handful of
+    rounds, while an adversarial path graph needs O(n) — callers
+    peeling pathological topologies pass a bigger budget or
+    ``strict=False`` to inspect the intermediate onion.
+
+    Scale shape: per round one map-side-combinable long-count groupBy
+    (degrees) + two hash semi-joins (drop edges touching dead nodes) —
+    no windows, no UDFs, no collect; the edge frame only ever SHRINKS.
+    Lineage is truncated each round (``localCheckpoint``, or reliable
+    ``checkpoint`` under ``checkpoint_dir`` — which, as with
+    :func:`pagerank`, sets the SparkContext-GLOBAL checkpoint dir).
+    Hot nodes are ordinary aggregation skew (partial aggregation
+    collapses per-task counts before the exchange).
+    """
+    if k < 1:
+        raise ValueError(f"kcore: k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"kcore: rounds must be >= 1, got {rounds}")
+    missing = [c for c in (src_col, dst_col) if c not in edges.columns]
+    if missing:
+        raise ValueError(f"kcore: edge frame lacks columns {missing}")
+
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    und = _truncate(
+        edges.select(
+            _fenced_endpoint(src_col, "source").alias("s"),
+            _fenced_endpoint(dst_col, "destination").alias("t"),
+        )
+        .where(F.col("s") != F.col("t"))
+        .select(
+            F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b")
+        )
+        .distinct()
+    )
+
+    def _degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+
+    for _ in range(rounds):
+        kept = _degrees(und).where(F.col("degree") >= k).select("node")
+        und = _truncate(
+            und.join(kept.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(kept.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+        )
+
+    out = _degrees(und)
+    if strict:
+        out = out.select(
+            "node",
+            F.when(F.col("degree") >= k, F.col("degree"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"kcore: node with residual degree < k={k} "
+                            f"after rounds={rounds} peel budget — the "
+                            "peel has NOT converged; raise rounds or "
+                            "pass strict=False to inspect the "
+                            "intermediate onion (node="
+                        ),
+                        F.col("node").cast("string"),
+                        F.lit(")"),
+                    )
+                )
+            )
+            .alias("degree"),
+        )
+    return out
 
 
 def common_neighbor_pairs(

@@ -448,3 +448,125 @@ def test_common_neighbors_partition_independence(spark):
     a = common_neighbor_pairs(df.repartition(1), min_shared=1).collect()
     b = common_neighbor_pairs(df.repartition(7, "dst"), min_shared=1).collect()
     assert key(a) == key(b)
+
+
+# ---------------------------------------------------------------------------
+# kcore
+# ---------------------------------------------------------------------------
+
+def _kcore_replay(edges, k, rounds):
+    """Exact python replay of the synchronous peel: each round drops
+    ALL nodes with residual degree < k at once."""
+    E = set()
+    for s, t in edges:
+        if s != t:
+            E.add((min(s, t), max(s, t)))
+    for _ in range(rounds):
+        deg = Counter()
+        for a, b in E:
+            deg[a] += 1
+            deg[b] += 1
+        dead = {n for n, d in deg.items() if d < k}
+        E = {(a, b) for a, b in E if a not in dead and b not in dead}
+    deg = Counter()
+    for a, b in E:
+        deg[a] += 1
+        deg[b] += 1
+    return dict(deg)
+
+
+# onion: a K5 core (every node degree 4), a pendant chain hanging off
+# node 0, a triangle hanging off node 1 by a bridge, plus messy input
+# (duplicates, reversed duplicates, a self-loop)
+ONION_EDGES = (
+    [(a, b) for a in range(5) for b in range(5) if a < b]  # K5 on 0..4
+    + [(0, 10), (10, 11), (11, 12)]  # pendant chain
+    + [(1, 20), (20, 21), (21, 22), (22, 20)]  # bridge + triangle
+    + [(2, 1), (0, 1), (3, 3)]  # reversed dup, dup, self-loop
+)
+
+
+def test_kcore_onion_matches_replay(spark):
+    from pandera_forge_spark.operators.graph import kcore
+
+    df = spark.createDataFrame(ONION_EDGES, "src long, dst long")
+    # k=3: chain peels (needs 3 sequential rounds: 12, then 11, then
+    # 10), bridge triangle ALSO peels (20 has degree 3 only until 1's
+    # side stays; after chain gone the triangle nodes have deg 2) —
+    # only K5 survives, every survivor at degree 4
+    got = {
+        r["node"]: r["degree"]
+        for r in kcore(df, k=3, rounds=6).collect()
+    }
+    assert got == _kcore_replay(ONION_EDGES, 3, 6)
+    assert got == {n: 4 for n in range(5)}
+    # k=2: the hanging triangle survives too (it is a 2-core), the
+    # chain still peels
+    got2 = {
+        r["node"]: r["degree"]
+        for r in kcore(df, k=2, rounds=6).collect()
+    }
+    assert got2 == _kcore_replay(ONION_EDGES, 2, 6)
+    assert set(got2) == {0, 1, 2, 3, 4, 20, 21, 22}
+
+
+def test_kcore_intermediate_onion_per_round(spark):
+    """Each rounds=r budget reproduces the replay's r-round onion
+    exactly (strict off — intermediate states are legal to inspect)."""
+    from pandera_forge_spark.operators.graph import kcore
+
+    df = spark.createDataFrame(ONION_EDGES, "src long, dst long")
+    for r in (1, 2, 3):
+        got = {
+            row["node"]: row["degree"]
+            for row in kcore(df, k=3, rounds=r, strict=False).collect()
+        }
+        assert got == _kcore_replay(ONION_EDGES, 3, r), r
+
+
+def test_kcore_strict_raises_under_budget(spark):
+    from pandera_forge_spark.operators.graph import kcore
+
+    df = spark.createDataFrame(ONION_EDGES, "src long, dst long")
+    # 1 round is not enough for the 3-deep pendant chain
+    with pytest.raises(Exception, match="NOT converged"):
+        kcore(df, k=3, rounds=1).collect()
+
+
+def test_kcore_empty_and_fences(spark):
+    from pandera_forge_spark.operators.graph import kcore
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    # k=2 on a single edge: everything peels — empty result, stable schema
+    out = kcore(df, k=2, rounds=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "degree"]
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        kcore(df, k=0)
+    with pytest.raises(ValueError, match="rounds must be >= 1"):
+        kcore(df, rounds=0)
+    with pytest.raises(ValueError, match="lacks columns"):
+        kcore(df.withColumnRenamed("dst", "d"))
+    bad = spark.createDataFrame([(1, None)], "src long, dst long")
+    with pytest.raises(Exception, match="NULL destination"):
+        kcore(bad, k=1, rounds=1).collect()
+    assert not has_python_udf(kcore(df, k=1, rounds=1))
+
+
+def test_kcore_partition_independence_and_checkpoint_parity(spark, tmp_path):
+    from pandera_forge_spark.operators.graph import kcore
+
+    df = spark.createDataFrame(ONION_EDGES, "src long, dst long")
+    one = sorted(map(tuple, kcore(df.repartition(1), k=2, rounds=5).collect()))
+    many = sorted(map(tuple, kcore(df.repartition(7), k=2, rounds=5).collect()))
+    assert one == many
+    ckpt = sorted(
+        map(
+            tuple,
+            kcore(
+                df, k=2, rounds=5, checkpoint_dir=str(tmp_path / "ck")
+            ).collect(),
+        )
+    )
+    assert ckpt == one
