@@ -7237,6 +7237,64 @@ GROUP BY 1 ORDER BY node
 SQL_KCORE_ORDERS = _kcore_oracle_sql()
 
 
+def q_autocorr_events(spark, sf_dir):
+    """Per-key lag-1 autocorrelation (operators/temporal.py
+    autocorr_by_key) of hour-of-day along each event type's
+    (ts, event_id) order — events cluster in time, so consecutive
+    observations share the hour and the ACF is strongly positive; a
+    shuffled (IID) series would score ~0. Hour values are integers
+    0..23, so the moment sums are exact and the one fixed IEEE
+    correlation tree (divide + sqrt, both correctly rounded) replays
+    bit-for-bit in DuckDB."""
+    from pandera_forge_spark.operators.temporal import autocorr_by_key
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.hour("ts").cast("double").alias("hod"),
+    )
+    return autocorr_by_key(
+        e,
+        ["event_type"],
+        "ts",
+        "hod",
+        lag=1,
+        min_pairs=3,
+        order_cols=["event_id"],
+    ).orderBy("event_type")
+
+
+SQL_AUTOCORR_EVENTS = """
+WITH base AS (
+  SELECT event_type, ts, event_id,
+         CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS v
+  FROM events WHERE ts IS NOT NULL
+),
+lagged AS (
+  SELECT event_type, v AS y,
+         LAG(v, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS x
+  FROM base
+),
+pairs AS (SELECT event_type, x, y FROM lagged WHERE x IS NOT NULL),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM pairs GROUP BY 1
+)
+SELECT event_type, n_pairs,
+  CASE WHEN (CAST(n_pairs AS DOUBLE) * sxx - sx * sx) > 0
+        AND (CAST(n_pairs AS DOUBLE) * syy - sy * sy) > 0
+       THEN (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+            / (SQRT(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+               * SQRT(CAST(n_pairs AS DOUBLE) * syy - sy * sy))
+       ELSE NULL END AS acf
+FROM m WHERE n_pairs >= 3 ORDER BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -7810,6 +7868,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle replay discipline (pagerank/hits), integer degree
         # counting throughout; strict sweep green at BOTH SFs -----------------
         "kcore_orders": q_kcore_orders,
+        # autocorr_events: continuation-session tail row; the one-Exchange
+        # window+groupBy moment-sum kernel is in-window-family trend_slope's
+        # (r5-window trend_slope_type), the lag pairing the sequence family's,
+        # the fixed IEEE divide+sqrt tree the sampled_cert discipline;
+        # strict sweep green at BOTH SFs --------------------------------------
+        "autocorr_events": q_autocorr_events,
     }
 
 
@@ -7988,4 +8052,5 @@ def oracle_sql() -> dict[str, str]:
         "value_variants_segments": SQL_VALUE_VARIANTS_SEGMENTS,
         "wasserstein_orders": SQL_WASSERSTEIN_ORDERS,
         "kcore_orders": SQL_KCORE_ORDERS,
+        "autocorr_events": SQL_AUTOCORR_EVENTS,
     }

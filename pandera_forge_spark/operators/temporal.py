@@ -1663,3 +1663,110 @@ def trend_slope(
         )
         .drop("__sx", "__sy", "__sxx", "__sxy", "__syy", "__t0")
     )
+
+
+def autocorr_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    lag: int = 1,
+    min_pairs: int = 3,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key lag-``lag`` sample autocorrelation of a metric along its
+    time order — the non-IID-ness detector the drift family assumes
+    away: PSI/KS/W1 and the sampled Wilson certificate all treat rows
+    as exchangeable, but a metric whose consecutive observations
+    correlate (diurnal load, a stuck sensor pinned at yesterday's
+    value, a bot replaying a script) violates that silently. ACF ≈ 1
+    at lag 1 means a gauge that barely moves (effective sample size
+    collapses — a "10k-row sample" carries far fewer independent
+    observations); ACF ≈ 0 is white noise; ACF spiking at lag 24 on an
+    hourly series is diurnal seasonality that a naive
+    train/validation time split will leak across.
+
+    Returns ``(keys..., n_pairs, acf)`` — Pearson correlation of the
+    pairs ``(v_i, v_{i+lag})`` taken along each key's
+    ``(ts, *order_cols)`` order (INDEX lag over observations, not a
+    time-shift join — the standard sample-ACF pairing). Keys with
+    fewer than ``min_pairs`` surviving pairs are dropped; a key whose
+    paired series has zero variance on either side keeps its row with
+    ``acf = NULL`` (a constant gauge has no defined autocorrelation,
+    but the caller should see that it is constant, not lose the key).
+    Rows with NULL timestamp or value are ignored. Ties in
+    ``(ts, *order_cols)`` make the pairing ambiguous — pass a
+    tiebreaker (e.g. the event id) for a fully deterministic result.
+
+    Determinism discipline (the ``trend_slope`` contract): the moment
+    sums are exact whenever values are integer-valued with partial
+    sums below 2^53 (the oracle fixture plants hour-of-day integers),
+    and the final statistic is ONE fixed IEEE tree over those sums —
+    ``(n·Σxy − Σx·Σy) / (sqrt(n·Σxx − Σx²) · sqrt(n·Σyy − Σy²))`` —
+    with division and sqrt correctly rounded, so the emitted doubles
+    replay bit-for-bit on any engine (driver row ``autocorr_events``).
+
+    Scale shape: the lag window partitions on the SAME keys as the
+    moment groupBy, so Catalyst plans ONE Exchange; the aggregate is
+    algebraic (map-side partials, O(distinct keys) shuffle rows). The
+    window sort is per-key within a partition — a single key's whole
+    history must fit one task's sort spill budget, the same
+    split-unfriendly shape as ``rolling_zscore`` (an index-lag over a
+    hot key cannot chunk-stitch without changing the pairing; cap or
+    pre-bucket pathological keys upstream).
+    """
+    if lag < 1:
+        raise ValueError(f"autocorr_by_key: lag must be >= 1, got {lag}")
+    if min_pairs < 2:
+        raise ValueError(
+            f"autocorr_by_key: min_pairs must be >= 2, got {min_pairs}"
+        )
+    keys = list(key_cols)
+    _check_reserved(df, ["__y", "__x"], "autocorr_by_key")
+    clash = set(keys) & {"n_pairs", "acf"}
+    if clash:
+        raise ValueError(
+            f"autocorr_by_key: key columns {sorted(clash)} collide with "
+            "output names — rename them"
+        )
+    missing = [
+        c
+        for c in keys + [ts_col, value_col, *order_cols]
+        if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(f"autocorr_by_key: frame lacks columns {missing}")
+
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col(ts_col), *[F.col(c) for c in order_cols])
+    )
+    base = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .withColumn("__y", F.col(value_col).cast("double"))
+        .withColumn("__x", F.lag("__y", lag).over(w))
+        .where(F.col("__x").isNotNull())
+    )
+    x, y = F.col("__x"), F.col("__y")
+    agg = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    n_d = F.col("n_pairs").cast("double")
+    sx, sy = F.col("__sx"), F.col("__sy")
+    sxx, syy, sxy = F.col("__sxx"), F.col("__syy"), F.col("__sxy")
+    den_x = n_d * sxx - sx * sx
+    den_y = n_d * syy - sy * sy
+    acf = F.when(
+        (den_x > 0) & (den_y > 0),
+        (n_d * sxy - sx * sy) / (F.sqrt(den_x) * F.sqrt(den_y)),
+    ).otherwise(F.lit(None).cast("double"))
+    return (
+        agg.where(F.col("n_pairs") >= min_pairs)
+        .withColumn("acf", acf)
+        .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
+    )

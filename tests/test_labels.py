@@ -222,3 +222,118 @@ def test_trend_slope_fences(series):
         trend_slope(series.withColumnRenamed("k", "slope"), ["slope"], "ts", "v")
     with pytest.raises(ValueError, match="collide"):
         trend_slope(series.withColumn("__xp", F.lit(1)), ["k"], "ts", "v")
+
+
+# ---------------------------------------------------------------------------
+# autocorr_by_key
+# ---------------------------------------------------------------------------
+
+from pandera_forge_spark.operators.temporal import autocorr_by_key
+
+
+def _acf_replay(vals, lag):
+    """Same fixed IEEE tree as the engine: pairs (v_i, v_{i+lag})."""
+    pairs = [(vals[i], vals[i + lag]) for i in range(len(vals) - lag)]
+    n = float(len(pairs))
+    sx = sum(p[0] for p in pairs)
+    sy = sum(p[1] for p in pairs)
+    sxx = sum(p[0] * p[0] for p in pairs)
+    syy = sum(p[1] * p[1] for p in pairs)
+    sxy = sum(p[0] * p[1] for p in pairs)
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    if not (den_x > 0 and den_y > 0):
+        return len(pairs), None
+    return len(pairs), (n * sxy - sx * sy) / (
+        math.sqrt(den_x) * math.sqrt(den_y)
+    )
+
+
+@pytest.fixture(scope="module")
+def acf_series(spark):
+    # ramp: 0..9 -> strong positive lag-1 ACF (pairs replayed exactly)
+    # alt:  +1/-1 alternation -> ACF -1 at lag 1, +1 at lag 2
+    # flat: constant -> zero variance -> acf NULL, row kept
+    # thin: 3 points -> 2 pairs < min_pairs=3 -> dropped
+    rows = (
+        [("ramp", float(t), float(t * t % 7)) for t in range(10)]
+        + [("alt", float(t), float(1 if t % 2 else -1)) for t in range(8)]
+        + [("flat", float(t), 5.0) for t in range(6)]
+        + [("thin", float(t), float(t)) for t in range(3)]
+    )
+    return spark.createDataFrame(rows, "k string, ts double, v double")
+
+
+def test_autocorr_matches_python_replay(acf_series):
+    out = {r["k"]: r for r in autocorr_by_key(
+        acf_series, ["k"], "ts", "v", lag=1, min_pairs=3).collect()}
+    assert set(out) == {"ramp", "alt", "flat"}
+    for k, vals in {
+        "ramp": [float(t * t % 7) for t in range(10)],
+        "alt": [float(1 if t % 2 else -1) for t in range(8)],
+    }.items():
+        n, acf = _acf_replay(vals, 1)
+        assert out[k]["n_pairs"] == n
+        assert out[k]["acf"] == acf, k  # bit-identical
+    assert math.isclose(out["alt"]["acf"], -1.0)
+    assert out["flat"]["acf"] is None
+    assert out["flat"]["n_pairs"] == 5
+
+
+def test_autocorr_lag2_pairing(acf_series):
+    out = {r["k"]: r for r in autocorr_by_key(
+        acf_series, ["k"], "ts", "v", lag=2, min_pairs=3).collect()}
+    # alternating series realigns at lag 2: perfect +1
+    assert math.isclose(out["alt"]["acf"], 1.0)
+    assert out["alt"]["n_pairs"] == 6
+    n, acf = _acf_replay([float(t * t % 7) for t in range(10)], 2)
+    assert (out["ramp"]["n_pairs"], out["ramp"]["acf"]) == (n, acf)
+
+
+def test_autocorr_null_handling_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [
+            ("k", 0.0, 0, 1.0),
+            ("k", 1.0, 1, 2.0),
+            ("k", None, 2, 99.0),   # NULL ts ignored
+            ("k", 2.0, 3, None),    # NULL value ignored
+            ("k", 3.0, 4, 3.0),
+            ("k", 3.0, 5, 4.0),     # tie on ts -> id breaks it
+            ("k", 4.0, 6, 5.0),
+        ],
+        "k string, ts double, id long, v double",
+    )
+    [r] = autocorr_by_key(
+        df, ["k"], "ts", "v", lag=1, min_pairs=2, order_cols=["id"]
+    ).collect()
+    n, acf = _acf_replay([1.0, 2.0, 3.0, 4.0, 5.0], 1)
+    assert (r["n_pairs"], r["acf"]) == (n, acf)
+
+
+def test_autocorr_single_exchange_no_udf(acf_series):
+    out = autocorr_by_key(acf_series, ["k"], "ts", "v")
+    assert not has_python_udf(out)
+    assert executed_plan(out).count("Exchange hashpartitioning") == 1
+
+
+def test_autocorr_partition_independent(acf_series):
+    a = autocorr_by_key(acf_series.repartition(7), ["k"], "ts", "v").collect()
+    b = autocorr_by_key(acf_series.coalesce(1), ["k"], "ts", "v").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_autocorr_fences(acf_series):
+    with pytest.raises(ValueError, match="lag must be >= 1"):
+        autocorr_by_key(acf_series, ["k"], "ts", "v", lag=0)
+    with pytest.raises(ValueError, match="min_pairs"):
+        autocorr_by_key(acf_series, ["k"], "ts", "v", min_pairs=1)
+    with pytest.raises(ValueError, match="collide"):
+        autocorr_by_key(
+            acf_series.withColumnRenamed("k", "acf"), ["acf"], "ts", "v"
+        )
+    with pytest.raises(ValueError, match="internal working"):
+        autocorr_by_key(
+            acf_series.withColumn("__x", F.lit(1)), ["k"], "ts", "v"
+        )
+    with pytest.raises(ValueError, match="lacks columns"):
+        autocorr_by_key(acf_series, ["k"], "ts", "missing")
