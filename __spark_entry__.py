@@ -7265,6 +7265,59 @@ def q_autocorr_events(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q_null_patterns_customer(spark, sf_dir):
+    """Missingness-fingerprint census (profiler.null_pattern_census)
+    over customer with planted modular NULLs (the ts_hygiene planted-
+    CASE pattern): c_name nulls at %7, c_acctbal at %11, c_mktsegment at
+    %21 — %21 implies %7, so the census exposes the STRUCTURAL
+    dependency (c_mktsegment never goes missing alone) that pairwise null
+    correlation can only hint at. Counts are exact longs; share is one
+    raw IEEE division; the total rides the ReusedExchange of the
+    pattern aggregate (plan-asserted in pytest), never a rescan."""
+    from pandera_forge_spark.profiler import null_pattern_census
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 7 != 0, F.col("c_name")).alias(
+            "c_name"
+        ),
+        F.when(F.col("c_custkey") % 11 != 0, F.col("c_acctbal")).alias(
+            "c_acctbal"
+        ),
+        F.when(F.col("c_custkey") % 21 != 0, F.col("c_mktsegment")).alias(
+            "c_mktsegment"
+        ),
+    )
+    return null_pattern_census(
+        c, ["c_name", "c_acctbal", "c_mktsegment"]
+    ).orderBy(F.desc("n_rows"), "null_cols")
+
+
+SQL_NULL_PATTERNS_CUSTOMER = """
+WITH src AS (
+  SELECT CASE WHEN c_custkey % 7 <> 0 THEN c_name END AS c_name,
+         CASE WHEN c_custkey % 11 <> 0 THEN c_acctbal END AS c_acctbal,
+         CASE WHEN c_custkey % 21 <> 0 THEN c_mktsegment END AS c_mktsegment
+  FROM customer
+),
+g AS (
+  SELECT concat_ws(',',
+           CASE WHEN c_name IS NULL THEN 'c_name' END,
+           CASE WHEN c_acctbal IS NULL THEN 'c_acctbal' END,
+           CASE WHEN c_mktsegment IS NULL THEN 'c_mktsegment' END) AS null_cols,
+         CAST((CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+              AS INTEGER) AS n_null_cols,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM src GROUP BY 1, 2
+),
+t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tot FROM g)
+SELECT null_cols, n_null_cols, n_rows,
+       CAST(n_rows AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+FROM g, t ORDER BY n_rows DESC, null_cols
+"""
+
+
 SQL_AUTOCORR_EVENTS = """
 WITH base AS (
   SELECT event_type, ts, event_id,
@@ -7874,6 +7927,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the fixed IEEE divide+sqrt tree the sampled_cert discipline;
         # strict sweep green at BOTH SFs --------------------------------------
         "autocorr_events": q_autocorr_events,
+        # null_patterns_customer: continuation-session tail row; fused
+        # projection+groupBy census kernel and planted-CASE replay are the
+        # in-window-family hygiene_customer's, the broadcast-total idiom the
+        # repo-wide 1-row stats frame; strict sweep green at BOTH SFs ---------
+        "null_patterns_customer": q_null_patterns_customer,
     }
 
 
@@ -8053,4 +8111,5 @@ def oracle_sql() -> dict[str, str]:
         "wasserstein_orders": SQL_WASSERSTEIN_ORDERS,
         "kcore_orders": SQL_KCORE_ORDERS,
         "autocorr_events": SQL_AUTOCORR_EVENTS,
+        "null_patterns_customer": SQL_NULL_PATTERNS_CUSTOMER,
     }

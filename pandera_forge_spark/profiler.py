@@ -1524,3 +1524,62 @@ def timestamp_hygiene_report(
     return wide.select(F.explode(F.array(*structs)).alias("__r")).select(
         "__r.*"
     )
+
+
+def null_pattern_census(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Missingness-fingerprint census — which COMBINATIONS of columns
+    go missing together, with counts and shares. `null_correlation`
+    scores pairs; this is the row-level view that separates MCAR noise
+    (many small scattered patterns) from structural missingness (one
+    fat pattern = a joined source that didn't match, a form version
+    that lacked the field, an ETL branch that nulls a whole column
+    group). The fat patterns are the actionable ones: each is a cohort
+    to repair, backfill, or route around — and the census is the
+    cheapest possible triage BEFORE imputation logic keys on the wrong
+    mechanism.
+
+    Returns one row per observed pattern: ``(null_cols, n_null_cols,
+    n_rows, share)`` — ``null_cols`` the comma-joined names of the
+    columns that are NULL (in ``cols`` order; ``''`` for complete
+    rows, which are a pattern too), ``share`` one raw IEEE division of
+    exact longs.
+
+    Scale: ONE projection + ONE groupBy whose cardinality is bounded
+    by min(rows, 2^k) — real tables produce a handful of patterns, and
+    ``k <= 24`` is fenced so the worst case stays bounded. The total
+    for ``share`` rides a 1-row broadcast over the (tiny) pattern
+    frame, never a rescan of the input. Map-side partial aggregation
+    collapses each task to its distinct patterns before the exchange.
+    No UDFs, no windows, no collect.
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("null_pattern_census: cols must be non-empty")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"null_pattern_census: columns not in frame: {missing}")
+    if len(cols) > 24:
+        raise ValueError(
+            "null_pattern_census: censusing more than 24 columns risks a "
+            f"2^k-pattern explosion (got {len(cols)}); census in groups"
+        )
+    flags = [F.col(c).isNull() for c in cols]
+    pat = F.concat_ws(
+        ",", *[F.when(fl, F.lit(c)) for c, fl in zip(cols, flags)]
+    ).alias("null_cols")
+    n_null = None
+    for fl in flags:
+        t = fl.cast("int")
+        n_null = t if n_null is None else n_null + t
+    g = (
+        df.select(pat, n_null.alias("n_null_cols"))
+        .groupBy("null_cols", "n_null_cols")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    tot = g.agg(F.sum("n_rows").alias("__tot"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "null_cols",
+        "n_null_cols",
+        "n_rows",
+        (F.col("n_rows") / F.col("__tot")).alias("share"),
+    )

@@ -177,3 +177,74 @@ def test_ts_partition_independent_and_no_udf(spark):
     b = _rows(timestamp_hygiene_report(df.repartition(5), ["ts"], as_of=AS_OF))
     assert a == b
     assert not has_python_udf(timestamp_hygiene_report(df, ["ts"], as_of=AS_OF))
+
+
+# ---------------------------------------------------------------------------
+# null_pattern_census
+# ---------------------------------------------------------------------------
+
+from pandera_forge_spark.profiler import null_pattern_census
+
+
+def _census(spark):
+    rows = []
+    for i in range(60):
+        a = None if i % 3 == 0 else i
+        b = None if i % 6 == 0 else f"s{i}"
+        c = float(i)
+        rows.append((a, b, c))
+    return spark.createDataFrame(rows, "a long, b string, c double")
+
+
+def test_null_patterns_planted(spark):
+    out = {
+        r["null_cols"]: r
+        for r in null_pattern_census(_census(spark), ["a", "b", "c"]).collect()
+    }
+    # i%6==0 (10 rows): a AND b null; i%3==0 and not %6 (10 rows): a only;
+    # remaining 40: complete
+    assert set(out) == {"", "a", "a,b"}
+    assert out["a,b"]["n_rows"] == 10 and out["a,b"]["n_null_cols"] == 2
+    assert out["a"]["n_rows"] == 10 and out["a"]["n_null_cols"] == 1
+    assert out[""]["n_rows"] == 40 and out[""]["n_null_cols"] == 0
+    assert out[""]["share"] == 40 / 60  # one raw IEEE division
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-12
+
+
+def test_null_patterns_all_complete_and_subset_cols(spark):
+    df = _census(spark)
+    [r] = null_pattern_census(df, ["c"]).collect()
+    assert (r["null_cols"], r["n_null_cols"], r["n_rows"], r["share"]) == (
+        "", 0, 60, 1.0,
+    )
+    # censusing only b: the a-only rows count as complete
+    out = {r["null_cols"]: r for r in null_pattern_census(df, ["b"]).collect()}
+    assert out["b"]["n_rows"] == 10 and out[""]["n_rows"] == 50
+
+
+def test_null_patterns_single_scan_no_udf(spark):
+    out = null_pattern_census(_census(spark), ["a", "b"])
+    assert not has_python_udf(out)
+    # physically ONE scan of the input: the share-total branch reads
+    # the ReusedExchange of the pattern aggregate, never a rescan
+    out.collect()  # let AQE finalize
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes the pre-plan
+    assert final.count("Scan ExistingRDD") == 1
+    assert "ReusedExchange" in final
+
+
+def test_null_patterns_fences_and_partition_independence(spark):
+    df = _census(spark)
+    with pytest.raises(ValueError, match="non-empty"):
+        null_pattern_census(df, [])
+    with pytest.raises(ValueError, match="not in frame"):
+        null_pattern_census(df, ["nope"])
+    wide = df
+    for i in range(25):
+        wide = wide.withColumn(f"w{i}", df.a)
+    with pytest.raises(ValueError, match="24 columns"):
+        null_pattern_census(wide, [f"w{i}" for i in range(25)])
+    one = sorted(map(tuple, null_pattern_census(df.repartition(1), ["a", "b"]).collect()))
+    many = sorted(map(tuple, null_pattern_census(df.repartition(7), ["a", "b"]).collect()))
+    assert one == many
