@@ -7292,6 +7292,65 @@ def q_null_patterns_customer(spark, sf_dir):
     ).orderBy(F.desc("n_rows"), "null_cols")
 
 
+def q_dup_columns_orders(spark, sf_dir):
+    """Redundant-column census (profiler.duplicate_column_report) over
+    an orders projection with planted redundancy: an exact copy of
+    o_orderpriority, a near-copy mutated to 'LEGACY' at %97 (the
+    backfill-bug smell), and an unrelated same-typed column. One fused
+    aggregate counts all six same-dtype pairs in a single scan;
+    null-safe raw-value comparison keeps every count engine-exact."""
+    from pandera_forge_spark.profiler import duplicate_column_report
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderpriority").alias("prio_copy"),
+        F.when(
+            F.col("o_orderkey") % 97 != 0, F.col("o_orderpriority")
+        )
+        .otherwise(F.lit("LEGACY"))
+        .alias("prio_legacy"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return duplicate_column_report(o).orderBy("col_a", "col_b")
+
+
+def _dup_columns_oracle_sql():
+    cols = ["prio", "prio_copy", "prio_legacy", "status"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    dsel = ",\n    ".join(
+        f"CAST(SUM(CASE WHEN {a} IS DISTINCT FROM {b} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS d{i}"
+        for i, (a, b) in enumerate(pairs)
+    )
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT '{a}' AS col_a, '{b}' AS col_b, 'string' AS dtype, "
+        f"n_rows, d{i} AS n_diff, "
+        f"CAST(d{i} AS DOUBLE) / CAST(n_rows AS DOUBLE) AS diff_share, "
+        f"d{i} = 0 AS identical FROM w"
+        for i, (a, b) in enumerate(pairs)
+    )
+    return f"""
+WITH src AS (
+  SELECT o_orderpriority AS prio, o_orderpriority AS prio_copy,
+         CASE WHEN o_orderkey % 97 <> 0 THEN o_orderpriority
+              ELSE 'LEGACY' END AS prio_legacy,
+         o_orderstatus AS status
+  FROM orders
+),
+w AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+    {dsel}
+  FROM src
+)
+SELECT * FROM (
+{arms}
+) ORDER BY col_a, col_b
+"""
+
+
+SQL_DUP_COLUMNS_ORDERS = _dup_columns_oracle_sql()
+
+
 SQL_NULL_PATTERNS_CUSTOMER = """
 WITH src AS (
   SELECT CASE WHEN c_custkey % 7 <> 0 THEN c_name END AS c_name,
@@ -7932,6 +7991,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window-family hygiene_customer's, the broadcast-total idiom the
         # repo-wide 1-row stats frame; strict sweep green at BOTH SFs ---------
         "null_patterns_customer": q_null_patterns_customer,
+        # dup_columns_orders: continuation-session tail row; one fused
+        # SUM(CASE) aggregate + struct-explode melt = the hygiene_customer
+        # kernel verbatim, null-safe raw-value equality (no rendering);
+        # strict sweep green at BOTH SFs ---------------------------------------
+        "dup_columns_orders": q_dup_columns_orders,
     }
 
 
@@ -8112,4 +8176,5 @@ def oracle_sql() -> dict[str, str]:
         "kcore_orders": SQL_KCORE_ORDERS,
         "autocorr_events": SQL_AUTOCORR_EVENTS,
         "null_patterns_customer": SQL_NULL_PATTERNS_CUSTOMER,
+        "dup_columns_orders": SQL_DUP_COLUMNS_ORDERS,
     }

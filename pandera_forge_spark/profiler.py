@@ -1583,3 +1583,91 @@ def null_pattern_census(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         "n_rows",
         (F.col("n_rows") / F.col("__tot")).alias("share"),
     )
+
+
+def duplicate_column_report(
+    df: DataFrame, cols: Optional[Sequence[str]] = None
+) -> DataFrame:
+    """Redundant-column census — which columns carry the SAME value on
+    every row. Wide warehouse tables accrete copies: a renamed legacy
+    column kept "for compatibility", a join that duplicated its key,
+    an ETL branch that materialized the same derivation twice. Each
+    copy costs a full column of storage and scan I/O at 10^12 rows and
+    silently double-weights features downstream; this census finds
+    them in ONE scan, before a human eyeballs k columns pairwise.
+
+    Compares every SAME-DTYPE pair among ``cols`` (default: all
+    columns) row-wise with null-safe equality on the RAW values — no
+    string rendering, so the counts are engine-exact (a cross-dtype
+    pair is by definition not a duplicate column; a widened copy is
+    `type_headroom_report`'s finding, not this one's). Returns one row
+    per pair: ``(col_a, col_b, dtype, n_rows, n_diff, diff_share,
+    identical)`` — ``n_diff`` the exact count of rows where the two
+    differ (NULL == NULL counts as equal), ``diff_share`` one raw IEEE
+    division, ``identical`` true iff ``n_diff = 0``. Near-copies
+    (``diff_share`` ~ 0) are the "same column plus a backfill bug"
+    smell worth a look too.
+
+    Scale: ALL pairs count in ONE fused aggregate — a single scan, no
+    shuffle of raw rows (the exchange carries one partial state per
+    task), every comparison a JVM expression inside whole-stage
+    codegen. k columns make k(k-1)/2 counters; ``k <= 40`` is fenced
+    (780 longs of aggregate state) — census wider tables in dtype
+    groups. Zero same-dtype pairs return an EMPTY frame with the
+    stable schema, not an error.
+    """
+    cs = list(cols) if cols is not None else list(df.columns)
+    if not cs:
+        raise ValueError("duplicate_column_report: cols must be non-empty")
+    missing = [c for c in cs if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"duplicate_column_report: columns not in frame: {missing}"
+        )
+    if len(set(cs)) != len(cs):
+        raise ValueError("duplicate_column_report: duplicate names in cols")
+    if len(cs) > 40:
+        raise ValueError(
+            "duplicate_column_report: censusing more than 40 columns means "
+            f"{len(cs) * (len(cs) - 1) // 2} pair counters in one aggregate "
+            f"(got {len(cs)} columns); census in dtype groups"
+        )
+    dt = dict(df.dtypes)
+    pairs = [
+        (a, b)
+        for i, a in enumerate(cs)
+        for b in cs[i + 1 :]
+        if dt[a] == dt[b]
+    ]
+    out_schema = (
+        "col_a string, col_b string, dtype string, n_rows bigint, "
+        "n_diff bigint, diff_share double, identical boolean"
+    )
+    if not pairs:
+        return df.sparkSession.createDataFrame([], out_schema)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, (a, b) in enumerate(pairs):
+        aggs.append(
+            _count_if(~F.col(a).eqNullSafe(F.col(b))).alias(f"__d_{i}")
+        )
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.lit(dt[a]).alias("dtype"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"__d_{i}").alias("n_diff"),
+            F.when(
+                F.col("n_rows") > 0,
+                F.col(f"__d_{i}") / F.col("n_rows"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("diff_share"),
+            (F.col(f"__d_{i}") == 0).alias("identical"),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("__r")).select(
+        "__r.*"
+    )

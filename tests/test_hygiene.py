@@ -248,3 +248,79 @@ def test_null_patterns_fences_and_partition_independence(spark):
     one = sorted(map(tuple, null_pattern_census(df.repartition(1), ["a", "b"]).collect()))
     many = sorted(map(tuple, null_pattern_census(df.repartition(7), ["a", "b"]).collect()))
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# duplicate_column_report
+# ---------------------------------------------------------------------------
+
+from pandera_forge_spark.profiler import duplicate_column_report
+
+
+def _dupcols(spark):
+    rows = []
+    for i in range(50):
+        s = f"v{i % 5}"
+        rows.append((
+            s,                                  # a: base
+            s,                                  # b: exact copy of a
+            s if i % 10 else "MUT",             # c: near-copy (5 diffs)
+            None if i % 7 == 0 else s,          # d: copy with extra nulls
+            i,                                  # x: long
+            i,                                  # y: long copy
+            float(i),                           # z: double (no same-type twin)
+        ))
+    return spark.createDataFrame(
+        rows, "a string, b string, c string, d string, x long, y long, z double"
+    )
+
+
+def test_dupcols_planted(spark):
+    out = {
+        (r["col_a"], r["col_b"]): r
+        for r in duplicate_column_report(_dupcols(spark)).collect()
+    }
+    # string pairs: (a,b) (a,c) (a,d) (b,c) (b,d) (c,d); long pair (x,y)
+    assert len(out) == 7
+    ab = out[("a", "b")]
+    assert ab["identical"] and ab["n_diff"] == 0 and ab["dtype"] == "string"
+    assert out[("x", "y")]["identical"]
+    ac = out[("a", "c")]
+    assert ac["n_diff"] == 5 and not ac["identical"]
+    assert ac["diff_share"] == 5 / 50
+    # NULL vs value differs; NULL==NULL would count equal
+    ad = out[("a", "d")]
+    assert ad["n_diff"] == 8  # i in {0,7,14,21,28,35,42,49}
+    assert out[("c", "d")]["n_diff"] == 12  # 8 nulls + 5 MUT - overlap i=35? no: MUT at %10==0 -> {0,10,20,30,40}; nulls {0,7,...}; i=0 in both
+    assert not has_python_udf(duplicate_column_report(_dupcols(spark)))
+
+
+def test_dupcols_single_scan_and_partition_independence(spark):
+    df = _dupcols(spark)
+    out = duplicate_column_report(df, ["a", "b", "c"])
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("logicalrdd") == 1
+    one = sorted(map(tuple, duplicate_column_report(df.repartition(1)).collect()))
+    many = sorted(map(tuple, duplicate_column_report(df.repartition(7)).collect()))
+    assert one == many
+
+
+def test_dupcols_no_pairs_empty_and_fences(spark):
+    df = _dupcols(spark)
+    out = duplicate_column_report(df, ["a", "x", "z"])  # all dtypes differ
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "col_a", "col_b", "dtype", "n_rows", "n_diff", "diff_share",
+        "identical",
+    ]
+    with pytest.raises(ValueError, match="non-empty"):
+        duplicate_column_report(df, [])
+    with pytest.raises(ValueError, match="not in frame"):
+        duplicate_column_report(df, ["nope"])
+    with pytest.raises(ValueError, match="duplicate names"):
+        duplicate_column_report(df, ["a", "a"])
+    wide = df
+    for i in range(41):
+        wide = wide.withColumn(f"w{i}", df.a)
+    with pytest.raises(ValueError, match="40 columns"):
+        duplicate_column_report(wide, [f"w{i}" for i in range(41)])
