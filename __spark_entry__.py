@@ -7292,6 +7292,64 @@ def q_null_patterns_customer(spark, sf_dir):
     ).orderBy(F.desc("n_rows"), "null_cols")
 
 
+def q_shape_census_orders(spark, sf_dir):
+    """Inductive format-shape census (profiler.shape_census) of
+    o_orderpriority with planted dirt (the ts_hygiene planted-CASE
+    pattern): lowercased at %41 (case slip), a non-ASCII '№' appended
+    at %113 (encoding bleed). The clean column has exactly two
+    collapsed shapes ('9-A' and '9-A A'); the mutations add their
+    variants, each with an exact count, a share (one raw IEEE
+    division) and a binary-min example — the constraint-induction
+    view that says which formats exist BEFORE pattern_ratios asks
+    about known ones."""
+    from pandera_forge_spark.profiler import shape_census
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderkey") % 41 == 0, F.lower(F.col("o_orderpriority"))
+        )
+        .when(
+            F.col("o_orderkey") % 113 == 0,
+            F.concat(F.col("o_orderpriority"), F.lit("№")),
+        )
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio")
+    )
+    return shape_census(o, "prio").orderBy(F.desc("n_rows"), "shape")
+
+
+SQL_SHAPE_CENSUS_ORDERS = r"""
+WITH src AS (
+  SELECT CASE WHEN o_orderkey % 41 = 0 THEN lower(o_orderpriority)
+              WHEN o_orderkey % 113 = 0 THEN o_orderpriority || '№'
+              ELSE o_orderpriority END AS v
+  FROM orders
+),
+shaped AS (
+  SELECT v,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      v, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[0-9]', '9', 'g'),
+      '[^\x00-\x7F]', 'U', 'g') AS s0
+  FROM src
+),
+collapsed AS (
+  SELECT v,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      s0, 'A+', 'A', 'g'), 'a+', 'a', 'g'), '9+', '9', 'g'),
+      'U+', 'U', 'g') AS shape
+  FROM shaped
+),
+g AS (
+  SELECT shape, CAST(COUNT(*) AS BIGINT) AS n_rows, MIN(v) AS example
+  FROM collapsed GROUP BY 1
+)
+SELECT shape, n_rows,
+       CAST(n_rows AS DOUBLE) / CAST(SUM(n_rows) OVER () AS DOUBLE) AS share,
+       example
+FROM g ORDER BY n_rows DESC, shape
+"""
+
+
 def q_dup_columns_orders(spark, sf_dir):
     """Redundant-column census (profiler.duplicate_column_report) over
     an orders projection with planted redundancy: an exact copy of
@@ -7996,6 +8054,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kernel verbatim, null-safe raw-value equality (no rendering);
         # strict sweep green at BOTH SFs ---------------------------------------
         "dup_columns_orders": q_dup_columns_orders,
+        # shape_census_orders: continuation-session tail row; JVM
+        # regexp_replace chain = the pattern_ratios/pii family's engine
+        # surface, planted-CASE mutation replay = hygiene_customer's,
+        # post-agg window total over the tiny census frame; strict sweep
+        # green at BOTH SFs ----------------------------------------------------
+        "shape_census_orders": q_shape_census_orders,
     }
 
 
@@ -8177,4 +8241,5 @@ def oracle_sql() -> dict[str, str]:
         "autocorr_events": SQL_AUTOCORR_EVENTS,
         "null_patterns_customer": SQL_NULL_PATTERNS_CUSTOMER,
         "dup_columns_orders": SQL_DUP_COLUMNS_ORDERS,
+        "shape_census_orders": SQL_SHAPE_CENSUS_ORDERS,
     }

@@ -1671,3 +1671,73 @@ def duplicate_column_report(
     return wide.select(F.explode(F.array(*structs)).alias("__r")).select(
         "__r.*"
     )
+
+
+def shape_census(
+    df: DataFrame, col: str, collapse_runs: bool = True
+) -> DataFrame:
+    """Inductive string-FORMAT census — the OpenRefine/Trifacta shape
+    view: every value maps to its character-class skeleton (uppercase
+    → ``A``, lowercase → ``a``, digit → ``9``, non-ASCII → ``U``,
+    punctuation/space kept verbatim), optionally with runs collapsed
+    (``Clerk#000000382`` → ``Aa#9``), and the census counts rows per
+    shape. Where `pattern_ratios` asks "how many values match these 17
+    KNOWN formats", this asks the inductive question a profiler needs
+    first: "how many formats does this column HAVE" — the classic
+    constraint-induction view ("99.97% share one shape; the 14
+    stragglers are the dirty rows") and the fastest tripwire for a
+    mixed-source column.
+
+    Returns ``(shape, n_rows, share, example)`` — ``example`` the
+    MINIMUM raw value of the shape (binary-collation min: exact and
+    engine-stable, not "first seen"), ``share`` one raw IEEE division.
+    NULLs are excluded (they have no shape; `null_pattern_census`
+    owns them). String-typed columns only — the shape of a rendered
+    float is an engine artifact, not a data property.
+
+    Scale: one projection (a fixed chain of JVM ``regexp_replace``,
+    whole-stage-codegen, no UDF) + one groupBy whose cardinality is
+    the number of distinct shapes; the share total is one
+    single-partition window over the CENSUS frame (O(shapes) rows —
+    the example column blocks the ReusedExchange trick the null
+    census uses), never a rescan of the input. A census with millions
+    of shapes is the column telling you it has no format — use
+    ``collapse_runs=True`` (the default) there.
+    """
+    if col not in df.columns:
+        raise ValueError(f"shape_census: column {col!r} not in frame")
+    dt = dict(df.dtypes)[col]
+    if not (dt == "string" or dt.startswith("varchar") or dt.startswith("char")):
+        raise ValueError(
+            f"shape_census: column {col!r} is {dt} — shapes of rendered "
+            "non-strings are engine artifacts; cast deliberately first"
+        )
+    s = F.col(col)
+    # ASCII classes first, the non-ASCII -> 'U' map LAST: 'U' is itself
+    # an uppercase letter, so mapping it earlier would hand it to the
+    # [A-Z] pass and silently merge the non-ASCII class into 'A'
+    shape = F.regexp_replace(s, "[A-Z]", "A")
+    shape = F.regexp_replace(shape, "[a-z]", "a")
+    shape = F.regexp_replace(shape, "[0-9]", "9")
+    shape = F.regexp_replace(shape, r"[^\x00-\x7F]", "U")
+    if collapse_runs:
+        for ch in ("A", "a", "9", "U"):
+            shape = F.regexp_replace(shape, ch + "+", ch)
+    from pyspark.sql import Window
+
+    g = (
+        df.where(s.isNotNull())
+        .select(shape.alias("shape"), s.alias("__v"))
+        .groupBy("shape")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__v").alias("example"),
+        )
+    )
+    tot = F.sum("n_rows").over(Window.partitionBy())
+    return g.select(
+        "shape",
+        "n_rows",
+        (F.col("n_rows") / tot).alias("share"),
+        "example",
+    )

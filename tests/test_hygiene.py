@@ -324,3 +324,63 @@ def test_dupcols_no_pairs_empty_and_fences(spark):
         wide = wide.withColumn(f"w{i}", df.a)
     with pytest.raises(ValueError, match="40 columns"):
         duplicate_column_report(wide, [f"w{i}" for i in range(41)])
+
+
+# ---------------------------------------------------------------------------
+# shape_census
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F
+
+from pandera_forge_spark.profiler import shape_census
+
+
+def _shapes(spark):
+    rows = [
+        ("Clerk#000000382",),
+        ("Clerk#000000999",),
+        ("clerk#42",),       # lowercased variant
+        ("AB-12 x",),
+        ("née Müller",),     # non-ASCII -> U
+        (None,),
+    ]
+    return spark.createDataFrame(rows, "v string")
+
+
+def test_shape_census_collapsed(spark):
+    out = {r["shape"]: r for r in shape_census(_shapes(spark), "v").collect()}
+    assert set(out) == {"Aa#9", "a#9", "A-9 a", "aUa AUa"}
+    c = out["Aa#9"]
+    assert c["n_rows"] == 2
+    assert c["example"] == "Clerk#000000382"  # binary min, not first-seen
+    assert c["share"] == 2 / 5  # NULL excluded from the total
+    assert out["aUa AUa"]["n_rows"] == 1  # é->U, ü->U
+
+
+def test_shape_census_raw_runs(spark):
+    out = {
+        r["shape"]: r["n_rows"]
+        for r in shape_census(_shapes(spark), "v", collapse_runs=False).collect()
+    }
+    assert out["Aaaaa#999999999"] == 2
+    assert out["aaaaa#99"] == 1
+    assert out["AA-99 a"] == 1
+
+
+def test_shape_census_plan_and_fences(spark):
+    df = _shapes(spark)
+    out = shape_census(df, "v")
+    assert not has_python_udf(out)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # one scan of the input: the share total is a window over the
+    # already-aggregated census frame, not a rescan
+    assert final.count("Scan ExistingRDD") == 1
+    with pytest.raises(ValueError, match="not in frame"):
+        shape_census(df, "nope")
+    with pytest.raises(ValueError, match="engine artifacts"):
+        shape_census(df.select(F.length("v").alias("n")), "n")
+    one = sorted(map(tuple, shape_census(df.repartition(1), "v").collect()))
+    many = sorted(map(tuple, shape_census(df.repartition(5), "v").collect()))
+    assert one == many
