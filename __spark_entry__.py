@@ -7292,6 +7292,45 @@ def q_null_patterns_customer(spark, sf_dir):
     ).orderBy(F.desc("n_rows"), "null_cols")
 
 
+def q_lateness_events(spark, sf_dir):
+    """Watermark-design census (operators/temporal.py lateness_census):
+    replay the events stream's arrival order (event_id) against event
+    time per event type and count how many events a watermark of 60 s /
+    1 h would have dropped, plus the max lateness — the number a team
+    needs BEFORE committing a withWatermark delay. Event times compare
+    as MICROSECOND longs (unix_micros / epoch_us), so the running max
+    and every threshold count are engine-exact integers."""
+    from pandera_forge_spark.operators.temporal import lateness_census
+
+    e = _t(spark, sf_dir, "events")
+    return lateness_census(
+        e, "ts", "event_id", ["event_type"], thresholds=[60, 3600]
+    ).orderBy("event_type")
+
+
+SQL_LATENESS_EVENTS = """
+WITH base AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us
+  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+),
+lat AS (
+  SELECT event_type,
+         MAX(ts_us) OVER (PARTITION BY event_type ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - ts_us AS late
+  FROM base
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(late) AS BIGINT) AS max_late_us,
+       CAST(SUM(CASE WHEN late > 60000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS late_60s,
+       CAST(SUM(CASE WHEN late > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS late_3600s
+FROM lat GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_shape_census_orders(spark, sf_dir):
     """Inductive format-shape census (profiler.shape_census) of
     o_orderpriority with planted dirt (the ts_hygiene planted-CASE
@@ -8060,6 +8099,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # post-agg window total over the tiny census frame; strict sweep
         # green at BOTH SFs ----------------------------------------------------
         "shape_census_orders": q_shape_census_orders,
+        # lateness_events: continuation-session tail row; the one-Exchange
+        # window+fused-count kernel is the sequence/monotonic family's
+        # (in-window monotonic_value_user / sequence_gaps_user), time compared
+        # as unix_micros longs per the hourly_rollup precedent; strict sweep
+        # green at BOTH SFs ----------------------------------------------------
+        "lateness_events": q_lateness_events,
     }
 
 
@@ -8242,4 +8287,5 @@ def oracle_sql() -> dict[str, str]:
         "null_patterns_customer": SQL_NULL_PATTERNS_CUSTOMER,
         "dup_columns_orders": SQL_DUP_COLUMNS_ORDERS,
         "shape_census_orders": SQL_SHAPE_CENSUS_ORDERS,
+        "lateness_events": SQL_LATENESS_EVENTS,
     }

@@ -1770,3 +1770,89 @@ def autocorr_by_key(
         .withColumn("acf", acf)
         .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
     )
+
+
+def lateness_census(
+    df: DataFrame,
+    ts_col: str,
+    arrival_col: str,
+    key_cols: Sequence[str] = (),
+    thresholds: Sequence[int] = (60, 300, 3600, 86400),
+) -> DataFrame:
+    """Watermark-design census: if this stream ran through a watermark
+    of delay ``d``, how many events would arrive too late and be
+    dropped? Replays the stream's ARRIVAL order (``arrival_col`` — an
+    ingest sequence, kafka offset, file index) against its EVENT time:
+    an event's lateness is ``high_watermark_at_arrival − event_time``
+    (0 for in-order events), and the census counts events whose
+    lateness exceeds each candidate ``threshold`` (seconds), plus the
+    max lateness seen — exactly the numbers a team needs BEFORE
+    committing a `withWatermark` delay, answered from history instead
+    of production incident reports.
+
+    Returns per key (or one global row when ``key_cols`` is empty):
+    ``(keys..., n_events, max_late_us, late_<t>s...)`` — all exact
+    integers (event times compared in MICROSECONDS as longs, so both
+    the running max and every threshold comparison are engine-exact;
+    no float time arithmetic anywhere). Rows with NULL timestamp or
+    arrival raise nothing and are EXCLUDED (they never reach a
+    watermark operator either); ties in arrival order make the
+    running max ambiguous only between equal instants, not in value.
+
+    Scale shape: one cumulative-max window along arrival order + one
+    fused conditional-sum groupBy on the SAME keys — Catalyst plans
+    ONE Exchange. The window is a running max (no buffering beyond
+    the sort), and the per-key sort is the standard hot-key caveat of
+    the sequence family. Global mode (no keys) is a single-partition
+    sort — fine for one topic's history, shard by key for a fleet.
+    """
+    if not thresholds:
+        raise ValueError("lateness_census: thresholds must be non-empty")
+    ths = [int(t) for t in thresholds]
+    if any(t < 0 for t in ths):
+        raise ValueError(f"lateness_census: thresholds must be >= 0: {ths}")
+    if len(set(ths)) != len(ths):
+        raise ValueError(f"lateness_census: duplicate thresholds: {ths}")
+    keys = list(key_cols)
+    _check_reserved(df, ["__ts_us", "__late"], "lateness_census")
+    clash = set(keys) & (
+        {"n_events", "max_late_us"} | {f"late_{t}s" for t in ths}
+    )
+    if clash:
+        raise ValueError(
+            f"lateness_census: key columns {sorted(clash)} collide with "
+            "output names — rename them"
+        )
+    missing = [
+        c for c in keys + [ts_col, arrival_col] if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(f"lateness_census: frame lacks columns {missing}")
+    dtype = dict(df.dtypes)[ts_col]
+    ts_us = (
+        F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+        if dtype.startswith("timestamp")
+        else (F.col(ts_col).cast("double") * F.lit(1000000.0)).cast("long")
+    )
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col(arrival_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = (
+        df.where(F.col(ts_col).isNotNull() & F.col(arrival_col).isNotNull())
+        .withColumn("__ts_us", ts_us)
+        .withColumn("__late", F.max("__ts_us").over(w) - F.col("__ts_us"))
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("__late").alias("max_late_us"),
+    ] + [
+        F.sum((F.col("__late") > t * 1000000).cast("long")).alias(
+            f"late_{t}s"
+        )
+        for t in ths
+    ]
+    if keys:
+        return base.groupBy(*keys).agg(*aggs)
+    return base.agg(*aggs)

@@ -337,3 +337,88 @@ def test_autocorr_fences(acf_series):
         )
     with pytest.raises(ValueError, match="lacks columns"):
         autocorr_by_key(acf_series, ["k"], "ts", "missing")
+
+
+# ---------------------------------------------------------------------------
+# lateness_census
+# ---------------------------------------------------------------------------
+
+from pandera_forge_spark.operators.temporal import lateness_census
+
+
+def _late_df(spark):
+    # arrival order 0..7; event seconds chosen to plant exact lateness:
+    # hw:      10 10 30 30 30 100 100 100
+    # late(s):  0  5  0 25  1   0  95  0
+    rows = [
+        ("k", 0, 10.0), ("k", 1, 5.0), ("k", 2, 30.0), ("k", 3, 5.0),
+        ("k", 4, 29.0), ("k", 5, 100.0), ("k", 6, 5.0), ("k", 7, 100.0),
+        ("q", 0, 1.0), ("q", 1, 2.0),  # fully in order
+        ("q", 2, None), (None if False else "q", None, 3.0),  # ignored rows
+    ]
+    return spark.createDataFrame(rows, "k string, arr long, ts double")
+
+
+def test_lateness_planted(spark):
+    out = {
+        r["k"]: r
+        for r in lateness_census(
+            _late_df(spark), "ts", "arr", ["k"], thresholds=[1, 10, 60]
+        ).collect()
+    }
+    k = out["k"]
+    assert k["n_events"] == 8
+    assert k["max_late_us"] == 95_000_000
+    # late > 1s: {5, 25, 95}; > 10s: {25, 95}; > 60s: {95}
+    assert (k["late_1s"], k["late_10s"], k["late_60s"]) == (3, 2, 1)
+    q = out["q"]
+    assert q["n_events"] == 2  # NULL ts / NULL arrival excluded
+    assert q["max_late_us"] == 0
+    assert (q["late_1s"], q["late_10s"], q["late_60s"]) == (0, 0, 0)
+
+
+def test_lateness_global_and_timestamp_input(spark):
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [
+            (0, datetime(2024, 1, 1, 0, 0, 10)),
+            (1, datetime(2024, 1, 1, 0, 0, 5)),   # 5 s late
+            (2, datetime(2024, 1, 1, 0, 1, 0)),
+        ],
+        "arr long, ts timestamp",
+    )
+    [r] = lateness_census(df, "ts", "arr", thresholds=[1, 30]).collect()
+    assert r["n_events"] == 3
+    assert r["max_late_us"] == 5_000_000
+    assert (r["late_1s"], r["late_30s"]) == (1, 0)
+
+
+def test_lateness_single_exchange_and_partition_independence(spark):
+    df = _late_df(spark)
+    out = lateness_census(df, "ts", "arr", ["k"], thresholds=[1])
+    assert not has_python_udf(out)
+    assert executed_plan(out).count("Exchange hashpartitioning") == 1
+    a = lateness_census(df.repartition(7), "ts", "arr", ["k"]).collect()
+    b = lateness_census(df.coalesce(1), "ts", "arr", ["k"]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_lateness_fences(spark):
+    df = _late_df(spark)
+    with pytest.raises(ValueError, match="non-empty"):
+        lateness_census(df, "ts", "arr", thresholds=[])
+    with pytest.raises(ValueError, match=">= 0"):
+        lateness_census(df, "ts", "arr", thresholds=[-1])
+    with pytest.raises(ValueError, match="duplicate thresholds"):
+        lateness_census(df, "ts", "arr", thresholds=[5, 5])
+    with pytest.raises(ValueError, match="collide"):
+        lateness_census(
+            df.withColumnRenamed("k", "n_events"), "ts", "arr", ["n_events"]
+        )
+    with pytest.raises(ValueError, match="lacks columns"):
+        lateness_census(df, "ts", "missing")
+    with pytest.raises(ValueError, match="internal working"):
+        lateness_census(
+            df.withColumn("__late", F.lit(1)), "ts", "arr", ["k"]
+        )
