@@ -7292,6 +7292,54 @@ def q_null_patterns_customer(spark, sf_dir):
     ).orderBy(F.desc("n_rows"), "null_cols")
 
 
+def q_cadence_events(spark, sf_dir):
+    """Inter-event cadence fingerprint (operators/temporal.py
+    cadence_profile) per user — cv_gap ≈ 0 is a metronomic script,
+    ≈ 1 Poisson, ≫ 1 bursty; n_zero_gaps counts same-second bursts.
+    Gaps are floored epoch-second longs, the moment sums exact, and
+    mean/cv one fixed IEEE division/sqrt tree each — DuckDB replays
+    the identical window + tree value-for-value."""
+    from pandera_forge_spark.operators.temporal import cadence_profile
+
+    e = _t(spark, sf_dir, "events")
+    return cadence_profile(
+        e, ["user_id"], "ts", min_gaps=5, order_cols=["event_id"]
+    ).orderBy("user_id")
+
+
+SQL_CADENCE_EVENTS = """
+WITH base AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, ts, event_id
+  FROM events WHERE ts IS NOT NULL
+),
+gaps AS (
+  SELECT user_id,
+         t - LAG(t, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS g
+  FROM base
+),
+m AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(MIN(g) AS BIGINT) AS min_gap,
+         CAST(MAX(g) AS BIGINT) AS max_gap,
+         CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_gaps,
+         CAST(SUM(g) AS BIGINT) AS sg,
+         CAST(SUM(g * g) AS BIGINT) AS sgg
+  FROM gaps WHERE g IS NOT NULL GROUP BY 1
+)
+SELECT user_id, n_gaps, min_gap, max_gap, n_zero_gaps,
+       CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap,
+       CASE WHEN sg > 0
+            THEN SQRT(CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+                      - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                 / CAST(sg AS DOUBLE)
+            ELSE NULL END AS cv_gap
+FROM m WHERE n_gaps >= 5 ORDER BY user_id
+"""
+
+
 def q_lateness_events(spark, sf_dir):
     """Watermark-design census (operators/temporal.py lateness_census):
     replay the events stream's arrival order (event_id) against event
@@ -8105,6 +8153,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # as unix_micros longs per the hourly_rollup precedent; strict sweep
         # green at BOTH SFs ----------------------------------------------------
         "lateness_events": q_lateness_events,
+        # cadence_events: continuation-session tail row; lag-window +
+        # one-Exchange moment kernel = autocorr_events/trend_slope family,
+        # the fixed divide+sqrt tree the sampled_cert discipline; strict
+        # sweep green at BOTH SFs ----------------------------------------------
+        "cadence_events": q_cadence_events,
     }
 
 
@@ -8288,4 +8341,5 @@ def oracle_sql() -> dict[str, str]:
         "dup_columns_orders": SQL_DUP_COLUMNS_ORDERS,
         "shape_census_orders": SQL_SHAPE_CENSUS_ORDERS,
         "lateness_events": SQL_LATENESS_EVENTS,
+        "cadence_events": SQL_CADENCE_EVENTS,
     }

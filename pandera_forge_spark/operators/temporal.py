@@ -1856,3 +1856,97 @@ def lateness_census(
     if keys:
         return base.groupBy(*keys).agg(*aggs)
     return base.agg(*aggs)
+
+
+def cadence_profile(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    min_gaps: int = 3,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Inter-event cadence fingerprint per key — the bot/metronome
+    triage the event-time family lacks: sort each key's events by
+    time, take the gaps, and profile their REGULARITY. A script posting
+    on a timer has coefficient-of-variation ≈ 0 (metronomic), Poisson
+    arrivals sit near 1, bursty humans well above it — so ``cv_gap``
+    orders a review queue by "how machine-like is this key's clock"
+    using nothing but timestamps. ``n_zero_gaps`` (events in the same
+    second) is the burst/bulk-insert tell alongside it.
+
+    Returns ``(keys..., n_gaps, min_gap, max_gap, n_zero_gaps,
+    mean_gap, cv_gap)`` — gaps in whole SECONDS (floored epoch, the
+    ``trend_slope`` convention: squaring second-scale gaps keeps the
+    moment sums in the exact range; microsecond cadence profiling is a
+    different tool). ``mean_gap`` is one raw IEEE division;
+    ``cv_gap = sqrt(n·Σg² − (Σg)²) / Σg`` (population CV) is one fixed
+    IEEE tree over exact long sums — bit-replayable on any engine —
+    and NULL when every gap is zero (no clock to profile, but the key
+    keeps its row: all-zero gaps IS the finding). Keys with fewer than
+    ``min_gaps`` gaps are dropped. NULL timestamps are ignored; ties
+    in ``(ts, *order_cols)`` are harmless here (a zero gap either way).
+
+    Scale shape: one lag window + one fused moment groupBy on the SAME
+    keys — ONE Exchange, algebraic aggregate, O(distinct keys) shuffle
+    rows; the per-key sort is the sequence family's hot-key caveat.
+    Exactness bound (the ``trend_slope`` contract): Σg² stays exact
+    below 2^53 — a year-spanning key (gaps ≤ 3.2e7 s) holds ~9M gaps
+    before the bound, and both engines compute the identical IEEE tree
+    beyond it anyway.
+    """
+    if min_gaps < 1:
+        raise ValueError(
+            f"cadence_profile: min_gaps must be >= 1, got {min_gaps}"
+        )
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("cadence_profile: key_cols must be non-empty")
+    _check_reserved(df, ["__t", "__g"], "cadence_profile")
+    clash = set(keys) & {
+        "n_gaps", "min_gap", "max_gap", "n_zero_gaps", "mean_gap", "cv_gap"
+    }
+    if clash:
+        raise ValueError(
+            f"cadence_profile: key columns {sorted(clash)} collide with "
+            "output names — rename them"
+        )
+    missing = [
+        c for c in keys + [ts_col, *order_cols] if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(f"cadence_profile: frame lacks columns {missing}")
+
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col(ts_col), *[F.col(c) for c in order_cols])
+    )
+    base = (
+        df.where(F.col(ts_col).isNotNull())
+        .withColumn("__t", F.floor(_seconds(df, ts_col)).cast("long"))
+        .withColumn("__g", F.col("__t") - F.lag("__t", 1).over(w))
+        .where(F.col("__g").isNotNull())
+    )
+    g = F.col("__g")
+    agg = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min(g).alias("min_gap"),
+        F.max(g).alias("max_gap"),
+        F.sum((g == 0).cast("long")).alias("n_zero_gaps"),
+        F.sum(g).alias("__sg"),
+        F.sum(g * g).alias("__sgg"),
+    )
+    n_d = F.col("n_gaps").cast("double")
+    sg_d = F.col("__sg").cast("double")
+    sgg_d = F.col("__sgg").cast("double")
+    return (
+        agg.where(F.col("n_gaps") >= min_gaps)
+        .withColumn("mean_gap", sg_d / n_d)
+        .withColumn(
+            "cv_gap",
+            F.when(
+                F.col("__sg") > 0,
+                F.sqrt(n_d * sgg_d - sg_d * sg_d) / sg_d,
+            ).otherwise(F.lit(None).cast("double")),
+        )
+        .drop("__sg", "__sgg")
+    )

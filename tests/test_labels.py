@@ -422,3 +422,96 @@ def test_lateness_fences(spark):
         lateness_census(
             df.withColumn("__late", F.lit(1)), "ts", "arr", ["k"]
         )
+
+
+# ---------------------------------------------------------------------------
+# cadence_profile
+# ---------------------------------------------------------------------------
+
+from pandera_forge_spark.operators.temporal import cadence_profile
+
+
+def _cadence_replay(secs):
+    ts = sorted(int(math.floor(s)) for s in secs)
+    gaps = [b - a for a, b in zip(ts, ts[1:])]
+    n = len(gaps)
+    sg = sum(gaps)
+    sgg = sum(x * x for x in gaps)
+    mean = float(sg) / float(n)
+    cv = (
+        math.sqrt(float(n) * float(sgg) - float(sg) * float(sg)) / float(sg)
+        if sg > 0
+        else None
+    )
+    return {
+        "n_gaps": n, "min_gap": min(gaps), "max_gap": max(gaps),
+        "n_zero_gaps": sum(1 for x in gaps if x == 0),
+        "mean_gap": mean, "cv_gap": cv,
+    }
+
+
+def test_cadence_planted(spark):
+    # bot: exact 60 s metronome -> cv 0; human: irregular; burst: all
+    # at the same second -> cv NULL; thin: dropped by min_gaps
+    rows = (
+        [("bot", 60.0 * i) for i in range(10)]
+        + [("human", s) for s in (0.0, 7.0, 9.0, 100.0, 101.0, 350.0)]
+        + [("burst", 5.0), ("burst", 5.2), ("burst", 5.9), ("burst", 5.4)]
+        + [("thin", 0.0), ("thin", 50.0)]
+    )
+    df = spark.createDataFrame(rows, "k string, ts double")
+    out = {
+        r["k"]: r
+        for r in cadence_profile(df, ["k"], "ts", min_gaps=3).collect()
+    }
+    assert set(out) == {"bot", "human", "burst"}
+    b = out["bot"]
+    assert (b["n_gaps"], b["min_gap"], b["max_gap"], b["n_zero_gaps"]) == (
+        9, 60, 60, 0,
+    )
+    assert b["cv_gap"] == 0.0 and b["mean_gap"] == 60.0
+    h = out["human"]
+    want = _cadence_replay([0, 7, 9, 100, 101, 350])
+    for k, v in want.items():
+        assert h[k] == v, k  # bit-identical tree
+    assert h["cv_gap"] > 0.5
+    bu = out["burst"]
+    assert bu["cv_gap"] is None and bu["n_zero_gaps"] == 3
+    assert bu["mean_gap"] == 0.0
+
+
+def test_cadence_timestamp_and_nulls(spark):
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [
+            ("k", datetime(2024, 1, 1, 0, 0, 0)),
+            ("k", datetime(2024, 1, 1, 0, 1, 0)),
+            ("k", None),
+            ("k", datetime(2024, 1, 1, 0, 3, 0)),
+        ],
+        "k string, ts timestamp",
+    )
+    [r] = cadence_profile(df, ["k"], "ts", min_gaps=2).collect()
+    assert (r["n_gaps"], r["min_gap"], r["max_gap"]) == (2, 60, 120)
+
+
+def test_cadence_plan_and_fences(spark):
+    rows = [("k", float(i * i % 31)) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, ts double")
+    out = cadence_profile(df, ["k"], "ts")
+    assert not has_python_udf(out)
+    assert executed_plan(out).count("Exchange hashpartitioning") == 1
+    a = cadence_profile(df.repartition(7), ["k"], "ts").collect()
+    b = cadence_profile(df.coalesce(1), ["k"], "ts").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError, match="min_gaps"):
+        cadence_profile(df, ["k"], "ts", min_gaps=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        cadence_profile(df, [], "ts")
+    with pytest.raises(ValueError, match="collide"):
+        cadence_profile(df.withColumnRenamed("k", "cv_gap"), ["cv_gap"], "ts")
+    with pytest.raises(ValueError, match="lacks columns"):
+        cadence_profile(df, ["k"], "missing")
+    with pytest.raises(ValueError, match="internal working"):
+        cadence_profile(df.withColumn("__g", F.lit(1)), ["k"], "ts")
