@@ -621,6 +621,87 @@ FROM bins p, base q ORDER BY 1
 SQL_WASSERSTEIN_ORDERS = _sql_wasserstein_orders()
 
 
+def q_sketch_drift_orders(spark, sf_dir):
+    """Rescan-free drift via the mergeable histogram sketch
+    (sketches.histogram_sketch / merge_histogram_sketches /
+    drift_from_sketches): one exact-integer sketch row per order
+    priority, a baseline merged from those rows by plain addition, and
+    KS + grid-W1 computed sketch-vs-sketch from integer
+    cross-multiplied CDF gaps — the pattern that drifts any slice of a
+    10^12-row table against any other without rescanning either. W1 is
+    bit-identical to the scan-side wasserstein_by_partition
+    (pytest-differentialed); KS adds the max-gap lens with one final
+    division."""
+    from pandera_forge_spark.sketches import (
+        drift_from_sketches,
+        histogram_sketch,
+        merge_histogram_sketches,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cur = histogram_sketch(
+        o, "o_totalprice", DRIFT_EDGES, ["o_orderpriority"]
+    )
+    base = merge_histogram_sketches(cur)
+    return drift_from_sketches(cur, base, DRIFT_EDGES).orderBy(
+        "o_orderpriority"
+    )
+
+
+def _sql_sketch_drift_orders() -> str:
+    nb = len(DRIFT_EDGES) + 1
+    conds = []
+    lo = None
+    for e in DRIFT_EDGES + [None]:
+        if lo is None:
+            conds.append(f"o_totalprice <= {e}")
+        elif e is not None:
+            conds.append(f"o_totalprice > {lo} AND o_totalprice <= {e}")
+        else:
+            conds.append(f"o_totalprice > {lo}")
+        lo = e
+    bin_cols = ",\n    ".join(
+        f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS b{i}"
+        for i, c in enumerate(conds)
+    )
+    gaps = []
+    for i in range(len(DRIFT_EDGES)):
+        ps = " + ".join(f"p.b{j}" for j in range(i + 1))
+        qs = " + ".join(f"q.b{j}" for j in range(i + 1))
+        gaps.append(f"ABS(({ps}) * q.n - ({qs}) * p.n)")
+    ks_num = f"GREATEST({', '.join(gaps)})"
+    terms = [
+        f"CAST({gaps[i]} AS DOUBLE) * CAST({float(DRIFT_EDGES[i + 1] - DRIFT_EDGES[i])!r} AS DOUBLE)"
+        for i in range(len(DRIFT_EDGES) - 1)
+    ]
+    fold = " + ".join(terms)
+    den = "(CAST(p.n AS DOUBLE) * CAST(q.n AS DOUBLE))"
+    return f"""
+WITH bins AS (
+  SELECT o_orderpriority,
+    {bin_cols},
+    CAST(COUNT(o_totalprice) AS BIGINT) AS n
+  FROM orders GROUP BY o_orderpriority
+),
+base AS (
+  SELECT {", ".join(f"CAST(SUM(b{i}) AS BIGINT) AS b{i}" for i in range(nb))},
+         CAST(SUM(n) AS BIGINT) AS n FROM bins
+)
+SELECT p.o_orderpriority,
+       p.n AS n,
+       CASE WHEN p.n > 0 AND q.n > 0
+            THEN CAST({ks_num} AS DOUBLE) / {den}
+            ELSE 0e0 END AS ks,
+       CASE WHEN p.n > 0 AND q.n > 0
+            THEN ({fold}) / {den}
+            ELSE 0e0 END AS w1
+FROM bins p, base q ORDER BY 1
+"""
+
+
+SQL_SKETCH_DRIFT_ORDERS = _sql_sketch_drift_orders()
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Snapshot change audit (validator.snapshot_diff): orders vs a
     planted next-day snapshot — +1 on o_totalprice where %97==0
@@ -8158,6 +8239,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the fixed divide+sqrt tree the sampled_cert discipline; strict
         # sweep green at BOTH SFs ----------------------------------------------
         "cadence_events": q_cadence_events,
+        # sketch_drift_orders: continuation-session tail row; the binned
+        # conditional-sum sketch is the in-window-family drift kernel on the
+        # same DRIFT_EDGES grid, the merge is the merge_checksums addition
+        # algebra, the integer CDF-gap folds are wasserstein_orders'
+        # (pytest-differentialed bit-identical); strict sweep green at
+        # BOTH SFs --------------------------------------------------------------
+        "sketch_drift_orders": q_sketch_drift_orders,
     }
 
 
@@ -8342,4 +8430,5 @@ def oracle_sql() -> dict[str, str]:
         "shape_census_orders": SQL_SHAPE_CENSUS_ORDERS,
         "lateness_events": SQL_LATENESS_EVENTS,
         "cadence_events": SQL_CADENCE_EVENTS,
+        "sketch_drift_orders": SQL_SKETCH_DRIFT_ORDERS,
     }

@@ -1013,3 +1013,160 @@ def kmv_containment(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
         _ratio(F.col("__sh"), F.col("__ina")).alias("containment_a_in_b"),
         _ratio(F.col("__sh"), F.col("__inb")).alias("containment_b_in_a"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram sketch — rescan-free, AUDITABLE drift
+# ---------------------------------------------------------------------------
+#
+# The KLL sketch above answers quantiles with bounded error but is an
+# opaque binary no independent engine can replay. The histogram sketch is
+# its auditable sibling for DRIFT: exact integer bin counts on a fixed
+# edge grid — mergeable by plain addition (the merge_checksums algebra),
+# replayable value-for-value by any engine that bins the same way, and
+# sufficient for the KS / W1 statistics the drift family scores. Write
+# one sketch row per ingest partition; roll up with a sum; drift ANY
+# slice against ANY other without rescanning either side.
+
+
+def _check_edges(edges: Sequence[float], op: str) -> list:
+    edges = [float(e) for e in edges]
+    if len(edges) < 2:
+        raise ValueError(
+            f"{op}: need >=2 edges (got {len(edges)}) — with one edge "
+            "every distribution collapses to a point"
+        )
+    if any(b <= a for a, b in zip(edges, edges[1:])):
+        raise ValueError(f"{op}: edges must be strictly increasing: {edges}")
+    return edges
+
+
+def _bin_cols(df: DataFrame, op: str) -> list:
+    import re
+
+    bins = sorted(
+        (int(m.group(1)) for c in df.columns
+         for m in [re.fullmatch(r"b(\d+)", c)] if m),
+    )
+    if not bins or bins != list(range(len(bins))):
+        raise ValueError(
+            f"{op}: frame lacks a contiguous b0..bk bin-column set "
+            f"(found {['b%d' % b for b in bins]})"
+        )
+    if "n" not in df.columns:
+        raise ValueError(f"{op}: frame lacks the 'n' count column")
+    return [f"b{i}" for i in bins]
+
+
+def histogram_sketch(
+    df: DataFrame,
+    col: str,
+    edges: Sequence[float],
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """One mergeable histogram-sketch row per group: ``(groups..., n,
+    b0..bk)`` with ``b0 = count(x <= e0)``, ``b_i = count(e_{i-1} < x
+    <= e_i)``, ``b_last = count(x > e_last)`` and ``n`` the non-null
+    count (= Σ bins). All exact longs from ONE fused conditional-sum
+    aggregate (map-side partials, the drift family's binning verbatim
+    — `drift._bin_exprs`), so two sketches of the same rows are
+    identical on any engine and any partitioning."""
+    from pandera_forge_spark.drift import _bin_exprs
+
+    edges = _check_edges(edges, "histogram_sketch")
+    if col not in df.columns:
+        raise ValueError(f"histogram_sketch: column {col!r} not in frame")
+    keys = list(group_cols)
+    c = F.col(col)
+    aggs = [F.sum(c.isNotNull().cast("long")).alias("n")] + _bin_exprs(
+        F.when(c.isNotNull(), c), edges
+    )
+    g = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    renames = [F.col(f"__bin_{i}").alias(f"b{i}") for i in range(len(edges) + 1)]
+    return g.select(*keys, F.coalesce(F.col("n"), F.lit(0)).alias("n"), *renames)
+
+
+def merge_histogram_sketches(
+    sketches: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Fold sketch rows into coarser rows (or one total row): counts
+    add — the same plain-addition algebra that makes the sketch
+    order-insensitive makes it mergeable, so per-partition rows roll
+    up to any slice with no rescan (the ``merge_checksums`` shape)."""
+    bins = _bin_cols(sketches, "merge_histogram_sketches")
+    keys = list(group_cols)
+    aggs = [F.sum("n").alias("n")] + [F.sum(b).alias(b) for b in bins]
+    if keys:
+        return sketches.groupBy(*keys).agg(*aggs)
+    return sketches.agg(*aggs)
+
+
+def drift_from_sketches(
+    current: DataFrame,
+    baseline: DataFrame,
+    edges: Sequence[float],
+) -> DataFrame:
+    """KS and grid-Wasserstein drift of every ``current`` sketch row
+    against a ONE-ROW ``baseline`` sketch — drift between any two
+    slices of a 10^12-row table for the cost of reading two sketch
+    frames, no rescan of either side. Both statistics are computed
+    from integer cross-multiplied CDF gaps (``|CumP·Nq − CumQ·Np|``):
+    KS takes the max gap over edges with ONE final division, W1 the
+    gap-weighted sum with one multiply per edge and one division (the
+    `wasserstein_by_partition` fold, same fixed order) — bit-identical
+    on any engine, no transcendental anywhere (PSI's log lives in the
+    scan-side drift family where the baseline rides as literals).
+
+    ``edges`` must be the grid BOTH sketches were built on (the drift
+    family's caller-owned-grid convention); the bin-column count is
+    fenced against it. Returns ``(current's group cols..., n, ks,
+    w1)`` — 0.0 for an empty current row. Integer headroom: the cross
+    products stay in int64 for counts up to ~3·10^9 per side (the
+    `wasserstein_by_partition` bound; summarize a bigger baseline
+    from a sample — its proportions are the distribution)."""
+    edges = _check_edges(edges, "drift_from_sketches")
+    cur_bins = _bin_cols(current, "drift_from_sketches(current)")
+    base_bins = _bin_cols(baseline, "drift_from_sketches(baseline)")
+    if len(cur_bins) != len(edges) + 1 or len(base_bins) != len(edges) + 1:
+        raise ValueError(
+            f"drift_from_sketches: {len(edges)} edges need "
+            f"{len(edges) + 1} bins; current has {len(cur_bins)}, "
+            f"baseline {len(base_bins)}"
+        )
+    n_base_rows = baseline.limit(2).count()
+    if n_base_rows != 1:
+        raise ValueError(
+            "drift_from_sketches: baseline must be exactly ONE sketch row "
+            f"(got {n_base_rows}) — merge_histogram_sketches it first"
+        )
+    keys = [c for c in current.columns if c != "n" and c not in cur_bins]
+    b = baseline.select(
+        F.col("n").alias("__qn"),
+        *[F.col(bc).alias(f"__q{i}") for i, bc in enumerate(base_bins)],
+    )
+    j = current.crossJoin(F.broadcast(b))
+    cum_p = None
+    cum_q = None
+    gaps = []
+    for i in range(len(edges) - 1 + 1):
+        # cumulative counts through bin i (edges index i), i = 0..k-1
+        bp = F.col(f"b{i}")
+        bq = F.col(f"__q{i}")
+        cum_p = bp if cum_p is None else cum_p + bp
+        cum_q = bq if cum_q is None else cum_q + bq
+        gaps.append(F.abs(cum_p * F.col("__qn") - cum_q * F.col("n")))
+    ks_num = F.greatest(*gaps) if len(gaps) > 1 else gaps[0]
+    w1_num = None
+    for i in range(len(edges) - 1):
+        t = gaps[i].cast("double") * F.lit(float(edges[i + 1] - edges[i]))
+        w1_num = t if w1_num is None else w1_num + t
+    den = F.col("n").cast("double") * F.col("__qn").cast("double")
+    nonzero = (F.col("n") > 0) & (F.col("__qn") > 0)
+    return j.select(
+        *keys,
+        "n",
+        F.when(nonzero, ks_num.cast("double") / den)
+        .otherwise(F.lit(0.0))
+        .alias("ks"),
+        F.when(nonzero, w1_num / den).otherwise(F.lit(0.0)).alias("w1"),
+    )

@@ -279,3 +279,101 @@ def test_checksum_type_fence(spark):
         table_checksum(df, cols=["nope"])
     with pytest.raises(ValueError, match="no columns"):
         table_checksum(df.select("k"), cols=[], group_cols=[])
+
+
+# ---------------------------------------------------------------------------
+# histogram sketch family
+# ---------------------------------------------------------------------------
+
+from pandera_forge_spark.plans.inspect import has_python_udf
+from pandera_forge_spark.sketches import (
+    drift_from_sketches,
+    histogram_sketch,
+    merge_histogram_sketches,
+)
+
+H_EDGES = [0.0, 10.0, 20.0, 50.0]
+
+
+def _hdf(spark):
+    rows = [
+        ("p", float(v))
+        for v in (-3, 0, 1, 10, 11, 19, 20, 30, 49, 50, 99, 200)
+    ] + [("q", float(v)) for v in (5, 5, 15, 25, 60)] + [("q", None)]
+    return spark.createDataFrame(rows, "g string, x double")
+
+
+def test_histogram_sketch_exact_bins(spark):
+    sk = {r["g"]: r for r in histogram_sketch(
+        _hdf(spark), "x", H_EDGES, ["g"]).collect()}
+    p = sk["p"]
+    # bins: <=0 | (0,10] | (10,20] | (20,50] | >50
+    # p values: {-3,0} {1,10} {11,19,20} {30,49,50} {99,200}
+    assert (p["b0"], p["b1"], p["b2"], p["b3"], p["b4"]) == (2, 2, 3, 3, 2)
+    assert p["n"] == 12
+    q = sk["q"]
+    assert (q["b0"], q["b1"], q["b2"], q["b3"], q["b4"]) == (0, 2, 1, 1, 1)
+    assert q["n"] == 5  # NULL excluded
+    assert not has_python_udf(histogram_sketch(_hdf(spark), "x", H_EDGES))
+
+
+def test_histogram_merge_equals_full(spark):
+    df = _hdf(spark)
+    per_group = histogram_sketch(df, "x", H_EDGES, ["g"])
+    merged = merge_histogram_sketches(per_group).collect()[0]
+    full = histogram_sketch(df, "x", H_EDGES).collect()[0]
+    assert tuple(merged) == tuple(full)
+    # partition independence of the sketch itself
+    a = sorted(map(tuple, histogram_sketch(df.repartition(7), "x", H_EDGES, ["g"]).collect()))
+    b = sorted(map(tuple, histogram_sketch(df.coalesce(1), "x", H_EDGES, ["g"]).collect()))
+    assert a == b
+
+
+def test_drift_from_sketches_matches_wasserstein(spark):
+    """Cross-operator differential: the sketch path reproduces the
+    scan-side wasserstein_by_partition bit-for-bit, and the KS gap
+    matches a python replay."""
+    from pandera_forge_spark.drift import baseline_summary, wasserstein_by_partition
+
+    df = _hdf(spark)
+    cur = histogram_sketch(df, "x", H_EDGES, ["g"])
+    base = merge_histogram_sketches(cur)
+    got = {r["g"]: r for r in drift_from_sketches(cur, base, H_EDGES).collect()}
+    want = {
+        r["g"]: r
+        for r in wasserstein_by_partition(
+            df, "x", ["g"], baseline_summary(df, "x", edges=H_EDGES)
+        ).collect()
+    }
+    for g in ("p", "q"):
+        assert got[g]["w1"] == want[g]["w1"], g  # bit-identical
+        assert got[g]["n"] == want[g]["n"]
+    # python KS replay for group q: cums over planted bins
+    P = [0, 2, 1, 1, 1]; Q = [2, 4, 4, 4, 3]; np_, nq = 5, 17
+    cp = cq = 0; gaps = []
+    for i in range(4):
+        cp += P[i]; cq += Q[i]
+        gaps.append(abs(cp * nq - cq * np_))
+    assert got["q"]["ks"] == max(gaps) / (5.0 * 17.0)
+
+
+def test_drift_from_sketches_fences(spark):
+    df = _hdf(spark)
+    cur = histogram_sketch(df, "x", H_EDGES, ["g"])
+    base = merge_histogram_sketches(cur)
+    with pytest.raises(ValueError, match="ONE sketch row"):
+        drift_from_sketches(cur, cur, H_EDGES)
+    with pytest.raises(ValueError, match="strictly increasing"):
+        drift_from_sketches(cur, base, [1.0, 1.0])
+    with pytest.raises(ValueError, match=">=2 edges"):
+        histogram_sketch(df, "x", [1.0])
+    with pytest.raises(ValueError, match="bins"):
+        drift_from_sketches(cur, base, H_EDGES + [99.0])
+    with pytest.raises(ValueError, match="b0..bk"):
+        merge_histogram_sketches(cur.drop("b2"))
+    with pytest.raises(ValueError, match="not in frame"):
+        histogram_sketch(df, "nope", H_EDGES)
+    # empty current row -> 0.0 drift, not NULL/crash
+    empty = histogram_sketch(df.where("x > 1e9"), "x", H_EDGES)
+    [r] = drift_from_sketches(empty, base, H_EDGES).collect()
+    assert (r["n"], r["ks"], r["w1"]) == (0, 0.0, 0.0)
