@@ -7373,6 +7373,110 @@ def q_null_patterns_customer(spark, sf_dir):
     ).orderBy(F.desc("n_rows"), "null_cols")
 
 
+def q_json_health_events(spark, sf_dir):
+    """Semi-structured hygiene census (profiler.json_health_report) of
+    events.props with planted dirt: arrays at %13, truncated objects
+    at %17, bare-number scalars at %19 (the ts_hygiene planted-CASE
+    pattern). Validity is the JVM parser's verdict, probed corner-by-
+    corner to classify exactly like DuckDB's json_valid — bare
+    scalars VALID, empty/whitespace/truncated INVALID — so every
+    counter replays engine-for-engine."""
+    from pandera_forge_spark.profiler import json_health_report
+
+    e = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 13 == 0, F.lit("[1, 2, 3]"))
+        .when(
+            F.col("event_id") % 17 == 0,
+            F.concat(F.lit("{bad"), F.col("props")),
+        )
+        .when(F.col("event_id") % 19 == 0, F.lit("42"))
+        .otherwise(F.col("props"))
+        .alias("props")
+    )
+    return json_health_report(e, "props")
+
+
+SQL_JSON_HEALTH_EVENTS = """
+WITH src AS (
+  SELECT CASE WHEN event_id % 13 = 0 THEN '[1, 2, 3]'
+              WHEN event_id % 17 = 0 THEN '{bad' || props
+              WHEN event_id % 19 = 0 THEN '42'
+              ELSE props END AS s
+  FROM events
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  CAST(SUM(CASE WHEN s IS NOT NULL AND NOT json_valid(s) THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_invalid,
+  CAST(SUM(CASE WHEN json_valid(s) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+  CAST(SUM(CASE WHEN json_valid(s) THEN
+         (CASE WHEN json_type(s) = 'OBJECT' THEN 1 ELSE 0 END)
+       ELSE 0 END) AS BIGINT) AS n_objects,
+  CAST(SUM(CASE WHEN json_valid(s) THEN
+         (CASE WHEN json_type(s) = 'ARRAY' THEN 1 ELSE 0 END)
+       ELSE 0 END) AS BIGINT) AS n_arrays,
+  CAST(SUM(CASE WHEN json_valid(s) THEN
+         (CASE WHEN json_type(s) NOT IN ('OBJECT','ARRAY')
+               THEN 1 ELSE 0 END)
+       ELSE 0 END) AS BIGINT) AS n_scalars
+FROM src
+"""
+
+
+def q_json_keys_events(spark, sf_dir):
+    """Top-level key census (profiler.json_key_census) of events.props
+    with a planted schema bug: %13 payloads carry an 'extra' key, %17
+    are truncated (and drop out as non-objects) — the census shows the
+    payload schema the table ACTUALLY has, with per-key presence
+    shares over JSON objects."""
+    from pandera_forge_spark.profiler import json_key_census
+
+    e = _t(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_id") % 13 == 0,
+            F.concat(
+                F.lit('{"k": '),
+                (F.col("event_id") % 100).cast("string"),
+                F.lit(', "extra": true}'),
+            ),
+        )
+        .when(F.col("event_id") % 17 == 0, F.lit("{bad"))
+        .otherwise(F.col("props"))
+        .alias("props")
+    )
+    return json_key_census(e, "props").orderBy("key")
+
+
+SQL_JSON_KEYS_EVENTS = """
+WITH src AS (
+  SELECT CASE WHEN event_id % 13 = 0
+              THEN '{"k": ' || CAST(event_id % 100 AS VARCHAR)
+                   || ', "extra": true}'
+              WHEN event_id % 17 = 0 THEN '{bad'
+              ELSE props END AS s
+  FROM events
+),
+guarded AS (
+  -- nested CASE: DuckDB does NOT short-circuit AND conjuncts, and
+  -- json_type/json_keys ERROR on malformed input; CASE branches run
+  -- only on selected rows
+  SELECT CASE WHEN json_valid(s) THEN
+           (CASE WHEN json_type(s) = 'OBJECT' THEN json_keys(s) END)
+         END AS ks
+  FROM src
+),
+objs AS (SELECT ks FROM guarded WHERE ks IS NOT NULL),
+exploded AS (SELECT unnest(ks) AS key FROM objs),
+g AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS n_present FROM exploded GROUP BY 1
+),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM objs)
+SELECT key, n_present,
+       CAST(n_present AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+FROM g, t ORDER BY key
+"""
+
+
 def q_cadence_events(spark, sf_dir):
     """Inter-event cadence fingerprint (operators/temporal.py
     cadence_profile) per user — cv_gap ≈ 0 is a metronomic script,
@@ -8246,6 +8350,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (pytest-differentialed bit-identical); strict sweep green at
         # BOTH SFs --------------------------------------------------------------
         "sketch_drift_orders": q_sketch_drift_orders,
+        # json_health_events / json_keys_events: continuation-session tail
+        # rows; fused SUM(CASE) census + planted-CASE replay are the
+        # hygiene_customer kernel, the key census an explode+groupBy with
+        # the broadcast-total idiom; JVM<->DuckDB JSON classification was
+        # probed corner-by-corner (docstrings); strict sweep green at
+        # BOTH SFs --------------------------------------------------------------
+        "json_health_events": q_json_health_events,
+        "json_keys_events": q_json_keys_events,
     }
 
 
@@ -8431,4 +8543,6 @@ def oracle_sql() -> dict[str, str]:
         "lateness_events": SQL_LATENESS_EVENTS,
         "cadence_events": SQL_CADENCE_EVENTS,
         "sketch_drift_orders": SQL_SKETCH_DRIFT_ORDERS,
+        "json_health_events": SQL_JSON_HEALTH_EVENTS,
+        "json_keys_events": SQL_JSON_KEYS_EVENTS,
     }

@@ -1741,3 +1741,86 @@ def shape_census(
         (F.col("n_rows") / tot).alias("share"),
         "example",
     )
+
+
+def json_health_report(df: DataFrame, col: str) -> DataFrame:
+    """Semi-structured hygiene census for a JSON-string column (the
+    ``props``-style payload every event table carries): one row with
+    ``(n_rows, n_null, n_invalid, n_valid, n_objects, n_arrays,
+    n_scalars)`` — the triage BEFORE any pipeline keys on
+    ``get_json_object`` paths, because a malformed payload doesn't
+    error downstream, it silently NULLs every extraction. Validity is
+    the JVM parser's own verdict (``get_json_object(s, '$')``), which
+    classifies exactly like DuckDB's ``json_valid`` (probed corner by
+    corner: bare ``null``/``true``/numbers are VALID scalars; ``''``,
+    whitespace, truncated objects are invalid) — so the census
+    replays engine-for-engine. Object/array split via
+    ``json_object_keys``/``json_array_length`` NULL-ness, both JVM
+    expressions.
+
+    Scale: one fused conditional-sum aggregate — single scan,
+    map-side partials, no UDF."""
+    if col not in df.columns:
+        raise ValueError(f"json_health_report: column {col!r} not in frame")
+    s = F.col(col).cast("string")
+    valid = F.get_json_object(s, "$").isNotNull()
+    is_obj = F.json_object_keys(s).isNotNull()
+    is_arr = F.json_array_length(s).isNotNull()
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _count_if(s.isNull()).alias("n_null"),
+        _count_if(s.isNotNull() & ~valid).alias("n_invalid"),
+        _count_if(valid).alias("n_valid"),
+        _count_if(is_obj).alias("n_objects"),
+        _count_if(is_arr).alias("n_arrays"),
+        _count_if(valid & ~is_obj & ~is_arr).alias("n_scalars"),
+    )
+
+
+def json_key_census(
+    df: DataFrame, col: str, n_objects: Optional[int] = None
+) -> DataFrame:
+    """Top-level key census of a JSON-string column — the schema a
+    semi-structured payload ACTUALLY has, counted: one row per key
+    with ``(key, n_present, share)``, ``share`` the fraction of JSON
+    OBJECTS carrying the key (one raw IEEE division). '``user_id``
+    present in 99.2% of payloads, ``usr_id`` in 0.8%' is a schema
+    bug found in one scan; keys trending toward 0 are deprecations
+    actually landing.
+
+    ``share``'s denominator: pass ``n_objects`` (from
+    `json_health_report`, the usual companion pass) and the census is
+    ONE scan; omit it and a second aggregate branch counts objects —
+    physically a rescan of the column, acceptable at test scale and
+    said out loud here for 10^12-row callers. Non-object rows carry
+    no keys and are excluded by construction.
+
+    Scale: explode of the (small) per-row key arrays + one groupBy of
+    cardinality O(distinct keys); JVM ``json_object_keys``, no UDF."""
+    if col not in df.columns:
+        raise ValueError(f"json_key_census: column {col!r} not in frame")
+    if n_objects is not None and n_objects < 1:
+        raise ValueError(
+            f"json_key_census: n_objects must be >= 1, got {n_objects}"
+        )
+    s = F.col(col).cast("string")
+    keys = (
+        df.select(F.json_object_keys(s).alias("__ks"))
+        .where(F.col("__ks").isNotNull())
+    )
+    g = (
+        keys.select(F.explode("__ks").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_present"))
+    )
+    if n_objects is not None:
+        tot = F.lit(int(n_objects)).cast("long")
+        return g.select(
+            "key", "n_present", (F.col("n_present") / tot).alias("share")
+        )
+    tot_df = keys.agg(F.count(F.lit(1)).alias("__tot"))
+    return g.crossJoin(F.broadcast(tot_df)).select(
+        "key",
+        "n_present",
+        (F.col("n_present") / F.col("__tot")).alias("share"),
+    )

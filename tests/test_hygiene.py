@@ -384,3 +384,60 @@ def test_shape_census_plan_and_fences(spark):
     one = sorted(map(tuple, shape_census(df.repartition(1), "v").collect()))
     many = sorted(map(tuple, shape_census(df.repartition(5), "v").collect()))
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# json_health_report / json_key_census
+# ---------------------------------------------------------------------------
+
+from pandera_forge_spark.profiler import json_health_report, json_key_census
+
+JSON_PLANTED = [
+    '{"k": 1, "m": "x"}', '{"k": 2}', '{}', '[1,2]', '5', '"s"',
+    'null', 'true', '{bad', '', '   ', None,
+]
+
+
+def test_json_health_planted(spark):
+    df = spark.createDataFrame([(v,) for v in JSON_PLANTED], "s string")
+    [r] = json_health_report(df, "s").collect()
+    assert r.asDict() == {
+        "n_rows": 12,
+        "n_null": 1,
+        "n_invalid": 3,   # '{bad', '', '   '
+        "n_valid": 8,     # incl. bare null/true/number/string scalars
+        "n_objects": 3,
+        "n_arrays": 1,
+        "n_scalars": 4,
+    }
+    assert not has_python_udf(json_health_report(df, "s"))
+
+
+def test_json_key_census(spark):
+    df = spark.createDataFrame([(v,) for v in JSON_PLANTED], "s string")
+    out = {r["key"]: r for r in json_key_census(df, "s").collect()}
+    assert set(out) == {"k", "m"}
+    assert out["k"]["n_present"] == 2
+    assert out["k"]["share"] == 2 / 3  # 3 objects ('{}' counts)
+    assert out["m"]["share"] == 1 / 3
+    # explicit denominator: one-scan mode, same numbers
+    out2 = {r["key"]: r for r in json_key_census(df, "s", n_objects=3).collect()}
+    assert {k: (v["n_present"], v["share"]) for k, v in out.items()} == {
+        k: (v["n_present"], v["share"]) for k, v in out2.items()
+    }
+
+
+def test_json_fences_and_partition_independence(spark):
+    df = spark.createDataFrame([(v,) for v in JSON_PLANTED * 3], "s string")
+    with pytest.raises(ValueError, match="not in frame"):
+        json_health_report(df, "nope")
+    with pytest.raises(ValueError, match="not in frame"):
+        json_key_census(df, "nope")
+    with pytest.raises(ValueError, match="n_objects"):
+        json_key_census(df, "s", n_objects=0)
+    a = json_health_report(df.repartition(7), "s").collect()
+    b = json_health_report(df.coalesce(1), "s").collect()
+    assert list(map(tuple, a)) == list(map(tuple, b))
+    c = sorted(map(tuple, json_key_census(df.repartition(7), "s").collect()))
+    d = sorted(map(tuple, json_key_census(df.coalesce(1), "s").collect()))
+    assert c == d
