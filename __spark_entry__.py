@@ -7373,6 +7373,105 @@ def q_null_patterns_customer(spark, sf_dir):
     ).orderBy(F.desc("n_rows"), "null_cols")
 
 
+def q_script_mixing_customer(spark, sf_dir):
+    """Homoglyph / script-mixing census (profiler.script_mixing_report)
+    over customer names with planted spoofing (the hygiene planted-CASE
+    pattern): Cyrillic 'С' for Latin 'C' at %29 (the classic homoglyph),
+    a zero-width space at %37, an RLO bidi control at %43, a pure-Greek
+    value at %47; c_mktsegment rides along clean as the control column.
+    The \\x{hhhh} regex classes are accepted verbatim by BOTH Java
+    regex and RE2, so the DuckDB oracle replays the same patterns."""
+    from pandera_forge_spark.profiler import script_mixing_report
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.when(
+            F.col("c_custkey") % 29 == 0,
+            F.replace(F.col("c_name"), F.lit("C"), F.lit("С")),
+        )
+        .when(
+            F.col("c_custkey") % 37 == 0,
+            F.concat(F.col("c_name"), F.lit("​")),
+        )
+        .when(
+            F.col("c_custkey") % 43 == 0,
+            F.concat(F.lit("‮"), F.col("c_name")),
+        )
+        .when(F.col("c_custkey") % 47 == 0, F.lit("Ελλάς"))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        "c_mktsegment",
+    )
+    return script_mixing_report(c, ["c_name", "c_mktsegment"]).orderBy(
+        "column"
+    )
+
+
+SQL_SCRIPT_MIXING_CUSTOMER = r"""
+WITH src AS (
+  SELECT CASE WHEN c_custkey % 29 = 0
+              THEN replace(c_name, 'C', 'С')
+              WHEN c_custkey % 37 = 0 THEN c_name || '​'
+              WHEN c_custkey % 43 = 0 THEN '‮' || c_name
+              WHEN c_custkey % 47 = 0 THEN 'Ελλάς'
+              ELSE c_name END AS c_name,
+         c_mktsegment
+  FROM customer
+),
+w AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+    {CELLS}
+  FROM src
+)
+SELECT * FROM (
+{ARMS}
+) ORDER BY "column"
+"""
+
+
+def _script_mixing_oracle_sql():
+    lat, cyr, grk = "[A-Za-z]", r"[\x{0400}-\x{04FF}]", r"[\x{0370}-\x{03FF}]"
+    zw = r"[\x{200B}-\x{200D}\x{FEFF}]"
+    bidi = r"[\x{202A}-\x{202E}\x{2066}-\x{2069}]"
+
+    def cnt(cond, alias):
+        return (
+            f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS {alias}"
+        )
+
+    cells, arms = [], []
+    for c in ("c_name", "c_mktsegment"):
+        h_lat = f"regexp_matches({c}, '{lat}')"
+        h_cyr = f"regexp_matches({c}, '{cyr}')"
+        h_grk = f"regexp_matches({c}, '{grk}')"
+        cells += [
+            cnt(f"{c} IS NOT NULL", f"{c}__nonnull"),
+            cnt(h_lat, f"{c}__latin"),
+            cnt(h_cyr, f"{c}__cyrillic"),
+            cnt(h_grk, f"{c}__greek"),
+            cnt(f"{h_lat} AND ({h_cyr} OR {h_grk})", f"{c}__mixed"),
+            cnt(f"regexp_matches({c}, '{zw}')", f"{c}__zero_width"),
+            cnt(f"regexp_matches({c}, '{bidi}')", f"{c}__bidi"),
+        ]
+        arms.append(
+            f"  SELECT '{c}' AS \"column\", n_rows, "
+            f"{c}__nonnull AS n_nonnull, {c}__latin AS n_latin, "
+            f"{c}__cyrillic AS n_cyrillic, {c}__greek AS n_greek, "
+            f"{c}__mixed AS n_mixed_script, "
+            f"{c}__zero_width AS n_zero_width, {c}__bidi AS n_bidi FROM w"
+        )
+    # the template embeds the REAL unicode characters (Cyrillic С, the
+    # zero-width space, the RLO control, the Greek value) — DuckDB
+    # string literals don't interpret \uXXXX escapes, so both engines
+    # read identical raw codepoints
+    return SQL_SCRIPT_MIXING_CUSTOMER.replace(
+        "{CELLS}", ",\n    ".join(cells)
+    ).replace("{ARMS}", "\n  UNION ALL\n".join(arms))
+
+
+SQL_SCRIPT_MIXING_CUSTOMER = _script_mixing_oracle_sql()
+
+
 def q_json_health_events(spark, sf_dir):
     """Semi-structured hygiene census (profiler.json_health_report) of
     events.props with planted dirt: arrays at %13, truncated objects
@@ -8358,6 +8457,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BOTH SFs --------------------------------------------------------------
         "json_health_events": q_json_health_events,
         "json_keys_events": q_json_keys_events,
+        # script_mixing_customer: continuation-session tail row; fused
+        # SUM(CASE)+melt census = the hygiene_customer kernel with regex
+        # probes whose \x{hhhh} class syntax is shared by Java regex and
+        # RE2 (probed); strict sweep green at BOTH SFs --------------------------
+        "script_mixing_customer": q_script_mixing_customer,
     }
 
 
@@ -8545,4 +8649,5 @@ def oracle_sql() -> dict[str, str]:
         "sketch_drift_orders": SQL_SKETCH_DRIFT_ORDERS,
         "json_health_events": SQL_JSON_HEALTH_EVENTS,
         "json_keys_events": SQL_JSON_KEYS_EVENTS,
+        "script_mixing_customer": SQL_SCRIPT_MIXING_CUSTOMER,
     }

@@ -1824,3 +1824,72 @@ def json_key_census(
         "n_present",
         (F.col("n_present") / F.col("__tot")).alias("share"),
     )
+
+
+def script_mixing_report(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Homoglyph / script-mixing census — the spoofing lens the
+    byte-level `string_hygiene_report` can't see: a Cyrillic 'а'
+    (U+0430) inside a Latin word renders identically to 'a' but
+    breaks every equality join, dedup key and domain allowlist it
+    touches, and mixed-script tokens are the signature of phishing
+    URLs, spam display-names and adversarial UGC. Per column, exact
+    counts of values containing Latin letters, Cyrillic, Greek,
+    MIXED script (Latin AND Cyrillic-or-Greek — the actionable row),
+    zero-width characters (U+200B–U+200D, U+FEFF: invisible dedup
+    poison), and bidi control characters (U+202A–U+202E,
+    U+2066–U+2069: display-order spoofing).
+
+    Counts are value-level (``rlike`` containment), exact integers
+    from ONE fused SUM(CASE) aggregate melted long — the
+    `string_hygiene_report` plan shape: single scan, map-side
+    partials, JVM regex only (`\\x{hhhh}` class syntax chosen because
+    Java regex and RE2 both accept it, so the DuckDB oracle replays
+    the same patterns verbatim). Latin here is ASCII A–Z/a–z;
+    extended-Latin diacritics are not "mixing" (a French name is not
+    a spoof), and that scoping is deliberate."""
+    cols = list(cols)
+    if not cols:
+        raise ValueError("script_mixing_report: cols must be non-empty")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"script_mixing_report: columns not in frame: {missing}"
+        )
+    lat = "[A-Za-z]"
+    cyr = r"[\x{0400}-\x{04FF}]"
+    grk = r"[\x{0370}-\x{03FF}]"
+    zw = r"[\x{200B}-\x{200D}\x{FEFF}]"
+    bidi = r"[\x{202A}-\x{202E}\x{2066}-\x{2069}]"
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        s = F.col(c).cast("string")
+        has_lat = s.rlike(lat)
+        has_cyr = s.rlike(cyr)
+        has_grk = s.rlike(grk)
+        aggs += [
+            _count_if(s.isNotNull()).alias(f"{c}__nonnull"),
+            _count_if(has_lat).alias(f"{c}__latin"),
+            _count_if(has_cyr).alias(f"{c}__cyrillic"),
+            _count_if(has_grk).alias(f"{c}__greek"),
+            _count_if(has_lat & (has_cyr | has_grk)).alias(f"{c}__mixed"),
+            _count_if(s.rlike(zw)).alias(f"{c}__zero_width"),
+            _count_if(s.rlike(bidi)).alias(f"{c}__bidi"),
+        ]
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"{c}__nonnull").alias("n_nonnull"),
+            F.col(f"{c}__latin").alias("n_latin"),
+            F.col(f"{c}__cyrillic").alias("n_cyrillic"),
+            F.col(f"{c}__greek").alias("n_greek"),
+            F.col(f"{c}__mixed").alias("n_mixed_script"),
+            F.col(f"{c}__zero_width").alias("n_zero_width"),
+            F.col(f"{c}__bidi").alias("n_bidi"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("__r")).select(
+        "__r.*"
+    )

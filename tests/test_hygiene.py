@@ -441,3 +441,63 @@ def test_json_fences_and_partition_independence(spark):
     c = sorted(map(tuple, json_key_census(df.repartition(7), "s").collect()))
     d = sorted(map(tuple, json_key_census(df.coalesce(1), "s").collect()))
     assert c == d
+
+
+# ---------------------------------------------------------------------------
+# script_mixing_report
+# ---------------------------------------------------------------------------
+
+from pandera_forge_spark.profiler import script_mixing_report
+
+SPOOF_PLANTED = [
+    "plain latin",
+    "привет",                 # pure cyrillic
+    "pаypal",                 # latin with cyrillic 'а' -> MIXED
+    "αβγ",                    # pure greek
+    "alphα",                  # latin + greek -> MIXED
+    "zero​width",        # ZWSP
+    "bidi‮evil",         # RLO control
+    "café",                   # extended latin: NOT mixing by design
+    None,
+]
+
+
+def test_script_mixing_planted(spark):
+    df = spark.createDataFrame([(v,) for v in SPOOF_PLANTED], "s string")
+    [r] = script_mixing_report(df, ["s"]).collect()
+    assert r.asDict() == {
+        "column": "s",
+        "n_rows": 9,
+        "n_nonnull": 8,
+        "n_latin": 6,        # all ascii-letter carriers
+        "n_cyrillic": 2,     # привет, pаypal
+        "n_greek": 2,        # αβγ, alphα
+        "n_mixed_script": 2, # pаypal, alphα
+        "n_zero_width": 1,
+        "n_bidi": 1,
+    }
+
+
+def test_script_mixing_clean_and_plan(spark):
+    df = spark.createDataFrame(
+        [("ok", "fine"), ("café", "naïve")], "x string, y string"
+    )
+    out = {r["column"]: r for r in script_mixing_report(df, ["x", "y"]).collect()}
+    for c in ("x", "y"):
+        assert out[c]["n_mixed_script"] == 0
+        assert out[c]["n_zero_width"] == 0 and out[c]["n_bidi"] == 0
+    rep = script_mixing_report(df, ["x", "y"])
+    assert not has_python_udf(rep)
+    plan = rep._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("relation") <= 1  # one fused scan
+
+
+def test_script_mixing_fences_and_partition_independence(spark):
+    df = spark.createDataFrame([(v,) for v in SPOOF_PLANTED * 3], "s string")
+    with pytest.raises(ValueError, match="non-empty"):
+        script_mixing_report(df, [])
+    with pytest.raises(ValueError, match="not in frame"):
+        script_mixing_report(df, ["nope"])
+    a = list(map(tuple, script_mixing_report(df.repartition(7), ["s"]).collect()))
+    b = list(map(tuple, script_mixing_report(df.coalesce(1), ["s"]).collect()))
+    assert a == b
