@@ -7373,6 +7373,76 @@ def q_null_patterns_customer(spark, sf_dir):
     ).orderBy(F.desc("n_rows"), "null_cols")
 
 
+def q_constancy_events(spark, sf_dir):
+    """Stuck-value audit (operators/temporal.py constancy_runs) over
+    events with a planted pinned feed: users at %7 report the constant
+    1 while everyone else cycles event_id%5 — the census returns each
+    key's longest identical-value run with its value and time span,
+    the gaps-and-islands fold (change flag → cumulative run id → run
+    lengths → struct-max election, earliest run breaking ties). All
+    longs; DuckDB replays the windows and picks the best run with a
+    QUALIFY row_number (same ordering, same values)."""
+    from pandera_forge_spark.operators.temporal import constancy_runs
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("user_id") % 7 == 0, F.lit(1).cast("long"))
+        .otherwise(F.col("event_id") % 5)
+        .alias("v"),
+    )
+    return constancy_runs(
+        e, ["user_id"], "ts", "v", min_run=3, order_cols=["event_id"]
+    ).orderBy("user_id")
+
+
+SQL_CONSTANCY_EVENTS = """
+WITH src AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN user_id % 7 = 0 THEN CAST(1 AS BIGINT)
+              ELSE event_id % 5 END AS v
+  FROM events WHERE ts IS NOT NULL
+),
+base AS (
+  SELECT user_id, ts, v, event_id,
+         CASE WHEN v IS NOT DISTINCT FROM
+                   LAG(v) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              THEN 0 ELSE 1 END AS chg
+  FROM src
+),
+r0 AS (
+  SELECT user_id, ts, v,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run
+  FROM base
+),
+runs AS (
+  SELECT user_id, run, CAST(COUNT(*) AS BIGINT) AS len,
+         MIN(ts) AS rstart, MAX(ts) AS rend,
+         CAST(MIN(v) AS BIGINT) AS val
+  FROM r0 GROUP BY 1, 2
+),
+tot AS (
+  SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_obs,
+         CAST(COUNT(*) AS BIGINT) AS n_runs
+  FROM runs GROUP BY 1
+),
+best AS (
+  SELECT user_id, len, val, rstart, rend
+  FROM runs
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY len DESC, run ASC) = 1
+)
+SELECT t.user_id, t.n_obs, t.n_runs,
+       b.len AS max_run_len, b.val AS max_run_value,
+       b.rstart AS max_run_start, b.rend AS max_run_end
+FROM tot t JOIN best b ON t.user_id = b.user_id
+WHERE b.len >= 3 ORDER BY t.user_id
+"""
+
+
 def q_script_mixing_customer(spark, sf_dir):
     """Homoglyph / script-mixing census (profiler.script_mixing_report)
     over customer names with planted spoofing (the hygiene planted-CASE
@@ -8462,6 +8532,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # probes whose \x{hhhh} class syntax is shared by Java regex and
         # RE2 (probed); strict sweep green at BOTH SFs --------------------------
         "script_mixing_customer": q_script_mixing_customer,
+        # constancy_events: continuation-session tail row; gaps-and-islands
+        # lag+cumsum windows = the sessionize/sequence family kernel, the
+        # struct-max election = label_majority_conflicts', planted-CASE
+        # replay = hygiene_customer's; strict sweep green at BOTH SFs -----------
+        "constancy_events": q_constancy_events,
     }
 
 
@@ -8650,4 +8725,5 @@ def oracle_sql() -> dict[str, str]:
         "json_health_events": SQL_JSON_HEALTH_EVENTS,
         "json_keys_events": SQL_JSON_KEYS_EVENTS,
         "script_mixing_customer": SQL_SCRIPT_MIXING_CUSTOMER,
+        "constancy_events": SQL_CONSTANCY_EVENTS,
     }

@@ -1950,3 +1950,122 @@ def cadence_profile(
         )
         .drop("__sg", "__sgg")
     )
+
+
+def constancy_runs(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    min_run: int = 2,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Stuck-value audit — the failure mode `cadence_profile` (clock
+    regularity) and `autocorr_by_key` (correlation) both under-report:
+    a sensor PINNED at one reading, a feed replaying yesterday's
+    price, a default value a broken upstream writes forever. Sorts
+    each key's observations by ``(ts, *order_cols)``, segments them
+    into maximal runs of IDENTICAL consecutive values (null-safe
+    equality: a run of NULLs is a run — usually the worst one), and
+    reports per key the longest run with its value and time span:
+    ``(keys..., n_obs, n_runs, max_run_len, max_run_value,
+    max_run_start, max_run_end)``. Keys whose longest run is below
+    ``min_run`` are dropped (every healthy series is all runs of 1).
+
+    Run segmentation is the classic gaps-and-islands fold: a change
+    flag (``value <=> lag(value)`` negated) cumulative-summed along
+    the order gives each run an id — two window passes over ONE sort,
+    then one groupBy per (key, run) and one argmax per key
+    (``max(struct(len, -run_id, ...))`` — no second window, the
+    `label_majority_conflicts` struct-max election; the run id breaks
+    exact-length ties DETERMINISTICALLY toward the earliest run).
+    All counts exact longs; the value column must be exactly
+    comparable (int/string/bool/date/timestamp) — floats are refused
+    loudly because "identical consecutive doubles" is an
+    engine-rendering question, not a data property (quantize first).
+
+    Scale shape: the windows and both groupBys hash on the key prefix
+    — Catalyst plans ONE Exchange for the windows and one for the
+    (key, run) aggregate; shuffle rows are O(runs), which a stuck
+    feed makes FEWER, not more. Per-key sort is the sequence family's
+    hot-key caveat.
+    """
+    if min_run < 1:
+        raise ValueError(
+            f"constancy_runs: min_run must be >= 1, got {min_run}"
+        )
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("constancy_runs: key_cols must be non-empty")
+    _check_reserved(
+        df, ["__chg", "__run", "__t"], "constancy_runs"
+    )
+    clash = set(keys) & {
+        "n_obs", "n_runs", "max_run_len", "max_run_value",
+        "max_run_start", "max_run_end",
+    }
+    if clash:
+        raise ValueError(
+            f"constancy_runs: key columns {sorted(clash)} collide with "
+            "output names — rename them"
+        )
+    missing = [
+        c
+        for c in keys + [ts_col, value_col, *order_cols]
+        if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(f"constancy_runs: frame lacks columns {missing}")
+    vt = dict(df.dtypes)[value_col]
+    if vt in ("double", "float") or vt.startswith("decimal"):
+        raise ValueError(
+            f"constancy_runs: value column {value_col!r} is {vt} — "
+            "'identical consecutive floats' is an engine-rendering "
+            "question; quantize to an exact type first "
+            "(e.g. CAST(x*100 AS LONG))"
+        )
+
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col(ts_col), *[F.col(c) for c in order_cols])
+    )
+    v = F.col(value_col)
+    chg = (~v.eqNullSafe(F.lag(value_col, 1).over(w))).cast("long")
+    base = (
+        df.where(F.col(ts_col).isNotNull())
+        .withColumn("__chg", chg)
+        .withColumn(
+            "__run",
+            F.sum("__chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    runs = base.groupBy(*keys, "__run").agg(
+        F.count(F.lit(1)).alias("__len"),
+        F.min(F.col(ts_col)).alias("__start"),
+        F.max(F.col(ts_col)).alias("__end"),
+        F.min(v).alias("__val"),
+    )
+    best = runs.groupBy(*keys).agg(
+        F.sum("__len").alias("n_obs"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max(
+            F.struct(
+                F.col("__len").alias("l"),
+                (-F.col("__run")).alias("neg_run"),
+                F.col("__val").alias("v"),
+                F.col("__start").alias("s"),
+                F.col("__end").alias("e"),
+            )
+        ).alias("__best"),
+    )
+    return best.select(
+        *keys,
+        "n_obs",
+        "n_runs",
+        F.col("__best.l").alias("max_run_len"),
+        F.col("__best.v").alias("max_run_value"),
+        F.col("__best.s").alias("max_run_start"),
+        F.col("__best.e").alias("max_run_end"),
+    ).where(F.col("max_run_len") >= min_run)

@@ -102,3 +102,24 @@ def test_graph_pipeline_example(spark):
     assert report["shape"]["triangles"] > 0
     assert 0 < report["shape"]["avg_lcc"] <= 1
     assert 0 <= report["overlap"]["shared_of_top20"] <= 20
+
+
+def test_triage_pipeline_example(spark):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    import triage_pipeline
+
+    report = triage_pipeline.run(spark, "/root/testdata/sf0.001")
+    # clean priority column: exactly two collapsed shapes
+    assert {s["shape"] for s in report["shapes"]} == {"9-A", "9-A A"}
+    assert "o_totalprice" in report["null_patterns"]
+    assert report["duplicate_columns"] == ["status==status_legacy"]
+    jh = report["json_health"]
+    assert jh["n_invalid"] == 0 and jh["n_objects"] == jh["n_valid"]
+    assert report["json_keys"]["k"] == 1.0
+    assert report["script_mixing"] == {"mixed": 0, "zero_width": 0, "bidi": 0}
+    assert report["stuck_keys"] >= 0 and report["metronome_keys"] >= 0
+    wm = report["watermark"]
+    assert wm["events"] > 0 and wm["dropped_at_1h"] <= wm["dropped_at_60s"]

@@ -515,3 +515,69 @@ def test_cadence_plan_and_fences(spark):
         cadence_profile(df, ["k"], "missing")
     with pytest.raises(ValueError, match="internal working"):
         cadence_profile(df.withColumn("__g", F.lit(1)), ["k"], "ts")
+
+
+# ---------------------------------------------------------------------------
+# constancy_runs
+# ---------------------------------------------------------------------------
+
+from pandera_forge_spark.operators.temporal import constancy_runs
+
+
+def test_constancy_planted(spark):
+    rows = (
+        # stuck: 5 then SIX 7s then 9           -> max run 6 of value 7
+        [("stuck", float(t), v) for t, v in enumerate([5, 7, 7, 7, 7, 7, 7, 9])]
+        # healthy: alternating                   -> max run 1 (dropped at min_run=2)
+        + [("ok", float(t), t % 2) for t in range(6)]
+        # nulls: a 3-run of NULLs                -> null-safe runs count
+        + [("nul", 0.0, 1), ("nul", 1.0, None), ("nul", 2.0, None),
+           ("nul", 3.0, None), ("nul", 4.0, 2)]
+        # tie: two 2-runs -> earliest wins
+        + [("tie", float(t), v) for t, v in enumerate([4, 4, 8, 8, 1])]
+    )
+    df = spark.createDataFrame(rows, "k string, ts double, v long")
+    out = {r["k"]: r for r in constancy_runs(df, ["k"], "ts", "v").collect()}
+    assert set(out) == {"stuck", "nul", "tie"}
+    s = out["stuck"]
+    assert (s["n_obs"], s["n_runs"], s["max_run_len"], s["max_run_value"]) == (
+        8, 3, 6, 7,
+    )
+    assert (s["max_run_start"], s["max_run_end"]) == (1.0, 6.0)
+    n = out["nul"]
+    assert (n["max_run_len"], n["max_run_value"]) == (3, None)
+    t = out["tie"]
+    assert (t["max_run_len"], t["max_run_value"], t["max_run_start"]) == (
+        2, 4, 0.0,  # earliest 2-run wins the tie deterministically
+    )
+    # min_run=1 keeps the healthy key too
+    all_keys = {r["k"] for r in constancy_runs(df, ["k"], "ts", "v", min_run=1).collect()}
+    assert all_keys == {"stuck", "ok", "nul", "tie"}
+
+
+def test_constancy_plan_and_fences(spark):
+    df = spark.createDataFrame(
+        [("k", float(i), i % 3) for i in range(12)], "k string, ts double, v long"
+    )
+    out = constancy_runs(df, ["k"], "ts", "v", min_run=1)
+    assert not has_python_udf(out)
+    # windows + (key,run) agg + key agg: two Exchanges total (windows
+    # and the final agg share the key hash prefix)
+    assert executed_plan(out).count("Exchange hashpartitioning") <= 2
+    a = constancy_runs(df.repartition(7), ["k"], "ts", "v", min_run=1).collect()
+    b = constancy_runs(df.coalesce(1), ["k"], "ts", "v", min_run=1).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError, match="min_run"):
+        constancy_runs(df, ["k"], "ts", "v", min_run=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        constancy_runs(df, [], "ts", "v")
+    with pytest.raises(ValueError, match="collide"):
+        constancy_runs(df.withColumnRenamed("k", "n_runs"), ["n_runs"], "ts", "v")
+    with pytest.raises(ValueError, match="lacks columns"):
+        constancy_runs(df, ["k"], "ts", "missing")
+    with pytest.raises(ValueError, match="quantize"):
+        constancy_runs(
+            df.withColumn("v", F.col("v").cast("double")), ["k"], "ts", "v"
+        )
+    with pytest.raises(ValueError, match="internal working"):
+        constancy_runs(df.withColumn("__run", F.lit(1)), ["k"], "ts", "v")
