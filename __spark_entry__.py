@@ -7373,6 +7373,39 @@ def q_null_patterns_customer(spark, sf_dir):
     ).orderBy(F.desc("n_rows"), "null_cols")
 
 
+def q_salt_plan_events(spark, sf_dir):
+    """Per-key salting plan (validator.salt_plan) over events with a
+    planted hot key: a third of all events collapse onto user 0 (the
+    celebrity-key shape), the rest keep their user — the plan returns
+    exactly the keys over the 500-rows-per-task budget with the
+    integer ceil salt factor a salted aggregate consumes. Pure integer
+    arithmetic ((n + r − 1) div r), engine-replayable."""
+    from pandera_forge_spark.validator import salt_plan
+
+    e = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 3 == 0, F.lit(0).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("user_id")
+    )
+    return salt_plan(e, ["user_id"], 500).orderBy("user_id")
+
+
+SQL_SALT_PLAN_EVENTS = """
+WITH src AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN CAST(0 AS BIGINT)
+              ELSE user_id END AS user_id
+  FROM events
+),
+g AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM src GROUP BY 1
+)
+SELECT user_id, n_rows,
+       CAST((n_rows + 499) // 500 AS BIGINT) AS salt_factor
+FROM g WHERE n_rows > 500 ORDER BY user_id
+"""
+
+
 def q_constancy_events(spark, sf_dir):
     """Stuck-value audit (operators/temporal.py constancy_runs) over
     events with a planted pinned feed: users at %7 report the constant
@@ -8537,6 +8570,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # struct-max election = label_majority_conflicts', planted-CASE
         # replay = hygiene_customer's; strict sweep green at BOTH SFs -----------
         "constancy_events": q_constancy_events,
+        # salt_plan_events: continuation-session tail row; one map-side
+        # combinable count groupBy + integer ceil — the skew_report family
+        # made actionable, consumed by the duplicate_custkeys_salted
+        # mechanics; strict sweep green at BOTH SFs -----------------------------
+        "salt_plan_events": q_salt_plan_events,
     }
 
 
@@ -8726,4 +8764,5 @@ def oracle_sql() -> dict[str, str]:
         "json_keys_events": SQL_JSON_KEYS_EVENTS,
         "script_mixing_customer": SQL_SCRIPT_MIXING_CUSTOMER,
         "constancy_events": SQL_CONSTANCY_EVENTS,
+        "salt_plan_events": SQL_SALT_PLAN_EVENTS,
     }

@@ -1046,3 +1046,57 @@ def sampled_violation_bound(
         ),
         F.when(nonempty, upper).alias("upper_bound"),
     )
+
+
+def salt_plan(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    rows_per_task: int,
+) -> DataFrame:
+    """The actionable companion to `skew_report`: WHICH keys need
+    salting and by HOW MUCH. One groupBy over the keys (the same
+    shuffle the real operation would pay anyway) keeps only keys whose
+    row count exceeds ``rows_per_task`` — the caller's per-task row
+    budget — and emits ``salt_factor = ceil(n_rows / rows_per_task)``,
+    the number of sub-buckets that levels the key back to budget.
+    The output is the small broadcastable frame the two-phase salted
+    aggregate / salted join consumes directly (join it in, then
+    ``pmod(xxhash64(payload), salt_factor)`` as the sub-key — the
+    `duplicate_custkeys_salted` mechanics with a measured factor
+    instead of a guessed constant).
+
+    Returns ``(keys..., n_rows, salt_factor)``; empty when nothing is
+    hot (the healthy answer). Exact integer arithmetic only —
+    ``ceil`` as ``(n + r − 1) div r``, no floats — so the plan is
+    deterministic and engine-replayable. NULL keys group as one key,
+    which is exactly how the real shuffle treats them (an all-NULL FK
+    column IS a hot key).
+
+    Scale: the groupBy is map-side combinable (O(distinct keys)
+    shuffle rows); the output is O(hot keys) — by construction at
+    most ``n_rows / rows_per_task`` rows, the count of tasks the
+    un-salted job would overflow anyway.
+    """
+    if rows_per_task < 1:
+        raise ValueError(
+            f"salt_plan: rows_per_task must be >= 1, got {rows_per_task}"
+        )
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("salt_plan: key_cols must be non-empty")
+    missing = [c for c in keys if c not in df.columns]
+    if missing:
+        raise ValueError(f"salt_plan: frame lacks columns {missing}")
+    clash = set(keys) & {"n_rows", "salt_factor"}
+    if clash:
+        raise ValueError(
+            f"salt_plan: key columns {sorted(clash)} collide with output "
+            "names — rename them"
+        )
+    r = int(rows_per_task)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    return counts.where(F.col("n_rows") > r).select(
+        *keys,
+        "n_rows",
+        F.expr(f"(n_rows + {r - 1}) div {r}").alias("salt_factor"),
+    )

@@ -501,3 +501,45 @@ def test_script_mixing_fences_and_partition_independence(spark):
     a = list(map(tuple, script_mixing_report(df.repartition(7), ["s"]).collect()))
     b = list(map(tuple, script_mixing_report(df.coalesce(1), ["s"]).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# salt_plan
+# ---------------------------------------------------------------------------
+
+from pandera_forge_spark.validator import salt_plan
+
+
+def test_salt_plan_planted(spark):
+    rows = (
+        [("hot", i) for i in range(1000)]
+        + [("warm", i) for i in range(150)]
+        + [("cold", i) for i in range(10)]
+        + [(None, i) for i in range(200)]  # NULL is a key too
+    )
+    df = spark.createDataFrame(rows, "k string, x long")
+    out = {r["k"]: r for r in salt_plan(df, ["k"], 100).collect()}
+    assert set(out) == {"hot", "warm", None}
+    assert (out["hot"]["n_rows"], out["hot"]["salt_factor"]) == (1000, 10)
+    assert (out["warm"]["n_rows"], out["warm"]["salt_factor"]) == (150, 2)
+    assert out[None]["salt_factor"] == 2
+    # exact boundary: exactly rows_per_task rows is NOT hot
+    assert salt_plan(df.where("k = 'warm'"), ["k"], 150).count() == 0
+    # ceil exactness at the boundary: 101 rows / 100 -> 2
+    [b] = salt_plan(df.limit(0).union(
+        spark.createDataFrame([("b", i) for i in range(101)], "k string, x long")
+    ), ["k"], 100).collect()
+    assert b["salt_factor"] == 2
+
+
+def test_salt_plan_fences_and_no_udf(spark):
+    df = spark.createDataFrame([("k", 1)], "k string, x long")
+    with pytest.raises(ValueError, match="rows_per_task"):
+        salt_plan(df, ["k"], 0)
+    with pytest.raises(ValueError, match="non-empty"):
+        salt_plan(df, [], 10)
+    with pytest.raises(ValueError, match="lacks columns"):
+        salt_plan(df, ["nope"], 10)
+    with pytest.raises(ValueError, match="collide"):
+        salt_plan(df.withColumnRenamed("k", "n_rows"), ["n_rows"], 10)
+    assert not has_python_udf(salt_plan(df, ["k"], 10))
