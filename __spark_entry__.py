@@ -7373,6 +7373,94 @@ def q_null_patterns_customer(spark, sf_dir):
     ).orderBy(F.desc("n_rows"), "null_cols")
 
 
+def q_coverage_events(spark, sf_dir):
+    """Interval union coverage (operators/temporal.py
+    interval_coverage): each event claims [ts, ts + (event_id%7+1)
+    minutes) of feed liveness per event type, and the audit asks what
+    fraction of January the type's intervals COVER once overlaps
+    merge, plus the largest hole (head/interior/tail). Everything in
+    unix_micros longs — the island sweep, the clip, every gap — so
+    DuckDB replays the merge decision-for-decision."""
+    from pandera_forge_spark.operators.temporal import interval_coverage
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").alias("s"),
+        F.timestamp_add(
+            "MINUTE", (F.col("event_id") % 7 + 1).cast("int"), F.col("ts")
+        ).alias("e"),
+    ).where(F.col("ts").isNotNull())
+    return interval_coverage(
+        e, ["event_type"], "s", "e",
+        "2024-01-01 00:00:00", "2024-01-31 00:00:00",
+    ).orderBy("event_type")
+
+
+SQL_COVERAGE_EVENTS = """
+WITH iv AS (
+  SELECT event_type,
+         epoch_us(ts) AS s0,
+         epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e0
+  FROM events WHERE ts IS NOT NULL
+),
+bounds AS (
+  SELECT epoch_us(TIMESTAMP '2024-01-01 00:00:00') AS ws,
+         epoch_us(TIMESTAMP '2024-01-31 00:00:00') AS we
+),
+clipped AS (
+  SELECT event_type, GREATEST(s0, ws) AS s, LEAST(e0, we) AS e
+  FROM iv, bounds
+  WHERE GREATEST(s0, ws) < LEAST(e0, we)
+),
+flag AS (
+  SELECT event_type, s, e,
+    CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+         THEN 1 ELSE 0 END AS new
+  FROM clipped
+  WINDOW w AS (PARTITION BY event_type ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl0 AS (
+  SELECT event_type, s, e,
+         SUM(new) OVER (PARTITION BY event_type ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS isl
+  FROM flag
+),
+isl AS (
+  SELECT event_type, isl, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MIN(s) AS BIGINT) AS i_s, CAST(MAX(e) AS BIGINT) AS i_e
+  FROM isl0 GROUP BY 1, 2
+),
+per AS (
+  SELECT event_type,
+         CAST(SUM(n) AS BIGINT) AS n_intervals,
+         CAST(COUNT(*) AS BIGINT) AS n_islands,
+         CAST(SUM(i_e - i_s) AS BIGINT) AS covered_us,
+         CAST(MIN(i_s) AS BIGINT) AS first_s,
+         CAST(MAX(i_e) AS BIGINT) AS last_e
+  FROM isl GROUP BY 1
+),
+gap0 AS (
+  SELECT event_type,
+         COALESCE(i_s - LAG(i_e) OVER (PARTITION BY event_type
+                                       ORDER BY i_s), 0) AS g
+  FROM isl
+),
+gaps AS (
+  SELECT event_type, CAST(MAX(g) AS BIGINT) AS max_int
+  FROM gap0 GROUP BY 1
+)
+SELECT p.event_type, p.n_intervals, p.n_islands, p.covered_us,
+       CAST(p.covered_us AS DOUBLE) / CAST(b.we - b.ws AS DOUBLE)
+         AS coverage_share,
+       CAST(GREATEST(g.max_int, p.first_s - b.ws, b.we - p.last_e)
+            AS BIGINT) AS largest_gap_us
+FROM per p JOIN gaps g USING (event_type), bounds b
+ORDER BY p.event_type
+"""
+
+
 def q_salt_plan_events(spark, sf_dir):
     """Per-key salting plan (validator.salt_plan) over events with a
     planted hot key: a third of all events collapse onto user 0 (the
@@ -8575,6 +8663,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # made actionable, consumed by the duplicate_custkeys_salted
         # mechanics; strict sweep green at BOTH SFs -----------------------------
         "salt_plan_events": q_salt_plan_events,
+        # coverage_events: continuation-session tail row; the island sweep is
+        # the constancy_events gaps-and-islands kernel over clipped micros
+        # longs (hourly_rollup time precedent), argmax-free; strict sweep
+        # green at BOTH SFs ------------------------------------------------------
+        "coverage_events": q_coverage_events,
     }
 
 
@@ -8765,4 +8858,5 @@ def oracle_sql() -> dict[str, str]:
         "script_mixing_customer": SQL_SCRIPT_MIXING_CUSTOMER,
         "constancy_events": SQL_CONSTANCY_EVENTS,
         "salt_plan_events": SQL_SALT_PLAN_EVENTS,
+        "coverage_events": SQL_COVERAGE_EVENTS,
     }

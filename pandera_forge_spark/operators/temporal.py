@@ -2069,3 +2069,164 @@ def constancy_runs(
         F.col("__best.s").alias("max_run_start"),
         F.col("__best.e").alias("max_run_end"),
     ).where(F.col("max_run_len") >= min_run)
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    window_start: str,
+    window_end: str,
+) -> DataFrame:
+    """Union coverage of time intervals per key — the uptime/SLA
+    question `interval_overlaps` (pairwise conflicts) does not answer:
+    what fraction of an audit window do this key's intervals COVER,
+    once overlaps and duplicates are merged? "The heartbeat feed
+    covered 99.2% of yesterday; its largest hole was 6 minutes" is the
+    freshness verdict a coverage SLA needs, and it is NOT the sum of
+    interval lengths (overlaps double-count) nor the count of gaps.
+
+    Classic sweep: clip intervals to ``[window_start, window_end)``,
+    sort by start per key, and a new ISLAND begins where an interval
+    starts strictly after the running max of previous ends — one lag
+    window + one cumulative-sum window over the SAME sort, then one
+    groupBy per (key, island) and one per key (the `constancy_runs`
+    plan shape). Returns ``(keys..., n_intervals, n_islands,
+    covered_us, coverage_share, largest_gap_us)`` — all from
+    MICROSECOND longs (``unix_micros``), so every merge decision and
+    every length is engine-exact; ``coverage_share`` is one raw IEEE
+    division by the window length. ``largest_gap_us`` includes the
+    head gap (window start → first island) and tail gap (last island
+    → window end) — a feed that died at 18:00 has its hole counted.
+    Rows with NULL endpoints are ignored; zero-length and inverted
+    intervals raise IN-BAND (an end before its start is corrupt data,
+    not a modelling choice); keys whose intervals all fall outside
+    the window simply produce no row.
+
+    Scale shape: two window passes over one per-key sort, two
+    map-side-combinable groupBys hashing on the key prefix; shuffle
+    rows are O(islands) after the first aggregate. Per-key sort is
+    the sequence family's hot-key caveat.
+    """
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("interval_coverage: key_cols must be non-empty")
+    _check_reserved(
+        df, ["__s", "__e", "__new", "__isl"], "interval_coverage"
+    )
+    clash = set(keys) & {
+        "n_intervals", "n_islands", "covered_us", "coverage_share",
+        "largest_gap_us",
+    }
+    if clash:
+        raise ValueError(
+            f"interval_coverage: key columns {sorted(clash)} collide with "
+            "output names — rename them"
+        )
+    missing = [
+        c for c in keys + [start_col, end_col] if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(f"interval_coverage: frame lacks columns {missing}")
+    import datetime as _dt
+
+    try:
+        _w0 = _dt.datetime.fromisoformat(window_start)
+        _w1 = _dt.datetime.fromisoformat(window_end)
+    except ValueError as exc:
+        raise ValueError(
+            "interval_coverage: window bounds must be ISO timestamps, got "
+            f"{window_start!r} / {window_end!r}"
+        ) from exc
+    if _w1 <= _w0:
+        raise ValueError(
+            f"interval_coverage: window_end {window_end!r} must be after "
+            f"window_start {window_start!r}"
+        )
+
+    def _us(col: str):
+        dtype = dict(df.dtypes)[col]
+        c = F.col(col)
+        if dtype.startswith("timestamp"):
+            return F.unix_micros(c.cast("timestamp_ltz"))
+        return (c.cast("double") * F.lit(1000000.0)).cast("long")
+
+    def _lit_us(v: str):
+        return F.unix_micros(F.lit(v).cast("timestamp_ltz"))
+
+    ws, we = _lit_us(window_start), _lit_us(window_end)
+    s_raw, e_raw = _us(start_col), _us(end_col)
+    fenced_e = F.when(e_raw > s_raw, e_raw).otherwise(
+        F.raise_error(
+            F.lit(
+                f"interval_coverage: interval with {end_col} <= "
+                f"{start_col} — an inverted or zero-length interval is "
+                "corrupt data; filter or repair upstream"
+            )
+        )
+    )
+    base = (
+        df.where(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
+        .select(*keys, s_raw.alias("__s"), fenced_e.alias("__e"))
+        .withColumn("__s", F.greatest(F.col("__s"), ws))
+        .withColumn("__e", F.least(F.col("__e"), we))
+        .where(F.col("__s") < F.col("__e"))
+    )
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col("__s"), F.col("__e"))
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_max_end = F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        base.withColumn(
+            "__new",
+            F.when(
+                prev_max_end.isNull() | (F.col("__s") > prev_max_end),
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn("__isl", F.sum("__new").over(wcum))
+        .groupBy(*keys, "__isl")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("__s").alias("__is"),
+            F.max("__e").alias("__ie"),
+        )
+    )
+    win_len = we - ws
+    per_key = islands.groupBy(*keys).agg(
+        F.sum("__n").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("__ie") - F.col("__is")).alias("covered_us"),
+        F.min("__is").alias("__first_s"),
+        F.max("__ie").alias("__last_e"),
+    )
+    # interior gaps need island-adjacency: one more lag over the TINY
+    # island frame (O(islands) rows), same key partitioning
+    wi = Window.partitionBy(*[F.col(k) for k in keys]).orderBy("__is")
+    gaps = (
+        islands.withColumn(
+            "__gap", F.col("__is") - F.lag("__ie", 1).over(wi)
+        )
+        .groupBy(*keys)
+        .agg(F.max(F.coalesce(F.col("__gap"), F.lit(0))).alias("__max_int"))
+    )
+    out = per_key.join(gaps, keys)
+    head_gap = F.col("__first_s") - ws
+    tail_gap = we - F.col("__last_e")
+    return out.select(
+        *keys,
+        "n_intervals",
+        "n_islands",
+        "covered_us",
+        (F.col("covered_us").cast("double") / win_len.cast("double")).alias(
+            "coverage_share"
+        ),
+        F.greatest(F.col("__max_int"), head_gap, tail_gap).alias(
+            "largest_gap_us"
+        ),
+    )

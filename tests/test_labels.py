@@ -581,3 +581,92 @@ def test_constancy_plan_and_fences(spark):
         )
     with pytest.raises(ValueError, match="internal working"):
         constancy_runs(df.withColumn("__run", F.lit(1)), ["k"], "ts", "v")
+
+
+# ---------------------------------------------------------------------------
+# interval_coverage
+# ---------------------------------------------------------------------------
+
+from pandera_forge_spark.operators.temporal import interval_coverage
+
+W0, W1 = "2024-01-01 00:00:00", "2024-01-01 01:00:00"  # 3600 s window
+
+
+def _iv(spark, rows):
+    from datetime import datetime, timedelta
+
+    def t(m, s=0):
+        return datetime(2024, 1, 1) + timedelta(minutes=m, seconds=s)
+
+    data = [(k, t(*a), t(*b)) for k, a, b in rows]
+    return spark.createDataFrame(data, "k string, s timestamp, e timestamp")
+
+
+def test_interval_coverage_planted(spark):
+    rows = [
+        # key 'a': [0,10) + [5,20) merge -> [0,20); [30,40) separate;
+        # duplicate [30,40) must not double-count
+        ("a", (0,), (10,)), ("a", (5,), (20,)),
+        ("a", (30,), (40,)), ("a", (30,), (40,)),
+        # key 'b': one interval clipped by the window end
+        ("b", (50,), (70,)),
+        # key 'c': fully outside the window -> no row
+        ("c", (61,), (62,)),
+    ]
+    out = {
+        r["k"]: r
+        for r in interval_coverage(
+            _iv(spark, rows), ["k"], "s", "e", W0, W1
+        ).collect()
+    }
+    assert set(out) == {"a", "b"}
+    a = out["a"]
+    assert (a["n_intervals"], a["n_islands"]) == (4, 2)
+    assert a["covered_us"] == (20 + 10) * 60 * 1_000_000
+    assert a["coverage_share"] == (30 * 60) / 3600.0
+    # gaps: interior 20->30 = 10 min; tail 40->60 = 20 min (largest)
+    assert a["largest_gap_us"] == 20 * 60 * 1_000_000
+    b = out["b"]
+    assert b["covered_us"] == 10 * 60 * 1_000_000  # clipped at 60
+    assert b["largest_gap_us"] == 50 * 60 * 1_000_000  # head gap
+
+
+def test_interval_coverage_full_window_and_replay(spark):
+    # wall-to-wall coverage: share exactly 1.0, largest gap 0
+    rows = [("k", (0,), (30,)), ("k", (30,), (59, 59))]
+    # note: [30, 59:59) then [59:59, 60:00) missing -> 1s tail gap
+    out = interval_coverage(_iv(spark, rows), ["k"], "s", "e", W0, W1)
+    [r] = out.collect()
+    assert r["covered_us"] == 3599 * 1_000_000
+    assert r["largest_gap_us"] == 1_000_000
+    assert r["n_islands"] == 1  # touching intervals merge (s == prev end)
+
+
+def test_interval_coverage_fences(spark):
+    df = _iv(spark, [("k", (0,), (10,))])
+    with pytest.raises(ValueError, match="non-empty"):
+        interval_coverage(df, [], "s", "e", W0, W1)
+    with pytest.raises(ValueError, match="lacks columns"):
+        interval_coverage(df, ["k"], "s", "nope", W0, W1)
+    with pytest.raises(ValueError, match="must be after"):
+        interval_coverage(df, ["k"], "s", "e", W1, W0)
+    with pytest.raises(ValueError, match="ISO timestamps"):
+        interval_coverage(df, ["k"], "s", "e", "not-a-ts", W1)
+    with pytest.raises(ValueError, match="collide"):
+        interval_coverage(
+            df.withColumnRenamed("k", "covered_us"), ["covered_us"],
+            "s", "e", W0, W1,
+        )
+    inverted = _iv(spark, [("k", (10,), (5,))])
+    with pytest.raises(Exception, match="inverted or zero-length"):
+        interval_coverage(inverted, ["k"], "s", "e", W0, W1).collect()
+
+
+def test_interval_coverage_partition_independence_no_udf(spark):
+    rows = [("k%d" % (i % 3), (i % 50,), (i % 50 + 5,)) for i in range(40)]
+    df = _iv(spark, rows)
+    out = interval_coverage(df, ["k"], "s", "e", W0, W1)
+    assert not has_python_udf(out)
+    a = sorted(map(tuple, interval_coverage(df.repartition(7), ["k"], "s", "e", W0, W1).collect()))
+    b = sorted(map(tuple, interval_coverage(df.coalesce(1), ["k"], "s", "e", W0, W1).collect()))
+    assert a == b
