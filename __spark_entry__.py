@@ -7373,6 +7373,50 @@ def q_null_patterns_customer(spark, sf_dir):
     ).orderBy(F.desc("n_rows"), "null_cols")
 
 
+def q_footrule_orders(spark, sf_dir):
+    """Spearman-footrule rank disagreement (operators/search.py
+    footrule_disagreement) between two orderings of each priority
+    group's orders: by price vs by a deterministic scramble
+    ((key·37) % 1000). Ranks are row_numbers with the item id breaking
+    ties identically in both engines; the footrule is an exact long
+    and norm one raw IEEE division by ⌊n²/2⌋ — the label-free "do my
+    two rankers even agree" statistic."""
+    from pandera_forge_spark.operators.search import footrule_disagreement
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_orderkey").alias("item"),
+        F.col("o_totalprice").alias("sa"),
+        ((F.col("o_orderkey") * 37) % 1000).alias("sb"),
+    )
+    return footrule_disagreement(
+        o, ["o_orderpriority"], "item", "sa", "sb"
+    ).orderBy("o_orderpriority")
+
+
+SQL_FOOTRULE_ORDERS = """
+WITH src AS (
+  SELECT o_orderpriority AS q, o_orderkey AS item,
+         o_totalprice AS sa,
+         CAST((o_orderkey * 37) % 1000 AS BIGINT) AS sb
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+r AS (
+  SELECT q,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY sa DESC, item) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY sb DESC, item) AS rb
+  FROM src
+)
+SELECT q AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(ABS(ra - rb)) AS BIGINT) AS footrule,
+       CASE WHEN COUNT(*) >= 2
+            THEN CAST(SUM(ABS(ra - rb)) AS DOUBLE)
+                 / CAST((COUNT(*) * COUNT(*)) // 2 AS DOUBLE)
+            ELSE NULL END AS norm
+FROM r GROUP BY q ORDER BY q
+"""
+
+
 def q_coverage_events(spark, sf_dir):
     """Interval union coverage (operators/temporal.py
     interval_coverage): each event claims [ts, ts + (event_id%7+1)
@@ -8668,6 +8712,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # longs (hourly_rollup time precedent), argmax-free; strict sweep
         # green at BOTH SFs ------------------------------------------------------
         "coverage_events": q_coverage_events,
+        # footrule_orders: continuation-session tail row; per-key
+        # row_number windows = the bm25/retrieval family's per-query
+        # ranking discipline, exact-long statistic + one division; strict
+        # sweep green at BOTH SFs ------------------------------------------------
+        "footrule_orders": q_footrule_orders,
     }
 
 
@@ -8859,4 +8908,5 @@ def oracle_sql() -> dict[str, str]:
         "constancy_events": SQL_CONSTANCY_EVENTS,
         "salt_plan_events": SQL_SALT_PLAN_EVENTS,
         "coverage_events": SQL_COVERAGE_EVENTS,
+        "footrule_orders": SQL_FOOTRULE_ORDERS,
     }

@@ -41,6 +41,8 @@ constant) with the same rules as the corpus tokenizer.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -667,4 +669,117 @@ def retrieval_metrics(
             F.coalesce(F.col("__dcg_q"), F.lit(0)).cast("double")
             / idcg_q.cast("double")
         ).alias("ndcg_at_k"),
+    )
+
+
+def footrule_disagreement(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    item_col: str,
+    score_a: str,
+    score_b: str,
+) -> DataFrame:
+    """Spearman-footrule disagreement between two rankings of the same
+    items — "how differently do my two retrievers order the same
+    candidates", answered with an EXACT integer statistic instead of a
+    float correlation: per key, both scores rank the items
+    (descending, item id breaking ties deterministically) and the
+    footrule is ``Σ |rank_a − rank_b|`` — 0 for identical orderings,
+    maximal (``⌊n²/2⌋``) for a reversal, and every intermediate value
+    an exact long. ``norm`` divides by that maximum (one raw IEEE
+    division; NULL when n < 2, where disagreement is undefined) so
+    0→identical, 1→reversed reads directly in a triage queue. The
+    lens the retrieval-metrics family lacks: recall@k/MRR/NDCG score
+    each ranking against LABELS; the footrule scores them against
+    EACH OTHER — no labels needed, which is exactly the situation a
+    new embedding model lands in ("does it even rank like the old
+    one?").
+
+    Rows with a NULL item or either score NULL are excluded (an item
+    one ranker cannot score has no rank pair — filter upstream if
+    that is itself the finding). Duplicate items per key raise
+    IN-BAND: two rows claiming the same item make "its rank"
+    meaningless.
+
+    Scale shape: two row_number windows over the SAME key partition
+    (one sort each on its score) + one fused groupBy on the same keys
+    — Catalyst plans one Exchange for the windows chain; the
+    aggregate is algebraic. Per-key candidate lists are ranking-sized
+    (100s–1000s), the standard per-query window the BM25 family
+    already uses — never a global sort.
+    """
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("footrule_disagreement: key_cols must be non-empty")
+    for c in (item_col, score_a, score_b):
+        if c not in df.columns:
+            raise ValueError(
+                f"footrule_disagreement: column {c!r} not in frame"
+            )
+    missing = [c for c in keys if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"footrule_disagreement: frame lacks key columns {missing}"
+        )
+    clash = set(keys) & {"n_items", "footrule", "norm"}
+    if clash:
+        raise ValueError(
+            f"footrule_disagreement: key columns {sorted(clash)} collide "
+            "with output names — rename them"
+        )
+    base = df.where(
+        F.col(item_col).isNotNull()
+        & F.col(score_a).isNotNull()
+        & F.col(score_b).isNotNull()
+    )
+    kp = [F.col(k) for k in keys]
+    wa = Window.partitionBy(*kp).orderBy(
+        F.col(score_a).desc(), F.col(item_col)
+    )
+    wb = Window.partitionBy(*kp).orderBy(
+        F.col(score_b).desc(), F.col(item_col)
+    )
+    wdup = Window.partitionBy(*kp, F.col(item_col))
+    dup_fence = F.when(
+        F.count(F.lit(1)).over(wdup) == 1, F.lit(1)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "footrule_disagreement: duplicate item per key — two "
+                    "rows claiming the same item make its rank "
+                    "meaningless (item="
+                ),
+                F.col(item_col).cast("string"),
+                F.lit(")"),
+            )
+        )
+    )
+    ranked = base.select(
+        *keys,
+        dup_fence.alias("__ok"),
+        F.row_number().over(wa).alias("__ra"),
+        F.row_number().over(wb).alias("__rb"),
+    )
+    # the fence multiplies into the summed term (×1 when clean) so
+    # column pruning cannot delete the raise_error expression
+    diff = (
+        F.abs(F.col("__ra") - F.col("__rb")).cast("long")
+        * F.col("__ok").cast("long")
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(diff).alias("footrule"),
+    )
+    n = F.col("n_items")
+    max_fr = F.expr("(n_items * n_items) div 2")
+    return agg.select(
+        *keys,
+        "n_items",
+        "footrule",
+        F.when(
+            n >= 2, F.col("footrule").cast("double") / max_fr.cast("double")
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("norm"),
     )

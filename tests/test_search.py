@@ -378,3 +378,75 @@ def test_hard_negatives_missing_positive_columns_is_loud(spark):
     positives = spark.createDataFrame([(0,)], "query_id long")
     with pytest.raises(ValueError, match="lacks"):
         hard_negatives(df, queries, positives, n=2)
+
+
+# ---------------------------------------------------------------------------
+# footrule_disagreement
+# ---------------------------------------------------------------------------
+
+from pandera_forge_spark.operators.search import footrule_disagreement
+
+
+def test_footrule_planted(spark):
+    rows = (
+        # q1: identical order -> footrule 0
+        [("q1", f"d{i}", 10.0 - i, 100.0 - i) for i in range(5)]
+        # q2: exact reversal of 4 items -> footrule 8 = floor(16/2), norm 1.0
+        + [("q2", f"d{i}", 4.0 - i, float(i)) for i in range(4)]
+        # q3: one swap in 3 items -> |1-2|+|2-1|+0 = 2; norm 2/4
+        + [("q3", "a", 3.0, 2.0), ("q3", "b", 2.0, 3.0), ("q3", "c", 1.0, 1.0)]
+        # q4: single item -> norm NULL
+        + [("q4", "only", 1.0, 9.0)]
+        # NULL score rows excluded
+        + [("q1", "dropme", None, 5.0)]
+    )
+    df = spark.createDataFrame(rows, "q string, item string, sa double, sb double")
+    out = {r["q"]: r for r in footrule_disagreement(
+        df, ["q"], "item", "sa", "sb").collect()}
+    assert (out["q1"]["n_items"], out["q1"]["footrule"], out["q1"]["norm"]) == (5, 0, 0.0)
+    assert (out["q2"]["footrule"], out["q2"]["norm"]) == (8, 1.0)
+    assert (out["q3"]["footrule"], out["q3"]["norm"]) == (2, 0.5)
+    assert out["q4"]["norm"] is None and out["q4"]["footrule"] == 0
+
+
+def test_footrule_tie_break_deterministic(spark):
+    # equal scores: item id orders them the same way on both sides, so
+    # ties contribute ZERO disagreement rather than random noise
+    rows = [("q", f"d{i}", 1.0, 1.0) for i in range(6)]
+    df = spark.createDataFrame(rows, "q string, item string, sa double, sb double")
+    [r] = footrule_disagreement(df, ["q"], "item", "sa", "sb").collect()
+    assert r["footrule"] == 0
+
+
+def test_footrule_duplicate_item_raises_and_fences(spark):
+    df = spark.createDataFrame(
+        [("q", "d", 1.0, 1.0), ("q", "d", 2.0, 2.0)],
+        "q string, item string, sa double, sb double",
+    )
+    with pytest.raises(Exception, match="duplicate item"):
+        footrule_disagreement(df, ["q"], "item", "sa", "sb").collect()
+    with pytest.raises(ValueError, match="non-empty"):
+        footrule_disagreement(df, [], "item", "sa", "sb")
+    with pytest.raises(ValueError, match="not in frame"):
+        footrule_disagreement(df, ["q"], "nope", "sa", "sb")
+    with pytest.raises(ValueError, match="collide"):
+        footrule_disagreement(
+            df.withColumnRenamed("q", "norm"), ["norm"], "item", "sa", "sb"
+        )
+
+
+def test_footrule_partition_independence_no_udf(spark):
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    rows = [
+        (f"q{i % 4}", f"d{i}", float((i * 7) % 23), float((i * 11) % 19))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "q string, item string, sa double, sb double")
+    out = footrule_disagreement(df, ["q"], "item", "sa", "sb")
+    assert not has_python_udf(out)
+    a = sorted(map(tuple, footrule_disagreement(
+        df.repartition(7), ["q"], "item", "sa", "sb").collect()))
+    b = sorted(map(tuple, footrule_disagreement(
+        df.coalesce(1), ["q"], "item", "sa", "sb").collect()))
+    assert a == b
