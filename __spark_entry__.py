@@ -7373,6 +7373,70 @@ def q_null_patterns_customer(spark, sf_dir):
     ).orderBy(F.desc("n_rows"), "null_cols")
 
 
+def q_stream_lateness_epochs(spark, sf_dir):
+    """Streaming watermark-lateness monitor (streaming/sequence.py
+    stream_lateness) driven END-TO-END in-process, the
+    stream_gaps_epochs pattern: events cut into 3 epoch files at
+    event_id thirds (a global ARRIVAL-order cut), availableNow streams
+    one file per trigger, each batch scores lateness against the
+    carried per-type high watermark, and the per-epoch censuses sum
+    back to EXACTLY the batch lateness_census — a running max composes
+    associatively across arrival chunks, so the oracle is the plain
+    batch replay (same SQL as lateness_events). A lost carry
+    under-counts lateness; a replayed epoch double-counts it — either
+    breaks the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from pandera_forge_spark.streaming import stream_lateness
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "event_id")
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    c1 = lo + (hi - lo) // 3
+    c2 = lo + 2 * (hi - lo) // 3
+    eid = F.col("event_id")
+    root = tempfile.mkdtemp(prefix="pfs_slate_")
+    try:
+        cuts = [eid <= c1, (eid > c1) & (eid <= c2), eid > c2]
+        src = _stage_epoch_files([ev.where(c) for c in cuts], root)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        writer = stream_lateness(
+            stream,
+            os.path.join(root, "state"),
+            os.path.join(root, "sink"),
+            ["event_type"],
+            "ts",
+            "event_id",
+            thresholds=[60, 3600],
+            checkpoint=os.path.join(root, "ckpt"),
+        )
+        _run_available_now(writer)
+        rows = [
+            tuple(r)
+            for r in spark.read.parquet(os.path.join(root, "sink", "__epoch=*"))
+            .groupBy("event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.max("max_late_us").alias("max_late_us"),
+                F.sum("late_60s").alias("late_60s"),
+                F.sum("late_3600s").alias("late_3600s"),
+            )
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n_events bigint, max_late_us bigint, "
+        "late_60s bigint, late_3600s bigint",
+    ).orderBy("event_type")
+
+
 def q_footrule_orders(spark, sf_dir):
     """Spearman-footrule rank disagreement (operators/search.py
     footrule_disagreement) between two orderings of each priority
@@ -8717,6 +8781,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ranking discipline, exact-long statistic + one division; strict
         # sweep green at BOTH SFs ------------------------------------------------
         "footrule_orders": q_footrule_orders,
+        # stream_lateness_epochs: continuation-session tail row; the
+        # foreachBatch epoch-state kernel is the in-window stream_gaps/
+        # stream_monotonic family's, the census the lateness_events batch
+        # twin's, and the oracle IS the batch replay (associative running
+        # max); strict sweep green at BOTH SFs -----------------------------------
+        "stream_lateness_epochs": q_stream_lateness_epochs,
     }
 
 
@@ -8909,4 +8979,5 @@ def oracle_sql() -> dict[str, str]:
         "salt_plan_events": SQL_SALT_PLAN_EVENTS,
         "coverage_events": SQL_COVERAGE_EVENTS,
         "footrule_orders": SQL_FOOTRULE_ORDERS,
+        "stream_lateness_epochs": SQL_LATENESS_EVENTS,
     }

@@ -11,6 +11,7 @@ same check compiler and verdict semantics via ``foreachBatch``.
 from pandera_forge_spark.streaming.dedup import stream_near_dedup
 from pandera_forge_spark.streaming.sequence import (
     stream_cusum,
+    stream_lateness,
     stream_monotonic_violations,
     stream_sequence_gaps,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "stream_drift",
     "stream_contamination",
     "stream_cusum",
+    "stream_lateness",
     "stream_monotonic_violations",
     "stream_near_dedup",
     "stream_sequence_gaps",

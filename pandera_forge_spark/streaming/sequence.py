@@ -409,3 +409,133 @@ def stream_cusum(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def _prior_hw(spark, state_dir: str, below_epoch: int, key_cols):
+    """Per-key HIGH WATERMARK (max event-time micros) over every epoch
+    strictly below ``below_epoch`` — the `_prior_state` discipline
+    (committed dirs only, loud when markers are disabled) with a plain
+    MAX reduce: unlike the last-row carry, a running max is
+    order-free, so the state merge is trivially associative."""
+    from pandera_forge_spark.sources.fs import DriverFS
+
+    fs = DriverFS(spark)
+    root = f"{state_dir}/hw_epochs"
+    if not fs.exists(root):
+        return None
+    below = [
+        n
+        for n in fs.listdir(root)
+        if n.startswith("__epoch=")
+        and int(n.split("=", 1)[1]) < int(below_epoch)
+    ]
+    dirs = [n for n in below if fs.exists(f"{root}/{n}/_SUCCESS")]
+    if below and not dirs:
+        raise RuntimeError(
+            f"{root}: {len(below)} prior-epoch state dirs exist but none "
+            "has a _SUCCESS marker — success markers disabled on this "
+            "filesystem? The monitors rely on them to skip torn writes"
+        )
+    if not dirs:
+        return None
+    st = spark.read.option("basePath", root).parquet(
+        *[f"{root}/{n}" for n in dirs]
+    )
+    return st.groupBy(*key_cols).agg(F.max("__hw").alias("__hw"))
+
+
+def stream_lateness(
+    stream_df: DataFrame,
+    state_dir: str,
+    sink: str,
+    key_cols: Sequence[str],
+    ts_col: str,
+    arrival_col: str,
+    thresholds: Sequence[int] = (60, 300, 3600, 86400),
+    checkpoint: Optional[str] = None,
+    on_batch: Optional[Callable] = None,
+):
+    """Continuous watermark-lateness monitoring — the streaming twin of
+    ``operators/temporal.lateness_census``: each micro-batch scores its
+    events' lateness against the per-key HIGH WATERMARK carried across
+    all prior epochs plus the in-batch running max along
+    ``arrival_col``, and writes one census row per key per epoch to
+    ``<sink>/__epoch=<id>`` (overwrite — exactly-once per epoch, the
+    package's foreachBatch contract): ``keys + n_events + max_late_us
+    + late_<t>s`` per threshold. Summing the epoch sinks per key (and
+    max-ing ``max_late_us``) reproduces the batch census exactly when
+    epochs cut the stream in arrival order — the carry IS the chunk
+    stitch, and a running max composes associatively across chunks
+    (unlike the sequence monitors there is no disorder caveat: a max
+    only grows, so a late-cut epoch can only UNDER-count lateness it
+    hasn't seen, never fabricate it).
+
+    State is one ``(keys, __hw)`` micros row per key per epoch under
+    ``<state_dir>/hw_epochs`` (max-reduced on read, committed dirs
+    only); rows with NULL timestamp or arrival are excluded, matching
+    the batch twin. Returns the unstarted ``writeStream`` writer."""
+    keys = list(key_cols)
+    ths = [int(t) for t in thresholds]
+    if not ths:
+        raise ValueError("stream_lateness: thresholds must be non-empty")
+    if any(t < 0 for t in ths) or len(set(ths)) != len(ths):
+        raise ValueError(
+            f"stream_lateness: thresholds must be unique and >= 0: {ths}"
+        )
+    if not keys:
+        raise ValueError("stream_lateness: key_cols must be non-empty")
+    _check_reserved(
+        stream_df, ["__ts_us", "__bmax", "__hw", "__late"], "stream_lateness"
+    )
+    dtype = dict(stream_df.dtypes)[ts_col]
+
+    def _us(df):
+        c = F.col(ts_col)
+        if dtype.startswith("timestamp"):
+            return F.unix_micros(c.cast("timestamp_ltz"))
+        return (c.cast("double") * F.lit(1000000.0)).cast("long")
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+        base = batch_df.where(
+            F.col(ts_col).isNotNull() & F.col(arrival_col).isNotNull()
+        ).withColumn("__ts_us", _us(batch_df))
+        w = (
+            Window.partitionBy(*[F.col(k) for k in keys])
+            .orderBy(F.col(arrival_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        b = base.withColumn("__bmax", F.max("__ts_us").over(w))
+        prior = _prior_hw(batch_df.sparkSession, state_dir, e, keys)
+        if prior is not None:
+            b = _nullsafe_equi_join(b, prior, keys, "left")
+        else:
+            b = b.withColumn("__hw", F.lit(None).cast("long"))
+        # greatest skips NULLs: no carried state -> in-batch max alone
+        b = b.withColumn(
+            "__late",
+            F.greatest(F.col("__bmax"), F.col("__hw")) - F.col("__ts_us"),
+        )
+        census = b.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("__late").alias("max_late_us"),
+            *[
+                F.sum((F.col("__late") > t * 1000000).cast("long")).alias(
+                    f"late_{t}s"
+                )
+                for t in ths
+            ],
+        )
+        census.write.mode("overwrite").parquet(f"{sink}/__epoch={e}")
+        # state after sink (crash => replay rewrites both identically;
+        # reads only epochs < e, so partials are invisible)
+        base.groupBy(*keys).agg(F.max("__ts_us").alias("__hw")).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/hw_epochs/__epoch={e}")
+        if on_batch is not None:
+            on_batch(census, e)
+
+    writer = stream_df.writeStream.foreachBatch(process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

@@ -257,3 +257,92 @@ def test_stream_monitor_reserved_names_are_loud(spark, tmp_path):
         stream_monotonic_violations(
             stream2, "/tmp/x", "/tmp/y", ["key"], ["seq"], "v"
         )
+
+
+# ---------------------------------------------------------------------------
+# stream_lateness
+# ---------------------------------------------------------------------------
+
+from pandera_forge_spark.operators.temporal import lateness_census
+from pandera_forge_spark.streaming import stream_lateness
+
+LATE_SCHEMA = "key string, arr long, ts double"
+
+# arrival-ordered epochs; planted: k1's epoch-1 rows are late vs the
+# epoch-0 high watermark (cross-epoch carry), k2 stays in order, the
+# NULL-ts / NULL-arr rows must be ignored
+LATE_EPOCHS = [
+    [("k1", 0, 100.0), ("k1", 1, 40.0), ("k2", 0, 10.0), ("k2", 1, 20.0)],
+    [("k1", 2, 30.0), ("k1", 3, 200.0), ("k2", 2, 15.0),
+     ("k1", 4, None), ("k2", None, 99.0)],
+    [("k1", 5, 190.0), ("k2", 3, 400.0)],
+]
+
+
+def test_stream_lateness_equals_batch(spark, tmp_path):
+    """Multi-epoch foreachBatch == batch lateness_census over the
+    concatenated arrival-ordered input: per-key sums of epoch censuses
+    match n_events and late counts, max of max_late_us matches."""
+    import os
+    import shutil
+
+    root = str(tmp_path)
+    src = os.path.join(root, "src")
+    os.makedirs(src, exist_ok=True)
+    for e, rows in enumerate(LATE_EPOCHS):
+        stage = os.path.join(root, f"stage{e}")
+        spark.createDataFrame(rows, LATE_SCHEMA).coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.replace(os.path.join(stage, part), os.path.join(src, f"e{e}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+        os.utime(os.path.join(src, f"e{e}.parquet"),
+                 (1_000_000_000 + e * 1000,) * 2)
+    stream = (
+        spark.readStream.schema(LATE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    writer = stream_lateness(
+        stream,
+        os.path.join(root, "state"),
+        os.path.join(root, "sink"),
+        ["key"], "ts", "arr", thresholds=[10, 100],
+        checkpoint=os.path.join(root, "ckpt"),
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = (
+        spark.read.parquet(os.path.join(root, "sink", "__epoch=*"))
+        .groupBy("key")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.max("max_late_us").alias("max_late_us"),
+            F.sum("late_10s").alias("late_10s"),
+            F.sum("late_100s").alias("late_100s"),
+        )
+    )
+    allrows = [r for ep in LATE_EPOCHS for r in ep]
+    batch = lateness_census(
+        spark.createDataFrame(allrows, LATE_SCHEMA),
+        "ts", "arr", ["key"], thresholds=[10, 100],
+    )
+    g = {r["key"]: tuple(r)[1:] for r in got.collect()}
+    b = {r["key"]: tuple(r)[1:] for r in batch.collect()}
+    assert g == b
+    # planted sanity: k1's epoch-1 row at ts=30 is 70 s behind hw=100
+    assert b["k1"][2] >= 2  # late_10s: ts=40 (60s) and ts=30 (70s), ts=190 (10s? no: 200-190=10 NOT >10)
+
+
+def test_stream_lateness_fences(spark, tmp_path):
+    df = spark.createDataFrame([("k", 0, 1.0)], LATE_SCHEMA)
+    with pytest.raises(ValueError, match="thresholds"):
+        stream_lateness(df, str(tmp_path), str(tmp_path), ["key"], "ts",
+                        "arr", thresholds=[])
+    with pytest.raises(ValueError, match="unique"):
+        stream_lateness(df, str(tmp_path), str(tmp_path), ["key"], "ts",
+                        "arr", thresholds=[5, 5])
+    with pytest.raises(ValueError, match="key_cols"):
+        stream_lateness(df, str(tmp_path), str(tmp_path), [], "ts", "arr")
+    with pytest.raises(ValueError, match="internal working"):
+        stream_lateness(df.withColumn("__hw", F.lit(1)), str(tmp_path),
+                        str(tmp_path), ["key"], "ts", "arr")
