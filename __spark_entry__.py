@@ -621,6 +621,113 @@ FROM bins p, base q ORDER BY 1
 SQL_WASSERSTEIN_ORDERS = _sql_wasserstein_orders()
 
 
+TDR_COLS = {
+    "o_totalprice": [50000.0, 100000.0, 200000.0, 300000.0],
+    "o_custkey": [500.0, 1000.0, 5000.0, 10000.0],
+}
+
+
+def q_table_drift_orders(spark, sf_dir):
+    """Fused whole-table drift (drift.table_drift_report): BOTH
+    monitored orders columns scored (PSI + KS + W1) against baselines
+    built from the even-keyed half of the table, in ONE aggregation
+    pass — the nightly-job shape where per-column drift scans would be
+    k× the bill. psi/ks round to 6dp (the drift_orders convention:
+    their float accumulation orders differ engine-to-engine in the
+    last ulps); w1 stays raw (exact integer fold)."""
+    from pandera_forge_spark.drift import table_drift_report
+
+    o = _t(spark, sf_dir, "orders")
+    half = o.where(F.col("o_orderkey") % 2 == 0)
+    baselines = {
+        c: baseline_summary(half, c, edges=e) for c, e in TDR_COLS.items()
+    }
+    r = table_drift_report(o, baselines)
+    return r.select(
+        "column",
+        "n",
+        F.round("psi", 6).alias("psi"),
+        F.round("ks", 6).alias("ks"),
+        "w1",
+    ).orderBy("column")
+
+
+def _sql_table_drift_orders() -> str:
+    arms = []
+    ctes = []
+    for c, edges in TDR_COLS.items():
+        nb = len(edges) + 1
+        conds = []
+        lo = None
+        for e in edges + [None]:
+            if lo is None:
+                conds.append(f"{c} <= {e}")
+            elif e is not None:
+                conds.append(f"{c} > {lo} AND {c} <= {e}")
+            else:
+                conds.append(f"{c} > {lo}")
+            lo = e
+        bin_cols = ", ".join(
+            f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS b{i}"
+            for i, cond in enumerate(conds)
+        )
+        ctes.append(
+            f"p_{c} AS (SELECT {bin_cols}, "
+            f"CAST(COUNT({c}) AS BIGINT) AS n FROM orders "
+            f"WHERE {c} IS NOT NULL)"
+        )
+        ctes.append(
+            f"q_{c} AS (SELECT {bin_cols}, "
+            f"CAST(COUNT({c}) AS BIGINT) AS n FROM orders "
+            f"WHERE o_orderkey % 2 = 0 AND {c} IS NOT NULL)"
+        )
+        nd = f"GREATEST(p.n, 1)"
+        psi = " + ".join(
+            f"(GREATEST(CAST(p.b{i} AS DOUBLE)/{nd}, 0.000001) - "
+            f"GREATEST(CAST(q.b{i} AS DOUBLE)/CAST(q.n AS DOUBLE), 0.000001)) * "
+            f"(LN(GREATEST(CAST(p.b{i} AS DOUBLE)/{nd}, 0.000001)) - "
+            f"LN(GREATEST(CAST(q.b{i} AS DOUBLE)/CAST(q.n AS DOUBLE), 0.000001)))"
+            for i in range(nb)
+        )
+        gaps = []
+        for i in range(nb - 1):
+            ps = " + ".join(
+                f"CAST(p.b{j} AS DOUBLE)/{nd}" for j in range(i + 1)
+            )
+            qs = " + ".join(
+                f"CAST(q.b{j} AS DOUBLE)/CAST(q.n AS DOUBLE)"
+                for j in range(i + 1)
+            )
+            gaps.append(f"ABS(({ps}) - ({qs}))")
+        ks = "GREATEST(" + ", ".join(gaps) + ")"
+        terms = []
+        for i in range(len(edges) - 1):
+            pcum = " + ".join(f"p.b{j}" for j in range(i + 1))
+            qcum = " + ".join(f"q.b{j}" for j in range(i + 1))
+            gap = float(edges[i + 1] - edges[i])
+            terms.append(
+                f"CAST(ABS(({pcum}) * q.n - ({qcum}) * p.n) AS DOUBLE) * "
+                f"CAST({gap!r} AS DOUBLE)"
+            )
+        w1 = (
+            f"CASE WHEN p.n > 0 THEN ({' + '.join(terms)}) / "
+            f"(CAST(p.n AS DOUBLE) * CAST(q.n AS DOUBLE)) ELSE 0e0 END"
+        )
+        arms.append(
+            f"  SELECT '{c}' AS \"column\", p.n AS n, "
+            f"ROUND({psi}, 6) AS psi, ROUND({ks}, 6) AS ks, {w1} AS w1 "
+            f"FROM p_{c} p, q_{c} q"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (\n"
+        + "\n  UNION ALL\n".join(arms)
+        + "\n) ORDER BY \"column\"\n"
+    )
+
+
+SQL_TABLE_DRIFT_ORDERS = _sql_table_drift_orders()
+
+
 def q_sketch_drift_orders(spark, sf_dir):
     """Rescan-free drift via the mergeable histogram sketch
     (sketches.histogram_sketch / merge_histogram_sketches /
@@ -8787,6 +8894,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twin's, and the oracle IS the batch replay (associative running
         # max); strict sweep green at BOTH SFs -----------------------------------
         "stream_lateness_epochs": q_stream_lateness_epochs,
+        # table_drift_orders: continuation-session tail row; per-column
+        # statistics are pytest-differentialed BIT-IDENTICAL to the
+        # in-window-family drift_by_partition / wasserstein kernels — the
+        # new part is the fusion (k drift scans -> 1); strict sweep green
+        # at BOTH SFs --------------------------------------------------------------
+        "table_drift_orders": q_table_drift_orders,
     }
 
 
@@ -8980,4 +9093,5 @@ def oracle_sql() -> dict[str, str]:
         "coverage_events": SQL_COVERAGE_EVENTS,
         "footrule_orders": SQL_FOOTRULE_ORDERS,
         "stream_lateness_epochs": SQL_LATENESS_EVENTS,
+        "table_drift_orders": SQL_TABLE_DRIFT_ORDERS,
     }

@@ -372,3 +372,105 @@ def psi_of(p: Sequence[float], q: Sequence[float]) -> float:
         (max(pi, EPS) - max(qi, EPS)) * math.log(max(pi, EPS) / max(qi, EPS))
         for pi, qi in zip(p, q)
     )
+
+
+def table_drift_report(
+    df: DataFrame, baselines: "dict[str, dict]"
+) -> DataFrame:
+    """Whole-table drift in ONE scan — the nightly-job shape: every
+    monitored column's PSI + KS + grid-W1 against its own
+    ``baseline_summary``, fused into a single aggregation pass instead
+    of one `drift_by_partition` scan per column (k columns: k scans →
+    1; at 10^12 rows that IS the nightly bill). Returns one row per
+    column: ``(column, n, psi, ks, w1)``.
+
+    Statistics match the single-column operators EXACTLY
+    (pytest-differentialed): PSI/KS are `drift_by_partition`'s float
+    forms with the same EPS floors and accumulation order, W1 is
+    `wasserstein_by_partition`'s integer cross-multiplied fold (its
+    round-5 ``counts``/``n`` baseline fields are required). Baselines
+    may use DIFFERENT grids per column — each column's bins ride the
+    same fused aggregate regardless.
+
+    Scale: one conditional-sum aggregate over all columns × bins
+    (map-side partials, single scan, no shuffle of raw rows), melted
+    by one struct explode; baselines ride as literals."""
+    if not baselines:
+        raise ValueError("table_drift_report: baselines must be non-empty")
+    missing = [c for c in baselines if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"table_drift_report: columns not in frame: {missing}"
+        )
+    aggs = []
+    metas = {}
+    for c, baseline in baselines.items():
+        edges = [float(e) for e in baseline["edges"]]
+        counts = baseline.get("counts")
+        n_base = baseline.get("n")
+        if counts is None or not n_base:
+            raise ValueError(
+                f"table_drift_report: baseline for {c!r} lacks integer "
+                "bin counts — rebuild with the round-5 baseline_summary()"
+            )
+        if len(edges) < 2:
+            raise ValueError(
+                f"table_drift_report: baseline for {c!r} needs >=2 edges"
+            )
+        col = F.col(c)
+        nn = col.isNotNull()
+        aggs.append(F.sum(nn.cast("long")).alias(f"__n__{c}"))
+        for i, e in enumerate(_bin_exprs(F.when(nn, col), edges)):
+            aggs.append(e.alias(f"__b__{c}__{i}"))
+        metas[c] = (edges, baseline["props"], baseline["cdf"], counts, int(n_base))
+    wide = df.agg(*aggs)
+
+    structs = []
+    for c, (edges, q_props, q_cdf, q_counts, n_base) in metas.items():
+        nb = len(edges) + 1
+        n_raw = F.col(f"__n__{c}")
+        n = F.greatest(n_raw, F.lit(1)).cast("double")
+        psi = None
+        for i, q in enumerate(q_props):
+            p = F.greatest(F.col(f"__b__{c}__{i}") / n, F.lit(EPS))
+            term = (p - F.lit(q)) * (F.log(p) - F.log(F.lit(q)))
+            psi = term if psi is None else psi + term
+        ks = None
+        acc = None
+        for i, qc in enumerate(q_cdf):
+            b = F.col(f"__b__{c}__{i}") / n
+            acc = b if acc is None else acc + b
+            gap = F.abs(acc - F.lit(qc))
+            ks = gap if ks is None else F.greatest(ks, gap)
+        cumq = []
+        qa = 0
+        for cnt in q_counts[:-1]:
+            qa += int(cnt)
+            cumq.append(qa)
+        w1_terms = None
+        cum = None
+        for i in range(len(edges) - 1):
+            b = F.col(f"__b__{c}__{i}")
+            cum = b if cum is None else cum + b
+            gap = float(edges[i + 1] - edges[i])
+            num = F.abs(
+                cum * F.lit(int(n_base)) - F.lit(int(cumq[i])) * n_raw
+            ).cast("double")
+            t = num * F.lit(gap)
+            w1_terms = t if w1_terms is None else w1_terms + t
+        w1 = F.when(
+            n_raw > 0,
+            w1_terms / (n_raw.cast("double") * F.lit(float(n_base))),
+        ).otherwise(F.lit(0.0))
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                n_raw.alias("n"),
+                psi.alias("psi"),
+                ks.alias("ks"),
+                w1.alias("w1"),
+            )
+        )
+    return wide.select(F.explode(F.array(*structs)).alias("__r")).select(
+        "__r.*"
+    )

@@ -272,3 +272,63 @@ def test_categorical_drift_empty_and_allnull_partitions(spark):
     assert rows["nulls"]["n"] == 0
     assert rows["nulls"]["psi"] == 0.0 and rows["nulls"]["chi2"] == 0.0
     assert rows["ok"]["psi"] < 0.01
+
+
+def test_table_drift_report_matches_single_column_ops(spark):
+    """Cross-operator differential: the fused multi-column report
+    reproduces drift_by_partition's psi/ks and
+    wasserstein_by_partition's w1 bit-for-bit, per column."""
+    from pandera_forge_spark.drift import (
+        table_drift_report,
+        wasserstein_by_partition,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") % 97).cast("double").alias("x"),
+        ((F.col("id") * 31) % 113).cast("double").alias("y"),
+    )
+    base_src = spark.range(1500).select(
+        ((F.col("id") * 7) % 97).cast("double").alias("x"),
+        ((F.col("id") * 13) % 113).cast("double").alias("y"),
+    )
+    bx = baseline_summary(base_src, "x", edges=[10.0, 30.0, 60.0, 90.0])
+    by = baseline_summary(base_src, "y", edges=[20.0, 55.0, 80.0])
+    got = {
+        r["column"]: r
+        for r in table_drift_report(df, {"x": bx, "y": by}).collect()
+    }
+    for c, b in (("x", bx), ("y", by)):
+        [single] = drift_by_partition(df, c, [], b).collect()
+        assert got[c]["n"] == single["n"]
+        assert got[c]["psi"] == single["psi"], c
+        assert got[c]["ks"] == single["ks"], c
+        [w] = wasserstein_by_partition(df, c, [], b).collect()
+        assert got[c]["w1"] == w["w1"], c
+
+
+def test_table_drift_report_single_scan_and_fences(spark):
+    from pandera_forge_spark.drift import table_drift_report
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") % 7).cast("double").alias("y"),
+    )
+    b = baseline_summary(df, "x", edges=[10.0, 50.0])
+    out = table_drift_report(df, {"x": b, "y": b})
+    assert not has_python_udf(out)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("range") <= 1  # ONE scan for all columns
+    with pytest.raises(ValueError, match="non-empty"):
+        table_drift_report(df, {})
+    with pytest.raises(ValueError, match="not in frame"):
+        table_drift_report(df, {"zzz": b})
+    legacy = {k: v for k, v in b.items() if k not in ("counts", "n")}
+    with pytest.raises(ValueError, match="integer bin counts"):
+        table_drift_report(df, {"x": legacy})
+    one_edge = baseline_summary(df, "x", edges=[5.0])
+    with pytest.raises(ValueError, match=">=2 edges"):
+        table_drift_report(df, {"x": one_edge})
+    a = sorted(map(tuple, table_drift_report(df.repartition(7), {"x": b, "y": b}).collect()))
+    c = sorted(map(tuple, table_drift_report(df.coalesce(1), {"x": b, "y": b}).collect()))
+    assert a == c
