@@ -7480,6 +7480,59 @@ def q_null_patterns_customer(spark, sf_dir):
     ).orderBy(F.desc("n_rows"), "null_cols")
 
 
+def q_transitions_events(spark, sf_dir):
+    """Behavioral predictability (operators/temporal.py
+    transition_predictability): each user's dominant event-type
+    transition and its share of all their transitions — the
+    replaying-script lens that fires even when the script's CLOCK is
+    jittered past the cadence profile. Counts exact longs, the
+    dominant edge elected deterministically (count desc, lexicographic
+    (from,to)); DuckDB replays the lag window, counts and a QUALIFY
+    row_number election."""
+    from pandera_forge_spark.operators.temporal import (
+        transition_predictability,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return transition_predictability(
+        e, ["user_id"], "ts", "event_type",
+        min_transitions=5, order_cols=["event_id"],
+    ).orderBy("user_id")
+
+
+SQL_TRANSITIONS_EVENTS = """
+WITH base AS (
+  SELECT user_id, CAST(event_type AS VARCHAR) AS s, ts, event_id
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+pairs AS (
+  SELECT user_id,
+         LAG(s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f,
+         s AS t
+  FROM base
+),
+tc AS (
+  SELECT user_id, f, t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs WHERE f IS NOT NULL GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_transitions,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_transitions
+  FROM tc GROUP BY 1
+),
+best AS (
+  SELECT user_id, f, t, c FROM tc
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY c DESC, f, t) = 1
+)
+SELECT o.user_id, o.n_transitions, o.n_distinct_transitions,
+       b.f AS top_from, b.t AS top_to, b.c AS top_count,
+       CAST(b.c AS DOUBLE) / CAST(o.n_transitions AS DOUBLE) AS top_share
+FROM tot o JOIN best b USING (user_id)
+WHERE o.n_transitions >= 5 ORDER BY o.user_id
+"""
+
+
 def q_stream_lateness_epochs(spark, sf_dir):
     """Streaming watermark-lateness monitor (streaming/sequence.py
     stream_lateness) driven END-TO-END in-process, the
@@ -8900,6 +8953,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new part is the fusion (k drift scans -> 1); strict sweep green
         # at BOTH SFs --------------------------------------------------------------
         "table_drift_orders": q_table_drift_orders,
+        # transitions_events: continuation-session tail row; lag window +
+        # count groupBy + struct-min election = the majority_label /
+        # constancy family kernels; strict sweep green at BOTH SFs --------------
+        "transitions_events": q_transitions_events,
     }
 
 
@@ -9094,4 +9151,5 @@ def oracle_sql() -> dict[str, str]:
         "footrule_orders": SQL_FOOTRULE_ORDERS,
         "stream_lateness_epochs": SQL_LATENESS_EVENTS,
         "table_drift_orders": SQL_TABLE_DRIFT_ORDERS,
+        "transitions_events": SQL_TRANSITIONS_EVENTS,
     }

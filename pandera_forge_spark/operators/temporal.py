@@ -2230,3 +2230,109 @@ def interval_coverage(
             "largest_gap_us"
         ),
     )
+
+
+def transition_predictability(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    state_col: str,
+    min_transitions: int = 3,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Behavioral-script detector — the STRUCTURAL lens after
+    `cadence_profile` (clock) and `constancy_runs` (value): how
+    predictable is each key's next action? Order each key's events by
+    ``(ts, *order_cols)``, take consecutive ``state_col`` transitions
+    (view→click, click→view, …), and report the key's dominant
+    transition with its share of all transitions. A replaying script
+    loops one edge of the behavior graph (``top_share`` ≈ 1 even when
+    its CLOCK is jittered past `cadence_profile`); organic users
+    spread across many transitions. `span_transition_matrix` counts
+    the corpus-wide graph; this scores each KEY against its own.
+
+    Returns ``(keys..., n_transitions, n_distinct_transitions,
+    top_from, top_to, top_count, top_share)`` — counts exact longs,
+    ``top_share`` one raw IEEE division, the dominant transition
+    elected deterministically (highest count, then lexicographic
+    (from, to) — the ``min(struct(-count, …))`` election of
+    `majority_label`). Rows with a NULL state are EXCLUDED before
+    pairing (a NULL state is a data defect `null_pattern_census`
+    owns, not a behavior); keys with fewer than ``min_transitions``
+    transitions are dropped.
+
+    Scale shape: one lag window + one (key, from, to) groupBy + one
+    per-key election groupBy, all hashing on the key prefix; shuffle
+    rows are O(observed transition kinds) after the first aggregate.
+    Per-key sort is the sequence family's hot-key caveat.
+    """
+    if min_transitions < 1:
+        raise ValueError(
+            "transition_predictability: min_transitions must be >= 1, "
+            f"got {min_transitions}"
+        )
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError(
+            "transition_predictability: key_cols must be non-empty"
+        )
+    _check_reserved(
+        df, ["__from", "__to", "__tc"], "transition_predictability"
+    )
+    clash = set(keys) & {
+        "n_transitions", "n_distinct_transitions", "top_from", "top_to",
+        "top_count", "top_share",
+    }
+    if clash:
+        raise ValueError(
+            f"transition_predictability: key columns {sorted(clash)} "
+            "collide with output names — rename them"
+        )
+    missing = [
+        c
+        for c in keys + [ts_col, state_col, *order_cols]
+        if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"transition_predictability: frame lacks columns {missing}"
+        )
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col(ts_col), *[F.col(c) for c in order_cols])
+    )
+    pairs = (
+        df.where(F.col(ts_col).isNotNull() & F.col(state_col).isNotNull())
+        .withColumn("__to", F.col(state_col).cast("string"))
+        .withColumn("__from", F.lag("__to", 1).over(w))
+        .where(F.col("__from").isNotNull())
+    )
+    tc = pairs.groupBy(*keys, "__from", "__to").agg(
+        F.count(F.lit(1)).alias("__tc")
+    )
+    best = tc.groupBy(*keys).agg(
+        F.sum("__tc").alias("n_transitions"),
+        F.count(F.lit(1)).alias("n_distinct_transitions"),
+        F.min(
+            F.struct(
+                (-F.col("__tc")).alias("neg"),
+                F.col("__from").alias("f"),
+                F.col("__to").alias("t"),
+            )
+        ).alias("__best"),
+    )
+    return (
+        best.where(F.col("n_transitions") >= min_transitions)
+        .select(
+            *keys,
+            "n_transitions",
+            "n_distinct_transitions",
+            F.col("__best.f").alias("top_from"),
+            F.col("__best.t").alias("top_to"),
+            (-F.col("__best.neg")).alias("top_count"),
+            (
+                (-F.col("__best.neg")).cast("double")
+                / F.col("n_transitions").cast("double")
+            ).alias("top_share"),
+        )
+    )

@@ -670,3 +670,70 @@ def test_interval_coverage_partition_independence_no_udf(spark):
     a = sorted(map(tuple, interval_coverage(df.repartition(7), ["k"], "s", "e", W0, W1).collect()))
     b = sorted(map(tuple, interval_coverage(df.coalesce(1), ["k"], "s", "e", W0, W1).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# transition_predictability
+# ---------------------------------------------------------------------------
+
+from pandera_forge_spark.operators.temporal import transition_predictability
+
+
+def test_transitions_planted(spark):
+    rows = (
+        # bot: a->b->a->b... : one dominant edge each way; 7 transitions,
+        # a->b 4x, b->a 3x -> top (a,b) share 4/7
+        [("bot", float(t), "a" if t % 2 == 0 else "b") for t in range(8)]
+        # human: varied path v->c->v->p->x->v : 5 distinct transitions
+        + [("hum", float(t), s) for t, s in enumerate("vcvpxv")]
+        # tie: a->b 1x, b->a 1x -> lexicographic (a,b) wins
+        + [("tie", 0.0, "a"), ("tie", 1.0, "b"), ("tie", 2.0, "a"),
+           ("tie", 3.0, None)]  # NULL state row excluded
+        # thin: 1 transition -> dropped at min 2
+        + [("thin", 0.0, "x"), ("thin", 1.0, "y")]
+    )
+    df = spark.createDataFrame(rows, "k string, ts double, s string")
+    out = {
+        r["k"]: r
+        for r in transition_predictability(
+            df, ["k"], "ts", "s", min_transitions=2
+        ).collect()
+    }
+    assert set(out) == {"bot", "hum", "tie"}
+    b = out["bot"]
+    assert (b["n_transitions"], b["n_distinct_transitions"]) == (7, 2)
+    assert (b["top_from"], b["top_to"], b["top_count"]) == ("a", "b", 4)
+    assert b["top_share"] == 4 / 7
+    h = out["hum"]
+    assert h["n_distinct_transitions"] == 5 and h["top_share"] == 1 / 5
+    t = out["tie"]
+    assert (t["top_from"], t["top_to"]) == ("a", "b")  # lexicographic
+    assert t["n_transitions"] == 2  # NULL state row contributed nothing
+
+
+def test_transitions_plan_and_fences(spark):
+    df = spark.createDataFrame(
+        [("k", float(i), str(i % 3)) for i in range(12)],
+        "k string, ts double, s string",
+    )
+    out = transition_predictability(df, ["k"], "ts", "s")
+    assert not has_python_udf(out)
+    a = sorted(map(tuple, transition_predictability(
+        df.repartition(7), ["k"], "ts", "s").collect()))
+    b = sorted(map(tuple, transition_predictability(
+        df.coalesce(1), ["k"], "ts", "s").collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="min_transitions"):
+        transition_predictability(df, ["k"], "ts", "s", min_transitions=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        transition_predictability(df, [], "ts", "s")
+    with pytest.raises(ValueError, match="collide"):
+        transition_predictability(
+            df.withColumnRenamed("k", "top_from"), ["top_from"], "ts", "s"
+        )
+    with pytest.raises(ValueError, match="lacks columns"):
+        transition_predictability(df, ["k"], "ts", "missing")
+    with pytest.raises(ValueError, match="internal working"):
+        transition_predictability(
+            df.withColumn("__to", F.lit(1)), ["k"], "ts", "s"
+        )
