@@ -2215,7 +2215,9 @@ def interval_coverage(
         .groupBy(*keys)
         .agg(F.max(F.coalesce(F.col("__gap"), F.lit(0))).alias("__max_int"))
     )
-    out = per_key.join(gaps, keys)
+    # null-safe: a NULL key is a real group (the unattributed feed is
+    # usually the broken one) — a plain equi-join would silently drop it
+    out = _nullsafe_equi_join(per_key, gaps, keys, "inner")
     head_gap = F.col("__first_s") - ws
     tail_gap = we - F.col("__last_e")
     return out.select(

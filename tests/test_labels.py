@@ -737,3 +737,20 @@ def test_transitions_plan_and_fences(spark):
         transition_predictability(
             df.withColumn("__to", F.lit(1)), ["k"], "ts", "s"
         )
+
+
+def test_interval_coverage_null_key_group_kept(spark):
+    """A NULL key is a real group — the unattributed feed is usually
+    the broken one; the gap join must be null-safe."""
+    rows = [(None, (0,), (10,)), (None, (20,), (30,)), ("k", (0,), (5,))]
+    out = {
+        r["k"]: r
+        for r in interval_coverage(
+            _iv(spark, rows), ["k"], "s", "e", W0, W1
+        ).collect()
+    }
+    assert set(out) == {None, "k"}
+    n = out[None]
+    assert n["n_islands"] == 2
+    assert n["covered_us"] == 20 * 60 * 1_000_000
+    assert n["largest_gap_us"] == 30 * 60 * 1_000_000  # tail 30->60
