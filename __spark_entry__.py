@@ -8295,6 +8295,106 @@ FROM m WHERE n_pairs >= 3 ORDER BY event_type
 """
 
 
+def q_dup_ngram_spans(spark, sf_dir):
+    """Substring-level duplication spans (operators/text.py
+    dup_ngram_spans, the n-gram-granular approximation of Lee et al.
+    2022 suffix-array dedup): token positions whose 8-gram occurs >= 2
+    times corpus-wide, merged into maximal per-doc spans. All-BIGINT
+    output; the engine joins on xxhash64(gram) while the oracle joins
+    on the gram text itself — a 64-bit collision is the only way they
+    can diverge (probability ~1e-8 for this corpus)."""
+    from pandera_forge_spark.operators.text import dup_ngram_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_ngram_spans(docs, "text", "doc_id", n=8, min_count=2).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+SQL_DUP_NGRAM_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i+1 : i+8], ' ') AS gram
+  FROM toks, UNNEST(range(greatest(len(toks) - 7, 0))) AS u(i)
+),
+census AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+dup AS (SELECT g.doc_id, g.pos FROM grams g JOIN census USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dup)
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS dup_tokens
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
+def q_survival_user(spark, sf_dir):
+    """Censoring-aware Kaplan-Meier life table (operators/temporal.py
+    survival_table): per first-event-type cohort and lifetime day,
+    n_deaths / n_censored / n_at_risk as exact BIGINTs (the KM product
+    is a trivial fold of these — emitting the integer table keeps the
+    row hash arithmetic-free). Horizon 12 h: a user whose last event
+    is within 12 h of the stream's end is censored, not churned. The
+    oracle replays the identical definition with a ROW_NUMBER first-
+    event pick; Spark uses min_by over the same (ts, event_id) order —
+    equal because that ordering is total (event_id unique)."""
+    from pandera_forge_spark.operators.temporal import survival_table
+
+    ev = _t(spark, sf_dir, "events")
+    return survival_table(
+        ev, ["user_id"], "ts", horizon_seconds=43200.0,
+        cohort_col="event_type", order_cols=["ts", "event_id"],
+    ).orderBy("cohort", "day")
+
+
+SQL_SURVIVAL_USER = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events WHERE ts IS NOT NULL
+),
+firsts AS (SELECT user_id, event_type AS cohort FROM ranked WHERE rn = 1),
+per_user AS (
+  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+  FROM ranked GROUP BY user_id
+),
+horizon AS (SELECT max(ts) AS cutoff FROM events WHERE ts IS NOT NULL),
+lives AS (
+  SELECT f.cohort,
+         CAST(floor(epoch(last_ts - first_ts) / 86400.0) AS BIGINT) AS day,
+         CASE WHEN last_ts <= cutoff - INTERVAL 12 HOUR THEN 1 ELSE 0 END
+           AS death
+  FROM per_user p JOIN firsts f USING (user_id), horizon
+),
+tab AS (
+  SELECT cohort, day,
+         CAST(SUM(death) AS BIGINT) AS n_deaths,
+         CAST(SUM(1 - death) AS BIGINT) AS n_censored
+  FROM lives GROUP BY cohort, day
+)
+SELECT cohort, day, n_deaths, n_censored,
+       CAST(SUM(n_deaths + n_censored) OVER (PARTITION BY cohort)
+          - SUM(n_deaths + n_censored) OVER (PARTITION BY cohort
+            ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          + (n_deaths + n_censored)
+          AS BIGINT) AS n_at_risk
+FROM tab ORDER BY cohort, day
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -8957,6 +9057,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # count groupBy + struct-min election = the majority_label /
         # constancy family kernels; strict sweep green at BOTH SFs --------------
         "transitions_events": q_transitions_events,
+        # dup_ngram_spans: this-session tail row; the posexplode/census/
+        # hash-join kernel is the r4-green top_ngrams / winnow family's,
+        # the island merge is the in-window sequence_gaps_user lag-window
+        # discipline; hand-computed + fence pytests, strict sweep green
+        # at BOTH SFs --------------------------------------------------------------
+        "dup_ngram_spans": q_dup_ngram_spans,
+        # survival_user: this-session tail row; groupBy-min/max + 1-row
+        # broadcast cutoff = the retention_cohorts kernel (r4-green), the
+        # at-risk telescoping window runs over the KB-sized (cohort, day)
+        # table only; hand-computed censor-boundary pytests, strict sweep
+        # green at BOTH SFs --------------------------------------------------------
+        "survival_user": q_survival_user,
     }
 
 
@@ -9152,4 +9264,6 @@ def oracle_sql() -> dict[str, str]:
         "stream_lateness_epochs": SQL_LATENESS_EVENTS,
         "table_drift_orders": SQL_TABLE_DRIFT_ORDERS,
         "transitions_events": SQL_TRANSITIONS_EVENTS,
+        "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
+        "survival_user": SQL_SURVIVAL_USER,
     }

@@ -2338,3 +2338,109 @@ def transition_predictability(
             ).alias("top_share"),
         )
     )
+
+
+# ------------------------------------------------------ survival table
+
+def survival_table(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    horizon_seconds: float,
+    cohort_col: Optional[str] = None,
+    order_cols: Optional[Sequence[str]] = None,
+    bucket_seconds: float = 86400.0,
+) -> DataFrame:
+    """Kaplan-Meier-style life table over an event stream: per entity
+    (``key_cols``), lifetime = last event - first event, bucketed to
+    ``bucket_seconds`` days; an entity whose last event is within
+    ``horizon_seconds`` of the stream's end is CENSORED (still alive —
+    we just stopped looking), otherwise its lifetime ended (churn).
+    Output per (cohort, day): ``n_deaths``, ``n_censored``,
+    ``n_at_risk`` — the integer at-risk table a KM curve is computed
+    from (the survival product itself is a trivial driver-side fold of
+    these ints; emitting the table keeps every column exact BIGINT,
+    mergeable, and re-aggregatable across partitions/epochs).
+
+    ``cohort_col`` assigns each entity the value of that column on its
+    FIRST event (deterministic under ``order_cols``; defaults to
+    ``ts_col`` alone) — acquisition-channel / first-touch cohorting.
+    Omit it for a single-cohort table (cohort = '').
+
+    Retention_cohorts answers "how many came back in week k";
+    this answers the censoring-aware version — "of those still
+    observable at day k, what fraction died" — the correct statistic
+    when the observation window cuts lives short, which at a rolling
+    100 TB event lake is ALWAYS.
+
+    Scale shape: one groupBy(key) with min/max/first-by-order partial
+    aggregation (the only data-proportional shuffle, keyed on the
+    entity — the same key the raw lake is usually bucketed by), a
+    1-row global-max frame broadcast via crossJoin, then a groupBy on
+    (cohort, day) whose cardinality is cohorts x observed days — KB,
+    not data — and a window over that tiny frame. No window ever
+    touches raw-event-proportional rows."""
+    if horizon_seconds < 0:
+        raise ValueError(
+            f"survival_table: horizon_seconds must be >= 0, got "
+            f"{horizon_seconds}"
+        )
+    if bucket_seconds <= 0:
+        raise ValueError(
+            f"survival_table: bucket_seconds must be > 0, got "
+            f"{bucket_seconds}"
+        )
+    _check_reserved(
+        df, ["__sec", "__first", "__last", "__coh", "__rn"], "survival_table"
+    )
+    keys = list(key_cols)
+    base = df.where(F.col(ts_col).isNotNull()).withColumn(
+        "__sec", _seconds(df, ts_col)
+    )
+    aggs = [
+        F.min("__sec").alias("__first"),
+        F.max("__sec").alias("__last"),
+    ]
+    if cohort_col is not None:
+        order = [F.col(c).asc() for c in (order_cols or [ts_col])]
+        # min_by over a struct of the order columns: first-event value
+        # without a per-entity window (partial-aggregatable, unlike
+        # row_number which would sort every entity's full history)
+        aggs.append(
+            F.min_by(
+                F.col(cohort_col), F.struct(*[F.col(c) for c in (order_cols or [ts_col])])
+            ).alias("__coh")
+        )
+    per_key = base.groupBy(*keys).agg(*aggs)
+    if cohort_col is None:
+        per_key = per_key.withColumn("__coh", F.lit(""))
+    cutoff = base.agg(F.max("__sec").alias("__cutoff"))
+    lives = per_key.crossJoin(F.broadcast(cutoff)).select(
+        F.col("__coh").alias("cohort"),
+        F.floor((F.col("__last") - F.col("__first")) / F.lit(float(bucket_seconds)))
+        .cast("long")
+        .alias("day"),
+        F.when(
+            F.col("__last") <= F.col("__cutoff") - F.lit(float(horizon_seconds)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("__death"),
+    )
+    tab = lives.groupBy("cohort", "day").agg(
+        F.sum("__death").cast("long").alias("n_deaths"),
+        F.sum(F.lit(1) - F.col("__death")).cast("long").alias("n_censored"),
+    )
+    exits = (F.col("n_deaths") + F.col("n_censored")).cast("long")
+    w_all = Window.partitionBy("cohort")
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tab.withColumn(
+        "n_at_risk",
+        (F.sum(exits).over(w_all) - F.sum(exits).over(w_cum) + exits).cast(
+            "long"
+        ),
+    ).select("cohort", "day", "n_deaths", "n_censored", "n_at_risk")

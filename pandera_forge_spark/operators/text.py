@@ -1110,3 +1110,123 @@ def cooccurrence_pmi(
         )
     )
     return out.select("t1", "t2", "c_ab", "pmi_micro")
+
+
+# ----------------------------------------- substring-level duplication
+
+def positional_ngrams(col: Column, n: int) -> Column:
+    """Token n-grams IN POSITION ORDER, no dedup: element ``i`` is the
+    n-gram starting at token ``i`` (0-based). Documents with fewer than
+    ``n`` tokens yield an EMPTY array — a span detector has nothing to
+    say about them (contrast :func:`~pandera_forge_spark.operators.
+    dedup.shingles`, whose whole-doc fallback serves set semantics).
+
+    Same zip_with ladder as ``shingles()`` — the documented
+    O(tokens**2) trap of capturing the token array inside a
+    ``transform(sequence(...))`` lambda applies here identically."""
+    from pandera_forge_spark.operators.dedup import _SLICE_MAX
+
+    if n < 1:
+        raise ValueError(f"positional_ngrams: n must be >= 1, got {n}")
+    toks = tokens(col)
+    acc = toks
+    for j in range(1, n):
+        # zip_with pads the short side with null; concat_ws skips
+        # nulls, so the tail holds partial grams — sliced off below
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j + 1, _SLICE_MAX),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(
+        F.size(toks) >= n, F.slice(acc, 1, F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_count: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Substring-level duplication spans — the n-gram-granular
+    approximation of suffix-array training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    token position is *duplicated* when its n-gram occurs at least
+    ``min_count`` times corpus-wide (occurrences, not documents —
+    intra-document repetition is memorization fuel too), and runs of
+    duplicated positions merge into maximal per-document spans.
+    Document-level near-dedup (MinHash) keeps one copy of a 90%-equal
+    pair but never sees the paragraph pasted into 10,000 otherwise
+    distinct pages; this operator works at the span grain those misses
+    live at.
+
+    Output: ``(id, span_start, span_end, dup_tokens)`` — 0-based
+    inclusive token indices, ``dup_tokens = span_end - span_start + 1``,
+    all BIGINT. Two duplicated positions merge while their n-token
+    windows overlap or touch (``next_pos <= pos + n``).
+
+    Shape, and why it survives 100 TB: posexplode of the positional
+    grams is corpus_tokens rows — the unavoidable fan-out — but each
+    row is immediately reduced to ``(id, pos, xxhash64(gram))``, a
+    ~20-byte shuffle record instead of the ~6x-wider gram text. The
+    census is one partial-aggregatable groupBy on the 64-bit key; the
+    dup-position recovery is a shuffle join on the same key (NOT a
+    broadcast: the duplicated-gram set is data-proportional —
+    boilerplate corpora make it huge — so planning a broadcast here
+    would be the OOM, and AQE may still downgrade small censuses to
+    one at runtime). The island merge windows over (id, pos): keyed by
+    document, never a global sort. ``max_df`` fences viral grams
+    (navigation chrome in half the corpus) out of the join fan-out the
+    same way fingerprint_overlap's stop-fingerprint filter does —
+    strip those with strip_boilerplate first, then span-dedup what
+    remains.
+
+    64-bit hash collisions: a colliding pair would mint a false
+    duplicated position; at 10^12 grams the expected collision count
+    is ~0.03 per corpus (birthday bound), and a collision marks one
+    n-token span, never deletes data — acceptable for a curation
+    signal, same budget as minhash banding."""
+    from pyspark.sql import Window
+
+    for c in (text_col, id_col):
+        if c not in df.columns:
+            raise ValueError(f"dup_ngram_spans: frame lacks column {c!r}")
+    if min_count < 2:
+        raise ValueError(
+            f"dup_ngram_spans: min_count must be >= 2, got {min_count}"
+        )
+    g = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(positional_ngrams(F.col(text_col), n)).alias(
+            "__pos", "__gram"
+        ),
+    ).select("__id", "__pos", F.xxhash64("__gram").alias("__h"))
+    census = g.groupBy("__h").agg(F.count(F.lit(1)).alias("__c")).where(
+        F.col("__c") >= min_count
+    )
+    if max_df is not None:
+        census = census.where(F.col("__c") <= max_df)
+    dup = g.join(census.select("__h"), "__h").select("__id", "__pos")
+    w = Window.partitionBy("__id").orderBy("__pos")
+    # first row of each id: lag is null -> condition null -> 0; islands
+    # therefore number from 0 within each document
+    island = F.sum(
+        F.when(F.col("__pos") > F.lag("__pos").over(w) + n, 1).otherwise(0)
+    ).over(w)
+    return (
+        dup.withColumn("__isl", island)
+        .groupBy("__id", "__isl")
+        .agg(
+            F.min("__pos").cast("long").alias("span_start"),
+            (F.max("__pos") + F.lit(n - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
+        )
+    )

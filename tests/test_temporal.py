@@ -588,3 +588,117 @@ def test_rolling_zscore_split_negative_ts(spark):
         .collect()
     )
     assert plain == split
+
+
+# -------------------------------------------------- survival_table (r5)
+
+def _surv_rows():
+    # timeline seconds; cutoff = max ts = 1000.
+    # horizon 200: death iff last_ts <= 800.
+    return [
+        # user 1: cohort a (first event), lifetime 0-500 -> day 5, dead
+        (1, "a", 0.0), (1, "b", 500.0),
+        # user 2: cohort a, lifetime 900-1000 -> day 1, censored
+        (2, "a", 900.0), (2, "a", 1000.0),
+        # user 3: cohort b, single event at 100 -> day 0, dead
+        (3, "b", 100.0),
+        # user 4: cohort b, single event at 950 -> day 0, censored
+        (4, "b", 950.0),
+        # user 5: cohort a, lifetime 100-600 -> day 5, dead
+        (5, "a", 100.0), (5, "a", 600.0),
+    ]
+
+
+def _surv_df(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        _surv_rows(), "user_id long, channel string, sec double"
+    )
+    return df.withColumn("ts", F.timestamp_seconds(F.col("sec"))).withColumn(
+        "event_id", F.monotonically_increasing_id()
+    )
+
+
+def test_survival_table_hand_computed(spark):
+    from pandera_forge_spark.operators.temporal import survival_table
+
+    out = sorted(
+        tuple(r)
+        for r in survival_table(
+            _surv_df(spark), ["user_id"], "ts", horizon_seconds=200.0,
+            cohort_col="channel", order_cols=["ts", "event_id"],
+            bucket_seconds=100.0,
+        ).collect()
+    )
+    # cohort a: users 1 (day 5 dead), 2 (day 1 cens), 5 (day 5 dead)
+    #   day 1: d=0 c=1 at_risk=3; day 5: d=2 c=0 at_risk=2
+    # cohort b: users 3 (day 0 dead), 4 (day 0 cens)
+    #   day 0: d=1 c=1 at_risk=2
+    assert out == [
+        ("a", 1, 0, 1, 3),
+        ("a", 5, 2, 0, 2),
+        ("b", 0, 1, 1, 2),
+    ]
+
+
+def test_survival_table_censor_boundary_and_no_cohort(spark):
+    from pandera_forge_spark.operators.temporal import survival_table
+
+    # last_ts == cutoff - horizon is a DEATH (<=, documented)
+    out = {
+        (r["cohort"], r["day"]): (r["n_deaths"], r["n_censored"], r["n_at_risk"])
+        for r in survival_table(
+            _surv_df(spark), ["user_id"], "ts", horizon_seconds=500.0,
+            bucket_seconds=100.0,
+        ).collect()
+    }
+    # cutoff-horizon = 500: user1 (last 500) dead, user5 (600) censored
+    assert out[("", 5)] == (1, 1, 2)
+    # single cohort '' and n_at_risk telescopes to the user count at day 0
+    assert sum(d + c for d, c in ((v[0], v[1]) for v in out.values())) == 5
+
+
+def test_survival_table_guards_and_plan(spark):
+    import pytest
+    from pandera_forge_spark.operators.temporal import survival_table
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    df = _surv_df(spark)
+    with pytest.raises(ValueError, match="horizon_seconds"):
+        survival_table(df, ["user_id"], "ts", -1.0)
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        survival_table(df, ["user_id"], "ts", 1.0, bucket_seconds=0.0)
+    out = survival_table(df, ["user_id"], "ts", 200.0, cohort_col="channel")
+    assert not has_python_udf(out)
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "string", "bigint", "bigint", "bigint", "bigint"
+    ]
+
+
+def test_survival_table_null_ts_dropped_and_at_risk_monotone(spark):
+    from pyspark.sql import functions as F
+    from pandera_forge_spark.operators.temporal import survival_table
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = ev.unionByName(
+        ev.limit(2).withColumn("ts", F.lit(None).cast("timestamp"))
+    )
+    out = survival_table(
+        ev, ["user_id"], "ts", 43200.0, cohort_col="event_type",
+        order_cols=["ts", "event_id"],
+    ).orderBy("cohort", "day").collect()
+    # at-risk decreases monotonically within a cohort and always covers
+    # that day's exits
+    by_cohort = {}
+    for r in out:
+        by_cohort.setdefault(r["cohort"], []).append(r)
+    for rows in by_cohort.values():
+        prev = None
+        for r in rows:
+            assert r["n_at_risk"] >= r["n_deaths"] + r["n_censored"]
+            if prev is not None:
+                assert r["n_at_risk"] <= prev["n_at_risk"] - (
+                    prev["n_deaths"] + prev["n_censored"]
+                ) or r["n_at_risk"] <= prev["n_at_risk"]
+            prev = r

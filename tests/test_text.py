@@ -731,3 +731,109 @@ def test_collapse_repeated_lines_passthrough_and_plan(spark):
         for r in collapse_repeated_lines(out).collect()
     }
     assert once == twice
+
+
+# ------------------------------------------- dup_ngram_spans (round 5)
+
+def test_positional_ngrams_order_and_short_docs(spark):
+    from pandera_forge_spark.operators.text import positional_ngrams
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a b c d"),      # 3 bigrams in position order
+        (2, "a"),            # shorter than n -> empty
+        (3, ""),             # empty -> empty
+        (4, None),           # null -> empty
+        (5, "x x x"),        # repeats stay, no dedup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", positional_ngrams(F.col("text"), 2).alias("g")
+        ).collect()
+    }
+    assert got[1] == ["a b", "b c", "c d"]
+    assert got[2] == []
+    assert got[3] == []
+    assert got[4] == []
+    assert got[5] == ["x x", "x x"]
+
+
+def test_dup_ngram_spans_hand_computed(spark):
+    from pandera_forge_spark.operators.text import dup_ngram_spans
+
+    # n=2, min_count=2: "p q" appears in docs 1 and 2; "q r" only in 1;
+    # doc 3 repeats "z z" internally (intra-doc occurrences count)
+    rows = [
+        (1, "p q r s t"),
+        (2, "a b p q c"),
+        (3, "z z z u v"),
+        (4, "unique words only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        tuple(r)
+        for r in dup_ngram_spans(df, "text", "doc_id", n=2).collect()
+    )
+    # doc1: dup positions {0} -> span [0,1]; doc2: {2} -> [2,3];
+    # doc3: "z z" at 0 and 1 -> merged [0,2]
+    assert out == [(1, 0, 1, 2), (2, 2, 3, 2), (3, 0, 2, 3)]
+
+
+def test_dup_ngram_spans_island_merge_gap(spark):
+    from pandera_forge_spark.operators.text import dup_ngram_spans
+
+    # duplicated bigrams separated by > n tokens stay separate islands;
+    # positions within n of each other merge into one span
+    rows = [
+        (1, "p q gap1 gap2 gap3 p q"),   # dup "p q" at 0 and 5; 5 > 0+2
+        (2, "p q xx2 yy2 p q"),          # dup "p q" at 0 and 4; 4 > 0+2
+        (3, "r s r s uu3"),              # dup pos 0,1,2: chain merges
+        (4, "r s r s uu4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        tuple(r)
+        for r in dup_ngram_spans(df, "text", "doc_id", n=2).collect()
+    )
+    # census: "p q" x4, "r s" x4, "s r" x2 — gap/xx/yy/uu grams unique.
+    # doc1 islands [0,1],[5,6]; doc2 islands [0,1],[4,5];
+    # docs 3/4: dup positions {0,1,2} chain-merge into one span [0,3]
+    assert out == [
+        (1, 0, 1, 2), (1, 5, 6, 2),
+        (2, 0, 1, 2), (2, 4, 5, 2),
+        (3, 0, 3, 4), (4, 0, 3, 4),
+    ]
+
+
+def test_dup_ngram_spans_max_df_fence(spark):
+    from pandera_forge_spark.operators.text import dup_ngram_spans
+
+    rows = [(i, "viral viral tail%d" % i) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # "viral viral" occurs 10x; max_df=5 fences it out entirely
+    out = dup_ngram_spans(df, "text", "doc_id", n=2, max_df=5).collect()
+    assert out == []
+
+
+def test_dup_ngram_spans_validation_and_plan(spark):
+    import pytest
+    from pandera_forge_spark.operators.text import dup_ngram_spans
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError, match="lacks column"):
+        dup_ngram_spans(docs, "nope", "doc_id")
+    with pytest.raises(ValueError, match="min_count"):
+        dup_ngram_spans(docs, "text", "doc_id", min_count=1)
+    out = dup_ngram_spans(docs, "text", "doc_id")
+    assert not has_python_udf(out)
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint", "bigint", "bigint", "bigint"
+    ]
+    # spans are well-formed: start <= end, width == dup_tokens >= n
+    for r in out.collect():
+        assert r["span_start"] <= r["span_end"]
+        assert r["dup_tokens"] == r["span_end"] - r["span_start"] + 1
+        assert r["dup_tokens"] >= 8
