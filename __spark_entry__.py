@@ -8395,6 +8395,95 @@ FROM tab ORDER BY cohort, day
 """
 
 
+def q_stream_cardinality_epochs(spark, sf_dir):
+    """Streaming running-distinct monitor (streaming/cardinality.py
+    stream_cardinality) driven END-TO-END in-process, the
+    stream_gaps_epochs pattern: events cut into 3 epoch files at
+    time-span thirds, availableNow streams one per trigger, each batch
+    merges its KMV sketch of user_id per event_type with every prior
+    epoch's sketch and writes a census row per key per epoch. KMV
+    merge is a commutative idempotent monoid, so epoch N's census must
+    equal the batch sketch of the whole prefix — and with k=8192 far
+    above the table's per-type user cardinality the sketch never
+    saturates (k is sized above the fixture's max per-type user
+    cardinality at BOTH test SFs — 150 at sf0.01, 1500 at sf0.1),
+    making distinct_exact the EXACT prefix distinct count:
+    the oracle recomputes COUNT(DISTINCT user_id) per (event_type,
+    epoch prefix) directly, replaying the identical IEEE double cut
+    arithmetic (lo + (hi-lo)/3) on epoch seconds. A carry lost between
+    epochs (quiet keys must keep reporting) or a replayed append
+    double-counted breaks rows and hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from pandera_forge_spark.streaming import stream_cardinality
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    lo, hi = ev.agg(
+        F.min(F.col("ts").cast("timestamp_ltz").cast("double")),
+        F.max(F.col("ts").cast("timestamp_ltz").cast("double")),
+    ).first()
+    c1, c2 = lo + (hi - lo) / 3.0, lo + 2.0 * (hi - lo) / 3.0
+    sec = F.col("ts").cast("timestamp_ltz").cast("double")
+    root = tempfile.mkdtemp(prefix="pfs_scard_")
+    try:
+        cuts = [sec < c1, (sec >= c1) & (sec < c2), sec >= c2]
+        src = _stage_epoch_files([ev.where(c) for c in cuts], root)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        writer = stream_cardinality(
+            stream,
+            os.path.join(root, "state"),
+            os.path.join(root, "census"),
+            ["event_type"],
+            "user_id",
+            k=8192,
+            checkpoint=os.path.join(root, "ckpt"),
+        )
+        _run_available_now(writer)
+        out = spark.read.option(
+            "basePath", os.path.join(root, "census")
+        ).parquet(os.path.join(root, "census", "__epoch=*"))
+        rows = [
+            (r["event_type"], int(r["__epoch"]), r["distinct_exact"])
+            for r in out.collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, epoch int, distinct_users bigint"
+    ).orderBy("event_type", "epoch")
+
+
+SQL_STREAM_CARDINALITY_EPOCHS = """
+WITH b AS (
+  SELECT min(epoch(ts)) AS lo, max(epoch(ts)) AS hi
+  FROM events WHERE ts IS NOT NULL
+),
+cuts AS (
+  SELECT lo + (hi - lo) / 3.0 AS c1, lo + 2.0 * (hi - lo) / 3.0 AS c2
+  FROM b
+),
+e AS (
+  SELECT event_type, user_id, epoch(ts) AS sec
+  FROM events WHERE ts IS NOT NULL
+),
+eps AS (SELECT 0 AS epoch UNION ALL SELECT 1 UNION ALL SELECT 2)
+SELECT event_type, CAST(epoch AS INTEGER) AS epoch,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM eps, e, cuts
+WHERE (epoch = 0 AND e.sec < cuts.c1)
+   OR (epoch = 1 AND e.sec < cuts.c2)
+   OR (epoch = 2)
+GROUP BY event_type, epoch
+ORDER BY event_type, epoch
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -9069,6 +9158,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # table only; hand-computed censor-boundary pytests, strict sweep
         # green at BOTH SFs --------------------------------------------------------
         "survival_user": q_survival_user,
+        # stream_cardinality_epochs: this-session tail row; the
+        # epoch-state kernel (committed-dirs fence, exactly-once sinks)
+        # is the in-window stream_gaps/stream_lateness family's, the
+        # sketch algebra the in-window kmv_custkey_overlap family's —
+        # the new part is their composition; multi-epoch == batch-KMV
+        # pytests, strict sweep green at BOTH SFs ---------------------------
+        "stream_cardinality_epochs": q_stream_cardinality_epochs,
     }
 
 
@@ -9266,4 +9362,5 @@ def oracle_sql() -> dict[str, str]:
         "transitions_events": SQL_TRANSITIONS_EVENTS,
         "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
         "survival_user": SQL_SURVIVAL_USER,
+        "stream_cardinality_epochs": SQL_STREAM_CARDINALITY_EPOCHS,
     }

@@ -8,6 +8,7 @@ documents AS THEY ARRIVE with Structured Streaming, reusing the exact
 same check compiler and verdict semantics via ``foreachBatch``.
 """
 
+from pandera_forge_spark.streaming.cardinality import stream_cardinality
 from pandera_forge_spark.streaming.dedup import stream_near_dedup
 from pandera_forge_spark.streaming.sequence import (
     stream_cusum,
@@ -28,6 +29,7 @@ from pandera_forge_spark.streaming.validate import (
 
 __all__ = [
     "duplicate_ids_stream",
+    "stream_cardinality",
     "stream_drift",
     "stream_contamination",
     "stream_cusum",
