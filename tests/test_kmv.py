@@ -267,3 +267,110 @@ def test_kmv_containment_disjoint_zero(spark):
     assert row["shared"] == 0
     assert row["containment_a_in_b"] == 0.0
     assert row["containment_b_in_a"] == 0.0
+
+
+# --------------------------------------------- rolling_distinct (r5)
+
+def _days_df(spark, rows):
+    # rows: (key, day_number, value) -> ts at day_number*86400 + 1
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "key string, d long, v string")
+    return df.withColumn(
+        "ts", F.timestamp_seconds(F.col("d") * 86400 + 1)
+    ).drop("d")
+
+
+def test_rolling_distinct_hand_computed(spark):
+    from pandera_forge_spark.sketches import rolling_distinct_kmv
+
+    rows = [
+        # key a: day 0 {x,y}, day 1 {y,z}, day 3 {x}
+        ("a", 0, "x"), ("a", 0, "y"),
+        ("a", 1, "y"), ("a", 1, "z"),
+        ("a", 3, "x"),
+        # key b: one day only
+        ("b", 0, "q"),
+        # NULL key is a real key
+        (None, 0, "n1"), (None, 2, "n1"),
+    ]
+    out = {
+        (r["key"], r["day"]): r["distinct_exact"]
+        for r in rolling_distinct_kmv(
+            _days_df(spark, rows), ["key"], "ts", "v", window_days=2
+        ).collect()
+    }
+    # window 2 days: day d covers {d-1, d}
+    assert out == {
+        ("a", 0): 2,            # {x,y}
+        ("a", 1): 3,            # {x,y,z}
+        ("a", 3): 1,            # day 2 silent -> {x} only
+        ("b", 0): 1,
+        (None, 0): 1,
+        (None, 2): 1,           # day 1 silent, n1 again -> still 1
+    }
+    # silent days emit NO row
+    assert ("a", 2) not in out and (None, 1) not in out
+
+
+def test_rolling_distinct_window_one_is_per_day(spark):
+    from pandera_forge_spark.sketches import rolling_distinct_kmv
+
+    rows = [("a", 0, "x"), ("a", 0, "y"), ("a", 1, "x")]
+    out = {
+        (r["key"], r["day"]): r["distinct_exact"]
+        for r in rolling_distinct_kmv(
+            _days_df(spark, rows), ["key"], "ts", "v", window_days=1
+        ).collect()
+    }
+    assert out == {("a", 0): 2, ("a", 1): 1}
+
+
+def test_rolling_distinct_saturation_matches_merge_estimate(spark):
+    from pandera_forge_spark.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_partition_sketch,
+        rolling_distinct_kmv,
+    )
+
+    rows = [("a", d, f"v{d}_{i}") for d in range(2) for i in range(30)]
+    df = _days_df(spark, rows)
+    out = {
+        r["day"]: r
+        for r in rolling_distinct_kmv(
+            df, ["key"], "ts", "v", window_days=2, k=8
+        ).collect()
+    }
+    assert out[1]["distinct_exact"] is None  # 60 distinct > k=8
+    # the day-1 trailing estimate equals merging the two days' sketches
+    whole = kmv_estimate(
+        kmv_merge(kmv_partition_sketch(df, "v", k=8))
+    ).collect()[0]
+    assert out[1]["distinct_est"] == whole["distinct_est"]
+    assert out[1]["sketch_size"] == whole["sketch_size"]
+
+
+def test_rolling_distinct_guards(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from pandera_forge_spark.sketches import rolling_distinct_kmv
+
+    df = _days_df(spark, [("a", 0, "x")])
+    with pytest.raises(ValueError, match="lacks columns"):
+        rolling_distinct_kmv(df, ["key"], "ts", "nope")
+    with pytest.raises(ValueError, match="window_days"):
+        rolling_distinct_kmv(df, ["key"], "ts", "v", window_days=0)
+    with pytest.raises(ValueError, match="collide"):
+        rolling_distinct_kmv(
+            df.withColumn("__day", F.lit(1)), ["key"], "ts", "v"
+        )
+
+
+def test_rolling_distinct_no_python_udf(spark):
+    from pandera_forge_spark.plans.inspect import has_python_udf
+    from pandera_forge_spark.sketches import rolling_distinct_kmv
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = rolling_distinct_kmv(ev, ["event_type"], "ts", "user_id")
+    assert not has_python_udf(out)
