@@ -8520,6 +8520,50 @@ ORDER BY 1, 2
 """
 
 
+def q_theil_sen_user(spark, sf_dir):
+    """Robust per-user value trend (operators/temporal.py theil_sen):
+    median of pairwise slopes, emitted as the two middle order
+    statistics of the micro-quantized slopes — every output column an
+    exact BIGINT, so the hash is arithmetic-free. The oracle replays
+    the identical pair join (dx=0 pairs skipped), the identical
+    floor(dy/dx*1e6) quantization, and the identical (n+1)//2, n//2+1
+    rank picks."""
+    from pandera_forge_spark.operators.temporal import theil_sen
+
+    ev = _t(spark, sf_dir, "events")
+    return theil_sen(ev, ["user_id"], "ts", "value").orderBy("user_id")
+
+
+SQL_THEIL_SEN_USER = """
+WITH base AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+np AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points
+  FROM base GROUP BY 1
+),
+pairs AS (
+  SELECT a.user_id,
+         CAST(floor((b.v - a.v) / (b.t - a.t) * 1000000.0) AS BIGINT) AS s
+  FROM base a JOIN base b ON b.user_id = a.user_id AND b.t > a.t
+),
+r AS (
+  SELECT user_id, s,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY s) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM pairs
+)
+SELECT r.user_id, any_value(np.n_points) AS n_points,
+       CAST(MAX(n) AS BIGINT) AS n_pairs,
+       MIN(CASE WHEN rn = (n + 1) // 2 THEN s END) AS slope_lo_micro,
+       MIN(CASE WHEN rn = n // 2 + 1 THEN s END) AS slope_hi_micro
+FROM r JOIN np USING (user_id)
+GROUP BY r.user_id ORDER BY r.user_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -9207,6 +9251,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # anchor-day explode; hand-computed + saturation pytests,
         # strict sweep green at BOTH SFs ------------------------------------
         "rolling_distinct_events": q_rolling_distinct_events,
+        # theil_sen_user: this-session tail row; the fenced self-join is
+        # the cooccurrence_pmi/fuzzy_pairs discipline, the micro-long
+        # quantization the pmi/footrule convention, and trend_slope
+        # (in-window family) anchors the temporal-trend semantics; the
+        # new part is the order-statistic median; hand-computed +
+        # robustness pytests, strict sweep green at BOTH SFs -----------------
+        "theil_sen_user": q_theil_sen_user,
     }
 
 
@@ -9406,4 +9457,5 @@ def oracle_sql() -> dict[str, str]:
         "survival_user": SQL_SURVIVAL_USER,
         "stream_cardinality_epochs": SQL_STREAM_CARDINALITY_EPOCHS,
         "rolling_distinct_events": SQL_ROLLING_DISTINCT_EVENTS,
+        "theil_sen_user": SQL_THEIL_SEN_USER,
     }

@@ -702,3 +702,90 @@ def test_survival_table_null_ts_dropped_and_at_risk_monotone(spark):
                     prev["n_deaths"] + prev["n_censored"]
                 ) or r["n_at_risk"] <= prev["n_at_risk"]
             prev = r
+
+
+# ------------------------------------------------------ theil_sen (r5)
+
+def _ts_df(spark, rows):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "key string, sec long, value double")
+    return df.withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+
+
+def test_theil_sen_hand_computed_and_outlier_robust(spark):
+    from pandera_forge_spark.operators.temporal import theil_sen, trend_slope
+
+    # key a: perfect slope 2 except one wild outlier at t=3
+    rows = [
+        ("a", 0, 0.0), ("a", 1, 2.0), ("a", 2, 4.0),
+        ("a", 3, 1000.0), ("a", 4, 8.0),
+    ]
+    out = {r["key"]: r for r in theil_sen(_ts_df(spark, rows), ["key"], "ts", "value").collect()}
+    r = out["a"]
+    assert r["n_points"] == 5 and r["n_pairs"] == 10
+    # sorted pairwise slopes: the median pair straddles 2.0 exactly
+    # (10 pairs -> lo = rank 5, hi = rank 6); 6 of 10 slopes are 2.0
+    assert r["slope_lo_micro"] == 2_000_000
+    assert r["slope_hi_micro"] == 2_000_000
+    # OLS on the same data is dragged far off by the outlier
+    ols = trend_slope(_ts_df(spark, rows), ["key"], "ts", "value").collect()[0]
+    assert abs(ols["slope"] - 2.0) > 10
+
+
+def test_theil_sen_odd_pairs_and_equal_ts_skipped(spark):
+    from pandera_forge_spark.operators.temporal import theil_sen
+
+    # 3 points, one pair shares a timestamp -> dx=0 pair skipped:
+    # slopes from (0,0)-(1,3): 3; (0,0)-(1,7): 7; (1,3)-(1,7): skipped
+    rows = [("a", 0, 0.0), ("a", 1, 3.0), ("a", 1, 7.0)]
+    r = theil_sen(_ts_df(spark, rows), ["key"], "ts", "value").collect()[0]
+    assert r["n_pairs"] == 2
+    assert (r["slope_lo_micro"], r["slope_hi_micro"]) == (3_000_000, 7_000_000)
+    # a key whose points ALL share one timestamp emits no row
+    lone = [("b", 5, 1.0), ("b", 5, 2.0)]
+    assert theil_sen(_ts_df(spark, lone), ["key"], "ts", "value").collect() == []
+
+
+def test_theil_sen_null_rows_ignored_and_null_key_kept(spark):
+    from pyspark.sql import functions as F
+    from pandera_forge_spark.operators.temporal import theil_sen
+
+    rows = [
+        (None, 0, 0.0), (None, 10, 5.0),
+        ("a", 0, 0.0), ("a", 1, None), ("a", 2, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "key string, sec long, value double")
+    df = df.withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+    out = {r["key"]: r for r in theil_sen(df, ["key"], "ts", "value").collect()}
+    assert out[None]["slope_lo_micro"] == 500_000
+    assert out["a"]["n_points"] == 2  # the NULL-value row never counts
+    assert out["a"]["slope_lo_micro"] == 2_000_000
+
+
+def test_theil_sen_fence_and_guards(spark):
+    import pytest
+    from pandera_forge_spark.operators.temporal import theil_sen
+
+    rows = [("a", i, float(i)) for i in range(6)]
+    df = _ts_df(spark, rows)
+    with pytest.raises(Exception, match="max_points"):
+        theil_sen(df, ["key"], "ts", "value", max_points=5).collect()
+    # under the fence the same frame computes
+    assert theil_sen(df, ["key"], "ts", "value", max_points=6).count() == 1
+    with pytest.raises(ValueError, match="key_cols"):
+        theil_sen(df, [], "ts", "value")
+    with pytest.raises(ValueError, match="max_points"):
+        theil_sen(df, ["key"], "ts", "value", max_points=1)
+
+
+def test_theil_sen_no_python_udf(spark):
+    from pandera_forge_spark.plans.inspect import has_python_udf
+    from pandera_forge_spark.operators.temporal import theil_sen
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = theil_sen(ev, ["user_id"], "ts", "value")
+    assert not has_python_udf(out)
+    assert [f.dataType.simpleString() for f in out.schema.fields][-4:] == [
+        "bigint", "bigint", "bigint", "bigint"
+    ]
