@@ -8564,6 +8564,85 @@ GROUP BY r.user_id ORDER BY r.user_id
 """
 
 
+def q_mad_outliers_events(spark, sf_dir):
+    """Per-group MAD (Hampel) outliers (validator.mad_outlier_rows) —
+    the robust sibling of grouped_outliers: every third 'click' value
+    is inflated 50x (heavy in-group contamination that stretches Tukey
+    fences) plus every 599th event 40x. The median/MAD verdict has a
+    50% breakdown point, so both plantings flag exactly. The whole
+    decision tree is micro-long integer arithmetic (med2 = sum of the
+    two middle value order stats, mad4 = the same over deviations,
+    flag iff 2*|2v-med2| > c*mad4) and the oracle replays it rank by
+    rank — no midpoint IEEE division in either engine."""
+    from pandera_forge_spark.validator import mad_outlier_rows
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(F.col("event_id") % 599 == 0, F.col("value") * 40)
+        .when(
+            (F.col("event_type") == "click") & (F.col("event_id") % 3 == 0),
+            F.col("value") * 50,
+        )
+        .otherwise(F.col("value")),
+    )
+    out = mad_outlier_rows(ev, "value", ["event_id"], ["event_type"], c=3)
+    return out.select(
+        "event_type",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        "dev2_micro",
+        "mad4_micro",
+    ).orderBy("event_type", "event_id")
+
+
+SQL_MAD_OUTLIERS_EVENTS = """
+WITH ev AS (
+  SELECT event_type, event_id,
+         CASE WHEN event_id % 599 = 0 THEN value * 40
+              WHEN event_type = 'click' AND event_id % 3 = 0 THEN value * 50
+              ELSE value END AS value
+  FROM events
+),
+base AS (
+  SELECT event_type, event_id, value,
+         CAST(floor(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT) AS vm
+  FROM ev WHERE value IS NOT NULL
+),
+r1 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vm) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+),
+med AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn = (n + 1) // 2 THEN vm END)
+         + MIN(CASE WHEN rn = n // 2 + 1 THEN vm END) AS med2
+  FROM r1 WHERE n >= 5 GROUP BY 1
+),
+dev AS (
+  SELECT base.event_type, event_id, value, vm, med2,
+         abs(2 * vm - med2) AS d2
+  FROM base JOIN med USING (event_type)
+),
+r2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d2) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn = (n + 1) // 2 THEN d2 END)
+         + MIN(CASE WHEN rn = n // 2 + 1 THEN d2 END) AS mad4
+  FROM r2 GROUP BY 1
+)
+SELECT dev.event_type, event_id, round(value, 6) AS value,
+       d2 AS dev2_micro, mad4 AS mad4_micro
+FROM dev JOIN mad USING (event_type)
+WHERE 2 * d2 > 3 * mad4
+ORDER BY dev.event_type, event_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -9258,6 +9337,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new part is the order-statistic median; hand-computed +
         # robustness pytests, strict sweep green at BOTH SFs -----------------
         "theil_sen_user": q_theil_sen_user,
+        # mad_outliers_events: this-session tail row; the fence/
+        # broadcast-stats join shape is in-window grouped_outliers
+        # family's (Tukey sibling, r3-green) and the two-middle-order-
+        # stat integer median IS theil_sen's kernel (directly above);
+        # the new part is the second (deviation-rank) pass; exact
+        # python-replay + contamination-robustness pytests, strict
+        # sweep green at BOTH SFs --------------------------------------------
+        "mad_outliers_events": q_mad_outliers_events,
     }
 
 
@@ -9458,4 +9545,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_cardinality_epochs": SQL_STREAM_CARDINALITY_EPOCHS,
         "rolling_distinct_events": SQL_ROLLING_DISTINCT_EVENTS,
         "theil_sen_user": SQL_THEIL_SEN_USER,
+        "mad_outliers_events": SQL_MAD_OUTLIERS_EVENTS,
     }

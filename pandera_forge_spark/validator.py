@@ -20,7 +20,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pandera_forge_spark.checks import compile_check, row_level, table_level
@@ -1099,4 +1099,115 @@ def salt_plan(
         *keys,
         "n_rows",
         F.expr(f"(n_rows + {r - 1}) div {r}").alias("salt_factor"),
+    )
+
+
+def mad_outlier_rows(
+    df: DataFrame,
+    value_col: str,
+    id_cols: Sequence[str],
+    group_cols: Sequence[str],
+    c: int = 3,
+    min_points: int = 5,
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """Per-group MAD (Hampel-filter) outliers — the ROBUST sibling of
+    :func:`grouped_outlier_rows`: a value is anomalous when its
+    absolute deviation from the group median exceeds ``c`` times the
+    median absolute deviation. Tukey fences move when the outliers
+    themselves stretch the quartiles; median/MAD have a 50% breakdown
+    point, so the verdict holds even when half a segment is garbage —
+    the regime a validation engine is FOR.
+
+    The entire decision tree is exact integer arithmetic: values
+    quantize to micro-longs, each median is carried as the SUM of its
+    two middle order statistics (``med2`` = 2x median, ``mad4`` = 4x
+    MAD — no engine-dependent midpoint IEEE division anywhere), and
+    the flag is ``2*|2*v - med2| > c * mad4``, an identity-exact
+    rearrangement of ``|v - med| > c * MAD``. Output rows (only the
+    violations): group cols, id cols, ``value``, ``dev2_micro``
+    (= 2x deviation in micro units) and ``mad4_micro`` — all BIGINT
+    but the raw value.
+
+    ``mad4_micro = 0`` (a majority-constant group) flags EVERY row off
+    the constant — deliberate: a pinned sensor with occasional spikes
+    is exactly two findings, ``constancy_runs`` for the pin and this
+    for the spikes. Groups with fewer than ``min_points`` surviving
+    rows emit no verdict (a median of three points is a coin toss).
+
+    Scale shape: two window passes (value rank, then deviation rank)
+    that hash-partition on the SAME group key, two O(groups) stats
+    frames broadcast back (``broadcast_stats=False`` for millions of
+    groups — AQE picks the join), one final filter. No UDF, no
+    collect, shuffle bounded by the group key like every sibling."""
+    groups = list(group_cols)
+    ids = list(id_cols)
+    if not groups:
+        raise ValueError("mad_outlier_rows: group_cols must be non-empty")
+    if int(c) < 1:
+        raise ValueError(f"mad_outlier_rows: c must be >= 1, got {c}")
+    if int(min_points) < 3:
+        raise ValueError(
+            f"mad_outlier_rows: min_points must be >= 3, got {min_points}"
+        )
+    missing = [
+        x for x in groups + ids + [value_col] if x not in df.columns
+    ]
+    if missing:
+        raise ValueError(f"mad_outlier_rows: frame lacks columns {missing}")
+    reserved = ["__vm", "__rn", "__n", "__med2", "__d2", "__mad4"]
+    clash = [x for x in reserved if x in df.columns]
+    if clash:
+        raise ValueError(
+            f"mad_outlier_rows: input columns {clash} collide with "
+            "internal working names — rename them"
+        )
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *groups,
+        *ids,
+        F.col(value_col).alias("value"),
+        F.floor(F.col(value_col).cast("double") * F.lit(1000000.0))
+        .cast("long")
+        .alias("__vm"),
+    )
+
+    def _two_mid_sum(frame, order_col, out_name):
+        w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(
+            order_col
+        )
+        wn = Window.partitionBy(*[F.col(g) for g in groups])
+        r = frame.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__n", F.count(F.lit(1)).over(wn)
+        )
+        lo = F.floor((F.col("__n") + 1) / 2)
+        hi = F.floor(F.col("__n") / 2) + 1
+        return r.groupBy(*groups).agg(
+            (
+                F.min(F.when(F.col("__rn") == lo, F.col(order_col)))
+                + F.min(F.when(F.col("__rn") == hi, F.col(order_col)))
+            ).alias(out_name),
+            F.max("__n").alias("__n"),
+        )
+
+    med = _two_mid_sum(base, "__vm", "__med2").where(
+        F.col("__n") >= int(min_points)
+    ).drop("__n")
+    if broadcast_stats:
+        med = F.broadcast(med)
+    with_dev = base.join(med, groups).withColumn(
+        "__d2", F.abs(F.lit(2) * F.col("__vm") - F.col("__med2"))
+    )
+    mad = _two_mid_sum(with_dev, "__d2", "__mad4").drop("__n")
+    if broadcast_stats:
+        mad = F.broadcast(mad)
+    return (
+        with_dev.join(mad, groups)
+        .where(F.lit(2) * F.col("__d2") > F.lit(int(c)) * F.col("__mad4"))
+        .select(
+            *groups,
+            *ids,
+            "value",
+            F.col("__d2").alias("dev2_micro"),
+            F.col("__mad4").alias("mad4_micro"),
+        )
     )

@@ -615,3 +615,130 @@ def test_svb_partition_independent_and_udf_free(svb_df):
     assert not has_python_udf(
         sampled_violation_bound(svb_df, SVB_CHECKS, id_col="id", fraction=0.4)
     )
+
+
+# ------------------------------------------------------- mad_outlier_rows
+
+
+def _mad_replay(rows, c=3, min_points=5):
+    """Exact Python replay of mad_outlier_rows' integer decision tree:
+    micro-quantize, med2 = sum of the two middle value order stats,
+    d2 = |2*vm - med2|, mad4 = sum of the two middle d2 order stats,
+    flag iff 2*d2 > c*mad4."""
+    import math
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for g, i, v in rows:
+        if v is None:
+            continue
+        by_g[g].append((i, math.floor(v * 1000000.0)))
+    out = set()
+    for g, pts in by_g.items():
+        n = len(pts)
+        if n < min_points:
+            continue
+        vs = sorted(vm for _, vm in pts)
+        med2 = vs[(n + 1) // 2 - 1] + vs[n // 2]
+        d2s = sorted(abs(2 * vm - med2) for _, vm in pts)
+        mad4 = d2s[(n + 1) // 2 - 1] + d2s[n // 2]
+        for i, vm in pts:
+            if 2 * abs(2 * vm - med2) > c * mad4:
+                out.add((g, i))
+    return out
+
+
+def test_mad_outlier_rows_matches_python_replay(spark):
+    import random
+
+    from pandera_forge_spark.validator import mad_outlier_rows
+
+    rng = random.Random(7)
+    rows = []
+    rid = 0
+    for g in ("a", "b", "c"):
+        for _ in range(80):
+            rows.append((g, rid, rng.gauss(50.0, 3.0)))
+            rid += 1
+        # planted spikes
+        rows.append((g, rid, 5000.0))
+        rid += 1
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = mad_outlier_rows(df, "v", ["id"], ["g"], c=3)
+    flagged = {(r["g"], r["id"]) for r in got.collect()}
+    assert flagged == _mad_replay(rows, c=3)
+    # every planted spike is in there
+    assert all(any(i == x for g, x in flagged) for i in (80, 161, 242))
+
+
+def test_mad_outlier_rows_survives_heavy_contamination(spark):
+    """A third of group A is inflated 100x: Tukey fences stretch and
+    can miss, the median/MAD verdict does not (50% breakdown point)."""
+    from pandera_forge_spark.validator import mad_outlier_rows
+
+    rows = []
+    for i in range(90):
+        base = 10.0 + (i % 9) * 0.25
+        v = base * 100 if i % 3 == 0 else base
+        rows.append(("A", i, v))
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = mad_outlier_rows(df, "v", ["id"], ["g"], c=3).collect()
+    flagged = {r["id"] for r in got}
+    assert flagged == {i for i in range(90) if i % 3 == 0}
+    assert flagged == {g_i[1] for g_i in _mad_replay(rows, c=3)}
+
+
+def test_mad_outlier_rows_constant_group_flags_every_spike(spark):
+    from pandera_forge_spark.validator import mad_outlier_rows
+
+    rows = [("p", i, 42.0) for i in range(20)] + [("p", 99, 42.5)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = mad_outlier_rows(df, "v", ["id"], ["g"]).collect()
+    assert {r["id"] for r in got} == {99}
+    assert got[0]["mad4_micro"] == 0
+
+
+def test_mad_outlier_rows_min_points_and_nulls(spark):
+    from pandera_forge_spark.validator import mad_outlier_rows
+
+    rows = [("tiny", i, float(i) * 1000) for i in range(4)] + [
+        ("big", i + 10, 1.0 if i else 900.0) for i in range(6)
+    ]
+    rows.append(("big", 999, None))
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = mad_outlier_rows(df, "v", ["id"], ["g"], min_points=5).collect()
+    # tiny (4 points) emits nothing; big's null row neither counts
+    # toward min_points nor appears in output
+    assert {r["g"] for r in got} == {"big"}
+    assert {r["id"] for r in got} == {10}
+
+
+def test_mad_outlier_rows_contracts(spark):
+    from pandera_forge_spark.validator import mad_outlier_rows
+
+    df = spark.createDataFrame([("g", 1, 1.0)], "g string, id long, v double")
+    with pytest.raises(ValueError, match="group_cols"):
+        mad_outlier_rows(df, "v", ["id"], [])
+    with pytest.raises(ValueError, match="c must"):
+        mad_outlier_rows(df, "v", ["id"], ["g"], c=0)
+    with pytest.raises(ValueError, match="min_points"):
+        mad_outlier_rows(df, "v", ["id"], ["g"], min_points=2)
+    with pytest.raises(ValueError, match="lacks columns"):
+        mad_outlier_rows(df, "v", ["id"], ["nope"])
+    clash = df.withColumnRenamed("id", "__rn")
+    with pytest.raises(ValueError, match="collide"):
+        mad_outlier_rows(clash, "v", ["__rn"], ["g"])
+
+
+def test_mad_outlier_rows_plan_shape(spark):
+    from pandera_forge_spark.plans.inspect import executed_plan, has_python_udf
+    from pandera_forge_spark.validator import mad_outlier_rows
+
+    df = spark.createDataFrame(
+        [("g%d" % (i % 3), i, float(i % 11)) for i in range(120)],
+        "g string, id long, v double",
+    )
+    out = mad_outlier_rows(df, "v", ["id"], ["g"])
+    assert not has_python_udf(out)
+    plan = executed_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
