@@ -8643,6 +8643,114 @@ ORDER BY dev.event_type, event_id
 """
 
 
+def q_checksum_diff_orders(spark, sf_dir):
+    """Incremental-revalidation work list (sketches.checksum_diff):
+    two snapshots of orders — the old one carries a planted A-LEGACY
+    partition, the new one mutates an o_orderstatus inside 1-URGENT,
+    deletes rows from 3-MEDIUM and backfills a Z-BACKFILL partition —
+    reduced to per-priority checksum rows (the persisted-at-ingest
+    shape) and full-outer joined: added/removed/changed/unchanged per
+    partition, so only the moved partitions re-enter validation. The
+    oracle replays both sides' md5 XOR/sum lanes and the
+    classification join."""
+    from pandera_forge_spark.sketches import checksum_diff, table_checksum
+
+    od = _t(spark, sf_dir, "orders")
+    legacy = od.where(F.col("o_orderkey") % 501 == 0).withColumn(
+        "o_orderpriority", F.lit("A-LEGACY")
+    )
+    old = od.unionByName(legacy)
+    new = od.withColumn(
+        "o_orderstatus",
+        F.when(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderkey") % 89 == 0),
+            F.lit("Z"),
+        ).otherwise(F.col("o_orderstatus")),
+    ).where(
+        ~(
+            (F.col("o_orderpriority") == "3-MEDIUM")
+            & (F.col("o_orderkey") % 97 == 0)
+        )
+    ).unionByName(
+        od.where(F.col("o_orderkey") % 500 == 0).withColumn(
+            "o_orderpriority", F.lit("Z-BACKFILL")
+        )
+    )
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    oc = table_checksum(old, cols=cols, group_cols=["o_orderpriority"])
+    nc = table_checksum(new, cols=cols, group_cols=["o_orderpriority"])
+    out = checksum_diff(oc, nc, ["o_orderpriority"], include_unchanged=True)
+    return out.select(
+        "o_orderpriority",
+        "status",
+        "n_rows_old",
+        "n_rows_new",
+        F.col("rows_delta").cast("long").alias("rows_delta"),
+    ).orderBy("o_orderpriority")
+
+
+SQL_CHECKSUM_DIFF_ORDERS = """
+WITH old_side AS (
+  SELECT o_orderpriority, o_orderkey, o_custkey, o_orderstatus FROM orders
+  UNION ALL
+  SELECT 'A-LEGACY', o_orderkey, o_custkey, o_orderstatus
+  FROM orders WHERE o_orderkey % 501 = 0
+),
+new_side AS (
+  SELECT o_orderpriority, o_orderkey, o_custkey,
+         CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 89 = 0
+              THEN 'Z' ELSE o_orderstatus END AS o_orderstatus
+  FROM orders
+  WHERE NOT (o_orderpriority = '3-MEDIUM' AND o_orderkey % 97 = 0)
+  UNION ALL
+  SELECT 'Z-BACKFILL', o_orderkey, o_custkey, o_orderstatus
+  FROM orders WHERE o_orderkey % 500 = 0
+),
+oh AS (
+  SELECT o_orderpriority,
+         md5(concat_ws(chr(31),
+             COALESCE(CAST(o_orderkey AS VARCHAR), chr(30)),
+             COALESCE(CAST(o_custkey AS VARCHAR), chr(30)),
+             COALESCE(o_orderstatus, chr(30)))) AS h
+  FROM old_side
+),
+nh AS (
+  SELECT o_orderpriority,
+         md5(concat_ws(chr(31),
+             COALESCE(CAST(o_orderkey AS VARCHAR), chr(30)),
+             COALESCE(CAST(o_custkey AS VARCHAR), chr(30)),
+             COALESCE(o_orderstatus, chr(30)))) AS h
+  FROM new_side
+),
+ocs AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(bit_xor(CAST(('0x' || substr(h, 1, 8))::UBIGINT AS BIGINT)) AS BIGINT) AS xor_lo,
+         CAST(bit_xor(CAST(('0x' || substr(h, 9, 8))::UBIGINT AS BIGINT)) AS BIGINT) AS xor_hi,
+         CAST(SUM(('0x' || substr(h, 17, 8))::UBIGINT % 1048576) AS BIGINT) AS sum_mod
+  FROM oh GROUP BY 1
+),
+ncs AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(bit_xor(CAST(('0x' || substr(h, 1, 8))::UBIGINT AS BIGINT)) AS BIGINT) AS xor_lo,
+         CAST(bit_xor(CAST(('0x' || substr(h, 9, 8))::UBIGINT AS BIGINT)) AS BIGINT) AS xor_hi,
+         CAST(SUM(('0x' || substr(h, 17, 8))::UBIGINT % 1048576) AS BIGINT) AS sum_mod
+  FROM nh GROUP BY 1
+)
+SELECT COALESCE(o.o_orderpriority, n.o_orderpriority) AS o_orderpriority,
+       CASE WHEN o.n_rows IS NULL THEN 'added'
+            WHEN n.n_rows IS NULL THEN 'removed'
+            WHEN o.n_rows != n.n_rows OR o.xor_lo != n.xor_lo
+                 OR o.xor_hi != n.xor_hi OR o.sum_mod != n.sum_mod
+            THEN 'changed' ELSE 'unchanged' END AS status,
+       o.n_rows AS n_rows_old, n.n_rows AS n_rows_new,
+       CAST(COALESCE(n.n_rows, 0) - COALESCE(o.n_rows, 0) AS BIGINT)
+         AS rows_delta
+FROM ocs o FULL OUTER JOIN ncs n ON o.o_orderpriority = n.o_orderpriority
+ORDER BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -9345,6 +9453,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # python-replay + contamination-robustness pytests, strict
         # sweep green at BOTH SFs --------------------------------------------
         "mad_outliers_events": q_mad_outliers_events,
+        # checksum_diff_orders: this-session tail row; both sides'
+        # checksum lanes ARE in-window table_checksum_orders' kernel
+        # verbatim (same md5/XOR/sum-mod exprs) — the new part is the
+        # full-outer classification join driving incremental
+        # re-validation; four-way classification + dup-pair +
+        # contract pytests, strict sweep green at BOTH SFs -------------------
+        "checksum_diff_orders": q_checksum_diff_orders,
     }
 
 
@@ -9546,4 +9661,5 @@ def oracle_sql() -> dict[str, str]:
         "rolling_distinct_events": SQL_ROLLING_DISTINCT_EVENTS,
         "theil_sen_user": SQL_THEIL_SEN_USER,
         "mad_outliers_events": SQL_MAD_OUTLIERS_EVENTS,
+        "checksum_diff_orders": SQL_CHECKSUM_DIFF_ORDERS,
     }

@@ -682,6 +682,80 @@ def merge_checksums(
     return checksum_df.agg(*aggs)
 
 
+CHECKSUM_LANES = ("n_rows", "xor_lo", "xor_hi", "sum_mod")
+
+
+def checksum_diff(
+    old_cs: DataFrame,
+    new_cs: DataFrame,
+    group_cols: Sequence[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Classify every partition of two snapshots as ``added`` /
+    ``removed`` / ``changed`` / ``unchanged`` from their per-group
+    checksum rows (the output of :func:`table_checksum`, typically
+    PERSISTED at ingest time) — the driver of incremental
+    re-validation: at 10^12 rows you cannot re-profile the whole lake
+    nightly, but a full-outer join of two O(partitions) checksum
+    frames tells you exactly which partitions moved, and only those
+    re-enter the validation runner.
+
+    ``changed`` means any of the four lanes differs; two snapshots
+    whose partitions all come back ``unchanged`` hold identical rows
+    per group up to the md5-lane collision bound. Output per group:
+    ``status``, ``n_rows_old``/``n_rows_new`` (NULL on the absent
+    side) and ``rows_delta`` (new - old, absent side counted 0).
+
+    Scale shape: both inputs are already O(groups); the join is a
+    broadcast-or-shuffle of KB-to-MB frames regardless of table size.
+    The expensive part — hashing the rows — happened once per side,
+    map-side algebraic, and the old side needs NO rescan at all when
+    its checksum rows were persisted by the ingest job
+    (``merge_checksums`` rolls partial rows up first if needed)."""
+    keys = list(group_cols)
+    if not keys:
+        raise ValueError("checksum_diff: group_cols must be non-empty")
+    for side, frame in (("old", old_cs), ("new", new_cs)):
+        missing = [c for c in keys + list(CHECKSUM_LANES) if c not in frame.columns]
+        if missing:
+            raise ValueError(
+                f"checksum_diff: {side} frame lacks columns {missing} — "
+                "pass table_checksum output"
+            )
+    o = old_cs.select(
+        *keys, *[F.col(c).alias(f"__o_{c}") for c in CHECKSUM_LANES]
+    )
+    n = new_cs.select(
+        *keys, *[F.col(c).alias(f"__n_{c}") for c in CHECKSUM_LANES]
+    )
+    j = o.join(n, keys, "full_outer")
+    old_absent = F.col("__o_n_rows").isNull()
+    new_absent = F.col("__n_n_rows").isNull()
+    lane_diff = None
+    for c in CHECKSUM_LANES:
+        d = F.col(f"__o_{c}") != F.col(f"__n_{c}")
+        lane_diff = d if lane_diff is None else (lane_diff | d)
+    status = (
+        F.when(old_absent, F.lit("added"))
+        .when(new_absent, F.lit("removed"))
+        .when(lane_diff, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(
+        *keys,
+        status.alias("status"),
+        F.col("__o_n_rows").alias("n_rows_old"),
+        F.col("__n_n_rows").alias("n_rows_new"),
+        (
+            F.coalesce(F.col("__n_n_rows"), F.lit(0))
+            - F.coalesce(F.col("__o_n_rows"), F.lit(0))
+        ).alias("rows_delta"),
+    )
+    if not include_unchanged:
+        out = out.where(F.col("status") != "unchanged")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # KMV (k-minimum-values) distinct sketch — set overlap without rescans
 # ---------------------------------------------------------------------------

@@ -281,6 +281,67 @@ def test_checksum_type_fence(spark):
         table_checksum(df.select("k"), cols=[], group_cols=[])
 
 
+def test_checksum_diff_classifies_all_four(spark):
+    from pandera_forge_spark.sketches import checksum_diff
+
+    old_rows = (
+        [("keep", i, f"v{i}") for i in range(10)]
+        + [("mut", i, f"m{i}") for i in range(8)]
+        + [("gone", i, "x") for i in range(3)]
+    )
+    new_rows = (
+        [("keep", i, f"v{i}") for i in range(10)]
+        + [("mut", i, "MUT" if i == 4 else f"m{i}") for i in range(8)]
+        + [("born", i, "y") for i in range(2)]
+    )
+    o = table_checksum(_rowset(spark, old_rows), cols=["k", "s"], group_cols=["grp"])
+    n = table_checksum(_rowset(spark, new_rows), cols=["k", "s"], group_cols=["grp"])
+    full = {
+        r["grp"]: r
+        for r in checksum_diff(o, n, ["grp"], include_unchanged=True).collect()
+    }
+    assert full["keep"]["status"] == "unchanged"
+    assert full["mut"]["status"] == "changed"
+    assert full["mut"]["rows_delta"] == 0  # same count, different content
+    assert full["gone"]["status"] == "removed"
+    assert (full["gone"]["n_rows_new"], full["gone"]["rows_delta"]) == (None, -3)
+    assert full["born"]["status"] == "added"
+    assert (full["born"]["n_rows_old"], full["born"]["rows_delta"]) == (None, 2)
+    # default drops unchanged — the incremental-revalidation work list
+    work = checksum_diff(o, n, ["grp"]).collect()
+    assert {r["grp"] for r in work} == {"mut", "gone", "born"}
+
+
+def test_checksum_diff_duplicate_pair_not_blind(spark):
+    from pandera_forge_spark.sketches import checksum_diff
+
+    base = [("g", i, "x") for i in range(6)]
+    o = table_checksum(_rowset(spark, base), cols=["k", "s"], group_cols=["grp"])
+    n = table_checksum(
+        _rowset(spark, base + [base[0], base[0]]),
+        cols=["k", "s"],
+        group_cols=["grp"],
+    )
+    got = checksum_diff(o, n, ["grp"]).collect()
+    assert len(got) == 1 and got[0]["status"] == "changed"
+    assert got[0]["rows_delta"] == 2
+
+
+def test_checksum_diff_contracts_and_plan(spark):
+    from pandera_forge_spark.plans.inspect import has_python_udf
+    from pandera_forge_spark.sketches import checksum_diff
+
+    df = _rowset(spark, [("g", 1, "x")])
+    cs = table_checksum(df, cols=["k", "s"], group_cols=["grp"])
+    with pytest.raises(ValueError, match="group_cols"):
+        checksum_diff(cs, cs, [])
+    with pytest.raises(ValueError, match="old frame lacks"):
+        checksum_diff(df, cs, ["grp"])
+    with pytest.raises(ValueError, match="new frame lacks"):
+        checksum_diff(cs, df, ["grp"])
+    assert not has_python_udf(checksum_diff(cs, cs, ["grp"]))
+
+
 # ---------------------------------------------------------------------------
 # histogram sketch family
 # ---------------------------------------------------------------------------
