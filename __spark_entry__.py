@@ -8751,6 +8751,61 @@ ORDER BY 1
 """
 
 
+def q_reliability_events(spark, sf_dir):
+    """Scorer-calibration reliability table (labels.reliability_table):
+    a synthetic quality scorer (score = (event_id % 1000)/1000) that is
+    overconfident by construction — the planted outcome fires at only
+    ~60% of the claimed rate via pure integer arithmetic — binned per
+    event_type. Every output column is an exact integer (counts,
+    micro-quantized confidence mass, gap_micro = n_b*|acc-conf| in
+    micros), so ECE falls out of SUM(gap_micro)/(N*1e6) with no
+    division inside the table. The oracle replays the bin arithmetic
+    and the planted label rule exactly."""
+    from pandera_forge_spark.operators.labels import reliability_table
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id").isNotNull())
+    scored = ev.select(
+        "event_type",
+        ((F.col("event_id") % 1000).cast("double") / F.lit(1000.0)).alias(
+            "score"
+        ),
+        F.when(
+            (F.col("event_id") * 7919) % 1000
+            < F.expr("((event_id % 1000) * 6) div 10"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("label"),
+    )
+    out = reliability_table(
+        scored, "score", "label", bins=10, group_cols=["event_type"]
+    )
+    return out.orderBy("event_type", "bin")
+
+
+SQL_RELIABILITY_EVENTS = """
+WITH base AS (
+  SELECT event_type,
+         CAST(event_id % 1000 AS DOUBLE) / 1000.0 AS s,
+         CASE WHEN (event_id * 7919) % 1000 < ((event_id % 1000) * 6) // 10
+              THEN 1 ELSE 0 END AS lab
+  FROM events WHERE event_id IS NOT NULL
+),
+b AS (
+  SELECT event_type,
+         LEAST(CAST(FLOOR(s * 10.0) AS BIGINT), 9) AS bin, lab,
+         CAST(FLOOR(s * 1000000.0) AS BIGINT) AS sm
+  FROM base
+)
+SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(lab) AS BIGINT) AS n_pos,
+       CAST(SUM(sm) AS BIGINT) AS conf_sum_micro,
+       CAST(abs(SUM(lab) * 1000000 - SUM(sm)) AS BIGINT) AS gap_micro
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -9460,6 +9515,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-validation; four-way classification + dup-pair +
         # contract pytests, strict sweep green at BOTH SFs -------------------
         "checksum_diff_orders": q_checksum_diff_orders,
+        # reliability_events: this-session tail row; the single
+        # (group, bin) groupBy is the calibrate_scores grid-histogram
+        # discipline (in-window score_calibration) and the micro-long
+        # gap algebra the mad/theil order-stat convention — the new
+        # part is the calibration semantics (ECE without in-table
+        # division); replay + grouped-differential + fence pytests,
+        # strict sweep green at BOTH SFs --------------------------------------
+        "reliability_events": q_reliability_events,
     }
 
 
@@ -9662,4 +9725,5 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen_user": SQL_THEIL_SEN_USER,
         "mad_outliers_events": SQL_MAD_OUTLIERS_EVENTS,
         "checksum_diff_orders": SQL_CHECKSUM_DIFF_ORDERS,
+        "reliability_events": SQL_RELIABILITY_EVENTS,
     }

@@ -227,3 +227,117 @@ def annotator_agreement(
         "n_agree",
         F.when(den != 0, num.cast("double") / den.cast("double")).alias("kappa"),
     )
+
+
+def reliability_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Calibration (reliability-diagram) table for a probabilistic
+    scorer against binary outcomes: per score bin, how many items,
+    how many positives, and the confidence the scorer claimed — the
+    audit that decides whether a quality classifier's 0.9 means 90%.
+    A filter that keeps "score >= 0.8" documents silently shifts the
+    corpus whenever the scorer is over-confident; the reliability
+    table is how that drift is caught BEFORE the filter runs.
+
+    Exact integer output: bin = least(floor(score*bins), bins-1)
+    (IEEE multiply+floor, engine-reproducible; score exactly 1.0
+    joins the top bin), n / n_pos are counts, conf_sum_micro is the
+    sum of micro-quantized scores, and gap_micro =
+    |n_pos*1e6 - conf_sum_micro| is n_b*|accuracy - confidence| in
+    micro units — so ECE = sum(gap_micro) / (N*1e6) without a single
+    engine-dependent division in the table itself. At 10^12 rows
+    n_pos*1e6 <= 1e18 < 2^63: no overflow, no HUGEINT divergence.
+
+    Scores must lie in [0, 1] and labels in {0, 1, true, false} —
+    both fenced IN-BAND (raise_error in the expression tree, so a bad
+    row fails the job loudly rather than skewing a bin). NULL score
+    or label rows are excluded (they carry no calibration evidence).
+
+    Scale shape: ONE groupBy on (groups x bins) — map-side partial,
+    O(groups x bins) output rows, no window, no join, no UDF."""
+    if int(bins) < 2:
+        raise ValueError(f"reliability_table: bins must be >= 2, got {bins}")
+    keys = list(group_cols)
+    missing = [c for c in keys + [score_col, label_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"reliability_table: frame lacks columns {missing}")
+    _check_clash(df, ["__rb", "__lab", "__sm"], "reliability_table")
+    s = F.col(score_col).cast("double")
+    bad_score = F.isnan(s) | (s < 0.0) | (s > 1.0)
+    rb = F.when(s.isNull(), F.lit(None).cast("long")).when(
+        bad_score,
+        F.raise_error(
+            F.concat(
+                F.lit("reliability_table: score outside [0, 1] in column "),
+                F.lit(score_col),
+                F.lit(" (value "),
+                s.cast("string"),
+                F.lit(")"),
+            )
+        ).cast("long"),
+    ).otherwise(
+        F.least(
+            F.floor(s * F.lit(float(int(bins)))).cast("long"),
+            F.lit(int(bins) - 1),
+        )
+    )
+    lab_raw = F.col(label_col).cast("long")
+    lab = F.when(F.col(label_col).isNull(), F.lit(None).cast("long")).when(
+        ~lab_raw.isin(0, 1),
+        F.raise_error(
+            F.concat(
+                F.lit("reliability_table: non-binary label in column "),
+                F.lit(label_col),
+                F.lit(" (value "),
+                F.col(label_col).cast("string"),
+                F.lit(")"),
+            )
+        ).cast("long"),
+    ).otherwise(lab_raw)
+    base = (
+        df.withColumn("__rb", rb)
+        .withColumn("__lab", lab)
+        .withColumn("__sm", F.floor(s * F.lit(1000000.0)).cast("long"))
+        .where(F.col("__rb").isNotNull() & F.col("__lab").isNotNull())
+    )
+    out = base.groupBy(*keys, F.col("__rb").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__lab").alias("n_pos"),
+        F.sum("__sm").alias("conf_sum_micro"),
+    )
+    return out.withColumn(
+        "gap_micro",
+        F.abs(F.col("n_pos") * F.lit(1000000) - F.col("conf_sum_micro")),
+    )
+
+
+def expected_calibration_error(
+    table: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Fold a :func:`reliability_table` into ECE per group: ONE
+    O(bins)-row aggregate, ece = sum(gap_micro) / (n_total * 1e6)
+    through a single IEEE division at the very end."""
+    keys = list(group_cols)
+    missing = [
+        c for c in keys + ["n", "gap_micro"] if c not in table.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"expected_calibration_error: frame lacks columns {missing} — "
+            "pass reliability_table output"
+        )
+    aggs = [
+        F.sum("n").alias("n_total"),
+        F.sum("gap_micro").alias("gap_sum_micro"),
+    ]
+    folded = table.groupBy(*keys).agg(*aggs) if keys else table.agg(*aggs)
+    return folded.withColumn(
+        "ece",
+        F.col("gap_sum_micro").cast("double")
+        / (F.col("n_total").cast("double") * F.lit(1000000.0)),
+    )

@@ -754,3 +754,120 @@ def test_interval_coverage_null_key_group_kept(spark):
     assert n["n_islands"] == 2
     assert n["covered_us"] == 20 * 60 * 1_000_000
     assert n["largest_gap_us"] == 30 * 60 * 1_000_000  # tail 30->60
+
+
+# ------------------------------------------------------ reliability_table
+
+
+def _rel_replay(rows, bins=10):
+    """Exact Python replay of the reliability_table integer tree."""
+    import math
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0])
+    for s, l in rows:
+        if s is None or l is None:
+            continue
+        b = min(math.floor(s * bins), bins - 1)
+        cell = agg[b]
+        cell[0] += 1
+        cell[1] += int(l)
+        cell[2] += math.floor(s * 1000000.0)
+    return {
+        b: (n, np, sm, abs(np * 1000000 - sm))
+        for b, (n, np, sm) in agg.items()
+    }
+
+
+def test_reliability_table_matches_replay_and_ece(spark):
+    import random
+
+    from pandera_forge_spark.operators.labels import (
+        expected_calibration_error,
+        reliability_table,
+    )
+
+    rng = random.Random(11)
+    # overconfident scorer: claims s but true rate is s*0.6
+    rows = []
+    for _ in range(400):
+        s = rng.random()
+        rows.append((s, 1 if rng.random() < s * 0.6 else 0))
+    rows += [(None, 1), (0.5, None), (1.0, 1), (0.0, 0)]
+    df = spark.createDataFrame(rows, "score double, label long")
+    got = {
+        r["bin"]: (r["n"], r["n_pos"], r["conf_sum_micro"], r["gap_micro"])
+        for r in reliability_table(df, "score", "label", bins=10).collect()
+    }
+    assert got == _rel_replay(rows, bins=10)
+    # score exactly 1.0 joined bin 9, not a phantom bin 10
+    assert 10 not in got and 9 in got
+    # ECE fold: exact integer sums through one final division
+    ece = expected_calibration_error(
+        reliability_table(df, "score", "label", bins=10)
+    ).first()
+    n_tot = sum(v[0] for v in got.values())
+    gap_sum = sum(v[3] for v in got.values())
+    assert ece["n_total"] == n_tot and ece["gap_sum_micro"] == gap_sum
+    assert abs(ece["ece"] - gap_sum / (n_tot * 1e6)) < 1e-12
+    # the overconfident scorer shows a LARGE ece; a perfect one small
+    assert ece["ece"] > 0.1
+
+
+def test_reliability_table_grouped_and_calibrated(spark):
+    import random
+
+    from pandera_forge_spark.operators.labels import (
+        expected_calibration_error,
+        reliability_table,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for _ in range(2000):
+        s = rng.random()
+        rows.append(("good", s, 1 if rng.random() < s else 0))
+        rows.append(("bad", s, 1 if rng.random() < 0.2 else 0))
+    df = spark.createDataFrame(rows, "model string, score double, label long")
+    tab = reliability_table(df, "score", "label", bins=10, group_cols=["model"])
+    ece = {
+        r["model"]: r["ece"]
+        for r in expected_calibration_error(tab, ["model"]).collect()
+    }
+    # the calibrated model beats the miscalibrated one by a wide margin
+    assert ece["good"] < 0.08 < ece["bad"]
+
+
+def test_reliability_table_fences(spark):
+    from pandera_forge_spark.operators.labels import (
+        expected_calibration_error,
+        reliability_table,
+    )
+
+    df = spark.createDataFrame([(1.5, 1)], "score double, label long")
+    with pytest.raises(Exception, match="outside"):
+        reliability_table(df, "score", "label").collect()
+    df2 = spark.createDataFrame([(0.5, 7)], "score double, label long")
+    with pytest.raises(Exception, match="non-binary"):
+        reliability_table(df2, "score", "label").collect()
+    ok = spark.createDataFrame([(0.5, 1)], "score double, label long")
+    with pytest.raises(ValueError, match="bins"):
+        reliability_table(ok, "score", "label", bins=1)
+    with pytest.raises(ValueError, match="lacks"):
+        reliability_table(ok, "nope", "label")
+    with pytest.raises(ValueError, match="pass reliability_table"):
+        expected_calibration_error(ok)
+
+
+def test_reliability_table_plan(spark):
+    from pandera_forge_spark.operators.labels import reliability_table
+    from pandera_forge_spark.plans.inspect import executed_plan, has_python_udf
+
+    df = spark.createDataFrame(
+        [(i / 100.0, i % 2) for i in range(100)], "score double, label long"
+    )
+    out = reliability_table(df, "score", "label")
+    assert not has_python_udf(out)
+    plan = executed_plan(out)
+    # one aggregate pass: no window, no join anywhere in the plan
+    assert "Window" not in plan and "Join" not in plan, plan
