@@ -8806,6 +8806,85 @@ FROM b GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_violation_slices_events(spark, sf_dir):
+    """Failure-triage slice finder (validator.violation_slices): a
+    planted verdict fires on every 7th 'error' event plus a thin
+    global floor (every 223rd event), then every value of event_type
+    and user bucket is chi-square tested against the rest of the
+    table — 'error' must flag, the independent user buckets must not.
+    Counts are exact longs; chi2 is the same left-associated IEEE
+    tree in both engines; the one-sided lift test is exact DECIMAL
+    cross-multiplication."""
+    from pandera_forge_spark.validator import violation_slices
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 4).cast("string")
+    )
+    bad = (
+        (F.col("event_type") == "error") & (F.col("event_id") % 7 == 0)
+    ) | (F.col("event_id") % 223 == 0)
+    out = violation_slices(
+        ev.withColumn("bad", bad),
+        "bad",
+        ["event_type", "user_bucket"],
+        min_rows=30,
+    )
+    return out.orderBy("slice_col", "slice_val")
+
+
+SQL_VIOLATION_SLICES_EVENTS = """
+WITH ev AS (
+  SELECT event_type, CAST(user_id % 4 AS VARCHAR) AS user_bucket,
+         CASE WHEN COALESCE((event_type = 'error' AND event_id % 7 = 0)
+                            OR event_id % 223 = 0, FALSE)
+              THEN 1 ELSE 0 END AS v
+  FROM events
+),
+m AS (
+  SELECT 'event_type' AS slice_col, event_type AS slice_val, v FROM ev
+  UNION ALL
+  SELECT 'user_bucket', user_bucket, v FROM ev
+),
+s AS (
+  SELECT slice_col, slice_val, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(v) AS BIGINT) AS n_viol
+  FROM m GROUP BY 1, 2
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nt, CAST(SUM(v) AS BIGINT) AS vt
+  FROM ev
+),
+k AS (
+  SELECT slice_col, slice_val, n_rows, n_viol,
+         nt - n_rows AS n_rows_rest, vt - n_viol AS n_viol_rest,
+         n_viol AS a, n_rows - n_viol AS b, vt - n_viol AS c,
+         (nt - vt) - (n_rows - n_viol) AS d, nt
+  FROM s, t WHERE n_rows >= 30
+),
+x AS (
+  SELECT *,
+         CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+         - CAST(b AS DOUBLE) * CAST(c AS DOUBLE) AS adbc,
+         CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+         * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE) AS den
+  FROM k
+),
+y AS (
+  SELECT *,
+         CASE WHEN den > 0.0
+              THEN CAST(nt AS DOUBLE) * adbc * adbc / den
+              ELSE 0.0 END AS chi2_raw
+  FROM x
+)
+SELECT slice_col, slice_val, n_rows, n_viol, n_rows_rest, n_viol_rest,
+       round(chi2_raw, 6) AS chi2,
+       (CAST(a AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))
+        > CAST(b AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+       AND chi2_raw > 3.841 AS concentrated
+FROM y ORDER BY slice_col, slice_val
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -9523,6 +9602,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # division); replay + grouped-differential + fence pytests,
         # strict sweep green at BOTH SFs --------------------------------------
         "reliability_events": q_reliability_events,
+        # violation_slices_events: this-session tail row; the melt is
+        # the profiler's stack discipline, the 1-row broadcast totals
+        # frame the established crossJoin-stats shape, and the verdict
+        # compilation is in-window quarantine_counts' boolean-column
+        # contract — the new part is the 2x2 chi-square triage;
+        # planted-concentration + NULL-slice + replay pytests, strict
+        # sweep green at BOTH SFs --------------------------------------------
+        "violation_slices_events": q_violation_slices_events,
     }
 
 
@@ -9726,4 +9813,5 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers_events": SQL_MAD_OUTLIERS_EVENTS,
         "checksum_diff_orders": SQL_CHECKSUM_DIFF_ORDERS,
         "reliability_events": SQL_RELIABILITY_EVENTS,
+        "violation_slices_events": SQL_VIOLATION_SLICES_EVENTS,
     }

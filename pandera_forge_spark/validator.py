@@ -1211,3 +1211,128 @@ def mad_outlier_rows(
             F.col("__mad4").alias("mad4_micro"),
         )
     )
+
+
+def violation_slices(
+    df: DataFrame,
+    verdict_col: str,
+    slice_cols: Sequence[str],
+    min_rows: int = 30,
+    chi2_threshold: float = 3.841,
+) -> DataFrame:
+    """Slice finder for validation failures: for every value of every
+    slice column, is the violation rate in that slice significantly
+    above the rest of the table? A 0.3% global failure rate that is
+    actually 9% inside one source/language/day is a pipeline bug with
+    a name and an owner; averaged away, it ships. This is the triage
+    step between "the table has violations" (validate_table counts)
+    and "THIS ingest leg is broken".
+
+    Mechanics: the slice columns MELT into (slice_col, slice_val)
+    rows in one projection (NULL kept as its own slice — missingness
+    often correlates with breakage), then ONE groupBy over the melted
+    pairs computes each slice's row and violation counts; the
+    complement (rest-of-table) counts come from a broadcast 1-row
+    totals frame, never a rescan. Each slice's 2x2 table
+    (a=slice viol, b=slice ok, c=rest viol, d=rest ok) yields the
+    chi-square statistic N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) — the
+    classic independence test; ``concentrated`` flags slices where
+    chi2 exceeds ``chi2_threshold`` (default 3.841 = 95%, 1 dof) AND
+    the slice rate exceeds the rest rate (one-sided: a*d > b*c in
+    exact integers — cross-multiplication, no rate division).
+
+    The chi-square value itself is IEEE double (its cross products
+    overflow int64 at ~10^10 rows); the DECISION inputs a/b/c/d are
+    exact longs in the output, so a replay can re-derive the verdict.
+    Output per (slice_col, slice_val): n_rows, n_viol, n_viol_rest,
+    n_rows_rest, chi2 (rounded 1e-6), concentrated. Slices under
+    ``min_rows`` rows are dropped (a 3-row slice with 1 violation is
+    noise, not triage).
+
+    Scale shape: melt multiplies rows by len(slice_cols) in a NARROW
+    projection (no shuffle), one groupBy on (slice_col, slice_val) —
+    map-side partial, output O(sum of slice cardinalities) — plus a
+    1-row broadcast. High-cardinality slice columns (ids, free text)
+    belong in dedup/profiling, not here; cardinality is the caller's
+    contract, the groupBy stays skew-safe either way."""
+    cols = list(slice_cols)
+    if not cols:
+        raise ValueError("violation_slices: slice_cols must be non-empty")
+    if int(min_rows) < 1:
+        raise ValueError(
+            f"violation_slices: min_rows must be >= 1, got {min_rows}"
+        )
+    missing = [c for c in cols + [verdict_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"violation_slices: frame lacks columns {missing}")
+    if dict(df.dtypes)[verdict_col] != "boolean":
+        raise ValueError(
+            f"violation_slices: verdict column {verdict_col!r} must be "
+            "boolean (a compiled check verdict)"
+        )
+    reserved = ["__v", "slice_col", "slice_val"]
+    clash = [c for c in reserved if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"violation_slices: input columns {clash} collide with "
+            "internal/output names — rename them"
+        )
+    v = F.col(verdict_col).cast("boolean")
+    base = df.select(
+        F.when(v, F.lit(1)).otherwise(F.lit(0)).alias("__v"),
+        *[F.col(c).cast("string").alias(c) for c in cols],
+    )
+    pairs = ", ".join(f"'{c}', {c}" for c in cols)
+    melted = base.select(
+        "__v",
+        F.expr(
+            f"stack({len(cols)}, {pairs}) AS (slice_col, slice_val)"
+        ),
+    )
+    per_slice = melted.groupBy("slice_col", "slice_val").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__v").alias("n_viol"),
+    )
+    totals = F.broadcast(
+        base.agg(
+            F.count(F.lit(1)).alias("__n_total"),
+            F.sum("__v").alias("__v_total"),
+        )
+    )
+    j = per_slice.crossJoin(totals)
+    a = F.col("n_viol")
+    b = F.col("n_rows") - F.col("n_viol")
+    c = F.col("__v_total") - F.col("n_viol")
+    d = (F.col("__n_total") - F.col("__v_total")) - b
+    ad_bc = a.cast("double") * d.cast("double") - b.cast("double") * c.cast(
+        "double"
+    )
+    denom = (
+        (a + b).cast("double")
+        * (c + d).cast("double")
+        * (a + c).cast("double")
+        * (b + d).cast("double")
+    )
+    chi2 = F.when(
+        denom > 0.0,
+        F.col("__n_total").cast("double") * ad_bc * ad_bc / denom,
+    ).otherwise(F.lit(0.0))
+    # exact cross-multiplication (slice rate > rest rate): DECIMAL(38)
+    # products stay exact past 10^12-row tables where long*long wraps
+    dec = "decimal(19,0)"
+    one_sided = a.cast(dec) * d.cast(dec) > b.cast(dec) * c.cast(dec)
+    return (
+        j.where(F.col("n_rows") >= int(min_rows))
+        .select(
+            "slice_col",
+            "slice_val",
+            "n_rows",
+            "n_viol",
+            (F.col("__n_total") - F.col("n_rows")).alias("n_rows_rest"),
+            c.alias("n_viol_rest"),
+            F.round(chi2, 6).alias("chi2"),
+            (one_sided & (chi2 > F.lit(float(chi2_threshold)))).alias(
+                "concentrated"
+            ),
+        )
+    )

@@ -742,3 +742,96 @@ def test_mad_outlier_rows_plan_shape(spark):
     assert not has_python_udf(out)
     plan = executed_plan(out)
     assert "BroadcastHashJoin" in plan, plan
+
+
+# ------------------------------------------------------ violation_slices
+
+
+def _chi2_replay(a, b, c, d):
+    n = a + b + c + d
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    if den <= 0:
+        return 0.0
+    return n * (a * d - b * c) ** 2 / den
+
+
+def test_violation_slices_concentrated_vs_uniform(spark):
+    from pandera_forge_spark.validator import violation_slices
+
+    # 600 rows: src 'bad' carries a 30% violation rate, 'ok-1'/'ok-2'
+    # carry ~2%; day is independent of the verdict
+    rows = []
+    for i in range(600):
+        src = "bad" if i % 3 == 0 else ("ok-1" if i % 3 == 1 else "ok-2")
+        day = f"d{i % 4}"
+        viol = (i % 10 < 3) if src == "bad" else (i % 50 == 7)
+        rows.append((i, src, day, bool(viol)))
+    df = spark.createDataFrame(rows, "id long, src string, day string, bad boolean")
+    out = violation_slices(df, "bad", ["src", "day"], min_rows=10)
+    got = {(r["slice_col"], r["slice_val"]): r for r in out.collect()}
+    # every slice value surfaced
+    assert set(got) == {("src", "bad"), ("src", "ok-1"), ("src", "ok-2")} | {
+        ("day", f"d{k}") for k in range(4)
+    }
+    r = got[("src", "bad")]
+    assert r["concentrated"], r
+    # exact counts and python-replayed chi2
+    a, brest = r["n_viol"], r["n_rows"] - r["n_viol"]
+    c, d = r["n_viol_rest"], r["n_rows_rest"] - r["n_viol_rest"]
+    assert round(_chi2_replay(a, brest, c, d), 6) == r["chi2"]
+    # the under-rate slices are NOT flagged even though chi2 is large
+    assert not got[("src", "ok-1")]["concentrated"]
+    assert not got[("src", "ok-2")]["concentrated"]
+    # the independent column never flags
+    assert not any(got[("day", f"d{k}")]["concentrated"] for k in range(4))
+
+
+def test_violation_slices_null_slice_and_min_rows(spark):
+    from pandera_forge_spark.validator import violation_slices
+
+    rows = [(i, None if i < 40 else "x", i < 30) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, src string, bad boolean")
+    got = {
+        r["slice_val"]: r
+        for r in violation_slices(df, "bad", ["src"], min_rows=5).collect()
+    }
+    # NULL is its own slice — and here it concentrates ALL the failures
+    assert got[None]["concentrated"] and got[None]["n_viol"] == 30
+    assert not got["x"]["concentrated"]
+    # min_rows drops small slices
+    tiny = spark.createDataFrame(
+        [(1, "solo", True)] + [(i, "big", False) for i in range(2, 60)],
+        "id long, src string, bad boolean",
+    )
+    vals = {
+        r["slice_val"]
+        for r in violation_slices(tiny, "bad", ["src"], min_rows=30).collect()
+    }
+    assert vals == {"big"}
+
+
+def test_violation_slices_contracts_and_plan(spark):
+    from pandera_forge_spark.plans.inspect import executed_plan, has_python_udf
+    from pandera_forge_spark.validator import violation_slices
+
+    df = spark.createDataFrame([(1, "a", True)], "id long, src string, bad boolean")
+    with pytest.raises(ValueError, match="slice_cols"):
+        violation_slices(df, "bad", [])
+    with pytest.raises(ValueError, match="min_rows"):
+        violation_slices(df, "bad", ["src"], min_rows=0)
+    with pytest.raises(ValueError, match="lacks"):
+        violation_slices(df, "bad", ["nope"])
+    with pytest.raises(ValueError, match="must be boolean"):
+        violation_slices(df, "src", ["src"])
+    with pytest.raises(ValueError, match="collide"):
+        violation_slices(
+            df.withColumnRenamed("src", "slice_val"), "bad", ["slice_val"]
+        )
+    big = spark.createDataFrame(
+        [(i, f"s{i % 3}", i % 7 == 0) for i in range(300)],
+        "id long, src string, bad boolean",
+    )
+    out = violation_slices(big, "bad", ["src"], min_rows=10)
+    assert not has_python_udf(out)
+    plan = executed_plan(out)
+    assert "BroadcastNestedLoopJoin" in plan, plan
