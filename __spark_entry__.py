@@ -8885,6 +8885,83 @@ FROM y ORDER BY slice_col, slice_val
 """
 
 
+def q_reconcile_order_totals(spark, sf_dir):
+    """Aggregate referential integrity (validator.aggregate_reconcile):
+    a denormalized per-order total is rebuilt from lineitem, then
+    corrupted — every 97th key +1.5, every 101st key dropped, every
+    499th key ghosted under an offset id — and reconciled against its
+    own lines: mismatch / missing_parent / missing_child fall out per
+    key with exact integer diffs (quantities are integer-valued, so
+    quantize-then-sum equals sum-then-quantize and tol=0 is exact).
+    The oracle replays the corruption and the micro-long comparison."""
+    from pandera_forge_spark.validator import aggregate_reconcile
+
+    li = _t(spark, sf_dir, "lineitem")
+    truth = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("total"))
+    parent = (
+        truth.where(F.col("l_orderkey") % 101 != 0)
+        .withColumn(
+            "total",
+            F.when(
+                F.col("l_orderkey") % 97 == 0, F.col("total") + 1.5
+            ).otherwise(F.col("total")),
+        )
+        .unionByName(
+            truth.where(F.col("l_orderkey") % 499 == 0).select(
+                (F.col("l_orderkey") + 10000000).alias("l_orderkey"), "total"
+            )
+        )
+    )
+    out = aggregate_reconcile(
+        li, parent, ["l_orderkey"], "l_quantity", "total"
+    )
+    return out.orderBy("l_orderkey")
+
+
+SQL_RECONCILE_ORDER_TOTALS = """
+WITH truth AS (
+  SELECT l_orderkey AS k, SUM(l_quantity) AS total
+  FROM lineitem GROUP BY 1
+),
+parent AS (
+  SELECT k, CASE WHEN k % 97 = 0 THEN total + 1.5 ELSE total END AS total
+  FROM truth WHERE k % 101 != 0
+  UNION ALL
+  SELECT k + 10000000, total FROM truth WHERE k % 499 = 0
+),
+cagg AS (
+  SELECT l_orderkey AS k,
+         CAST(SUM(CAST(FLOOR(CAST(l_quantity AS DOUBLE) * 1000000.0)
+                       AS BIGINT)) AS BIGINT) AS child_sum_micro,
+         CAST(COUNT(*) AS BIGINT) AS n_children
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
+),
+pagg AS (
+  SELECT k, CAST(FLOOR(CAST(total AS DOUBLE) * 1000000.0) AS BIGINT)
+            AS parent_micro
+  FROM parent
+),
+j AS (
+  SELECT COALESCE(c.k, p.k) AS l_orderkey, child_sum_micro, n_children,
+         parent_micro
+  FROM cagg c FULL OUTER JOIN pagg p ON c.k = p.k
+),
+cls AS (
+  SELECT l_orderkey,
+         CASE WHEN parent_micro IS NULL THEN 'missing_parent'
+              WHEN n_children IS NULL THEN 'missing_child'
+              WHEN abs(child_sum_micro - parent_micro) > 0 THEN 'mismatch'
+              ELSE 'ok' END AS status,
+         child_sum_micro, parent_micro,
+         CASE WHEN n_children IS NOT NULL AND parent_micro IS NOT NULL
+              THEN child_sum_micro - parent_micro END AS diff_micro,
+         COALESCE(n_children, 0) AS n_children
+  FROM j
+)
+SELECT * FROM cls WHERE status != 'ok' ORDER BY l_orderkey
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -9610,6 +9687,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # planted-concentration + NULL-slice + replay pytests, strict
         # sweep green at BOTH SFs --------------------------------------------
         "violation_slices_events": q_violation_slices_events,
+        # reconcile_order_totals: this-session tail row; the child
+        # groupBy + key-partitioned full-outer classification is the
+        # checksum_diff shape (directly above) over the RI family's
+        # join discipline (in-window via changelog_apply's null-safe
+        # anti-join; r3-green ri_* rows) — the new part is the
+        # quantized aggregate-equality semantics; four-status +
+        # tolerance-slack + contract pytests, strict sweep green at
+        # BOTH SFs -------------------------------------------------------------
+        "reconcile_order_totals": q_reconcile_order_totals,
     }
 
 
@@ -9814,4 +9900,5 @@ def oracle_sql() -> dict[str, str]:
         "checksum_diff_orders": SQL_CHECKSUM_DIFF_ORDERS,
         "reliability_events": SQL_RELIABILITY_EVENTS,
         "violation_slices_events": SQL_VIOLATION_SLICES_EVENTS,
+        "reconcile_order_totals": SQL_RECONCILE_ORDER_TOTALS,
     }

@@ -1336,3 +1336,104 @@ def violation_slices(
             ),
         )
     )
+
+
+def aggregate_reconcile(
+    child: DataFrame,
+    parent: DataFrame,
+    keys: Sequence[str],
+    child_value_col: str,
+    parent_value_col: str,
+    quantize: float = 1_000_000.0,
+    tol_micro: int = 0,
+    include_ok: bool = False,
+) -> DataFrame:
+    """Aggregate referential integrity: does the parent's rollup
+    column equal the SUM of its children? The invariant anti-join RI
+    cannot see — every lineitem row can point at a real order while
+    the order's total silently disagrees with its lines (a partial
+    backfill, a double-applied discount, a lost partition). Exactly
+    the "trust but verify the denormalized column" audit.
+
+    Both sides quantize IDENTICALLY — child values floor to
+    ``quantize`` units per row and SUM as longs, the parent column
+    floors once — so the comparison is integer-exact and
+    engine-reproducible; ``tol_micro`` absorbs the legitimate
+    quantize-then-sum vs sum-then-quantize slack (at most one unit
+    per child row) plus any documented rounding contract. Per key:
+    ``status`` in (``missing_parent``: children with no parent row,
+    ``missing_child``: a parent rollup with no children,
+    ``mismatch``: |child_sum - parent| > tol, ``ok``),
+    ``child_sum_micro`` / ``parent_micro`` (NULL on absent sides),
+    ``diff_micro`` (NULL unless both present), ``n_children``.
+
+    Long-overflow fence: |value| * quantize must stay under 2^63 /
+    group_size; at TPC-H price scale (1e5 * 1e6 micro) a key needs
+    ~10^11 children to wrap — out of contract, documented here.
+
+    Scale shape: ONE map-side-partial groupBy of the child on the
+    keys, then ONE key-partitioned full-outer join against the
+    parent (co-partitioned on the same keys; AQE handles skew). No
+    window, no UDF, no driver loop — the 100-TB shape of "check
+    every order's total" is exactly these two exchanges."""
+    ks = list(keys)
+    if not ks:
+        raise ValueError("aggregate_reconcile: keys must be non-empty")
+    if float(quantize) <= 0:
+        raise ValueError(
+            f"aggregate_reconcile: quantize must be > 0, got {quantize}"
+        )
+    if int(tol_micro) < 0:
+        raise ValueError(
+            f"aggregate_reconcile: tol_micro must be >= 0, got {tol_micro}"
+        )
+    miss_c = [c for c in ks + [child_value_col] if c not in child.columns]
+    if miss_c:
+        raise ValueError(
+            f"aggregate_reconcile: child frame lacks columns {miss_c}"
+        )
+    miss_p = [c for c in ks + [parent_value_col] if c not in parent.columns]
+    if miss_p:
+        raise ValueError(
+            f"aggregate_reconcile: parent frame lacks columns {miss_p}"
+        )
+    q = F.lit(float(quantize))
+    cagg = (
+        child.where(F.col(child_value_col).isNotNull())
+        .groupBy(*ks)
+        .agg(
+            F.sum(
+                F.floor(F.col(child_value_col).cast("double") * q).cast(
+                    "long"
+                )
+            ).alias("child_sum_micro"),
+            F.count(F.lit(1)).alias("n_children"),
+        )
+    )
+    pagg = parent.select(
+        *ks,
+        F.floor(F.col(parent_value_col).cast("double") * q)
+        .cast("long")
+        .alias("parent_micro"),
+    )
+    j = cagg.join(pagg, ks, "full_outer")
+    child_absent = F.col("n_children").isNull()
+    parent_absent = F.col("parent_micro").isNull()
+    diff = F.col("child_sum_micro") - F.col("parent_micro")
+    status = (
+        F.when(parent_absent, F.lit("missing_parent"))
+        .when(child_absent, F.lit("missing_child"))
+        .when(F.abs(diff) > F.lit(int(tol_micro)), F.lit("mismatch"))
+        .otherwise(F.lit("ok"))
+    )
+    out = j.select(
+        *ks,
+        status.alias("status"),
+        "child_sum_micro",
+        "parent_micro",
+        F.when(~child_absent & ~parent_absent, diff).alias("diff_micro"),
+        F.coalesce(F.col("n_children"), F.lit(0)).alias("n_children"),
+    )
+    if not include_ok:
+        out = out.where(F.col("status") != "ok")
+    return out

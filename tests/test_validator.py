@@ -835,3 +835,77 @@ def test_violation_slices_contracts_and_plan(spark):
     assert not has_python_udf(out)
     plan = executed_plan(out)
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+# ---------------------------------------------------- aggregate_reconcile
+
+
+def test_aggregate_reconcile_four_statuses(spark):
+    from pandera_forge_spark.validator import aggregate_reconcile
+
+    child = spark.createDataFrame(
+        [(1, 2.5), (1, 3.5), (2, 1.0), (2, None), (3, 4.0), (5, 7.0)],
+        "k long, v double",
+    )
+    parent = spark.createDataFrame(
+        [(1, 6.0), (2, 9.0), (3, 4.0), (4, 2.0)], "k long, total double"
+    )
+    got = {
+        r["k"]: r
+        for r in aggregate_reconcile(
+            child, parent, ["k"], "v", "total", include_ok=True
+        ).collect()
+    }
+    assert got[1]["status"] == "ok" and got[1]["diff_micro"] == 0
+    assert got[1]["n_children"] == 2  # the NULL child value dropped... no:
+    # k=1 has two non-null children; k=2's NULL row is excluded
+    assert got[2]["status"] == "mismatch"
+    assert got[2]["child_sum_micro"] == 1_000_000
+    assert got[2]["diff_micro"] == 1_000_000 - 9_000_000
+    assert got[3]["status"] == "ok"
+    assert got[4]["status"] == "missing_child"
+    assert got[4]["child_sum_micro"] is None and got[4]["n_children"] == 0
+    assert got[5]["status"] == "missing_parent"
+    assert got[5]["parent_micro"] is None and got[5]["diff_micro"] is None
+    # default output drops ok rows
+    work = aggregate_reconcile(child, parent, ["k"], "v", "total").collect()
+    assert {r["k"] for r in work} == {2, 4, 5}
+
+
+def test_aggregate_reconcile_tolerance_absorbs_quantize_slack(spark):
+    from pandera_forge_spark.validator import aggregate_reconcile
+
+    # parent = true float sum; per-row floor loses < 1 micro per row
+    child = spark.createDataFrame(
+        [(1, 0.1), (1, 0.2), (1, 0.3)], "k long, v double"
+    )
+    parent = spark.createDataFrame([(1, 0.6)], "k long, total double")
+    strict = aggregate_reconcile(child, parent, ["k"], "v", "total").collect()
+    loose = aggregate_reconcile(
+        child, parent, ["k"], "v", "total", tol_micro=3
+    ).collect()
+    # 0.1+0.2+0.3 quantize-then-sum vs floor(0.6*1e6): within 3 micros
+    assert loose == []
+    assert len(strict) <= 1  # may or may not hit exactly; tol covers it
+
+
+def test_aggregate_reconcile_contracts_and_plan(spark):
+    from pandera_forge_spark.plans.inspect import has_python_udf
+    from pandera_forge_spark.validator import aggregate_reconcile
+
+    child = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    parent = spark.createDataFrame([(1, 1.0)], "k long, total double")
+    with pytest.raises(ValueError, match="keys"):
+        aggregate_reconcile(child, parent, [], "v", "total")
+    with pytest.raises(ValueError, match="quantize"):
+        aggregate_reconcile(child, parent, ["k"], "v", "total", quantize=0)
+    with pytest.raises(ValueError, match="tol_micro"):
+        aggregate_reconcile(child, parent, ["k"], "v", "total", tol_micro=-1)
+    with pytest.raises(ValueError, match="child frame lacks"):
+        aggregate_reconcile(child, parent, ["k"], "nope", "total")
+    with pytest.raises(ValueError, match="parent frame lacks"):
+        aggregate_reconcile(child, parent, ["k"], "v", "nope")
+    out = aggregate_reconcile(
+        child, parent, ["k"], "v", "total", include_ok=True
+    )
+    assert not has_python_udf(out)
