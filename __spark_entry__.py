@@ -8962,6 +8962,42 @@ SELECT * FROM cls WHERE status != 'ok' ORDER BY l_orderkey
 """
 
 
+def q_decayed_counts_events(spark, sf_dir):
+    """Freshness-decayed activity (temporal.decayed_counts): per
+    event_type, each event worth 2^-(age in 7-day half-lives) of a
+    current event — integer shiftleft weights, max(ts) as the
+    replayable reference instant, horizon 12 (clamp floor ~0.02%).
+    decayed_now divides the exact unit sum by 2^12 — a power-of-two
+    mantissa scaling, bit-identical on any IEEE engine."""
+    from pandera_forge_spark.operators.temporal import decayed_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = decayed_counts(
+        ev, ["event_type"], "ts", half_life_days=7.0, horizon=12
+    )
+    return out.orderBy("event_type")
+
+
+SQL_DECAYED_COUNTS_EVENTS = """
+WITH base AS (
+  SELECT event_type, epoch(ts) AS sec
+  FROM events WHERE ts IS NOT NULL
+),
+ref AS (SELECT max(sec) AS r FROM base),
+w AS (
+  SELECT event_type,
+         (CAST(1 AS BIGINT) << CAST(12 - LEAST(GREATEST(
+             CAST(FLOOR((r - sec) / 604800.0) AS BIGINT), 0), 12) AS INT))
+           AS wt
+  FROM base, ref
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(wt) AS BIGINT) AS decayed_units,
+       CAST(SUM(wt) AS BIGINT) / 4096.0 AS decayed_now
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -9696,6 +9732,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tolerance-slack + contract pytests, strict sweep green at
         # BOTH SFs -------------------------------------------------------------
         "reconcile_order_totals": q_reconcile_order_totals,
+        # decayed_counts_events: this-session tail row; the 1-row
+        # max-ts broadcast is the survival_table/lateness cutoff
+        # discipline and the single map-side groupBy the census
+        # family's — the new part is the integer shiftleft decay
+        # weights; hand-computed + shift-invariance + fence pytests,
+        # strict sweep green at BOTH SFs --------------------------------------
+        "decayed_counts_events": q_decayed_counts_events,
     }
 
 
@@ -9901,4 +9944,5 @@ def oracle_sql() -> dict[str, str]:
         "reliability_events": SQL_RELIABILITY_EVENTS,
         "violation_slices_events": SQL_VIOLATION_SLICES_EVENTS,
         "reconcile_order_totals": SQL_RECONCILE_ORDER_TOTALS,
+        "decayed_counts_events": SQL_DECAYED_COUNTS_EVENTS,
     }

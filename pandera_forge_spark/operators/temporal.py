@@ -2574,3 +2574,105 @@ def theil_sen(
         )
         .withColumn("n_points", F.col("n_points").cast("long"))
     )
+
+
+def decayed_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    half_life_days: float = 7.0,
+    horizon: int = 20,
+) -> DataFrame:
+    """Exponentially-decayed activity per key — the freshness signal
+    a plain count cannot give: a domain that produced 10^6 documents
+    in 2019 and nothing since should NOT outweigh one producing 10^3
+    a day now when sampling weights or liveness verdicts are derived.
+    Each event contributes 2^-(age in half-lives), so activity halves
+    every ``half_life_days``.
+
+    Exactness: base 2 is the whole trick. age_hl = floor(age_seconds
+    / (86400 * half_life_days)) clamped to [0, horizon], and the
+    event's weight is the INTEGER 2^(horizon - age_hl) — shiftleft,
+    no pow(), no float. Per key: ``n_events`` and ``decayed_units``
+    (exact BIGINT; an age-0 event is worth 2^horizon units, a
+    horizon-old one 1 unit) plus ``decayed_now`` = decayed_units /
+    2^horizon — current-event equivalents through ONE IEEE division
+    by an exact power of two. Events older than horizon half-lives
+    clamp to weight 1 rather than vanish (they still prove the key
+    existed; pick horizon so 2^-horizon is your "dead" threshold).
+
+    The reference instant is max(ts) over the frame (1-row broadcast
+    — deterministic and replayable, where now() would make every run
+    disagree); NULL timestamps drop.
+
+    Overflow fence: decayed_units <= n_key * 2^horizon must stay
+    under 2^63 — at horizon 20 that is ~8.8e12 events per key; raise
+    ``half_life_days`` (coarser ages) before raising ``horizon``
+    (finer resolution) at the extreme. Guarded by an in-band check on
+    the SUM being non-negative (a wrap flips the sign before it lies
+    quietly... it can land positive too — the real fence is the
+    documented contract; the sign check catches the common case).
+
+    Scale shape: one 1-row max(ts) broadcast, ONE map-side-partial
+    groupBy on the keys. No window, no join beyond the broadcast, no
+    UDF."""
+    keys = list(group_cols)
+    if not keys:
+        raise ValueError("decayed_counts: group_cols must be non-empty")
+    if float(half_life_days) <= 0:
+        raise ValueError(
+            f"decayed_counts: half_life_days must be > 0, got {half_life_days}"
+        )
+    if not (0 < int(horizon) <= 40):
+        raise ValueError(
+            f"decayed_counts: horizon must be in 1..40, got {horizon}"
+        )
+    missing = [c for c in keys + [ts_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"decayed_counts: frame lacks columns {missing}")
+    _check_reserved(df, ["__sec", "__ref", "__age", "__w"], "decayed_counts")
+    h = int(horizon)
+    base = df.where(F.col(ts_col).isNotNull()).withColumn(
+        "__sec", _seconds(df, ts_col)
+    )
+    ref = F.broadcast(base.agg(F.max("__sec").alias("__ref")))
+    unit = 86400.0 * float(half_life_days)
+    age = F.least(
+        F.greatest(
+            F.floor((F.col("__ref") - F.col("__sec")) / F.lit(unit)).cast(
+                "long"
+            ),
+            F.lit(0),
+        ),
+        F.lit(h),
+    )
+    weighted = (
+        base.crossJoin(ref)
+        .withColumn("__age", age)
+        .withColumn(
+            "__w",
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({h} - __age AS INT))"),
+        )
+    )
+    out = weighted.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("__w").alias("decayed_units"),
+    )
+    wrap_guard = F.when(
+        F.col("decayed_units") < 0,
+        F.raise_error(
+            F.lit(
+                "decayed_counts: decayed_units overflowed int64 — lower "
+                "horizon or raise half_life_days (see docstring fence)"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("decayed_units"))
+    return out.select(
+        *keys,
+        "n_events",
+        wrap_guard.alias("decayed_units"),
+        (
+            F.col("decayed_units").cast("double")
+            / F.lit(float(1 << h))
+        ).alias("decayed_now"),
+    )

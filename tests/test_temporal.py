@@ -789,3 +789,80 @@ def test_theil_sen_no_python_udf(spark):
     assert [f.dataType.simpleString() for f in out.schema.fields][-4:] == [
         "bigint", "bigint", "bigint", "bigint"
     ]
+
+
+# ---------------------------------------------------------- decayed_counts
+
+
+def test_decayed_counts_hand_computed(spark):
+    from datetime import datetime, timedelta
+
+    from pandera_forge_spark.operators.temporal import decayed_counts
+
+    t0 = datetime(2026, 1, 31, 12, 0, 0)
+    rows = []
+    # key 'fresh': 3 events at ages 0, 1, 2 half-lives (hl = 1 day)
+    for d in (0, 1, 2):
+        rows.append(("fresh", t0 - timedelta(days=d)))
+    # key 'stale': 6 events all 50 days old (clamped past horizon 10)
+    for _ in range(6):
+        rows.append(("stale", t0 - timedelta(days=50)))
+    rows.append(("fresh", None))
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {
+        r["k"]: r
+        for r in decayed_counts(
+            df, ["k"], "ts", half_life_days=1.0, horizon=10
+        ).collect()
+    }
+    h = 10
+    assert got["fresh"]["n_events"] == 3
+    assert got["fresh"]["decayed_units"] == (1 << h) + (1 << (h - 1)) + (
+        1 << (h - 2)
+    )
+    assert got["fresh"]["decayed_now"] == 1.0 + 0.5 + 0.25
+    # stale: every event clamps to weight 1
+    assert got["stale"]["decayed_units"] == 6
+    assert got["stale"]["decayed_now"] == 6 / 1024
+    # the burst of 6 stale events is worth less than ONE fresh event
+    assert got["stale"]["decayed_now"] < 1.0 < got["fresh"]["decayed_now"]
+
+
+def test_decayed_counts_reference_is_max_ts(spark):
+    from datetime import datetime, timedelta
+
+    from pandera_forge_spark.operators.temporal import decayed_counts
+
+    # shifting the WHOLE table by a year changes nothing: the
+    # reference instant rides the data, not the wall clock
+    t0 = datetime(2025, 6, 1)
+    rows = [("k", t0 - timedelta(days=d)) for d in (0, 3, 9)]
+    shifted = [("k", t - timedelta(days=365)) for _, t in rows]
+    df1 = spark.createDataFrame(rows, "k string, ts timestamp")
+    df2 = spark.createDataFrame(shifted, "k string, ts timestamp")
+    a = decayed_counts(df1, ["k"], "ts", half_life_days=3.0, horizon=5).first()
+    b = decayed_counts(df2, ["k"], "ts", half_life_days=3.0, horizon=5).first()
+    assert a["decayed_units"] == b["decayed_units"] == (1 << 5) + (1 << 4) + (1 << 2)
+
+
+def test_decayed_counts_contracts_and_plan(spark):
+    from pandera_forge_spark.operators.temporal import decayed_counts
+    from pandera_forge_spark.plans.inspect import executed_plan, has_python_udf
+
+    df = spark.createDataFrame(
+        [("k", 1000.0 * i) for i in range(20)], "k string, ts double"
+    )
+    with pytest.raises(ValueError, match="group_cols"):
+        decayed_counts(df, [], "ts")
+    with pytest.raises(ValueError, match="half_life"):
+        decayed_counts(df, ["k"], "ts", half_life_days=0)
+    with pytest.raises(ValueError, match="horizon"):
+        decayed_counts(df, ["k"], "ts", horizon=0)
+    with pytest.raises(ValueError, match="horizon"):
+        decayed_counts(df, ["k"], "ts", horizon=41)
+    with pytest.raises(ValueError, match="lacks"):
+        decayed_counts(df, ["k"], "nope")
+    out = decayed_counts(df, ["k"], "ts", half_life_days=1.0, horizon=20)
+    assert not has_python_udf(out)
+    plan = executed_plan(out)
+    assert "BroadcastNestedLoopJoin" in plan and "Window" not in plan, plan
