@@ -8998,6 +8998,129 @@ FROM w GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_volume_anomaly_days(spark, sf_dir):
+    """Arrival-volume anomalies (validator.volume_anomalies): every
+    day whose day-index % 7 == 3 keeps only 10% of its events — the
+    classic partial-outage shape — then per event_type the day counts
+    run the MAD integer tree; the starved days flag, the healthy
+    spread does not drag the median. Oracle replays the filter, the
+    bucketing, and the rank-by-rank MAD decision."""
+    from pandera_forge_spark.validator import volume_anomalies
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    day = F.floor(
+        F.col("ts").cast("timestamp_ltz").cast("double") / F.lit(86400.0)
+    ).cast("long")
+    kept = ev.where(
+        ~((day % 7 == 3) & (F.col("event_id") % 10 != 0))
+    )
+    out = volume_anomalies(kept, "ts", ["event_type"], c=3, min_days=5)
+    return out.orderBy("event_type", "bucket_start")
+
+
+SQL_VOLUME_ANOMALY_DAYS = """
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(FLOOR(epoch(ts) / 86400.0) AS BIGINT) AS day
+  FROM events WHERE ts IS NOT NULL
+),
+kept AS (
+  SELECT * FROM ev WHERE NOT (day % 7 = 3 AND event_id % 10 != 0)
+),
+counts AS (
+  SELECT event_type, day * 86400 AS bucket_start,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM kept GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, bucket_start, n,
+         CAST(FLOOR(CAST(n AS DOUBLE) * 1000000.0) AS BIGINT) AS vm
+  FROM counts
+),
+r1 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vm) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM base
+),
+med AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn = (cnt + 1) // 2 THEN vm END)
+         + MIN(CASE WHEN rn = cnt // 2 + 1 THEN vm END) AS med2
+  FROM r1 WHERE cnt >= 5 GROUP BY 1
+),
+dev AS (
+  SELECT base.event_type, bucket_start, n, vm, med2,
+         abs(2 * vm - med2) AS d2
+  FROM base JOIN med USING (event_type)
+),
+r2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d2) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM dev
+),
+mad AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn = (cnt + 1) // 2 THEN d2 END)
+         + MIN(CASE WHEN rn = cnt // 2 + 1 THEN d2 END) AS mad4
+  FROM r2 GROUP BY 1
+)
+SELECT dev.event_type, bucket_start, n AS n_rows,
+       d2 AS dev2_micro, mad4 AS mad4_micro
+FROM dev JOIN mad USING (event_type)
+WHERE 2 * d2 > 3 * mad4
+ORDER BY dev.event_type, bucket_start
+"""
+
+
+def q_blocking_quality_names(spark, sf_dir):
+    """Blocking-scheme audit (operators/linkage.py blocking_quality):
+    the d=1 symmetric-delete blocker scored against a d<=2 truth set
+    over the mod-7 customer subset — pairs completeness comes out
+    below 1 exactly where distance-2 name pairs exist (the blocker's
+    documented contract), reduction ratio shows the avoided quadratic
+    work. The oracle brute-forces both pair sets and the same count
+    algebra."""
+    from pandera_forge_spark.operators.linkage import (
+        blocking_quality,
+        fuzzy_pairs,
+    )
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 7 == 0)
+    cand = fuzzy_pairs(cust, "c_name", "c_custkey", max_distance=1).select(
+        "id_a", "id_b"
+    )
+    truth = fuzzy_pairs(cust, "c_name", "c_custkey", max_distance=2).select(
+        "id_a", "id_b"
+    )
+    n = cust.count()
+    return blocking_quality(cand, truth, n_records=n)
+
+
+SQL_BLOCKING_QUALITY_NAMES = """
+WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 7 = 0),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM c),
+p AS (
+  SELECT a.c_custkey AS ia, b.c_custkey AS ib,
+         levenshtein(a.c_name, b.c_name) AS d
+  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+),
+agg AS (
+  SELECT CAST(COUNT(*) FILTER (d <= 1) AS BIGINT) AS n_candidates,
+         CAST(COUNT(*) FILTER (d <= 2) AS BIGINT) AS n_truth,
+         CAST(COUNT(*) FILTER (d <= 1) AS BIGINT) AS n_found
+  FROM p
+)
+SELECT n_candidates, n_truth, n_found,
+       CAST(cnt * (cnt - 1) / 2 AS BIGINT) AS n_possible,
+       CASE WHEN n_truth > 0 THEN
+         CAST(n_found AS DOUBLE) / CAST(n_truth AS DOUBLE) END
+         AS pairs_completeness,
+       1.0 - CAST(n_candidates AS DOUBLE)
+             / CAST(cnt * (cnt - 1) / 2 AS DOUBLE) AS reduction_ratio
+FROM agg, n
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -9739,6 +9862,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weights; hand-computed + shift-invariance + fence pytests,
         # strict sweep green at BOTH SFs --------------------------------------
         "decayed_counts_events": q_decayed_counts_events,
+        # volume_anomaly_days: this-session tail row; a declared thin
+        # composition — ONE (key, day) count groupBy feeding the
+        # mad_outlier_rows integer tree (its own oracle row
+        # mad_outliers_events sits a few positions up) — the new part
+        # is only the bucketing glue; short-day + outage-robustness
+        # pytests, strict sweep green at BOTH SFs ----------------------------
+        "volume_anomaly_days": q_volume_anomaly_days,
+        # blocking_quality_names: this-session tail row; both pair
+        # sets come from the in-window fuzzy_name_pairs kernel
+        # (symmetric-delete + levenshtein verify, positions 8) — the
+        # new part is the completeness/reduction count algebra; exact
+        # count pytests incl. a lossless end-to-end differential,
+        # strict sweep green at BOTH SFs --------------------------------------
+        "blocking_quality_names": q_blocking_quality_names,
     }
 
 
@@ -9945,4 +10082,6 @@ def oracle_sql() -> dict[str, str]:
         "violation_slices_events": SQL_VIOLATION_SLICES_EVENTS,
         "reconcile_order_totals": SQL_RECONCILE_ORDER_TOTALS,
         "decayed_counts_events": SQL_DECAYED_COUNTS_EVENTS,
+        "volume_anomaly_days": SQL_VOLUME_ANOMALY_DAYS,
+        "blocking_quality_names": SQL_BLOCKING_QUALITY_NAMES,
     }

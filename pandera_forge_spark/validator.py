@@ -1437,3 +1437,71 @@ def aggregate_reconcile(
     if not include_ok:
         out = out.where(F.col("status") != "ok")
     return out
+
+
+def volume_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: Sequence[str],
+    c: int = 3,
+    min_days: int = 5,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Arrival-volume anomaly per (key, day): the single most-asked
+    data-ops question — "did today's partition arrive short?" —
+    answered with the same robust integer machinery as
+    :func:`mad_outlier_rows`: bucket events into fixed windows, count
+    per (key, bucket), and flag buckets whose count deviates from the
+    key's median by more than ``c`` MADs. Robust by construction: a
+    month of outage days (even ~half the history) cannot drag the
+    median into calling the outage normal — the failure mode that
+    makes mean/stddev volume alerts page on the recovery instead of
+    the incident.
+
+    This is a deliberate thin composition: ONE (key, bucket) count
+    groupBy — at 10^12 rows the count frame is O(keys x days), KB-MB
+    scale — then the whole mad_outlier_rows integer decision tree
+    runs over that tiny frame (micro-quantization of an integer count
+    is exact by definition). Output: key cols, ``bucket_start``
+    (epoch seconds, long), ``n_rows`` for the flagged bucket, and the
+    exact ``dev2_micro``/``mad4_micro`` evidence columns.
+
+    Zero-row buckets are NOT synthesized: a key with no row for a day
+    has no (key, day) row to flag, so a TOTAL outage day is invisible
+    here — pair with ``sequence_gaps``/``lateness_census`` for
+    absence detection; this operator scores the days that DID arrive.
+    NULL timestamps drop."""
+    keys = list(group_cols)
+    if not keys:
+        raise ValueError("volume_anomalies: group_cols must be non-empty")
+    if int(bucket_seconds) < 1:
+        raise ValueError(
+            f"volume_anomalies: bucket_seconds must be >= 1, got {bucket_seconds}"
+        )
+    missing = [x for x in keys + [ts_col] if x not in df.columns]
+    if missing:
+        raise ValueError(f"volume_anomalies: frame lacks columns {missing}")
+    dtype = dict(df.dtypes)[ts_col]
+    sec = (
+        F.col(ts_col).cast("timestamp_ltz").cast("double")
+        if dtype.startswith("timestamp")
+        else F.col(ts_col).cast("double")
+    )
+    bs = int(bucket_seconds)
+    counts = (
+        df.where(F.col(ts_col).isNotNull())
+        .withColumn(
+            "bucket_start",
+            (F.floor(sec / F.lit(float(bs))).cast("long") * F.lit(bs)),
+        )
+        .groupBy(*keys, "bucket_start")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return mad_outlier_rows(
+        counts,
+        "n_rows",
+        ["bucket_start"],
+        keys,
+        c=c,
+        min_points=min_days,
+    ).withColumnRenamed("value", "n_rows")

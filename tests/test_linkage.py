@@ -287,3 +287,85 @@ def test_value_variants_partition_independent(messy):
     a = value_variants(messy.repartition(1), "seg").collect()
     b = value_variants(messy.repartition(6), "seg").collect()
     assert key(a) == key(b)
+
+
+# --------------------------------------------------------- blocking_quality
+
+
+def test_blocking_quality_self_dedup_counts(spark):
+    from pandera_forge_spark.operators.linkage import blocking_quality
+
+    # 10 records; truth = 4 pairs; blocker found 6 candidates of
+    # which 3 are true (one truth pair stored reversed + duplicated)
+    cand = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (7, 8), (2, 9), (1, 10)],
+        "id_a long, id_b long",
+    )
+    truth = spark.createDataFrame(
+        [(2, 1), (1, 2), (4, 3), (6, 5), (9, 10)], "id_a long, id_b long"
+    )
+    r = blocking_quality(cand, truth, n_records=10).first()
+    assert r["n_candidates"] == 6
+    assert r["n_truth"] == 4  # reversed duplicate collapsed
+    assert r["n_found"] == 3  # (1,2),(3,4),(5,6); (9,10) missed
+    assert r["n_possible"] == 45
+    assert r["pairs_completeness"] == 3 / 4
+    assert r["reduction_ratio"] == 1.0 - 6 / 45.0
+
+
+def test_blocking_quality_two_table_and_hygiene(spark):
+    from pandera_forge_spark.operators.linkage import blocking_quality
+
+    # self-pairs and NULL sides are dropped before counting
+    cand = spark.createDataFrame(
+        [(1, 1), (None, 2), (1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    truth = spark.createDataFrame([(2, 1)], "id_a long, id_b long")
+    r = blocking_quality(cand, truth, n_left=4, n_right=5).first()
+    assert r["n_candidates"] == 2 and r["n_found"] == 1
+    assert r["n_possible"] == 20
+    assert r["reduction_ratio"] == 1.0 - 2 / 20.0
+
+
+def test_blocking_quality_end_to_end_with_fuzzy_pairs(spark):
+    from pandera_forge_spark.operators.linkage import (
+        blocking_quality,
+        fuzzy_pairs,
+    )
+
+    names = [
+        (1, "acme corp"), (2, "acme korp"),      # lev 1 — true dup
+        (3, "globex"), (4, "globex"),            # lev 0 — true dup
+        (5, "initech"), (6, "initrode"),         # lev 3 — NOT a dup at d=1
+        (7, "umbrella"), (8, "wayne ent"),
+    ]
+    df = spark.createDataFrame(names, "rid long, name string")
+    cand = fuzzy_pairs(df, "name", "rid", max_distance=1).select(
+        F.col("id_a"), F.col("id_b")
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    r = blocking_quality(cand, truth, n_records=8).first()
+    # symmetric-delete blocking at d=1 is LOSSLESS for lev<=1 pairs
+    assert r["pairs_completeness"] == 1.0
+    assert r["n_possible"] == 28
+    assert r["reduction_ratio"] > 0.8
+
+
+def test_blocking_quality_contracts(spark):
+    from pandera_forge_spark.operators.linkage import blocking_quality
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="exactly one"):
+        blocking_quality(pairs, pairs)
+    with pytest.raises(ValueError, match="exactly one"):
+        blocking_quality(pairs, pairs, n_records=5, n_left=2, n_right=2)
+    with pytest.raises(ValueError, match="n_records"):
+        blocking_quality(pairs, pairs, n_records=1)
+    with pytest.raises(ValueError, match="BOTH"):
+        blocking_quality(pairs, pairs, n_left=3)
+    with pytest.raises(ValueError, match="lacks"):
+        blocking_quality(
+            pairs.withColumnRenamed("id_a", "x"), pairs, n_records=5
+        )

@@ -909,3 +909,68 @@ def test_aggregate_reconcile_contracts_and_plan(spark):
         child, parent, ["k"], "v", "total", include_ok=True
     )
     assert not has_python_udf(out)
+
+
+# ------------------------------------------------------- volume_anomalies
+
+
+def test_volume_anomalies_flags_short_day(spark):
+    from datetime import datetime, timedelta
+
+    from pandera_forge_spark.validator import volume_anomalies
+
+    t0 = datetime(2026, 3, 1)
+    rows = []
+    # source 's': 9 days of ~100 rows, day 4 arrives with 7 rows
+    for d in range(9):
+        n = 7 if d == 4 else 100 + (d % 3)
+        for i in range(n):
+            rows.append(("s", t0 + timedelta(days=d, seconds=i)))
+    # source 'noisy': counts vary but no outage
+    for d in range(9):
+        for i in range(90 + 5 * (d % 4)):
+            rows.append(("noisy", t0 + timedelta(days=d, seconds=i)))
+    df = spark.createDataFrame(rows, "src string, ts timestamp")
+    got = volume_anomalies(df, "ts", ["src"]).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["src"] == "s" and r["n_rows"] == 7
+    assert r["bucket_start"] == int(
+        (t0 + timedelta(days=4)).timestamp()
+    )
+
+
+def test_volume_anomalies_median_survives_long_outage(spark):
+    from datetime import datetime, timedelta
+
+    from pandera_forge_spark.validator import volume_anomalies
+
+    t0 = datetime(2026, 3, 1)
+    rows = []
+    # 11 days: 7 healthy at 50, 4 degraded at 5 — the degraded block
+    # is flagged, the healthy days are NOT called anomalous
+    for d in range(11):
+        n = 5 if d in (3, 4, 5, 6) else 50
+        for i in range(n):
+            rows.append(("s", t0 + timedelta(days=d, seconds=i)))
+    df = spark.createDataFrame(rows, "src string, ts timestamp")
+    flagged = {
+        r["bucket_start"]
+        for r in volume_anomalies(df, "ts", ["src"]).collect()
+    }
+    degraded = {
+        int((t0 + timedelta(days=d)).timestamp()) for d in (3, 4, 5, 6)
+    }
+    assert flagged == degraded
+
+
+def test_volume_anomalies_contracts(spark):
+    from pandera_forge_spark.validator import volume_anomalies
+
+    df = spark.createDataFrame([("s", 0.0)], "src string, ts double")
+    with pytest.raises(ValueError, match="group_cols"):
+        volume_anomalies(df, "ts", [])
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        volume_anomalies(df, "ts", ["src"], bucket_seconds=0)
+    with pytest.raises(ValueError, match="lacks"):
+        volume_anomalies(df, "nope", ["src"])
