@@ -123,3 +123,27 @@ def test_triage_pipeline_example(spark):
     assert report["stuck_keys"] >= 0 and report["metronome_keys"] >= 0
     wm = report["watermark"]
     assert wm["events"] > 0 and wm["dropped_at_1h"] <= wm["dropped_at_60s"]
+
+
+def test_incremental_pipeline_example(spark):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    import incremental_pipeline
+
+    report = incremental_pipeline.run(spark, "/root/testdata/sf0.001")
+    # the changelog moved exactly three partitions
+    assert report["diff"]["changed"] == ["d2"]
+    assert report["diff"]["removed"] == ["d5"]
+    assert report["diff"]["added"] == ["d8"]
+    assert len(report["diff"]["unchanged"]) == 6
+    # the incremental run touched ONLY the moved set
+    assert report["incremental"]["revalidated"] == ["d2", "d8"]
+    assert report["incremental"]["carried"] == report["diff"]["unchanged"]
+    # and is provably equivalent to a full re-validation
+    assert report["proof"]["incremental_equals_full"] is True
+    assert report["proof"]["partitions"] == 8
+    # the planted NULLs were caught inside the changed partition
+    assert set(report["proof"]["violations_found"]) == {"d2"}
+    assert report["proof"]["violations_found"]["d2"] > 0
