@@ -9121,6 +9121,87 @@ FROM agg, n
 """
 
 
+def q_column_checksum_diff(spark, sf_dir):
+    """Column-level change localization (sketches.column_checksums +
+    checksum_diff): every 89th order's o_orderstatus flips, o_custkey
+    never moves — per-(priority, column) checksum rows from both
+    snapshots, diffed with the SAME classification join keyed one
+    level deeper. Only the status column of priorities holding an
+    89-divisible key reads 'changed'; every o_custkey cell reads
+    'unchanged'. One scan per side for ALL columns (melt, not a scan
+    per column)."""
+    from pandera_forge_spark.sketches import checksum_diff, column_checksums
+
+    od = _t(spark, sf_dir, "orders")
+    new = od.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 89 == 0, F.lit("Z")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    args = (["o_custkey", "o_orderstatus"], ["o_orderkey"])
+    oc = column_checksums(od, *args, group_cols=["o_orderpriority"])
+    nc = column_checksums(new, *args, group_cols=["o_orderpriority"])
+    out = checksum_diff(
+        oc, nc, ["o_orderpriority", "column"], include_unchanged=True
+    )
+    return out.orderBy("o_orderpriority", "column")
+
+
+SQL_COLUMN_CHECKSUM_DIFF = """
+WITH old_m AS (
+  SELECT o_orderpriority, 'o_custkey' AS col,
+         md5(concat_ws(chr(31),
+             COALESCE(CAST(o_orderkey AS VARCHAR), chr(30)),
+             COALESCE(CAST(o_custkey AS VARCHAR), chr(30)))) AS h
+  FROM orders
+  UNION ALL
+  SELECT o_orderpriority, 'o_orderstatus',
+         md5(concat_ws(chr(31),
+             COALESCE(CAST(o_orderkey AS VARCHAR), chr(30)),
+             COALESCE(o_orderstatus, chr(30))))
+  FROM orders
+),
+new_m AS (
+  SELECT o_orderpriority, 'o_custkey' AS col,
+         md5(concat_ws(chr(31),
+             COALESCE(CAST(o_orderkey AS VARCHAR), chr(30)),
+             COALESCE(CAST(o_custkey AS VARCHAR), chr(30)))) AS h
+  FROM orders
+  UNION ALL
+  SELECT o_orderpriority, 'o_orderstatus',
+         md5(concat_ws(chr(31),
+             COALESCE(CAST(o_orderkey AS VARCHAR), chr(30)),
+             COALESCE(CASE WHEN o_orderkey % 89 = 0 THEN 'Z'
+                           ELSE o_orderstatus END, chr(30))))
+  FROM orders
+),
+ocs AS (
+  SELECT o_orderpriority, col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(bit_xor(CAST(('0x' || substr(h, 1, 8))::UBIGINT AS BIGINT)) AS BIGINT) AS xor_lo,
+         CAST(bit_xor(CAST(('0x' || substr(h, 9, 8))::UBIGINT AS BIGINT)) AS BIGINT) AS xor_hi,
+         CAST(SUM(('0x' || substr(h, 17, 8))::UBIGINT % 1048576) AS BIGINT) AS sum_mod
+  FROM old_m GROUP BY 1, 2
+),
+ncs AS (
+  SELECT o_orderpriority, col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(bit_xor(CAST(('0x' || substr(h, 1, 8))::UBIGINT AS BIGINT)) AS BIGINT) AS xor_lo,
+         CAST(bit_xor(CAST(('0x' || substr(h, 9, 8))::UBIGINT AS BIGINT)) AS BIGINT) AS xor_hi,
+         CAST(SUM(('0x' || substr(h, 17, 8))::UBIGINT % 1048576) AS BIGINT) AS sum_mod
+  FROM new_m GROUP BY 1, 2
+)
+SELECT o.o_orderpriority, o.col AS "column",
+       CASE WHEN o.n_rows != n.n_rows OR o.xor_lo != n.xor_lo
+                 OR o.xor_hi != n.xor_hi OR o.sum_mod != n.sum_mod
+            THEN 'changed' ELSE 'unchanged' END AS status,
+       o.n_rows AS n_rows_old, n.n_rows AS n_rows_new,
+       CAST(n.n_rows - o.n_rows AS BIGINT) AS rows_delta
+FROM ocs o JOIN ncs n
+  ON o.o_orderpriority = n.o_orderpriority AND o.col = n.col
+ORDER BY o.o_orderpriority, o.col
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -9876,6 +9957,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # count pytests incl. a lossless end-to-end differential,
         # strict sweep green at BOTH SFs --------------------------------------
         "blocking_quality_names": q_blocking_quality_names,
+        # column_checksum_diff: this-session tail row; the lanes ARE
+        # table_checksum's (in-window table_checksum_orders) and the
+        # classification join checksum_diff's (a few positions up) —
+        # the new part is the per-column melt + one-level-deeper key;
+        # localization + row-swap-visibility pytests, strict sweep
+        # green at BOTH SFs ----------------------------------------------------
+        "column_checksum_diff": q_column_checksum_diff,
     }
 
 
@@ -10084,4 +10172,5 @@ def oracle_sql() -> dict[str, str]:
         "decayed_counts_events": SQL_DECAYED_COUNTS_EVENTS,
         "volume_anomaly_days": SQL_VOLUME_ANOMALY_DAYS,
         "blocking_quality_names": SQL_BLOCKING_QUALITY_NAMES,
+        "column_checksum_diff": SQL_COLUMN_CHECKSUM_DIFF,
     }

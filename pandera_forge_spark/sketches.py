@@ -1358,3 +1358,89 @@ def _nullsafe_equi_join_sketch(
         cond = t if cond is None else (cond & t)
     # left_semi never duplicates left rows, so no dedup of the probe side
     return left.join(r, cond, "left_semi")
+
+
+def column_checksums(
+    df: DataFrame,
+    cols: Sequence[str],
+    id_cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-COLUMN content checksums — the localization step after
+    :func:`checksum_diff` says a partition moved: one more O(groups x
+    columns) frame pins WHICH column changed, so the incremental
+    re-validation can rerun just that column's profile/checks instead
+    of the partition's whole bundle. Each lane hashes (id columns,
+    value) per row, so a value MOVING between rows of the same column
+    is visible, not just multiset changes; all four lanes and their
+    algebra are exactly :func:`table_checksum`'s, which means
+    :func:`checksum_diff` consumes this output unchanged with
+    ``group_cols=[*groups, "column"]``.
+
+    One scan for ALL columns: each row renders every column's
+    (id, value) md5 in a single projection, melts via ``stack`` into
+    (column, lanes) rows — a narrow map — and ONE groupBy aggregates
+    every (group, column) cell. Same exact-rendering type fence as
+    table_checksum (floats/timestamps must be cast to exact forms
+    first), same 10^12-row lane-overflow headroom."""
+    keys = list(group_cols)
+    ids = list(id_cols)
+    cs = list(cols)
+    if not cs:
+        raise ValueError("column_checksums: cols must be non-empty")
+    if not ids:
+        raise ValueError(
+            "column_checksums: id_cols must be non-empty — without row "
+            "identity a value moving between rows is invisible"
+        )
+    dt = dict(df.dtypes)
+    for c in cs + ids + keys:
+        if c not in df.columns:
+            raise ValueError(f"column_checksums: column {c!r} missing")
+    bad = [
+        (c, dt[c])
+        for c in cs + ids
+        if not (dt[c] in _CHECKSUM_EXACT or dt[c].startswith("varchar")
+                or dt[c].startswith("char"))
+    ]
+    if bad:
+        raise ValueError(
+            "column_checksums: columns with engine-dependent string "
+            f"rendering {bad} — cast to an exact form first (timestamp "
+            "-> unix_micros(ts), double -> CAST(x*10^k AS LONG))"
+        )
+    if "column" in keys or "column" in ids:
+        raise ValueError(
+            "column_checksums: 'column' is the output melt name — "
+            "rename the input column"
+        )
+    proj = list(keys)
+    stack_args = []
+    for i, c in enumerate(cs):
+        h = row_fingerprint(ids + [c])
+        proj.append(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias(f"__lo{i}")
+        )
+        proj.append(
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias(f"__hi{i}")
+        )
+        proj.append(
+            (
+                F.conv(F.substring(h, 17, 8), 16, 10).cast("long")
+                % F.lit(1048576)
+            ).alias(f"__md{i}")
+        )
+        stack_args.append(f"'{c}', __lo{i}, __hi{i}, __md{i}")
+    melted = df.select(*proj).select(
+        *keys,
+        F.expr(
+            f"stack({len(cs)}, {', '.join(stack_args)}) "
+            "AS (column, __lo, __hi, __md)"
+        ),
+    )
+    return melted.groupBy(*keys, "column").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(__lo)").alias("xor_lo"),
+        F.expr("bit_xor(__hi)").alias("xor_hi"),
+        F.sum("__md").alias("sum_mod"),
+    )

@@ -438,3 +438,60 @@ def test_drift_from_sketches_fences(spark):
     empty = histogram_sketch(df.where("x > 1e9"), "x", H_EDGES)
     [r] = drift_from_sketches(empty, base, H_EDGES).collect()
     assert (r["n"], r["ks"], r["w1"]) == (0, 0.0, 0.0)
+
+
+# --------------------------------------------------------- column_checksums
+
+
+def test_column_checksums_localizes_the_changed_column(spark):
+    from pandera_forge_spark.sketches import checksum_diff, column_checksums
+
+    old = _rowset(spark, [("g", i, f"v{i}") for i in range(12)])
+    # mutate ONE value in column s; k untouched
+    new = _rowset(
+        spark,
+        [("g", i, "MUT" if i == 5 else f"v{i}") for i in range(12)],
+    )
+    oc = column_checksums(old, ["k", "s"], ["k"], group_cols=["grp"])
+    nc = column_checksums(new, ["k", "s"], ["k"], group_cols=["grp"])
+    # checksum_diff consumes the output unchanged, keyed by column
+    work = checksum_diff(oc, nc, ["grp", "column"]).collect()
+    assert [(r["grp"], r["column"], r["status"]) for r in work] == [
+        ("g", "s", "changed")
+    ]
+
+
+def test_column_checksums_sees_values_moving_between_rows(spark):
+    from pandera_forge_spark.sketches import column_checksums
+
+    old = _rowset(spark, [("g", 1, "a"), ("g", 2, "b")])
+    swapped = _rowset(spark, [("g", 1, "b"), ("g", 2, "a")])
+    key = lambda frame: {
+        r["column"]: (r["xor_lo"], r["xor_hi"], r["sum_mod"])
+        for r in column_checksums(
+            frame, ["s"], ["k"], group_cols=["grp"]
+        ).collect()
+    }
+    # same multiset of values, different row assignment — must differ
+    assert key(old)["s"] != key(swapped)["s"]
+
+
+def test_column_checksums_contracts(spark):
+    from pandera_forge_spark.sketches import column_checksums
+
+    df = _rowset(spark, [("g", 1, "x")])
+    with pytest.raises(ValueError, match="cols must"):
+        column_checksums(df, [], ["k"])
+    with pytest.raises(ValueError, match="id_cols"):
+        column_checksums(df, ["s"], [])
+    with pytest.raises(ValueError, match="missing"):
+        column_checksums(df, ["nope"], ["k"])
+    with pytest.raises(ValueError, match="engine-dependent"):
+        column_checksums(
+            df.withColumn("d", F.lit(1.5)), ["d"], ["k"]
+        )
+    with pytest.raises(ValueError, match="melt name"):
+        column_checksums(
+            df.withColumnRenamed("grp", "column"), ["s"], ["k"],
+            group_cols=["column"],
+        )
