@@ -9202,6 +9202,65 @@ ORDER BY o.o_orderpriority, o.col
 """
 
 
+def q_unit_shift_events(spark, sf_dir):
+    """Unit-mixup census (profiler.unit_shift_census): the 'view' feed
+    is planted to report value in milliseconds (x1000) — its dominant
+    decade jumps 3+ orders past the table's and flags unit_suspect;
+    the other feeds do not. Decades are string-length integer algebra
+    (no log()); elections tie-break to the smaller decade; the oracle
+    replays census + both elections with ROW_NUMBER."""
+    from pandera_forge_spark.profiler import unit_shift_census
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(
+            F.col("event_type") == "view", F.col("value") * 1000
+        ).otherwise(F.col("value")),
+    )
+    out = unit_shift_census(ev, "value", ["event_type"], shift_threshold=3)
+    return out.orderBy("event_type")
+
+
+SQL_UNIT_SHIFT_EVENTS = """
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN event_type = 'view' THEN value * 1000
+              ELSE value END AS v
+  FROM events
+),
+dec AS (
+  SELECT event_type,
+         CASE WHEN abs(CAST(v AS DOUBLE)) < 1.0 THEN -1
+              ELSE LENGTH(CAST(CAST(FLOOR(abs(CAST(v AS DOUBLE)))
+                   AS BIGINT) AS VARCHAR)) - 1 END AS d
+  FROM ev WHERE v IS NOT NULL
+),
+census AS (
+  SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM dec GROUP BY 1, 2
+),
+grp AS (
+  SELECT event_type, d, cnt,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, d ASC) AS rk,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n_rows
+  FROM census
+),
+tbl AS (
+  SELECT d AS table_decade,
+         ROW_NUMBER() OVER (ORDER BY SUM(cnt) DESC, d ASC) AS rk
+  FROM census GROUP BY d
+)
+SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(d AS INTEGER) AS dominant_decade, cnt AS dominant_n,
+       CAST(table_decade AS INTEGER) AS table_decade,
+       abs(d - table_decade) >= 3 AS unit_suspect
+FROM grp, tbl
+WHERE grp.rk = 1 AND tbl.rk = 1 AND n_rows >= 20
+ORDER BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -9964,6 +10023,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # localization + row-swap-visibility pytests, strict sweep
         # green at BOTH SFs ----------------------------------------------------
         "column_checksum_diff": q_column_checksum_diff,
+        # unit_shift_events: this-session tail row; the (group, value-
+        # class) census + broadcast table-election is the shape_census/
+        # ts_hygiene discipline (both r5 tail rows with their own green
+        # sweeps) and the min_by struct election majority_label's — the
+        # new part is the exact string-length decade; ms-feed
+        # differential + boundary/tie + fence pytests, strict sweep
+        # green at BOTH SFs ----------------------------------------------------
+        "unit_shift_events": q_unit_shift_events,
     }
 
 
@@ -10173,4 +10240,5 @@ def oracle_sql() -> dict[str, str]:
         "volume_anomaly_days": SQL_VOLUME_ANOMALY_DAYS,
         "blocking_quality_names": SQL_BLOCKING_QUALITY_NAMES,
         "column_checksum_diff": SQL_COLUMN_CHECKSUM_DIFF,
+        "unit_shift_events": SQL_UNIT_SHIFT_EVENTS,
     }

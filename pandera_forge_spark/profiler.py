@@ -1893,3 +1893,121 @@ def script_mixing_report(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return wide.select(F.explode(F.array(*structs)).alias("__r")).select(
         "__r.*"
     )
+
+
+def unit_shift_census(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    shift_threshold: int = 3,
+    min_rows: int = 20,
+) -> DataFrame:
+    """Unit-mixup detector: does one source report the SAME quantity
+    in different units? A feed that switches from seconds to
+    milliseconds (or dollars to cents) passes every range check wide
+    enough to hold both and poisons every aggregate — the classic
+    silent x1000. Distribution drift sees "something moved"; this
+    census answers the specific question with the specific evidence:
+    each group's dominant DECADE (integer log10 of |value|) against
+    the whole table's, flagged when they differ by
+    ``shift_threshold``+ orders of magnitude.
+
+    The decade is computed EXACTLY — no log(): |v| >= 1 maps to
+    ``length(string(floor(|v|))) - 1`` (pure integer/string algebra,
+    engine-identical); |v| < 1 (including 0) buckets to decade -1
+    (sub-unit values share one bucket: a 10^-3 shift DOWN still
+    surfaces because the dominant decade lands at -1 while the table
+    sits at 2). Values beyond int64 raise IN-BAND rather than wrap.
+
+    Output per group: n_rows, ``dominant_decade``, ``dominant_n``
+    (exact longs; ties break to the SMALLER decade via min_by on
+    (-count, decade) struct order), ``table_decade``, and
+    ``unit_suspect``. Groups under ``min_rows`` emit no verdict.
+
+    Scale shape: one (group, decade) count groupBy — map-side
+    partial, O(groups x ~20) rows — then a per-group min_by election
+    and a 1-row broadcast of the table's own election. No window over
+    raw rows, no UDF, no second scan (the table election reuses the
+    same census frame)."""
+    keys = list(group_cols)
+    if not keys:
+        raise ValueError("unit_shift_census: group_cols must be non-empty")
+    if int(shift_threshold) < 1:
+        raise ValueError(
+            f"unit_shift_census: shift_threshold must be >= 1, got {shift_threshold}"
+        )
+    missing = [c for c in keys + [value_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"unit_shift_census: frame lacks columns {missing}")
+    reserved = ["__dec", "__n", "__cnt"]
+    clash = [c for c in reserved if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"unit_shift_census: input columns {clash} collide with "
+            "internal working names — rename them"
+        )
+    v = F.abs(F.col(value_col).cast("double"))
+    too_big = v >= 9.2233720368547758e18
+    decade = (
+        F.when(v.isNull(), F.lit(None).cast("int"))
+        .when(
+            F.isnan(v) | too_big,
+            F.raise_error(
+                F.concat(
+                    F.lit("unit_shift_census: NaN or beyond-int64 value in "),
+                    F.lit(value_col),
+                    F.lit(" (value "),
+                    F.col(value_col).cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("int"),
+        )
+        .when(v < 1.0, F.lit(-1))
+        .otherwise(
+            (
+                F.length(F.floor(v).cast("long").cast("string")) - F.lit(1)
+            ).cast("int")
+        )
+    )
+    census = (
+        df.withColumn("__dec", decade)
+        .where(F.col("__dec").isNotNull())
+        .groupBy(*keys, "__dec")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    # election: most-frequent decade, ties to the smaller decade
+    elect = F.min_by(
+        F.col("__dec"), F.struct((-F.col("__cnt")).alias("a"), F.col("__dec").alias("b"))
+    )
+    per_group = census.groupBy(*keys).agg(
+        F.sum("__cnt").alias("n_rows"),
+        elect.alias("dominant_decade"),
+        F.max_by(F.col("__cnt"), F.struct((F.col("__cnt")).alias("a"), (-F.col("__dec")).alias("b"))).alias(
+            "dominant_n"
+        ),
+    )
+    table = F.broadcast(
+        census.groupBy("__dec")
+        .agg(F.sum("__cnt").alias("__n"))
+        .agg(
+            F.min_by(
+                F.col("__dec"),
+                F.struct((-F.col("__n")).alias("a"), F.col("__dec").alias("b")),
+            ).alias("table_decade")
+        )
+    )
+    return (
+        per_group.where(F.col("n_rows") >= int(min_rows))
+        .crossJoin(table)
+        .select(
+            *keys,
+            "n_rows",
+            "dominant_decade",
+            "dominant_n",
+            "table_decade",
+            (
+                F.abs(F.col("dominant_decade") - F.col("table_decade"))
+                >= F.lit(int(shift_threshold))
+            ).alias("unit_suspect"),
+        )
+    )

@@ -368,3 +368,83 @@ def test_benford_plan_udf_free(spark):
 
     df = spark.createDataFrame([(1.5,)], "x double")
     assert not has_python_udf(benford_profile(df, ["x"]))
+
+
+# -------------------------------------------------------- unit_shift_census
+
+
+def test_unit_shift_census_flags_the_ms_feed(spark):
+    from pandera_forge_spark.profiler import unit_shift_census
+
+    rows = []
+    # three feeds report latency in seconds (~ decade 1..2)
+    for src in ("a", "b", "c"):
+        for i in range(40):
+            rows.append((src, float(20 + (i % 60))))
+    # feed 'd' reports the same quantity in MILLISECONDS
+    for i in range(40):
+        rows.append(("d", float((20 + (i % 60)) * 1000)))
+    df = spark.createDataFrame(rows, "src string, v double")
+    got = {r["src"]: r for r in unit_shift_census(df, "v", ["src"]).collect()}
+    assert got["d"]["unit_suspect"] and got["d"]["dominant_decade"] == 4
+    for src in ("a", "b", "c"):
+        assert not got[src]["unit_suspect"]
+        assert got[src]["dominant_decade"] == 1
+        assert got[src]["table_decade"] == 1
+    assert got["d"]["dominant_n"] == 40
+
+
+def test_unit_shift_census_exact_decades_and_ties(spark):
+    from pandera_forge_spark.profiler import unit_shift_census
+
+    # decade boundaries are string-exact, not log-float: 9.99 -> 0,
+    # 10.0 -> 1, 0.5/0.0 -> -1; a 10-10 tie elects the SMALLER decade
+    rows = (
+        [("g", 9.99)] * 10
+        + [("g", 10.0)] * 10
+        + [("g", 0.5), ("g", 0.0)]
+    )
+    df = spark.createDataFrame(rows, "src string, v double")
+    r = unit_shift_census(df, "v", ["src"], min_rows=5).first()
+    assert r["dominant_decade"] == 0 and r["dominant_n"] == 10
+    assert r["n_rows"] == 22
+
+
+def test_unit_shift_census_fences(spark):
+    import pytest
+
+    from pandera_forge_spark.profiler import unit_shift_census
+
+    nan = spark.createDataFrame(
+        [("g", float("nan"))] * 25, "src string, v double"
+    )
+    with pytest.raises(Exception, match="NaN or beyond"):
+        unit_shift_census(nan, "v", ["src"]).collect()
+    huge = spark.createDataFrame(
+        [("g", 1e19)] * 25, "src string, v double"
+    )
+    with pytest.raises(Exception, match="NaN or beyond"):
+        unit_shift_census(huge, "v", ["src"]).collect()
+    ok = spark.createDataFrame([("g", 1.0)], "src string, v double")
+    with pytest.raises(ValueError, match="group_cols"):
+        unit_shift_census(ok, "v", [])
+    with pytest.raises(ValueError, match="shift_threshold"):
+        unit_shift_census(ok, "v", ["src"], shift_threshold=0)
+    with pytest.raises(ValueError, match="lacks"):
+        unit_shift_census(ok, "nope", ["src"])
+    # min_rows gate
+    assert unit_shift_census(ok, "v", ["src"], min_rows=5).count() == 0
+
+
+def test_unit_shift_census_plan(spark):
+    from pandera_forge_spark.plans.inspect import executed_plan, has_python_udf
+    from pandera_forge_spark.profiler import unit_shift_census
+
+    df = spark.createDataFrame(
+        [("s%d" % (i % 3), float(i + 1)) for i in range(90)],
+        "src string, v double",
+    )
+    out = unit_shift_census(df, "v", ["src"])
+    assert not has_python_udf(out)
+    plan = executed_plan(out)
+    assert "Window" not in plan, plan
