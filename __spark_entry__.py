@@ -9261,6 +9261,59 @@ ORDER BY event_type
 """
 
 
+def q_last_digit_events(spark, sf_dir):
+    """Last-digit uniformity census (profiler.last_digit_census):
+    'purchase' values are planted rounded to tens — a fabricated/
+    re-priced feed whose last digit is always 0 — and must reject
+    uniformity; the organic feeds ride the data. The oracle replays
+    digit extraction, the squared-count statistic, the ROW_NUMBER
+    digit election and the exact cross-multiplied verdict."""
+    from pandera_forge_spark.profiler import last_digit_census
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") / 10) * 10,
+        ).otherwise(F.col("value")),
+    )
+    out = last_digit_census(ev, "value", ["event_type"])
+    return out.orderBy("event_type")
+
+
+SQL_LAST_DIGIT_EVENTS = """
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN event_type = 'purchase'
+              THEN FLOOR(value / 10) * 10 ELSE value END AS v
+  FROM events
+),
+dig AS (
+  SELECT event_type,
+         CAST(FLOOR(abs(CAST(v AS DOUBLE)) * 1.0) AS BIGINT) % 10 AS d
+  FROM ev WHERE v IS NOT NULL
+),
+census AS (
+  SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM dig GROUP BY 1, 2
+),
+grp AS (
+  SELECT event_type, d, cnt,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, d ASC) AS rk,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(SUM(cnt * cnt) OVER (PARTITION BY event_type) AS BIGINT) AS ss,
+         CAST(MAX(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS top_n
+  FROM census
+)
+SELECT event_type, n AS n_rows, ss AS sum_sq,
+       CAST(d AS INTEGER) AS top_digit, top_n AS top_digit_n,
+       (10 * ss - n * n) * 1000 > 16919 * n AS uniform_rejected
+FROM grp WHERE rk = 1 AND n >= 50
+ORDER BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -10031,6 +10084,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # differential + boundary/tie + fence pytests, strict sweep
         # green at BOTH SFs ----------------------------------------------------
         "unit_shift_events": q_unit_shift_events,
+        # last_digit_events: this-session tail row; the (group, digit)
+        # census + min_by election is unit_shift_events' shape (directly
+        # above) and the exact cross-multiplied chi-square verdict
+        # violation_slices' discipline — the new part is the uniformity
+        # statistic; fabricated-vs-organic replay + scale/tie + fence
+        # pytests, strict sweep green at BOTH SFs ------------------------------
+        "last_digit_events": q_last_digit_events,
     }
 
 
@@ -10241,4 +10301,5 @@ def oracle_sql() -> dict[str, str]:
         "blocking_quality_names": SQL_BLOCKING_QUALITY_NAMES,
         "column_checksum_diff": SQL_COLUMN_CHECKSUM_DIFF,
         "unit_shift_events": SQL_UNIT_SHIFT_EVENTS,
+        "last_digit_events": SQL_LAST_DIGIT_EVENTS,
     }

@@ -2011,3 +2011,115 @@ def unit_shift_census(
             ).alias("unit_suspect"),
         )
     )
+
+
+def last_digit_census(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    scale: int = 1,
+    chi2_millis: int = 16919,
+    min_rows: int = 50,
+) -> DataFrame:
+    """Last-digit uniformity — the OTHER end of the Benford screen:
+    first digits of organic data follow Benford, LAST digits are
+    uniform. Hand-entered, rounded, or fabricated values flunk
+    uniformity loudly (humans over-pick 0 and 5; re-priced catalogs
+    end in 9; a sensor quantized to 0.25 cycles four digits), so a
+    group that rejects uniformity is a "these numbers were made, not
+    measured" lead the range checks can never produce.
+
+    The digit is ``floor(|v| * scale) % 10`` (``scale=100`` audits
+    cents, 1 audits integer units) — exact IEEE multiply + floor +
+    integer mod. Pearson chi-square against uniform(10) reduces to
+    pure integers: chi2 = (10*S - n^2)/n with S = sum of squared
+    digit counts, so the verdict ``(10*S - n^2) * 1000 >
+    chi2_millis * n`` is an exact cross-multiplication (DECIMAL(38)
+    products — no overflow past 10^12 rows, no IEEE anywhere).
+    Default threshold 16.919 = 95th percentile at 9 dof.
+
+    Output per group: ``n_rows`` and ``sum_sq`` (S) — the two exact
+    longs any replay recomputes the statistic from at ANY scale —
+    plus ``top_digit`` / ``top_digit_n`` (ties to the smaller digit)
+    and ``uniform_rejected``; the 10*S - n^2 cross products live only
+    inside the DECIMAL comparison, so no output column can wrap.
+    Groups under ``min_rows`` emit nothing (chi-square needs expected
+    counts >= 5).
+
+    Scale shape: ONE (group, digit) count groupBy — map-side partial,
+    10 rows per group — then one tiny per-group fold. No window, no
+    join, no UDF."""
+    keys = list(group_cols)
+    if not keys:
+        raise ValueError("last_digit_census: group_cols must be non-empty")
+    if int(scale) < 1:
+        raise ValueError(f"last_digit_census: scale must be >= 1, got {scale}")
+    if int(chi2_millis) < 1:
+        raise ValueError(
+            f"last_digit_census: chi2_millis must be >= 1, got {chi2_millis}"
+        )
+    if int(min_rows) < 10:
+        raise ValueError(
+            f"last_digit_census: min_rows must be >= 10, got {min_rows}"
+        )
+    missing = [c for c in keys + [value_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"last_digit_census: frame lacks columns {missing}")
+    clash = [c for c in ["__dig", "__cnt"] if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"last_digit_census: input columns {clash} collide with "
+            "internal working names — rename them"
+        )
+    v = F.abs(F.col(value_col).cast("double")) * F.lit(float(int(scale)))
+    too_big = v >= 9.2233720368547758e18
+    digit = (
+        F.when(F.col(value_col).isNull(), F.lit(None).cast("int"))
+        .when(
+            F.isnan(v) | too_big,
+            F.raise_error(
+                F.concat(
+                    F.lit("last_digit_census: NaN or beyond-int64 value in "),
+                    F.lit(value_col),
+                    F.lit(" (value "),
+                    F.col(value_col).cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("int"),
+        )
+        .otherwise(F.pmod(F.floor(v).cast("long"), F.lit(10)).cast("int"))
+    )
+    census = (
+        df.withColumn("__dig", digit)
+        .where(F.col("__dig").isNotNull())
+        .groupBy(*keys, "__dig")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    dec = "decimal(19,0)"
+    per_group = census.groupBy(*keys).agg(
+        F.sum("__cnt").alias("n_rows"),
+        F.sum(F.col("__cnt") * F.col("__cnt")).alias("sum_sq"),
+        F.min_by(
+            F.col("__dig"),
+            F.struct((-F.col("__cnt")).alias("a"), F.col("__dig").alias("b")),
+        ).alias("top_digit"),
+        F.max("__cnt").alias("top_digit_n"),
+    )
+    chi2_num = (
+        F.lit(10).cast(dec) * F.col("sum_sq").cast(dec)
+        - F.col("n_rows").cast(dec) * F.col("n_rows").cast(dec)
+    )
+    rejected = chi2_num * F.lit(1000).cast(dec) > F.lit(
+        int(chi2_millis)
+    ).cast(dec) * F.col("n_rows").cast(dec)
+    return (
+        per_group.where(F.col("n_rows") >= int(min_rows))
+        .select(
+            *keys,
+            "n_rows",
+            "sum_sq",
+            "top_digit",
+            "top_digit_n",
+            rejected.alias("uniform_rejected"),
+        )
+    )

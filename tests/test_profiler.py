@@ -448,3 +448,78 @@ def test_unit_shift_census_plan(spark):
     assert not has_python_udf(out)
     plan = executed_plan(out)
     assert "Window" not in plan, plan
+
+
+# -------------------------------------------------------- last_digit_census
+
+
+def test_last_digit_census_fabricated_vs_organic(spark):
+    import random
+
+    from pandera_forge_spark.profiler import last_digit_census
+
+    rng = random.Random(5)
+    rows = []
+    # organic: last digits uniform
+    for _ in range(600):
+        rows.append(("organic", float(rng.randrange(1, 100000))))
+    # fabricated: a human picked round numbers — 0 and 5 dominate
+    for _ in range(600):
+        rows.append(("priced", float(rng.randrange(1, 10000) * 10 + rng.choice([0, 0, 0, 5, 5, 9]))))
+    df = spark.createDataFrame(rows, "src string, v double")
+    got = {r["src"]: r for r in last_digit_census(df, "v", ["src"]).collect()}
+    assert got["priced"]["uniform_rejected"]
+    assert got["priced"]["top_digit"] == 0
+    assert not got["organic"]["uniform_rejected"]
+    # exact replay of the integer statistic
+    from collections import Counter
+
+    for src in ("organic", "priced"):
+        cnt = Counter(int(abs(v)) % 10 for s, v in rows if s == src)
+        n = sum(cnt.values())
+        ss = sum(c * c for c in cnt.values())
+        assert got[src]["n_rows"] == n and got[src]["sum_sq"] == ss
+        assert got[src]["uniform_rejected"] == (
+            (10 * ss - n * n) * 1000 > 16919 * n
+        )
+
+
+def test_last_digit_census_scale_and_fences(spark):
+    import pytest
+
+    from pandera_forge_spark.profiler import last_digit_census
+
+    # scale=100 audits cents: 12.34 -> digit 4; 12.30 -> 0
+    rows = [("g", 12.34)] * 30 + [("g", 56.78)] * 30
+    df = spark.createDataFrame(rows, "src string, v double")
+    r = last_digit_census(df, "v", ["src"], scale=100, min_rows=10).first()
+    assert r["n_rows"] == 60 and r["sum_sq"] == 30 * 30 * 2
+    assert r["top_digit"] == 4  # tie 30-30 between digits 4 and 8
+    ok = spark.createDataFrame([("g", 1.0)], "src string, v double")
+    with pytest.raises(ValueError, match="group_cols"):
+        last_digit_census(ok, "v", [])
+    with pytest.raises(ValueError, match="scale"):
+        last_digit_census(ok, "v", ["src"], scale=0)
+    with pytest.raises(ValueError, match="min_rows"):
+        last_digit_census(ok, "v", ["src"], min_rows=5)
+    with pytest.raises(ValueError, match="lacks"):
+        last_digit_census(ok, "nope", ["src"])
+    nan = spark.createDataFrame([("g", float("nan"))] * 60, "src string, v double")
+    with pytest.raises(Exception, match="NaN or beyond"):
+        last_digit_census(nan, "v", ["src"]).collect()
+    # min_rows gate drops small groups silently
+    assert last_digit_census(ok, "v", ["src"], min_rows=10).count() == 0
+
+
+def test_last_digit_census_plan(spark):
+    from pandera_forge_spark.plans.inspect import executed_plan, has_python_udf
+    from pandera_forge_spark.profiler import last_digit_census
+
+    df = spark.createDataFrame(
+        [("s%d" % (i % 2), float(i)) for i in range(200)],
+        "src string, v double",
+    )
+    out = last_digit_census(df, "v", ["src"])
+    assert not has_python_udf(out)
+    plan = executed_plan(out)
+    assert "Window" not in plan and "Join" not in plan, plan
