@@ -9314,6 +9314,64 @@ ORDER BY event_type
 """
 
 
+def q_silent_users(spark, sf_dir):
+    """Went-dark detector (temporal.silent_keys): every %37 user's
+    events vanish from the final two day-buckets — the partial-ingest
+    shape volume_anomalies cannot see (no row, no bucket to score).
+    Those users flag with their exact silence length; the retired/
+    one-off exclusions ride the operator's bounds. The oracle replays
+    the deletion, the bucket algebra and every verdict bound."""
+    from pandera_forge_spark.operators.temporal import silent_keys
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    day = F.floor(
+        F.col("ts").cast("timestamp_ltz").cast("double") / F.lit(86400.0)
+    ).cast("long")
+    ref = F.broadcast(ev.agg(F.max(day).alias("__maxd")))
+    planted = (
+        ev.crossJoin(ref)
+        .where(
+            ~(
+                (F.col("user_id") % 37 == 0)
+                & (day >= F.col("__maxd") - 1)
+            )
+        )
+        .drop("__maxd")
+    )
+    out = silent_keys(
+        planted, ["user_id"], "ts", lookback_buckets=28, min_events=3
+    )
+    return out.orderBy("user_id")
+
+
+SQL_SILENT_USERS = """
+WITH ev AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts) / 86400.0) AS BIGINT) AS day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+mx AS (SELECT MAX(day) AS maxd FROM ev),
+planted AS (
+  SELECT user_id, day FROM ev, mx
+  WHERE NOT (user_id % 37 = 0 AND day >= maxd - 1)
+),
+ref AS (SELECT MAX(day) AS r FROM planted),
+per_key AS (
+  SELECT user_id, MAX(day) AS last_b,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT day) AS BIGINT) AS n_active_buckets
+  FROM planted GROUP BY 1
+)
+SELECT user_id, last_b * 86400 AS last_seen_bucket_start,
+       r - last_b AS buckets_silent, n_events, n_active_buckets
+FROM per_key, ref
+WHERE r - last_b >= 1 AND r - last_b <= 28
+  AND n_events >= 3 AND n_active_buckets >= 2
+ORDER BY user_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -10091,6 +10149,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # statistic; fabricated-vs-organic replay + scale/tie + fence
         # pytests, strict sweep green at BOTH SFs ------------------------------
         "last_digit_events": q_last_digit_events,
+        # silent_users: this-session tail row; the 1-row max broadcast
+        # + single key groupBy is decayed_counts' shape (a few
+        # positions up, green sweep) — the new part is the
+        # silence-window verdict bounds; went-dark/retired/one-off
+        # differential + edge-bound pytests, strict sweep green at
+        # BOTH SFs --------------------------------------------------------------
+        "silent_users": q_silent_users,
     }
 
 
@@ -10302,4 +10367,5 @@ def oracle_sql() -> dict[str, str]:
         "column_checksum_diff": SQL_COLUMN_CHECKSUM_DIFF,
         "unit_shift_events": SQL_UNIT_SHIFT_EVENTS,
         "last_digit_events": SQL_LAST_DIGIT_EVENTS,
+        "silent_users": SQL_SILENT_USERS,
     }

@@ -2676,3 +2676,88 @@ def decayed_counts(
             / F.lit(float(1 << h))
         ).alias("decayed_now"),
     )
+
+
+def silent_keys(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    silence_buckets: int = 1,
+    lookback_buckets: int = 28,
+    bucket_seconds: int = 86400,
+    min_events: int = 3,
+) -> DataFrame:
+    """Keys that WENT DARK: recently active, now absent — the absence
+    half of the arrival-volume story (``volume_anomalies`` scores the
+    buckets that arrived; a key with NO row today produces no bucket
+    to score, and a per-key gap detector fires only once the key
+    eventually returns). "Which of yesterday's 40k active feeds sent
+    nothing today" is a one-aggregate question and THE on-call page
+    that matters for ingest.
+
+    Mechanics: bucket = floor(epoch/bucket_seconds); the reference
+    bucket is the TABLE's max (1-row broadcast, replayable); one
+    groupBy over the keys keeps each key's last active bucket, total
+    events and distinct active buckets. A key is silent iff
+    ``silence_buckets <= ref - last_bucket <= lookback_buckets`` (the
+    upper bound separates "went dark" from "retired long ago" — a key
+    dead for a year is churn, not an incident) and it has
+    ``min_events``+ events and 2+ active buckets (a key seen in ONE
+    bucket ever has no established cadence to violate).
+
+    Output per silent key: key cols, ``last_seen_bucket_start``
+    (epoch seconds, long), ``buckets_silent`` (exact long),
+    ``n_events``, ``n_active_buckets``. NULL timestamps drop; NULL
+    keys group like any value (a silent NULL-keyed feed is still a
+    silent feed).
+
+    Scale shape: ONE map-side-partial groupBy on the keys (count/max/
+    distinct-bucket), a 1-row broadcast of the global max, one filter.
+    O(keys) output, no window, no UDF."""
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("silent_keys: key_cols must be non-empty")
+    if int(silence_buckets) < 1:
+        raise ValueError(
+            f"silent_keys: silence_buckets must be >= 1, got {silence_buckets}"
+        )
+    if int(lookback_buckets) < int(silence_buckets):
+        raise ValueError(
+            "silent_keys: lookback_buckets must be >= silence_buckets, got "
+            f"{lookback_buckets} < {silence_buckets}"
+        )
+    if int(bucket_seconds) < 1:
+        raise ValueError(
+            f"silent_keys: bucket_seconds must be >= 1, got {bucket_seconds}"
+        )
+    missing = [c for c in keys + [ts_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"silent_keys: frame lacks columns {missing}")
+    _check_reserved(df, ["__b", "__ref"], "silent_keys")
+    bs = int(bucket_seconds)
+    base = df.where(F.col(ts_col).isNotNull()).withColumn(
+        "__b", F.floor(_seconds(df, ts_col) / F.lit(float(bs))).cast("long")
+    )
+    ref = F.broadcast(base.agg(F.max("__b").alias("__ref")))
+    per_key = base.groupBy(*keys).agg(
+        F.max("__b").alias("__last"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("__b").alias("n_active_buckets"),
+    )
+    gap = F.col("__ref") - F.col("__last")
+    return (
+        per_key.crossJoin(ref)
+        .where(
+            (gap >= int(silence_buckets))
+            & (gap <= int(lookback_buckets))
+            & (F.col("n_events") >= int(min_events))
+            & (F.col("n_active_buckets") >= 2)
+        )
+        .select(
+            *keys,
+            (F.col("__last") * F.lit(bs)).alias("last_seen_bucket_start"),
+            gap.alias("buckets_silent"),
+            "n_events",
+            "n_active_buckets",
+        )
+    )

@@ -866,3 +866,74 @@ def test_decayed_counts_contracts_and_plan(spark):
     assert not has_python_udf(out)
     plan = executed_plan(out)
     assert "BroadcastNestedLoopJoin" in plan and "Window" not in plan, plan
+
+
+# -------------------------------------------------------------- silent_keys
+
+
+def test_silent_keys_detects_went_dark(spark):
+    from datetime import datetime, timedelta
+
+    from pandera_forge_spark.operators.temporal import silent_keys
+
+    t0 = datetime(2026, 4, 1)
+    rows = []
+    # 'alive': active every day through the last
+    for d in range(10):
+        rows.append(("alive", t0 + timedelta(days=d)))
+    # 'dark': active days 0-6, silent 7-9 (3 buckets)
+    for d in range(7):
+        rows.append(("dark", t0 + timedelta(days=d)))
+    # 'retired': last active 40 days before the end -> beyond lookback
+    for d in range(5):
+        rows.append(("retired", t0 - timedelta(days=40) + timedelta(days=d)))
+    # 'oneoff': a single event ever -> no cadence, not reported
+    rows.append(("oneoff", t0 + timedelta(days=2)))
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {r["k"]: r for r in silent_keys(df, ["k"], "ts", lookback_buckets=28).collect()}
+    assert set(got) == {"dark"}
+    r = got["dark"]
+    assert r["buckets_silent"] == 3 and r["n_events"] == 7
+    assert r["last_seen_bucket_start"] == int(
+        (t0 + timedelta(days=6)).timestamp()
+    ) // 86400 * 86400
+    assert r["n_active_buckets"] == 7
+
+
+def test_silent_keys_bounds_and_contracts(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.temporal import silent_keys
+
+    # numeric ts path; key silent exactly at the lookback edge stays in
+    rows = (
+        [("edge", 0.0), ("edge", 86400.0)]
+        + [("now", 86400.0 * d) for d in range(29)]
+        + [("edge", 86400.0 * 2)]
+    )
+    df = spark.createDataFrame(rows, "k string, ts double")
+    got = {r["k"]: r for r in silent_keys(df, ["k"], "ts", min_events=2).collect()}
+    assert set(got) == {"edge"}
+    assert got["edge"]["buckets_silent"] == 26
+    with pytest.raises(ValueError, match="key_cols"):
+        silent_keys(df, [], "ts")
+    with pytest.raises(ValueError, match="silence_buckets"):
+        silent_keys(df, ["k"], "ts", silence_buckets=0)
+    with pytest.raises(ValueError, match="lookback"):
+        silent_keys(df, ["k"], "ts", silence_buckets=5, lookback_buckets=4)
+    with pytest.raises(ValueError, match="lacks"):
+        silent_keys(df, ["nope"], "ts")
+
+
+def test_silent_keys_plan(spark):
+    from pandera_forge_spark.operators.temporal import silent_keys
+    from pandera_forge_spark.plans.inspect import executed_plan, has_python_udf
+
+    df = spark.createDataFrame(
+        [("k%d" % (i % 5), 86400.0 * (i % 9)) for i in range(100)],
+        "k string, ts double",
+    )
+    out = silent_keys(df, ["k"], "ts")
+    assert not has_python_udf(out)
+    plan = executed_plan(out)
+    assert "BroadcastNestedLoopJoin" in plan and "Window" not in plan, plan
