@@ -9372,6 +9372,77 @@ ORDER BY user_id
 """
 
 
+def q_weighted_labels(spark, sf_dir):
+    """Reliability-weighted label election (labels.
+    weighted_majority_label): a synthetic annotation task where the
+    'error' feed is a constant-answer spammer and the other four
+    annotators are right except on every 11th event — the one exact
+    Dawid-Skene step downweights the spammer by its collapsed
+    agreement count and flips the items it had dragged. All-BIGINT
+    vote algebra; the oracle replays both election rounds with
+    ROW_NUMBER."""
+    from pandera_forge_spark.operators.labels import weighted_majority_label
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+    )
+    item = F.col("user_id") % 97
+    truth = F.concat(F.lit("l"), (item % 3).cast("string"))
+    wrong = F.concat(F.lit("l"), ((item + 1) % 3).cast("string"))
+    votes = ev.select(
+        item.alias("item"),
+        F.col("event_type").alias("ann"),
+        F.when(F.col("event_type") == "error", F.lit("l0"))
+        .when(F.col("event_id") % 11 == 0, wrong)
+        .otherwise(truth)
+        .alias("lab"),
+    )
+    out = weighted_majority_label(votes, "item", "ann", "lab")
+    return out.orderBy("item")
+
+
+SQL_WEIGHTED_LABELS = """
+WITH votes AS (
+  SELECT user_id % 97 AS item, event_type AS ann,
+         CASE WHEN event_type = 'error' THEN 'l0'
+              WHEN event_id % 11 = 0
+                THEN 'l' || CAST((user_id % 97 + 1) % 3 AS VARCHAR)
+              ELSE 'l' || CAST(user_id % 97 % 3 AS VARCHAR) END AS lab
+  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+),
+c1 AS (SELECT item, lab, COUNT(*) AS cnt FROM votes GROUP BY 1, 2),
+maj AS (
+  SELECT item, lab AS mj FROM (
+    SELECT item, lab,
+           ROW_NUMBER() OVER (PARTITION BY item
+                              ORDER BY cnt DESC, lab ASC) AS rk
+    FROM c1
+  ) WHERE rk = 1
+),
+rel AS (
+  SELECT ann,
+         CAST(SUM(CASE WHEN lab = mj THEN 1 ELSE 0 END) AS BIGINT) AS w
+  FROM votes JOIN maj USING (item) GROUP BY 1
+),
+wv AS (
+  SELECT item, lab, CAST(SUM(w) AS BIGINT) AS wvv,
+         CAST(COUNT(*) AS BIGINT) AS nv
+  FROM votes JOIN rel USING (ann) GROUP BY 1, 2
+),
+win AS (
+  SELECT item, lab, wvv,
+         ROW_NUMBER() OVER (PARTITION BY item
+                            ORDER BY wvv DESC, lab ASC) AS rk,
+         CAST(SUM(wvv) OVER (PARTITION BY item) AS BIGINT) AS wt,
+         CAST(SUM(nv) OVER (PARTITION BY item) AS BIGINT) AS nvt
+  FROM wv
+)
+SELECT win.item, lab AS label, wvv AS weight, wt AS weight_total,
+       nvt AS n_voters, lab != mj AS changed
+FROM win JOIN maj USING (item) WHERE rk = 1 ORDER BY win.item
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -10156,6 +10227,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # differential + edge-bound pytests, strict sweep green at
         # BOTH SFs --------------------------------------------------------------
         "silent_users": q_silent_users,
+        # weighted_labels: this-session tail row; round 1 IS in-window
+        # label_majority_conflicts' majority_label election and the
+        # bounded-count joins the annotator_kappa discipline (both
+        # in-window) — the new part is the agreement-count weighting;
+        # spammer-flip differential + full python-replay pytests,
+        # strict sweep green at BOTH SFs ---------------------------------------
+        "weighted_labels": q_weighted_labels,
     }
 
 
@@ -10368,4 +10446,5 @@ def oracle_sql() -> dict[str, str]:
         "unit_shift_events": SQL_UNIT_SHIFT_EVENTS,
         "last_digit_events": SQL_LAST_DIGIT_EVENTS,
         "silent_users": SQL_SILENT_USERS,
+        "weighted_labels": SQL_WEIGHTED_LABELS,
     }

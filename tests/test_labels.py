@@ -871,3 +871,107 @@ def test_reliability_table_plan(spark):
     plan = executed_plan(out)
     # one aggregate pass: no window, no join anywhere in the plan
     assert "Window" not in plan and "Join" not in plan, plan
+
+
+# ------------------------------------------------- weighted_majority_label
+
+
+def test_weighted_majority_downweights_the_spammer(spark):
+    from pandera_forge_spark.operators.labels import weighted_majority_label
+
+    rows = []
+    # 10 calibration items: careful annotators a1/a2 agree, spammer
+    # always says "ok" and is wrong on all of them
+    for i in range(10):
+        rows += [
+            (f"cal{i}", "a1", "bad"),
+            (f"cal{i}", "a2", "bad"),
+            (f"cal{i}", "spam", "ok"),
+        ]
+    # disputed item: a1 says bad, spam says ok — unweighted is a 1-1
+    # tie (lexicographic picks 'bad' anyway), so use TWO spammers to
+    # make the unweighted majority actually WRONG
+    for i in range(10):
+        rows.append((f"cal{i}", "spam2", "ok"))
+    rows += [
+        ("disputed", "a1", "bad"),
+        ("disputed", "spam", "ok"),
+        ("disputed", "spam2", "ok"),
+    ]
+    df = spark.createDataFrame(rows, "item string, ann string, lab string")
+    got = {
+        r["item"]: r
+        for r in weighted_majority_label(df, "item", "ann", "lab").collect()
+    }
+    d = got["disputed"]
+    # unweighted majority on 'disputed' is ok (2-1); weighting flips it:
+    # a1's weight 10 vs the spammers' 1 each (their only agreement IS
+    # the disputed item's own round-1 majority)
+    assert d["label"] == "bad" and d["changed"]
+    assert d["weight"] == 10 and d["weight_total"] == 12
+    assert d["n_voters"] == 3
+    # calibration items keep their majority, unflipped
+    assert all(not got[f"cal{i}"]["changed"] for i in range(10))
+    assert all(got[f"cal{i}"]["label"] == "bad" for i in range(10))
+
+
+def test_weighted_majority_exact_python_replay(spark):
+    import random
+    from collections import Counter, defaultdict
+
+    from pandera_forge_spark.operators.labels import weighted_majority_label
+
+    rng = random.Random(13)
+    anns = [f"a{j}" for j in range(6)]
+    rows = []
+    for i in range(60):
+        truth = rng.choice(["x", "y", "z"])
+        for ann in anns:
+            wrong = rng.random() < (0.5 if ann == "a5" else 0.15)
+            lab = rng.choice([l for l in ("x", "y", "z") if l != truth]) if wrong else truth
+            rows.append((f"i{i}", ann, lab))
+    df = spark.createDataFrame(rows, "item string, ann string, lab string")
+    got = {
+        r["item"]: (r["label"], r["weight"], r["weight_total"])
+        for r in weighted_majority_label(df, "item", "ann", "lab").collect()
+    }
+
+    # python replay
+    by_item = defaultdict(list)
+    for it, ann, lab in rows:
+        by_item[it].append((ann, lab))
+    maj = {}
+    for it, vs in by_item.items():
+        c = Counter(l for _, l in vs)
+        maj[it] = min(c, key=lambda l: (-c[l], l))
+    w = Counter()
+    for it, vs in by_item.items():
+        for ann, lab in vs:
+            if lab == maj[it]:
+                w[ann] += 1
+    expect = {}
+    for it, vs in by_item.items():
+        wv = defaultdict(int)
+        for ann, lab in vs:
+            wv[lab] += w[ann]
+        win = min(wv, key=lambda l: (-wv[l], l))
+        expect[it] = (win, wv[win], sum(wv.values()))
+    assert got == expect
+
+
+def test_weighted_majority_contracts(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.labels import weighted_majority_label
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    df = spark.createDataFrame(
+        [("i", "a", "x")], "item string, ann string, lab string"
+    )
+    with pytest.raises(ValueError, match="lacks"):
+        weighted_majority_label(df, "nope", "ann", "lab")
+    with pytest.raises(ValueError, match="min_overlap"):
+        weighted_majority_label(df, "item", "ann", "lab", min_overlap=0)
+    assert not has_python_udf(
+        weighted_majority_label(df, "item", "ann", "lab")
+    )
