@@ -9443,6 +9443,49 @@ FROM win JOIN maj USING (item) WHERE rk = 1 ORDER BY win.item
 """
 
 
+def q_heavy_changers_users(spark, sf_dir):
+    """Count-delta movers (validator.heavy_changers): snapshot v1
+    drops every %41 user and doubles every %43 user — the exact
+    per-key count join ranks the movers by |delta| with a
+    deterministic key tie-break; users divisible by both cancel to
+    delta 0 and drop. Oracle replays the construction, the full-outer
+    count join and the ranked LIMIT."""
+    from pandera_forge_spark.validator import heavy_changers
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    ).select("user_id")
+    new = ev.where(F.col("user_id") % 41 != 0).unionByName(
+        ev.where(F.col("user_id") % 43 == 0)
+    )
+    return heavy_changers(ev, new, ["user_id"], k=25)
+
+
+SQL_HEAVY_CHANGERS_USERS = """
+WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+oldc AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_old FROM ev GROUP BY 1
+),
+newrows AS (
+  SELECT user_id FROM ev WHERE user_id % 41 != 0
+  UNION ALL
+  SELECT user_id FROM ev WHERE user_id % 43 = 0
+),
+newc AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM newrows GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+         COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+  FROM oldc o FULL OUTER JOIN newc n ON o.user_id = n.user_id
+)
+SELECT user_id, n_old, n_new, n_new - n_old AS delta
+FROM j WHERE abs(n_new - n_old) >= 1
+ORDER BY abs(n_new - n_old) DESC, user_id ASC LIMIT 25
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -10234,6 +10277,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # spammer-flip differential + full python-replay pytests,
         # strict sweep green at BOTH SFs ---------------------------------------
         "weighted_labels": q_weighted_labels,
+        # heavy_changers_users: this-session tail row; the count
+        # full-outer classification is checksum_diff's shape and the
+        # deterministic ranked LIMIT the two-phase top-k discipline
+        # (in-window anchors for both) — the new part is only the
+        # |delta| ranking; exact-ranking + tie-break + plan pytests,
+        # strict sweep green at BOTH SFs ---------------------------------------
+        "heavy_changers_users": q_heavy_changers_users,
     }
 
 
@@ -10447,4 +10497,5 @@ def oracle_sql() -> dict[str, str]:
         "last_digit_events": SQL_LAST_DIGIT_EVENTS,
         "silent_users": SQL_SILENT_USERS,
         "weighted_labels": SQL_WEIGHTED_LABELS,
+        "heavy_changers_users": SQL_HEAVY_CHANGERS_USERS,
     }

@@ -1505,3 +1505,59 @@ def volume_anomalies(
         c=c,
         min_points=min_days,
     ).withColumnRenamed("value", "n_rows")
+
+
+def heavy_changers(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    k: int = 100,
+    min_delta: int = 1,
+) -> DataFrame:
+    """The keys whose ROW COUNTS moved most between two snapshots —
+    the "what actually changed" ranking (the deltoids question from
+    the sketch literature, answered exactly here because counts per
+    key are one cheap aggregate each): a tenant that doubled, a
+    source that halved, a key that appeared from nowhere. Volume
+    anomalies watch one snapshot's timeline; this compares two
+    snapshots directly and names the movers.
+
+    Exact: count per key on each side (map-side partial), full-outer
+    join on the keys, ``delta = n_new - n_old`` with absent sides
+    counted 0, ranked by (|delta| DESC, keys ASC) — the tie-break
+    makes the top-k deterministic on any engine. Keys with
+    ``|delta| < min_delta`` are dropped before ranking.
+
+    Scale shape: two groupBys + one key-partitioned join, then a
+    global top-k (TakeOrderedAndProject — per-partition heaps, never
+    a full sort). Output: key cols, ``n_old``, ``n_new`` (exact
+    longs; 0 on absent sides), ``delta``."""
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("heavy_changers: key_cols must be non-empty")
+    if int(k) < 1:
+        raise ValueError(f"heavy_changers: k must be >= 1, got {k}")
+    if int(min_delta) < 1:
+        raise ValueError(
+            f"heavy_changers: min_delta must be >= 1, got {min_delta}"
+        )
+    for side, frame in (("old", old), ("new", new)):
+        missing = [c for c in keys if c not in frame.columns]
+        if missing:
+            raise ValueError(
+                f"heavy_changers: {side} frame lacks columns {missing}"
+            )
+    oc = old.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n_old"))
+    nc = new.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n_new"))
+    j = oc.join(nc, keys, "full_outer").select(
+        *keys,
+        F.coalesce(F.col("__n_old"), F.lit(0)).alias("n_old"),
+        F.coalesce(F.col("__n_new"), F.lit(0)).alias("n_new"),
+    )
+    delta = F.col("n_new") - F.col("n_old")
+    return (
+        j.select(*keys, "n_old", "n_new", delta.alias("delta"))
+        .where(F.abs(F.col("delta")) >= int(min_delta))
+        .orderBy(F.abs(F.col("delta")).desc(), *[F.col(c).asc() for c in keys])
+        .limit(int(k))
+    )

@@ -974,3 +974,62 @@ def test_volume_anomalies_contracts(spark):
         volume_anomalies(df, "ts", ["src"], bucket_seconds=0)
     with pytest.raises(ValueError, match="lacks"):
         volume_anomalies(df, "nope", ["src"])
+
+
+# --------------------------------------------------------- heavy_changers
+
+
+def test_heavy_changers_ranks_movers_exactly(spark):
+    from pandera_forge_spark.validator import heavy_changers
+
+    old = spark.createDataFrame(
+        [("a",)] * 100 + [("b",)] * 50 + [("gone",)] * 30 + [("flat",)] * 7,
+        "k string",
+    )
+    new = spark.createDataFrame(
+        [("a",)] * 40 + [("b",)] * 55 + [("born",)] * 20 + [("flat",)] * 7,
+        "k string",
+    )
+    got = heavy_changers(old, new, ["k"], k=10).collect()
+    assert [(r["k"], r["n_old"], r["n_new"], r["delta"]) for r in got] == [
+        ("a", 100, 40, -60),
+        ("gone", 30, 0, -30),
+        ("born", 0, 20, 20),
+        ("b", 50, 55, 5),
+    ]
+    # flat (delta 0) dropped by min_delta; k truncates deterministically
+    top2 = heavy_changers(old, new, ["k"], k=2).collect()
+    assert [r["k"] for r in top2] == ["a", "gone"]
+
+
+def test_heavy_changers_tie_break_and_contracts(spark):
+    import pytest
+
+    from pandera_forge_spark.validator import heavy_changers
+
+    old = spark.createDataFrame([("z",), ("y",)], "k string")
+    new = spark.createDataFrame(
+        [("z",)] * 3 + [("y",)] * 3, "k string"
+    )  # both +2: tie -> key ASC
+    got = heavy_changers(old, new, ["k"], k=1).collect()
+    assert got[0]["k"] == "y"
+    with pytest.raises(ValueError, match="key_cols"):
+        heavy_changers(old, new, [])
+    with pytest.raises(ValueError, match="k must"):
+        heavy_changers(old, new, ["k"], k=0)
+    with pytest.raises(ValueError, match="min_delta"):
+        heavy_changers(old, new, ["k"], min_delta=0)
+    with pytest.raises(ValueError, match="new frame lacks"):
+        heavy_changers(old, new.withColumnRenamed("k", "x"), ["k"])
+
+
+def test_heavy_changers_plan_take_ordered(spark):
+    from pandera_forge_spark.plans.inspect import executed_plan, has_python_udf
+    from pandera_forge_spark.validator import heavy_changers
+
+    old = spark.createDataFrame([(i % 50,) for i in range(500)], "k long")
+    new = spark.createDataFrame([(i % 40,) for i in range(500)], "k long")
+    out = heavy_changers(old, new, ["k"], k=5)
+    assert not has_python_udf(out)
+    plan = executed_plan(out)
+    assert "TakeOrderedAndProject" in plan, plan
