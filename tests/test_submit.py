@@ -142,3 +142,56 @@ def test_spark_submit_stream_dedup_job(tmp_path):
     )
     assert report2["new_match_epochs"] == 0 and report2["new_matches"] == 0
     assert report2["matches_total"] == 90 and report2["docs_indexed"] == 90
+
+
+def test_spark_submit_incremental_job(tmp_path):
+    """Fourth deployment shape: the nightly incremental re-validation
+    job — full run, changelog, then a run that re-validates ONLY the
+    moved partitions with verdicts carried for the rest."""
+    import json
+
+    pfs_zip = tmp_path / "pfs.zip"
+    subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "make_pyfiles_zip.py"), str(pfs_zip)],
+        check=True, capture_output=True,
+    )
+
+    def submit(extra):
+        cmd = [
+            "spark-submit",
+            "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", str(pfs_zip),
+            str(REPO / "scripts" / "run_incremental_job.py"),
+            *extra,
+        ]
+        r = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=300, cwd=str(tmp_path)
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    v0, v1 = tmp_path / "v0", tmp_path / "v1"
+    submit(["--fixture", "800", "--snapshot", str(v0)])
+    submit(["--mutate-from", str(v0), "--snapshot", str(v1)])
+
+    common = ["--partition-col", "day", "--cols", "id,cat,val_micro",
+              "--schema", str(tmp_path / "contract.json")]
+    day0 = submit([
+        "--snapshot", str(v0), "--checksums", str(tmp_path / "cs0"),
+        "--audit", str(tmp_path / "a0"), *common,
+    ])
+    assert len(day0["revalidated"]) == 8 and day0["carried"] == []
+    assert day0["violations"] == {}
+
+    day1 = submit([
+        "--snapshot", str(v1), "--checksums", str(tmp_path / "cs1"),
+        "--audit", str(tmp_path / "a1"), *common,
+        "--prev-checksums", str(tmp_path / "cs0"),
+        "--prev-audit", str(tmp_path / "a0"),
+    ])
+    assert day1["revalidated"] == ["d2", "d8"]
+    assert len(day1["carried"]) == 6 and day1["removed"] == ["d5"]
+    # the planted NULL cats violate the day-0 contract, inside d2 only
+    assert set(day1["violations"]) == {"d2"} and day1["violations"]["d2"] > 0
