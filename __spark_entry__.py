@@ -9486,6 +9486,50 @@ ORDER BY abs(n_new - n_old) DESC, user_id ASC LIMIT 25
 """
 
 
+def q_residue_census_docs(spark, sf_dir):
+    """Extraction-residue census (text.markup_residue_census): planted
+    scars — every 11th doc keeps an HTML tag, every 13th an entity,
+    every 17th a U+FFFD, every 19th a mojibake digraph — counted per
+    source in ONE fused regex aggregate. All five patterns are
+    lookaround-free and dialect-portable, so the DuckDB RE2 replay
+    matches the JVM regex count for count."""
+    from pandera_forge_spark.operators.text import markup_residue_census
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" <div class='x'>tail</div>")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" &amp;")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 17 == 0, F.lit(" �")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 19 == 0, F.lit(" cafÃ©")).otherwise(F.lit("")),
+        ),
+    )
+    out = markup_residue_census(docs, "text", ["source"])
+    return out.orderBy("source")
+
+
+SQL_RESIDUE_CENSUS_DOCS = """
+WITH docs AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 11 = 0 THEN ' <div class=''x''>tail</div>' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' &amp;' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0 THEN ' ' || chr(65533) ELSE '' END
+         || CASE WHEN doc_id % 19 = 0 THEN ' caf' || chr(195) || chr(169) ELSE '' END
+           AS text
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN regexp_matches(text, '</?[a-zA-Z][a-zA-Z0-9]*[^<>]*>') THEN 1 ELSE 0 END) AS BIGINT) AS n_html_tag,
+       CAST(SUM(CASE WHEN regexp_matches(text, '&(amp|lt|gt|quot|nbsp|#[0-9]+);') THEN 1 ELSE 0 END) AS BIGINT) AS n_html_entity,
+       CAST(SUM(CASE WHEN regexp_matches(text, chr(65533)) THEN 1 ELSE 0 END) AS BIGINT) AS n_replacement_char,
+       CAST(SUM(CASE WHEN regexp_matches(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]') THEN 1 ELSE 0 END) AS BIGINT) AS n_control_char,
+       CAST(SUM(CASE WHEN regexp_matches(text, 'Ã©|Ã¨|Ã¼|Ã±|Ã¤|Ã¶|â€') THEN 1 ELSE 0 END) AS BIGINT) AS n_mojibake
+FROM docs GROUP BY source ORDER BY source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -10284,6 +10328,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # |delta| ranking; exact-ranking + tie-break + plan pytests,
         # strict sweep green at BOTH SFs ---------------------------------------
         "heavy_changers_users": q_heavy_changers_users,
+        # residue_census_docs: this-session tail row; the fused
+        # sum(rlike) aggregate is pii_scan's exact discipline (window
+        # position 1, green r5) with dialect-portable patterns — the
+        # new part is the residue classes; per-class planted pytest,
+        # strict sweep green at BOTH SFs ---------------------------------------
+        "residue_census_docs": q_residue_census_docs,
     }
 
 
@@ -10498,4 +10548,5 @@ def oracle_sql() -> dict[str, str]:
         "silent_users": SQL_SILENT_USERS,
         "weighted_labels": SQL_WEIGHTED_LABELS,
         "heavy_changers_users": SQL_HEAVY_CHANGERS_USERS,
+        "residue_census_docs": SQL_RESIDUE_CENSUS_DOCS,
     }

@@ -1230,3 +1230,62 @@ def dup_ngram_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
         )
     )
+
+
+RESIDUE_PATTERNS = {
+    # extraction residue: the HTML that the stripper missed
+    "html_tag": r"</?[a-zA-Z][a-zA-Z0-9]*[^<>]*>",
+    "html_entity": r"&(amp|lt|gt|quot|nbsp|#[0-9]+);",
+    # decode residue: U+FFFD means bytes already died upstream
+    "replacement_char": "�",
+    # control characters that no clean text contains
+    "control_char": r"[\x00-\x08\x0b\x0c\x0e-\x1f]",
+    # the classic UTF-8-read-as-Latin-1 digraphs (Ã©=é, â€=’/“/–...)
+    "mojibake": r"Ã©|Ã¨|Ã¼|Ã±|Ã¤|Ã¶|â€",
+}
+
+
+def markup_residue_census(
+    df: DataFrame,
+    text_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Extraction-quality census: how much of each source's text still
+    carries the scars of a bad pipeline stage — unstripped HTML,
+    undecoded entities, U+FFFD replacement characters, raw control
+    bytes, and UTF-8-as-Latin-1 mojibake digraphs. Each is a distinct
+    upstream failure with a distinct fix (re-extract, re-decode,
+    re-crawl), which is why this is a CENSUS per failure class and not
+    one "dirty" bit: a source at 40% mojibake needs its decoder fixed,
+    not its documents dropped.
+
+    Every pattern is lookaround-free and dialect-portable (same
+    semantics under Java regex and RE2), and every output is an exact
+    long count of DOCUMENTS matching the class (not match
+    occurrences — one doc with 50 tags is one bad doc). NULL texts
+    drop. One fused aggregate evaluates all five classes in a single
+    scan — the pii_scan discipline; no UDF, no explode, no second
+    pass.
+
+    Scale shape: ONE map-side-partial groupBy (or a global agg without
+    groups); regex evaluation is JVM codegen over the projected text
+    column only."""
+    keys = list(group_cols)
+    if text_col not in df.columns:
+        raise ValueError(
+            f"markup_residue_census: frame lacks column {text_col!r}"
+        )
+    missing = [c for c in keys if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"markup_residue_census: frame lacks columns {missing}"
+        )
+    t = F.col(text_col)
+    base = df.where(t.isNotNull())
+    aggs = [F.count(F.lit(1)).alias("n_docs")] + [
+        F.sum(t.rlike(pat).cast("long")).alias(f"n_{name}")
+        for name, pat in RESIDUE_PATTERNS.items()
+    ]
+    if keys:
+        return base.groupBy(*keys).agg(*aggs)
+    return base.agg(*aggs)

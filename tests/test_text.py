@@ -837,3 +837,55 @@ def test_dup_ngram_spans_validation_and_plan(spark):
         assert r["span_start"] <= r["span_end"]
         assert r["dup_tokens"] == r["span_end"] - r["span_start"] + 1
         assert r["dup_tokens"] >= 8
+
+
+# --------------------------------------------------- markup_residue_census
+
+
+def test_markup_residue_census_classifies_each_failure(spark):
+    from pandera_forge_spark.operators.text import markup_residue_census
+
+    rows = [
+        ("clean", "a perfectly ordinary paragraph of text."),
+        ("clean", "another one, with < and > used as math."),
+        ("html", "leftover <div class='x'>markup</div> here"),
+        ("html", "entities &amp; more &#8217; residue"),
+        ("decode", "bytes died � somewhere upstream"),
+        ("decode", "control\x07bytes\x1fremain"),
+        ("mojibake", "cafÃ© and curly â€™ quotes"),
+        ("mojibake", None),
+    ]
+    df = spark.createDataFrame(rows, "src string, text string")
+    got = {
+        r["src"]: r
+        for r in markup_residue_census(df, "text", ["src"]).collect()
+    }
+    c = got["clean"]
+    assert (c["n_docs"], c["n_html_tag"], c["n_html_entity"]) == (2, 0, 0)
+    assert c["n_replacement_char"] == 0 and c["n_mojibake"] == 0
+    h = got["html"]
+    assert h["n_html_tag"] == 1 and h["n_html_entity"] == 1
+    d = got["decode"]
+    assert d["n_replacement_char"] == 1 and d["n_control_char"] == 1
+    m = got["mojibake"]
+    assert m["n_docs"] == 1  # the NULL text dropped
+    assert m["n_mojibake"] == 1
+    # global mode: one row, sums across groups
+    g = markup_residue_census(df, "text").first()
+    assert g["n_docs"] == 7 and g["n_html_tag"] == 1
+
+
+def test_markup_residue_census_contracts_and_plan(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.text import markup_residue_census
+    from pandera_forge_spark.plans.inspect import executed_plan, has_python_udf
+
+    df = spark.createDataFrame([("s", "t")], "src string, text string")
+    with pytest.raises(ValueError, match="lacks column"):
+        markup_residue_census(df, "nope")
+    with pytest.raises(ValueError, match="lacks columns"):
+        markup_residue_census(df, "text", ["nope"])
+    out = markup_residue_census(df, "text", ["src"])
+    assert not has_python_udf(out)
+    assert "Window" not in executed_plan(out)
