@@ -9530,6 +9530,103 @@ FROM docs GROUP BY source ORDER BY source
 """
 
 
+def q_embedding_outliers(spark, sf_dir):
+    """Embedding-space outliers (similarity.alignment_outliers): every
+    47th vector is negated — structurally valid, semantically alien —
+    and must flag against its label's centroid alignment. The entire
+    verdict tree is integers (micro components, floored-mean
+    centroid, exact long dot >>7, MAD order statistics); the oracle
+    regenerates all 64 dimensions of it in DuckDB."""
+    from pandera_forge_spark.operators.similarity import alignment_outliers
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 47 == 0,
+            F.transform(F.col("embedding"), lambda x: -x),
+        ).otherwise(F.col("embedding")),
+    )
+    out = alignment_outliers(
+        emb, "embedding", ["vec_id"], ["label"], dim=64, c=4, min_points=5
+    )
+    return out.select(
+        "label",
+        "vec_id",
+        F.col("align_128").cast("long").alias("align_128"),
+        "dev2_micro",
+        "mad4_micro",
+    ).orderBy("label", "vec_id")
+
+
+def _sql_embedding_outliers(dim: int = 64) -> str:
+    es = ", ".join(
+        f"CAST(FLOOR(CAST(v[{i + 1}] AS DOUBLE) * 1000000.0) AS BIGINT) AS e_{i}"
+        for i in range(dim)
+    )
+    ss = ", ".join(f"CAST(SUM(e_{i}) AS BIGINT) AS s_{i}" for i in range(dim))
+    cs = ", ".join(
+        f"CAST(FLOOR(CAST(s_{i} AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS c_{i}"
+        for i in range(dim)
+    )
+    dot = " + ".join(f"e.e_{i} * c.c_{i}" for i in range(dim))
+    return f"""
+WITH emb AS (
+  SELECT label, vec_id,
+         CASE WHEN vec_id % 47 = 0
+              THEN list_transform(embedding, x -> -x)
+              ELSE embedding END AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+e AS (SELECT label, vec_id, {es} FROM emb),
+s AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n, {ss} FROM e GROUP BY label),
+c AS (SELECT label, n, {cs} FROM s),
+a AS (
+  SELECT e.label, e.vec_id,
+         CAST(CAST(({dot}) AS BIGINT) >> 7 AS DOUBLE) AS align
+  FROM e JOIN c ON e.label = c.label
+),
+base AS (
+  SELECT label, vec_id, align,
+         CAST(FLOOR(align * 1000000.0) AS BIGINT) AS vm
+  FROM a
+),
+r1 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vm) AS rn,
+         COUNT(*) OVER (PARTITION BY label) AS cnt
+  FROM base
+),
+med AS (
+  SELECT label,
+         MIN(CASE WHEN rn = (cnt + 1) // 2 THEN vm END)
+         + MIN(CASE WHEN rn = cnt // 2 + 1 THEN vm END) AS med2
+  FROM r1 WHERE cnt >= 5 GROUP BY 1
+),
+dev AS (
+  SELECT base.label, vec_id, align, vm, med2, abs(2 * vm - med2) AS d2
+  FROM base JOIN med USING (label)
+),
+r2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2) AS rn,
+         COUNT(*) OVER (PARTITION BY label) AS cnt
+  FROM dev
+),
+mad AS (
+  SELECT label,
+         MIN(CASE WHEN rn = (cnt + 1) // 2 THEN d2 END)
+         + MIN(CASE WHEN rn = cnt // 2 + 1 THEN d2 END) AS mad4
+  FROM r2 GROUP BY 1
+)
+SELECT dev.label, vec_id, CAST(align AS BIGINT) AS align_128,
+       d2 AS dev2_micro, mad4 AS mad4_micro
+FROM dev JOIN mad USING (label)
+WHERE 2 * d2 > 4 * mad4
+ORDER BY dev.label, vec_id
+"""
+
+
+SQL_EMBEDDING_OUTLIERS = _sql_embedding_outliers(64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -10334,6 +10431,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new part is the residue classes; per-class planted pytest,
         # strict sweep green at BOTH SFs ---------------------------------------
         "residue_census_docs": q_residue_census_docs,
+        # embedding_outliers: this-session tail row; the micro-quantize
+        # + per-dim sums are the centroid_drift kernel (r3-green
+        # embedding_drift) and the verdict IS mad_outliers_events' tree
+        # (green sweep above) — the new part is the exact-integer
+        # alignment composition; full-python-replay + alien-flip +
+        # fence pytests, strict sweep green at BOTH SFs --------------------------
+        "embedding_outliers": q_embedding_outliers,
     }
 
 
@@ -10549,4 +10653,5 @@ def oracle_sql() -> dict[str, str]:
         "weighted_labels": SQL_WEIGHTED_LABELS,
         "heavy_changers_users": SQL_HEAVY_CHANGERS_USERS,
         "residue_census_docs": SQL_RESIDUE_CENSUS_DOCS,
+        "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     }

@@ -1130,3 +1130,131 @@ def random_projection(
     ]
     proj = F.when(F.col("__q").isNotNull(), F.array(*comps))
     return out.select(*id_cols, proj.alias("proj"))
+
+
+def alignment_outliers(
+    df: DataFrame,
+    vec_col: str,
+    id_cols: Sequence[str],
+    group_cols: Sequence[str],
+    dim: int,
+    c: int = 4,
+    min_points: int = 20,
+) -> DataFrame:
+    """Embedding-space outliers by EXACT integer arithmetic: flag the
+    vectors whose alignment with their group's centroid deviates from
+    the group median by more than ``c`` MADs. A batch of zeroed,
+    mis-normalized, wrong-model or garbage embeddings sits far from
+    its language/source centroid; ANN retrieval then surfaces it for
+    every query. ``embedding_health`` catches the structurally broken
+    (NaN, wrong dim, all-zero); this catches the structurally VALID
+    but semantically alien — and does it with a decision tree every
+    engine replays bit-for-bit, where a float cosine + float
+    threshold drifts in the last ulp.
+
+    The whole tree is integers: components quantize to micro-longs
+    (floor(x*1e6)); each group's centroid is the per-dimension
+    floored MEAN of those micro components (one floored IEEE division
+    of an exactly-representable long pair — deterministic); each
+    vector's alignment is the exact long dot product of its micro
+    components with the micro centroid, arithmetic-shifted 7 bits so
+    the downstream micro-quantization (x1e6 inside the MAD tree)
+    stays inside int64; verdicts come from
+    :func:`pandera_forge_spark.validator.mad_outlier_rows` (robust:
+    half a group can be garbage and the median centroid alignment
+    still stands... the CENTROID itself is a mean and can be dragged —
+    which is exactly why the deviation test must be MAD, not stddev).
+
+    Envelope (fenced): components |x| < 1000, dim <= 256 — then
+    |micro| < 1e9, |centroid_d| < 1e9, |dot| < 256e18 / 2^7 after the
+    shift keeps every downstream product under 2^63 for unit-scale
+    embeddings; real embedding spaces (|x| <= ~1) sit orders inside
+    it. NULL vectors and wrong-length vectors raise in-band via the
+    dimension fence.
+
+    Scale shape: one narrow quantize projection, ONE (group) agg of
+    dim long sums + count, an O(groups) broadcast join back, one dot
+    projection, then the MAD tree's two same-key window passes. No
+    UDF, no crossJoin beyond the O(groups) broadcast."""
+    keys = list(group_cols)
+    ids = list(id_cols)
+    if not keys:
+        raise ValueError("alignment_outliers: group_cols must be non-empty")
+    if not ids:
+        raise ValueError("alignment_outliers: id_cols must be non-empty")
+    if not (1 <= int(dim) <= 256):
+        raise ValueError(
+            f"alignment_outliers: dim must be in 1..256, got {dim}"
+        )
+    missing = [x for x in keys + ids + [vec_col] if x not in df.columns]
+    if missing:
+        raise ValueError(f"alignment_outliers: frame lacks columns {missing}")
+    d = int(dim)
+    micro = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(
+            F.abs(x) >= 1000.0,
+            F.raise_error(
+                F.lit("alignment_outliers: component outside |x|<1000 envelope")
+            ).cast("double"),
+        )
+        .otherwise(x)
+        .cast("double"),
+    )
+    micro = F.transform(
+        micro, lambda x: F.floor(x * F.lit(1000000.0)).cast("long")
+    )
+    # the dimension fence lives INSIDE the used expression — a dead
+    # side-column would be pruned by Catalyst and never raise
+    guarded = F.when(
+        F.size(F.col(vec_col)) != d,
+        F.raise_error(
+            F.concat(
+                F.lit("alignment_outliers: vector of length "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(f" (expected {d})"),
+            )
+        ).cast("array<bigint>"),
+    ).otherwise(micro)
+    base = df.where(F.col(vec_col).isNotNull()).withColumn("__e", guarded)
+    sums = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.element_at("__e", i + 1)).alias(f"__s{i}")
+            for i in range(d)
+        ],
+    )
+    cen = sums.select(
+        *keys,
+        F.array(
+            *[
+                F.floor(
+                    F.col(f"__s{i}").cast("double")
+                    / F.col("__n").cast("double")
+                ).cast("long")
+                for i in range(d)
+            ]
+        ).alias("__cen"),
+    )
+    with_dot = base.join(F.broadcast(cen), keys).withColumn(
+        "__align",
+        F.shiftright(
+            F.aggregate(
+                F.zip_with("__e", "__cen", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+            7,
+        ).cast("double"),
+    )
+    from pandera_forge_spark.validator import mad_outlier_rows
+
+    out = mad_outlier_rows(
+        with_dot.select(*keys, *ids, "__align"),
+        "__align",
+        ids,
+        keys,
+        c=c,
+        min_points=min_points,
+    )
+    return out.withColumnRenamed("value", "align_128")

@@ -729,3 +729,119 @@ def test_semantic_dedup_zero_vector_never_pairs(spark):
     )
     assert {r.vec_id for r in dropped.collect()} == {2}
     assert {r.vec_id for r in survivors.collect()} == {1, 3}
+
+
+# -------------------------------------------------------- alignment_outliers
+
+
+def _align_replay(rows, dim, c=4, min_points=20):
+    """Exact python replay of the full alignment_outliers tree."""
+    import math
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for g, i, vec in rows:
+        if vec is None:
+            continue
+        e = [math.floor(x * 1000000.0) for x in vec]
+        by_g[g].append((i, e))
+    flagged = set()
+    for g, pts in by_g.items():
+        n = len(pts)
+        sums = [sum(e[d] for _, e in pts) for d in range(dim)]
+        cen = [math.floor(s / n) for s in sums]
+        aligns = []
+        for i, e in pts:
+            dot = sum(a * b for a, b in zip(e, cen))
+            aligns.append((i, float(dot >> 7)))
+        if n < min_points:
+            continue
+        vm = sorted(math.floor(a * 1000000.0) for _, a in aligns)
+        med2 = vm[(n + 1) // 2 - 1] + vm[n // 2]
+        d2s = sorted(
+            abs(2 * math.floor(a * 1000000.0) - med2) for _, a in aligns
+        )
+        mad4 = d2s[(n + 1) // 2 - 1] + d2s[n // 2]
+        for i, a in aligns:
+            if 2 * abs(2 * math.floor(a * 1000000.0) - med2) > c * mad4:
+                flagged.add((g, i))
+    return flagged
+
+
+def test_alignment_outliers_flags_alien_vectors(spark):
+    import math
+    import random
+
+    from pandera_forge_spark.operators.similarity import alignment_outliers
+
+    rng = random.Random(21)
+    dim = 8
+    rows = []
+    rid = 0
+
+    def unit(center, spread):
+        v = [c + rng.gauss(0, spread) for c in center]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    center = unit([1.0] * dim, 0.0)
+    for _ in range(60):
+        rows.append(("en", rid, unit(center, 0.05)))
+        rid += 1
+    # planted aliens: orthogonal-ish junk
+    for _ in range(3):
+        alien = unit([(-1) ** k for k in range(dim)], 0.01)
+        rows.append(("en", rid, alien))
+        rid += 1
+    df = spark.createDataFrame(rows, "g string, id long, v array<double>")
+    got = {
+        (r["g"], r["id"])
+        for r in alignment_outliers(df, "v", ["id"], ["g"], dim=dim).collect()
+    }
+    expect = _align_replay(rows, dim)
+    assert got == expect
+    # every planted alien is flagged
+    assert {("en", 60), ("en", 61), ("en", 62)} <= got
+
+
+def test_alignment_outliers_fences(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.similarity import alignment_outliers
+
+    ok = spark.createDataFrame(
+        [("g", 1, [0.1, 0.2])], "g string, id long, v array<double>"
+    )
+    with pytest.raises(ValueError, match="group_cols"):
+        alignment_outliers(ok, "v", ["id"], [], dim=2)
+    with pytest.raises(ValueError, match="id_cols"):
+        alignment_outliers(ok, "v", [], ["g"], dim=2)
+    with pytest.raises(ValueError, match="dim must"):
+        alignment_outliers(ok, "v", ["id"], ["g"], dim=0)
+    with pytest.raises(ValueError, match="lacks"):
+        alignment_outliers(ok, "nope", ["id"], ["g"], dim=2)
+    short = spark.createDataFrame(
+        [("g", i, [0.1, 0.2, 0.3] if i else [0.1]) for i in range(25)],
+        "g string, id long, v array<double>",
+    )
+    with pytest.raises(Exception, match="vector of length"):
+        alignment_outliers(short, "v", ["id"], ["g"], dim=3).collect()
+    big = spark.createDataFrame(
+        [("g", i, [2000.0, 0.0]) for i in range(25)],
+        "g string, id long, v array<double>",
+    )
+    with pytest.raises(Exception, match="envelope"):
+        alignment_outliers(big, "v", ["id"], ["g"], dim=2).collect()
+
+
+def test_alignment_outliers_udf_free(spark):
+    from pandera_forge_spark.operators.similarity import alignment_outliers
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    df = spark.createDataFrame(
+        [("g", i, [0.1 * (i % 5), 0.2]) for i in range(40)],
+        "g string, id long, v array<double>",
+    )
+    assert not has_python_udf(
+        alignment_outliers(df, "v", ["id"], ["g"], dim=2)
+    )
