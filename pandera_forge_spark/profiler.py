@@ -2123,3 +2123,91 @@ def last_digit_census(
             rejected.alias("uniform_rejected"),
         )
     )
+
+
+def cell_coverage(
+    df: DataFrame,
+    dims: Sequence[str],
+    min_rows: int = 1,
+    include_covered: bool = False,
+    max_cells: int = 1_000_000,
+) -> DataFrame:
+    """Representation-gap census over a dimension grid: which
+    combinations of the dims' OBSERVED values are missing or
+    under-filled? A corpus can pass every per-column check while
+    containing zero (lang=de, source=forums) documents — per-column
+    marginals can't see joint holes, and a sampler downstream will
+    faithfully reproduce the hole into the training mix. The grid is
+    the cross product of each dimension's own observed values, so the
+    census needs no external spec and never invents values the data
+    doesn't contain (a truly absent VALUE is a per-column finding,
+    not a cell finding).
+
+    Output per gap cell: the dims, ``n_rows`` (0 for missing),
+    ``status`` in (``missing``, ``under`` — present but below
+    ``min_rows``); ``include_covered=True`` emits ``ok`` cells too.
+    NULL is a first-class dimension value (a (NULL, api) hole is
+    still a hole).
+
+    Scale shape: the raw table is scanned ONCE into the per-cell
+    count frame, which is PERSISTED (it is O(observed cells) — KB-MB)
+    and reused for the per-dimension value lists, the grid fence and
+    the final null-safe left join. The grid is the cross product of
+    the dims' observed value lists — O(prod of cardinalities) rows,
+    the GRID, not the data — and ``max_cells`` (default 1e6) fences
+    the blow-up LOUDLY before any cross join is planned. The caller
+    may ``.unpersist()`` the result's lineage when done; the cached
+    frame is cell-sized, not data-sized."""
+    ds = list(dims)
+    if len(ds) < 2:
+        raise ValueError("cell_coverage: need at least 2 dims")
+    if int(min_rows) < 1:
+        raise ValueError(
+            f"cell_coverage: min_rows must be >= 1, got {min_rows}"
+        )
+    missing = [c for c in ds if c not in df.columns]
+    if missing:
+        raise ValueError(f"cell_coverage: frame lacks columns {missing}")
+    counts = df.groupBy(*ds).agg(F.count(F.lit(1)).alias("n_rows")).persist()
+    cards = counts.agg(
+        *[F.count_distinct(F.col(c)).alias(c) for c in ds],
+        *[
+            F.max(F.col(c).isNull().cast("int")).alias(f"__null_{c}")
+            for c in ds
+        ],
+    ).collect()[0]
+    n_cells = 1
+    for c in ds:
+        n_cells *= int(cards[c]) + int(cards[f"__null_{c}"])
+    if n_cells > int(max_cells):
+        counts.unpersist()
+        raise ValueError(
+            f"cell_coverage: grid of {n_cells} cells exceeds max_cells="
+            f"{max_cells} — reduce dims or raise the fence deliberately"
+        )
+    # grid columns get fresh names: the grid DERIVES from counts, so a
+    # join on same-named attributes would be an ambiguous self-join
+    grid = None
+    for c in ds:
+        vals = counts.select(F.col(c).alias(f"__g_{c}")).distinct()
+        grid = vals if grid is None else grid.crossJoin(vals)
+    joined = grid.join(
+        counts,
+        [
+            F.col(f"__g_{c}").eqNullSafe(F.col(c))
+            for c in ds
+        ],
+        "left",
+    ).select(
+        *[F.col(f"__g_{c}").alias(c) for c in ds],
+        F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+    )
+    status = (
+        F.when(F.col("n_rows") == 0, F.lit("missing"))
+        .when(F.col("n_rows") < int(min_rows), F.lit("under"))
+        .otherwise(F.lit("ok"))
+    )
+    out = joined.select(*ds, "n_rows", status.alias("status"))
+    if not include_covered:
+        out = out.where(F.col("status") != "ok")
+    return out

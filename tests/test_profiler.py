@@ -523,3 +523,67 @@ def test_last_digit_census_plan(spark):
     assert not has_python_udf(out)
     plan = executed_plan(out)
     assert "Window" not in plan and "Join" not in plan, plan
+
+
+# ------------------------------------------------------------ cell_coverage
+
+
+def test_cell_coverage_finds_joint_holes(spark):
+    from pandera_forge_spark.profiler import cell_coverage
+
+    rows = (
+        [("en", "web")] * 30
+        + [("en", "forum")] * 3
+        + [("de", "web")] * 25
+        + [(None, "web")] * 8
+        # (de, forum), (None, forum) never occur
+    )
+    df = spark.createDataFrame(rows, "lang string, src string")
+    got = {
+        (r["lang"], r["src"]): r
+        for r in cell_coverage(df, ["lang", "src"], min_rows=5).collect()
+    }
+    assert got[("de", "forum")]["status"] == "missing"
+    assert got[("de", "forum")]["n_rows"] == 0
+    assert got[(None, "forum")]["status"] == "missing"  # NULL is a value
+    assert got[("en", "forum")]["status"] == "under"
+    assert got[("en", "forum")]["n_rows"] == 3
+    assert ("en", "web") not in got  # covered cells dropped by default
+    full = {
+        (r["lang"], r["src"]): r["status"]
+        for r in cell_coverage(
+            df, ["lang", "src"], min_rows=5, include_covered=True
+        ).collect()
+    }
+    assert len(full) == 6 and full[("en", "web")] == "ok"
+
+
+def test_cell_coverage_fence_and_contracts(spark):
+    import pytest
+
+    from pandera_forge_spark.profiler import cell_coverage
+
+    df = spark.createDataFrame(
+        [(str(i), str(i % 40)) for i in range(200)], "a string, b string"
+    )
+    with pytest.raises(ValueError, match="exceeds max_cells"):
+        cell_coverage(df, ["a", "b"], max_cells=100)
+    with pytest.raises(ValueError, match="at least 2"):
+        cell_coverage(df, ["a"])
+    with pytest.raises(ValueError, match="min_rows"):
+        cell_coverage(df, ["a", "b"], min_rows=0)
+    with pytest.raises(ValueError, match="lacks"):
+        cell_coverage(df, ["a", "nope"])
+
+
+def test_cell_coverage_three_dims_udf_free(spark):
+    from pandera_forge_spark.plans.inspect import has_python_udf
+    from pandera_forge_spark.profiler import cell_coverage
+
+    rows = [("en", "web", "txt")] * 5 + [("de", "api", "img")] * 5
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    out = cell_coverage(df, ["a", "b", "c"], include_covered=True)
+    # 2*2*2 grid, 2 covered, 6 missing
+    assert out.count() == 8
+    assert out.where(out.status == "missing").count() == 6
+    assert not has_python_udf(out)
