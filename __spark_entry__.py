@@ -9627,6 +9627,82 @@ ORDER BY dev.label, vec_id
 SQL_EMBEDDING_OUTLIERS = _sql_embedding_outliers(64)
 
 
+_ORDER_DEP_NUM = [
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "o_totalprice",
+]
+_ORDER_DEP_TMP = ["o_orderdate", "l_shipdate"]
+
+
+def q_order_deps_lineitem(spark, sf_dir):
+    """Cross-column order-dependency mining (discovery.order_dependencies)
+    over the orders⨝lineitem join: every numeric pair plus the
+    (o_orderdate, l_shipdate) temporal pair, lt/eq/gt counted in ONE
+    fused global aggregate — 22 directed verdict rows, rejected rows
+    included so the oracle checks the full decision surface (in this
+    synthetic data the date pair is genuinely violated both ways and
+    must say so)."""
+    from pandera_forge_spark.operators.discovery import order_dependencies
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        *_ORDER_DEP_NUM[:4], _ORDER_DEP_NUM[4], *_ORDER_DEP_TMP
+    )
+    out = order_dependencies(j, min_support=100, include_rejected=True)
+    return out.orderBy("lhs", "rhs")
+
+
+def _sql_order_deps() -> str:
+    """Replays order_dependencies' exact counter algebra: per-pair
+    lt/eq/gt sums (CAST AS BIGINT — DuckDB SUM widens to HUGEINT,
+    the round-4 lesson) in one CTE over the same join, then one
+    directed row per (pair, direction)."""
+    num, tmp = _ORDER_DEP_NUM, _ORDER_DEP_TMP
+    cand = num + tmp
+    fam = {c: ("t" if c in tmp else "n") for c in cand}
+    pairs = [
+        (a, b)
+        for i, a in enumerate(cand)
+        for b in cand[i + 1 :]
+        if fam[a] == fam[b]
+    ]
+    aggs, rows = [], []
+    for i, (a, b) in enumerate(pairs):
+        both = f"{a} IS NOT NULL AND {b} IS NOT NULL"
+        for op, name in (("<", "lt"), ("=", "eq"), (">", "gt")):
+            aggs.append(
+                f"CAST(SUM(CASE WHEN {both} AND {a} {op} {b} "
+                f"THEN 1 ELSE 0 END) AS BIGINT) AS {name}_{i}"
+            )
+        nb = f"(lt_{i} + eq_{i} + gt_{i})"
+        for lhs, rhs, viol in ((a, b, f"gt_{i}"), (b, a, f"lt_{i}")):
+            rows.append(
+                f"SELECT '{lhs}' AS lhs, '{rhs}' AS rhs, "
+                f"CAST({nb} AS BIGINT) AS n_both, "
+                f"CAST({viol} AS BIGINT) AS n_violations, "
+                f"CASE WHEN {nb} > 0 THEN CAST({viol} AS DOUBLE) / {nb} "
+                f"END AS violation_ratio, "
+                f"CAST(eq_{i} AS BIGINT) AS n_eq, "
+                f"CASE WHEN {nb} < 100 THEN 'no_support' "
+                f"WHEN {viol} <= 0.0 * {nb} THEN 'holds' "
+                f"ELSE 'rejected' END AS verdict FROM s"
+            )
+    return (
+        "WITH s AS (SELECT "
+        + ", ".join(aggs)
+        + " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\nORDER BY lhs, rhs"
+    )
+
+
+SQL_ORDER_DEPS_LINEITEM = _sql_order_deps()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -10438,6 +10514,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # alignment composition; full-python-replay + alien-flip +
         # fence pytests, strict sweep green at BOTH SFs --------------------------
         "embedding_outliers": q_embedding_outliers,
+        # order_deps_lineitem: this-session tail row; the fused
+        # sum(when) counter aggregate is pii_scan's discipline (window
+        # position 1) and the literal-melt explode is candidate_keys'
+        # (in-window join_key_discovery family) — the new part is the
+        # directed-verdict algebra; planted-invariant + tolerance +
+        # fence + single-scan-plan pytests, strict sweep green at
+        # BOTH SFs --------------------------------------------------------------
+        "order_deps_lineitem": q_order_deps_lineitem,
     }
 
 
@@ -10654,4 +10738,5 @@ def oracle_sql() -> dict[str, str]:
         "heavy_changers_users": SQL_HEAVY_CHANGERS_USERS,
         "residue_census_docs": SQL_RESIDUE_CENSUS_DOCS,
         "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
+        "order_deps_lineitem": SQL_ORDER_DEPS_LINEITEM,
     }

@@ -244,3 +244,99 @@ def test_candidate_keys_partition_independent(keyed):
 
 def test_candidate_keys_plan_udf_free(keyed):
     assert not has_python_udf(candidate_keys(keyed))
+
+
+# ------------------------------------------------------- order_dependencies
+
+
+@pytest.fixture(scope="module")
+def ordered(spark):
+    import datetime as dt
+
+    d = dt.date
+    rows = []
+    for i in range(200):
+        ship = d(2024, 1, 1) + dt.timedelta(days=i % 30)
+        # receipt >= ship always; commit >= ship except 2 planted dirt rows
+        receipt = ship + dt.timedelta(days=3)
+        commit = ship + dt.timedelta(days=-1 if i in (7, 99) else 1)
+        lo = float(i % 50)
+        hi = lo + (0.0 if i % 10 == 0 else 5.0)
+        rows.append((i, ship, commit, receipt, lo, hi, None if i % 4 == 0 else lo))
+    return spark.createDataFrame(
+        rows,
+        "id long, ship date, commit date, receipt date, "
+        "lo double, hi double, sparse double",
+    )
+
+
+def test_order_dependencies_finds_planted_invariants(ordered):
+    from pandera_forge_spark.operators.discovery import order_dependencies
+
+    got = {
+        (r["lhs"], r["rhs"]): r
+        for r in order_dependencies(ordered, min_support=50).collect()
+    }
+    assert ("ship", "receipt") in got  # exact invariant holds
+    assert got[("ship", "receipt")]["n_violations"] == 0
+    assert got[("ship", "receipt")]["n_both"] == 200
+    assert ("receipt", "ship") not in got  # reverse direction rejected
+    assert ("ship", "commit") not in got  # 2 dirt rows break exactness
+    # lo <= hi holds with ties; n_eq counts the every-10th equal rows
+    assert got[("lo", "hi")]["n_eq"] == 20
+
+
+def test_order_dependencies_tolerance_and_rejected(ordered):
+    from pandera_forge_spark.operators.discovery import order_dependencies
+
+    tol = {
+        (r["lhs"], r["rhs"]): r["verdict"]
+        for r in order_dependencies(
+            ordered, min_support=50, max_violation_ratio=0.02
+        ).collect()
+    }
+    assert tol[("ship", "commit")] == "holds"  # 2/200 = 0.01 <= 0.02
+    full = {
+        (r["lhs"], r["rhs"]): r
+        for r in order_dependencies(
+            ordered, min_support=50, include_rejected=True
+        ).collect()
+    }
+    assert full[("receipt", "ship")]["verdict"] == "rejected"
+    assert full[("receipt", "ship")]["n_violations"] == 200
+    # id vs sparse: both-non-null support = 150 rows (every 4th NULL)
+    assert full[("id", "sparse")]["n_both"] == 150
+
+
+def test_order_dependencies_no_support_and_fences(spark, ordered):
+    from pandera_forge_spark.operators.discovery import order_dependencies
+
+    full = {
+        (r["lhs"], r["rhs"]): r["verdict"]
+        for r in order_dependencies(
+            ordered, min_support=1000, include_rejected=True
+        ).collect()
+    }
+    assert set(full.values()) == {"no_support"}
+    with pytest.raises(ValueError, match="exceed max_pairs"):
+        order_dependencies(ordered, max_pairs=2)
+    with pytest.raises(ValueError, match="min_support"):
+        order_dependencies(ordered, min_support=0)
+    with pytest.raises(ValueError, match="lacks columns"):
+        order_dependencies(ordered, cols=["nope", "ship"])
+    with pytest.raises(ValueError, match="non-orderable"):
+        s = spark.createDataFrame([("a", "b")], "x string, y string")
+        order_dependencies(s, cols=["x", "y"])
+    with pytest.raises(ValueError, match="no comparable column pair"):
+        # date and double never pair across families
+        order_dependencies(ordered, cols=["ship", "lo"])
+
+
+def test_order_dependencies_single_scan_udf_free(ordered):
+    from pandera_forge_spark.operators.discovery import order_dependencies
+    from pandera_forge_spark.plans.inspect import executed_plan
+
+    out = order_dependencies(ordered, min_support=10)
+    assert not has_python_udf(out)
+    plan = executed_plan(out)
+    assert "Join" not in plan, plan  # one fused agg, no self-join
