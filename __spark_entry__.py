@@ -9703,6 +9703,73 @@ def _sql_order_deps() -> str:
 SQL_ORDER_DEPS_LINEITEM = _sql_order_deps()
 
 
+def q_neyman_events(spark, sf_dir):
+    """Neyman sample-budget allocation (sampling.neyman_allocation):
+    1000 validation draws split across event_type strata proportional
+    to N_h*S_h. The whole pipeline is the exact-integer + fixed-IEEE
+    discipline (micro-long sums in decimal(38,0), deterministic double
+    derivations, floor + largest-remainder with key tie-breaks), so
+    DuckDB replays every mean, std, and allocation bit-for-bit."""
+    from pandera_forge_spark.operators.sampling import neyman_allocation
+
+    ev = _t(spark, sf_dir, "events")
+    out = neyman_allocation(ev, ["event_type"], "value", 1000)
+    return out.orderBy("event_type")
+
+
+SQL_NEYMAN_EVENTS = """
+WITH vm AS (
+  SELECT event_type, CAST(FLOOR(value * 1000000.0) AS BIGINT) AS m FROM events
+), per AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(m) AS BIGINT) AS nv,
+         CAST(COALESCE(SUM(CAST(m AS HUGEINT)), 0) AS HUGEINT) AS sm,
+         CAST(COALESCE(SUM(CAST(m AS HUGEINT) * m), 0) AS HUGEINT) AS sq
+  FROM vm GROUP BY 1
+), st AS (
+  SELECT event_type, n_rows, nv,
+    CASE WHEN nv > 0
+         THEN CAST(sm AS DOUBLE) / CAST(nv AS DOUBLE) / 1000000.0 END AS mean_value,
+    CASE WHEN nv > 0
+         THEN sqrt(GREATEST((CAST(nv AS DOUBLE) * CAST(sq AS DOUBLE)
+                             - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+                            / (CAST(nv AS DOUBLE) * CAST(nv AS DOUBLE)), 0.0))
+              / 1000000.0 END AS std_value,
+    CASE WHEN nv > 0
+         THEN CAST(FLOOR(CAST(n_rows AS DOUBLE)
+                         * sqrt(GREATEST((CAST(nv AS DOUBLE) * CAST(sq AS DOUBLE)
+                                          - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+                                         / (CAST(nv AS DOUBLE) * CAST(nv AS DOUBLE)),
+                                         0.0))) AS BIGINT)
+         ELSE 0 END AS w
+  FROM per
+), tot AS (
+  SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) AS sw,
+         CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) AS sn FROM st
+), q AS (
+  SELECT st.*,
+         1000.0 * CAST(CASE WHEN sw > 0 THEN w ELSE n_rows END AS DOUBLE)
+                / CAST(CASE WHEN sw > 0 THEN sw ELSE sn END AS DOUBLE) AS qv
+  FROM st, tot
+), b AS (
+  SELECT event_type, n_rows, mean_value, std_value,
+         CAST(FLOOR(qv) AS BIGINT) AS af, qv - FLOOR(qv) AS rem
+  FROM q
+), d AS (
+  SELECT b.*, 1000 - SUM(af) OVER () AS deficit,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, event_type ASC) AS rr,
+         ROW_NUMBER() OVER (ORDER BY rem ASC, event_type DESC) AS sr
+  FROM b
+)
+SELECT event_type, n_rows, mean_value, std_value,
+       CAST(GREATEST(af + CASE WHEN deficit > 0 AND rr <= deficit THEN 1
+                                WHEN deficit < 0 AND sr <= -deficit THEN -1
+                                ELSE 0 END, 0) AS BIGINT) AS alloc
+FROM d ORDER BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -10522,6 +10589,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fence + single-scan-plan pytests, strict sweep green at
         # BOTH SFs --------------------------------------------------------------
         "order_deps_lineitem": q_order_deps_lineitem,
+        # neyman_events: this-session tail row; the micro-long
+        # decimal(38,0) sums are alignment_outliers' exact-integer
+        # idiom (tail sibling, green sweep) and the floor +
+        # largest-remainder integer split is pack_greedy's manifest
+        # discipline (r4 green) — the new part is the N_h*S_h weight
+        # algebra; full-python-replay + fallback + partition-
+        # independence + fence pytests, strict sweep green at
+        # BOTH SFs --------------------------------------------------------------
+        "neyman_events": q_neyman_events,
     }
 
 
@@ -10739,4 +10815,5 @@ def oracle_sql() -> dict[str, str]:
         "residue_census_docs": SQL_RESIDUE_CENSUS_DOCS,
         "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
         "order_deps_lineitem": SQL_ORDER_DEPS_LINEITEM,
+        "neyman_events": SQL_NEYMAN_EVENTS,
     }

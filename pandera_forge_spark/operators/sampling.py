@@ -756,3 +756,172 @@ def split_balance_report(
         F.try_divide((F.col("observed") - exp) * (F.col("observed") - exp), exp)
         .alias("chi2_term"),
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    strata: Sequence[str],
+    value_col: str,
+    total_n: int,
+    cap_at_stratum: bool = False,
+) -> DataFrame:
+    """Optimal (Neyman) allocation of a validation-sample budget across
+    strata: stratum h gets ``total_n * N_h*S_h / sum(N_j*S_j)`` draws —
+    proportional to size x spread, the textbook variance-minimizing
+    design (public material, Neyman 1934; Cochran, "Sampling
+    Techniques"). ``sampled_violation_bound`` certifies a sample after
+    the fact; this designs the sample BEFORE: high-variance strata
+    (where a mean or violation-rate estimate is noisiest) get more
+    budget, constant strata get almost none. Falls back to
+    proportional-to-size allocation when every stratum has zero spread
+    (all-constant or all-null values), rather than dividing by zero.
+
+    Determinism discipline (the alignment_outliers idiom): the value is
+    micro-quantized (``floor(x*1e6)`` as long) so per-stratum sums and
+    sums-of-squares are EXACT integers (decimal(38,0) — no
+    float-addition order sensitivity between partitionings or engines);
+    mean/std/weights then derive through a FIXED sequence of IEEE
+    double ops (each deterministic), and the integer allocation is
+    floor + largest-remainder with rank ties broken by the strata key —
+    so the same frame allocates identically at any parallelism and
+    replays exactly in an external SQL engine. Non-finite values and
+    |value| >= 1e9 (the micro-long envelope) raise IN-BAND.
+
+    Rows with NULL value still count toward stratum SIZE (N_h is the
+    population the sample represents); mean/std are over the non-null
+    measured rows. The returned ``alloc`` column sums exactly to
+    ``total_n`` (largest-remainder repairs floor truncation in both
+    directions); with ``cap_at_stratum=True`` each alloc is additionally
+    clamped to ``n_rows``, and the total may then undershoot — the
+    caller asked for more draws than some strata hold.
+
+    Scale shape: ONE scan into a per-stratum aggregate (map-side
+    partials, one shuffle on the strata key), a 1-row totals broadcast,
+    then window ranks over the O(strata) frame — the only
+    single-partition step is strata-sized, never data-sized."""
+    strata = list(strata)
+    if not strata:
+        raise ValueError("neyman_allocation: strata must be non-empty")
+    for c in strata + [value_col]:
+        if c not in df.columns:
+            raise ValueError(f"neyman_allocation: column {c!r} missing")
+    if int(total_n) < 0:
+        raise ValueError(
+            f"neyman_allocation: total_n must be >= 0, got {total_n}"
+        )
+    reserved = [
+        "__vm", "__nv", "__sm", "__sq", "__w", "__weff", "__q", "__af",
+        "__rem", "__rr", "__sr", "__sumaf", "n_rows", "mean_value",
+        "std_value", "alloc",
+    ]
+    for c in reserved:
+        if c in strata:
+            raise ValueError(
+                f"neyman_allocation: stratum column {c!r} collides with a "
+                "reserved/output name"
+            )
+    v = F.col(value_col).cast("double")
+    vm = F.when(v.isNull(), F.lit(None).cast("long")).when(
+        F.isnan(v) | (F.abs(v) >= F.lit(1e9)),
+        F.raise_error(
+            F.concat(
+                F.lit("neyman_allocation: value outside the micro-long "
+                      "envelope (non-finite or |x| >= 1e9) in column "),
+                F.lit(value_col),
+                F.lit(" (value "),
+                v.cast("string"),
+                F.lit(")"),
+            )
+        ).cast("long"),
+    ).otherwise(F.floor(v * F.lit(1000000.0)).cast("long"))
+    per = (
+        df.withColumn("__vm", vm)
+        .groupBy(*strata)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("__vm").alias("__nv"),
+            F.coalesce(
+                F.sum(F.col("__vm").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("__sm"),
+            F.coalesce(
+                F.sum(
+                    F.col("__vm").cast("decimal(19,0)")
+                    * F.col("__vm").cast("decimal(19,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("__sq"),
+        )
+    )
+    dn = F.col("__nv").cast("double")
+    dsm = F.col("__sm").cast("double")
+    dsq = F.col("__sq").cast("double")
+    var_micro2 = F.greatest(
+        (dn * dsq - dsm * dsm) / (dn * dn), F.lit(0.0)
+    )
+    stats = per.select(
+        *strata,
+        "n_rows",
+        "__nv",
+        F.when(F.col("__nv") > 0, dsm / dn / F.lit(1000000.0)).alias(
+            "mean_value"
+        ),
+        F.when(
+            F.col("__nv") > 0, F.sqrt(var_micro2) / F.lit(1000000.0)
+        ).alias("std_value"),
+        F.when(
+            F.col("__nv") > 0,
+            F.floor(F.col("n_rows").cast("double") * F.sqrt(var_micro2)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__w"),
+    )
+    totals = stats.agg(
+        F.coalesce(F.sum("__w"), F.lit(0).cast("long")).alias("__sw"),
+        F.coalesce(F.sum("n_rows"), F.lit(0).cast("long")).alias("__sn"),
+    )
+    sized = stats.crossJoin(F.broadcast(totals))
+    w_eff = F.when(F.col("__sw") > 0, F.col("__w")).otherwise(
+        F.col("n_rows")
+    )
+    sw_eff = F.when(F.col("__sw") > 0, F.col("__sw")).otherwise(
+        F.col("__sn")
+    )
+    q = (
+        F.lit(float(int(total_n)))
+        * w_eff.cast("double")
+        / sw_eff.cast("double")
+    )
+    based = sized.select(
+        *strata,
+        "n_rows",
+        "mean_value",
+        "std_value",
+        F.floor(q).cast("long").alias("__af"),
+        (q - F.floor(q)).alias("__rem"),
+    )
+    strata_asc = [F.col(c).asc_nulls_last() for c in strata]
+    strata_desc = [F.col(c).desc_nulls_first() for c in strata]
+    w_over = Window.orderBy(F.col("__rem").desc(), *strata_asc)
+    w_under = Window.orderBy(F.col("__rem").asc(), *strata_desc)
+    w_all = Window.partitionBy()
+    deficit = F.lit(int(total_n)) - F.sum("__af").over(w_all)
+    alloc = F.greatest(
+        F.col("__af")
+        + F.when(
+            (deficit > 0) & (F.row_number().over(w_over) <= deficit),
+            F.lit(1),
+        )
+        .when(
+            (deficit < 0) & (F.row_number().over(w_under) <= -deficit),
+            F.lit(-1),
+        )
+        .otherwise(F.lit(0)),
+        F.lit(0),
+    ).cast("long")
+    if cap_at_stratum:
+        alloc = F.least(alloc, F.col("n_rows"))
+    return based.select(
+        *strata, "n_rows", "mean_value", "std_value", alloc.alias("alloc")
+    )

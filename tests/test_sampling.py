@@ -554,3 +554,113 @@ def test_calibrate_nonfinite_raises_inband(spark):
         calibrate_scores(df, "src", "score", grid=0)
     with pytest.raises(ValueError, match="reserved|exists"):
         calibrate_scores(df.withColumn("score_pct", F.lit(0)), "src", "score")
+
+
+# ------------------------------------------------------- neyman_allocation
+
+
+def test_neyman_allocates_by_size_times_spread(spark):
+    from pandera_forge_spark.operators.sampling import neyman_allocation
+
+    rows = (
+        # big + wild stratum: 100 rows, values 0..99
+        [("wild", float(i)) for i in range(100)]
+        # big + constant stratum: 100 rows, zero spread
+        + [("flat", 5.0)] * 100
+        # small + moderate stratum
+        + [("small", float(i % 10)) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = {r["grp"]: r for r in neyman_allocation(df, ["grp"], "v", 90).collect()}
+    assert sum(r["alloc"] for r in got.values()) == 90
+    assert got["flat"]["alloc"] == 0  # zero spread -> zero budget
+    assert got["wild"]["alloc"] > got["small"]["alloc"] > 0
+    assert got["flat"]["std_value"] == 0.0
+    assert got["wild"]["n_rows"] == 100
+    # weights ~ N*S: wild 100*28.86, small 20*2.87 -> ~98%/2% of 90
+    assert got["wild"]["alloc"] >= 85
+
+
+def test_neyman_exact_total_and_python_replay(spark):
+    import math
+
+    from pandera_forge_spark.operators.sampling import neyman_allocation
+
+    rows = [(f"s{i % 7}", float((i * 37) % 101) / 3.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = sorted(
+        neyman_allocation(df, ["grp"], "v", 123).collect(),
+        key=lambda r: r["grp"],
+    )
+    assert sum(r["alloc"] for r in got) == 123
+    # full python replay of the exact-integer + fixed-IEEE pipeline
+    from collections import defaultdict
+
+    acc = defaultdict(lambda: [0, 0, 0])  # n, sum_micro, sumsq_micro
+    for g, v in rows:
+        m = math.floor(v * 1000000.0)
+        a = acc[g]
+        a[0] += 1
+        a[1] += m
+        a[2] += m * m
+    weights = {}
+    for g, (n, sm, sq) in acc.items():
+        var = max((n * float(sq) - float(sm) * float(sm)) / (n * float(n)), 0.0)
+        weights[g] = math.floor(n * math.sqrt(var))
+    sw = sum(weights.values())
+    qs = {g: 123.0 * w / sw for g, w in weights.items()}
+    floors = {g: math.floor(q) for g, q in qs.items()}
+    deficit = 123 - sum(floors.values())
+    order = sorted(qs, key=lambda g: (-(qs[g] - floors[g]), g))
+    expect = dict(floors)
+    for g in order[: max(deficit, 0)]:
+        expect[g] += 1
+    assert {r["grp"]: r["alloc"] for r in got} == expect
+
+
+def test_neyman_null_values_fallback_and_cap(spark):
+    from pandera_forge_spark.operators.sampling import neyman_allocation
+
+    # every value NULL -> zero total weight -> proportional fallback
+    df = spark.createDataFrame(
+        [("a", None)] * 30 + [("b", None)] * 10,
+        "grp string, v double",
+    )
+    got = {r["grp"]: r for r in neyman_allocation(df, ["grp"], "v", 20).collect()}
+    assert got["a"]["alloc"] == 15 and got["b"]["alloc"] == 5
+    assert got["a"]["mean_value"] is None and got["a"]["std_value"] is None
+    # cap_at_stratum clamps to stratum size (total then undershoots)
+    small = spark.createDataFrame(
+        [("a", 1.0), ("a", 9.0), ("b", 2.0), ("b", 8.0)], "grp string, v double"
+    )
+    capped = {
+        r["grp"]: r["alloc"]
+        for r in neyman_allocation(
+            small, ["grp"], "v", 10, cap_at_stratum=True
+        ).collect()
+    }
+    assert all(v <= 2 for v in capped.values())
+
+
+def test_neyman_partition_independent_and_contracts(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.sampling import neyman_allocation
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    rows = [(f"s{i % 5}", float(i % 13)) for i in range(300)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    key = lambda rs: sorted((r["grp"], r["alloc"]) for r in rs)
+    a = key(neyman_allocation(df.repartition(1), ["grp"], "v", 50).collect())
+    b = key(neyman_allocation(df.repartition(11, "v"), ["grp"], "v", 50).collect())
+    assert a == b
+    assert not has_python_udf(neyman_allocation(df, ["grp"], "v", 50))
+    with pytest.raises(ValueError, match="missing"):
+        neyman_allocation(df, ["nope"], "v", 10)
+    with pytest.raises(ValueError, match="total_n"):
+        neyman_allocation(df, ["grp"], "v", -1)
+    with pytest.raises(ValueError, match="non-empty"):
+        neyman_allocation(df, [], "v", 10)
+    with pytest.raises(Exception, match="micro-long envelope"):
+        bad = spark.createDataFrame([("a", 1e10)], "grp string, v double")
+        neyman_allocation(bad, ["grp"], "v", 5).collect()
