@@ -9770,6 +9770,38 @@ FROM d ORDER BY event_type
 """
 
 
+def q_neyman_sample_events(spark, sf_dir):
+    """Design-then-take (sampling.neyman_sample): the 1000-row Neyman
+    budget over event_type, delivered as actual rows in md5 hash
+    order. The oracle recomputes the full allocation pipeline AND the
+    per-stratum ranked take, so both the budget arithmetic and the
+    deterministic-take contract are engine-checked end-to-end."""
+    from pandera_forge_spark.operators.sampling import neyman_sample
+
+    ev = _t(spark, sf_dir, "events")
+    out = neyman_sample(ev, ["event_type"], "value", 1000, "event_id")
+    return out.select("event_id", "event_type").orderBy(
+        "event_type", "event_id"
+    )
+
+
+SQL_NEYMAN_SAMPLE_EVENTS = f"""
+WITH allocq AS ({SQL_NEYMAN_EVENTS}),
+ranked AS (
+  SELECT event_id, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+         ) AS rk
+  FROM events
+)
+SELECT r.event_id, r.event_type
+FROM ranked r JOIN allocq a USING (event_type)
+WHERE r.rk <= LEAST(a.alloc, a.n_rows)
+ORDER BY event_type, event_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness harness compares only the
     # FIRST 50 entries against the DuckDB oracle, so the dict is ordered by
@@ -10598,6 +10630,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # independence + fence pytests, strict sweep green at
         # BOTH SFs --------------------------------------------------------------
         "neyman_events": q_neyman_events,
+        # neyman_sample_events: this-session tail row; the allocation
+        # is neyman_events (directly above) and the per-stratum
+        # md5-rank take is stratified_take's r3-green discipline — the
+        # new part is only the quota hand-off; quota-conformance +
+        # md5-order-exactness + partition-independence pytests, strict
+        # sweep green at BOTH SFs ----------------------------------------------
+        "neyman_sample_events": q_neyman_sample_events,
     }
 
 
@@ -10816,4 +10855,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
         "order_deps_lineitem": SQL_ORDER_DEPS_LINEITEM,
         "neyman_events": SQL_NEYMAN_EVENTS,
+        "neyman_sample_events": SQL_NEYMAN_SAMPLE_EVENTS,
     }

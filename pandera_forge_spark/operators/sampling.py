@@ -925,3 +925,40 @@ def neyman_allocation(
     return based.select(
         *strata, "n_rows", "mean_value", "std_value", alloc.alias("alloc")
     )
+
+
+def neyman_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    value_col: str,
+    total_n: int,
+    id_col: str,
+    cap_at_stratum: bool = True,
+) -> DataFrame:
+    """The actionable composition of :func:`neyman_allocation` and the
+    deterministic ranked take: DESIGN the per-stratum budgets
+    (variance-minimizing, exact-total), then TAKE exactly each
+    stratum's quota in md5 hash order — one verb from "I can afford
+    total_n validation rows" to the rows themselves, reproducible on
+    any cluster size and replayable outside Spark.
+
+    ``cap_at_stratum`` defaults True here (unlike the raw allocator):
+    a take cannot return more rows than a stratum holds, so an uncapped
+    quota would silently under-deliver anyway — capping makes the
+    shortfall explicit in the allocation rather than implicit in the
+    take.
+
+    Scale: the allocation frame is O(strata) and is collected to the
+    driver to become the broadcast quota table (strata-sized, never
+    data-sized — the same driver surface `proportional_sample` already
+    accepts); the take is `_ranked_quota_take`'s one window."""
+    alloc = neyman_allocation(
+        df, strata, value_col, total_n, cap_at_stratum=cap_at_stratum
+    )
+    strata = list(strata)
+    quotas = {
+        tuple(r[c] for c in strata): int(r["alloc"])
+        for r in alloc.select(*strata, "alloc").collect()
+        if int(r["alloc"]) > 0
+    }
+    return _ranked_quota_take(df, strata, quotas, id_col)

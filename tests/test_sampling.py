@@ -664,3 +664,43 @@ def test_neyman_partition_independent_and_contracts(spark):
     with pytest.raises(Exception, match="micro-long envelope"):
         bad = spark.createDataFrame([("a", 1e10)], "grp string, v double")
         neyman_allocation(bad, ["grp"], "v", 5).collect()
+
+
+def test_neyman_sample_takes_designed_quotas(spark):
+    from pandera_forge_spark.operators.sampling import (
+        neyman_allocation,
+        neyman_sample,
+    )
+
+    rows = [
+        (i, f"s{i % 3}", float((i * 17) % 50) * (1.0 if i % 3 else 0.1))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    got = neyman_sample(df, ["grp"], "v", 60, "id").collect()
+    alloc = {
+        r["grp"]: r["alloc"]
+        for r in neyman_allocation(
+            df, ["grp"], "v", 60, cap_at_stratum=True
+        ).collect()
+    }
+    from collections import Counter
+
+    taken = Counter(r["grp"] for r in got)
+    assert dict(taken) == {g: n for g, n in alloc.items() if n > 0}
+    # deterministic: same rows at any partitioning
+    again = neyman_sample(df.repartition(13, "v"), ["grp"], "v", 60, "id")
+    assert sorted(r["id"] for r in got) == sorted(
+        r["id"] for r in again.collect()
+    )
+    # md5-order: each stratum's take is its n lowest md5(id) keys
+    import hashlib
+
+    by_grp = {}
+    for i, g, _ in rows:
+        by_grp.setdefault(g, []).append(
+            (hashlib.md5(str(i).encode()).hexdigest(), str(i), i)
+        )
+    for g, n in alloc.items():
+        expect = {t[2] for t in sorted(by_grp[g])[:n]}
+        assert {r["id"] for r in got if r["grp"] == g} == expect
