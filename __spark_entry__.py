@@ -9072,6 +9072,97 @@ ORDER BY dev.event_type, bucket_start
 """
 
 
+def q_seasonal_volume_events(spark, sf_dir):
+    """Seasonality-adjusted volume anomalies (validator.
+    seasonal_volume_anomalies): a weekly cycle is PLANTED (weekend-
+    phase days keep 25% of events) plus a phase-relative outage
+    (every 29th day keeps 10%) — the cycle must NOT flag, the outage
+    must, which raw per-key MAD cannot do. The oracle replays the
+    filters, the phase-median ladder (med2/resid2/dev4/mad8 — one
+    doubling per midpoint, zero IEEE midpoints), and the flag."""
+    from pandera_forge_spark.validator import seasonal_volume_anomalies
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    day = F.floor(
+        F.col("ts").cast("timestamp_ltz").cast("double") / F.lit(86400.0)
+    ).cast("long")
+    kept = ev.where(
+        (~F.pmod(day, F.lit(7)).isin(5, 6) | (F.col("event_id") % 4 == 0))
+        & ((F.pmod(day, F.lit(29)) != 3) | (F.col("event_id") % 10 == 0))
+    )
+    out = seasonal_volume_anomalies(kept, "ts", ["event_type"], c=3)
+    return out.orderBy("event_type", "bucket_start")
+
+
+SQL_SEASONAL_VOLUME_EVENTS = """
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(FLOOR(epoch(ts) / 86400.0) AS BIGINT) AS day
+  FROM events WHERE ts IS NOT NULL
+),
+kept AS (
+  SELECT * FROM ev
+  WHERE (day % 7 NOT IN (5, 6) OR event_id % 4 = 0)
+    AND (day % 29 != 3 OR event_id % 10 = 0)
+),
+counts AS (
+  SELECT event_type, day * 86400 AS bucket_start,
+         CAST(day % 7 AS BIGINT) AS phase,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) * 1000000 AS BIGINT) AS vm
+  FROM kept GROUP BY 1, 2, 3
+),
+p1 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, phase ORDER BY vm) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type, phase) AS cnt
+  FROM counts
+),
+pmed AS (
+  SELECT event_type, phase,
+         MIN(CASE WHEN rn = (cnt + 1) // 2 THEN vm END)
+         + MIN(CASE WHEN rn = cnt // 2 + 1 THEN vm END) AS pmed2
+  FROM p1 WHERE cnt >= 3 GROUP BY 1, 2
+),
+resid AS (
+  SELECT counts.event_type, bucket_start, counts.phase, n_rows, vm, pmed2,
+         2 * vm - pmed2 AS r2
+  FROM counts JOIN pmed USING (event_type, phase)
+),
+c1 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r2) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM resid
+),
+cmed AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn = (cnt + 1) // 2 THEN r2 END)
+         + MIN(CASE WHEN rn = cnt // 2 + 1 THEN r2 END) AS cmed2
+  FROM c1 WHERE cnt >= 14 GROUP BY 1
+),
+dev AS (
+  SELECT resid.event_type, bucket_start, phase, n_rows, r2, cmed2,
+         abs(2 * r2 - cmed2) AS d4
+  FROM resid JOIN cmed USING (event_type)
+),
+d1 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d4) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM dev
+),
+mad AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn = (cnt + 1) // 2 THEN d4 END)
+         + MIN(CASE WHEN rn = cnt // 2 + 1 THEN d4 END) AS mad8
+  FROM d1 GROUP BY 1
+)
+SELECT dev.event_type, bucket_start, phase, n_rows,
+       r2 AS resid2_micro, d4 AS dev4_micro, mad8 AS mad8_micro
+FROM dev JOIN mad USING (event_type)
+WHERE 2 * d4 > 3 * mad8
+ORDER BY dev.event_type, bucket_start
+"""
+
+
 def q_blocking_quality_names(spark, sf_dir):
     """Blocking-scheme audit (operators/linkage.py blocking_quality):
     the d=1 symmetric-delete blocker scored against a d<=2 truth set
@@ -10637,6 +10728,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # md5-order-exactness + partition-independence pytests, strict
         # sweep green at BOTH SFs ----------------------------------------------
         "neyman_sample_events": q_neyman_sample_events,
+        # seasonal_volume_events: this-session tail row; the count
+        # groupBy + MAD integer ladder is volume_anomaly_days' exact
+        # shape (green sweep) — the new part is the phase-median
+        # deseasonalization level; planted cycle-vs-outage
+        # differential + full-python-replay + fence pytests, strict
+        # sweep green at BOTH SFs ----------------------------------------------
+        "seasonal_volume_events": q_seasonal_volume_events,
     }
 
 
@@ -10856,4 +10954,5 @@ def oracle_sql() -> dict[str, str]:
         "order_deps_lineitem": SQL_ORDER_DEPS_LINEITEM,
         "neyman_events": SQL_NEYMAN_EVENTS,
         "neyman_sample_events": SQL_NEYMAN_SAMPLE_EVENTS,
+        "seasonal_volume_events": SQL_SEASONAL_VOLUME_EVENTS,
     }

@@ -1507,6 +1507,142 @@ def volume_anomalies(
     ).withColumnRenamed("value", "n_rows")
 
 
+def seasonal_volume_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: Sequence[str],
+    c: int = 3,
+    bucket_seconds: int = 86400,
+    period_buckets: int = 7,
+    min_per_phase: int = 3,
+    min_buckets: int = 14,
+) -> DataFrame:
+    """Seasonality-adjusted arrival-volume anomalies: the weekday/
+    weekend (or any fixed-period) cycle is REMOVED before the robust
+    deviation test, so a source whose Sundays are always 20% of
+    Tuesdays stops paging every Sunday and still pages when a Sunday
+    arrives at half of *Sunday-normal*. :func:`volume_anomalies` scores
+    each bucket against the key's ONE median — on a strongly weekly
+    source, every weekend is an "anomaly" and a mid-week outage can
+    hide inside the weekday/weekend spread; the classic fix (public
+    textbook material: seasonal-naive decomposition, STL's seasonal
+    step) is to score each bucket against the median of its own PHASE
+    (same day-of-week for daily buckets / weekly period), then run the
+    robust test on the deseasonalized residuals.
+
+    Exact-integer discipline throughout (the mad_outlier_rows ladder,
+    one doubling per midpoint so no engine-dependent IEEE midpoint
+    division ever happens): counts quantize to micro-longs, the phase
+    median is carried as ``med2`` (2x), residuals as ``resid2_micro =
+    2*vm - med2_phase`` (2e6 x residual), the per-key center as the
+    two-middle sum of those (4e6 x), deviations as ``dev4_micro`` and
+    the MAD as ``mad8_micro`` (8e6 x) — the flag ``2*dev4 > c*mad8``
+    is an identity-exact rearrangement of |resid - med(resid)| >
+    c*MAD(resid).
+
+    A bucket only gets a verdict when its (key, phase) has at least
+    ``min_per_phase`` observed buckets (a phase median of one point
+    declares itself normal) AND its key has ``min_buckets`` scored
+    residuals (default 14 = two weeks of dailies). Zero-row buckets
+    are not synthesized — same contract and same companion advice as
+    ``volume_anomalies`` (pair with ``sequence_gaps`` for absence).
+
+    Scale shape: ONE (key, bucket) count groupBy collapses the raw
+    table to an O(keys x buckets) frame; every window/join after that
+    runs on the tiny count frame, partitioned by key — never
+    data-sized. Output (flagged buckets only): group cols,
+    ``bucket_start``, ``phase``, ``n_rows``, ``resid2_micro``,
+    ``dev4_micro``, ``mad8_micro``."""
+    keys = list(group_cols)
+    if not keys:
+        raise ValueError(
+            "seasonal_volume_anomalies: group_cols must be non-empty"
+        )
+    if int(bucket_seconds) < 1 or int(period_buckets) < 2:
+        raise ValueError(
+            "seasonal_volume_anomalies: need bucket_seconds >= 1 and "
+            f"period_buckets >= 2, got {bucket_seconds}/{period_buckets}"
+        )
+    if int(min_per_phase) < 1 or int(c) < 1:
+        raise ValueError(
+            "seasonal_volume_anomalies: need min_per_phase >= 1 and "
+            f"c >= 1, got {min_per_phase}/{c}"
+        )
+    missing = [x for x in keys + [ts_col] if x not in df.columns]
+    if missing:
+        raise ValueError(
+            f"seasonal_volume_anomalies: frame lacks columns {missing}"
+        )
+    dtype = dict(df.dtypes)[ts_col]
+    sec = (
+        F.col(ts_col).cast("timestamp_ltz").cast("double")
+        if dtype.startswith("timestamp")
+        else F.col(ts_col).cast("double")
+    )
+    bs, period = int(bucket_seconds), int(period_buckets)
+    counts = (
+        df.where(F.col(ts_col).isNotNull())
+        .withColumn("__b", F.floor(sec / F.lit(float(bs))).cast("long"))
+        .groupBy(*keys, "__b")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            *keys,
+            (F.col("__b") * F.lit(bs)).alias("bucket_start"),
+            F.pmod(F.col("__b"), F.lit(period)).cast("long").alias("phase"),
+            "n_rows",
+            (F.col("n_rows") * F.lit(1000000)).cast("long").alias("__vm"),
+        )
+    )
+
+    def _two_mid_sum(frame, grp, order_col, out_name):
+        w = Window.partitionBy(*[F.col(g) for g in grp]).orderBy(order_col)
+        wn = Window.partitionBy(*[F.col(g) for g in grp])
+        r = frame.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__n", F.count(F.lit(1)).over(wn)
+        )
+        lo = F.floor((F.col("__n") + 1) / 2)
+        hi = F.floor(F.col("__n") / 2) + 1
+        return r.groupBy(*grp).agg(
+            (
+                F.min(F.when(F.col("__rn") == lo, F.col(order_col)))
+                + F.min(F.when(F.col("__rn") == hi, F.col(order_col)))
+            ).alias(out_name),
+            F.max("__n").alias("__n"),
+        )
+
+    phase_keys = keys + ["phase"]
+    pmed = (
+        _two_mid_sum(counts, phase_keys, "__vm", "__pmed2")
+        .where(F.col("__n") >= int(min_per_phase))
+        .drop("__n")
+    )
+    resid = counts.join(F.broadcast(pmed), phase_keys).withColumn(
+        "__r2", F.lit(2) * F.col("__vm") - F.col("__pmed2")
+    )
+    center = (
+        _two_mid_sum(resid, keys, "__r2", "__cmed2")
+        .where(F.col("__n") >= int(min_buckets))
+        .drop("__n")
+    )
+    dev = resid.join(F.broadcast(center), keys).withColumn(
+        "__d4", F.abs(F.lit(2) * F.col("__r2") - F.col("__cmed2"))
+    )
+    mad = _two_mid_sum(dev, keys, "__d4", "__mad8").drop("__n")
+    return (
+        dev.join(F.broadcast(mad), keys)
+        .where(F.lit(2) * F.col("__d4") > F.lit(int(c)) * F.col("__mad8"))
+        .select(
+            *keys,
+            "bucket_start",
+            "phase",
+            "n_rows",
+            F.col("__r2").alias("resid2_micro"),
+            F.col("__d4").alias("dev4_micro"),
+            F.col("__mad8").alias("mad8_micro"),
+        )
+    )
+
+
 def heavy_changers(
     old: DataFrame,
     new: DataFrame,

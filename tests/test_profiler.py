@@ -587,3 +587,108 @@ def test_cell_coverage_three_dims_udf_free(spark):
     assert out.count() == 8
     assert out.where(out.status == "missing").count() == 6
     assert not has_python_udf(out)
+
+
+# ----------------------------------------------- seasonal_volume_anomalies
+
+
+def _svc_rows():
+    """30 days of hourly-ish events for one source with a hard weekly
+    cycle: weekdays ~100 rows/day, weekends ~20 — plus day 17 (a
+    Wednesday-phase day) starved to 30, which raw per-key MAD would
+    bury inside the weekday/weekend spread but phase-adjusted MAD must
+    flag; and day 20 (a weekend phase) starved to 4."""
+    rows = []
+    for day in range(30):
+        phase = day % 7
+        n = 20 if phase in (5, 6) else 100
+        if day == 17:
+            n = 30
+        if day == 20:
+            n = 4
+        for i in range(n):
+            rows.append(("web", day * 86400.0 + i * 60.0))
+    return rows
+
+
+def test_seasonal_volume_flags_phase_relative_outage(spark):
+    from pandera_forge_spark.validator import (
+        seasonal_volume_anomalies,
+        volume_anomalies,
+    )
+
+    df = spark.createDataFrame(_svc_rows(), "src string, ts double")
+    got = seasonal_volume_anomalies(
+        df, "ts", ["src"], c=3, min_per_phase=3, min_buckets=14
+    ).collect()
+    flagged_days = sorted(r["bucket_start"] // 86400 for r in got)
+    assert 17 in flagged_days and 20 in flagged_days
+    # healthy weekends must NOT be flagged (raw MAD would flag them or
+    # the starved weekday, depending on the mix — the point of phasing)
+    healthy_weekends = {d for d in range(30) if d % 7 in (5, 6)} - {20}
+    assert not (set(flagged_days) & healthy_weekends)
+    for r in got:
+        assert r["phase"] == (r["bucket_start"] // 86400) % 7
+
+
+def test_seasonal_volume_python_replay(spark):
+    from collections import defaultdict
+
+    from pandera_forge_spark.validator import seasonal_volume_anomalies
+
+    df = spark.createDataFrame(_svc_rows(), "src string, ts double")
+    got = {
+        r["bucket_start"]: (r["resid2_micro"], r["dev4_micro"], r["mad8_micro"])
+        for r in seasonal_volume_anomalies(df, "ts", ["src"], c=3).collect()
+    }
+    # replay: counts -> phase med2 -> resid2 -> center med2 -> d4 -> mad8
+    day_n = defaultdict(int)
+    for _, ts in _svc_rows():
+        day_n[int(ts // 86400)] += 1
+    vm = {d: n * 1000000 for d, n in day_n.items()}
+
+    def med2(vals):
+        s = sorted(vals)
+        n = len(s)
+        return s[(n + 1) // 2 - 1] + s[n // 2]
+
+    by_phase = defaultdict(list)
+    for d, v in vm.items():
+        by_phase[d % 7].append(v)
+    pmed = {p: med2(vs) for p, vs in by_phase.items() if len(vs) >= 3}
+    r2 = {d: 2 * v - pmed[d % 7] for d, v in vm.items() if d % 7 in pmed}
+    cmed2 = med2(list(r2.values()))
+    d4 = {d: abs(2 * v - cmed2) for d, v in r2.items()}
+    mad8 = med2(list(d4.values()))
+    expect = {
+        d * 86400: (r2[d], d4[d], mad8)
+        for d in r2
+        if 2 * d4[d] > 3 * mad8
+    }
+    assert got == expect
+
+
+def test_seasonal_volume_contracts(spark):
+    import pytest
+
+    from pandera_forge_spark.plans.inspect import has_python_udf
+    from pandera_forge_spark.validator import seasonal_volume_anomalies
+
+    df = spark.createDataFrame(_svc_rows(), "src string, ts double")
+    assert not has_python_udf(
+        seasonal_volume_anomalies(df, "ts", ["src"])
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        seasonal_volume_anomalies(df, "ts", [])
+    with pytest.raises(ValueError, match="period_buckets"):
+        seasonal_volume_anomalies(df, "ts", ["src"], period_buckets=1)
+    with pytest.raises(ValueError, match="lacks columns"):
+        seasonal_volume_anomalies(df, "nope", ["src"])
+    # sparse phases (min_per_phase unmet) produce no verdicts at all
+    tiny = spark.createDataFrame(_svc_rows()[:300], "src string, ts double")
+    assert (
+        seasonal_volume_anomalies(
+            tiny, "ts", ["src"], min_per_phase=5, min_buckets=14
+        ).count()
+        == 0
+    )
