@@ -9072,6 +9072,29 @@ ORDER BY dev.event_type, bucket_start
 """
 
 
+def q_dense_ids_docs(spark, sf_dir):
+    """Dense surrogate ids (sampling.dense_ids): every document gets a
+    gap-free 0..n-1 long in md5 hash order via the two-phase bucketed
+    rank (NO single-partition stage — plan-asserted in pytest). The
+    oracle is the one-line global window DuckDB can afford at this
+    scale; equality proves the bucket/offset decomposition IS the
+    global order."""
+    from pandera_forge_spark.operators.sampling import dense_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dense_ids(docs.select("doc_id"), "doc_id", n_buckets=64)
+    return out.orderBy("doc_id")
+
+
+SQL_DENSE_IDS_DOCS = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (
+         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       ) - 1 AS dense_id
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_seasonal_volume_events(spark, sf_dir):
     """Seasonality-adjusted volume anomalies (validator.
     seasonal_volume_anomalies): a weekly cycle is PLANTED (weekend-
@@ -10735,6 +10758,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # differential + full-python-replay + fence pytests, strict
         # sweep green at BOTH SFs ----------------------------------------------
         "seasonal_volume_events": q_seasonal_volume_events,
+        # dense_ids_docs: this-session tail row; the md5 rank order is
+        # stratified_take's r3-green discipline and the bucket/offset
+        # two-phase is shuffle_shards' r4-green shape — the new part
+        # is the gap-free global rank equivalence; global-order-replay
+        # + partition/bucket-independence + no-SinglePartition plan
+        # pytests, strict sweep green at BOTH SFs -------------------------------
+        "dense_ids_docs": q_dense_ids_docs,
     }
 
 
@@ -10955,4 +10985,5 @@ def oracle_sql() -> dict[str, str]:
         "neyman_events": SQL_NEYMAN_EVENTS,
         "neyman_sample_events": SQL_NEYMAN_SAMPLE_EVENTS,
         "seasonal_volume_events": SQL_SEASONAL_VOLUME_EVENTS,
+        "dense_ids_docs": SQL_DENSE_IDS_DOCS,
     }

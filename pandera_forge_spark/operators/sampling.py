@@ -962,3 +962,87 @@ def neyman_sample(
         if int(r["alloc"]) > 0
     }
     return _ranked_quota_take(df, strata, quotas, id_col)
+
+
+def dense_ids(
+    df: DataFrame,
+    id_col: str,
+    out_col: str = "dense_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic DENSE surrogate ids 0..n-1 — what
+    ``monotonically_increasing_id`` refuses to be (it is sparse and
+    partitioning-dependent) and what a naive global
+    ``row_number() OVER (ORDER BY ...)`` only delivers by moving the
+    whole table through ONE task. Embedding matrices, vocab tables and
+    negative samplers all need exactly this: a stable, gap-free long
+    per row that every re-run of the pipeline reproduces bit-for-bit.
+
+    Order is the md5 hash of the id's string form (ties broken by the
+    id itself) — the same engine-replayable uniform order every
+    deterministic sampler in this module uses, so the assignment is
+    independent of partitioning, cluster size, and engine.
+
+    Scale shape (the two-phase rank): rows route to ``n_buckets``
+    hash-RANGE buckets (the md5 prefix fraction, monotone in the full
+    key, so bucket-then-key order IS global key order); per-bucket
+    counts (an O(n_buckets) frame) come to the driver once and turn
+    into exclusive prefix-sum offsets broadcast back; each bucket then
+    ranks its own ~n/n_buckets rows in an ordinary partitioned window
+    and adds its offset. Two shuffles of the carried rows, NO
+    single-partition stage — the thing this operator exists to avoid.
+
+    NULL ids raise IN-BAND (a dense id for "no identity" is a bug
+    upstream, not a rank). Duplicate ids are allowed and receive
+    consecutive dense ids (they are interchangeable under the hash
+    order)."""
+    if id_col not in df.columns:
+        raise ValueError(f"dense_ids: column {id_col!r} missing")
+    if out_col in df.columns:
+        raise ValueError(
+            f"dense_ids: output column {out_col!r} already exists"
+        )
+    for c in ("__key", "__bkt", "__off", "__rk"):
+        if c in df.columns:
+            raise ValueError(
+                f"dense_ids: input column {c!r} collides with an internal "
+                "working name — rename it"
+            )
+    nb = int(n_buckets)
+    if nb < 1:
+        raise ValueError(f"dense_ids: n_buckets must be >= 1, got {nb}")
+    key = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(f"dense_ids: NULL id in column {id_col!r}")
+        ).cast("string"),
+    ).otherwise(_rank_key(id_col))
+    keyed = df.withColumn("__key", key).withColumn(
+        "__bkt",
+        F.least(
+            F.floor(_key_fraction(F.col("__key")) * F.lit(float(nb))),
+            F.lit(nb - 1),
+        ).cast("int"),
+    )
+    counts = {
+        r["__bkt"]: r["__c"]
+        for r in keyed.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for b in range(nb):
+        offsets.append((b, acc))
+        acc += counts.get(b, 0)
+    odf = df.sparkSession.createDataFrame(
+        offsets, "__bkt int, __off long"
+    )
+    w = Window.partitionBy("__bkt").orderBy(F.col("__key"), F.col(id_col))
+    return (
+        keyed.join(F.broadcast(odf), "__bkt")
+        .withColumn("__rk", F.row_number().over(w))
+        .withColumn(
+            out_col, (F.col("__off") + F.col("__rk") - F.lit(1)).cast("long")
+        )
+        .drop("__key", "__bkt", "__off", "__rk")
+    )

@@ -704,3 +704,65 @@ def test_neyman_sample_takes_designed_quotas(spark):
     for g, n in alloc.items():
         expect = {t[2] for t in sorted(by_grp[g])[:n]}
         assert {r["id"] for r in got if r["grp"] == g} == expect
+
+
+# ----------------------------------------------------------------- dense_ids
+
+
+def test_dense_ids_match_global_hash_order(spark):
+    import hashlib
+
+    from pandera_forge_spark.operators.sampling import dense_ids
+
+    ids = [f"doc{i}" for i in range(500)]
+    df = spark.createDataFrame([(x,) for x in ids], "id string")
+    got = {r["id"]: r["dense_id"] for r in dense_ids(df, "id").collect()}
+    order = sorted(ids, key=lambda x: (hashlib.md5(x.encode()).hexdigest(), x))
+    expect = {x: i for i, x in enumerate(order)}
+    assert got == expect
+    # dense and gap-free
+    assert sorted(got.values()) == list(range(500))
+
+
+def test_dense_ids_partition_and_bucket_independent(spark):
+    from pandera_forge_spark.operators.sampling import dense_ids
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    a = {r["id"]: r["dense_id"] for r in dense_ids(df.repartition(1), "id").collect()}
+    b = {
+        r["id"]: r["dense_id"]
+        for r in dense_ids(df.repartition(17), "id", n_buckets=8).collect()
+    }
+    assert a == b
+
+
+def test_dense_ids_no_single_partition_window(spark):
+    from pandera_forge_spark.operators.sampling import dense_ids
+    from pandera_forge_spark.plans.inspect import executed_plan, has_python_udf
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    out = dense_ids(df, "id", n_buckets=16)
+    assert not has_python_udf(out)
+    plan = executed_plan(out)
+    assert "SinglePartition" not in plan, plan
+
+
+def test_dense_ids_contracts(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.sampling import dense_ids
+
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    with pytest.raises(ValueError, match="missing"):
+        dense_ids(df, "nope")
+    with pytest.raises(ValueError, match="already exists"):
+        dense_ids(df.withColumn("dense_id", F.lit(1)), "id")
+    with pytest.raises(ValueError, match="n_buckets"):
+        dense_ids(df, "id", n_buckets=0)
+    with pytest.raises(Exception, match="NULL id"):
+        bad = spark.createDataFrame([(1,), (None,)], "id long")
+        dense_ids(bad, "id").collect()
+    # duplicates get consecutive distinct dense ids
+    dup = spark.createDataFrame([("a",), ("a",), ("b",)], "id string")
+    got = dense_ids(dup, "id").collect()
+    assert sorted(r["dense_id"] for r in got) == [0, 1, 2]
