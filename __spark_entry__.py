@@ -9072,6 +9072,55 @@ ORDER BY dev.event_type, bucket_start
 """
 
 
+def q_json_schema_apply(spark, sf_dir):
+    """JSON schema inference + typed materialization (profiler.
+    infer_json_schema / apply_json_schema): a NESTED payload is
+    synthesized from events columns (object-in-object + array), the
+    variant aggregate must recover exactly
+    STRUCT<n: ARRAY<BIGINT>, u: STRUCT<id: BIGINT, t: STRING>>
+    (asserted loudly — a drifted inference fails the query, not just
+    the hash), and the typed extraction's VALUES are what the oracle
+    recomputes straight from the source columns: wrong inference =>
+    NULLed fields => value mismatch."""
+    from pandera_forge_spark.profiler import apply_json_schema, infer_json_schema
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 11 == 0)
+    payload = F.concat(
+        F.lit('{"u":{"id":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"t":"'),
+        F.col("event_type"),
+        F.lit('"},"n":['),
+        (F.col("event_id") % 5).cast("string"),
+        F.lit(","),
+        (F.col("user_id") % 7).cast("string"),
+        F.lit("]}"),
+    )
+    src = ev.select("event_id", payload.alias("payload"))
+    ddl = infer_json_schema(src, "payload")
+    expected = "STRUCT<n: ARRAY<BIGINT>, u: STRUCT<id: BIGINT, t: STRING>>"
+    if ddl != expected:
+        raise ValueError(
+            f"json_schema_apply: inference drifted — got {ddl!r}"
+        )
+    typed = apply_json_schema(src, "payload", ddl)
+    return typed.select(
+        "event_id",
+        F.col("parsed.u.id").alias("uid"),
+        F.col("parsed.u.t").alias("ut"),
+        F.element_at("parsed.n", 1).alias("n0"),
+        F.element_at("parsed.n", 2).alias("n1"),
+    ).orderBy("event_id")
+
+
+SQL_JSON_SCHEMA_APPLY = """
+SELECT event_id, user_id AS uid, event_type AS ut,
+       CAST(event_id % 5 AS BIGINT) AS n0,
+       CAST(user_id % 7 AS BIGINT) AS n1
+FROM events WHERE event_id % 11 = 0 ORDER BY event_id
+"""
+
+
 def q_dense_ids_docs(spark, sf_dir):
     """Dense surrogate ids (sampling.dense_ids): every document gets a
     gap-free 0..n-1 long in md5 hash order via the two-phase bucketed
@@ -10765,6 +10814,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + partition/bucket-independence + no-SinglePartition plan
         # pytests, strict sweep green at BOTH SFs -------------------------------
         "dense_ids_docs": q_dense_ids_docs,
+        # json_schema_apply: this-session tail row; the from_json
+        # typed extraction is json_health/json_key_census' JVM-parser
+        # family (green sweep) — the new part is the variant-aggregate
+        # inference feeding it, asserted in-query against the exact
+        # expected DDL; recursive-type + conflict-variant + contract
+        # pytests, strict sweep green at BOTH SFs -------------------------------
+        "json_schema_apply": q_json_schema_apply,
     }
 
 
@@ -10986,4 +11042,5 @@ def oracle_sql() -> dict[str, str]:
         "neyman_sample_events": SQL_NEYMAN_SAMPLE_EVENTS,
         "seasonal_volume_events": SQL_SEASONAL_VOLUME_EVENTS,
         "dense_ids_docs": SQL_DENSE_IDS_DOCS,
+        "json_schema_apply": SQL_JSON_SCHEMA_APPLY,
     }

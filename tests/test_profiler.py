@@ -692,3 +692,53 @@ def test_seasonal_volume_contracts(spark):
         ).count()
         == 0
     )
+
+
+# ------------------------------------------------ infer/apply json schema
+
+
+def test_infer_json_schema_recursive_types(spark):
+    from pandera_forge_spark.profiler import apply_json_schema, infer_json_schema
+
+    df = spark.createDataFrame(
+        [
+            ('{"a": 1, "b": {"c": "x", "d": [1, 2]}}',),
+            ('{"a": 2, "b": {"c": "y"}, "e": true}',),
+            ("not json",),
+            (None,),
+        ],
+        "s string",
+    )
+    ddl = infer_json_schema(df, "s")
+    assert ddl == "STRUCT<a: BIGINT, b: STRUCT<c: STRING, d: ARRAY<BIGINT>>, e: BOOLEAN>"
+    typed = apply_json_schema(df, "s", ddl).select("parsed.*")
+    rows = typed.orderBy(F.col("a").asc_nulls_last()).collect()
+    assert rows[0]["a"] == 1 and rows[0]["b"]["d"] == [1, 2]
+    assert rows[1]["e"] is True and rows[1]["b"]["c"] == "y"
+    assert rows[2]["a"] is None  # unparseable -> all-NULL fields
+
+
+def test_infer_json_schema_conflicts_go_variant(spark):
+    from pandera_forge_spark.profiler import infer_json_schema
+
+    df = spark.createDataFrame(
+        [('{"k": 1}',), ('{"k": "one"}',)], "s string"
+    )
+    assert infer_json_schema(df, "s") == "STRUCT<k: VARIANT>"
+
+
+def test_apply_json_schema_contracts(spark):
+    import pytest
+
+    from pandera_forge_spark.plans.inspect import has_python_udf
+    from pandera_forge_spark.profiler import apply_json_schema, infer_json_schema
+
+    df = spark.createDataFrame([('{"k": 1}',)], "s string")
+    assert not has_python_udf(apply_json_schema(df, "s"))
+    with pytest.raises(ValueError, match="not in frame"):
+        infer_json_schema(df, "nope")
+    with pytest.raises(ValueError, match="already exists"):
+        apply_json_schema(df.withColumn("parsed", F.lit(1)), "s")
+    with pytest.raises(ValueError, match="no object structure"):
+        junk = spark.createDataFrame([("nope",), (None,)], "s string")
+        apply_json_schema(junk, "s")
