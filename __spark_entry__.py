@@ -9072,6 +9072,49 @@ ORDER BY dev.event_type, bucket_start
 """
 
 
+def q_unseen_mass_lineitem(spark, sf_dir):
+    """Good–Turing enum screen (profiler.unseen_mass) over two honest
+    enums (returnflag/linestatus: zero hapaxes -> enum_safe), a small
+    numeric domain (linenumber) and an id-like key column (suppkey:
+    hapax-heavy -> enum_risky even though its distinct count at sf0.001
+    could fool the magic-10 rule). The oracle replays the melt, the
+    hapax census, and the verdict thresholds."""
+    from pandera_forge_spark.profiler import unseen_mass
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = unseen_mass(
+        li,
+        ["l_returnflag", "l_linestatus", "l_linenumber", "l_suppkey"],
+        max_unseen=0.0001,
+    )
+    return out.orderBy("column")
+
+
+SQL_UNSEEN_MASS_LINEITEM = """
+WITH m AS (
+  SELECT 'l_returnflag' AS col, CAST(l_returnflag AS VARCHAR) AS value FROM lineitem
+  UNION ALL SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR) FROM lineitem
+  UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
+  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+), c AS (
+  SELECT col, value, COUNT(*) AS n FROM m WHERE value IS NOT NULL GROUP BY 1, 2
+), p AS (
+  SELECT col, CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(COALESCE(SUM(CASE WHEN n = 1 THEN 1 END), 0) AS BIGINT) AS n_once
+  FROM c GROUP BY 1
+)
+SELECT col AS "column", n_rows, n_distinct, n_once,
+       CASE WHEN n_rows > 0
+            THEN CAST(n_once AS DOUBLE) / CAST(n_rows AS DOUBLE) END AS gt_unseen,
+       CASE WHEN n_rows < 100 THEN 'low_support'
+            WHEN CAST(n_once AS DOUBLE) <= 0.0001 * CAST(n_rows AS DOUBLE)
+            THEN 'enum_safe'
+            ELSE 'enum_risky' END AS verdict
+FROM p ORDER BY "column"
+"""
+
+
 def q_json_schema_apply(spark, sf_dir):
     """JSON schema inference + typed materialization (profiler.
     infer_json_schema / apply_json_schema): a NESTED payload is
@@ -10821,6 +10864,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # expected DDL; recursive-type + conflict-variant + contract
         # pytests, strict sweep green at BOTH SFs -------------------------------
         "json_schema_apply": q_json_schema_apply,
+        # unseen_mass_lineitem: this-session tail row; the melt +
+        # value census is the shared top-k idiom (topk_returnflag,
+        # r3-green) and the fused verdict tree residue_census's
+        # discipline — the new part is the hapax/Good-Turing algebra;
+        # enum-vs-id differential + threshold-flip + low-support
+        # pytests, strict sweep green at BOTH SFs -------------------------------
+        "unseen_mass_lineitem": q_unseen_mass_lineitem,
     }
 
 
@@ -11043,4 +11093,5 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_volume_events": SQL_SEASONAL_VOLUME_EVENTS,
         "dense_ids_docs": SQL_DENSE_IDS_DOCS,
         "json_schema_apply": SQL_JSON_SCHEMA_APPLY,
+        "unseen_mass_lineitem": SQL_UNSEEN_MASS_LINEITEM,
     }

@@ -2278,3 +2278,95 @@ def apply_json_schema(
     return df.withColumn(
         out_col, F.from_json(F.col(col).cast("string"), ddl)
     )
+
+
+def unseen_mass(
+    df: DataFrame,
+    cols: Sequence[str],
+    max_unseen: float = 0.0001,
+    min_rows: int = 100,
+) -> DataFrame:
+    """Good–Turing screen for the reference's enum rule: "distinct <=
+    10 => emit an isin check" (``ISIN_MAX_DISTINCT``, reference
+    field_analyzer.py:70) freezes today's value set into a constraint
+    with no idea how likely TOMORROW's batch is to contain a value
+    never seen — which is exactly what the Good–Turing estimator
+    quantifies (public material, Good 1953; the missing-mass bound of
+    McAllester–Schapire): the probability that the next draw is a new
+    value is ~``n1/N``, the frequency of frequency-one values. A
+    column whose every value repeats thousands of times earns its isin
+    check; a column with singletons does not, NO MATTER how few
+    distinct values it shows today.
+
+    Output, one row per column: ``column, n_rows, n_distinct, n_once
+    (hapaxes), gt_unseen (n1/N, one IEEE division), verdict`` —
+    ``enum_safe`` (gt_unseen <= max_unseen and support met),
+    ``enum_risky``, or ``low_support`` (n_rows < min_rows; with 50
+    rows even an honest enum can't prove itself). NULLs are excluded
+    (nullability is its own check family).
+
+    Scale shape: one melt projection (the shared top-k idiom) into ONE
+    (column, value) groupBy, then an O(distinct) second aggregate per
+    column — two shuffles, the second on a frame that is
+    value-census-sized, not data-sized. No UDF."""
+    cols = list(cols)
+    if not cols:
+        raise ValueError("unseen_mass: cols must be non-empty")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unseen_mass: frame lacks columns {missing}")
+    dtypes = dict(df.dtypes)
+    bad = [c for c in cols if not _is_simple(df.schema[c].dataType)]
+    if bad:
+        raise ValueError(
+            f"unseen_mass: nested/binary columns {bad} cannot be "
+            "value-censused — project them first"
+        )
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    counts = (
+        melted.where(F.col("value").isNotNull())
+        .groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    per = counts.groupBy("column").agg(
+        F.coalesce(F.sum("__c"), F.lit(0).cast("long")).alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.coalesce(
+            F.sum(F.when(F.col("__c") == 1, 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_once"),
+    )
+    gt = F.when(
+        F.col("n_rows") > 0,
+        F.col("n_once").cast("double") / F.col("n_rows").cast("double"),
+    )
+    verdict = (
+        F.when(F.col("n_rows") < int(min_rows), F.lit("low_support"))
+        .when(
+            F.col("n_once").cast("double")
+            <= float(max_unseen) * F.col("n_rows").cast("double"),
+            F.lit("enum_safe"),
+        )
+        .otherwise(F.lit("enum_risky"))
+    )
+    return per.select(
+        "column",
+        "n_rows",
+        "n_distinct",
+        "n_once",
+        gt.alias("gt_unseen"),
+        verdict.alias("verdict"),
+    )

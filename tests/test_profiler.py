@@ -742,3 +742,55 @@ def test_apply_json_schema_contracts(spark):
     with pytest.raises(ValueError, match="no object structure"):
         junk = spark.createDataFrame([("nope",), (None,)], "s string")
         apply_json_schema(junk, "s")
+
+
+# ------------------------------------------------------------- unseen_mass
+
+
+def test_unseen_mass_separates_enum_from_idlike(spark):
+    from pandera_forge_spark.profiler import unseen_mass
+
+    rows = []
+    for i in range(300):
+        rows.append((
+            ["A", "B", "C"][i % 3],          # honest enum: no hapaxes
+            f"sess-{i}",                      # id-like: all hapaxes
+            "X" if i else "RARE",             # one hapax in 300
+            None if i % 2 else "Y",           # nulls excluded
+        ))
+    df = spark.createDataFrame(rows, "enum string, sid string, near string, half string")
+    got = {r["column"]: r for r in unseen_mass(
+        df, ["enum", "sid", "near", "half"], max_unseen=0.01
+    ).collect()}
+    assert got["enum"]["verdict"] == "enum_safe"
+    assert got["enum"]["n_once"] == 0 and got["enum"]["gt_unseen"] == 0.0
+    assert got["sid"]["verdict"] == "enum_risky"
+    assert got["sid"]["gt_unseen"] == 1.0
+    # 1 hapax / 300 rows = 0.0033 > 0.01? no -> safe at 0.01
+    assert got["near"]["n_once"] == 1
+    assert got["near"]["verdict"] == "enum_safe"
+    assert got["half"]["n_rows"] == 150  # nulls dropped
+    # distinct<=10 would call sid-free enum on 3 values; the point is
+    # the ESTIMATOR gates it, so tighten the threshold and near flips
+    tight = {r["column"]: r["verdict"] for r in unseen_mass(
+        df, ["near"], max_unseen=0.001
+    ).collect()}
+    assert tight["near"] == "enum_risky"
+
+
+def test_unseen_mass_low_support_and_contracts(spark):
+    import pytest
+
+    from pandera_forge_spark.plans.inspect import has_python_udf
+    from pandera_forge_spark.profiler import unseen_mass
+
+    small = spark.createDataFrame([("a",)] * 10, "c string")
+    assert unseen_mass(small, ["c"]).collect()[0]["verdict"] == "low_support"
+    assert not has_python_udf(unseen_mass(small, ["c"]))
+    with pytest.raises(ValueError, match="non-empty"):
+        unseen_mass(small, [])
+    with pytest.raises(ValueError, match="lacks columns"):
+        unseen_mass(small, ["nope"])
+    nested = spark.createDataFrame([([1],)], "xs array<long>")
+    with pytest.raises(ValueError, match="nested"):
+        unseen_mass(nested, ["xs"])
