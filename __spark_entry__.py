@@ -9072,6 +9072,50 @@ ORDER BY dev.event_type, bucket_start
 """
 
 
+def q_overlap_census_keys(spark, sf_dir):
+    """Exact three-source Venn (discovery.overlap_census) over
+    customer keys as seen by three systems — the customer master,
+    the order fact's buyers, and a campaign slice (every 3rd key):
+    seven possible combinations, each count engine-checked. The
+    oracle derives each key's membership mask directly from the
+    defining predicates."""
+    from pandera_forge_spark.operators.discovery import overlap_census
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    buyers = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    campaign = cust.where(F.col("k") % 3 == 0)
+    out = overlap_census(
+        {"master": cust, "buyers": buyers, "campaign": campaign}, col="k"
+    )
+    return out.orderBy("sources")
+
+
+SQL_OVERLAP_CENSUS_KEYS = """
+WITH vals AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS value, 1 AS bit FROM customer GROUP BY 1, 2
+  UNION ALL
+  SELECT CAST(c_custkey AS VARCHAR), 4 FROM customer WHERE c_custkey % 3 = 0 GROUP BY 1, 2
+  UNION ALL
+  SELECT CAST(o_custkey AS VARCHAR), 2 FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1, 2
+), m AS (
+  SELECT value, CAST(SUM(bit) AS BIGINT) AS mask FROM vals GROUP BY 1
+)
+SELECT concat_ws(',',
+         CASE WHEN mask & 2 != 0 THEN 'buyers' END,
+         CASE WHEN mask & 4 != 0 THEN 'campaign' END,
+         CASE WHEN mask & 1 != 0 THEN 'master' END) AS sources,
+       CAST((CASE WHEN mask & 1 != 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN mask & 2 != 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN mask & 4 != 0 THEN 1 ELSE 0 END) AS INT) AS n_sources,
+       CAST(COUNT(*) AS BIGINT) AS n_values
+FROM m GROUP BY mask ORDER BY sources
+"""
+
+
 def q_unseen_mass_lineitem(spark, sf_dir):
     """Good–Turing enum screen (profiler.unseen_mass) over two honest
     enums (returnflag/linestatus: zero hapaxes -> enum_safe), a small
@@ -10871,6 +10915,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # enum-vs-id differential + threshold-flip + low-support
         # pytests, strict sweep green at BOTH SFs -------------------------------
         "unseen_mass_lineitem": q_unseen_mass_lineitem,
+        # overlap_census_keys: this-session tail row; the per-source
+        # distinct + union melt is join_key_discovery's in-window
+        # shape — the new part is the bitmask Venn rollup; exact-Venn
+        # + dedup/null + mapping/fence pytests, strict sweep green at
+        # BOTH SFs --------------------------------------------------------------
+        "overlap_census_keys": q_overlap_census_keys,
     }
 
 
@@ -11094,4 +11144,5 @@ def oracle_sql() -> dict[str, str]:
         "dense_ids_docs": SQL_DENSE_IDS_DOCS,
         "json_schema_apply": SQL_JSON_SCHEMA_APPLY,
         "unseen_mass_lineitem": SQL_UNSEEN_MASS_LINEITEM,
+        "overlap_census_keys": SQL_OVERLAP_CENSUS_KEYS,
     }

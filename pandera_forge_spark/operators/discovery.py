@@ -516,3 +516,99 @@ def order_dependencies(
     if not include_rejected:
         out = out.where(F.col("verdict") == "holds")
     return out
+
+
+def overlap_census(
+    frames: Mapping[str, DataFrame],
+    col: Optional[str] = None,
+    cols: Optional[Mapping[str, str]] = None,
+    max_sources: int = 8,
+) -> DataFrame:
+    """Exact multi-source Venn census: how do 2..``max_sources``
+    catalogs' value sets for one column actually overlap — not
+    pairwise containment (``join_key_candidates``) or a sketch
+    estimate (``sketches.kmv_overlap``) but the full combination
+    breakdown ("2.1M user_ids in all three systems, 40k only in CRM,
+    9 only in billing"), which is the migration/reconciliation
+    question pairwise numbers cannot answer (three pairwise overlaps
+    are consistent with MANY different triple intersections).
+
+    Mechanics: each source's DISTINCT values (cast to string, the
+    cross-width normalization `join_key_candidates` uses) tag with
+    that source's bit; one union + ONE groupBy(value) sums the
+    distinct powers of two into an exact membership mask; one
+    O(2^n_sources) rollup counts values per combination. Per-value
+    fanout is bounded by n_sources by construction — no skew possible.
+    Output: ``sources`` (comma-joined names, sorted), ``n_sources``,
+    ``n_values``; combinations with zero values emit no row.
+
+    Same float caveat as ``join_key_candidates``: string casts of
+    float/double are representation-sensitive — equality census on
+    floats is a modeling bug; this refuses them unless you pass the
+    column through ``cols`` deliberately after thinking."""
+    names = sorted(frames)
+    if len(names) < 2:
+        raise ValueError("overlap_census: need at least 2 sources")
+    if len(names) > int(max_sources):
+        raise ValueError(
+            f"overlap_census: {len(names)} sources exceed max_sources="
+            f"{max_sources} (output is O(2^n)) — raise the fence "
+            "deliberately"
+        )
+    if (col is None) == (cols is None):
+        raise ValueError(
+            "overlap_census: pass exactly one of col= (same name "
+            "everywhere) or cols= (per-source mapping)"
+        )
+    colmap = dict(cols) if cols is not None else {n: col for n in names}
+    missing = [n for n in names if n not in colmap]
+    if missing:
+        raise ValueError(f"overlap_census: cols lacks sources {missing}")
+    parts = []
+    for i, n in enumerate(names):
+        c = colmap[n]
+        dtypes = dict(frames[n].dtypes)
+        if c not in dtypes:
+            raise ValueError(
+                f"overlap_census: source {n!r} lacks column {c!r}"
+            )
+        if col is not None and dtypes[c] in ("float", "double"):
+            raise ValueError(
+                f"overlap_census: column {c!r} of source {n!r} is "
+                f"{dtypes[c]} — float equality census is a modeling "
+                "bug; pass cols= explicitly to override"
+            )
+        parts.append(
+            frames[n]
+            .where(F.col(c).isNotNull())
+            .select(F.col(c).cast("string").alias("value"))
+            .distinct()
+            .withColumn("__bit", F.lit(1 << i).cast("long"))
+        )
+    melted = reduce(lambda a, b: a.unionByName(b), parts)
+    masks = melted.groupBy("value").agg(F.sum("__bit").alias("__mask"))
+    label = F.concat_ws(
+        ",",
+        *[
+            F.when(
+                F.col("__mask").bitwiseAND(F.lit(1 << i)) != 0, F.lit(n)
+            )
+            for i, n in enumerate(names)
+        ],
+    )
+    n_src = reduce(
+        lambda a, b: a + b,
+        [
+            (F.col("__mask").bitwiseAND(F.lit(1 << i)) != 0).cast("int")
+            for i in range(len(names))
+        ],
+    )
+    return (
+        masks.groupBy("__mask")
+        .agg(F.count(F.lit(1)).alias("n_values"))
+        .select(
+            label.alias("sources"),
+            n_src.alias("n_sources"),
+            "n_values",
+        )
+    )

@@ -340,3 +340,64 @@ def test_order_dependencies_single_scan_udf_free(ordered):
     assert not has_python_udf(out)
     plan = executed_plan(out)
     assert "Join" not in plan, plan  # one fused agg, no self-join
+
+
+# ------------------------------------------------------------ overlap_census
+
+
+def test_overlap_census_exact_venn(spark):
+    from pandera_forge_spark.operators.discovery import overlap_census
+
+    a = spark.createDataFrame([(i,) for i in range(0, 10)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(5, 15)], "k long")
+    c = spark.createDataFrame([(i,) for i in range(8, 12)], "k long")
+    got = {
+        r["sources"]: (r["n_sources"], r["n_values"])
+        for r in overlap_census({"a": a, "b": b, "c": c}, col="k").collect()
+    }
+    # a only: 0-4 (5); b only: 12-14 (3); a&b: 5-7 (3);
+    # a&b&c: 8-9 (2); b&c: 10-11 (2); c only: none
+    assert got == {
+        "a": (1, 5),
+        "b": (1, 3),
+        "a,b": (2, 3),
+        "a,b,c": (3, 2),
+        "b,c": (2, 2),
+    }
+
+
+def test_overlap_census_dedups_and_null_drops(spark):
+    from pandera_forge_spark.operators.discovery import overlap_census
+
+    a = spark.createDataFrame([(1,), (1,), (None,)], "k long")  # dups+null
+    b = spark.createDataFrame([(1,), (2,)], "k long")
+    got = {
+        r["sources"]: r["n_values"]
+        for r in overlap_census({"a": a, "b": b}, col="k").collect()
+    }
+    assert got == {"a,b": 1, "b": 1}
+
+
+def test_overlap_census_cols_mapping_and_fences(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.discovery import overlap_census
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    a = spark.createDataFrame([(1,)], "x long")
+    b = spark.createDataFrame([(1,)], "y long")
+    got = overlap_census({"a": a, "b": b}, cols={"a": "x", "b": "y"}).collect()
+    assert got[0]["sources"] == "a,b" and got[0]["n_values"] == 1
+    assert not has_python_udf(overlap_census({"a": a, "b": b}, cols={"a": "x", "b": "y"}))
+    with pytest.raises(ValueError, match="at least 2"):
+        overlap_census({"a": a}, col="x")
+    with pytest.raises(ValueError, match="exactly one of"):
+        overlap_census({"a": a, "b": b})
+    with pytest.raises(ValueError, match="lacks column"):
+        overlap_census({"a": a, "b": b}, col="x")
+    f = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="float equality"):
+        overlap_census({"a": f, "b": f}, col="x")
+    many = {f"s{i}": a for i in range(9)}
+    with pytest.raises(ValueError, match="max_sources"):
+        overlap_census(many, col="x")
