@@ -9072,6 +9072,78 @@ ORDER BY dev.event_type, bucket_start
 """
 
 
+def q_rate_chart_events(spark, sf_dir):
+    """Violation-rate p-chart (validator.rate_control_chart): a
+    per-day verdict rate with a planted elevation (every 17th day gets
+    extra violations) judged against binomial limits around the pooled
+    rate — the full decision surface returned (include_ok=True) so the
+    oracle checks every limit, rate, and status, not just the flags."""
+    from pandera_forge_spark.validator import rate_control_chart
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    day = F.floor(
+        F.col("ts").cast("timestamp_ltz").cast("double") / F.lit(86400.0)
+    ).cast("long")
+    based = ev.withColumn("day", day).withColumn(
+        "viol",
+        (F.col("value") > 80.0)
+        | ((F.col("day") % 17 == 3) & (F.col("event_id") % 5 == 0)),
+    )
+    out = rate_control_chart(
+        based, "viol", ["day"], sigma=3, include_ok=True
+    )
+    return out.orderBy("day")
+
+
+SQL_RATE_CHART_EVENTS = """
+WITH ev AS (
+  SELECT CAST(FLOOR(epoch(ts) / 86400.0) AS BIGINT) AS day, event_id, value
+  FROM events WHERE ts IS NOT NULL
+),
+verd AS (
+  SELECT day,
+         (value > 80.0 OR (day % 17 = 3 AND event_id % 5 = 0)) AS viol
+  FROM ev
+),
+per AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COALESCE(SUM(CASE WHEN viol THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_violations
+  FROM verd WHERE viol IS NOT NULL GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS tn,
+         CAST(SUM(n_violations) AS BIGINT) AS tk FROM per
+)
+SELECT day, n_rows, n_violations,
+       CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE) AS rate,
+       CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE) AS p_bar,
+       GREATEST(CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE)
+                - 3.0 * sqrt(CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE)
+                             * (1.0 - CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE))
+                             / CAST(n_rows AS DOUBLE)), 0.0) AS lcl,
+       LEAST(CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE)
+             + 3.0 * sqrt(CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE)
+                          * (1.0 - CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE))
+                          / CAST(n_rows AS DOUBLE)), 1.0) AS ucl,
+       CASE WHEN n_rows < 30 THEN 'low_support'
+            WHEN CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                 > LEAST(CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE)
+                         + 3.0 * sqrt(CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE)
+                                      * (1.0 - CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE))
+                                      / CAST(n_rows AS DOUBLE)), 1.0)
+            THEN 'high'
+            WHEN CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                 < GREATEST(CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE)
+                            - 3.0 * sqrt(CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE)
+                                         * (1.0 - CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE))
+                                         / CAST(n_rows AS DOUBLE)), 0.0)
+            THEN 'low'
+            ELSE 'ok' END AS status
+FROM per, tot ORDER BY day
+"""
+
+
 def q_overlap_census_keys(spark, sf_dir):
     """Exact three-source Venn (discovery.overlap_census) over
     customer keys as seen by three systems — the customer master,
@@ -10921,6 +10993,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + dedup/null + mapping/fence pytests, strict sweep green at
         # BOTH SFs --------------------------------------------------------------
         "overlap_census_keys": q_overlap_census_keys,
+        # rate_chart_events: this-session tail row; the per-batch
+        # verdict counts are quarantine_counts' r4-green shape and the
+        # 1-row pooled broadcast decayed_counts' — the new part is the
+        # binomial limit algebra; n-scaled differential (same 5% rate
+        # flags at n=1000, ok at n=40) + exact-limit replay +
+        # too-clean-is-a-finding pytests, strict sweep green at
+        # BOTH SFs --------------------------------------------------------------
+        "rate_chart_events": q_rate_chart_events,
     }
 
 
@@ -11145,4 +11225,5 @@ def oracle_sql() -> dict[str, str]:
         "json_schema_apply": SQL_JSON_SCHEMA_APPLY,
         "unseen_mass_lineitem": SQL_UNSEEN_MASS_LINEITEM,
         "overlap_census_keys": SQL_OVERLAP_CENSUS_KEYS,
+        "rate_chart_events": SQL_RATE_CHART_EVENTS,
     }

@@ -1697,3 +1697,95 @@ def heavy_changers(
         .orderBy(F.abs(F.col("delta")).desc(), *[F.col(c).asc() for c in keys])
         .limit(int(k))
     )
+
+
+def rate_control_chart(
+    df: DataFrame,
+    verdict_col: str,
+    batch_cols: Sequence[str],
+    sigma: int = 3,
+    min_batch_rows: int = 30,
+    include_ok: bool = False,
+) -> DataFrame:
+    """Shewhart p-chart over violation rates: each batch's (partition's,
+    day's) violation RATE is judged against binomial control limits
+    around the pooled rate — ``p̄ ± sigma*sqrt(p̄(1-p̄)/n_batch)`` (the
+    classic attribute chart, public material: Shewhart; Montgomery,
+    "Statistical Quality Control"). ``cusum_scores`` finds sustained
+    mean SHIFTS in a numeric series; this answers the simpler
+    every-run question: is THIS batch's failure rate consistent with
+    the process, given its own size? A 0.9% day in a 0.5% process is
+    noise at n=500 and a five-alarm fire at n=5,000,000 — the limits
+    scale with n, a fixed threshold cannot.
+
+    Verdict input: boolean or 0/1 (violations are TRUE/1; NULL counts
+    as no verdict and is excluded from n). Limits clamp to [0, 1].
+    Batches under ``min_batch_rows`` report ``low_support`` rather
+    than a verdict. Output per batch: batch cols, ``n_rows``,
+    ``n_violations``, ``rate``, ``p_bar``, ``lcl``, ``ucl``, ``status``
+    in (``high``, ``low``, ``ok``, ``low_support``);
+    ``include_ok=False`` (default) returns only the actionable rows.
+
+    Determinism: counts are exact longs; ``p̄``, the limits and the
+    comparison run through a FIXED sequence of IEEE double ops, so the
+    chart replays bit-for-bit in any engine. Scale shape: ONE
+    groupBy(batch) with algebraic counts, one 1-row pooled broadcast —
+    the chart frame is O(batches), never data-sized."""
+    batches = list(batch_cols)
+    if not batches:
+        raise ValueError("rate_control_chart: batch_cols must be non-empty")
+    if int(sigma) < 1:
+        raise ValueError(
+            f"rate_control_chart: sigma must be >= 1, got {sigma}"
+        )
+    missing = [c for c in batches + [verdict_col] if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"rate_control_chart: frame lacks columns {missing}"
+        )
+    v = F.col(verdict_col).cast("boolean")
+    per = (
+        df.where(v.isNotNull())
+        .groupBy(*batches)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.sum(v.cast("long")), F.lit(0).cast("long")).alias(
+                "n_violations"
+            ),
+        )
+    )
+    totals = per.agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0).cast("long")).alias("__tn"),
+        F.coalesce(F.sum("n_violations"), F.lit(0).cast("long")).alias(
+            "__tk"
+        ),
+    )
+    sized = per.crossJoin(F.broadcast(totals))
+    p_bar = F.col("__tk").cast("double") / F.col("__tn").cast("double")
+    half = F.lit(float(int(sigma))) * F.sqrt(
+        p_bar * (F.lit(1.0) - p_bar) / F.col("n_rows").cast("double")
+    )
+    lcl = F.greatest(p_bar - half, F.lit(0.0))
+    ucl = F.least(p_bar + half, F.lit(1.0))
+    rate = F.col("n_violations").cast("double") / F.col("n_rows").cast(
+        "double"
+    )
+    status = (
+        F.when(F.col("n_rows") < int(min_batch_rows), F.lit("low_support"))
+        .when(rate > ucl, F.lit("high"))
+        .when(rate < lcl, F.lit("low"))
+        .otherwise(F.lit("ok"))
+    )
+    out = sized.select(
+        *batches,
+        "n_rows",
+        "n_violations",
+        rate.alias("rate"),
+        p_bar.alias("p_bar"),
+        lcl.alias("lcl"),
+        ucl.alias("ucl"),
+        status.alias("status"),
+    )
+    if not include_ok:
+        out = out.where(F.col("status") != "ok")
+    return out

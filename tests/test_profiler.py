@@ -794,3 +794,72 @@ def test_unseen_mass_low_support_and_contracts(spark):
     nested = spark.createDataFrame([([1],)], "xs array<long>")
     with pytest.raises(ValueError, match="nested"):
         unseen_mass(nested, ["xs"])
+
+
+# -------------------------------------------------------- rate_control_chart
+
+
+def test_rate_control_chart_flags_scaled_by_n(spark):
+    import math
+
+    from pandera_forge_spark.validator import rate_control_chart
+
+    rows = []
+    # 10 batches of 1000 at ~2% violations; batch 7 at 5%; a small
+    # batch (40 rows) at 5% that must stay ok (wide limits at small n)
+    for b in range(10):
+        bad = 50 if b == 7 else 20
+        for i in range(1000):
+            rows.append((f"b{b}", i < bad))
+    for i in range(40):
+        rows.append(("tiny", i < 2))
+    df = spark.createDataFrame(rows, "batch string, viol boolean")
+    got = {
+        r["batch"]: r
+        for r in rate_control_chart(df, "viol", ["batch"]).collect()
+    }
+    assert got["b7"]["status"] == "high"
+    assert "tiny" not in got or got["tiny"]["status"] == "ok"
+    assert set(got) == {"b7"}  # healthy batches suppressed by default
+    # replay the limits
+    tn, tk = 10 * 1000 + 40, 9 * 20 + 50 + 2
+    p = tk / tn
+    ucl = min(p + 3.0 * math.sqrt(p * (1.0 - p) / 1000.0), 1.0)
+    assert got["b7"]["ucl"] == ucl and got["b7"]["rate"] == 0.05
+    full = {
+        r["batch"]: r["status"]
+        for r in rate_control_chart(
+            df, "viol", ["batch"], include_ok=True
+        ).collect()
+    }
+    assert full["b0"] == "ok" and full["b7"] == "high"
+
+
+def test_rate_control_chart_low_and_contracts(spark):
+    import pytest
+
+    from pandera_forge_spark.plans.inspect import has_python_udf
+    from pandera_forge_spark.validator import rate_control_chart
+
+    rows = []
+    for b in range(6):
+        bad = 0 if b == 0 else 100
+        for i in range(1000):
+            rows.append((f"b{b}", 1 if i < bad else 0))
+    df = spark.createDataFrame(rows, "batch string, viol int")  # int verdicts
+    got = {
+        r["batch"]: r["status"]
+        for r in rate_control_chart(df, "viol", ["batch"]).collect()
+    }
+    assert got["b0"] == "low"  # suspiciously clean is ALSO a finding
+    small = spark.createDataFrame([("a", True)] * 10, "batch string, viol boolean")
+    assert rate_control_chart(small, "viol", ["batch"]).collect()[0][
+        "status"
+    ] == "low_support"
+    assert not has_python_udf(rate_control_chart(df, "viol", ["batch"]))
+    with pytest.raises(ValueError, match="non-empty"):
+        rate_control_chart(df, "viol", [])
+    with pytest.raises(ValueError, match="sigma"):
+        rate_control_chart(df, "viol", ["batch"], sigma=0)
+    with pytest.raises(ValueError, match="lacks columns"):
+        rate_control_chart(df, "nope", ["batch"])
