@@ -9072,6 +9072,61 @@ ORDER BY dev.event_type, bucket_start
 """
 
 
+def q_fd_repairs_orders(spark, sf_dir):
+    """FD repair election (validator.fd_repairs): order priority is
+    corrupted on line 3 of every 7th order ('X-CORRUPT') and NULLed on
+    line 4 — the election must return the true priority as majority,
+    count the corrupt + NULL rows as repairs, and share over non-null
+    votes only. The oracle replays the census, the (null-last, count,
+    value) election order, and both filters."""
+    from pandera_forge_spark.validator import fd_repairs
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 7 == 0)
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_orderkey").alias("k"),
+        F.when(F.col("l_linenumber") == 3, F.lit("X-CORRUPT"))
+        .when(F.col("l_linenumber") == 4, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+    )
+    out = fd_repairs(j, ["k"], "prio", min_share=0.5)
+    return out.orderBy("k")
+
+
+SQL_FD_REPAIRS_ORDERS = """
+WITH j AS (
+  SELECT l.l_orderkey AS k,
+         CASE WHEN l.l_linenumber = 3 THEN 'X-CORRUPT'
+              WHEN l.l_linenumber = 4 THEN NULL
+              ELSE o.o_orderpriority END AS prio
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_orderkey % 7 = 0
+),
+census AS (
+  SELECT k, prio, CAST(COUNT(*) AS BIGINT) AS c FROM j GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY k
+                       ORDER BY (prio IS NULL) ASC, c DESC, prio ASC) AS rn,
+    CAST(SUM(c) OVER (PARTITION BY k) AS BIGINT) AS n_rows,
+    CAST(SUM(CASE WHEN prio IS NOT NULL THEN 1 ELSE 0 END)
+         OVER (PARTITION BY k) AS BIGINT) AS n_values,
+    CAST(SUM(CASE WHEN prio IS NOT NULL THEN c ELSE 0 END)
+         OVER (PARTITION BY k) AS BIGINT) AS nn
+  FROM census
+)
+SELECT k, n_rows, n_values, prio AS majority_value,
+       CAST(c AS DOUBLE) / CAST(nn AS DOUBLE) AS majority_share,
+       CAST(n_rows - c AS BIGINT) AS n_repairs
+FROM ranked
+WHERE rn = 1 AND prio IS NOT NULL AND n_rows > c
+  AND CAST(c AS DOUBLE) / CAST(nn AS DOUBLE) >= 0.5
+ORDER BY k
+"""
+
+
 def q_rate_chart_events(spark, sf_dir):
     """Violation-rate p-chart (validator.rate_control_chart): a
     per-day verdict rate with a planted elevation (every 17th day gets
@@ -11001,6 +11056,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # too-clean-is-a-finding pytests, strict sweep green at
         # BOTH SFs --------------------------------------------------------------
         "rate_chart_events": q_rate_chart_events,
+        # fd_repairs_orders: this-session tail row; the (det, dep)
+        # value census is fd_source_lang's r4-green shape and the
+        # deterministic ranked election golden_user_contact's
+        # (in-window) — the new part is the repair/share algebra with
+        # null-repairable-not-electable; majority/tie/null/all-null
+        # differential + min_share pytests, strict sweep green at
+        # BOTH SFs --------------------------------------------------------------
+        "fd_repairs_orders": q_fd_repairs_orders,
     }
 
 
@@ -11226,4 +11289,5 @@ def oracle_sql() -> dict[str, str]:
         "unseen_mass_lineitem": SQL_UNSEEN_MASS_LINEITEM,
         "overlap_census_keys": SQL_OVERLAP_CENSUS_KEYS,
         "rate_chart_events": SQL_RATE_CHART_EVENTS,
+        "fd_repairs_orders": SQL_FD_REPAIRS_ORDERS,
     }

@@ -1789,3 +1789,101 @@ def rate_control_chart(
     if not include_ok:
         out = out.where(F.col("status") != "ok")
     return out
+
+
+def fd_repairs(
+    df: DataFrame,
+    determinant_cols: Sequence[str],
+    dependent_col: str,
+    min_share: float = 0.5,
+) -> DataFrame:
+    """Repair proposals for functional-dependency violations — the
+    actionable step after :func:`functional_dependency_violations`
+    says "these determinant groups disagree on the dependent": per
+    violating group, elect the MAJORITY dependent value (ties broken
+    deterministically: higher count, then smaller value — the
+    golden-record survivorship convention) and report how much of the
+    group it would repair. A group whose majority holds 99.8% is a
+    typo to fix; a 51/49 split is a modeling dispute to escalate, not
+    auto-repair — ``majority_share`` is the triage axis, and
+    ``min_share`` (default 0.5) suppresses proposals the caller
+    shouldn't trust.
+
+    NULL dependents are REPAIRABLE, never ELECTABLE: they count in
+    ``n_rows`` and ``n_repairs`` (imputation is a repair) but cannot
+    win the election; a group whose dependents are all NULL emits no
+    row (nothing to elect from). ``majority_share`` =
+    votes/non-null-votes — one IEEE division of exact longs.
+
+    Output per violating group: determinant cols, ``n_rows``,
+    ``n_values`` (distinct non-null dependents), ``majority_value``,
+    ``majority_share``, ``n_repairs`` (rows to rewrite). Only groups
+    with a genuine conflict (n_values > 1, or a NULL alongside one
+    value) appear.
+
+    Scale shape: ONE (determinants, dependent) groupBy collapses the
+    table to the value census (bounded by group x distinct-dependent
+    cardinality), then a census-sized window elects — the same
+    two-level shape as the FD check itself; no collect_list, no UDF."""
+    dets = list(determinant_cols)
+    if not dets:
+        raise ValueError("fd_repairs: determinant_cols must be non-empty")
+    if not 0.0 <= float(min_share) <= 1.0:
+        raise ValueError(
+            f"fd_repairs: min_share must be in [0, 1], got {min_share}"
+        )
+    missing = [c for c in dets + [dependent_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"fd_repairs: frame lacks columns {missing}")
+    reserved = ["__dep", "__c", "__rn", "n_rows", "n_values"]
+    clash = [c for c in reserved if c in dets]
+    if clash:
+        raise ValueError(
+            f"fd_repairs: determinant columns {clash} collide with "
+            "internal/output names — rename them"
+        )
+    census = (
+        df.select(*dets, F.col(dependent_col).alias("__dep"))
+        .groupBy(*dets, "__dep")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wn = Window.partitionBy(*dets)
+    w = Window.partitionBy(*dets).orderBy(
+        F.col("__dep").isNull().asc(),  # non-null candidates first
+        F.col("__c").desc(),
+        F.col("__dep").asc(),
+    )
+    ranked = (
+        census.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_rows", F.sum("__c").over(wn))
+        .withColumn(
+            "n_values",
+            F.sum(
+                F.when(F.col("__dep").isNotNull(), 1).otherwise(0)
+            ).over(wn),
+        )
+        .withColumn(
+            "__nn",
+            F.sum(
+                F.when(F.col("__dep").isNotNull(), F.col("__c")).otherwise(0)
+            ).over(wn),
+        )
+    )
+    out = (
+        ranked.where(
+            (F.col("__rn") == 1)
+            & F.col("__dep").isNotNull()  # all-NULL groups: nothing to elect
+            & (F.col("n_rows") > F.col("__c"))  # a genuine conflict exists
+        )
+        .select(
+            *dets,
+            "n_rows",
+            F.col("n_values").cast("long").alias("n_values"),
+            F.col("__dep").alias("majority_value"),
+            (
+                F.col("__c").cast("double") / F.col("__nn").cast("double")
+            ).alias("majority_share"),
+            (F.col("n_rows") - F.col("__c")).cast("long").alias("n_repairs"),
+        )
+    )
+    return out.where(F.col("majority_share") >= float(min_share))

@@ -863,3 +863,50 @@ def test_rate_control_chart_low_and_contracts(spark):
         rate_control_chart(df, "viol", ["batch"], sigma=0)
     with pytest.raises(ValueError, match="lacks columns"):
         rate_control_chart(df, "nope", ["batch"])
+
+
+# ----------------------------------------------------------------- fd_repairs
+
+
+def test_fd_repairs_elects_majority_with_ties(spark):
+    from pandera_forge_spark.validator import fd_repairs
+
+    rows = (
+        [("o1", "NL")] * 8 + [("o1", "nl")] * 2      # typo: 80% majority
+        + [("o2", "DE")] * 5 + [("o2", "FR")] * 5     # 50/50 tie -> min value
+        + [("o3", "US")] * 4                           # clean: no row
+        + [("o4", "BE")] * 3 + [("o4", None)] * 2      # NULLs repairable
+        + [("o5", None)] * 3                           # all-NULL: no row
+    )
+    df = spark.createDataFrame(rows, "order_id string, country string")
+    got = {r["order_id"]: r for r in fd_repairs(df, ["order_id"], "country").collect()}
+    assert set(got) == {"o1", "o2", "o4"}
+    assert got["o1"]["majority_value"] == "NL"
+    assert got["o1"]["majority_share"] == 0.8
+    assert got["o1"]["n_repairs"] == 2
+    assert got["o2"]["majority_value"] == "DE"  # tie -> smaller value
+    assert got["o2"]["majority_share"] == 0.5
+    assert got["o4"]["majority_value"] == "BE"
+    assert got["o4"]["n_repairs"] == 2 and got["o4"]["n_rows"] == 5
+    assert got["o4"]["majority_share"] == 1.0  # share over non-null votes
+    # min_share suppresses the 50/50 dispute
+    trusted = {r["order_id"] for r in fd_repairs(
+        df, ["order_id"], "country", min_share=0.6
+    ).collect()}
+    assert trusted == {"o1", "o4"}
+
+
+def test_fd_repairs_contracts(spark):
+    import pytest
+
+    from pandera_forge_spark.plans.inspect import has_python_udf
+    from pandera_forge_spark.validator import fd_repairs
+
+    df = spark.createDataFrame([("a", "x")], "k string, v string")
+    assert not has_python_udf(fd_repairs(df, ["k"], "v"))
+    with pytest.raises(ValueError, match="non-empty"):
+        fd_repairs(df, [], "v")
+    with pytest.raises(ValueError, match="min_share"):
+        fd_repairs(df, ["k"], "v", min_share=1.5)
+    with pytest.raises(ValueError, match="lacks columns"):
+        fd_repairs(df, ["k"], "nope")
