@@ -9072,6 +9072,75 @@ ORDER BY dev.event_type, bucket_start
 """
 
 
+def q_compact_equivalence(spark, sf_dir):
+    """Snapshot compaction (sources/versioned.py VersionedParquet.
+    compact — rewrite_data_files in miniature): three fragmented
+    append commits of orders slices, then compact(target_files=2).
+    The query asserts IN-BAND that the file count actually shrank and
+    that pre-/post-compaction time travel both still resolve, then
+    reports (version, rows, exact key-sum) for the last pre-compaction
+    snapshot AND the compacted one — the oracle derives both from the
+    orders table directly, so a lost or duplicated row in the rewrite
+    breaks the hash."""
+    import shutil
+    import tempfile
+
+    from pandera_forge_spark.sources.versioned import VersionedParquet
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    root = tempfile.mkdtemp(prefix="pfs_cmp_")
+    try:
+        vt = VersionedParquet(spark, root)
+        for r in (0, 1, 2):
+            vt.commit(
+                orders.where(F.col("o_orderkey") % 4 == r).repartition(4),
+                mode="append",
+            )
+        pre = vt.versions()[-1]
+        v = vt.compact(target_files=2)
+        post = [m for m in vt.versions() if m["version"] == v][0]
+        if not (
+            len(post["files"]) <= 2 < len(pre["files"])
+            and post["operation"] == "compact"
+        ):
+            raise ValueError(
+                "compact_equivalence: compaction did not shrink the file "
+                f"set ({len(pre['files'])} -> {len(post['files'])})"
+            )
+
+        def summarize(df, tag):
+            return (
+                df.agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("o_orderkey").alias("sum_key"),
+                )
+                .select(F.lit(tag).alias("version"), "n_rows", "sum_key")
+                .collect()[0]
+            )
+
+        rows = [
+            summarize(vt.read(version=pre["version"]), "pre"),
+            summarize(vt.read(version=v), "post"),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version string, n_rows long, sum_key long"
+    ).orderBy("version")
+
+
+SQL_COMPACT_EQUIVALENCE = """
+SELECT 'post' AS version, COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+UNION ALL
+SELECT 'pre' AS version, COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+ORDER BY version
+"""
+
+
 def q_fd_repairs_orders(spark, sf_dir):
     """FD repair election (validator.fd_repairs): order priority is
     corrupted on line 3 of every 7th order ('X-CORRUPT') and NULLed on
@@ -11064,6 +11133,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # differential + min_share pytests, strict sweep green at
         # BOTH SFs --------------------------------------------------------------
         "fd_repairs_orders": q_fd_repairs_orders,
+        # compact_equivalence: this-session tail row; the
+        # commit/read/summarize scaffold is time_travel_epochs'
+        # (window position 5) — the new part is the compact rewrite,
+        # with the file-shrink assertion IN-BAND; history-preservation
+        # + expire-reclaim + noop/fence pytests, strict sweep green at
+        # BOTH SFs --------------------------------------------------------------
+        "compact_equivalence": q_compact_equivalence,
     }
 
 
@@ -11290,4 +11366,5 @@ def oracle_sql() -> dict[str, str]:
         "overlap_census_keys": SQL_OVERLAP_CENSUS_KEYS,
         "rate_chart_events": SQL_RATE_CHART_EVENTS,
         "fd_repairs_orders": SQL_FD_REPAIRS_ORDERS,
+        "compact_equivalence": SQL_COMPACT_EQUIVALENCE,
     }

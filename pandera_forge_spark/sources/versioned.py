@@ -99,10 +99,14 @@ class VersionedParquet:
 
     # ------------------------------------------------------------- commits
 
-    def commit(self, df: DataFrame, mode: str = "append") -> int:
+    def commit(
+        self, df: DataFrame, mode: str = "append", operation: Optional[str] = None
+    ) -> int:
         """Write ``df`` as a new snapshot. ``append`` unions the parent
         snapshot's files with the new commit's; ``overwrite`` starts the
-        file set fresh. Returns the new version number."""
+        file set fresh. ``operation`` overrides the label recorded in
+        the manifest (``compact`` uses it); file-set semantics follow
+        ``mode`` alone. Returns the new version number."""
         if mode not in ("append", "overwrite"):
             raise ValueError("mode must be append or overwrite")
         vs = self.versions()
@@ -128,7 +132,7 @@ class VersionedParquet:
         manifest = {
             "version": n,
             "timestamp": time.time(),
-            "operation": mode,
+            "operation": operation or mode,
             "files": files,
             # snapshot schema rides in the manifest so an empty
             # snapshot (or a schema audit) never needs a data file
@@ -172,6 +176,47 @@ class VersionedParquet:
             schema = T.StructType.fromJson(json.loads(m["schema"]))
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(*m["files"])
+
+    # --------------------------------------------------------- compaction
+
+    def compact(self, target_files: Optional[int] = None) -> int:
+        """Rewrite the LATEST snapshot's file set into a fresh compacted
+        commit and publish it as a new version — Iceberg's
+        ``rewrite_data_files`` in miniature. An append-heavy table
+        accumulates one small commit dir per ingest (the incremental
+        near-dedup index and the nightly re-validation runner both
+        write this shape); after a few hundred commits every read
+        plans hundreds of tiny files. Compaction is the maintenance
+        verb that fixes it WITHOUT breaking time travel: the rewrite is
+        just another snapshot (operation ``compact``, written through
+        the same claim-by-manifest race protocol), so every older
+        version stays readable until ``expire`` retires it — and
+        running ``expire(keep_last=1)`` right after is the
+        storage-reclaim idiom.
+
+        ``target_files=None`` lets Spark's planner pick the output
+        split (files ~ ``maxPartitionBytes``-sized input splits);
+        pass an explicit count to coalesce further (``coalesce``, a
+        NARROW repack — no shuffle; the rows are merely re-bin-packed
+        into fewer writers). Returns the new version number; a no-op
+        on an empty table returns the current version unchanged.
+
+        Equality contract (pytest-asserted): the compacted snapshot
+        reads back row-identical to the snapshot it rewrote."""
+        vs = self.versions()
+        if not vs:
+            raise ValueError(f"compact: no snapshots at {self.root}")
+        latest = vs[-1]
+        if not latest["files"]:
+            return latest["version"]
+        if target_files is not None and int(target_files) < 1:
+            raise ValueError(
+                f"compact: target_files must be >= 1, got {target_files}"
+            )
+        df = self.spark.read.parquet(*latest["files"])
+        if target_files is not None:
+            df = df.coalesce(int(target_files))
+        return self.commit(df, mode="overwrite", operation="compact")
 
     # ------------------------------------------------------------- expiry
 

@@ -145,3 +145,39 @@ def test_rename_refuses_existing_dst(spark, vt, tmp_path):
     assert fs.read_bytes(b) == b"two"
     c = str(tmp_path / "c")
     assert fs.rename(a, c) is True and fs.read_bytes(c) == b"one"
+
+
+# ------------------------------------------------------------------ compact
+
+
+def test_compact_preserves_rows_and_history(spark, vt):
+    for lo in range(0, 50, 10):  # five tiny append commits
+        vt.commit(spark.range(lo, lo + 10).repartition(3), mode="append")
+    before = vt.versions()[-1]
+    assert len(before["files"]) >= 15
+    v = vt.compact(target_files=2)
+    assert v == 6
+    after = [m for m in vt.versions() if m["version"] == v][0]
+    assert after["operation"] == "compact"
+    assert len(after["files"]) <= 2
+    # row-identical to the snapshot it rewrote
+    assert _ids(vt.read(version=v)) == list(range(50))
+    assert _ids(vt.read()) == list(range(50))
+    # time travel across the compaction boundary still works
+    assert _ids(vt.read(version=1)) == list(range(10))
+    assert _ids(vt.read(version=5)) == list(range(50))
+    # expire reclaims the pre-compaction files
+    deleted = vt.expire(keep_last=1)
+    assert any(".parquet" in d for d in deleted)
+    assert _ids(vt.read()) == list(range(50))
+
+
+def test_compact_noop_and_errors(spark, vt, tmp_path):
+    with pytest.raises(ValueError, match="no snapshots"):
+        vt.compact()
+    vt.commit(spark.range(0, 0), mode="append")  # zero-row snapshot
+    v = vt.compact()  # still a (tiny) rewrite: empty writes emit part files
+    assert v == 2 and vt.read(version=v).count() == 0
+    vt.commit(spark.range(3), mode="append")
+    with pytest.raises(ValueError, match="target_files"):
+        vt.compact(target_files=0)
