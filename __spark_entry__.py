@@ -9072,6 +9072,46 @@ ORDER BY dev.event_type, bucket_start
 """
 
 
+def q_tokenized_ri(spark, sf_dir):
+    """Keyed tokenization preserving validation algebra (privacy.
+    tokenize_columns): customer keys and order FKs tokenize under the
+    same value-scoped salt, then the RI anti-join runs ON TOKENS — the
+    orphan set must be exactly the raw orphan set's tokens (DuckDB
+    recomputes sha256 over the raw anti-join), proving pseudonymized
+    release tables still validate. Orders with o_custkey % 13 == 0 are
+    excluded from the dim side to plant orphans."""
+    from pandera_forge_spark.operators.privacy import tokenize_columns
+    from pandera_forge_spark.validator import orphan_rows
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 13 != 0)
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    tcust = tokenize_columns(cust, ["c_custkey"], "pfs-r5", scope="value")
+    tord = tokenize_columns(orders, ["o_custkey"], "pfs-r5", scope="value")
+    orphans = orphan_rows(tord, tcust, "o_custkey", "c_custkey")
+    return (
+        orphans.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumnRenamed("o_custkey", "token")
+        .orderBy("token")
+    )
+
+
+SQL_TOKENIZED_RI = """
+SELECT sha256('pfs-r5:' || CAST(o_custkey AS VARCHAR)) AS token,
+       COUNT(*) AS n_orders
+FROM orders
+WHERE o_custkey IS NOT NULL
+  AND o_custkey NOT IN (
+    SELECT c_custkey FROM customer WHERE c_custkey % 13 != 0
+  )
+GROUP BY 1 ORDER BY token
+"""
+
+
 def q_compact_equivalence(spark, sf_dir):
     """Snapshot compaction (sources/versioned.py VersionedParquet.
     compact — rewrite_data_files in miniature): three fragmented
@@ -11140,6 +11180,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + expire-reclaim + noop/fence pytests, strict sweep green at
         # BOTH SFs --------------------------------------------------------------
         "compact_equivalence": q_compact_equivalence,
+        # tokenized_ri: this-session tail row; the anti-join is
+        # ri_lineitem_orphans' r3-green kernel — the new part is the
+        # sha256 keyed-token projection it runs on, proving the
+        # pseudonymized release still validates; algebra-preservation
+        # + scope-fork + plan (no Exchange) pytests, strict sweep
+        # green at BOTH SFs -----------------------------------------------------
+        "tokenized_ri": q_tokenized_ri,
     }
 
 
@@ -11367,4 +11414,5 @@ def oracle_sql() -> dict[str, str]:
         "rate_chart_events": SQL_RATE_CHART_EVENTS,
         "fd_repairs_orders": SQL_FD_REPAIRS_ORDERS,
         "compact_equivalence": SQL_COMPACT_EQUIVALENCE,
+        "tokenized_ri": SQL_TOKENIZED_RI,
     }

@@ -146,3 +146,80 @@ def l_diversity_violations(
         )
         .where(F.col("distinct_sensitive") < l)
     )
+
+
+def tokenize_columns(
+    df: DataFrame,
+    cols: Sequence[str],
+    salt: str,
+    scope: str = "column",
+    length: int = 0,
+) -> DataFrame:
+    """Deterministic pseudonymization: each value in ``cols`` is
+    replaced IN PLACE by ``sha256(salt : [column :] value)`` hex — the
+    standard keyed-tokenization release pattern (public material;
+    HMAC-style keyed hashing, GDPR's "pseudonymisation"): equal inputs
+    get equal tokens, so groupBy/joins/uniqueness checks still work on
+    the released table, while raw identifiers never leave.
+    ``operators.pii.redact`` destroys the value; this PRESERVES its
+    algebra — run uniqueness or RI audits on tokens with the same
+    verdicts as on the originals.
+
+    ``scope='column'`` (default) mixes the column name into the hash:
+    the same email in two different columns gets two unrelated tokens
+    (no cross-column correlation for an attacker). ``scope='value'``
+    omits it, keeping tokens JOINABLE across columns/tables — the mode
+    for tokenized foreign keys; choose it deliberately.
+
+    Caveats said out loud: determinism itself leaks equality (row
+    counts per token are visible — that is the point, and also the
+    risk: a low-cardinality column is brute-forceable from token
+    frequencies unless the salt stays secret; keep the salt OUT of the
+    released artifact). ``length`` truncates the 64-hex token (0 =
+    full); 16 hex = 64 bits means birthday collisions around 2^32
+    distinct values — leave 0 for uniqueness-critical audits.
+
+    NULL stays NULL (missingness is not an identity). Values hash
+    through their string cast (cross-width-stable for ints, the
+    join_key_candidates convention); float columns are refused —
+    representation-sensitive casts would silently fork tokens.
+
+    Scale: a pure per-row projection — no shuffle, no UDF,
+    whole-stage-codegen sha256."""
+    cols = list(cols)
+    if not cols:
+        raise ValueError("tokenize_columns: cols must be non-empty")
+    if not salt:
+        raise ValueError("tokenize_columns: salt must be non-empty")
+    if scope not in ("column", "value"):
+        raise ValueError(
+            f"tokenize_columns: scope must be 'column' or 'value', "
+            f"got {scope!r}"
+        )
+    if int(length) < 0 or int(length) > 64:
+        raise ValueError(
+            f"tokenize_columns: length must be in [0, 64], got {length}"
+        )
+    dtypes = dict(df.dtypes)
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"tokenize_columns: frame lacks columns {missing}")
+    floats = [c for c in cols if dtypes[c] in ("float", "double")]
+    if floats:
+        raise ValueError(
+            f"tokenize_columns: float columns {floats} have "
+            "representation-sensitive string casts — cast or quantize "
+            "them deliberately first"
+        )
+    out = df
+    for c in cols:
+        prefix = f"{salt}:{c}:" if scope == "column" else f"{salt}:"
+        tok = F.sha2(
+            F.concat(F.lit(prefix), F.col(c).cast("string")), 256
+        )
+        if int(length) > 0:
+            tok = F.substring(tok, 1, int(length))
+        out = out.withColumn(
+            c, F.when(F.col(c).isNull(), F.lit(None)).otherwise(tok)
+        )
+    return out

@@ -125,3 +125,66 @@ def test_generalization_level_via_projection(spark):
     )
     assert k_anonymity_violations(df, ["fine"], k=3).count() == 50
     assert k_anonymity_violations(df, ["coarse"], k=3).count() == 0
+
+
+# ------------------------------------------------------------ tokenize_columns
+
+
+def test_tokenize_preserves_algebra_and_hides_values(spark):
+    import hashlib
+
+    from pandera_forge_spark.operators.privacy import tokenize_columns
+
+    df = spark.createDataFrame(
+        [(1, "a@x.com"), (2, "a@x.com"), (3, "b@y.org"), (4, None)],
+        "id long, email string",
+    )
+    got = {r["id"]: r["email"] for r in tokenize_columns(df, ["email"], "s3cret").collect()}
+    # equal in, equal out; unequal in, unequal out; NULL stays NULL
+    assert got[1] == got[2] != got[3]
+    assert got[4] is None
+    assert "a@x.com" not in (got[1] or "")
+    # exact keyed-hash replay
+    expect = hashlib.sha256(b"s3cret:email:a@x.com").hexdigest()
+    assert got[1] == expect
+
+
+def test_tokenize_scope_and_fk_joinability(spark):
+    from pandera_forge_spark.operators.privacy import tokenize_columns
+
+    dim = spark.createDataFrame([(1,), (2,)], "k long")
+    fact = spark.createDataFrame([(10, 1), (11, 2), (12, 1)], "id long, fk long")
+    tdim = tokenize_columns(dim, ["k"], "s", scope="value")
+    tfact = tokenize_columns(fact, ["fk"], "s", scope="value")
+    joined = tfact.join(tdim, tfact.fk == tdim.k)
+    assert joined.count() == 3  # RI algebra survives tokenization
+    # scope='column' forks the tokens on purpose
+    cdim = tokenize_columns(dim, ["k"], "s", scope="column")
+    cfact = tokenize_columns(fact, ["fk"], "s", scope="column")
+    assert cfact.join(cdim, cfact.fk == cdim.k).count() == 0
+
+
+def test_tokenize_contracts(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.privacy import tokenize_columns
+    from pandera_forge_spark.plans.inspect import executed_plan, has_python_udf
+
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    out = tokenize_columns(df, ["v"], "s", length=16)
+    assert len(out.collect()[0]["v"]) == 16
+    assert not has_python_udf(out)
+    assert "Exchange" not in executed_plan(out)  # pure projection
+    with pytest.raises(ValueError, match="non-empty"):
+        tokenize_columns(df, [], "s")
+    with pytest.raises(ValueError, match="salt"):
+        tokenize_columns(df, ["v"], "")
+    with pytest.raises(ValueError, match="scope"):
+        tokenize_columns(df, ["v"], "s", scope="row")
+    with pytest.raises(ValueError, match="length"):
+        tokenize_columns(df, ["v"], "s", length=65)
+    with pytest.raises(ValueError, match="lacks columns"):
+        tokenize_columns(df, ["nope"], "s")
+    f = spark.createDataFrame([(1.5,)], "v double")
+    with pytest.raises(ValueError, match="float columns"):
+        tokenize_columns(f, ["v"], "s")
