@@ -9072,6 +9072,43 @@ ORDER BY dev.event_type, bucket_start
 """
 
 
+def q_media_dups(spark, sf_dir):
+    """Binary content dedup (multimodal.media_dup_groups): 500 media
+    rows whose payload bytes key on id % 200 — residues under 100
+    occur 3x, the rest 2x. Membership is md5 OF THE RAW BYTES
+    (JVM-side binary hash); the oracle regenerates payload text,
+    digest, copy counts, and the min-string canonical election for all
+    200 groups."""
+    from pandera_forge_spark.operators.multimodal import media_dup_groups
+
+    media = spark.range(500).select(
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("media_id"),
+        F.encode(
+            F.concat(
+                F.lit("payload:"),
+                F.md5(F.concat((F.col("id") % 200).cast("string"), F.lit("42"))),
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    out = media_dup_groups(media)
+    return out.orderBy("content_md5")
+
+
+SQL_MEDIA_DUPS = """
+WITH m AS (
+  SELECT 'm' || CAST(id AS VARCHAR) AS media_id,
+         'payload:' || md5(CAST(id % 200 AS VARCHAR) || '42') AS body
+  FROM range(500) t(id)
+)
+SELECT md5(body) AS content_md5,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(length(body)) AS BIGINT) AS n_bytes,
+       MIN(media_id) AS canonical_id
+FROM m GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY content_md5
+"""
+
+
 def q_tokenized_ri(spark, sf_dir):
     """Keyed tokenization preserving validation algebra (privacy.
     tokenize_columns): customer keys and order FKs tokenize under the
@@ -11187,6 +11224,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + scope-fork + plan (no Exchange) pytests, strict sweep
         # green at BOTH SFs -----------------------------------------------------
         "tokenized_ri": q_tokenized_ri,
+        # media_dups: this-session tail row; the digest groupBy with
+        # count/min survivorship is exact_dup_groups' r3-green kernel —
+        # the new part is running it on BINARY payload bytes (the
+        # multimodal family's missing dedup); planted 3x/2x copy
+        # census + binary-type fence pytests, strict sweep green at
+        # BOTH SFs --------------------------------------------------------------
+        "media_dups": q_media_dups,
     }
 
 
@@ -11415,4 +11459,5 @@ def oracle_sql() -> dict[str, str]:
         "fd_repairs_orders": SQL_FD_REPAIRS_ORDERS,
         "compact_equivalence": SQL_COMPACT_EQUIVALENCE,
         "tokenized_ri": SQL_TOKENIZED_RI,
+        "media_dups": SQL_MEDIA_DUPS,
     }

@@ -318,3 +318,62 @@ def make_media_fixture(spark, n: int, seed: int = 42) -> DataFrame:
             F.lit("stub").alias("codec"),
         ).alias("meta"),
     )
+
+
+def media_dup_groups(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    min_copies: int = 2,
+) -> DataFrame:
+    """Exact duplicate detection for BINARY media payloads — the
+    multimodal sibling of the text family's ``exact_dup_groups``: the
+    same image/audio bytes uploaded under ten media_ids is ten times
+    the storage, ten times the decode compute, and a training-mix
+    skew, and none of the text dedup operators see a binary column.
+    Membership is content identity (md5 of the raw bytes, computed
+    JVM-side on the binary — no base64 detour, no UDF); the canonical
+    survivor is the MIN id, the survivorship convention the dedup
+    family uses throughout.
+
+    Output: one row per duplicated payload —
+    ``content_md5, n_copies, n_bytes, canonical_id`` — never the
+    payload itself (the report frame stays KB-sized regardless of
+    media size). Join back on ``content_md5`` (or semi-join
+    ``md5(payload)``) to enumerate or drop members; no collect_list
+    anywhere, so a payload duplicated a million times is still a
+    constant-size aggregation buffer.
+
+    Scale shape: ONE groupBy on the 32-hex digest (uniform by
+    construction — content hashing is self-salting, no skew possible
+    beyond true duplicate mass, which is the signal), algebraic
+    count/min aggregates with map-side combine. NULL payloads drop
+    (a missing blob is a nullability finding, not a duplicate)."""
+    if int(min_copies) < 2:
+        raise ValueError(
+            f"media_dup_groups: min_copies must be >= 2, got {min_copies}"
+        )
+    for c in (payload_col, id_col):
+        if c not in df.columns:
+            raise ValueError(f"media_dup_groups: column {c!r} missing")
+    dtype = dict(df.dtypes)[payload_col]
+    if dtype != "binary":
+        raise ValueError(
+            f"media_dup_groups: payload column {payload_col!r} is "
+            f"{dtype!r}, expected binary"
+        )
+    return (
+        df.where(F.col(payload_col).isNotNull())
+        .select(
+            F.md5(F.col(payload_col)).alias("content_md5"),
+            F.length(F.col(payload_col)).cast("long").alias("__nb"),
+            F.col(id_col).alias("__id"),
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("__nb").alias("n_bytes"),
+            F.min("__id").alias("canonical_id"),
+        )
+        .where(F.col("n_copies") >= int(min_copies))
+    )

@@ -172,3 +172,49 @@ def test_jpeg_fill_bytes_before_marker():
     # fill bytes before APP0 too (straight after SOI)
     padded2 = plain[:2] + b"\xff\xff\xff" + plain[2:]
     assert _jpeg_dims_py(padded2) == [640, 480]
+
+
+# ------------------------------------------------------------ media_dup_groups
+
+
+def test_media_dup_groups_finds_content_dups(spark):
+    import hashlib
+
+    from pandera_forge_spark.operators.multimodal import media_dup_groups
+
+    rows = [
+        ("m1", b"\x00\x01BYTES"),
+        ("m2", b"\x00\x01BYTES"),   # exact dup of m1
+        ("m3", b"other"),
+        ("m4", b"\x00\x01BYTES"),   # third copy
+        ("m5", None),                # null drops
+        ("m6", b"other"),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r["content_md5"]: r for r in media_dup_groups(df).collect()}
+    h1 = hashlib.md5(b"\x00\x01BYTES").hexdigest()
+    h2 = hashlib.md5(b"other").hexdigest()
+    assert set(got) == {h1, h2}
+    assert got[h1]["n_copies"] == 3
+    assert got[h1]["canonical_id"] == "m1"
+    assert got[h1]["n_bytes"] == 7
+    assert got[h2]["n_copies"] == 2 and got[h2]["canonical_id"] == "m3"
+    # min_copies raises the bar
+    assert media_dup_groups(df, min_copies=3).count() == 1
+
+
+def test_media_dup_groups_contracts(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.multimodal import media_dup_groups
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    df = spark.createDataFrame([("m1", b"x")], "media_id string, payload binary")
+    assert not has_python_udf(media_dup_groups(df))
+    with pytest.raises(ValueError, match="min_copies"):
+        media_dup_groups(df, min_copies=1)
+    with pytest.raises(ValueError, match="missing"):
+        media_dup_groups(df, id_col="nope")
+    s = spark.createDataFrame([("m1", "x")], "media_id string, payload string")
+    with pytest.raises(ValueError, match="expected binary"):
+        media_dup_groups(s)
