@@ -9072,6 +9072,67 @@ ORDER BY dev.event_type, bucket_start
 """
 
 
+def q_export_verify(spark, sf_dir):
+    """Export-integrity round trip (sources/versioned.py
+    export_with_manifest / verify_export): an orders projection writes
+    to a scratch export with its _integrity.json, reads BACK from the
+    parquet bytes, and must verify ok — the query raises IN-BAND if
+    verification fails, then returns the verified lanes, which the
+    oracle recomputes straight from the orders table. A parquet
+    round-trip that loses/dups/alters one row in 60k reddens either
+    the in-band check or the hash."""
+    import shutil
+    import tempfile
+
+    from pandera_forge_spark.sources.versioned import (
+        export_with_manifest,
+        verify_export,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="pfs_exp_") + "/export"
+    try:
+        export_with_manifest(orders.repartition(6), path)
+        res = verify_export(spark, path)
+        if not res["ok"]:
+            raise ValueError(f"export_verify: round trip failed: {res}")
+        a = res["actual"]
+        rows = [
+            (
+                int(a["n_rows"]),
+                int(a["xor_lo"]),
+                int(a["xor_hi"]),
+                int(a["sum_mod"]),
+            )
+        ]
+    finally:
+        shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "n_rows long, xor_lo long, xor_hi long, sum_mod long"
+    )
+
+
+SQL_EXPORT_VERIFY = """
+WITH h AS (
+  SELECT md5(concat_ws(chr(31),
+             COALESCE(CAST(o_orderkey AS VARCHAR), chr(30)),
+             COALESCE(CAST(o_custkey AS VARCHAR), chr(30)),
+             COALESCE(o_orderstatus, chr(30)))) AS h
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(CAST(('0x' || substr(h, 1, 8))::UBIGINT AS BIGINT))
+            AS BIGINT) AS xor_lo,
+       CAST(bit_xor(CAST(('0x' || substr(h, 9, 8))::UBIGINT AS BIGINT))
+            AS BIGINT) AS xor_hi,
+       CAST(SUM(('0x' || substr(h, 17, 8))::UBIGINT % 1048576)
+            AS BIGINT) AS sum_mod
+FROM h
+"""
+
+
 def q_media_dups(spark, sf_dir):
     """Binary content dedup (multimodal.media_dup_groups): 500 media
     rows whose payload bytes key on id % 200 — residues under 100
@@ -11231,6 +11292,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # census + binary-type fence pytests, strict sweep green at
         # BOTH SFs --------------------------------------------------------------
         "media_dups": q_media_dups,
+        # export_verify: this-session tail row; the checksum lanes are
+        # table_checksum_orders' green kernel — the new part is the
+        # write-manifest-readback-verify loop with the ok assertion
+        # IN-BAND; tamper (lost part file, rogue file) + float-fence
+        # pytests, strict sweep green at BOTH SFs -------------------------------
+        "export_verify": q_export_verify,
     }
 
 
@@ -11460,4 +11527,5 @@ def oracle_sql() -> dict[str, str]:
         "compact_equivalence": SQL_COMPACT_EQUIVALENCE,
         "tokenized_ri": SQL_TOKENIZED_RI,
         "media_dups": SQL_MEDIA_DUPS,
+        "export_verify": SQL_EXPORT_VERIFY,
     }

@@ -246,3 +246,94 @@ class VersionedParquet:
             self.fs.delete(mpath)
             deleted.append(mpath)
         return deleted
+
+
+def export_with_manifest(
+    df: DataFrame,
+    path: str,
+    checksum_cols: Optional[list] = None,
+) -> dict:
+    """Export-integrity write: the frame lands as parquet AND an
+    ``_integrity.json`` manifest records its row count, schema, and the
+    order-insensitive content checksum (``sketches.table_checksum`` —
+    XOR/sum lanes, partitioning-independent) computed from the SAME
+    DataFrame. A downstream consumer — another cluster, another engine,
+    another team — calls :func:`verify_export` and learns whether the
+    bytes they can read reproduce the content that was written: lost
+    part files, a torn copy, a rogue extra file, or a silently-
+    truncated transfer all flip the checksum or the count. This is the
+    hand-off contract a 100-TB export needs and a _SUCCESS marker does
+    not provide (_SUCCESS says the JOB finished, not that YOUR copy of
+    the files is whole).
+
+    ``checksum_cols`` defaults to every exact-renderable column
+    (table_checksum's type fence refuses floats/timestamps; pass an
+    explicit exact projection to include quantized forms). The write
+    itself is a plain ``df.write.parquet`` — one extra aggregate scan
+    pays for the checksum, said out loud. Returns the manifest dict."""
+    from pandera_forge_spark.sketches import table_checksum
+
+    spark = df.sparkSession
+    fs_df = df if checksum_cols is None else df.select(*checksum_cols)
+    if checksum_cols is None:
+        exact = [
+            c
+            for c, t in fs_df.dtypes
+            if not (
+                t in ("float", "double")
+                or t.startswith(("timestamp", "decimal"))
+                or t in ("binary",)
+                or "<" in t
+            )
+        ]
+        if not exact:
+            raise ValueError(
+                "export_with_manifest: no exact-renderable columns to "
+                "checksum — pass checksum_cols with an exact projection"
+            )
+        fs_df = fs_df.select(*exact)
+    row = table_checksum(fs_df).collect()[0]
+    df.write.mode("error").parquet(path)
+    manifest = {
+        "n_rows": int(row["n_rows"]),
+        "xor_lo": int(row["xor_lo"]),
+        "xor_hi": int(row["xor_hi"]),
+        "sum_mod": int(row["sum_mod"]),
+        "checksum_cols": list(fs_df.columns),
+        "schema": df.schema.json(),
+    }
+    from pandera_forge_spark.sources.fs import DriverFS
+
+    DriverFS(spark).write_bytes(
+        f"{path.rstrip('/')}/_integrity.json",
+        json.dumps(manifest, sort_keys=True).encode(),
+    )
+    return manifest
+
+
+def verify_export(spark: SparkSession, path: str) -> dict:
+    """Recompute the export's content checksum from the files actually
+    on disk and compare against its ``_integrity.json``. Returns
+    ``{"ok": bool, "expected": {...}, "actual": {...}}`` — ``ok`` iff
+    row count and all three checksum lanes match. One aggregate scan
+    of the export; no sort, no data movement."""
+    from pandera_forge_spark.sketches import table_checksum
+    from pandera_forge_spark.sources.fs import DriverFS
+
+    fs = DriverFS(spark)
+    mpath = f"{path.rstrip('/')}/_integrity.json"
+    if not fs.exists(mpath):
+        raise FileNotFoundError(
+            f"verify_export: no _integrity.json under {path}"
+        )
+    expected = json.loads(fs.read_bytes(mpath))
+    df = spark.read.parquet(path)
+    row = table_checksum(df.select(*expected["checksum_cols"])).collect()[0]
+    actual = {
+        "n_rows": int(row["n_rows"]),
+        "xor_lo": int(row["xor_lo"]),
+        "xor_hi": int(row["xor_hi"]),
+        "sum_mod": int(row["sum_mod"]),
+    }
+    ok = all(actual[k] == expected[k] for k in actual)
+    return {"ok": ok, "expected": expected, "actual": actual}

@@ -181,3 +181,62 @@ def test_compact_noop_and_errors(spark, vt, tmp_path):
     vt.commit(spark.range(3), mode="append")
     with pytest.raises(ValueError, match="target_files"):
         vt.compact(target_files=0)
+
+
+# ------------------------------------------------------- export integrity
+
+
+def test_export_manifest_roundtrip_and_tamper(spark, tmp_path):
+    import os
+
+    from pandera_forge_spark.sources.versioned import (
+        export_with_manifest,
+        verify_export,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).cast("string").alias("tag")
+    )
+    path = str(tmp_path / "export")
+    m = export_with_manifest(df.repartition(4), path)
+    assert m["n_rows"] == 1000 and m["checksum_cols"] == ["id", "tag"]
+    res = verify_export(spark, path)
+    assert res["ok"], res
+    # tamper: delete one part file -> count/lanes flip
+    parts = [p for p in os.listdir(path) if p.endswith(".parquet")]
+    os.remove(os.path.join(path, parts[0]))
+    bad = verify_export(spark, path)
+    assert not bad["ok"]
+    assert bad["actual"]["n_rows"] < 1000
+
+
+def test_export_manifest_rogue_file_and_float_fence(spark, tmp_path):
+    import shutil
+
+    import pytest
+
+    from pandera_forge_spark.sources.versioned import (
+        export_with_manifest,
+        verify_export,
+    )
+
+    df = spark.range(100).select(F.col("id"))
+    path = str(tmp_path / "e2")
+    export_with_manifest(df, path)
+    # rogue extra rows appended beside the export
+    extra = str(tmp_path / "extra")
+    spark.range(5000, 5010).write.parquet(extra)
+    import os
+
+    rogue = [p for p in os.listdir(extra) if p.endswith(".parquet")][0]
+    shutil.copy(os.path.join(extra, rogue), os.path.join(path, "part-rogue.parquet"))
+    assert not verify_export(spark, path)["ok"]
+    # all-float frame refuses silently-lossy checksums
+    f = spark.range(10).select((F.col("id") * 1.5).alias("v"))
+    with pytest.raises(ValueError, match="no exact-renderable"):
+        export_with_manifest(f, str(tmp_path / "e3"))
+    # but an explicit exact projection works
+    m = export_with_manifest(
+        f, str(tmp_path / "e4"), checksum_cols=[(F.col("v") * 2).cast("long").alias("v2")]
+    )
+    assert m["checksum_cols"] == ["v2"]
