@@ -9072,6 +9072,91 @@ ORDER BY dev.event_type, bucket_start
 """
 
 
+def q_redact_interleaved(spark, sf_dir):
+    """Span-aware PII scrubbing (operators/pii.py redact_spans) on the
+    north-rule interleaved shape: PII markers plant into span 1's
+    text, the transform scrubs INSIDE the array (no explode — plan-
+    asserted in pytest), and the result explodes here only for
+    comparison: all three spans of every affected doc, where spans 2-3
+    (media ref, meta text) must come through BIT-identical and span 1
+    must equal the DuckDB regexp-chain replay."""
+    from pandera_forge_spark.operators.pii import redact_spans
+
+    marker = (
+        F.when(F.col("doc_id") % 97 == 0, F.lit(" contact user@example.com"))
+        .when(F.col("doc_id") % 97 == 1, F.lit(" ssn 123-45-6789"))
+        .when(F.col("doc_id") % 97 == 2, F.lit(" card 4111 1111 1111 1111"))
+        .when(F.col("doc_id") % 97 == 3, F.lit(" call 555-123-4567"))
+        .when(F.col("doc_id") % 97 == 4, F.lit(" host 10.0.0.1"))
+        .otherwise(F.lit(""))
+    )
+    inter = _interleaved(spark, sf_dir).join(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    planted = inter.withColumn(
+        "spans",
+        F.transform(
+            F.col("spans"),
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(
+                    s["offset"] == 0, F.concat(s["text"], marker)
+                )
+                .otherwise(s["text"])
+                .alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ),
+    ).drop("text")
+    out = redact_spans(planted)
+    ex = out.where((F.col("doc_id") % 97 < 5) & (F.col("doc_id") < 2000)).select(
+        "doc_id", F.explode("spans").alias("s")
+    )
+    return ex.select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").cast("long").alias("offset"),
+    ).orderBy("doc_id", "offset")
+
+
+SQL_REDACT_INTERLEAVED = r"""
+WITH planted AS (
+  SELECT doc_id, text || """ + _PII_MARKER_SQL + r""" AS t1, lang, source
+  FROM documents WHERE doc_id % 97 < 5 AND doc_id < 2000
+),
+red AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t1,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII:email]', 'g'),
+            '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b', '[PII:credit_card]', 'g'),
+          '\b\d{3}-\d{2}-\d{4}\b', '[PII:ssn]', 'g'),
+        '\(\d{3}\) ?\d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b', '[PII:phone_us]', 'g'),
+      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[PII:ipv4]', 'g') AS t1,
+    lang, source
+  FROM planted
+)
+SELECT doc_id, 'text' AS kind, t1 AS text,
+       CAST(NULL AS VARCHAR) AS media_ref, CAST(0 AS BIGINT) AS "offset"
+FROM red
+UNION ALL
+SELECT doc_id, 'image', CAST(NULL AS VARCHAR),
+       'media://' || md5(CAST(doc_id AS VARCHAR)) || '/1', 100
+FROM red
+UNION ALL
+SELECT doc_id, 'text', 'meta:' || lang || ':' || source,
+       CAST(NULL AS VARCHAR), 200
+FROM red
+ORDER BY doc_id, "offset"
+"""
+
+
 def q_export_verify(spark, sf_dir):
     """Export-integrity round trip (sources/versioned.py
     export_with_manifest / verify_export): an orders projection writes
@@ -11298,6 +11383,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IN-BAND; tamper (lost part file, rogue file) + float-fence
         # pytests, strict sweep green at BOTH SFs -------------------------------
         "export_verify": q_export_verify,
+        # redact_interleaved: this-session tail row; the regexp chain
+        # is pii_redact's r4-green kernel and the fixture
+        # span_ref_integrity's (r4-green) — the new part is the scrub
+        # INSIDE the array transform with sequence preservation;
+        # sequence-invariant integration + no-explode plan pytests,
+        # strict sweep green at BOTH SFs ---------------------------------------
+        "redact_interleaved": q_redact_interleaved,
     }
 
 
@@ -11528,4 +11620,5 @@ def oracle_sql() -> dict[str, str]:
         "tokenized_ri": SQL_TOKENIZED_RI,
         "media_dups": SQL_MEDIA_DUPS,
         "export_verify": SQL_EXPORT_VERIFY,
+        "redact_interleaved": SQL_REDACT_INTERLEAVED,
     }

@@ -133,3 +133,68 @@ def redact(
     for c in cols:
         out = out.withColumn(c, redact_expr(F.col(c), patterns, token))
     return out
+
+
+def redact_spans(
+    df: DataFrame,
+    spans_col: str = "spans",
+    patterns: Optional[dict[str, str]] = None,
+    token: str = "[PII:{name}]",
+) -> DataFrame:
+    """PII scrubbing for the INTERLEAVED document shape — the north-rule
+    input column ``spans: array<struct<kind, text, media_ref,
+    offset>>``: every ``kind='text'`` span's text runs the same
+    ``redact_expr`` regexp chain :func:`redact` applies to flat
+    columns, INSIDE one JVM ``transform`` over the array — no explode,
+    no re-assembly shuffle, no UDF; a million-span document is one
+    row's projection.
+
+    Span-sequence preservation is the contract (the reference's
+    per-row invariant: kind, media_ref, order): kind, media_ref, and
+    offset pass through BIT-IDENTICAL, array length and order
+    unchanged — only text content of text spans can differ, so
+    ``spans.span_sequence_mismatches`` against the input flags exactly
+    the redacted docs and nothing else. Media spans keep whatever text
+    field they carry (NULL by schema); their payload references are
+    never touched (image PII is a decode-side concern, out of scope by
+    the multimodal stub contract)."""
+    if spans_col not in df.columns:
+        raise ValueError(f"redact_spans: column {spans_col!r} missing")
+    dt = df.schema[spans_col].dataType
+    import pyspark.sql.types as T
+
+    if not (
+        isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType)
+    ):
+        raise ValueError(
+            f"redact_spans: {spans_col!r} must be array<struct<...>>, "
+            f"got {dt.simpleString()}"
+        )
+    fields = [f.name for f in dt.elementType.fields]
+    for need in ("kind", "text"):
+        if need not in fields:
+            raise ValueError(
+                f"redact_spans: span struct lacks field {need!r} "
+                f"(has {fields})"
+            )
+
+    def scrub(s):
+        return F.struct(
+            *[
+                (
+                    F.when(
+                        s["kind"] == "text",
+                        redact_expr(s["text"], patterns, token),
+                    )
+                    .otherwise(s["text"])
+                    .alias("text")
+                    if name == "text"
+                    else s[name].alias(name)
+                )
+                for name in fields
+            ]
+        )
+
+    return df.withColumn(
+        spans_col, F.transform(F.col(spans_col), scrub)
+    )

@@ -89,3 +89,67 @@ def test_patterns_are_re2_safe():
     for rx in PII_PATTERNS.values():
         re.compile(rx)
         assert "(?=" not in rx and "(?!" not in rx and "\\1" not in rx
+
+
+# -------------------------------------------------------------- redact_spans
+
+
+def _spans_fixture(spark):
+    rows = [
+        (
+            1,
+            [
+                ("text", "mail me at bob@corp.io now", None, 0),
+                ("image", None, "media://abc/1", 100),
+                ("text", "ssn 123-45-6789 end", None, 200),
+            ],
+        ),
+        (2, [("text", "clean text", None, 0)]),
+        (3, [("image", None, "media://xyz/1", 0)]),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<kind string, text string, "
+        "media_ref string, offset int>>",
+    )
+
+
+def test_redact_spans_scrubs_text_preserves_sequence(spark):
+    from pandera_forge_spark.operators.pii import redact_spans
+    from pandera_forge_spark.spans import span_sequence_mismatches
+
+    df = _spans_fixture(spark)
+    out = redact_spans(df)
+    got = {r["doc_id"]: r["spans"] for r in out.collect()}
+    assert got[1][0]["text"] == "mail me at [PII:email] now"
+    assert got[1][2]["text"] == "ssn [PII:ssn] end"
+    # kind / media_ref / offset bit-identical; media span untouched
+    assert got[1][1] == ("image", None, "media://abc/1", 100)
+    assert [s["offset"] for s in got[1]] == [0, 100, 200]
+    assert got[2][0]["text"] == "clean text"
+    assert got[3][0] == ("image", None, "media://xyz/1", 0)
+    # the sequence invariant flags exactly the docs whose TEXT changed
+    mism = span_sequence_mismatches(df, out, "doc_id")
+    assert sorted(r["doc_id"] for r in mism.collect()) == [1]
+
+
+def test_redact_spans_contracts(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.pii import redact_spans
+    from pandera_forge_spark.plans.inspect import executed_plan, has_python_udf
+
+    df = _spans_fixture(spark)
+    out = redact_spans(df)
+    assert not has_python_udf(out)
+    assert "Generate" not in executed_plan(out)  # no explode anywhere
+    with pytest.raises(ValueError, match="missing"):
+        redact_spans(df, "nope")
+    flat = spark.createDataFrame([("x",)], "spans string")
+    with pytest.raises(ValueError, match="array<struct"):
+        redact_spans(flat)
+    nk = spark.createDataFrame(
+        [(1, [("a",)])], "doc_id long, spans array<struct<other string>>"
+    )
+    with pytest.raises(ValueError, match="lacks field"):
+        redact_spans(nk)
