@@ -9072,6 +9072,123 @@ ORDER BY dev.event_type, bucket_start
 """
 
 
+def q_stream_rate_epochs(spark, sf_dir):
+    """Streaming p-chart (streaming/rates.py stream_rate_chart) driven
+    END-TO-END in-process, the stream_gaps_epochs pattern: events cut
+    into 3 time-third epoch files, availableNow streams one per
+    trigger, each batch merges its verdict counts with prior-epoch
+    state and re-issues the cumulative chart. Counts form a
+    commutative monoid, so the FINAL epoch's chart must equal the
+    batch operator over the whole table — the oracle replays that
+    directly (the rate_chart_events algebra per event_type). A lost
+    carry or a double-merged epoch shifts n_rows and every limit."""
+    import os
+    import shutil
+    import tempfile
+
+    from pandera_forge_spark.streaming import stream_rate_chart
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    viol = (F.col("value") > 80.0) | (
+        (F.col("event_type") == "purchase") & (F.col("value") > 40.0)
+    )
+    src_df = ev.select(
+        "event_type", viol.alias("viol"), "ts", "event_id"
+    )
+    lo, hi = ev.agg(
+        F.min(F.col("ts").cast("timestamp_ltz").cast("double")),
+        F.max(F.col("ts").cast("timestamp_ltz").cast("double")),
+    ).first()
+    c1, c2 = lo + (hi - lo) / 3.0, lo + 2.0 * (hi - lo) / 3.0
+    sec = F.col("ts").cast("timestamp_ltz").cast("double")
+    root = tempfile.mkdtemp(prefix="pfs_srate_")
+    try:
+        cuts = [sec < c1, (sec >= c1) & (sec < c2), sec >= c2]
+        src = _stage_epoch_files([src_df.where(c) for c in cuts], root)
+        stream = (
+            spark.readStream.schema(src_df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        writer = stream_rate_chart(
+            stream,
+            os.path.join(root, "state"),
+            os.path.join(root, "chart"),
+            "viol",
+            ["event_type"],
+            include_ok=True,
+            checkpoint=os.path.join(root, "ckpt"),
+        )
+        _run_available_now(writer)
+        rows = [
+            (
+                r["event_type"],
+                int(r["n_rows"]),
+                int(r["n_violations"]),
+                float(r["rate"]),
+                float(r["p_bar"]),
+                float(r["lcl"]),
+                float(r["ucl"]),
+                r["status"],
+            )
+            for r in spark.read.parquet(
+                os.path.join(root, "chart", "__epoch=2")
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n_rows long, n_violations long, rate double, "
+        "p_bar double, lcl double, ucl double, status string",
+    ).orderBy("event_type")
+
+
+SQL_STREAM_RATE_EPOCHS = """
+WITH verd AS (
+  SELECT event_type,
+         (value > 80.0 OR (event_type = 'purchase' AND value > 40.0)) AS viol
+  FROM events WHERE ts IS NOT NULL
+),
+per AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COALESCE(SUM(CASE WHEN viol THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_violations
+  FROM verd WHERE viol IS NOT NULL GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS tn,
+         CAST(SUM(n_violations) AS BIGINT) AS tk FROM per
+)
+SELECT event_type, n_rows, n_violations,
+       CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE) AS rate,
+       CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE) AS p_bar,
+       GREATEST(CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE)
+                - 3.0 * sqrt(CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE)
+                             * (1.0 - CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE))
+                             / CAST(n_rows AS DOUBLE)), 0.0) AS lcl,
+       LEAST(CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE)
+             + 3.0 * sqrt(CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE)
+                          * (1.0 - CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE))
+                          / CAST(n_rows AS DOUBLE)), 1.0) AS ucl,
+       CASE WHEN n_rows < 30 THEN 'low_support'
+            WHEN CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                 > LEAST(CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE)
+                         + 3.0 * sqrt(CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE)
+                                      * (1.0 - CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE))
+                                      / CAST(n_rows AS DOUBLE)), 1.0)
+            THEN 'high'
+            WHEN CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                 < GREATEST(CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE)
+                            - 3.0 * sqrt(CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE)
+                                         * (1.0 - CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE))
+                                         / CAST(n_rows AS DOUBLE)), 0.0)
+            THEN 'low'
+            ELSE 'ok' END AS status
+FROM per, tot ORDER BY event_type
+"""
+
+
 def q_redact_interleaved(spark, sf_dir):
     """Span-aware PII scrubbing (operators/pii.py redact_spans) on the
     north-rule interleaved shape: PII markers plant into span 1's
@@ -11390,6 +11507,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sequence-invariant integration + no-explode plan pytests,
         # strict sweep green at BOTH SFs ---------------------------------------
         "redact_interleaved": q_redact_interleaved,
+        # stream_rate_epochs: this-session tail row; the in-process
+        # availableNow scaffold is stream_gaps_epochs' (in-window) and
+        # the chart algebra rate_chart_events' (directly above) — the
+        # new part is the cumulative count-monoid state; epoch-chart ==
+        # batch-prefix + replay-idempotence pytests, strict sweep
+        # green at BOTH SFs -----------------------------------------------------
+        "stream_rate_epochs": q_stream_rate_epochs,
     }
 
 
@@ -11621,4 +11745,5 @@ def oracle_sql() -> dict[str, str]:
         "media_dups": SQL_MEDIA_DUPS,
         "export_verify": SQL_EXPORT_VERIFY,
         "redact_interleaved": SQL_REDACT_INTERLEAVED,
+        "stream_rate_epochs": SQL_STREAM_RATE_EPOCHS,
     }

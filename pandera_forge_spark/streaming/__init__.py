@@ -9,6 +9,7 @@ same check compiler and verdict semantics via ``foreachBatch``.
 """
 
 from pandera_forge_spark.streaming.cardinality import stream_cardinality
+from pandera_forge_spark.streaming.rates import stream_rate_chart
 from pandera_forge_spark.streaming.dedup import stream_near_dedup
 from pandera_forge_spark.streaming.sequence import (
     stream_cusum,
@@ -30,6 +31,7 @@ from pandera_forge_spark.streaming.validate import (
 __all__ = [
     "duplicate_ids_stream",
     "stream_cardinality",
+    "stream_rate_chart",
     "stream_drift",
     "stream_contamination",
     "stream_cusum",

@@ -1754,6 +1754,20 @@ def rate_control_chart(
             ),
         )
     )
+    return _chart_from_counts(per, batches, sigma, min_batch_rows, include_ok)
+
+
+def _chart_from_counts(
+    per: DataFrame,
+    batches: Sequence[str],
+    sigma: int,
+    min_batch_rows: int,
+    include_ok: bool,
+) -> DataFrame:
+    """The p-chart algebra over a pre-aggregated (batch, n_rows,
+    n_violations) count frame — shared by :func:`rate_control_chart`
+    and the streaming monitor (whose cumulative counts merge across
+    epochs before charting)."""
     totals = per.agg(
         F.coalesce(F.sum("n_rows"), F.lit(0).cast("long")).alias("__tn"),
         F.coalesce(F.sum("n_violations"), F.lit(0).cast("long")).alias(
