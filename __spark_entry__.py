@@ -9072,6 +9072,71 @@ ORDER BY dev.event_type, bucket_start
 """
 
 
+def q_drift_attribution_orders(spark, sf_dir):
+    """Per-bin PSI attribution (drift.drift_attribution): the
+    o_custkey%7 slice scored against the whole-table o_totalprice
+    baseline on the fixed DRIFT_EDGES grid — every bin's range,
+    masses, and signed (p-q)ln(p/q) term replayed in DuckDB with the
+    same EPS smoothing, so the attribution provably sums to the PSI
+    the scoring operators report."""
+    from pandera_forge_spark.drift import baseline_summary, drift_attribution
+
+    o = _t(spark, sf_dir, "orders")
+    base = baseline_summary(o, "o_totalprice", edges=DRIFT_EDGES)
+    cur = o.where(F.col("o_custkey") % 7 == 0)
+    out = drift_attribution(cur, "o_totalprice", base)
+    # ln() is not correctly-rounded IEEE (JVM Math.log vs libc differ in
+    # the last ulp) — ROUND(…, 6) for the oracle, the drift-family
+    # convention (same as drift_orders' psi)
+    return out.withColumn("psi_term", F.round("psi_term", 6)).orderBy("bin")
+
+
+def _sql_drift_attribution() -> str:
+    conds, lo = [], None
+    for e in DRIFT_EDGES + [None]:
+        if lo is None:
+            conds.append(f"o_totalprice <= {e}")
+        elif e is not None:
+            conds.append(f"o_totalprice > {lo} AND o_totalprice <= {e}")
+        else:
+            conds.append(f"o_totalprice > {lo}")
+        lo = e
+    nb = len(conds)
+    bin_cols = ",\n    ".join(
+        f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS b{i}"
+        for i, c in enumerate(conds)
+    )
+    rows = []
+    for i in range(nb):
+        lo_v = "CAST(NULL AS DOUBLE)" if i == 0 else str(DRIFT_EDGES[i - 1])
+        hi_v = (
+            "CAST(NULL AS DOUBLE)" if i == nb - 1 else str(DRIFT_EDGES[i])
+        )
+        p_raw = f"(CAST(c.b{i} AS DOUBLE) / GREATEST(c.n, 1))"
+        p = f"GREATEST({p_raw}, 0.000001)"
+        q = f"GREATEST(CAST(q.b{i} AS DOUBLE) / GREATEST(q.n, 1), 0.000001)"
+        rows.append(
+            f"SELECT CAST({i} AS INT) AS bin, {lo_v} AS lo, {hi_v} AS hi, "
+            f"CAST(c.b{i} AS BIGINT) AS n_rows, {p_raw} AS p_cur, "
+            f"{q} AS q_base, "
+            f"ROUND(({p} - {q}) * (LN({p}) - LN({q})), 6) AS psi_term "
+            f"FROM c, q"
+        )
+    return (
+        "WITH c AS (\n  SELECT " + bin_cols + ",\n"
+        "    CAST(COUNT(o_totalprice) AS BIGINT) AS n\n"
+        "  FROM orders WHERE o_totalprice IS NOT NULL AND o_custkey % 7 = 0\n"
+        "),\nq AS (\n  SELECT " + bin_cols + ",\n"
+        "    CAST(COUNT(o_totalprice) AS BIGINT) AS n\n"
+        "  FROM orders WHERE o_totalprice IS NOT NULL\n)\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\nORDER BY bin"
+    )
+
+
+SQL_DRIFT_ATTRIBUTION_ORDERS = _sql_drift_attribution()
+
+
 def q_stream_rate_epochs(spark, sf_dir):
     """Streaming p-chart (streaming/rates.py stream_rate_chart) driven
     END-TO-END in-process, the stream_gaps_epochs pattern: events cut
@@ -11514,6 +11579,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch-prefix + replay-idempotence pytests, strict sweep
         # green at BOTH SFs -----------------------------------------------------
         "stream_rate_epochs": q_stream_rate_epochs,
+        # drift_attribution_orders: this-session tail row; the binned
+        # aggregate + EPS algebra is drift_orders' r3-green kernel and
+        # the literal melt order_deps' (tail sibling) — the new part
+        # is the per-bin signed-term decomposition; sums-to-psi +
+        # localization + clean-data pytests, strict sweep green at
+        # BOTH SFs --------------------------------------------------------------
+        "drift_attribution_orders": q_drift_attribution_orders,
     }
 
 
@@ -11746,4 +11818,5 @@ def oracle_sql() -> dict[str, str]:
         "export_verify": SQL_EXPORT_VERIFY,
         "redact_interleaved": SQL_REDACT_INTERLEAVED,
         "stream_rate_epochs": SQL_STREAM_RATE_EPOCHS,
+        "drift_attribution_orders": SQL_DRIFT_ATTRIBUTION_ORDERS,
     }

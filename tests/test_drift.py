@@ -332,3 +332,56 @@ def test_table_drift_report_single_scan_and_fences(spark):
     a = sorted(map(tuple, table_drift_report(df.repartition(7), {"x": b, "y": b}).collect()))
     c = sorted(map(tuple, table_drift_report(df.coalesce(1), {"x": b, "y": b}).collect()))
     assert a == c
+
+
+# ---------------------------------------------------------- drift_attribution
+
+
+def test_attribution_terms_sum_to_psi_and_localize(spark):
+    import math
+
+    from pandera_forge_spark.drift import (
+        baseline_summary,
+        drift_attribution,
+        drift_by_partition,
+    )
+
+    base = spark.createDataFrame(
+        [(float(i % 100),) for i in range(2000)], "v double"
+    )
+    b = baseline_summary(base, "v", edges=[25.0, 50.0, 75.0])
+    # drifted: mass pushed into the top bin
+    cur = spark.createDataFrame(
+        [(float(i % 100) if i % 3 else 90.0,) for i in range(2000)],
+        "v double",
+    )
+    rows = drift_attribution(cur, "v", b).collect()
+    assert [r["bin"] for r in rows] == [0, 1, 2, 3]
+    assert rows[0]["lo"] is None and rows[3]["hi"] is None
+    assert rows[1]["lo"] == 25.0 and rows[1]["hi"] == 50.0
+    # terms sum to the scalar PSI the scoring operator reports
+    scored = drift_by_partition(
+        cur.withColumn("g", F.lit("all")), "v", ["g"], b
+    ).collect()[0]
+    assert math.isclose(
+        sum(r["psi_term"] for r in rows), scored["psi"], rel_tol=1e-12
+    )
+    # the planted shift localizes: top bin has the largest positive term
+    top = max(rows, key=lambda r: r["psi_term"])
+    assert top["bin"] == 3 and top["p_cur"] > top["q_base"]
+    # mass must leave the lower bins -> their p < q
+    assert rows[0]["p_cur"] < rows[0]["q_base"]
+
+
+def test_attribution_clean_data_near_zero(spark):
+    from pandera_forge_spark.drift import baseline_summary, drift_attribution
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    base = spark.createDataFrame(
+        [(float(i % 50),) for i in range(1000)], "v double"
+    )
+    b = baseline_summary(base, "v", edges=[10.0, 25.0, 40.0])
+    rows = drift_attribution(base, "v", b).collect()
+    assert all(abs(r["psi_term"]) < 1e-9 for r in rows)
+    assert sum(r["n_rows"] for r in rows) == 1000
+    assert not has_python_udf(drift_attribution(base, "v", b))
