@@ -612,3 +612,44 @@ def overlap_census(
             "n_values",
         )
     )
+
+
+def checks_from_order_dependencies(deps: DataFrame) -> list:
+    """Close the mine→enforce loop: the ``holds`` rows of
+    :func:`order_dependencies` become executable row-level ``Check``
+    objects (``custom_sql`` kind, compiled by ``checks.compile_check``
+    into JVM codegen like every other constraint) ready for
+    ``validator.validate_table`` — a mined ``ship <= receipt``
+    invariant starts counting its own violations on the next run, the
+    same lifecycle as the reference's inferred per-column checks.
+
+    Null semantics match the value-check family: a row where either
+    side is NULL passes (not_null checks own missingness). The deps
+    frame is O(columns²) — the ``collect`` here is metadata-sized by
+    construction, never data-sized. Directed duplicates (a<=b holding
+    alongside b<=a, the always-equal pair) each produce their own
+    check; labels keep them distinct."""
+    from pandera_forge_spark.schema import Check
+
+    need = {"lhs", "rhs", "verdict"}
+    missing = need - set(deps.columns)
+    if missing:
+        raise ValueError(
+            f"checks_from_order_dependencies: deps frame lacks columns "
+            f"{sorted(missing)} — pass order_dependencies() output"
+        )
+    out = []
+    for r in deps.where(F.col("verdict") == "holds").collect():
+        lhs, rhs = r["lhs"], r["rhs"]
+        out.append(
+            Check(
+                column=lhs,
+                kind="custom_sql",
+                value=(
+                    f"`{lhs}` IS NULL OR `{rhs}` IS NULL "
+                    f"OR `{lhs}` <= `{rhs}`"
+                ),
+                label=f"{lhs}__le__{rhs}",
+            )
+        )
+    return out

@@ -401,3 +401,37 @@ def test_overlap_census_cols_mapping_and_fences(spark):
     many = {f"s{i}": a for i in range(9)}
     with pytest.raises(ValueError, match="max_sources"):
         overlap_census(many, col="x")
+
+
+def test_checks_from_order_dependencies_roundtrip(spark, ordered):
+    from pandera_forge_spark.checks import compile_check
+    from pandera_forge_spark.operators.discovery import (
+        checks_from_order_dependencies,
+        order_dependencies,
+    )
+
+    deps = order_dependencies(ordered, min_support=50)
+    checks = checks_from_order_dependencies(deps)
+    names = {c.name for c in checks}
+    assert "ship__le__receipt" in names
+    # the mined invariant validates clean data clean...
+    ship_le = next(c for c in checks if c.name == "ship__le__receipt")
+    pred = compile_check(ship_le)
+    assert ordered.where(~pred).count() == 0
+    # ...and counts planted violations when the invariant breaks
+    import datetime as dt
+
+    broken = ordered.withColumn(
+        "receipt",
+        F.when(F.col("id") % 50 == 0, dt.date(2020, 1, 1)).otherwise(
+            F.col("receipt")
+        ),
+    )
+    assert broken.where(~compile_check(ship_le)).count() == 4
+    # null rows pass (not_null owns missingness)
+    nulled = ordered.withColumn(
+        "receipt", F.when(F.col("id") == 0, None).otherwise(F.col("receipt"))
+    )
+    assert nulled.where(~compile_check(ship_le)).count() == 0
+    with pytest.raises(ValueError, match="lacks columns"):
+        checks_from_order_dependencies(ordered)
