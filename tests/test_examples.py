@@ -147,3 +147,27 @@ def test_incremental_pipeline_example(spark):
     # the planted NULLs were caught inside the changed partition
     assert set(report["proof"]["violations_found"]) == {"d2"}
     assert report["proof"]["violations_found"]["d2"] > 0
+
+
+def test_discovery_pipeline_example(spark):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    import discovery_pipeline
+
+    report = discovery_pipeline.run(spark, "/root/testdata/sf0.001")
+    assert report["inferred"]["columns"] == 11
+    assert report["inferred"]["checks"] > 30
+    # the Good-Turing gate keeps the honest enums
+    assert "l_returnflag" in report["enum_gate"]["kept"]
+    assert "l_linestatus" in report["enum_gate"]["kept"]
+    # mined invariants exist and the l_*-only ones enforce on lineitem
+    assert report["order_deps"]["held"] >= 5
+    assert "l_tax__le__l_extendedprice" in report["order_deps"][
+        "enforced_on_lineitem"
+    ]
+    # the merged suite (inferred + mined) validates clean data clean
+    assert report["validation"]["ok"] is True
+    assert report["validation"]["violations"] == 0
+    assert report["validation"]["n_checks"] > report["inferred"]["checks"]
