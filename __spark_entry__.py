@@ -9072,6 +9072,69 @@ ORDER BY dev.event_type, bucket_start
 """
 
 
+def q_surprise_orders(spark, sf_dir):
+    """Row-level surprise scoring (drift.surprise_scores): every order
+    priced against the whole-table o_totalprice baseline, plus 7
+    planted impossible prices (-1e9) that must land the EPS-floor
+    maximum surprise; the census per rounded score level replays the
+    ladder in DuckDB (ROUND 6 — ln is not correctly-rounded IEEE, the
+    drift-family convention)."""
+    from pandera_forge_spark.drift import baseline_summary, surprise_scores
+
+    o = _t(spark, sf_dir, "orders")
+    base = baseline_summary(o, "o_totalprice", edges=DRIFT_EDGES)
+    planted = o.select("o_orderkey", "o_totalprice").unionByName(
+        spark.range(7).select(
+            (F.col("id") - 1000000).alias("o_orderkey"),
+            F.lit(-1e9).alias("o_totalprice"),
+        )
+    )
+    out = surprise_scores(planted, "o_totalprice", base)
+    return (
+        out.where(F.col("surprise").isNotNull())
+        .groupBy(F.round("surprise", 6).alias("surprise"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("surprise")
+    )
+
+
+def _sql_surprise_orders() -> str:
+    conds, lo = [], None
+    for e in DRIFT_EDGES + [None]:
+        if lo is None:
+            conds.append(f"v <= {e}")
+        elif e is not None:
+            conds.append(f"v > {lo} AND v <= {e}")
+        else:
+            conds.append(f"v > {lo}")
+        lo = e
+    nb = len(conds)
+    qexprs = ", ".join(
+        f"GREATEST(CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" / GREATEST(COUNT(v), 1), 0.000001) AS q{i}"
+        for i, c in enumerate(conds)
+    )
+    ladder = "CASE "
+    for i in range(nb - 1):
+        ladder += f"WHEN v <= {DRIFT_EDGES[i]} THEN ROUND(-LN(b.q{i}), 6) "
+    ladder += f"ELSE ROUND(-LN(b.q{nb - 1}), 6) END"
+    return f"""
+WITH src AS (
+  SELECT o_totalprice AS v FROM orders
+  UNION ALL
+  SELECT -1000000000.0 FROM range(7)
+),
+b AS (SELECT {qexprs} FROM (SELECT o_totalprice AS v FROM orders) t
+      WHERE v IS NOT NULL)
+SELECT {ladder} AS surprise, COUNT(*) AS n_rows
+FROM src, b WHERE v IS NOT NULL
+GROUP BY 1 ORDER BY surprise
+"""
+
+
+SQL_SURPRISE_ORDERS = _sql_surprise_orders()
+
+
 def q_drift_attribution_orders(spark, sf_dir):
     """Per-bin PSI attribution (drift.drift_attribution): the
     o_custkey%7 slice scored against the whole-table o_totalprice
@@ -11586,6 +11649,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # localization + clean-data pytests, strict sweep green at
         # BOTH SFs --------------------------------------------------------------
         "drift_attribution_orders": q_drift_attribution_orders,
+        # surprise_orders: this-session tail row; the bin ladder and
+        # EPS floor are drift_attribution_orders' (directly above) —
+        # the new part is the per-row -ln(q) projection with planted
+        # impossible values; rarity-ladder + pure-projection-plan
+        # pytests, strict sweep green at BOTH SFs -------------------------------
+        "surprise_orders": q_surprise_orders,
     }
 
 
@@ -11819,4 +11888,5 @@ def oracle_sql() -> dict[str, str]:
         "redact_interleaved": SQL_REDACT_INTERLEAVED,
         "stream_rate_epochs": SQL_STREAM_RATE_EPOCHS,
         "drift_attribution_orders": SQL_DRIFT_ATTRIBUTION_ORDERS,
+        "surprise_orders": SQL_SURPRISE_ORDERS,
     }

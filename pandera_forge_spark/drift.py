@@ -518,3 +518,46 @@ def drift_attribution(df: DataFrame, col: str, baseline: dict) -> DataFrame:
             )
         )
     return g.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def surprise_scores(
+    df: DataFrame,
+    col: str,
+    baseline: dict,
+    out_col: str = "surprise",
+) -> DataFrame:
+    """Row-level rarity scoring against a ``baseline_summary``: each
+    row gains ``-ln(q_bin)`` — the information content of landing in
+    its baseline bin — turning the drift family's table statistics
+    into a per-row triage column: sort by it and the weirdest rows
+    (relative to how the data USED to look) surface first; threshold
+    it and you have an outlier check whose calibration is the
+    baseline itself, not a parametric assumption. A value in a bin
+    the baseline held 40% of lands ~0.9; one in an EPS-floored empty
+    bin lands ~13.8 (= -ln(1e-6)), the maximum surprise the grid can
+    express — granularity is bin-level by design (same resolution as
+    PSI/KS; tighten the grid for finer scores).
+
+    NULL values score NULL (missingness is the nullability check's
+    finding). Pure projection — the bin probe is the same chained
+    comparison ladder the binned aggregates use, edges as literals,
+    zero shuffle, whole-stage codegen."""
+    if out_col in df.columns:
+        raise ValueError(
+            f"surprise_scores: output column {out_col!r} already exists"
+        )
+    edges, q_props = baseline["edges"], baseline["props"]
+    import math
+
+    c = F.col(col)
+    score = F.lit(float(-math.log(q_props[-1])))  # last bin: > all edges
+    # build the ladder from the top down so the first TRUE condition
+    # (value <= edge_i, smallest i) wins, matching _bin_exprs' bins
+    for i in range(len(edges) - 1, -1, -1):
+        score = F.when(
+            c <= F.lit(float(edges[i])),
+            F.lit(float(-math.log(q_props[i]))),
+        ).otherwise(score)
+    return df.withColumn(
+        out_col, F.when(c.isNull(), F.lit(None).cast("double")).otherwise(score)
+    )

@@ -385,3 +385,43 @@ def test_attribution_clean_data_near_zero(spark):
     assert all(abs(r["psi_term"]) < 1e-9 for r in rows)
     assert sum(r["n_rows"] for r in rows) == 1000
     assert not has_python_udf(drift_attribution(base, "v", b))
+
+
+# ------------------------------------------------------------ surprise_scores
+
+
+def test_surprise_scores_rarity_ladder(spark):
+    import math
+
+    from pandera_forge_spark.drift import baseline_summary, surprise_scores
+
+    base = spark.createDataFrame(
+        [(10.0,)] * 80 + [(30.0,)] * 20, "v double"
+    )
+    b = baseline_summary(base, "v", edges=[20.0, 40.0])
+    cur = spark.createDataFrame(
+        [(5.0,), (35.0,), (99.0,), (None,)], "v double"
+    )
+    got = {r["v"]: r["surprise"] for r in surprise_scores(cur, "v", b).collect()}
+    assert math.isclose(got[5.0], -math.log(0.8))
+    assert math.isclose(got[35.0], -math.log(0.2))
+    # bin the baseline never saw: EPS floor -> maximum surprise
+    assert math.isclose(got[99.0], -math.log(1e-6))
+    assert got[None] is None
+    # rare beats common, empty beats rare
+    assert got[5.0] < got[35.0] < got[99.0]
+
+
+def test_surprise_scores_contracts(spark):
+    import pytest
+
+    from pandera_forge_spark.drift import baseline_summary, surprise_scores
+    from pandera_forge_spark.plans.inspect import executed_plan, has_python_udf
+
+    base = spark.createDataFrame([(1.0,)] * 10, "v double")
+    b = baseline_summary(base, "v", edges=[5.0])
+    out = surprise_scores(base, "v", b)
+    assert not has_python_udf(out)
+    assert "Exchange" not in executed_plan(out)  # pure projection
+    with pytest.raises(ValueError, match="already exists"):
+        surprise_scores(base.withColumn("surprise", F.lit(1)), "v", b)
