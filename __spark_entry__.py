@@ -9072,6 +9072,71 @@ ORDER BY dev.event_type, bucket_start
 """
 
 
+def q_vocab_coverage_lang(spark, sf_dir):
+    """Tokenizer-fit audit (operators/text.py vocab_coverage): every
+    document's OOV rate against the corpus's own top-500 token vocab,
+    rolled up per language as exact integer token/OOV sums (one final
+    division — no float accumulation anywhere). The oracle rebuilds
+    the tokenization, the deterministic (count desc, token asc)
+    election, and both rollup levels in DuckDB."""
+    from pandera_forge_spark.operators.text import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    cov = vocab_coverage(docs, vocab_k=500)
+    j = cov.join(docs.select("doc_id", "lang"), "doc_id")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum("n_oov").alias("sum_oov"),
+        )
+        .withColumn(
+            "oov_ratio",
+            F.col("sum_oov").cast("double")
+            / F.col("sum_tokens").cast("double"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_VOCAB_COVERAGE_LANG = r"""
+WITH toks AS (
+  SELECT doc_id, t
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+             regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> x <> '')) AS t
+    FROM documents
+  )
+),
+census AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY 1),
+vocab AS (
+  SELECT t FROM (
+    SELECT t, ROW_NUMBER() OVER (ORDER BY c DESC, t ASC) AS rk FROM census
+  ) WHERE rk <= 500
+),
+per_doc AS (
+  SELECT toks.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM toks LEFT JOIN vocab v USING (t) GROUP BY 1
+),
+alld AS (
+  SELECT d.doc_id, d.lang,
+         COALESCE(p.n_tokens, 0) AS n_tokens,
+         COALESCE(p.n_oov, 0) AS n_oov
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(n_oov) AS BIGINT) AS sum_oov,
+       CAST(SUM(n_oov) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE) AS oov_ratio
+FROM alld GROUP BY 1 ORDER BY lang
+"""
+
+
 def q_surprise_orders(spark, sf_dir):
     """Row-level surprise scoring (drift.surprise_scores): every order
     priced against the whole-table o_totalprice baseline, plus 7
@@ -11655,6 +11720,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # impossible values; rarity-ladder + pure-projection-plan
         # pytests, strict sweep green at BOTH SFs -------------------------------
         "surprise_orders": q_surprise_orders,
+        # vocab_coverage_lang: this-session tail row; the tokenize +
+        # census is token_histogram's r4-green kernel and the
+        # deterministic election tfidf's window discipline — the new
+        # part is the OOV membership rollup; head/OOV/empty-doc +
+        # partition-stability pytests, strict sweep green at
+        # BOTH SFs --------------------------------------------------------------
+        "vocab_coverage_lang": q_vocab_coverage_lang,
     }
 
 
@@ -11889,4 +11961,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_rate_epochs": SQL_STREAM_RATE_EPOCHS,
         "drift_attribution_orders": SQL_DRIFT_ATTRIBUTION_ORDERS,
         "surprise_orders": SQL_SURPRISE_ORDERS,
+        "vocab_coverage_lang": SQL_VOCAB_COVERAGE_LANG,
     }

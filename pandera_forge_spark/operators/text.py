@@ -1289,3 +1289,77 @@ def markup_residue_census(
     if keys:
         return base.groupBy(*keys).agg(*aggs)
     return base.agg(*aggs)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_k: int = 1000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Tokenizer-fit audit: build the corpus's own top-``vocab_k``
+    token vocabulary (by total count, ties to the lexicographically
+    smaller token — deterministic) and score every document's
+    out-of-vocabulary rate against it. The question this answers
+    BEFORE a training run: if the tokenizer's vocab is k entries,
+    what fraction of each document falls outside the head —
+    high-OOV documents are the ones that will shatter into
+    byte-fallback soup, and a per-lang/per-source aggregate of this
+    frame localizes which slice the vocab underserves.
+
+    Output per document: ``id, n_tokens, n_oov, oov_ratio`` (one IEEE
+    division; empty/whitespace docs report 0 tokens and NULL ratio).
+
+    Scale shape: one token explode + count groupBy builds the
+    census (map-side partials; the census is vocabulary-sized, not
+    corpus-sized); the top-k election is a window over THAT census —
+    a single-partition sort of O(distinct tokens) rows, census-sized
+    by construction and said out loud; membership then rides back as
+    a broadcast semi-join flag and ONE per-doc count groupBy. Two
+    corpus-sized shuffles total (token count, per-doc rollup)."""
+    if int(vocab_k) < 1:
+        raise ValueError(
+            f"vocab_coverage: vocab_k must be >= 1, got {vocab_k}"
+        )
+    for c in (text_col, id_col):
+        if c not in df.columns:
+            raise ValueError(f"vocab_coverage: column {c!r} missing")
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.col(text_col))).alias("__t"),
+    ).where(F.col("__t") != "")
+    census = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy(F.col("__c").desc(), F.col("__t").asc())
+    vocab = (
+        census.where(F.col("__c") >= int(min_count))
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= int(vocab_k))
+        .select("__t")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), "__t", "left"
+    )
+    per_doc = flagged.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("__in").isNull(), 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_oov"),
+    )
+    base = df.select(F.col(id_col).alias("__id")).distinct()
+    out = base.join(per_doc, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias(
+            "n_tokens"
+        ),
+        F.coalesce(F.col("n_oov"), F.lit(0).cast("long")).alias("n_oov"),
+        F.when(
+            F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        ).alias("oov_ratio"),
+    )
+    return out

@@ -543,3 +543,45 @@ def test_salt_plan_fences_and_no_udf(spark):
     with pytest.raises(ValueError, match="collide"):
         salt_plan(df.withColumnRenamed("k", "n_rows"), ["n_rows"], 10)
     assert not has_python_udf(salt_plan(df, ["k"], 10))
+
+
+# ------------------------------------------------------------ vocab_coverage
+
+
+def test_vocab_coverage_oov_rates(spark):
+    from pandera_forge_spark.operators.text import vocab_coverage
+
+    rows = [
+        (1, "the cat and the dog and the cat"),   # all head tokens
+        (2, "the cat xylophone quux"),              # 2/4 OOV at k=4
+        (3, ""),                                     # empty doc
+        (4, "zzz qqq"),                              # fully OOV
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # corpus counts: the=4, and=2, cat=3, dog=1, xylophone=1, quux=1,
+    # zzz=1, qqq=1 -> top-4 by (count desc, token asc): the, cat, and, dog
+    got = {r["doc_id"]: r for r in vocab_coverage(df, vocab_k=4).collect()}
+    assert got[1]["n_oov"] == 0 and got[1]["oov_ratio"] == 0.0
+    assert got[2]["n_tokens"] == 4 and got[2]["n_oov"] == 2
+    assert got[2]["oov_ratio"] == 0.5
+    assert got[3]["n_tokens"] == 0 and got[3]["oov_ratio"] is None
+    assert got[4]["oov_ratio"] == 1.0
+    # deterministic tie-break: at k=5, 'dog' beat the 1-count ties
+    # lexicographically larger than it would lose; verify stability
+    a = vocab_coverage(df, vocab_k=5).collect()
+    b = vocab_coverage(df.repartition(7), vocab_k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_vocab_coverage_contracts(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.text import vocab_coverage
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert not has_python_udf(vocab_coverage(df))
+    with pytest.raises(ValueError, match="vocab_k"):
+        vocab_coverage(df, vocab_k=0)
+    with pytest.raises(ValueError, match="missing"):
+        vocab_coverage(df, text_col="nope")
