@@ -10781,6 +10781,117 @@ ORDER BY event_type, event_id
 """
 
 
+def q_bh_drift_events(spark, sf_dir):
+    """FDR-controlled drift alerting (drift.bh_adjust + ks_pvalue):
+    45 slices of events.value — 40 natural (event_type × user_id%8)
+    plus 5 planted shifted slices (bucket 100, value*3+500, all mass
+    in the top bin) — each KS-tested against the whole-table binned
+    baseline, one-term Smirnov p-value, Benjamini-Hochberg step-up at
+    q=0.05. The oracle replays the binned KS (drift-family SQL
+    pattern), the p-value EXP, and the step-up ranks/cutoff/verdict
+    per slice (ROUND 6 on output, raw doubles in the decision — the
+    drift-family convention since exp/ln are not correctly-rounded
+    IEEE)."""
+    from pandera_forge_spark.drift import (
+        baseline_summary,
+        bh_adjust,
+        drift_by_partition,
+        ks_pvalue,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = baseline_summary(ev, "value", edges=[10.0, 25.0, 50.0, 100.0])
+    slices = ev.select(
+        "event_type", (F.col("user_id") % 8).alias("bucket"), "value"
+    )
+    planted = ev.where(F.col("user_id") % 11 == 0).select(
+        "event_type",
+        F.lit(100).cast("long").alias("bucket"),
+        (F.col("value") * 3 + 500).alias("value"),
+    )
+    d = drift_by_partition(
+        slices.unionByName(planted), "value",
+        ["event_type", "bucket"], base,
+    )
+    mdf = ev.where(F.col("value").isNotNull()).agg(
+        F.count(F.lit(1)).alias("__m")
+    )
+    scored = (
+        d.crossJoin(F.broadcast(mdf))
+        .withColumn("p", ks_pvalue(F.col("ks"), F.col("n"), F.col("__m")))
+        .drop("__m")
+    )
+    out = bh_adjust(scored, "p", q=0.05, tie_cols=["event_type", "bucket"])
+    return out.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.round("ks", 6).alias("ks"),
+        F.round("p", 6).alias("p"),
+        F.col("p_rank").cast("long").alias("p_rank"),
+        "rejected",
+    ).orderBy("event_type", "bucket")
+
+
+SQL_BH_DRIFT_EVENTS = r"""
+WITH sliced AS (
+  SELECT event_type, user_id % 8 AS bucket, value FROM events
+  UNION ALL
+  SELECT event_type, 100 AS bucket, value * 3 + 500 AS value
+  FROM events WHERE user_id % 11 = 0
+),
+bins AS (
+  SELECT event_type, bucket,
+    CAST(SUM(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) AS DOUBLE) AS b0,
+    CAST(SUM(CASE WHEN value > 10.0 AND value <= 25.0 THEN 1 ELSE 0 END) AS DOUBLE) AS b1,
+    CAST(SUM(CASE WHEN value > 25.0 AND value <= 50.0 THEN 1 ELSE 0 END) AS DOUBLE) AS b2,
+    CAST(SUM(CASE WHEN value > 50.0 AND value <= 100.0 THEN 1 ELSE 0 END) AS DOUBLE) AS b3,
+    CAST(COUNT(value) AS BIGINT) AS n
+  FROM sliced GROUP BY 1, 2
+),
+base AS (
+  SELECT
+    CAST(SUM(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) AS DOUBLE) AS b0,
+    CAST(SUM(CASE WHEN value > 10.0 AND value <= 25.0 THEN 1 ELSE 0 END) AS DOUBLE) AS b1,
+    CAST(SUM(CASE WHEN value > 25.0 AND value <= 50.0 THEN 1 ELSE 0 END) AS DOUBLE) AS b2,
+    CAST(SUM(CASE WHEN value > 50.0 AND value <= 100.0 THEN 1 ELSE 0 END) AS DOUBLE) AS b3,
+    CAST(COUNT(value) AS DOUBLE) AS m
+  FROM events
+),
+stats AS (
+  SELECT p.event_type, p.bucket, p.n,
+    GREATEST(
+      ABS(p.b0 / p.n - q.b0 / q.m),
+      ABS((p.b0 + p.b1) / p.n - (q.b0 + q.b1) / q.m),
+      ABS((p.b0 + p.b1 + p.b2) / p.n - (q.b0 + q.b1 + q.b2) / q.m),
+      ABS((p.b0 + p.b1 + p.b2 + p.b3) / p.n
+          - (q.b0 + q.b1 + q.b2 + q.b3) / q.m)
+    ) AS ks,
+    q.m AS m
+  FROM bins p, base q
+),
+scored AS (
+  SELECT event_type, bucket, n, ks,
+         LEAST(1.0, 2 * EXP(-2 * (CAST(n AS DOUBLE) * m / (CAST(n AS DOUBLE) + m)) * ks * ks)) AS p
+  FROM stats
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY p ASC, event_type ASC, bucket ASC) AS rk,
+         COUNT(*) OVER () AS m_cnt
+  FROM scored
+),
+k AS (
+  SELECT COALESCE(MAX(CASE WHEN p <= CAST(rk AS DOUBLE) * 0.05 / m_cnt
+                           THEN rk END), 0) AS kstar
+  FROM ranked
+)
+SELECT event_type, bucket, n, ROUND(ks, 6) AS ks, ROUND(p, 6) AS p,
+       CAST(rk AS BIGINT) AS p_rank, rk <= kstar AS rejected
+FROM ranked, k ORDER BY event_type, bucket
+"""
+
+
 def q_prefix_join_planted(spark, sf_dir):
     """EXACT-Jaccard similarity self-join via prefix filtering
     (operators/dedup.py similarity_join_prefix — the AllPairs/PPJoin
@@ -11796,6 +11907,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ratio; all-pairs-equality + threshold-1.0 + arg-fence
         # pytests, strict sweep green at BOTH SFs ------------------------------
         "prefix_join_planted": q_prefix_join_planted,
+        # bh_drift_events: this-session tail row; the binned KS kernel
+        # is drift_orders' r3-green SQL pattern — the new part is the
+        # Smirnov p-value + Benjamini-Hochberg step-up (textbook-
+        # example, tie-determinism, null-drop, planted-slice pytests),
+        # strict sweep green at BOTH SFs ---------------------------------------
+        "bh_drift_events": q_bh_drift_events,
     }
 
 
@@ -12032,4 +12149,5 @@ def oracle_sql() -> dict[str, str]:
         "surprise_orders": SQL_SURPRISE_ORDERS,
         "vocab_coverage_lang": SQL_VOCAB_COVERAGE_LANG,
         "prefix_join_planted": SQL_PREFIX_JOIN_PLANTED,
+        "bh_drift_events": SQL_BH_DRIFT_EVENTS,
     }

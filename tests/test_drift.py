@@ -425,3 +425,97 @@ def test_surprise_scores_contracts(spark):
     assert "Exchange" not in executed_plan(out)  # pure projection
     with pytest.raises(ValueError, match="already exists"):
         surprise_scores(base.withColumn("surprise", F.lit(1)), "v", b)
+
+
+def test_bh_adjust_textbook_example(spark):
+    """Hand-computed BH step-up: m=10 p-values, q=0.25 — the classic
+    worked example where p_(4)=0.092 <= 4*0.25/10=0.1 is the largest
+    satisfying rank, so ranks 1..4 are rejected INCLUDING p_(3)=0.09
+    which fails its OWN per-rank cut (0.075) — the step-up, not
+    step-down, semantics."""
+    from pandera_forge_spark.drift import bh_adjust
+
+    ps = [0.001, 0.021, 0.09, 0.092, 0.2, 0.3, 0.4, 0.6, 0.75, 0.9]
+    df = spark.createDataFrame(
+        [(f"s{i}", p) for i, p in enumerate(ps)], "slice string, p double"
+    )
+    out = {r.slice: (r.p_rank, r.rejected) for r in bh_adjust(
+        df, "p", q=0.25, tie_cols=["slice"]
+    ).collect()}
+    assert out["s0"] == (1, True)
+    assert out["s2"] == (3, True)   # step-up rescues rank 3
+    assert out["s3"] == (4, True)
+    assert out["s4"] == (5, False)
+    assert out["s9"] == (10, False)
+
+
+def test_bh_adjust_none_rejected_and_nulls_dropped(spark):
+    from pandera_forge_spark.drift import bh_adjust
+
+    df = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.9), ("c", None)], "slice string, p double"
+    )
+    rows = bh_adjust(df, "p", q=0.05, tie_cols=["slice"]).collect()
+    assert len(rows) == 2  # null-p row dropped
+    assert not any(r.rejected for r in rows)
+
+
+def test_bh_adjust_tie_determinism(spark):
+    from pandera_forge_spark.drift import bh_adjust
+
+    df = spark.createDataFrame(
+        [("b", 0.01), ("a", 0.01), ("c", 0.9)], "slice string, p double"
+    )
+    out = {r.slice: r.p_rank for r in bh_adjust(
+        df, "p", tie_cols=["slice"]
+    ).collect()}
+    assert out == {"a": 1, "b": 2, "c": 3}
+
+
+def test_bh_adjust_validates_args(spark):
+    from pandera_forge_spark.drift import bh_adjust
+
+    df = spark.createDataFrame([("a", 0.5)], "slice string, p double")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="q must be"):
+        bh_adjust(df, "p", q=1.5)
+    with _pt.raises(ValueError, match="missing"):
+        bh_adjust(df, "nope")
+    with _pt.raises(ValueError, match="tie column"):
+        bh_adjust(df, "p", tie_cols=["ghost"])
+
+
+def test_ks_pvalue_planted_drift_is_rejected(spark):
+    """End-to-end: 40 natural slices + 5 planted shifted slices; the
+    KS one-term p-value + BH at q=0.05 rejects exactly the planted
+    slices (every planted row lands in the top bin, KS ~ 0.8)."""
+    from pandera_forge_spark.drift import (
+        baseline_summary,
+        bh_adjust,
+        drift_by_partition,
+        ks_pvalue,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    base = baseline_summary(ev, "value", edges=[10.0, 25.0, 50.0, 100.0])
+    slices = ev.select(
+        "event_type", (F.col("user_id") % 8).alias("bucket"), "value"
+    )
+    planted = ev.where(F.col("user_id") % 11 == 0).select(
+        "event_type",
+        F.lit(100).alias("bucket"),
+        (F.col("value") * 3 + 500).alias("value"),
+    )
+    d = drift_by_partition(
+        slices.unionByName(planted), "value",
+        ["event_type", "bucket"], base,
+    )
+    m = ev.where(F.col("value").isNotNull()).count()
+    scored = d.withColumn(
+        "p", ks_pvalue(F.col("ks"), F.col("n"), F.lit(m))
+    )
+    out = bh_adjust(scored, "p", q=0.05, tie_cols=["event_type", "bucket"])
+    rej = {(r.event_type, r.bucket) for r in out.collect() if r.rejected}
+    assert {b for _, b in rej} == {100}
+    assert len(rej) == 5
