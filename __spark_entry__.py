@@ -10781,6 +10781,86 @@ ORDER BY event_type, event_id
 """
 
 
+def q_readability_lang(spark, sf_dir):
+    """Readability census (operators/text.py readability): per-doc
+    Flesch word/sentence/vowel-group-syllable counts rolled up per
+    language as EXACT integer sums, with one corpus-level Flesch
+    computed from the summed totals (single fixed-order float
+    expression — no cross-row float accumulation anywhere). The
+    oracle rebuilds the tokenization, the max(1, vowel-run) syllable
+    heuristic, and the sentence splits in DuckDB, guarding every
+    list_sum/SUM against HUGEINT widening."""
+    from pandera_forge_spark.operators.text import readability
+
+    docs = _t(spark, sf_dir, "documents")
+    r = readability(docs)
+    j = r.join(docs.select("doc_id", "lang"), "doc_id")
+    agg = j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("sum_words"),
+        F.sum("n_sentences").alias("sum_sentences"),
+        F.sum("n_syllables").alias("sum_syllables"),
+    )
+    return agg.withColumn(
+        "corpus_flesch",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (
+                F.col("sum_words").cast("double")
+                / F.col("sum_sentences").cast("double")
+            )
+            - F.lit(84.6)
+            * (
+                F.col("sum_syllables").cast("double")
+                / F.col("sum_words").cast("double")
+            ),
+            6,
+        ),
+    ).orderBy("lang")
+
+
+SQL_READABILITY_LANG = r"""
+WITH per_doc AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CASE WHEN len(toks) > 0
+              THEN greatest(len(list_filter(
+                     regexp_split_to_array(text, '[.!?]+'),
+                     s -> trim(s) <> '')), 1)
+              ELSE 0 END AS n_sentences,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks,
+                     t -> greatest(len(regexp_extract_all(t, '[aeiouy]+')),
+                                   1))) AS BIGINT)
+              ELSE 0 END AS n_syllables
+  FROM (
+    SELECT doc_id, text,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+  )
+),
+agg AS (
+  SELECT d.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(p.n_words) AS BIGINT) AS sum_words,
+         CAST(SUM(p.n_sentences) AS BIGINT) AS sum_sentences,
+         CAST(SUM(p.n_syllables) AS BIGINT) AS sum_syllables
+  FROM per_doc p JOIN documents d USING (doc_id)
+  GROUP BY d.lang
+)
+SELECT lang, n_docs, sum_words, sum_sentences, sum_syllables,
+       ROUND(206.835
+             - 1.015 * (CAST(sum_words AS DOUBLE)
+                        / CAST(sum_sentences AS DOUBLE))
+             - 84.6 * (CAST(sum_syllables AS DOUBLE)
+                       / CAST(sum_words AS DOUBLE)),
+             6) AS corpus_flesch
+FROM agg ORDER BY lang
+"""
+
+
 def q_bh_drift_events(spark, sf_dir):
     """FDR-controlled drift alerting (drift.bh_adjust + ks_pvalue):
     45 slices of events.value — 40 natural (event_type × user_id%8)
@@ -11913,6 +11993,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # example, tie-determinism, null-drop, planted-slice pytests),
         # strict sweep green at BOTH SFs ---------------------------------------
         "bh_drift_events": q_bh_drift_events,
+        # readability_lang: this-session tail row; tokenize + per-lang
+        # exact-integer rollup follows vocab_coverage_lang's kernel —
+        # the new part is the syllable/sentence algebra and the
+        # corpus-Flesch from sums (hand-computed, plan-shape, fence
+        # pytests), strict sweep green at BOTH SFs -----------------------------
+        "readability_lang": q_readability_lang,
     }
 
 
@@ -12150,4 +12236,5 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage_lang": SQL_VOCAB_COVERAGE_LANG,
         "prefix_join_planted": SQL_PREFIX_JOIN_PLANTED,
         "bh_drift_events": SQL_BH_DRIFT_EVENTS,
+        "readability_lang": SQL_READABILITY_LANG,
     }

@@ -889,3 +889,50 @@ def test_markup_residue_census_contracts_and_plan(spark):
     out = markup_residue_census(df, "text", ["src"])
     assert not has_python_udf(out)
     assert "Window" not in executed_plan(out)
+
+
+def test_readability_hand_computed(spark):
+    """'the cat sat. the dog ran!' — 6 words, 2 sentences, 6
+    one-syllable words: flesch = 206.835 - 1.015*3 - 84.6*1 =
+    119.19. 'beautiful examination' — 2 words, 1 sentence,
+    eau-i-u + e-a-i-a-io = 3+5=8 vowel groups."""
+    from pandera_forge_spark.operators.text import readability
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),
+            (2, "beautiful examination"),
+            (3, "   "),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in readability(df).collect()}
+    r1 = rows[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (6, 2, 6)
+    assert abs(r1.flesch - (206.835 - 1.015 * 3.0 - 84.6 * 1.0)) < 1e-9
+    r2 = rows[2]
+    assert (r2.n_words, r2.n_sentences, r2.n_syllables) == (2, 1, 8)
+    for k in (3, 4):
+        assert rows[k].n_words == 0 and rows[k].flesch is None
+
+
+def test_readability_no_python_udf_and_no_shuffle(spark):
+    from pandera_forge_spark.operators.text import readability
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = readability(df)
+    assert not has_python_udf(out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_readability_validates_columns(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.text import readability
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="missing"):
+        readability(df, text_col="body")
