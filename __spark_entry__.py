@@ -10781,6 +10781,63 @@ ORDER BY event_type, event_id
 """
 
 
+def q_zipf_lang(spark, sf_dir):
+    """Corpus fingerprint (operators/text.py zipf_fit): per-language
+    OLS slope/intercept of ln(freq) on ln(rank) over the top-30 token
+    ranks — the Zipf's-law conformance check that catches word-salad
+    (slope -> 0) and stamped-template (slope << -1) slices that
+    per-doc scores miss. Deterministic rank election (count desc,
+    token asc); ROUND 6 on the fitted moments (the corr_lineitem
+    convention for cross-row float statistics)."""
+    from pandera_forge_spark.operators.text import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    out = zipf_fit(docs, group_cols=["lang"], top_k=30)
+    return out.select(
+        "lang",
+        "n_ranks",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    ).orderBy("lang")
+
+
+SQL_ZIPF_LANG = r"""
+WITH toks AS (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+census AS (SELECT lang, t, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT lang, c,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, t ASC) AS rk
+  FROM census
+),
+pts AS (
+  SELECT lang, LN(CAST(rk AS DOUBLE)) AS x, LN(CAST(c AS DOUBLE)) AS y
+  FROM ranked WHERE rk <= 30
+),
+mo AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_ranks,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM pts GROUP BY 1
+),
+fit AS (
+  SELECT lang, n_ranks, sx, sy,
+         CASE WHEN n_ranks >= 2
+                   AND CAST(n_ranks AS DOUBLE) * sxx - sx * sx <> 0
+              THEN (CAST(n_ranks AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n_ranks AS DOUBLE) * sxx - sx * sx)
+         END AS slope
+  FROM mo
+)
+SELECT lang, n_ranks, ROUND(slope, 6) AS slope,
+       ROUND((sy - slope * sx) / CAST(n_ranks AS DOUBLE), 6) AS intercept
+FROM fit ORDER BY lang
+"""
+
+
 def q_readability_lang(spark, sf_dir):
     """Readability census (operators/text.py readability): per-doc
     Flesch word/sentence/vowel-group-syllable counts rolled up per
@@ -11999,6 +12056,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-Flesch from sums (hand-computed, plan-shape, fence
         # pytests), strict sweep green at BOTH SFs -----------------------------
         "readability_lang": q_readability_lang,
+        # zipf_lang: this-session tail row; census + deterministic
+        # rank election reuse the vocab_coverage/tfidf kernels — the
+        # new part is the ln/ln OLS moment fold (perfect-power-law,
+        # degenerate-group, fence pytests), strict sweep green at
+        # BOTH SFs --------------------------------------------------------------
+        "zipf_lang": q_zipf_lang,
     }
 
 
@@ -12237,4 +12300,5 @@ def oracle_sql() -> dict[str, str]:
         "prefix_join_planted": SQL_PREFIX_JOIN_PLANTED,
         "bh_drift_events": SQL_BH_DRIFT_EVENTS,
         "readability_lang": SQL_READABILITY_LANG,
+        "zipf_lang": SQL_ZIPF_LANG,
     }

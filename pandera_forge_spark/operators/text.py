@@ -1435,3 +1435,86 @@ def readability(
         ),
         flesch.alias("flesch"),
     )
+
+
+# --------------------------------------------------------- zipf fit
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: Sequence[str] = (),
+    top_k: int = 200,
+    min_count: int = 1,
+) -> DataFrame:
+    """Rank-frequency (Zipf) fit of the token census: OLS slope and
+    intercept of ``ln(freq)`` on ``ln(rank)`` over the top-``top_k``
+    ranks, optionally per group. Natural language reliably shows a
+    slope near -1 (Zipf's law — public linguistics folklore); a
+    corpus slice whose slope collapses toward 0 is word-salad /
+    template soup, and one that dives far below -1 is a few tokens
+    stamped everywhere — both are generator or scraper failures that
+    per-doc quality scores miss because every individual doc looks
+    fine. This is the corpus-level fingerprint check.
+
+    Scale shape: one corpus-sized explode + hash groupBy builds the
+    census (map-side partials; result is vocabulary-sized, not
+    corpus-sized); the rank election is a window over THAT census
+    partitioned by group — the same census-sized-sort-said-out-loud
+    discipline as vocab_coverage; the OLS moments are one tiny
+    groupBy over <= top_k rows per group. Ranks break count ties by
+    token asc, so the fit is deterministic. Groups with fewer than 2
+    ranked tokens report NULL slope/intercept (a line needs two
+    points), never a divide-by-zero.
+
+    Output: ``group_cols..., n_ranks, slope, intercept`` — raw
+    doubles; callers round for cross-engine comparison (the
+    corr_lineitem ROUND-6 convention).
+    """
+    if int(top_k) < 2:
+        raise ValueError(f"zipf_fit: top_k must be >= 2, got {top_k}")
+    if text_col not in df.columns:
+        raise ValueError(f"zipf_fit: column {text_col!r} missing")
+    for c in group_cols:
+        if c not in df.columns:
+            raise ValueError(f"zipf_fit: group column {c!r} missing")
+    from pyspark.sql import Window
+
+    gcols = [F.col(c) for c in group_cols]
+    toks = df.select(
+        *gcols, F.explode(tokens(F.col(text_col))).alias("__t")
+    ).where(F.col("__t") != "")
+    census = toks.groupBy(*group_cols, "__t").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        F.col("__c").desc(), F.col("__t").asc()
+    )
+    ranked = (
+        census.where(F.col("__c") >= int(min_count))
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= int(top_k))
+    )
+    x = F.log(F.col("__rk").cast("double"))
+    y = F.log(F.col("__c").cast("double"))
+    mo = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    n = F.col("n_ranks").cast("double")
+    den = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = F.when(
+        (F.col("n_ranks") >= 2) & (den != 0),
+        (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / den,
+    )
+    return mo.select(
+        *group_cols,
+        "n_ranks",
+        slope.alias("slope"),
+        F.when(
+            slope.isNotNull(),
+            (F.col("__sy") - slope * F.col("__sx")) / n,
+        ).alias("intercept"),
+    )

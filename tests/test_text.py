@@ -936,3 +936,46 @@ def test_readability_validates_columns(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="missing"):
         readability(df, text_col="body")
+
+
+def test_zipf_fit_perfect_power_law(spark):
+    """Counts 12, 6, 4, 3 at ranks 1..4 are exactly freq = 12/rank:
+    the OLS fit on ln/ln must return slope -1, intercept ln(12)."""
+    import math
+
+    from pandera_forge_spark.operators.text import zipf_fit
+
+    text = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = zipf_fit(df).collect()[0]
+    assert r.n_ranks == 4
+    assert abs(r.slope - (-1.0)) < 1e-9
+    assert abs(r.intercept - math.log(12.0)) < 1e-9
+
+
+def test_zipf_fit_groups_and_degenerate(spark):
+    from pandera_forge_spark.operators.text import zipf_fit
+
+    df = spark.createDataFrame(
+        [
+            ("en", "x x x x y y z"),
+            ("de", "nur"),           # 1 distinct token -> NULL fit
+        ],
+        "lang string, text string",
+    )
+    rows = {r.lang: r for r in zipf_fit(df, group_cols=["lang"]).collect()}
+    assert rows["en"].n_ranks == 3 and rows["en"].slope < 0
+    assert rows["de"].n_ranks == 1 and rows["de"].slope is None
+    assert rows["de"].intercept is None
+
+
+def test_zipf_fit_validates_args(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.text import zipf_fit
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="top_k"):
+        zipf_fit(df, top_k=1)
+    with pytest.raises(ValueError, match="group column"):
+        zipf_fit(df, group_cols=["ghost"])
