@@ -6361,6 +6361,52 @@ ORDER BY po.ann_a, po.ann_b
 """
 
 
+def q_krippendorff_docs(spark, sf_dir):
+    """Krippendorff's nominal alpha (operators/labels.py
+    krippendorff_alpha) over the planted three-annotator pass — the
+    missing-data-tolerant fleet agreement number Cohen's kappa can't
+    give (annotator 'c' rates only even docs). Every per-item divisor
+    here is 1 or 2, so the coincidence diagonal is exact binary
+    halves and the whole statistic is bit-deterministic on both
+    engines — emitted raw, no rounding."""
+    from pandera_forge_spark.operators.labels import krippendorff_alpha
+
+    ann = _planted_annotations(spark, sf_dir)
+    return krippendorff_alpha(ann, "item", "ann", "label")
+
+
+SQL_KRIPPENDORFF_DOCS = f"""
+WITH ann AS ({_ANNOTATIONS_SQL}),
+cell AS (SELECT item, label, COUNT(*) AS nuc FROM ann GROUP BY 1, 2),
+itm AS (
+  SELECT item, CAST(SUM(nuc) AS BIGINT) AS mu,
+         CAST(SUM(nuc * (nuc - 1)) AS BIGINT) AS dnum
+  FROM cell GROUP BY 1 HAVING SUM(nuc) >= 2
+),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(mu) AS BIGINT) AS n_ratings,
+         SUM(CAST(dnum AS DOUBLE) / CAST(mu - 1 AS DOUBLE)) AS sum_diag
+  FROM itm
+),
+marg AS (
+  SELECT CAST(SUM(nc * nc) AS BIGINT) AS sum_nc2
+  FROM (
+    SELECT c.label, SUM(c.nuc) AS nc
+    FROM cell c JOIN itm USING (item) GROUP BY c.label
+  )
+)
+SELECT n_items, n_ratings,
+       (CAST(n_ratings AS DOUBLE) - sum_diag) / n_ratings AS d_o,
+       (CAST(n_ratings AS DOUBLE) * n_ratings - sum_nc2)
+         / (CAST(n_ratings AS DOUBLE) * (n_ratings - 1)) AS d_e,
+       1.0 - ((CAST(n_ratings AS DOUBLE) - sum_diag) / n_ratings)
+           / ((CAST(n_ratings AS DOUBLE) * n_ratings - sum_nc2)
+              / (CAST(n_ratings AS DOUBLE) * (n_ratings - 1))) AS alpha
+FROM mo, marg
+"""
+
+
 def q_label_majority_conflicts(spark, sf_dir):
     """Conflicted items + their elected golden label (operators/
     labels.py label_conflicts joined with majority_label): planted
@@ -12062,6 +12108,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # degenerate-group, fence pytests), strict sweep green at
         # BOTH SFs --------------------------------------------------------------
         "zipf_lang": q_zipf_lang,
+        # krippendorff_docs: this-session tail row; same planted
+        # annotation fixture as the in-window annotator_kappa — the
+        # new part is the coincidence-matrix aggregation (brute-force-
+        # reference, perfect/degenerate, fence pytests; exact binary
+        # halves make it bit-deterministic), strict sweep green at
+        # BOTH SFs --------------------------------------------------------------
+        "krippendorff_docs": q_krippendorff_docs,
     }
 
 
@@ -12301,4 +12354,5 @@ def oracle_sql() -> dict[str, str]:
         "bh_drift_events": SQL_BH_DRIFT_EVENTS,
         "readability_lang": SQL_READABILITY_LANG,
         "zipf_lang": SQL_ZIPF_LANG,
+        "krippendorff_docs": SQL_KRIPPENDORFF_DOCS,
     }

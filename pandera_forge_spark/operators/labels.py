@@ -456,3 +456,84 @@ def weighted_majority_label(
             (F.col("label") != F.col("__maj")).alias("changed"),
         )
     )
+
+
+# ------------------------------------------------- krippendorff alpha
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str,
+    ann_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha, nominal metric (public: Krippendorff,
+    Content Analysis — the coincidence-matrix formulation). Unlike
+    pairwise Cohen's kappa (annotator_agreement), alpha handles ANY
+    number of raters with MISSING ratings in one number, which is what
+    a real labeling fleet produces: overlapping three-way passes where
+    most items get 2 of 5 annotators.
+
+    Math, reduced to distributed aggregations: items with m_u >= 2
+    ratings contribute; with n_uc = ratings of category c on item u,
+    the coincidence diagonal is ``Σ_u Σ_c n_uc·(n_uc-1)/(m_u-1)``, the
+    category marginals are plain totals ``n_c = Σ_u n_uc`` (exact
+    integers — the per-item division cancels in the marginal), and
+
+        D_o = (n - Σ_c o_cc) / n
+        D_e = (n² - Σ_c n_c²) / (n·(n-1))
+        alpha = 1 - D_o / D_e
+
+    Everything is exact-integer except the per-item ``/(m_u-1)``
+    halves/thirds; with <= 3 raters per item the divisor is a power of
+    two, so even that is exact in doubles (the planted-fixture case is
+    bit-deterministic; round at 6 for the general case).
+
+    Scale shape: one (item,label) hash groupBy, one per-item rollup,
+    then two scalar aggregates (global moments, per-category totals)
+    joined as 1-row broadcast frames — nothing driver-side, nothing
+    proportional to items beyond the two groupBys. Degenerate inputs
+    (no pairable items, or D_e = 0 because every rating in the whole
+    pool is one category) report NULL alpha loudly rather than 1.0.
+
+    Output (single row): ``n_items, n_ratings, d_o, d_e, alpha``.
+    """
+    for c in (item_col, ann_col, label_col):
+        if c not in df.columns:
+            raise ValueError(f"krippendorff_alpha: column {c!r} missing")
+    per_cell = df.groupBy(
+        F.col(item_col).alias("__item"), F.col(label_col).alias("__lab")
+    ).agg(F.count(F.lit(1)).alias("__nuc"))
+    per_item = per_cell.groupBy("__item").agg(
+        F.sum("__nuc").alias("__mu"),
+        F.sum(F.col("__nuc") * (F.col("__nuc") - 1)).alias("__diag_num"),
+    ).where(F.col("__mu") >= 2)
+    moments = per_item.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("__mu").cast("long").alias("n_ratings"),
+        F.sum(
+            F.col("__diag_num").cast("double")
+            / (F.col("__mu") - 1).cast("double")
+        ).alias("__sum_diag"),
+    )
+    marg = (
+        per_cell.join(per_item.select("__item"), "__item", "left_semi")
+        .groupBy("__lab")
+        .agg(F.sum("__nuc").alias("__nc"))
+        .agg(F.sum(F.col("__nc") * F.col("__nc")).cast("long").alias("__sum_nc2"))
+    )
+    n = F.col("n_ratings").cast("double")
+    d_o = F.when(n > 0, (n - F.col("__sum_diag")) / n)
+    d_e = F.when(
+        F.col("n_ratings") >= 2,
+        (n * n - F.col("__sum_nc2").cast("double")) / (n * (n - 1)),
+    )
+    return (
+        moments.crossJoin(F.broadcast(marg))
+        .select(
+            "n_items",
+            "n_ratings",
+            d_o.alias("d_o"),
+            d_e.alias("d_e"),
+            F.when(d_e != 0, F.lit(1.0) - d_o / d_e).alias("alpha"),
+        )
+    )

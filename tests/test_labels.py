@@ -975,3 +975,74 @@ def test_weighted_majority_contracts(spark):
     assert not has_python_udf(
         weighted_majority_label(df, "item", "ann", "lab")
     )
+
+
+def _alpha_brute(ratings):
+    """Reference nominal alpha from (item, ann, label) triples."""
+    from collections import Counter, defaultdict
+
+    by_item = defaultdict(list)
+    for item, _, lab in ratings:
+        by_item[item].append(lab)
+    pairable = {u: ls for u, ls in by_item.items() if len(ls) >= 2}
+    n = sum(len(ls) for ls in pairable.values())
+    sum_diag = 0.0
+    nc = Counter()
+    for ls in pairable.values():
+        m = len(ls)
+        cnt = Counter(ls)
+        nc.update(cnt)
+        sum_diag += sum(v * (v - 1) for v in cnt.values()) / (m - 1)
+    d_o = (n - sum_diag) / n
+    d_e = (n * n - sum(v * v for v in nc.values())) / (n * (n - 1))
+    return len(pairable), n, d_o, d_e, 1 - d_o / d_e
+
+
+def test_krippendorff_alpha_matches_bruteforce(spark):
+    """Mixed 1/2/3-rater items with disagreements: the distributed
+    aggregation must equal the textbook coincidence-matrix reference
+    exactly (divisors 1 and 2 are powers of two -> bit-exact)."""
+    from pandera_forge_spark.operators.labels import krippendorff_alpha
+
+    ratings = [
+        (1, "a", "x"), (1, "b", "x"), (1, "c", "y"),
+        (2, "a", "x"), (2, "b", "x"),
+        (3, "a", "y"), (3, "b", "y"),
+        (4, "a", "z"), (4, "b", "y"), (4, "c", "z"),
+        (5, "a", "x"),                      # unpairable -> excluded
+        (6, "a", "y"), (6, "b", "x"),
+    ]
+    df = spark.createDataFrame(ratings, "item long, ann string, label string")
+    r = krippendorff_alpha(df, "item", "ann", "label").collect()[0]
+    n_items, n, d_o, d_e, alpha = _alpha_brute(ratings)
+    assert (r.n_items, r.n_ratings) == (n_items, n)
+    assert abs(r.d_o - d_o) < 1e-12
+    assert abs(r.d_e - d_e) < 1e-12
+    assert abs(r.alpha - alpha) < 1e-12
+
+
+def test_krippendorff_alpha_perfect_and_degenerate(spark):
+    from pandera_forge_spark.operators.labels import krippendorff_alpha
+
+    perfect = spark.createDataFrame(
+        [(1, "a", "x"), (1, "b", "x"), (2, "a", "y"), (2, "b", "y")],
+        "item long, ann string, label string",
+    )
+    r = krippendorff_alpha(perfect, "item", "ann", "label").collect()[0]
+    assert r.alpha == 1.0
+    # every rating identical -> D_e = 0 -> NULL alpha, loudly
+    onecat = spark.createDataFrame(
+        [(1, "a", "x"), (1, "b", "x")], "item long, ann string, label string"
+    )
+    r2 = krippendorff_alpha(onecat, "item", "ann", "label").collect()[0]
+    assert r2.alpha is None and r2.d_e == 0.0
+
+
+def test_krippendorff_alpha_validates_columns(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.labels import krippendorff_alpha
+
+    df = spark.createDataFrame([(1, "a", "x")], "item long, ann string, label string")
+    with pytest.raises(ValueError, match="missing"):
+        krippendorff_alpha(df, "item", "ann", "verdict")
