@@ -10827,6 +10827,54 @@ ORDER BY event_type, event_id
 """
 
 
+def q_quantile_normalize_events(spark, sf_dir):
+    """Distribution alignment (drift.quantile_normalize): every
+    event_type's values mapped onto the global percent grid, rolled
+    up per (event_type, grid cell, normalized target). The oracle
+    replays the within-group rank, the ceil-to-grid cell, and the
+    global exact percentiles (quantile_cont — the outliers_events
+    interpolation-parity precedent) including the identical -1e-9
+    ceil guard."""
+    from pandera_forge_spark.drift import quantile_normalize
+
+    ev = _t(spark, sf_dir, "events")
+    out = quantile_normalize(ev, "value", ["event_type"], "event_id", grid=100)
+    return (
+        out.groupBy(
+            "event_type", "p_grid", F.round("normalized", 6).alias("normalized")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "p_grid")
+    )
+
+
+_QN_PROBS = ", ".join(repr(k / 100) for k in range(1, 101))
+
+SQL_QUANTILE_NORMALIZE_EVENTS = f"""
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM events WHERE value IS NOT NULL
+),
+ref AS (
+  SELECT quantile_cont(value, [{_QN_PROBS}]) AS qs
+  FROM events WHERE value IS NOT NULL
+),
+cells AS (
+  SELECT event_type,
+         LEAST(CAST(CEIL(CAST(rk AS DOUBLE) * 100.0 / m - 1e-09) AS INT),
+               100) AS p_grid
+  FROM ranked
+)
+SELECT c.event_type, c.p_grid, ROUND(r.qs[c.p_grid], 6) AS normalized,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM cells c, ref r
+GROUP BY 1, 2, 3 ORDER BY c.event_type, c.p_grid
+"""
+
+
 def q_zipf_lang(spark, sf_dir):
     """Corpus fingerprint (operators/text.py zipf_fit): per-language
     OLS slope/intercept of ln(freq) on ln(rank) over the top-30 token
@@ -12115,6 +12163,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # halves make it bit-deterministic), strict sweep green at
         # BOTH SFs --------------------------------------------------------------
         "krippendorff_docs": q_krippendorff_docs,
+        # quantile_normalize_events: this-session tail row; within-
+        # group rank windows + exact-percentile parity are the
+        # outliers/neyman r-green kernels — the new part is the
+        # grid-cell map + broadcast reference (numpy-reference,
+        # null-drop, fence pytests), strict sweep green at BOTH SFs -------------
+        "quantile_normalize_events": q_quantile_normalize_events,
     }
 
 
@@ -12355,4 +12409,5 @@ def oracle_sql() -> dict[str, str]:
         "readability_lang": SQL_READABILITY_LANG,
         "zipf_lang": SQL_ZIPF_LANG,
         "krippendorff_docs": SQL_KRIPPENDORFF_DOCS,
+        "quantile_normalize_events": SQL_QUANTILE_NORMALIZE_EVENTS,
     }

@@ -519,3 +519,53 @@ def test_ks_pvalue_planted_drift_is_rejected(spark):
     rej = {(r.event_type, r.bucket) for r in out.collect() if r.rejected}
     assert {b for _, b in rej} == {100}
     assert len(rej) == 5
+
+
+def test_quantile_normalize_aligns_shifted_groups(spark):
+    """Group b = group a + 100: after normalization onto the global
+    grid, equal within-group ranks map to identical normalized
+    values, and the reference is numpy's linear-interpolated
+    percentile of the pooled values (Spark exact-percentile
+    semantics)."""
+    import numpy as np
+
+    from pandera_forge_spark.drift import quantile_normalize
+
+    a_vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    b_vals = [v + 100 for v in a_vals]
+    rows = [("a", i, v) for i, v in enumerate(a_vals)] + [
+        ("b", i, v) for i, v in enumerate(b_vals)
+    ]
+    df = spark.createDataFrame(rows, "src string, rid long, value double")
+    out = quantile_normalize(df, "value", ["src"], "rid", grid=4).collect()
+    got = {(r.src, r.rid): (r.p_grid, r.normalized) for r in out}
+    pooled = np.array(sorted(a_vals + b_vals))
+    for rid in range(8):
+        cell_a, norm_a = got[("a", rid)]
+        cell_b, norm_b = got[("b", rid)]
+        assert cell_a == cell_b           # same within-group rank
+        assert norm_a == norm_b           # -> same global target
+        expect = float(np.percentile(pooled, cell_a * 25.0, method="linear"))
+        assert abs(norm_a - expect) < 1e-9
+    # monotone in rank
+    norms_a = [got[("a", r)][1] for r in range(8)]
+    assert norms_a == sorted(norms_a)
+
+
+def test_quantile_normalize_null_and_fences(spark):
+    import pytest as _pt
+
+    from pandera_forge_spark.drift import quantile_normalize
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, None), ("b", 3, 5.0)],
+        "src string, rid long, value double",
+    )
+    out = quantile_normalize(df, "value", ["src"], "rid", grid=10).collect()
+    assert len(out) == 2  # null value dropped
+    with _pt.raises(ValueError, match="grid"):
+        quantile_normalize(df, "value", ["src"], "rid", grid=1)
+    with _pt.raises(ValueError, match="group_cols"):
+        quantile_normalize(df, "value", [], "rid")
+    with _pt.raises(ValueError, match="missing"):
+        quantile_normalize(df, "ghost", ["src"], "rid")
