@@ -10827,6 +10827,93 @@ ORDER BY event_type, event_id
 """
 
 
+def q_fs_weights_customer(spark, sf_dir):
+    """Fellegi-Sunter linkage weights (operators/linkage.py
+    fs_u_probabilities + fs_score_pairs): adjacent-custkey candidate
+    pairs scored on segment / nation / balance-bucket agreement, u
+    estimated from the data's own value census (exact
+    without-replacement form), m the documented clerical constants.
+    The oracle replays the u census, the identical (1.0 - m) binary
+    arithmetic, and the log2 weight sum (ROUND 6 — log2 is libm)."""
+    from pandera_forge_spark.operators.linkage import (
+        fs_score_pairs,
+        fs_u_probabilities,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    feats = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("balb"),
+    )
+    u_row = fs_u_probabilities(feats, ["seg", "nat", "balb"])
+    a = feats.select(
+        F.col("k").alias("id_a"),
+        F.col("seg").alias("__sa"),
+        F.col("nat").alias("__na"),
+        F.col("balb").alias("__ba"),
+    )
+    b = feats.select(
+        (F.col("k") - 1).alias("id_a"),
+        F.col("k").alias("id_b"),
+        F.col("seg").alias("__sb"),
+        F.col("nat").alias("__nb"),
+        F.col("balb").alias("__bb"),
+    )
+    pairs = a.join(b, "id_a").select(
+        "id_a",
+        "id_b",
+        (F.col("__sa") == F.col("__sb")).alias("seg"),
+        (F.col("__na") == F.col("__nb")).alias("nat"),
+        (F.col("__ba") == F.col("__bb")).alias("balb"),
+    )
+    out = fs_score_pairs(
+        pairs, ["seg", "nat", "balb"],
+        {"seg": 0.9, "nat": 0.85, "balb": 0.95}, u_row,
+    )
+    return out.select(
+        "id_a", "id_b", "seg", "nat", "balb",
+        F.round("fs_weight", 6).alias("fs_weight"),
+    ).orderBy("id_a")
+
+
+SQL_FS_WEIGHTS_CUSTOMER = r"""
+WITH feats AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg, c_nationkey AS nat,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS balb
+  FROM customer
+),
+u AS (
+  SELECT
+    (SELECT CAST(SUM(n * (n - 1)) AS DOUBLE)
+            / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) - 1 AS DOUBLE))
+     FROM (SELECT COUNT(*) AS n FROM feats GROUP BY seg)) AS u_seg,
+    (SELECT CAST(SUM(n * (n - 1)) AS DOUBLE)
+            / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) - 1 AS DOUBLE))
+     FROM (SELECT COUNT(*) AS n FROM feats GROUP BY nat)) AS u_nat,
+    (SELECT CAST(SUM(n * (n - 1)) AS DOUBLE)
+            / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) - 1 AS DOUBLE))
+     FROM (SELECT COUNT(*) AS n FROM feats GROUP BY balb)) AS u_balb
+),
+pairs AS (
+  SELECT a.k AS id_a, b.k AS id_b,
+         a.seg = b.seg AS seg, a.nat = b.nat AS nat, a.balb = b.balb AS balb
+  FROM feats a JOIN feats b ON b.k = a.k + 1
+)
+SELECT id_a, id_b, seg, nat, balb,
+       ROUND(
+         (CASE WHEN seg THEN LOG2(0.9 / u_seg)
+               ELSE LOG2((1.0 - 0.9) / (1.0 - u_seg)) END)
+         + (CASE WHEN nat THEN LOG2(0.85 / u_nat)
+                 ELSE LOG2((1.0 - 0.85) / (1.0 - u_nat)) END)
+         + (CASE WHEN balb THEN LOG2(0.95 / u_balb)
+                 ELSE LOG2((1.0 - 0.95) / (1.0 - u_balb)) END),
+         6) AS fs_weight
+FROM pairs, u ORDER BY id_a
+"""
+
+
 def q_quantile_normalize_events(spark, sf_dir):
     """Distribution alignment (drift.quantile_normalize): every
     event_type's values mapped onto the global percent grid, rolled
@@ -12169,6 +12256,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # grid-cell map + broadcast reference (numpy-reference,
         # null-drop, fence pytests), strict sweep green at BOTH SFs -------------
         "quantile_normalize_events": q_quantile_normalize_events,
+        # fs_weights_customer: this-session tail row; adjacent-key
+        # pair generation and value censuses are proven kernels — the
+        # new part is the u-probability estimate + log2 weight fold
+        # (hand-computed u and weights, NULL-as-disagreement, fence
+        # pytests), strict sweep green at BOTH SFs -----------------------------
+        "fs_weights_customer": q_fs_weights_customer,
     }
 
 
@@ -12410,4 +12503,5 @@ def oracle_sql() -> dict[str, str]:
         "zipf_lang": SQL_ZIPF_LANG,
         "krippendorff_docs": SQL_KRIPPENDORFF_DOCS,
         "quantile_normalize_events": SQL_QUANTILE_NORMALIZE_EVENTS,
+        "fs_weights_customer": SQL_FS_WEIGHTS_CUSTOMER,
     }

@@ -590,3 +590,103 @@ def blocking_quality(
             - F.col("n_candidates").cast("double") / F.lit(float(n_possible))
         ).alias("reduction_ratio"),
     )
+
+
+# --------------------------------------------- fellegi-sunter weights
+
+def fs_u_probabilities(df: DataFrame, cols) -> DataFrame:
+    """u-probabilities for Fellegi-Sunter record linkage (public:
+    Fellegi & Sunter 1969): per field, the probability that two
+    RANDOM records agree — ``u_f = Σ_v n_v·(n_v-1) / (N·(N-1))``
+    over the field's value frequencies, N = non-null count (exact
+    without-replacement form; the "chance agreement" denominator of
+    every match weight). Estimating u from the data itself is the
+    standard move — no labels needed; m (agreement among true
+    matches) comes from a clerical sample or a planted-dup set and
+    stays a caller-supplied constant.
+
+    Scale shape: one hash groupBy per field over the value census
+    (map-side partials, census-sized results), folded to ONE output
+    row with a ``u_<field>`` column per field — ready to broadcast
+    onto a pair frame. Integer-exact numerators and denominators,
+    one division per field.
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("fs_u_probabilities: cols must be non-empty")
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(f"fs_u_probabilities: column {c!r} missing")
+    out = None
+    for c in cols:
+        cen = (
+            df.where(F.col(c).isNotNull())
+            .groupBy(F.col(c))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(
+                F.sum(F.col("__n") * (F.col("__n") - 1)).alias("__num"),
+                F.sum("__n").alias("__N"),
+            )
+            .select(
+                (
+                    F.col("__num").cast("double")
+                    / (
+                        F.col("__N").cast("double")
+                        * (F.col("__N") - 1).cast("double")
+                    )
+                ).alias(f"u_{c}")
+            )
+        )
+        out = cen if out is None else out.crossJoin(cen)
+    return out
+
+
+def fs_score_pairs(
+    pairs: DataFrame,
+    agree_cols,
+    m: dict,
+    u_row: DataFrame,
+    out_col: str = "fs_weight",
+) -> DataFrame:
+    """Fellegi-Sunter match weight per candidate pair:
+    ``Σ_f γ_f·log2(m_f/u_f) + (1-γ_f)·log2((1-m_f)/(1-u_f))`` where
+    γ_f are the pair's Boolean agreement indicators (NULL counts as
+    disagreement — an unverifiable field should penalise, not
+    abstain), m_f are caller-supplied match-agreement rates, and u_f
+    ride in from :func:`fs_u_probabilities`'s one-row frame via a
+    broadcast crossJoin. Positive total ⇒ the pair agrees on enough
+    low-chance fields to outweigh its disagreements — the classic
+    linkage decision score, here as one pure-projection expression
+    (log2 of data-derived u, so callers round for cross-engine
+    comparison).
+
+    Scale shape: 1-row broadcast + a narrow map over the pair frame
+    — no shuffle beyond whatever produced the candidates.
+    """
+    agree_cols = list(agree_cols)
+    if not agree_cols:
+        raise ValueError("fs_score_pairs: agree_cols must be non-empty")
+    for c in agree_cols:
+        if c not in pairs.columns:
+            raise ValueError(f"fs_score_pairs: column {c!r} missing")
+        if c not in m:
+            raise ValueError(f"fs_score_pairs: m probability for {c!r} missing")
+        if not (0.0 < float(m[c]) < 1.0):
+            raise ValueError(
+                f"fs_score_pairs: m[{c!r}] must be in (0, 1), got {m[c]}"
+            )
+    if out_col in pairs.columns:
+        raise ValueError(
+            f"fs_score_pairs: output column {out_col!r} already exists"
+        )
+    w = None
+    for c in agree_cols:
+        mf = F.lit(float(m[c]))
+        uf = F.col(f"u_{c}")
+        g = F.coalesce(F.col(c), F.lit(False))
+        term = F.when(g, F.log2(mf / uf)).otherwise(
+            F.log2((F.lit(1.0) - mf) / (F.lit(1.0) - uf))
+        )
+        w = term if w is None else w + term
+    scored = pairs.crossJoin(F.broadcast(u_row)).withColumn(out_col, w)
+    return scored.drop(*[f"u_{c}" for c in agree_cols])

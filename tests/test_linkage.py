@@ -369,3 +369,67 @@ def test_blocking_quality_contracts(spark):
         blocking_quality(
             pairs.withColumnRenamed("id_a", "x"), pairs, n_records=5
         )
+
+
+def test_fs_u_probabilities_hand_computed(spark):
+    """seg: counts 3,2 of N=5 -> u = (3*2 + 2*1)/(5*4) = 0.4;
+    flag: counts 4,1 -> (12+0)/20 = 0.6; nulls excluded (N drops)."""
+    from pandera_forge_spark.operators.linkage import fs_u_probabilities
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"),
+         (None, None)],
+        "seg string, flag string",
+    )
+    r = fs_u_probabilities(df, ["seg", "flag"]).collect()[0]
+    assert abs(r.u_seg - 0.4) < 1e-12
+    assert abs(r.u_flag - 0.6) < 1e-12
+
+
+def test_fs_score_pairs_hand_computed(spark):
+    import math
+
+    from pandera_forge_spark.operators.linkage import (
+        fs_score_pairs,
+        fs_u_probabilities,
+    )
+
+    base = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("b",), ("c",)], "seg string"
+    )
+    u_row = fs_u_probabilities(base, ["seg"])  # u = (2+2+0)/20 = 0.2
+    pairs = spark.createDataFrame(
+        [(1, 2, True), (1, 3, False), (1, 4, None)],
+        "id_a long, id_b long, seg boolean",
+    )
+    out = {(r.id_a, r.id_b): r.fs_weight for r in fs_score_pairs(
+        pairs, ["seg"], {"seg": 0.9}, u_row
+    ).collect()}
+    agree_w = math.log2(0.9 / 0.2)
+    disagree_w = math.log2(0.1 / 0.8)
+    assert abs(out[(1, 2)] - agree_w) < 1e-9
+    assert abs(out[(1, 3)] - disagree_w) < 1e-9
+    assert abs(out[(1, 4)] - disagree_w) < 1e-9   # NULL = disagreement
+
+
+def test_fs_score_pairs_fences(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.linkage import (
+        fs_score_pairs,
+        fs_u_probabilities,
+    )
+
+    base = spark.createDataFrame([("a",), ("b",)], "seg string")
+    u_row = fs_u_probabilities(base, ["seg"])
+    pairs = spark.createDataFrame(
+        [(1, 2, True)], "id_a long, id_b long, seg boolean"
+    )
+    with pytest.raises(ValueError, match="m probability"):
+        fs_score_pairs(pairs, ["seg"], {}, u_row)
+    with pytest.raises(ValueError, match="must be in"):
+        fs_score_pairs(pairs, ["seg"], {"seg": 1.0}, u_row)
+    with pytest.raises(ValueError, match="agree_cols"):
+        fs_score_pairs(pairs, [], {"seg": 0.9}, u_row)
+    with pytest.raises(ValueError, match="missing"):
+        fs_u_probabilities(base, ["ghost"])
