@@ -10827,6 +10827,61 @@ ORDER BY event_type, event_id
 """
 
 
+def q_xcorr_click_purchase(spark, sf_dir):
+    """Lagged cross-correlation (operators/temporal.py
+    cross_correlation): hourly click vs purchase counts at lags 0-6.
+    Every Pearson moment is an exact long, so the one final
+    division+sqrt is bit-identical cross-engine — corr is emitted RAW,
+    no rounding convention needed. The oracle replays the hourly
+    bucketing (epoch floor), the lag alignment join, and the
+    integer-moment fold."""
+    from pandera_forge_spark.operators.temporal import cross_correlation
+
+    ev = _t(spark, sf_dir, "events")
+    out = cross_correlation(
+        ev,
+        "ts",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+        bucket_seconds=3600,
+        max_lag=6,
+    )
+    return out.orderBy("lag")
+
+
+SQL_XCORR_CLICK_PURCHASE = r"""
+WITH series AS (
+  SELECT CAST(FLOOR(date_part('epoch', ts) / 3600) AS BIGINT) AS t,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT l.lag, s1.a, s2.b
+  FROM series s1
+  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS lag) l
+  JOIN series s2 ON s2.t = s1.t + l.lag
+),
+mo AS (
+  SELECT lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+         CAST(SUM(a * b) AS BIGINT) AS sab,
+         CAST(SUM(a * a) AS BIGINT) AS saa,
+         CAST(SUM(b * b) AS BIGINT) AS sbb
+  FROM lagged GROUP BY 1
+)
+SELECT CAST(lag AS INT) AS lag, n_pairs,
+       CASE WHEN CAST(n_pairs AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa > 0
+                 AND CAST(n_pairs AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb > 0
+            THEN (CAST(n_pairs AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+                 / SQRT((CAST(n_pairs AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+                        * (CAST(n_pairs AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb))
+       END AS corr
+FROM mo ORDER BY lag
+"""
+
+
 def q_fs_weights_customer(spark, sf_dir):
     """Fellegi-Sunter linkage weights (operators/linkage.py
     fs_u_probabilities + fs_score_pairs): adjacent-custkey candidate
@@ -12262,6 +12317,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (hand-computed u and weights, NULL-as-disagreement, fence
         # pytests), strict sweep green at BOTH SFs -----------------------------
         "fs_weights_customer": q_fs_weights_customer,
+        # xcorr_click_purchase: this-session tail row; hourly
+        # bucketing matches hourly_rollup's green kernel — the new
+        # part is the lag-explode alignment + exact-integer Pearson
+        # moments (planted-lag, constant-stream-NULL, fence pytests;
+        # bit-deterministic so corr ships raw), strict sweep green at
+        # BOTH SFs --------------------------------------------------------------
+        "xcorr_click_purchase": q_xcorr_click_purchase,
     }
 
 
@@ -12504,4 +12566,5 @@ def oracle_sql() -> dict[str, str]:
         "krippendorff_docs": SQL_KRIPPENDORFF_DOCS,
         "quantile_normalize_events": SQL_QUANTILE_NORMALIZE_EVENTS,
         "fs_weights_customer": SQL_FS_WEIGHTS_CUSTOMER,
+        "xcorr_click_purchase": SQL_XCORR_CLICK_PURCHASE,
     }

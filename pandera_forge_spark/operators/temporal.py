@@ -2761,3 +2761,89 @@ def silent_keys(
             "n_active_buckets",
         )
     )
+
+
+# --------------------------------------------- lagged cross-correlation
+
+def cross_correlation(
+    df: DataFrame,
+    time_col: str,
+    a_pred: Column,
+    b_pred: Column,
+    bucket_seconds: int = 3600,
+    max_lag: int = 6,
+) -> DataFrame:
+    """Lagged cross-correlation between two event streams: bucket the
+    timeline, count rows matching ``a_pred`` and ``b_pred`` per
+    bucket, and compute the Pearson correlation of (a_t, b_{t+lag})
+    for every lag 0..max_lag. The pipeline question this answers:
+    does signal A LEAD signal B (clicks precede purchases? ingest
+    errors precede validation failures?) and by how many buckets —
+    the peak lag is the causal-direction hint monitoring dashboards
+    want.
+
+    Determinism: the per-bucket counts and all five Pearson moments
+    are EXACT integer sums (longs), so the single final expression —
+    one division and one sqrt, both correctly-rounded IEEE — is
+    bit-identical on any engine and any partitioning. No rounding
+    convention needed, unlike float-sum correlation.
+
+    Scale shape: one corpus-sized groupBy to the bucket series
+    (map-side partials; the series is timeline-sized, not
+    corpus-sized); the lag alignment is an explode of max_lag+1 rows
+    per bucket joined back to the series on bucket id (series-sized
+    shuffle); one tiny groupBy(lag) for the moments. Buckets with no
+    rows are ABSENT, so each lag correlates only co-present bucket
+    pairs (n_pairs says over how many).
+
+    Output per lag: ``lag, n_pairs, corr`` (NULL corr when either
+    stream is constant over the aligned pairs).
+    """
+    if int(max_lag) < 0:
+        raise ValueError(f"cross_correlation: max_lag must be >= 0, got {max_lag}")
+    if int(bucket_seconds) < 1:
+        raise ValueError(
+            f"cross_correlation: bucket_seconds must be >= 1, got {bucket_seconds}"
+        )
+    if time_col not in df.columns:
+        raise ValueError(f"cross_correlation: column {time_col!r} missing")
+    t = F.floor(
+        F.unix_timestamp(F.col(time_col)) / F.lit(int(bucket_seconds))
+    ).alias("__t")
+    series = df.groupBy(t).agg(
+        F.sum(a_pred.cast("long")).alias("__a"),
+        F.sum(b_pred.cast("long")).alias("__b"),
+    )
+    lags = F.explode(
+        F.sequence(F.lit(0), F.lit(int(max_lag)))
+    ).alias("lag")
+    left = series.select(
+        F.col("__t"), F.col("__a"), lags
+    ).withColumn("__tb", F.col("__t") + F.col("lag"))
+    right = series.select(
+        F.col("__t").alias("__tb"), F.col("__b")
+    )
+    joined = left.join(right, "__tb")
+    mo = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("__a").alias("__sa"),
+        F.sum("__b").alias("__sb"),
+        F.sum(F.col("__a") * F.col("__b")).alias("__sab"),
+        F.sum(F.col("__a") * F.col("__a")).alias("__saa"),
+        F.sum(F.col("__b") * F.col("__b")).alias("__sbb"),
+    )
+    k = F.col("n_pairs").cast("double")
+    cov = k * F.col("__sab").cast("double") - F.col("__sa").cast(
+        "double"
+    ) * F.col("__sb").cast("double")
+    va = k * F.col("__saa").cast("double") - F.col("__sa").cast(
+        "double"
+    ) * F.col("__sa").cast("double")
+    vb = k * F.col("__sbb").cast("double") - F.col("__sb").cast(
+        "double"
+    ) * F.col("__sb").cast("double")
+    return mo.select(
+        "lag",
+        "n_pairs",
+        F.when((va > 0) & (vb > 0), cov / F.sqrt(va * vb)).alias("corr"),
+    )

@@ -937,3 +937,69 @@ def test_silent_keys_plan(spark):
     assert not has_python_udf(out)
     plan = executed_plan(out)
     assert "BroadcastNestedLoopJoin" in plan and "Window" not in plan, plan
+
+
+def test_cross_correlation_detects_lag(spark):
+    """b is a copy of a shifted one bucket later: corr at lag 1 must
+    be exactly 1.0; lag 0 matches numpy's Pearson on the aligned
+    series."""
+    import datetime as dt
+
+    import numpy as np
+
+    from pandera_forge_spark.operators.temporal import cross_correlation
+
+    base = dt.datetime(2024, 1, 1)
+    a_counts = [3, 1, 4, 1, 5, 9, 2, 6]
+    rows = []
+    for h, c in enumerate(a_counts):
+        ts = base + dt.timedelta(hours=h)
+        rows += [(ts, "a")] * c
+        if h >= 1:
+            rows += [(ts, "b")] * a_counts[h - 1]
+    df = spark.createDataFrame(rows, "ts timestamp, kind string")
+    out = {r.lag: r for r in cross_correlation(
+        df, "ts", F.col("kind") == "a", F.col("kind") == "b", max_lag=2
+    ).collect()}
+    # sqrt(va*vb) can differ from va by 1 ulp when va == vb, so the
+    # perfect correlation lands within one ulp of 1.0 (identically on
+    # every engine — the inputs to sqrt are bit-identical)
+    assert abs(out[1].corr - 1.0) < 1e-12
+    # lag 0 reference: all 8 buckets exist (hour 0 holds a-rows, so
+    # its b-count is 0, not missing)
+    a = np.array(a_counts, dtype=float)
+    b = np.array([0] + a_counts[:-1], dtype=float)
+    expect = float(np.corrcoef(a, b)[0, 1])
+    assert abs(out[0].corr - expect) < 1e-12
+    assert out[0].n_pairs == 8 and out[1].n_pairs == 7
+
+
+def test_cross_correlation_constant_stream_is_null(spark):
+    import datetime as dt
+
+    from pandera_forge_spark.operators.temporal import cross_correlation
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(4):
+        rows += [(base + dt.timedelta(hours=h), "a")] * 2   # constant a
+        rows += [(base + dt.timedelta(hours=h), "b")] * (h + 1)
+    df = spark.createDataFrame(rows, "ts timestamp, kind string")
+    out = cross_correlation(
+        df, "ts", F.col("kind") == "a", F.col("kind") == "b", max_lag=0
+    ).collect()
+    assert out[0].corr is None
+
+
+def test_cross_correlation_validates_args(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.temporal import cross_correlation
+
+    df = spark.createDataFrame([], "ts timestamp, kind string")
+    with pytest.raises(ValueError, match="max_lag"):
+        cross_correlation(df, "ts", F.lit(True), F.lit(True), max_lag=-1)
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        cross_correlation(df, "ts", F.lit(True), F.lit(True), bucket_seconds=0)
+    with pytest.raises(ValueError, match="missing"):
+        cross_correlation(df, "when", F.lit(True), F.lit(True))
