@@ -10827,6 +10827,91 @@ ORDER BY event_type, event_id
 """
 
 
+def q_importance_weights_events(spark, sf_dir):
+    """Covariate-shift reweighting (drift.importance_weight_bins +
+    effective_sample_size): click rows reweighted so their value
+    distribution matches the purchase rows' binned target; output is
+    the per-bin weight table plus the Kish ESS as a constant column.
+    The oracle recomputes both binned densities, the EPS floor, the
+    clip, and the exact bin-level ESS (ROUND 6 on the emitted
+    ratios)."""
+    from pandera_forge_spark.drift import (
+        baseline_summary,
+        effective_sample_size,
+        importance_weight_bins,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    target = baseline_summary(
+        ev.where(F.col("event_type") == "purchase"), "value",
+        edges=[10.0, 25.0, 50.0, 100.0],
+    )
+    source = ev.where(F.col("event_type") == "click")
+    bins = importance_weight_bins(source, "value", target, clip=10.0)
+    ess = effective_sample_size(bins)
+    return (
+        bins.crossJoin(F.broadcast(ess.select(F.round("ess", 6).alias("ess"))))
+        .select(
+            "bin",
+            "n_source",
+            F.round("p_source", 6).alias("p_source"),
+            F.round("p_target", 6).alias("p_target"),
+            F.round("weight", 6).alias("weight"),
+            "ess",
+        )
+        .orderBy("bin")
+    )
+
+
+SQL_IMPORTANCE_WEIGHTS_EVENTS = r"""
+WITH src AS (
+  SELECT
+    CAST(SUM(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+    CAST(SUM(CASE WHEN value > 10.0 AND value <= 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+    CAST(SUM(CASE WHEN value > 25.0 AND value <= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+    CAST(SUM(CASE WHEN value > 50.0 AND value <= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+    CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+    CAST(COUNT(value) AS BIGINT) AS n
+  FROM events WHERE event_type = 'click' AND value IS NOT NULL
+),
+tgt AS (
+  SELECT
+    CAST(SUM(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(value) AS p0,
+    CAST(SUM(CASE WHEN value > 10.0 AND value <= 25.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(value) AS p1,
+    CAST(SUM(CASE WHEN value > 25.0 AND value <= 50.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(value) AS p2,
+    CAST(SUM(CASE WHEN value > 50.0 AND value <= 100.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(value) AS p3,
+    CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(value) AS p4
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+bins AS (
+  SELECT u.bin, u.n_source,
+         GREATEST(CAST(u.n_source AS DOUBLE) / GREATEST(s.n, 1), 0.000001) AS p_source,
+         u.p_target
+  FROM src s, tgt t,
+  LATERAL (
+    VALUES (0, s.b0, t.p0), (1, s.b1, t.p1), (2, s.b2, t.p2),
+           (3, s.b3, t.p3), (4, s.b4, t.p4)
+  ) AS u(bin, n_source, p_target)
+),
+wbins AS (
+  SELECT bin, n_source, p_source, p_target,
+         LEAST(p_target / p_source, 10.0) AS weight
+  FROM bins
+),
+ess AS (
+  SELECT ROUND(
+           SUM(CAST(n_source AS DOUBLE) * weight)
+           * SUM(CAST(n_source AS DOUBLE) * weight)
+           / SUM(CAST(n_source AS DOUBLE) * weight * weight), 6) AS ess
+  FROM wbins
+)
+SELECT CAST(bin AS INT) AS bin, n_source,
+       ROUND(p_source, 6) AS p_source, ROUND(p_target, 6) AS p_target,
+       ROUND(weight, 6) AS weight, e.ess
+FROM wbins, ess e ORDER BY bin
+"""
+
+
 def q_xcorr_click_purchase(spark, sf_dir):
     """Lagged cross-correlation (operators/temporal.py
     cross_correlation): hourly click vs purchase counts at lags 0-6.
@@ -12324,6 +12409,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bit-deterministic so corr ships raw), strict sweep green at
         # BOTH SFs --------------------------------------------------------------
         "xcorr_click_purchase": q_xcorr_click_purchase,
+        # importance_weights_events: this-session tail row; the binned
+        # ladder is the drift family's green kernel — the new part is
+        # the density ratio + clip + Kish ESS (hand-computed weights/
+        # ESS, clip, NULL-attach, fence pytests), strict sweep green
+        # at BOTH SFs -----------------------------------------------------------
+        "importance_weights_events": q_importance_weights_events,
     }
 
 
@@ -12567,4 +12658,5 @@ def oracle_sql() -> dict[str, str]:
         "quantile_normalize_events": SQL_QUANTILE_NORMALIZE_EVENTS,
         "fs_weights_customer": SQL_FS_WEIGHTS_CUSTOMER,
         "xcorr_click_purchase": SQL_XCORR_CLICK_PURCHASE,
+        "importance_weights_events": SQL_IMPORTANCE_WEIGHTS_EVENTS,
     }

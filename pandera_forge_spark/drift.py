@@ -729,3 +729,127 @@ def quantile_normalize(
             F.element_at(F.col("__ref"), cell).alias("normalized"),
         )
     )
+
+
+# -------------------------------------------- importance reweighting
+
+def importance_weight_bins(
+    df: DataFrame,
+    col: str,
+    target: dict,
+    clip: float = 10.0,
+) -> DataFrame:
+    """Per-bin importance weights ``w_b = p_target(b) / p_source(b)``
+    over the shared quantile grid of a :func:`baseline_summary` built
+    on the TARGET domain — the binned density-ratio estimator (public
+    covariate-shift folklore). Reweighting a source corpus by w makes
+    its ``col`` distribution match the target's in expectation: the
+    standard move when the training mixture must look like the
+    deployment distribution but you only have the source. Ratios are
+    EPS-floored (an empty source bin would be an infinite weight) and
+    clipped at ``clip`` — unclipped tails let a handful of rows
+    dominate the gradient, which is the classic importance-sampling
+    failure.
+
+    Scale shape: ONE fused binned aggregation over the source (the
+    same ladder expression every drift operator uses), exploded to a
+    bins-count-sized frame — never corpus-sized.
+
+    Output per bin: ``bin, n_source, p_source, p_target, weight``.
+    """
+    if not (float(clip) > 0):
+        raise ValueError(f"importance_weight_bins: clip must be > 0, got {clip}")
+    if col not in df.columns:
+        raise ValueError(f"importance_weight_bins: column {col!r} missing")
+    edges, q_props = target["edges"], target["props"]
+    c = F.col(col)
+    nn = c.isNotNull()
+    aggs = [F.sum(nn.cast("long")).alias("__n")] + _bin_exprs(
+        F.when(nn, c), edges
+    )
+    one = df.agg(*aggs)
+    nbins = len(q_props)
+    counts = F.array(*[F.col(f"__bin_{i}") for i in range(nbins)])
+    tprops = F.array(*[F.lit(float(p)) for p in q_props])
+    exploded = one.select(
+        F.col("__n"), F.posexplode(counts).alias("bin", "n_source"),
+        tprops.alias("__tp"),
+    )
+    p_src = F.greatest(
+        F.col("n_source").cast("double")
+        / F.greatest(F.col("__n"), F.lit(1)).cast("double"),
+        F.lit(EPS),
+    )
+    p_tgt = F.element_at(F.col("__tp"), F.col("bin") + 1)
+    return exploded.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n_source").cast("long").alias("n_source"),
+        p_src.alias("p_source"),
+        p_tgt.alias("p_target"),
+        F.least(p_tgt / p_src, F.lit(float(clip))).alias("weight"),
+    )
+
+
+def effective_sample_size(bins_df: DataFrame) -> DataFrame:
+    """Kish effective sample size of an importance-weighted corpus,
+    computed EXACTLY from the bin table: ``(Σ n_b·w_b)² / Σ n_b·w_b²``
+    (public: Kish 1965). ESS/n is the honest answer to "how much data
+    do I really have after reweighting" — an ESS collapse means the
+    source barely covers the target and the clip is doing the work.
+    One bins-sized aggregate, single row out: ``n_rows, sum_w, ess``.
+    """
+    for c in ("n_source", "weight"):
+        if c not in bins_df.columns:
+            raise ValueError(f"effective_sample_size: column {c!r} missing")
+    nw = F.col("n_source").cast("double") * F.col("weight")
+    mo = bins_df.agg(
+        F.sum("n_source").cast("long").alias("n_rows"),
+        F.sum(nw).alias("sum_w"),
+        F.sum(nw * F.col("weight")).alias("__sw2"),
+    )
+    return mo.select(
+        "n_rows",
+        "sum_w",
+        F.when(
+            F.col("__sw2") > 0,
+            F.col("sum_w") * F.col("sum_w") / F.col("__sw2"),
+        ).alias("ess"),
+    )
+
+
+def attach_importance_weights(
+    df: DataFrame,
+    col: str,
+    target: dict,
+    clip: float = 10.0,
+    out_col: str = "weight",
+) -> DataFrame:
+    """Row-level attach of :func:`importance_weight_bins`: each row
+    gets its bin's weight via a bins-sized broadcast join on the bin
+    index (the same ladder expression assigns the index — a pure
+    projection). NULL ``col`` rows get NULL weight. The downstream
+    sampler multiplies by this column; nothing else changes shape."""
+    if out_col in df.columns:
+        raise ValueError(
+            f"attach_importance_weights: output column {out_col!r} already exists"
+        )
+    bins = importance_weight_bins(df, col, target, clip)
+    edges = target["edges"]
+    c = F.col(col)
+    idx = None
+    for i in range(len(edges)):
+        cond = c <= F.lit(float(edges[i]))
+        idx = F.when(cond, F.lit(i)) if idx is None else idx.when(cond, F.lit(i))
+    idx = idx.otherwise(F.lit(len(edges)))
+    keyed = df.withColumn(
+        "__bin", F.when(c.isNotNull(), idx).cast("int")
+    )
+    return keyed.join(
+        F.broadcast(
+            bins.select(
+                F.col("bin").alias("__bin"), F.col("weight").alias(out_col)
+            )
+        ),
+        "__bin",
+        "left",
+    ).drop("__bin")

@@ -569,3 +569,69 @@ def test_quantile_normalize_null_and_fences(spark):
         quantile_normalize(df, "value", [], "rid")
     with _pt.raises(ValueError, match="missing"):
         quantile_normalize(df, "ghost", ["src"], "rid")
+
+
+def test_importance_weights_hand_computed(spark):
+    """Source uniform over two bins (4+4), target 75/25: weights must
+    be exactly 1.5 and 0.5, ESS = (Σnw)²/Σnw² = 64/(9+1) * ... = 8²/10
+    = 6.4, and the row-level attach maps each row to its bin's
+    weight."""
+    from pandera_forge_spark.drift import (
+        attach_importance_weights,
+        baseline_summary,
+        effective_sample_size,
+        importance_weight_bins,
+    )
+
+    target = spark.createDataFrame(
+        [(float(v),) for v in [1, 1, 1, 5]] * 2, "x double"
+    )
+    base = baseline_summary(target, "x", edges=[2.0])
+    assert base["props"] == [0.75, 0.25]
+    source = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 1, 1, 1, 5, 5, 5, 5])],
+        "rid long, x double",
+    )
+    bins = importance_weight_bins(source, "x", base)
+    got = {r.bin: r for r in bins.collect()}
+    assert got[0].n_source == 4 and got[0].weight == 1.5
+    assert got[1].n_source == 4 and got[1].weight == 0.5
+    ess = effective_sample_size(bins).collect()[0]
+    assert ess.n_rows == 8
+    assert abs(ess.sum_w - 8.0) < 1e-12           # weights renormalize
+    assert abs(ess.ess - 6.4) < 1e-12
+    rows = attach_importance_weights(source, "x", base).collect()
+    for r in rows:
+        assert r.weight == (1.5 if r.x <= 2.0 else 0.5)
+
+
+def test_importance_weights_clip_and_nulls(spark):
+    from pandera_forge_spark.drift import (
+        attach_importance_weights,
+        baseline_summary,
+        importance_weight_bins,
+    )
+
+    target = spark.createDataFrame(
+        [(float(v),) for v in [1, 5, 5, 5]], "x double"
+    )
+    base = baseline_summary(target, "x", edges=[2.0])
+    # source has NO mass in bin 0 -> EPS-floored ratio would explode;
+    # the clip bounds it
+    source = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, None)], "rid long, x double"
+    )
+    bins = {r.bin: r for r in importance_weight_bins(
+        source, "x", base, clip=10.0
+    ).collect()}
+    assert bins[0].weight == 10.0
+    rows = {r.rid: r.weight for r in attach_importance_weights(
+        source, "x", base
+    ).collect()}
+    assert rows[3] is None                        # NULL stays NULL
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="clip"):
+        importance_weight_bins(source, "x", base, clip=0)
+    with _pt.raises(ValueError, match="already exists"):
+        attach_importance_weights(source, "x", base, out_col="x")
