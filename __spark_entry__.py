@@ -10827,6 +10827,66 @@ ORDER BY event_type, event_id
 """
 
 
+def q_runs_events(spark, sf_dir):
+    """Wald-Wolfowitz runs test (operators/temporal.py runs_test):
+    per event_type, is the hourly-volume above/below-median sequence
+    random, or batched/periodic? Counts and runs are exact integers;
+    mu/sigma/z are one fixed-order expression with a correctly-
+    rounded sqrt — z ships RAW, bit-identical cross-engine. The
+    oracle replays the bucketing, the exact interpolated median
+    (integer counts make quantile_cont exact), the tie-drop, and the
+    lag-window run count."""
+    from pandera_forge_spark.operators.temporal import runs_test
+
+    ev = _t(spark, sf_dir, "events")
+    return runs_test(ev, "ts", "value", ["event_type"]).orderBy("event_type")
+
+
+SQL_RUNS_EVENTS = r"""
+WITH series AS (
+  SELECT event_type,
+         CAST(FLOOR(date_part('epoch', ts) / 3600) AS BIGINT) AS t,
+         COUNT(*) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+med AS (
+  SELECT *, quantile_cont(c, 0.5) OVER (PARTITION BY event_type) AS m
+  FROM series
+),
+seq AS (
+  SELECT event_type, t, CASE WHEN c > m THEN 1 ELSE 0 END AS b
+  FROM med WHERE c <> m
+),
+runs AS (
+  SELECT event_type, b,
+         CASE WHEN LAG(b) OVER (PARTITION BY event_type ORDER BY t) IS NULL
+                   OR LAG(b) OVER (PARTITION BY event_type ORDER BY t) <> b
+              THEN 1 ELSE 0 END AS nr
+  FROM seq
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(b) AS BIGINT) AS n_above,
+         CAST(SUM(1 - b) AS BIGINT) AS n_below,
+         CAST(SUM(nr) AS BIGINT) AS runs
+  FROM runs GROUP BY 1
+)
+SELECT event_type, n_buckets, n_above, n_below, runs,
+       CASE WHEN n_buckets >= 2 AND n_above > 0 AND n_below > 0
+                 AND (2.0 * n_above * n_below / n_buckets + 1.0 - 1)
+                     * (2.0 * n_above * n_below / n_buckets + 1.0 - 2)
+                     / (n_buckets - 1) > 0
+            THEN (CAST(runs AS DOUBLE)
+                  - (2.0 * n_above * n_below / n_buckets + 1.0))
+                 / SQRT((2.0 * n_above * n_below / n_buckets + 1.0 - 1)
+                        * (2.0 * n_above * n_below / n_buckets + 1.0 - 2)
+                        / (n_buckets - 1))
+       END AS z
+FROM agg ORDER BY event_type
+"""
+
+
 def q_importance_weights_events(spark, sf_dir):
     """Covariate-shift reweighting (drift.importance_weight_bins +
     effective_sample_size): click rows reweighted so their value
@@ -12415,6 +12475,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ESS, clip, NULL-attach, fence pytests), strict sweep green
         # at BOTH SFs -----------------------------------------------------------
         "importance_weights_events": q_importance_weights_events,
+        # runs_events: this-session tail row; hourly bucketing +
+        # per-group lag windows are green kernels — the new part is
+        # the median-split sequence + run count + exact z (clumped/
+        # alternating hand-computed, tie-drop, fence pytests; z ships
+        # raw), strict sweep green at BOTH SFs ---------------------------------
+        "runs_events": q_runs_events,
     }
 
 
@@ -12659,4 +12725,5 @@ def oracle_sql() -> dict[str, str]:
         "fs_weights_customer": SQL_FS_WEIGHTS_CUSTOMER,
         "xcorr_click_purchase": SQL_XCORR_CLICK_PURCHASE,
         "importance_weights_events": SQL_IMPORTANCE_WEIGHTS_EVENTS,
+        "runs_events": SQL_RUNS_EVENTS,
     }

@@ -2847,3 +2847,102 @@ def cross_correlation(
         "n_pairs",
         F.when((va > 0) & (vb > 0), cov / F.sqrt(va * vb)).alias("corr"),
     )
+
+
+# ------------------------------------------------- runs test (batching)
+
+def runs_test(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    group_cols: Sequence[str],
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test per group over the bucketed timeline:
+    is the per-bucket volume's above/below-median sequence RANDOM, or
+    does it clump (batched ingestion, replays, day/night periodicity
+    the cadence checks didn't declare)? A healthy stream wanders
+    around its median; a loader that flushes every 6 hours produces
+    long runs and a z-score far below 0; an alternating artifact
+    (dedup ping-pong) lands far above.
+
+    Per group: bucket counts of rows where ``value_col`` is not null
+    -> median of the bucket series (exact interpolated percentile)
+    -> boolean sequence b_t = count_t > median (ties sit OUT of the
+    sequence: a bucket exactly AT the median is dropped, the
+    textbook treatment) -> R = observed runs via one lag window, and
+
+        mu = 2·n1·n0/n + 1
+        sigma² = (mu-1)·(mu-2)/(n-1)
+        z = (R - mu)/sigma
+
+    (public: Wald & Wolfowitz 1940). Counts, runs and n are exact
+    integers; mu/sigma/z are a single fixed-order float expression
+    with one correctly-rounded sqrt — bit-deterministic cross-engine,
+    no rounding convention needed.
+
+    Scale shape: one corpus-sized groupBy to the bucket series; the
+    per-group median and the lag window run over the SERIES (timeline
+    × groups, never corpus-sized). Groups whose sequence is shorter
+    than 2, or all-above/all-below (n1·n0 = 0), report NULL z.
+
+    Output per group: ``group_cols..., n_buckets, n_above, n_below,
+    runs, z``.
+    """
+    if int(bucket_seconds) < 1:
+        raise ValueError(
+            f"runs_test: bucket_seconds must be >= 1, got {bucket_seconds}"
+        )
+    for c in (time_col, value_col, *group_cols):
+        if c not in df.columns:
+            raise ValueError(f"runs_test: column {c!r} missing")
+    if not group_cols:
+        raise ValueError("runs_test: group_cols must be non-empty")
+    t = F.floor(
+        F.unix_timestamp(F.col(time_col)) / F.lit(int(bucket_seconds))
+    ).alias("__t")
+    series = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, t)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wmed = Window.partitionBy(*[F.col(c) for c in group_cols])
+    med = series.withColumn(
+        "__med",
+        F.expr("percentile(__c, 0.5)").over(wmed),
+    )
+    seq = med.where(F.col("__c") != F.col("__med")).withColumn(
+        "__b", (F.col("__c") > F.col("__med")).cast("int")
+    )
+    worder = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        F.col("__t").asc()
+    )
+    runs = seq.withColumn(
+        "__new_run",
+        F.when(
+            F.lag("__b").over(worder).isNull()
+            | (F.lag("__b").over(worder) != F.col("__b")),
+            1,
+        ).otherwise(0),
+    )
+    agg = runs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("__b").cast("long").alias("n_above"),
+        F.sum(F.lit(1) - F.col("__b")).cast("long").alias("n_below"),
+        F.sum("__new_run").cast("long").alias("runs"),
+    )
+    n = F.col("n_buckets").cast("double")
+    n1 = F.col("n_above").cast("double")
+    n0 = F.col("n_below").cast("double")
+    mu = F.lit(2.0) * n1 * n0 / n + F.lit(1.0)
+    var = (mu - 1) * (mu - 2) / (n - 1)
+    z = F.when(
+        (F.col("n_buckets") >= 2)
+        & (F.col("n_above") > 0)
+        & (F.col("n_below") > 0)
+        & (var > 0),
+        (F.col("runs").cast("double") - mu) / F.sqrt(var),
+    )
+    return agg.select(
+        *group_cols, "n_buckets", "n_above", "n_below", "runs", z.alias("z")
+    )

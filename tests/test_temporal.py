@@ -1003,3 +1003,62 @@ def test_cross_correlation_validates_args(spark):
         cross_correlation(df, "ts", F.lit(True), F.lit(True), bucket_seconds=0)
     with pytest.raises(ValueError, match="missing"):
         cross_correlation(df, "when", F.lit(True), F.lit(True))
+
+
+def test_runs_test_clumped_vs_alternating(spark):
+    """counts [5,5,5,1,1,1]: median 3, runs 2, mu=4, var=1.2 ->
+    z = -2/sqrt(1.2); alternating [5,1,5,1,5,1]: runs 6 -> +2/sqrt(1.2)."""
+    import datetime as dt
+    import math
+
+    from pandera_forge_spark.operators.temporal import runs_test
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for grp, counts in (
+        ("clump", [5, 5, 5, 1, 1, 1]),
+        ("alt", [5, 1, 5, 1, 5, 1]),
+    ):
+        for h, c in enumerate(counts):
+            rows += [(grp, base + dt.timedelta(hours=h), 1.0)] * c
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, v double")
+    out = {r.grp: r for r in runs_test(df, "ts", "v", ["grp"]).collect()}
+    zc = out["clump"]
+    assert (zc.n_buckets, zc.n_above, zc.n_below, zc.runs) == (6, 3, 3, 2)
+    assert abs(zc.z - (2 - 4) / math.sqrt(1.2)) < 1e-12
+    za = out["alt"]
+    assert za.runs == 6
+    assert abs(za.z - (6 - 4) / math.sqrt(1.2)) < 1e-12
+
+
+def test_runs_test_median_ties_dropped_and_degenerate(spark):
+    import datetime as dt
+
+    from pandera_forge_spark.operators.temporal import runs_test
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # counts [3,2,1]: median 2 -> middle bucket dropped, seq [1,0]
+    for h, c in enumerate([3, 2, 1]):
+        rows += [("t", base + dt.timedelta(hours=h), 1.0)] * c
+    # constant counts -> every bucket AT median -> empty sequence
+    for h in range(3):
+        rows += [("const", base + dt.timedelta(hours=h), 1.0)] * 2
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, v double")
+    out = {r.grp: r for r in runs_test(df, "ts", "v", ["grp"]).collect()}
+    assert (out["t"].n_buckets, out["t"].runs) == (2, 2)
+    assert "const" not in out       # all ties -> no sequence rows at all
+
+
+def test_runs_test_validates_args(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.temporal import runs_test
+
+    df = spark.createDataFrame([], "grp string, ts timestamp, v double")
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        runs_test(df, "ts", "v", ["grp"], bucket_seconds=0)
+    with pytest.raises(ValueError, match="group_cols"):
+        runs_test(df, "ts", "v", [])
+    with pytest.raises(ValueError, match="missing"):
+        runs_test(df, "ts", "ghost", ["grp"])
