@@ -10827,6 +10827,55 @@ ORDER BY event_type, event_id
 """
 
 
+def q_hill_tail_lang(spark, sf_dir):
+    """Heavy-tail health (profiler.hill_tail_index): per-language Hill
+    estimator of the doc-length tail index over the top-100 order
+    statistics, via the salted two-phase top-k (pytest proves salted
+    == unsalted). The oracle replays the rank election, the ln-ratio
+    sum and 1/hill (ROUND 6 — ln sums follow the corr_lineitem
+    convention)."""
+    from pandera_forge_spark.profiler import hill_tail_index
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hill_tail_index(docs, "n_chars", ["lang"], "doc_id", k=100)
+    return out.select(
+        "lang",
+        "n_pos",
+        "x_ref",
+        F.round("hill", 6).alias("hill"),
+        F.round("alpha", 6).alias("alpha"),
+    ).orderBy("lang")
+
+
+SQL_HILL_TAIL_LANG = r"""
+WITH pos AS (
+  SELECT lang, doc_id, n_chars FROM documents WHERE n_chars > 0
+),
+cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pos FROM pos GROUP BY 1),
+ranked AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM pos
+),
+est AS (
+  SELECT lang,
+         MAX(CASE WHEN rk = 101 THEN n_chars END) AS x_ref,
+         SUM(CASE WHEN rk <= 100 THEN LN(CAST(n_chars AS DOUBLE)) END) AS sum_ln
+  FROM ranked WHERE rk <= 101 GROUP BY 1
+)
+SELECT c.lang, c.n_pos, e.x_ref,
+       ROUND(CASE WHEN e.x_ref IS NOT NULL
+                  THEN e.sum_ln / 100.0 - LN(CAST(e.x_ref AS DOUBLE)) END,
+             6) AS hill,
+       ROUND(CASE WHEN e.x_ref IS NOT NULL
+                  AND e.sum_ln / 100.0 - LN(CAST(e.x_ref AS DOUBLE)) > 0
+                  THEN 1.0 / (e.sum_ln / 100.0 - LN(CAST(e.x_ref AS DOUBLE)))
+             END, 6) AS alpha
+FROM cnt c LEFT JOIN est e USING (lang) ORDER BY lang
+"""
+
+
 def q_runs_events(spark, sf_dir):
     """Wald-Wolfowitz runs test (operators/temporal.py runs_test):
     per event_type, is the hourly-volume above/below-median sequence
@@ -12481,6 +12530,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # alternating hand-computed, tie-drop, fence pytests; z ships
         # raw), strict sweep green at BOTH SFs ---------------------------------
         "runs_events": q_runs_events,
+        # hill_tail_lang: this-session tail row; the salted two-phase
+        # top-k is topk_engine_salted's r3-green discipline applied to
+        # order statistics — the new part is the ln-ratio tail fold
+        # (exact-Pareto, salted==unsalted, small-group-NULL, fence
+        # pytests), strict sweep green at BOTH SFs -----------------------------
+        "hill_tail_lang": q_hill_tail_lang,
     }
 
 
@@ -12726,4 +12781,5 @@ def oracle_sql() -> dict[str, str]:
         "xcorr_click_purchase": SQL_XCORR_CLICK_PURCHASE,
         "importance_weights_events": SQL_IMPORTANCE_WEIGHTS_EVENTS,
         "runs_events": SQL_RUNS_EVENTS,
+        "hill_tail_lang": SQL_HILL_TAIL_LANG,
     }

@@ -2370,3 +2370,100 @@ def unseen_mass(
         gt.alias("gt_unseen"),
         verdict.alias("verdict"),
     )
+
+
+# --------------------------------------------------- hill tail index
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    id_col: str,
+    k: int = 100,
+    n_salts: int = 64,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index (public: Hill 1975):
+    per group, over the top-``k`` order statistics x_(1) >= ... and
+    the reference x_(k+1),
+
+        hill  = (1/k) · Σ_{i<=k} ln(x_(i) / x_(k+1))
+        alpha = 1 / hill
+
+    Doc-length and frequency distributions in web corpora are heavy-
+    tailed; alpha is the honest "how heavy" number. alpha drifting
+    DOWN means the tail is fattening (a scraper started swallowing
+    concatenated dumps — packing and batch-size plans break); alpha
+    exploding UP means the tail was clipped (someone truncated, and
+    long-document coverage silently died). Summary stats built from
+    means/stds miss both.
+
+    Scale shape — the order statistics come from a SALTED two-phase
+    top-k, never a per-group global sort: phase 1 ranks within
+    (group, xxhash64(id) % n_salts) cells — each task sorts a
+    1/n_salts shard and keeps k+1 rows; phase 2 ranks the surviving
+    n_salts·(k+1) candidate rows per group. Exact by the same
+    argument as the salted frequency top-k: every true global top-k+1
+    row survives its own cell. Only positive values participate (ln);
+    ties break by id. Groups with fewer than k+1 positive rows report
+    NULL hill/alpha, loudly, next to their n_pos.
+
+    Output per group: ``group_cols..., n_pos, x_ref, hill, alpha``
+    (hill/alpha raw — callers round; ln sums follow the corr_lineitem
+    ROUND-6 comparison convention).
+    """
+    if int(k) < 1:
+        raise ValueError(f"hill_tail_index: k must be >= 1, got {k}")
+    if int(n_salts) < 1:
+        raise ValueError(f"hill_tail_index: n_salts must be >= 1, got {n_salts}")
+    for c in (value_col, id_col, *group_cols):
+        if c not in df.columns:
+            raise ValueError(f"hill_tail_index: column {c!r} missing")
+    if not group_cols:
+        raise ValueError("hill_tail_index: group_cols must be non-empty")
+    from pyspark.sql import Window
+
+    kk = int(k)
+    pos = df.where(F.col(value_col) > 0)
+    counts = pos.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos")
+    )
+    salted = pos.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(n_salts)))
+    )
+    w1 = Window.partitionBy(
+        *[F.col(c) for c in group_cols], F.col("__salt")
+    ).orderBy(F.col(value_col).desc(), F.col(id_col).asc())
+    cand = (
+        salted.withColumn("__rk1", F.row_number().over(w1))
+        .where(F.col("__rk1") <= kk + 1)
+        .drop("__rk1", "__salt")
+    )
+    w2 = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        F.col(value_col).desc(), F.col(id_col).asc()
+    )
+    tops = cand.withColumn("__rk", F.row_number().over(w2)).where(
+        F.col("__rk") <= kk + 1
+    )
+    est = tops.groupBy(*group_cols).agg(
+        F.max(
+            F.when(F.col("__rk") == kk + 1, F.col(value_col))
+        ).alias("x_ref"),
+        F.sum(
+            F.when(F.col("__rk") <= kk, F.log(F.col(value_col).cast("double")))
+        ).alias("__sum_ln"),
+    )
+    hill = F.when(
+        F.col("x_ref").isNotNull(),
+        F.col("__sum_ln") / F.lit(float(kk))
+        - F.log(F.col("x_ref").cast("double")),
+    )
+    return (
+        counts.join(est, list(group_cols), "left")
+        .select(
+            *group_cols,
+            "n_pos",
+            "x_ref",
+            hill.alias("hill"),
+            F.when(hill > 0, F.lit(1.0) / hill).alias("alpha"),
+        )
+    )

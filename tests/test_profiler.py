@@ -910,3 +910,54 @@ def test_fd_repairs_contracts(spark):
         fd_repairs(df, ["k"], "v", min_share=1.5)
     with pytest.raises(ValueError, match="lacks columns"):
         fd_repairs(df, ["k"], "nope")
+
+
+def test_hill_tail_index_exact_pareto(spark):
+    """Values x_i = 2^(i) for i=0..10 in one group: with k=4, the top
+    ranks are 1024,512,256,128 and ref 64 -> every ln-ratio is a
+    multiple of ln 2: hill = ln(2)·(4+3+2+1)/4 = 2.5·ln 2."""
+    import math
+
+    from pandera_forge_spark.profiler import hill_tail_index
+
+    rows = [("g", i, float(2 ** i)) for i in range(11)]
+    df = spark.createDataFrame(rows, "grp string, rid long, v double")
+    r = hill_tail_index(df, "v", ["grp"], "rid", k=4).collect()[0]
+    assert r.n_pos == 11 and r.x_ref == 64.0
+    expect = math.log(2.0) * (4 + 3 + 2 + 1) / 4
+    assert abs(r.hill - expect) < 1e-12
+    assert abs(r.alpha - 1 / expect) < 1e-12
+
+
+def test_hill_tail_index_salted_matches_unsalted_and_small_groups(spark):
+    from pandera_forge_spark.profiler import hill_tail_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {tuple(r) for r in hill_tail_index(
+        docs, "n_chars", ["lang"], "doc_id", k=20, n_salts=1
+    ).collect()}
+    b = {tuple(r) for r in hill_tail_index(
+        docs, "n_chars", ["lang"], "doc_id", k=20, n_salts=64
+    ).collect()}
+    assert a == b and len(a) > 0
+    # a group with fewer than k+1 positive rows reports NULLs loudly
+    tiny = spark.createDataFrame(
+        [("t", 1, 5.0), ("t", 2, 3.0), ("t", 3, -1.0)],
+        "grp string, rid long, v double",
+    )
+    r = hill_tail_index(tiny, "v", ["grp"], "rid", k=5).collect()[0]
+    assert r.n_pos == 2 and r.x_ref is None and r.hill is None
+
+
+def test_hill_tail_index_validates_args(spark):
+    import pytest
+
+    from pandera_forge_spark.profiler import hill_tail_index
+
+    df = spark.createDataFrame([("g", 1, 1.0)], "grp string, rid long, v double")
+    with pytest.raises(ValueError, match="k must"):
+        hill_tail_index(df, "v", ["grp"], "rid", k=0)
+    with pytest.raises(ValueError, match="group_cols"):
+        hill_tail_index(df, "v", [], "rid")
+    with pytest.raises(ValueError, match="missing"):
+        hill_tail_index(df, "ghost", ["grp"], "rid")
