@@ -10827,6 +10827,67 @@ ORDER BY event_type, event_id
 """
 
 
+def q_lang_margin_census(spark, sf_dir):
+    """Language-routing confidence (operators/text.py
+    language_margin): per detected language, the census of top1-top2
+    stopword-score margins in tenth-wide bands — the band-0 mass is
+    the code-switched / misrouted review queue. Scores and margins
+    are single integer divisions and subtractions (bit-identical
+    cross-engine); the oracle replays the score ladder, the sorted
+    top-two gap, and the band floor."""
+    from pandera_forge_spark.operators.text import (
+        detect_language,
+        language_margin,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return (
+        docs.select(
+            detect_language(c).alias("lang_detected"),
+            F.floor(language_margin(c) * 10).cast("int").alias("band"),
+        )
+        .groupBy("lang_detected", "band")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_detected", "band")
+    )
+
+
+SQL_LANG_MARGIN_CENSUS = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+""" + ",\n".join(
+    f"         CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN {words})) AS DOUBLE)/len(toks) ELSE 0.0 END AS s_{lang}"
+    for lang, words in _LANG_SCORE_SQL.items()
+) + r"""
+  FROM t
+), d AS (
+  SELECT doc_id,
+         GREATEST(s_en, s_de, s_fr, s_es) AS best,
+         CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+              WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+              WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+              WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+              ELSE 'de' END AS lang_detected,
+         list_sort([s_en, s_de, s_fr, s_es]) AS arr
+  FROM s
+), m AS (
+  SELECT lang_detected,
+         CAST(FLOOR(
+           (CASE WHEN arr[4] > 0 THEN arr[4] - arr[3] ELSE 0.0 END) * 10
+         ) AS INT) AS band
+  FROM d
+)
+SELECT lang_detected, band, COUNT(*) AS n_docs
+FROM m GROUP BY 1, 2 ORDER BY lang_detected, band
+"""
+
+
 def q_hill_tail_lang(spark, sf_dir):
     """Heavy-tail health (profiler.hill_tail_index): per-language Hill
     estimator of the doc-length tail index over the top-100 order
@@ -12536,6 +12597,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (exact-Pareto, salted==unsalted, small-group-NULL, fence
         # pytests), strict sweep green at BOTH SFs -----------------------------
         "hill_tail_lang": q_hill_tail_lang,
+        # lang_margin_census: this-session tail row; the score ladder
+        # is language_id's r4-green kernel — the new part is the
+        # sorted top-two gap + band census (hand-computed margin,
+        # code-switch-zero, plan-shape pytests), strict sweep green at
+        # BOTH SFs --------------------------------------------------------------
+        "lang_margin_census": q_lang_margin_census,
     }
 
 
@@ -12782,4 +12849,5 @@ def oracle_sql() -> dict[str, str]:
         "importance_weights_events": SQL_IMPORTANCE_WEIGHTS_EVENTS,
         "runs_events": SQL_RUNS_EVENTS,
         "hill_tail_lang": SQL_HILL_TAIL_LANG,
+        "lang_margin_census": SQL_LANG_MARGIN_CENSUS,
     }

@@ -1518,3 +1518,33 @@ def zipf_fit(
             (F.col("__sy") - slope * F.col("__sx")) / n,
         ).alias("intercept"),
     )
+
+
+# ------------------------------------------- language-id confidence
+
+def language_margin(col: Column) -> Column:
+    """Confidence margin of :func:`detect_language`: the gap between
+    the best and second-best stopword-hit-ratio scores. The argmax
+    alone hides how close the call was — a corpus slice whose margins
+    crowd zero is code-switched, boilerplate, or simply misrouted,
+    and every downstream per-language pipeline (tokenizer choice,
+    quality thresholds, mixture budgets) inherits the error. Margin
+    ~0 with a nonzero best score is the "send to review" band.
+
+    Same one-pass array algebra as detect_language — the scored
+    struct array is sorted and the top two scores differenced; docs
+    with no stopword hits at all ('und') report margin 0.0. Pure
+    projection, no UDF, no shuffle."""
+    toks = tokens(col)
+    n = F.size(toks)
+
+    def hit_ratio(lang):
+        words = STOPWORDS[lang]
+        return F.when(
+            n > 0, F.size(F.filter(toks, lambda t: t.isin(*words))) / n
+        ).otherwise(F.lit(0.0))
+
+    scores = F.array_sort(F.array(*[hit_ratio(lang) for lang in sorted(STOPWORDS)]))
+    top = F.element_at(scores, -1)
+    second = F.element_at(scores, -2)
+    return F.when(top > 0, top - second).otherwise(F.lit(0.0))

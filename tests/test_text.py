@@ -979,3 +979,30 @@ def test_zipf_fit_validates_args(spark):
         zipf_fit(df, top_k=1)
     with pytest.raises(ValueError, match="group column"):
         zipf_fit(df, group_cols=["ghost"])
+
+
+def test_language_margin_hand_computed(spark):
+    """'the the und' -> en score 2/3, de score 1/3 (und), others 0:
+    margin exactly 1/3. Pure-stopword single-language text maxes the
+    margin; gibberish and empty report 0."""
+    from pandera_forge_spark.operators.text import language_margin
+
+    def _m(text):
+        df = spark.createDataFrame([(text,)], "t string")
+        return df.select(language_margin(F.col("t")).alias("m")).collect()[0].m
+
+    got = _m("the the und")
+    assert abs(got - (2 / 3 - 1 / 3)) < 1e-12
+    assert _m("zzz qqq") == 0.0
+    assert _m("") == 0.0
+    # code-switched half-and-half: margin collapses to 0
+    assert _m("the der") == 0.0
+
+
+def test_language_margin_no_shuffle(spark):
+    from pandera_forge_spark.operators.text import language_margin
+
+    df = spark.createDataFrame([(1, "the cat")], "doc_id long, text string")
+    out = df.select(language_margin(F.col("text")).alias("m"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
