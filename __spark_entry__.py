@@ -10827,6 +10827,63 @@ ORDER BY event_type, event_id
 """
 
 
+def q_robust_stats_events(spark, sf_dir):
+    """Rank-based trimmed + winsorized means (profiler.robust_stats)
+    of events.value per event_type at trim 0.1 — the exact integer
+    rank cut, no interpolated-percentile parity hazard. The oracle
+    replays the (value, id) rank, the floor(n·trim) cut, the boundary
+    clamp rows, and both means (ROUND 6 — float sums over kept
+    rows)."""
+    from pandera_forge_spark.profiler import robust_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = robust_stats(ev, "value", ["event_type"], "event_id", trim=0.1)
+    return out.select(
+        "event_type",
+        "n",
+        "k_trim",
+        "lo",
+        "hi",
+        F.round("trimmed_mean", 6).alias("trimmed_mean"),
+        F.round("winsorized_mean", 6).alias("winsorized_mean"),
+    ).orderBy("event_type")
+
+
+SQL_ROBUST_STATS_EVENTS = r"""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+cut AS (
+  SELECT *, CAST(FLOOR(CAST(n AS DOUBLE) * 0.1) AS BIGINT) AS k
+  FROM ranked
+),
+agg AS (
+  SELECT event_type,
+         CAST(MAX(n) AS BIGINT) AS n,
+         MAX(k) AS k_trim,
+         MAX(CASE WHEN rk = k + 1 THEN value END) AS lo,
+         MAX(CASE WHEN rk = n - k THEN value END) AS hi,
+         SUM(CASE WHEN rk > k AND rk <= n - k THEN value END) AS sum_kept,
+         CAST(SUM(CASE WHEN rk > k AND rk <= n - k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(SUM(CASE WHEN rk <= k THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+         CAST(SUM(CASE WHEN rk > n - k THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+  FROM cut GROUP BY 1
+)
+SELECT event_type, n, k_trim, lo, hi,
+       ROUND(CASE WHEN n_kept > 0
+                  THEN sum_kept / CAST(n_kept AS DOUBLE) END, 6) AS trimmed_mean,
+       ROUND(CASE WHEN n_kept > 0
+                  THEN (sum_kept + lo * CAST(n_lo AS DOUBLE)
+                        + hi * CAST(n_hi AS DOUBLE)) / CAST(n AS DOUBLE)
+             END, 6) AS winsorized_mean
+FROM agg ORDER BY event_type
+"""
+
+
 def q_lang_margin_census(spark, sf_dir):
     """Language-routing confidence (operators/text.py
     language_margin): per detected language, the census of top1-top2
@@ -12603,6 +12660,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # code-switch-zero, plan-shape pytests), strict sweep green at
         # BOTH SFs --------------------------------------------------------------
         "lang_margin_census": q_lang_margin_census,
+        # robust_stats_events: this-session tail row; per-group rank
+        # windows are proven kernels — the new part is the rank-cut
+        # trim/winsorize fold (fat-finger hand-computed, degenerate-
+        # trim, fence pytests), strict sweep green at BOTH SFs -----------------
+        "robust_stats_events": q_robust_stats_events,
     }
 
 
@@ -12850,4 +12912,5 @@ def oracle_sql() -> dict[str, str]:
         "runs_events": SQL_RUNS_EVENTS,
         "hill_tail_lang": SQL_HILL_TAIL_LANG,
         "lang_margin_census": SQL_LANG_MARGIN_CENSUS,
+        "robust_stats_events": SQL_ROBUST_STATS_EVENTS,
     }

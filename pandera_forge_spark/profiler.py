@@ -2467,3 +2467,93 @@ def hill_tail_index(
             F.when(hill > 0, F.lit(1.0) / hill).alias("alpha"),
         )
     )
+
+
+# ------------------------------------------------ trimmed/winsorized
+
+def robust_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    id_col: str,
+    trim: float = 0.1,
+) -> DataFrame:
+    """Rank-based trimmed and winsorized means per group: drop (trim
+    mean) or clamp (winsorize) the k = floor(n·trim) most extreme
+    rows on each side, by RANK — not by an interpolated percentile
+    threshold, so the cut is exact integer arithmetic with no
+    interpolation parity hazard, and ties/duplicated values behave
+    deterministically (rank breaks ties by ``id_col``). The mean a
+    dashboard should alert on: one fat-fingered 1e12 row moves the
+    plain mean off the chart and moves these not at all, without the
+    median's total blindness to the distribution body.
+
+    Scale shape: one window rank per group (the same per-group sort
+    any ranked read pays), one groupBy fold. The clamp values are the
+    kept-range boundary rows (ranks k+1 and n-k), picked up with
+    conditional aggregates in the SAME fold — no second pass, no
+    join. Groups where 2k >= n (nothing survives the trim) report
+    NULL means loudly.
+
+    Output per group: ``group_cols..., n, k_trim, lo, hi,
+    trimmed_mean, winsorized_mean`` (means are float sums over kept
+    rows — callers round at 6, the corr_lineitem convention).
+    """
+    if not (0.0 <= float(trim) < 0.5):
+        raise ValueError(f"robust_stats: trim must be in [0, 0.5), got {trim}")
+    for c in (value_col, id_col, *group_cols):
+        if c not in df.columns:
+            raise ValueError(f"robust_stats: column {c!r} missing")
+    if not group_cols:
+        raise ValueError("robust_stats: group_cols must be non-empty")
+    from pyspark.sql import Window
+
+    t = float(trim)
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    wsz = Window.partitionBy(*[F.col(c) for c in group_cols])
+    ranked = (
+        df.where(F.col(value_col).isNotNull())
+        .withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wsz))
+    )
+    k = F.floor(F.col("__n").cast("double") * F.lit(t)).cast("long")
+    kept = (F.col("__rk") > k) & (F.col("__rk") <= F.col("__n") - k)
+    v = F.col(value_col).cast("double")
+    agg = ranked.groupBy(*group_cols).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max(k).cast("long").alias("k_trim"),
+        F.max(F.when(F.col("__rk") == k + 1, v)).alias("lo"),
+        F.max(F.when(F.col("__rk") == F.col("__n") - k, v)).alias("hi"),
+        F.sum(F.when(kept, v)).alias("__sum_kept"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("__n_kept"),
+        F.sum(F.when(F.col("__rk") <= k, 1).otherwise(0))
+        .cast("long")
+        .alias("__n_lo"),
+        F.sum(F.when(F.col("__rk") > F.col("__n") - k, 1).otherwise(0))
+        .cast("long")
+        .alias("__n_hi"),
+    )
+    tm = F.when(
+        F.col("__n_kept") > 0,
+        F.col("__sum_kept") / F.col("__n_kept").cast("double"),
+    )
+    wm = F.when(
+        F.col("__n_kept") > 0,
+        (
+            F.col("__sum_kept")
+            + F.col("lo") * F.col("__n_lo").cast("double")
+            + F.col("hi") * F.col("__n_hi").cast("double")
+        )
+        / F.col("n").cast("double"),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        "k_trim",
+        "lo",
+        "hi",
+        tm.alias("trimmed_mean"),
+        wm.alias("winsorized_mean"),
+    )

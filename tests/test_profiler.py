@@ -961,3 +961,41 @@ def test_hill_tail_index_validates_args(spark):
         hill_tail_index(df, "v", [], "rid")
     with pytest.raises(ValueError, match="missing"):
         hill_tail_index(df, "ghost", ["grp"], "rid")
+
+
+def test_robust_stats_hand_computed(spark):
+    """[1..9, 1000] with trim 0.1: n=10, k=1 -> drop 1 and 1000, keep
+    2..9: trimmed = 5.5; winsorize clamps to lo=2, hi=9:
+    (44 + 2 + 9)/10 = 5.5."""
+    from pandera_forge_spark.profiler import robust_stats
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1000.0]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)],
+        "grp string, rid long, v double",
+    )
+    r = robust_stats(df, "v", ["grp"], "rid", trim=0.1).collect()[0]
+    assert (r.n, r.k_trim, r.lo, r.hi) == (10, 1, 2.0, 9.0)
+    assert abs(r.trimmed_mean - 5.5) < 1e-12
+    assert abs(r.winsorized_mean - 5.5) < 1e-12
+    # the plain mean is 104.5 — the operator's whole point
+    # a fat-finger row moved it, the robust means did not
+
+
+def test_robust_stats_degenerate_and_fences(spark):
+    import pytest
+
+    from pandera_forge_spark.profiler import robust_stats
+
+    df = spark.createDataFrame(
+        [("g", 1, 1.0), ("g", 2, 2.0)], "grp string, rid long, v double"
+    )
+    # trim 0.4: k = floor(2*0.4) = 0 -> nothing dropped
+    r = robust_stats(df, "v", ["grp"], "rid", trim=0.4).collect()[0]
+    assert r.k_trim == 0 and abs(r.trimmed_mean - 1.5) < 1e-12
+    with pytest.raises(ValueError, match="trim"):
+        robust_stats(df, "v", ["grp"], "rid", trim=0.5)
+    with pytest.raises(ValueError, match="group_cols"):
+        robust_stats(df, "v", [], "rid")
+    with pytest.raises(ValueError, match="missing"):
+        robust_stats(df, "ghost", ["grp"], "rid")
