@@ -10827,6 +10827,49 @@ ORDER BY event_type, event_id
 """
 
 
+def q_token_entropy_lang(spark, sf_dir):
+    """Corpus concentration (operators/text.py token_entropy): token
+    Shannon entropy and effective vocabulary per language — the
+    whole-distribution companion to zipf_lang's head slope. Exact
+    integer census; the c·ln c fold and exp follow the ROUND-6
+    convention."""
+    from pandera_forge_spark.operators.text import token_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    out = token_entropy(docs, group_cols=["lang"])
+    return out.select(
+        "lang",
+        "n_tokens",
+        "n_distinct",
+        F.round("entropy", 6).alias("entropy"),
+        F.round("eff_vocab", 6).alias("eff_vocab"),
+    ).orderBy("lang")
+
+
+SQL_TOKEN_ENTROPY_LANG = r"""
+WITH toks AS (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+census AS (SELECT lang, t, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+agg AS (
+  SELECT lang,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS sum_clnc
+  FROM census GROUP BY 1
+)
+SELECT lang, n_tokens, n_distinct,
+       ROUND(LN(CAST(n_tokens AS DOUBLE))
+             - sum_clnc / CAST(n_tokens AS DOUBLE), 6) AS entropy,
+       ROUND(EXP(LN(CAST(n_tokens AS DOUBLE))
+                 - sum_clnc / CAST(n_tokens AS DOUBLE)), 6) AS eff_vocab
+FROM agg ORDER BY lang
+"""
+
+
 def q_robust_stats_events(spark, sf_dir):
     """Rank-based trimmed + winsorized means (profiler.robust_stats)
     of events.value per event_type at trim 0.1 — the exact integer
@@ -12665,6 +12708,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trim/winsorize fold (fat-finger hand-computed, degenerate-
         # trim, fence pytests), strict sweep green at BOTH SFs -----------------
         "robust_stats_events": q_robust_stats_events,
+        # token_entropy_lang: this-session tail row; census kernel
+        # shared with zipf_lang — the new part is the c·ln c entropy
+        # fold + exp (closed-form uniform/skewed pytests, empty-group
+        # fence), strict sweep green at BOTH SFs -------------------------------
+        "token_entropy_lang": q_token_entropy_lang,
     }
 
 
@@ -12913,4 +12961,5 @@ def oracle_sql() -> dict[str, str]:
         "hill_tail_lang": SQL_HILL_TAIL_LANG,
         "lang_margin_census": SQL_LANG_MARGIN_CENSUS,
         "robust_stats_events": SQL_ROBUST_STATS_EVENTS,
+        "token_entropy_lang": SQL_TOKEN_ENTROPY_LANG,
     }

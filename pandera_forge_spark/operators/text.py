@@ -1548,3 +1548,65 @@ def language_margin(col: Column) -> Column:
     top = F.element_at(scores, -1)
     second = F.element_at(scores, -2)
     return F.when(top > 0, top - second).otherwise(F.lit(0.0))
+
+
+# --------------------------------------------------- token entropy
+
+def token_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Shannon entropy of the token distribution and its exponential
+    — the EFFECTIVE vocabulary size — per group.
+    ``H = ln(N) - (Σ_t c_t·ln c_t)/N`` over the token census;
+    ``exp(H)`` is "how many tokens the corpus behaves as if it had,
+    uniformly". The raw distinct count can't tell a healthy corpus
+    from one where three boilerplate tokens carry half the mass;
+    effective vocabulary collapses immediately when generation or
+    scraping degenerates, and it pairs with zipf_fit as the
+    corpus-shape fingerprint (Zipf gives the head's slope, entropy
+    the whole distribution's concentration).
+
+    Scale shape: one corpus-sized explode + hash groupBy to the
+    census (map-side partials, census-sized result), then one
+    census-sized fold per group — the two-shuffle shape every census
+    operator here uses. Per-row ln on exact integer counts; the
+    cross-row ln sum follows the corr_lineitem ROUND-6 comparison
+    convention (callers round). Empty groups (no tokens) report NULL
+    entropy, loudly.
+
+    Output per group: ``group_cols..., n_tokens, n_distinct, entropy,
+    eff_vocab``.
+    """
+    if text_col not in df.columns:
+        raise ValueError(f"token_entropy: column {text_col!r} missing")
+    for c in group_cols:
+        if c not in df.columns:
+            raise ValueError(f"token_entropy: group column {c!r} missing")
+    gcols = [F.col(c) for c in group_cols]
+    toks = df.select(
+        *gcols, F.explode(tokens(F.col(text_col))).alias("__t")
+    ).where(F.col("__t") != "")
+    census = toks.groupBy(*group_cols, "__t").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    agg = census.groupBy(*group_cols).agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(
+            F.col("__c").cast("double") * F.log(F.col("__c").cast("double"))
+        ).alias("__sum_clnc"),
+    )
+    n = F.col("n_tokens").cast("double")
+    h = F.when(
+        F.col("n_tokens") > 0,
+        F.log(n) - F.col("__sum_clnc") / n,
+    )
+    return agg.select(
+        *group_cols,
+        "n_tokens",
+        "n_distinct",
+        h.alias("entropy"),
+        F.when(h.isNotNull(), F.exp(h)).alias("eff_vocab"),
+    )

@@ -1006,3 +1006,38 @@ def test_language_margin_no_shuffle(spark):
     out = df.select(language_margin(F.col("text")).alias("m"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_token_entropy_hand_computed(spark):
+    """Uniform 4-token text: H = ln 4, eff_vocab = 4 exactly; a
+    skewed 2-token text (3:1) gets H = ln4 - (3 ln3)/4 < ln 2 + eps
+    and eff_vocab < 2 is false — it's between; verify against the
+    closed form."""
+    import math
+
+    from pandera_forge_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame(
+        [("u", "a b c d"), ("s", "x x x y")], "grp string, text string"
+    )
+    rows = {r.grp: r for r in token_entropy(df, group_cols=["grp"]).collect()}
+    u = rows["u"]
+    assert (u.n_tokens, u.n_distinct) == (4, 4)
+    assert abs(u.entropy - math.log(4)) < 1e-12
+    assert abs(u.eff_vocab - 4.0) < 1e-9
+    s = rows["s"]
+    expect = math.log(4) - (3 * math.log(3)) / 4
+    assert abs(s.entropy - expect) < 1e-12
+    assert abs(s.eff_vocab - math.exp(expect)) < 1e-9
+
+
+def test_token_entropy_empty_group_null(spark):
+    from pandera_forge_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame([("e", "   ")], "grp string, text string")
+    out = token_entropy(df, group_cols=["grp"]).collect()
+    assert out == []   # no tokens -> no census rows at all
+    import pytest
+
+    with pytest.raises(ValueError, match="group column"):
+        token_entropy(df, group_cols=["ghost"])
