@@ -10827,6 +10827,65 @@ ORDER BY event_type, event_id
 """
 
 
+def q_bootstrap_ci_events(spark, sf_dir):
+    """Deterministic Bayesian-bootstrap CIs (profiler.bootstrap_ci):
+    per event_type, 50 md5-seeded Exp(1)-weighted replica means of
+    value, nearest-rank 90% interval. The oracle replays the replica
+    explode, the exact hash-uniform (the weighted_sample SQL
+    convention), the weighted means, and the rank pick (ROUND 6 —
+    cross-row float sums)."""
+    from pandera_forge_spark.profiler import bootstrap_ci
+
+    ev = _t(spark, sf_dir, "events")
+    out = bootstrap_ci(
+        ev, "value", "event_id", ["event_type"], n_boot=50, level=0.9
+    )
+    return out.select(
+        "event_type",
+        "n_rows",
+        F.round("mean", 6).alias("mean"),
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"),
+    ).orderBy("event_type")
+
+
+SQL_BOOTSTRAP_CI_EVENTS = r"""
+WITH rep AS (
+  SELECT event_type, value AS v, event_id,
+         unnest(generate_series(0, 49)) AS b
+  FROM events WHERE value IS NOT NULL
+),
+w AS (
+  SELECT event_type, b, v,
+         -LN((('0x' || substr(md5('boot#' || CAST(b AS VARCHAR) || '#'
+                                  || CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT
+              + 1.0) / 4294967297.0) AS w
+  FROM rep
+),
+means AS (
+  SELECT event_type, b, SUM(w * v) / SUM(w) AS m FROM w GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m ASC, b ASC) AS rk
+  FROM means
+),
+pick AS (
+  SELECT event_type,
+         MAX(CASE WHEN rk = 3 THEN m END) AS lo,
+         MAX(CASE WHEN rk = 48 THEN m END) AS hi
+  FROM ranked GROUP BY 1
+),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows, AVG(value) AS mean
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT s.event_type, s.n_rows, ROUND(s.mean, 6) AS mean,
+       ROUND(p.lo, 6) AS ci_lo, ROUND(p.hi, 6) AS ci_hi
+FROM stats s JOIN pick p USING (event_type) ORDER BY s.event_type
+"""
+
+
 def q_token_entropy_lang(spark, sf_dir):
     """Corpus concentration (operators/text.py token_entropy): token
     Shannon entropy and effective vocabulary per language — the
@@ -12713,6 +12772,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fold + exp (closed-form uniform/skewed pytests, empty-group
         # fence), strict sweep green at BOTH SFs -------------------------------
         "token_entropy_lang": q_token_entropy_lang,
+        # bootstrap_ci_events: this-session tail row; the md5-uniform
+        # is weighted_sample's r-green convention — the new part is
+        # the Exp(1) replica weights + nearest-rank interval (python-
+        # replay, determinism, salt-independence, fence pytests),
+        # strict sweep green at BOTH SFs ---------------------------------------
+        "bootstrap_ci_events": q_bootstrap_ci_events,
     }
 
 
@@ -12962,4 +13027,5 @@ def oracle_sql() -> dict[str, str]:
         "lang_margin_census": SQL_LANG_MARGIN_CENSUS,
         "robust_stats_events": SQL_ROBUST_STATS_EVENTS,
         "token_entropy_lang": SQL_TOKEN_ENTROPY_LANG,
+        "bootstrap_ci_events": SQL_BOOTSTRAP_CI_EVENTS,
     }

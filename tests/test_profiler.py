@@ -999,3 +999,68 @@ def test_robust_stats_degenerate_and_fences(spark):
         robust_stats(df, "v", [], "rid")
     with pytest.raises(ValueError, match="missing"):
         robust_stats(df, "ghost", ["grp"], "rid")
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from pandera_forge_spark.profiler import bootstrap_ci
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out1 = {r.event_type: r for r in bootstrap_ci(
+        ev, "value", "event_id", ["event_type"], n_boot=40, level=0.9
+    ).collect()}
+    out2 = {r.event_type: r for r in bootstrap_ci(
+        ev, "value", "event_id", ["event_type"], n_boot=40, level=0.9
+    ).collect()}
+    assert out1.keys() == out2.keys() and len(out1) == 5
+    for k in out1:
+        r1, r2 = out1[k], out2[k]
+        # bit-for-bit reproducible
+        assert (r1.ci_lo, r1.ci_hi, r1.mean) == (r2.ci_lo, r2.ci_hi, r2.mean)
+        # CI brackets the plain mean and is ordered
+        assert r1.ci_lo < r1.mean < r1.ci_hi
+        # width is plausible for ~100-400 rows of a [0,500] value
+        assert 0 < r1.ci_hi - r1.ci_lo < 60
+
+
+def test_bootstrap_ci_salt_varies_and_python_reference(spark):
+    """A 3-row frame with B=3 is small enough to replay the entire
+    construction in python: md5-derived Exp(1) weights, weighted
+    means, rank pick."""
+    import hashlib
+    import math as _m
+
+    from pandera_forge_spark.profiler import bootstrap_ci
+
+    rows = [(1, 10.0), (2, 20.0), (3, 60.0)]
+    df = spark.createDataFrame(rows, "rid long, v double")
+    got = bootstrap_ci(df, "v", "rid", n_boot=3, level=0.5).collect()[0]
+
+    def u_of(b, rid):
+        h = hashlib.md5(f"boot#{b}#{rid}".encode()).hexdigest()
+        return (int(h[:8], 16) + 1.0) / (2 ** 32 + 1)
+
+    ms = []
+    for b in range(3):
+        ws = {rid: -_m.log(u_of(b, rid)) for rid, _ in rows}
+        ms.append(sum(ws[r] * v for r, v in rows) / sum(ws.values()))
+    ms.sort()
+    # level 0.5, B=3: k_out = floor(0.25*3) = 0 -> lo rank 1, hi rank 3
+    assert abs(got.ci_lo - ms[0]) < 1e-9
+    assert abs(got.ci_hi - ms[2]) < 1e-9
+    assert abs(got.mean - 30.0) < 1e-12
+    other = bootstrap_ci(df, "v", "rid", n_boot=3, level=0.5, salt="x").collect()[0]
+    assert (other.ci_lo, other.ci_hi) != (got.ci_lo, got.ci_hi)
+
+
+def test_bootstrap_ci_validates_args(spark):
+    import pytest
+
+    from pandera_forge_spark.profiler import bootstrap_ci
+
+    df = spark.createDataFrame([(1, 1.0)], "rid long, v double")
+    with pytest.raises(ValueError, match="n_boot"):
+        bootstrap_ci(df, "v", "rid", n_boot=1)
+    with pytest.raises(ValueError, match="level"):
+        bootstrap_ci(df, "v", "rid", level=1.0)
+    with pytest.raises(ValueError, match="missing"):
+        bootstrap_ci(df, "ghost", "rid")
