@@ -10827,6 +10827,70 @@ ORDER BY event_type, event_id
 """
 
 
+def q_spearman_lineitem(spark, sf_dir):
+    """Spearman rank-correlation matrix (profiler.spearman_matrix)
+    over the same four lineitem measures as the r-green
+    corr_lineitem — average-rank ties via the census-offset
+    construction, listwise NULL drop, exact-binary-half ranks. The
+    oracle regenerates the census offsets, the rank join, and every
+    moment (ROUND 6)."""
+    from pandera_forge_spark.profiler import spearman_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = spearman_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    return out.select(
+        "col_a", "col_b", "n", F.round("spearman", 6).alias("spearman")
+    ).orderBy("col_a", "col_b")
+
+
+def _sql_spearman_lineitem() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    ctes = [f"base AS (SELECT {', '.join(cols)} FROM lineitem WHERE {notnull})"]
+    joins = "base"
+    for c in cols:
+        ctes.append(
+            f"cen_{c} AS (SELECT {c} AS v, COUNT(*) AS cnt FROM base GROUP BY 1)"
+        )
+        ctes.append(
+            f"off_{c} AS (SELECT v AS {c}, "
+            f"CAST(SUM(cnt) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) - cnt AS DOUBLE) "
+            f"+ (CAST(cnt AS DOUBLE) + 1.0) / 2.0 AS r_{c} FROM cen_{c})"
+        )
+        joins += f" JOIN off_{c} USING ({c})"
+    pair_sums = []
+    for i, a in enumerate(cols):
+        pair_sums.append(f"SUM(r_{a}) AS s_{a}")
+        pair_sums.append(f"SUM(r_{a} * r_{a}) AS ss_{a}")
+        for b in cols[i + 1:]:
+            pair_sums.append(f"SUM(r_{a} * r_{b}) AS p_{a}_{b}")
+    ctes.append(
+        "mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        + ", ".join(pair_sums)
+        + f" FROM ({joins}))"
+    )
+    cells = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            num = f"(CAST(n AS DOUBLE) * p_{a}_{b} - s_{a} * s_{b})"
+            va = f"(CAST(n AS DOUBLE) * ss_{a} - s_{a} * s_{a})"
+            vb = f"(CAST(n AS DOUBLE) * ss_{b} - s_{b} * s_{b})"
+            cells.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, n, "
+                f"ROUND(CASE WHEN {va} > 0 AND {vb} > 0 "
+                f"THEN {num} / SQRT({va} * {vb}) END, 6) AS spearman FROM mo"
+            )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT * FROM ("
+        + " UNION ALL ".join(cells) + ") ORDER BY col_a, col_b"
+    )
+
+
+SQL_SPEARMAN_LINEITEM = _sql_spearman_lineitem()
+
+
 def q_bootstrap_ci_events(spark, sf_dir):
     """Deterministic Bayesian-bootstrap CIs (profiler.bootstrap_ci):
     per event_type, 50 md5-seeded Exp(1)-weighted replica means of
@@ -12778,6 +12842,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replay, determinism, salt-independence, fence pytests),
         # strict sweep green at BOTH SFs ---------------------------------------
         "bootstrap_ci_events": q_bootstrap_ci_events,
+        # spearman_lineitem: this-session tail row; corr_lineitem's
+        # r-green moment fold on census-offset average ranks — the
+        # new part is the distributed tie-rank construction (python-
+        # reference-with-ties, listwise-NULL, fence pytests), strict
+        # sweep green at BOTH SFs ----------------------------------------------
+        "spearman_lineitem": q_spearman_lineitem,
     }
 
 
@@ -13028,4 +13098,5 @@ def oracle_sql() -> dict[str, str]:
         "robust_stats_events": SQL_ROBUST_STATS_EVENTS,
         "token_entropy_lang": SQL_TOKEN_ENTROPY_LANG,
         "bootstrap_ci_events": SQL_BOOTSTRAP_CI_EVENTS,
+        "spearman_lineitem": SQL_SPEARMAN_LINEITEM,
     }

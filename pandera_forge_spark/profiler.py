@@ -2647,3 +2647,89 @@ def bootstrap_ci(
             *group_cols, "n_rows", "mean", "ci_lo", "ci_hi"
         )
     return stats.crossJoin(picked).select("n_rows", "mean", "ci_lo", "ci_hi")
+
+
+# ---------------------------------------------------- spearman matrix
+
+def spearman_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Spearman rank-correlation matrix (average-rank tie handling,
+    the textbook definition) — the robust companion to
+    :func:`correlation_matrix`: Pearson answers "linear on the raw
+    scale", Spearman answers "monotone at all", and the GAP between
+    them is itself a finding (heavy tails or a few fat-finger rows
+    masquerading as correlation).
+
+    Distributed ranks without a global sort: per column, the VALUE
+    CENSUS (hash groupBy → one row per distinct value) gets exclusive
+    cumulative offsets via an ordered window over the census — a
+    distinct-values-sized sort, not a corpus-sized one (for real
+    measure columns that census is small; for near-unique columns use
+    the bucketed two-phase pattern instead) — and every row's average
+    rank = offset + (tie_count+1)/2 rides back on a value join. Ranks
+    are exact binary halves; the Pearson moments over them follow the
+    corr_lineitem ROUND-6 convention.
+
+    Rows with a NULL in ANY of ``cols`` are dropped (listwise — every
+    cell sees the same n, so the matrix is internally consistent; the
+    per-cell n is emitted so nobody has to trust that silently).
+
+    Output: one row per unordered pair: ``col_a, col_b, n, spearman``.
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("spearman_matrix: need at least 2 columns")
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(f"spearman_matrix: column {c!r} missing")
+    from pyspark.sql import Window
+
+    base = df.select(*cols).na.drop(subset=cols)
+    ranked = base
+    for c in cols:
+        census = base.groupBy(F.col(c).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        wc = Window.orderBy(F.col("__v").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        offs = census.withColumn(
+            "__cum", F.sum("__cnt").over(wc)
+        ).select(
+            F.col("__v").alias(c),
+            (
+                (F.col("__cum") - F.col("__cnt")).cast("double")
+                + (F.col("__cnt").cast("double") + 1.0) / 2.0
+            ).alias(f"__r_{c}"),
+        )
+        ranked = ranked.join(offs, c)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i, a in enumerate(cols):
+        ra = F.col(f"__r_{a}")
+        aggs.append(F.sum(ra).alias(f"__s_{a}"))
+        aggs.append(F.sum(ra * ra).alias(f"__ss_{a}"))
+        for b in cols[i + 1:]:
+            aggs.append(F.sum(ra * F.col(f"__r_{b}")).alias(f"__p_{a}_{b}"))
+    mo = ranked.agg(*aggs)
+    outs = []
+    n = F.col("n").cast("double")
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            cov = n * F.col(f"__p_{a}_{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}")
+            va = n * F.col(f"__ss_{a}") - F.col(f"__s_{a}") * F.col(f"__s_{a}")
+            vb = n * F.col(f"__ss_{b}") - F.col(f"__s_{b}") * F.col(f"__s_{b}")
+            outs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col("n").alias("n"),
+                    F.when(
+                        (va > 0) & (vb > 0), cov / F.sqrt(va * vb)
+                    ).alias("spearman"),
+                )
+            )
+    return mo.select(
+        F.explode(F.array(*outs)).alias("__cell")
+    ).select("__cell.col_a", "__cell.col_b", "__cell.n", "__cell.spearman")

@@ -1064,3 +1064,72 @@ def test_bootstrap_ci_validates_args(spark):
         bootstrap_ci(df, "v", "rid", level=1.0)
     with pytest.raises(ValueError, match="missing"):
         bootstrap_ci(df, "ghost", "rid")
+
+
+def test_spearman_matrix_matches_scipy_style_reference(spark):
+    """Ties included: verify against a direct python average-rank
+    Spearman on the same 12 rows (monotone-nonlinear pair ~1, noisy
+    pair in (0,1), anti-monotone pair -1)."""
+    from pandera_forge_spark.profiler import spearman_matrix
+
+    xs = [1.0, 2.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 9.0, 10.0]
+    ys = [v ** 3 for v in xs]                  # monotone -> rho 1
+    zs = [-v for v in xs]                      # anti-monotone -> rho -1
+    ws = [1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0, 6.0, 10.0, 11.0, 12.0]
+    rows = list(zip(xs, ys, zs, ws))
+    df = spark.createDataFrame(rows, "x double, y double, z double, w double")
+    got = {(r.col_a, r.col_b): r for r in spearman_matrix(
+        df, ["x", "y", "z", "w"]
+    ).collect()}
+
+    def avg_ranks(vs):
+        order = sorted(range(len(vs)), key=lambda i: vs[i])
+        ranks = [0.0] * len(vs)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vs[order[j]] == vs[order[i]]:
+                j += 1
+            r = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                ranks[order[k]] = r
+            i = j
+        return ranks
+
+    def rho(a, b):
+        ra, rb = avg_ranks(a), avg_ranks(b)
+        n = len(ra)
+        sa, sb = sum(ra), sum(rb)
+        p = sum(x * y for x, y in zip(ra, rb))
+        ssa = sum(x * x for x in ra)
+        ssb = sum(x * x for x in rb)
+        import math
+
+        return (n * p - sa * sb) / math.sqrt(
+            (n * ssa - sa * sa) * (n * ssb - sb * sb)
+        )
+
+    data = {"x": xs, "y": ys, "z": zs, "w": ws}
+    for (a, b), r in got.items():
+        assert r.n == 12
+        assert abs(r.spearman - rho(data[a], data[b])) < 1e-12
+    assert abs(got[("x", "y")].spearman - 1.0) < 1e-12
+    assert abs(got[("x", "z")].spearman - (-1.0)) < 1e-12
+    assert 0 < got[("x", "w")].spearman < 1
+
+
+def test_spearman_matrix_nulls_listwise_and_fences(spark):
+    import pytest
+
+    from pandera_forge_spark.profiler import spearman_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, None), (3.0, 3.0), (4.0, 4.0)],
+        "a double, b double",
+    )
+    r = spearman_matrix(df, ["a", "b"]).collect()[0]
+    assert r.n == 3 and abs(r.spearman - 1.0) < 1e-12
+    with pytest.raises(ValueError, match="at least 2"):
+        spearman_matrix(df, ["a"])
+    with pytest.raises(ValueError, match="missing"):
+        spearman_matrix(df, ["a", "ghost"])
