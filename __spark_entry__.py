@@ -10827,6 +10827,94 @@ ORDER BY event_type, event_id
 """
 
 
+def q_stream_entropy_epochs(spark, sf_dir):
+    """Streaming corpus-concentration monitor (streaming/text.py
+    stream_token_entropy) driven END-TO-END in-process, the
+    stream_cardinality pattern: documents cut into 3 epoch files by
+    doc_id % 3, availableNow streams one per trigger, each batch
+    merges its token census with every committed prior epoch's by
+    count addition and writes a per-language entropy row per epoch.
+    Count addition is a commutative monoid under the exactly-once
+    epoch contract, so epoch N's row must equal the batch
+    token_entropy of the whole prefix — the oracle recomputes
+    per-prefix entropy per language directly (ROUND 6 on the ln
+    fold)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pandera_forge_spark.streaming.text import stream_token_entropy
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    root = tempfile.mkdtemp(prefix="pfs_sentropy_")
+    try:
+        cuts = [F.col("doc_id") % 3 == e for e in range(3)]
+        src = _stage_epoch_files([docs.where(c) for c in cuts], root)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        writer = stream_token_entropy(
+            stream,
+            os.path.join(root, "state"),
+            os.path.join(root, "census"),
+            ["lang"],
+            checkpoint=os.path.join(root, "ckpt"),
+        )
+        _run_available_now(writer)
+        out = spark.read.option(
+            "basePath", os.path.join(root, "census")
+        ).parquet(os.path.join(root, "census", "__epoch=*"))
+        rows = [
+            (
+                r["lang"],
+                int(r["__epoch"]),
+                r["n_tokens"],
+                r["n_distinct"],
+                round(r["entropy"], 6) if r["entropy"] is not None else None,
+                round(r["eff_vocab"], 6) if r["eff_vocab"] is not None else None,
+            )
+            for r in out.collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "lang string, epoch int, n_tokens bigint, n_distinct bigint, "
+        "entropy double, eff_vocab double",
+    ).orderBy("lang", "epoch")
+
+
+SQL_STREAM_ENTROPY_EPOCHS = r"""
+WITH eps AS (SELECT 0 AS epoch UNION ALL SELECT 1 UNION ALL SELECT 2),
+toks AS (
+  SELECT doc_id % 3 AS part, lang,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+census AS (
+  SELECT e.epoch, lang, t, COUNT(*) AS c
+  FROM eps e JOIN toks ON toks.part <= e.epoch
+  GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT epoch, lang,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS sum_clnc
+  FROM census GROUP BY 1, 2
+)
+SELECT lang, CAST(epoch AS INT) AS epoch, n_tokens, n_distinct,
+       ROUND(LN(CAST(n_tokens AS DOUBLE))
+             - sum_clnc / CAST(n_tokens AS DOUBLE), 6) AS entropy,
+       ROUND(EXP(LN(CAST(n_tokens AS DOUBLE))
+                 - sum_clnc / CAST(n_tokens AS DOUBLE)), 6) AS eff_vocab
+FROM agg ORDER BY lang, epoch
+"""
+
+
 def q_spearman_lineitem(spark, sf_dir):
     """Spearman rank-correlation matrix (profiler.spearman_matrix)
     over the same four lineitem measures as the r-green
@@ -12848,6 +12936,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference-with-ties, listwise-NULL, fence pytests), strict
         # sweep green at BOTH SFs ----------------------------------------------
         "spearman_lineitem": q_spearman_lineitem,
+        # stream_entropy_epochs: this-session tail row; the epoch-
+        # keyed state contract and availableNow replay are the
+        # stream_cardinality r-green pattern — the new part is the
+        # count-monoid census merge (multi-epoch == batch-prefix
+        # pytest), strict sweep green at BOTH SFs ------------------------------
+        "stream_entropy_epochs": q_stream_entropy_epochs,
     }
 
 
@@ -13099,4 +13193,5 @@ def oracle_sql() -> dict[str, str]:
         "token_entropy_lang": SQL_TOKEN_ENTROPY_LANG,
         "bootstrap_ci_events": SQL_BOOTSTRAP_CI_EVENTS,
         "spearman_lineitem": SQL_SPEARMAN_LINEITEM,
+        "stream_entropy_epochs": SQL_STREAM_ENTROPY_EPOCHS,
     }

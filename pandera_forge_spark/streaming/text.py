@@ -73,3 +73,134 @@ def stream_contamination(
         contaminated.cast("long").alias("n_contaminated"),
         F.round(contaminated / F.size(sh), 6).alias("contamination_ratio"),
     )
+
+
+# ------------------------------------------------ stream token entropy
+
+def _prior_census(spark, state_dir: str, below_epoch: int):
+    """Committed prior-epoch token-census rows (the ``_prior_state``
+    discipline from streaming/cardinality.py — loud when success
+    markers are missing); None when no prior epoch exists."""
+    from pandera_forge_spark.sources.fs import DriverFS
+
+    fs = DriverFS(spark)
+    root = f"{state_dir}/census_epochs"
+    if not fs.exists(root):
+        return None
+    below = [
+        n
+        for n in fs.listdir(root)
+        if n.startswith("__epoch=")
+        and int(n.split("=", 1)[1]) < int(below_epoch)
+    ]
+    dirs = [n for n in below if fs.exists(f"{root}/{n}/_SUCCESS")]
+    if below and not dirs:
+        raise RuntimeError(
+            f"{root}: {len(below)} prior-epoch state dirs exist but none "
+            "has a _SUCCESS marker — success markers disabled on this "
+            "filesystem? The monitors rely on them to skip torn writes"
+        )
+    if not dirs:
+        return None
+    return spark.read.option("basePath", root).parquet(
+        *[f"{root}/{n}" for n in dirs]
+    )
+
+
+def stream_token_entropy(
+    stream_df: DataFrame,
+    state_dir: str,
+    sink: str,
+    group_cols,
+    text_col: str = "text",
+    checkpoint=None,
+    on_batch=None,
+):
+    """Continuous corpus-concentration monitor: per group per epoch,
+    the running token count, distinct vocabulary, Shannon entropy and
+    effective vocabulary of EVERYTHING ingested so far — the streaming
+    twin of ``operators/text.py token_entropy``, and the alarm that
+    catches a generation/scraping degeneration (effective vocabulary
+    collapsing) while the ingest is still running rather than at the
+    next nightly batch.
+
+    State is the token census itself — a COUNT-MONOID: epoch e's
+    batch-local census lands at ``<state_dir>/census_epochs/
+    __epoch=e`` (overwrite — a replayed epoch rewrites the same rows,
+    so the sum never double-counts), each batch merges every
+    committed epoch strictly below its own id by plain count
+    addition, and the census row per group goes to
+    ``<sink>/__epoch=e`` (overwrite). Because count addition is
+    commutative and the epoch contract is exactly-once, epoch N's
+    output MUST equal the batch ``token_entropy`` of epochs 0..N
+    concatenated — the pytest-asserted equivalence.
+
+    Scale: per trigger, one batch-sized explode + census groupBy plus
+    a merge over O(vocabulary × epochs) state rows; compact
+    ``census_epochs`` offline by rewriting the merged census as one
+    epoch dir when the epoch count grows (merged census IS a valid
+    epoch — the dedup-band-index hygiene). Returns the unstarted
+    ``writeStream`` writer."""
+    from pandera_forge_spark.operators.temporal import _check_reserved
+    from pandera_forge_spark.operators.text import tokens
+
+    keys = list(group_cols)
+    if not keys:
+        raise ValueError("stream_token_entropy: group_cols must be non-empty")
+    missing = [c for c in keys + [text_col] if c not in stream_df.columns]
+    if missing:
+        raise ValueError(
+            f"stream_token_entropy: frame lacks columns {missing}"
+        )
+    _check_reserved(
+        stream_df, ["__t", "__c", "__epoch"], "stream_token_entropy"
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+        bs = (
+            batch_df.select(
+                *[F.col(c) for c in keys],
+                F.explode(tokens(F.col(text_col))).alias("__t"),
+            )
+            .where(F.col("__t") != "")
+            .groupBy(*keys, "__t")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        prior = _prior_census(batch_df.sparkSession, state_dir, e)
+        all_rows = (
+            bs if prior is None else bs.unionByName(prior.select(*bs.columns))
+        )
+        merged = all_rows.groupBy(*keys, "__t").agg(
+            F.sum("__c").alias("__c")
+        )
+        agg = merged.groupBy(*keys).agg(
+            F.sum("__c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(
+                F.col("__c").cast("double")
+                * F.log(F.col("__c").cast("double"))
+            ).alias("__sum_clnc"),
+        )
+        n = F.col("n_tokens").cast("double")
+        h = F.when(
+            F.col("n_tokens") > 0, F.log(n) - F.col("__sum_clnc") / n
+        )
+        census = agg.select(
+            *keys,
+            "n_tokens",
+            "n_distinct",
+            h.alias("entropy"),
+            F.when(h.isNotNull(), F.exp(h)).alias("eff_vocab"),
+        )
+        census.write.mode("overwrite").parquet(f"{sink}/__epoch={e}")
+        bs.write.mode("overwrite").parquet(
+            f"{state_dir}/census_epochs/__epoch={e}"
+        )
+        if on_batch is not None:
+            on_batch(census, e)
+
+    writer = stream_df.writeStream.foreachBatch(process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
