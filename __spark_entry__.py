@@ -10827,6 +10827,105 @@ ORDER BY event_type, event_id
 """
 
 
+def q_sprt_events(spark, sf_dir):
+    """Wald SPRT sequential monitor (operators/temporal.py
+    sprt_monitor): per event_type over hourly buckets, is the
+    P(value>100) rate 0.1 (H0) or 0.3 (H1)? Exact integer trial/
+    success counts, python-literal ln weights, windowed cumulative
+    LLR, first Wald-boundary crossing. The oracle replays the
+    identical literals and window election (llr ROUND 6; the
+    decision compares raw cumulative sums against constants — the
+    one-ulp boundary caveat is documented in the operator)."""
+    from pandera_forge_spark.operators.temporal import sprt_monitor
+
+    ev = _t(spark, sf_dir, "events")
+    out = sprt_monitor(
+        ev, "ts", ["event_type"], F.col("value") > 100, p0=0.1, p1=0.3
+    )
+    return out.select(
+        "event_type",
+        "n_buckets",
+        "trials",
+        "successes",
+        F.round("llr_final", 6).alias("llr_final"),
+        "decision",
+        "decided_bucket",
+    ).orderBy("event_type")
+
+
+def _sql_sprt_events() -> str:
+    import math as _m
+
+    w_succ = _m.log(0.3 / 0.1)
+    w_fail = _m.log((1.0 - 0.3) / (1.0 - 0.1))
+    lo = _m.log(0.05 / 0.95)
+    hi = _m.log(0.95 / 0.05)
+    return f"""
+WITH series AS (
+  SELECT event_type,
+         CAST(FLOOR(date_part('epoch', ts) / 3600) AS BIGINT) AS t,
+         COUNT(*) AS n,
+         CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, t,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY t) AS idx,
+         SUM(k) OVER (PARTITION BY event_type ORDER BY t
+                      ROWS UNBOUNDED PRECEDING) AS ck,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY t
+                      ROWS UNBOUNDED PRECEDING) AS cn
+  FROM series
+),
+llr AS (
+  SELECT event_type, idx,
+         CAST(ck AS DOUBLE) * {w_succ!r}
+           + CAST(cn - ck AS DOUBLE) * {w_fail!r} AS llr,
+         CASE WHEN CAST(ck AS DOUBLE) * {w_succ!r}
+                   + CAST(cn - ck AS DOUBLE) * {w_fail!r} >= {hi!r} THEN 'h1'
+              WHEN CAST(ck AS DOUBLE) * {w_succ!r}
+                   + CAST(cn - ck AS DOUBLE) * {w_fail!r} <= {lo!r} THEN 'h0'
+         END AS cross_dec
+  FROM cum
+),
+first_cross AS (
+  SELECT event_type, MIN(idx) AS decided_bucket
+  FROM llr WHERE cross_dec IS NOT NULL GROUP BY 1
+),
+first_dec AS (
+  SELECT l.event_type, f.decided_bucket, l.cross_dec AS dec
+  FROM llr l JOIN first_cross f
+    ON l.event_type = f.event_type AND l.idx = f.decided_bucket
+),
+total AS (
+  SELECT c.event_type,
+         CAST(MAX(c.idx) AS BIGINT) AS n_buckets,
+         CAST(MAX(c.cn) AS BIGINT) AS trials,
+         CAST(MAX(c.ck) AS BIGINT) AS successes
+  FROM cum c GROUP BY 1
+),
+final_llr AS (
+  SELECT event_type, llr AS llr_final
+  FROM (SELECT event_type, llr,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY idx DESC) AS rlast
+        FROM llr)
+  WHERE rlast = 1
+)
+SELECT t.event_type, t.n_buckets, t.trials, t.successes,
+       ROUND(f.llr_final, 6) AS llr_final,
+       COALESCE(d.dec, 'continue') AS decision,
+       CAST(d.decided_bucket AS BIGINT) AS decided_bucket
+FROM total t
+JOIN final_llr f USING (event_type)
+LEFT JOIN first_dec d USING (event_type)
+ORDER BY t.event_type
+"""
+
+
+SQL_SPRT_EVENTS = _sql_sprt_events()
+
+
 def q_stream_entropy_epochs(spark, sf_dir):
     """Streaming corpus-concentration monitor (streaming/text.py
     stream_token_entropy) driven END-TO-END in-process, the
@@ -12942,6 +13041,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # count-monoid census merge (multi-epoch == batch-prefix
         # pytest), strict sweep green at BOTH SFs ------------------------------
         "stream_entropy_epochs": q_stream_entropy_epochs,
+        # sprt_events: this-session tail row; hourly series + per-
+        # group cumulative windows are green kernels — the new part is
+        # the Wald LLR weights + first-crossing election (h0/h1/
+        # continue hand-built groups, python crossing replay, fence
+        # pytests), strict sweep green at BOTH SFs -----------------------------
+        "sprt_events": q_sprt_events,
     }
 
 
@@ -13194,4 +13299,5 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_ci_events": SQL_BOOTSTRAP_CI_EVENTS,
         "spearman_lineitem": SQL_SPEARMAN_LINEITEM,
         "stream_entropy_epochs": SQL_STREAM_ENTROPY_EPOCHS,
+        "sprt_events": SQL_SPRT_EVENTS,
     }

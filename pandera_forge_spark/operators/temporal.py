@@ -2946,3 +2946,127 @@ def runs_test(
     return agg.select(
         *group_cols, "n_buckets", "n_above", "n_below", "runs", z.alias("z")
     )
+
+
+# ------------------------------------------------------ SPRT monitor
+
+def sprt_monitor(
+    df: DataFrame,
+    time_col: str,
+    group_cols: Sequence[str],
+    success_pred: Column,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test (public: Wald 1945)
+    per group over the bucketed timeline: is the success rate p0
+    (H0, healthy) or p1 (H1, degraded)? After each bucket the
+    cumulative log-likelihood ratio
+
+        LLR = k·ln(p1/p0) + (n-k)·ln((1-p1)/(1-p0))
+
+    (k successes of n trials so far) is checked against the Wald
+    boundaries ``ln(beta/(1-alpha))`` and ``ln((1-beta)/alpha)``; the
+    FIRST crossing decides. This is the earliest-stopping monitor for
+    a rate regression — fixed-horizon tests either wait too long or
+    peek and inflate alpha; SPRT's thresholds price the peeking in.
+
+    Scale shape: one corpus-sized groupBy to per-bucket (trials,
+    successes) counts; the cumulative LLR and first-crossing election
+    are windows over the SERIES (timeline × groups). All counts are
+    exact integers; the four ln constants are computed once in Python
+    and enter as literals, so the LLR is integer-weighted literal
+    arithmetic — the only cross-engine wobble is the windowed
+    cumulative float sum, and the decision compares against constants
+    (a crossing within one ulp of a boundary is the measure-zero
+    caveat, said out loud).
+
+    Output per group: ``group_cols..., n_buckets, trials, successes,
+    llr_final, decision ('h0'|'h1'|'continue'), decided_bucket`` (the
+    1-based bucket index of the first crossing; NULL if none).
+    """
+    if not (0.0 < float(p0) < 1.0 and 0.0 < float(p1) < 1.0):
+        raise ValueError(f"sprt_monitor: p0/p1 must be in (0,1), got {p0}, {p1}")
+    if float(p0) == float(p1):
+        raise ValueError("sprt_monitor: p0 and p1 must differ")
+    if not (0.0 < float(alpha) < 1.0 and 0.0 < float(beta) < 1.0):
+        raise ValueError("sprt_monitor: alpha/beta must be in (0,1)")
+    if int(bucket_seconds) < 1:
+        raise ValueError(
+            f"sprt_monitor: bucket_seconds must be >= 1, got {bucket_seconds}"
+        )
+    for c in (time_col, *group_cols):
+        if c not in df.columns:
+            raise ValueError(f"sprt_monitor: column {c!r} missing")
+    if not group_cols:
+        raise ValueError("sprt_monitor: group_cols must be non-empty")
+    import math as _m
+
+    w_succ = _m.log(float(p1) / float(p0))
+    w_fail = _m.log((1.0 - float(p1)) / (1.0 - float(p0)))
+    lo = _m.log(float(beta) / (1.0 - float(alpha)))
+    hi = _m.log((1.0 - float(beta)) / float(alpha))
+    t = F.floor(
+        F.unix_timestamp(F.col(time_col)) / F.lit(int(bucket_seconds))
+    ).alias("__t")
+    series = df.groupBy(*group_cols, t).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(success_pred.cast("long")).alias("__k"),
+    )
+    worder = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        F.col("__t").asc()
+    )
+    cum = (
+        series.withColumn("__idx", F.row_number().over(worder))
+        .withColumn("__ck", F.sum("__k").over(worder))
+        .withColumn("__cn", F.sum("__n").over(worder))
+        .withColumn(
+            "__llr",
+            F.col("__ck").cast("double") * F.lit(w_succ)
+            + (F.col("__cn") - F.col("__ck")).cast("double") * F.lit(w_fail),
+        )
+        .withColumn(
+            "__cross",
+            F.when(F.col("__llr") >= F.lit(hi), F.lit("h1")).when(
+                F.col("__llr") <= F.lit(lo), F.lit("h0")
+            ),
+        )
+    )
+    first = cum.where(F.col("__cross").isNotNull()).groupBy(*group_cols).agg(
+        F.min(F.col("__idx")).alias("decided_bucket")
+    )
+    first_d = (
+        cum.join(first, list(group_cols))
+        .where(F.col("__idx") == F.col("decided_bucket"))
+        .select(*group_cols, "decided_bucket", F.col("__cross").alias("__dec"))
+    )
+    total = cum.groupBy(*group_cols).agg(
+        F.max("__idx").cast("long").alias("n_buckets"),
+        F.max("__cn").cast("long").alias("trials"),
+        F.max("__ck").cast("long").alias("successes"),
+    )
+    final_llr = cum.withColumn(
+        "__last", F.row_number().over(
+            Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+                F.col("__idx").desc()
+            )
+        )
+    ).where(F.col("__last") == 1).select(
+        *group_cols, F.col("__llr").alias("llr_final")
+    )
+    return (
+        total.join(final_llr, list(group_cols))
+        .join(first_d, list(group_cols), "left")
+        .select(
+            *group_cols,
+            "n_buckets",
+            "trials",
+            "successes",
+            "llr_final",
+            F.coalesce(F.col("__dec"), F.lit("continue")).alias("decision"),
+            F.col("decided_bucket").cast("long").alias("decided_bucket"),
+        )
+    )

@@ -1062,3 +1062,59 @@ def test_runs_test_validates_args(spark):
         runs_test(df, "ts", "v", [])
     with pytest.raises(ValueError, match="missing"):
         runs_test(df, "ts", "ghost", ["grp"])
+
+
+def test_sprt_monitor_decides_h1_and_h0(spark):
+    """Degraded group: 50% success vs p0=0.1/p1=0.5 -> crosses the h1
+    boundary; healthy group at 10% -> crosses h0; a 2-bucket ambiguous
+    group -> continue. The decided bucket and final LLR are replayed
+    in python exactly."""
+    import datetime as dt
+    import math
+
+    from pandera_forge_spark.operators.temporal import sprt_monitor
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # bad: each hour 10 trials, 5 successes
+    # good: each hour 10 trials, 1 success
+    for h in range(6):
+        ts = base + dt.timedelta(hours=h)
+        rows += [("bad", ts, 1)] * 5 + [("bad", ts, 0)] * 5
+        rows += [("good", ts, 1)] * 1 + [("good", ts, 0)] * 9
+    rows += [("ambig", base, 1), ("ambig", base, 0)]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, ok int")
+    out = {r.grp: r for r in sprt_monitor(
+        df, "ts", ["grp"], F.col("ok") == 1, p0=0.1, p1=0.5
+    ).collect()}
+    assert out["bad"].decision == "h1"
+    assert out["good"].decision == "h0"
+    assert out["ambig"].decision == "continue"
+    # python replay of the bad group's crossing
+    ws, wf = math.log(0.5 / 0.1), math.log(0.5 / 0.9)
+    hi = math.log(0.95 / 0.05)
+    llr, decided = 0.0, None
+    for i in range(1, 7):
+        llr = (5 * i) * ws + (5 * i) * wf
+        if llr >= hi and decided is None:
+            decided = i
+    assert out["bad"].decided_bucket == decided
+    assert abs(out["bad"].llr_final - llr) < 1e-12
+    assert out["bad"].trials == 60 and out["bad"].successes == 30
+
+
+def test_sprt_monitor_validates_args(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.temporal import sprt_monitor
+
+    df = spark.createDataFrame([], "grp string, ts timestamp, ok int")
+    p = F.lit(True)
+    with pytest.raises(ValueError, match="p0/p1"):
+        sprt_monitor(df, "ts", ["grp"], p, p0=0.0, p1=0.5)
+    with pytest.raises(ValueError, match="must differ"):
+        sprt_monitor(df, "ts", ["grp"], p, p0=0.3, p1=0.3)
+    with pytest.raises(ValueError, match="group_cols"):
+        sprt_monitor(df, "ts", [], p, p0=0.1, p1=0.5)
+    with pytest.raises(ValueError, match="missing"):
+        sprt_monitor(df, "when", ["grp"], p, p0=0.1, p1=0.5)
