@@ -27,6 +27,7 @@ from pandera_forge_spark.operators.text import (
     char_count,
     detect_language,
     fingerprint,
+    language_margin,
     punct_ratio,
     quality_score,
     stopword_ratio,
@@ -68,6 +69,7 @@ __all__ = [
     "char_count",
     "detect_language",
     "fingerprint",
+    "language_margin",
     "punct_ratio",
     "quality_score",
     "stopword_ratio",
