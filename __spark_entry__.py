@@ -10827,6 +10827,60 @@ ORDER BY event_type, event_id
 """
 
 
+def q_auc_events(spark, sf_dir):
+    """Exact Mann-Whitney AUC (operators/labels.py auc_score): per
+    event_type, does value rank the planted label — y = (value>50 and
+    even user) or user%11==0, a partially-informative label, so AUC
+    lands strictly between 0.5 and 1 and every tie path is exercised.
+    The oracle replays the census-offset average ranks and the U
+    identity (ROUND 6)."""
+    from pandera_forge_spark.operators.labels import auc_score
+
+    ev = _t(spark, sf_dir, "events")
+    y = ((F.col("value") > 50) & (F.col("user_id") % 2 == 0)) | (
+        F.col("user_id") % 11 == 0
+    )
+    out = auc_score(ev, "value", y, ["event_type"])
+    return out.select(
+        "event_type", "n_pos", "n_neg", F.round("auc", 6).alias("auc")
+    ).orderBy("event_type")
+
+
+SQL_AUC_EVENTS = r"""
+WITH base AS (
+  SELECT event_type, value AS v,
+         CASE WHEN (value > 50 AND user_id % 2 = 0)
+                   OR user_id % 11 = 0 THEN 1 ELSE 0 END AS pos
+  FROM events WHERE value IS NOT NULL
+),
+census AS (
+  SELECT event_type, v, COUNT(*) AS cnt, CAST(SUM(pos) AS BIGINT) AS np
+  FROM base GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, np, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY v ASC
+                             ROWS UNBOUNDED PRECEDING) - cnt AS DOUBLE)
+         + (CAST(cnt AS DOUBLE) + 1.0) / 2.0 AS r
+  FROM census
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(np) AS BIGINT) AS n_pos,
+         CAST(SUM(cnt) - SUM(np) AS BIGINT) AS n_neg,
+         SUM(CAST(np AS DOUBLE) * r) AS rpos
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n_pos, n_neg,
+       ROUND(CASE WHEN n_pos > 0 AND n_neg > 0
+                  THEN (rpos - CAST(n_pos AS DOUBLE)
+                               * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+                       / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+             END, 6) AS auc
+FROM agg ORDER BY event_type
+"""
+
+
 def q_sprt_events(spark, sf_dir):
     """Wald SPRT sequential monitor (operators/temporal.py
     sprt_monitor): per event_type over hourly buckets, is the
@@ -13047,6 +13101,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # continue hand-built groups, python crossing replay, fence
         # pytests), strict sweep green at BOTH SFs -----------------------------
         "sprt_events": q_sprt_events,
+        # auc_events: this-session tail row; the census-offset rank
+        # construction is spearman_lineitem's kernel — the new part is
+        # the Mann-Whitney U fold (sklearn-style reference with ties,
+        # degenerate-group, fence pytests), strict sweep green at
+        # BOTH SFs --------------------------------------------------------------
+        "auc_events": q_auc_events,
     }
 
 
@@ -13300,4 +13360,5 @@ def oracle_sql() -> dict[str, str]:
         "spearman_lineitem": SQL_SPEARMAN_LINEITEM,
         "stream_entropy_epochs": SQL_STREAM_ENTROPY_EPOCHS,
         "sprt_events": SQL_SPRT_EVENTS,
+        "auc_events": SQL_AUC_EVENTS,
     }

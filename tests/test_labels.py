@@ -1046,3 +1046,62 @@ def test_krippendorff_alpha_validates_columns(spark):
     df = spark.createDataFrame([(1, "a", "x")], "item long, ann string, label string")
     with pytest.raises(ValueError, match="missing"):
         krippendorff_alpha(df, "item", "ann", "verdict")
+
+
+def test_auc_score_matches_sklearn_style_reference(spark):
+    """Ties included: verify against a direct python Mann-Whitney
+    average-rank AUC; perfect / inverted / random-ish cases."""
+    from pandera_forge_spark.operators.labels import auc_score
+
+    cases = {
+        "perfect": [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)],
+        "invert": [(1.0, 1), (2.0, 1), (3.0, 0), (4.0, 0)],
+        "tied": [(1.0, 0), (2.0, 1), (2.0, 0), (2.0, 1), (3.0, 0), (4.0, 1)],
+    }
+    rows = [
+        (g, float(s), int(l)) for g, data in cases.items() for s, l in data
+    ]
+    df = spark.createDataFrame(rows, "grp string, score double, y int")
+    got = {r.grp: r for r in auc_score(
+        df, "score", F.col("y") == 1, ["grp"]
+    ).collect()}
+
+    def ref_auc(data):
+        vals = [s for s, _ in data]
+        ranks = {}
+        svals = sorted(vals)
+        i = 0
+        rk = {}
+        while i < len(svals):
+            j = i
+            while j < len(svals) and svals[j] == svals[i]:
+                j += 1
+            rk[svals[i]] = (i + 1 + j) / 2.0
+            i = j
+        rpos = sum(rk[s] for s, l in data if l == 1)
+        n1 = sum(1 for _, l in data if l == 1)
+        n0 = len(data) - n1
+        return (rpos - n1 * (n1 + 1) / 2.0) / (n1 * n0)
+
+    assert got["perfect"].auc == 1.0
+    assert got["invert"].auc == 0.0
+    assert abs(got["tied"].auc - ref_auc(cases["tied"])) < 1e-12
+    assert (got["tied"].n_pos, got["tied"].n_neg) == (3, 3)
+
+
+def test_auc_score_degenerate_and_fences(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.labels import auc_score
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 2.0, 1), ("h", None, 0)],
+        "grp string, score double, y int",
+    )
+    rows = {r.grp: r for r in auc_score(
+        df, "score", F.col("y") == 1, ["grp"]
+    ).collect()}
+    assert rows["g"].auc is None and rows["g"].n_neg == 0
+    assert "h" not in rows      # null score dropped -> empty group gone
+    with pytest.raises(ValueError, match="missing"):
+        auc_score(df, "ghost", F.col("y") == 1, ["grp"])
