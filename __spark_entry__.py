@@ -10827,6 +10827,49 @@ ORDER BY event_type, event_id
 """
 
 
+def q_chao1_tokens_lang(spark, sf_dir):
+    """Chao1 vocabulary-richness estimate (profiler.chao1_estimate)
+    over the exploded token stream per language — the how-many-unseen
+    companion to the Good-Turing unseen-mass screen. Exact integer
+    census, one final division (ROUND 6)."""
+    from pandera_forge_spark.operators.text import tokens
+    from pandera_forge_spark.profiler import chao1_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    out = chao1_estimate(tok, "tok", ["lang"])
+    return out.select(
+        "lang", "n_rows", "v_obs", "f1", "f2",
+        F.round("chao1", 6).alias("chao1"),
+    ).orderBy("lang")
+
+
+SQL_CHAO1_TOKENS_LANG = r"""
+WITH toks AS (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+census AS (SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+agg AS (
+  SELECT lang,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS v_obs,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM census GROUP BY 1
+)
+SELECT lang, n_rows, v_obs, f1, f2,
+       ROUND(CAST(v_obs AS DOUBLE)
+             + (CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE))
+               / (2.0 * CAST(f2 + 1 AS DOUBLE)), 6) AS chao1
+FROM agg ORDER BY lang
+"""
+
+
 def q_auc_events(spark, sf_dir):
     """Exact Mann-Whitney AUC (operators/labels.py auc_score): per
     event_type, does value rank the planted label — y = (value>50 and
@@ -13107,6 +13150,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # degenerate-group, fence pytests), strict sweep green at
         # BOTH SFs --------------------------------------------------------------
         "auc_events": q_auc_events,
+        # chao1_tokens_lang: this-session tail row; the token census
+        # kernel is shared with zipf/entropy — the new part is the
+        # singleton/doubleton richness fold (hand-computed, saturated,
+        # fence pytests), strict sweep green at BOTH SFs -----------------------
+        "chao1_tokens_lang": q_chao1_tokens_lang,
     }
 
 
@@ -13361,4 +13409,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_entropy_epochs": SQL_STREAM_ENTROPY_EPOCHS,
         "sprt_events": SQL_SPRT_EVENTS,
         "auc_events": SQL_AUC_EVENTS,
+        "chao1_tokens_lang": SQL_CHAO1_TOKENS_LANG,
     }

@@ -2733,3 +2733,61 @@ def spearman_matrix(
     return mo.select(
         F.explode(F.array(*outs)).alias("__cell")
     ).select("__cell.col_a", "__cell.col_b", "__cell.n", "__cell.spearman")
+
+
+# ------------------------------------------------------ chao1 richness
+
+def chao1_estimate(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Chao1 species-richness estimator (public: Chao 1984,
+    bias-corrected form): from the value census's singleton and
+    doubleton counts,
+
+        chao1 = V + F1·(F1−1) / (2·(F2+1))
+
+    — a lower-bound estimate of how many DISTINCT values exist in the
+    population the sample came from, seen or not. The companion to
+    the Good-Turing unseen-MASS screen (``unseen_mass``): that one
+    says how much probability lives on unseen values, this one says
+    how many unseen values there are — the "is this id/vocab space
+    bigger than my crawl" question that decides whether an isin-check
+    or a fixed vocab table is safe to emit.
+
+    Exact integer census arithmetic with a single final division;
+    everything cross-engine deterministic. One hash groupBy for the
+    census, one census-sized fold per group.
+
+    Output per group: ``group_cols..., n_rows, v_obs, f1, f2,
+    chao1``.
+    """
+    if value_col not in df.columns:
+        raise ValueError(f"chao1_estimate: column {value_col!r} missing")
+    for c in group_cols:
+        if c not in df.columns:
+            raise ValueError(f"chao1_estimate: group column {c!r} missing")
+    gcols = [F.col(c) for c in group_cols]
+    census = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*gcols, F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    agg = census.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.sum("__c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("v_obs"),
+        F.sum((F.col("__c") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("__c") == 2).cast("long")).alias("f2"),
+    )
+    chao = F.col("v_obs").cast("double") + (
+        F.col("f1").cast("double") * (F.col("f1") - 1).cast("double")
+    ) / (F.lit(2.0) * (F.col("f2") + 1).cast("double"))
+    return agg.select(
+        *[F.col(c) for c in group_cols],
+        "n_rows",
+        "v_obs",
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        chao.alias("chao1"),
+    )

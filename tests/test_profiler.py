@@ -1133,3 +1133,34 @@ def test_spearman_matrix_nulls_listwise_and_fences(spark):
         spearman_matrix(df, ["a"])
     with pytest.raises(ValueError, match="missing"):
         spearman_matrix(df, ["a", "ghost"])
+
+
+def test_chao1_hand_computed(spark):
+    """Census a:3, b:1, c:1, d:2 -> V=4, F1=2, F2=1:
+    chao1 = 4 + 2*1/(2*2) = 4.5; a no-singleton census adds 0."""
+    from pandera_forge_spark.profiler import chao1_estimate
+
+    rows = (["a"] * 3 + ["b", "c"] + ["d"] * 2)
+    df = spark.createDataFrame([(v,) for v in rows], "v string")
+    r = chao1_estimate(df, "v").collect()[0]
+    assert (r.n_rows, r.v_obs, r.f1, r.f2) == (7, 4, 2, 1)
+    assert abs(r.chao1 - 4.5) < 1e-12
+    sat = spark.createDataFrame([("x",), ("x",), ("y",), ("y",)], "v string")
+    r2 = chao1_estimate(sat, "v").collect()[0]
+    assert r2.chao1 == 2.0   # F1 = 0 -> no unseen correction
+
+
+def test_chao1_groups_and_fences(spark):
+    import pytest
+
+    from pandera_forge_spark.profiler import chao1_estimate
+
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", "a"), ("h", "z"), ("h", None)],
+        "grp string, v string",
+    )
+    got = {r.grp: r for r in chao1_estimate(df, "v", ["grp"]).collect()}
+    assert got["g"].f1 == 0 and got["h"].f1 == 1
+    assert got["h"].n_rows == 1          # null dropped
+    with pytest.raises(ValueError, match="missing"):
+        chao1_estimate(df, "ghost")
