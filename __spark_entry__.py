@@ -10827,6 +10827,69 @@ ORDER BY event_type, event_id
 """
 
 
+def q_keyness_lang(spark, sf_dir):
+    """Dunning G² keyness (operators/text.py keyness_by_group): the
+    top-5 disproportionately-overused tokens per language vs the rest
+    of the corpus — frequency surfaces stopwords, TF-IDF surfaces
+    rarities, G² surfaces what makes the slice the slice. The oracle
+    replays the 2×2 expected counts, the 0·ln0 convention, the
+    overuse filter, and the (g2 desc, token asc) election (ROUND
+    6)."""
+    from pandera_forge_spark.operators.text import keyness_by_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return keyness_by_group(
+        docs, "text", "lang", top_k=5, min_count=5
+    ).orderBy("lang", "rank")
+
+
+SQL_KEYNESS_LANG = r"""
+WITH toks AS (
+  SELECT lang AS g,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+cell AS (SELECT g, t, COUNT(*) AS o11 FROM toks GROUP BY 1, 2),
+tm AS (SELECT t, CAST(SUM(o11) AS BIGINT) AS tm FROM cell GROUP BY 1),
+gm AS (SELECT g, CAST(SUM(o11) AS BIGINT) AS gm FROM cell GROUP BY 1),
+tot AS (SELECT CAST(SUM(o11) AS BIGINT) AS n FROM cell),
+j AS (
+  SELECT c.g, c.t, CAST(c.o11 AS DOUBLE) AS o11,
+         CAST(tm.tm - c.o11 AS DOUBLE) AS o12,
+         CAST(gm.gm - c.o11 AS DOUBLE) AS o21,
+         CAST(tot.n AS DOUBLE) AS n,
+         CAST(gm.gm AS DOUBLE) AS gmd, CAST(tm.tm AS DOUBLE) AS tmd,
+         c.o11 AS o11_i, tm.tm AS tm_i
+  FROM cell c JOIN tm ON c.t = tm.t
+  JOIN gm ON c.g = gm.g, tot
+  WHERE tm.tm >= 5
+),
+scored AS (
+  SELECT g, t, o11_i, tm_i,
+         2.0 * (
+           (CASE WHEN o11 > 0 THEN o11 * (LN(o11) - LN(gmd * tmd / n)) ELSE 0.0 END)
+         + (CASE WHEN o12 > 0 THEN o12 * (LN(o12) - LN((n - gmd) * tmd / n)) ELSE 0.0 END)
+         + (CASE WHEN o21 > 0 THEN o21 * (LN(o21) - LN(gmd * (n - tmd) / n)) ELSE 0.0 END)
+         + (CASE WHEN n - o11 - o12 - o21 > 0
+                 THEN (n - o11 - o12 - o21)
+                      * (LN(n - o11 - o12 - o21) - LN((n - gmd) * (n - tmd) / n))
+                 ELSE 0.0 END)
+         ) AS g2
+  FROM j WHERE o11 > gmd * tmd / n
+),
+ranked AS (
+  SELECT g, t, o11_i, tm_i, g2,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY g2 DESC, t ASC) AS rank
+  FROM scored
+)
+SELECT g AS lang, t AS token, CAST(o11_i AS BIGINT) AS n_in,
+       CAST(tm_i - o11_i AS BIGINT) AS n_out, ROUND(g2, 6) AS g2,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY lang, rank
+"""
+
+
 def q_chao1_tokens_lang(spark, sf_dir):
     """Chao1 vocabulary-richness estimate (profiler.chao1_estimate)
     over the exploded token stream per language — the how-many-unseen
@@ -13155,6 +13218,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # singleton/doubleton richness fold (hand-computed, saturated,
         # fence pytests), strict sweep green at BOTH SFs -----------------------
         "chao1_tokens_lang": q_chao1_tokens_lang,
+        # keyness_lang: this-session tail row; census + marginals +
+        # deterministic election are proven kernels — the new part is
+        # the 2×2 G² fold with the 0·ln0 convention (planted-marker
+        # python replay, min-count, fence pytests), strict sweep
+        # green at BOTH SFs -----------------------------------------------------
+        "keyness_lang": q_keyness_lang,
     }
 
 
@@ -13410,4 +13479,5 @@ def oracle_sql() -> dict[str, str]:
         "sprt_events": SQL_SPRT_EVENTS,
         "auc_events": SQL_AUC_EVENTS,
         "chao1_tokens_lang": SQL_CHAO1_TOKENS_LANG,
+        "keyness_lang": SQL_KEYNESS_LANG,
     }

@@ -1610,3 +1610,91 @@ def token_entropy(
         h.alias("entropy"),
         F.when(h.isNotNull(), F.exp(h)).alias("eff_vocab"),
     )
+
+
+# ------------------------------------------------------ keyness (G²)
+
+def keyness_by_group(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    top_k: int = 10,
+    min_count: int = 5,
+) -> DataFrame:
+    """Dunning log-likelihood keyness (public: Dunning 1993): for
+    every (group, token), the G² statistic of the 2×2 contingency
+    (token-in-group vs token-elsewhere) — and the top-``top_k``
+    OVERUSED tokens per group. "What words make this slice this
+    slice" is the first question when a source or language bucket
+    drifts: frequency alone surfaces stopwords, TF-IDF surfaces
+    rarities; G² surfaces what is disproportionately THERE relative
+    to the rest of the corpus, with a principled statistic.
+
+        G² = 2·Σ_cells O·ln(O/E),   E from the margins;
+
+    only cells with O>0 contribute (the 0·ln0 = 0 convention), and
+    only overused tokens (O11 > E11) are ranked. Ties break by token
+    asc; equal-profile tokens get bit-equal G² on any engine, so the
+    election is deterministic (ROUND-6 on the emitted statistic).
+
+    Scale shape: one corpus-sized explode + (group, token) census;
+    marginals are two census-sized groupBys broadcast back by key
+    join; the per-group election is a window over the census. Tokens
+    rarer than ``min_count`` corpus-wide are dropped before any ln —
+    the classic keyness hygiene (singletons are all noise).
+
+    Output: ``group_col, token, n_in, n_out, g2, rank``.
+    """
+    if int(top_k) < 1:
+        raise ValueError(f"keyness_by_group: top_k must be >= 1, got {top_k}")
+    for c in (text_col, group_col):
+        if c not in df.columns:
+            raise ValueError(f"keyness_by_group: column {c!r} missing")
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(tokens(F.col(text_col))).alias("__t"),
+    ).where(F.col("__t") != "")
+    cell = toks.groupBy("__g", "__t").agg(F.count(F.lit(1)).alias("__o11"))
+    tok_marg = cell.groupBy("__t").agg(F.sum("__o11").alias("__tm"))
+    grp_marg = cell.groupBy("__g").agg(F.sum("__o11").alias("__gm"))
+    total = cell.agg(F.sum("__o11").alias("__N"))
+    j = (
+        cell.join(tok_marg, "__t")
+        .where(F.col("__tm") >= int(min_count))
+        .join(grp_marg, "__g")
+        .crossJoin(F.broadcast(total))
+    )
+    o11 = F.col("__o11").cast("double")
+    o12 = (F.col("__tm") - F.col("__o11")).cast("double")      # token, other groups
+    o21 = (F.col("__gm") - F.col("__o11")).cast("double")      # group, other tokens
+    n = F.col("__N").cast("double")
+    o22 = n - o11 - o12 - o21
+    e11 = F.col("__gm").cast("double") * F.col("__tm").cast("double") / n
+    e12 = (n - F.col("__gm")).cast("double") * F.col("__tm").cast("double") / n
+    e21 = F.col("__gm").cast("double") * (n - F.col("__tm")).cast("double") / n
+    e22 = (n - F.col("__gm")).cast("double") * (n - F.col("__tm")).cast("double") / n
+
+    def term(o, e):
+        return F.when(o > 0, o * (F.log(o) - F.log(e))).otherwise(F.lit(0.0))
+
+    g2 = F.lit(2.0) * (
+        term(o11, e11) + term(o12, e12) + term(o21, e21) + term(o22, e22)
+    )
+    scored = j.where(o11 > e11).withColumn("__g2", g2)
+    w = Window.partitionBy("__g").orderBy(
+        F.col("__g2").desc(), F.col("__t").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(top_k))
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__t").alias("token"),
+            F.col("__o11").cast("long").alias("n_in"),
+            (F.col("__tm") - F.col("__o11")).cast("long").alias("n_out"),
+            F.round("__g2", 6).alias("g2"),
+            "rank",
+        )
+    )

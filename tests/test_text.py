@@ -1041,3 +1041,65 @@ def test_token_entropy_empty_group_null(spark):
 
     with pytest.raises(ValueError, match="group column"):
         token_entropy(df, group_cols=["ghost"])
+
+
+def test_keyness_finds_planted_marker(spark):
+    """A token stamped across group A and absent elsewhere must top
+    A's keyness; the shared stopword must not appear in either top
+    list; the G² value is replayed in python from the 2x2 table."""
+    import math
+
+    from pandera_forge_spark.operators.text import keyness_by_group
+
+    rows = []
+    for i in range(20):
+        rows.append(("A", "common filler marker marker"))
+        rows.append(("B", "common filler other words"))
+    df = spark.createDataFrame(rows, "grp string, text string")
+    out = keyness_by_group(
+        df, "text", "grp", top_k=2, min_count=5
+    ).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r)
+    top_a = by_grp["A"][0]
+    assert top_a.token == "marker" and top_a.rank == 1
+    assert top_a.n_in == 40 and top_a.n_out == 0
+
+    def g2(o11, tm, gm, n):
+        o12, o21 = tm - o11, gm - o11
+        o22 = n - o11 - o12 - o21
+        tot = 0.0
+        for o, e in (
+            (o11, gm * tm / n),
+            (o12, (n - gm) * tm / n),
+            (o21, gm * (n - tm) / n),
+            (o22, (n - gm) * (n - tm) / n),
+        ):
+            if o > 0:
+                tot += o * (math.log(o) - math.log(e))
+        return 2.0 * tot
+
+    # A: 20 docs x 4 tokens = 80 tokens; B: 80 tokens; N = 160
+    expect = g2(40.0, 40.0, 80.0, 160.0)
+    assert abs(top_a.g2 - round(expect, 6)) < 1e-9
+    # the evenly-shared tokens are never overused anywhere
+    for grp_rows in by_grp.values():
+        assert all(r.token not in ("common", "filler") for r in grp_rows)
+
+
+def test_keyness_min_count_and_fences(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.text import keyness_by_group
+
+    df = spark.createDataFrame(
+        [("A", "rare unique"), ("B", "boring boring")],
+        "grp string, text string",
+    )
+    out = keyness_by_group(df, "text", "grp", min_count=5).collect()
+    assert out == []   # everything under min_count
+    with pytest.raises(ValueError, match="top_k"):
+        keyness_by_group(df, "text", "grp", top_k=0)
+    with pytest.raises(ValueError, match="missing"):
+        keyness_by_group(df, "body", "grp")
