@@ -618,6 +618,12 @@ def bh_adjust(
     for c in tie_cols:
         if c not in df.columns:
             raise ValueError(f"bh_adjust: tie column {c!r} missing")
+    for __c in ("__m", "__rk", "__cut", "__kstar", "p_rank", "bh_cutoff", "rejected"):
+        if __c in df.columns:
+            raise ValueError(
+                f"bh_adjust: input column {__c!r} collides with an "
+                "internal working name — rename it"
+            )
     from pyspark.sql import Window
 
     pv = df.where(F.col(p_col).isNotNull())
@@ -694,6 +700,12 @@ def quantile_normalize(
             raise ValueError(f"quantile_normalize: column {c!r} missing")
     if not group_cols:
         raise ValueError("quantile_normalize: group_cols must be non-empty")
+    for __c in ("__ref", "__rk", "__m", "p_grid", "normalized"):
+        if __c in df.columns:
+            raise ValueError(
+                f"quantile_normalize: input column {__c!r} collides with an "
+                "internal working name — rename it"
+            )
     from pyspark.sql import Window
 
     g = int(grid)

@@ -2898,6 +2898,12 @@ def runs_test(
             raise ValueError(f"runs_test: column {c!r} missing")
     if not group_cols:
         raise ValueError("runs_test: group_cols must be non-empty")
+    for __c in ("__t", "__c", "__med", "__b", "__new_run"):
+        if __c in df.columns:
+            raise ValueError(
+                f"runs_test: input column {__c!r} collides with an "
+                "internal working name — rename it"
+            )
     t = F.floor(
         F.unix_timestamp(F.col(time_col)) / F.lit(int(bucket_seconds))
     ).alias("__t")
@@ -3003,6 +3009,12 @@ def sprt_monitor(
             raise ValueError(f"sprt_monitor: column {c!r} missing")
     if not group_cols:
         raise ValueError("sprt_monitor: group_cols must be non-empty")
+    for __c in ("__t", "__n", "__k", "__idx", "__ck", "__cn", "__llr", "__cross"):
+        if __c in df.columns:
+            raise ValueError(
+                f"sprt_monitor: input column {__c!r} collides with an "
+                "internal working name — rename it"
+            )
     import math as _m
 
     w_succ = _m.log(float(p1) / float(p0))

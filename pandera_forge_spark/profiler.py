@@ -2420,6 +2420,12 @@ def hill_tail_index(
             raise ValueError(f"hill_tail_index: column {c!r} missing")
     if not group_cols:
         raise ValueError("hill_tail_index: group_cols must be non-empty")
+    for __c in ("__salt", "__rk1", "__rk"):
+        if __c in df.columns:
+            raise ValueError(
+                f"hill_tail_index: input column {__c!r} collides with an "
+                "internal working name — rename it"
+            )
     from pyspark.sql import Window
 
     kk = int(k)
@@ -2506,6 +2512,12 @@ def robust_stats(
             raise ValueError(f"robust_stats: column {c!r} missing")
     if not group_cols:
         raise ValueError("robust_stats: group_cols must be non-empty")
+    for __c in ("__rk", "__n"):
+        if __c in df.columns:
+            raise ValueError(
+                f"robust_stats: input column {__c!r} collides with an "
+                "internal working name — rename it"
+            )
     from pyspark.sql import Window
 
     t = float(trim)

