@@ -10827,6 +10827,50 @@ ORDER BY event_type, event_id
 """
 
 
+def q_mcnemar_lineitem(spark, sf_dir):
+    """McNemar paired-verdict comparison (validator.mcnemar_verdicts)
+    per returnflag: swapping the check 'quantity <= 30' for
+    'extendedprice <= 30000' — do the two gates disagree one-sidedly?
+    Exact 2×2 integer concordance cells and one division; the oracle
+    replays the cells and the (b−c)²/(b+c) statistic exactly (raw —
+    no ln, no rounding convention needed)."""
+    from pandera_forge_spark.validator import mcnemar_verdicts
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = mcnemar_verdicts(
+        li,
+        F.col("l_quantity") <= 30,
+        F.col("l_extendedprice") <= 30000,
+        ["l_returnflag"],
+    )
+    return out.orderBy("l_returnflag")
+
+
+SQL_MCNEMAR_LINEITEM = r"""
+WITH cells AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN l_quantity <= 30 AND l_extendedprice <= 30000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS both_pass,
+         CAST(SUM(CASE WHEN l_quantity <= 30 AND NOT l_extendedprice <= 30000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+         CAST(SUM(CASE WHEN NOT l_quantity <= 30 AND l_extendedprice <= 30000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
+         CAST(SUM(CASE WHEN NOT l_quantity <= 30
+                       AND NOT l_extendedprice <= 30000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS both_fail
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n_rows, both_pass, only_a, only_b, both_fail,
+       CASE WHEN only_a + only_b > 0
+            THEN CAST(only_a - only_b AS DOUBLE)
+                 * CAST(only_a - only_b AS DOUBLE)
+                 / CAST(only_a + only_b AS DOUBLE)
+       END AS chi2
+FROM cells ORDER BY l_returnflag
+"""
+
+
 def q_keyness_lang(spark, sf_dir):
     """Dunning G² keyness (operators/text.py keyness_by_group): the
     top-5 disproportionately-overused tokens per language vs the rest
@@ -13224,6 +13268,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # python replay, min-count, fence pytests), strict sweep
         # green at BOTH SFs -----------------------------------------------------
         "keyness_lang": q_keyness_lang,
+        # mcnemar_lineitem: this-session tail row; one fused grouped
+        # aggregation like quarantine_counts — the new part is the
+        # discordant-cell statistic (hand-computed + concordant-NULL
+        # pytest; exact integers so chi2 ships raw), strict sweep
+        # green at BOTH SFs -----------------------------------------------------
+        "mcnemar_lineitem": q_mcnemar_lineitem,
     }
 
 
@@ -13480,4 +13530,5 @@ def oracle_sql() -> dict[str, str]:
         "auc_events": SQL_AUC_EVENTS,
         "chao1_tokens_lang": SQL_CHAO1_TOKENS_LANG,
         "keyness_lang": SQL_KEYNESS_LANG,
+        "mcnemar_lineitem": SQL_MCNEMAR_LINEITEM,
     }

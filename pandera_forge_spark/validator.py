@@ -1901,3 +1901,51 @@ def fd_repairs(
         )
     )
     return out.where(F.col("majority_share") >= float(min_share))
+
+
+# ---------------------------------------------------- paired verdicts
+
+def mcnemar_verdicts(
+    df: DataFrame,
+    pred_a: Column,
+    pred_b: Column,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """McNemar's paired-verdict comparison (public: McNemar 1947):
+    when a check suite, classifier, or filter is REPLACED, the
+    question is not "do the pass rates differ" but "on which rows do
+    the two disagree, and is the disagreement one-sided". Per group:
+    the 2×2 concordance counts (both pass, only A, only B, both
+    fail) and the McNemar statistic ``(b−c)²/(b+c)`` over the
+    discordant cells — large values mean the swap systematically
+    flips verdicts in one direction, not just reshuffles noise.
+
+    NULL predicate values count as fail (the validator convention —
+    an unevaluable check does not pass). Exact integer counts, one
+    final division; ``chi2`` is NULL when there are no discordant
+    rows (nothing to test, loudly). One fused aggregation pass, no
+    shuffle beyond the groupBy.
+
+    Output per group: ``group_cols..., n_rows, both_pass, only_a,
+    only_b, both_fail, chi2``.
+    """
+    a = F.coalesce(pred_a, F.lit(False))
+    b = F.coalesce(pred_b, F.lit(False))
+    agg = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((a & b).cast("long")).alias("both_pass"),
+        F.sum((a & ~b).cast("long")).alias("only_a"),
+        F.sum((~a & b).cast("long")).alias("only_b"),
+        F.sum((~a & ~b).cast("long")).alias("both_fail"),
+    )
+    disc = (F.col("only_a") + F.col("only_b")).cast("double")
+    diff = (F.col("only_a") - F.col("only_b")).cast("double")
+    return agg.select(
+        *[F.col(c) for c in group_cols],
+        "n_rows",
+        "both_pass",
+        "only_a",
+        "only_b",
+        "both_fail",
+        F.when(disc > 0, diff * diff / disc).alias("chi2"),
+    )

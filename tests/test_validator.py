@@ -1033,3 +1033,24 @@ def test_heavy_changers_plan_take_ordered(spark):
     assert not has_python_udf(out)
     plan = executed_plan(out)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_mcnemar_verdicts_hand_computed(spark):
+    """10 rows: 4 both-pass, 3 only-A, 1 only-B, 2 both-fail ->
+    chi2 = (3-1)^2/4 = 1.0; NULL predicate counts as fail."""
+    from pandera_forge_spark.validator import mcnemar_verdicts
+
+    rows = (
+        [(1, 1)] * 4 + [(1, 0)] * 3 + [(0, 1)] * 1 + [(0, 0)] * 1
+        + [(0, None)]
+    )
+    df = spark.createDataFrame(rows, "a int, b int")
+    r = mcnemar_verdicts(
+        df, F.col("a") == 1, F.col("b") == 1
+    ).collect()[0]
+    assert (r.both_pass, r.only_a, r.only_b, r.both_fail) == (4, 3, 1, 2)
+    assert r.chi2 == 1.0
+    # fully concordant -> NULL chi2, loudly
+    conc = spark.createDataFrame([(1, 1), (0, 0)], "a int, b int")
+    r2 = mcnemar_verdicts(conc, F.col("a") == 1, F.col("b") == 1).collect()[0]
+    assert r2.chi2 is None
