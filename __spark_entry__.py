@@ -10827,6 +10827,144 @@ ORDER BY event_type, event_id
 """
 
 
+def q_stream_bh_epochs(spark, sf_dir):
+    """Streaming FDR-controlled drift alerting (streaming/rates.py
+    stream_drift_bh) driven END-TO-END in-process: events plus a
+    planted shifted slice are cut into 3 epochs by event_id % 3; each
+    batch merges per-slice bin counts (count-monoid) with prior
+    epochs, recomputes cumulative KS vs the fixed literal baseline,
+    and re-runs Benjamini-Hochberg across slices. Epoch N must equal
+    the batch chain over the prefix — the oracle recomputes per-prefix
+    binned KS, Smirnov p, and the step-up directly (the
+    bh_drift_events SQL shape plus the prefix dimension)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pandera_forge_spark.drift import baseline_summary
+    from pandera_forge_spark.streaming.rates import stream_drift_bh
+
+    ev = _t(spark, sf_dir, "events")
+    base = baseline_summary(ev, "value", edges=[10.0, 25.0, 50.0, 100.0])
+    planted = ev.where(F.col("user_id") % 11 == 0).select(
+        "event_id", F.lit("planted").alias("slice"),
+        (F.col("value") * 3 + 500).alias("value"),
+    )
+    src_df = ev.select(
+        "event_id", F.col("event_type").alias("slice"), "value"
+    ).unionByName(planted)
+    root = tempfile.mkdtemp(prefix="pfs_sbh_")
+    try:
+        cuts = [F.col("event_id") % 3 == e for e in range(3)]
+        src = _stage_epoch_files([src_df.where(c) for c in cuts], root)
+        stream = (
+            spark.readStream.schema(src_df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        writer = stream_drift_bh(
+            stream,
+            os.path.join(root, "state"),
+            os.path.join(root, "census"),
+            ["slice"],
+            "value",
+            base,
+            q=0.05,
+            checkpoint=os.path.join(root, "ckpt"),
+        )
+        _run_available_now(writer)
+        out = spark.read.option(
+            "basePath", os.path.join(root, "census")
+        ).parquet(os.path.join(root, "census", "__epoch=*"))
+        rows = [
+            (
+                r["slice"],
+                int(r["__epoch"]),
+                r["n"],
+                round(r["ks"], 6),
+                round(r["p"], 6),
+                int(r["p_rank"]),
+                bool(r["rejected"]),
+            )
+            for r in out.collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "slice string, epoch int, n bigint, ks double, p double, "
+        "p_rank bigint, rejected boolean",
+    ).orderBy("slice", "epoch")
+
+
+SQL_STREAM_BH_EPOCHS = r"""
+WITH eps AS (SELECT 0 AS epoch UNION ALL SELECT 1 UNION ALL SELECT 2),
+src AS (
+  SELECT event_id, event_type AS slice, value FROM events
+  UNION ALL
+  SELECT event_id, 'planted', value * 3 + 500
+  FROM events WHERE user_id % 11 = 0
+),
+sliced AS (
+  SELECT e.epoch, s.slice, s.value
+  FROM eps e JOIN src s ON s.event_id % 3 <= e.epoch
+),
+bins AS (
+  SELECT epoch, slice,
+    CAST(SUM(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) AS DOUBLE) AS b0,
+    CAST(SUM(CASE WHEN value > 10.0 AND value <= 25.0 THEN 1 ELSE 0 END) AS DOUBLE) AS b1,
+    CAST(SUM(CASE WHEN value > 25.0 AND value <= 50.0 THEN 1 ELSE 0 END) AS DOUBLE) AS b2,
+    CAST(SUM(CASE WHEN value > 50.0 AND value <= 100.0 THEN 1 ELSE 0 END) AS DOUBLE) AS b3,
+    CAST(COUNT(value) AS BIGINT) AS n
+  FROM sliced GROUP BY 1, 2
+),
+base AS (
+  SELECT
+    CAST(SUM(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) AS DOUBLE) AS b0,
+    CAST(SUM(CASE WHEN value > 10.0 AND value <= 25.0 THEN 1 ELSE 0 END) AS DOUBLE) AS b1,
+    CAST(SUM(CASE WHEN value > 25.0 AND value <= 50.0 THEN 1 ELSE 0 END) AS DOUBLE) AS b2,
+    CAST(SUM(CASE WHEN value > 50.0 AND value <= 100.0 THEN 1 ELSE 0 END) AS DOUBLE) AS b3,
+    CAST(COUNT(value) AS DOUBLE) AS m
+  FROM events
+),
+stats AS (
+  SELECT p.epoch, p.slice, p.n,
+    GREATEST(
+      ABS(p.b0 / p.n - q.b0 / q.m),
+      ABS((p.b0 + p.b1) / p.n - (q.b0 + q.b1) / q.m),
+      ABS((p.b0 + p.b1 + p.b2) / p.n - (q.b0 + q.b1 + q.b2) / q.m),
+      ABS((p.b0 + p.b1 + p.b2 + p.b3) / p.n
+          - (q.b0 + q.b1 + q.b2 + q.b3) / q.m)
+    ) AS ks,
+    q.m AS m
+  FROM bins p, base q
+),
+scored AS (
+  SELECT epoch, slice, n, ks,
+         LEAST(1.0, 2 * EXP(-2 * (CAST(n AS DOUBLE) * m / (CAST(n AS DOUBLE) + m)) * ks * ks)) AS p
+  FROM stats
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY epoch
+                            ORDER BY p ASC, slice ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY epoch) AS m_cnt
+  FROM scored
+),
+k AS (
+  SELECT epoch,
+         COALESCE(MAX(CASE WHEN p <= CAST(rk AS DOUBLE) * 0.05 / m_cnt
+                           THEN rk END), 0) AS kstar
+  FROM ranked GROUP BY 1
+)
+SELECT r.slice, CAST(r.epoch AS INT) AS epoch, r.n,
+       ROUND(r.ks, 6) AS ks, ROUND(r.p, 6) AS p,
+       CAST(r.rk AS BIGINT) AS p_rank, r.rk <= k.kstar AS rejected
+FROM ranked r JOIN k ON r.epoch = k.epoch
+ORDER BY r.slice, r.epoch
+"""
+
+
 def q_mcnemar_lineitem(spark, sf_dir):
     """McNemar paired-verdict comparison (validator.mcnemar_verdicts)
     per returnflag: swapping the check 'quantity <= 30' for
@@ -13274,6 +13412,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest; exact integers so chi2 ships raw), strict sweep
         # green at BOTH SFs -----------------------------------------------------
         "mcnemar_lineitem": q_mcnemar_lineitem,
+        # stream_bh_epochs: this-session tail row; the epoch-keyed
+        # count-monoid state is the stream_rate_chart contract and
+        # the KS/BH kernel is bh_drift_events' — the new part is
+        # their composition under availableNow replay (multi-epoch ==
+        # batch-chain pytest with planted drifted slice), strict
+        # sweep green at BOTH SFs ----------------------------------------------
+        "stream_bh_epochs": q_stream_bh_epochs,
     }
 
 
@@ -13531,4 +13676,5 @@ def oracle_sql() -> dict[str, str]:
         "chao1_tokens_lang": SQL_CHAO1_TOKENS_LANG,
         "keyness_lang": SQL_KEYNESS_LANG,
         "mcnemar_lineitem": SQL_MCNEMAR_LINEITEM,
+        "stream_bh_epochs": SQL_STREAM_BH_EPOCHS,
     }
