@@ -10827,6 +10827,78 @@ ORDER BY event_type, event_id
 """
 
 
+def q_numeric_balance_customer(spark, sf_dir):
+    """Numeric split-balance SMD (operators/sampling.py
+    numeric_balance): every market-segment pair compared on acctbal
+    and nationkey — the continuous-covariate balance check the
+    categorical split report can't see. The oracle replays the
+    per-split moment sums and the |Δmean|/sqrt(pooled) form (ROUND 6
+    on means and smd — float sums over rows)."""
+    from pandera_forge_spark.operators.sampling import numeric_balance
+
+    cust = _t(spark, sf_dir, "customer")
+    out = numeric_balance(
+        cust, "c_mktsegment", ["c_acctbal", "c_nationkey"]
+    )
+    return out.select(
+        "column", "split_a", "split_b", "n_a", "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("smd", 6).alias("smd"),
+    ).orderBy("column", "split_a", "split_b")
+
+
+SQL_NUMERIC_BALANCE_CUSTOMER = r"""
+WITH mo AS (
+  SELECT c_mktsegment AS split,
+         CAST(COUNT(c_acctbal) AS BIGINT) AS n_bal,
+         SUM(c_acctbal) AS s_bal,
+         SUM(c_acctbal * c_acctbal) AS ss_bal,
+         CAST(COUNT(c_nationkey) AS BIGINT) AS n_nat,
+         SUM(CAST(c_nationkey AS DOUBLE)) AS s_nat,
+         SUM(CAST(c_nationkey AS DOUBLE) * CAST(c_nationkey AS DOUBLE)) AS ss_nat
+  FROM customer GROUP BY 1
+),
+pairs AS (
+  SELECT a.split AS split_a, b.split AS split_b,
+         a.n_bal AS na_bal, a.s_bal AS sa_bal, a.ss_bal AS ssa_bal,
+         b.n_bal AS nb_bal, b.s_bal AS sb_bal, b.ss_bal AS ssb_bal,
+         a.n_nat AS na_nat, a.s_nat AS sa_nat, a.ss_nat AS ssa_nat,
+         b.n_nat AS nb_nat, b.s_nat AS sb_nat, b.ss_nat AS ssb_nat
+  FROM mo a, mo b WHERE a.split < b.split
+),
+cells AS (
+  SELECT 'c_acctbal' AS "column", split_a, split_b,
+         na_bal AS n_a, nb_bal AS n_b,
+         sa_bal / na_bal AS mean_a, sb_bal / nb_bal AS mean_b,
+         CASE WHEN na_bal > 0 AND nb_bal > 0
+                   AND ((ssa_bal / na_bal - (sa_bal / na_bal) * (sa_bal / na_bal))
+                        + (ssb_bal / nb_bal - (sb_bal / nb_bal) * (sb_bal / nb_bal))) / 2.0 > 0
+              THEN ABS(sa_bal / na_bal - sb_bal / nb_bal)
+                   / SQRT(((ssa_bal / na_bal - (sa_bal / na_bal) * (sa_bal / na_bal))
+                           + (ssb_bal / nb_bal - (sb_bal / nb_bal) * (sb_bal / nb_bal))) / 2.0)
+         END AS smd
+  FROM pairs
+  UNION ALL
+  SELECT 'c_nationkey', split_a, split_b,
+         na_nat, nb_nat,
+         sa_nat / na_nat, sb_nat / nb_nat,
+         CASE WHEN na_nat > 0 AND nb_nat > 0
+                   AND ((ssa_nat / na_nat - (sa_nat / na_nat) * (sa_nat / na_nat))
+                        + (ssb_nat / nb_nat - (sb_nat / nb_nat) * (sb_nat / nb_nat))) / 2.0 > 0
+              THEN ABS(sa_nat / na_nat - sb_nat / nb_nat)
+                   / SQRT(((ssa_nat / na_nat - (sa_nat / na_nat) * (sa_nat / na_nat))
+                           + (ssb_nat / nb_nat - (sb_nat / nb_nat) * (sb_nat / nb_nat))) / 2.0)
+         END
+  FROM pairs
+)
+SELECT "column", split_a, split_b, n_a, n_b,
+       ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
+       ROUND(smd, 6) AS smd
+FROM cells ORDER BY "column", split_a, split_b
+"""
+
+
 def q_stream_bh_epochs(spark, sf_dir):
     """Streaming FDR-controlled drift alerting (streaming/rates.py
     stream_drift_bh) driven END-TO-END in-process: events plus a
@@ -13419,6 +13491,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch-chain pytest with planted drifted slice), strict
         # sweep green at BOTH SFs ----------------------------------------------
         "stream_bh_epochs": q_stream_bh_epochs,
+        # numeric_balance_customer: this-session tail row; one fused
+        # moment aggregation like corr_lineitem — the new part is the
+        # pairwise SMD explode (hand-computed, degenerate-NULL, fence
+        # pytests), strict sweep green at BOTH SFs -----------------------------
+        "numeric_balance_customer": q_numeric_balance_customer,
     }
 
 
@@ -13677,4 +13754,5 @@ def oracle_sql() -> dict[str, str]:
         "keyness_lang": SQL_KEYNESS_LANG,
         "mcnemar_lineitem": SQL_MCNEMAR_LINEITEM,
         "stream_bh_epochs": SQL_STREAM_BH_EPOCHS,
+        "numeric_balance_customer": SQL_NUMERIC_BALANCE_CUSTOMER,
     }

@@ -1046,3 +1046,92 @@ def dense_ids(
         )
         .drop("__key", "__bkt", "__off", "__rk")
     )
+
+
+# ------------------------------------------------ numeric split balance
+
+def numeric_balance(
+    df: DataFrame,
+    split_col: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Standardized mean difference (SMD — public biostatistics
+    convention) of numeric columns between every pair of splits:
+    ``|mean_a − mean_b| / sqrt((var_a + var_b)/2)``. The numeric
+    companion to the categorical split-balance report: a train/test
+    split whose label rates match can still be badly unbalanced on a
+    continuous covariate, and SMD > 0.1 is the conventional "these
+    groups differ materially" line that decides whether a split is
+    usable for evaluation.
+
+    One fused aggregation pass collects per-split exact moment sums
+    (n, Σx, Σx²) per column; the pairwise SMDs are closed-form
+    expressions over that tiny frame (splits × columns rows). Means/
+    variances are single fixed-order float expressions over exact
+    sums; population variance (the /n form) is used so the statistic
+    is defined down to n=1. Splits with zero pooled variance report
+    NULL smd loudly (identical constants are not "balanced", they
+    are degenerate).
+
+    Output: one row per (column, split_a < split_b):
+    ``column, split_a, split_b, n_a, n_b, mean_a, mean_b, smd``.
+    """
+    value_cols = list(value_cols)
+    if not value_cols:
+        raise ValueError("numeric_balance: value_cols must be non-empty")
+    for c in [split_col] + value_cols:
+        if c not in df.columns:
+            raise ValueError(f"numeric_balance: column {c!r} missing")
+    aggs = []
+    for c in value_cols:
+        v = F.col(c).cast("double")
+        nn = v.isNotNull()
+        aggs += [
+            F.sum(nn.cast("long")).alias(f"__n_{c}"),
+            F.sum(F.when(nn, v)).alias(f"__s_{c}"),
+            F.sum(F.when(nn, v * v)).alias(f"__ss_{c}"),
+        ]
+    mo = df.groupBy(F.col(split_col).alias("__split")).agg(*aggs)
+    a = mo.select(
+        F.col("__split").alias("split_a"),
+        *[F.col(f"__n_{c}").alias(f"__na_{c}") for c in value_cols],
+        *[F.col(f"__s_{c}").alias(f"__sa_{c}") for c in value_cols],
+        *[F.col(f"__ss_{c}").alias(f"__ssa_{c}") for c in value_cols],
+    )
+    b = mo.select(
+        F.col("__split").alias("split_b"),
+        *[F.col(f"__n_{c}").alias(f"__nb_{c}") for c in value_cols],
+        *[F.col(f"__s_{c}").alias(f"__sb_{c}") for c in value_cols],
+        *[F.col(f"__ss_{c}").alias(f"__ssb_{c}") for c in value_cols],
+    )
+    pairs = a.crossJoin(b).where(F.col("split_a") < F.col("split_b"))
+    cells = []
+    for c in value_cols:
+        na = F.col(f"__na_{c}").cast("double")
+        nb = F.col(f"__nb_{c}").cast("double")
+        ma = F.col(f"__sa_{c}") / na
+        mb = F.col(f"__sb_{c}") / nb
+        va = F.col(f"__ssa_{c}") / na - ma * ma
+        vb = F.col(f"__ssb_{c}") / nb - mb * mb
+        pooled = (va + vb) / F.lit(2.0)
+        cells.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("split_a").cast("string").alias("split_a"),
+                F.col("split_b").cast("string").alias("split_b"),
+                F.col(f"__na_{c}").alias("n_a"),
+                F.col(f"__nb_{c}").alias("n_b"),
+                ma.alias("mean_a"),
+                mb.alias("mean_b"),
+                F.when(
+                    (F.col(f"__na_{c}") > 0)
+                    & (F.col(f"__nb_{c}") > 0)
+                    & (pooled > 0),
+                    F.abs(ma - mb) / F.sqrt(pooled),
+                ).alias("smd"),
+            )
+        )
+    return pairs.select(F.explode(F.array(*cells)).alias("__c")).select(
+        "__c.column", "__c.split_a", "__c.split_b", "__c.n_a", "__c.n_b",
+        "__c.mean_a", "__c.mean_b", "__c.smd",
+    )

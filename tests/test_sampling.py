@@ -766,3 +766,29 @@ def test_dense_ids_contracts(spark):
     dup = spark.createDataFrame([("a",), ("a",), ("b",)], "id string")
     got = dense_ids(dup, "id").collect()
     assert sorted(r["dense_id"] for r in got) == [0, 1, 2]
+
+
+def test_numeric_balance_hand_computed(spark):
+    """Split x: [1,2,3], split y: [11,12,13]: means 2/12, pop var 2/3
+    each -> SMD = 10/sqrt(2/3); identical constants -> NULL smd."""
+    import math
+
+    from pandera_forge_spark.operators.sampling import numeric_balance
+
+    rows = [("x", float(v), 5.0) for v in (1, 2, 3)] + [
+        ("y", float(v), 5.0) for v in (11, 12, 13)
+    ]
+    df = spark.createDataFrame(rows, "split string, a double, c double")
+    got = {r.column: r for r in numeric_balance(
+        df, "split", ["a", "c"]
+    ).collect()}
+    ra = got["a"]
+    assert (ra.split_a, ra.split_b, ra.n_a, ra.n_b) == ("x", "y", 3, 3)
+    assert abs(ra.smd - 10.0 / math.sqrt(2.0 / 3.0)) < 1e-9
+    assert got["c"].smd is None     # zero pooled variance -> loud NULL
+    import pytest
+
+    with pytest.raises(ValueError, match="value_cols"):
+        numeric_balance(df, "split", [])
+    with pytest.raises(ValueError, match="missing"):
+        numeric_balance(df, "split", ["ghost"])
