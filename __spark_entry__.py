@@ -10827,6 +10827,76 @@ ORDER BY event_type, event_id
 """
 
 
+def q_lift_events(spark, sf_dir):
+    """Decile lift / cumulative gain (operators/labels.py
+    lift_table): value as the triage score against the auc_events
+    planted label, 10 bins, atomic tie groups at their midpoint bin.
+    Every emitted ratio is a single division over exact integers —
+    raw doubles, bit-identical. The oracle replays the census cut
+    (identical -1e-9 ceil guard), the bin rollup, and the cumulative
+    window."""
+    from pandera_forge_spark.operators.labels import lift_table
+
+    ev = _t(spark, sf_dir, "events")
+    y = ((F.col("value") > 50) & (F.col("user_id") % 2 == 0)) | (
+        F.col("user_id") % 11 == 0
+    )
+    return lift_table(ev, "value", y, n_bins=10).orderBy("bin")
+
+
+SQL_LIFT_EVENTS = r"""
+WITH base AS (
+  SELECT value AS v,
+         CASE WHEN (value > 50 AND user_id % 2 = 0)
+                   OR user_id % 11 = 0 THEN 1 ELSE 0 END AS pos
+  FROM events WHERE value IS NOT NULL
+),
+census AS (
+  SELECT v, COUNT(*) AS cnt, CAST(SUM(pos) AS BIGINT) AS np
+  FROM base GROUP BY 1
+),
+keyed AS (
+  SELECT cnt, np,
+         SUM(cnt) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER () AS n_total,
+         SUM(np) OVER () AS p_total
+  FROM census
+),
+binned AS (
+  SELECT LEAST(CAST(CEIL(
+           (CAST(cum - cnt AS DOUBLE) + (CAST(cnt AS DOUBLE) + 1.0) / 2.0)
+           * 10.0 / CAST(n_total AS DOUBLE) - 1e-09) AS INT), 10) AS bin,
+         cnt, np, n_total, p_total
+  FROM keyed
+),
+bins AS (
+  SELECT bin,
+         CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(np) AS BIGINT) AS positives,
+         CAST(MAX(n_total) AS BIGINT) AS n_total,
+         CAST(MAX(p_total) AS BIGINT) AS p_total
+  FROM binned GROUP BY 1
+),
+cum AS (
+  SELECT *,
+         CAST(SUM(n) OVER (ORDER BY bin ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+         CAST(SUM(positives) OVER (ORDER BY bin ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_positives
+  FROM bins
+)
+SELECT bin, n, positives,
+       CAST(positives AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+       CASE WHEN p_total > 0
+            THEN (CAST(positives AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(p_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+       END AS lift,
+       cum_n, cum_positives,
+       CASE WHEN p_total > 0
+            THEN CAST(cum_positives AS DOUBLE) / CAST(p_total AS DOUBLE)
+       END AS cum_gain
+FROM cum ORDER BY bin
+"""
+
+
 def q_numeric_balance_customer(spark, sf_dir):
     """Numeric split-balance SMD (operators/sampling.py
     numeric_balance): every market-segment pair compared on acctbal
@@ -13496,6 +13566,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pairwise SMD explode (hand-computed, degenerate-NULL, fence
         # pytests), strict sweep green at BOTH SFs -----------------------------
         "numeric_balance_customer": q_numeric_balance_customer,
+        # lift_events: this-session tail row; the census-offset cut
+        # shares auc_events' kernel and the planted label — the new
+        # part is the midpoint-bin rollup + cumulative gain (perfect-
+        # ranking and atomic-tie pytests; raw single-division
+        # ratios), strict sweep green at BOTH SFs ------------------------------
+        "lift_events": q_lift_events,
     }
 
 
@@ -13755,4 +13831,5 @@ def oracle_sql() -> dict[str, str]:
         "mcnemar_lineitem": SQL_MCNEMAR_LINEITEM,
         "stream_bh_epochs": SQL_STREAM_BH_EPOCHS,
         "numeric_balance_customer": SQL_NUMERIC_BALANCE_CUSTOMER,
+        "lift_events": SQL_LIFT_EVENTS,
     }

@@ -609,3 +609,104 @@ def auc_score(
         (F.col("__rpos") - np_d * (np_d + 1.0) / 2.0) / (np_d * nn_d),
     )
     return agg.select(*gcols, "n_pos", "n_neg", auc.alias("auc"))
+
+
+# ------------------------------------------------------- lift table
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_pred,
+    n_bins: int = 10,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Decile lift and cumulative-gain table: rows ranked by score
+    DESCENDING, cut into ``n_bins`` equal-population bins, and per
+    bin the positive rate, its LIFT over the base rate, and the
+    cumulative share of all positives captured so far — the "if we
+    act on the top k% how much do we catch" curve behind every triage
+    queue (review the top decile of PII-risk scores, audit the top
+    5% of anomaly scores). AUC says whether the ranking works; the
+    lift table says what a budget buys.
+
+    Determinism with ties, said out loud: the score VALUE CENSUS
+    (not per-row ranks) drives the cut — each tie group is atomic and
+    lands in the bin of its midpoint position (``ceil(mid·bins/N)``
+    with the −1e-9 float-boundary guard), so heavy ties make bins
+    UNEVEN rather than splitting a value across bins
+    nondeterministically; the emitted ``n`` per bin is the honest
+    population. Census-offset construction as in auc_score — no
+    global per-row sort.
+
+    Output per (group, bin): ``group_cols..., bin, n, positives,
+    rate, lift, cum_n, cum_positives, cum_gain`` (single divisions
+    over exact integers — raw doubles, no rounding convention
+    needed).
+    """
+    if int(n_bins) < 2:
+        raise ValueError(f"lift_table: n_bins must be >= 2, got {n_bins}")
+    if score_col not in df.columns:
+        raise ValueError(f"lift_table: column {score_col!r} missing")
+    for c in group_cols:
+        if c not in df.columns:
+            raise ValueError(f"lift_table: group column {c!r} missing")
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    nb = int(n_bins)
+    base = df.where(F.col(score_col).isNotNull()).select(
+        *[F.col(c) for c in gcols],
+        F.col(score_col).alias("__v"),
+        F.coalesce(label_pred, F.lit(False)).cast("long").alias("__pos"),
+    )
+    census = base.groupBy(*gcols, "__v").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum("__pos").alias("__np"),
+    )
+    wc = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+        F.col("__v").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wsz = Window.partitionBy(*[F.col(c) for c in gcols])
+    keyed = (
+        census.withColumn("__cum", F.sum("__cnt").over(wc))
+        .withColumn("__N", F.sum("__cnt").over(wsz))
+        .withColumn("__P", F.sum("__np").over(wsz))
+    )
+    mid = (F.col("__cum") - F.col("__cnt")).cast("double") + (
+        F.col("__cnt").cast("double") + 1.0
+    ) / 2.0
+    bin_ = F.least(
+        F.ceil(
+            mid * F.lit(float(nb)) / F.col("__N").cast("double") - F.lit(1e-9)
+        ).cast("int"),
+        F.lit(nb),
+    )
+    bins = keyed.groupBy(*gcols, bin_.alias("bin")).agg(
+        F.sum("__cnt").cast("long").alias("n"),
+        F.sum("__np").cast("long").alias("positives"),
+        F.max("__N").cast("long").alias("__N"),
+        F.max("__P").cast("long").alias("__P"),
+    )
+    wb = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+        F.col("bin").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (
+        bins.withColumn("cum_n", F.sum("n").over(wb).cast("long"))
+        .withColumn("cum_positives", F.sum("positives").over(wb).cast("long"))
+    )
+    rate = F.col("positives").cast("double") / F.col("n").cast("double")
+    overall = F.col("__P").cast("double") / F.col("__N").cast("double")
+    return out.select(
+        *gcols,
+        "bin",
+        "n",
+        "positives",
+        rate.alias("rate"),
+        F.when(F.col("__P") > 0, rate / overall).alias("lift"),
+        "cum_n",
+        "cum_positives",
+        F.when(
+            F.col("__P") > 0,
+            F.col("cum_positives").cast("double") / F.col("__P").cast("double"),
+        ).alias("cum_gain"),
+    )

@@ -1105,3 +1105,40 @@ def test_auc_score_degenerate_and_fences(spark):
     assert "h" not in rows      # null score dropped -> empty group gone
     with pytest.raises(ValueError, match="missing"):
         auc_score(df, "ghost", F.col("y") == 1, ["grp"])
+
+
+def test_lift_table_hand_computed(spark):
+    """20 rows, scores 20..1, positives exactly the top 5 scores,
+    5 bins: bin 1 catches all 5 positives -> rate 1.0, lift 4.0,
+    cum_gain 1.0 from bin 1 on; later bins rate 0."""
+    from pandera_forge_spark.operators.labels import lift_table
+
+    rows = [(float(s), 1 if s > 15 else 0) for s in range(20, 0, -1)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    out = {r.bin: r for r in lift_table(
+        df, "score", F.col("y") == 1, n_bins=5
+    ).collect()}
+    assert out[1].n == 4 and out[1].positives == 4
+    assert out[1].rate == 1.0 and out[1].lift == 4.0
+    assert out[2].positives == 1 and out[2].cum_gain == 1.0
+    assert out[5].rate == 0.0 and out[5].cum_n == 20
+    assert abs(out[1].cum_gain - 0.8) < 1e-12
+
+
+def test_lift_table_atomic_ties_and_fences(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.labels import lift_table
+
+    # 10 rows all the same score: one atomic tie group -> ONE bin row
+    # holding everything (midpoint bin), not a 10-way split
+    df = spark.createDataFrame(
+        [(5.0, i % 2) for i in range(10)], "score double, y int"
+    )
+    out = lift_table(df, "score", F.col("y") == 1, n_bins=5).collect()
+    assert len(out) == 1 and out[0].n == 10
+    assert out[0].lift == 1.0
+    with pytest.raises(ValueError, match="n_bins"):
+        lift_table(df, "score", F.col("y") == 1, n_bins=1)
+    with pytest.raises(ValueError, match="missing"):
+        lift_table(df, "ghost", F.col("y") == 1)
