@@ -10827,6 +10827,80 @@ ORDER BY event_type, event_id
 """
 
 
+def q_pr_curve_events(spark, sf_dir):
+    """Operating-point PR table (operators/labels.py pr_curve): 20
+    equal-population thresholds over value against the planted label
+    — the artifact that picks a production threshold. Exact integer
+    confusion counts; P/R/F1 are single divisions (raw). The oracle
+    replays the census cumsums, the ceil-target grid with the
+    identical -1e-9 guard, and the first-row-reaching-target
+    election."""
+    from pandera_forge_spark.operators.labels import pr_curve
+
+    ev = _t(spark, sf_dir, "events")
+    y = ((F.col("value") > 50) & (F.col("user_id") % 2 == 0)) | (
+        F.col("user_id") % 11 == 0
+    )
+    return pr_curve(ev, "value", y, n_points=20).orderBy("point")
+
+
+SQL_PR_CURVE_EVENTS = r"""
+WITH base AS (
+  SELECT value AS v,
+         CASE WHEN (value > 50 AND user_id % 2 = 0)
+                   OR user_id % 11 = 0 THEN 1 ELSE 0 END AS pos
+  FROM events WHERE value IS NOT NULL
+),
+census AS (
+  SELECT v, COUNT(*) AS cnt, CAST(SUM(pos) AS BIGINT) AS np
+  FROM base GROUP BY 1
+),
+keyed AS (
+  SELECT v, cnt, np,
+         SUM(cnt) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(np) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING) AS cpos,
+         SUM(cnt) OVER () AS n_total,
+         SUM(np) OVER () AS p_total
+  FROM census
+),
+pts AS (
+  SELECT k.*, g.point,
+         CAST(CEIL(CAST(g.point AS DOUBLE) * CAST(k.n_total AS DOUBLE)
+                   / 20.0 - 1e-09) AS BIGINT) AS target
+  FROM keyed k
+  CROSS JOIN (SELECT unnest(generate_series(1, 20)) AS point) g
+),
+hit AS (
+  SELECT point, v, cpos, cum, p_total
+  FROM pts
+  WHERE cum >= target AND cum - cnt < target
+)
+SELECT CAST(point AS INT) AS point, v AS threshold,
+       CAST(cpos AS BIGINT) AS tp,
+       CAST(cum - cpos AS BIGINT) AS fp,
+       CAST(p_total - cpos AS BIGINT) AS fn,
+       CASE WHEN cum > 0
+            THEN CAST(cpos AS DOUBLE)
+                 / (CAST(cpos AS DOUBLE) + CAST(cum - cpos AS DOUBLE))
+       END AS precision,
+       CASE WHEN p_total > 0
+            THEN CAST(cpos AS DOUBLE) / CAST(p_total AS DOUBLE)
+       END AS recall,
+       CASE WHEN cum > 0 AND p_total > 0
+                 AND CAST(cpos AS DOUBLE)
+                     / (CAST(cpos AS DOUBLE) + CAST(cum - cpos AS DOUBLE))
+                     + CAST(cpos AS DOUBLE) / CAST(p_total AS DOUBLE) > 0
+            THEN 2.0 * (CAST(cpos AS DOUBLE)
+                        / (CAST(cpos AS DOUBLE) + CAST(cum - cpos AS DOUBLE)))
+                     * (CAST(cpos AS DOUBLE) / CAST(p_total AS DOUBLE))
+                 / ((CAST(cpos AS DOUBLE)
+                     / (CAST(cpos AS DOUBLE) + CAST(cum - cpos AS DOUBLE)))
+                    + (CAST(cpos AS DOUBLE) / CAST(p_total AS DOUBLE)))
+       END AS f1
+FROM hit ORDER BY point
+"""
+
+
 def q_lift_events(spark, sf_dir):
     """Decile lift / cumulative gain (operators/labels.py
     lift_table): value as the triage score against the auc_events
@@ -13572,6 +13646,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ranking and atomic-tie pytests; raw single-division
         # ratios), strict sweep green at BOTH SFs ------------------------------
         "lift_events": q_lift_events,
+        # pr_curve_events: this-session tail row; census cumsums and
+        # the planted label shared with auc/lift — the new part is
+        # the grid-threshold election + confusion fold (hand-computed
+        # + atomic-tie pytests; raw single-division ratios), strict
+        # sweep green at BOTH SFs ----------------------------------------------
+        "pr_curve_events": q_pr_curve_events,
     }
 
 
@@ -13832,4 +13912,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_bh_epochs": SQL_STREAM_BH_EPOCHS,
         "numeric_balance_customer": SQL_NUMERIC_BALANCE_CUSTOMER,
         "lift_events": SQL_LIFT_EVENTS,
+        "pr_curve_events": SQL_PR_CURVE_EVENTS,
     }

@@ -710,3 +710,98 @@ def lift_table(
             F.col("cum_positives").cast("double") / F.col("__P").cast("double"),
         ).alias("cum_gain"),
     )
+
+
+# --------------------------------------------------------- PR curve
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_pred,
+    n_points: int = 20,
+) -> DataFrame:
+    """Precision-recall table at a fixed operating grid: the score
+    axis is cut at ``n_points`` equal-population thresholds (census
+    ranks, the auc/lift construction — no global per-row sort), and
+    each grid point reports the confusion counts and P/R/F1 of the
+    rule "flag everything scoring at or above this threshold".
+    AUC ranks, lift budgets, the PR table OPERATES — it is the
+    artifact a reviewer reads to pick the production threshold, and
+    at 20 points it is dashboard-sized no matter how many rows fed
+    it.
+
+    Per grid point g (1..n_points): the threshold is the score at
+    census position ``ceil(g·N/n_points)`` from the TOP (tie groups
+    atomic, same midpoint discipline as lift_table), tp/fp are the
+    cumulative positive/negative counts at or above it, fn = P − tp.
+    All exact integers; P/R/F1 are single divisions (raw doubles).
+    Degenerate slices (no positives) report NULL precision-recall,
+    loudly.
+
+    Output: ``point, threshold, tp, fp, fn, precision, recall, f1``.
+    """
+    if int(n_points) < 2:
+        raise ValueError(f"pr_curve: n_points must be >= 2, got {n_points}")
+    if score_col not in df.columns:
+        raise ValueError(f"pr_curve: column {score_col!r} missing")
+    from pyspark.sql import Window
+
+    npts = int(n_points)
+    base = df.where(F.col(score_col).isNotNull()).select(
+        F.col(score_col).alias("__v"),
+        F.coalesce(label_pred, F.lit(False)).cast("long").alias("__pos"),
+    )
+    census = base.groupBy("__v").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum("__pos").alias("__np"),
+    )
+    wc = Window.orderBy(F.col("__v").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    keyed = (
+        census.withColumn("__cum", F.sum("__cnt").over(wc))
+        .withColumn("__cpos", F.sum("__np").over(wc))
+        .crossJoin(
+            F.broadcast(
+                census.agg(
+                    F.sum("__cnt").alias("__N"), F.sum("__np").alias("__P")
+                )
+            )
+        )
+    )
+    pts = keyed.select(
+        "*",
+        F.explode(F.sequence(F.lit(1), F.lit(npts))).alias("point"),
+    ).withColumn(
+        "__target",
+        F.ceil(
+            F.col("point").cast("double")
+            * F.col("__N").cast("double")
+            / F.lit(float(npts))
+            - F.lit(1e-9)
+        ).cast("long"),
+    )
+    # the grid point's census row: the FIRST row whose cumulative
+    # count reaches the target position
+    hit = pts.where(
+        (F.col("__cum") >= F.col("__target"))
+        & (F.col("__cum") - F.col("__cnt") < F.col("__target"))
+    )
+    tp = F.col("__cpos").cast("double")
+    fp = (F.col("__cum") - F.col("__cpos")).cast("double")
+    fn = (F.col("__P") - F.col("__cpos")).cast("double")
+    prec = F.when(F.col("__cum") > 0, tp / (tp + fp))
+    rec = F.when(F.col("__P") > 0, tp / F.col("__P").cast("double"))
+    return hit.select(
+        "point",
+        F.col("__v").alias("threshold"),
+        F.col("__cpos").cast("long").alias("tp"),
+        (F.col("__cum") - F.col("__cpos")).cast("long").alias("fp"),
+        (F.col("__P") - F.col("__cpos")).cast("long").alias("fn"),
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.when(
+            prec.isNotNull() & rec.isNotNull() & ((prec + rec) > 0),
+            F.lit(2.0) * prec * rec / (prec + rec),
+        ).alias("f1"),
+    ).orderBy("point")

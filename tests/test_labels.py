@@ -1142,3 +1142,41 @@ def test_lift_table_atomic_ties_and_fences(spark):
         lift_table(df, "score", F.col("y") == 1, n_bins=1)
     with pytest.raises(ValueError, match="missing"):
         lift_table(df, "ghost", F.col("y") == 1)
+
+
+def test_pr_curve_hand_computed(spark):
+    """Scores 10..1, positives = top 3 scores, 5 grid points (every 2
+    rows): point 1 -> threshold 9, tp 2, fp 0, P=1.0, R=2/3;
+    point 2 -> threshold 7, tp 3, fp 1; point 5 -> everything."""
+    from pandera_forge_spark.operators.labels import pr_curve
+
+    rows = [(float(s), 1 if s > 7 else 0) for s in range(10, 0, -1)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    out = {r.point: r for r in pr_curve(
+        df, "score", F.col("y") == 1, n_points=5
+    ).collect()}
+    p1 = out[1]
+    assert (p1.threshold, p1.tp, p1.fp, p1.fn) == (9.0, 2, 0, 1)
+    assert p1.precision == 1.0 and abs(p1.recall - 2 / 3) < 1e-12
+    p2 = out[2]
+    assert (p2.threshold, p2.tp, p2.fp) == (7.0, 3, 1)
+    assert out[5].recall == 1.0 and out[5].fp == 7
+    assert abs(p1.f1 - 2 * 1.0 * (2 / 3) / (1.0 + 2 / 3)) < 1e-12
+
+
+def test_pr_curve_ties_and_fences(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.labels import pr_curve
+
+    # one atomic tie group covers every grid point with the same row
+    df = spark.createDataFrame(
+        [(5.0, i % 2) for i in range(8)], "score double, y int"
+    )
+    out = pr_curve(df, "score", F.col("y") == 1, n_points=4).collect()
+    assert len(out) == 4
+    assert all(r.threshold == 5.0 and r.recall == 1.0 for r in out)
+    with pytest.raises(ValueError, match="n_points"):
+        pr_curve(df, "score", F.col("y") == 1, n_points=1)
+    with pytest.raises(ValueError, match="missing"):
+        pr_curve(df, "ghost", F.col("y") == 1)
