@@ -10827,6 +10827,62 @@ ORDER BY event_type, event_id
 """
 
 
+def q_seasonal_strength_events(spark, sf_dir):
+    """Seasonality strength (operators/temporal.py seasonal_strength):
+    per event_type, is yesterday-same-hour a better volume forecast
+    than the previous hour? Exact integer MAE sums over explicit lag
+    joins, one division — bit-identical cross-engine, all columns
+    raw. The oracle replays the bucketing and both lag joins."""
+    from pandera_forge_spark.operators.temporal import seasonal_strength
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_strength(
+        ev, "ts", ["event_type"], season=24
+    ).orderBy("event_type")
+
+
+SQL_SEASONAL_STRENGTH_EVENTS = r"""
+WITH series AS (
+  SELECT event_type,
+         CAST(FLOOR(date_part('epoch', ts) / 3600) AS BIGINT) AS t,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+naive AS (
+  SELECT a.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_naive_pairs,
+         CAST(SUM(ABS(a.c - b.c)) AS BIGINT) AS ae_naive
+  FROM series a JOIN series b
+    ON a.event_type = b.event_type AND a.t = b.t + 1
+  GROUP BY 1
+),
+seas AS (
+  SELECT a.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_seasonal_pairs,
+         CAST(SUM(ABS(a.c - b.c)) AS BIGINT) AS ae_seasonal
+  FROM series a JOIN series b
+    ON a.event_type = b.event_type AND a.t = b.t + 24
+  GROUP BY 1
+)
+SELECT n.event_type, n.n_naive_pairs, s.n_seasonal_pairs,
+       CASE WHEN n.n_naive_pairs > 0
+            THEN CAST(n.ae_naive AS DOUBLE)
+                 / CAST(n.n_naive_pairs AS DOUBLE) END AS mae_naive,
+       CASE WHEN s.n_seasonal_pairs > 0
+            THEN CAST(s.ae_seasonal AS DOUBLE)
+                 / CAST(s.n_seasonal_pairs AS DOUBLE) END AS mae_seasonal,
+       CASE WHEN n.n_naive_pairs > 0 AND s.n_seasonal_pairs > 0
+                 AND n.ae_naive > 0
+            THEN 1.0 - (CAST(s.ae_seasonal AS DOUBLE)
+                        / CAST(s.n_seasonal_pairs AS DOUBLE))
+                     / (CAST(n.ae_naive AS DOUBLE)
+                        / CAST(n.n_naive_pairs AS DOUBLE))
+       END AS strength
+FROM naive n FULL OUTER JOIN seas s USING (event_type)
+ORDER BY n.event_type
+"""
+
+
 def q_pr_curve_events(spark, sf_dir):
     """Operating-point PR table (operators/labels.py pr_curve): 20
     equal-population thresholds over value against the planted label
@@ -13652,6 +13708,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + atomic-tie pytests; raw single-division ratios), strict
         # sweep green at BOTH SFs ----------------------------------------------
         "pr_curve_events": q_pr_curve_events,
+        # seasonal_strength_events: this-session tail row; hourly
+        # series + lag joins are green kernels — the new part is the
+        # relative-MAE seasonality fold (planted-period and
+        # constant-series pytests; exact integers so every column
+        # ships raw), strict sweep green at BOTH SFs ---------------------------
+        "seasonal_strength_events": q_seasonal_strength_events,
     }
 
 
@@ -13913,4 +13975,5 @@ def oracle_sql() -> dict[str, str]:
         "numeric_balance_customer": SQL_NUMERIC_BALANCE_CUSTOMER,
         "lift_events": SQL_LIFT_EVENTS,
         "pr_curve_events": SQL_PR_CURVE_EVENTS,
+        "seasonal_strength_events": SQL_SEASONAL_STRENGTH_EVENTS,
     }

@@ -3082,3 +3082,102 @@ def sprt_monitor(
             F.col("decided_bucket").cast("long").alias("decided_bucket"),
         )
     )
+
+
+# --------------------------------------------------- seasonal strength
+
+def seasonal_strength(
+    df: DataFrame,
+    time_col: str,
+    group_cols: Sequence[str],
+    bucket_seconds: int = 3600,
+    season: int = 24,
+) -> DataFrame:
+    """Forecast-error seasonality strength per group: over the
+    bucketed volume series, compare the SEASONAL-naive forecast
+    (bucket t predicted by bucket t−season) against the plain naive
+    one (predicted by t−1):
+
+        strength = 1 − MAE_seasonal / MAE_naive
+
+    (the M4-competition-style relative-MAE framing; public). Positive
+    means yesterday-same-hour beats the-previous-hour — real,
+    exploitable seasonality that volume monitors must deseasonalize
+    before alerting; ~0 means no daily shape; negative means the
+    series is dominated by short-term momentum. This single number
+    decides whether seasonal_volume_anomalies' phase-median model is
+    the right alarm for a stream.
+
+    Exact arithmetic: bucket counts are integers, both MAEs are sums
+    of integer absolute differences over EXPLICIT lag joins (a bucket
+    missing its lag contributes to neither sum — the pair counts are
+    emitted), and the one division at the end makes the statistic
+    bit-identical cross-engine. One corpus-sized groupBy to the
+    series; two series-sized self-joins.
+
+    Output per group: ``group_cols..., n_naive_pairs,
+    n_seasonal_pairs, mae_naive, mae_seasonal, strength`` (MAEs as
+    exact ratios of BIGINT sums; NULL strength when either pair set
+    is empty or MAE_naive is 0).
+    """
+    if int(season) < 2:
+        raise ValueError(f"seasonal_strength: season must be >= 2, got {season}")
+    if int(bucket_seconds) < 1:
+        raise ValueError(
+            f"seasonal_strength: bucket_seconds must be >= 1, got {bucket_seconds}"
+        )
+    for c in (time_col, *group_cols):
+        if c not in df.columns:
+            raise ValueError(f"seasonal_strength: column {c!r} missing")
+    if not group_cols:
+        raise ValueError("seasonal_strength: group_cols must be non-empty")
+    t = F.floor(
+        F.unix_timestamp(F.col(time_col)) / F.lit(int(bucket_seconds))
+    ).alias("__t")
+    series = df.groupBy(*group_cols, t).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    gkeys = [F.col(c) for c in group_cols]
+
+    def lag_pairs(lag: int, tag: str) -> DataFrame:
+        cur = series.select(
+            *gkeys, F.col("__t"), F.col("__c").alias("__cur")
+        )
+        prev = series.select(
+            *gkeys,
+            (F.col("__t") + lag).alias("__t"),
+            F.col("__c").alias("__prev"),
+        )
+        return (
+            cur.join(prev, [*group_cols, "__t"])
+            .groupBy(*group_cols)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(f"n_{tag}_pairs"),
+                F.sum(F.abs(F.col("__cur") - F.col("__prev")))
+                .cast("long")
+                .alias(f"__ae_{tag}"),
+            )
+        )
+    naive = lag_pairs(1, "naive")
+    seas = lag_pairs(int(season), "seasonal")
+    j = naive.join(seas, list(group_cols), "outer")
+    mae_n = F.when(
+        F.col("n_naive_pairs") > 0,
+        F.col("__ae_naive").cast("double") / F.col("n_naive_pairs").cast("double"),
+    )
+    mae_s = F.when(
+        F.col("n_seasonal_pairs") > 0,
+        F.col("__ae_seasonal").cast("double")
+        / F.col("n_seasonal_pairs").cast("double"),
+    )
+    return j.select(
+        *group_cols,
+        "n_naive_pairs",
+        "n_seasonal_pairs",
+        mae_n.alias("mae_naive"),
+        mae_s.alias("mae_seasonal"),
+        F.when(
+            mae_n.isNotNull() & mae_s.isNotNull() & (mae_n > 0),
+            F.lit(1.0) - mae_s / mae_n,
+        ).alias("strength"),
+    )

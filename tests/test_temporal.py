@@ -1118,3 +1118,44 @@ def test_sprt_monitor_validates_args(spark):
         sprt_monitor(df, "ts", [], p, p0=0.1, p1=0.5)
     with pytest.raises(ValueError, match="missing"):
         sprt_monitor(df, "when", ["grp"], p, p0=0.1, p1=0.5)
+
+
+def test_seasonal_strength_planted_daily_shape(spark):
+    """A perfect 4-hour-period series repeated over days: with
+    season=4 the seasonal-naive error is 0 -> strength exactly 1;
+    with season=3 (wrong period) the seasonal error is comparable to
+    naive -> strength collapses toward 0 instead of 1."""
+    import datetime as dt
+
+    from pandera_forge_spark.operators.temporal import seasonal_strength
+
+    base = dt.datetime(2024, 1, 1)
+    pattern = [2, 8, 3, 5]
+    rows = []
+    for h in range(24):
+        rows += [("s", base + dt.timedelta(hours=h), 1)] * pattern[h % 4]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, x int")
+    r = seasonal_strength(df, "ts", ["grp"], season=4).collect()[0]
+    assert r.n_seasonal_pairs == 20 and r.mae_seasonal == 0.0
+    assert r.strength == 1.0
+    r3 = seasonal_strength(df, "ts", ["grp"], season=3).collect()[0]
+    assert r3.strength < 0.2
+
+
+def test_seasonal_strength_degenerate_and_fences(spark):
+    import datetime as dt
+
+    import pytest
+
+    from pandera_forge_spark.operators.temporal import seasonal_strength
+
+    base = dt.datetime(2024, 1, 1)
+    # constant series: MAE_naive = 0 -> NULL strength, loudly
+    rows = [("c", base + dt.timedelta(hours=h), 1) for h in range(30)]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, x int")
+    r = seasonal_strength(df, "ts", ["grp"], season=24).collect()[0]
+    assert r.mae_naive == 0.0 and r.strength is None
+    with pytest.raises(ValueError, match="season"):
+        seasonal_strength(df, "ts", ["grp"], season=1)
+    with pytest.raises(ValueError, match="group_cols"):
+        seasonal_strength(df, "ts", [])
