@@ -10827,6 +10827,71 @@ ORDER BY event_type, event_id
 """
 
 
+def q_jsd_sources(spark, sf_dir):
+    """Corpus-divergence matrix (operators/text.py jsd_matrix):
+    pairwise Jensen-Shannon divergence between sources over the
+    corpus top-100 token distribution + '__rest' bucket — the
+    numeric which-scrapers-speak-alike matrix. The oracle replays the
+    election, the complete cell grid, and the 0·ln0 JSD fold (ROUND
+    6)."""
+    from pandera_forge_spark.operators.text import jsd_matrix
+
+    docs = _t(spark, sf_dir, "documents")
+    out = jsd_matrix(docs, "text", "source", vocab_k=100)
+    return out.select(
+        "group_a", "group_b", F.round("jsd", 6).alias("jsd")
+    ).orderBy("group_a", "group_b")
+
+
+SQL_JSD_SOURCES = r"""
+WITH toks AS (
+  SELECT source AS g,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+census AS (SELECT g, t, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+gcount AS (SELECT t, SUM(c) AS gc FROM census GROUP BY 1),
+vocab AS (
+  SELECT t FROM (
+    SELECT t, ROW_NUMBER() OVER (ORDER BY gc DESC, t ASC) AS rk FROM gcount
+  ) WHERE rk <= 100
+),
+tagged AS (
+  SELECT g,
+         CASE WHEN t IN (SELECT t FROM vocab) THEN t
+              ELSE '__rest' END AS cell,
+         c
+  FROM census
+),
+cells AS (SELECT g, cell, SUM(c) AS c FROM tagged GROUP BY 1, 2),
+totals AS (SELECT g, SUM(c) AS n FROM cells GROUP BY 1),
+dist AS (
+  SELECT cells.g, cells.cell,
+         CAST(cells.c AS DOUBLE) / CAST(t.n AS DOUBLE) AS p
+  FROM cells JOIN totals t ON cells.g = t.g
+),
+univ AS (SELECT t AS cell FROM vocab UNION ALL SELECT '__rest'),
+grid AS (SELECT DISTINCT d.g, u.cell FROM dist d, univ u),
+fullp AS (
+  SELECT grid.g, grid.cell, COALESCE(d.p, 0.0) AS p
+  FROM grid LEFT JOIN dist d ON grid.g = d.g AND grid.cell = d.cell
+),
+joined AS (
+  SELECT a.g AS group_a, b.g AS group_b, a.p AS pa, b.p AS pb
+  FROM fullp a JOIN fullp b ON a.cell = b.cell AND a.g < b.g
+)
+SELECT group_a, group_b,
+       ROUND(SUM(
+         (CASE WHEN pa > 0
+               THEN pa * (LN(pa) - LN((pa + pb) / 2.0)) ELSE 0.0 END)
+         + (CASE WHEN pb > 0
+                 THEN pb * (LN(pb) - LN((pa + pb) / 2.0)) ELSE 0.0 END)
+       ) / 2.0, 6) AS jsd
+FROM joined GROUP BY 1, 2 ORDER BY group_a, group_b
+"""
+
+
 def q_seasonal_strength_events(spark, sf_dir):
     """Seasonality strength (operators/temporal.py seasonal_strength):
     per event_type, is yesterday-same-hour a better volume forecast
@@ -13714,6 +13779,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # constant-series pytests; exact integers so every column
         # ships raw), strict sweep green at BOTH SFs ---------------------------
         "seasonal_strength_events": q_seasonal_strength_events,
+        # jsd_sources: this-session tail row; the census + top-k
+        # election is the vocab_coverage kernel — the new part is the
+        # complete-grid pairwise JSD fold (identical/disjoint/mixed
+        # hand-computed, __rest-bucket, fence pytests), strict sweep
+        # green at BOTH SFs -----------------------------------------------------
+        "jsd_sources": q_jsd_sources,
     }
 
 
@@ -13976,4 +14047,5 @@ def oracle_sql() -> dict[str, str]:
         "lift_events": SQL_LIFT_EVENTS,
         "pr_curve_events": SQL_PR_CURVE_EVENTS,
         "seasonal_strength_events": SQL_SEASONAL_STRENGTH_EVENTS,
+        "jsd_sources": SQL_JSD_SOURCES,
     }

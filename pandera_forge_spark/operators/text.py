@@ -1698,3 +1698,110 @@ def keyness_by_group(
             "rank",
         )
     )
+
+
+# -------------------------------------------------------- JSD matrix
+
+def jsd_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    vocab_k: int = 200,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between groups over their
+    token distributions (public information theory; symmetric,
+    bounded by ln 2) — the corpus-divergence MATRIX: which scrapers /
+    sources / snapshots speak the same language, numerically. Keyness
+    names the tokens that differ; JSD says how far apart two whole
+    distributions are, which is what mixture design and
+    source-dedup prioritization actually consume.
+
+    The distributions are projected onto the corpus-wide
+    top-``vocab_k`` tokens (deterministic count-desc/token-asc
+    election, the vocab_coverage kernel) plus ONE '__rest' bucket
+    holding each group's remaining mass — so every group's
+    distribution has exactly vocab_k+1 cells, missing cells count 0,
+    and the matrix is comparable across pairs. With q_i = (p_ai +
+    p_bi)/2:
+
+        JSD = Σ_i [ p_ai·ln(p_ai/q_i) + p_bi·ln(p_bi/q_i) ] / 2
+
+    (0·ln0 = 0). Probabilities are single integer divisions; the ln
+    fold follows the ROUND-6 comparison convention.
+
+    Scale shape: one corpus-sized explode + census; a census-sized
+    top-k election (single ordered window over distinct tokens, said
+    out loud); per-group cell rollup is (groups × vocab_k)-sized, and
+    the pairwise join is over THAT frame — groups², never corpus².
+
+    Output per unordered pair: ``group_a, group_b, jsd``.
+    """
+    if int(vocab_k) < 1:
+        raise ValueError(f"jsd_matrix: vocab_k must be >= 1, got {vocab_k}")
+    for c in (text_col, group_col):
+        if c not in df.columns:
+            raise ValueError(f"jsd_matrix: column {c!r} missing")
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(tokens(F.col(text_col))).alias("__t"),
+    ).where(F.col("__t") != "")
+    census = toks.groupBy("__g", "__t").agg(F.count(F.lit(1)).alias("__c"))
+    glob = census.groupBy("__t").agg(F.sum("__c").alias("__gc"))
+    w = Window.orderBy(F.col("__gc").desc(), F.col("__t").asc())
+    vocab = (
+        glob.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= int(vocab_k))
+        .select("__t")
+    )
+    tagged = census.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), "__t", "left"
+    ).select(
+        "__g",
+        F.when(F.col("__in") == 1, F.col("__t")).otherwise(
+            F.lit("__rest")
+        ).alias("__cell"),
+        "__c",
+    )
+    cells = tagged.groupBy("__g", "__cell").agg(F.sum("__c").alias("__c"))
+    totals = cells.groupBy("__g").agg(F.sum("__c").alias("__n"))
+    dist = cells.join(totals, "__g").select(
+        "__g",
+        "__cell",
+        (F.col("__c").cast("double") / F.col("__n").cast("double")).alias(
+            "__p"
+        ),
+    )
+    # complete (group × cell) grid: the cell universe is top-V +
+    # '__rest', so absent cells coalesce to probability 0 and every
+    # pair compares the SAME vocab_k+1 cells
+    cells_univ = vocab.select(F.col("__t").alias("__cell")).unionByName(
+        vocab.sparkSession.createDataFrame([("__rest",)], "__cell string")
+    )
+    groups = dist.select(F.col("__g")).distinct()
+    grid = groups.crossJoin(F.broadcast(cells_univ))
+    full = grid.join(dist, ["__g", "__cell"], "left").select(
+        "__g", "__cell", F.coalesce(F.col("__p"), F.lit(0.0)).alias("__p")
+    )
+    pa = full.select(
+        F.col("__g").alias("group_a"), "__cell", F.col("__p").alias("__pa")
+    )
+    pb = full.select(
+        F.col("__g").alias("group_b"), "__cell", F.col("__p").alias("__pb")
+    )
+    joined = pa.join(pb, "__cell").where(F.col("group_a") < F.col("group_b"))
+    m = (F.col("__pa") + F.col("__pb")) / F.lit(2.0)
+
+    def term(p):
+        return F.when(p > 0, p * (F.log(p) - F.log(m))).otherwise(F.lit(0.0))
+
+    return (
+        joined.groupBy("group_a", "group_b")
+        .agg(
+            (
+                F.sum(term(F.col("__pa")) + term(F.col("__pb")))
+                / F.lit(2.0)
+            ).alias("jsd")
+        )
+    )

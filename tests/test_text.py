@@ -1103,3 +1103,63 @@ def test_keyness_min_count_and_fences(spark):
         keyness_by_group(df, "text", "grp", top_k=0)
     with pytest.raises(ValueError, match="missing"):
         keyness_by_group(df, "body", "grp")
+
+
+def test_jsd_matrix_hand_computed(spark):
+    """Identical groups -> JSD 0; disjoint single-token groups ->
+    JSD = ln 2 exactly; a mixed pair replayed in python."""
+    import math
+
+    from pandera_forge_spark.operators.text import jsd_matrix
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x x y"),
+            ("b", "x x y"),
+            ("c", "z z z"),
+        ],
+        "src string, text string",
+    )
+    out = {(r.group_a, r.group_b): r.jsd for r in jsd_matrix(
+        df, "text", "src", vocab_k=10
+    ).collect()}
+    assert abs(out[("a", "b")]) < 1e-15
+    assert abs(out[("a", "c")] - math.log(2)) < 1e-12
+
+    def jsd(pd1, pd2):
+        cells = set(pd1) | set(pd2)
+        tot = 0.0
+        for c in cells:
+            p, q = pd1.get(c, 0.0), pd2.get(c, 0.0)
+            m = (p + q) / 2
+            if p > 0:
+                tot += p * (math.log(p) - math.log(m))
+            if q > 0:
+                tot += q * (math.log(q) - math.log(m))
+        return tot / 2
+
+    expect = jsd({"x": 2 / 3, "y": 1 / 3}, {"z": 1.0})
+    assert abs(out[("a", "c")] - expect) < 1e-12
+
+
+def test_jsd_matrix_rest_bucket_and_fences(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.text import jsd_matrix
+
+    # vocab_k=1 forces everything but the single top token into
+    # '__rest' — the matrix still compares complete distributions
+    df = spark.createDataFrame(
+        [("a", "top top odd1"), ("b", "top odd2 odd3")],
+        "src string, text string",
+    )
+    out = jsd_matrix(df, "text", "src", vocab_k=1).collect()
+    assert len(out) == 1
+    # a: top 2/3, rest 1/3; b: top 1/3, rest 2/3 -> symmetric, 0 < jsd < ln2
+    import math
+
+    assert 0 < out[0].jsd < math.log(2)
+    with pytest.raises(ValueError, match="vocab_k"):
+        jsd_matrix(df, "text", "src", vocab_k=0)
+    with pytest.raises(ValueError, match="missing"):
+        jsd_matrix(df, "body", "src")
