@@ -10827,6 +10827,72 @@ ORDER BY event_type, event_id
 """
 
 
+def q_cronbach_embeddings(spark, sf_dir):
+    """Cronbach's alpha (operators/labels.py cronbach_alpha) over the
+    first four embedding dimensions — the are-these-dimensions-
+    measuring-one-thing consistency read (a collapsed embedding space
+    drives alpha toward 1). Exact moment sums, population variances
+    (ROUND 6 — float sums over rows)."""
+    from pandera_forge_spark.operators.labels import cronbach_alpha
+
+    emb = _t(spark, sf_dir, "embeddings")
+    items = emb.select(
+        *[
+            F.element_at(F.col("embedding"), i + 1)
+            .cast("double")
+            .alias(f"d{i}")
+            for i in range(4)
+        ]
+    )
+    out = cronbach_alpha(items, ["d0", "d1", "d2", "d3"])
+    return out.select(
+        "n_rows",
+        "k_items",
+        F.round("sum_item_var", 6).alias("sum_item_var"),
+        F.round("total_var", 6).alias("total_var"),
+        F.round("alpha", 6).alias("alpha"),
+    )
+
+
+SQL_CRONBACH_EMBEDDINGS = r"""
+WITH items AS (
+  SELECT CAST(embedding[1] AS DOUBLE) AS d0,
+         CAST(embedding[2] AS DOUBLE) AS d1,
+         CAST(embedding[3] AS DOUBLE) AS d2,
+         CAST(embedding[4] AS DOUBLE) AS d3
+  FROM embeddings
+  WHERE embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL
+    AND embedding[3] IS NOT NULL AND embedding[4] IS NOT NULL
+),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         SUM(d0) AS s0, SUM(d0 * d0) AS ss0,
+         SUM(d1) AS s1, SUM(d1 * d1) AS ss1,
+         SUM(d2) AS s2, SUM(d2 * d2) AS ss2,
+         SUM(d3) AS s3, SUM(d3 * d3) AS ss3,
+         SUM(d0 + d1 + d2 + d3) AS st,
+         SUM((d0 + d1 + d2 + d3) * (d0 + d1 + d2 + d3)) AS sst
+  FROM items
+),
+vars AS (
+  SELECT n_rows,
+         (ss0 / n_rows - (s0 / n_rows) * (s0 / n_rows))
+         + (ss1 / n_rows - (s1 / n_rows) * (s1 / n_rows))
+         + (ss2 / n_rows - (s2 / n_rows) * (s2 / n_rows))
+         + (ss3 / n_rows - (s3 / n_rows) * (s3 / n_rows)) AS item_var,
+         sst / n_rows - (st / n_rows) * (st / n_rows) AS tot_var
+  FROM mo
+)
+SELECT n_rows, 4 AS k_items,
+       ROUND(item_var, 6) AS sum_item_var,
+       ROUND(tot_var, 6) AS total_var,
+       ROUND(CASE WHEN n_rows >= 2 AND tot_var > 0
+                  THEN (4.0 / 3.0) * (1.0 - item_var / tot_var) END,
+             6) AS alpha
+FROM vars
+"""
+
+
 def q_jsd_sources(spark, sf_dir):
     """Corpus-divergence matrix (operators/text.py jsd_matrix):
     pairwise Jensen-Shannon divergence between sources over the
@@ -13785,6 +13851,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hand-computed, __rest-bucket, fence pytests), strict sweep
         # green at BOTH SFs -----------------------------------------------------
         "jsd_sources": q_jsd_sources,
+        # cronbach_embeddings: this-session tail row; one fused
+        # moment aggregation (corr_lineitem kernel) — the new part is
+        # the item/total variance decomposition (python-replay,
+        # parallel-items, degenerate pytests), strict sweep green at
+        # BOTH SFs --------------------------------------------------------------
+        "cronbach_embeddings": q_cronbach_embeddings,
     }
 
 
@@ -14048,4 +14120,5 @@ def oracle_sql() -> dict[str, str]:
         "pr_curve_events": SQL_PR_CURVE_EVENTS,
         "seasonal_strength_events": SQL_SEASONAL_STRENGTH_EVENTS,
         "jsd_sources": SQL_JSD_SOURCES,
+        "cronbach_embeddings": SQL_CRONBACH_EMBEDDINGS,
     }

@@ -805,3 +805,69 @@ def pr_curve(
             F.lit(2.0) * prec * rec / (prec + rec),
         ).alias("f1"),
     ).orderBy("point")
+
+
+# ------------------------------------------------- cronbach's alpha
+
+def cronbach_alpha(df: DataFrame, item_cols) -> DataFrame:
+    """Cronbach's alpha (public: Cronbach 1951): internal consistency
+    of k parallel measurements of one construct,
+
+        alpha = k/(k−1) · (1 − Σ_i var(x_i) / var(Σ_i x_i))
+
+    — the "are these sub-scores measuring the same thing" number. In
+    a data pipeline it reads on composite quality scores (length /
+    stopword / punctuation sub-scores claiming one 'quality'
+    construct), on redundant sensor channels, and on embedding
+    dimensions suspected of collapse: alpha near 1 means the items
+    are interchangeable (and the composite is stable), near 0 means
+    the composite is averaging unrelated noise.
+
+    One fused aggregation pass: exact moment sums per item plus the
+    row-sum moments (the row sum is one fixed-order expression).
+    Population variances (the /n form). Listwise NULL drop — an
+    item missing on a row removes the row, so every variance sees
+    identical rows. Degenerate inputs (zero total variance, n < 2)
+    report NULL alpha loudly.
+
+    Output (single row): ``n_rows, k_items, sum_item_var, total_var,
+    alpha`` (float sums over rows — callers round at 6).
+    """
+    item_cols = list(item_cols)
+    if len(item_cols) < 2:
+        raise ValueError("cronbach_alpha: need at least 2 item columns")
+    for c in item_cols:
+        if c not in df.columns:
+            raise ValueError(f"cronbach_alpha: column {c!r} missing")
+    k = len(item_cols)
+    base = df.na.drop(subset=item_cols)
+    total = None
+    for c in item_cols:
+        v = F.col(c).cast("double")
+        total = v if total is None else total + v
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in item_cols:
+        v = F.col(c).cast("double")
+        aggs.append(F.sum(v).alias(f"__s_{c}"))
+        aggs.append(F.sum(v * v).alias(f"__ss_{c}"))
+    aggs.append(F.sum(total).alias("__st"))
+    aggs.append(F.sum(total * total).alias("__sst"))
+    mo = base.agg(*aggs)
+    n = F.col("n_rows").cast("double")
+    item_var = None
+    for c in item_cols:
+        vi = F.col(f"__ss_{c}") / n - (F.col(f"__s_{c}") / n) * (
+            F.col(f"__s_{c}") / n
+        )
+        item_var = vi if item_var is None else item_var + vi
+    tot_var = F.col("__sst") / n - (F.col("__st") / n) * (F.col("__st") / n)
+    return mo.select(
+        "n_rows",
+        F.lit(k).alias("k_items"),
+        item_var.alias("sum_item_var"),
+        tot_var.alias("total_var"),
+        F.when(
+            (F.col("n_rows") >= 2) & (tot_var > 0),
+            F.lit(float(k) / (k - 1)) * (F.lit(1.0) - item_var / tot_var),
+        ).alias("alpha"),
+    )

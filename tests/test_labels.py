@@ -1180,3 +1180,49 @@ def test_pr_curve_ties_and_fences(spark):
         pr_curve(df, "score", F.col("y") == 1, n_points=1)
     with pytest.raises(ValueError, match="missing"):
         pr_curve(df, "ghost", F.col("y") == 1)
+
+
+def test_cronbach_alpha_matches_reference(spark):
+    """Three correlated items replayed against a direct python
+    computation; perfectly parallel items -> alpha exactly 1."""
+    from pandera_forge_spark.operators.labels import cronbach_alpha
+
+    rows = [
+        (2.0, 3.0, 2.5), (4.0, 5.0, 4.5), (1.0, 1.5, 1.0),
+        (5.0, 4.5, 5.5), (3.0, 3.5, 3.0), (2.5, 2.0, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    r = cronbach_alpha(df, ["a", "b", "c"]).collect()[0]
+
+    import statistics
+
+    cols = list(zip(*rows))
+    n = len(rows)
+    pvar = lambda xs: statistics.pvariance(xs)  # noqa: E731
+    item = sum(pvar(c) for c in cols)
+    tot = pvar([sum(t) for t in rows])
+    expect = 3 / 2 * (1 - item / tot)
+    assert r.n_rows == n and r.k_items == 3
+    assert abs(r.alpha - expect) < 1e-9
+    # identical items -> item var k*v, total var k^2*v -> alpha 1
+    par = spark.createDataFrame(
+        [(v, v) for v in (1.0, 2.0, 5.0)], "a double, b double"
+    )
+    rp = cronbach_alpha(par, ["a", "b"]).collect()[0]
+    assert abs(rp.alpha - 1.0) < 1e-12
+
+
+def test_cronbach_alpha_degenerate_and_fences(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.labels import cronbach_alpha
+
+    const = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 1.0)], "a double, b double"
+    )
+    r = cronbach_alpha(const, ["a", "b"]).collect()[0]
+    assert r.alpha is None and r.total_var == 0.0
+    with pytest.raises(ValueError, match="at least 2"):
+        cronbach_alpha(const, ["a"])
+    with pytest.raises(ValueError, match="missing"):
+        cronbach_alpha(const, ["a", "ghost"])
