@@ -10827,6 +10827,64 @@ ORDER BY event_type, event_id
 """
 
 
+def q_jackknife_events(spark, sf_dir):
+    """Delete-one-day jackknife SE (profiler.jackknife_ratio) for the
+    P(value>100) rate over the 30 daily folds — error bars on a
+    dashboard rate for the price of one groupBy, no bootstrap
+    explode. The oracle replays the per-fold sums, leave-one-out
+    ratios, and the (k-1)/k spread (ROUND 6)."""
+    from pandera_forge_spark.profiler import jackknife_ratio
+
+    ev = _t(spark, sf_dir, "events")
+    out = jackknife_ratio(
+        ev,
+        (F.col("value") > 100).cast("long"),
+        F.lit(1),
+        F.to_date("ts"),
+    )
+    return out.select(
+        "n_folds",
+        "n_zero_folds",
+        F.round("ratio", 6).alias("ratio"),
+        F.round("se", 6).alias("se"),
+    )
+
+
+SQL_JACKKNIFE_EVENTS = r"""
+WITH sums AS (
+  SELECT CAST(ts AS DATE) AS f,
+         SUM(CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END) AS sn,
+         SUM(1.0) AS sd
+  FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(sn) AS tn, SUM(sd) AS td FROM sums),
+loo AS (
+  SELECT s.sn, s.sd,
+         CASE WHEN t.td - s.sd <> 0
+              THEN (t.tn - s.sn) / (t.td - s.sd) END AS r,
+         t.tn, t.td
+  FROM sums s, tot t
+),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_folds,
+         CAST(SUM(CASE WHEN sd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_folds,
+         CAST(COUNT(r) AS BIGINT) AS k,
+         SUM(r) AS sr, SUM(r * r) AS srr,
+         MAX(tn) AS tn, MAX(td) AS td
+  FROM loo
+)
+SELECT n_folds, n_zero_folds,
+       ROUND(CASE WHEN td <> 0 THEN tn / td END, 6) AS ratio,
+       ROUND(CASE WHEN k >= 2
+                  AND (CAST(k AS DOUBLE) - 1) / CAST(k AS DOUBLE)
+                      * (srr - sr * sr / CAST(k AS DOUBLE)) >= 0
+             THEN SQRT((CAST(k AS DOUBLE) - 1) / CAST(k AS DOUBLE)
+                       * (srr - sr * sr / CAST(k AS DOUBLE))) END,
+             6) AS se
+FROM mo
+"""
+
+
 def q_cronbach_embeddings(spark, sf_dir):
     """Cronbach's alpha (operators/labels.py cronbach_alpha) over the
     first four embedding dimensions — the are-these-dimensions-
@@ -13857,6 +13915,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parallel-items, degenerate pytests), strict sweep green at
         # BOTH SFs --------------------------------------------------------------
         "cronbach_embeddings": q_cronbach_embeddings,
+        # jackknife_events: this-session tail row; one per-day groupBy
+        # + 1-row broadcast totals — the new part is the leave-one-out
+        # ratio spread (python-replay, zero-fold, single-fold
+        # pytests), strict sweep green at BOTH SFs -----------------------------
+        "jackknife_events": q_jackknife_events,
     }
 
 
@@ -14121,4 +14184,5 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_strength_events": SQL_SEASONAL_STRENGTH_EVENTS,
         "jsd_sources": SQL_JSD_SOURCES,
         "cronbach_embeddings": SQL_CRONBACH_EMBEDDINGS,
+        "jackknife_events": SQL_JACKKNIFE_EVENTS,
     }

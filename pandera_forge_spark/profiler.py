@@ -2803,3 +2803,71 @@ def chao1_estimate(
         F.col("f2").cast("long").alias("f2"),
         chao.alias("chao1"),
     )
+
+
+# ---------------------------------------------------- jackknife SE
+
+def jackknife_ratio(
+    df: DataFrame,
+    numerator,
+    denominator,
+    fold_col,
+) -> DataFrame:
+    """Delete-one-fold jackknife standard error for a RATIO metric
+    (public: Quenouille/Tukey): any rate or mean of the form
+    ``Σ num / Σ den`` gets an honest SE from the spread of its
+    leave-one-fold-out re-estimates,
+
+        SE² = (k−1)/k · Σ_f (r_(−f) − r̄)²
+
+    over the k folds (days, partitions, shards — whatever
+    ``fold_col`` names). The cheap companion to bootstrap_ci: no
+    replica explode, just ONE groupBy to per-fold sums and a
+    folds-sized pass — error bars on a dashboard rate for the price
+    of the aggregation you already ran. Ratio estimators are biased
+    and nonlinear, which is exactly the case where the naive binomial
+    SE lies and the jackknife does not.
+
+    Exact per-fold integer/float sums; the leave-one-out ratios and
+    moments are computed on the FOLDS-sized frame (one 1-row
+    broadcast of the totals). Folds with zero denominator are
+    excluded from the leave-out set (their removal does not move the
+    estimate), counted in ``n_zero_folds``. NULL SE when fewer than
+    2 usable folds.
+
+    Output (single row): ``n_folds, n_zero_folds, ratio, se``.
+    """
+    sums = df.groupBy(fold_col.alias("__f")).agg(
+        F.sum(numerator.cast("double")).alias("__sn"),
+        F.sum(denominator.cast("double")).alias("__sd"),
+    )
+    tot = sums.agg(
+        F.sum("__sn").alias("__tn"), F.sum("__sd").alias("__td")
+    )
+    loo = sums.crossJoin(F.broadcast(tot)).withColumn(
+        "__r",
+        F.when(
+            (F.col("__td") - F.col("__sd")) != 0,
+            (F.col("__tn") - F.col("__sn"))
+            / (F.col("__td") - F.col("__sd")),
+        ),
+    )
+    mo = loo.agg(
+        F.count(F.lit(1)).cast("long").alias("__k_all"),
+        F.sum((F.col("__sd") == 0).cast("long")).alias("n_zero_folds"),
+        F.count(F.col("__r")).cast("long").alias("__k"),
+        F.sum("__r").alias("__sr"),
+        F.sum(F.col("__r") * F.col("__r")).alias("__srr"),
+        F.max("__tn").alias("__tn"),
+        F.max("__td").alias("__td"),
+    )
+    k = F.col("__k").cast("double")
+    var = (k - 1) / k * (F.col("__srr") - F.col("__sr") * F.col("__sr") / k)
+    return mo.select(
+        F.col("__k_all").alias("n_folds"),
+        "n_zero_folds",
+        F.when(F.col("__td") != 0, F.col("__tn") / F.col("__td")).alias(
+            "ratio"
+        ),
+        F.when((F.col("__k") >= 2) & (var >= 0), F.sqrt(var)).alias("se"),
+    )

@@ -1164,3 +1164,48 @@ def test_chao1_groups_and_fences(spark):
     assert got["h"].n_rows == 1          # null dropped
     with pytest.raises(ValueError, match="missing"):
         chao1_estimate(df, "ghost")
+
+
+def test_jackknife_ratio_matches_python_reference(spark):
+    """Per-day conversion rate with 4 folds, replayed directly: the
+    leave-one-out ratios, their (k-1)/k spread, and the pooled ratio
+    all match; a zero-denominator fold is excluded and counted."""
+    import math
+
+    from pandera_forge_spark.profiler import jackknife_ratio
+
+    folds = {
+        "d1": (3.0, 10.0),
+        "d2": (5.0, 12.0),
+        "d3": (1.0, 8.0),
+        "d4": (4.0, 9.0),
+    }
+    rows = []
+    for f, (num, den) in folds.items():
+        rows.append((f, num, den))
+    df = spark.createDataFrame(rows, "f string, num double, den double")
+    r = jackknife_ratio(
+        df, F.col("num"), F.col("den"), F.col("f")
+    ).collect()[0]
+    tn = sum(v[0] for v in folds.values())
+    td = sum(v[1] for v in folds.values())
+    loos = [(tn - n) / (td - d) for n, d in folds.values()]
+    k = len(loos)
+    mean = sum(loos) / k
+    var = (k - 1) / k * sum((x - mean) ** 2 for x in loos)
+    assert r.n_folds == 4 and r.n_zero_folds == 0
+    assert abs(r.ratio - tn / td) < 1e-12
+    assert abs(r.se - math.sqrt(var)) < 1e-9
+    # a zero-denominator fold is excluded from the leave-out set
+    rows.append(("dz", 0.0, 0.0))
+    df2 = spark.createDataFrame(rows, "f string, num double, den double")
+    r2 = jackknife_ratio(df2, F.col("num"), F.col("den"), F.col("f")).collect()[0]
+    assert r2.n_zero_folds == 1 and abs(r2.ratio - tn / td) < 1e-12
+
+
+def test_jackknife_ratio_degenerate(spark):
+    from pandera_forge_spark.profiler import jackknife_ratio
+
+    one = spark.createDataFrame([("a", 1.0, 2.0)], "f string, n double, d double")
+    r = jackknife_ratio(one, F.col("n"), F.col("d"), F.col("f")).collect()[0]
+    assert r.se is None   # a single fold has no leave-out spread
