@@ -10827,6 +10827,62 @@ ORDER BY event_type, event_id
 """
 
 
+def q_fixed_width_roundtrip(spark, sf_dir):
+    """Fixed-width source round-trip (sources/readers.py
+    read_fixed_width): customer is written as rpad/concat fixed-width
+    text, read back with the pure-projection substring reader, and
+    rolled up per segment. The oracle computes the same rollup from
+    the table directly — green means read(write(x)) == x for every
+    key, segment, and balance (double repr round-trips exactly;
+    ROUND 6 on the float sum only)."""
+    import shutil
+    import tempfile
+
+    from pandera_forge_spark.sources.readers import read_fixed_width
+
+    cust = _t(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="pfs_fw_")
+    try:
+        line = F.concat(
+            F.rpad(F.col("c_custkey").cast("string"), 12, " "),
+            F.rpad(F.col("c_mktsegment"), 12, " "),
+            F.rpad(F.col("c_acctbal").cast("string"), 24, " "),
+        ).alias("value")
+        cust.select(line).write.mode("overwrite").text(root)
+        back = read_fixed_width(
+            spark,
+            root,
+            [
+                ("c_custkey", 1, 12, "long"),
+                ("c_mktsegment", 13, 12, "string"),
+                ("c_acctbal", 25, 24, "double"),
+            ],
+        )
+        agg = (
+            back.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("c_custkey").alias("sum_key"),
+                F.round(F.sum("c_acctbal"), 6).alias("sum_bal"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        rows = agg.collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "c_mktsegment string, n bigint, sum_key bigint, sum_bal double"
+    ).orderBy("c_mktsegment")
+
+
+SQL_FIXED_WIDTH_ROUNDTRIP = r"""
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+       ROUND(SUM(c_acctbal), 6) AS sum_bal
+FROM customer GROUP BY 1 ORDER BY c_mktsegment
+"""
+
+
 def q_jackknife_events(spark, sf_dir):
     """Delete-one-day jackknife SE (profiler.jackknife_ratio) for the
     P(value>100) rate over the 30 daily folds — error bars on a
@@ -13920,6 +13976,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ratio spread (python-replay, zero-fold, single-fold
         # pytests), strict sweep green at BOTH SFs -----------------------------
         "jackknife_events": q_jackknife_events,
+        # fixed_width_roundtrip: this-session tail row; the write-
+        # then-verify-own-storage shape is the time_travel_epochs
+        # pattern — the new part is the fixed-width reader itself
+        # (round-trip, try_cast-NULL, fence pytests), strict sweep
+        # green at BOTH SFs -----------------------------------------------------
+        "fixed_width_roundtrip": q_fixed_width_roundtrip,
     }
 
 
@@ -14185,4 +14247,5 @@ def oracle_sql() -> dict[str, str]:
         "jsd_sources": SQL_JSD_SOURCES,
         "cronbach_embeddings": SQL_CRONBACH_EMBEDDINGS,
         "jackknife_events": SQL_JACKKNIFE_EVENTS,
+        "fixed_width_roundtrip": SQL_FIXED_WIDTH_ROUNDTRIP,
     }

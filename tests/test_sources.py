@@ -442,3 +442,57 @@ def test_excel_date1904_epoch(spark, tmp_path):
     wb = read_workbook(str(path))
     # serial 61 under 1904: 1904-01-01 + 61 days = 1904-03-02
     assert wb["ledger"][2][2] == dt.datetime(1904, 3, 2)
+
+
+def test_read_fixed_width_roundtrip(spark, tmp_path):
+    """write(x) as rpad/concat fixed-width text, read back with
+    read_fixed_width: every column equal, padding trimmed, numerics
+    cast; an unparseable numeric lands NULL, loudly countable."""
+    from pandera_forge_spark.sources.readers import read_fixed_width
+
+    src = spark.createDataFrame(
+        [(1, "alpha", 3.5), (22, "bo b", -1.25), (333, "", 0.0)],
+        "id long, name string, score double",
+    )
+    line = F.concat(
+        F.rpad(F.col("id").cast("string"), 6, " "),
+        F.rpad(F.col("name"), 8, " "),
+        F.rpad(F.col("score").cast("string"), 10, " "),
+    ).alias("value")
+    out_dir = str(tmp_path / "fw")
+    src.select(line).coalesce(1).write.text(out_dir)
+    got = read_fixed_width(
+        spark,
+        out_dir,
+        [("id", 1, 6, "long"), ("name", 7, 8, "string"),
+         ("score", 15, 10, "double")],
+    )
+    rows = {r.id: (r.name, r.score) for r in got.collect()}
+    assert rows == {1: ("alpha", 3.5), 22: ("bo b", -1.25), 333: ("", 0.0)}
+    # no Python evaluation in the plan
+    from pandera_forge_spark.plans.inspect import has_python_udf
+
+    assert not has_python_udf(got)
+    # bad numeric -> NULL not crash
+    (tmp_path / "bad").mkdir()
+    (tmp_path / "bad" / "x.txt").write_text("oops  junk\n")
+    bad = read_fixed_width(
+        spark, str(tmp_path / "bad"), [("id", 1, 6, "long")]
+    ).collect()
+    assert bad[0].id is None
+
+
+def test_read_fixed_width_fences(spark):
+    import pytest
+
+    from pandera_forge_spark.sources.readers import read_fixed_width
+
+    with pytest.raises(ValueError, match="non-empty"):
+        read_fixed_width(spark, "/tmp/x", [])
+    with pytest.raises(ValueError, match="start"):
+        read_fixed_width(spark, "/tmp/x", [("a", 0, 3, "string")])
+    with pytest.raises(ValueError, match="duplicate"):
+        read_fixed_width(
+            spark, "/tmp/x",
+            [("a", 1, 3, "string"), ("a", 4, 3, "string")],
+        )
