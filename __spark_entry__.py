@@ -10827,6 +10827,65 @@ ORDER BY event_type, event_id
 """
 
 
+def q_cuped_events(spark, sf_dir):
+    """CUPED variance reduction (operators/sampling.py
+    cuped_summary): per-user post-period value total (days >= 16)
+    adjusted by the pre-period total (days <= 15) — how much metric
+    noise pre-period behaviour removes, i.e. how much smaller the
+    experiment gets. The oracle replays the per-user period sums and
+    the exact moment algebra (ROUND 6)."""
+    from pandera_forge_spark.operators.sampling import cuped_summary
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.dayofmonth("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(day >= 16, F.col("value")).otherwise(0.0)).alias("y"),
+        F.sum(F.when(day <= 15, F.col("value")).otherwise(0.0)).alias("x"),
+    )
+    out = cuped_summary(per_user, "y", "x")
+    return out.select(
+        "n_units",
+        F.round("theta", 6).alias("theta"),
+        F.round("mean_y", 6).alias("mean_y"),
+        F.round("var_y", 6).alias("var_y"),
+        F.round("var_adj", 6).alias("var_adj"),
+        F.round("reduction_pct", 6).alias("reduction_pct"),
+    )
+
+
+SQL_CUPED_EVENTS = r"""
+WITH per_user AS (
+  SELECT user_id,
+         SUM(CASE WHEN EXTRACT(DAY FROM ts) >= 16 THEN value ELSE 0.0 END) AS y,
+         SUM(CASE WHEN EXTRACT(DAY FROM ts) <= 15 THEN value ELSE 0.0 END) AS x
+  FROM events GROUP BY 1
+),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+         SUM(y) AS sy, SUM(x) AS sx,
+         SUM(y * y) AS syy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM per_user
+),
+calc AS (
+  SELECT n_units,
+         sy / n_units AS my, sx / n_units AS mx,
+         syy / n_units - (sy / n_units) * (sy / n_units) AS var_y,
+         sxx / n_units - (sx / n_units) * (sx / n_units) AS var_x,
+         sxy / n_units - (sx / n_units) * (sy / n_units) AS cov
+  FROM mo
+)
+SELECT n_units,
+       ROUND(CASE WHEN var_x > 0 THEN cov / var_x END, 6) AS theta,
+       ROUND(my, 6) AS mean_y,
+       ROUND(var_y, 6) AS var_y,
+       ROUND(CASE WHEN var_x > 0 THEN var_y - cov * cov / var_x END, 6) AS var_adj,
+       ROUND(CASE WHEN var_x > 0 AND var_y > 0
+                  THEN (var_y - (var_y - cov * cov / var_x)) / var_y * 100.0
+             END, 6) AS reduction_pct
+FROM calc
+"""
+
+
 def q_fixed_width_roundtrip(spark, sf_dir):
     """Fixed-width source round-trip (sources/readers.py
     read_fixed_width): customer is written as rpad/concat fixed-width
@@ -13982,6 +14041,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (round-trip, try_cast-NULL, fence pytests), strict sweep
         # green at BOTH SFs -----------------------------------------------------
         "fixed_width_roundtrip": q_fixed_width_roundtrip,
+        # cuped_events: this-session tail row; per-user period sums +
+        # the corr_lineitem moment kernel — the new part is the CUPED
+        # theta/variance-reduction algebra (perfect-linear and numpy-
+        # replay pytests, mean-preservation, degenerate-NULL), strict
+        # sweep green at BOTH SFs ----------------------------------------------
+        "cuped_events": q_cuped_events,
     }
 
 
@@ -14248,4 +14313,5 @@ def oracle_sql() -> dict[str, str]:
         "cronbach_embeddings": SQL_CRONBACH_EMBEDDINGS,
         "jackknife_events": SQL_JACKKNIFE_EVENTS,
         "fixed_width_roundtrip": SQL_FIXED_WIDTH_ROUNDTRIP,
+        "cuped_events": SQL_CUPED_EVENTS,
     }

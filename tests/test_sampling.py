@@ -792,3 +792,59 @@ def test_numeric_balance_hand_computed(spark):
         numeric_balance(df, "split", [])
     with pytest.raises(ValueError, match="missing"):
         numeric_balance(df, "split", ["ghost"])
+
+
+def test_cuped_summary_and_adjust_reference(spark):
+    """y perfectly linear in x: theta = slope, adjusted variance 0,
+    reduction 100%; a noisy case replayed against numpy moments; the
+    adjusted column's mean equals the raw mean."""
+    import numpy as np
+
+    from pandera_forge_spark.operators.sampling import (
+        cuped_adjust,
+        cuped_summary,
+    )
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    ys = [2 * v + 1 for v in xs]
+    df = spark.createDataFrame(list(zip(ys, xs)), "y double, x double")
+    r = cuped_summary(df, "y", "x").collect()[0]
+    assert abs(r.theta - 2.0) < 1e-9
+    assert abs(r.var_adj) < 1e-9 and abs(r.reduction_pct - 100.0) < 1e-6
+
+    ys2 = [3.0, 5.5, 6.0, 9.5, 10.0, 14.0]
+    df2 = spark.createDataFrame(list(zip(ys2, xs)), "y double, x double")
+    r2 = cuped_summary(df2, "y", "x").collect()[0]
+    X, Y = np.array(xs), np.array(ys2)
+    cov = ((X - X.mean()) * (Y - Y.mean())).mean()
+    theta = cov / X.var()
+    assert abs(r2.theta - theta) < 1e-9
+    assert abs(r2.var_adj - (Y.var() - cov ** 2 / X.var())) < 1e-9
+    adj = cuped_adjust(df2, "y", "x")
+    rows = adj.collect()
+    got_mean = sum(r["y_cuped"] for r in rows) / len(rows)
+    assert abs(got_mean - Y.mean()) < 1e-9
+    # adjusted values match the formula
+    for r in rows:
+        assert abs(r["y_cuped"] - (r["y"] - theta * (r["x"] - X.mean()))) < 1e-9
+
+
+def test_cuped_degenerate_and_fences(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.sampling import (
+        cuped_adjust,
+        cuped_summary,
+    )
+
+    const = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0)], "y double, x double"
+    )
+    r = cuped_summary(const, "y", "x").collect()[0]
+    assert r.theta is None and r.reduction_pct is None
+    adj = cuped_adjust(const, "y", "x").collect()
+    assert [a["y_cuped"] for a in adj] == [1.0, 2.0]  # no-op, not a crash
+    with pytest.raises(ValueError, match="missing"):
+        cuped_summary(const, "ghost", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        cuped_adjust(const, "y", "x", out_col="x")
