@@ -10827,6 +10827,75 @@ ORDER BY event_type, event_id
 """
 
 
+def q_did_events(spark, sf_dir):
+    """Difference-in-differences (operators/sampling.py
+    did_estimate): treated = even users, post = days >= 16, value as
+    the metric — the staged-rollout effect estimator with the
+    independent-cells SE. One fused conditional-moment aggregation;
+    the oracle replays all four cells and the fixed-order algebra
+    (ROUND 6)."""
+    from pandera_forge_spark.operators.sampling import did_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    out = did_estimate(
+        ev,
+        F.col("user_id") % 2 == 0,
+        F.dayofmonth("ts") >= 16,
+        "value",
+    )
+    return out.select(
+        "n_tp", "n_tc", "n_cp", "n_cc",
+        F.round("mean_tp", 6).alias("mean_tp"),
+        F.round("mean_tc", 6).alias("mean_tc"),
+        F.round("mean_cp", 6).alias("mean_cp"),
+        F.round("mean_cc", 6).alias("mean_cc"),
+        F.round("did", 6).alias("did"),
+        F.round("se", 6).alias("se"),
+    )
+
+
+SQL_DID_EVENTS = r"""
+WITH base AS (
+  SELECT value AS v,
+         user_id % 2 = 0 AS t,
+         EXTRACT(DAY FROM ts) >= 16 AS p
+  FROM events WHERE value IS NOT NULL
+),
+mo AS (
+  SELECT
+    CAST(SUM(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+    SUM(CASE WHEN t AND p THEN v END) AS s_tp,
+    SUM(CASE WHEN t AND p THEN v * v END) AS ss_tp,
+    CAST(SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_tc,
+    SUM(CASE WHEN t AND NOT p THEN v END) AS s_tc,
+    SUM(CASE WHEN t AND NOT p THEN v * v END) AS ss_tc,
+    CAST(SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+    SUM(CASE WHEN NOT t AND p THEN v END) AS s_cp,
+    SUM(CASE WHEN NOT t AND p THEN v * v END) AS ss_cp,
+    CAST(SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_cc,
+    SUM(CASE WHEN NOT t AND NOT p THEN v END) AS s_cc,
+    SUM(CASE WHEN NOT t AND NOT p THEN v * v END) AS ss_cc
+  FROM base
+)
+SELECT n_tp, n_tc, n_cp, n_cc,
+       ROUND(s_tp / n_tp, 6) AS mean_tp,
+       ROUND(s_tc / n_tc, 6) AS mean_tc,
+       ROUND(s_cp / n_cp, 6) AS mean_cp,
+       ROUND(s_cc / n_cc, 6) AS mean_cc,
+       ROUND(CASE WHEN n_tp > 0 AND n_tc > 0 AND n_cp > 0 AND n_cc > 0
+                  THEN (s_tp / n_tp - s_tc / n_tc)
+                       - (s_cp / n_cp - s_cc / n_cc) END, 6) AS did,
+       ROUND(CASE WHEN n_tp > 0 AND n_tc > 0 AND n_cp > 0 AND n_cc > 0
+                  THEN SQRT(
+                    (ss_tp / n_tp - (s_tp / n_tp) * (s_tp / n_tp)) / n_tp
+                  + (ss_tc / n_tc - (s_tc / n_tc) * (s_tc / n_tc)) / n_tc
+                  + (ss_cp / n_cp - (s_cp / n_cp) * (s_cp / n_cp)) / n_cp
+                  + (ss_cc / n_cc - (s_cc / n_cc) * (s_cc / n_cc)) / n_cc)
+             END, 6) AS se
+FROM mo
+"""
+
+
 def q_cuped_events(spark, sf_dir):
     """CUPED variance reduction (operators/sampling.py
     cuped_summary): per-user post-period value total (days >= 16)
@@ -14047,6 +14116,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replay pytests, mean-preservation, degenerate-NULL), strict
         # sweep green at BOTH SFs ----------------------------------------------
         "cuped_events": q_cuped_events,
+        # did_events: this-session tail row; the four-cell conditional
+        # moment fold is the corr/mcnemar kernel — the new part is the
+        # DiD estimate + independent-cells SE (hand-computed with
+        # statistics-replay, empty-cell pytests), strict sweep green
+        # at BOTH SFs -----------------------------------------------------------
+        "did_events": q_did_events,
     }
 
 
@@ -14314,4 +14389,5 @@ def oracle_sql() -> dict[str, str]:
         "jackknife_events": SQL_JACKKNIFE_EVENTS,
         "fixed_width_roundtrip": SQL_FIXED_WIDTH_ROUNDTRIP,
         "cuped_events": SQL_CUPED_EVENTS,
+        "did_events": SQL_DID_EVENTS,
     }

@@ -1252,3 +1252,78 @@ def cuped_adjust(
         )
         .drop("__theta", "__mx")
     )
+
+
+# ----------------------------------------------------------- DiD
+
+def did_estimate(
+    df: DataFrame,
+    treat_pred,
+    post_pred,
+    value_col: str,
+) -> DataFrame:
+    """Difference-in-differences (public econometrics): with the four
+    cell means over (treated?, post?),
+
+        DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)
+
+    — the effect estimate that survives a level difference between
+    the groups AND a common time trend, which is exactly the
+    situation every staged rollout and infra migration creates
+    (treated hosts were always different; everything drifted over
+    the window). The naive SE ships with it:
+    ``SE² = Σ_cells var_c/n_c`` (population variances — independent-
+    cells assumption, said out loud; cluster at the unit level with
+    jackknife_ratio over units when rows within a unit correlate).
+
+    One fused aggregation: exact conditional moment sums for the
+    four cells, every output a fixed-order expression. NULL values
+    drop; any empty cell reports NULL did/se loudly.
+
+    Output (single row): ``n_tp, n_tc, n_cp, n_cc, mean_tp, mean_tc,
+    mean_cp, mean_cc, did, se`` (t=treated/c=control × p=post/
+    c=pre).
+    """
+    if value_col not in df.columns:
+        raise ValueError(f"did_estimate: column {value_col!r} missing")
+    v = F.col(value_col).cast("double")
+    t = F.coalesce(treat_pred, F.lit(False))
+    p = F.coalesce(post_pred, F.lit(False))
+    base = df.where(v.isNotNull())
+    cells = {
+        "tp": t & p,
+        "tc": t & ~p,
+        "cp": ~t & p,
+        "cc": ~t & ~p,
+    }
+    aggs = []
+    for tag, cond in cells.items():
+        aggs += [
+            F.sum(cond.cast("long")).alias(f"n_{tag}"),
+            F.sum(F.when(cond, v)).alias(f"__s_{tag}"),
+            F.sum(F.when(cond, v * v)).alias(f"__ss_{tag}"),
+        ]
+    mo = base.agg(*aggs)
+    means, vars = {}, {}
+    for tag in cells:
+        n = F.col(f"n_{tag}").cast("double")
+        means[tag] = F.col(f"__s_{tag}") / n
+        vars[tag] = F.col(f"__ss_{tag}") / n - means[tag] * means[tag]
+    ok = None
+    for tag in cells:
+        c = F.col(f"n_{tag}") > 0
+        ok = c if ok is None else ok & c
+    did = F.when(
+        ok,
+        (means["tp"] - means["tc"]) - (means["cp"] - means["cc"]),
+    )
+    se2 = None
+    for tag in cells:
+        term = vars[tag] / F.col(f"n_{tag}").cast("double")
+        se2 = term if se2 is None else se2 + term
+    return mo.select(
+        *[F.col(f"n_{tag}") for tag in cells],
+        *[means[tag].alias(f"mean_{tag}") for tag in cells],
+        did.alias("did"),
+        F.when(ok & (se2 >= 0), F.sqrt(se2)).alias("se"),
+    )

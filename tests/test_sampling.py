@@ -848,3 +848,37 @@ def test_cuped_degenerate_and_fences(spark):
         cuped_summary(const, "ghost", "x")
     with pytest.raises(ValueError, match="already exists"):
         cuped_adjust(const, "y", "x", out_col="x")
+
+
+def test_did_estimate_hand_computed(spark):
+    """Control rises 1 -> 2; treated rises 10 -> 15 on top of its own
+    level: DiD = (15-10) - (2-1) = 4 exactly; SE replayed from the
+    four cell variances; an empty cell -> NULL, loudly."""
+    import math
+
+    from pandera_forge_spark.operators.sampling import did_estimate
+
+    rows = []
+    rows += [(1, 0, v) for v in (9.0, 10.0, 11.0)]     # treated pre
+    rows += [(1, 1, v) for v in (14.0, 15.0, 16.0)]    # treated post
+    rows += [(0, 0, v) for v in (0.5, 1.0, 1.5)]       # control pre
+    rows += [(0, 1, v) for v in (1.5, 2.0, 2.5)]       # control post
+    df = spark.createDataFrame(rows, "t int, p int, y double")
+    r = did_estimate(
+        df, F.col("t") == 1, F.col("p") == 1, "y"
+    ).collect()[0]
+    assert (r.n_tp, r.n_tc, r.n_cp, r.n_cc) == (3, 3, 3, 3)
+    assert abs(r.did - 4.0) < 1e-12
+    import statistics
+
+    cells = {
+        "tp": [14.0, 15.0, 16.0], "tc": [9.0, 10.0, 11.0],
+        "cp": [1.5, 2.0, 2.5], "cc": [0.5, 1.0, 1.5],
+    }
+    se = math.sqrt(sum(statistics.pvariance(v) / 3 for v in cells.values()))
+    assert abs(r.se - se) < 1e-12
+    empty = df.where(~((F.col("t") == 1) & (F.col("p") == 1)))
+    r2 = did_estimate(
+        empty, F.col("t") == 1, F.col("p") == 1, "y"
+    ).collect()[0]
+    assert r2.did is None and r2.n_tp == 0
