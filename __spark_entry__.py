@@ -10827,6 +10827,71 @@ ORDER BY event_type, event_id
 """
 
 
+def q_eb_rates_events(spark, sf_dir):
+    """Empirical-Bayes rate shrinkage (drift.eb_shrink_rates): the
+    P(value>100) rate per (event_type, user bucket) slice, stabilized
+    by a Beta prior fitted to the fleet's own rates — small slices
+    stop screaming. The oracle replays the slice census, the
+    method-of-moments fit, and the posterior means with identical
+    expression order (ROUND 6 — across-slice float moments)."""
+    from pandera_forge_spark.drift import eb_shrink_rates
+
+    ev = _t(spark, sf_dir, "events")
+    sliced = ev.select(
+        "event_type", (F.col("user_id") % 16).alias("bucket"), "value"
+    )
+    out = eb_shrink_rates(
+        sliced, F.col("value") > 100, ["event_type", "bucket"]
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        "n",
+        "x",
+        F.round("raw_rate", 6).alias("raw_rate"),
+        F.round("alpha", 6).alias("alpha"),
+        F.round("beta", 6).alias("beta"),
+        F.round("shrunk_rate", 6).alias("shrunk_rate"),
+    ).orderBy("event_type", "bucket")
+
+
+SQL_EB_RATES_EVENTS = r"""
+WITH slices AS (
+  SELECT event_type, user_id % 16 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+rated AS (
+  SELECT *, CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate FROM slices
+),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         AVG(raw_rate) AS m,
+         SUM(raw_rate * raw_rate) / CAST(COUNT(*) AS DOUBLE) AS m2
+  FROM rated
+),
+prior AS (
+  SELECT CASE WHEN k >= 2 AND m2 - m * m > 0
+                   AND m2 - m * m < m * (1 - m)
+              THEN m * (m * (1 - m) / (m2 - m * m) - 1) END AS alpha,
+         CASE WHEN k >= 2 AND m2 - m * m > 0
+                   AND m2 - m * m < m * (1 - m)
+              THEN (1 - m) * (m * (1 - m) / (m2 - m * m) - 1) END AS beta
+  FROM mo
+)
+SELECT r.event_type, r.bucket, r.n, r.x,
+       ROUND(r.raw_rate, 6) AS raw_rate,
+       ROUND(p.alpha, 6) AS alpha,
+       ROUND(p.beta, 6) AS beta,
+       ROUND(CASE WHEN p.alpha IS NOT NULL
+                  THEN (CAST(r.x AS DOUBLE) + p.alpha)
+                       / (CAST(r.n AS DOUBLE) + p.alpha + p.beta) END,
+             6) AS shrunk_rate
+FROM rated r, prior p ORDER BY r.event_type, r.bucket
+"""
+
+
 def q_did_events(spark, sf_dir):
     """Difference-in-differences (operators/sampling.py
     did_estimate): treated = even users, post = days >= 16, value as
@@ -14122,6 +14187,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # statistics-replay, empty-cell pytests), strict sweep green
         # at BOTH SFs -----------------------------------------------------------
         "did_events": q_did_events,
+        # eb_rates_events: this-session tail row; slice census +
+        # 1-row broadcast prior — the new part is the method-of-
+        # moments Beta fit and posterior means (python-replay,
+        # zero-variance-NULL, fence pytests), strict sweep green at
+        # BOTH SFs --------------------------------------------------------------
+        "eb_rates_events": q_eb_rates_events,
     }
 
 
@@ -14390,4 +14461,5 @@ def oracle_sql() -> dict[str, str]:
         "fixed_width_roundtrip": SQL_FIXED_WIDTH_ROUNDTRIP,
         "cuped_events": SQL_CUPED_EVENTS,
         "did_events": SQL_DID_EVENTS,
+        "eb_rates_events": SQL_EB_RATES_EVENTS,
     }

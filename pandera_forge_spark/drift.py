@@ -865,3 +865,85 @@ def attach_importance_weights(
         "__bin",
         "left",
     ).drop("__bin")
+
+
+# --------------------------------------------- empirical-Bayes rates
+
+def eb_shrink_rates(
+    df: DataFrame,
+    success_pred: Column,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-slice rates (public: beta-
+    binomial with method-of-moments, the baseball-batting-average
+    classic): fit one Beta(α, β) prior to the observed slice rates,
+
+        α+β = m·(1−m)/v − 1,   α = m·(α+β)
+
+    (m, v = mean and population variance of the raw rates across
+    slices), then report every slice's posterior-mean rate
+    ``(x + α)/(n + α + β)``. The 2-of-3-rows slice stops screaming
+    100% while big slices barely move — THE fix for small-slice rate
+    panic in validation dashboards, with the prior learned from the
+    fleet itself rather than hand-tuned.
+
+    Scale shape: one corpus-sized groupBy to per-slice (n, x); the
+    prior fit is one aggregate over the SLICES-sized frame (unweighted
+    across slices — each slice is one observation of "a rate", said
+    out loud), broadcast back as a 1-row frame. Degenerate fits
+    (fewer than 2 slices, zero variance, or v >= m(1−m) — overdispersed
+    beyond what a Beta can express) report NULL shrunk rates loudly
+    and keep the raw ones. NULL success values count as failure.
+
+    Output per slice: ``group_cols..., n, x, raw_rate, alpha, beta,
+    shrunk_rate`` (rates are single divisions; α/β carry the
+    across-slice float moments — callers round at 6).
+    """
+    if not group_cols:
+        raise ValueError("eb_shrink_rates: group_cols must be non-empty")
+    for c in group_cols:
+        if c not in df.columns:
+            raise ValueError(f"eb_shrink_rates: group column {c!r} missing")
+    s = F.coalesce(success_pred, F.lit(False))
+    slices = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(s.cast("long")).alias("x"),
+    )
+    rated = slices.withColumn(
+        "raw_rate", F.col("x").cast("double") / F.col("n").cast("double")
+    )
+    mo = rated.agg(
+        F.count(F.lit(1)).cast("long").alias("__k"),
+        F.avg("raw_rate").alias("__m"),
+        (
+            F.sum(F.col("raw_rate") * F.col("raw_rate"))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__m2"),
+    )
+    m = F.col("__m")
+    v = F.col("__m2") - m * m
+    ab = F.when(
+        (F.col("__k") >= 2) & (v > 0) & (v < m * (1 - m)),
+        m * (1 - m) / v - 1,
+    )
+    prior = mo.select(
+        (m * ab).alias("alpha"),
+        ((1 - m) * ab).alias("beta"),
+    )
+    return rated.crossJoin(F.broadcast(prior)).select(
+        *group_cols,
+        "n",
+        "x",
+        "raw_rate",
+        "alpha",
+        "beta",
+        F.when(
+            F.col("alpha").isNotNull(),
+            (F.col("x").cast("double") + F.col("alpha"))
+            / (
+                F.col("n").cast("double")
+                + F.col("alpha")
+                + F.col("beta")
+            ),
+        ).alias("shrunk_rate"),
+    )

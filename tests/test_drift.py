@@ -635,3 +635,58 @@ def test_importance_weights_clip_and_nulls(spark):
         importance_weight_bins(source, "x", base, clip=0)
     with _pt.raises(ValueError, match="already exists"):
         attach_importance_weights(source, "x", base, out_col="x")
+
+
+def test_eb_shrink_rates_reference_and_direction(spark):
+    """Hand-built slices replayed in python: MoM prior, posterior
+    means; the tiny 1/1=100% slice shrinks far toward the fleet mean,
+    the big slice barely moves; order between raw and shrunk flips
+    exactly as the posterior predicts."""
+    from pandera_forge_spark.drift import eb_shrink_rates
+
+    slices = {"a": (100, 30), "b": (80, 20), "c": (120, 42), "d": (1, 1)}
+    rows = []
+    for g, (n, x) in slices.items():
+        rows += [(g, 1)] * x + [(g, 0)] * (n - x)
+    df = spark.createDataFrame(rows, "grp string, ok int")
+    got = {r.grp: r for r in eb_shrink_rates(
+        df, F.col("ok") == 1, ["grp"]
+    ).collect()}
+
+    rates = [x / n for n, x in slices.values()]
+    k = len(rates)
+    m = sum(rates) / k
+    m2 = sum(r * r for r in rates) / k
+    v = m2 - m * m
+    ab = m * (1 - m) / v - 1
+    alpha, beta = m * ab, (1 - m) * ab
+    for g, (n, x) in slices.items():
+        expect = (x + alpha) / (n + ab)
+        assert abs(got[g].shrunk_rate - expect) < 1e-9
+        assert abs(got[g].alpha - alpha) < 1e-9
+    # the 100% slice is pulled well below 1 (the 1-row slice itself
+    # inflates the across-slice variance, so the fitted prior is weak
+    # — the shrinkage direction, not its final value, is the contract)
+    assert got["d"].raw_rate == 1.0 and got["d"].shrunk_rate < 0.75
+    # a big slice barely moves
+    assert abs(got["a"].shrunk_rate - 0.3) < 0.02
+
+
+def test_eb_shrink_rates_degenerate_and_fences(spark):
+    import pytest
+
+    from pandera_forge_spark.drift import eb_shrink_rates
+
+    same = spark.createDataFrame(
+        [("a", 1), ("a", 0), ("b", 1), ("b", 0)], "grp string, ok int"
+    )
+    out = {r.grp: r for r in eb_shrink_rates(
+        same, F.col("ok") == 1, ["grp"]
+    ).collect()}
+    # zero across-slice variance -> NULL shrunk, raw kept
+    assert all(r.shrunk_rate is None and r.raw_rate == 0.5
+               for r in out.values())
+    with pytest.raises(ValueError, match="group_cols"):
+        eb_shrink_rates(same, F.col("ok") == 1, [])
+    with pytest.raises(ValueError, match="missing"):
+        eb_shrink_rates(same, F.col("ok") == 1, ["ghost"])
