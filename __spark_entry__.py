@@ -10827,6 +10827,47 @@ ORDER BY event_type, event_id
 """
 
 
+def q_hashed_bow_cells(spark, sf_dir):
+    """Feature hashing (operators/text.py hashed_bow): the 256-cell
+    hashed bag-of-words over documents, rolled up per cell — total
+    weight and document frequency per cell, the collision-load
+    profile that sizes ``dim``. The oracle replays the md5-prefix
+    bucket arithmetic token for token (the reason the hash is md5,
+    not xxhash64)."""
+    from pandera_forge_spark.operators.text import hashed_bow
+
+    docs = _t(spark, sf_dir, "documents")
+    bow = hashed_bow(docs, dim=256)
+    return (
+        bow.groupBy("cell")
+        .agg(
+            F.sum("weight").alias("total_weight"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("cell")
+    )
+
+
+SQL_HASHED_BOW_CELLS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+cells AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t), 1, 8))::UBIGINT % 256 AS cell,
+         COUNT(*) AS w
+  FROM toks GROUP BY 1, 2
+)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(SUM(w) AS BIGINT) AS total_weight,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM cells GROUP BY 1 ORDER BY cell
+"""
+
+
 def q_eb_rates_events(spark, sf_dir):
     """Empirical-Bayes rate shrinkage (drift.eb_shrink_rates): the
     P(value>100) rate per (event_type, user bucket) slice, stabilized
@@ -14193,6 +14234,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # zero-variance-NULL, fence pytests), strict sweep green at
         # BOTH SFs --------------------------------------------------------------
         "eb_rates_events": q_eb_rates_events,
+        # hashed_bow_cells: this-session tail row; the md5-prefix
+        # arithmetic is the sampler family's engine-replayable hash —
+        # the new part is the hashing-trick cell assignment (hashlib
+        # replay pytest), strict sweep green at BOTH SFs -----------------------
+        "hashed_bow_cells": q_hashed_bow_cells,
     }
 
 
@@ -14462,4 +14508,5 @@ def oracle_sql() -> dict[str, str]:
         "cuped_events": SQL_CUPED_EVENTS,
         "did_events": SQL_DID_EVENTS,
         "eb_rates_events": SQL_EB_RATES_EVENTS,
+        "hashed_bow_cells": SQL_HASHED_BOW_CELLS,
     }

@@ -1805,3 +1805,49 @@ def jsd_matrix(
             ).alias("jsd")
         )
     )
+
+
+# ---------------------------------------------------- feature hashing
+
+def hashed_bow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+) -> DataFrame:
+    """Feature hashing (the hashing trick — public: Weinberger et al.
+    2009): each document's token counts land in a fixed-``dim``
+    vector by hashing tokens to cells, no vocabulary table, no
+    fitting, no driver state — the preprocessing that makes linear
+    models and cheap similarity work at 10^12 docs where a fitted
+    vocabulary cannot even be collected. Collisions are the accepted
+    tax; dim trades them against memory.
+
+    The bucket hash is md5-prefix arithmetic (``conv(substr(md5(t),
+    1, 8), 16, 10) % dim``) — deliberately NOT xxhash64: md5 exists
+    bit-identically in DuckDB/Python/everywhere, so the vectors are
+    engine-replayable, the package's determinism contract for
+    anything an oracle must rebuild.
+
+    Output is LONG form — ``id, cell, weight`` (count per occupied
+    cell) — the shape sparse consumers actually want; pivot to a
+    dense array only at the model boundary. One explode + one
+    (id, cell) groupBy; census-free, scales as a plain aggregation.
+    """
+    if int(dim) < 2:
+        raise ValueError(f"hashed_bow: dim must be >= 2, got {dim}")
+    for c in (text_col, id_col):
+        if c not in df.columns:
+            raise ValueError(f"hashed_bow: column {c!r} missing")
+    toks = df.select(
+        F.col(id_col).alias(id_col),
+        F.explode(tokens(F.col(text_col))).alias("__t"),
+    ).where(F.col("__t") != "")
+    cell = F.pmod(
+        F.conv(F.substring(F.md5(F.col("__t")), 1, 8), 16, 10).cast("long"),
+        F.lit(int(dim)),
+    )
+    return (
+        toks.groupBy(id_col, cell.alias("cell"))
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )

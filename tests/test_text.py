@@ -1163,3 +1163,33 @@ def test_jsd_matrix_rest_bucket_and_fences(spark):
         jsd_matrix(df, "text", "src", vocab_k=0)
     with pytest.raises(ValueError, match="missing"):
         jsd_matrix(df, "body", "src")
+
+
+def test_hashed_bow_python_replay(spark):
+    """Cells and weights replayed exactly with hashlib: same md5
+    prefix arithmetic, same modulus; repeated tokens accumulate."""
+    import hashlib
+
+    from pandera_forge_spark.operators.text import hashed_bow
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in hashed_bow(df, dim=64).collect():
+        got[(r.doc_id, r.cell)] = r.weight
+
+    def cell(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 64
+
+    assert got[(1, cell("apple"))] == 2
+    assert got[(1, cell("banana"))] == 1
+    assert got[(2, cell("banana"))] == 1
+    assert all(d != 3 for d, _ in got)   # empty doc emits nothing
+    import pytest
+
+    with pytest.raises(ValueError, match="dim"):
+        hashed_bow(df, dim=1)
+    with pytest.raises(ValueError, match="missing"):
+        hashed_bow(df, text_col="body")
