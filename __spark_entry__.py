@@ -10827,6 +10827,57 @@ ORDER BY event_type, event_id
 """
 
 
+def q_aa_events(spark, sf_dir):
+    """A/A calibration harness (operators/sampling.py
+    aa_calibration): 12 placebo md5-parity splits of users scored on
+    P(value>50) with the pooled two-proportion z — the
+    experimentation platform's own validation check (all placebo,
+    all z's modest). The oracle replays the parity assignment and
+    the z arithmetic split by split (ROUND 6)."""
+    from pandera_forge_spark.operators.sampling import aa_calibration
+
+    ev = _t(spark, sf_dir, "events")
+    out = aa_calibration(ev, "user_id", F.col("value") > 50, n_splits=12)
+    return out.select(
+        "split", "n_t", "x_t", "n_c", "x_c",
+        F.round("z", 6).alias("z"),
+    ).orderBy("split")
+
+
+SQL_AA_EVENTS = r"""
+WITH sp AS (SELECT unnest(generate_series(0, 11)) AS split),
+base AS (
+  SELECT user_id, CASE WHEN value > 50 THEN 1 ELSE 0 END AS s FROM events
+),
+tagged AS (
+  SELECT sp.split, b.s,
+         (('0x' || substr(md5('aa#' || CAST(sp.split AS VARCHAR) || '#'
+                              || CAST(b.user_id AS VARCHAR)), 1, 8))::UBIGINT
+          % 2) = 0 AS treat
+  FROM base b, sp
+),
+cells AS (
+  SELECT split,
+         CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN treat THEN s ELSE 0 END) AS BIGINT) AS x_t,
+         CAST(SUM(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN NOT treat THEN s ELSE 0 END) AS BIGINT) AS x_c
+  FROM tagged GROUP BY 1
+)
+SELECT CAST(split AS INT) AS split, n_t, x_t, n_c, x_c,
+       ROUND(CASE WHEN n_t > 0 AND n_c > 0
+                  AND (CAST(x_t AS DOUBLE) + x_c) / (CAST(n_t AS DOUBLE) + n_c) > 0
+                  AND (CAST(x_t AS DOUBLE) + x_c) / (CAST(n_t AS DOUBLE) + n_c) < 1
+             THEN (CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c)
+                  / SQRT(((CAST(x_t AS DOUBLE) + x_c) / (CAST(n_t AS DOUBLE) + n_c))
+                         * (1 - (CAST(x_t AS DOUBLE) + x_c)
+                                / (CAST(n_t AS DOUBLE) + n_c))
+                         * (1.0 / n_t + 1.0 / n_c))
+       END, 6) AS z
+FROM cells ORDER BY split
+"""
+
+
 def q_hashed_bow_cells(spark, sf_dir):
     """Feature hashing (operators/text.py hashed_bow): the 256-cell
     hashed bag-of-words over documents, rolled up per cell — total
@@ -14239,6 +14290,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the new part is the hashing-trick cell assignment (hashlib
         # replay pytest), strict sweep green at BOTH SFs -----------------------
         "hashed_bow_cells": q_hashed_bow_cells,
+        # aa_events: this-session tail row; md5-parity assignment is
+        # the sampler family's engine-replayable hash — the new part
+        # is the fused K-split placebo harness + pooled z (hashlib
+        # replay, null-distribution, fence pytests), strict sweep
+        # green at BOTH SFs -----------------------------------------------------
+        "aa_events": q_aa_events,
     }
 
 
@@ -14509,4 +14566,5 @@ def oracle_sql() -> dict[str, str]:
         "did_events": SQL_DID_EVENTS,
         "eb_rates_events": SQL_EB_RATES_EVENTS,
         "hashed_bow_cells": SQL_HASHED_BOW_CELLS,
+        "aa_events": SQL_AA_EVENTS,
     }

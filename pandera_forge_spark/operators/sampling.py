@@ -1327,3 +1327,88 @@ def did_estimate(
         did.alias("did"),
         F.when(ok & (se2 >= 0), F.sqrt(se2)).alias("se"),
     )
+
+
+# ---------------------------------------------------- A/A calibration
+
+def aa_calibration(
+    df: DataFrame,
+    unit_col: str,
+    success_pred,
+    n_splits: int = 20,
+    salt: str = "aa",
+) -> DataFrame:
+    """A/A calibration harness: ``n_splits`` PLACEBO experiments —
+    units assigned to fake treatment/control by md5 parity of
+    ``salt#k#unit`` — each scored with the pooled two-proportion
+    z-statistic. Real effects are impossible by construction, so the
+    z's should look standard-normal: a fat |z| tail means the testing
+    machinery (not the product) is broken — clustered rows violating
+    the independence the z assumes, a biased splitter, or a leaky
+    metric. Running this BEFORE trusting any real experiment is the
+    experimentation platform's own validation check, and a different
+    ``salt`` draws a fresh placebo family.
+
+    No row explosion: every split is two conditional aggregates in
+    ONE fused pass (K md5 evaluations per row, zero shuffle growth),
+    and the per-split z's unpack from the single moment row. The
+    z uses the pooled rate: ``(p1−p0)/sqrt(p̂(1−p̂)(1/n1+1/n0))`` —
+    exact integer counts, one sqrt. NULL successes count failure;
+    NULL units go to control (parity of md5('') — deterministic,
+    documented).
+
+    Output per split: ``split, n_t, x_t, n_c, x_c, z`` (NULL z when
+    a side is empty or the pooled rate is degenerate).
+    """
+    if int(n_splits) < 1:
+        raise ValueError(f"aa_calibration: n_splits must be >= 1, got {n_splits}")
+    if unit_col not in df.columns:
+        raise ValueError(f"aa_calibration: column {unit_col!r} missing")
+    K = int(n_splits)
+    s = F.coalesce(success_pred, F.lit(False)).cast("long")
+    aggs = []
+    for k in range(K):
+        key = F.md5(
+            F.concat(
+                F.lit(f"{salt}#{k}#"),
+                F.coalesce(F.col(unit_col).cast("string"), F.lit("")),
+            )
+        )
+        treat = (
+            F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % 2 == 0
+        )
+        aggs += [
+            F.sum(treat.cast("long")).alias(f"__nt_{k}"),
+            F.sum(F.when(treat, s)).alias(f"__xt_{k}"),
+            F.sum((~treat).cast("long")).alias(f"__nc_{k}"),
+            F.sum(F.when(~treat, s)).alias(f"__xc_{k}"),
+        ]
+    mo = df.agg(*aggs)
+    cells = []
+    for k in range(K):
+        nt = F.col(f"__nt_{k}").cast("double")
+        xt = F.col(f"__xt_{k}").cast("double")
+        nc = F.col(f"__nc_{k}").cast("double")
+        xc = F.col(f"__xc_{k}").cast("double")
+        pool = (xt + xc) / (nt + nc)
+        z = F.when(
+            (F.col(f"__nt_{k}") > 0)
+            & (F.col(f"__nc_{k}") > 0)
+            & (pool > 0)
+            & (pool < 1),
+            (xt / nt - xc / nc)
+            / F.sqrt(pool * (1 - pool) * (1 / nt + 1 / nc)),
+        )
+        cells.append(
+            F.struct(
+                F.lit(k).alias("split"),
+                F.col(f"__nt_{k}").alias("n_t"),
+                F.col(f"__xt_{k}").alias("x_t"),
+                F.col(f"__nc_{k}").alias("n_c"),
+                F.col(f"__xc_{k}").alias("x_c"),
+                z.alias("z"),
+            )
+        )
+    return mo.select(F.explode(F.array(*cells)).alias("__s")).select(
+        "__s.split", "__s.n_t", "__s.x_t", "__s.n_c", "__s.x_c", "__s.z"
+    )

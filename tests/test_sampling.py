@@ -882,3 +882,45 @@ def test_did_estimate_hand_computed(spark):
         empty, F.col("t") == 1, F.col("p") == 1, "y"
     ).collect()[0]
     assert r2.did is None and r2.n_tp == 0
+
+
+def test_aa_calibration_null_distribution_and_replay(spark):
+    """On an honest fixture every placebo z is modest (no |z| > 4 in
+    12 splits over 2000 units), and one split replays exactly in
+    python: same md5 parity, same counts, same z."""
+    import hashlib
+    import math
+
+    from pandera_forge_spark.operators.sampling import aa_calibration
+
+    rows = [(u, 1 if (u * 2654435761) % 97 < 30 else 0)
+            for u in range(2000)]
+    df = spark.createDataFrame(rows, "unit long, ok int")
+    out = {r.split: r for r in aa_calibration(
+        df, "unit", F.col("ok") == 1, n_splits=12
+    ).collect()}
+    assert len(out) == 12
+    assert all(r.z is not None and abs(r.z) < 4 for r in out.values())
+
+    def treat(k, u):
+        h = hashlib.md5(f"aa#{k}#{u}".encode()).hexdigest()
+        return int(h[:8], 16) % 2 == 0
+
+    k = 3
+    nt = sum(1 for u, _ in rows if treat(k, u))
+    xt = sum(ok for u, ok in rows if treat(k, u))
+    nc = len(rows) - nt
+    xc = sum(ok for _, ok in rows) - xt
+    r = out[k]
+    assert (r.n_t, r.x_t, r.n_c, r.x_c) == (nt, xt, nc, xc)
+    pool = (xt + xc) / (nt + nc)
+    z = (xt / nt - xc / nc) / math.sqrt(
+        pool * (1 - pool) * (1 / nt + 1 / nc)
+    )
+    assert abs(r.z - z) < 1e-12
+    import pytest
+
+    with pytest.raises(ValueError, match="n_splits"):
+        aa_calibration(df, "unit", F.col("ok") == 1, n_splits=0)
+    with pytest.raises(ValueError, match="missing"):
+        aa_calibration(df, "ghost", F.col("ok") == 1)
