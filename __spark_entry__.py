@@ -10827,6 +10827,55 @@ ORDER BY event_type, event_id
 """
 
 
+def q_mde_events(spark, sf_dir):
+    """MDE planning report (operators/sampling.py mde_report): per
+    event_type, the smallest value-effect an equal-split test on the
+    slice's own rows could detect at alpha=.05/power=.80 — the
+    can-we-even-measure-this gate. Fixed-literal z constants, exact
+    moment sums (ROUND 6)."""
+    from pandera_forge_spark.operators.sampling import mde_report
+
+    ev = _t(spark, sf_dir, "events")
+    out = mde_report(ev, "value", ["event_type"])
+    return out.select(
+        "event_type",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("variance", 6).alias("variance"),
+        "n_arm",
+        F.round("mde_abs", 6).alias("mde_abs"),
+        F.round("mde_rel", 6).alias("mde_rel"),
+    ).orderBy("event_type")
+
+
+SQL_MDE_EVENTS = r"""
+WITH mo AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(value) AS s, SUM(value * value) AS ss
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+calc AS (
+  SELECT event_type, n,
+         s / n AS mean,
+         ss / n - (s / n) * (s / n) AS variance,
+         CAST(FLOOR(CAST(n AS DOUBLE) / 2) AS DOUBLE) AS arm
+  FROM mo
+)
+SELECT event_type, n,
+       ROUND(mean, 6) AS mean,
+       ROUND(variance, 6) AS variance,
+       CAST(arm AS BIGINT) AS n_arm,
+       ROUND(CASE WHEN arm >= 2 AND variance > 0
+                  THEN 2.801585218112969 * SQRT(2.0 * variance / arm) END,
+             6) AS mde_abs,
+       ROUND(CASE WHEN arm >= 2 AND variance > 0 AND mean <> 0
+                  THEN 2.801585218112969 * SQRT(2.0 * variance / arm) / mean
+             END, 6) AS mde_rel
+FROM calc ORDER BY event_type
+"""
+
+
 def q_aa_events(spark, sf_dir):
     """A/A calibration harness (operators/sampling.py
     aa_calibration): 12 placebo md5-parity splits of users scored on
@@ -14296,6 +14345,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replay, null-distribution, fence pytests), strict sweep
         # green at BOTH SFs -----------------------------------------------------
         "aa_events": q_aa_events,
+        # mde_events: this-session tail row; one fused moment
+        # aggregation — the new part is the fixed-literal power
+        # algebra (python-replay with the exact z constants, planned-
+        # size override, zero-variance-NULL pytests), strict sweep
+        # green at BOTH SFs -----------------------------------------------------
+        "mde_events": q_mde_events,
     }
 
 
@@ -14567,4 +14622,5 @@ def oracle_sql() -> dict[str, str]:
         "eb_rates_events": SQL_EB_RATES_EVENTS,
         "hashed_bow_cells": SQL_HASHED_BOW_CELLS,
         "aa_events": SQL_AA_EVENTS,
+        "mde_events": SQL_MDE_EVENTS,
     }

@@ -1412,3 +1412,78 @@ def aa_calibration(
     return mo.select(F.explode(F.array(*cells)).alias("__s")).select(
         "__s.split", "__s.n_t", "__s.x_t", "__s.n_c", "__s.x_c", "__s.z"
     )
+
+
+# ------------------------------------------------------------- MDE
+
+# two-sided alpha=0.05 and power=0.80 normal quantiles (public
+# constants, fixed literals so every engine sees identical doubles)
+Z_ALPHA_2 = 1.9599639845400545
+Z_BETA = 0.8416212335729143
+
+
+def mde_report(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    n_per_arm: Optional[int] = None,
+) -> DataFrame:
+    """Minimum detectable effect per slice (public power analysis):
+    with the slice's own observed variance and an equal-split
+    two-arm test at alpha=0.05 / power=0.80,
+
+        MDE_abs = (z_{α/2} + z_β) · sqrt(2·σ² / n_arm)
+
+    — the planning number every "can we even measure this" debate
+    needs: a slice whose MDE exceeds any plausible effect is not an
+    experiment, it is a coin flip, and the honest report says so
+    BEFORE the test ships. ``n_per_arm`` defaults to half the
+    slice's rows (the run-it-on-everything case); pass a planned
+    size to evaluate a design.
+
+    One fused aggregation (exact moment sums), population variance,
+    fixed-literal z constants; MDE_rel divides by the slice mean
+    (NULL when the mean is 0 — a rate of nothing has no relative
+    anything). Output per slice: ``group_cols..., n, mean, variance,
+    n_arm, mde_abs, mde_rel``.
+    """
+    if value_col not in df.columns:
+        raise ValueError(f"mde_report: column {value_col!r} missing")
+    for c in group_cols:
+        if c not in df.columns:
+            raise ValueError(f"mde_report: group column {c!r} missing")
+    if not group_cols:
+        raise ValueError("mde_report: group_cols must be non-empty")
+    if n_per_arm is not None and int(n_per_arm) < 2:
+        raise ValueError(
+            f"mde_report: n_per_arm must be >= 2, got {n_per_arm}"
+        )
+    v = F.col(value_col).cast("double")
+    mo = df.where(v.isNotNull()).groupBy(
+        *[F.col(c) for c in group_cols]
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).alias("__s"),
+        F.sum(v * v).alias("__ss"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("__s") / n
+    var = F.col("__ss") / n - mean * mean
+    arm = (
+        F.lit(float(int(n_per_arm)))
+        if n_per_arm is not None
+        else F.floor(n / 2).cast("double")
+    )
+    mde = F.when(
+        (arm >= 2) & (var > 0),
+        F.lit(Z_ALPHA_2 + Z_BETA) * F.sqrt(F.lit(2.0) * var / arm),
+    )
+    return mo.select(
+        *group_cols,
+        "n",
+        mean.alias("mean"),
+        var.alias("variance"),
+        arm.cast("long").alias("n_arm"),
+        mde.alias("mde_abs"),
+        F.when(mde.isNotNull() & (mean != 0), mde / mean).alias("mde_rel"),
+    )

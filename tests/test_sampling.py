@@ -924,3 +924,38 @@ def test_aa_calibration_null_distribution_and_replay(spark):
         aa_calibration(df, "unit", F.col("ok") == 1, n_splits=0)
     with pytest.raises(ValueError, match="missing"):
         aa_calibration(df, "ghost", F.col("ok") == 1)
+
+
+def test_mde_report_hand_computed(spark):
+    """Known variance slice replayed in python; planned-size override
+    scales as 1/sqrt(n); degenerate zero-variance slice -> NULL."""
+    import math
+    import statistics
+
+    from pandera_forge_spark.operators.sampling import (
+        Z_ALPHA_2,
+        Z_BETA,
+        mde_report,
+    )
+
+    vals = [2.0, 4.0, 4.0, 6.0, 8.0, 10.0, 3.0, 5.0]
+    rows = [("a", v) for v in vals] + [("c", 7.0)] * 4
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = {r.grp: r for r in mde_report(df, "v", ["grp"]).collect()}
+    var = statistics.pvariance(vals)
+    arm = len(vals) // 2
+    expect = (Z_ALPHA_2 + Z_BETA) * math.sqrt(2 * var / arm)
+    assert abs(got["a"].mde_abs - expect) < 1e-12
+    assert abs(got["a"].mde_rel - expect / statistics.mean(vals)) < 1e-12
+    assert got["c"].mde_abs is None      # zero variance, loudly
+    planned = {r.grp: r for r in mde_report(
+        df, "v", ["grp"], n_per_arm=1000
+    ).collect()}
+    expect2 = (Z_ALPHA_2 + Z_BETA) * math.sqrt(2 * var / 1000)
+    assert abs(planned["a"].mde_abs - expect2) < 1e-12
+    import pytest
+
+    with pytest.raises(ValueError, match="n_per_arm"):
+        mde_report(df, "v", ["grp"], n_per_arm=1)
+    with pytest.raises(ValueError, match="group_cols"):
+        mde_report(df, "v", [])
