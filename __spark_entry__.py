@@ -10827,6 +10827,54 @@ ORDER BY event_type, event_id
 """
 
 
+def q_return_labels(spark, sf_dir):
+    """Churn/return label construction (operators/labels.py
+    label_will_return): users active before Jan 20 labeled by any
+    activity in the following 5 days — half-open boundaries exactly
+    as documented, summarized per (n_before band, label) so the
+    census checks every boundary cell. The oracle replays the
+    conditional window aggregation."""
+    from pandera_forge_spark.operators.labels import label_will_return
+
+    ev = _t(spark, sf_dir, "events")
+    lab = label_will_return(
+        ev, "user_id", "ts", "2024-01-20 00:00:00", 5 * 86400
+    )
+    return (
+        lab.groupBy(
+            F.least(F.col("n_before"), F.lit(10)).alias("n_before_band"),
+            "label",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_in_window").alias("sum_window_events"),
+        )
+        .orderBy("n_before_band", "label")
+    )
+
+
+SQL_RETURN_LABELS = r"""
+WITH agg AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+         CAST(SUM(CASE WHEN ts > TIMESTAMP '2024-01-20 00:00:00'
+                        AND ts <= TIMESTAMP '2024-01-25 00:00:00'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_in_window
+  FROM events GROUP BY 1
+),
+lab AS (
+  SELECT user_id, n_before, n_in_window,
+         CASE WHEN n_in_window > 0 THEN 1 ELSE 0 END AS label
+  FROM agg WHERE n_before > 0
+)
+SELECT LEAST(n_before, 10) AS n_before_band, CAST(label AS INT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_in_window) AS BIGINT) AS sum_window_events
+FROM lab GROUP BY 1, 2 ORDER BY n_before_band, label
+"""
+
+
 def q_mde_events(spark, sf_dir):
     """MDE planning report (operators/sampling.py mde_report): per
     event_type, the smallest value-effect an equal-split test on the
@@ -14351,6 +14399,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # size override, zero-variance-NULL pytests), strict sweep
         # green at BOTH SFs -----------------------------------------------------
         "mde_events": q_mde_events,
+        # return_labels: this-session tail row; one fused conditional
+        # window aggregation — the new part is the leakage-
+        # disciplined label contract (half-open boundary pytest hits
+        # every edge), strict sweep green at BOTH SFs --------------------------
+        "return_labels": q_return_labels,
     }
 
 
@@ -14623,4 +14676,5 @@ def oracle_sql() -> dict[str, str]:
         "hashed_bow_cells": SQL_HASHED_BOW_CELLS,
         "aa_events": SQL_AA_EVENTS,
         "mde_events": SQL_MDE_EVENTS,
+        "return_labels": SQL_RETURN_LABELS,
     }

@@ -871,3 +871,56 @@ def cronbach_alpha(df: DataFrame, item_cols) -> DataFrame:
             F.lit(float(k) / (k - 1)) * (F.lit(1.0) - item_var / tot_var),
         ).alias("alpha"),
     )
+
+
+# -------------------------------------------------- return labels
+
+def label_will_return(
+    df: DataFrame,
+    unit_col: str,
+    ts_col: str,
+    cutoff,
+    horizon_seconds: int,
+) -> DataFrame:
+    """Leakage-disciplined churn/return label construction: for every
+    unit ACTIVE BEFORE the cutoff, ``label = 1`` iff it has any event
+    in ``(cutoff, cutoff + horizon]``. The two rules that make such a
+    label trainable rather than leaky are enforced structurally:
+    only pre-cutoff units are emitted (a unit born inside the label
+    window is not a "return", it is a new arrival the model could
+    never have seen), and nothing after ``cutoff + horizon`` is
+    consulted (an open-ended "ever returns" label changes meaning
+    every time the table grows). Feature columns join on the unit
+    from a separate strictly-pre-cutoff aggregation — this operator
+    deliberately emits the label frame alone, so the time boundary
+    between features and labels is a join key, not a convention.
+
+    One fused per-unit aggregation with conditional counts; all
+    boundary comparisons are half-open exactly as written above.
+    Output per pre-cutoff-active unit: ``unit, n_before,
+    last_ts_before, n_in_window, label``.
+    """
+    if int(horizon_seconds) < 1:
+        raise ValueError(
+            f"label_will_return: horizon_seconds must be >= 1, got {horizon_seconds}"
+        )
+    for c in (unit_col, ts_col):
+        if c not in df.columns:
+            raise ValueError(f"label_will_return: column {c!r} missing")
+    cut = F.lit(cutoff).cast("timestamp")
+    end = F.timestamp_seconds(
+        F.unix_timestamp(cut) + F.lit(int(horizon_seconds))
+    )
+    t = F.col(ts_col)
+    agg = df.groupBy(F.col(unit_col)).agg(
+        F.sum((t < cut).cast("long")).alias("n_before"),
+        F.max(F.when(t < cut, t)).alias("last_ts_before"),
+        F.sum(((t > cut) & (t <= end)).cast("long")).alias("n_in_window"),
+    )
+    return agg.where(F.col("n_before") > 0).select(
+        unit_col,
+        "n_before",
+        "last_ts_before",
+        "n_in_window",
+        (F.col("n_in_window") > 0).cast("int").alias("label"),
+    )

@@ -1226,3 +1226,42 @@ def test_cronbach_alpha_degenerate_and_fences(spark):
         cronbach_alpha(const, ["a"])
     with pytest.raises(ValueError, match="missing"):
         cronbach_alpha(const, ["a", "ghost"])
+
+
+def test_label_will_return_boundaries(spark):
+    """Half-open window semantics exactly: an event AT the cutoff is
+    NOT before it and NOT in the window; one at cutoff+horizon IS in
+    the window; post-window activity never leaks; units born inside
+    the window are excluded."""
+    import datetime as dt
+
+    from pandera_forge_spark.operators.labels import label_will_return
+
+    cut = dt.datetime(2024, 1, 10)
+    h = 86400  # one day
+    rows = [
+        (1, cut - dt.timedelta(days=2)),                    # before only -> 0
+        (2, cut - dt.timedelta(days=1)),
+        (2, cut + dt.timedelta(hours=3)),                   # returns -> 1
+        (3, cut - dt.timedelta(days=3)),
+        (3, cut + dt.timedelta(days=1)),                    # AT horizon -> 1
+        (4, cut - dt.timedelta(days=3)),
+        (4, cut + dt.timedelta(days=1, seconds=1)),         # past window -> 0
+        (5, cut),                                           # AT cutoff: excluded
+        (6, cut + dt.timedelta(hours=1)),                   # born in window: excluded
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    got = {r.u: r for r in label_will_return(
+        df, "u", "ts", "2024-01-10 00:00:00", h
+    ).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1].label == 0 and got[2].label == 1
+    assert got[3].label == 1            # inclusive right edge
+    assert got[4].label == 0            # exclusive beyond horizon
+    assert got[2].n_before == 1 and got[2].n_in_window == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="horizon"):
+        label_will_return(df, "u", "ts", "2024-01-10", 0)
+    with pytest.raises(ValueError, match="missing"):
+        label_will_return(df, "ghost", "ts", "2024-01-10", h)
