@@ -10827,6 +10827,73 @@ ORDER BY event_type, event_id
 """
 
 
+def q_benford2_orders(spark, sf_dir):
+    """Benford SECOND-digit screen (profiler.benford2_profile) over
+    o_totalprice and o_custkey — the escalation that catches faked
+    first digits and price-point artifacts. Digit extraction is
+    round-trip-string based (engine-exact); chi² terms are micro-int
+    quantized, so the statistic and verdict are exact on both
+    engines; the oracle replays the extraction and the identical
+    term arithmetic."""
+    from pandera_forge_spark.profiler import benford2_profile
+
+    o = _t(spark, sf_dir, "orders")
+    return benford2_profile(o, ["o_custkey", "o_totalprice"]).orderBy(
+        "column"
+    )
+
+
+def _sql_benford2_orders() -> str:
+    from pandera_forge_spark.profiler import (
+        BENFORD2_CHI2_CRIT,
+        BENFORD2_P,
+    )
+
+    # the e0 suffix forces DOUBLE literals — DuckDB parses a bare
+    # decimal literal as DECIMAL and the chi² algebra overflows it
+    case = "CASE f.digit " + " ".join(
+        f"WHEN '{d}' THEN {BENFORD2_P[d]!r}e0" for d in range(10)
+    ) + " END"
+    crit = int(round(BENFORD2_CHI2_CRIT * 1000000))
+    return f"""
+WITH src AS (
+  SELECT 'o_custkey' AS col, CAST(o_custkey AS VARCHAR) AS s FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM orders
+),
+d AS (
+  SELECT col,
+         substr(regexp_replace(regexp_replace(s, '[^0-9]', '', 'g'),
+                               '^0+', ''), 2, 1) AS digit
+  FROM src WHERE s IS NOT NULL
+),
+c AS (SELECT col, digit, COUNT(*) AS cnt FROM d WHERE digit <> '' GROUP BY 1, 2),
+seed AS (
+  SELECT u.col, CAST(t.dd AS VARCHAR) AS digit
+  FROM (SELECT DISTINCT col FROM src) u CROSS JOIN range(0, 10) t(dd)
+),
+f AS (
+  SELECT seed.col, seed.digit, COALESCE(c.cnt, 0) AS cnt
+  FROM seed LEFT JOIN c ON seed.col = c.col AND seed.digit = c.digit
+),
+tot AS (SELECT col, SUM(cnt) AS n FROM f GROUP BY 1),
+terms AS (
+  SELECT f.col, tot.n,
+         CAST(floor((f.cnt - tot.n * ({case}))
+                    * (f.cnt - tot.n * ({case}))
+                    / (tot.n * ({case})) * 1000000.0 + 0.5) AS BIGINT) AS t
+  FROM f JOIN tot ON f.col = tot.col WHERE tot.n > 0
+)
+SELECT col AS "column", CAST(n AS BIGINT) AS n,
+       SUM(t) / 1000000.0 AS chi2,
+       SUM(t) <= {crit} AS conforms
+FROM terms GROUP BY col, n ORDER BY col
+"""
+
+
+SQL_BENFORD2_ORDERS = _sql_benford2_orders()
+
+
 def q_return_labels(spark, sf_dir):
     """Churn/return label construction (operators/labels.py
     label_will_return): users active before Jan 20 labeled by any
@@ -14404,6 +14471,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # disciplined label contract (half-open boundary pytest hits
         # every edge), strict sweep green at BOTH SFs --------------------------
         "return_labels": q_return_labels,
+        # benford2_orders: this-session tail row; the micro-int chi²
+        # discipline is benford_lineitem's r4-green kernel one digit
+        # deeper (extraction pinned value-by-value incl. scientific
+        # reprs; conforming-vs-priced pytest), strict sweep green at
+        # BOTH SFs --------------------------------------------------------------
+        "benford2_orders": q_benford2_orders,
     }
 
 
@@ -14677,4 +14750,5 @@ def oracle_sql() -> dict[str, str]:
         "aa_events": SQL_AA_EVENTS,
         "mde_events": SQL_MDE_EVENTS,
         "return_labels": SQL_RETURN_LABELS,
+        "benford2_orders": SQL_BENFORD2_ORDERS,
     }

@@ -1209,3 +1209,41 @@ def test_jackknife_ratio_degenerate(spark):
     one = spark.createDataFrame([("a", 1.0, 2.0)], "f string, n double, d double")
     r = jackknife_ratio(one, F.col("n"), F.col("d"), F.col("f")).collect()[0]
     assert r.se is None   # a single fold has no leave-out spread
+
+
+def test_benford2_digit_extraction_and_chi2(spark):
+    """Second-digit extraction pinned value by value (incl. the
+    one-digit '3.0' -> 0 case and sub-1 leading-zero stripping), and
+    a Benford-conforming synthetic sample passes while a .99-priced
+    column flunks."""
+    import math
+    import random
+
+    from pandera_forge_spark.profiler import BENFORD2_P, benford2_profile
+
+    probe = spark.createDataFrame(
+        [(3.0,), (0.052,), (1234.0,), (-5.2,), (0.0,), (None,), (1.5e-4,)],
+        "x double",
+    )
+    from pyspark.sql import functions as FF
+
+    digits = probe.select(
+        FF.substring(
+            FF.regexp_replace(
+                FF.regexp_replace(FF.col("x").cast("string"), "[^0-9]", ""),
+                "^0+", "",
+            ), 2, 1,
+        ).alias("d")
+    ).collect()
+    assert [r.d for r in digits] == ["0", "2", "2", "2", "", None, "5"]
+
+    rng = random.Random(7)
+    benford_vals = [(10 ** rng.uniform(0, 4),) for _ in range(4000)]
+    priced = [(float(f"{rng.randrange(1, 99)}.99"),) for _ in range(4000)]
+    bdf = spark.createDataFrame(benford_vals, "good double")
+    pdf = spark.createDataFrame(priced, "bad double")
+    g = benford2_profile(bdf, ["good"]).collect()[0]
+    b = benford2_profile(pdf, ["bad"]).collect()[0]
+    assert g.conforms and g.n == 4000
+    assert not b.conforms and b.chi2 > g.chi2
+    assert abs(sum(BENFORD2_P.values()) - 1.0) < 1e-12
