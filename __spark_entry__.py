@@ -10827,6 +10827,80 @@ ORDER BY event_type, event_id
 """
 
 
+def q_heaps_docs(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit (operators/text.py
+    heaps_fit): V(N) = K·N^β over a 20-point doc_id grid — the
+    growth-law companion to zipf_lang, window-free by construction
+    (percentile grid + conditional sums + first-doc census). The
+    oracle replays the grid, both conditional sums, and the ln/ln
+    OLS (ROUND 6)."""
+    from pandera_forge_spark.operators.text import heaps_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    out = heaps_fit(docs, n_points=20)
+    return out.select(
+        "n_points_used",
+        "total_tokens",
+        "vocab",
+        # + 0.0 normalizes IEEE negative zero (a ~-1e-18 slope rounds
+        # to -0.0 on one engine and 0.0 on the other)
+        (F.round("beta", 6) + F.lit(0.0)).alias("beta"),
+        F.round("k_coef", 6).alias("k_coef"),
+    )
+
+
+_HEAPS_PROBS = ", ".join(repr(k / 20) for k in range(1, 21))
+
+SQL_HEAPS_DOCS = f"""
+WITH grid AS (
+  SELECT quantile_cont(doc_id, [{_HEAPS_PROBS}]) AS g FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+per_doc AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+first_doc AS (SELECT t, MIN(doc_id) AS fd FROM toks GROUP BY 1),
+idx AS (SELECT unnest(generate_series(1, 20)) AS i),
+npts AS (
+  SELECT i.i, SUM(p.n) AS N
+  FROM per_doc p, grid, idx i WHERE p.doc_id <= grid.g[i.i] GROUP BY 1
+),
+vpts AS (
+  SELECT i.i, COUNT(*) AS V
+  FROM first_doc f, grid, idx i WHERE f.fd <= grid.g[i.i] GROUP BY 1
+),
+pts AS (
+  SELECT LN(CAST(N AS DOUBLE)) AS x, LN(CAST(V AS DOUBLE)) AS y, N, V
+  FROM npts JOIN vpts USING (i) WHERE N > 0 AND V > 0
+),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(MAX(N) AS BIGINT) AS total_tokens,
+         CAST(MAX(V) AS BIGINT) AS vocab,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM pts
+),
+fit AS (
+  SELECT k, total_tokens, vocab, sx, sy,
+         CASE WHEN k >= 2
+                   AND CAST(k AS DOUBLE) * sxx - sx * sx <> 0
+              THEN (CAST(k AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(k AS DOUBLE) * sxx - sx * sx)
+         END AS beta
+  FROM mo
+)
+SELECT k AS n_points_used, total_tokens, vocab,
+       ROUND(beta, 6) + 0.0 AS beta,
+       ROUND(CASE WHEN beta IS NOT NULL
+                  THEN EXP((sy - beta * sx) / CAST(k AS DOUBLE)) END,
+             6) AS k_coef
+FROM fit
+"""
+
+
 def q_benford2_orders(spark, sf_dir):
     """Benford SECOND-digit screen (profiler.benford2_profile) over
     o_totalprice and o_custkey — the escalation that catches faked
@@ -14477,6 +14551,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reprs; conforming-vs-priced pytest), strict sweep green at
         # BOTH SFs --------------------------------------------------------------
         "benford2_orders": q_benford2_orders,
+        # heaps_docs: this-session tail row; percentile-grid
+        # conditional sums (window-free by design) + the zipf OLS
+        # kernel — the new part is the first-doc-census vocabulary
+        # prefix construction (exact-power-law and degenerate
+        # pytests), strict sweep green at BOTH SFs -----------------------------
+        "heaps_docs": q_heaps_docs,
     }
 
 
@@ -14751,4 +14831,5 @@ def oracle_sql() -> dict[str, str]:
         "mde_events": SQL_MDE_EVENTS,
         "return_labels": SQL_RETURN_LABELS,
         "benford2_orders": SQL_BENFORD2_ORDERS,
+        "heaps_docs": SQL_HEAPS_DOCS,
     }

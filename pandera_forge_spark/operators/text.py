@@ -1851,3 +1851,110 @@ def hashed_bow(
         toks.groupBy(id_col, cell.alias("cell"))
         .agg(F.count(F.lit(1)).cast("long").alias("weight"))
     )
+
+
+# ---------------------------------------------------------- heaps fit
+
+def heaps_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_points: int = 20,
+) -> DataFrame:
+    """Heaps'-law fit (public linguistics: V(N) ≈ K·N^β, β ~ 0.4-0.6
+    for natural text): how the distinct vocabulary V grows with
+    tokens ingested N, fitted by OLS on ln V vs ln N over an
+    ``n_points`` document grid. The companion to zipf_fit: Zipf is
+    the corpus's head at one instant, Heaps is its growth law — and
+    the growth law is what sizes vocab tables, predicts dedup-index
+    growth, and flags a scraper that started re-crawling (β
+    collapsing toward 0 means new data brings no new words).
+
+    Scale shape — deliberately WINDOW-FREE: the grid is ``n_points``
+    exact percentiles of ``id_col`` (one aggregate); N_g at each
+    grid point is a conditional token-count sum (one fused pass over
+    per-doc counts); V_g is a conditional count over the FIRST-doc
+    census (token → min doc id — one census groupBy), because a
+    token is in the prefix vocabulary iff its first document is.
+    Nothing sorts docs globally, nothing is corpus-row windowed.
+    The OLS fold follows the zipf/corr ROUND-6 convention.
+
+    Output (single row): ``n_points_used, total_tokens, vocab, beta,
+    k_coef`` (NULL fit when fewer than 2 grid points carry tokens).
+    """
+    if int(n_points) < 2:
+        raise ValueError(f"heaps_fit: n_points must be >= 2, got {n_points}")
+    for c in (text_col, id_col):
+        if c not in df.columns:
+            raise ValueError(f"heaps_fit: column {c!r} missing")
+    G = int(n_points)
+    probs = ", ".join(repr(k / G) for k in range(1, G + 1))
+    grid_row = df.agg(
+        F.expr(f"percentile({id_col}, array({probs}))").alias("__grid")
+    )
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.col(text_col))).alias("__t"),
+    ).where(F.col("__t") != "")
+    per_doc = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    first_doc = toks.groupBy("__t").agg(F.min("__id").alias("__fd"))
+
+    def grid_sums(src: DataFrame, id_c: str, val: Column, tag: str):
+        j = src.crossJoin(F.broadcast(grid_row))
+        aggs = [
+            F.sum(
+                F.when(
+                    F.col(id_c)
+                    <= F.element_at(F.col("__grid"), g + 1),
+                    val,
+                )
+            ).alias(f"__{tag}_{g}")
+            for g in range(G)
+        ]
+        return j.agg(*aggs)
+
+    n_row = grid_sums(per_doc, "__id", F.col("__n"), "N")
+    v_row = grid_sums(first_doc, "__fd", F.lit(1), "V")
+    both = n_row.crossJoin(v_row)
+    pts = both.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"__N_{g}").cast("double").alias("N"),
+                        F.col(f"__V_{g}").cast("double").alias("V"),
+                    )
+                    for g in range(G)
+                ]
+            )
+        ).alias("__p")
+    ).select("__p.N", "__p.V").where(
+        F.col("N").isNotNull() & (F.col("N") > 0) & (F.col("V") > 0)
+    )
+    x = F.log(F.col("N"))
+    y = F.log(F.col("V"))
+    mo = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points_used"),
+        F.max("N").alias("__maxN"),
+        F.max("V").alias("__maxV"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    k = F.col("n_points_used").cast("double")
+    den = k * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    beta = F.when(
+        (F.col("n_points_used") >= 2) & (den != 0),
+        (k * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / den,
+    )
+    return mo.select(
+        "n_points_used",
+        F.col("__maxN").cast("long").alias("total_tokens"),
+        F.col("__maxV").cast("long").alias("vocab"),
+        beta.alias("beta"),
+        F.when(
+            beta.isNotNull(),
+            F.exp((F.col("__sy") - beta * F.col("__sx")) / k),
+        ).alias("k_coef"),
+    )

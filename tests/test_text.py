@@ -1193,3 +1193,46 @@ def test_hashed_bow_python_replay(spark):
         hashed_bow(df, dim=1)
     with pytest.raises(ValueError, match="missing"):
         hashed_bow(df, text_col="body")
+
+
+def test_heaps_fit_exact_power_law(spark):
+    """A synthetic corpus engineered so V(N) = N^0.5 exactly at every
+    grid point: doc d contributes tokens so cumulative (N, V) land on
+    (4,2),(16,4),(64,8),(256,16): beta = 0.5, K = 1."""
+    from pandera_forge_spark.operators.text import heaps_fit
+
+    # doc i (1..4): cumulative tokens 4^i, cumulative vocab 2^i
+    docs = []
+    tok_id = 0
+    cum_tokens = 0
+    for i in range(1, 5):
+        new_vocab = 2 ** i - (2 ** (i - 1) if i > 1 else 0)
+        target_tokens = 4 ** i
+        add_tokens = target_tokens - cum_tokens
+        words = [f"w{tok_id + j}" for j in range(new_vocab)]
+        tok_id += new_vocab
+        # fill with repeats of the first new word to hit the count
+        body = words + [words[0]] * (add_tokens - new_vocab)
+        docs.append((i, " ".join(body)))
+        cum_tokens = target_tokens
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = heaps_fit(df, n_points=4).collect()[0]
+    assert r.n_points_used == 4
+    assert (r.total_tokens, r.vocab) == (256, 16)
+    assert abs(r.beta - 0.5) < 1e-9
+    assert abs(r.k_coef - 1.0) < 1e-9
+
+
+def test_heaps_fit_degenerate_and_fences(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.text import heaps_fit
+
+    df = spark.createDataFrame([(1, "only")], "doc_id long, text string")
+    r = heaps_fit(df, n_points=4).collect()[0]
+    # every grid point sees the same (N, V) -> zero x-variance -> NULL
+    assert r.beta is None and r.k_coef is None
+    with pytest.raises(ValueError, match="n_points"):
+        heaps_fit(df, n_points=1)
+    with pytest.raises(ValueError, match="missing"):
+        heaps_fit(df, text_col="body")
