@@ -10827,6 +10827,78 @@ ORDER BY event_type, event_id
 """
 
 
+def q_mann_kendall_events(spark, sf_dir):
+    """Mann-Kendall monotone-trend test (operators/temporal.py
+    mann_kendall): per event_type over the hourly volume series —
+    the distribution-free significance gate for "volume is
+    trending". Exact integer S and tie terms, one /18 division, one
+    sqrt — every column ships raw. The oracle replays the pair fold
+    and the continuity-corrected z."""
+    from pandera_forge_spark.operators.temporal import mann_kendall
+
+    ev = _t(spark, sf_dir, "events")
+    return mann_kendall(ev, "ts", ["event_type"]).orderBy("event_type")
+
+
+SQL_MANN_KENDALL_EVENTS = r"""
+WITH series AS (
+  SELECT event_type,
+         CAST(FLOOR(date_part('epoch', ts) / 3600) AS BIGINT) AS t,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+s_agg AS (
+  SELECT a.event_type,
+         CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                       WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM series a JOIN series b
+    ON a.event_type = b.event_type AND a.t < b.t
+  GROUP BY 1
+),
+counts AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM series GROUP BY 1
+),
+ties AS (
+  SELECT event_type,
+         CAST(SUM(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT) AS tie_term
+  FROM (
+    SELECT event_type, c, COUNT(*) AS tt FROM series GROUP BY 1, 2
+  ) WHERE tt > 1 GROUP BY 1
+),
+j AS (
+  SELECT c.event_type, c.n_buckets,
+         COALESCE(s.s, 0) AS s,
+         COALESCE(t.tie_term, 0) AS tie_term
+  FROM counts c
+  LEFT JOIN s_agg s USING (event_type)
+  LEFT JOIN ties t USING (event_type)
+),
+calc AS (
+  SELECT event_type, n_buckets, s,
+         (CAST(n_buckets AS DOUBLE) * (CAST(n_buckets AS DOUBLE) - 1)
+          * (2 * CAST(n_buckets AS DOUBLE) + 5)
+          - CAST(tie_term AS DOUBLE)) / 18.0 AS var_s
+  FROM j
+),
+zed AS (
+  SELECT event_type, n_buckets, s, var_s,
+         CASE WHEN var_s > 0 THEN
+           CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) / SQRT(var_s)
+                WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / SQRT(var_s)
+                ELSE 0.0 END
+         END AS z
+  FROM calc
+)
+SELECT event_type, n_buckets, s, var_s, z,
+       CASE WHEN z IS NULL THEN 'none'
+            WHEN z > 1.959964 THEN 'increasing'
+            WHEN z < -1.959964 THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM zed ORDER BY event_type
+"""
+
+
 def q_heaps_docs(spark, sf_dir):
     """Heaps'-law vocabulary-growth fit (operators/text.py
     heaps_fit): V(N) = K·N^β over a 20-point doc_id grid — the
@@ -14557,6 +14629,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix construction (exact-power-law and degenerate
         # pytests), strict sweep green at BOTH SFs -----------------------------
         "heaps_docs": q_heaps_docs,
+        # mann_kendall_events: this-session tail row; the hourly
+        # series + pair fold follow xcorr's series discipline — the
+        # new part is the sign-sum S, tie-corrected variance, and
+        # continuity-corrected z (up/down/flat/mixed python-replay
+        # pytests; everything exact, ships raw), strict sweep green
+        # at BOTH SFs -----------------------------------------------------------
+        "mann_kendall_events": q_mann_kendall_events,
     }
 
 
@@ -14832,4 +14911,5 @@ def oracle_sql() -> dict[str, str]:
         "return_labels": SQL_RETURN_LABELS,
         "benford2_orders": SQL_BENFORD2_ORDERS,
         "heaps_docs": SQL_HEAPS_DOCS,
+        "mann_kendall_events": SQL_MANN_KENDALL_EVENTS,
     }

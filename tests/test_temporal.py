@@ -1159,3 +1159,60 @@ def test_seasonal_strength_degenerate_and_fences(spark):
         seasonal_strength(df, "ts", ["grp"], season=1)
     with pytest.raises(ValueError, match="group_cols"):
         seasonal_strength(df, "ts", [])
+
+
+def test_mann_kendall_trends_and_reference(spark):
+    """Strictly rising counts -> S = n(n-1)/2, trend increasing;
+    falling -> decreasing; a tied flat series -> var corrected, no
+    trend; S/var/z replayed in python on the mixed group."""
+    import datetime as dt
+    import math
+
+    from pandera_forge_spark.operators.temporal import mann_kendall
+
+    base = dt.datetime(2024, 1, 1)
+    series = {
+        "up": [1, 2, 3, 4, 5, 6, 7, 8],
+        "down": [8, 7, 6, 5, 4, 3, 2, 1],
+        "flat": [3, 3, 3, 3, 3, 3],
+        "mixed": [2, 5, 3, 6, 4, 7, 5, 8],
+    }
+    rows = []
+    for g, counts in series.items():
+        for h, c in enumerate(counts):
+            rows += [(g, base + dt.timedelta(hours=h))] * c
+    df = spark.createDataFrame(rows, "grp string, ts timestamp")
+    got = {r.grp: r for r in mann_kendall(df, "ts", ["grp"]).collect()}
+    assert got["up"].s == 28 and got["up"].trend == "increasing"
+    assert got["down"].s == -28 and got["down"].trend == "decreasing"
+    assert got["flat"].z is None and got["flat"].trend == "none"
+
+    cs = series["mixed"]
+    s = sum(
+        (1 if cs[j] > cs[i] else -1 if cs[j] < cs[i] else 0)
+        for i in range(len(cs))
+        for j in range(i + 1, len(cs))
+    )
+    from collections import Counter
+
+    n = len(cs)
+    tie = sum(t * (t - 1) * (2 * t + 5) for t in Counter(cs).values() if t > 1)
+    var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+    z = (s - 1) / math.sqrt(var) if s > 0 else (s + 1) / math.sqrt(var)
+    r = got["mixed"]
+    assert r.s == s and abs(r.var_s - var) < 1e-12
+    assert abs(r.z - z) < 1e-12
+
+
+def test_mann_kendall_validates_args(spark):
+    import pytest
+
+    from pandera_forge_spark.operators.temporal import mann_kendall
+
+    df = spark.createDataFrame([], "grp string, ts timestamp")
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        mann_kendall(df, "ts", ["grp"], bucket_seconds=0)
+    with pytest.raises(ValueError, match="group_cols"):
+        mann_kendall(df, "ts", [])
+    with pytest.raises(ValueError, match="missing"):
+        mann_kendall(df, "when", ["grp"])
