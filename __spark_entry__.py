@@ -10827,6 +10827,65 @@ ORDER BY event_type, event_id
 """
 
 
+def q_brown_forsythe_events(spark, sf_dir):
+    """Brown-Forsythe variance-equality test (drift.brown_forsythe):
+    do the event types share a SCALE, not just a location? Median-
+    centered absolute deviations, one-way ANOVA F. The oracle replays
+    the per-group exact medians (quantile_cont parity) and the
+    moment algebra (ROUND 6)."""
+    from pandera_forge_spark.drift import brown_forsythe
+
+    ev = _t(spark, sf_dir, "events")
+    out = brown_forsythe(ev, "value", "event_type")
+    return out.select(
+        "k_groups",
+        "n_rows",
+        F.round("ss_between", 6).alias("ss_between"),
+        F.round("ss_within", 6).alias("ss_within"),
+        F.round("f_stat", 6).alias("f_stat"),
+    )
+
+
+SQL_BROWN_FORSYTHE_EVENTS = r"""
+WITH meds AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+z AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS z
+  FROM events e JOIN meds m USING (event_type)
+  WHERE e.value IS NOT NULL
+),
+per_g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(z) AS s, SUM(z * z) AS ss
+  FROM z GROUP BY 1
+),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         SUM(s) AS st, SUM(ss) AS sst,
+         SUM(s * s / CAST(n AS DOUBLE)) AS sb_term
+  FROM per_g
+),
+calc AS (
+  SELECT k_groups, n_rows,
+         sb_term - st * st / CAST(n_rows AS DOUBLE) AS ssb,
+         sst - sb_term AS ssw
+  FROM mo
+)
+SELECT k_groups, n_rows,
+       ROUND(ssb, 6) AS ss_between,
+       ROUND(ssw, 6) AS ss_within,
+       ROUND(CASE WHEN k_groups >= 2 AND n_rows > k_groups AND ssw > 0
+                  THEN (ssb / (CAST(k_groups AS DOUBLE) - 1))
+                       / (ssw / (CAST(n_rows AS DOUBLE)
+                                 - CAST(k_groups AS DOUBLE)))
+             END, 6) AS f_stat
+FROM calc
+"""
+
+
 def q_mann_kendall_events(spark, sf_dir):
     """Mann-Kendall monotone-trend test (operators/temporal.py
     mann_kendall): per event_type over the hourly volume series —
@@ -14636,6 +14695,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytests; everything exact, ships raw), strict sweep green
         # at BOTH SFs -----------------------------------------------------------
         "mann_kendall_events": q_mann_kendall_events,
+        # brown_forsythe_events: this-session tail row; per-group
+        # exact medians (percentile parity) + the moment kernel — the
+        # new part is the median-centered ANOVA (python-replay,
+        # equal-spread-collapse, degenerate pytests), strict sweep
+        # green at BOTH SFs -----------------------------------------------------
+        "brown_forsythe_events": q_brown_forsythe_events,
     }
 
 
@@ -14912,4 +14977,5 @@ def oracle_sql() -> dict[str, str]:
         "benford2_orders": SQL_BENFORD2_ORDERS,
         "heaps_docs": SQL_HEAPS_DOCS,
         "mann_kendall_events": SQL_MANN_KENDALL_EVENTS,
+        "brown_forsythe_events": SQL_BROWN_FORSYTHE_EVENTS,
     }

@@ -947,3 +947,81 @@ def eb_shrink_rates(
             ),
         ).alias("shrunk_rate"),
     )
+
+
+# ------------------------------------------------- brown-forsythe
+
+def brown_forsythe(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Brown-Forsythe variance-equality test (public: the
+    median-centered Levene variant): one-way ANOVA on the absolute
+    deviations from each group's MEDIAN,
+
+        F = [Σ_g n_g·(z̄_g − z̄)² / (k−1)] / [Σ_g Σ_i (z_ig − z̄_g)² / (N−k)]
+
+    with z = |x − median_g|. Location drift has a whole family of
+    detectors here; this is the SCALE-drift one — a source whose
+    values didn't move but SPREAD (precision loss, unit mixing below
+    the mean, a noisier upstream) passes every mean/median check and
+    fails this. Median-centering keeps it robust where classic
+    Levene (mean-centered) chases its own outliers.
+
+    Two passes by necessity (medians, then deviations — said out
+    loud): exact interpolated per-group medians (the percentile
+    parity path) broadcast back as a groups-sized join, then ONE
+    fused moment aggregation over z. The F statistic is a fixed-order
+    expression over those sums (callers round at 6 — cross-row float
+    sums). Degenerate inputs (k < 2, N <= k, zero within-group
+    variation) report NULL F loudly.
+
+    Output (single row): ``k_groups, n_rows, ss_between, ss_within,
+    f_stat``.
+    """
+    for c in (value_col, group_col):
+        if c not in df.columns:
+            raise ValueError(f"brown_forsythe: column {c!r} missing")
+    base = df.where(F.col(value_col).isNotNull())
+    meds = base.groupBy(F.col(group_col).alias("__g")).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    z = base.join(
+        F.broadcast(meds), F.col(group_col) == F.col("__g")
+    ).select(
+        F.col("__g"),
+        F.abs(F.col(value_col).cast("double") - F.col("__med")).alias("__z"),
+    )
+    per_g = z.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__z").alias("__s"),
+        F.sum(F.col("__z") * F.col("__z")).alias("__ss"),
+    )
+    mo = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.sum("__s").alias("__st"),
+        F.sum("__ss").alias("__sst"),
+        F.sum(
+            F.col("__s") * F.col("__s") / F.col("__n").cast("double")
+        ).alias("__sb_term"),
+    )
+    n = F.col("n_rows").cast("double")
+    k = F.col("k_groups").cast("double")
+    grand_term = F.col("__st") * F.col("__st") / n
+    ssb = F.col("__sb_term") - grand_term
+    ssw = F.col("__sst") - F.col("__sb_term")
+    f_stat = F.when(
+        (F.col("k_groups") >= 2)
+        & (F.col("n_rows") > F.col("k_groups"))
+        & (ssw > 0),
+        (ssb / (k - 1)) / (ssw / (n - k)),
+    )
+    return mo.select(
+        "k_groups",
+        "n_rows",
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        f_stat.alias("f_stat"),
+    )

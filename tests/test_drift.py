@@ -690,3 +690,57 @@ def test_eb_shrink_rates_degenerate_and_fences(spark):
         eb_shrink_rates(same, F.col("ok") == 1, [])
     with pytest.raises(ValueError, match="missing"):
         eb_shrink_rates(same, F.col("ok") == 1, ["ghost"])
+
+
+def test_brown_forsythe_matches_scipy_style_reference(spark):
+    """Three groups with different spreads replayed against a direct
+    python Brown-Forsythe computation; equal-spread groups give a
+    tiny F, one wide group inflates it."""
+    from pandera_forge_spark.drift import brown_forsythe
+
+    groups = {
+        "a": [1.0, 2.0, 3.0, 4.0, 5.0],
+        "b": [10.0, 11.0, 12.0, 13.0, 14.0],
+        "c": [-20.0, -10.0, 0.0, 10.0, 20.0],   # wide
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = brown_forsythe(df, "v", "grp").collect()[0]
+
+    import statistics
+
+    zs = {
+        g: [abs(v - statistics.median(vs)) for v in vs]
+        for g, vs in groups.items()
+    }
+    allz = [z for v in zs.values() for z in v]
+    n, k = len(allz), len(zs)
+    gbar = sum(allz) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - gbar) ** 2 for v in zs.values())
+    ssw = sum(
+        (z - sum(v) / len(v)) ** 2 for v in zs.values() for z in v
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r.k_groups == 3 and r.n_rows == 15
+    assert abs(r.ss_between - ssb) < 1e-9
+    assert abs(r.ss_within - ssw) < 1e-9
+    assert abs(r.f_stat - f) < 1e-9
+    # equal spreads -> F collapses
+    eq = spark.createDataFrame(
+        [(g, v) for g in ("x", "y") for v in (1.0, 2.0, 3.0)],
+        "grp string, v double",
+    )
+    r2 = brown_forsythe(eq, "v", "grp").collect()[0]
+    assert abs(r2.f_stat) < 1e-9
+
+
+def test_brown_forsythe_degenerate_and_fences(spark):
+    import pytest
+
+    from pandera_forge_spark.drift import brown_forsythe
+
+    one = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "grp string, v double")
+    r = brown_forsythe(one, "v", "grp").collect()[0]
+    assert r.f_stat is None          # k < 2, loudly
+    with pytest.raises(ValueError, match="missing"):
+        brown_forsythe(one, "ghost", "grp")
